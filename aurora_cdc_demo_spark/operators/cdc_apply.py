@@ -1,0 +1,174 @@
+"""CDC apply operators: the reference's Delta-MERGE pipeline
+re-expressed as declarative DataFrame transformations.
+
+The reference applies CDC per table in a driver-side Python loop
+(reference: src/notebooks/demo/cdc_500_tables_streaming.py:151-265 —
+collect distinct tables, ThreadPoolExecutor, per-table MERGE). On
+Spark the idiomatic equivalent is ONE windowed/merged plan over all
+keys: a single hash shuffle by key, no driver loop, AQE-handled skew.
+That is what scales to 100 TB — the shuffle is on the merge key only
+and map-side partial aggregation applies where possible.
+
+All operators take/return DataFrames so they compose and stay inside
+Catalyst (whole-stage codegen; no Python in the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Deterministic "now" anchor for recency scoring (the events table
+# spans 2024-01; the reference scores recency against datetime.now(),
+# reference: config/table_manager.py:157-204).
+PRIORITY_ANCHOR = "2024-01-31 00:00:00"
+MERGE_SPLIT = "2024-01-16 00:00:00"
+
+
+def latest_state(
+    log: DataFrame, key: str = "key_id", ts: str = "ts", seq: str = "seq"
+) -> DataFrame:
+    """Materialize the latest row per key; a key whose last change is
+    a DELETE disappears — the end state a Delta MERGE pipeline would
+    produce (reference: cdc_500_tables_streaming.py:238-265).
+
+    One shuffle on the key; row_number is whole-stage-codegen'd.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts).desc(), F.col(seq).desc())
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+        .where(F.col("operation") != "DELETE")
+    )
+
+
+def scd2_history(
+    log: DataFrame, key: str = "key_id", ts: str = "ts", seq: str = "seq"
+) -> DataFrame:
+    """SCD type-2 history: each change becomes a versioned row with
+    [valid_from, valid_to) and an is_current flag. This is the
+    time-travel query surface the reference gets from Delta
+    (reference: unity_catalog_cdc_demo.py:573-603).
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc(), F.col(seq).asc())
+    return log.select(
+        key,
+        seq,
+        "operation",
+        "event_type",
+        "value",
+        F.col(ts).alias("valid_from"),
+        F.lead(ts).over(w).alias("valid_to"),
+        (F.lead(ts).over(w).isNull() & (F.col("operation") != "DELETE")).alias(
+            "is_current"
+        ),
+    )
+
+
+def upsert_merge(
+    snapshot: DataFrame, changes: DataFrame, key: str = "key_id"
+) -> DataFrame:
+    """MERGE INTO semantics (reference:
+    unity_catalog_cdc_demo.py:392-446): apply the net effect of a
+    change batch to a snapshot —
+
+        matched + last op DELETE     -> drop row
+        matched + last op not DELETE -> update (take change row)
+        not matched + op not DELETE  -> insert
+
+    `changes` must already be netted to one row per key (use
+    ``latest_state``-style reduction first, keeping DELETE rows).
+    Implemented as a single full-outer join on the key.
+    """
+    s = snapshot.select([F.col(c).alias(f"s_{c}") for c in snapshot.columns])
+    c = changes.select([F.col(col).alias(f"c_{col}") for col in changes.columns])
+    joined = s.join(c, s[f"s_{key}"] == c[f"c_{key}"], "full_outer")
+    take_change = F.col(f"c_{key}").isNotNull()
+    is_delete = take_change & (F.col("c_operation") == "DELETE")
+    out_cols = [
+        F.when(take_change, F.col(f"c_{col}")).otherwise(F.col(f"s_{col}")).alias(col)
+        for col in snapshot.columns
+    ]
+    return joined.where(~is_delete).select(out_cols)
+
+
+def net_changes(
+    log: DataFrame, key: str = "key_id", ts: str = "ts", seq: str = "seq"
+) -> DataFrame:
+    """Reduce a change batch to its net effect: last row per key
+    (DELETE rows kept so the merge can drop targets)."""
+    w = Window.partitionBy(key).orderBy(F.col(ts).desc(), F.col(seq).desc())
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def dedup_exactly_once(log: DataFrame) -> DataFrame:
+    """Exactly-once delivery: drop duplicate deliveries of the same
+    change record (reference: aurora_cdc_datasource_v2.py:158
+    `enable_exactly_once` + offset checkpointing). Full-row distinct
+    — a hash aggregate with map-side partial dedup, no window needed.
+    """
+    return log.distinct()
+
+
+def sessionize(
+    log: DataFrame,
+    gap_minutes: int = 30,
+    key: str = "key_id",
+    ts: str = "ts",
+    seq: str = "seq",
+) -> DataFrame:
+    """Gap-based sessionization of the change stream — the batch
+    analog of the stateful-streaming path (streaming/stateful.py).
+
+    Microsecond-integer arithmetic keeps it exact across engines.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc(), F.col(seq).asc())
+    us = F.unix_micros(F.col(ts))
+    new_sess = (
+        F.when(us - F.lag(us).over(w) > F.lit(gap_us), 1)
+        .otherwise(0)
+        + F.when(F.lag(us).over(w).isNull(), 1).otherwise(0)
+    )
+    with_sess = log.withColumn(
+        "session_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return with_sess.groupBy(key, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts).alias("session_start"),
+        F.max(ts).alias("session_end"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def priority_schedule(log: DataFrame, batch_size: int = 50) -> DataFrame:
+    """Table-manager priority scoring re-expressed as a query
+    (reference: config/table_manager.py:157-240): score each key by
+    change volume (capped) + recency vs a fixed anchor, then pick the
+    next processing batch. Integer arithmetic only → deterministic.
+    """
+    anchor_us = F.unix_micros(F.to_timestamp(F.lit(PRIORITY_ANCHOR)))
+    stats = log.groupBy("key_id").agg(
+        F.count(F.lit(1)).alias("n_changes"),
+        F.max("ts").alias("last_ts"),
+    )
+    hours_since = (anchor_us - F.unix_micros(F.col("last_ts"))) / F.lit(3_600_000_000)
+    hours_since = F.floor(hours_since)
+    priority = (
+        F.least(F.col("n_changes"), F.lit(100))
+        + F.when(hours_since < 1, 50).when(hours_since < 24, 20).otherwise(0)
+    )
+    w = Window.orderBy(F.col("priority").desc(), F.col("key_id").asc())
+    return (
+        stats.withColumn("priority", priority.cast("long"))
+        .withColumn("batch_rank", F.row_number().over(w).cast("long"))
+        .withColumn("in_next_batch", F.col("batch_rank") <= batch_size)
+    )

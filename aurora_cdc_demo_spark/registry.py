@@ -1,0 +1,246 @@
+"""Query registry: every implemented operator exposed as
+(spark, sf_dir) -> DataFrame, paired with an ANSI-SQL oracle that
+DuckDB runs over the same parquet tables (the driver's correctness
+gate). Column names/types are aligned on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import cdc_apply
+from .queries import monitoring
+from .session import ensure_utc
+from .sources.cdc_log import CDC_LOG_SQL, cdc_operation_log
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_utc(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return wrapped
+
+    return deco
+
+
+def _with_log(body: str) -> str:
+    return f"WITH log AS ({CDC_LOG_SQL})\n{body}"
+
+
+# ---------------------------------------------------------------------------
+# CDC core (SURVEY §2 #1-10)
+# ---------------------------------------------------------------------------
+
+_LATEST_STATE_SQL = _with_log(
+    """
+    , ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY key_id ORDER BY ts DESC, seq DESC) AS rn
+        FROM log)
+    SELECT key_id, seq, operation, event_type, ts, value
+    FROM ranked WHERE rn = 1 AND operation <> 'DELETE'
+    """
+)
+
+
+@query("cdc_operation_log", oracle=CDC_LOG_SQL)
+def q_cdc_operation_log(spark, sf_dir):
+    return cdc_operation_log(spark, sf_dir)
+
+
+@query("cdc_latest_state", oracle=_LATEST_STATE_SQL)
+def q_cdc_latest_state(spark, sf_dir):
+    return cdc_apply.latest_state(cdc_operation_log(spark, sf_dir))
+
+
+@query(
+    "cdc_scd2_history",
+    oracle=_with_log(
+        """
+        SELECT key_id, seq, operation, event_type, value,
+               ts AS valid_from,
+               lead(ts) OVER w AS valid_to,
+               (lead(ts) OVER w IS NULL AND operation <> 'DELETE') AS is_current
+        FROM log WINDOW w AS (PARTITION BY key_id ORDER BY ts ASC, seq ASC)
+        """
+    ),
+)
+def q_cdc_scd2(spark, sf_dir):
+    return cdc_apply.scd2_history(cdc_operation_log(spark, sf_dir))
+
+
+@query(
+    "cdc_upsert_merge",
+    oracle=_with_log(
+        f"""
+        , snap_ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY key_id ORDER BY ts DESC, seq DESC) AS rn
+            FROM log WHERE ts < TIMESTAMP '{cdc_apply.MERGE_SPLIT}')
+        , snapshot AS (
+            SELECT key_id, seq, operation, event_type, ts, value
+            FROM snap_ranked WHERE rn = 1 AND operation <> 'DELETE')
+        , chg_ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY key_id ORDER BY ts DESC, seq DESC) AS rn
+            FROM log WHERE ts >= TIMESTAMP '{cdc_apply.MERGE_SPLIT}')
+        , net AS (
+            SELECT key_id, seq, operation, event_type, ts, value
+            FROM chg_ranked WHERE rn = 1)
+        SELECT
+            CASE WHEN c.key_id IS NOT NULL THEN c.key_id ELSE s.key_id END AS key_id,
+            CASE WHEN c.key_id IS NOT NULL THEN c.seq ELSE s.seq END AS seq,
+            CASE WHEN c.key_id IS NOT NULL THEN c.operation ELSE s.operation END AS operation,
+            CASE WHEN c.key_id IS NOT NULL THEN c.event_type ELSE s.event_type END AS event_type,
+            CASE WHEN c.key_id IS NOT NULL THEN c.ts ELSE s.ts END AS ts,
+            CASE WHEN c.key_id IS NOT NULL THEN c.value ELSE s.value END AS value
+        FROM snapshot s FULL OUTER JOIN net c ON s.key_id = c.key_id
+        WHERE NOT (c.key_id IS NOT NULL AND c.operation = 'DELETE')
+        """
+    ),
+)
+def q_cdc_upsert_merge(spark, sf_dir):
+    log = cdc_operation_log(spark, sf_dir)
+    split = F.to_timestamp(F.lit(cdc_apply.MERGE_SPLIT))
+    snapshot = cdc_apply.latest_state(log.where(F.col("ts") < split))
+    net = cdc_apply.net_changes(log.where(F.col("ts") >= split))
+    return cdc_apply.upsert_merge(snapshot, net)
+
+
+@query(
+    "cdc_dedup_exactly_once",
+    oracle=_with_log(
+        """
+        , dup AS (
+            SELECT * FROM log
+            UNION ALL
+            SELECT * FROM log WHERE seq % 7 = 0)
+        SELECT DISTINCT key_id, seq, operation, event_type, ts, value FROM dup
+        """
+    ),
+)
+def q_cdc_dedup_exactly_once(spark, sf_dir):
+    log = cdc_operation_log(spark, sf_dir)
+    duplicated = log.unionByName(log.where(F.col("seq") % 7 == 0))
+    return cdc_apply.dedup_exactly_once(duplicated)
+
+
+@query(
+    "cdc_event_counts_windowed",
+    oracle=_with_log(
+        """
+        SELECT date_trunc('hour', ts) AS window_start,
+               operation,
+               COUNT(*) AS event_count,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS error_count,
+               MAX(ts) AS last_event_time,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM log GROUP BY 1, 2
+        """
+    ),
+)
+def q_cdc_event_counts_windowed(spark, sf_dir):
+    return monitoring.event_counts_windowed(cdc_operation_log(spark, sf_dir))
+
+
+@query(
+    "cdc_table_stats",
+    oracle=_with_log(
+        """
+        SELECT operation,
+               COUNT(*) AS total_events,
+               COUNT(DISTINCT key_id) AS unique_keys,
+               MIN(ts) AS first_event,
+               MAX(ts) AS last_event,
+               ROUND(AVG(value), 4) AS avg_value
+        FROM log GROUP BY operation
+        """
+    ),
+)
+def q_cdc_table_stats(spark, sf_dir):
+    return monitoring.table_stats(cdc_operation_log(spark, sf_dir))
+
+
+@query(
+    "cdc_error_monitor",
+    oracle=_with_log(
+        """
+        SELECT date_trunc('day', ts) AS error_day,
+               COUNT(*) AS n_errors,
+               COUNT(DISTINCT key_id) AS n_keys,
+               MAX(ts) AS last_error_ts
+        FROM log WHERE event_type = 'error' GROUP BY 1
+        """
+    ),
+)
+def q_cdc_error_monitor(spark, sf_dir):
+    return monitoring.error_monitor(cdc_operation_log(spark, sf_dir))
+
+
+@query(
+    "cdc_sessionize",
+    oracle=_with_log(
+        """
+        , flagged AS (
+            SELECT *,
+                CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+                     WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1
+                     ELSE 0 END AS new_sess
+            FROM log WINDOW w AS (PARTITION BY key_id ORDER BY ts ASC, seq ASC))
+        , sess AS (
+            SELECT *, SUM(new_sess) OVER (
+                PARTITION BY key_id ORDER BY ts ASC, seq ASC
+                ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged)
+        SELECT key_id,
+               CAST(session_id AS BIGINT) AS session_id,
+               COUNT(*) AS n_events,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM sess GROUP BY key_id, session_id
+        """
+    ),
+)
+def q_cdc_sessionize(spark, sf_dir):
+    return cdc_apply.sessionize(cdc_operation_log(spark, sf_dir))
+
+
+@query(
+    "cdc_priority_schedule",
+    oracle=_with_log(
+        f"""
+        , stats AS (
+            SELECT key_id, COUNT(*) AS n_changes, MAX(ts) AS last_ts
+            FROM log GROUP BY key_id)
+        , scored AS (
+            SELECT key_id, n_changes, last_ts,
+                CAST(LEAST(n_changes, 100) +
+                     CASE WHEN hrs < 1 THEN 50 WHEN hrs < 24 THEN 20 ELSE 0 END
+                     AS BIGINT) AS priority
+            FROM (SELECT *,
+                    CAST(floor((epoch_us(TIMESTAMP '{cdc_apply.PRIORITY_ANCHOR}')
+                                - epoch_us(last_ts)) / 3600000000.0) AS BIGINT) AS hrs
+                  FROM stats))
+        SELECT key_id, n_changes, last_ts, priority,
+               row_number() OVER (ORDER BY priority DESC, key_id ASC) AS batch_rank,
+               row_number() OVER (ORDER BY priority DESC, key_id ASC) <= 50
+                   AS in_next_batch
+        FROM scored
+        """
+    ),
+)
+def q_cdc_priority_schedule(spark, sf_dir):
+    return cdc_apply.priority_schedule(cdc_operation_log(spark, sf_dir))

@@ -1,0 +1,39 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on local[N]; the same declarative plans scale to a
+multi-executor cluster because nothing here hand-schedules work — we
+only set planner knobs (AQE, shuffle partitions, Arrow).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "aurora-cdc-spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
+    return spark
+
+
+def ensure_utc(spark: SparkSession) -> SparkSession:
+    """Pin the session timezone so date functions agree with the
+    DuckDB oracle (which treats parquet timestamps as naive/UTC).
+
+    Safe to call on a driver-provided session: it is a runtime conf.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark

@@ -1,0 +1,78 @@
+"""CDC core: operator invariants + oracle parity (mirrors the
+reference's CDC insert/update/delete round-trip suite, reference:
+tests/test_cdc_integration.py:283-419)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aurora_cdc_demo_spark.operators import cdc_apply
+from aurora_cdc_demo_spark.registry import QUERIES
+from aurora_cdc_demo_spark.sources.cdc_log import cdc_operation_log
+
+from .helpers import assert_matches_oracle
+
+CDC_QUERIES = [
+    "cdc_operation_log",
+    "cdc_latest_state",
+    "cdc_scd2_history",
+    "cdc_upsert_merge",
+    "cdc_dedup_exactly_once",
+    "cdc_event_counts_windowed",
+    "cdc_table_stats",
+    "cdc_error_monitor",
+    "cdc_sessionize",
+    "cdc_priority_schedule",
+]
+
+
+@pytest.mark.parametrize("name", CDC_QUERIES)
+def test_oracle_parity(spark, sf_dir, name):
+    assert_matches_oracle(spark, name, sf_dir)
+
+
+def test_latest_state_one_row_per_key(spark, sf_dir):
+    state = QUERIES["cdc_latest_state"](spark, sf_dir)
+    assert state.groupBy("key_id").count().where("count > 1").count() == 0
+
+
+def test_latest_state_drops_deleted_keys(spark, sf_dir):
+    log = cdc_operation_log(spark, sf_dir)
+    state = cdc_apply.latest_state(log)
+    # every surviving row is the key's true last change and not DELETE
+    last = cdc_apply.net_changes(log)
+    joined = state.alias("s").join(
+        last.alias("l"), F.col("s.key_id") == F.col("l.key_id")
+    )
+    assert joined.where("s.seq != l.seq").count() == 0
+    assert state.where("operation = 'DELETE'").count() == 0
+
+
+def test_merge_equals_replay(spark, sf_dir):
+    """Applying a change batch to a snapshot == replaying the full
+    log (MERGE correctness invariant)."""
+    merged = QUERIES["cdc_upsert_merge"](spark, sf_dir)
+    replayed = QUERIES["cdc_latest_state"](spark, sf_dir)
+    assert merged.exceptAll(replayed).count() == 0
+    assert replayed.exceptAll(merged).count() == 0
+
+
+def test_exactly_once_dedup_restores_log(spark, sf_dir):
+    log = cdc_operation_log(spark, sf_dir)
+    deduped = QUERIES["cdc_dedup_exactly_once"](spark, sf_dir)
+    assert deduped.count() == log.count()
+
+
+def test_scd2_current_rows_match_latest_state(spark, sf_dir):
+    scd2 = QUERIES["cdc_scd2_history"](spark, sf_dir)
+    state = QUERIES["cdc_latest_state"](spark, sf_dir)
+    current = scd2.where("is_current")
+    assert current.count() == state.count()
+
+
+def test_sessionize_covers_all_events(spark, sf_dir):
+    log = cdc_operation_log(spark, sf_dir)
+    sessions = QUERIES["cdc_sessionize"](spark, sf_dir)
+    total = sessions.agg(F.sum("n_events")).collect()[0][0]
+    assert total == log.count()

@@ -1,0 +1,89 @@
+"""Local replica of the driver's correctness gate: run every
+``queries()`` entry and its DuckDB oracle side-by-side and compare
+row-count, column set, and order-insensitive values.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+from aurora_cdc_demo_spark.session import get_spark  # noqa: E402
+from aurora_cdc_demo_spark.tables import TABLES  # noqa: E402
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # stringify for order-insensitive exact compare (mirrors the
+    # driver's value-hash: exact, not approximate)
+    out = df.astype(str)
+    out = out.sort_values(by=list(out.columns)).reset_index(drop=True)
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    only = set(sys.argv[2:])
+
+    spark = get_spark("oracle-check")
+    con = duck_connection(sf_dir)
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: no oracle (rows-only) rows={len(sdf)}")
+            continue
+        try:
+            ddf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        a, b = normalize(sdf), normalize(ddf)
+        if list(a.columns) != list(b.columns):
+            failures.append(name)
+            print(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}")
+        elif len(a) != len(b):
+            failures.append(name)
+            print(f"FAIL {name}: rows {len(a)} vs {len(b)}")
+        elif not a.equals(b):
+            failures.append(name)
+            diff = (a != b).any(axis=1)
+            print(f"FAIL {name}: {int(diff.sum())}/{len(a)} rows differ")
+            mism = a[diff].head(3)
+            print("  spark:", mism.to_dict("records"))
+            print("  duck :", b[diff].head(3).to_dict("records"))
+        else:
+            print(f"OK   {name} rows={len(a)}")
+    print(f"\n{len(failures)} failures: {failures}" if failures else "\nall OK")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
