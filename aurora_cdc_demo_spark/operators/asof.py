@@ -1,0 +1,68 @@
+"""AS-OF join — an operator Spark lacks natively, built as a
+composition of union + running last_value (no range join, no UDF).
+
+For each probe row, find the most recent build row with
+build.ts <= probe.ts for the same key. The union trick turns the
+range lookup into ONE shuffle on (key) + a running window — linear,
+skew-tolerant via AQE, and scales to 100 TB because no O(n*m)
+expansion ever materializes (contrast: equality-join-then-filter
+explodes on hot keys).
+
+The DuckDB oracle uses its native ASOF JOIN; ties on ts are broken
+by ordering build rows before probe rows at equal ts (inclusive <=).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    probe_ts: str = "ts",
+    build_ts: str = "ts",
+    build_seq: str | None = None,
+    build_payload: list[str] | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join: probe columns + latest build payload columns
+    (renamed ``{prefix}{col}``) with build_ts <= probe_ts per key.
+
+    ``build_seq`` (unique within key+ts) makes equal-timestamp build
+    rows deterministically ordered.
+    """
+    payload = build_payload or [c for c in build.columns if c not in (key, build_ts)]
+    b = build.select(
+        F.col(key).alias("_k"),
+        F.col(build_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        (F.col(build_seq) if build_seq else F.lit(0)).cast("long").alias("_ord"),
+        F.struct(
+            F.col(build_ts).alias(f"{prefix}{build_ts}"),
+            *[F.col(c).alias(f"{prefix}{c}") for c in payload],
+        ).alias("_payload"),
+        *[F.lit(None).cast(probe.schema[c].dataType).alias(c) for c in probe.columns],
+    )
+    p = probe.select(
+        F.col(key).alias("_k"),
+        F.col(probe_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(0).cast("long").alias("_ord"),
+        F.lit(None).cast(b.schema["_payload"].dataType).alias("_payload"),
+        *probe.columns,
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_ord").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = b.unionByName(p).withColumn(
+        "_last", F.last("_payload", ignorenulls=True).over(w)
+    )
+    return unioned.where(F.col("_side") == 1).select(
+        *probe.columns, F.col(f"_last.{prefix}{build_ts}"),
+        *[F.col(f"_last.{prefix}{c}") for c in payload]
+    )

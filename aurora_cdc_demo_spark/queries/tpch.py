@@ -1,0 +1,252 @@
+"""Analytics queries over the CDC-landed warehouse tables — the
+query surface a user of the reference pipeline runs on the Delta
+tables it maintains (reference: notebooks query the landed tables,
+e.g. unity_catalog_cdc_demo.py:554-663). TPC-H-shaped because the
+reference's schema IS TPC-H (reference: scripts/setup_tpch_database.py).
+
+Determinism policy (drives the DuckDB oracle gate): money columns are
+2-decimal values stored as doubles, so all money arithmetic is cast
+to DECIMAL first (exact, associative — immune to float summation
+order differing between engines) and final aggregates are cast to
+DOUBLE once. Ranking/top-N always tie-breaks on a unique key.
+
+Scale notes: dimension joins (region/nation/part/supplier) broadcast;
+fact-fact joins shuffle only on the join key with filters pushed
+below; aggregations get map-side partial aggregation. Verified via
+.explain in tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+# ---- decimal helpers: exact money math on both engines ----
+
+
+def _money(col: str):  # 2-decimal money stored as double
+    return F.col(col).cast("decimal(12,2)")
+
+
+def _pct(col: str):  # discount/tax in [0,1), 2 decimals
+    return F.col(col).cast("decimal(4,2)")
+
+
+def _one_minus(col: str):
+    return F.lit(1.00).cast("decimal(4,2)") - _pct(col)
+
+
+def _one_plus(col: str):
+    return F.lit(1.00).cast("decimal(4,2)") + _pct(col)
+
+
+def _rev():  # l_extendedprice * (1 - l_discount), exact
+    return _money("l_extendedprice") * _one_minus("l_discount")
+
+
+Q1_CUTOFF = "2000-12-01 00:00:00"
+Q3_DATE = "1998-01-01 00:00:00"
+Q5_YEAR_START, Q5_YEAR_END = "1996-01-01 00:00:00", "1997-01-01 00:00:00"
+Q6_START, Q6_END = "1996-01-01 00:00:00", "1997-01-01 00:00:00"
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = (
+        li.where(F.col("l_shipdate") <= F.to_timestamp(F.lit(Q1_CUTOFF)))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_money("l_quantity")).alias("_sum_qty"),
+            F.sum(_money("l_extendedprice")).alias("_sum_base"),
+            F.sum(_rev()).alias("_sum_disc"),
+            F.sum(_rev() * _one_plus("l_tax")).alias("_sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    cnt = F.col("count_order")
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("_sum_qty").cast("double").alias("sum_qty"),
+        F.col("_sum_base").cast("double").alias("sum_base_price"),
+        F.col("_sum_disc").cast("double").alias("sum_disc_price"),
+        F.col("_sum_charge").cast("double").alias("sum_charge"),
+        F.round(F.col("_sum_qty").cast("double") / cnt, 4).alias("avg_qty"),
+        F.round(F.col("_sum_base").cast("double") / cnt, 4).alias("avg_price"),
+        "count_order",
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.to_timestamp(F.lit(Q3_DATE))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.to_timestamp(F.lit(Q3_DATE))
+    )
+    joined = li.join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(_rev()).alias("_revenue")
+    )
+    top = agg.orderBy(
+        F.col("_revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc()
+    ).limit(10)
+    return top.select(
+        "l_orderkey",
+        F.col("_revenue").cast("double").alias("revenue"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(
+            returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit(Q5_YEAR_START)))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit(Q5_YEAR_END)))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            cust,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.sum(_rev()).alias("_revenue"))
+        .select("n_name", F.col("_revenue").cast("double").alias("revenue"))
+    )
+
+
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    filtered = li.where(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit(Q6_START)))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit(Q6_END)))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    )
+    return filtered.agg(
+        F.sum(_money("l_extendedprice") * _pct("l_discount"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    agg = joined.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.sum(_rev()).alias("_revenue")
+    )
+    top = agg.orderBy(F.col("_revenue").desc(), F.col("c_custkey").asc()).limit(20)
+    return top.select(
+        "c_custkey",
+        "c_name",
+        "n_name",
+        F.col("_revenue").cast("double").alias("revenue"),
+    )
+
+
+def top_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.withColumn("segment_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("segment_rank") <= 5)
+        .select("c_mktsegment", "segment_rank", "c_custkey", "c_name", "c_acctbal")
+    )
+
+
+def monthly_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .withColumn("order_month", F.date_trunc("month", F.col("o_orderdate")))
+    )
+    agg = joined.rollup("r_name", "order_month").agg(
+        F.sum(_money("o_totalprice")).alias("_revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return agg.select(
+        F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region_name"),
+        F.coalesce(
+            F.col("order_month"), F.to_timestamp(F.lit("1900-01-01 00:00:00"))
+        ).alias("order_month"),
+        F.col("_revenue").cast("double").alias("revenue"),
+        "n_orders",
+    )
+
+
+def promo_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    monthly = joined.groupBy(
+        F.date_trunc("month", F.col("l_shipdate")).alias("ship_month")
+    ).agg(
+        F.sum(
+            F.when(F.col("p_type") == "PROMO", _rev()).otherwise(
+                F.lit(0.00).cast("decimal(18,4)")
+            )
+        ).alias("_promo"),
+        F.sum(_rev()).alias("_total"),
+    )
+    return monthly.select(
+        "ship_month",
+        F.col("_promo").cast("double").alias("promo_revenue"),
+        F.col("_total").cast("double").alias("total_revenue"),
+        F.round(
+            F.lit(100.0) * F.col("_promo").cast("double")
+            / F.col("_total").cast("double"),
+            4,
+        ).alias("promo_share_pct"),
+    )

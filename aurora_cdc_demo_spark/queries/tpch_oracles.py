@@ -1,0 +1,150 @@
+"""DuckDB oracle SQL for the TPC-H-shaped analytics queries.
+
+Mirrors the decimal-first determinism policy of queries/tpch.py:
+money math in DECIMAL (exact on both engines), one final CAST to
+DOUBLE, ties in top-N broken by unique keys.
+"""
+
+_REV = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * "
+    "(CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+TPCH_ORACLES: dict[str, str] = {
+    "q1_pricing_summary": f"""
+        WITH agg AS (
+            SELECT l_returnflag, l_linestatus,
+                SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq,
+                SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sb,
+                SUM({_REV}) AS sd,
+                SUM({_REV} * (CAST(1.00 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS sc,
+                COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+            GROUP BY l_returnflag, l_linestatus)
+        SELECT l_returnflag, l_linestatus,
+            CAST(sq AS DOUBLE) AS sum_qty,
+            CAST(sb AS DOUBLE) AS sum_base_price,
+            CAST(sd AS DOUBLE) AS sum_disc_price,
+            CAST(sc AS DOUBLE) AS sum_charge,
+            ROUND(CAST(sq AS DOUBLE) / count_order, 4) AS avg_qty,
+            ROUND(CAST(sb AS DOUBLE) / count_order, 4) AS avg_price,
+            count_order
+        FROM agg
+    """,
+    "q3_shipping_priority": f"""
+        WITH agg AS (
+            SELECT l_orderkey, o_orderdate, o_orderpriority, SUM({_REV}) AS rev
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+              AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY 1, 2, 3)
+        SELECT l_orderkey, CAST(rev AS DOUBLE) AS revenue, o_orderdate, o_orderpriority
+        FROM agg ORDER BY rev DESC, o_orderdate ASC, l_orderkey ASC LIMIT 10
+    """,
+    "q4_order_priority": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+    """,
+    "q5_local_supplier": f"""
+        SELECT n_name, CAST(SUM({_REV}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+    """,
+    "q6_revenue_forecast": """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount >= 0.02 AND l_discount <= 0.06
+          AND l_quantity < 24
+    """,
+    "q10_returned_items": f"""
+        WITH agg AS (
+            SELECT c_custkey, c_name, n_name, SUM({_REV}) AS rev
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+            GROUP BY 1, 2, 3)
+        SELECT c_custkey, c_name, n_name, CAST(rev AS DOUBLE) AS revenue
+        FROM agg ORDER BY rev DESC, c_custkey ASC LIMIT 20
+    """,
+    "top_customers_per_segment": """
+        WITH ranked AS (
+            SELECT c_mktsegment,
+                   row_number() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_acctbal DESC, c_custkey ASC)
+                       AS segment_rank,
+                   c_custkey, c_name, c_acctbal
+            FROM customer)
+        SELECT c_mktsegment, CAST(segment_rank AS BIGINT) AS segment_rank,
+               c_custkey, c_name, c_acctbal
+        FROM ranked WHERE segment_rank <= 5
+    """,
+    "monthly_revenue_rollup": """
+        WITH joined AS (
+            SELECT r_name,
+                   date_trunc('month', o_orderdate) AS order_month,
+                   CAST(o_totalprice AS DECIMAL(12,2)) AS tp
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey)
+        SELECT COALESCE(r_name, 'ALL') AS region_name,
+               COALESCE(order_month, TIMESTAMP '1900-01-01 00:00:00') AS order_month,
+               CAST(SUM(tp) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_orders
+        FROM joined GROUP BY ROLLUP(r_name, order_month)
+    """,
+    "promo_part_share": f"""
+        WITH j AS (
+            SELECT date_trunc('month', l_shipdate) AS ship_month,
+                   {_REV} AS rev, p_type
+            FROM lineitem JOIN part ON l_partkey = p_partkey)
+        , m AS (
+            SELECT ship_month,
+                   SUM(CASE WHEN p_type = 'PROMO' THEN rev
+                            ELSE CAST(0.00 AS DECIMAL(18,4)) END) AS promo,
+                   SUM(rev) AS total
+            FROM j GROUP BY 1)
+        SELECT ship_month,
+               CAST(promo AS DOUBLE) AS promo_revenue,
+               CAST(total AS DOUBLE) AS total_revenue,
+               ROUND(100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE), 4)
+                   AS promo_share_pct
+        FROM m
+    """,
+    "asof_order_event": """
+        WITH ev AS (
+            SELECT user_id AS key_id, event_id AS seq, ts, value, event_type
+            FROM events)
+        , purchases AS (
+            SELECT key_id, seq AS purchase_seq, ts AS purchase_ts
+            FROM ev WHERE event_type = 'purchase')
+        , clicks AS (
+            SELECT key_id, seq, ts, value FROM ev WHERE event_type = 'click')
+        SELECT p.key_id, p.purchase_seq, p.purchase_ts,
+               c.ts AS asof_ts, c.seq AS asof_seq, c.value AS asof_value
+        FROM purchases p
+        ASOF LEFT JOIN clicks c
+          ON p.key_id = c.key_id AND c.ts <= p.purchase_ts
+    """,
+}

@@ -12,9 +12,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators import cdc_apply
-from .queries import monitoring
+from .operators.asof import asof_join
+from .queries import monitoring, tpch
+from .queries.tpch_oracles import TPCH_ORACLES
 from .session import ensure_utc
 from .sources.cdc_log import CDC_LOG_SQL, cdc_operation_log
+from .tables import load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -244,3 +247,51 @@ def q_cdc_sessionize(spark, sf_dir):
 )
 def q_cdc_priority_schedule(spark, sf_dir):
     return cdc_apply.priority_schedule(cdc_operation_log(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Analytics engine: TPC-H-shaped queries (SURVEY §2 #11-19)
+# ---------------------------------------------------------------------------
+
+for _name, _fn in [
+    ("q1_pricing_summary", tpch.q1_pricing_summary),
+    ("q3_shipping_priority", tpch.q3_shipping_priority),
+    ("q4_order_priority", tpch.q4_order_priority),
+    ("q5_local_supplier", tpch.q5_local_supplier),
+    ("q6_revenue_forecast", tpch.q6_revenue_forecast),
+    ("q10_returned_items", tpch.q10_returned_items),
+    ("top_customers_per_segment", tpch.top_customers_per_segment),
+    ("monthly_revenue_rollup", tpch.monthly_revenue_rollup),
+    ("promo_part_share", tpch.promo_part_share),
+]:
+    query(_name, oracle=TPCH_ORACLES[_name])(_fn)
+
+
+# ---------------------------------------------------------------------------
+# AS-OF join (SURVEY §2 #20): operator Spark lacks, union+window impl
+# ---------------------------------------------------------------------------
+
+
+@query("asof_order_event", oracle=TPCH_ORACLES["asof_order_event"])
+def q_asof_order_event(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("key_id"),
+        F.col("event_id").alias("purchase_seq"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("key_id"),
+        F.col("event_id").alias("seq"),
+        "ts",
+        "value",
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        key="key_id",
+        probe_ts="purchase_ts",
+        build_ts="ts",
+        build_seq="seq",
+        build_payload=["seq", "value"],
+    )
