@@ -1,0 +1,391 @@
+"""Deduplication operators for a training-data pipeline: exact,
+word-n-gram Jaccard, MinHash+LSH, SimHash.
+
+Cross-engine determinism: the ONLY hash primitive is md5 (bit-exact
+identical in Spark and DuckDB), so MinHash signatures, LSH band
+buckets and SimHash bit votes agree exactly with the oracle SQL,
+which mirrors the same algorithm.
+
+Scale design (100 TB):
+- exact: hash-groupBy on md5(normalized) — one shuffle, map-side
+  partial agg.
+- ngram Jaccard (the O(candidates) verifier): explode shingles →
+  equi-join on shingle → count; at scale you never run it standalone
+  (that's the quadratic baseline / oracle twin) — you run it AFTER
+  LSH pruning.
+- MinHash+LSH: shingle explode → groupBy doc with 12 partial mins
+  (map-side combine) → 3 band keys → 3 equi-joins on band hash →
+  verify only bucket-collision pairs. Work is O(docs + candidates).
+- SimHash: 64-bit signature from md5 nibble votes; 4×16-bit band
+  blocking guarantees NO false negatives for hamming <= 3
+  (pigeonhole) while keeping the pair join equi-key.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NGRAM_N = 3
+NUM_MINHASH = 12
+BAND_ROWS = 4  # -> 3 bands
+JACCARD_THRESHOLD = 0.5
+SIMHASH_MAX_HAMMING = 3  # 4 bands of 16 bits: exact for hamming <= 3
+
+
+# ---------------------------------------------------------------------------
+# shared building blocks
+# ---------------------------------------------------------------------------
+
+
+def shingles(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
+    """Distinct word-n-gram shingles per doc: (doc_id, s)."""
+    toks = F.split(F.col("text"), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    return (
+        docs.where(F.size(toks) >= n)
+        .select("doc_id", F.explode(grams).alias("s"))
+    )
+
+
+_SHINGLES_SQL = f"""
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    , sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(t) - {NGRAM_N - 2}),
+                                     i -> array_to_string(t[i:i+{NGRAM_N - 1}], ' '))) AS s
+        FROM toks WHERE len(t) >= {NGRAM_N})
+    , sc AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id)
+"""
+
+
+def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs sharing >= 1 shingle; if
+    ``pairs`` given, restrict to those candidates (the LSH path)."""
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    if pairs is not None:
+        a = a.join(pairs.select("doc_a").distinct(), "doc_a")
+        b = b.join(pairs.select("doc_b").distinct(), "doc_b")
+    inter = (
+        a.join(b, (F.col("s_a") == F.col("s_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if pairs is not None:
+        inter = inter.join(pairs, ["doc_a", "doc_b"])
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("c").alias("ca"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("c").alias("cb"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("ca") + F.col("cb") - F.col("inter"))
+            ).alias("_j"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 25. exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    norm_md5 = F.md5(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    )
+    w = Window.partitionBy("norm_md5")
+    return (
+        docs.select("doc_id", norm_md5.alias("norm_md5"))
+        .withColumn("dup_group_size", F.count(F.lit(1)).over(w))
+        .withColumn("is_canonical", F.col("doc_id") == F.min("doc_id").over(w))
+    )
+
+
+DEDUP_EXACT_SQL = r"""
+    WITH h AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_md5
+        FROM documents)
+    SELECT doc_id, norm_md5,
+           COUNT(*) OVER (PARTITION BY norm_md5) AS dup_group_size,
+           doc_id = MIN(doc_id) OVER (PARTITION BY norm_md5) AS is_canonical
+    FROM h
+"""
+
+
+# ---------------------------------------------------------------------------
+# 26. exact n-gram Jaccard pairs (quadratic baseline / oracle twin)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    sim = _pair_jaccard(shingles(docs))
+    return sim.where(F.col("_j") >= threshold).select(
+        "doc_a", "doc_b", F.round(F.col("_j"), 4).alias("jaccard")
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+    WITH {_SHINGLES_SQL}
+    , pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           ROUND(CAST(inter AS DOUBLE) / (x.c + y.c - inter), 4) AS jaccard
+    FROM pairs p JOIN sc x ON p.doc_a = x.doc_id JOIN sc y ON p.doc_b = y.doc_id
+    WHERE CAST(inter AS DOUBLE) / (x.c + y.c - inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 27. MinHash + LSH banding, exact-Jaccard verified
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """12 minhashes per doc: min over shingles of md5('{k}|' || s).
+    Hex-string min == numeric min for fixed-width lowercase hex, and
+    md5 is bit-identical in DuckDB — fully oracle-checkable."""
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("s")))).alias(f"mh{k}")
+            for k in range(NUM_MINHASH)
+        ]
+    )
+
+
+def lsh_candidates(signatures: DataFrame) -> DataFrame:
+    n_bands = NUM_MINHASH // BAND_ROWS
+    bands = signatures.select(
+        "doc_id",
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+                )
+            ).alias(f"band{b}")
+            for b in range(n_bands)
+        ],
+    )
+    per_band = []
+    for b in range(n_bands):
+        a = bands.select(F.col("doc_id").alias("doc_a"), F.col(f"band{b}").alias("bk"))
+        c = bands.select(F.col("doc_id").alias("doc_b"), F.col(f"band{b}").alias("bk"))
+        per_band.append(
+            a.join(c, "bk").where(F.col("doc_a") < F.col("doc_b")).select(
+                "doc_a", "doc_b"
+            )
+        )
+    return reduce(lambda x, y: x.unionByName(y), per_band).distinct()
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    sh = shingles(docs)
+    cand = lsh_candidates(minhash_signatures(sh))
+    sim = _pair_jaccard(sh, pairs=cand)
+    return sim.where(F.col("_j") >= threshold).select(
+        "doc_a", "doc_b", F.round(F.col("_j"), 4).alias("jaccard")
+    )
+
+
+def _minhash_sql_cols() -> str:
+    return ", ".join(
+        f"min(md5('{k}|' || s)) AS mh{k}" for k in range(NUM_MINHASH)
+    )
+
+
+def _band_sql_cols() -> str:
+    n_bands = NUM_MINHASH // BAND_ROWS
+    cols = []
+    for b in range(n_bands):
+        parts = " || '|' || ".join(
+            f"mh{b * BAND_ROWS + r}" for r in range(BAND_ROWS)
+        )
+        cols.append(f"md5({parts}) AS band{b}")
+    return ", ".join(cols)
+
+
+MINHASH_LSH_SQL = f"""
+    WITH {_SHINGLES_SQL}
+    , sig AS (SELECT doc_id, {_minhash_sql_cols()} FROM sh GROUP BY doc_id)
+    , bands AS (SELECT doc_id, {_band_sql_cols()} FROM sig)
+    , cand AS (
+        SELECT DISTINCT doc_a, doc_b FROM (
+            {" UNION ALL ".join(
+                f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+                f"FROM bands a JOIN bands b "
+                f"ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+                for b in range(NUM_MINHASH // BAND_ROWS)
+            )}))
+    , inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+        GROUP BY 1, 2)
+    SELECT i.doc_a, i.doc_b,
+           ROUND(CAST(inter AS DOUBLE) / (x.c + y.c - inter), 4) AS jaccard
+    FROM inter i JOIN sc x ON i.doc_a = x.doc_id JOIN sc y ON i.doc_b = y.doc_id
+    WHERE CAST(inter AS DOUBLE) / (x.c + y.c - inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 28. SimHash near-dup pairs (frequency-weighted, 64-bit, banded)
+# ---------------------------------------------------------------------------
+
+
+def _nibble_spark(j: int) -> str:
+    pos, shift = 1 + j // 4, 3 - (j % 4)
+    return (
+        f"(shiftright(instr('0123456789abcdef', substring(h, {pos}, 1)) - 1,"
+        f" {shift}) & 1)"
+    )
+
+
+def _nibble_duck(j: int) -> str:
+    pos, shift = 1 + j // 4, 3 - (j % 4)
+    return (
+        f"(((instr('0123456789abcdef', substr(h, {pos}, 1)) - 1) // {1 << shift}) % 2)"
+    )
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash: token md5 nibble bits, frequency-weighted
+    votes; packed into two 32-bit halves (h1=bits 0-31, h2=32-63)."""
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+    )
+    weighted = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("w"))
+    hashed = weighted.select(
+        "doc_id", "w", F.md5(F.col("t")).alias("h")
+    )
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(F.expr(f"w * (2 * {_nibble_spark(j)} - 1)")).alias(f"v{j}")
+            for j in range(64)
+        ]
+    )
+    h1 = reduce(
+        lambda acc, j: acc
+        + F.when(F.col(f"v{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0)),
+        range(32),
+        F.lit(0),
+    ).cast("long")
+    h2 = reduce(
+        lambda acc, j: acc
+        + F.when(F.col(f"v{j}") >= 0, F.lit(1 << (j - 32))).otherwise(F.lit(0)),
+        range(32, 64),
+        F.lit(0),
+    ).cast("long")
+    return votes.select("doc_id", h1.alias("h1"), h2.alias("h2"))
+
+
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING
+) -> DataFrame:
+    sig = simhash_signatures(docs)
+    banded = sig.select(
+        "doc_id",
+        "h1",
+        "h2",
+        (F.col("h1") % 65536).alias("b0"),
+        (F.col("h1") / 65536).cast("long").alias("b1"),
+        (F.col("h2") % 65536).alias("b2"),
+        (F.col("h2") / 65536).cast("long").alias("b3"),
+    )
+    pairs = []
+    for b in range(4):
+        a = banded.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("h1").alias("ah1"),
+            F.col("h2").alias("ah2"),
+            F.col(f"b{b}").alias("bk"),
+        )
+        c = banded.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("h1").alias("bh1"),
+            F.col("h2").alias("bh2"),
+            F.col(f"b{b}").alias("bk"),
+        )
+        pairs.append(
+            a.join(c, "bk")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "ah1", "ah2", "bh1", "bh2")
+        )
+    cand = reduce(lambda x, y: x.unionByName(y), pairs).distinct()
+    hamming = F.expr("bit_count(ah1 ^ bh1) + bit_count(ah2 ^ bh2)").cast("long")
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _simhash_votes_sql() -> str:
+    return ", ".join(
+        f"SUM(w * (2 * {_nibble_duck(j)} - 1)) AS v{j}" for j in range(64)
+    )
+
+
+def _simhash_half_sql(lo: int, hi: int, base: int) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN v{j} >= 0 THEN {1 << (j - base)} ELSE 0 END)"
+        for j in range(lo, hi)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+SIMHASH_SQL = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+    , weighted AS (
+        SELECT doc_id, t, COUNT(*) AS w FROM tok GROUP BY doc_id, t)
+    , hashed AS (SELECT doc_id, w, md5(t) AS h FROM weighted)
+    , votes AS (SELECT doc_id, {_simhash_votes_sql()} FROM hashed GROUP BY doc_id)
+    , sig AS (
+        SELECT doc_id,
+               {_simhash_half_sql(0, 32, 0)} AS h1,
+               {_simhash_half_sql(32, 64, 32)} AS h2
+        FROM votes)
+    , banded AS (
+        SELECT doc_id, h1, h2,
+               h1 % 65536 AS b0, h1 // 65536 AS b1,
+               h2 % 65536 AS b2, h2 // 65536 AS b3
+        FROM sig)
+    , cand AS (
+        SELECT DISTINCT doc_a, doc_b, ah1, ah2, bh1, bh2 FROM (
+            {" UNION ALL ".join(
+                f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+                f"a.h1 AS ah1, a.h2 AS ah2, b.h1 AS bh1, b.h2 AS bh2 "
+                f"FROM banded a JOIN banded b "
+                f"ON a.b{b} = b.b{b} AND a.doc_id < b.doc_id"
+                for b in range(4)
+            )}))
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ah1, bh1)) + bit_count(xor(ah2, bh2)) AS BIGINT)
+               AS hamming
+    FROM cand
+    WHERE bit_count(xor(ah1, bh1)) + bit_count(xor(ah2, bh2)) <= {SIMHASH_MAX_HAMMING}
+"""

@@ -295,3 +295,51 @@ def q_asof_order_event(spark, sf_dir):
         build_seq="seq",
         build_payload=["seq", "value"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis + dedup (SURVEY §2 #21-28)
+# ---------------------------------------------------------------------------
+
+from .operators import dedup as _dedup  # noqa: E402
+from .operators import text as _text  # noqa: E402
+
+
+@query("text_token_stats", oracle=_text.TEXT_ORACLES["text_token_stats"])
+def q_text_token_stats(spark, sf_dir):
+    return _text.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query("text_quality_score", oracle=_text.TEXT_ORACLES["text_quality_score"])
+def q_text_quality_score(spark, sf_dir):
+    return _text.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@query("text_lang_id", oracle=_text.TEXT_ORACLES["text_lang_id"])
+def q_text_lang_id(spark, sf_dir):
+    return _text.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@query("text_fingerprint", oracle=_text.TEXT_ORACLES["text_fingerprint"])
+def q_text_fingerprint(spark, sf_dir):
+    return _text.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@query("dedup_exact", oracle=_dedup.DEDUP_EXACT_SQL)
+def q_dedup_exact(spark, sf_dir):
+    return _dedup.dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+@query("dedup_ngram_jaccard", oracle=_dedup.NGRAM_JACCARD_SQL)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return _dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@query("dedup_minhash_lsh", oracle=_dedup.MINHASH_LSH_SQL)
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return _dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@query("dedup_simhash", oracle=_dedup.SIMHASH_SQL)
+def q_dedup_simhash(spark, sf_dir):
+    return _dedup.simhash_pairs(load_table(spark, sf_dir, "documents"))

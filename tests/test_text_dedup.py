@@ -1,0 +1,54 @@
+"""Text analysis + dedup: oracle parity and algorithmic invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aurora_cdc_demo_spark.registry import QUERIES
+from aurora_cdc_demo_spark.tables import load_table
+
+from .helpers import assert_matches_oracle
+
+TEXT_DEDUP_QUERIES = [
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+]
+
+
+@pytest.mark.parametrize("name", TEXT_DEDUP_QUERIES)
+def test_oracle_parity(spark, sf_dir, name):
+    assert_matches_oracle(spark, name, sf_dir)
+
+
+def test_lsh_pairs_subset_of_exact(spark, sf_dir):
+    """LSH output (candidates ∩ verified) can only miss pairs, never
+    invent them: it must be a subset of the exact-Jaccard pairs."""
+    exact = QUERIES["dedup_ngram_jaccard"](spark, sf_dir)
+    lsh = QUERIES["dedup_minhash_lsh"](spark, sf_dir)
+    assert lsh.exceptAll(exact).count() == 0
+
+
+def test_jaccard_bounds(spark, sf_dir):
+    exact = QUERIES["dedup_ngram_jaccard"](spark, sf_dir)
+    bad = exact.where((F.col("jaccard") < 0) | (F.col("jaccard") > 1)).count()
+    assert bad == 0
+
+
+def test_token_stats_cover_all_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    stats = QUERIES["text_token_stats"](spark, sf_dir)
+    assert stats.count() == docs.count()
+    assert stats.where(F.col("n_tokens") <= 0).count() == 0
+
+
+def test_simhash_pairs_symmetric_free(spark, sf_dir):
+    """doc_a < doc_b convention: no self or inverted duplicates."""
+    pairs = QUERIES["dedup_simhash"](spark, sf_dir)
+    assert pairs.where(F.col("doc_a") >= F.col("doc_b")).count() == 0
