@@ -343,3 +343,36 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 @query("dedup_simhash", oracle=_dedup.SIMHASH_SQL)
 def q_dedup_simhash(spark, sf_dir):
     return _dedup.simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity + multimodal (SURVEY §2 #29-33)
+# ---------------------------------------------------------------------------
+
+from .operators import multimodal as _mm  # noqa: E402
+from .operators import similarity as _sim  # noqa: E402
+
+
+@query("embed_cosine_topk", oracle=_sim.topk_sql("duck"))
+def q_embed_cosine_topk(spark, sf_dir):
+    return _sim.cosine_topk(spark, sf_dir)
+
+
+@query("embed_near_dup", oracle=_sim.near_dup_sql("duck"))
+def q_embed_near_dup(spark, sf_dir):
+    return _sim.near_dup(spark, sf_dir)
+
+
+@query("embed_centroids", oracle=_sim.centroids_sql("duck"))
+def q_embed_centroids(spark, sf_dir):
+    return _sim.centroids(spark, sf_dir)
+
+
+@query("ann_ivf_topk", oracle=_sim.ivf_topk_sql("duck"))
+def q_ann_ivf_topk(spark, sf_dir):
+    return _sim.ivf_topk(spark, sf_dir)
+
+
+@query("mm_binary_meta", oracle=_mm.MM_BINARY_META_SQL)
+def q_mm_binary_meta(spark, sf_dir):
+    return _mm.binary_meta(load_table(spark, sf_dir, "documents"))

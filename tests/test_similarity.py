@@ -1,0 +1,60 @@
+"""Embedding similarity + multimodal: oracle parity + invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aurora_cdc_demo_spark.registry import QUERIES
+
+from .helpers import assert_matches_oracle
+
+SIM_QUERIES = [
+    "embed_cosine_topk",
+    "embed_near_dup",
+    "embed_centroids",
+    "ann_ivf_topk",
+    "mm_binary_meta",
+]
+
+
+@pytest.mark.parametrize("name", SIM_QUERIES)
+def test_oracle_parity(spark, sf_dir, name):
+    assert_matches_oracle(spark, name, sf_dir)
+
+
+def test_topk_exactly_k_per_query(spark, sf_dir):
+    topk = QUERIES["embed_cosine_topk"](spark, sf_dir)
+    counts = topk.groupBy("query_id").count().collect()
+    assert all(r["count"] == 5 for r in counts)
+    assert len(counts) == 10
+
+
+def test_topk_cosine_in_bounds(spark, sf_dir):
+    topk = QUERIES["embed_cosine_topk"](spark, sf_dir)
+    assert (
+        topk.where((F.col("cosine") < -1.000001) | (F.col("cosine") > 1.000001)).count()
+        == 0
+    )
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """IVF probes one cell, so it can miss neighbors, but whatever it
+    returns must be real corpus vectors ranked consistently: every
+    IVF rank-1 neighbor must appear in the brute-force top-k OR have
+    a lower cosine than the brute-force rank-k."""
+    brute = QUERIES["embed_cosine_topk"](spark, sf_dir).toPandas()
+    ivf = QUERIES["ann_ivf_topk"](spark, sf_dir).toPandas()
+    kth = brute.groupby("query_id")["cosine"].min().to_dict()
+    for _, row in ivf.iterrows():
+        in_brute = (
+            (brute["query_id"] == row["query_id"])
+            & (brute["neighbor_id"] == row["neighbor_id"])
+        ).any()
+        assert in_brute or row["cosine"] <= kth[row["query_id"]] + 1e-9
+
+
+def test_mm_binary_meta_deterministic(spark, sf_dir):
+    a = QUERIES["mm_binary_meta"](spark, sf_dir).toPandas().sort_values("doc_id")
+    b = QUERIES["mm_binary_meta"](spark, sf_dir).toPandas().sort_values("doc_id")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
