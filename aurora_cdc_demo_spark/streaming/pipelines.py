@@ -1,0 +1,100 @@
+"""Structured Streaming pipelines — the reference's streaming surface
+(reference: src/notebooks/demo/cdc_500_tables_streaming.py:117-354)
+re-expressed Spark-first:
+
+- readStream → watermark → windowed aggregation (monitoring feed)
+- foreachBatch incremental upsert maintaining a latest-state table
+
+The batch queries in queries/monitoring.py share the same aggregation
+logic; Structured Streaming's contract is exactly that batch/stream
+plans coincide.
+
+Where the reference loops tables on the driver and MERGEs per table
+(reference: lines 151-217 — collect + ThreadPoolExecutor), we apply
+ONE declarative merge over all keys per micro-batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.cdc_apply import net_changes, upsert_merge
+
+
+def read_cdc_stream(spark: SparkSession, log_dir: str) -> DataFrame:
+    """File-based change stream (parquet events dir) → typed CDC
+    log with a 30-min watermark (reference: line 134)."""
+    from ..tables import load_table  # schema template
+
+    schema = (
+        "key_id long, seq long, operation string, event_type string, "
+        "ts timestamp, value double"
+    )
+    return (
+        spark.readStream.schema(schema)
+        .parquet(log_dir)
+        .withWatermark("ts", "30 minutes")
+    )
+
+
+def windowed_event_counts(stream: DataFrame) -> DataFrame:
+    """Streaming twin of monitoring.event_counts_windowed (reference
+    monitoring query #1): tumbling 1-h window per operation."""
+    return (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "operation")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("error_count"),
+            F.max("ts").alias("last_event_time"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "operation",
+            "event_count",
+            "error_count",
+            "last_event_time",
+            "sum_value",
+        )
+    )
+
+
+class ParquetStateStore:
+    """foreachBatch sink maintaining a latest-state parquet table via
+    the upsert_merge operator (MERGE INTO analog without Delta;
+    reference: unity_catalog_cdc_demo.py:392-446)."""
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.spark = spark
+        self.state_dir = state_dir
+
+    def _read_state(self) -> DataFrame | None:
+        try:
+            return self.spark.read.parquet(self.state_dir)
+        except Exception:  # noqa: BLE001 — first batch: no state yet
+            return None
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        net = net_changes(batch_df)
+        state = self._read_state()
+        if state is None:
+            merged = net.where(F.col("operation") != "DELETE")
+        else:
+            merged = upsert_merge(state, net)
+        # overwrite via temp dir staging is unnecessary in tests;
+        # cache to cut the lineage before overwriting the input path
+        out = merged.cache()
+        out.count()
+        out.write.mode("overwrite").parquet(self.state_dir)
+        out.unpersist()
+
+    def start(self, stream: DataFrame, checkpoint_dir: str):
+        return (
+            stream.writeStream.foreachBatch(self.apply_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )

@@ -1,0 +1,99 @@
+"""Custom stateful streaming operator: gap-based sessionization with
+applyInPandasWithState — the streaming twin of
+operators/cdc_apply.sessionize.
+
+State per key: the open session (start, end, n_events, sum_value).
+A micro-batch closes a session when it sees a gap > 30 min; closed
+sessions are emitted (append mode), the trailing open session stays
+in state for the next batch. This is the Arrow-batched, idiomatic
+replacement for the reference's driver-side per-table loops.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+GAP_US = 30 * 60 * 1_000_000
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+
+def _sessionize_group(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (key_id,) = key
+    if state.exists:
+        start_us, end_us, n_events, sum_value = state.get
+    else:
+        start_us, end_us, n_events, sum_value = None, None, 0, 0.0
+
+    closed: list[tuple] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "seq"])
+        ts_us = pdf["ts"].astype("int64")  # ns -> but pandas ts is ns
+        ts_us = (ts_us // 1000).tolist()
+        vals = pdf["value"].tolist()
+        for t, v in zip(ts_us, vals):
+            if start_us is None:
+                start_us, end_us, n_events, sum_value = t, t, 1, v
+            elif t - end_us > GAP_US:
+                closed.append((key_id, start_us, end_us, n_events, sum_value))
+                start_us, end_us, n_events, sum_value = t, t, 1, v
+            else:
+                end_us, n_events, sum_value = t, n_events + 1, sum_value + v
+
+    state.update((start_us, end_us, n_events, float(sum_value)))
+    if closed:
+        out = pd.DataFrame(
+            closed,
+            columns=["key_id", "start_us", "end_us", "n_events", "sum_value"],
+        )
+        yield pd.DataFrame(
+            {
+                "key_id": out["key_id"].astype("int64"),
+                "session_start": pd.to_datetime(out["start_us"], unit="us"),
+                "session_end": pd.to_datetime(out["end_us"], unit="us"),
+                "n_events": out["n_events"].astype("int64"),
+                "sum_value": out["sum_value"].astype("float64"),
+            }
+        )
+
+
+def sessionize_stream(stream: DataFrame) -> DataFrame:
+    """stream: typed CDC log (key_id, seq, operation, event_type,
+    ts, value) → closed sessions, append mode."""
+    return stream.groupBy("key_id").applyInPandasWithState(
+        _sessionize_group,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
