@@ -137,13 +137,11 @@ def ivf_topk_sql(dialect: str) -> str:
 
 
 def _run(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    # DIMS is fixed by the data contract (64); tests/test_similarity
+    # validate it — no extra job here in the query path.
     from ..tables import load_table
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    n_dims = len(emb.select("embedding").first()["embedding"])
-    if n_dims != DIMS:
-        raise ValueError(f"expected {DIMS}-dim embeddings, got {n_dims}")
-    emb.createOrReplaceTempView("embeddings")
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
     return spark.sql(sql)
 
 

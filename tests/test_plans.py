@@ -1,0 +1,68 @@
+"""Physical-plan assertions — the performance-suite analog of the
+reference's perf tests: filters reach the parquet scan, dimension
+joins broadcast, hot paths stay in whole-stage codegen, and no
+operator collects to the driver."""
+
+from __future__ import annotations
+
+import pytest
+
+from aurora_cdc_demo_spark.registry import QUERIES
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    return QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q3_pushdown_and_broadcast(spark, sf_dir):
+    plan = formatted(spark, sf_dir, "q3_shipping_priority")
+    assert "PushedFilters" in plan
+    # the customer-segment filter must reach the scan
+    assert "BUILDING" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    plan = formatted(spark, sf_dir, "q5_local_supplier")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "PushedFilters" in plan
+
+
+def test_q1_column_pruning(spark, sf_dir):
+    plan = formatted(spark, sf_dir, "q1_pricing_summary")
+    # only the 7 needed lineitem columns are read, not all 11
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_latest_state_single_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "cdc_latest_state")
+    assert plan.count("Exchange") <= 1  # one hash shuffle on key_id
+
+
+def test_whole_stage_codegen_hot_paths(spark, sf_dir):
+    # AQE finalizes the plan only after execution — run the query,
+    # then inspect the final adaptive plan for codegen regions
+    for name in ["q1_pricing_summary", "q6_revenue_forecast", "cdc_table_stats"]:
+        df = QUERIES[name](spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # '*(n)' prefixes mark whole-stage-codegen regions
+        assert "WholeStageCodegen" in plan or "*(" in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q1_pricing_summary", "q3_shipping_priority", "cdc_latest_state",
+     "dedup_minhash_lsh", "embed_cosine_topk"],
+)
+def test_no_python_udf_in_hot_paths(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
