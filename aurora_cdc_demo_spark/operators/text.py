@@ -185,3 +185,64 @@ TEXT_ORACLES: dict[str, str] = {
         FROM documents
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# regex tokenization (BPE-ish pre-tokenizer) + rolling-hash fingerprint
+# ---------------------------------------------------------------------------
+
+ROLLING_MOD = 1_000_000_007
+ROLLING_BASE = 31
+
+_ROLLING_SPARK = (
+    "aggregate(transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT)), "
+    f"CAST(0 AS BIGINT), (acc, x) -> (acc * {ROLLING_BASE} + x) % {ROLLING_MOD})"
+)
+
+
+def regex_tokens(docs: DataFrame) -> DataFrame:
+    """Token counting with a BPE-ish regex pre-tokenizer (word runs
+    vs punctuation runs) alongside the whitespace count."""
+    return docs.select(
+        "doc_id",
+        F.size(_tokens()).cast("long").alias("n_ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(r"\w+")).cast("long").alias(
+            "n_word_runs"
+        ),
+        F.regexp_count(F.col("text"), F.lit(r"[a-z]")).cast("long").alias(
+            "n_alpha_chars"
+        ),
+    )
+
+
+def rolling_hash(docs: DataFrame) -> DataFrame:
+    """Order-sensitive polynomial rolling-hash fingerprint
+    (base-31 fold over character codes mod 1e9+7) — unlike md5 it is
+    incrementally maintainable over appends; bit-equal on both
+    engines (pure integer fold)."""
+    return docs.select(
+        "doc_id",
+        F.expr(_ROLLING_SPARK).alias("rolling_hash"),
+        F.length("text").cast("long").alias("n_chars_calc"),
+    )
+
+
+TEXT_ORACLES["text_regex_tokens"] = r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_word_runs,
+           CAST(len(regexp_extract_all(text, '[a-z]')) AS BIGINT) AS n_alpha_chars
+    FROM documents
+"""
+
+TEXT_ORACLES["text_rolling_hash"] = f"""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(regexp_extract_all(text, '.'),
+                                  c -> CAST(ascii(c) AS BIGINT))),
+               (acc, x) -> (acc * {ROLLING_BASE} + x) % {ROLLING_MOD})
+               AS rolling_hash,
+           length(text) AS n_chars_calc
+    FROM documents
+"""

@@ -376,3 +376,50 @@ def q_ann_ivf_topk(spark, sf_dir):
 @query("mm_binary_meta", oracle=_mm.MM_BINARY_META_SQL)
 def q_mm_binary_meta(spark, sf_dir):
     return _mm.binary_meta(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Time travel + extended text ops (SURVEY §2 #34-36)
+# ---------------------------------------------------------------------------
+
+TIME_TRAVEL_AS_OF = "2024-01-16 00:00:00"
+
+
+@query(
+    "cdc_state_at_timestamp",
+    oracle=_with_log(
+        f"""
+        , scd2 AS (
+            SELECT key_id, seq, operation, event_type, value,
+                   ts AS valid_from,
+                   lead(ts) OVER w AS valid_to
+            FROM log WINDOW w AS (PARTITION BY key_id ORDER BY ts ASC, seq ASC))
+        SELECT key_id, seq, operation, event_type, value, valid_from
+        FROM scd2
+        WHERE valid_from <= TIMESTAMP '{TIME_TRAVEL_AS_OF}'
+          AND (valid_to IS NULL OR valid_to > TIMESTAMP '{TIME_TRAVEL_AS_OF}')
+          AND operation <> 'DELETE'
+        """
+    ),
+)
+def q_cdc_state_at_timestamp(spark, sf_dir):
+    """Time-travel: table state as of a timestamp via SCD2 interval
+    lookup — the query surface the reference gets from Delta time
+    travel (reference: unity_catalog_cdc_demo.py:573-603)."""
+    as_of = F.to_timestamp(F.lit(TIME_TRAVEL_AS_OF))
+    scd2 = cdc_apply.scd2_history(cdc_operation_log(spark, sf_dir))
+    return scd2.where(
+        (F.col("valid_from") <= as_of)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > as_of))
+        & (F.col("operation") != "DELETE")
+    ).select("key_id", "seq", "operation", "event_type", "value", "valid_from")
+
+
+@query("text_regex_tokens", oracle=_text.TEXT_ORACLES["text_regex_tokens"])
+def q_text_regex_tokens(spark, sf_dir):
+    return _text.regex_tokens(load_table(spark, sf_dir, "documents"))
+
+
+@query("text_rolling_hash", oracle=_text.TEXT_ORACLES["text_rolling_hash"])
+def q_text_rolling_hash(spark, sf_dir):
+    return _text.rolling_hash(load_table(spark, sf_dir, "documents"))

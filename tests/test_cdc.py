@@ -24,6 +24,7 @@ CDC_QUERIES = [
     "cdc_error_monitor",
     "cdc_sessionize",
     "cdc_priority_schedule",
+    "cdc_state_at_timestamp",
 ]
 
 

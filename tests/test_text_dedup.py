@@ -15,6 +15,8 @@ TEXT_DEDUP_QUERIES = [
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",
+    "text_regex_tokens",
+    "text_rolling_hash",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
