@@ -423,3 +423,57 @@ def q_text_regex_tokens(spark, sf_dir):
 @query("text_rolling_hash", oracle=_text.TEXT_ORACLES["text_rolling_hash"])
 def q_text_rolling_hash(spark, sf_dir):
     return _text.rolling_hash(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# DataSource round-trip with schema-on-read flattening (SURVEY §2 #37)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cdc_replay_typed",
+    oracle="""
+        SELECT user_id AS key_id,
+               event_id AS seq,
+               CASE WHEN event_type = 'signup' THEN 'INSERT'
+                    WHEN event_type = 'error' THEN 'DELETE'
+                    ELSE 'UPDATE' END AS operation,
+               CASE WHEN event_type = 'error' THEN NULL
+                    ELSE event_type END AS event_type,
+               ts,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
+        FROM events
+    """,
+)
+def q_cdc_replay_typed(spark, sf_dir):
+    """End-to-end DataSource V2 round trip, oracle-checked: events →
+    binlog files → cdc_replay batch read → schema-on-read flatten of
+    the `after` map back to typed columns (the reference's
+    flatten_json_df, reference: cdc_500_tables_streaming.py:297-314).
+    DELETE events carry no after-image, so their payload columns are
+    NULL — exactly what the oracle derives from the raw table."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .sources.cdc_datasource import (
+        CDCReplayDataSource,
+        write_binlog_from_events,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"cdc_binlog_{tag}")
+    marker = os.path.join(out, "_BINLOG_DONE")
+    if not os.path.exists(marker):
+        write_binlog_from_events(f"{sf_dir}/events.parquet", out)
+        open(marker, "w").close()
+    spark.dataSource.register(CDCReplayDataSource)
+    raw = spark.read.format("cdc_replay").option("path", out).load()
+    return raw.select(
+        F.col("primary_keys")["key_id"].cast("long").alias("key_id"),
+        "seq",
+        "operation",
+        F.col("after")["event_type"].alias("event_type"),
+        "ts",
+        F.col("after")["value"].cast("double").alias("value"),
+    )
