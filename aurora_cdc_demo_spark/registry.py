@@ -454,7 +454,6 @@ def q_cdc_replay_typed(spark, sf_dir):
     NULL — exactly what the oracle derives from the raw table."""
     import hashlib
     import os
-    import tempfile
 
     from .sources.cdc_datasource import (
         CDCReplayDataSource,
@@ -462,7 +461,8 @@ def q_cdc_replay_typed(spark, sf_dir):
     )
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    out = os.path.join(tempfile.gettempdir(), f"cdc_binlog_{tag}")
+    cache_root = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".cache")
+    out = os.path.join(cache_root, f"cdc_binlog_{tag}")
     marker = os.path.join(out, "_BINLOG_DONE")
     if not os.path.exists(marker):
         write_binlog_from_events(f"{sf_dir}/events.parquet", out)
@@ -477,3 +477,21 @@ def q_cdc_replay_typed(spark, sf_dir):
         "ts",
         F.col("after")["value"].cast("double").alias("value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Scale patterns: salted skew agg + per-key trend (SURVEY §2 #38-39)
+# ---------------------------------------------------------------------------
+
+from .operators import skew as _skew  # noqa: E402
+from .operators import trend as _trend  # noqa: E402
+
+
+@query("skew_salted_agg", oracle=_skew.SALTED_AGG_SQL)
+def q_skew_salted_agg(spark, sf_dir):
+    return _skew.salted_agg(cdc_operation_log(spark, sf_dir))
+
+
+@query("user_value_trend", oracle=_trend.TREND_SQL_ORACLE)
+def q_user_value_trend(spark, sf_dir):
+    return _trend.trend_sql(cdc_operation_log(spark, sf_dir))
