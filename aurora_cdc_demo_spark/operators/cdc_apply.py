@@ -145,7 +145,8 @@ def sessionize(
         F.count(F.lit(1)).alias("n_events"),
         F.min(ts).alias("session_start"),
         F.max(ts).alias("session_end"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.round(F.sum(F.col("value").cast("decimal(12,2)")).cast("double"), 4)
+        .alias("sum_value"),
     )
 
 

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 NGRAM_N = 3
 NUM_MINHASH = 12
 BAND_ROWS = 4  # -> 3 bands
-JACCARD_THRESHOLD = 0.5
+JACCARD_THRESHOLD_BP = 5000  # jaccard >= 0.5, expressed in basis points
 SIMHASH_MAX_HAMMING = 3  # 4 bands of 16 bits: exact for hamming <= 3
 
 
@@ -87,16 +87,18 @@ def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
         inter = inter.join(pairs, ["doc_a", "doc_b"])
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("c").alias("ca"))
     cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("c").alias("cb"))
+    # keep exact integers: |intersection| and |union| — callers
+    # threshold and scale with integer arithmetic (cross-engine safe;
+    # double round() flips at the half-boundaries these low-entropy
+    # rationals land on)
     return (
         inter.join(ca, "doc_a")
         .join(cb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            (
-                F.col("inter").cast("double")
-                / (F.col("ca") + F.col("cb") - F.col("inter"))
-            ).alias("_j"),
+            F.col("inter").cast("long").alias("inter"),
+            (F.col("ca") + F.col("cb") - F.col("inter")).cast("long").alias("uni"),
         )
     )
 
@@ -138,11 +140,15 @@ DEDUP_EXACT_SQL = r"""
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+    docs: DataFrame, threshold_bp: int = JACCARD_THRESHOLD_BP
 ) -> DataFrame:
     sim = _pair_jaccard(shingles(docs))
-    return sim.where(F.col("_j") >= threshold).select(
-        "doc_a", "doc_b", F.round(F.col("_j"), 4).alias("jaccard")
+    return sim.where(
+        F.lit(10000) * F.col("inter") >= F.lit(threshold_bp) * F.col("uni")
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.expr("(10000 * inter) div uni").alias("jaccard_bp"),
     )
 
 
@@ -153,9 +159,10 @@ NGRAM_JACCARD_SQL = f"""
         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY 1, 2)
     SELECT doc_a, doc_b,
-           ROUND(CAST(inter AS DOUBLE) / (x.c + y.c - inter), 4) AS jaccard
+           (10000 * CAST(inter AS BIGINT)) // CAST(x.c + y.c - inter AS BIGINT)
+               AS jaccard_bp
     FROM pairs p JOIN sc x ON p.doc_a = x.doc_id JOIN sc y ON p.doc_b = y.doc_id
-    WHERE CAST(inter AS DOUBLE) / (x.c + y.c - inter) >= {JACCARD_THRESHOLD}
+    WHERE 10000 * inter >= {JACCARD_THRESHOLD_BP} * (x.c + y.c - inter)
 """
 
 
@@ -207,13 +214,17 @@ def lsh_candidates(signatures: DataFrame) -> DataFrame:
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+    docs: DataFrame, threshold_bp: int = JACCARD_THRESHOLD_BP
 ) -> DataFrame:
     sh = shingles(docs)
     cand = lsh_candidates(minhash_signatures(sh))
     sim = _pair_jaccard(sh, pairs=cand)
-    return sim.where(F.col("_j") >= threshold).select(
-        "doc_a", "doc_b", F.round(F.col("_j"), 4).alias("jaccard")
+    return sim.where(
+        F.lit(10000) * F.col("inter") >= F.lit(threshold_bp) * F.col("uni")
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.expr("(10000 * inter) div uni").alias("jaccard_bp"),
     )
 
 
@@ -253,9 +264,10 @@ MINHASH_LSH_SQL = f"""
         JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
         GROUP BY 1, 2)
     SELECT i.doc_a, i.doc_b,
-           ROUND(CAST(inter AS DOUBLE) / (x.c + y.c - inter), 4) AS jaccard
+           (10000 * CAST(inter AS BIGINT)) // CAST(x.c + y.c - inter AS BIGINT)
+               AS jaccard_bp
     FROM inter i JOIN sc x ON i.doc_a = x.doc_id JOIN sc y ON i.doc_b = y.doc_id
-    WHERE CAST(inter AS DOUBLE) / (x.c + y.c - inter) >= {JACCARD_THRESHOLD}
+    WHERE 10000 * inter >= {JACCARD_THRESHOLD_BP} * (x.c + y.c - inter)
 """
 
 

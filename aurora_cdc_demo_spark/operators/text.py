@@ -45,31 +45,44 @@ def token_stats(docs: DataFrame) -> DataFrame:
         n_tok.alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
         n_chars.alias("n_chars_calc"),
-        # single-space tokenization: token chars = chars - (n-1) separators
-        F.round((n_chars - (n_tok - 1)).cast("double") / n_tok, 4).alias(
-            "avg_token_len"
-        ),
+        # single-space tokenization: token chars = chars - (n-1)
+        # separators; centi-scaled integer floor division is exact on
+        # both engines (double round() disagrees at half-boundaries,
+        # which these low-entropy rationals hit in practice)
+        F.expr("(100 * (length(text) - (size(split(text, ' ')) - 1))) div size(split(text, ' '))")
+        .cast("long")
+        .alias("avg_token_len_centi"),
     )
 
 
 def quality_score(docs: DataFrame) -> DataFrame:
+    """Ratios and the composite quality are emitted as floor-scaled
+    basis points (integer-exact cross-engine; see token_stats note).
+
+    quality_bp = floor(10000 * (0.3*uniq/n + 0.3*(1-stop/n)
+                                + 0.4*min(n,100)/100))
+               = floor((300000*uniq + 300000*(n-stop)
+                        + 4000*n*min(n,100)) / (100*n))
+    """
     toks = _tokens()
     n_tok = F.size(toks).cast("long")
-    n_stop = F.size(F.filter(toks, _in_list(STOPWORDS))).cast("long")
-    n_uniq = F.size(F.array_distinct(toks)).cast("long")
-    stop_ratio = n_stop.cast("double") / n_tok
-    uniq_ratio = n_uniq.cast("double") / n_tok
-    len_score = F.least(n_tok, F.lit(100)).cast("double") / F.lit(100.0)
-    quality = F.lit(0.3) * uniq_ratio + F.lit(0.3) * (F.lit(1.0) - stop_ratio) + (
-        F.lit(0.4) * len_score
+    # integer floor division (`div`) end to end — no doubles anywhere
+    n = "CAST(size(split(text, ' ')) AS BIGINT)"
+    stop = (
+        "CAST(size(filter(split(text, ' '), "
+        "x -> array_contains(array('the','a','of','and'), x))) AS BIGINT)"
     )
+    uniq = "CAST(size(array_distinct(split(text, ' '))) AS BIGINT)"
     return docs.select(
         "doc_id",
         n_tok.alias("n_tokens"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(uniq_ratio, 4).alias("unique_ratio"),
-        F.round(len_score, 4).alias("length_score"),
-        F.round(quality, 4).alias("quality"),
+        F.expr(f"(10000 * {stop}) div {n}").alias("stopword_bp"),
+        F.expr(f"(10000 * {uniq}) div {n}").alias("unique_bp"),
+        F.expr(f"100 * least({n}, 100)").alias("length_bp"),
+        F.expr(
+            f"(300000 * {uniq} + 300000 * ({n} - {stop})"
+            f" + 4000 * {n} * least({n}, 100)) div (100 * {n})"
+        ).alias("quality_bp"),
     )
 
 
@@ -113,29 +126,25 @@ TEXT_ORACLES: dict[str, str] = {
                len(string_split(text, ' ')) AS n_tokens,
                len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
                length(text) AS n_chars_calc,
-               ROUND(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
-                     / len(string_split(text, ' ')), 4) AS avg_token_len
+               (100 * (length(text) - (len(string_split(text, ' ')) - 1)))
+                   // len(string_split(text, ' ')) AS avg_token_len_centi
         FROM documents
     """,
     "text_quality_score": """
         WITH t AS (
             SELECT doc_id,
-                   string_split(text, ' ') AS toks,
-                   len(string_split(text, ' ')) AS n_tok
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        x -> x IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS stop,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS uniq
             FROM documents)
         SELECT doc_id,
-               n_tok AS n_tokens,
-               ROUND(CAST(len(list_filter(toks,
-                    x -> x IN ('the', 'a', 'of', 'and'))) AS DOUBLE) / n_tok, 4)
-                   AS stopword_ratio,
-               ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / n_tok, 4)
-                   AS unique_ratio,
-               ROUND(CAST(LEAST(n_tok, 100) AS DOUBLE) / 100.0, 4) AS length_score,
-               ROUND(0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / n_tok)
-                     + 0.3 * (1.0 - CAST(len(list_filter(toks,
-                          x -> x IN ('the', 'a', 'of', 'and'))) AS DOUBLE) / n_tok)
-                     + 0.4 * (CAST(LEAST(n_tok, 100) AS DOUBLE) / 100.0), 4)
-                   AS quality
+               n AS n_tokens,
+               (10000 * stop) // n AS stopword_bp,
+               (10000 * uniq) // n AS unique_bp,
+               100 * LEAST(n, 100) AS length_bp,
+               (300000 * uniq + 300000 * (n - stop)
+                + 4000 * n * LEAST(n, 100)) // (100 * n) AS quality_bp
         FROM t
     """,
     "text_lang_id": r"""

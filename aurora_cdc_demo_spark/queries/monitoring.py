@@ -30,7 +30,8 @@ def event_counts_windowed(log: DataFrame) -> DataFrame:
             .cast("long")
             .alias("error_count"),
             F.max("ts").alias("last_event_time"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")).cast("double"), 4)
+            .alias("sum_value"),
         )
     )
 
@@ -38,12 +39,24 @@ def event_counts_windowed(log: DataFrame) -> DataFrame:
 def table_stats(log: DataFrame) -> DataFrame:
     """Per-operation totals, distinct keys, first/last event
     (reference monitoring query #2, lines 395-410)."""
-    return log.groupBy("operation").agg(
+    agg = log.groupBy("operation").agg(
         F.count(F.lit(1)).alias("total_events"),
         F.countDistinct("key_id").alias("unique_keys"),
         F.min("ts").alias("first_event"),
         F.max("ts").alias("last_event"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        # exact cents so the average can be an integer floor division
+        # (cross-engine deterministic; double round() is not)
+        (F.sum(F.col("value").cast("decimal(12,2)")) * 100)
+        .cast("long")
+        .alias("_cents"),
+    )
+    return agg.select(
+        "operation",
+        "total_events",
+        "unique_keys",
+        "first_event",
+        "last_event",
+        F.expr("(10 * _cents) div total_events").alias("avg_value_milli"),
     )
 
 

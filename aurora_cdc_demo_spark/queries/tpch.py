@@ -65,7 +65,6 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
-    cnt = F.col("count_order")
     return agg.select(
         "l_returnflag",
         "l_linestatus",
@@ -73,8 +72,22 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_sum_base").cast("double").alias("sum_base_price"),
         F.col("_sum_disc").cast("double").alias("sum_disc_price"),
         F.col("_sum_charge").cast("double").alias("sum_charge"),
-        F.round(F.col("_sum_qty").cast("double") / cnt, 4).alias("avg_qty"),
-        F.round(F.col("_sum_base").cast("double") / cnt, 4).alias("avg_price"),
+        # exact centi-averages via integer floor division (double
+        # round() flips at half-boundaries cross-engine)
+        (F.col("_sum_qty") * 100)
+        .cast("long")
+        .alias("_qty_cents"),
+        (F.col("_sum_base") * 100).cast("long").alias("_base_cents"),
+        "count_order",
+    ).selectExpr(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        "_qty_cents div count_order AS avg_qty_centi",
+        "_base_cents div count_order AS avg_price_centi",
         "count_order",
     )
 
@@ -244,9 +257,13 @@ def promo_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ship_month",
         F.col("_promo").cast("double").alias("promo_revenue"),
         F.col("_total").cast("double").alias("total_revenue"),
-        F.round(
-            F.lit(100.0) * F.col("_promo").cast("double")
-            / F.col("_total").cast("double"),
-            4,
-        ).alias("promo_share_pct"),
+        # share in basis points via exact integer arithmetic on
+        # ten-thousandths (the decimals have scale 4)
+        (F.col("_promo") * 10000).cast("long").alias("_p"),
+        (F.col("_total") * 10000).cast("long").alias("_t"),
+    ).selectExpr(
+        "ship_month",
+        "promo_revenue",
+        "total_revenue",
+        "(10000 * _p) div _t AS promo_share_bp",
     )

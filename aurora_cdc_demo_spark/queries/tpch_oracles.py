@@ -27,8 +27,8 @@ TPCH_ORACLES: dict[str, str] = {
             CAST(sb AS DOUBLE) AS sum_base_price,
             CAST(sd AS DOUBLE) AS sum_disc_price,
             CAST(sc AS DOUBLE) AS sum_charge,
-            ROUND(CAST(sq AS DOUBLE) / count_order, 4) AS avg_qty,
-            ROUND(CAST(sb AS DOUBLE) / count_order, 4) AS avg_price,
+            CAST(sq * 100 AS BIGINT) // count_order AS avg_qty_centi,
+            CAST(sb * 100 AS BIGINT) // count_order AS avg_price_centi,
             count_order
         FROM agg
     """,
@@ -128,8 +128,8 @@ TPCH_ORACLES: dict[str, str] = {
         SELECT ship_month,
                CAST(promo AS DOUBLE) AS promo_revenue,
                CAST(total AS DOUBLE) AS total_revenue,
-               ROUND(100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE), 4)
-                   AS promo_share_pct
+               (10000 * CAST(promo * 10000 AS BIGINT))
+                   // CAST(total * 10000 AS BIGINT) AS promo_share_bp
         FROM m
     """,
     "asof_order_event": """

@@ -149,7 +149,7 @@ def q_cdc_dedup_exactly_once(spark, sf_dir):
                CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
                    AS error_count,
                MAX(ts) AS last_event_time,
-               ROUND(SUM(value), 4) AS sum_value
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 4) AS sum_value
         FROM log GROUP BY 1, 2
         """
     ),
@@ -167,7 +167,8 @@ def q_cdc_event_counts_windowed(spark, sf_dir):
                COUNT(DISTINCT key_id) AS unique_keys,
                MIN(ts) AS first_event,
                MAX(ts) AS last_event,
-               ROUND(AVG(value), 4) AS avg_value
+               (10 * CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT))
+                   // COUNT(*) AS avg_value_milli
         FROM log GROUP BY operation
         """
     ),
@@ -212,7 +213,7 @@ def q_cdc_error_monitor(spark, sf_dir):
                COUNT(*) AS n_events,
                MIN(ts) AS session_start,
                MAX(ts) AS session_end,
-               ROUND(SUM(value), 4) AS sum_value
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 4) AS sum_value
         FROM sess GROUP BY key_id, session_id
         """
     ),

@@ -39,7 +39,9 @@ def test_lsh_pairs_subset_of_exact(spark, sf_dir):
 
 def test_jaccard_bounds(spark, sf_dir):
     exact = QUERIES["dedup_ngram_jaccard"](spark, sf_dir)
-    bad = exact.where((F.col("jaccard") < 0) | (F.col("jaccard") > 1)).count()
+    bad = exact.where(
+        (F.col("jaccard_bp") < 0) | (F.col("jaccard_bp") > 10000)
+    ).count()
     assert bad == 0
 
 
