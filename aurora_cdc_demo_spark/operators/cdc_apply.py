@@ -25,8 +25,12 @@ PRIORITY_ANCHOR = "2024-01-31 00:00:00"
 MERGE_SPLIT = "2024-01-16 00:00:00"
 
 
+def _key_cols(key: str | list[str]) -> list[str]:
+    return [key] if isinstance(key, str) else list(key)
+
+
 def latest_state(
-    log: DataFrame, key: str = "key_id", ts: str = "ts", seq: str = "seq"
+    log: DataFrame, key: str | list[str] = "key_id", ts: str = "ts", seq: str = "seq"
 ) -> DataFrame:
     """Materialize the latest row per key; a key whose last change is
     a DELETE disappears — the end state a Delta MERGE pipeline would
@@ -34,7 +38,9 @@ def latest_state(
 
     One shuffle on the key; row_number is whole-stage-codegen'd.
     """
-    w = Window.partitionBy(key).orderBy(F.col(ts).desc(), F.col(seq).desc())
+    w = Window.partitionBy(*_key_cols(key)).orderBy(
+        F.col(ts).desc(), F.col(seq).desc()
+    )
     return (
         log.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
@@ -67,7 +73,7 @@ def scd2_history(
 
 
 def upsert_merge(
-    snapshot: DataFrame, changes: DataFrame, key: str = "key_id"
+    snapshot: DataFrame, changes: DataFrame, key: str | list[str] = "key_id"
 ) -> DataFrame:
     """MERGE INTO semantics (reference:
     unity_catalog_cdc_demo.py:392-446): apply the net effect of a
@@ -81,10 +87,15 @@ def upsert_merge(
     ``latest_state``-style reduction first, keeping DELETE rows).
     Implemented as a single full-outer join on the key.
     """
+    keys = _key_cols(key)
     s = snapshot.select([F.col(c).alias(f"s_{c}") for c in snapshot.columns])
     c = changes.select([F.col(col).alias(f"c_{col}") for col in changes.columns])
-    joined = s.join(c, s[f"s_{key}"] == c[f"c_{key}"], "full_outer")
-    take_change = F.col(f"c_{key}").isNotNull()
+    cond = None
+    for k in keys:
+        eq = s[f"s_{k}"] == c[f"c_{k}"]
+        cond = eq if cond is None else (cond & eq)
+    joined = s.join(c, cond, "full_outer")
+    take_change = F.col(f"c_{keys[0]}").isNotNull()
     is_delete = take_change & (F.col("c_operation") == "DELETE")
     out_cols = [
         F.when(take_change, F.col(f"c_{col}")).otherwise(F.col(f"s_{col}")).alias(col)
@@ -94,11 +105,13 @@ def upsert_merge(
 
 
 def net_changes(
-    log: DataFrame, key: str = "key_id", ts: str = "ts", seq: str = "seq"
+    log: DataFrame, key: str | list[str] = "key_id", ts: str = "ts", seq: str = "seq"
 ) -> DataFrame:
     """Reduce a change batch to its net effect: last row per key
     (DELETE rows kept so the merge can drop targets)."""
-    w = Window.partitionBy(key).orderBy(F.col(ts).desc(), F.col(seq).desc())
+    w = Window.partitionBy(*_key_cols(key)).orderBy(
+        F.col(ts).desc(), F.col(seq).desc()
+    )
     return (
         log.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)

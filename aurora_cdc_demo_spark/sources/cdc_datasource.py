@@ -209,7 +209,9 @@ def write_binlog_from_events(
         after = None if op == "DELETE" else {"value": str(value[i]), "event_type": etype[i]}
         rec = {
             "database": "replay",
-            "table": "users",
+            # deterministic multi-table routing: exercises the
+            # many-table CDC path (reference handles 500+ tables)
+            "table": f"users_{uid[i] % 4}",
             "operation": op,
             "ts_us": ts_us,
             "seq": eid[i],

@@ -65,11 +65,22 @@ def windowed_event_counts(stream: DataFrame) -> DataFrame:
 class ParquetStateStore:
     """foreachBatch sink maintaining a latest-state parquet table via
     the upsert_merge operator (MERGE INTO analog without Delta;
-    reference: unity_catalog_cdc_demo.py:392-446)."""
+    reference: unity_catalog_cdc_demo.py:392-446).
 
-    def __init__(self, spark: SparkSession, state_dir: str):
+    ``key`` may be composite (e.g. ["table", "key_id"]) — many-table
+    CDC is ONE merge keyed by (table, pk), not the reference's
+    per-table driver loop (reference:
+    cdc_500_tables_streaming.py:151-217)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        key: str | list[str] = "key_id",
+    ):
         self.spark = spark
         self.state_dir = state_dir
+        self.key = key
 
     def _read_state(self) -> DataFrame | None:
         try:
@@ -78,12 +89,12 @@ class ParquetStateStore:
             return None
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        net = net_changes(batch_df)
+        net = net_changes(batch_df, key=self.key)
         state = self._read_state()
         if state is None:
             merged = net.where(F.col("operation") != "DELETE")
         else:
-            merged = upsert_merge(state, net)
+            merged = upsert_merge(state, net, key=self.key)
         # overwrite via temp dir staging is unnecessary in tests;
         # cache to cut the lineage before overwriting the input path
         out = merged.cache()
