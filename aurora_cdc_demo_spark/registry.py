@@ -496,3 +496,90 @@ def q_skew_salted_agg(spark, sf_dir):
 @query("user_value_trend", oracle=_trend.TREND_SQL_ORACLE)
 def q_user_value_trend(spark, sf_dir):
     return _trend.trend_sql(cdc_operation_log(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics (SURVEY §2 #40-41)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_top_bigrams",
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        , bg AS (
+            SELECT unnest(list_transform(range(1, len(t)),
+                          i -> array_to_string(t[i:i+1], ' '))) AS bigram
+            FROM toks WHERE len(t) >= 2)
+        , counted AS (
+            SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram)
+        SELECT bigram, n FROM counted
+        ORDER BY n DESC, bigram ASC LIMIT 20
+    """,
+)
+def q_text_top_bigrams(spark, sf_dir):
+    """Corpus-level n-gram frequency analysis (vocabulary stats for
+    a training-data pipeline): top-20 word bigrams. One explode +
+    hash aggregate with map-side combine; top-N via global sort of
+    the (tiny) aggregated result."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    m = F.size(toks) - 1
+    bigrams = F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    return (
+        docs.where(F.size(toks) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "text_quality_buckets",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, length(text) AS n_chars,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        x -> x IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS stop,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS uniq
+            FROM documents)
+        , scored AS (
+            SELECT doc_id, n_chars,
+                   (300000 * uniq + 300000 * (n - stop)
+                    + 4000 * n * LEAST(n, 100)) // (100 * n) AS quality_bp
+            FROM t)
+        SELECT quality_bp // 1000 AS quality_bucket,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               MIN(quality_bp) AS min_bp,
+               MAX(quality_bp) AS max_bp
+        FROM scored GROUP BY 1
+    """,
+)
+def q_text_quality_buckets(spark, sf_dir):
+    """Corpus filtering view: document counts/volume per quality
+    decile — the keep/drop decision surface of a data-quality
+    pipeline, integer-exact end to end."""
+    scored = _text.quality_score(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    )
+    return (
+        scored.join(docs, "doc_id")
+        .select(F.expr("quality_bp div 1000").alias("quality_bucket"), "n_chars",
+                "quality_bp")
+        .groupBy("quality_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("quality_bp").alias("min_bp"),
+            F.max("quality_bp").alias("max_bp"),
+        )
+    )
