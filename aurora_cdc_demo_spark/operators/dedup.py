@@ -189,28 +189,41 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
 
 
 def lsh_candidates(signatures: DataFrame) -> DataFrame:
+    """Band-bucket collision pairs via ONE self-join on
+    (band_idx, band_key) over posexploded band rows — not one join
+    per band.  A per-band union would repeat the signature subtree
+    2×n_bands times in the plan (Catalyst analysis + codegen cost)
+    and schedule n_bands separate shuffles; the stacked form scans
+    signatures once, shuffles n_bands× (tiny) band rows once, and
+    ReuseExchange shares the one exchange between both join sides."""
     n_bands = NUM_MINHASH // BAND_ROWS
-    bands = signatures.select(
+    banded = signatures.select(
         "doc_id",
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|", *[F.col(f"mh{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
-                )
-            ).alias(f"band{b}")
-            for b in range(n_bands)
-        ],
-    )
-    per_band = []
-    for b in range(n_bands):
-        a = bands.select(F.col("doc_id").alias("doc_a"), F.col(f"band{b}").alias("bk"))
-        c = bands.select(F.col("doc_id").alias("doc_b"), F.col(f"band{b}").alias("bk"))
-        per_band.append(
-            a.join(c, "bk").where(F.col("doc_a") < F.col("doc_b")).select(
-                "doc_a", "doc_b"
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"mh{b * BAND_ROWS + r}")
+                                for r in range(BAND_ROWS)
+                            ],
+                        )
+                    )
+                    for b in range(n_bands)
+                ]
             )
-        )
-    return reduce(lambda x, y: x.unionByName(y), per_band).distinct()
+        ).alias("band", "bk"),
+    )
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bk")
+    c = banded.select(F.col("doc_id").alias("doc_b"), "band", "bk")
+    return (
+        a.join(c, ["band", "bk"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
 
 
 def minhash_lsh_pairs(
@@ -339,35 +352,41 @@ def simhash_pairs(
     docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING
 ) -> DataFrame:
     sig = simhash_signatures(docs)
+    # one self-join on (band_idx, band_key) over posexploded 16-bit
+    # bands — see lsh_candidates for why this beats a per-band union
     banded = sig.select(
         "doc_id",
         "h1",
         "h2",
-        (F.col("h1") % 65536).alias("b0"),
-        (F.col("h1") / 65536).cast("long").alias("b1"),
-        (F.col("h2") % 65536).alias("b2"),
-        (F.col("h2") / 65536).cast("long").alias("b3"),
+        F.posexplode(
+            F.array(
+                F.col("h1") % 65536,
+                (F.col("h1") / 65536).cast("long"),
+                F.col("h2") % 65536,
+                (F.col("h2") / 65536).cast("long"),
+            )
+        ).alias("band", "bk"),
     )
-    pairs = []
-    for b in range(4):
-        a = banded.select(
-            F.col("doc_id").alias("doc_a"),
-            F.col("h1").alias("ah1"),
-            F.col("h2").alias("ah2"),
-            F.col(f"b{b}").alias("bk"),
-        )
-        c = banded.select(
-            F.col("doc_id").alias("doc_b"),
-            F.col("h1").alias("bh1"),
-            F.col("h2").alias("bh2"),
-            F.col(f"b{b}").alias("bk"),
-        )
-        pairs.append(
-            a.join(c, "bk")
-            .where(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b", "ah1", "ah2", "bh1", "bh2")
-        )
-    cand = reduce(lambda x, y: x.unionByName(y), pairs).distinct()
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("h1").alias("ah1"),
+        F.col("h2").alias("ah2"),
+        "band",
+        "bk",
+    )
+    c = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("h1").alias("bh1"),
+        F.col("h2").alias("bh2"),
+        "band",
+        "bk",
+    )
+    cand = (
+        a.join(c, ["band", "bk"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ah1", "ah2", "bh1", "bh2")
+        .distinct()
+    )
     hamming = F.expr("bit_count(ah1 ^ bh1) + bit_count(ah2 ^ bh2)").cast("long")
     return (
         cand.withColumn("hamming", hamming)
