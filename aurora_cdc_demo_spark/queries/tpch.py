@@ -267,3 +267,284 @@ def promo_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_revenue",
         "(10000 * _p) div _t AS promo_share_bp",
     )
+
+
+# ---------------------------------------------------------------------------
+# Extended TPC-H coverage (SURVEY §2 #42-51), adapted to the landed
+# schema (no partsupp/shipmode/commit-receipt dates in the testdata).
+# ---------------------------------------------------------------------------
+
+Q15_START, Q15_END = "1996-01-01 00:00:00", "1996-04-01 00:00:00"
+Q22_CUTOFF = "1999-01-01 00:00:00"
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 volume shipping: revenue per (supplier nation -> customer
+    nation) corridor within EUROPE, by ship year.  Both nation dims
+    and region broadcast; the fact-fact join shuffles once on
+    orderkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eu_nation = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    n1 = eu_nation.select(
+        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = eu_nation.select(
+        F.col("n_nationkey").alias("_cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cn_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.date_trunc("year", F.col("l_shipdate")).alias("l_year"),
+        )
+        .agg(F.sum(_rev()).alias("_vol"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            F.col("_vol").cast("double").alias("revenue"),
+        )
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 national market share: NATION_1 suppliers' share of
+    STANDARD-part revenue sold to EUROPE customers, per order year.
+    Share emitted in exact basis points (integer) — never
+    round(double) cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    cust_nation = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("_cn_key"))
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("_cn_key"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("_sn_key"))
+    )
+    yearly = joined.groupBy(
+        F.date_trunc("year", F.col("o_orderdate")).alias("o_year")
+    ).agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_1", _rev()).otherwise(
+                F.lit(0.00).cast("decimal(18,4)")
+            )
+        ).alias("_nat"),
+        F.sum(_rev()).alias("_tot"),
+    )
+    return yearly.select(
+        "o_year",
+        F.col("_nat").cast("double").alias("nation_revenue"),
+        F.col("_tot").cast("double").alias("total_revenue"),
+        (F.col("_nat") * 10000).cast("long").alias("_n"),
+        (F.col("_tot") * 10000).cast("long").alias("_t"),
+    ).selectExpr(
+        "o_year",
+        "nation_revenue",
+        "total_revenue",
+        "(10000 * _n) div _t AS mkt_share_bp",
+    )
+
+
+def q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 analog (no shipmode/receiptdate in schema): lines shipped
+    more than 90 days after their order date, split into
+    high/low-priority counts per ship year."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    late = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).where(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        late.groupBy(F.date_trunc("year", F.col("l_shipdate")).alias("l_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13: distribution of customers by order count (left join so
+    zero-order customers land in bucket 0)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15: supplier(s) with max revenue in 1996Q1; the max is an
+    exact DECIMAL so the equality join is cross-engine safe."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit(Q15_START)))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit(Q15_END)))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(F.sum(_rev()).alias("_rev"))
+    top = rev.join(
+        F.broadcast(rev.agg(F.max("_rev").alias("_max"))),
+        F.col("_rev") == F.col("_max"),
+    )
+    return top.join(
+        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select(
+        "s_suppkey", "s_name", F.col("_rev").cast("double").alias("total_revenue")
+    )
+
+
+def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 analog (supplier links derived from lineitem, no
+    partsupp): distinct supplier count per (brand, type, size) for
+    selected sizes, excluding PROMO and Brand#1."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 14, 23, 45)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17: revenue of Brand#3 lines with quantity below 20% of the
+    part's average quantity.  The threshold compare is
+    cross-multiplied (5*qty*n < sum_qty) — exact integers/decimals,
+    no division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    per_part = joined.groupBy(F.col("p_partkey").alias("_pk")).agg(
+        F.sum(_money("l_quantity")).alias("_sum_qty"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    small = joined.join(
+        F.broadcast(per_part), F.col("p_partkey") == F.col("_pk")
+    ).where(
+        _money("l_quantity") * 5 * F.col("_n") < F.col("_sum_qty")
+    )
+    return small.agg(
+        F.sum(_money("l_extendedprice")).cast("double").alias("total_extendedprice"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18: orders whose total quantity exceeds 150, with customer,
+    top-100 by totalprice (ties broken by orderkey)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_money("l_quantity")).alias("_sum_qty"))
+        .where(F.col("_sum_qty") > 150)
+    )
+    joined = orders.join(big, F.col("o_orderkey") == F.col("l_orderkey")).join(
+        cust, F.col("o_custkey") == F.col("c_custkey")
+    )
+    return (
+        joined.orderBy(
+            F.col("o_totalprice").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(100)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("_sum_qty").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19: revenue from three OR'd (brand, size-range, qty-range)
+    brackets — a pushdown-friendly disjunctive filter join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    b1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#15")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return joined.where(b1 | b2 | b3).agg(
+        F.sum(_rev()).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22: above-average-balance customers with no orders since the
+    cutoff, per nation.  The avg threshold is cross-multiplied
+    (acctbal * n_pos > sum_pos) so the filter decision is exact on
+    both engines."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.to_timestamp(F.lit(Q22_CUTOFF))
+    )
+    pos = cust.where(F.col("c_acctbal") > 0).agg(
+        F.sum(_money("c_acctbal")).alias("_sum_pos"),
+        F.count(F.lit(1)).alias("_n_pos"),
+    )
+    rich = cust.join(F.broadcast(pos)).where(
+        _money("c_acctbal") * F.col("_n_pos") > F.col("_sum_pos")
+    )
+    dormant = rich.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return dormant.groupBy(F.col("c_nationkey").cast("long").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(_money("c_acctbal")).cast("double").alias("totacctbal"),
+    )

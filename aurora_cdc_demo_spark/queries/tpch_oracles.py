@@ -132,6 +132,135 @@ TPCH_ORACLES: dict[str, str] = {
                    // CAST(total * 10000 AS BIGINT) AS promo_share_bp
         FROM m
     """,
+    "q7_nation_volume": f"""
+        WITH eu AS (
+            SELECT n_nationkey, n_name FROM nation
+            JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE')
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               date_trunc('year', l_shipdate) AS l_year,
+               CAST(SUM({_REV}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN eu n1 ON s_nationkey = n1.n_nationkey
+        JOIN eu n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name <> n2.n_name
+        GROUP BY 1, 2, 3
+    """,
+    "q8_market_share": f"""
+        WITH eu AS (
+            SELECT n_nationkey FROM nation
+            JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE')
+        , yearly AS (
+            SELECT date_trunc('year', o_orderdate) AS o_year,
+                   SUM(CASE WHEN sn.n_name = 'NATION_1' THEN {_REV}
+                            ELSE CAST(0.00 AS DECIMAL(18,4)) END) AS nat,
+                   SUM({_REV}) AS tot
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN eu ON c_nationkey = eu.n_nationkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            WHERE p_type = 'STANDARD'
+            GROUP BY 1)
+        SELECT o_year,
+               CAST(nat AS DOUBLE) AS nation_revenue,
+               CAST(tot AS DOUBLE) AS total_revenue,
+               (10000 * CAST(nat * 10000 AS BIGINT))
+                   // CAST(tot * 10000 AS BIGINT) AS mkt_share_bp
+        FROM yearly
+    """,
+    "q12_late_lines": """
+        SELECT date_trunc('year', l_shipdate) AS l_year,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+        GROUP BY 1
+    """,
+    "q13_customer_distribution": """
+        WITH per_cust AS (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey)
+        SELECT c_count, COUNT(*) AS custdist FROM per_cust GROUP BY c_count
+    """,
+    "q15_top_supplier": f"""
+        WITH rev AS (
+            SELECT l_suppkey, SUM({_REV}) AS r
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE r = (SELECT MAX(r) FROM rev)
+    """,
+    "q16_part_supplier_variety": """
+        SELECT p_brand, p_type, p_size,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+          AND p_size IN (1, 14, 23, 45)
+        GROUP BY 1, 2, 3
+    """,
+    "q17_small_qty_revenue": """
+        WITH j AS (
+            SELECT p_partkey, CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+                   CAST(l_extendedprice AS DECIMAL(12,2)) AS price
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#3')
+        , per_part AS (
+            SELECT p_partkey AS pk, SUM(qty) AS sum_qty, COUNT(*) AS n
+            FROM j GROUP BY 1)
+        SELECT CAST(SUM(price) AS DOUBLE) AS total_extendedprice,
+               COUNT(*) AS n_lines
+        FROM j JOIN per_part ON p_partkey = pk
+        WHERE qty * 5 * n < sum_qty
+    """,
+    "q18_large_volume_customers": """
+        WITH big AS (
+            SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+            FROM lineitem GROUP BY 1
+            HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150)
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+               CAST(sum_qty AS DOUBLE) AS sum_qty
+        FROM orders
+        JOIN big ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+        LIMIT 100
+    """,
+    "q19_bracket_revenue": f"""
+        SELECT CAST(SUM({_REV}) AS DOUBLE) AS revenue, COUNT(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "q22_dormant_customers": """
+        WITH pos AS (
+            SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS sum_pos,
+                   COUNT(*) AS n_pos
+            FROM customer WHERE c_acctbal > 0)
+        SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+               COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        FROM customer, pos
+        WHERE CAST(c_acctbal AS DECIMAL(12,2)) * n_pos > sum_pos
+          AND c_custkey NOT IN (
+              SELECT o_custkey FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        GROUP BY 1
+    """,
     "asof_order_event": """
         WITH ev AS (
             SELECT user_id AS key_id, event_id AS seq, ts, value, event_type

@@ -264,6 +264,17 @@ for _name, _fn in [
     ("top_customers_per_segment", tpch.top_customers_per_segment),
     ("monthly_revenue_rollup", tpch.monthly_revenue_rollup),
     ("promo_part_share", tpch.promo_part_share),
+    # extended coverage (SURVEY §2 #42-51)
+    ("q7_nation_volume", tpch.q7_nation_volume),
+    ("q8_market_share", tpch.q8_market_share),
+    ("q12_late_lines", tpch.q12_late_lines),
+    ("q13_customer_distribution", tpch.q13_customer_distribution),
+    ("q15_top_supplier", tpch.q15_top_supplier),
+    ("q16_part_supplier_variety", tpch.q16_part_supplier_variety),
+    ("q17_small_qty_revenue", tpch.q17_small_qty_revenue),
+    ("q18_large_volume_customers", tpch.q18_large_volume_customers),
+    ("q19_bracket_revenue", tpch.q19_bracket_revenue),
+    ("q22_dormant_customers", tpch.q22_dormant_customers),
 ]:
     query(_name, oracle=TPCH_ORACLES[_name])(_fn)
 

@@ -20,6 +20,16 @@ TPCH_QUERIES = [
     "monthly_revenue_rollup",
     "promo_part_share",
     "asof_order_event",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q12_late_lines",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_part_supplier_variety",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customers",
+    "q19_bracket_revenue",
+    "q22_dormant_customers",
 ]
 
 
@@ -45,6 +55,19 @@ def test_rollup_grand_total_consistent(spark, sf_dir):
         .collect()[0][0]
     )
     assert abs(grand - regions) < 1e-6
+
+
+def test_q13_distribution_covers_all_customers(spark, sf_dir):
+    from aurora_cdc_demo_spark.tables import load_table
+
+    dist = QUERIES["q13_customer_distribution"](spark, sf_dir)
+    total = dist.agg(F.sum("custdist")).collect()[0][0]
+    assert total == load_table(spark, sf_dir, "customer").count()
+
+
+def test_q18_threshold_holds(spark, sf_dir):
+    big = QUERIES["q18_large_volume_customers"](spark, sf_dir)
+    assert big.where(F.col("sum_qty") <= 150).count() == 0
 
 
 def test_asof_event_not_after_purchase(spark, sf_dir):
