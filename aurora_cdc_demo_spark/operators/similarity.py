@@ -148,6 +148,55 @@ def ivf_topk_sql(dialect: str) -> str:
     """
 
 
+N_PROBES = 2
+
+
+def ivf_multiprobe_sql(dialect: str) -> str:
+    """IVF with multi-probe: each query searches its N_PROBES nearest
+    coarse cells instead of one — the standard recall/latency knob
+    (e.g. FAISS nprobe).  Corpus vectors still live in exactly one
+    cell, so the probe fan-out multiplies candidates by at most
+    N_PROBES, not the corpus size."""
+    return f"""
+        WITH v AS (
+            SELECT vec_id, embedding, {_norm('embedding', dialect)} AS nrm
+            FROM embeddings)
+        , seeds AS (
+            SELECT vec_id AS seed_id, embedding AS se, nrm AS snrm
+            FROM v WHERE vec_id < {N_SEEDS})
+        , assign AS (
+            SELECT v.vec_id, v.embedding, v.nrm, s.seed_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY ({_dot('v.embedding', 's.se', dialect)})
+                                / (v.nrm * s.snrm) DESC,
+                                s.seed_id ASC) AS rn
+            FROM v CROSS JOIN seeds s)
+        , cells AS (
+            SELECT vec_id, embedding, nrm, seed_id AS cell
+            FROM assign WHERE rn = 1)
+        , probes AS (
+            SELECT vec_id AS query_id, seed_id AS cell
+            FROM assign WHERE vec_id < {N_QUERIES} AND rn <= {N_PROBES})
+        , q AS (
+            SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+            FROM v WHERE vec_id < {N_QUERIES})
+        , cand AS (
+            SELECT p.query_id, c.vec_id AS neighbor_id,
+                   ({_dot('q.qe', 'c.embedding', dialect)}) / (q.qn * c.nrm) AS cos
+            FROM probes p
+            JOIN q ON q.query_id = p.query_id
+            JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.query_id)
+        , ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+            FROM cand)
+        SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS nn_rank,
+               ROUND(cos, 6) AS cosine
+        FROM ranked WHERE rn <= {TOPK}
+    """
+
+
 def _run(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     # DIMS is fixed by the data contract (64); tests/test_similarity
     # validate it — no extra job here in the query path.
@@ -171,3 +220,7 @@ def centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, ivf_topk_sql("spark"))
+
+
+def ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, ivf_multiprobe_sql("spark"))

@@ -385,6 +385,11 @@ def q_ann_ivf_topk(spark, sf_dir):
     return _sim.ivf_topk(spark, sf_dir)
 
 
+@query("ann_ivf_multiprobe", oracle=_sim.ivf_multiprobe_sql("duck"))
+def q_ann_ivf_multiprobe(spark, sf_dir):
+    return _sim.ivf_multiprobe(spark, sf_dir)
+
+
 @query("mm_binary_meta", oracle=_mm.MM_BINARY_META_SQL)
 def q_mm_binary_meta(spark, sf_dir):
     return _mm.binary_meta(load_table(spark, sf_dir, "documents"))
@@ -593,4 +598,66 @@ def q_text_quality_buckets(spark, sf_dir):
             F.min("quality_bp").alias("min_bp"),
             F.max("quality_bp").alias("max_bp"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus sampling + sequence packing + cohort retention (SURVEY §2 #53-55)
+# ---------------------------------------------------------------------------
+
+from .operators import sampling as _sampling  # noqa: E402
+
+
+@query("sample_stratified", oracle=_sampling.SAMPLE_STRATIFIED_SQL)
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic hash-stratified corpus sampling (per-language
+    keep rates); reproducible and shuffle-free at any scale."""
+    return _sampling.sample_stratified(load_table(spark, sf_dir, "documents"))
+
+
+@query("text_chunk_windows", oracle=_sampling.CHUNK_WINDOWS_SQL)
+def q_text_chunk_windows(spark, sf_dir):
+    """Fixed-size token windows per document (sequence packing for
+    LLM pre-training); one generator explode, no shuffle."""
+    return _sampling.chunk_windows(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "events_user_retention",
+    oracle="""
+        WITH first AS (
+            SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+            FROM events GROUP BY user_id)
+        , active AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+            FROM events)
+        SELECT cohort_week,
+               CAST(date_diff('day', cohort_week, active_week) // 7 AS BIGINT)
+                   AS week_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM active JOIN first USING (user_id)
+        GROUP BY 1, 2
+    """,
+)
+def q_events_user_retention(spark, sf_dir):
+    """Weekly cohort retention over the event stream: users grouped
+    by first-seen week, counted per active-week offset. Two shuffles
+    (per-user min, then per-cohort count) — both key-partitioned and
+    map-side combined."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.expr("datediff(active_week, cohort_week) div 7")
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
     )

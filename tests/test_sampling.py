@@ -1,0 +1,56 @@
+"""Sampling, sequence packing, cohort retention: oracle parity +
+invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aurora_cdc_demo_spark.operators.sampling import CHUNK_TOKENS, SAMPLE_RATES_BP
+from aurora_cdc_demo_spark.registry import QUERIES
+from aurora_cdc_demo_spark.tables import load_table
+
+from .helpers import assert_matches_oracle
+
+NAMES = ["sample_stratified", "text_chunk_windows", "events_user_retention"]
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_oracle_parity(spark, sf_dir, name):
+    assert_matches_oracle(spark, name, sf_dir)
+
+
+def test_sample_is_deterministic_and_rate_bounded(spark, sf_dir):
+    a = QUERIES["sample_stratified"](spark, sf_dir).toPandas()
+    b = QUERIES["sample_stratified"](spark, sf_dir).toPandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    # each stratum respects its keep rate in expectation; hard bound:
+    # every kept row's uniform is under its stratum rate
+    assert (a["sample_u"] < a["rate_bp"]).all()
+    assert set(a["lang"]) <= set(SAMPLE_RATES_BP)
+
+
+def test_chunks_reassemble_token_counts(spark, sf_dir):
+    chunks = QUERIES["text_chunk_windows"](spark, sf_dir)
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.sum("n_tokens").alias("total"),
+        F.max("n_tokens").alias("biggest"),
+        F.count(F.lit(1)).alias("n_chunks"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    joined = per_doc.join(docs, "doc_id")
+    assert joined.where(F.col("total") != F.col("n_tokens")).count() == 0
+    assert joined.where(F.col("biggest") > CHUNK_TOKENS).count() == 0
+
+
+def test_retention_week0_counts_every_user(spark, sf_dir):
+    ret = QUERIES["events_user_retention"](spark, sf_dir)
+    week0 = (
+        ret.where(F.col("week_offset") == 0).agg(F.sum("n_users")).collect()[0][0]
+    )
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert week0 == n_users

@@ -14,6 +14,7 @@ SIM_QUERIES = [
     "embed_near_dup",
     "embed_centroids",
     "ann_ivf_topk",
+    "ann_ivf_multiprobe",
     "mm_binary_meta",
 ]
 
@@ -52,6 +53,22 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
             & (brute["neighbor_id"] == row["neighbor_id"])
         ).any()
         assert in_brute or row["cosine"] <= kth[row["query_id"]] + 1e-9
+
+
+def test_multiprobe_recall_at_least_single_probe(spark, sf_dir):
+    """Probing 2 cells must recover at least as many true (brute
+    force) neighbors as probing 1, for every query."""
+    brute = QUERIES["embed_cosine_topk"](spark, sf_dir).toPandas()
+    single = QUERIES["ann_ivf_topk"](spark, sf_dir).toPandas()
+    multi = QUERIES["ann_ivf_multiprobe"](spark, sf_dir).toPandas()
+    truth = set(zip(brute["query_id"], brute["neighbor_id"]))
+    hits_single = sum(
+        (q, n) in truth for q, n in zip(single["query_id"], single["neighbor_id"])
+    )
+    hits_multi = sum(
+        (q, n) in truth for q, n in zip(multi["query_id"], multi["neighbor_id"])
+    )
+    assert hits_multi >= hits_single
 
 
 def test_mm_binary_meta_deterministic(spark, sf_dir):
