@@ -97,3 +97,85 @@ def sessionize_stream(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas variant (Spark 4.x stateful API)
+# ---------------------------------------------------------------------------
+
+try:  # pyspark >= 4.0, and the TWS state-server protocol needs protobuf
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    HAS_TWS = True
+except ImportError:  # pragma: no cover - older pyspark / no protobuf
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    HAS_TWS = False
+
+
+class SessionizeProcessor(StatefulProcessor):
+    """Same gap-sessionization semantics as ``_sessionize_group`` on
+    the transformWithState API: ValueState holds the open session;
+    closed sessions are emitted. The new API adds RocksDB-backed
+    state, timers and TTL — this processor needs only ValueState, so
+    it stays a drop-in twin (state layout identical, outputs equal;
+    pytest asserts both)."""
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._open = handle.getValueState("open_session", SESSION_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        (key_id,) = key
+        if self._open.exists():
+            start_us, end_us, n_events, sum_value = self._open.get()
+        else:
+            start_us, end_us, n_events, sum_value = None, None, 0, 0.0
+
+        closed: list[tuple] = []
+        for pdf in rows:
+            pdf = pdf.sort_values(["ts", "seq"])
+            ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+            vals = pdf["value"].tolist()
+            for t, v in zip(ts_us, vals):
+                if start_us is None:
+                    start_us, end_us, n_events, sum_value = t, t, 1, v
+                elif t - end_us > GAP_US:
+                    closed.append((key_id, start_us, end_us, n_events, sum_value))
+                    start_us, end_us, n_events, sum_value = t, t, 1, v
+                else:
+                    end_us, n_events, sum_value = t, n_events + 1, sum_value + v
+
+        self._open.update((start_us, end_us, n_events, float(sum_value)))
+        if closed:
+            out = pd.DataFrame(
+                closed,
+                columns=["key_id", "start_us", "end_us", "n_events", "sum_value"],
+            )
+            yield pd.DataFrame(
+                {
+                    "key_id": out["key_id"].astype("int64"),
+                    "session_start": pd.to_datetime(out["start_us"], unit="us"),
+                    "session_end": pd.to_datetime(out["end_us"], unit="us"),
+                    "n_events": out["n_events"].astype("int64"),
+                    "sum_value": out["sum_value"].astype("float64"),
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def sessionize_stream_tws(stream: DataFrame) -> DataFrame:
+    """transformWithStateInPandas twin of :func:`sessionize_stream`.
+    Requires the RocksDB state store provider (set by the caller):
+    spark.sql.streaming.stateStore.providerClass =
+    ...RocksDBStateStoreProvider"""
+    return stream.groupBy("key_id").transformWithStateInPandas(
+        SessionizeProcessor(),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )

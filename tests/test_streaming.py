@@ -14,7 +14,11 @@ from aurora_cdc_demo_spark.streaming.pipelines import (
     read_cdc_stream,
     windowed_event_counts,
 )
-from aurora_cdc_demo_spark.streaming.stateful import sessionize_stream
+from aurora_cdc_demo_spark.streaming.stateful import (
+    HAS_TWS,
+    sessionize_stream,
+    sessionize_stream_tws,
+)
 
 
 @pytest.fixture(scope="module")
@@ -118,3 +122,61 @@ def test_stateful_sessionize_closed_sessions(spark, sf_dir, log_dir, tmp_path):
     assert (merged["n_events_got"] == merged["n_events_want"]).all()
     # and most sessions close during the stream (sanity: non-trivial)
     assert len(got) > 0.5 * len(want)
+
+
+@pytest.mark.skipif(not HAS_TWS, reason="transformWithState needs pyspark>=4 + protobuf")
+def test_transform_with_state_matches_legacy_sessionize(
+    spark, sf_dir, log_dir, tmp_path
+):
+    """The transformWithStateInPandas processor must emit exactly the
+    same closed sessions as the applyInPandasWithState one."""
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(
+            "key_id long, seq long, operation string, event_type string, "
+            "ts timestamp, value double"
+        ).parquet(log_dir)
+        q = (
+            sessionize_stream_tws(stream)
+            .writeStream.format("memory")
+            .queryName("sessions_tws")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+    got = spark.sql("SELECT * FROM sessions_tws").toPandas()
+
+    stream2 = spark.readStream.schema(
+        "key_id long, seq long, operation string, event_type string, "
+        "ts timestamp, value double"
+    ).parquet(log_dir)
+    q2 = (
+        sessionize_stream(stream2)
+        .writeStream.format("memory")
+        .queryName("sessions_legacy")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_legacy"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+    want = spark.sql("SELECT * FROM sessions_legacy").toPandas()
+
+    key = ["key_id", "session_start", "session_end"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    want_s = want.sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(want_s) > 0
+    assert got_s[key + ["n_events"]].equals(want_s[key + ["n_events"]])
