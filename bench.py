@@ -34,6 +34,10 @@ HEADLINE = [
     "embed_cosine_topk",
     "ann_ivf_topk",
     "mm_binary_meta",
+    "q8_market_share",
+    "q18_large_volume_customers",
+    "text_chunk_windows",
+    "events_user_retention",
 ]
 
 
@@ -58,6 +62,40 @@ def main() -> None:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # streaming throughput: availableNow micro-batch run of the
+    # stateful sessionizer over the sf CDC log staged as parquet
+    # (staging untimed; the timed span is the full stream execution)
+    import shutil
+    import tempfile
+
+    from aurora_cdc_demo_spark.sources.cdc_log import cdc_operation_log
+    from aurora_cdc_demo_spark.streaming.stateful import sessionize_stream
+
+    workdir = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        log = cdc_operation_log(spark, sf_dir)
+        n_events = log.count()
+        log.write.mode("overwrite").parquet(f"{workdir}/in")
+        stream = spark.readStream.schema(
+            "key_id long, seq long, operation string, event_type string, "
+            "ts timestamp, value double"
+        ).parquet(f"{workdir}/in")
+        t0 = time.perf_counter()
+        q = (
+            sessionize_stream(stream)
+            .writeStream.format("noop")
+            .option("checkpointLocation", f"{workdir}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        dt = time.perf_counter() - t0
+        timings["streaming_sessionize"] = round(dt, 3)
+        streaming_events_per_sec = round(n_events / dt)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -66,6 +104,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "streaming_events_per_sec": streaming_events_per_sec,
                 "sf": sf,
             }
         )
