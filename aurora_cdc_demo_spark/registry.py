@@ -661,3 +661,24 @@ def q_events_user_retention(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "events_props_flatten",
+    oracle="""
+        SELECT event_id, event_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k
+        FROM events
+    """,
+)
+def q_events_props_flatten(spark, sf_dir):
+    """Schema-on-read flatten of the JSON props payload into typed
+    columns — the reference's flatten_json_df over the CDC after-map
+    (cdc_500_tables_streaming.py:313-344) applied to real JSON.
+    get_json_object runs JVM-side in whole-stage codegen; no Python."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("props_k"),
+    )
