@@ -682,3 +682,40 @@ def q_events_props_flatten(spark, sf_dir):
         "event_type",
         F.get_json_object(F.col("props"), "$.k").cast("long").alias("props_k"),
     )
+
+
+@query(
+    "events_rolling_7d",
+    oracle="""
+        SELECT user_id, event_id AS seq, ts,
+               COUNT(*) OVER w AS rolling_n,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w * 100 AS BIGINT)
+                   AS rolling_value_centi
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_events_rolling_7d(spark, sf_dir):
+    """Per-user 7-day rolling count/sum over the event stream — a
+    RANGE-frame time window (microsecond-exact bounds on both
+    engines; centi-scaled integer sum for cross-engine exactness).
+    One shuffle on user_id; the frame scan is sorted within
+    partition."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-7 * 24 * 3600 * 1_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        "ts",
+        F.count(F.lit(1)).over(w).alias("rolling_n"),
+        (F.sum(F.col("value").cast("decimal(12,2)")).over(w) * 100)
+        .cast("long")
+        .alias("rolling_value_centi"),
+    )
