@@ -719,3 +719,59 @@ def q_events_rolling_7d(spark, sf_dir):
         .cast("long")
         .alias("rolling_value_centi"),
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+        WITH first_signup AS (
+            SELECT user_id, MIN(ts) AS t_signup
+            FROM events WHERE event_type = 'signup' GROUP BY user_id)
+        , first_click AS (
+            SELECT e.user_id, MIN(e.ts) AS t_click
+            FROM events e JOIN first_signup s ON e.user_id = s.user_id
+            WHERE e.event_type = 'click' AND e.ts >= s.t_signup
+            GROUP BY e.user_id)
+        , first_purchase AS (
+            SELECT e.user_id, MIN(e.ts) AS t_purchase
+            FROM events e JOIN first_click c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+            GROUP BY e.user_id)
+        SELECT
+            (SELECT COUNT(*) FROM first_signup) AS n_signup,
+            (SELECT COUNT(*) FROM first_click) AS n_click_after_signup,
+            (SELECT COUNT(*) FROM first_purchase) AS n_purchase_after_click
+    """,
+)
+def q_events_funnel(spark, sf_dir):
+    """Ordered conversion funnel signup -> click -> purchase: each
+    step's first event must not precede the previous step's. Three
+    key-partitioned aggregations, each shrinking the key set — the
+    standard product-analytics funnel at stream scale."""
+    ev = load_table(spark, sf_dir, "events")
+    signup = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    click = (
+        ev.where(F.col("event_type") == "click")
+        .join(signup, "user_id")
+        .where(F.col("ts") >= F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchase = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(click, "user_id")
+        .where(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        signup.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(click.agg(F.count(F.lit(1)).alias("n_click_after_signup")))
+        .crossJoin(
+            purchase.agg(F.count(F.lit(1)).alias("n_purchase_after_click"))
+        )
+    )

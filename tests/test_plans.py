@@ -66,3 +66,28 @@ def test_no_python_udf_in_hot_paths(spark, sf_dir, name):
     plan = plan_of(spark, sf_dir, name)
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_q8_broadcasts_all_dims_filters_pushed(spark, sf_dir):
+    plan = formatted(spark, sf_dir, "q8_market_share")
+    # part/region filters reach the scans
+    assert "STANDARD" in plan and "EUROPE" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan or plan.count("BroadcastHashJoin") >= 4
+
+
+def test_sample_stratified_is_shuffle_free(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "sample_stratified")
+    assert "Exchange" not in plan
+
+
+def test_chunk_windows_is_shuffle_free(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "text_chunk_windows")
+    assert "Exchange" not in plan
+
+
+def test_q18_single_fact_shuffle_side(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q18_large_volume_customers")
+    assert "BatchEvalPython" not in plan
+    # top-N is TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in plan
