@@ -77,3 +77,25 @@ def test_sessionize_covers_all_events(spark, sf_dir):
     sessions = QUERIES["cdc_sessionize"](spark, sf_dir)
     total = sessions.agg(F.sum("n_events")).collect()[0][0]
     assert total == log.count()
+
+
+def test_workload_generator_deterministic_and_weighted(spark):
+    from aurora_cdc_demo_spark.sources.workload import SCENARIOS, generate_workload
+
+    a = generate_workload(spark, 20000).toPandas()
+    b = generate_workload(spark, 20000).toPandas()
+    assert a.equals(b)
+    assert a["seq"].is_unique and len(a) == 20000
+    # scenario mix tracks the reference weights (±30% relative)
+    total = sum(w for _, _, w in SCENARIOS)
+    counts = a["event_type"].value_counts()
+    for name, _, weight in SCENARIOS:
+        expect = 20000 * weight / total
+        assert abs(counts.get(name, 0) - expect) < 0.3 * expect + 20, name
+    # generated log flows through the CDC appliers unchanged
+    from aurora_cdc_demo_spark.operators.cdc_apply import latest_state
+
+    df = generate_workload(spark, 20000)
+    state = latest_state(df)
+    assert state.count() > 0
+    assert state.groupBy("key_id").count().agg({"count": "max"}).collect()[0][0] == 1
