@@ -775,3 +775,18 @@ def q_events_funnel(spark, sf_dir):
             purchase.agg(F.count(F.lit(1)).alias("n_purchase_after_click"))
         )
     )
+
+
+from .operators import rangejoin as _rangejoin  # noqa: E402
+
+
+@query(
+    "range_join_error_windows",
+    oracle=_with_log(_rangejoin.RANGE_JOIN_SQL_BODY),
+)
+def q_range_join_error_windows(spark, sf_dir):
+    """Interval-containment (range) join with no equi-key: events
+    within ±5 min of any error event, via hour-bucket explode +
+    equi-join (operators/rangejoin.py) — the oracle is the naive
+    BETWEEN theta-join."""
+    return _rangejoin.range_join_buckets(cdc_operation_log(spark, sf_dir))

@@ -91,3 +91,9 @@ def test_q18_single_fact_shuffle_side(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     # top-N is TakeOrderedAndProject, not a global sort
     assert "TakeOrderedAndProject" in plan
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "range_join_error_windows")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
