@@ -109,3 +109,14 @@ class ParquetStateStore:
             .trigger(availableNow=True)
             .start()
         )
+
+
+def dedup_stream_exactly_once(stream: DataFrame) -> DataFrame:
+    """Streaming exactly-once delivery: dropDuplicates on the
+    delivery identity (key_id, seq) under the stream's watermark, so
+    duplicate redeliveries across micro-batches are suppressed while
+    state for expired keys is evicted (reference: the v2 DataSource
+    dedups redelivered binlog events the same way,
+    aurora_cdc_datasource_v2.py:158). Batch twin:
+    operators/cdc_apply.dedup_exactly_once."""
+    return stream.dropDuplicates(["key_id", "seq"])

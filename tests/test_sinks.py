@@ -4,6 +4,8 @@ from __future__ import annotations
 
 from pathlib import Path
 
+from pyspark.sql import functions as F
+
 from aurora_cdc_demo_spark.sinks.partitioned import write_partitioned
 from aurora_cdc_demo_spark.sources.cdc_log import cdc_operation_log
 
@@ -52,3 +54,46 @@ def test_compaction_shrinks_files_preserves_data(spark, sf_dir, tmp_path):
     # partition tree preserved -> pruning still works
     dirs = [p.name for p in Path(dst).iterdir() if p.is_dir()]
     assert any(d.startswith("event_year=") for d in dirs)
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """orders and lineitem bucketed on the join key: the join reads
+    bucket files pairwise — no Exchange on either side."""
+    from aurora_cdc_demo_spark.sinks.bucketed import write_bucketed
+    from aurora_cdc_demo_spark.tables import load_table
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bdemo LOCATION '{tmp_path}/wh'"
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(
+            load_table(spark, sf_dir, "orders"),
+            "bdemo.orders_b",
+            ("o_orderkey",),
+            ("o_orderkey",),
+        )
+        write_bucketed(
+            load_table(spark, sf_dir, "lineitem"),
+            "bdemo.lineitem_b",
+            ("l_orderkey",),
+            ("l_orderkey",),
+        )
+        joined = (
+            spark.table("bdemo.lineitem_b")
+            .join(
+                spark.table("bdemo.orders_b"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # the only exchange allowed is the one for the final groupBy
+        join_part = plan.split("SortMergeJoin")[-1]
+        assert "Exchange" not in join_part
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP DATABASE IF EXISTS bdemo CASCADE")

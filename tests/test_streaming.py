@@ -180,3 +180,41 @@ def test_transform_with_state_matches_legacy_sessionize(
     want_s = want.sort_values(key).reset_index(drop=True)
     assert len(got_s) == len(want_s) > 0
     assert got_s[key + ["n_events"]].equals(want_s[key + ["n_events"]])
+
+
+def test_stream_dedup_exactly_once(spark, sf_dir, log_dir, tmp_path):
+    """Feeding every change file twice must produce each (key_id,
+    seq) exactly once — the streaming exactly-once guarantee."""
+    import shutil
+    from pathlib import Path
+
+    from aurora_cdc_demo_spark.streaming.pipelines import (
+        dedup_stream_exactly_once,
+    )
+
+    doubled = tmp_path / "doubled"
+    doubled.mkdir()
+    for f in sorted(Path(log_dir).glob("*.parquet")):
+        shutil.copy(f, doubled / f.name)
+        shutil.copy(f, doubled / f"dup_{f.name}")
+
+    stream = spark.readStream.schema(
+        "key_id long, seq long, operation string, event_type string, "
+        "ts timestamp, value double"
+    ).parquet(str(doubled))
+    q = (
+        dedup_stream_exactly_once(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql(
+        "SELECT key_id, seq, COUNT(*) AS c FROM dedup_stream GROUP BY 1, 2"
+    ).toPandas()
+    assert (got["c"] == 1).all()
+    want = cdc_operation_log(spark, sf_dir).count()
+    assert len(got) == want
