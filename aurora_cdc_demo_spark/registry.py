@@ -790,3 +790,118 @@ def q_range_join_error_windows(spark, sf_dir):
     equi-join (operators/rangejoin.py) — the oracle is the naive
     BETWEEN theta-join."""
     return _rangejoin.range_join_buckets(cdc_operation_log(spark, sf_dir))
+
+
+@query(
+    "sales_cube",
+    oracle="""
+        WITH j AS (
+            SELECT r_name, o_orderstatus,
+                   CAST(o_totalprice AS DECIMAL(12,2)) AS tp
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey)
+        SELECT COALESCE(r_name, 'ALL') AS region_name,
+               COALESCE(o_orderstatus, 'ALL') AS order_status,
+               CAST(SUM(tp) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_orders
+        FROM j GROUP BY CUBE(r_name, o_orderstatus)
+    """,
+)
+def q_sales_cube(spark, sf_dir):
+    """CUBE over (region, order status): all four grouping sets in
+    one pass — map-side partial aggregation expands the grouping-set
+    id, one shuffle total (vs four separate aggregations)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    j = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        j.cube("r_name", "o_orderstatus")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region_name"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("order_status"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+@query(
+    "text_distinctive_tokens",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        , tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY 1, 2)
+        , df AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1)
+        , n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        , ranked AS (
+            SELECT doc_id, t AS token, tf, df,
+                   row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY CAST(tf AS DOUBLE) * n_docs / df DESC, t ASC)
+                       AS rnk
+            FROM tf JOIN df USING (t) CROSS JOIN n)
+        SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+               CAST(df AS BIGINT) AS df, CAST(rnk AS BIGINT) AS rnk
+        FROM ranked WHERE rnk <= 3
+    """,
+)
+def q_text_distinctive_tokens(spark, sf_dir):
+    """Top-3 distinctive tokens per doc, TF-IDF-shaped but log-free:
+    scored by tf * N / df (two exact integer products and ONE double
+    division — identical IEEE ops both engines; ln() is libm-
+    dependent and is the one transcendental we refuse to gate on).
+    df comes from one extra aggregation, broadcast back."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+    )
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("t").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("tf").cast("double") * F.col("n_docs") / F.col("df")).desc(),
+        F.col("t").asc(),
+    )
+    return (
+        tf.join(F.broadcast(df), "t")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            F.col("t").alias("token"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "rnk",
+        )
+    )
+
+
+@query("events_distinct_users_hll")
+def q_events_distinct_users_hll(spark, sf_dir):
+    """HLL sketch cardinality per event type — the sketch path for
+    100 TB distinct counting (constant memory per group vs the exact
+    count's shuffle of every key). No SQL oracle: HLL implementations
+    differ by engine; the driver records a rows-only check and
+    tests/test_sampling.py bounds the error vs the exact count."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

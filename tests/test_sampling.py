@@ -54,3 +54,16 @@ def test_retention_week0_counts_every_user(spark, sf_dir):
         load_table(spark, sf_dir, "events").select("user_id").distinct().count()
     )
     assert week0 == n_users
+
+
+def test_hll_within_rsd_of_exact(spark, sf_dir):
+    got = QUERIES["events_distinct_users_hll"](spark, sf_dir).toPandas()
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+        .toPandas()
+    )
+    m = got.merge(exact, on="event_type")
+    rel_err = (m["approx_users"] - m["exact_users"]).abs() / m["exact_users"]
+    assert (rel_err < 0.10).all()
