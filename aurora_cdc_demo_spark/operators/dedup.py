@@ -462,3 +462,84 @@ SIMHASH_SQL = f"""
     FROM cand
     WHERE bit_count(xor(ah1, bh1)) + bit_count(xor(ah2, bh2)) <= {SIMHASH_MAX_HAMMING}
 """
+
+
+# ---------------------------------------------------------------------------
+# dedup clusters: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters(docs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over the thresholded Jaccard pair graph:
+    every doc labeled with the min doc_id reachable through near-dup
+    edges (the canonical representative a dedup pipeline keeps).
+
+    Pregel-style iterative min-label propagation: each round, every
+    node takes the min of its own label and its neighbors' labels —
+    one equi-join + groupBy per round, converging in O(component
+    diameter) rounds (dup chains are short). The driver loop controls
+    ITERATIONS only; all data movement is distributed joins. Lineage
+    is truncated per round (localCheckpoint) so the plan doesn't grow
+    with iterations. Oracle: DuckDB recursive CTE computing the same
+    transitive closure.
+    """
+    pairs = ngram_jaccard_pairs(docs).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).localCheckpoint()
+    labels = docs.select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["doc_b"] == labels["doc_id"])
+            .groupBy("doc_a")
+            .agg(F.min("cluster_id").alias("_n_min"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["doc_id"] == neigh["doc_a"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("_n_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where("n.cluster_id <> o.cluster_id")
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+DEDUP_CLUSTERS_SQL = f"""
+    WITH RECURSIVE {_SHINGLES_SQL}
+    , inter AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        GROUP BY 1, 2)
+    , pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter p
+        JOIN sc cx ON p.doc_a = cx.doc_id
+        JOIN sc cy ON p.doc_b = cy.doc_id
+        WHERE 10000 * inter >= {JACCARD_THRESHOLD_BP} * (cx.c + cy.c - inter))
+    , edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs)
+    , reach(node, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.b, rr.r FROM reach rr JOIN edges e ON e.a = rr.node)
+    SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+"""

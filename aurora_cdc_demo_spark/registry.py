@@ -905,3 +905,10 @@ def q_events_distinct_users_hll(spark, sf_dir):
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query("dedup_clusters", oracle=_dedup.DEDUP_CLUSTERS_SQL)
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over near-dup pairs (iterative min-label
+    propagation vs a recursive-CTE oracle)."""
+    return _dedup.dedup_clusters(load_table(spark, sf_dir, "documents"))

@@ -56,3 +56,20 @@ def test_simhash_pairs_symmetric_free(spark, sf_dir):
     """doc_a < doc_b convention: no self or inverted duplicates."""
     pairs = QUERIES["dedup_simhash"](spark, sf_dir)
     assert pairs.where(F.col("doc_a") >= F.col("doc_b")).count() == 0
+
+
+def test_clusters_consistent_with_pairs(spark, sf_dir):
+    """Both endpoints of every near-dup pair share a cluster, and
+    every cluster id is the min doc_id of its members."""
+    labels = QUERIES["dedup_clusters"](spark, sf_dir)
+    pairs = QUERIES["dedup_ngram_jaccard"](spark, sf_dir)
+    la = labels.select(
+        F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("ca")
+    )
+    lb = labels.select(
+        F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("cb")
+    )
+    joined = pairs.join(la, "doc_a").join(lb, "doc_b")
+    assert joined.where("ca <> cb").count() == 0
+    mins = labels.groupBy("cluster_id").agg(F.min("doc_id").alias("m"))
+    assert mins.where("cluster_id <> m").count() == 0
