@@ -186,3 +186,26 @@ def priority_schedule(log: DataFrame, batch_size: int = 50) -> DataFrame:
         .withColumn("batch_rank", F.row_number().over(w).cast("long"))
         .withColumn("in_next_batch", F.col("batch_rank") <= batch_size)
     )
+
+
+def upsert_merge_evolving(
+    snapshot: DataFrame, changes: DataFrame, key: str | list[str] = "key_id"
+) -> DataFrame:
+    """Schema-evolving MERGE: the change batch may carry columns the
+    snapshot lacks (the reference's schema_version / ddl events add
+    columns mid-stream; Delta calls this mergeSchema). Both sides are
+    aligned to the UNION of their columns with typed nulls for the
+    missing ones, then merged with the standard semantics — existing
+    rows get NULL for newborn columns, exactly like an ALTER TABLE
+    ADD COLUMN backfill."""
+    s_fields = {f.name: f.dataType for f in snapshot.schema.fields}
+    c_fields = {f.name: f.dataType for f in changes.schema.fields}
+    all_cols = list(snapshot.columns) + [
+        c for c in changes.columns if c not in s_fields
+    ]
+    for col in all_cols:
+        if col not in s_fields:
+            snapshot = snapshot.withColumn(col, F.lit(None).cast(c_fields[col]))
+        if col not in c_fields:
+            changes = changes.withColumn(col, F.lit(None).cast(s_fields[col]))
+    return upsert_merge(snapshot.select(all_cols), changes.select(all_cols), key)

@@ -912,3 +912,99 @@ def q_dedup_clusters(spark, sf_dir):
     """Connected components over near-dup pairs (iterative min-label
     propagation vs a recursive-CTE oracle)."""
     return _dedup.dedup_clusters(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "cdc_freshness",
+    oracle=_with_log(
+        """
+        , hi AS (SELECT MAX(ts) AS max_ts FROM log)
+        SELECT operation,
+               MAX(ts) AS last_event,
+               (epoch_us(max_ts) - epoch_us(MAX(ts))) // 1000000
+                   AS lag_seconds,
+               COUNT(*) AS n_events
+        FROM log CROSS JOIN hi
+        GROUP BY operation, max_ts
+        """
+    ),
+)
+def q_cdc_freshness(spark, sf_dir):
+    """Per-operation replication freshness: lag of each operation's
+    latest event behind the head of the stream (the reference's
+    processing-lag monitor, made deterministic by measuring against
+    the stream head instead of wall clock)."""
+    log = cdc_operation_log(spark, sf_dir)
+    hi = log.agg(F.max("ts").alias("max_ts"))
+    return (
+        log.crossJoin(F.broadcast(hi))
+        .groupBy("operation", "max_ts")
+        .agg(
+            F.max("ts").alias("last_event"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "operation",
+            "last_event",
+            (
+                (F.unix_micros(F.col("max_ts")) - F.unix_micros(F.col("last_event")))
+                / 1_000_000
+            )
+            .cast("long")
+            .alias("lag_seconds"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "events_value_median",
+    oracle="""
+        WITH ranked AS (
+            SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY value ASC, event_id ASC) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM events)
+        SELECT event_type,
+               CAST(SUM(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
+                             THEN v ELSE CAST(0.00 AS DECIMAL(12,2)) END)
+                    * 100 AS BIGINT) AS median2_centi,
+               MAX(n) AS n
+        FROM ranked GROUP BY event_type
+    """,
+)
+def q_events_value_median(spark, sf_dir):
+    """Exact median value per event type via rank positions.
+    Output is the SUM of the two middle 2-decimal values in
+    centi-units (median*2*100 — callers halve): halving would create
+    x.5 decimals whose int cast ROUNDS in DuckDB but TRUNCATES in
+    Spark. Engine percentile builtins interpolate differently, so
+    the rank formulation is the cross-engine-safe exact quantile."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        F.col("value").cast("decimal(12,2)").alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mid = (
+        (F.col("rn") == F.expr("(n + 1) div 2"))
+        | (F.col("rn") == F.expr("(n + 2) div 2"))
+    )
+    return ranked.groupBy("event_type").agg(
+        (
+            F.sum(F.when(mid, F.col("v")).otherwise(F.lit(0.00).cast("decimal(12,2)")))
+            * 100
+        )
+        .cast("long")
+        .alias("median2_centi"),
+        F.max("n").cast("long").alias("n"),
+    )

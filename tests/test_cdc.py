@@ -99,3 +99,35 @@ def test_workload_generator_deterministic_and_weighted(spark):
     state = latest_state(df)
     assert state.count() > 0
     assert state.groupBy("key_id").count().agg({"count": "max"}).collect()[0][0] == 1
+
+
+def test_upsert_merge_evolving_schema(spark, sf_dir):
+    """A change batch adding a column merges: old rows null-filled,
+    changed/new rows carry the value, deletes still drop."""
+    from aurora_cdc_demo_spark.operators.cdc_apply import (
+        latest_state,
+        net_changes,
+        upsert_merge_evolving,
+    )
+    from aurora_cdc_demo_spark.sources.cdc_log import cdc_operation_log
+    from pyspark.sql import functions as F
+
+    log = cdc_operation_log(spark, sf_dir)
+    split = F.to_timestamp(F.lit("2024-01-16 00:00:00"))
+    snapshot = latest_state(log.where(F.col("ts") < split))
+    changes = net_changes(log.where(F.col("ts") >= split)).withColumn(
+        "schema_version", F.lit(2)
+    )
+    merged = upsert_merge_evolving(snapshot, changes)
+    assert "schema_version" in merged.columns
+    # rows taken from the change side carry v2; untouched rows are null
+    changed_keys = changes.select("key_id").distinct()
+    from_change = merged.join(changed_keys, "key_id")
+    untouched = merged.join(changed_keys, "key_id", "left_anti")
+    assert from_change.where(F.col("schema_version").isNull()).count() == 0
+    assert untouched.where(F.col("schema_version").isNotNull()).count() == 0
+    # same row set as the non-evolving merge
+    from aurora_cdc_demo_spark.operators.cdc_apply import upsert_merge
+
+    plain = upsert_merge(snapshot, net_changes(log.where(F.col("ts") >= split)))
+    assert merged.count() == plain.count()
