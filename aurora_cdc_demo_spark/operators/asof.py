@@ -27,13 +27,22 @@ def asof_join(
     build_seq: str | None = None,
     build_payload: list[str] | None = None,
     prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join: probe columns + latest build payload columns
-    (renamed ``{prefix}{col}``) with build_ts <= probe_ts per key.
+    """Left as-of join: probe columns + matched build payload columns
+    (renamed ``{prefix}{col}``) per key —
+
+    - ``direction="backward"`` (default): latest build row with
+      build_ts <= probe_ts;
+    - ``direction="forward"``: earliest build row with
+      build_ts >= probe_ts (the scan runs in reverse time order,
+      same single shuffle + running window).
 
     ``build_seq`` (unique within key+ts) makes equal-timestamp build
-    rows deterministically ordered.
+    rows deterministically ordered (min seq wins in forward mode).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
     payload = build_payload or [c for c in build.columns if c not in (key, build_ts)]
     b = build.select(
         F.col(key).alias("_k"),
@@ -54,9 +63,13 @@ def asof_join(
         F.lit(None).cast(b.schema["_payload"].dataType).alias("_payload"),
         *probe.columns,
     )
+    if direction == "backward":
+        order = [F.col("_ts").asc(), F.col("_side").asc(), F.col("_ord").asc()]
+    else:
+        order = [F.col("_ts").desc(), F.col("_side").asc(), F.col("_ord").desc()]
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_ord").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     unioned = b.unionByName(p).withColumn(

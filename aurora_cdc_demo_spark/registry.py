@@ -1008,3 +1008,154 @@ def q_events_value_median(spark, sf_dir):
         .alias("median2_centi"),
         F.max("n").cast("long").alias("n"),
     )
+
+
+@query(
+    "events_pivot_optype",
+    oracle=_with_log(
+        """
+        SELECT key_id,
+               CAST(SUM(CASE WHEN operation = 'INSERT' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_insert,
+               CAST(SUM(CASE WHEN operation = 'UPDATE' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_update,
+               CAST(SUM(CASE WHEN operation = 'DELETE' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_delete
+        FROM log GROUP BY key_id
+        """
+    ),
+)
+def q_events_pivot_optype(spark, sf_dir):
+    """Operation-count matrix per key via pivot — Spark's pivot
+    compiles to the same single-pass conditional aggregation the
+    oracle spells out (values enumerated, so no extra distinct
+    pass)."""
+    log = cdc_operation_log(spark, sf_dir)
+    return (
+        log.groupBy("key_id")
+        .pivot("operation", ["INSERT", "UPDATE", "DELETE"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "key_id",
+            F.coalesce(F.col("INSERT"), F.lit(0)).cast("long").alias("n_insert"),
+            F.coalesce(F.col("UPDATE"), F.lit(0)).cast("long").alias("n_update"),
+            F.coalesce(F.col("DELETE"), F.lit(0)).cast("long").alias("n_delete"),
+        )
+    )
+
+
+@query(
+    "dq_audit",
+    oracle="""
+        SELECT 'orphan_lineitems' AS check_name,
+               CAST(COUNT(*) AS BIGINT) AS n_bad
+        FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        UNION ALL
+        SELECT 'orphan_orders',
+               CAST(COUNT(*) AS BIGINT)
+        FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        UNION ALL
+        SELECT 'negative_price',
+               CAST(COUNT(*) AS BIGINT)
+        FROM lineitem WHERE l_extendedprice < 0
+        UNION ALL
+        SELECT 'dup_order_line',
+               CAST(COUNT(*) AS BIGINT) FROM (
+            SELECT l_orderkey, l_linenumber FROM lineitem
+            GROUP BY 1, 2 HAVING COUNT(*) > 1)
+        UNION ALL
+        SELECT 'ship_before_order',
+               CAST(COUNT(*) AS BIGINT)
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate < o_orderdate
+    """,
+)
+def q_dq_audit(spark, sf_dir):
+    """Referential-integrity / sanity audit over the landed warehouse
+    — the data-quality gate an ETL pipeline runs after each load:
+    orphan FKs (anti-joins), value bounds, duplicate natural keys,
+    causality (ship >= order date). Each check is one distributed
+    aggregate; the union is a tiny driver-side concat of 1-row
+    results."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def one(name, df):
+        return df.agg(F.count(F.lit(1)).alias("n_bad")).select(
+            F.lit(name).alias("check_name"), "n_bad"
+        )
+
+    orphan_li = li.join(
+        orders.select("o_orderkey"),
+        li["l_orderkey"] == orders["o_orderkey"],
+        "left_anti",
+    )
+    orphan_orders = orders.join(
+        cust.select("c_custkey"),
+        orders["o_custkey"] == cust["c_custkey"],
+        "left_anti",
+    )
+    neg_price = li.where(F.col("l_extendedprice") < 0)
+    dup_lines = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+    )
+    ship_early = li.join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).where(F.col("l_shipdate") < F.col("o_orderdate"))
+    return (
+        one("orphan_lineitems", orphan_li)
+        .unionByName(one("orphan_orders", orphan_orders))
+        .unionByName(one("negative_price", neg_price))
+        .unionByName(one("dup_order_line", dup_lines))
+        .unionByName(one("ship_before_order", ship_early))
+    )
+
+
+@query(
+    "asof_order_event_forward",
+    oracle="""
+        WITH ev AS (
+            SELECT user_id AS key_id, event_id AS seq, ts, value, event_type
+            FROM events)
+        , purchases AS (
+            SELECT key_id, seq AS purchase_seq, ts AS purchase_ts
+            FROM ev WHERE event_type = 'purchase')
+        , clicks AS (
+            SELECT key_id, seq, ts, value FROM ev WHERE event_type = 'click')
+        SELECT p.key_id, p.purchase_seq, p.purchase_ts,
+               n.ts AS asof_ts, n.seq AS asof_seq, n.value AS asof_value
+        FROM purchases p
+        LEFT JOIN LATERAL (
+            SELECT c.ts, c.seq, c.value FROM clicks c
+            WHERE c.key_id = p.key_id AND c.ts >= p.purchase_ts
+            ORDER BY c.ts ASC, c.seq ASC LIMIT 1) n ON TRUE
+    """,
+)
+def q_asof_order_event_forward(spark, sf_dir):
+    """Forward as-of: first click at-or-after each purchase per user
+    (next-touch attribution). Same union+running-window plan as the
+    backward as-of, scanned in reverse time order; oracle is a
+    LATERAL top-1 subquery."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("key_id"),
+        F.col("event_id").alias("purchase_seq"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("key_id"),
+        F.col("event_id").alias("seq"),
+        "ts",
+        "value",
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        key="key_id",
+        probe_ts="purchase_ts",
+        build_seq="seq",
+        direction="forward",
+    )
