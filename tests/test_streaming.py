@@ -218,3 +218,115 @@ def test_stream_dedup_exactly_once(spark, sf_dir, log_dir, tmp_path):
     assert (got["c"] == 1).all()
     want = cdc_operation_log(spark, sf_dir).count()
     assert len(got) == want
+
+
+def test_restart_from_checkpoint_exactly_once(spark, sf_dir, log_dir, tmp_path):
+    """Stop after the first file, restart from the SAME checkpoint
+    with more files present: the resumed query must process only the
+    unseen files, and the final merged state must equal the batch
+    recompute — exactly-once across restarts."""
+    import shutil
+    from pathlib import Path
+
+    schema = (
+        "key_id long, seq long, operation string, event_type string, "
+        "ts timestamp, value double"
+    )
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    files = sorted(Path(log_dir).glob("*.parquet"))
+    assert len(files) >= 2
+    shutil.copy(files[0], incoming / files[0].name)
+
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    ckpt = str(tmp_path / "ckpt_restart")
+
+    # phase 1: only the first file exists
+    stream1 = spark.readStream.schema(schema).parquet(str(incoming))
+    q1 = store.start(stream1, ckpt)
+    q1.awaitTermination(300)
+
+    # phase 2: the rest arrive; restart from the same checkpoint
+    for f in files[1:]:
+        shutil.copy(f, incoming / f.name)
+    stream2 = spark.readStream.schema(schema).parquet(str(incoming))
+    q2 = store.start(stream2, ckpt)
+    q2.awaitTermination(300)
+
+    got = spark.read.parquet(str(tmp_path / "state"))
+    want = latest_state(cdc_operation_log(spark, sf_dir))
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """An event arriving far behind the watermark must not count into
+    its (already finalized) window — the late-data contract of the
+    monitoring aggregation."""
+    from datetime import datetime
+
+    schema = (
+        "key_id long, seq long, operation string, event_type string, "
+        "ts timestamp, value double"
+    )
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / "stage" / name))
+        import shutil
+        from pathlib import Path
+
+        for i, f in enumerate(
+            sorted((tmp_path / "stage" / name).glob("*.parquet"))
+        ):
+            shutil.copy(f, tmp_path / "in" / f"{name}_{i}.parquet")
+
+    (tmp_path / "in").mkdir()
+    h = lambda hh, mm=0: datetime(2024, 3, 1, hh, mm)
+    import time
+
+    # Spark's guarantee is drop-after-eviction (late data arriving in
+    # the SAME batch that evicts its window may still be merged), so
+    # the late row must arrive one batch after the eviction batch:
+    #   batch0: hour-0 rows + 02:30 (advances wm to 02:00 at commit)
+    #   batch1: fresh row -> hour-0 evicted + emitted with count 2
+    #   batch2: too-late hour-0 row -> guaranteed dropped
+    batches = [
+        [
+            (1, 1, "INSERT", "click", h(0, 10), 1.0),
+            (2, 2, "INSERT", "click", h(0, 20), 1.0),
+            (3, 3, "INSERT", "click", h(2, 30), 1.0),
+        ],
+        [(5, 5, "INSERT", "click", h(5, 0), 1.0)],
+        [(4, 4, "INSERT", "click", h(0, 5), 1.0)],
+    ]
+    for n, rows in enumerate(batches):
+        write_batch(f"{n:02d}", rows)
+        time.sleep(1.1)  # distinct mtimes -> maxFilesPerTrigger splits
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "in"))
+        .withWatermark("ts", "30 minutes")
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "operation")
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(F.col("w.start").alias("window_start"), "event_count")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_windows")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("SELECT * FROM late_windows").toPandas()
+    hour0 = got[got["window_start"] == h(0)]
+    # the hour-0 window was finalized with 2 events; the late event
+    # (seq 4) must have been dropped
+    assert len(hour0) == 1 and hour0["event_count"].iloc[0] == 2
