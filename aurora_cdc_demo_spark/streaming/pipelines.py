@@ -89,18 +89,34 @@ class ParquetStateStore:
             return None
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Idempotent, atomic batch apply. foreachBatch MAY re-deliver
+        a batch id after a failure; the marker file short-circuits the
+        replay (the merge itself is idempotent — pytest property — but
+        skipping avoids re-paying the work and generalizes to
+        non-idempotent sinks). The new state is staged to a side dir
+        and swapped in, so a crash mid-write leaves the previous state
+        intact (the no-Delta analog of transactional commit)."""
+        import shutil
+        from pathlib import Path
+
+        marker = Path(self.state_dir + ".last_batch")
+        if marker.exists() and marker.read_text() == str(batch_id):
+            return  # replayed delivery — already applied
         net = net_changes(batch_df, key=self.key)
         state = self._read_state()
         if state is None:
             merged = net.where(F.col("operation") != "DELETE")
         else:
             merged = upsert_merge(state, net, key=self.key)
-        # overwrite via temp dir staging is unnecessary in tests;
-        # cache to cut the lineage before overwriting the input path
-        out = merged.cache()
-        out.count()
-        out.write.mode("overwrite").parquet(self.state_dir)
-        out.unpersist()
+        staging = self.state_dir + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        old = self.state_dir + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if Path(self.state_dir).exists():
+            Path(self.state_dir).rename(old)
+        Path(staging).rename(self.state_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        marker.write_text(str(batch_id))
 
     def start(self, stream: DataFrame, checkpoint_dir: str):
         return (

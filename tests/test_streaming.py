@@ -330,3 +330,18 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # the hour-0 window was finalized with 2 events; the late event
     # (seq 4) must have been dropped
     assert len(hour0) == 1 and hour0["event_count"].iloc[0] == 2
+
+
+def test_foreachbatch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Re-delivering the SAME batch id (foreachBatch's failure
+    contract) must be a no-op; a different id applies normally."""
+    log = cdc_operation_log(spark, sf_dir).limit(200)
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    store.apply_batch(log, 0)
+    once = spark.read.parquet(str(tmp_path / "state")).toPandas()
+    store.apply_batch(log, 0)  # replay of batch 0
+    replay = spark.read.parquet(str(tmp_path / "state")).toPandas()
+    cols = list(once.columns)
+    assert once.sort_values(cols).reset_index(drop=True).equals(
+        replay.sort_values(cols).reset_index(drop=True)
+    )
