@@ -1159,3 +1159,55 @@ def q_asof_order_event_forward(spark, sf_dir):
         build_seq="seq",
         direction="forward",
     )
+
+
+from .sources import debezium as _debezium  # noqa: E402
+
+
+@query(
+    "debezium_silver_parse",
+    oracle=_with_log(_debezium.DEBEZIUM_SILVER_SQL_BODY),
+)
+def q_debezium_silver_parse(spark, sf_dir):
+    """Debezium-envelope roundtrip (reference debezium-approach
+    medallion): CDC log -> JSON envelopes (bronze) -> from_json parse
+    + op mapping + expectation filter (silver). The oracle derives
+    the expected silver rows from plain SQL — losslessness check."""
+    log = cdc_operation_log(spark, sf_dir)
+    return _debezium.parse_envelopes(_debezium.synth_envelopes(log))
+
+
+@query(
+    "cdc_throughput_1min",
+    oracle=_with_log(
+        """
+        SELECT date_trunc('minute', ts) AS minute_start,
+               operation,
+               COUNT(*) AS events_per_minute,
+               COUNT(*) / 60.0 AS events_per_second,
+               COUNT(*) < 10 AS low_volume_flag
+        FROM log GROUP BY 1, 2
+        """
+    ),
+)
+def q_cdc_throughput_1min(spark, sf_dir):
+    """Per-minute throughput view with low-volume quality flag
+    (reference: debezium-approach v_cdc_throughput +
+    cdc_quality_metrics flags; wall-clock latency flags omitted —
+    non-deterministic). count/60.0 is one IEEE double division,
+    identical on both engines."""
+    log = cdc_operation_log(spark, sf_dir)
+    return (
+        log.groupBy(
+            F.date_trunc("minute", F.col("ts")).alias("minute_start"),
+            "operation",
+        )
+        .agg(F.count(F.lit(1)).alias("events_per_minute"))
+        .select(
+            "minute_start",
+            "operation",
+            "events_per_minute",
+            (F.col("events_per_minute") / 60.0).alias("events_per_second"),
+            (F.col("events_per_minute") < 10).alias("low_volume_flag"),
+        )
+    )

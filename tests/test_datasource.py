@@ -135,3 +135,26 @@ def test_streaming_query_end_to_end(registered, binlog_dir, tmp_path):
         time.sleep(1)
     q.stop()
     assert total == n
+
+
+def test_debezium_dlq_partitions_the_stream(spark, sf_dir):
+    """Silver rows + dead letters partition the bronze stream: every
+    envelope lands in exactly one of the two."""
+    from aurora_cdc_demo_spark.sources.cdc_log import cdc_operation_log
+    from aurora_cdc_demo_spark.sources.debezium import (
+        CORRUPT_EVERY,
+        dead_letters,
+        parse_envelopes,
+        synth_envelopes,
+    )
+
+    log = cdc_operation_log(spark, sf_dir)
+    bronze = synth_envelopes(log)
+    n_total = bronze.count()
+    n_silver = parse_envelopes(bronze).count()
+    dlq = dead_letters(bronze)
+    n_dlq = dlq.count()
+    assert n_silver + n_dlq == n_total
+    # the corrupted slice is exactly the DLQ
+    assert n_dlq == log.where(f"seq % {CORRUPT_EVERY} = 0").count()
+    assert dlq.where("error_type <> 'PARSE_ERROR'").count() == 0
