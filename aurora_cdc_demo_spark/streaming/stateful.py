@@ -49,26 +49,56 @@ SESSION_STATE_SCHEMA = StructType(
 def _sessionize_group(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
+    """Vectorized gap-sessionization of one key's batch rows.
+
+    Session boundaries are where the inter-event gap exceeds GAP_US —
+    np.diff + reduceat instead of a per-row Python loop (the loop was
+    the throughput ceiling of the Arrow worker: ~3x slower at sf0.1).
+    """
+    import numpy as np
+
     (key_id,) = key
     if state.exists:
         start_us, end_us, n_events, sum_value = state.get
     else:
         start_us, end_us, n_events, sum_value = None, None, 0, 0.0
 
+    chunks = [pdf for pdf in pdfs if len(pdf)]
     closed: list[tuple] = []
-    for pdf in pdfs:
+    if chunks:
+        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
         pdf = pdf.sort_values(["ts", "seq"])
-        ts_us = pdf["ts"].astype("int64")  # ns -> but pandas ts is ns
-        ts_us = (ts_us // 1000).tolist()
-        vals = pdf["value"].tolist()
-        for t, v in zip(ts_us, vals):
-            if start_us is None:
-                start_us, end_us, n_events, sum_value = t, t, 1, v
-            elif t - end_us > GAP_US:
+        ts = pdf["ts"].to_numpy("datetime64[ns]").astype("int64") // 1000
+        vals = pdf["value"].to_numpy("float64")
+
+        new_sess = np.zeros(len(ts), dtype=bool)
+        new_sess[1:] = np.diff(ts) > GAP_US
+        new_sess[0] = start_us is None or (ts[0] - end_us) > GAP_US
+
+        starts_idx = np.flatnonzero(new_sess)
+        bounds = np.append(starts_idx, len(ts))
+        seg_start = ts[bounds[:-1]]
+        seg_end = ts[bounds[1:] - 1]
+        seg_n = np.diff(bounds)
+        seg_sum = np.add.reduceat(vals, bounds[:-1])
+
+        if start_us is not None:
+            if new_sess[0]:
+                # gap before this batch: the carried session closes
                 closed.append((key_id, start_us, end_us, n_events, sum_value))
-                start_us, end_us, n_events, sum_value = t, t, 1, v
             else:
-                end_us, n_events, sum_value = t, n_events + 1, sum_value + v
+                # first segment continues the carried session
+                seg_start[0] = start_us
+                seg_n[0] += n_events
+                seg_sum[0] += sum_value
+        closed.extend(
+            (key_id, int(seg_start[j]), int(seg_end[j]), int(seg_n[j]),
+             float(seg_sum[j]))
+            for j in range(len(seg_start) - 1)
+        )
+        last = len(seg_start) - 1
+        start_us, end_us = int(seg_start[last]), int(seg_end[last])
+        n_events, sum_value = int(seg_n[last]), float(seg_sum[last])
 
     state.update((start_us, end_us, n_events, float(sum_value)))
     if closed:
