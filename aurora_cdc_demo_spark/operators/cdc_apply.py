@@ -209,3 +209,32 @@ def upsert_merge_evolving(
         if col not in c_fields:
             changes = changes.withColumn(col, F.lit(None).cast(s_fields[col]))
     return upsert_merge(snapshot.select(all_cols), changes.select(all_cols), key)
+
+
+def latest_state_agg(
+    log: DataFrame, key: str | list[str] = "key_id", ts: str = "ts", seq: str = "seq"
+) -> DataFrame:
+    """latest_state as ONE hash aggregate (max_by on a sortable
+    composite key) instead of a window sort.
+
+    Tradeoff vs the window implementation: the window shuffles EVERY
+    row then sorts within partitions; this aggregate gets map-side
+    partial max_by, so the shuffle carries at most one row per
+    (key x mapper) — at 100 TB with bounded key cardinality that is
+    orders of magnitude less network. Locally at sf0.1 the window is
+    slightly faster (whole-stage sort on in-memory data beats the
+    per-row string key build), so both live here and the 100 TB
+    deployment picks the aggregate. Results are identical (pytest +
+    oracle)."""
+    okey = F.concat(
+        F.lpad(F.unix_micros(F.col(ts)).cast("string"), 20, "0"),
+        F.lpad(F.col(seq).cast("string"), 10, "0"),
+    )
+    keys = _key_cols(key)
+    payload = [c for c in log.columns if c not in keys]
+    agg = log.groupBy(*keys).agg(
+        F.max_by(F.struct(*payload), okey).alias("_r")
+    )
+    return agg.where(F.col("_r.operation") != "DELETE").select(
+        *keys, *[F.col(f"_r.{c}").alias(c) for c in payload]
+    )

@@ -1211,3 +1211,26 @@ def q_cdc_throughput_1min(spark, sf_dir):
             (F.col("events_per_minute") < 10).alias("low_volume_flag"),
         )
     )
+
+
+@query(
+    "cdc_latest_state_agg",
+    oracle=_with_log(
+        """
+        , keyed AS (
+            SELECT *,
+                   lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                   || lpad(CAST(seq AS VARCHAR), 10, '0') AS okey
+            FROM log)
+        , mx AS (SELECT key_id, MAX(okey) AS mo FROM keyed GROUP BY key_id)
+        SELECT k.key_id, k.seq, k.operation, k.event_type, k.ts, k.value
+        FROM keyed k JOIN mx ON k.key_id = mx.key_id AND k.okey = mx.mo
+        WHERE k.operation <> 'DELETE'
+        """
+    ),
+)
+def q_cdc_latest_state_agg(spark, sf_dir):
+    """Aggregate (max_by) twin of cdc_latest_state — the
+    shuffle-minimal variant for bounded key cardinality at 100 TB
+    (map-side partial max vs full-row window shuffle)."""
+    return cdc_apply.latest_state_agg(cdc_operation_log(spark, sf_dir))

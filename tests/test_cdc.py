@@ -131,3 +131,17 @@ def test_upsert_merge_evolving_schema(spark, sf_dir):
 
     plain = upsert_merge(snapshot, net_changes(log.where(F.col("ts") >= split)))
     assert merged.count() == plain.count()
+
+
+def test_latest_state_agg_equals_window(spark, sf_dir):
+    from aurora_cdc_demo_spark.operators.cdc_apply import (
+        latest_state,
+        latest_state_agg,
+    )
+    from aurora_cdc_demo_spark.sources.cdc_log import cdc_operation_log
+
+    log = cdc_operation_log(spark, sf_dir)
+    a = latest_state(log)
+    b = latest_state_agg(log).select(*a.columns)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0
