@@ -548,3 +548,115 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         F.sum(_money("c_acctbal")).cast("double").alias("totacctbal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q9 / Q11 on a DERIVED partsupp (testdata has no partsupp table; a
+# deterministic hash-derived one runs identically in both engines, so
+# the classic query shapes stay oracle-checkable)
+# ---------------------------------------------------------------------------
+
+
+def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic partsupp: supplier s stocks part p iff
+    (p_partkey + s_suppkey) % 10 < 2 (~20% density);
+    ps_supplycost = ((p*31 + s*17) % 9000 + 1000) / 100  (10.00-99.99),
+    ps_availqty  = (p*7 + s*13) % 1000 + 1.
+    Pure integer arithmetic — bit-equal cross-engine."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    joined = part.crossJoin(F.broadcast(supp)).where(
+        (F.col("p_partkey") + F.col("s_suppkey")) % 10 < 2
+    )
+    return joined.select(
+        F.col("p_partkey").alias("ps_partkey"),
+        F.col("s_suppkey").alias("ps_suppkey"),
+        (
+            ((F.col("p_partkey") * 31 + F.col("s_suppkey") * 17) % 9000 + 1000)
+            .cast("decimal(12,2)")
+            / 100
+        ).cast("decimal(12,2)").alias("ps_supplycost"),
+        ((F.col("p_partkey") * 7 + F.col("s_suppkey") * 13) % 1000 + 1)
+        .cast("long")
+        .alias("ps_availqty"),
+    )
+
+
+PARTSUPP_SQL = """
+    partsupp AS (
+        SELECT p_partkey AS ps_partkey, s_suppkey AS ps_suppkey,
+               CAST(CAST((p_partkey * 31 + s_suppkey * 17) % 9000 + 1000
+                    AS DECIMAL(12,2)) / 100 AS DECIMAL(12,2)) AS ps_supplycost,
+               CAST((p_partkey * 7 + s_suppkey * 13) % 1000 + 1 AS BIGINT)
+                   AS ps_availqty
+        FROM part CROSS JOIN supplier
+        WHERE (p_partkey + s_suppkey) % 10 < 2)
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9: profit (revenue - supply cost) per supplier nation and
+    order year, for STANDARD-type parts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    nation = load_table(spark, sf_dir, "nation")
+    ps = derived_partsupp(spark, sf_dir)
+    profit = _rev() - F.col("ps_supplycost") * _money("l_quantity")
+    joined = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            ps,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_trunc("year", F.col("o_orderdate")).alias("o_year"),
+        )
+        .agg(F.sum(profit).alias("_profit"), F.count(F.lit(1)).alias("n_lines"))
+        .select(
+            "nation",
+            "o_year",
+            F.col("_profit").cast("double").alias("sum_profit"),
+            "n_lines",
+        )
+    )
+
+
+def q11_inventory_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11: per-part inventory value (supplycost * availqty) for one
+    nation's suppliers, keeping parts whose value exceeds 1/1000 of
+    the nation total — the threshold compare is cross-multiplied
+    decimals (exact)."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name") == "NATION_1"
+    )
+    ps = derived_partsupp(spark, sf_dir)
+    scoped = ps.join(
+        F.broadcast(
+            supp.join(
+                F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+            ).select("s_suppkey")
+        ),
+        F.col("ps_suppkey") == F.col("s_suppkey"),
+    )
+    per_part = scoped.groupBy("ps_partkey").agg(
+        F.sum(F.col("ps_supplycost") * F.col("ps_availqty")).alias("_val")
+    )
+    total = per_part.agg(F.sum("_val").alias("_total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("_val") * 1000 > F.col("_total"))
+        .select(
+            "ps_partkey",
+            F.col("_val").cast("double").alias("inventory_value"),
+        )
+    )

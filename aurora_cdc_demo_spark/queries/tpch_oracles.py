@@ -277,3 +277,39 @@ TPCH_ORACLES: dict[str, str] = {
           ON p.key_id = c.key_id AND c.ts <= p.purchase_ts
     """,
 }
+
+from .tpch import PARTSUPP_SQL as _PS  # noqa: E402
+
+TPCH_ORACLES["q9_product_profit"] = f"""
+    WITH {_PS}
+    SELECT n_name AS nation,
+           date_trunc('year', o_orderdate) AS o_year,
+           CAST(SUM({_REV} - ps_supplycost
+                    * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+               AS sum_profit,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_type = 'STANDARD'
+    GROUP BY 1, 2
+"""
+
+TPCH_ORACLES["q11_inventory_value"] = f"""
+    WITH {_PS}
+    , scoped AS (
+        SELECT ps_partkey, ps_supplycost, ps_availqty
+        FROM partsupp
+        JOIN supplier ON ps_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_1')
+    , per_part AS (
+        SELECT ps_partkey, SUM(ps_supplycost * ps_availqty) AS val
+        FROM scoped GROUP BY 1)
+    , tot AS (SELECT SUM(val) AS total FROM per_part)
+    SELECT ps_partkey, CAST(val AS DOUBLE) AS inventory_value
+    FROM per_part, tot WHERE val * 1000 > total
+"""

@@ -275,6 +275,8 @@ for _name, _fn in [
     ("q18_large_volume_customers", tpch.q18_large_volume_customers),
     ("q19_bracket_revenue", tpch.q19_bracket_revenue),
     ("q22_dormant_customers", tpch.q22_dormant_customers),
+    ("q9_product_profit", tpch.q9_product_profit),
+    ("q11_inventory_value", tpch.q11_inventory_value),
 ]:
     query(_name, oracle=TPCH_ORACLES[_name])(_fn)
 

@@ -30,6 +30,8 @@ TPCH_QUERIES = [
     "q18_large_volume_customers",
     "q19_bracket_revenue",
     "q22_dormant_customers",
+    "q9_product_profit",
+    "q11_inventory_value",
 ]
 
 
