@@ -1236,3 +1236,133 @@ def q_cdc_latest_state_agg(spark, sf_dir):
     shuffle-minimal variant for bounded key cardinality at 100 TB
     (map-side partial max vs full-row window shuffle)."""
     return cdc_apply.latest_state_agg(cdc_operation_log(spark, sf_dir))
+
+
+_KEEP_QUALITY_BP = 5000
+
+
+@query(
+    "corpus_keep_list",
+    oracle=f"""
+        WITH RECURSIVE {_dedup._SHINGLES_SQL}
+        , inter AS (
+            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS inter
+            FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+            GROUP BY 1, 2)
+        , pairs AS (
+            SELECT doc_a, doc_b FROM inter p
+            JOIN sc cx ON p.doc_a = cx.doc_id
+            JOIN sc cy ON p.doc_b = cy.doc_id
+            WHERE 10000 * inter >= {_dedup.JACCARD_THRESHOLD_BP}
+                  * (cx.c + cy.c - inter))
+        , edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs)
+        , reach(node, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.b, rr.r FROM reach rr JOIN edges e ON e.a = rr.node)
+        , clusters AS (
+            SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node)
+        , exact AS (
+            SELECT doc_id,
+                   doc_id = MIN(doc_id) OVER (
+                       PARTITION BY md5(regexp_replace(lower(trim(text)),
+                                                       '\\s+', ' ', 'g'))
+                   ) AS is_canonical
+            FROM documents)
+        , q AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        x -> x IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS stop,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                       AS uniq
+            FROM documents)
+        , quality AS (
+            SELECT doc_id,
+                   (300000 * uniq + 300000 * (n - stop)
+                    + 4000 * n * LEAST(n, 100)) // (100 * n) AS quality_bp
+            FROM q)
+        , samp AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 10000
+                       < CAST({_sampling._rate_case_sql()} AS BIGINT)
+                       AS in_sample
+            FROM documents)
+        SELECT d.doc_id,
+               e.is_canonical AS exact_canonical,
+               c.cluster_id = d.doc_id AS cluster_canonical,
+               qu.quality_bp >= {_KEEP_QUALITY_BP} AS quality_ok,
+               s.in_sample,
+               e.is_canonical AND c.cluster_id = d.doc_id
+                   AND qu.quality_bp >= {_KEEP_QUALITY_BP} AND s.in_sample
+                   AS keep,
+               CASE WHEN NOT e.is_canonical THEN 'exact_dup'
+                    WHEN c.cluster_id <> d.doc_id THEN 'near_dup'
+                    WHEN qu.quality_bp < {_KEEP_QUALITY_BP} THEN 'low_quality'
+                    WHEN NOT s.in_sample THEN 'sampled_out'
+                    ELSE 'keep' END AS decision
+        FROM documents d
+        JOIN exact e USING (doc_id)
+        JOIN clusters c USING (doc_id)
+        JOIN quality qu USING (doc_id)
+        JOIN samp s USING (doc_id)
+    """,
+)
+def q_corpus_keep_list(spark, sf_dir):
+    """THE training-data pipeline artifact: per-document keep/drop
+    decision composing exact dedup (canonical per normalized-text
+    hash), near-dup clustering (component representative), quality
+    threshold, and stratified sampling — with a reason code per drop.
+    One pass over each component, joined on doc_id; at 100 TB every
+    component is the already-verified distributed operator."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = _dedup.dedup_exact(docs).select(
+        "doc_id", F.col("is_canonical").alias("exact_canonical")
+    )
+    clusters = _dedup.dedup_clusters(docs)
+    quality = _text.quality_score(docs).select("doc_id", "quality_bp")
+    rate_map = F.create_map(
+        *[F.lit(x) for kv in _sampling.SAMPLE_RATES_BP.items() for x in kv]
+    )
+    samp = docs.select(
+        "doc_id",
+        (
+            _sampling._hash_bp(F.col("doc_id"))
+            < F.coalesce(rate_map[F.col("lang")],
+                         F.lit(_sampling.DEFAULT_RATE_BP)).cast("long")
+        ).alias("in_sample"),
+    )
+    j = (
+        docs.select("doc_id")
+        .join(exact, "doc_id")
+        .join(clusters, "doc_id")
+        .join(quality, "doc_id")
+        .join(samp, "doc_id")
+    )
+    cluster_canonical = F.col("cluster_id") == F.col("doc_id")
+    quality_ok = F.col("quality_bp") >= _KEEP_QUALITY_BP
+    keep = (
+        F.col("exact_canonical")
+        & cluster_canonical
+        & quality_ok
+        & F.col("in_sample")
+    )
+    decision = (
+        F.when(~F.col("exact_canonical"), "exact_dup")
+        .when(~cluster_canonical, "near_dup")
+        .when(~quality_ok, "low_quality")
+        .when(~F.col("in_sample"), "sampled_out")
+        .otherwise("keep")
+    )
+    return j.select(
+        "doc_id",
+        "exact_canonical",
+        cluster_canonical.alias("cluster_canonical"),
+        quality_ok.alias("quality_ok"),
+        "in_sample",
+        keep.alias("keep"),
+        decision.alias("decision"),
+    )

@@ -73,3 +73,23 @@ def test_clusters_consistent_with_pairs(spark, sf_dir):
     assert joined.where("ca <> cb").count() == 0
     mins = labels.groupBy("cluster_id").agg(F.min("doc_id").alias("m"))
     assert mins.where("cluster_id <> m").count() == 0
+
+
+def test_keep_list_partitions_corpus(spark, sf_dir):
+    """Every doc gets exactly one decision; keep implies every gate
+    passed; decision counts are consistent with the flags."""
+    kl = QUERIES["corpus_keep_list"](spark, sf_dir).toPandas()
+    from aurora_cdc_demo_spark.tables import load_table
+
+    assert len(kl) == load_table(spark, sf_dir, "documents").count()
+    kept = kl[kl["keep"]]
+    assert (
+        kept["exact_canonical"]
+        & kept["cluster_canonical"]
+        & kept["quality_ok"]
+        & kept["in_sample"]
+    ).all()
+    assert set(kl["decision"]) <= {
+        "keep", "exact_dup", "near_dup", "low_quality", "sampled_out"
+    }
+    assert (kl["decision"].eq("keep") == kl["keep"]).all()
