@@ -559,15 +559,23 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic partsupp: supplier s stocks part p iff
-    (p_partkey + s_suppkey) % 10 < 2 (~20% density);
+    (7*p_partkey + s_suppkey) % 250 == 0 (TPC-H-like ~4 suppliers
+    per part with 1000 suppliers);
     ps_supplycost = ((p*31 + s*17) % 9000 + 1000) / 100  (10.00-99.99),
     ps_availqty  = (p*7 + s*13) % 1000 + 1.
     Pure integer arithmetic — bit-equal cross-engine."""
     part = load_table(spark, sf_dir, "part").select("p_partkey")
-    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey")
-    joined = part.crossJoin(F.broadcast(supp)).where(
-        (F.col("p_partkey") + F.col("s_suppkey")) % 10 < 2
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", (F.col("s_suppkey") % 250).alias("_smod")
     )
+    # (7p + s) % 250 == 0  <=>  s % 250 == (-7p) mod 250: an equi-join
+    # on the residue (TPC-H-like ~4 suppliers per part with 1000
+    # suppliers) instead of a |part|x|supplier| cross-join filter
+    targets = part.select(
+        "p_partkey",
+        ((250 - (F.col("p_partkey") * 7) % 250) % 250).alias("_smod"),
+    )
+    joined = targets.join(F.broadcast(supp), "_smod")
     return joined.select(
         F.col("p_partkey").alias("ps_partkey"),
         F.col("s_suppkey").alias("ps_suppkey"),
@@ -590,7 +598,7 @@ PARTSUPP_SQL = """
                CAST((p_partkey * 7 + s_suppkey * 13) % 1000 + 1 AS BIGINT)
                    AS ps_availqty
         FROM part CROSS JOIN supplier
-        WHERE (p_partkey + s_suppkey) % 10 < 2)
+        WHERE (7 * p_partkey + s_suppkey) % 250 = 0)
 """
 
 

@@ -38,6 +38,9 @@ HEADLINE = [
     "q18_large_volume_customers",
     "text_chunk_windows",
     "events_user_retention",
+    "cdc_latest_state_agg",
+    "q9_product_profit",
+    "corpus_keep_list",
 ]
 
 
