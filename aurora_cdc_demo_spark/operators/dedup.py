@@ -483,42 +483,12 @@ def dedup_clusters(docs: DataFrame, max_iter: int = 20) -> DataFrame:
     with iterations. Oracle: DuckDB recursive CTE computing the same
     transitive closure.
     """
+    from .graph import connected_components
+
     pairs = ngram_jaccard_pairs(docs).select("doc_a", "doc_b")
-    edges = pairs.unionByName(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-        )
-    ).localCheckpoint()
-    labels = docs.select(
-        "doc_id", F.col("doc_id").alias("cluster_id")
-    ).localCheckpoint()
-    for _ in range(max_iter):
-        neigh = (
-            edges.join(labels, edges["doc_b"] == labels["doc_id"])
-            .groupBy("doc_a")
-            .agg(F.min("cluster_id").alias("_n_min"))
-        )
-        new_labels = (
-            labels.join(neigh, labels["doc_id"] == neigh["doc_a"], "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("_n_min"), F.col("cluster_id")),
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where("n.cluster_id <> o.cluster_id")
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels
+    return connected_components(
+        docs.select("doc_id"), pairs, id_col="doc_id", max_iter=max_iter
+    )
 
 
 DEDUP_CLUSTERS_SQL = f"""

@@ -1366,3 +1366,40 @@ def q_corpus_keep_list(spark, sf_dir):
         keep.alias("keep"),
         decision.alias("decision"),
     )
+
+
+@query(
+    "embed_dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE v AS (
+            SELECT vec_id, embedding,
+                   {_sim._norm('embedding', 'duck')} AS nrm
+            FROM embeddings)
+        , pairs AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE ({_sim._dot('a.embedding', 'b.embedding', 'duck')})
+                  / (a.nrm * b.nrm) >= {_sim.NEAR_DUP_THRESHOLD})
+        , edges AS (
+            SELECT vec_a AS a, vec_b AS b FROM pairs
+            UNION ALL SELECT vec_b, vec_a FROM pairs)
+        , reach(node, r) AS (
+            SELECT vec_id, vec_id FROM embeddings
+            UNION
+            SELECT e.b, rr.r FROM reach rr JOIN edges e ON e.a = rr.node)
+        SELECT node AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+    """,
+)
+def q_embed_dedup_clusters(spark, sf_dir):
+    """Embedding near-dup clusters: connected components over
+    cosine >= τ pairs (same min-label propagation as the text-side
+    dedup_clusters, via operators/graph.py; recursive-CTE oracle).
+    The canonical representative per cluster is what an
+    embedding-dedup pipeline keeps."""
+    from .operators.graph import connected_components
+
+    pairs = _sim.near_dup(spark, sf_dir).select("vec_a", "vec_b")
+    nodes = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    return connected_components(
+        nodes, pairs, id_col="vec_id", src="vec_a", dst="vec_b"
+    )
