@@ -668,3 +668,81 @@ def q11_inventory_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_val").cast("double").alias("inventory_value"),
         )
     )
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2: for each size-15 STANDARD part, the EUROPE supplier(s)
+    offering the minimum supply cost (exact decimal min equality),
+    ranked by account balance, top-50."""
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eu_supp = (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps = derived_partsupp(spark, sf_dir)
+    scoped = ps.join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("ps_partkey") == F.col("p_partkey"),
+    ).join(eu_supp, F.col("ps_suppkey") == F.col("s_suppkey"))
+    min_cost = scoped.groupBy(F.col("ps_partkey").alias("_pk")).agg(
+        F.min("ps_supplycost").alias("_min_cost")
+    )
+    best = scoped.join(
+        F.broadcast(min_cost),
+        (F.col("ps_partkey") == F.col("_pk"))
+        & (F.col("ps_supplycost") == F.col("_min_cost")),
+    )
+    return (
+        best.orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("ps_partkey").asc(),
+        )
+        .limit(50)
+        .select(
+            "s_acctbal",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("ps_partkey").alias("p_partkey"),
+            F.col("ps_supplycost").cast("double").alias("supplycost"),
+        )
+    )
+
+
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20: suppliers whose available stock of some STANDARD part
+    exceeds half that part's 1996 shipped quantity — the
+    cross-multiplied (2*avail > sum_qty) form keeps it exact."""
+    part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    ps = derived_partsupp(spark, sf_dir)
+    shipped = (
+        li.join(F.broadcast(part.select("p_partkey")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_money("l_quantity")).alias("_qty"))
+    )
+    excess = ps.join(
+        shipped,
+        (F.col("ps_partkey") == F.col("l_partkey"))
+        & (F.col("ps_suppkey") == F.col("l_suppkey")),
+    ).where(
+        F.col("ps_availqty").cast("decimal(12,2)") * 2 > F.col("_qty")
+    )
+    return (
+        excess.select("ps_suppkey")
+        .distinct()
+        .join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name")
+    )

@@ -313,3 +313,45 @@ TPCH_ORACLES["q11_inventory_value"] = f"""
     SELECT ps_partkey, CAST(val AS DOUBLE) AS inventory_value
     FROM per_part, tot WHERE val * 1000 > total
 """
+
+TPCH_ORACLES["q2_min_cost_supplier"] = f"""
+    WITH {_PS}
+    , eu_supp AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE')
+    , scoped AS (
+        SELECT ps_partkey, ps_supplycost, s_suppkey, s_name, s_acctbal, n_name
+        FROM partsupp
+        JOIN part ON ps_partkey = p_partkey
+        JOIN eu_supp ON ps_suppkey = s_suppkey
+        WHERE p_size = 15 AND p_type = 'STANDARD')
+    , mc AS (
+        SELECT ps_partkey AS pk, MIN(ps_supplycost) AS min_cost
+        FROM scoped GROUP BY 1)
+    SELECT s_acctbal, s_name, n_name AS nation, ps_partkey AS p_partkey,
+           CAST(ps_supplycost AS DOUBLE) AS supplycost
+    FROM scoped JOIN mc ON ps_partkey = pk AND ps_supplycost = min_cost
+    ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, ps_partkey ASC
+    LIMIT 50
+"""
+
+TPCH_ORACLES["q20_excess_stock_suppliers"] = f"""
+    WITH {_PS}
+    , shipped AS (
+        SELECT l_partkey, l_suppkey,
+               SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_type = 'STANDARD'
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY 1, 2)
+    SELECT DISTINCT s_suppkey, s_name
+    FROM partsupp
+    JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+    JOIN supplier ON ps_suppkey = s_suppkey
+    WHERE CAST(ps_availqty AS DECIMAL(12,2)) * 2 > qty
+"""

@@ -277,6 +277,8 @@ for _name, _fn in [
     ("q22_dormant_customers", tpch.q22_dormant_customers),
     ("q9_product_profit", tpch.q9_product_profit),
     ("q11_inventory_value", tpch.q11_inventory_value),
+    ("q2_min_cost_supplier", tpch.q2_min_cost_supplier),
+    ("q20_excess_stock_suppliers", tpch.q20_excess_stock_suppliers),
 ]:
     query(_name, oracle=TPCH_ORACLES[_name])(_fn)
 

@@ -32,6 +32,8 @@ TPCH_QUERIES = [
     "q22_dormant_customers",
     "q9_product_profit",
     "q11_inventory_value",
+    "q2_min_cost_supplier",
+    "q20_excess_stock_suppliers",
 ]
 
 
