@@ -1405,3 +1405,139 @@ def q_embed_dedup_clusters(spark, sf_dir):
     return connected_components(
         nodes, pairs, id_col="vec_id", src="vec_a", dst="vec_b"
     )
+
+
+@query(
+    "corpus_keep_list_lsh",
+    oracle=f"""
+        WITH RECURSIVE {_dedup._SHINGLES_SQL}
+        , hashed AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS a,
+                   CAST('0x' || substr(md5(s), 9, 8) AS BIGINT) AS b
+            FROM sh)
+        , sig AS (SELECT doc_id, {_dedup._minhash_sql_cols()}
+                  FROM hashed GROUP BY doc_id)
+        , bands AS (SELECT doc_id, {_dedup._band_sql_cols()} FROM sig)
+        , cand AS (
+            SELECT DISTINCT doc_a, doc_b FROM (
+                {" UNION ALL ".join(
+                    f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+                    f"FROM bands a JOIN bands b "
+                    f"ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+                    for b in range(_dedup.NUM_MINHASH // _dedup.BAND_ROWS)
+                )}))
+        , inter AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+            FROM cand c
+            JOIN sh x ON x.doc_id = c.doc_a
+            JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+            GROUP BY 1, 2)
+        , pairs AS (
+            SELECT i.doc_a, i.doc_b
+            FROM inter i
+            JOIN sc cx ON i.doc_a = cx.doc_id
+            JOIN sc cy ON i.doc_b = cy.doc_id
+            WHERE 10000 * inter >= {_dedup.JACCARD_THRESHOLD_BP}
+                  * (cx.c + cy.c - inter))
+        , edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs)
+        , reach(node, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.b, rr.r FROM reach rr JOIN edges e ON e.a = rr.node)
+        , clusters AS (
+            SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node)
+        , exact AS (
+            SELECT doc_id,
+                   doc_id = MIN(doc_id) OVER (
+                       PARTITION BY md5(regexp_replace(lower(trim(text)),
+                                                       '\\s+', ' ', 'g'))
+                   ) AS is_canonical
+            FROM documents)
+        , q AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        x -> x IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS stop,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                       AS uniq
+            FROM documents)
+        , quality AS (
+            SELECT doc_id,
+                   (300000 * uniq + 300000 * (n - stop)
+                    + 4000 * n * LEAST(n, 100)) // (100 * n) AS quality_bp
+            FROM q)
+        , samp AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 10000
+                       < CAST({_sampling._rate_case_sql()} AS BIGINT)
+                       AS in_sample
+            FROM documents)
+        SELECT d.doc_id,
+               e.is_canonical AND c.cluster_id = d.doc_id
+                   AND qu.quality_bp >= {_KEEP_QUALITY_BP} AND s.in_sample
+                   AS keep,
+               CASE WHEN NOT e.is_canonical THEN 'exact_dup'
+                    WHEN c.cluster_id <> d.doc_id THEN 'near_dup'
+                    WHEN qu.quality_bp < {_KEEP_QUALITY_BP} THEN 'low_quality'
+                    WHEN NOT s.in_sample THEN 'sampled_out'
+                    ELSE 'keep' END AS decision
+        FROM documents d
+        JOIN exact e USING (doc_id)
+        JOIN clusters c USING (doc_id)
+        JOIN quality qu USING (doc_id)
+        JOIN samp s USING (doc_id)
+    """,
+)
+def q_corpus_keep_list_lsh(spark, sf_dir):
+    """The 100 TB variant of corpus_keep_list: the near-dup graph
+    comes from MinHash-LSH candidate pairs (O(docs+candidates))
+    instead of the exact all-pairs shingle join (O(n^2) worst case).
+    The oracle mirrors the SAME banding algorithm, so parity holds
+    even where LSH misses a pair the exact graph would find."""
+    from .operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    clusters = connected_components(docs.select("doc_id"), pairs)
+    exact = _dedup.dedup_exact(docs).select(
+        "doc_id", F.col("is_canonical").alias("exact_canonical")
+    )
+    quality = _text.quality_score(docs).select("doc_id", "quality_bp")
+    rate_map = F.create_map(
+        *[F.lit(x) for kv in _sampling.SAMPLE_RATES_BP.items() for x in kv]
+    )
+    samp = docs.select(
+        "doc_id",
+        (
+            _sampling._hash_bp(F.col("doc_id"))
+            < F.coalesce(rate_map[F.col("lang")],
+                         F.lit(_sampling.DEFAULT_RATE_BP)).cast("long")
+        ).alias("in_sample"),
+    )
+    j = (
+        docs.select("doc_id")
+        .join(exact, "doc_id")
+        .join(clusters, "doc_id")
+        .join(quality, "doc_id")
+        .join(samp, "doc_id")
+    )
+    cluster_canonical = F.col("cluster_id") == F.col("doc_id")
+    quality_ok = F.col("quality_bp") >= _KEEP_QUALITY_BP
+    keep = (
+        F.col("exact_canonical")
+        & cluster_canonical
+        & quality_ok
+        & F.col("in_sample")
+    )
+    decision = (
+        F.when(~F.col("exact_canonical"), "exact_dup")
+        .when(~cluster_canonical, "near_dup")
+        .when(~quality_ok, "low_quality")
+        .when(~F.col("in_sample"), "sampled_out")
+        .otherwise("keep")
+    )
+    return j.select("doc_id", keep.alias("keep"), decision.alias("decision"))
