@@ -226,9 +226,12 @@ def latest_state_agg(
     per-row string key build), so both live here and the 100 TB
     deployment picks the aggregate. Results are identical (pytest +
     oracle)."""
-    okey = F.concat(
-        F.lpad(F.unix_micros(F.col(ts)).cast("string"), 20, "0"),
-        F.lpad(F.col(seq).cast("string"), 10, "0"),
+    # Numeric struct ordering (structs compare field-by-field), not a
+    # lpad'd string: string keys break lexicographically on negative
+    # values ('-' sorts above digits), silently picking a wrong latest
+    # row for pre-1970 timestamps or negative seq.
+    okey = F.struct(
+        F.unix_micros(F.col(ts)).alias("_ts_us"), F.col(seq).alias("_seq")
     )
     keys = _key_cols(key)
     payload = [c for c in log.columns if c not in keys]

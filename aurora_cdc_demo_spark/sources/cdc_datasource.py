@@ -193,8 +193,12 @@ def write_binlog_from_events(
     ops = {"signup": "INSERT", "error": "DELETE"}
     n = table.num_rows
     eid = table.column("event_id").to_pylist()
-    # nanos-int view keeps exact time regardless of parquet unit
-    ts_ns = table.column("ts").cast(pa.int64()).to_pylist()
+    # pyarrow's timestamp→int64 cast yields the column's OWN unit, so
+    # normalize to a known unit (ns) first — otherwise a us-unit parquet
+    # column (Spark's default writer unit) would come out 1000x off.
+    ts_ns = (
+        table.column("ts").cast(pa.timestamp("ns")).cast(pa.int64()).to_pylist()
+    )
     uid = table.column("user_id").to_pylist()
     etype = table.column("event_type").to_pylist()
     value = table.column("value").to_pylist()

@@ -83,10 +83,19 @@ class ParquetStateStore:
         self.key = key
 
     def _read_state(self) -> DataFrame | None:
-        try:
-            return self.spark.read.parquet(self.state_dir)
-        except Exception:  # noqa: BLE001 — first batch: no state yet
-            return None
+        from pathlib import Path
+
+        # Crash recovery: the swap in apply_batch has a window between
+        # rename(state_dir → .old) and rename(.staging → state_dir). If
+        # we crashed there, state_dir is missing but .old holds the full
+        # previous state — roll it back before reading, instead of
+        # silently treating the replayed batch as the first batch.
+        state, old = Path(self.state_dir), Path(self.state_dir + ".old")
+        if not state.exists() and old.exists():
+            old.rename(state)
+        if not state.exists():
+            return None  # genuinely the first batch
+        return self.spark.read.parquet(self.state_dir)
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """Idempotent, atomic batch apply. foreachBatch MAY re-deliver
@@ -127,12 +136,21 @@ class ParquetStateStore:
         )
 
 
-def dedup_stream_exactly_once(stream: DataFrame) -> DataFrame:
-    """Streaming exactly-once delivery: dropDuplicates on the
-    delivery identity (key_id, seq) under the stream's watermark, so
-    duplicate redeliveries across micro-batches are suppressed while
-    state for expired keys is evicted (reference: the v2 DataSource
-    dedups redelivered binlog events the same way,
+def dedup_stream_exactly_once(
+    stream: DataFrame, watermark_delay: str = "30 minutes"
+) -> DataFrame:
+    """Streaming exactly-once delivery: dropDuplicatesWithinWatermark
+    on the delivery identity (key_id, seq), so duplicate redeliveries
+    across micro-batches are suppressed AND dedup state is actually
+    evicted once the event time falls behind the watermark (plain
+    dropDuplicates on a non-event-time subset keeps state forever —
+    unbounded on a long-running stream). Eviction contract: a
+    duplicate arriving more than ``watermark_delay`` after the
+    original's event time may be re-emitted; redeliveries in real CDC
+    replay are near-immediate, well inside the delay (reference: the
+    v2 DataSource dedups redelivered binlog events the same way,
     aurora_cdc_datasource_v2.py:158). Batch twin:
     operators/cdc_apply.dedup_exactly_once."""
-    return stream.dropDuplicates(["key_id", "seq"])
+    return stream.withWatermark("ts", watermark_delay).dropDuplicatesWithinWatermark(
+        ["key_id", "seq"]
+    )

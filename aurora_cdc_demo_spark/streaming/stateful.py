@@ -165,7 +165,13 @@ class SessionizeProcessor(StatefulProcessor):
             start_us, end_us, n_events, sum_value = None, None, 0, 0.0
 
         closed: list[tuple] = []
-        for pdf in rows:
+        # One key's rows can span multiple Arrow chunks (~10k rows each);
+        # sorting each chunk independently is NOT a global ts order and
+        # would let end_us move backwards. Concat first, sort once —
+        # exactly what _sessionize_group does.
+        chunks = [pdf for pdf in rows if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
             pdf = pdf.sort_values(["ts", "seq"])
             ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
             vals = pdf["value"].tolist()

@@ -145,3 +145,30 @@ def test_latest_state_agg_equals_window(spark, sf_dir):
     b = latest_state_agg(log).select(*a.columns)
     assert a.count() == b.count()
     assert a.exceptAll(b).count() == 0
+
+
+def test_latest_state_agg_negative_ts_and_seq(spark):
+    """Struct-ordered max_by must pick the numerically-latest row even
+    for pre-1970 timestamps and negative seq (a lexicographic string
+    key would sort '-5' above positive values)."""
+    from aurora_cdc_demo_spark.operators.cdc_apply import (
+        latest_state,
+        latest_state_agg,
+    )
+
+    log = spark.createDataFrame(
+        [
+            (1, -5, "INSERT", "a", "1969-06-01 00:00:00", 1.0),
+            (1, -2, "UPDATE", "b", "1969-06-01 00:00:00", 2.0),
+            (1, 3, "UPDATE", "c", "1975-01-01 00:00:00", 3.0),
+            (2, -9, "INSERT", "d", "1969-01-01 00:00:00", 4.0),
+            (2, -8, "UPDATE", "e", "1969-12-31 00:00:00", 5.0),
+        ],
+        "key_id long, seq long, operation string, event_type string, "
+        "ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    a = latest_state(log)
+    b = latest_state_agg(log).select(*a.columns)
+    rows = {r.key_id: r.event_type for r in b.collect()}
+    assert rows == {1: "c", 2: "e"}
+    assert a.exceptAll(b).count() == 0

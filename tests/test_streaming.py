@@ -345,3 +345,32 @@ def test_foreachbatch_replay_is_idempotent(spark, sf_dir, tmp_path):
     assert once.sort_values(cols).reset_index(drop=True).equals(
         replay.sort_values(cols).reset_index(drop=True)
     )
+
+
+def test_state_store_recovers_from_crash_window(spark, sf_dir, tmp_path):
+    """A crash between rename(state_dir → .old) and rename(.staging →
+    state_dir) must not lose the accumulated state: _read_state rolls
+    .old back instead of treating the replayed batch as the first."""
+    from pathlib import Path
+
+    from aurora_cdc_demo_spark.sources.cdc_log import cdc_operation_log
+    from aurora_cdc_demo_spark.streaming.pipelines import ParquetStateStore
+
+    log = cdc_operation_log(spark, sf_dir)
+    mid = log.agg(F.expr("percentile_approx(seq, 0.5)")).first()[0]
+    state_dir = str(tmp_path / "state")
+    store = ParquetStateStore(spark, state_dir)
+    store.apply_batch(log.where(F.col("seq") <= mid), batch_id=0)
+    before = spark.read.parquet(state_dir).count()
+    assert before > 0
+
+    # simulate the crash window: state_dir moved aside, swap not done
+    Path(state_dir).rename(state_dir + ".old")
+    store.apply_batch(log.where(F.col("seq") > mid), batch_id=1)
+    after = spark.read.parquet(state_dir)
+    # full replay oracle: applying the whole log at once
+    oracle = ParquetStateStore(spark, str(tmp_path / "oracle"))
+    oracle.apply_batch(log, batch_id=0)
+    want = spark.read.parquet(str(tmp_path / "oracle"))
+    assert after.count() == want.count()
+    assert after.exceptAll(want).count() == 0
