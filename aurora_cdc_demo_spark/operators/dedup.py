@@ -330,9 +330,13 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     votes; packed into two 32-bit halves (h1=bits 0-31, h2=32-63).
 
     Perf: the per-bit md5/instr extraction runs once per DISTINCT
-    token (broadcast vocabulary join), so the heavy string work is
+    token (vocabulary join), so the heavy string work is
     O(|vocab| * 64), and the per-doc aggregation is plain integer
-    sums. Votes are identical to hashing every occurrence."""
+    sums. Votes are identical to hashing every occurrence. The vocab
+    join is UNHINTED: the distinct-token table (64 bit columns wide)
+    grows with corpus size, so a forced broadcast would OOM at 100 TB
+    — an equi shuffle join on `t` (or AQE's runtime broadcast when it
+    happens to be small) is the scale-safe plan."""
     tok = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
     )
@@ -350,7 +354,7 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
         )
     )
     votes = (
-        weighted.join(F.broadcast(vocab), "t")
+        weighted.join(vocab, "t")
         .groupBy("doc_id")
         .agg(*[F.sum(F.expr(f"w * _b{j}")).alias(f"v{j}") for j in range(64)])
     )

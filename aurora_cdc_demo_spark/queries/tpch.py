@@ -104,7 +104,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = li.join(
         orders, F.col("l_orderkey") == F.col("o_orderkey")
-    ).join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    ).join(cust, F.col("o_custkey") == F.col("c_custkey"))
     agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
         F.sum(_rev()).alias("_revenue")
     )
@@ -147,7 +147,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
     joined = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
             cust,
             (F.col("o_custkey") == F.col("c_custkey"))
@@ -242,7 +242,7 @@ def monthly_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def promo_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    joined = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
     monthly = joined.groupBy(
         F.date_trunc("month", F.col("l_shipdate")).alias("ship_month")
     ).agg(
@@ -300,7 +300,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sn_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cn_key"))
@@ -341,11 +341,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
     )
     joined = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("_cn_key"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("_sn_key"))
     )
     yearly = joined.groupBy(
@@ -420,7 +420,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_rev") == F.col("_max"),
     )
     return top.join(
-        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+        supp, F.col("l_suppkey") == F.col("s_suppkey")
     ).select(
         "s_suppkey", "s_name", F.col("_rev").cast("double").alias("total_revenue")
     )
@@ -437,7 +437,7 @@ def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").isin(1, 14, 23, 45)
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
     )
@@ -450,13 +450,17 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     no division."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3")
-    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    joined = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
     per_part = joined.groupBy(F.col("p_partkey").alias("_pk")).agg(
         F.sum(_money("l_quantity")).alias("_sum_qty"),
         F.count(F.lit(1)).alias("_n"),
     )
+    # per_part is an aggregate over Brand#3 parts (~1/25 of the part
+    # table) — it SCALES with SF, so no broadcast hint: both sides are
+    # already hash-partitioned on partkey after the agg, the equi-join
+    # reuses that exchange (AQE may still choose broadcast when small).
     small = joined.join(
-        F.broadcast(per_part), F.col("p_partkey") == F.col("_pk")
+        per_part, F.col("p_partkey") == F.col("_pk")
     ).where(
         _money("l_quantity") * 5 * F.col("_n") < F.col("_sum_qty")
     )
@@ -503,7 +507,7 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     brackets — a pushdown-friendly disjunctive filter join."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    joined = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
     b1 = (
         (F.col("p_brand") == "Brand#12")
         & F.col("p_size").between(1, 5)
@@ -575,7 +579,7 @@ def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         ((250 - (F.col("p_partkey") * 7) % 250) % 250).alias("_smod"),
     )
-    joined = targets.join(F.broadcast(supp), "_smod")
+    joined = targets.join(supp, "_smod")
     return joined.select(
         F.col("p_partkey").alias("ps_partkey"),
         F.col("s_suppkey").alias("ps_suppkey"),
@@ -613,14 +617,14 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = derived_partsupp(spark, sf_dir)
     profit = _rev() - F.col("ps_supplycost") * _money("l_quantity")
     joined = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(
             ps,
             (F.col("l_partkey") == F.col("ps_partkey"))
             & (F.col("l_suppkey") == F.col("ps_suppkey")),
         )
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
     )
     return (
@@ -687,14 +691,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ps = derived_partsupp(spark, sf_dir)
     scoped = ps.join(
-        F.broadcast(part.select("p_partkey")),
+        part.select("p_partkey"),
         F.col("ps_partkey") == F.col("p_partkey"),
     ).join(eu_supp, F.col("ps_suppkey") == F.col("s_suppkey"))
     min_cost = scoped.groupBy(F.col("ps_partkey").alias("_pk")).agg(
         F.min("ps_supplycost").alias("_min_cost")
     )
     best = scoped.join(
-        F.broadcast(min_cost),
+        min_cost,
         (F.col("ps_partkey") == F.col("_pk"))
         & (F.col("ps_supplycost") == F.col("_min_cost")),
     )
@@ -728,7 +732,7 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     ps = derived_partsupp(spark, sf_dir)
     shipped = (
-        li.join(F.broadcast(part.select("p_partkey")),
+        li.join(part.select("p_partkey"),
                 F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(_money("l_quantity")).alias("_qty"))
@@ -743,6 +747,6 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         excess.select("ps_suppkey")
         .distinct()
-        .join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("ps_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name")
     )

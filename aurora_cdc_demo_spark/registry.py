@@ -868,7 +868,11 @@ def q_text_distinctive_tokens(spark, sf_dir):
     scored by tf * N / df (two exact integer products and ONE double
     division — identical IEEE ops both engines; ln() is libm-
     dependent and is the one transcendental we refuse to gate on).
-    df comes from one extra aggregation, broadcast back."""
+    df comes from one extra aggregation. The df-table join is left
+    UNHINTED: the per-token document-frequency table is
+    vocabulary-sized (unbounded at 100 TB), so a forced broadcast
+    would OOM — sort-merge/shuffle-hash on `t` (or AQE's runtime
+    choice) is the scale-safe plan. The 1-row n_docs broadcast stays."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
@@ -883,7 +887,7 @@ def q_text_distinctive_tokens(spark, sf_dir):
         F.col("t").asc(),
     )
     return (
-        tf.join(F.broadcast(df), "t")
+        tf.join(df, "t")
         .crossJoin(F.broadcast(n_docs))
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= 3)

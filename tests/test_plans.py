@@ -97,3 +97,30 @@ def test_range_join_is_equi_join_not_nested_loop(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "range_join_error_windows")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def optimized(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    "name,allowed_hints",
+    [
+        # df (per-token document frequency) is vocabulary-sized —
+        # unbounded at 100 TB; only the 1-row n_docs broadcast stays
+        ("text_distinctive_tokens", 1),
+        # vocab (distinct tokens x 64 bit cols) grows with the corpus
+        ("dedup_simhash", 0),
+        # per_part / Brand#3 part both scale with SF
+        ("q17_small_qty_revenue", 0),
+    ],
+)
+def test_no_forced_broadcast_on_unbounded_side(spark, sf_dir, name, allowed_hints):
+    """Scale guard: no broadcast HINT on tables that grow with corpus
+    or SF size. AQE may still pick a runtime broadcast when a side is
+    actually small — that's fine; a forced hint at 100 TB is not.
+    Hints survive into the optimized logical plan as
+    '(strategy=broadcast)' join-hint annotations."""
+    plan = optimized(spark, sf_dir, name)
+    assert plan.count("strategy=broadcast") <= allowed_hints, plan
