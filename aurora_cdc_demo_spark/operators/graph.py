@@ -5,8 +5,15 @@ embedding near-dup clustering (registry: embed_dedup_clusters).
 Each round every node takes the min of its own label and its
 neighbors' labels: one equi-join + groupBy per round, O(component
 diameter) rounds. The driver loop controls iteration count only; all
-data movement is distributed joins. localCheckpoint truncates
-lineage so the plan does not grow with rounds.
+data movement is distributed joins. Checkpointing truncates lineage
+so the plan does not grow with rounds; two modes:
+
+- "local": localCheckpoint — executor-memory blocks, no replication.
+  Fast, fine on local[k], but a SINGLE executor loss after round k
+  aborts the whole job on a real cluster.
+- "reliable": checkpoint() against a checkpoint directory (HDFS/S3 in
+  production) — survives executor loss; this is the 1000-executor
+  deployment mode.
 """
 
 from __future__ import annotations
@@ -22,24 +29,53 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 20,
+    checkpoint_mode: str = "local",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id_col, cluster_id) — cluster_id = min node id reachable via
-    undirected edges; isolated nodes form singleton clusters."""
-    bidir = edges.select(
-        F.col(src).alias("_src"), F.col(dst).alias("_dst")
-    ).unionByName(
-        edges.select(F.col(dst).alias("_src"), F.col(src).alias("_dst"))
-    ).localCheckpoint()
-    labels = nodes.select(
-        F.col(id_col), F.col(id_col).alias("cluster_id")
-    ).localCheckpoint()
+    undirected edges; isolated nodes form singleton clusters.
+
+    checkpoint_mode: "local" (default, test/single-node) or
+    "reliable" (production — replicated checkpoint files under
+    ``checkpoint_dir``, which is set on the SparkContext if given and
+    must already be set otherwise).
+    """
+    if checkpoint_mode == "reliable":
+        sc = nodes.sparkSession.sparkContext
+        if checkpoint_dir is not None:
+            sc.setCheckpointDir(checkpoint_dir)
+        elif sc._jsc.sc().checkpointDir().isEmpty():
+            raise ValueError(
+                "checkpoint_mode='reliable' needs checkpoint_dir (or a "
+                "checkpoint dir already set on the SparkContext)"
+            )
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+
+    elif checkpoint_mode == "local":
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint()
+
+    else:
+        raise ValueError(f"unknown checkpoint_mode: {checkpoint_mode!r}")
+
+    bidir = _ckpt(
+        edges.select(
+            F.col(src).alias("_src"), F.col(dst).alias("_dst")
+        ).unionByName(
+            edges.select(F.col(dst).alias("_src"), F.col(src).alias("_dst"))
+        )
+    )
+    labels = _ckpt(nodes.select(F.col(id_col), F.col(id_col).alias("cluster_id")))
     for _ in range(max_iter):
         neigh = (
             bidir.join(labels, bidir["_dst"] == labels[id_col])
             .groupBy("_src")
             .agg(F.min("cluster_id").alias("_n_min"))
         )
-        new_labels = (
+        new_labels = _ckpt(
             labels.join(neigh, labels[id_col] == neigh["_src"], "left")
             .select(
                 id_col,
@@ -48,7 +84,6 @@ def connected_components(
                     F.coalesce(F.col("_n_min"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")

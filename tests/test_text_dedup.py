@@ -93,3 +93,30 @@ def test_keep_list_partitions_corpus(spark, sf_dir):
         "keep", "exact_dup", "near_dup", "low_quality", "sampled_out"
     }
     assert (kl["decision"].eq("keep") == kl["keep"]).all()
+
+
+def test_connected_components_reliable_checkpoint(spark, sf_dir, tmp_path):
+    """The production checkpoint path (reliable checkpoint() files,
+    survives executor loss) must produce the identical clustering as
+    the localCheckpoint test path."""
+    from aurora_cdc_demo_spark.operators.graph import connected_components
+    from aurora_cdc_demo_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (5, 5)], "doc_a long, doc_b long"
+    )
+    local = connected_components(docs, edges).orderBy("doc_id")
+    reliable = connected_components(
+        docs,
+        edges,
+        checkpoint_mode="reliable",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    ).orderBy("doc_id")
+    assert [r.asDict() for r in local.collect()] == [
+        r.asDict() for r in reliable.collect()
+    ]
+    import pytest
+
+    with pytest.raises(ValueError):
+        connected_components(docs, edges, checkpoint_mode="bogus")
