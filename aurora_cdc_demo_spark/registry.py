@@ -379,6 +379,16 @@ def q_embed_near_dup(spark, sf_dir):
     return _sim.near_dup(spark, sf_dir)
 
 
+@query("embed_near_dup_lsh", oracle=_sim.near_dup_lsh_sql("duck"))
+def q_embed_near_dup_lsh(spark, sf_dir):
+    """Blocked near-dup: random-hyperplane LSH bands prune candidates
+    to bucket collisions (key-partitioned equi self-join, never a
+    cross product), exact cosine verifies — the 100 TB deployment
+    path; embed_near_dup is its all-pairs oracle twin. Recall vs the
+    exact twin is pinned in tests/test_similarity.py."""
+    return _sim.near_dup_lsh(spark, sf_dir)
+
+
 @query("embed_centroids", oracle=_sim.centroids_sql("duck"))
 def q_embed_centroids(spark, sf_dir):
     return _sim.centroids(spark, sf_dir)
@@ -1405,6 +1415,42 @@ def q_embed_dedup_clusters(spark, sf_dir):
     from .operators.graph import connected_components
 
     pairs = _sim.near_dup(spark, sf_dir).select("vec_a", "vec_b")
+    nodes = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    return connected_components(
+        nodes, pairs, id_col="vec_id", src="vec_a", dst="vec_b"
+    )
+
+
+@query(
+    "embed_dedup_clusters_lsh",
+    oracle=f"""
+        WITH RECURSIVE {_sim._lsh_band_ctes('duck')}
+        , scored AS (
+            SELECT cand.vec_a, cand.vec_b
+            FROM cand
+            JOIN v va ON va.vec_id = cand.vec_a
+            JOIN v vb ON vb.vec_id = cand.vec_b
+            WHERE ({_sim._dot('va.embedding', 'vb.embedding', 'duck')})
+                  / (va.nrm * vb.nrm) >= {_sim.NEAR_DUP_THRESHOLD})
+        , edges AS (
+            SELECT vec_a AS a, vec_b AS b FROM scored
+            UNION ALL SELECT vec_b, vec_a FROM scored)
+        , reach(node, r) AS (
+            SELECT vec_id, vec_id FROM embeddings
+            UNION
+            SELECT e.b, rr.r FROM reach rr JOIN edges e ON e.a = rr.node)
+        SELECT node AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+    """,
+)
+def q_embed_dedup_clusters_lsh(spark, sf_dir):
+    """Embedding dedup clusters over the BLOCKED near-dup graph —
+    the 100 TB twin of embed_dedup_clusters (which consumes the
+    O(n^2) all-pairs graph): LSH bucket-join candidates, exact-cosine
+    verify, then the same min-label connected components. Mirrors
+    corpus_keep_list_lsh on the text side."""
+    from .operators.graph import connected_components
+
+    pairs = _sim.near_dup_lsh(spark, sf_dir).select("vec_a", "vec_b")
     nodes = load_table(spark, sf_dir, "embeddings").select("vec_id")
     return connected_components(
         nodes, pairs, id_col="vec_id", src="vec_a", dst="vec_b"

@@ -12,6 +12,7 @@ from .helpers import assert_matches_oracle
 SIM_QUERIES = [
     "embed_cosine_topk",
     "embed_near_dup",
+    "embed_near_dup_lsh",
     "embed_centroids",
     "ann_ivf_topk",
     "ann_ivf_multiprobe",
@@ -75,3 +76,45 @@ def test_mm_binary_meta_deterministic(spark, sf_dir):
     a = QUERIES["mm_binary_meta"](spark, sf_dir).toPandas().sort_values("doc_id")
     b = QUERIES["mm_binary_meta"](spark, sf_dir).toPandas().sort_values("doc_id")
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_near_dup_lsh_recall_and_no_false_positives(spark, sf_dir):
+    """The blocked (LSH) near-dup must be a SUBSET of the exact
+    all-pairs result (exact-cosine verify => no false positives) with
+    high recall — measured on this data: 58/59 pairs (0.983)."""
+    exact = QUERIES["embed_near_dup"](spark, sf_dir).select("vec_a", "vec_b")
+    lsh = QUERIES["embed_near_dup_lsh"](spark, sf_dir).select("vec_a", "vec_b")
+    t = {(r.vec_a, r.vec_b) for r in exact.collect()}
+    l = {(r.vec_a, r.vec_b) for r in lsh.collect()}
+    assert l <= t  # no false positives, values verified exact
+    assert len(t) > 0
+    assert len(l & t) / len(t) >= 0.9  # recall floor
+
+
+def test_near_dup_lsh_candidate_join_is_equi_join(spark, sf_dir):
+    """Scale guard: candidate generation must be a key-partitioned
+    equi-join on the band bucket, never a cross product (the exact
+    twin's O(n^2) join is the thing this operator exists to avoid)."""
+    plan = (
+        QUERIES["embed_near_dup_lsh"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embed_dedup_clusters_lsh_close_to_allpairs(spark, sf_dir):
+    """Cluster assignments from the blocked graph match the all-pairs
+    graph on ~all vectors (one missed borderline edge at most can
+    split a cluster; everything else must be identical)."""
+    a = {r.vec_id: r.cluster_id
+         for r in QUERIES["embed_dedup_clusters"](spark, sf_dir).collect()}
+    b = {r.vec_id: r.cluster_id
+         for r in QUERIES["embed_dedup_clusters_lsh"](spark, sf_dir).collect()}
+    assert a.keys() == b.keys()
+    same = sum(1 for k in a if a[k] == b[k])
+    # measured: the one missed borderline edge (recall 58/59) splits
+    # one cluster, relabeling 6 of 500 vectors -> 0.988 agreement
+    assert same / len(a) >= 0.98
