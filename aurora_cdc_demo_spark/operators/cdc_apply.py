@@ -49,6 +49,43 @@ def latest_state(
     )
 
 
+def latest_state_with_truncate(
+    log: DataFrame,
+    table: str = "tbl",
+    key: str = "key_id",
+    ts: str = "ts",
+    seq: str = "seq",
+) -> DataFrame:
+    """latest_state over a log whose operation vocabulary includes
+    table-wide TRUNCATE (reference: aurora_cdc_datasource_v2.py:61
+    enumerates INSERT/UPDATE/DELETE/TRUNCATE). Semantics are binlog-
+    position order, exactly as MySQL applies them: a TRUNCATE at
+    sequence S wipes every change of that table with seq < S; rows
+    landing after S rebuild state normally.
+
+    Scale: the per-table truncate frontier is ONE aggregate bounded by
+    the number of TABLES (schema objects — bounded metadata, not data
+    volume; the reference caps at 500), so broadcasting it is safe at
+    any SF — unlike data-sized broadcasts, which this repo avoids.
+    The surviving-rows filter then needs no shuffle, and latest_state
+    adds the single hash shuffle on (table, key).
+    """
+    truncs = (
+        log.where(F.col("operation") == "TRUNCATE")
+        .groupBy(table)
+        .agg(F.max(seq).alias("_trunc_seq"))
+    )
+    live = (
+        log.join(F.broadcast(truncs), table, "left")
+        .where(
+            (F.col("operation") != "TRUNCATE")
+            & (F.col(seq) > F.coalesce(F.col("_trunc_seq"), F.lit(-1)))
+        )
+        .drop("_trunc_seq")
+    )
+    return latest_state(live, key=[table, key], ts=ts, seq=seq)
+
+
 def scd2_history(
     log: DataFrame, key: str = "key_id", ts: str = "ts", seq: str = "seq"
 ) -> DataFrame:

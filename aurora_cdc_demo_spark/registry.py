@@ -461,19 +461,62 @@ def q_text_rolling_hash(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "cdc_replay_typed",
-    oracle="""
-        SELECT user_id AS key_id,
-               event_id AS seq,
-               CASE WHEN event_type = 'signup' THEN 'INSERT'
+# The binlog's operation/table/transaction derivations are pure
+# functions of events columns, so the DuckDB oracle can re-derive the
+# identical log straight from the parquet (generator contract:
+# sources/cdc_datasource.write_binlog_from_events).
+_BINLOG_OP_SQL = """CASE WHEN event_id % 251 = 250 THEN 'TRUNCATE'
+                    WHEN event_type = 'signup' THEN 'INSERT'
                     WHEN event_type = 'error' THEN 'DELETE'
-                    ELSE 'UPDATE' END AS operation,
-               CASE WHEN event_type = 'error' THEN NULL
+                    ELSE 'UPDATE' END"""
+_BINLOG_LOG_CTE = f"""
+    binlog AS (
+        SELECT 'users_' || CAST(user_id % 4 AS VARCHAR) AS tbl,
+               CASE WHEN event_id % 251 = 250 THEN NULL
+                    ELSE user_id END AS key_id,
+               event_id AS seq,
+               {_BINLOG_OP_SQL} AS operation,
+               CASE WHEN event_id % 251 = 250 OR event_type = 'error' THEN NULL
                     ELSE event_type END AS event_type,
                ts,
-               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
-        FROM events
+               CASE WHEN event_id % 251 = 250 OR event_type = 'error' THEN NULL
+                    ELSE value END AS value,
+               'txn' || CAST(event_id // 8 AS VARCHAR) AS transaction_id
+        FROM events)
+"""
+
+
+def binlog_path(sf_dir: str) -> str:
+    """Materialize (once per sf_dir) the deterministic CDC binlog for
+    the DataSource-backed queries; cached under .cache/ keyed by a
+    generator version so format changes invalidate stale logs."""
+    import hashlib
+    import os
+
+    from .sources.cdc_datasource import write_binlog_from_events
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    cache_root = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".cache")
+    out = os.path.join(cache_root, f"cdc_binlog_v2_{tag}")
+    marker = os.path.join(out, "_BINLOG_DONE")
+    if not os.path.exists(marker):
+        write_binlog_from_events(f"{sf_dir}/events.parquet", out)
+        open(marker, "w").close()
+    return out
+
+
+def read_binlog(spark, sf_dir: str):
+    from .sources.cdc_datasource import CDCReplayDataSource
+
+    spark.dataSource.register(CDCReplayDataSource)
+    return spark.read.format("cdc_replay").option("path", binlog_path(sf_dir)).load()
+
+
+@query(
+    "cdc_replay_typed",
+    oracle=f"""
+        WITH {_BINLOG_LOG_CTE}
+        SELECT key_id, seq, operation, event_type, ts, value FROM binlog
     """,
 )
 def q_cdc_replay_typed(spark, sf_dir):
@@ -481,25 +524,10 @@ def q_cdc_replay_typed(spark, sf_dir):
     binlog files → cdc_replay batch read → schema-on-read flatten of
     the `after` map back to typed columns (the reference's
     flatten_json_df, reference: cdc_500_tables_streaming.py:297-314).
-    DELETE events carry no after-image, so their payload columns are
-    NULL — exactly what the oracle derives from the raw table."""
-    import hashlib
-    import os
-
-    from .sources.cdc_datasource import (
-        CDCReplayDataSource,
-        write_binlog_from_events,
-    )
-
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    cache_root = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".cache")
-    out = os.path.join(cache_root, f"cdc_binlog_{tag}")
-    marker = os.path.join(out, "_BINLOG_DONE")
-    if not os.path.exists(marker):
-        write_binlog_from_events(f"{sf_dir}/events.parquet", out)
-        open(marker, "w").close()
-    spark.dataSource.register(CDCReplayDataSource)
-    raw = spark.read.format("cdc_replay").option("path", out).load()
+    DELETE events carry no after-image and TRUNCATE events carry no
+    row identity at all (table-wide op), so their payload/key columns
+    are NULL — exactly what the oracle derives from the raw table."""
+    raw = read_binlog(spark, sf_dir)
     return raw.select(
         F.col("primary_keys")["key_id"].cast("long").alias("key_id"),
         "seq",
@@ -508,6 +536,74 @@ def q_cdc_replay_typed(spark, sf_dir):
         "ts",
         F.col("after")["value"].cast("double").alias("value"),
     )
+
+
+@query(
+    "cdc_distinct_transactions",
+    oracle=f"""
+        WITH {_BINLOG_LOG_CTE}
+        SELECT tbl,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT transaction_id) AS BIGINT) AS n_txns,
+               CAST(MIN(seq) AS BIGINT) AS first_seq,
+               CAST(MAX(seq) AS BIGINT) AS last_seq
+        FROM binlog GROUP BY tbl
+    """,
+)
+def q_cdc_distinct_transactions(spark, sf_dir):
+    """Reference monitoring query #2 — per-table event volume and
+    DISTINCT TRANSACTIONS counted on the real transaction_id column
+    (reference: aurora_cdc_datasource_v2.py:68 carries transaction_id
+    exactly so monitoring can do this; round 1 approximated it on
+    keys because the column didn't exist). One hash aggregate with
+    map-side partials; count(distinct) expands to a two-stage
+    aggregate on (tbl, transaction_id) — both shuffles are on
+    low-cardinality keys."""
+    raw = read_binlog(spark, sf_dir)
+    return raw.groupBy(F.col("table").alias("tbl")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("transaction_id").alias("n_txns"),
+        F.min("seq").alias("first_seq"),
+        F.max("seq").alias("last_seq"),
+    )
+
+
+@query(
+    "cdc_latest_state_with_truncate",
+    oracle=f"""
+        WITH {_BINLOG_LOG_CTE}
+        , trunc AS (
+            SELECT tbl, MAX(seq) AS tseq FROM binlog
+            WHERE operation = 'TRUNCATE' GROUP BY tbl)
+        , live AS (
+            SELECT b.* FROM binlog b LEFT JOIN trunc t ON b.tbl = t.tbl
+            WHERE b.operation <> 'TRUNCATE'
+              AND b.seq > COALESCE(t.tseq, -1))
+        , ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY tbl, key_id ORDER BY ts DESC, seq DESC) AS rn
+            FROM live)
+        SELECT tbl, key_id, seq, operation, event_type, ts, value
+        FROM ranked WHERE rn = 1 AND operation <> 'DELETE'
+    """,
+)
+def q_cdc_latest_state_with_truncate(spark, sf_dir):
+    """Latest-state materialization honoring table-wide TRUNCATE in
+    binlog-position order (reference op vocabulary:
+    aurora_cdc_datasource_v2.py:61): a TRUNCATE wipes all earlier
+    changes of its table; later changes rebuild state. DataSource →
+    flatten → latest_state_with_truncate (operators/cdc_apply.py)."""
+    raw = read_binlog(spark, sf_dir)
+    log = raw.select(
+        F.col("table").alias("tbl"),
+        F.col("primary_keys")["key_id"].cast("long").alias("key_id"),
+        "seq",
+        "operation",
+        F.col("after")["event_type"].alias("event_type"),
+        "ts",
+        F.col("after")["value"].cast("double").alias("value"),
+    )
+    return cdc_apply.latest_state_with_truncate(log)
 
 
 # ---------------------------------------------------------------------------

@@ -2,21 +2,31 @@
 a batch table or an offset-tracked stream.
 
 Re-expression of the reference's Aurora CDC DataSource (reference:
-src/aurora_cdc/datasource/aurora_cdc_datasource_v2.py): same unified
-CDC event schema (operation, before/after maps, primary keys, error
-flags), same offset/checkpoint contract
-(initialOffset/latestOffset-read/commit), but the "binlog" is a local
-JSON-lines directory instead of a MySQL socket — deterministic and
-testable. The reference's JSON offset {binlog_file, binlog_position}
-maps to our {"file_idx": i, "row": r}.
+src/aurora_cdc/datasource/aurora_cdc_datasource_v2.py): the FULL
+unified 21-column CDC event schema (reference: lines 59-89 — metadata,
+binlog position, transaction identity, schema-evolution, performance
+tracking and data-quality fields), the same operation vocabulary
+INSERT/UPDATE/DELETE/TRUNCATE (reference: line 61), and the same
+offset/checkpoint contract (initialOffset/latestOffset-read/commit),
+but the "binlog" is a local JSON-lines directory instead of a MySQL
+socket — deterministic and testable. The reference's JSON offset
+{binlog_file, binlog_position, table_offsets} (reference: lines 20-41)
+maps to our {"file_idx": i, "row": r, "table_offsets": {...}}.
 
 Batch read partitions per file (parallel scan); the stream reader is
 a SimpleDataSourceStreamReader emitting bounded micro-batches with
-exactly-once replay via readBetweenOffsets.
+exactly-once replay via readBetweenOffsets. With the
+``tables_per_batch`` option the reader switches to the reference's
+priority-driven per-table batch selection (reference: lines 350-369):
+each micro-batch serves the highest-priority pending tables only,
+tracked by per-table offsets.
 
 Scale note: per-file partitions parallelize the scan across
 executors; `batch_size` bounds per-trigger work exactly like the
-reference's `batch_size` option (reference: line 121).
+reference's `batch_size` option (reference: line 121). The priority
+reader re-lists the log per trigger — that is the replay-harness
+analog of the reference polling the binlog socket; the DATA path
+(everything downstream of read) stays fully distributed.
 """
 
 from __future__ import annotations
@@ -42,16 +52,37 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+# Full reference schema (reference: aurora_cdc_datasource_v2.py:59-89).
+# `ts` is the reference's `timestamp`; `seq` is ours (the monotone
+# replay sequence the reference encodes as binlog_file+position — we
+# carry both the human-friendly seq and the raw position fields).
 CDC_EVENT_SCHEMA = StructType(
     [
+        # -- metadata
         StructField("database", StringType(), False),
         StructField("table", StringType(), False),
-        StructField("operation", StringType(), False),
+        StructField("operation", StringType(), False),  # INSERT/UPDATE/DELETE/TRUNCATE/DDL
         StructField("ts", TimestampType(), False),
+        StructField("event_time", TimestampType(), False),  # watermark column
         StructField("seq", LongType(), False),
+        # -- binlog position / transaction identity (exactly-once)
+        StructField("binlog_file", StringType(), True),
+        StructField("binlog_position", LongType(), True),
+        StructField("gtid", StringType(), True),
+        StructField("server_id", LongType(), True),
+        StructField("transaction_id", StringType(), True),
+        # -- data
         StructField("before", MapType(StringType(), StringType()), True),
         StructField("after", MapType(StringType(), StringType()), True),
         StructField("primary_keys", MapType(StringType(), StringType()), True),
+        # -- schema evolution
+        StructField("schema_version", StringType(), True),
+        StructField("ddl_statement", StringType(), True),
+        # -- performance tracking
+        StructField("processing_time", TimestampType(), True),
+        StructField("batch_id", StringType(), True),
+        StructField("partition_id", LongType(), True),
+        # -- data quality
         StructField("is_snapshot", BooleanType(), True),
         StructField("error_flag", BooleanType(), True),
         StructField("error_message", StringType(), True),
@@ -65,27 +96,46 @@ def _log_files(path: str) -> list[str]:
     )
 
 
-def _parse_line(line: str) -> tuple:
-    rec = json.loads(line)
+def _us_to_ts(us: int | None) -> datetime | None:
+    if us is None:
+        return None
     # integer split keeps exact microseconds (float seconds would
     # lose precision at 2024-era epochs)
-    us = rec["ts_us"]
-    ts = datetime.fromtimestamp(us // 1_000_000, tz=timezone.utc).replace(
+    return datetime.fromtimestamp(us // 1_000_000, tz=timezone.utc).replace(
         tzinfo=None
     ) + timedelta(microseconds=us % 1_000_000)
+
+
+def _parse_line(line: str) -> tuple:
+    rec = json.loads(line)
+    ts = _us_to_ts(rec["ts_us"])
     return (
         rec.get("database", "replay"),
         rec["table"],
         rec["operation"],
         ts,
+        _us_to_ts(rec.get("event_time_us", rec["ts_us"])),
         rec["seq"],
+        rec.get("binlog_file"),
+        rec.get("binlog_position"),
+        rec.get("gtid"),
+        rec.get("server_id"),
+        rec.get("transaction_id"),
         rec.get("before"),
         rec.get("after"),
         rec.get("primary_keys"),
+        rec.get("schema_version"),
+        rec.get("ddl_statement"),
+        _us_to_ts(rec.get("processing_time_us")),
+        rec.get("batch_id"),
+        rec.get("partition_id"),
         rec.get("is_snapshot", False),
         rec.get("error_flag", False),
         rec.get("error_message"),
     )
+
+
+_TABLE_IDX = 1  # position of `table` in the parsed tuple
 
 
 class _FilePartition(InputPartition):
@@ -108,38 +158,144 @@ class CDCReplayBatchReader(DataSourceReader):
 
 
 class CDCReplayStreamReader(SimpleDataSourceStreamReader):
-    """Offsets are {"file_idx": i, "row": r}: global position in the
-    ordered log directory — the local analog of the reference's
-    {binlog_file, binlog_position} (reference: lines 20-41)."""
+    """Offsets are {"file_idx": i, "row": r, "table_offsets": {t: n}}:
+    the global position in the ordered log directory plus the number
+    of rows consumed per table — the local analog of the reference's
+    CDCOffset {binlog_file, binlog_position, table_offsets}
+    (reference: aurora_cdc_datasource_v2.py:20-41).
+
+    Two modes:
+
+    - default: global sequential replay; ``table_offsets`` is carried
+      as per-table consumed counts (observability + per-table replay).
+    - ``tables_per_batch=N``: priority-driven selection (reference:
+      lines 350-369) — each micro-batch picks the N highest-priority
+      tables with pending rows (TableManager scoring: capped pending
+      volume + recency) and serves up to ``batch_size`` of THEIR rows
+      in log order; other tables' offsets stand still. Exactly-once
+      replay is per-table: [start.table_offsets, end.table_offsets).
+    """
 
     def __init__(self, options: dict):
         self.path = options["path"]
         self.batch_size = int(options.get("batch_size", "1000"))
+        tpb = options.get("tables_per_batch")
+        self.tables_per_batch = int(tpb) if tpb is not None else None
 
     def initialOffset(self) -> dict:
-        return {"file_idx": 0, "row": 0}
+        return {"file_idx": 0, "row": 0, "table_offsets": {}}
+
+    # -- global sequential mode ------------------------------------
 
     def _read_range(self, start: dict, limit: int | None) -> tuple[list, dict]:
         files = _log_files(self.path)
         out: list[tuple] = []
+        counts = dict(start.get("table_offsets", {}))
         fi, row = start["file_idx"], start["row"]
         while fi < len(files):
             with open(files[fi]) as fh:
                 lines = [ln for ln in fh if ln.strip()]
             while row < len(lines):
                 if limit is not None and len(out) >= limit:
-                    return out, {"file_idx": fi, "row": row}
-                out.append(_parse_line(lines[row]))
+                    return out, {"file_idx": fi, "row": row, "table_offsets": counts}
+                parsed = _parse_line(lines[row])
+                counts[parsed[_TABLE_IDX]] = counts.get(parsed[_TABLE_IDX], 0) + 1
+                out.append(parsed)
                 row += 1
             fi, row = fi + 1, 0
-        return out, {"file_idx": fi, "row": 0}
+        return out, {"file_idx": fi, "row": 0, "table_offsets": counts}
+
+    # -- priority (per-table) mode ---------------------------------
+
+    def _rows_by_table(self) -> dict[str, list[tuple]]:
+        by_table: dict[str, list[tuple]] = {}
+        for f in _log_files(self.path):
+            with open(f) as fh:
+                for line in fh:
+                    if line.strip():
+                        parsed = _parse_line(line)
+                        by_table.setdefault(parsed[_TABLE_IDX], []).append(parsed)
+        return by_table
+
+    def _read_priority(self, start: dict) -> tuple[list, dict]:
+        """TableManager scoring (reference: table_manager.py:157-204):
+        capped pending volume + recency of the newest pending change
+        relative to the newest pending change anywhere (the streaming
+        analog of 'hours since last update')."""
+        from ..config.table_manager import (
+            DAY_HOURS_BONUS,
+            RECENT_HOURS_BONUS,
+            VOLUME_CAP,
+        )
+
+        by_table = self._rows_by_table()
+        offsets = dict(start.get("table_offsets", {}))
+        pending = {
+            t: rows[offsets.get(t, 0):]
+            for t, rows in by_table.items()
+            if offsets.get(t, 0) < len(rows)
+        }
+        if not pending:
+            return [], {**start, "table_offsets": offsets}
+        # recency anchor: the newest pending event across all tables
+        ts_pos = 3
+        anchor = max(rows[-1][ts_pos] for rows in pending.values())
+        scores = {}
+        for t, rows in pending.items():
+            hours = (anchor - rows[-1][ts_pos]).total_seconds() // 3600
+            bonus = (
+                RECENT_HOURS_BONUS
+                if hours < 1
+                else (DAY_HOURS_BONUS if hours < 24 else 0)
+            )
+            scores[t] = min(len(rows), VOLUME_CAP) + bonus
+        chosen = sorted(pending, key=lambda t: (-scores[t], t))[
+            : self.tables_per_batch
+        ]
+        # serve chosen tables' rows in global log (seq-of-arrival)
+        # order, up to batch_size total
+        budget = self.batch_size
+        out: list[tuple] = []
+        take: dict[str, int] = {}
+        merged = sorted(
+            ((r, t) for t in chosen for r in pending[t]),
+            key=lambda rt: (rt[0][5],),  # seq position in the log
+        )
+        for r, t in merged:
+            if budget <= 0:
+                break
+            out.append(r)
+            take[t] = take.get(t, 0) + 1
+            budget -= 1
+        for t, n in take.items():
+            offsets[t] = offsets.get(t, 0) + n
+        return out, {
+            "file_idx": start.get("file_idx", 0),
+            "row": start.get("row", 0),
+            "table_offsets": offsets,
+        }
+
+    # -- SimpleDataSourceStreamReader contract ---------------------
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
-        rows, end = self._read_range(start, self.batch_size)
+        if self.tables_per_batch is not None:
+            rows, end = self._read_priority(start)
+        else:
+            rows, end = self._read_range(start, self.batch_size)
         return iter(rows), end
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
         # exactly-once replay on recovery: re-read [start, end)
+        if self.tables_per_batch is not None:
+            s_off = start.get("table_offsets", {})
+            e_off = end.get("table_offsets", {})
+            by_table = self._rows_by_table()
+            out = []
+            for t, rows in by_table.items():
+                lo, hi = s_off.get(t, 0), e_off.get(t, 0)
+                out.extend(rows[lo:hi])
+            out.sort(key=lambda r: r[5])  # global seq order, as read()
+            return iter(out)
         rows, _ = self._read_range(start, None)
         n = self._count_between(start, end)
         return iter(rows[:n])
@@ -177,13 +333,52 @@ class CDCReplayDataSource(DataSource):
         return CDCReplayStreamReader(self.options)
 
 
+# ---------------------------------------------------------------------------
+# Deterministic binlog generator
+# ---------------------------------------------------------------------------
+
+# Every event_id hitting this residue becomes a table-wide TRUNCATE of
+# its routed table (reference op vocabulary: INSERT/UPDATE/DELETE/
+# TRUNCATE, aurora_cdc_datasource_v2.py:61). The rule is expressed on
+# event_id so the DuckDB oracle derives the identical log.
+TRUNCATE_MOD = 251
+TXN_GROUP = 8  # consecutive events per transaction_id
+PROCESSING_LAG_US = 250_000  # deterministic ingest->process latency
+DDL_TABLE = "users_1"
+DDL_COLUMN = "loyalty_tier"
+DDL_STATEMENT = f"ALTER TABLE {DDL_TABLE} ADD COLUMN {DDL_COLUMN} VARCHAR"
+
+
 def write_binlog_from_events(
-    events_parquet: str, out_dir: str, rows_per_file: int = 2500
+    events_parquet: str,
+    out_dir: str,
+    rows_per_file: int = 2500,
+    include_ddl: bool = False,
 ) -> int:
     """Materialize a deterministic CDC 'binlog' (JSON-lines files)
     from the events table — the local analog of the reference's
-    workload generator (reference: scripts/cdc_data_generator.py).
-    Returns number of events written."""
+    workload generator (reference: scripts/cdc_data_generator.py),
+    carrying the full 21-column event schema (reference:
+    aurora_cdc_datasource_v2.py:59-89). Returns number of events
+    written (excluding the optional DDL marker).
+
+    Deterministic derivations (all re-expressible in oracle SQL):
+      table          users_{user_id % 4}
+      operation      TRUNCATE if event_id % 251 == 250,
+                     else signup→INSERT / error→DELETE / else UPDATE
+      server_id      1 + user_id % 4   (one server per routed table)
+      gtid           srv{server_id}:{event_id}
+      transaction_id txn{event_id // 8}
+      processing_ts  ts + 250 ms
+      batch_id       batch-{file_idx}; partition_id = file_idx
+
+    With ``include_ddl`` a schema-change event (operation DDL,
+    ddl_statement = ALTER TABLE ... ADD COLUMN) is emitted at the
+    midpoint; subsequent non-DELETE events of that table carry the
+    new column in `after` under schema_version 2 (reference reserves
+    schema_version/ddl_statement exactly for this,
+    aurora_cdc_datasource_v2.py:76-78).
+    """
     import pyarrow.parquet as pq
 
     import pyarrow as pa
@@ -202,27 +397,80 @@ def write_binlog_from_events(
     uid = table.column("user_id").to_pylist()
     etype = table.column("event_type").to_pylist()
     value = table.column("value").to_pylist()
+    ddl_at = n // 2 if include_ddl else None
     fh = None
     for i in range(n):
+        file_idx = i // rows_per_file
+        binlog_file = f"binlog.{file_idx:06d}.jsonl"
         if i % rows_per_file == 0:
             if fh:
                 fh.close()
-            fh = open(os.path.join(out_dir, f"binlog.{i // rows_per_file:06d}.jsonl"), "w")
+            fh = open(os.path.join(out_dir, binlog_file), "w")
         ts_us = ts_ns[i] // 1000
-        op = ops.get(etype[i], "UPDATE")
-        after = None if op == "DELETE" else {"value": str(value[i]), "event_type": etype[i]}
-        rec = {
+        tbl = f"users_{uid[i] % 4}"
+        common = {
             "database": "replay",
+            "ts_us": ts_us,
+            "event_time_us": ts_us,
+            "binlog_file": binlog_file,
+            "binlog_position": i % rows_per_file,
+            "server_id": 1 + uid[i] % 4,
+            "schema_version": "1",
+            "processing_time_us": ts_us + PROCESSING_LAG_US,
+            "batch_id": f"batch-{file_idx:06d}",
+            "partition_id": file_idx,
+        }
+        if ddl_at is not None and i == ddl_at:
+            # out-of-band schema-change event: no data payload, seq
+            # outside the event_id range so dedup identities never
+            # collide; consumers key on ddl_statement/schema_version
+            fh.write(
+                json.dumps(
+                    {
+                        **common,
+                        "table": DDL_TABLE,
+                        "operation": "DDL",
+                        "seq": 1_000_000_000 + i,
+                        "gtid": f"srv2:ddl{i}",
+                        "transaction_id": f"txnddl{i}",
+                        "schema_version": "2",
+                        "ddl_statement": DDL_STATEMENT,
+                    }
+                )
+                + "\n"
+            )
+        if eid[i] % TRUNCATE_MOD == TRUNCATE_MOD - 1:
+            op = "TRUNCATE"
+            after = None
+            pks = None
+        else:
+            op = ops.get(etype[i], "UPDATE")
+            pks = {"key_id": str(uid[i])}
+            if op == "DELETE":
+                after = None
+            else:
+                after = {"value": str(value[i]), "event_type": etype[i]}
+                if (
+                    include_ddl
+                    and i > ddl_at
+                    and tbl == DDL_TABLE
+                ):
+                    after[DDL_COLUMN] = f"tier{uid[i] % 3}"
+        rec = {
+            **common,
             # deterministic multi-table routing: exercises the
             # many-table CDC path (reference handles 500+ tables)
-            "table": f"users_{uid[i] % 4}",
+            "table": tbl,
             "operation": op,
-            "ts_us": ts_us,
             "seq": eid[i],
+            "gtid": f"srv{1 + uid[i] % 4}:{eid[i]}",
+            "transaction_id": f"txn{eid[i] // TXN_GROUP}",
             "before": None,
             "after": after,
-            "primary_keys": {"key_id": str(uid[i])},
+            "primary_keys": pks,
         }
+        if include_ddl and i > ddl_at and tbl == DDL_TABLE and op != "TRUNCATE":
+            rec["schema_version"] = "2"
         fh.write(json.dumps(rec) + "\n")
     if fh:
         fh.close()

@@ -172,3 +172,33 @@ def test_latest_state_agg_negative_ts_and_seq(spark):
     rows = {r.key_id: r.event_type for r in b.collect()}
     assert rows == {1: "c", 2: "e"}
     assert a.exceptAll(b).count() == 0
+
+
+def test_latest_state_with_truncate_semantics(spark):
+    """Binlog-position TRUNCATE semantics: wipes every earlier change
+    of its table (even un-deleted keys), later changes rebuild state,
+    other tables untouched, DELETE still drops."""
+    rows = [
+        # (tbl, key_id, seq, operation, ts)
+        ("t0", 1, 1, "INSERT", "2024-01-01 00:00:01"),
+        ("t0", 2, 2, "INSERT", "2024-01-01 00:00:02"),
+        ("t0", None, 3, "TRUNCATE", "2024-01-01 00:00:03"),
+        ("t0", 2, 4, "INSERT", "2024-01-01 00:00:04"),
+        ("t0", 3, 5, "INSERT", "2024-01-01 00:00:05"),
+        ("t0", 3, 6, "DELETE", "2024-01-01 00:00:06"),
+        ("t1", 9, 7, "INSERT", "2024-01-01 00:00:07"),
+    ]
+    log = spark.createDataFrame(
+        [(t, k, s, o, ts) for t, k, s, o, ts in rows],
+        "tbl string, key_id long, seq long, operation string, ts_s string",
+    ).select("tbl", "key_id", "seq", "operation", F.to_timestamp("ts_s").alias("ts"))
+    out = cdc_apply.latest_state_with_truncate(log)
+    got = {(r["tbl"], r["key_id"]): r["seq"] for r in out.collect()}
+    # key 1 wiped by truncate; key 2 only its post-truncate row; key 3
+    # deleted; t1 untouched
+    assert got == {("t0", 2): 4, ("t1", 9): 7}
+
+
+def test_truncate_queries_oracle_parity(spark, sf_dir):
+    assert_matches_oracle(spark, "cdc_latest_state_with_truncate", sf_dir)
+    assert_matches_oracle(spark, "cdc_distinct_transactions", sf_dir)

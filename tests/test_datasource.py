@@ -35,16 +35,60 @@ def test_batch_read_full_log(registered, binlog_dir):
     df = registered.read.format("cdc_replay").option("path", path).load()
     assert df.count() == n
     ops = {r["operation"] for r in df.select("operation").distinct().collect()}
-    assert ops == {"INSERT", "UPDATE", "DELETE"}
-    # DELETE events carry no after-image; others do
-    assert df.where("operation = 'DELETE' AND after IS NOT NULL").count() == 0
-    assert df.where("operation <> 'DELETE' AND after IS NULL").count() == 0
-    # primary keys always present
-    assert df.where("primary_keys IS NULL").count() == 0
+    assert ops == {"INSERT", "UPDATE", "DELETE", "TRUNCATE"}
+    # DELETE/TRUNCATE events carry no after-image; others do
+    assert df.where(
+        "operation IN ('DELETE','TRUNCATE') AND after IS NOT NULL"
+    ).count() == 0
+    assert df.where(
+        "operation NOT IN ('DELETE','TRUNCATE') AND after IS NULL"
+    ).count() == 0
+    # primary keys present except on table-wide TRUNCATE
+    assert df.where(
+        "primary_keys IS NULL AND operation <> 'TRUNCATE'"
+    ).count() == 0
+    assert df.where(
+        "primary_keys IS NOT NULL AND operation = 'TRUNCATE'"
+    ).count() == 0
+
+
+def test_full_reference_schema(registered, binlog_dir):
+    """The event schema carries every column of the reference's
+    21-column unified schema (reference:
+    aurora_cdc_datasource_v2.py:59-89; `ts` ≡ its `timestamp`) and
+    the position/transaction/tracking fields are populated."""
+    path, _ = binlog_dir
+    df = registered.read.format("cdc_replay").option("path", path).load()
+    expected = {
+        "database", "table", "operation", "ts", "event_time", "seq",
+        "binlog_file", "binlog_position", "gtid", "server_id",
+        "transaction_id", "before", "after", "primary_keys",
+        "schema_version", "ddl_statement", "processing_time",
+        "batch_id", "partition_id", "is_snapshot", "error_flag",
+        "error_message",
+    }
+    assert set(df.columns) == expected
+    for col in [
+        "event_time", "binlog_file", "binlog_position", "gtid",
+        "server_id", "transaction_id", "schema_version",
+        "processing_time", "batch_id", "partition_id",
+    ]:
+        assert df.where(F.col(col).isNull()).count() == 0, col
+    # deterministic derivations hold
+    assert df.where("event_time <> ts").count() == 0
+    assert (
+        df.where("unix_micros(processing_time) - unix_micros(ts) <> 250000")
+        .count() == 0
+    )
+    assert df.where(
+        "gtid <> concat('srv', server_id, ':', seq) AND operation <> 'DDL'"
+    ).count() == 0
 
 
 def test_batch_matches_cdc_log_semantics(registered, binlog_dir, sf_dir):
-    """The replayed operations must agree with the derived CDC log."""
+    """The replayed operations must agree with the derived CDC log
+    (TRUNCATE rows are out-of-band table-wide ops the row-level log
+    doesn't model — excluded on their event_id rule)."""
     from aurora_cdc_demo_spark.sources.cdc_log import cdc_operation_log
 
     path, _ = binlog_dir
@@ -52,9 +96,10 @@ def test_batch_matches_cdc_log_semantics(registered, binlog_dir, sf_dir):
         registered.read.format("cdc_replay")
         .option("path", path)
         .load()
+        .where("operation <> 'TRUNCATE'")
         .select(F.col("seq"), F.col("operation").alias("op_replay"))
     )
-    log = cdc_operation_log(registered, sf_dir).select(
+    log = cdc_operation_log(registered, sf_dir).where("seq % 251 <> 250").select(
         "seq", F.col("operation").alias("op_log")
     )
     joined = replay.join(log, "seq")
@@ -135,6 +180,67 @@ def test_streaming_query_end_to_end(registered, binlog_dir, tmp_path):
         time.sleep(1)
     q.stop()
     assert total == n
+
+
+def test_offsets_carry_table_offsets(binlog_dir):
+    """Offsets are the reference's CDCOffset analog: global position
+    PLUS per-table consumed counts (reference:
+    aurora_cdc_datasource_v2.py:20-41), JSON round-trippable."""
+    path, n = binlog_dir
+    reader = CDCReplayStreamReader({"path": path, "batch_size": "700"})
+    offset = reader.initialOffset()
+    assert offset["table_offsets"] == {}
+    while True:
+        rows, end = reader.read(offset)
+        if not list(rows):
+            break
+        offset = json.loads(json.dumps(end))  # checkpoint round-trip
+    assert sum(offset["table_offsets"].values()) == n
+    assert set(offset["table_offsets"]) == {f"users_{i}" for i in range(4)}
+
+
+def test_priority_mode_serves_top_tables_first(binlog_dir):
+    """tables_per_batch=2: the first micro-batch serves only the two
+    highest-priority tables (TableManager scoring: capped pending
+    volume + recency; reference: aurora_cdc_datasource_v2.py:350-369)."""
+    path, _ = binlog_dir
+    reader = CDCReplayStreamReader(
+        {"path": path, "batch_size": "200", "tables_per_batch": "2"}
+    )
+    rows, end = reader.read(reader.initialOffset())
+    rows = list(rows)
+    tables = {r[1] for r in rows}
+    assert len(tables) <= 2
+    assert len(rows) <= 200
+    consumed = {t for t, n in end["table_offsets"].items() if n > 0}
+    assert consumed == tables
+
+
+def test_priority_mode_exactly_once_per_table(binlog_dir):
+    """Draining the log in priority mode delivers every row of every
+    table exactly once, and replaying any [start, end) offset pair
+    reproduces the identical batch."""
+    path, n = binlog_dir
+    reader = CDCReplayStreamReader(
+        {"path": path, "batch_size": "300", "tables_per_batch": "2"}
+    )
+    offset = reader.initialOffset()
+    seen: list[int] = []
+    replay_checked = False
+    while True:
+        rows, end = reader.read(offset)
+        rows = list(rows)
+        if not rows:
+            break
+        if not replay_checked and len(seen) > 0:
+            replayed = list(reader.readBetweenOffsets(offset, end))
+            assert replayed == rows
+            replay_checked = True
+        seen.extend(r[5] for r in rows)  # seq
+        offset = end
+    assert replay_checked
+    assert len(seen) == n
+    assert len(set(seen)) == n  # no duplicates, nothing missed
 
 
 def test_debezium_dlq_partitions_the_stream(spark, sf_dir):
