@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.cdc_apply import net_changes, upsert_merge
+from ..operators.cdc_apply import net_changes, upsert_merge, upsert_merge_evolving
 
 
 def read_cdc_stream(spark: SparkSession, log_dir: str) -> DataFrame:
@@ -97,26 +97,21 @@ class ParquetStateStore:
             return None  # genuinely the first batch
         return self.spark.read.parquet(self.state_dir)
 
-    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        """Idempotent, atomic batch apply. foreachBatch MAY re-deliver
-        a batch id after a failure; the marker file short-circuits the
-        replay (the merge itself is idempotent — pytest property — but
-        skipping avoids re-paying the work and generalizes to
-        non-idempotent sinks). The new state is staged to a side dir
-        and swapped in, so a crash mid-write leaves the previous state
-        intact (the no-Delta analog of transactional commit)."""
-        import shutil
+    def _is_replay(self, batch_id: int) -> bool:
         from pathlib import Path
 
         marker = Path(self.state_dir + ".last_batch")
-        if marker.exists() and marker.read_text() == str(batch_id):
-            return  # replayed delivery — already applied
-        net = net_changes(batch_df, key=self.key)
-        state = self._read_state()
-        if state is None:
-            merged = net.where(F.col("operation") != "DELETE")
-        else:
-            merged = upsert_merge(state, net, key=self.key)
+        return marker.exists() and marker.read_text() == str(batch_id)
+
+    def _commit(self, merged: DataFrame, batch_id: int) -> None:
+        """Stage-and-swap transactional commit: the new state lands in
+        a side dir and is swapped in, so a crash mid-write leaves the
+        previous state intact (the no-Delta analog of a transactional
+        commit); _read_state rolls back the .old dir if we crash
+        between the two renames."""
+        import shutil
+        from pathlib import Path
+
         staging = self.state_dir + ".staging"
         merged.write.mode("overwrite").parquet(staging)
         old = self.state_dir + ".old"
@@ -125,7 +120,23 @@ class ParquetStateStore:
             Path(self.state_dir).rename(old)
         Path(staging).rename(self.state_dir)
         shutil.rmtree(old, ignore_errors=True)
-        marker.write_text(str(batch_id))
+        Path(self.state_dir + ".last_batch").write_text(str(batch_id))
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Idempotent, atomic batch apply. foreachBatch MAY re-deliver
+        a batch id after a failure; the marker file short-circuits the
+        replay (the merge itself is idempotent — pytest property — but
+        skipping avoids re-paying the work and generalizes to
+        non-idempotent sinks)."""
+        if self._is_replay(batch_id):
+            return  # replayed delivery — already applied
+        net = net_changes(batch_df, key=self.key)
+        state = self._read_state()
+        if state is None:
+            merged = net.where(F.col("operation") != "DELETE")
+        else:
+            merged = upsert_merge(state, net, key=self.key)
+        self._commit(merged, batch_id)
 
     def start(self, stream: DataFrame, checkpoint_dir: str):
         return (
@@ -134,6 +145,119 @@ class ParquetStateStore:
             .trigger(availableNow=True)
             .start()
         )
+
+
+class EvolvingCDCStateStore(ParquetStateStore):
+    """foreachBatch sink for the RAW 21-column CDC event stream
+    (sources/cdc_datasource.CDC_EVENT_SCHEMA): flattens the `after`
+    map to typed columns, applies table-wide TRUNCATE in binlog order,
+    and — the reference's schema-evolution path (reference:
+    aurora_cdc_datasource_v2.py:76-78 reserves schema_version /
+    ddl_statement exactly for this) — reacts to in-stream DDL events:
+    an ALTER TABLE ... ADD COLUMN event registers the new column, and
+    from that batch on it is flattened out of `after` and merged via
+    upsert_merge_evolving, which NULL-backfills existing state rows
+    like an ALTER TABLE ADD COLUMN would.
+
+    The column registry (state_dir + '.schema.json') is derived purely
+    from DDL events already consumed, so replaying a batch re-derives
+    it — idempotent alongside the batch-id marker.
+
+    Assumes per-table in-order delivery (both reader modes guarantee
+    it), so state rows of a table always predate a TRUNCATE seen in
+    the current batch.
+    """
+
+    BASE_FLAT = ["event_type", "value"]
+
+    def __init__(self, spark, state_dir, key=None):
+        super().__init__(spark, state_dir, key=key or ["tbl", "key_id"])
+
+    # -- DDL column registry ---------------------------------------
+
+    def _registry_path(self) -> str:
+        return self.state_dir + ".schema.json"
+
+    def _load_columns(self) -> list[str]:
+        import json as _json
+        import os
+
+        if os.path.exists(self._registry_path()):
+            with open(self._registry_path()) as fh:
+                return _json.load(fh)["extra_columns"]
+        return []
+
+    def _register_ddl(self, ddl_rows: list) -> list[str]:
+        import json as _json
+        import re
+
+        cols = self._load_columns()
+        for stmt in ddl_rows:
+            m = re.search(r"ADD COLUMN (\w+)", stmt or "")
+            if m and m.group(1) not in cols:
+                cols.append(m.group(1))
+        with open(self._registry_path(), "w") as fh:
+            _json.dump({"extra_columns": cols}, fh)
+        return cols
+
+    # -- flatten (the reference's flatten_json_df,
+    #    cdc_500_tables_streaming.py:297-314) ----------------------
+
+    def _flatten(self, raw: DataFrame, extra_cols: list[str]) -> DataFrame:
+        cols = [
+            F.col("table").alias("tbl"),
+            F.col("primary_keys")["key_id"].cast("long").alias("key_id"),
+            "seq",
+            "operation",
+            F.col("after")["event_type"].alias("event_type"),
+            "ts",
+            F.col("after")["value"].cast("double").alias("value"),
+        ]
+        cols += [F.col("after")[c].alias(c) for c in extra_cols]
+        return raw.select(*cols)
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self._is_replay(batch_id):
+            return
+        # 1. DDL events extend the column registry (control flow:
+        #    bounded by schema-change count, not data volume)
+        ddl_rows = [
+            r["ddl_statement"]
+            for r in batch_df.where(F.col("operation") == "DDL")
+            .select("ddl_statement")
+            .collect()
+        ]
+        extra = self._register_ddl(ddl_rows) if ddl_rows else self._load_columns()
+        # 2. per-table TRUNCATE frontier within this batch (bounded by
+        #    table count -> broadcast-safe)
+        truncs = (
+            batch_df.where(F.col("operation") == "TRUNCATE")
+            .groupBy(F.col("table").alias("tbl"))
+            .agg(F.max("seq").alias("_tseq"))
+        )
+        flat = self._flatten(
+            batch_df.where(~F.col("operation").isin("DDL", "TRUNCATE")), extra
+        )
+        live = (
+            flat.join(F.broadcast(truncs), "tbl", "left")
+            .where(F.col("seq") > F.coalesce(F.col("_tseq"), F.lit(-1)))
+            .drop("_tseq")
+        )
+        net = net_changes(live, key=self.key)
+        state = self._read_state()
+        if state is not None:
+            # drop truncated tables' rows: with per-table in-order
+            # delivery they all predate the truncate position
+            state = (
+                state.join(F.broadcast(truncs), "tbl", "left")
+                .where(F.col("_tseq").isNull())
+                .drop("_tseq")
+            )
+        if state is None:
+            merged = net.where(F.col("operation") != "DELETE")
+        else:
+            merged = upsert_merge_evolving(state, net, key=self.key)
+        self._commit(merged, batch_id)
 
 
 def dedup_stream_exactly_once(

@@ -374,3 +374,73 @@ def test_state_store_recovers_from_crash_window(spark, sf_dir, tmp_path):
     want = spark.read.parquet(str(tmp_path / "oracle"))
     assert after.count() == want.count()
     assert after.exceptAll(want).count() == 0
+
+
+def test_ddl_event_drives_schema_evolving_merge(spark, sf_dir, tmp_path):
+    """End-to-end schema evolution through the streaming path: a
+    mid-log DDL event (ALTER TABLE users_1 ADD COLUMN loyalty_tier)
+    flows through the cdc_replay stream; foreachBatch registers the
+    column and merges evolvingly, so pre-DDL state rows get NULL
+    backfill and post-DDL changes land with values. The end state
+    must equal the batch twin (flatten with the final schema +
+    latest_state_with_truncate over the whole log)."""
+    from aurora_cdc_demo_spark.operators.cdc_apply import (
+        latest_state_with_truncate,
+    )
+    from aurora_cdc_demo_spark.sources.cdc_datasource import (
+        CDCReplayDataSource,
+        DDL_COLUMN,
+        write_binlog_from_events,
+    )
+    from aurora_cdc_demo_spark.streaming.pipelines import EvolvingCDCStateStore
+
+    binlog = tmp_path / "binlog_ddl"
+    n = write_binlog_from_events(
+        f"{sf_dir}/events.parquet", str(binlog), rows_per_file=150, include_ddl=True
+    )
+    assert n > 0
+    spark.dataSource.register(CDCReplayDataSource)
+    store = EvolvingCDCStateStore(spark, str(tmp_path / "state"))
+    q = (
+        spark.readStream.format("cdc_replay")
+        .option("path", str(binlog))
+        .option("batch_size", "300")
+        .load()
+        .writeStream.foreachBatch(store.apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    # drain: the reader commits per-table offsets; n events + 1 DDL row
+    import json
+    import time
+
+    deadline = time.time() + 180
+    while time.time() < deadline:
+        try:
+            with open(binlog / "_committed_offset.json") as fh:
+                off = json.load(fh)
+            if sum(off.get("table_offsets", {}).values()) >= n + 1:
+                break
+        except (FileNotFoundError, json.JSONDecodeError):
+            pass
+        time.sleep(0.5)
+    q.stop()
+    got = spark.read.parquet(str(tmp_path / "state"))
+    # the evolved column exists, with values only possible post-DDL
+    assert DDL_COLUMN in got.columns
+    n_with = got.where(F.col(DDL_COLUMN).isNotNull()).count()
+    assert n_with > 0
+    assert got.where(
+        (F.col(DDL_COLUMN).isNotNull()) & (F.col("tbl") != "users_1")
+    ).count() == 0
+    # batch twin: whole log flattened with the final schema
+    raw = spark.read.format("cdc_replay").option("path", str(binlog)).load()
+    twin = latest_state_with_truncate(
+        store._flatten(raw.where("operation <> 'DDL'"), [DDL_COLUMN])
+    )
+    cols = sorted(got.columns)
+    assert cols == sorted(twin.columns)
+    a = got.select(cols).toPandas().sort_values(["tbl", "key_id"]).reset_index(drop=True)
+    b = twin.select(cols).toPandas().sort_values(["tbl", "key_id"]).reset_index(drop=True)
+    assert a.equals(b)
