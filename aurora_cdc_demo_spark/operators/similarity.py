@@ -212,6 +212,16 @@ def ivf_multiprobe_sql(dialect: str) -> str:
 # cosine then verifies candidates, so there are NO false positives;
 # the price is bounded recall on true pairs.
 #
+# Why hyperplane LSH and not IVF-cell blocking: measured on this
+# testdata (sf0.01, τ=0.4), candidate blocking by shared IVF probe
+# cell recalls only 26/59 true pairs at nprobe=2 (0.44) and needs
+# nprobe=4 to reach 54/59 (0.92) — at which point 72% of ALL pairs
+# survive as candidates, i.e. barely better than all-pairs. Weakly
+# similar vectors do not co-locate in coarse cells; sign-bit LSH
+# bands target the pair angle directly. (IVF remains the right
+# blocker for top-k SEARCH, where the query's own cell is exactly
+# the neighborhood wanted — see ivf_topk above.)
+#
 # Parameter honesty (measured on this testdata, tests pin it): the
 # synthetic near-dups sit at cos 0.40-0.51, barely above the noise
 # floor (random 64-dim pairs: cos 0 +/- 0.125), the WORST regime for
@@ -264,11 +274,58 @@ def _sign_bit(plane: list[int], dialect: str) -> str:
 
 
 def _lsh_band_ctes(dialect: str, r_bits: int = R_BITS, n_bands: int = N_BANDS) -> str:
-    """Shared CTE chain v -> bits -> keys -> bands -> cand producing
-    DISTINCT candidate pairs (vec_a < vec_b) from band-bucket
-    collisions. Spark explodes band keys with posexplode; the DuckDB
-    oracle unions one SELECT per band (same rows, oracle-only)."""
+    """Shared CTE chain v -> bands -> cand producing DISTINCT
+    candidate pairs (vec_a < vec_b) from band-bucket collisions.
+
+    Plan-shape note (measured at sf0.1, both checksum-identical): the
+    per-bit CASE projection form below codegens to ~1.1 s warm; the
+    "cleaner" alternative — one constant 64x64 matrix + a `transform`
+    fold over it (plain or 1-row-cross-joined) — is 8-9x SLOWER
+    because nested higher-order functions drop out of whole-stage
+    codegen into interpreted per-row lambda eval. Wide-but-flat
+    expression lists beat compact HOFs in the Spark hot path.
+
+    Spark explodes band keys with posexplode; the DuckDB oracle
+    unions one SELECT per band — same rows, and the per-dimension
+    double products/sums are identical left-associated IEEE ops in
+    both, so the sign bits are bit-identical cross-engine."""
     planes = _hyperplanes(r_bits, n_bands)
+    if dialect == "spark":
+        bit_cols = ",\n                   ".join(
+            f"{_sign_bit(planes[j], 'spark')} AS s{j}"
+            for j in range(r_bits * n_bands)
+        )
+        key_cols = ", ".join(
+            "("
+            + " + ".join(
+                f"s{b * r_bits + k} * {1 << (r_bits - 1 - k)}"
+                for k in range(r_bits)
+            )
+            + f") AS k{b}"
+            for b in range(n_bands)
+        )
+        key_arr = ", ".join(f"k{b}" for b in range(n_bands))
+        return f"""
+        v AS (
+            SELECT vec_id, embedding, {_norm('embedding', dialect)} AS nrm
+            FROM embeddings)
+        , bits AS (
+            SELECT vec_id,
+                   {bit_cols}
+            FROM v)
+        , keys AS (
+            SELECT vec_id, {key_cols} FROM bits)
+        , bands AS (
+            SELECT vec_id, band_idx, band_key
+            FROM keys
+            LATERAL VIEW posexplode(array({key_arr})) AS band_idx, band_key)
+        , cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM bands a
+            JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.vec_id < b.vec_id)
+    """
     bit_cols = ",\n                   ".join(
         f"{_sign_bit(planes[j], dialect)} AS s{j}" for j in range(r_bits * n_bands)
     )
@@ -280,17 +337,10 @@ def _lsh_band_ctes(dialect: str, r_bits: int = R_BITS, n_bands: int = N_BANDS) -
         + f") AS k{b}"
         for b in range(n_bands)
     )
-    key_arr = ", ".join(f"k{b}" for b in range(n_bands))
-    if dialect == "spark":
-        bands = f"""
-            SELECT vec_id, band_idx, band_key
-            FROM keys
-            LATERAL VIEW posexplode(array({key_arr})) AS band_idx, band_key"""
-    else:
-        bands = "\n            UNION ALL ".join(
-            f"SELECT vec_id, {b} AS band_idx, k{b} AS band_key FROM keys"
-            for b in range(n_bands)
-        )
+    bands = "\n            UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_idx, k{b} AS band_key FROM keys"
+        for b in range(n_bands)
+    )
     return f"""
         v AS (
             SELECT vec_id, embedding, {_norm('embedding', dialect)} AS nrm

@@ -264,3 +264,56 @@ def test_debezium_dlq_partitions_the_stream(spark, sf_dir):
     # the corrupted slice is exactly the DLQ
     assert n_dlq == log.where(f"seq % {CORRUPT_EVERY} = 0").count()
     assert dlq.where("error_type <> 'PARSE_ERROR'").count() == 0
+
+
+def test_priority_mode_through_spark_stream(registered, binlog_dir, tmp_path):
+    """Priority mode through a REAL Structured Streaming query: the
+    per-table offset dict must survive Spark's offset-log JSON
+    round-trip, and every event must be delivered exactly once."""
+    import time
+
+    path, n = binlog_dir
+    q = (
+        registered.readStream.format("cdc_replay")
+        .option("path", path)
+        .option("batch_size", "400")
+        .option("tables_per_batch", "2")
+        .load()
+        .groupBy("table")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("seq").alias("seq_sum"))
+        .writeStream.format("memory")
+        .queryName("cdc_priority_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    total = 0
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        rows = registered.sql(
+            "SELECT CAST(SUM(n) AS BIGINT) AS total FROM cdc_priority_counts"
+        ).collect()
+        total = rows[0]["total"] or 0
+        if total >= n:
+            break
+        time.sleep(0.5)
+    q.stop()
+    assert total == n
+    # exactly-once: per-table seq sums match the batch read
+    got = {
+        r["table"]: (r["n"], r["seq_sum"])
+        for r in registered.sql(
+            "SELECT table, n, seq_sum FROM cdc_priority_counts"
+        ).collect()
+    }
+    want = {
+        r["table"]: (r["n"], r["seq_sum"])
+        for r in registered.read.format("cdc_replay")
+        .option("path", path)
+        .load()
+        .groupBy("table")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("seq").alias("seq_sum"))
+        .collect()
+    }
+    assert got == want
