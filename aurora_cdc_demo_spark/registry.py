@@ -409,6 +409,17 @@ def q_mm_binary_meta(spark, sf_dir):
     return _mm.binary_meta(load_table(spark, sf_dir, "documents"))
 
 
+@query("mm_frame_sample", oracle=_mm.MM_FRAME_SAMPLE_SQL)
+def q_mm_frame_sample(spark, sf_dir):
+    """Video-style frame sampling over binary payloads: N evenly
+    strided byte-window 'frames' per doc, one row each, with stub
+    decode features — the sampling plan is pure built-ins (explode +
+    binary substring + md5), fully codegen'd; a real ffmpeg decode
+    would slot in as mapInPandas without changing the row shape
+    (operators/multimodal.py)."""
+    return _mm.frame_sample(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Time travel + extended text ops (SURVEY §2 #34-36)
 # ---------------------------------------------------------------------------

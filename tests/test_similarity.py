@@ -17,6 +17,7 @@ SIM_QUERIES = [
     "ann_ivf_topk",
     "ann_ivf_multiprobe",
     "mm_binary_meta",
+    "mm_frame_sample",
 ]
 
 
