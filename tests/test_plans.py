@@ -124,3 +124,37 @@ def test_no_forced_broadcast_on_unbounded_side(spark, sf_dir, name, allowed_hint
     '(strategy=broadcast)' join-hint annotations."""
     plan = optimized(spark, sf_dir, name)
     assert plan.count("strategy=broadcast") <= allowed_hints, plan
+
+
+def test_truncate_latest_state_broadcasts_frontier_only(spark, sf_dir):
+    """The per-table TRUNCATE frontier is bounded by table count
+    (schema objects) — it SHOULD broadcast; the data side must not,
+    and the whole query needs exactly the one (tbl, key) shuffle for
+    latest-state plus the frontier-aggregate exchange."""
+    plan = plan_of(spark, sf_dir, "cdc_latest_state_with_truncate")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_distinct_transactions_two_stage_agg(spark, sf_dir):
+    """count(distinct) must expand to the two-stage partial aggregate
+    (map-side partials on (tbl, transaction_id)), never a global
+    single-node aggregation."""
+    plan = plan_of(spark, sf_dir, "cdc_distinct_transactions")
+    assert plan.count("HashAggregate") >= 2
+    assert "CollectLimit" not in plan
+
+
+def test_frame_sample_is_shuffle_free_and_jvm_side(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "mm_frame_sample")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_near_dup_lsh_no_data_broadcast_hint(spark, sf_dir):
+    """The LSH band self-join sides scale with the corpus — no
+    forced broadcast hint may survive into the optimized plan."""
+    plan = optimized(spark, sf_dir, "embed_near_dup_lsh")
+    assert plan.count("strategy=broadcast") == 0
