@@ -1698,3 +1698,191 @@ def q_corpus_keep_list_lsh(spark, sf_dir):
         .otherwise("keep")
     )
     return j.select("doc_id", keep.alias("keep"), decision.alias("decision"))
+
+
+# ---------------------------------------------------------------------------
+# R2 training-data pipeline additions: repetition filtering,
+# benchmark decontamination, domain mixing
+# ---------------------------------------------------------------------------
+
+_REP_DUP_BP = 4000  # >40% repeated tokens -> repetitive
+_REP_TOP_BIGRAM_BP = 1500  # >15% occupancy by one bigram -> repetitive
+
+
+@query(
+    "text_repetition_stats",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        , base AS (
+            SELECT doc_id,
+                   CAST(len(t) AS BIGINT) AS n,
+                   CAST(len(list_distinct(t)) AS BIGINT) AS uniq
+            FROM toks)
+        , bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)),
+                          i -> array_to_string(t[i:i+1], ' '))) AS bigram
+            FROM toks WHERE len(t) >= 2)
+        , bgc AS (
+            SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+        , bgm AS (
+            SELECT doc_id, MAX(c) AS max_bg, CAST(SUM(c) AS BIGINT) AS n_bg
+            FROM bgc GROUP BY doc_id)
+        SELECT b.doc_id,
+               b.n AS n_tokens,
+               (10000 * (b.n - b.uniq)) // b.n AS dup_token_bp,
+               COALESCE((10000 * m.max_bg) // m.n_bg, 0) AS top_bigram_bp,
+               CAST(CASE WHEN (10000 * (b.n - b.uniq)) // b.n > {_REP_DUP_BP}
+                          OR COALESCE((10000 * m.max_bg) // m.n_bg, 0)
+                             > {_REP_TOP_BIGRAM_BP}
+                    THEN 1 ELSE 0 END AS BIGINT) AS is_repetitive
+        FROM base b LEFT JOIN bgm m ON b.doc_id = m.doc_id
+    """,
+)
+def q_text_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filter: per-doc repeated-token
+    fraction and top-bigram occupancy (both floor-scaled basis
+    points), flagged against fixed thresholds — the 'remove
+    boilerplate/spam' gate of a pre-training pipeline.
+
+    Shape: one bigram explode → (doc, bigram) count → per-doc max —
+    two key-partitioned hash aggregates with map-side partials, then
+    an equi-join back on doc_id (both sides already hash-partitioned
+    by doc_id after their aggs — co-located, no extra shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n"),
+        F.size(F.array_distinct(toks)).cast("long").alias("uniq"),
+    )
+    m = F.size(toks) - 1
+    bigrams = F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    bgm = (
+        docs.where(F.size(toks) >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_bg"), F.sum("c").alias("n_bg"))
+    )
+    dup_bp = F.expr("(10000 * (n - uniq)) div n")
+    top_bp = F.coalesce(F.expr("(10000 * max_bg) div n_bg"), F.lit(0))
+    return (
+        base.join(bgm, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            dup_bp.alias("dup_token_bp"),
+            top_bp.alias("top_bigram_bp"),
+            (
+                (dup_bp > _REP_DUP_BP) | (top_bp > _REP_TOP_BIGRAM_BP)
+            ).cast("long").alias("is_repetitive"),
+        )
+    )
+
+
+_DECON_NGRAM = 8
+_DECON_BENCH_MAX_ID = 20  # doc_id < 20 is the held-out benchmark set
+
+
+@query(
+    "corpus_decontaminate",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        , grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) - {_DECON_NGRAM - 2}),
+                          i -> array_to_string(t[i:i+{_DECON_NGRAM - 1}], ' ')))
+                       AS g
+            FROM toks WHERE len(t) >= {_DECON_NGRAM})
+        , bench AS (
+            SELECT DISTINCT g FROM grams WHERE doc_id < {_DECON_BENCH_MAX_ID})
+        , hits AS (
+            SELECT DISTINCT c.doc_id, c.g
+            FROM grams c JOIN bench b ON c.g = b.g
+            WHERE c.doc_id >= {_DECON_BENCH_MAX_ID})
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+        FROM hits GROUP BY doc_id
+    """,
+)
+def q_corpus_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing any
+    8-token n-gram with the held-out benchmark set (docs 0-19 stand
+    in for an eval suite) — the standard 'don't train on the test
+    set' sweep.
+
+    Scale: the benchmark n-gram set is bounded by the EVAL SUITE
+    size, not the corpus (fixed as data grows), so broadcasting it is
+    safe at any SF; the corpus side streams through a broadcast-hash
+    semi-join with no shuffle of the exploded grams."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = F.expr(
+        f"transform(sequence(1, size(split(text, ' ')) - {_DECON_NGRAM - 1}), "
+        f"i -> concat_ws(' ', slice(split(text, ' '), i, {_DECON_NGRAM})))"
+    )
+    g = docs.where(F.size(toks) >= _DECON_NGRAM).select(
+        "doc_id", F.explode(grams).alias("g")
+    )
+    bench = (
+        g.where(F.col("doc_id") < _DECON_BENCH_MAX_ID).select("g").distinct()
+    )
+    return (
+        g.where(F.col("doc_id") >= _DECON_BENCH_MAX_ID)
+        .join(F.broadcast(bench), "g")
+        .select("doc_id", "g")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+
+
+@query(
+    "sample_domain_mix",
+    oracle="""
+        WITH counts AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src
+            FROM documents GROUP BY source)
+        , quota AS (SELECT MIN(n_src) AS q FROM counts)
+        , keyed AS (
+            SELECT d.doc_id, d.source,
+                   CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 10000 AS u,
+                   (10000 * q.q) // c.n_src AS keep_bp
+            FROM documents d
+            JOIN counts c ON d.source = c.source
+            CROSS JOIN quota q)
+        SELECT doc_id, source FROM keyed WHERE u < keep_bp
+    """,
+)
+def q_sample_domain_mix(spark, sf_dir):
+    """Domain (source) mixture rebalancing: hash-downsample every
+    source toward the smallest source's share, the 'data mixing'
+    step that turns raw domain proportions into a target training
+    mixture. Selection is a pure per-row md5 threshold (reproducible,
+    engine-identical, no RNG state); per-source counts and the quota
+    are a tiny aggregate broadcast back onto the scan — the only
+    shuffle is the bounded per-source count. Compare
+    sample_stratified (fixed per-language rates): here the rates are
+    DERIVED from the observed domain counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    quota = counts.agg(F.min("n_src").alias("q"))
+    keyed = (
+        docs.join(F.broadcast(counts), "source")
+        .crossJoin(F.broadcast(quota))
+        .select(
+            "doc_id",
+            "source",
+            _sampling._hash_bp(F.col("doc_id")).alias("u"),
+            F.expr("(10000 * q) div n_src").alias("keep_bp"),
+        )
+    )
+    return keyed.where(F.col("u") < F.col("keep_bp")).select("doc_id", "source")

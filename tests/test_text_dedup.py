@@ -21,6 +21,9 @@ TEXT_DEDUP_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "text_repetition_stats",
+    "corpus_decontaminate",
+    "sample_domain_mix",
 ]
 
 
@@ -120,3 +123,30 @@ def test_connected_components_reliable_checkpoint(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError):
         connected_components(docs, edges, checkpoint_mode="bogus")
+
+
+def test_decontaminate_flags_real_overlaps_only(spark, sf_dir):
+    """Every flagged doc truly shares a verbatim 8-gram with a
+    benchmark doc, and benchmark docs are never flagged."""
+    hits = QUERIES["corpus_decontaminate"](spark, sf_dir)
+    assert hits.where("doc_id < 20").count() == 0
+    assert hits.where("n_shared_ngrams < 1").count() == 0
+    assert hits.count() > 0  # non-degenerate on this corpus
+
+
+def test_domain_mix_rebalances_toward_quota(spark, sf_dir):
+    """Per-source kept counts approach the smallest source's count:
+    every source's keep rate is quota/n_src in expectation, so no
+    kept source may exceed ~1.5x the smallest source's kept count
+    (hash sampling variance bound at this corpus size)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_src = {r["source"]: r["n"] for r in
+             docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    kept = {r["source"]: r["n"] for r in
+            QUERIES["sample_domain_mix"](spark, sf_dir)
+            .groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    quota = min(n_src.values())
+    assert set(kept) == set(n_src)
+    for s, k in kept.items():
+        assert k <= 1.5 * quota, (s, k, quota)
+        assert k >= 0.5 * quota, (s, k, quota)
