@@ -1491,6 +1491,160 @@ def q_corpus_keep_list(spark, sf_dir):
     )
 
 
+_REP_DUP_BP = 4000  # >40% repeated tokens -> repetitive
+_REP_TOP_BIGRAM_BP = 1500  # >15% occupancy by one bigram -> repetitive
+_DECON_NGRAM = 8
+_DECON_BENCH_MAX_ID = 20  # doc_id < 20 is the held-out benchmark set
+
+
+@query(
+    "corpus_keep_list_v2",
+    oracle=f"""
+        WITH RECURSIVE {_dedup._SHINGLES_SQL}
+        , inter AS (
+            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS inter
+            FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+            GROUP BY 1, 2)
+        , pairs AS (
+            SELECT doc_a, doc_b FROM inter p
+            JOIN sc cx ON p.doc_a = cx.doc_id
+            JOIN sc cy ON p.doc_b = cy.doc_id
+            WHERE 10000 * inter >= {_dedup.JACCARD_THRESHOLD_BP}
+                  * (cx.c + cy.c - inter))
+        , edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs)
+        , reach(node, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.b, rr.r FROM reach rr JOIN edges e ON e.a = rr.node)
+        , clusters AS (
+            SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node)
+        , exact AS (
+            SELECT doc_id,
+                   doc_id = MIN(doc_id) OVER (
+                       PARTITION BY md5(regexp_replace(lower(trim(text)),
+                                                       '\\s+', ' ', 'g'))
+                   ) AS is_canonical
+            FROM documents)
+        , q AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        x -> x IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS stop,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                       AS uniq
+            FROM documents)
+        , quality AS (
+            SELECT doc_id,
+                   (300000 * uniq + 300000 * (n - stop)
+                    + 4000 * n * LEAST(n, 100)) // (100 * n) AS quality_bp
+            FROM q)
+        , samp AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 10000
+                       < CAST({_sampling._rate_case_sql()} AS BIGINT)
+                       AS in_sample
+            FROM documents)
+        , toks2 AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        , bgc2 AS (
+            SELECT doc_id, bigram, COUNT(*) AS c FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(t)),
+                              i -> array_to_string(t[i:i+1], ' '))) AS bigram
+                FROM toks2 WHERE len(t) >= 2)
+            GROUP BY 1, 2)
+        , rep AS (
+            SELECT b.doc_id,
+                   (10000 * (b.n - b.uniq)) // b.n > {_REP_DUP_BP}
+                   OR COALESCE((10000 * m.max_bg) // m.n_bg, 0)
+                      > {_REP_TOP_BIGRAM_BP} AS is_repetitive
+            FROM q b LEFT JOIN (
+                SELECT doc_id, MAX(c) AS max_bg,
+                       CAST(SUM(c) AS BIGINT) AS n_bg
+                FROM bgc2 GROUP BY doc_id) m ON b.doc_id = m.doc_id)
+        , grams2 AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) - {_DECON_NGRAM - 2}),
+                          i -> array_to_string(t[i:i+{_DECON_NGRAM - 1}], ' ')))
+                       AS g
+            FROM toks2 WHERE len(t) >= {_DECON_NGRAM})
+        , contaminated AS (
+            SELECT DISTINCT c.doc_id
+            FROM grams2 c
+            JOIN (SELECT DISTINCT g FROM grams2
+                  WHERE doc_id < {_DECON_BENCH_MAX_ID}) b ON c.g = b.g
+            WHERE c.doc_id >= {_DECON_BENCH_MAX_ID})
+        SELECT d.doc_id,
+               e.is_canonical AND c.cluster_id = d.doc_id
+                   AND co.doc_id IS NULL AND NOT r.is_repetitive
+                   AND qu.quality_bp >= {_KEEP_QUALITY_BP} AND s.in_sample
+                   AS keep,
+               CASE WHEN NOT e.is_canonical THEN 'exact_dup'
+                    WHEN c.cluster_id <> d.doc_id THEN 'near_dup'
+                    WHEN co.doc_id IS NOT NULL THEN 'contaminated'
+                    WHEN r.is_repetitive THEN 'repetitive'
+                    WHEN qu.quality_bp < {_KEEP_QUALITY_BP} THEN 'low_quality'
+                    WHEN NOT s.in_sample THEN 'sampled_out'
+                    ELSE 'keep' END AS decision
+        FROM documents d
+        JOIN exact e USING (doc_id)
+        JOIN clusters c USING (doc_id)
+        JOIN quality qu USING (doc_id)
+        JOIN samp s USING (doc_id)
+        JOIN rep r USING (doc_id)
+        LEFT JOIN contaminated co USING (doc_id)
+    """,
+)
+def q_corpus_keep_list_v2(spark, sf_dir):
+    """The full six-gate keep-list: v1's exact-dup / near-dup /
+    quality / sampling gates PLUS the R2 repetition filter and
+    benchmark decontamination, priority-ordered into one reason code
+    per drop (exact_dup > near_dup > contaminated > repetitive >
+    low_quality > sampled_out). Every gate is the already-verified
+    distributed operator, joined on doc_id — the complete
+    pre-training data path in one artifact."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = QUERIES["corpus_keep_list"](spark, sf_dir).select(
+        "doc_id", "exact_canonical", "cluster_canonical", "quality_ok",
+        "in_sample",
+    )
+    rep = QUERIES["text_repetition_stats"](spark, sf_dir).select(
+        "doc_id", (F.col("is_repetitive") == 1).alias("is_repetitive")
+    )
+    con = QUERIES["corpus_decontaminate"](spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("is_contaminated")
+    )
+    j = (
+        docs.select("doc_id")
+        .join(base, "doc_id")
+        .join(rep, "doc_id")
+        .join(con, "doc_id", "left")
+        .withColumn("is_contaminated",
+                    F.coalesce(F.col("is_contaminated"), F.lit(False)))
+    )
+    keep = (
+        F.col("exact_canonical")
+        & F.col("cluster_canonical")
+        & ~F.col("is_contaminated")
+        & ~F.col("is_repetitive")
+        & F.col("quality_ok")
+        & F.col("in_sample")
+    )
+    decision = (
+        F.when(~F.col("exact_canonical"), "exact_dup")
+        .when(~F.col("cluster_canonical"), "near_dup")
+        .when(F.col("is_contaminated"), "contaminated")
+        .when(F.col("is_repetitive"), "repetitive")
+        .when(~F.col("quality_ok"), "low_quality")
+        .when(~F.col("in_sample"), "sampled_out")
+        .otherwise("keep")
+    )
+    return j.select("doc_id", keep.alias("keep"), decision.alias("decision"))
+
+
 @query(
     "embed_dedup_clusters",
     oracle=f"""
@@ -1705,8 +1859,6 @@ def q_corpus_keep_list_lsh(spark, sf_dir):
 # benchmark decontamination, domain mixing
 # ---------------------------------------------------------------------------
 
-_REP_DUP_BP = 4000  # >40% repeated tokens -> repetitive
-_REP_TOP_BIGRAM_BP = 1500  # >15% occupancy by one bigram -> repetitive
 
 
 @query(
@@ -1787,8 +1939,6 @@ def q_text_repetition_stats(spark, sf_dir):
     )
 
 
-_DECON_NGRAM = 8
-_DECON_BENCH_MAX_ID = 20  # doc_id < 20 is the held-out benchmark set
 
 
 @query(

@@ -150,3 +150,21 @@ def test_domain_mix_rebalances_toward_quota(spark, sf_dir):
     for s, k in kept.items():
         assert k <= 1.5 * quota, (s, k, quota)
         assert k >= 0.5 * quota, (s, k, quota)
+
+
+def test_keep_list_v2_refines_v1(spark, sf_dir):
+    """v2 can only DROP MORE than v1 (its two extra gates are
+    restrictions): every v2 keep is a v1 keep, and any divergent
+    decision is 'contaminated' or 'repetitive'."""
+    v1 = {r["doc_id"]: (r["keep"], r["decision"])
+          for r in QUERIES["corpus_keep_list"](spark, sf_dir)
+          .select("doc_id", "keep", "decision").collect()}
+    v2 = {r["doc_id"]: (r["keep"], r["decision"])
+          for r in QUERIES["corpus_keep_list_v2"](spark, sf_dir).collect()}
+    assert v1.keys() == v2.keys()
+    for d, (keep2, dec2) in v2.items():
+        keep1, dec1 = v1[d]
+        if keep2:
+            assert keep1
+        if dec2 != dec1:
+            assert dec2 in ("contaminated", "repetitive"), (d, dec1, dec2)
