@@ -2036,3 +2036,64 @@ def q_sample_domain_mix(spark, sf_dir):
         )
     )
     return keyed.where(F.col("u") < F.col("keep_bp")).select("doc_id", "source")
+
+
+@query(
+    "cdc_progress",
+    oracle=f"""
+        WITH {_BINLOG_LOG_CTE}
+        SELECT tbl, operation,
+               CAST(COUNT(*) AS BIGINT) AS event_count,
+               MIN(ts) AS first_event,
+               MAX(ts) AS last_event
+        FROM binlog GROUP BY tbl, operation
+    """,
+)
+def q_cdc_progress(spark, sf_dir):
+    """The reference's cdc_progress monitoring view (reference:
+    unity_catalog_cdc_demo.py:519-534) — per (table, operation)
+    event counts and first/last event times, over the replayed
+    binlog instead of the landed Delta tables (same shape; the
+    notebook UNION-ALLs the landed tables because Delta loses the
+    source `table` column — our unified schema keeps it, so this is
+    ONE aggregate, not a per-table union)."""
+    raw = read_binlog(spark, sf_dir)
+    return raw.groupBy(
+        F.col("table").alias("tbl"), "operation"
+    ).agg(
+        F.count(F.lit(1)).alias("event_count"),
+        F.min("ts").alias("first_event"),
+        F.max("ts").alias("last_event"),
+    )
+
+
+@query(
+    "cdc_batch_metrics",
+    oracle="""
+        SELECT 'batch-' || lpad(CAST(event_id // 2500 AS VARCHAR), 6, '0')
+                   AS batch_id,
+               CAST(COUNT(*) AS BIGINT) AS event_count,
+               CAST(COUNT(DISTINCT user_id % 4) AS BIGINT) AS n_tables,
+               CAST(MIN(event_id) AS BIGINT) AS first_seq,
+               CAST(MAX(event_id) AS BIGINT) AS last_seq,
+               CAST(AVG(250000) AS DOUBLE) AS avg_lag_us
+        FROM events GROUP BY 1
+    """,
+)
+def q_cdc_batch_metrics(spark, sf_dir):
+    """The reference's cdc_metrics rollup (reference:
+    unity_catalog_cdc_demo.py:471-513,653-661: per-batch event counts
+    + processing time): per batch_id — volume, tables touched, seq
+    span, and average ingest→process lag measured from the REAL
+    processing_time/ts columns of the 21-column schema. One hash
+    aggregate on the (bounded) batch id."""
+    raw = read_binlog(spark, sf_dir)
+    return raw.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("event_count"),
+        F.countDistinct("table").alias("n_tables"),
+        F.min("seq").alias("first_seq"),
+        F.max("seq").alias("last_seq"),
+        F.avg(
+            F.unix_micros("processing_time") - F.unix_micros("ts")
+        ).alias("avg_lag_us"),
+    )

@@ -202,3 +202,8 @@ def test_latest_state_with_truncate_semantics(spark):
 def test_truncate_queries_oracle_parity(spark, sf_dir):
     assert_matches_oracle(spark, "cdc_latest_state_with_truncate", sf_dir)
     assert_matches_oracle(spark, "cdc_distinct_transactions", sf_dir)
+
+
+def test_monitoring_views_oracle_parity(spark, sf_dir):
+    assert_matches_oracle(spark, "cdc_progress", sf_dir)
+    assert_matches_oracle(spark, "cdc_batch_metrics", sf_dir)
