@@ -2097,3 +2097,23 @@ def q_cdc_batch_metrics(spark, sf_dir):
             F.unix_micros("processing_time") - F.unix_micros("ts")
         ).alias("avg_lag_us"),
     )
+
+
+@query("events_value_quantiles_approx")
+def q_events_value_quantiles_approx(spark, sf_dir):
+    """Approximate p50/p95/p99 of event value per event type via the
+    Greenwald-Khanna sketch (percentile_approx) — the 100 TB
+    complement to events_value_median's exact rank walk: constant
+    memory per group, one pass, mergeable partials, vs the exact
+    path's full sort of every group. No SQL oracle (sketch
+    implementations differ by engine); the driver records a rows-only
+    check and tests/test_sampling.py bounds the rank error against
+    the exact quantiles."""
+    ev = load_table(spark, sf_dir, "events")
+    q = F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000)
+    return ev.groupBy("event_type").agg(
+        q[0].alias("p50_approx"),
+        q[1].alias("p95_approx"),
+        q[2].alias("p99_approx"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

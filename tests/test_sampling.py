@@ -67,3 +67,23 @@ def test_hll_within_rsd_of_exact(spark, sf_dir):
     m = got.merge(exact, on="event_type")
     rel_err = (m["approx_users"] - m["exact_users"]).abs() / m["exact_users"]
     assert (rel_err < 0.10).all()
+
+
+def test_approx_quantiles_rank_error_bounded(spark, sf_dir):
+    """percentile_approx with accuracy 10000 must land within 1% rank
+    error of the exact per-group quantiles (GK sketch guarantee:
+    rank error <= 1/accuracy; we allow 100x slack for tiny groups)."""
+    from aurora_cdc_demo_spark.tables import load_table
+
+    approx = {
+        r["event_type"]: (r["p50_approx"], r["p95_approx"], r["p99_approx"])
+        for r in QUERIES["events_value_quantiles_approx"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value").toPandas()
+    for etype, grp in ev.groupby("event_type"):
+        vals = grp["value"].sort_values().reset_index(drop=True)
+        n = len(vals)
+        for got, p in zip(approx[etype], (0.5, 0.95, 0.99)):
+            # rank of the approximate answer in the exact ordering
+            rank = (vals <= got).sum()
+            assert abs(rank - p * n) <= max(2, 0.01 * n), (etype, p, rank, n)
