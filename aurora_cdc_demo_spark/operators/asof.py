@@ -28,6 +28,7 @@ def asof_join(
     build_payload: list[str] | None = None,
     prefix: str = "asof_",
     direction: str = "backward",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
     """Left as-of join: probe columns + matched build payload columns
     (renamed ``{prefix}{col}``) per key —
@@ -40,6 +41,12 @@ def asof_join(
 
     ``build_seq`` (unique within key+ts) makes equal-timestamp build
     rows deterministically ordered (min seq wins in forward mode).
+
+    ``tolerance_us``: maximum |probe_ts - build_ts| in microseconds
+    (pandas merge_asof's ``tolerance``) — a match farther away is
+    nulled out, keeping the probe row (left semantics). Applied as a
+    post-projection, so the plan is unchanged: still one shuffle +
+    one running window, no range join.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction {direction!r}")
@@ -75,7 +82,23 @@ def asof_join(
     unioned = b.unionByName(p).withColumn(
         "_last", F.last("_payload", ignorenulls=True).over(w)
     )
-    return unioned.where(F.col("_side") == 1).select(
-        *probe.columns, F.col(f"_last.{prefix}{build_ts}"),
-        *[F.col(f"_last.{prefix}{c}") for c in payload]
+    out = unioned.where(F.col("_side") == 1)
+    if tolerance_us is None:
+        return out.select(
+            *probe.columns, F.col(f"_last.{prefix}{build_ts}"),
+            *[F.col(f"_last.{prefix}{c}") for c in payload]
+        )
+    gap = F.abs(
+        F.unix_micros(F.col("_ts"))
+        - F.unix_micros(F.col(f"_last.{prefix}{build_ts}"))
+    )
+    in_tol = gap <= F.lit(tolerance_us)
+    return out.select(
+        *probe.columns,
+        F.when(in_tol, F.col(f"_last.{prefix}{build_ts}"))
+        .alias(f"{prefix}{build_ts}"),
+        *[
+            F.when(in_tol, F.col(f"_last.{prefix}{c}")).alias(f"{prefix}{c}")
+            for c in payload
+        ],
     )

@@ -313,6 +313,66 @@ def q_asof_order_event(spark, sf_dir):
     )
 
 
+_ASOF_TOL_US = 24 * 3600 * 1_000_000  # 24h
+
+
+@query(
+    "asof_order_event_tolerance",
+    oracle=f"""
+        WITH ev AS (
+            SELECT user_id AS key_id, event_id AS seq, ts, value, event_type
+            FROM events)
+        , purchases AS (
+            SELECT key_id, seq AS purchase_seq, ts AS purchase_ts
+            FROM ev WHERE event_type = 'purchase')
+        , clicks AS (
+            SELECT key_id, seq, ts, value FROM ev WHERE event_type = 'click')
+        , m AS (
+            SELECT p.key_id, p.purchase_seq, p.purchase_ts,
+                   c.ts AS m_ts, c.seq AS m_seq, c.value AS m_value
+            FROM purchases p
+            ASOF LEFT JOIN clicks c
+              ON p.key_id = c.key_id AND c.ts <= p.purchase_ts)
+        SELECT key_id, purchase_seq, purchase_ts,
+               CASE WHEN epoch_us(purchase_ts) - epoch_us(m_ts)
+                         <= {_ASOF_TOL_US} THEN m_ts END AS asof_ts,
+               CASE WHEN epoch_us(purchase_ts) - epoch_us(m_ts)
+                         <= {_ASOF_TOL_US} THEN m_seq END AS asof_seq,
+               CASE WHEN epoch_us(purchase_ts) - epoch_us(m_ts)
+                         <= {_ASOF_TOL_US} THEN m_value END AS asof_value
+        FROM m
+    """,
+)
+def q_asof_order_event_tolerance(spark, sf_dir):
+    """As-of join with a match tolerance (pandas merge_asof
+    ``tolerance``): the latest click within 24h before each purchase;
+    staler matches are nulled, purchases kept (left semantics). Same
+    single-shuffle union+window plan as asof_order_event — tolerance
+    is a post-projection, never a range join."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("key_id"),
+        F.col("event_id").alias("purchase_seq"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("key_id"),
+        F.col("event_id").alias("seq"),
+        "ts",
+        "value",
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        key="key_id",
+        probe_ts="purchase_ts",
+        build_ts="ts",
+        build_seq="seq",
+        build_payload=["seq", "value"],
+        tolerance_us=_ASOF_TOL_US,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis + dedup (SURVEY §2 #21-28)
 # ---------------------------------------------------------------------------

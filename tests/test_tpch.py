@@ -20,6 +20,7 @@ TPCH_QUERIES = [
     "monthly_revenue_rollup",
     "promo_part_share",
     "asof_order_event",
+    "asof_order_event_tolerance",
     "q7_nation_volume",
     "q8_market_share",
     "q12_late_lines",
@@ -77,3 +78,25 @@ def test_q18_threshold_holds(spark, sf_dir):
 def test_asof_event_not_after_purchase(spark, sf_dir):
     asof = QUERIES["asof_order_event"](spark, sf_dir)
     assert asof.where(F.col("asof_ts") > F.col("purchase_ts")).count() == 0
+
+
+def test_asof_tolerance_nulls_only_stale_matches(spark, sf_dir):
+    """The tolerance variant equals the plain as-of wherever the
+    match is within 24h, and nulls exactly the staler matches."""
+    plain = QUERIES["asof_order_event"](spark, sf_dir).select(
+        "purchase_seq", "asof_ts", "asof_seq"
+    )
+    tol = QUERIES["asof_order_event_tolerance"](spark, sf_dir).select(
+        "purchase_seq",
+        F.col("asof_ts").alias("t_ts"),
+        F.col("asof_seq").alias("t_seq"),
+        "purchase_ts",
+    )
+    j = plain.join(tol, "purchase_seq")
+    in_tol = (
+        F.unix_micros("purchase_ts") - F.unix_micros("asof_ts")
+        <= 24 * 3600 * 1_000_000
+    )
+    assert j.where(in_tol & (F.col("t_seq") != F.col("asof_seq"))).count() == 0
+    assert j.where(in_tol & F.col("t_ts").isNull()).count() == 0
+    assert j.where(~in_tol & F.col("t_ts").isNotNull()).count() == 0
