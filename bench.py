@@ -49,6 +49,8 @@ HEADLINE = [
     "corpus_keep_list",
     "embed_near_dup_lsh",
     "cdc_latest_state_with_truncate",
+    "corpus_decontaminate",
+    "corpus_keep_list_v2",
 ]
 
 
