@@ -24,6 +24,9 @@ def get_spark(app_name: str = "aurora-cdc-spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # static conf: keep stdout clean (bench's one-line JSON
+        # contract; progress bars interleave carriage returns)
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
     return spark
