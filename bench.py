@@ -129,6 +129,18 @@ def main() -> None:
         dt2 = time.perf_counter() - t0
         timings["streaming_cdc_ingest"] = round(dt2, 3)
         cdc_events_per_sec = round(n_events / dt2)
+
+        # Python-DataSource replay throughput: full binlog batch read
+        # through the JSON-parsing partition readers (the path the
+        # reference's COMPARISON.md rates at 10k-50k events/sec for
+        # its custom DataSource approach)
+        from aurora_cdc_demo_spark.registry import read_binlog
+
+        t0 = time.perf_counter()
+        n_replay = read_binlog(spark, sf_dir).count()
+        dt3 = time.perf_counter() - t0
+        timings["datasource_replay_read"] = round(dt3, 3)
+        replay_events_per_sec = round(n_replay / dt3)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -144,6 +156,7 @@ def main() -> None:
         "queries": timings,
         "streaming_events_per_sec": streaming_events_per_sec,
         "cdc_ingest_events_per_sec": cdc_events_per_sec,
+        "datasource_replay_events_per_sec": replay_events_per_sec,
         "sf": sf,
     }
     if sec_dir and os.path.isdir(sec_dir) and sec_dir.rstrip("/") != sf_dir.rstrip("/"):
