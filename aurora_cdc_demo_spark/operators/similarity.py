@@ -376,6 +376,111 @@ def near_dup_lsh_sql(dialect: str) -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# R3: SemDeDup (semantic dedup via coarse cells) + int8 quantization
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = NEAR_DUP_THRESHOLD
+
+
+def semdedup_sql(dialect: str) -> str:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings into coarse
+    cells (k-means stand-in: nearest of the N_SEEDS seed vectors, the
+    same assignment the IVF index uses), then WITHIN EACH CELL drop
+    every vector that has a lower-id cell-mate at cosine >= tau —
+    keep-one-per-duplicate-group, resolved greedily by id (chains
+    collapse to their minimum id, deterministic in both engines).
+
+    Scale: the pairwise compare is cell-bounded — O(sum of cell^2),
+    not corpus^2; cells are balanced by the coarse quantizer, and the
+    join is an equi-join on the cell key (shuffle on cell, no cross
+    product). The seed set is fixed-size -> its cross join is a
+    broadcast of N_SEEDS rows."""
+    return f"""
+        WITH v AS (
+            SELECT vec_id, embedding, {_norm('embedding', dialect)} AS nrm
+            FROM embeddings)
+        , seeds AS (
+            SELECT vec_id AS seed_id, embedding AS se, nrm AS snrm
+            FROM v WHERE vec_id < {N_SEEDS})
+        , assign AS (
+            SELECT v.vec_id, v.embedding, v.nrm, s.seed_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY ({_dot('v.embedding', 's.se', dialect)})
+                                / (v.nrm * s.snrm) DESC,
+                                s.seed_id ASC) AS rn
+            FROM v CROSS JOIN seeds s)
+        , cells AS (
+            SELECT vec_id, embedding, nrm, seed_id AS cell
+            FROM assign WHERE rn = 1)
+        , dropped AS (
+            SELECT DISTINCT b.vec_id
+            FROM cells a
+            JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE ({_dot('a.embedding', 'b.embedding', dialect)})
+                  / (a.nrm * b.nrm) >= {SEMDEDUP_TAU})
+        SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
+               CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+                   AS keep
+        FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+    """
+
+
+def quantize_sql(dialect: str) -> str:
+    """Int8 scalar quantization of the embedding column (the storage
+    / ANN-memory compression step): per-dimension [min, max] over the
+    corpus, 256 uniform bins, dequantize at bin centers. Emits
+    integer-exact evidence per vector: the code sum and the
+    floor-scaled (1e6) per-dim reconstruction-error sum/max —
+    order-independent integers, so the oracle compare is exact.
+
+    Scale: the explode is 64x row count but narrow (three columns);
+    per-dim stats aggregate to DIMS rows — a bounded broadcast back
+    onto the scan regardless of corpus size. One shuffle on the dim
+    key, one on vec_id for the re-agg; no all-pairs anywhere."""
+    if dialect == "spark":
+        explode = """
+        e AS (
+            SELECT vec_id, p + 1 AS dim, CAST(xe AS DOUBLE) AS x
+            FROM embeddings
+            LATERAL VIEW posexplode(embedding) AS p, xe)
+        """
+    else:
+        explode = """
+        e AS (
+            SELECT vec_id, d.dim AS dim,
+                   CAST(embedding[d.dim] AS DOUBLE) AS x
+            FROM embeddings,
+                 (SELECT CAST(unnest(range(1, 65)) AS BIGINT) AS dim) d)
+        """
+    return f"""
+        WITH {explode}
+        , stats AS (
+            SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM e GROUP BY dim)
+        , q AS (
+            SELECT e.vec_id,
+                   CASE WHEN s.hi = s.lo THEN 0
+                        ELSE LEAST(255, GREATEST(0, CAST(FLOOR(
+                             (e.x - s.lo) / ((s.hi - s.lo) / 255)) AS BIGINT)))
+                   END AS code,
+                   CASE WHEN s.hi = s.lo THEN CAST(0 AS DOUBLE)
+                        ELSE ABS(e.x - (s.lo + (LEAST(255, GREATEST(0,
+                             CAST(FLOOR((e.x - s.lo) / ((s.hi - s.lo) / 255))
+                                  AS BIGINT))) + 0.5)
+                             * ((s.hi - s.lo) / 255)))
+                   END AS err
+            FROM e JOIN stats s ON e.dim = s.dim)
+        SELECT vec_id,
+               CAST(SUM(code) AS BIGINT) AS code_sum,
+               CAST(SUM(CAST(FLOOR(err * 1000000) AS BIGINT)) AS BIGINT)
+                   AS err_sum_e6,
+               CAST(MAX(CAST(FLOOR(err * 1000000) AS BIGINT)) AS BIGINT)
+                   AS err_max_e6
+        FROM q GROUP BY vec_id
+    """
+
+
 def _run(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     # DIMS is fixed by the data contract (64); tests/test_similarity
     # validate it — no extra job here in the query path.
@@ -407,3 +512,11 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, ivf_multiprobe_sql("spark"))
+
+
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, semdedup_sql("spark"))
+
+
+def quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, quantize_sql("spark"))

@@ -464,6 +464,26 @@ def q_ann_ivf_multiprobe(spark, sf_dir):
     return _sim.ivf_multiprobe(spark, sf_dir)
 
 
+@query("semdedup_cells", oracle=_sim.semdedup_sql("duck"))
+def q_semdedup_cells(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): coarse-cell clustering + within-
+    cell cosine dedup, keep-min-id per duplicate group — the
+    embedding-space complement of the text LSH dedup. Cell-bounded
+    pairwise compare (equi-join on the cell key), never all-pairs;
+    see operators/similarity.py:semdedup_sql."""
+    return _sim.semdedup(spark, sf_dir)
+
+
+@query("embed_quantize_int8", oracle=_sim.quantize_sql("duck"))
+def q_embed_quantize_int8(spark, sf_dir):
+    """Int8 scalar quantization of the embedding column with
+    integer-exact reconstruction-error evidence (code sums +
+    floor-scaled error sums) — the storage/ANN-memory compression
+    step of an embedding pipeline; see
+    operators/similarity.py:quantize_sql for the scale shape."""
+    return _sim.quantize_int8(spark, sf_dir)
+
+
 @query("mm_binary_meta", oracle=_mm.MM_BINARY_META_SQL)
 def q_mm_binary_meta(spark, sf_dir):
     return _mm.binary_meta(load_table(spark, sf_dir, "documents"))
@@ -2156,6 +2176,266 @@ def q_cdc_batch_metrics(spark, sf_dir):
         F.avg(
             F.unix_micros("processing_time") - F.unix_micros("ts")
         ).alias("avg_lag_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R3: corpus gates — duplicated-ngram coverage, C4-style heuristics,
+# PII scrubbing (SURVEY §2 #92-94)
+# ---------------------------------------------------------------------------
+
+# Duplicate-ngram coverage (the exact-substring dedup SIGNAL of
+# Lee et al. 2021 "Deduplicating Training Data Makes Language Models
+# Better": fraction of a doc's token n-grams that also occur in some
+# OTHER document). 5-gram granularity; flag above 30%.
+_NGC_N = 5
+_NGC_FLAG_BP = 3000
+
+
+@query(
+    "dedup_ngram_coverage",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        , g AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) - {_NGC_N - 2}),
+                          i -> array_to_string(t[i:i+{_NGC_N - 1}], ' '))) AS g
+            FROM toks WHERE len(t) >= {_NGC_N})
+        , freq AS (
+            SELECT g, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+            FROM g GROUP BY g)
+        , tot AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+            FROM g GROUP BY doc_id)
+        , hits AS (
+            SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+            FROM g JOIN freq ON g.g = freq.g
+            WHERE freq.nd >= 2 GROUP BY g.doc_id)
+        SELECT t.doc_id, t.n_grams,
+               COALESCE(h.n_dup_grams, 0) AS n_dup_grams,
+               (10000 * COALESCE(h.n_dup_grams, 0)) // t.n_grams AS dup_bp,
+               CAST(CASE WHEN (10000 * COALESCE(h.n_dup_grams, 0)) // t.n_grams
+                         > {_NGC_FLAG_BP} THEN 1 ELSE 0 END AS BIGINT)
+                   AS is_dup_heavy
+        FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    """,
+)
+def q_dedup_ngram_coverage(spark, sf_dir):
+    """Duplicated-ngram coverage: per doc, the fraction (floor bp) of
+    its 5-gram POSITIONS whose gram appears in >=2 distinct docs —
+    the exact-substring duplication signal of Lee et al. 2021 without
+    a suffix array: a corpus-wide gram document-frequency instead.
+
+    Scale: gram doc-frequency = distinct(gram, doc) then count per
+    gram — two shuffles keyed on the gram (uniformly hash-distributed
+    by construction, map-side partials); the hit join is gram-keyed
+    on both sides (co-partitioned after the agg), then one doc_id
+    agg. Everything is linear in corpus gram count; nothing is
+    all-pairs and no side is collected or broadcast (gram vocabulary
+    grows with the corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = F.expr(
+        f"transform(sequence(1, size(split(text, ' ')) - {_NGC_N - 1}), "
+        f"i -> concat_ws(' ', slice(split(text, ' '), i, {_NGC_N})))"
+    )
+    g = docs.where(F.size(toks) >= _NGC_N).select(
+        "doc_id", F.explode(grams).alias("g")
+    )
+    dup_grams = (
+        g.distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("g")
+    )
+    tot = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        g.join(dup_grams, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_grams"))
+    )
+    nd = F.coalesce(F.col("n_dup_grams"), F.lit(0))
+    dup_bp = F.expr(
+        "(10000 * COALESCE(n_dup_grams, 0)) div n_grams"
+    )
+    return tot.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        nd.alias("n_dup_grams"),
+        dup_bp.alias("dup_bp"),
+        (dup_bp > _NGC_FLAG_BP).cast("long").alias("is_dup_heavy"),
+    )
+
+
+# C4-style heuristic gates (Raffel et al. 2020 §2.2, adapted to this
+# corpus's whitespace-token shape): length bounds, mean-token-length
+# band, over-long tokens, numeric-token share. Integer-exact.
+_C4_MIN_TOKENS = 25
+_C4_MAX_TOKENS = 5000
+_C4_WLEN_LO_CENTI = 250  # mean token length in [2.5, 9.0] chars
+_C4_WLEN_HI_CENTI = 900
+_C4_MAX_TOKEN_CHARS = 20
+_C4_DIGIT_BP_MAX = 2000  # <=20% pure-digit tokens
+
+
+@query(
+    "text_c4_filters",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                   (100 * (length(text) - (len(string_split(text, ' ')) - 1)))
+                       // len(string_split(text, ' ')) AS wlen_centi,
+                   CAST(COALESCE(list_max(list_transform(
+                        string_split(text, ' '), x -> length(x))), 0)
+                        AS BIGINT) AS max_tok,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        x -> regexp_full_match(x, '[0-9]+'))) AS BIGINT)
+                       AS n_digit
+            FROM documents)
+        SELECT doc_id, n AS n_tokens, wlen_centi,
+               max_tok AS max_token_chars,
+               (10000 * n_digit) // n AS digit_token_bp,
+               CAST(CASE WHEN n < {_C4_MIN_TOKENS} OR n > {_C4_MAX_TOKENS}
+                    THEN 1 ELSE 0 END AS BIGINT) AS flag_length,
+               CAST(CASE WHEN wlen_centi < {_C4_WLEN_LO_CENTI}
+                          OR wlen_centi > {_C4_WLEN_HI_CENTI}
+                    THEN 1 ELSE 0 END AS BIGINT) AS flag_word_len,
+               CAST(CASE WHEN max_tok > {_C4_MAX_TOKEN_CHARS}
+                    THEN 1 ELSE 0 END AS BIGINT) AS flag_long_token,
+               CAST(CASE WHEN (10000 * n_digit) // n > {_C4_DIGIT_BP_MAX}
+                    THEN 1 ELSE 0 END AS BIGINT) AS flag_digits,
+               CAST(CASE WHEN n >= {_C4_MIN_TOKENS} AND n <= {_C4_MAX_TOKENS}
+                          AND wlen_centi >= {_C4_WLEN_LO_CENTI}
+                          AND wlen_centi <= {_C4_WLEN_HI_CENTI}
+                          AND max_tok <= {_C4_MAX_TOKEN_CHARS}
+                          AND (10000 * n_digit) // n <= {_C4_DIGIT_BP_MAX}
+                    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM t
+    """,
+)
+def q_text_c4_filters(spark, sf_dir):
+    """C4-style heuristic quality gates (Raffel et al. 2020 §2.2,
+    the rules that apply to this corpus's token shape): token-count
+    bounds, mean-token-length band, an over-long-token tripwire, and
+    a numeric-token share cap, plus the combined keep decision.
+
+    Scale: one narrow projection per row — no shuffle, no UDF, whole
+    row stays in codegen; all thresholds are integer-exact (floor
+    centi/bp scaling, see text.py determinism note)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = "CAST(size(split(text, ' ')) AS BIGINT)"
+    wlen = (
+        f"(100 * (length(text) - ({n} - 1))) div {n}"
+    )
+    max_tok = (
+        "CAST(COALESCE(array_max(transform(split(text, ' '), "
+        "x -> length(x))), 0) AS BIGINT)"
+    )
+    n_digit = (
+        "CAST(size(filter(split(text, ' '), "
+        "x -> x RLIKE '^[0-9]+$')) AS BIGINT)"
+    )
+    digit_bp = f"(10000 * {n_digit}) div {n}"
+    flag_length = f"{n} < {_C4_MIN_TOKENS} OR {n} > {_C4_MAX_TOKENS}"
+    flag_wlen = (
+        f"{wlen} < {_C4_WLEN_LO_CENTI} OR {wlen} > {_C4_WLEN_HI_CENTI}"
+    )
+    flag_long = f"{max_tok} > {_C4_MAX_TOKEN_CHARS}"
+    flag_digits = f"{digit_bp} > {_C4_DIGIT_BP_MAX}"
+    return docs.select(
+        "doc_id",
+        F.expr(n).alias("n_tokens"),
+        F.expr(wlen).alias("wlen_centi"),
+        F.expr(max_tok).alias("max_token_chars"),
+        F.expr(digit_bp).alias("digit_token_bp"),
+        F.expr(f"CAST(CASE WHEN {flag_length} THEN 1 ELSE 0 END AS BIGINT)").alias(
+            "flag_length"
+        ),
+        F.expr(f"CAST(CASE WHEN {flag_wlen} THEN 1 ELSE 0 END AS BIGINT)").alias(
+            "flag_word_len"
+        ),
+        F.expr(f"CAST(CASE WHEN {flag_long} THEN 1 ELSE 0 END AS BIGINT)").alias(
+            "flag_long_token"
+        ),
+        F.expr(f"CAST(CASE WHEN {flag_digits} THEN 1 ELSE 0 END AS BIGINT)").alias(
+            "flag_digits"
+        ),
+        F.expr(
+            f"CAST(CASE WHEN NOT ({flag_length}) AND NOT ({flag_wlen}) "
+            f"AND NOT ({flag_long}) AND NOT ({flag_digits}) "
+            "THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("keep"),
+    )
+
+
+# PII scrubbing: redaction regexes expressible identically in Java
+# (Spark) and RE2 (DuckDB) — no backreferences, no lookaround.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+_PII_LONGNUM = r"[0-9]{9,}"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{_PII_EMAIL}'))
+                        AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text, '{_PII_IPV4}'))
+                        AS BIGINT) AS n_ipv4,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                           '{_PII_IPV4}', '<IP>', 'g'),
+                       '{_PII_LONGNUM}', '<NUM>', 'g') AS scrubbed
+            FROM documents)
+        SELECT doc_id, n_emails, n_ipv4,
+               CAST(len(regexp_extract_all(scrubbed, '<EMAIL>|<IP>|<NUM>'))
+                    AS BIGINT) AS n_redactions,
+               md5(scrubbed) AS scrubbed_md5,
+               length(scrubbed) AS n_chars_scrubbed
+        FROM s
+    """,
+)
+def q_text_pii_scrub(spark, sf_dir):
+    """PII scrubbing pass: count and redact e-mail addresses, IPv4
+    addresses, and long digit runs (account/phone-shaped numbers) —
+    the pre-training privacy gate. Emits redaction counts plus the
+    md5 of the scrubbed text so the oracle verifies the REDACTED
+    CONTENT, not just the counts. (This corpus is synthetic and
+    PII-free, so production behavior — real hits — is pinned by
+    tests/test_text.py on constructed rows; patterns are
+    Java/RE2-portable: no backreferences or lookaround.)
+
+    Scale: narrow per-row projection, no shuffle; regexes run
+    JVM-side inside codegen — no Python in the path."""
+    docs = load_table(spark, sf_dir, "documents")
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+            _PII_IPV4,
+            "<IP>",
+        ),
+        _PII_LONGNUM,
+        "<NUM>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_PII_EMAIL)).cast("long").alias(
+            "n_emails"
+        ),
+        F.regexp_count(F.col("text"), F.lit(_PII_IPV4)).cast("long").alias(
+            "n_ipv4"
+        ),
+        F.regexp_count(scrub, F.lit("<EMAIL>|<IP>|<NUM>")).cast("long").alias(
+            "n_redactions"
+        ),
+        F.md5(scrub).alias("scrubbed_md5"),
+        F.length(scrub).cast("long").alias("n_chars_scrubbed"),
     )
 
 
