@@ -2439,6 +2439,210 @@ def q_text_pii_scrub(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# R3: sequence packing, GTID gap monitoring, hourly anomaly detection
+# (SURVEY §2 #97-99)
+# ---------------------------------------------------------------------------
+
+# Sequence packing: concat-and-chunk docs into fixed CTX-token bins,
+# the pre-training batch-assembly step. Packing runs WITHIN
+# (source, shard) units — shard = doc_id bucket — so the prefix-sum
+# window is bounded by shard size at any corpus scale (a global
+# cumulative sum would funnel each source through one reducer); the
+# cost is at most one partial bin per shard boundary, exactly like
+# packing per input file in a real pipeline.
+_PACK_CTX = 512
+_PACK_SHARD = 1000  # docs per packing shard
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+        WITH t AS (
+            SELECT source, doc_id, doc_id // {_PACK_SHARD} AS shard,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+            FROM documents)
+        , c AS (
+            SELECT source, shard, doc_id, n,
+                   CAST(SUM(n) OVER (PARTITION BY source, shard
+                                     ORDER BY doc_id) - n AS BIGINT) AS start
+            FROM t)
+        SELECT source, shard, CAST(start // {_PACK_CTX} AS BIGINT) AS bin_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n) AS BIGINT) AS n_tokens,
+               CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+               CAST(MAX(doc_id) AS BIGINT) AS last_doc
+        FROM c GROUP BY source, shard, start // {_PACK_CTX}
+    """,
+)
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing (concat-and-chunk): assign each doc to the
+    {_PACK_CTX}-token context bin where its first token lands, via a
+    running token prefix-sum in (source, shard) order — the packing
+    manifest a pre-training loader consumes. One shuffle to the
+    (source, shard) window partitions, one hash agg on the bin key;
+    window partitions are shard-bounded (never a whole source on one
+    reducer)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        "doc_id",
+        (F.col("doc_id") / _PACK_SHARD).cast("long").alias("shard"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n"),
+    )
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("start", F.sum("n").over(w) - F.col("n"))
+    return (
+        c.withColumn("bin_id", F.expr(f"start div {_PACK_CTX}"))
+        .groupBy("source", "shard", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@query(
+    "cdc_gtid_gap_monitor",
+    oracle="""
+        WITH g AS (
+            SELECT CAST(1 + user_id % 4 AS BIGINT) AS server_id,
+                   CAST(event_id AS BIGINT) AS gtid_seq
+            FROM events)
+        , l AS (
+            SELECT server_id, gtid_seq,
+                   lag(gtid_seq) OVER (
+                       PARTITION BY server_id ORDER BY gtid_seq) AS prev
+            FROM g)
+        SELECT server_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(MIN(gtid_seq) AS BIGINT) AS first_seq,
+               CAST(MAX(gtid_seq) AS BIGINT) AS last_seq,
+               CAST(MAX(gtid_seq) - MIN(gtid_seq) + 1 - COUNT(*) AS BIGINT)
+                   AS n_missing,
+               CAST(SUM(CASE WHEN gtid_seq - prev > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_gaps,
+               CAST(COALESCE(MAX(gtid_seq - prev - 1), 0) AS BIGINT)
+                   AS max_gap
+        FROM l GROUP BY server_id
+    """,
+)
+def q_cdc_gtid_gap_monitor(spark, sf_dir):
+    """GTID continuity monitor: parse the per-server transaction
+    sequence out of the gtid column ("srv{id}:{seq}", reference
+    carries gtid at aurora_cdc_datasource_v2.py:66 exactly so
+    replication monitoring can do this) and report per-server gap
+    structure — missing-event totals, gap counts, widest gap. The
+    standard "did we lose binlog events" check of a MySQL CDC
+    deployment.
+
+    Scale: the lag window partitions per server — a MySQL binlog is
+    per-server totally ordered, so per-server sequential structure is
+    inherent to the check; the aggregate itself is map-side-combined.
+    The gtid_seq is parsed from the gtid STRING (proving the
+    DataSource round-trip), not taken from seq."""
+    from pyspark.sql import Window
+
+    raw = read_binlog(spark, sf_dir)
+    g = raw.select(
+        "server_id",
+        F.split(F.col("gtid"), ":").getItem(1).cast("long").alias("gtid_seq"),
+    )
+    prev = F.lag("gtid_seq").over(
+        Window.partitionBy("server_id").orderBy("gtid_seq")
+    )
+    l = g.withColumn("prev", prev)
+    return l.groupBy("server_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("gtid_seq").alias("first_seq"),
+        F.max("gtid_seq").alias("last_seq"),
+        (
+            F.max("gtid_seq") - F.min("gtid_seq") + 1 - F.count(F.lit(1))
+        ).alias("n_missing"),
+        F.sum(
+            F.when(F.col("gtid_seq") - F.col("prev") > 1, 1).otherwise(0)
+        ).cast("long").alias("n_gaps"),
+        F.coalesce(
+            F.max(F.col("gtid_seq") - F.col("prev") - 1), F.lit(0)
+        ).cast("long").alias("max_gap"),
+    )
+
+
+@query(
+    "events_anomaly_hours",
+    oracle="""
+        WITH hc AS (
+            SELECT event_type, date_trunc('hour', ts) AS hr,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2)
+        , ranked AS (
+            SELECT event_type, n_events,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY n_events, hr) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS cnt
+            FROM hc)
+        , med AS (
+            SELECT event_type, n_events AS median_hourly
+            FROM ranked WHERE rn = (cnt + 1) // 2)
+        SELECT h.event_type, h.hr, h.n_events, m.median_hourly,
+               CAST(CASE WHEN h.n_events > 2 * m.median_hourly
+                    THEN 1 ELSE 0 END AS BIGINT) AS is_spike,
+               CAST(CASE WHEN 2 * h.n_events < m.median_hourly
+                    THEN 1 ELSE 0 END AS BIGINT) AS is_drop
+        FROM hc h JOIN med m ON h.event_type = m.event_type
+    """,
+)
+def q_events_anomaly_hours(spark, sf_dir):
+    """Volume-anomaly detection over the event stream: hourly counts
+    per event type flagged against that type's (exact, lower) median
+    hourly volume — spike if >2x the median, drop if <half. All
+    integer comparisons (cross-multiplied), so the flags are exact in
+    both engines — the alerting twin of cdc_throughput_1min's
+    low-volume flag, but self-calibrating per type.
+
+    Scale: hourly pre-aggregation first (map-side combine collapses
+    to |types|x|hours| rows), then the median rank walk runs on that
+    BOUNDED aggregate, not raw events — the exact-median sort is fine
+    precisely because its input is already aggregate-sized."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy("n_events", "hr")
+    ranked = hc.select(
+        "event_type",
+        "n_events",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("cnt"),
+    )
+    med = ranked.where(
+        F.col("rn") == F.expr("(cnt + 1) div 2")
+    ).select("event_type", F.col("n_events").alias("median_hourly"))
+    return hc.join(med, "event_type").select(
+        "event_type",
+        "hr",
+        "n_events",
+        "median_hourly",
+        (F.col("n_events") > 2 * F.col("median_hourly")).cast("long").alias(
+            "is_spike"
+        ),
+        (2 * F.col("n_events") < F.col("median_hourly")).cast("long").alias(
+            "is_drop"
+        ),
+    )
+
+
 @query("events_value_quantiles_approx")
 def q_events_value_quantiles_approx(spark, sf_dir):
     """Approximate p50/p95/p99 of event value per event type via the

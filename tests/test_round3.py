@@ -1,0 +1,276 @@
+"""Round-3 operators: oracle parity, behavioral invariants, and
+physical-plan scale guards for the new corpus gates (ngram-dup
+coverage, C4 filters, PII scrub), embedding ops (SemDeDup, int8
+quantization), sequence packing, GTID gap monitoring, and hourly
+anomaly detection."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aurora_cdc_demo_spark.registry import QUERIES
+from aurora_cdc_demo_spark.tables import load_table
+
+from .helpers import assert_matches_oracle
+
+R3_QUERIES = [
+    "dedup_ngram_coverage",
+    "text_c4_filters",
+    "text_pii_scrub",
+    "semdedup_cells",
+    "embed_quantize_int8",
+    "pack_sequences",
+    "cdc_gtid_gap_monitor",
+    "events_anomaly_hours",
+]
+
+
+@pytest.mark.parametrize("name", R3_QUERIES)
+def test_oracle_parity(spark, sf_dir, name):
+    assert_matches_oracle(spark, name, sf_dir)
+
+
+# -- ngram coverage ---------------------------------------------------------
+
+
+def test_ngram_coverage_bounds_and_cover(spark, sf_dir):
+    """Every doc with >= 5 tokens gets a row; dup fraction is a valid
+    basis-point value; dup grams never exceed total grams."""
+    cov = QUERIES["dedup_ngram_coverage"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    n_eligible = docs.where(
+        F.size(F.split(F.col("text"), " ")) >= 5
+    ).count()
+    assert cov.count() == n_eligible
+    assert cov.where("dup_bp < 0 OR dup_bp > 10000").count() == 0
+    assert cov.where("n_dup_grams > n_grams").count() == 0
+
+
+# -- C4 filters -------------------------------------------------------------
+
+
+def test_c4_keep_iff_no_flags(spark, sf_dir):
+    c4 = QUERIES["text_c4_filters"](spark, sf_dir)
+    bad = c4.where(
+        "(keep = 1) <> (flag_length = 0 AND flag_word_len = 0 "
+        "AND flag_long_token = 0 AND flag_digits = 0)"
+    ).count()
+    assert bad == 0
+    assert c4.count() == load_table(spark, sf_dir, "documents").count()
+
+
+# -- PII scrub --------------------------------------------------------------
+
+
+def test_pii_scrub_redacts_constructed_rows(spark):
+    """The synthetic corpus is PII-free, so pin the production
+    behavior (real hits) on constructed rows using the exact same
+    patterns the query uses."""
+    from aurora_cdc_demo_spark.registry import (
+        _PII_EMAIL,
+        _PII_IPV4,
+        _PII_LONGNUM,
+    )
+
+    rows = [
+        (1, "contact bob.smith+x@example.co.uk or 10.0.0.1 now"),
+        (2, "card 1234567890123456 plain text"),
+        (3, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+            _PII_IPV4,
+            "<IP>",
+        ),
+        _PII_LONGNUM,
+        "<NUM>",
+    )
+    out = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", scrub.alias("s")).collect()
+    }
+    assert out[1] == "contact <EMAIL> or <IP> now"
+    assert out[2] == "card <NUM> plain text"
+    assert out[3] == "no pii here at all"
+
+
+def test_pii_scrub_noop_on_clean_corpus(spark, sf_dir):
+    """On the PII-free corpus the scrub must be the identity: zero
+    redactions and the scrubbed md5 equals the original md5."""
+    pii = QUERIES["text_pii_scrub"](spark, sf_dir)
+    assert pii.where("n_redactions > 0").count() == 0
+    fp = QUERIES["text_fingerprint"](spark, sf_dir).select(
+        "doc_id", "content_md5"
+    )
+    diff = pii.join(fp, "doc_id").where(
+        "scrubbed_md5 <> content_md5"
+    ).count()
+    assert diff == 0
+
+
+# -- SemDeDup ---------------------------------------------------------------
+
+
+def test_semdedup_dropped_have_lower_id_neardup_cellmate(spark, sf_dir):
+    """Soundness: every dropped vector has a lower-id near-dup
+    (exact cosine >= tau) in its own cell, and the min vec_id of each
+    cell is always kept."""
+    sd = QUERIES["semdedup_cells"](spark, sf_dir)
+    pairs = QUERIES["embed_near_dup"](spark, sf_dir)  # exact all-pairs
+    cells = sd.select("vec_id", "cell")
+    pc = (
+        pairs.join(
+            cells.withColumnRenamed("vec_id", "vec_a").withColumnRenamed(
+                "cell", "cell_a"
+            ),
+            "vec_a",
+        )
+        .join(
+            cells.withColumnRenamed("vec_id", "vec_b").withColumnRenamed(
+                "cell", "cell_b"
+            ),
+            "vec_b",
+        )
+        .where("cell_a = cell_b")
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    dropped = sd.where("keep = 0").select("vec_id")
+    assert dropped.join(pc, "vec_id", "left_anti").count() == 0
+    mins = sd.groupBy("cell").agg(F.min("vec_id").alias("m"))
+    kept = sd.where("keep = 1").select("vec_id")
+    assert mins.join(kept, mins["m"] == kept["vec_id"], "left_anti").count() == 0
+
+
+# -- int8 quantization ------------------------------------------------------
+
+
+def test_quantize_error_bounded_by_half_bin(spark, sf_dir):
+    """Reconstruction error at bin centers is at most half a bin
+    width (plus edge clamping at the max): err_max_e6 must respect
+    the widest dimension's bin."""
+    q = QUERIES["embed_quantize_int8"](spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        F.posexplode("embedding").alias("dim", "x")
+    ).groupBy("dim").agg(
+        (F.max(F.col("x").cast("double")) - F.min(F.col("x").cast("double"))).alias(
+            "rng"
+        )
+    )
+    max_half_bin = dims.agg(F.max(F.col("rng") / 255 / 2)).collect()[0][0]
+    bound_e6 = int(max_half_bin * 1_000_000) + 1
+    assert q.where(F.col("err_max_e6") > bound_e6).count() == 0
+    n_vecs = emb.count()
+    assert q.count() == n_vecs
+    assert q.where("code_sum < 0 OR code_sum > 255 * 64").count() == 0
+
+
+# -- sequence packing -------------------------------------------------------
+
+
+def test_pack_sequences_conserves_docs_and_tokens(spark, sf_dir):
+    """Packing is a partition of the corpus: bin doc/token totals sum
+    to corpus totals, and no bin starts beyond its shard's token
+    count."""
+    packed = QUERIES["pack_sequences"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    tot = docs.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+    ).collect()[0]
+    agg = packed.agg(
+        F.sum("n_docs").alias("d"), F.sum("n_tokens").alias("t")
+    ).collect()[0]
+    assert agg["d"] == tot["n_docs"]
+    assert agg["t"] == tot["n_tokens"]
+    # bins are non-empty, ordered ranges: first_doc <= last_doc
+    assert packed.where("n_docs <= 0 OR first_doc > last_doc").count() == 0
+
+
+def test_pack_sequences_bin_capacity(spark, sf_dir):
+    """A bin holds the docs whose START lands inside it, so its token
+    load is < CTX + the largest single doc (one straddler)."""
+    packed = QUERIES["pack_sequences"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    max_doc = docs.agg(
+        F.max(F.size(F.split(F.col("text"), " ")))
+    ).collect()[0][0]
+    over = packed.where(F.col("n_tokens") >= 512 + max_doc).count()
+    assert over == 0
+
+
+# -- GTID gap monitor -------------------------------------------------------
+
+
+def test_gtid_gaps_account_for_missing(spark, sf_dir):
+    """Per server: the event count plus missing count spans the seq
+    range exactly, and gaps exist iff events are missing."""
+    mon = QUERIES["cdc_gtid_gap_monitor"](spark, sf_dir).collect()
+    assert len(mon) == 4  # one per routed server
+    for r in mon:
+        assert r["n_events"] + r["n_missing"] == r["last_seq"] - r["first_seq"] + 1
+        assert (r["n_gaps"] > 0) == (r["n_missing"] > 0)
+        assert r["max_gap"] <= r["n_missing"]
+
+
+# -- hourly anomaly detection -----------------------------------------------
+
+
+def test_anomaly_flags_exclusive_and_calibrated(spark, sf_dir):
+    an = QUERIES["events_anomaly_hours"](spark, sf_dir)
+    assert an.where("is_spike = 1 AND is_drop = 1").count() == 0
+    assert an.where("median_hourly <= 0").count() == 0
+    # flags match their definitions
+    bad = an.where(
+        "(is_spike = 1) <> (n_events > 2 * median_hourly) OR "
+        "(is_drop = 1) <> (2 * n_events < median_hourly)"
+    ).count()
+    assert bad == 0
+
+
+# -- physical-plan scale guards --------------------------------------------
+
+
+def _optimized(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    return (
+        QUERIES[name](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_ngram_coverage_no_broadcast_of_gram_table(spark, sf_dir):
+    """The gram doc-frequency table grows with the corpus — no forced
+    broadcast hint may survive."""
+    assert _optimized(spark, sf_dir, "dedup_ngram_coverage").count(
+        "strategy=broadcast"
+    ) == 0
+
+
+def test_c4_and_pii_are_shuffle_free(spark, sf_dir):
+    for name in ["text_c4_filters", "text_pii_scrub"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "Exchange" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_semdedup_no_cartesian_on_data(spark, sf_dir):
+    """The only nested-loop join allowed is the fixed-size seed
+    assignment; the cell-mate compare must be an equi join."""
+    plan = _plan(spark, sf_dir, "semdedup_cells")
+    assert "CartesianProduct" not in plan
+    # the seed cross join (a broadcast of N_SEEDS=16 rows) appears
+    # once per `cells` CTE reference — three bounded broadcasts; the
+    # data-sized cell-mate compare must be the equi SortMergeJoin
+    assert plan.count("BroadcastNestedLoopJoin") <= 3
+    assert "SortMergeJoin [cell" in plan
