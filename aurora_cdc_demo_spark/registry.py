@@ -1576,10 +1576,24 @@ _REP_TOP_BIGRAM_BP = 1500  # >15% occupancy by one bigram -> repetitive
 _DECON_NGRAM = 8
 _DECON_BENCH_MAX_ID = 20  # doc_id < 20 is the held-out benchmark set
 
+# R3 gate constants (used by the standalone gates below AND the
+# composed corpus_keep_list_v3):
+# duplicate-ngram coverage (Lee et al. 2021 exact-substring signal)
+_NGC_N = 5
+_NGC_FLAG_BP = 3000
+# C4-style heuristic gates (Raffel et al. 2020 §2.2)
+_C4_MIN_TOKENS = 25
+_C4_MAX_TOKENS = 5000
+_C4_WLEN_LO_CENTI = 250  # mean token length in [2.5, 9.0] chars
+_C4_WLEN_HI_CENTI = 900
+_C4_MAX_TOKEN_CHARS = 20
+_C4_DIGIT_BP_MAX = 2000  # <=20% pure-digit tokens
 
-@query(
-    "corpus_keep_list_v2",
-    oracle=f"""
+
+# Shared CTE block for the composed keep-lists (v2 + v3): the
+# near-dup cluster graph, exact-dup canonicals, quality, sampling,
+# repetition and decontamination gates, all per doc_id.
+_KEEP_GATES_CTES = f"""
         WITH RECURSIVE {_dedup._SHINGLES_SQL}
         , inter AS (
             SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS inter
@@ -1657,6 +1671,13 @@ _DECON_BENCH_MAX_ID = 20  # doc_id < 20 is the held-out benchmark set
             JOIN (SELECT DISTINCT g FROM grams2
                   WHERE doc_id < {_DECON_BENCH_MAX_ID}) b ON c.g = b.g
             WHERE c.doc_id >= {_DECON_BENCH_MAX_ID})
+"""
+
+
+@query(
+    "corpus_keep_list_v2",
+    oracle=f"""
+        {_KEEP_GATES_CTES}
         SELECT d.doc_id,
                e.is_canonical AND c.cluster_id = d.doc_id
                    AND co.doc_id IS NULL AND NOT r.is_repetitive
@@ -1721,6 +1742,130 @@ def q_corpus_keep_list_v2(spark, sf_dir):
         .when(~F.col("quality_ok"), "low_quality")
         .when(~F.col("in_sample"), "sampled_out")
         .otherwise("keep")
+    )
+    return j.select("doc_id", keep.alias("keep"), decision.alias("decision"))
+
+
+@query(
+    "corpus_keep_list_v3",
+    oracle=f"""
+        {_KEEP_GATES_CTES}
+        , ngc_tot AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+            FROM (SELECT doc_id,
+                         unnest(list_transform(range(1, len(t) - {_NGC_N - 2}),
+                                i -> array_to_string(t[i:i+{_NGC_N - 1}], ' ')))
+                             AS g
+                  FROM toks2 WHERE len(t) >= {_NGC_N}) GROUP BY doc_id)
+        , ngc_freq AS (
+            SELECT g, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+            FROM (SELECT doc_id,
+                         unnest(list_transform(range(1, len(t) - {_NGC_N - 2}),
+                                i -> array_to_string(t[i:i+{_NGC_N - 1}], ' ')))
+                             AS g
+                  FROM toks2 WHERE len(t) >= {_NGC_N}) GROUP BY g)
+        , ngc AS (
+            SELECT gg.doc_id,
+                   (10000 * COUNT(*)) // MAX(tt.n_grams) > {_NGC_FLAG_BP}
+                       AS is_dup_heavy
+            FROM (SELECT doc_id,
+                         unnest(list_transform(range(1, len(t) - {_NGC_N - 2}),
+                                i -> array_to_string(t[i:i+{_NGC_N - 1}], ' ')))
+                             AS g
+                  FROM toks2 WHERE len(t) >= {_NGC_N}) gg
+            JOIN ngc_freq f ON gg.g = f.g
+            JOIN ngc_tot tt ON gg.doc_id = tt.doc_id
+            WHERE f.nd >= 2
+            GROUP BY gg.doc_id)
+        , c4 AS (
+            SELECT doc_id,
+                   NOT (n >= {_C4_MIN_TOKENS} AND n <= {_C4_MAX_TOKENS}
+                        AND wlen_centi >= {_C4_WLEN_LO_CENTI}
+                        AND wlen_centi <= {_C4_WLEN_HI_CENTI}
+                        AND max_tok <= {_C4_MAX_TOKEN_CHARS}
+                        AND (10000 * n_digit) // n <= {_C4_DIGIT_BP_MAX})
+                       AS c4_filtered
+            FROM (SELECT doc_id,
+                         CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                         (100 * (length(text)
+                                 - (len(string_split(text, ' ')) - 1)))
+                             // len(string_split(text, ' ')) AS wlen_centi,
+                         CAST(COALESCE(list_max(list_transform(
+                              string_split(text, ' '), x -> length(x))), 0)
+                              AS BIGINT) AS max_tok,
+                         CAST(len(list_filter(string_split(text, ' '),
+                              x -> regexp_full_match(x, '[0-9]+'))) AS BIGINT)
+                             AS n_digit
+                  FROM documents))
+        SELECT d.doc_id,
+               e.is_canonical AND c.cluster_id = d.doc_id
+                   AND co.doc_id IS NULL
+                   AND NOT COALESCE(n.is_dup_heavy, FALSE)
+                   AND NOT r.is_repetitive
+                   AND NOT c4.c4_filtered
+                   AND qu.quality_bp >= {_KEEP_QUALITY_BP} AND s.in_sample
+                   AS keep,
+               CASE WHEN NOT e.is_canonical THEN 'exact_dup'
+                    WHEN c.cluster_id <> d.doc_id THEN 'near_dup'
+                    WHEN co.doc_id IS NOT NULL THEN 'contaminated'
+                    WHEN COALESCE(n.is_dup_heavy, FALSE) THEN 'dup_heavy'
+                    WHEN r.is_repetitive THEN 'repetitive'
+                    WHEN c4.c4_filtered THEN 'c4_filtered'
+                    WHEN qu.quality_bp < {_KEEP_QUALITY_BP} THEN 'low_quality'
+                    WHEN NOT s.in_sample THEN 'sampled_out'
+                    ELSE 'keep' END AS decision
+        FROM documents d
+        JOIN exact e USING (doc_id)
+        JOIN clusters c USING (doc_id)
+        JOIN quality qu USING (doc_id)
+        JOIN samp s USING (doc_id)
+        JOIN rep r USING (doc_id)
+        JOIN c4 USING (doc_id)
+        LEFT JOIN contaminated co USING (doc_id)
+        LEFT JOIN ngc n USING (doc_id)
+    """,
+)
+def q_corpus_keep_list_v3(spark, sf_dir):
+    """The EIGHT-gate keep-list: v2's six gates plus the R3
+    duplicated-ngram-coverage gate (Lee et al. substring-dup signal)
+    and the C4 heuristic gate, priority-ordered into one reason code
+    per drop (exact_dup > near_dup > contaminated > dup_heavy >
+    repetitive > c4_filtered > low_quality > sampled_out). Every gate
+    is the already-oracle-verified distributed operator, composed by
+    doc_id equi-joins — the complete R3 pre-training data path in one
+    artifact; the v3-refines-v2 law is pinned in pytest."""
+    base = QUERIES["corpus_keep_list_v2"](spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_v2"),
+        F.col("decision").alias("decision_v2"),
+    )
+    ngc = QUERIES["dedup_ngram_coverage"](spark, sf_dir).select(
+        "doc_id", (F.col("is_dup_heavy") == 1).alias("is_dup_heavy")
+    )
+    c4 = QUERIES["text_c4_filters"](spark, sf_dir).select(
+        "doc_id", (F.col("keep") == 0).alias("c4_filtered")
+    )
+    j = (
+        base.join(ngc, "doc_id", "left")
+        .join(c4, "doc_id")
+        .withColumn(
+            "is_dup_heavy",
+            F.coalesce(F.col("is_dup_heavy"), F.lit(False)),
+        )
+    )
+    keep = (
+        F.col("keep_v2") & ~F.col("is_dup_heavy") & ~F.col("c4_filtered")
+    )
+    # splice the two new gates into v2's priority chain at their
+    # rank: dup_heavy after contaminated, c4_filtered after
+    # repetitive (v2's own codes keep their relative order)
+    decision = (
+        F.when(F.col("decision_v2").isin("exact_dup", "near_dup",
+                                         "contaminated"),
+               F.col("decision_v2"))
+        .when(F.col("is_dup_heavy"), "dup_heavy")
+        .when(F.col("decision_v2") == "repetitive", "repetitive")
+        .when(F.col("c4_filtered"), "c4_filtered")
+        .otherwise(F.col("decision_v2"))
     )
     return j.select("doc_id", keep.alias("keep"), decision.alias("decision"))
 
@@ -2187,9 +2332,9 @@ def q_cdc_batch_metrics(spark, sf_dir):
 # Duplicate-ngram coverage (the exact-substring dedup SIGNAL of
 # Lee et al. 2021 "Deduplicating Training Data Makes Language Models
 # Better": fraction of a doc's token n-grams that also occur in some
-# OTHER document). 5-gram granularity; flag above 30%.
-_NGC_N = 5
-_NGC_FLAG_BP = 3000
+# OTHER document). 5-gram granularity; flag above 30%. Constants
+# (_NGC_N, _NGC_FLAG_BP) are defined above the keep-list section,
+# which composes this gate into corpus_keep_list_v3.
 
 
 @query(
@@ -2272,12 +2417,7 @@ def q_dedup_ngram_coverage(spark, sf_dir):
 # C4-style heuristic gates (Raffel et al. 2020 §2.2, adapted to this
 # corpus's whitespace-token shape): length bounds, mean-token-length
 # band, over-long tokens, numeric-token share. Integer-exact.
-_C4_MIN_TOKENS = 25
-_C4_MAX_TOKENS = 5000
-_C4_WLEN_LO_CENTI = 250  # mean token length in [2.5, 9.0] chars
-_C4_WLEN_HI_CENTI = 900
-_C4_MAX_TOKEN_CHARS = 20
-_C4_DIGIT_BP_MAX = 2000  # <=20% pure-digit tokens
+# Constants (_C4_*) are defined above the keep-list section.
 
 
 @query(

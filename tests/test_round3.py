@@ -232,6 +232,29 @@ def test_anomaly_flags_exclusive_and_calibrated(spark, sf_dir):
     assert bad == 0
 
 
+# -- keep-list v3 -----------------------------------------------------------
+
+
+def test_keep_list_v3_refines_v2(spark, sf_dir):
+    """v3 adds two restriction gates, so every v3 keep is a v2 keep
+    and any divergent decision is one of the new reason codes."""
+    v2 = {r["doc_id"]: (r["keep"], r["decision"])
+          for r in QUERIES["corpus_keep_list_v2"](spark, sf_dir).collect()}
+    v3 = {r["doc_id"]: (r["keep"], r["decision"])
+          for r in QUERIES["corpus_keep_list_v3"](spark, sf_dir).collect()}
+    assert v2.keys() == v3.keys()
+    for d, (keep3, dec3) in v3.items():
+        keep2, dec2 = v2[d]
+        if keep3:
+            assert keep2
+        if dec3 != dec2:
+            assert dec3 in ("dup_heavy", "c4_filtered"), (d, dec2, dec3)
+    assert set(d for _, d in v3.values()) <= {
+        "keep", "exact_dup", "near_dup", "contaminated", "dup_heavy",
+        "repetitive", "c4_filtered", "low_quality", "sampled_out",
+    }
+
+
 # -- physical-plan scale guards --------------------------------------------
 
 
