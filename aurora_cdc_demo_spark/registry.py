@@ -629,6 +629,37 @@ def q_cdc_replay_typed(spark, sf_dir):
     )
 
 
+def read_binlog_jvm(spark, sf_dir: str):
+    from .sources.cdc_datasource import read_binlog_native
+
+    return read_binlog_native(spark, binlog_path(sf_dir))
+
+
+@query(
+    "cdc_replay_typed_native",
+    oracle=f"""
+        WITH {_BINLOG_LOG_CTE}
+        SELECT key_id, seq, operation, event_type, ts, value FROM binlog
+    """,
+)
+def q_cdc_replay_typed_native(spark, sf_dir):
+    """Twin of cdc_replay_typed through the JVM-native JSON scan
+    (sources/cdc_datasource.py:read_binlog_native) instead of the
+    Python DataSource: identical oracle, same flatten — proving the
+    at-rest replay path produces the same typed rows at native scan
+    speed (no Python workers in the plan; asserted in
+    tests/test_plans.py)."""
+    raw = read_binlog_jvm(spark, sf_dir)
+    return raw.select(
+        F.col("primary_keys")["key_id"].cast("long").alias("key_id"),
+        "seq",
+        "operation",
+        F.col("after")["event_type"].alias("event_type"),
+        "ts",
+        F.col("after")["value"].cast("double").alias("value"),
+    )
+
+
 @query(
     "cdc_distinct_transactions",
     oracle=f"""

@@ -51,6 +51,10 @@ HEADLINE = [
     "cdc_latest_state_with_truncate",
     "corpus_decontaminate",
     "corpus_keep_list_v2",
+    "dedup_ngram_coverage",
+    "semdedup_cells",
+    "pack_sequences",
+    "corpus_keep_list_v3",
 ]
 
 
@@ -64,6 +68,12 @@ def _run_suite(spark, sf_dir: str) -> dict[str, float]:
     QUERIES["cdc_table_stats"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # warm the Python DataSource worker pool (one tiny read) so the
+    # timed DataSource-backed queries measure parse throughput, not
+    # the one-time Python-worker interpreter spin-up
+    from aurora_cdc_demo_spark.registry import read_binlog
+
+    read_binlog(spark, sf_dir).select("seq").limit(1).collect()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
@@ -114,6 +124,30 @@ def main() -> None:
         dt = time.perf_counter() - t0
         timings["streaming_sessionize"] = round(dt, 3)
         streaming_events_per_sec = round(n_events / dt)
+        # per-micro-batch latency profile from the progress log:
+        # median/max trigger-to-commit duration (the metric a
+        # latency SLO on the stream would be written against)
+        def _progress_dicts(query):
+            out = []
+            for p in query.recentProgress:
+                if isinstance(p, dict):
+                    out.append(p)
+                elif isinstance(p, str):
+                    out.append(json.loads(p))
+                else:  # StreamingQueryProgress object
+                    out.append(json.loads(p.json))
+            return out
+
+        durs = sorted(
+            p["durationMs"]["triggerExecution"]
+            for p in _progress_dicts(q)
+            if p.get("numInputRows", 0) > 0
+        )
+        batch_ms = {
+            "n_batches": len(durs),
+            "p50_ms": durs[len(durs) // 2] if durs else None,
+            "max_ms": durs[-1] if durs else None,
+        }
 
         # CDC ingest throughput: the same staged log driven through
         # the foreachBatch latest-state merge store (the reference's
@@ -141,6 +175,16 @@ def main() -> None:
         dt3 = time.perf_counter() - t0
         timings["datasource_replay_read"] = round(dt3, 3)
         replay_events_per_sec = round(n_replay / dt3)
+
+        # same log through the JVM-native JSON scan (the at-rest
+        # replay path: no Python workers in the scan)
+        from aurora_cdc_demo_spark.registry import read_binlog_jvm
+
+        t0 = time.perf_counter()
+        n_native = read_binlog_jvm(spark, sf_dir).count()
+        dt4 = time.perf_counter() - t0
+        timings["native_replay_read"] = round(dt4, 3)
+        native_events_per_sec = round(n_native / dt4)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -155,8 +199,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "streaming_events_per_sec": streaming_events_per_sec,
+        "streaming_batch_latency": batch_ms,
         "cdc_ingest_events_per_sec": cdc_events_per_sec,
         "datasource_replay_events_per_sec": replay_events_per_sec,
+        "native_replay_events_per_sec": native_events_per_sec,
         "sf": sf,
     }
     if sec_dir and os.path.isdir(sec_dir) and sec_dir.rstrip("/") != sf_dir.rstrip("/"):

@@ -255,6 +255,51 @@ def test_keep_list_v3_refines_v2(spark, sf_dir):
     }
 
 
+# -- JVM-native binlog scan -------------------------------------------------
+
+
+def test_native_binlog_scan_matches_datasource(spark, sf_dir):
+    """The at-rest JVM JSON scan and the Python DataSource must
+    produce row-identical 21-column events (full schema compare, all
+    columns, order-insensitive)."""
+    from aurora_cdc_demo_spark.registry import read_binlog, read_binlog_jvm
+
+    a = read_binlog(spark, sf_dir)
+    b = read_binlog_jvm(spark, sf_dir)
+    # same column names and types (nullability differs by design:
+    # the DataSource declares its metadata fields non-null, a JSON
+    # scan is all-nullable)
+    assert [(f.name, f.dataType) for f in a.schema.fields] == [
+        (f.name, f.dataType) for f in b.schema.fields
+    ]
+    assert a.count() == b.count()
+    # maps aren't comparable in exceptAll — compare sorted entries
+    def canon(df):
+        cols = []
+        for f in df.schema.fields:
+            if str(f.dataType).startswith("MapType"):
+                cols.append(
+                    F.to_json(
+                        F.map_from_entries(
+                            F.array_sort(F.map_entries(F.col(f.name)))
+                        )
+                    ).alias(f.name)
+                )
+            else:
+                cols.append(F.col(f.name))
+        return df.select(cols)
+
+    assert canon(a).exceptAll(canon(b)).count() == 0
+    assert canon(b).exceptAll(canon(a)).count() == 0
+
+
+def test_native_replay_no_python_in_plan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "cdc_replay_typed_native")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "PythonDataSource" not in plan
+
+
 # -- physical-plan scale guards --------------------------------------------
 
 
