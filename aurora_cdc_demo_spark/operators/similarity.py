@@ -481,6 +481,50 @@ def quantize_sql(dialect: str) -> str:
     """
 
 
+def ivf_cell_stats_sql(dialect: str) -> str:
+    """IVF index-build observability: per coarse cell — vector count,
+    share of the corpus (floor bp), and the cell's cosine-affinity
+    profile to its seed (floor-scaled e6 min/mean is avoided: mean of
+    doubles is order-dependent, so we emit min/max only — exact).
+    The balance view is what an ANN operator watches to re-train the
+    coarse quantizer: skewed cells = degraded recall and hot probe
+    partitions at query time.
+
+    Scale: one assignment pass (broadcast of N_SEEDS rows + per-row
+    argmax) and one hash agg on the cell key; output is
+    n_cells-bounded."""
+    idiv = "div" if dialect == "spark" else "//"
+    return f"""
+        WITH v AS (
+            SELECT vec_id, embedding, {_norm('embedding', dialect)} AS nrm
+            FROM embeddings)
+        , seeds AS (
+            SELECT vec_id AS seed_id, embedding AS se, nrm AS snrm
+            FROM v WHERE vec_id < {N_SEEDS})
+        , assign AS (
+            SELECT v.vec_id, s.seed_id,
+                   ({_dot('v.embedding', 's.se', dialect)})
+                       / (v.nrm * s.snrm) AS cos,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY ({_dot('v.embedding', 's.se', dialect)})
+                                / (v.nrm * s.snrm) DESC,
+                                s.seed_id ASC) AS rn
+            FROM v CROSS JOIN seeds s)
+        , cells AS (
+            SELECT vec_id, seed_id AS cell, cos
+            FROM assign WHERE rn = 1)
+        , tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cells)
+        SELECT CAST(c.cell AS BIGINT) AS cell,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST((10000 * COUNT(*)) {idiv} MAX(t.n) AS BIGINT) AS share_bp,
+               CAST(FLOOR(MIN(c.cos) * 1000000) AS BIGINT) AS min_cos_e6,
+               CAST(FLOOR(MAX(c.cos) * 1000000) AS BIGINT) AS max_cos_e6
+        FROM cells c CROSS JOIN tot t
+        GROUP BY c.cell
+    """
+
+
 def _run(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     # DIMS is fixed by the data contract (64); tests/test_similarity
     # validate it — no extra job here in the query path.
@@ -520,3 +564,7 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, quantize_sql("spark"))
+
+
+def ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, ivf_cell_stats_sql("spark"))

@@ -484,6 +484,16 @@ def q_embed_quantize_int8(spark, sf_dir):
     return _sim.quantize_int8(spark, sf_dir)
 
 
+@query("ann_ivf_cell_stats", oracle=_sim.ivf_cell_stats_sql("duck"))
+def q_ann_ivf_cell_stats(spark, sf_dir):
+    """IVF index-build observability: per-cell population share and
+    seed-affinity range — the balance monitor that tells an ANN
+    deployment when to re-train its coarse quantizer (skewed cells =
+    degraded recall + hot probe partitions). n_cells-bounded output;
+    see operators/similarity.py:ivf_cell_stats_sql."""
+    return _sim.ivf_cell_stats(spark, sf_dir)
+
+
 @query("mm_binary_meta", oracle=_mm.MM_BINARY_META_SQL)
 def q_mm_binary_meta(spark, sf_dir):
     return _mm.binary_meta(load_table(spark, sf_dir, "documents"))
@@ -577,10 +587,12 @@ _BINLOG_LOG_CTE = f"""
 """
 
 
-def binlog_path(sf_dir: str) -> str:
+def binlog_path(sf_dir: str, include_ddl: bool = False) -> str:
     """Materialize (once per sf_dir) the deterministic CDC binlog for
     the DataSource-backed queries; cached under .cache/ keyed by a
-    generator version so format changes invalidate stale logs."""
+    generator version so format changes invalidate stale logs. The
+    ``include_ddl`` variant (a separate cache dir) carries the
+    mid-log DDL event + schema_version 2 payloads."""
     import hashlib
     import os
 
@@ -588,10 +600,13 @@ def binlog_path(sf_dir: str) -> str:
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     cache_root = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".cache")
-    out = os.path.join(cache_root, f"cdc_binlog_v2_{tag}")
+    variant = "cdc_binlog_ddl_v2" if include_ddl else "cdc_binlog_v2"
+    out = os.path.join(cache_root, f"{variant}_{tag}")
     marker = os.path.join(out, "_BINLOG_DONE")
     if not os.path.exists(marker):
-        write_binlog_from_events(f"{sf_dir}/events.parquet", out)
+        write_binlog_from_events(
+            f"{sf_dir}/events.parquet", out, include_ddl=include_ddl
+        )
         open(marker, "w").close()
     return out
 
@@ -657,6 +672,62 @@ def q_cdc_replay_typed_native(spark, sf_dir):
         F.col("after")["event_type"].alias("event_type"),
         "ts",
         F.col("after")["value"].cast("double").alias("value"),
+    )
+
+
+@query(
+    "cdc_schema_version_history",
+    oracle=f"""
+        WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM events)
+        , b AS (
+            SELECT 'users_' || CAST(user_id % 4 AS VARCHAR) AS tbl,
+                   CAST(event_id AS BIGINT) AS seq,
+                   {_BINLOG_OP_SQL} AS operation,
+                   CASE WHEN user_id % 4 = 1
+                             AND event_id > (SELECT c FROM n) // 2
+                             AND event_id % 251 <> 250
+                        THEN '2' ELSE '1' END AS schema_version,
+                   CAST(NULL AS VARCHAR) AS ddl_statement
+            FROM events
+            UNION ALL
+            SELECT 'users_1',
+                   1000000000 + (SELECT c FROM n) // 2,
+                   'DDL', '2',
+                   'ALTER TABLE users_1 ADD COLUMN loyalty_tier VARCHAR'
+            FROM n)
+        SELECT tbl, schema_version,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(MIN(seq) AS BIGINT) AS first_seq,
+               CAST(MAX(seq) AS BIGINT) AS last_seq,
+               CAST(SUM(CASE WHEN operation = 'DDL' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_ddl,
+               MAX(ddl_statement) AS last_ddl
+        FROM b GROUP BY tbl, schema_version
+    """,
+)
+def q_cdc_schema_version_history(spark, sf_dir):
+    """Schema-evolution audit over the DDL-bearing binlog: per
+    (table, schema_version) — event volume, seq span, DDL event
+    count, and the DDL text (reference reserves schema_version +
+    ddl_statement exactly for this audit surface,
+    aurora_cdc_datasource_v2.py:76-78). Closes the batch-side DDL
+    loop: R2 proved DDL drives the schema-evolving merge in
+    STREAMING; this exposes the same events to the at-rest query
+    path via the native scan. One hash aggregate on a
+    schema-object-bounded key."""
+    from .sources.cdc_datasource import read_binlog_native
+
+    raw = read_binlog_native(spark, binlog_path(sf_dir, include_ddl=True))
+    return raw.groupBy(
+        F.col("table").alias("tbl"), "schema_version"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("seq").alias("first_seq"),
+        F.max("seq").alias("last_seq"),
+        F.sum(
+            F.when(F.col("operation") == "DDL", 1).otherwise(0)
+        ).cast("long").alias("n_ddl"),
+        F.max("ddl_statement").alias("last_ddl"),
     )
 
 

@@ -23,6 +23,10 @@ R3_QUERIES = [
     "pack_sequences",
     "cdc_gtid_gap_monitor",
     "events_anomaly_hours",
+    "cdc_replay_typed_native",
+    "cdc_schema_version_history",
+    "ann_ivf_cell_stats",
+    "corpus_keep_list_v3",
 ]
 
 
@@ -230,6 +234,40 @@ def test_anomaly_flags_exclusive_and_calibrated(spark, sf_dir):
         "(is_drop = 1) <> (2 * n_events < median_hourly)"
     ).count()
     assert bad == 0
+
+
+# -- schema-version history -------------------------------------------------
+
+
+def test_schema_versions_split_at_ddl(spark, sf_dir):
+    """Only the DDL'd table has two schema versions; its v2 group
+    contains exactly one DDL event; version seq ranges don't
+    overlap for the DDL'd table's data events."""
+    h = {(r["tbl"], r["schema_version"]): r
+         for r in QUERIES["cdc_schema_version_history"](spark, sf_dir).collect()}
+    tables = {t for t, _ in h}
+    assert tables == {"users_0", "users_1", "users_2", "users_3"}
+    for t in tables:
+        if t == "users_1":
+            assert (t, "1") in h and (t, "2") in h
+        else:
+            assert (t, "2") not in h
+    v2 = h[("users_1", "2")]
+    assert v2["n_ddl"] == 1
+    assert v2["last_ddl"].startswith("ALTER TABLE users_1")
+    assert h[("users_1", "1")]["n_ddl"] == 0
+
+
+# -- IVF cell stats ---------------------------------------------------------
+
+
+def test_ivf_cell_stats_cover_corpus(spark, sf_dir):
+    st = QUERIES["ann_ivf_cell_stats"](spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    total = st.agg(F.sum("n_vecs")).collect()[0][0]
+    assert total == emb.count()
+    assert st.where("share_bp < 0 OR share_bp > 10000").count() == 0
+    assert st.where("min_cos_e6 > max_cos_e6").count() == 0
 
 
 # -- keep-list v3 -----------------------------------------------------------
