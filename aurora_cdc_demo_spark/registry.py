@@ -2885,6 +2885,75 @@ def q_events_anomaly_hours(spark, sf_dir):
     )
 
 
+# Z-order (Morton) interleave of (user_id, hour) — the multi-dim
+# clustering key behind OPTIMIZE ZORDER BY: sorting the landing zone
+# by zkey co-locates rows close in BOTH dimensions, so parquet
+# row-group min/max prune for either predicate. 16 bits per dim.
+_Z_BITS = 16
+
+
+def _morton_sql(x: str, y: str, dialect: str) -> str:
+    if dialect == "spark":
+        terms = [
+            f"shiftleft(shiftright({x}, {i}) & 1, {2 * i})" for i in range(_Z_BITS)
+        ] + [
+            f"shiftleft(shiftright({y}, {i}) & 1, {2 * i + 1})"
+            for i in range(_Z_BITS)
+        ]
+    else:
+        terms = [
+            f"((({x} >> {i}) & 1) << {2 * i})" for i in range(_Z_BITS)
+        ] + [f"((({y} >> {i}) & 1) << {2 * i + 1})" for i in range(_Z_BITS)]
+    return " + ".join(terms)
+
+
+@query(
+    "events_zorder_key",
+    oracle=f"""
+        WITH t AS (
+            SELECT event_id,
+                   CAST(user_id % 65536 AS BIGINT) AS x16,
+                   CAST((epoch_us(ts) // 3600000000) % 65536 AS BIGINT)
+                       AS y16
+            FROM events)
+        SELECT event_id, x16, y16,
+               CAST({_morton_sql('x16', 'y16', 'duck')} AS BIGINT) AS zkey,
+               CAST(({_morton_sql('x16', 'y16', 'duck')}) // 16777216
+                    AS BIGINT) AS zbucket
+        FROM t
+    """,
+)
+def q_events_zorder_key(spark, sf_dir):
+    """Z-order (Morton) clustering key over (user_id, event hour) —
+    the executable core of the reference's OPTIMIZE ZORDER BY step
+    (unity_catalog_cdc_demo.py OPTIMIZE/ZORDER; our compaction sink
+    clusters by one key, this is the multi-dimensional upgrade):
+    writing the landing zone sorted by zkey gives row-group min/max
+    locality in BOTH user and time, so scans prune on either
+    predicate without a second copy of the data.
+
+    Scale: a pure per-row bit-interleave projection (32 shift/mask
+    terms, fully codegen'd, no shuffle — the sort that CONSUMES this
+    key is the compaction job's existing exchange, not a new one).
+    Bijectivity of the interleave is pinned in pytest."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        "event_id",
+        F.expr("CAST(user_id % 65536 AS BIGINT)").alias("x16"),
+        F.expr(
+            "CAST((unix_micros(ts) div 3600000000) % 65536 AS BIGINT)"
+        ).alias("y16"),
+    )
+    z = _morton_sql("x16", "y16", "spark")
+    return t.select(
+        "event_id",
+        "x16",
+        "y16",
+        F.expr(f"CAST({z} AS BIGINT)").alias("zkey"),
+        F.expr(f"CAST(({z}) div 16777216 AS BIGINT)").alias("zbucket"),
+    )
+
+
 @query("events_value_quantiles_approx")
 def q_events_value_quantiles_approx(spark, sf_dir):
     """Approximate p50/p95/p99 of event value per event type via the

@@ -27,6 +27,7 @@ R3_QUERIES = [
     "cdc_schema_version_history",
     "ann_ivf_cell_stats",
     "corpus_keep_list_v3",
+    "events_zorder_key",
 ]
 
 
@@ -268,6 +269,31 @@ def test_ivf_cell_stats_cover_corpus(spark, sf_dir):
     assert total == emb.count()
     assert st.where("share_bp < 0 OR share_bp > 10000").count() == 0
     assert st.where("min_cos_e6 > max_cos_e6").count() == 0
+
+
+# -- z-order key ------------------------------------------------------------
+
+
+def test_zorder_interleave_bijective(spark, sf_dir):
+    """The Morton interleave is a bijection on (x16, y16): decoding
+    the bits back must reproduce the inputs, and distinct key counts
+    must match distinct input-pair counts."""
+    z = QUERIES["events_zorder_key"](spark, sf_dir)
+    pairs = z.select("x16", "y16").distinct().count()
+    keys = z.select("zkey").distinct().count()
+    assert pairs == keys
+    sample = z.limit(200).collect()
+    for r in sample:
+        x = sum(((r["zkey"] >> (2 * i)) & 1) << i for i in range(16))
+        y = sum(((r["zkey"] >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (x, y) == (r["x16"], r["y16"])
+        assert r["zbucket"] == r["zkey"] >> 24
+
+
+def test_zorder_is_shuffle_free(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_zorder_key")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
 
 
 # -- keep-list v3 -----------------------------------------------------------
