@@ -106,11 +106,22 @@ def main() -> None:
     try:
         log = cdc_operation_log(spark, sf_dir)
         n_events = log.count()
-        log.write.mode("overwrite").parquet(f"{workdir}/in")
-        stream = spark.readStream.schema(
-            "key_id long, seq long, operation string, event_type string, "
-            "ts timestamp, value double"
-        ).parquet(f"{workdir}/in")
+        # stage as 32 files (AQE would coalesce to ~1) so the
+        # maxFilesPerTrigger cap below yields a real multi-batch run
+        log.repartition(32).write.mode("overwrite").parquet(f"{workdir}/in")
+        # bound each micro-batch to 16 of the 32 staged files so the
+        # run exercises real multi-batch micro-batching (state
+        # carry-over between triggers, per-batch commit cost in the
+        # measured span) while per-batch fixed costs don't swamp the
+        # tiny-SF signal
+        stream = (
+            spark.readStream.schema(
+                "key_id long, seq long, operation string, event_type string, "
+                "ts timestamp, value double"
+            )
+            .option("maxFilesPerTrigger", 16)
+            .parquet(f"{workdir}/in")
+        )
         t0 = time.perf_counter()
         q = (
             sessionize_stream(stream)
