@@ -2954,6 +2954,129 @@ def q_events_zorder_key(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# R3: corpus/dedup/embedding observability views (SURVEY §2 #105-107)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_heavy_hitters_per_source",
+    oracle="""
+        WITH tok AS (
+            SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+        , counted AS (
+            SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
+            FROM tok GROUP BY source, tok)
+        , ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY source ORDER BY n DESC, tok ASC) AS rnk
+            FROM counted)
+        SELECT source, tok, n, CAST(rnk AS BIGINT) AS rnk
+        FROM ranked WHERE rnk <= 5
+    """,
+)
+def q_text_heavy_hitters_per_source(spark, sf_dir):
+    """Per-domain vocabulary heavy hitters: top-5 tokens per source —
+    the domain-drift view a corpus curator watches (a source whose
+    head tokens shift is changing distribution). Grouped top-k done
+    right at scale: the token explode collapses through a map-side-
+    combined (source, token) count FIRST, and the rank window runs on
+    that bounded aggregate, partitioned by source — never a sort of
+    raw tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    counted = (
+        docs.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n").desc(), F.col("tok").asc()
+    )
+    return (
+        counted.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 5)
+    )
+
+
+@query(
+    "dedup_family_sizes",
+    oracle=r"""
+        WITH fam AS (
+            SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                       AS h,
+                   CAST(COUNT(*) AS BIGINT) AS family_size
+            FROM documents GROUP BY 1)
+        SELECT family_size,
+               CAST(COUNT(*) AS BIGINT) AS n_families,
+               CAST(SUM(family_size) AS BIGINT) AS n_docs
+        FROM fam GROUP BY family_size
+    """,
+)
+def q_dedup_family_sizes(spark, sf_dir):
+    """Exact-duplicate family-size histogram: how many normalized-
+    text families exist at each multiplicity — the dedup
+    observability view (a fat tail here means the exact gate is
+    doing real work; family_size 1 rows are the unique mass). Two
+    hash aggregates, the second over the (tiny) distinct-hash set;
+    map-side partials on both."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    fam = docs.groupBy(F.md5(norm).alias("h")).agg(
+        F.count(F.lit(1)).alias("family_size")
+    )
+    return fam.groupBy("family_size").agg(
+        F.count(F.lit(1)).alias("n_families"),
+        F.sum("family_size").alias("n_docs"),
+    )
+
+
+@query(
+    "embed_norm_stats",
+    oracle=f"""
+        WITH v AS (
+            SELECT label, vec_id,
+                   {_sim._norm('embedding', 'duck')} AS nrm
+            FROM embeddings)
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(FLOOR(MIN(nrm) * 1000000) AS BIGINT) AS min_norm_e6,
+               CAST(FLOOR(MAX(nrm) * 1000000) AS BIGINT) AS max_norm_e6,
+               CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_zero_vecs
+        FROM v GROUP BY label
+    """,
+)
+def q_embed_norm_stats(spark, sf_dir):
+    """Embedding health check per label: vector counts, norm range
+    (floor-scaled e6 — min/max only, order-independent), zero-vector
+    count (a zero vector poisons cosine math downstream). The data-QA
+    gate an embedding pipeline runs before indexing. One map-side-
+    combined aggregate on the label key."""
+    from .tables import load_table as _lt
+
+    _lt(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(
+        f"""
+        WITH v AS (
+            SELECT label, vec_id,
+                   {_sim._norm('embedding', 'spark')} AS nrm
+            FROM embeddings)
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(FLOOR(MIN(nrm) * 1000000) AS BIGINT) AS min_norm_e6,
+               CAST(FLOOR(MAX(nrm) * 1000000) AS BIGINT) AS max_norm_e6,
+               CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_zero_vecs
+        FROM v GROUP BY label
+        """
+    )
+
+
 @query("events_value_quantiles_approx")
 def q_events_value_quantiles_approx(spark, sf_dir):
     """Approximate p50/p95/p99 of event value per event type via the

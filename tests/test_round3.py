@@ -28,6 +28,9 @@ R3_QUERIES = [
     "ann_ivf_cell_stats",
     "corpus_keep_list_v3",
     "events_zorder_key",
+    "text_heavy_hitters_per_source",
+    "dedup_family_sizes",
+    "embed_norm_stats",
 ]
 
 
@@ -269,6 +272,33 @@ def test_ivf_cell_stats_cover_corpus(spark, sf_dir):
     assert total == emb.count()
     assert st.where("share_bp < 0 OR share_bp > 10000").count() == 0
     assert st.where("min_cos_e6 > max_cos_e6").count() == 0
+
+
+# -- observability views ----------------------------------------------------
+
+
+def test_heavy_hitters_five_per_source(spark, sf_dir):
+    hh = QUERIES["text_heavy_hitters_per_source"](spark, sf_dir)
+    per = hh.groupBy("source").agg(F.count(F.lit(1)).alias("k"))
+    assert per.where("k <> 5").count() == 0
+    assert hh.where("rnk < 1 OR rnk > 5").count() == 0
+
+
+def test_family_sizes_conserve_corpus(spark, sf_dir):
+    fam = QUERIES["dedup_family_sizes"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    total = fam.agg(F.sum("n_docs")).collect()[0][0]
+    assert total == docs.count()
+    # family count at each size is consistent: n_docs = size * n_families
+    assert fam.where("n_docs <> family_size * n_families").count() == 0
+
+
+def test_norm_stats_no_zero_vectors_and_cover(spark, sf_dir):
+    ns = QUERIES["embed_norm_stats"](spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    assert ns.agg(F.sum("n_vecs")).collect()[0][0] == emb.count()
+    assert ns.where("n_zero_vecs > 0").count() == 0  # healthy corpus
+    assert ns.where("min_norm_e6 > max_norm_e6").count() == 0
 
 
 # -- z-order key ------------------------------------------------------------
