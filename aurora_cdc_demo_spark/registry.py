@@ -2954,6 +2954,38 @@ def q_events_zorder_key(spark, sf_dir):
     )
 
 
+@query("cdc_latest_state_incremental", oracle=_LATEST_STATE_SQL)
+def q_cdc_latest_state_incremental(spark, sf_dir):
+    """Incremental view maintenance of the latest-state table: split
+    the log at its time midpoint, materialize the OLD half
+    (latest_state), net the NEW half (net_changes, tombstones kept),
+    and MERGE — the oracle is the plain from-scratch latest-state
+    SQL, so the gate proves state(old) ⊕ changes(new) ≡
+    recompute(all). This is the operational 100 TB pattern: you never
+    re-scan the epoch, you merge yesterday's materialization with
+    today's partition (reference's daily MERGE INTO loop,
+    unity_catalog_cdc_demo.py:415-446, generalized by the hypothesis
+    incrementality law in tests/test_properties.py).
+
+    Scale: the split threshold is a 1-row broadcast; each half pays
+    one key shuffle (its own latest/net reduction) and the merge is a
+    key-partitioned full-outer join — no extra passes over the raw
+    log beyond the two halves."""
+    log = cdc_operation_log(spark, sf_dir)
+    bounds = log.agg(
+        F.expr(
+            "(min(unix_micros(ts)) + max(unix_micros(ts))) div 2"
+        ).alias("t_mid")
+    )
+    split = log.crossJoin(F.broadcast(bounds))
+    t_us = F.unix_micros(F.col("ts"))
+    log1 = split.where(t_us <= F.col("t_mid")).drop("t_mid")
+    log2 = split.where(t_us > F.col("t_mid")).drop("t_mid")
+    state1 = cdc_apply.latest_state(log1)
+    net2 = cdc_apply.net_changes(log2)
+    return cdc_apply.upsert_merge(state1, net2)
+
+
 # ---------------------------------------------------------------------------
 # R3: corpus/dedup/embedding observability views (SURVEY §2 #105-107)
 # ---------------------------------------------------------------------------

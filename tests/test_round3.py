@@ -31,6 +31,7 @@ R3_QUERIES = [
     "text_heavy_hitters_per_source",
     "dedup_family_sizes",
     "embed_norm_stats",
+    "cdc_latest_state_incremental",
 ]
 
 
@@ -272,6 +273,18 @@ def test_ivf_cell_stats_cover_corpus(spark, sf_dir):
     assert total == emb.count()
     assert st.where("share_bp < 0 OR share_bp > 10000").count() == 0
     assert st.where("min_cos_e6 > max_cos_e6").count() == 0
+
+
+# -- incremental view maintenance -------------------------------------------
+
+
+def test_incremental_equals_from_scratch(spark, sf_dir):
+    """state(old half) merged with net(new half) must equal the
+    from-scratch materialization row-for-row."""
+    inc = QUERIES["cdc_latest_state_incremental"](spark, sf_dir)
+    full = QUERIES["cdc_latest_state"](spark, sf_dir)
+    assert inc.exceptAll(full).count() == 0
+    assert full.exceptAll(inc).count() == 0
 
 
 # -- observability views ----------------------------------------------------
