@@ -525,6 +525,56 @@ def ivf_cell_stats_sql(dialect: str) -> str:
     """
 
 
+KNN_K = 3
+
+
+def knn_graph_sql(dialect: str) -> str:
+    """Batch KNN-graph construction: EVERY vector gets its KNN_K
+    nearest cell-mates (cosine, deterministic tie-break) — the
+    primitive behind graph-based dedup, diversity sampling, and
+    label propagation over a corpus. Unlike ann_ivf_topk (10 query
+    vectors), this is the all-vectors self-join form.
+
+    Scale: candidate pairs are cell-bounded (equi-join on the coarse
+    cell, shuffle on the cell key), and the per-vector top-k is a
+    rank window over candidates partitioned by the source vector —
+    O(sum cell²) candidates, never corpus²; k and the cell count cap
+    the output at KNN_K rows per vector."""
+    return f"""
+        WITH v AS (
+            SELECT vec_id, embedding, {_norm('embedding', dialect)} AS nrm
+            FROM embeddings)
+        , seeds AS (
+            SELECT vec_id AS seed_id, embedding AS se, nrm AS snrm
+            FROM v WHERE vec_id < {N_SEEDS})
+        , assign AS (
+            SELECT v.vec_id, v.embedding, v.nrm, s.seed_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY ({_dot('v.embedding', 's.se', dialect)})
+                                / (v.nrm * s.snrm) DESC,
+                                s.seed_id ASC) AS rn
+            FROM v CROSS JOIN seeds s)
+        , cells AS (
+            SELECT vec_id, embedding, nrm, seed_id AS cell
+            FROM assign WHERE rn = 1)
+        , cand AS (
+            SELECT a.vec_id, b.vec_id AS neighbor_id,
+                   ({_dot('a.embedding', 'b.embedding', dialect)})
+                       / (a.nrm * b.nrm) AS cos
+            FROM cells a
+            JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+        , ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id
+                ORDER BY cos DESC, neighbor_id ASC) AS rnk
+            FROM cand)
+        SELECT vec_id, neighbor_id, CAST(rnk AS BIGINT) AS nn_rank,
+               CAST(FLOOR(cos * 1000000) AS BIGINT) AS cos_e6
+        FROM ranked WHERE rnk <= {KNN_K}
+    """
+
+
 def _run(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     # DIMS is fixed by the data contract (64); tests/test_similarity
     # validate it — no extra job here in the query path.
@@ -568,3 +618,7 @@ def quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, ivf_cell_stats_sql("spark"))
+
+
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, knn_graph_sql("spark"))

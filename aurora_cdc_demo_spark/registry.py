@@ -484,6 +484,15 @@ def q_embed_quantize_int8(spark, sf_dir):
     return _sim.quantize_int8(spark, sf_dir)
 
 
+@query("ann_knn_graph", oracle=_sim.knn_graph_sql("duck"))
+def q_ann_knn_graph(spark, sf_dir):
+    """Batch KNN graph: every vector's top-3 nearest cell-mates —
+    the all-vectors self-join primitive behind graph dedup /
+    diversity sampling; cell-bounded candidates, never corpus²;
+    see operators/similarity.py:knn_graph_sql."""
+    return _sim.knn_graph(spark, sf_dir)
+
+
 @query("ann_ivf_cell_stats", oracle=_sim.ivf_cell_stats_sql("duck"))
 def q_ann_ivf_cell_stats(spark, sf_dir):
     """IVF index-build observability: per-cell population share and

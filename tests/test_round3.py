@@ -32,6 +32,7 @@ R3_QUERIES = [
     "dedup_family_sizes",
     "embed_norm_stats",
     "cdc_latest_state_incremental",
+    "ann_knn_graph",
 ]
 
 
@@ -176,6 +177,55 @@ def test_quantize_error_bounded_by_half_bin(spark, sf_dir):
     n_vecs = emb.count()
     assert q.count() == n_vecs
     assert q.where("code_sum < 0 OR code_sum > 255 * 64").count() == 0
+
+
+def test_quantized_topk_recall(spark, sf_dir):
+    """Int8 quantization must preserve neighborhood structure:
+    brute-force top-5 on DEQUANTIZED vectors recalls >= 80% of the
+    exact top-5 neighbors over the 10 query vectors (the bound this
+    corpus actually achieves; compression that scrambled neighbors
+    would fall far below it)."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").orderBy("vec_id").toPandas()
+    ids = emb["vec_id"].to_numpy()
+    x = np.array([np.array(v, dtype=np.float64) for v in emb["embedding"]])
+    lo, hi = x.min(axis=0), x.max(axis=0)
+    scale = np.where(hi == lo, 1.0, (hi - lo) / 255)
+    q = np.clip(np.floor((x - lo) / scale), 0, 255)
+    deq = lo + (q + 0.5) * scale
+
+    def topk(m, k=5):
+        n = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = n @ n.T
+        np.fill_diagonal(sims, -np.inf)
+        out = {}
+        for qi in range(len(ids)):
+            if ids[qi] < 10:
+                order = np.argsort(-sims[qi], kind="stable")[:k]
+                out[ids[qi]] = set(ids[j] for j in order)
+        return out
+
+    exact, approx = topk(x), topk(deq)
+    hits = sum(len(exact[i] & approx[i]) for i in exact)
+    total = sum(len(exact[i]) for i in exact)
+    assert hits / total >= 0.8, (hits, total)
+
+
+def test_knn_graph_covers_cellmates(spark, sf_dir):
+    """Every vector with at least one cell-mate gets 1..k dense
+    ranks; cos is a valid cosine (within [-1, 1] scaled)."""
+    g = QUERIES["ann_knn_graph"](spark, sf_dir)
+    assert g.where("nn_rank < 1 OR nn_rank > 3").count() == 0
+    assert g.where(
+        "cos_e6 < -1000001 OR cos_e6 > 1000001"
+    ).count() == 0
+    # ranks are dense per vector: max rank == count
+    per = g.groupBy("vec_id").agg(
+        F.max("nn_rank").alias("mx"), F.count(F.lit(1)).alias("c")
+    )
+    assert per.where("mx <> c").count() == 0
+    assert g.where("vec_id = neighbor_id").count() == 0
 
 
 # -- sequence packing -------------------------------------------------------
