@@ -305,6 +305,106 @@ MINHASH_LSH_SQL = f"""
 """
 
 
+def minhash_estimate(docs: DataFrame) -> DataFrame:
+    """Sketch calibration: for every LSH candidate pair, the
+    MinHash-ESTIMATED Jaccard (matching minhashes / NUM_MINHASH)
+    side by side with the exact shingle Jaccard — the view that
+    tells a dedup deployment whether its sketch width (k=12) is
+    adequate for its threshold, measured on its own corpus. Both
+    values are integer-exact (floor bp), so the oracle compare is
+    bit-for-bit; zero-overlap band collisions (pure hash accidents)
+    appear with exact_bp = 0.
+
+    Scale: candidates come from the banded equi-join (never
+    all-pairs); the signature re-join is k integer columns per side;
+    the exact verify touches only candidate pairs."""
+    sh = shingles(docs)
+    sig = minhash_signatures(sh)
+    cand = lsh_candidates(sig)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{k}").alias(f"a{k}") for k in range(NUM_MINHASH)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{k}").alias(f"b{k}") for k in range(NUM_MINHASH)],
+    )
+    matches = None
+    for k in range(NUM_MINHASH):
+        t = F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
+        matches = t if matches is None else matches + t
+    m = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", matches.cast("long").alias("matches"))
+    )
+    ex = _pair_jaccard(sh, pairs=cand).select("doc_a", "doc_b", "inter", "uni")
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("c").alias("ca"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("c").alias("cb"))
+    j = (
+        m.join(ex, ["doc_a", "doc_b"], "left")
+        .join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn("inter0", F.coalesce(F.col("inter"), F.lit(0)))
+        .withColumn(
+            "uni0",
+            F.coalesce(F.col("uni"), F.col("ca") + F.col("cb")).cast("long"),
+        )
+    )
+    return j.select(
+        "doc_a",
+        "doc_b",
+        "matches",
+        F.expr(f"(10000 * matches) div {NUM_MINHASH}").alias("est_jaccard_bp"),
+        F.expr("(10000 * inter0) div uni0").alias("exact_jaccard_bp"),
+    )
+
+
+MINHASH_ESTIMATE_SQL = f"""
+    WITH {_SHINGLES_SQL}
+    , hashed AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS a,
+               CAST('0x' || substr(md5(s), 9, 8) AS BIGINT) AS b
+        FROM sh)
+    , sig AS (SELECT doc_id, {_minhash_sql_cols()} FROM hashed GROUP BY doc_id)
+    , bands AS (SELECT doc_id, {_band_sql_cols()} FROM sig)
+    , cand AS (
+        SELECT DISTINCT doc_a, doc_b FROM (
+            {" UNION ALL ".join(
+                f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+                f"FROM bands a JOIN bands b "
+                f"ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+                for b in range(NUM_MINHASH // BAND_ROWS)
+            )}))
+    , m AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST({" + ".join(
+                   f"(CASE WHEN a.mh{k} = b.mh{k} THEN 1 ELSE 0 END)"
+                   for k in range(NUM_MINHASH)
+               )} AS BIGINT) AS matches
+        FROM cand c
+        JOIN sig a ON a.doc_id = c.doc_a
+        JOIN sig b ON b.doc_id = c.doc_b)
+    , inter AS (
+        SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+        GROUP BY 1, 2)
+    SELECT m.doc_a, m.doc_b, m.matches,
+           (10000 * m.matches) // {NUM_MINHASH} AS est_jaccard_bp,
+           (10000 * CAST(COALESCE(i.inter, 0) AS BIGINT))
+               // CAST(x.c + y.c - COALESCE(i.inter, 0) AS BIGINT)
+               AS exact_jaccard_bp
+    FROM m
+    LEFT JOIN inter i ON m.doc_a = i.doc_a AND m.doc_b = i.doc_b
+    JOIN sc x ON m.doc_a = x.doc_id
+    JOIN sc y ON m.doc_b = y.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # 28. SimHash near-dup pairs (frequency-weighted, 64-bit, banded)
 # ---------------------------------------------------------------------------

@@ -411,6 +411,15 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return _dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
+@query("dedup_minhash_estimate", oracle=_dedup.MINHASH_ESTIMATE_SQL)
+def q_dedup_minhash_estimate(spark, sf_dir):
+    """Sketch calibration: per LSH candidate pair, MinHash-estimated
+    vs exact Jaccard (both floor bp, bit-exact cross-engine) — tells
+    a dedup deployment whether k=12 sketches suffice at its
+    threshold; see operators/dedup.py:minhash_estimate."""
+    return _dedup.minhash_estimate(load_table(spark, sf_dir, "documents"))
+
+
 @query("dedup_minhash_lsh", oracle=_dedup.MINHASH_LSH_SQL)
 def q_dedup_minhash_lsh(spark, sf_dir):
     return _dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))

@@ -33,6 +33,7 @@ R3_QUERIES = [
     "embed_norm_stats",
     "cdc_latest_state_incremental",
     "ann_knn_graph",
+    "dedup_minhash_estimate",
 ]
 
 
@@ -323,6 +324,21 @@ def test_ivf_cell_stats_cover_corpus(spark, sf_dir):
     assert total == emb.count()
     assert st.where("share_bp < 0 OR share_bp > 10000").count() == 0
     assert st.where("min_cos_e6 > max_cos_e6").count() == 0
+
+
+# -- minhash calibration ----------------------------------------------------
+
+
+def test_minhash_estimate_calibrated(spark, sf_dir):
+    """The sketch estimate must track exact Jaccard: mean absolute
+    error under 2500 bp across candidate pairs (k=12 gives std
+    ~1/sqrt(12) ~ 2900 bp worst-case at j=0.5; this corpus's
+    candidates sit well inside that), and estimates are valid bp."""
+    est = QUERIES["dedup_minhash_estimate"](spark, sf_dir).toPandas()
+    assert len(est) > 0
+    assert ((est["est_jaccard_bp"] >= 0) & (est["est_jaccard_bp"] <= 10000)).all()
+    mae = (est["est_jaccard_bp"] - est["exact_jaccard_bp"]).abs().mean()
+    assert mae <= 2500, mae
 
 
 # -- incremental view maintenance -------------------------------------------
