@@ -37,6 +37,63 @@ def write_partitioned(log: DataFrame, path: str, ts_col: str = "ts") -> None:
     )
 
 
+def publish_generation(root: str, gen_dir: str) -> None:
+    """Atomically point the landing zone's `_CURRENT` marker at a
+    generation directory (written beforehand, e.g. by
+    compact_partitions). Readers resolve `_CURRENT` first, so the
+    swap is a one-file rename — the parquet analog of a Delta commit.
+    """
+    import os
+
+    tmp = os.path.join(root, "_CURRENT.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(os.path.basename(gen_dir))
+    os.replace(tmp, os.path.join(root, "_CURRENT"))
+
+
+def current_generation(root: str) -> str | None:
+    import os
+
+    marker = os.path.join(root, "_CURRENT")
+    if not os.path.exists(marker):
+        return None
+    with open(marker) as fh:
+        return os.path.join(root, fh.read().strip())
+
+
+def vacuum_generations(root: str, keep: int = 2) -> dict:
+    """The VACUUM analog (reference: unity_catalog_cdc_demo.py
+    VACUUM ... RETAIN): delete all but the newest ``keep`` compacted
+    generations under ``root``, NEVER the one `_CURRENT` points at —
+    old generations are what time-travel readers and in-flight
+    queries may still hold open, so retention is a count, not a
+    blind delete. Returns what was removed/retained.
+
+    Scale note: this is pure file-system metadata work (bounded by
+    generation count, not data volume) and runs on the driver by
+    design — like Delta's VACUUM planning, the data files themselves
+    are deleted without being read."""
+    import os
+    import shutil
+
+    gens = sorted(
+        d
+        for d in os.listdir(root)
+        if d.startswith("gen-") and os.path.isdir(os.path.join(root, d))
+    )
+    cur = current_generation(root)
+    cur_name = os.path.basename(cur) if cur else None
+    protect = set(gens[-keep:]) if keep > 0 else set()
+    if cur_name:
+        protect.add(cur_name)
+    removed = []
+    for g in gens:
+        if g not in protect:
+            shutil.rmtree(os.path.join(root, g))
+            removed.append(g)
+    return {"removed": removed, "retained": sorted(protect & set(gens))}
+
+
 def compact_partitions(
     spark,
     src_path: str,

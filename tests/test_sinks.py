@@ -97,3 +97,30 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP DATABASE IF EXISTS bdemo CASCADE")
+
+
+def test_vacuum_retains_current_and_newest(tmp_path):
+    """VACUUM analog: deletes old generations, never the newest
+    `keep` nor the one `_CURRENT` points at (even if old)."""
+    import os
+
+    from aurora_cdc_demo_spark.sinks.partitioned import (
+        current_generation,
+        publish_generation,
+        vacuum_generations,
+    )
+
+    root = str(tmp_path)
+    for i in range(1, 5):
+        os.makedirs(os.path.join(root, f"gen-{i:06d}"))
+    # current deliberately points at an OLD generation
+    publish_generation(root, os.path.join(root, "gen-000001"))
+    out = vacuum_generations(root, keep=2)
+    assert out["removed"] == ["gen-000002"]
+    assert sorted(out["retained"]) == ["gen-000001", "gen-000003", "gen-000004"]
+    assert os.path.isdir(current_generation(root))
+    # republish to the newest, vacuum again: old current now eligible
+    publish_generation(root, os.path.join(root, "gen-000004"))
+    out2 = vacuum_generations(root, keep=1)
+    assert out2["removed"] == ["gen-000001", "gen-000003"]
+    assert os.path.basename(current_generation(root)) == "gen-000004"
