@@ -3145,3 +3145,221 @@ def q_events_value_quantiles_approx(spark, sf_dir):
         q[2].alias("p99_approx"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R3b: native session windows, unigram familiarity, dup-span rewrite
+# (SURVEY §2 #111-113)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_session_window_native",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, value,
+                CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+                     WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                          > 1800000000 THEN 1
+                     ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+        , sess AS (
+            SELECT *, SUM(new_sess) OVER (
+                PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged)
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 4)
+                   AS sum_value
+        FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_events_session_window_native(spark, sf_dir):
+    """Sessionization via Spark's NATIVE session_window aggregate —
+    the JVM-side scale path next to the applyInPandasWithState
+    sessionizer (streaming/stateful.py) and the window-function
+    islands twin (cdc_sessionize): one hash aggregate with merging
+    session state, no Python worker, no full per-user sort window.
+    Boundary semantics pinned by probe: a gap of EXACTLY 30min
+    merges (split only when gap > 30min), session_end is
+    last-event + gap; the oracle's gap-islands SQL mirrors both.
+    Scale: groupBy(user_id, session_window) shuffles once on
+    user_id; map-side partial session merge keeps the shuffle
+    bounded by sessions, not events."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "text_unigram_familiarity",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+        , tf AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM tok GROUP BY tok)
+        , tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM tf)
+        , scored AS (
+            SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(f.freq) AS BIGINT) AS sum_tf
+            FROM tok t JOIN tf f ON t.tok = f.tok
+            GROUP BY t.doc_id)
+        SELECT s.doc_id, s.n_tokens, s.sum_tf,
+               CAST((1000000 * s.sum_tf) // (s.n_tokens * tot.total)
+                    AS BIGINT) AS familiarity_ppm
+        FROM scored s CROSS JOIN tot
+    """,
+)
+def q_text_unigram_familiarity(spark, sf_dir):
+    """CCNet-style head/tail-vocabulary quality proxy (Wenzek et al.
+    2020 use a real LM; this is the LM-free unigram analog): score
+    each doc by the mean corpus-wide relative frequency of its
+    tokens — documents dominated by tail vocabulary (gibberish, rare
+    boilerplate) score low, head-vocabulary prose scores high.
+    Integer-exact end to end (ppm floor division, no doubles, no
+    order-dependent float sums).
+
+    Scale: the token->frequency join shuffles on the token key —
+    deliberately NOT broadcast (vocabulary grows with the corpus;
+    same rule as text_distinctive_tokens after the round-1 fix); the
+    1-row corpus total IS broadcast (bounded). Two hash aggregates
+    with map-side partials."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    tf = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    total = tf.agg(F.sum("freq").alias("total"))
+    scored = (
+        tok.join(tf, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("freq").alias("sum_tf"),
+        )
+    )
+    return scored.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_tokens",
+        "sum_tf",
+        F.expr("(1000000 * sum_tf) div (n_tokens * total)").alias(
+            "familiarity_ppm"
+        ),
+    )
+
+
+@query(
+    "text_dup_span_rewrite",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        , occ0 AS (
+            SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+            FROM toks WHERE len(t) >= 5)
+        , occ AS (
+            SELECT doc_id, CAST(i - 1 AS BIGINT) AS start,
+                   md5(array_to_string(t[i:i+4], ' ')) AS h
+            FROM occ0)
+        , ranked AS (
+            SELECT doc_id, start,
+                   row_number() OVER (
+                       PARTITION BY h ORDER BY doc_id, start) AS rn,
+                   COUNT(*) OVER (PARTITION BY h) AS cnt
+            FROM occ)
+        , removed_pos AS (
+            SELECT DISTINCT doc_id, start + u.off AS pos
+            FROM ranked CROSS JOIN range(0, 5) AS u(off)
+            WHERE cnt >= 2 AND rn > 1)
+        , rem AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed
+            FROM removed_pos GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+               COALESCE(r.n_removed, 0) AS n_removed,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT)
+                   - COALESCE(r.n_removed, 0) AS n_kept,
+               (10000 * COALESCE(r.n_removed, 0))
+                   // len(string_split(d.text, ' ')) AS removed_bp
+        FROM documents d LEFT JOIN rem r ON d.doc_id = r.doc_id
+    """,
+)
+def q_text_dup_span_rewrite(spark, sf_dir):
+    """Exact duplicated-SPAN rewrite stats (Lee et al. 2021
+    'Deduplicating Training Data...' §4.1, ExactSubstr): keep the
+    globally FIRST occurrence of every duplicated 5-gram (ordered by
+    (doc_id, start)), mark every token position covered by a later
+    occurrence as removed, and report per-doc kept/removed token
+    counts. Complements dedup_ngram_coverage, which only MEASURES
+    coverage — this is the rewrite policy (what a corpus pipeline
+    would actually delete).
+
+    Scale: first-occurrence = one hash aggregate min(struct(doc_id,
+    start)) keyed on the gram hash — no global sort, no window over
+    raw grams on the Spark side (the oracle's row_number window is
+    the small-engine twin); position explode is 5x the duplicated
+    occurrences only, then a distinct + per-doc count. Everything
+    keys on md5(gram) — uniformly distributed, skew-safe."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 4), "
+        "i -> concat_ws(' ', slice(split(text, ' '), i, 5)))"
+    )
+    occ = (
+        docs.where(F.size(toks) >= 5)
+        .select("doc_id", F.posexplode(grams).alias("start", "g"))
+        .select(
+            "doc_id", F.col("start").cast("long").alias("start"),
+            F.md5("g").alias("h"),
+        )
+    )
+    first = occ.groupBy("h").agg(
+        F.min(F.struct("doc_id", "start")).alias("f"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    dup_occ = occ.join(first.where(F.col("cnt") >= 2), "h").where(
+        (F.col("doc_id") != F.col("f.doc_id"))
+        | (F.col("start") != F.col("f.start"))
+    )
+    removed = (
+        dup_occ.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(4))
+            ).alias("pos"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_removed"))
+    )
+    tot = docs.select("doc_id", F.size(toks).cast("long").alias("n_tokens"))
+    nrem = F.coalesce(F.col("n_removed"), F.lit(0)).cast("long")
+    return tot.join(removed, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        nrem.alias("n_removed"),
+        (F.col("n_tokens") - nrem).alias("n_kept"),
+        F.expr(
+            "(10000 * COALESCE(n_removed, 0)) div n_tokens"
+        ).alias("removed_bp"),
+    )

@@ -1,0 +1,168 @@
+"""Round-3b operators: native session windows, unigram familiarity
+scoring, and the duplicated-span rewrite — oracle parity, semantics
+pins, invariants, and scale plan guards."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from aurora_cdc_demo_spark.registry import QUERIES
+from aurora_cdc_demo_spark.tables import load_table
+
+from .helpers import assert_matches_oracle
+from .test_plans import optimized, plan_of
+
+R3B_QUERIES = [
+    "events_session_window_native",
+    "text_unigram_familiarity",
+    "text_dup_span_rewrite",
+]
+
+
+@pytest.mark.parametrize("name", R3B_QUERIES)
+def test_oracle_parity(spark, sf_dir, name):
+    assert_matches_oracle(spark, name, sf_dir)
+
+
+def test_session_window_exact_gap_merges(spark):
+    """Pin the boundary semantics the oracle mirrors: a gap of
+    EXACTLY the 30min threshold merges into one session (Spark
+    session windows split only on gap > threshold), and session_end
+    is last-event-time + gap."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0),
+        (1, t0 + dt.timedelta(minutes=30)),        # exact gap: merges
+        (1, t0 + dt.timedelta(minutes=60, seconds=1)),  # >gap: splits
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("session_window.start").alias("s"),
+            F.col("session_window.end").alias("e"),
+            "n",
+        )
+        .orderBy("s")
+        .collect()
+    )
+    assert [r["n"] for r in out] == [2, 1]
+    assert out[0]["s"] == t0
+    assert out[0]["e"] == t0 + dt.timedelta(minutes=60)  # last + gap
+
+
+def test_session_window_partitions_events(spark, sf_dir):
+    """Every event lands in exactly one session: per-user session
+    event counts resum to the raw per-user event counts."""
+    sess = (
+        QUERIES["events_session_window_native"](spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.sum("n_events").alias("n"))
+    )
+    raw = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sess.exceptAll(raw).count() == 0
+    assert raw.exceptAll(sess).count() == 0
+
+
+def test_familiarity_bounds(spark, sf_dir):
+    """familiarity_ppm is a mean relative frequency: within
+    [1, 1e6] (every token occurs at least once), sum_tf >= n_tokens,
+    and every document is scored."""
+    fam = QUERIES["text_unigram_familiarity"](spark, sf_dir)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert fam.count() == n_docs
+    bad = fam.where(
+        (F.col("familiarity_ppm") < 0)
+        | (F.col("familiarity_ppm") > 1_000_000)
+        | (F.col("sum_tf") < F.col("n_tokens"))
+    )
+    assert bad.count() == 0
+
+
+def test_familiarity_orders_tail_below_head(spark, sf_dir):
+    """A doc made of corpus-unique tokens must score at (near) the
+    floor: its sum_tf equals n_tokens, so ppm == 1e6/total-ish floor;
+    verify the minimum-scoring docs have lower mean tf than the
+    maximum-scoring ones (the score actually separates)."""
+    fam = QUERIES["text_unigram_familiarity"](spark, sf_dir)
+    lo, hi = fam.agg(
+        F.min("familiarity_ppm"), F.max("familiarity_ppm")
+    ).first()
+    assert lo < hi  # the corpus is not familiarity-degenerate
+
+
+def test_dup_span_rewrite_conservation(spark, sf_dir):
+    """kept + removed == total tokens per doc; removed_bp in
+    [0, 10000]; the synthetic corpus does contain duplicated 5-gram
+    spans (so the operator is exercised) but never removes
+    everything."""
+    rw = QUERIES["text_dup_span_rewrite"](spark, sf_dir)
+    bad = rw.where(
+        (F.col("n_kept") + F.col("n_removed") != F.col("n_tokens"))
+        | (F.col("removed_bp") < 0)
+        | (F.col("removed_bp") > 10_000)
+    )
+    assert bad.count() == 0
+    tot = rw.agg(
+        F.sum("n_removed").alias("rem"), F.sum("n_tokens").alias("tok")
+    ).first()
+    assert 0 < tot["rem"] < tot["tok"]
+
+
+def test_dup_span_rewrite_keeps_one_copy_of_each_gram(spark, sf_dir):
+    """Keep-first policy: for every duplicated gram, at least the
+    first occurrence's positions stay — so the removed-position
+    count is strictly less than 5x the total occurrence count of
+    duplicated grams (one occurrence per family survives)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 4), "
+        "i -> concat_ws(' ', slice(split(text, ' '), i, 5)))"
+    )
+    occ = docs.where(F.size(F.split("text", " ")) >= 5).select(
+        "doc_id", F.explode(grams).alias("g")
+    )
+    fam = occ.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+    dup_occ = fam.where(F.col("cnt") >= 2).agg(
+        F.sum("cnt").alias("n")
+    ).first()["n"]
+    removed = (
+        QUERIES["text_dup_span_rewrite"](spark, sf_dir)
+        .agg(F.sum("n_removed"))
+        .first()[0]
+    )
+    assert removed < 5 * dup_occ
+
+
+@pytest.mark.parametrize(
+    "name,allowed_hints",
+    [
+        # tf (per-token frequency) is vocabulary-sized — unbounded at
+        # 100 TB; only the 1-row corpus total stays broadcast
+        ("text_unigram_familiarity", 1),
+        # gram occurrence/first-occurrence tables grow with the corpus
+        ("text_dup_span_rewrite", 0),
+    ],
+)
+def test_no_forced_broadcast_on_unbounded_side(
+    spark, sf_dir, name, allowed_hints
+):
+    plan = optimized(spark, sf_dir, name)
+    assert plan.count("strategy=broadcast") <= allowed_hints, plan
+
+
+def test_session_window_stays_jvm_side(spark, sf_dir):
+    """The native sessionizer must not fall back to a Python worker
+    (that's the applyInPandasWithState twin's job) and needs exactly
+    one exchange keyed on user_id."""
+    plan = plan_of(spark, sf_dir, "events_session_window_native")
+    assert "EvalPython" not in plan and "ApplyInPandas" not in plan
+    assert plan.count("Exchange") == 1
