@@ -3363,3 +3363,38 @@ def q_text_dup_span_rewrite(spark, sf_dir):
             "(10000 * COALESCE(n_removed, 0)) div n_tokens"
         ).alias("removed_bp"),
     )
+
+
+@query("embed_pq_codes", oracle=_sim.pq_codes_sql("duck"))
+def q_embed_pq_codes(spark, sf_dir):
+    """Product-quantization code assignment (Jégou et al. 2011):
+    each vector compressed to PQ_M=4 codeword ids (nearest codeword
+    per 16-dim subspace, L2 in normalized space) — 64 float32s
+    become 4 small ints. One broadcast cross join against the
+    16-row codebook, per-subspace argmin via rank windows; see
+    operators/similarity.py:pq_codes_sql for the scale shape."""
+    return _sim.pq_codes(spark, sf_dir)
+
+
+@query("ann_pq_topk", oracle=_sim.pq_topk_sql("duck"))
+def q_ann_pq_topk(spark, sf_dir):
+    """PQ-ADC approximate top-k: per-query lookup table of
+    query-subvector × codeword partial inner products (|q|×16×4,
+    broadcast-sized), then 4 lookups + 3 fixed-order adds per
+    database vector — the raw embedding column is never touched at
+    query time and the corpus is never shuffled. Completes the ANN
+    ladder: brute force (oracle) → IVF/multiprobe (pruning) →
+    int8 (memory) → PQ-ADC (memory + compute). Recall vs the exact
+    top-k is pinned in tests/test_round3b.py."""
+    return _sim.pq_topk(spark, sf_dir)
+
+
+@query("ann_pq_rerank_topk", oracle=_sim.pq_rerank_topk_sql("duck"))
+def q_ann_pq_rerank_topk(spark, sf_dir):
+    """PQ-ADC shortlist + exact re-rank — the production two-stage
+    retrieval: compressed codes prune the corpus to 50 candidates
+    per query (no shuffle, no raw-embedding touch), exact cosine
+    runs on candidates only. Recall@5 ~0.8 with the untrained seed
+    codebook vs ~0.25 for pure ADC (pinned in pytest); see
+    operators/similarity.py:pq_rerank_topk_sql."""
+    return _sim.pq_rerank_topk(spark, sf_dir)

@@ -166,3 +166,61 @@ def test_session_window_stays_jvm_side(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "events_session_window_native")
     assert "EvalPython" not in plan and "ApplyInPandas" not in plan
     assert plan.count("Exchange") == 1
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (#114-116)
+# ---------------------------------------------------------------------------
+
+PQ_QUERIES = ["embed_pq_codes", "ann_pq_topk", "ann_pq_rerank_topk"]
+
+
+@pytest.mark.parametrize("name", PQ_QUERIES)
+def test_pq_oracle_parity(spark, sf_dir, name):
+    assert_matches_oracle(spark, name, sf_dir)
+
+
+def test_pq_codes_cover_every_vector_within_range(spark, sf_dir):
+    from aurora_cdc_demo_spark.operators import similarity as sim
+
+    codes = QUERIES["embed_pq_codes"](spark, sf_dir)
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert codes.count() == n_vecs
+    cond = None
+    for s in range(sim.PQ_M):
+        c = (F.col(f"c{s}") < 0) | (F.col(f"c{s}") >= sim.PQ_K)
+        cond = c if cond is None else (cond | c)
+    assert codes.where(cond).count() == 0
+
+
+def _topk_pairs(spark, sf_dir, name):
+    return {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES[name](spark, sf_dir).collect()
+    }
+
+
+def test_pq_rerank_recovers_shortlist_recall(spark, sf_dir):
+    """The two-stage contract: exact re-rank of the ADC shortlist
+    beats pure ADC, and reaches the recall the shortlist permits
+    (>=0.6 on this corpus with the untrained seed codebook; measured
+    0.8-0.84 across SFs). Pure ADC stays above a floor that proves
+    the codes carry signal (>2x random)."""
+    exact = _topk_pairs(spark, sf_dir, "embed_cosine_topk")
+    adc = _topk_pairs(spark, sf_dir, "ann_pq_topk")
+    rerank = _topk_pairs(spark, sf_dir, "ann_pq_rerank_topk")
+    recall_adc = len(exact & adc) / len(exact)
+    recall_rr = len(exact & rerank) / len(exact)
+    assert recall_rr >= 0.6
+    assert recall_rr >= recall_adc
+    assert recall_adc >= 0.1
+
+
+def test_pq_scoring_joins_are_broadcast_only(spark, sf_dir):
+    """ADC's joins touch only broadcast-sized sides (the PQ_K-row
+    codebook, the |q|xPQ_K LUT): the corpus-sized codes table must
+    never be shuffled for scoring — no SortMergeJoin anywhere in the
+    PQ top-k plan."""
+    plan = plan_of(spark, sf_dir, "ann_pq_topk")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
