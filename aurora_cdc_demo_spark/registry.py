@@ -616,7 +616,13 @@ def binlog_path(sf_dir: str, include_ddl: bool = False) -> str:
 
     from .sources.cdc_datasource import write_binlog_from_events
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    # key on the source file's identity (mtime/size), not just the
+    # path: the driver regenerates testdata between rounds and a
+    # stale binlog would silently diverge from the oracle's view
+    src = f"{sf_dir}/events.parquet"
+    st = os.stat(src)
+    ident = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    tag = hashlib.md5(ident.encode()).hexdigest()[:10]
     cache_root = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".cache")
     variant = "cdc_binlog_ddl_v2" if include_ddl else "cdc_binlog_v2"
     out = os.path.join(cache_root, f"{variant}_{tag}")

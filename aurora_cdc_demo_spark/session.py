@@ -23,6 +23,11 @@ def get_spark(app_name: str = "aurora-cdc-spark") -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Testdata parquet carries naive (isAdjustedToUTC=false)
+        # timestamps; read them as LTZ instants (pre-3.4 behavior) so
+        # unix_micros/window functions apply and, with the UTC session
+        # tz, values equal DuckDB's naive reading bit-for-bit.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         # static conf: keep stdout clean (bench's one-line JSON
         # contract; progress bars interleave carriage returns)
@@ -39,4 +44,9 @@ def ensure_utc(spark: SparkSession) -> SparkSession:
     Safe to call on a driver-provided session: it is a runtime conf.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # NTZ parquet columns (timestamp[us], isAdjustedToUTC=false) must
+    # read as LTZ: the operators use unix_micros/time windows, which
+    # require TIMESTAMP, and UTC session tz keeps values identical to
+    # the oracle's naive reading.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return spark

@@ -42,8 +42,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANO_TS_COLUMNS.get(name, []):
-        if dict(df.dtypes).get(col) == "bigint":
+        dtype = dict(df.dtypes).get(col)
+        if dtype == "bigint":
+            # TIMESTAMP(NANOS) encoding: ns-as-long → µs truncation
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+        elif dtype == "timestamp_ntz":
+            # defense-in-depth if the NTZ conf was not applied to the
+            # session before this read (UTC session tz → same instant)
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
