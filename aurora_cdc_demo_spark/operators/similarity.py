@@ -654,6 +654,20 @@ PQ_SUB = DIMS // PQ_M  # dims per subspace
 PQ_K = 32  # codewords per subspace: vec_id < PQ_K subvectors
 
 
+def _lut_broadcast_hint(dialect: str) -> str:
+    """Broadcast hint for the ADC LUT joins. The LUT is |queries| x
+    PQ_K rows — bounded by constants, never corpus-sized — so every
+    l0..l{PQ_M-1} join side must broadcast; Catalyst's size estimate
+    for the CTE (behind aggregates and a cross join) is unknown and
+    can silently fall back to SortMergeJoin, shuffling the
+    corpus-sized codes table PQ_M times. DuckDB parses the hint as a
+    plain comment."""
+    if dialect != "spark":
+        return ""
+    aliases = ", ".join(f"l{s}" for s in range(PQ_M))
+    return f"/*+ BROADCAST({aliases}) */ "
+
+
 def _normalized(dialect: str) -> str:
     fn = "transform" if dialect == "spark" else "list_transform"
     return f"{fn}(embedding, x -> CAST(x AS DOUBLE) / nrm)"
@@ -752,7 +766,7 @@ def pq_topk_sql(dialect: str) -> str:
                    {luts}
             FROM q CROSS JOIN cb)
         , scored AS (
-            SELECT l0.query_id, c.vec_id AS neighbor_id,
+            SELECT {_lut_broadcast_hint(dialect)}l0.query_id, c.vec_id AS neighbor_id,
                    {adc} AS adc
             FROM codes c
             JOIN lut l0 ON l0.cw = c.c0
@@ -812,7 +826,7 @@ def pq_rerank_topk_sql(dialect: str) -> str:
                    {luts}
             FROM q CROSS JOIN cb)
         , scored AS (
-            SELECT l0.query_id, c.vec_id AS neighbor_id,
+            SELECT {_lut_broadcast_hint(dialect)}l0.query_id, c.vec_id AS neighbor_id,
                    {adc} AS adc
             FROM codes c
             JOIN lut l0 ON l0.cw = c.c0
