@@ -1,0 +1,208 @@
+"""Probabilistic sketches with fully deterministic, cross-engine
+semantics: count-min frequency estimation and Bloom-filter
+membership.
+
+Both sketches matter at 100 TB because their state is bounded by
+CONSTANTS (depth x width counters; m filter bits), not by the data:
+a count-min table summarizing a 100 TB event stream is still
+DEPTH*WIDTH rows, and a Bloom filter over an eval suite is still m
+bits however large the training corpus grows. That is exactly the
+shape Spark wants — the sketch is a tiny aggregate you broadcast,
+and the corpus-sized side streams past it without shuffling.
+
+Determinism: the only hash primitive is md5 (bit-exact in Spark and
+DuckDB); the d/k hash family is Kirsch-Mitzenmacher double hashing
+(h_i = a + i*b mod width) over the two 32-bit halves of one md5 —
+the same construction operators/dedup.py uses for MinHash, so the
+oracle runs the identical arithmetic. No RNG, no floats.
+
+Reference parity: the reference repo has no sketch operators; these
+extend the monitoring surface (reference
+src/aurora_cdc/monitoring/cdc_monitor.py's exact counts) with the
+constant-memory variants a 1000-executor deployment would actually
+run, mirroring how events_distinct_users_hll extends its distinct
+counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Count-min geometry: 4 rows x 256 buckets = 1024 counters total.
+CM_DEPTH = 4
+CM_WIDTH = 256
+
+# Bloom geometry: k=3 probes into 2^16 bit positions.
+BLOOM_K = 3
+BLOOM_M = 65536
+
+
+def _ab(col):
+    """The two 32-bit halves of md5(col) as longs — the K-M base
+    pair (identical to the MinHash construction in dedup.py)."""
+    h = F.md5(col.cast("string"))
+    a = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    b = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    return a, b
+
+
+def _ab_sql(expr: str) -> tuple[str, str]:
+    """DuckDB twin of :func:`_ab` (the '0x' cast parses hex)."""
+    h = f"md5(CAST({expr} AS VARCHAR))"
+    return (
+        f"CAST('0x' || substr({h}, 1, 8) AS BIGINT)",
+        f"CAST('0x' || substr({h}, 9, 8) AS BIGINT)",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def count_min_estimates(rows: DataFrame, key: str) -> DataFrame:
+    """Count-min frequency estimation for every distinct ``key``.
+
+    Build: each input row increments one counter per depth row —
+    expressed as an explode over d in [0, DEPTH) and ONE map-side-
+    combined groupBy on (d, bucket). The sketch is at most
+    DEPTH*WIDTH rows regardless of input size, so the probe join
+    broadcasts it.
+
+    Probe: a key's estimate is min over d of its counter — the
+    classic one-sided guarantee: est >= true count always (every
+    occurrence of the key incremented all d of its counters; other
+    keys can only ADD to them), with overestimate bounded by
+    collisions. tests/test_round4.py pins the one-sided law on every
+    key.
+
+    Returns (key, est_count, exact_count, overestimate). The exact
+    count is joined in for observability; a production probe of a
+    100 TB stream would keep only the sketch.
+    """
+    a, b = _ab(F.col(key))
+    d = F.explode(F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))).alias("d")
+    hashed = rows.select(F.col(key), a.alias("a"), b.alias("b")).select(
+        key, "a", "b", d
+    )
+    bucketed = hashed.select(
+        key,
+        "d",
+        ((F.col("a") + F.col("d") * F.col("b")) % F.lit(CM_WIDTH)).alias(
+            "bucket"
+        ),
+    )
+    sketch = bucketed.groupBy("d", "bucket").agg(
+        F.count(F.lit(1)).alias("counter")
+    )
+    exact = rows.groupBy(key).agg(F.count(F.lit(1)).alias("exact_count"))
+    ea, eb = _ab(F.col(key))
+    probe = (
+        exact.select(key, "exact_count", ea.alias("a"), eb.alias("b"))
+        .select(key, "exact_count", "a", "b", d)
+        .select(
+            key,
+            "exact_count",
+            "d",
+            ((F.col("a") + F.col("d") * F.col("b")) % F.lit(CM_WIDTH)).alias(
+                "bucket"
+            ),
+        )
+    )
+    est = (
+        probe.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy(key, "exact_count")
+        .agg(F.min("counter").alias("est_count"))
+    )
+    return est.select(
+        key,
+        "est_count",
+        "exact_count",
+        (F.col("est_count") - F.col("exact_count")).alias("overestimate"),
+    )
+
+
+def count_min_sql(source: str, key: str) -> str:
+    a, b = _ab_sql(key)
+    return f"""
+        WITH hashed AS (
+            SELECT {key}, {a} AS a, {b} AS b FROM {source})
+        , bucketed AS (
+            SELECT {key}, d, (a + d * b) % {CM_WIDTH} AS bucket
+            FROM hashed CROSS JOIN (
+                SELECT unnest(range({CM_DEPTH})) AS d))
+        , sketch AS (
+            SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS counter
+            FROM bucketed GROUP BY d, bucket)
+        , exact AS (
+            SELECT {key}, CAST(COUNT(*) AS BIGINT) AS exact_count
+            FROM {source} GROUP BY {key})
+        , probe AS (
+            SELECT e.{key}, e.exact_count, d.d,
+                   ({a.replace(key, f'e.{key}')} + d.d *
+                    {b.replace(key, f'e.{key}')}) % {CM_WIDTH} AS bucket
+            FROM exact e CROSS JOIN (
+                SELECT unnest(range({CM_DEPTH})) AS d) d)
+        SELECT p.{key},
+               CAST(MIN(s.counter) AS BIGINT) AS est_count,
+               p.exact_count,
+               CAST(MIN(s.counter) - p.exact_count AS BIGINT)
+                   AS overestimate
+        FROM probe p JOIN sketch s ON s.d = p.d AND s.bucket = p.bucket
+        GROUP BY p.{key}, p.exact_count
+    """
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter membership
+# ---------------------------------------------------------------------------
+
+
+def bloom_bits(members: DataFrame, col: str) -> DataFrame:
+    """The set-bit positions of a Bloom filter over ``members[col]``
+    — represented relationally as a distinct-position table (at most
+    min(k*|members|, m) rows, bounded by the MEMBER set, not the
+    probing corpus). Equivalent to the bitmap: a value is
+    'maybe-present' iff all k of its positions appear here."""
+    a, b = _ab(F.col(col))
+    j = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("j")
+    return (
+        members.select(a.alias("a"), b.alias("b"))
+        .select("a", "b", j)
+        .select(((F.col("a") + F.col("j") * F.col("b")) % F.lit(BLOOM_M)).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_probe(probes: DataFrame, col: str, bits: DataFrame) -> DataFrame:
+    """Probe: a value passes iff ALL of its (distinct) bit positions
+    are set. No false negatives ever — a true member's positions are
+    all in `bits` by construction; false positives happen when
+    unrelated members covered all k positions (rate ~ (1-e^(-kn/m))^k,
+    documented, measured in pytest)."""
+    a, b = _ab(F.col(col))
+    j = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("j")
+    pos = (
+        probes.select(F.col(col), a.alias("a"), b.alias("b"))
+        .select(col, "a", "b", j)
+        .select(
+            col,
+            ((F.col("a") + F.col("j") * F.col("b")) % F.lit(BLOOM_M)).alias(
+                "pos"
+            ),
+        )
+        .distinct()
+    )
+    hit = pos.join(F.broadcast(bits), "pos", "left_semi")
+    n_pos = pos.groupBy(col).agg(F.count(F.lit(1)).alias("n_pos"))
+    n_hit = hit.groupBy(col).agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_pos.join(n_hit, col, "left")
+        .select(
+            col,
+            (F.coalesce(F.col("n_hit"), F.lit(0)) == F.col("n_pos")).alias(
+                "maybe_member"
+            ),
+        )
+    )

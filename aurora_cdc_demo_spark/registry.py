@@ -3404,3 +3404,170 @@ def q_ann_pq_rerank_topk(spark, sf_dir):
     codebook vs ~0.25 for pure ADC (pinned in pytest); see
     operators/similarity.py:pq_rerank_topk_sql."""
     return _sim.pq_rerank_topk(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# R4: deterministic sketches — count-min frequency, Bloom membership
+# ---------------------------------------------------------------------------
+
+from .operators import sketches as _sk  # noqa: E402
+
+
+@query(
+    "events_count_min_users",
+    oracle=_sk.count_min_sql("events", "user_id"),
+)
+def q_events_count_min_users(spark, sf_dir):
+    """Count-min sketch over the event stream's user_id: a
+    4x256-counter table (constant-size however large the stream)
+    answers per-user frequency with the one-sided guarantee
+    est >= exact, pinned for every key in tests/test_round4.py.
+
+    Scale: the build is one map-side-combined groupBy over
+    DEPTH x N exploded rows; the sketch (<=1024 rows) broadcasts to
+    the probe side, so the corpus-sized side never shuffles — the
+    constant-memory sibling of events_distinct_users_hll, extending
+    the reference's exact monitoring counts
+    (src/aurora_cdc/monitoring/cdc_monitor.py) the way a 100 TB
+    deployment must."""
+    events = load_table(spark, sf_dir, "events")
+    return _sk.count_min_estimates(events, "user_id")
+
+
+_BLOOM_GRAMS = f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        , grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) - {_DECON_NGRAM - 2}),
+                          i -> array_to_string(t[i:i+{_DECON_NGRAM - 1}], ' ')))
+                       AS g
+            FROM toks WHERE len(t) >= {_DECON_NGRAM})
+"""
+
+
+@query(
+    "corpus_bloom_decontaminate",
+    oracle=f"""{_BLOOM_GRAMS}
+        , bench AS (
+            SELECT DISTINCT g FROM grams WHERE doc_id < {_DECON_BENCH_MAX_ID})
+        , bits AS (
+            SELECT DISTINCT
+                   ({_sk._ab_sql('g')[0]} + j.j * {_sk._ab_sql('g')[1]})
+                       % {_sk.BLOOM_M} AS pos
+            FROM bench CROSS JOIN (
+                SELECT unnest(range({_sk.BLOOM_K})) AS j) j)
+        , corpus AS (
+            SELECT DISTINCT doc_id, g FROM grams
+            WHERE doc_id >= {_DECON_BENCH_MAX_ID})
+        , ppos AS (
+            SELECT DISTINCT doc_id, g,
+                   ({_sk._ab_sql('g')[0]} + j.j * {_sk._ab_sql('g')[1]})
+                       % {_sk.BLOOM_M} AS pos
+            FROM corpus CROSS JOIN (
+                SELECT unnest(range({_sk.BLOOM_K})) AS j) j)
+        , verdict AS (
+            SELECT p.doc_id, p.g,
+                   COUNT(*) = COUNT(b.pos) AS maybe
+            FROM ppos p LEFT JOIN bits b ON b.pos = p.pos
+            GROUP BY p.doc_id, p.g)
+        , exact AS (
+            SELECT c.doc_id, c.g
+            FROM corpus c JOIN bench b ON c.g = b.g)
+        SELECT v.doc_id,
+               CAST(SUM(CASE WHEN v.maybe THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bloom_hits,
+               CAST(COUNT(e.g) AS BIGINT) AS n_exact_hits,
+               CAST(SUM(CASE WHEN v.maybe THEN 1 ELSE 0 END) - COUNT(e.g)
+                    AS BIGINT) AS n_false_pos
+        FROM verdict v
+        LEFT JOIN exact e ON e.doc_id = v.doc_id AND e.g = v.g
+        GROUP BY v.doc_id
+        HAVING SUM(CASE WHEN v.maybe THEN 1 ELSE 0 END) > 0
+    """,
+)
+def q_corpus_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter decontamination: the benchmark suite's 8-gram
+    set becomes a 2^16-bit filter (relationally: its distinct
+    set-bit positions — bounded by the EVAL SUITE, not the corpus),
+    and every training-doc gram probes it with k=3 md5-derived
+    positions. No false negatives by construction (pinned against
+    corpus_decontaminate's exact join in tests/test_round4.py);
+    false positives are counted per doc.
+
+    Scale: this is what replaces the exact gram equi-join when the
+    benchmark set is large enough that you'd rather ship constant
+    bits than a string set — the corpus side streams past a
+    broadcast of <= k*|bench| positions, never shuffling the
+    exploded grams."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams_expr = F.expr(
+        f"transform(sequence(1, size(split(text, ' ')) - {_DECON_NGRAM - 1}), "
+        f"i -> concat_ws(' ', slice(split(text, ' '), i, {_DECON_NGRAM})))"
+    )
+    g = docs.where(F.size(toks) >= _DECON_NGRAM).select(
+        "doc_id", F.explode(grams_expr).alias("g")
+    )
+    bench = (
+        g.where(F.col("doc_id") < _DECON_BENCH_MAX_ID).select("g").distinct()
+    )
+    corpus = (
+        g.where(F.col("doc_id") >= _DECON_BENCH_MAX_ID)
+        .select("doc_id", "g")
+        .distinct()
+    )
+    bits = _sk.bloom_bits(bench, "g")
+    a, b = _sk._ab(F.col("g"))
+    j = F.explode(F.sequence(F.lit(0), F.lit(_sk.BLOOM_K - 1))).alias("j")
+    ppos = (
+        corpus.select("doc_id", "g", a.alias("a"), b.alias("b"))
+        .select("doc_id", "g", "a", "b", j)
+        .select(
+            "doc_id",
+            "g",
+            ((F.col("a") + F.col("j") * F.col("b")) % F.lit(_sk.BLOOM_M))
+            .alias("pos"),
+        )
+        .distinct()
+    )
+    hit = ppos.join(F.broadcast(bits), "pos", "left_semi")
+    verdict = (
+        ppos.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("n_pos"))
+        .join(
+            hit.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("n_hit")),
+            ["doc_id", "g"],
+            "left",
+        )
+        .select(
+            "doc_id",
+            "g",
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)) == F.col("n_pos")
+            ).alias("maybe"),
+        )
+    )
+    exact = corpus.join(F.broadcast(bench), "g").select(
+        F.col("doc_id").alias("e_doc_id"), F.col("g").alias("eg")
+    )
+    return (
+        verdict.join(
+            exact,
+            (F.col("doc_id") == F.col("e_doc_id"))
+            & (F.col("g") == F.col("eg")),
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("maybe"), 1).otherwise(0)).alias(
+                "n_bloom_hits"
+            ),
+            F.count(F.col("eg")).alias("n_exact_hits"),
+            (
+                F.sum(F.when(F.col("maybe"), 1).otherwise(0))
+                - F.count(F.col("eg"))
+            ).alias("n_false_pos"),
+        )
+        .where(F.col("n_bloom_hits") > 0)
+    )
