@@ -3571,3 +3571,160 @@ def q_corpus_bloom_decontaminate(spark, sf_dir):
         )
         .where(F.col("n_bloom_hits") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# R4: snapshot diff + incremental aggregate maintenance (IVM)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cdc_state_diff",
+    oracle=_with_log(
+        f"""
+        , r1 AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY key_id ORDER BY ts DESC, seq DESC) AS rn
+            FROM log WHERE ts <= TIMESTAMP '{TIME_TRAVEL_AS_OF}')
+        , cur1 AS (SELECT * FROM r1 WHERE rn = 1 AND operation <> 'DELETE')
+        , r2 AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY key_id ORDER BY ts DESC, seq DESC) AS rn
+            FROM log)
+        , cur2 AS (SELECT * FROM r2 WHERE rn = 1 AND operation <> 'DELETE')
+        SELECT COALESCE(a.key_id, b.key_id) AS key_id,
+               CASE WHEN a.key_id IS NULL THEN 'ADDED'
+                    WHEN b.key_id IS NULL THEN 'REMOVED'
+                    ELSE 'CHANGED' END AS change_type,
+               a.seq AS old_seq, b.seq AS new_seq,
+               a.value AS old_value, b.value AS new_value
+        FROM cur1 a FULL OUTER JOIN cur2 b ON a.key_id = b.key_id
+        WHERE a.key_id IS NULL OR b.key_id IS NULL OR a.seq <> b.seq
+        """
+    ),
+)
+def q_cdc_state_diff(spark, sf_dir):
+    """Snapshot diff: which keys were ADDED / REMOVED / CHANGED
+    between the state as of TIME_TRAVEL_AS_OF and the end of the log
+    — the 'what did this pipeline change since t' audit view the
+    reference gets from Delta CDF (table_changes; reference
+    unity_catalog_cdc_demo.py time-travel surface), re-expressed as
+    two snapshot materializations and a key-partitioned full-outer
+    join.
+
+    Scale: both snapshots shuffle once on key_id and the diff join
+    reuses that partitioning (co-partitioned full outer, no extra
+    exchange); nothing driver-side."""
+    log = cdc_operation_log(spark, sf_dir)
+    as_of = F.to_timestamp(F.lit(TIME_TRAVEL_AS_OF))
+    s1 = cdc_apply.latest_state(log.where(F.col("ts") <= as_of)).select(
+        F.col("key_id").alias("old_key"),
+        F.col("seq").alias("old_seq"),
+        F.col("value").alias("old_value"),
+    )
+    s2 = cdc_apply.latest_state(log).select(
+        F.col("key_id").alias("new_key"),
+        F.col("seq").alias("new_seq"),
+        F.col("value").alias("new_value"),
+    )
+    joined = s1.join(s2, s1.old_key == s2.new_key, "full_outer")
+    return joined.select(
+        F.coalesce(F.col("old_key"), F.col("new_key")).alias("key_id"),
+        F.when(F.col("old_key").isNull(), "ADDED")
+        .when(F.col("new_key").isNull(), "REMOVED")
+        .otherwise("CHANGED")
+        .alias("change_type"),
+        "old_seq",
+        "new_seq",
+        "old_value",
+        "new_value",
+    ).where(
+        F.col("old_key").isNull()
+        | F.col("new_key").isNull()
+        | (F.col("old_seq") != F.col("new_seq"))
+    )
+
+
+_AGG_CURRENT_SQL = _with_log(
+    """
+    , ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY key_id ORDER BY ts DESC, seq DESC) AS rn
+        FROM log)
+    , cur AS (SELECT * FROM ranked WHERE rn = 1 AND operation <> 'DELETE')
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 4)
+               AS total_value
+    FROM cur GROUP BY event_type
+    """
+)
+
+
+def _incremental_state_agg(spark, sf_dir, as_of_str: str):
+    """Incrementally maintained per-event_type aggregate over the
+    CURRENT state: base aggregate from the snapshot at ``as_of`` plus
+    retract/insert deltas for only the keys that changed after it.
+    Decimal sums make the merge order-independent (bit-equal to the
+    from-scratch aggregate, which is the oracle)."""
+    log = cdc_operation_log(spark, sf_dir)
+    as_of = F.to_timestamp(F.lit(as_of_str))
+    dec = F.col("value").cast("decimal(12,2)")
+
+    s1 = cdc_apply.latest_state(log.where(F.col("ts") <= as_of))
+    base = s1.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(dec).alias("tot")
+    )
+    changed = (
+        log.where(F.col("ts") > as_of).select("key_id").distinct()
+    )
+    # retract the changed keys' OLD rows (only keys present at t1)
+    old_delta = (
+        s1.join(changed, "key_id", "left_semi")
+        .groupBy("event_type")
+        .agg(
+            (-F.count(F.lit(1))).alias("n"),
+            (-F.sum(dec)).alias("tot"),
+        )
+    )
+    # insert their NEW rows: latest state computed over ONLY the
+    # changed keys' events (unchanged keys never re-windowed — the
+    # IVM point)
+    s2_changed = cdc_apply.latest_state(
+        log.join(changed, "key_id", "left_semi")
+    )
+    new_delta = s2_changed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(dec).alias("tot")
+    )
+    merged = (
+        base.unionByName(old_delta)
+        .unionByName(new_delta)
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n_keys"), F.sum("tot").alias("tot"))
+        .where(F.col("n_keys") > 0)
+    )
+    return merged.select(
+        "event_type",
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.round(F.col("tot").cast("double"), 4).alias("total_value"),
+    )
+
+
+@query("cdc_agg_incremental", oracle=_AGG_CURRENT_SQL)
+def q_cdc_agg_incremental(spark, sf_dir):
+    """Incremental view maintenance for an aggregate over the current
+    state: the maintained result (base snapshot aggregate + retract/
+    insert deltas for changed keys only) must be INDISTINGUISHABLE
+    from recomputing from scratch — so the oracle IS the from-scratch
+    aggregate, and the hash-match certifies the maintenance algebra,
+    the same contract cdc_latest_state_incremental pins for the
+    un-aggregated state (reference's daily MERGE INTO loop,
+    unity_catalog_cdc_demo.py:415-446, lifted to aggregates).
+
+    Scale: the delta path touches only events of keys changed after
+    the snapshot (left-semi pushdown before the window), so the
+    maintenance cost tracks the CHANGE volume, not the table size —
+    the property that makes nightly 100 TB re-aggregation unnecessary.
+    Decimal sums make merge order irrelevant; split-point invariance
+    is pinned in tests/test_round4.py."""
+    return _incremental_state_agg(spark, sf_dir, TIME_TRAVEL_AS_OF)

@@ -62,3 +62,66 @@ def test_sketch_plans_broadcast_constant_sides(spark, sf_dir):
     assert "BroadcastHashJoin" in cm
     bl = plan_of(spark, sf_dir, "corpus_bloom_decontaminate")
     assert "BroadcastHashJoin" in bl
+
+
+@pytest.mark.parametrize("name", ["cdc_state_diff", "cdc_agg_incremental"])
+def test_oracle_parity_cdc(spark, sf_dir, name):
+    assert_matches_oracle(spark, name, sf_dir)
+
+
+def test_agg_incremental_split_invariance(spark, sf_dir):
+    """The maintained aggregate must not depend on WHERE the
+    base/delta split falls: three different snapshot points (early,
+    the registered constant, late) must all produce the identical
+    result set."""
+    from aurora_cdc_demo_spark.registry import _incremental_state_agg
+
+    def rows(as_of):
+        return sorted(
+            (r["event_type"], r["n_keys"], r["total_value"])
+            for r in _incremental_state_agg(spark, sf_dir, as_of).collect()
+        )
+
+    r_early = rows("2024-01-10 00:00:00")
+    r_mid = rows("2024-01-16 00:00:00")
+    r_late = rows("2024-01-25 00:00:00")
+    assert r_early == r_mid == r_late
+
+
+def test_state_diff_consistent_with_snapshots(spark, sf_dir):
+    """Applying the diff to snapshot-1 must land exactly on
+    snapshot-2: ADDED+CHANGED carry the snapshot-2 row, REMOVED keys
+    are absent from snapshot-2, and untouched keys appear in
+    neither."""
+    from aurora_cdc_demo_spark.operators import cdc_apply
+    from aurora_cdc_demo_spark.registry import TIME_TRAVEL_AS_OF
+    from aurora_cdc_demo_spark.sources.cdc_log import cdc_operation_log
+    from pyspark.sql import functions as F
+
+    log = cdc_operation_log(spark, sf_dir)
+    as_of = F.to_timestamp(F.lit(TIME_TRAVEL_AS_OF))
+    s1 = {
+        r["key_id"]: r["seq"]
+        for r in cdc_apply.latest_state(log.where(F.col("ts") <= as_of))
+        .select("key_id", "seq")
+        .collect()
+    }
+    s2 = {
+        r["key_id"]: r["seq"]
+        for r in cdc_apply.latest_state(log).select("key_id", "seq").collect()
+    }
+    diff = QUERIES["cdc_state_diff"](spark, sf_dir).collect()
+    seen = set()
+    for r in diff:
+        k = r["key_id"]
+        seen.add(k)
+        if r["change_type"] == "ADDED":
+            assert k not in s1 and s2[k] == r["new_seq"]
+        elif r["change_type"] == "REMOVED":
+            assert k not in s2 and s1[k] == r["old_seq"]
+        else:
+            assert s1[k] == r["old_seq"] and s2[k] == r["new_seq"]
+            assert r["old_seq"] != r["new_seq"]
+    for k in set(s1) | set(s2):
+        if k not in seen:
+            assert s1.get(k) == s2.get(k)
