@@ -3728,3 +3728,267 @@ def q_cdc_agg_incremental(spark, sf_dir):
     Decimal sums make merge order irrelevant; split-point invariance
     is pinned in tests/test_round4.py."""
     return _incremental_state_agg(spark, sf_dir, TIME_TRAVEL_AS_OF)
+
+
+# ---------------------------------------------------------------------------
+# R4: Gopher gates, DSIR importance weights, multimodal exact dedup
+# ---------------------------------------------------------------------------
+
+# Gopher (Rae et al. 2021, Table A1) word-level gates, integer-exact.
+# Line-level rules (bullet/ellipsis lines) are vacuous on this
+# single-line corpus and are carried by text_c4_filters' tripwires.
+_GOPHER_MIN_WORDS = 50
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_WLEN_LO_CENTI = 300   # mean word length in [3, 10] chars
+_GOPHER_WLEN_HI_CENTI = 1000
+_GOPHER_ALPHA_BP_MIN = 8000   # >=80% of words contain a letter
+_GOPHER_MIN_STOPWORDS = 2     # >=2 of the canonical stop set
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+@query(
+    "text_gopher_rules",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split(text, ' ') AS w,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+            FROM documents)
+        , m AS (
+            SELECT doc_id, n,
+                   CAST((100 * list_sum(list_transform(w, x -> length(x))))
+                        // n AS BIGINT) AS wlen_centi,
+                   (10000 * len(list_filter(w,
+                        x -> regexp_matches(x, '[a-zA-Z]')))) // n
+                       AS alpha_word_bp,
+                   CAST(len(list_filter(w, x -> list_contains(
+                        {list(_GOPHER_STOPWORDS)}, x))) AS BIGINT)
+                       AS n_stopwords
+            FROM t)
+        SELECT doc_id, n AS n_words, wlen_centi, alpha_word_bp, n_stopwords,
+               CAST(CASE WHEN n < {_GOPHER_MIN_WORDS}
+                          OR n > {_GOPHER_MAX_WORDS}
+                    THEN 1 ELSE 0 END AS BIGINT) AS flag_word_count,
+               CAST(CASE WHEN wlen_centi < {_GOPHER_WLEN_LO_CENTI}
+                          OR wlen_centi > {_GOPHER_WLEN_HI_CENTI}
+                    THEN 1 ELSE 0 END AS BIGINT) AS flag_word_length,
+               CAST(CASE WHEN alpha_word_bp < {_GOPHER_ALPHA_BP_MIN}
+                    THEN 1 ELSE 0 END AS BIGINT) AS flag_alpha,
+               CAST(CASE WHEN n_stopwords < {_GOPHER_MIN_STOPWORDS}
+                    THEN 1 ELSE 0 END AS BIGINT) AS flag_stopwords,
+               CAST(CASE WHEN n >= {_GOPHER_MIN_WORDS}
+                          AND n <= {_GOPHER_MAX_WORDS}
+                          AND wlen_centi >= {_GOPHER_WLEN_LO_CENTI}
+                          AND wlen_centi <= {_GOPHER_WLEN_HI_CENTI}
+                          AND alpha_word_bp >= {_GOPHER_ALPHA_BP_MIN}
+                          AND n_stopwords >= {_GOPHER_MIN_STOPWORDS}
+                    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM m
+    """,
+)
+def q_text_gopher_rules(spark, sf_dir):
+    """Gopher-style document quality gates (Rae et al. 2021 Table
+    A1): word-count bounds, mean-word-length band, minimum
+    alphabetic-word share, and the stop-word containment rule —
+    the quality battery MassiveText applies BEFORE dedup, sitting
+    alongside text_c4_filters' C4 battery (the two papers' rule sets
+    overlap but differ; a corpus pipeline runs both).
+
+    Scale: single narrow projection, no shuffle, no UDF — the
+    higher-order array functions run in codegen; thresholds are
+    floor-scaled integers (centi/bp), engine-exact by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    stop_arr = ", ".join(f"'{s}'" for s in _GOPHER_STOPWORDS)
+    n = "CAST(size(split(text, ' ')) AS BIGINT)"
+    wlen = (
+        f"(100 * aggregate(transform(split(text, ' '), x -> length(x)), "
+        f"0L, (acc, x) -> acc + x)) div {n}"
+    )
+    alpha_bp = (
+        f"(10000 * size(filter(split(text, ' '), "
+        f"x -> x RLIKE '[a-zA-Z]'))) div {n}"
+    )
+    n_stop = (
+        f"CAST(size(filter(split(text, ' '), "
+        f"x -> array_contains(array({stop_arr}), x))) AS BIGINT)"
+    )
+    f_count = f"{n} < {_GOPHER_MIN_WORDS} OR {n} > {_GOPHER_MAX_WORDS}"
+    f_wlen = (
+        f"{wlen} < {_GOPHER_WLEN_LO_CENTI} OR {wlen} > {_GOPHER_WLEN_HI_CENTI}"
+    )
+    f_alpha = f"{alpha_bp} < {_GOPHER_ALPHA_BP_MIN}"
+    f_stop = f"{n_stop} < {_GOPHER_MIN_STOPWORDS}"
+    flag = "CAST(CASE WHEN {} THEN 1 ELSE 0 END AS BIGINT)"
+    return docs.select(
+        "doc_id",
+        F.expr(n).alias("n_words"),
+        F.expr(wlen).alias("wlen_centi"),
+        F.expr(alpha_bp).alias("alpha_word_bp"),
+        F.expr(n_stop).alias("n_stopwords"),
+        F.expr(flag.format(f_count)).alias("flag_word_count"),
+        F.expr(flag.format(f_wlen)).alias("flag_word_length"),
+        F.expr(flag.format(f_alpha)).alias("flag_alpha"),
+        F.expr(flag.format(f_stop)).alias("flag_stopwords"),
+        F.expr(
+            f"CAST(CASE WHEN NOT ({f_count}) AND NOT ({f_wlen}) "
+            f"AND NOT ({f_alpha}) AND NOT ({f_stop}) "
+            "THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("keep"),
+    )
+
+
+# DSIR-style importance weights (Xie et al. 2023): hashed unigram
+# features, target = the 'en' slice, source = the whole corpus.
+# Deviation from the paper, for cross-engine exactness: per-bucket
+# importance is the SCALED RATIO of add-1-smoothed rates
+# (ppm, integer floor) and a document's weight is the SUM of its
+# tokens' ratios — rank-equivalent monotone surrogate for the
+# log-likelihood-ratio sum, avoiding float ln() whose last-ulp
+# behavior differs across engines.
+_DSIR_BUCKETS = 1024
+_DSIR_TARGET_LANG = "en"
+
+
+@query(
+    "sample_importance_weights",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, lang,
+                   unnest(string_split(text, ' ')) AS w
+            FROM documents)
+        , bucketed AS (
+            SELECT doc_id, lang,
+                   CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)
+                       % {_DSIR_BUCKETS} AS bkt
+            FROM tok)
+        , src AS (
+            SELECT bkt, CAST(COUNT(*) AS BIGINT) AS cs FROM bucketed
+            GROUP BY bkt)
+        , tgt AS (
+            SELECT bkt, CAST(COUNT(*) AS BIGINT) AS ct FROM bucketed
+            WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY bkt)
+        , totals AS (
+            SELECT (SELECT COUNT(*) FROM bucketed) + {_DSIR_BUCKETS} AS tsb,
+                   (SELECT COUNT(*) FROM bucketed
+                    WHERE lang = '{_DSIR_TARGET_LANG}') + {_DSIR_BUCKETS}
+                       AS ttb)
+        , ratio AS (
+            SELECT s.bkt,
+                   (1000000 * (COALESCE(t.ct, 0) + 1) * tot.tsb)
+                       // ((s.cs + 1) * tot.ttb) AS r_ppm
+            FROM src s LEFT JOIN tgt t ON s.bkt = t.bkt
+            CROSS JOIN totals tot)
+        SELECT b.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(r.r_ppm) AS BIGINT) AS weight_ppm,
+               CAST(SUM(r.r_ppm) // COUNT(*) AS BIGINT) AS mean_ratio_ppm
+        FROM bucketed b JOIN ratio r ON b.bkt = r.bkt
+        GROUP BY b.doc_id
+    """,
+)
+def q_sample_importance_weights(spark, sf_dir):
+    """DSIR-style data selection (Xie et al. 2023): score every doc
+    by how much its hashed-unigram distribution looks like the
+    TARGET slice (lang='en') relative to the full corpus — the
+    importance weight that drives importance resampling of raw data
+    toward a target domain. Features are md5-hashed unigram buckets
+    (1024), rates add-1 smoothed; see the module note for the
+    integer-ratio surrogate for the paper's log-space sum.
+
+    Scale: the per-bucket ratio table is AT MOST 1024 rows whatever
+    the corpus size (the whole point of hashed features) — it
+    broadcasts, so the token stream aggregates per doc with one
+    map-side-combined shuffle on doc_id and never shuffles tokens by
+    bucket; the source/target counts are two bounded aggregates."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    bucketed = tok.select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("long")
+            % _DSIR_BUCKETS
+        ).alias("bkt"),
+    )
+    src = bucketed.groupBy("bkt").agg(F.count(F.lit(1)).alias("cs"))
+    tgt = (
+        bucketed.where(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    totals = bucketed.agg(
+        (F.count(F.lit(1)) + _DSIR_BUCKETS).alias("tsb"),
+        (
+            F.sum(
+                F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0)
+            )
+            + _DSIR_BUCKETS
+        ).alias("ttb"),
+    )
+    ratio = (
+        src.join(tgt, "bkt", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bkt",
+            F.expr(
+                "(1000000 * (COALESCE(ct, 0) + 1) * tsb) "
+                "div ((cs + 1) * ttb)"
+            ).alias("r_ppm"),
+        )
+    )
+    return (
+        bucketed.join(F.broadcast(ratio), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("r_ppm").alias("weight_ppm"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "weight_ppm",
+            F.expr("weight_ppm div n_tokens").alias("mean_ratio_ppm"),
+        )
+    )
+
+
+@query(
+    "mm_content_dedup",
+    oracle="""
+        SELECT doc_id,
+               md5(text) AS content_md5,
+               CAST(COUNT(*) OVER (PARTITION BY md5(text)) AS BIGINT)
+                   AS family_size,
+               doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+                   AS is_canonical
+        FROM documents
+    """,
+)
+def q_mm_content_dedup(spark, sf_dir):
+    """Exact-bytes dedup over the BINARY payload column — the first
+    dedup gate of any multimodal pipeline (identical image/audio
+    files recur massively in web crawls): hash the payload bytes,
+    keep the lowest-id doc per content family. Unlike dedup_exact
+    (normalized text), this hashes the opaque binary column itself —
+    the same plumbing mm_binary_meta feeds, no decode needed.
+
+    Scale: one shuffle on the 32-hex digest; the window is over
+    content families (tiny); at 100 TB you'd hash in the scan
+    (payload never re-read) and the digest groupBy is the only
+    wide op."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    w = Window.partitionBy("content_md5")
+    return (
+        payloads.select("doc_id", F.md5(F.col("payload")).alias("content_md5"))
+        .withColumn("family_size", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "is_canonical", F.col("doc_id") == F.min("doc_id").over(w)
+        )
+    )

@@ -125,3 +125,69 @@ def test_state_diff_consistent_with_snapshots(spark, sf_dir):
     for k in set(s1) | set(s2):
         if k not in seen:
             assert s1.get(k) == s2.get(k)
+
+
+R4_TEXT_QUERIES = [
+    "text_gopher_rules",
+    "sample_importance_weights",
+    "mm_content_dedup",
+]
+
+
+@pytest.mark.parametrize("name", R4_TEXT_QUERIES)
+def test_oracle_parity_text(spark, sf_dir, name):
+    assert_matches_oracle(spark, name, sf_dir)
+
+
+def test_gopher_flags_imply_keep(spark, sf_dir):
+    """keep == 1 exactly when all four flags are 0; bounds hold."""
+    rows = QUERIES["text_gopher_rules"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        all_clear = (
+            r["flag_word_count"]
+            + r["flag_word_length"]
+            + r["flag_alpha"]
+            + r["flag_stopwords"]
+        ) == 0
+        assert (r["keep"] == 1) == all_clear
+        assert 0 <= r["alpha_word_bp"] <= 10000
+    # the battery must discriminate on this corpus, not rubber-stamp
+    kept = sum(r["keep"] for r in rows)
+    assert 0 < kept < len(rows)
+
+
+def test_importance_weights_favor_target_lang(spark, sf_dir):
+    """DSIR sanity: the mean importance ratio of target-language
+    (en) docs must exceed the non-target mean — the weights must
+    actually pull the mixture toward the target distribution."""
+    from aurora_cdc_demo_spark.tables import load_table
+
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    rows = QUERIES["sample_importance_weights"](spark, sf_dir).collect()
+    en = [r["mean_ratio_ppm"] for r in rows if langs[r["doc_id"]] == "en"]
+    rest = [r["mean_ratio_ppm"] for r in rows if langs[r["doc_id"]] != "en"]
+    assert en and rest
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+
+
+def test_mm_content_dedup_family_law(spark, sf_dir):
+    """Each family has exactly one canonical doc (its min doc_id)
+    and family sizes sum to the corpus size."""
+    rows = QUERIES["mm_content_dedup"](spark, sf_dir).collect()
+    by_md5 = {}
+    for r in rows:
+        by_md5.setdefault(r["content_md5"], []).append(r)
+    n_docs = len(rows)
+    assert sum(len(v) for v in by_md5.values()) == n_docs
+    for fam in by_md5.values():
+        assert sum(r["is_canonical"] for r in fam) == 1
+        canon = min(r["doc_id"] for r in fam)
+        for r in fam:
+            assert r["family_size"] == len(fam)
+            assert r["is_canonical"] == (r["doc_id"] == canon)
