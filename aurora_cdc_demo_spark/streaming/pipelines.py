@@ -22,20 +22,22 @@ from pyspark.sql import functions as F
 from ..operators.cdc_apply import net_changes, upsert_merge, upsert_merge_evolving
 
 
-def read_cdc_stream(spark: SparkSession, log_dir: str) -> DataFrame:
+def read_cdc_stream(
+    spark: SparkSession, log_dir: str, watermark: str | None = "30 minutes"
+) -> DataFrame:
     """File-based change stream (parquet events dir) → typed CDC
-    log with a 30-min watermark (reference: line 134)."""
-    from ..tables import load_table  # schema template
-
+    log with a 30-min watermark (reference: line 134). Pass
+    ``watermark=None`` for consumers that watermark downstream on a
+    renamed/derived column (e.g. the stream-stream interval join) —
+    Spark disallows redefining a watermark on the same lineage."""
     schema = (
         "key_id long, seq long, operation string, event_type string, "
         "ts timestamp, value double"
     )
-    return (
-        spark.readStream.schema(schema)
-        .parquet(log_dir)
-        .withWatermark("ts", "30 minutes")
-    )
+    stream = spark.readStream.schema(schema).parquet(log_dir)
+    if watermark is not None:
+        stream = stream.withWatermark("ts", watermark)
+    return stream
 
 
 def windowed_event_counts(stream: DataFrame) -> DataFrame:
@@ -277,4 +279,50 @@ def dedup_stream_exactly_once(
     operators/cdc_apply.dedup_exactly_once."""
     return stream.withWatermark("ts", watermark_delay).dropDuplicatesWithinWatermark(
         ["key_id", "seq"]
+    )
+
+
+def error_context_stream_join(
+    events: DataFrame, errors: DataFrame
+) -> DataFrame:
+    """Stream-stream interval join: enrich every DELETE (error) with
+    the same key's non-error events inside ±5 minutes — the streaming
+    twin of the batch range-join family (operators/rangejoin.py), on
+    the join class Structured Streaming DOES support natively:
+    equi-key + bounded event-time band.
+
+    Both sides carry watermarks and the band is closed on both ends,
+    so Spark derives a state-retention bound for each side and evicts
+    joined state as the watermark passes — the state store stays
+    O(events inside the band), not O(stream history). At 100 TB/day
+    this is the difference between a running join and an OOM: an
+    unbounded-condition stream join is rejected by Spark for exactly
+    that reason.
+
+    Batch/stream contract: the same join expression over the full
+    at-rest log must produce the identical row set
+    (tests/test_streaming.py::test_stream_stream_interval_join)."""
+    ev = events.where(F.col("operation") != "DELETE").select(
+        F.col("key_id").alias("ev_key"),
+        F.col("seq").alias("event_seq"),
+        F.col("event_type"),
+        F.col("ts").alias("ev_ts"),
+    ).withWatermark("ev_ts", "30 minutes")
+    er = errors.where(F.col("operation") == "DELETE").select(
+        F.col("key_id").alias("err_key"),
+        F.col("seq").alias("window_seq"),
+        F.col("ts").alias("err_ts"),
+    ).withWatermark("err_ts", "30 minutes")
+    cond = (
+        (F.col("ev_key") == F.col("err_key"))
+        & (F.col("ev_ts") >= F.col("err_ts") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("ev_ts") <= F.col("err_ts") + F.expr("INTERVAL 5 MINUTES"))
+    )
+    return ev.join(er, cond, "inner").select(
+        F.col("err_key").alias("key_id"),
+        "window_seq",
+        "event_seq",
+        "event_type",
+        "err_ts",
+        "ev_ts",
     )

@@ -444,3 +444,60 @@ def test_ddl_event_drives_schema_evolving_merge(spark, sf_dir, tmp_path):
     a = got.select(cols).toPandas().sort_values(["tbl", "key_id"]).reset_index(drop=True)
     b = twin.select(cols).toPandas().sort_values(["tbl", "key_id"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_stream_stream_interval_join(spark, sf_dir, log_dir, tmp_path):
+    """The watermarked stream-stream interval join must emit exactly
+    the rows the identical batch join produces over the at-rest log
+    (inner join: no late/early asymmetry to tolerate)."""
+    from aurora_cdc_demo_spark.streaming.pipelines import (
+        error_context_stream_join,
+        read_cdc_stream,
+    )
+
+    joined = error_context_stream_join(
+        read_cdc_stream(spark, log_dir, watermark=None),
+        read_cdc_stream(spark, log_dir, watermark=None),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["key_id"], r["window_seq"], r["event_seq"])
+        for r in spark.sql("SELECT * FROM ss_join").collect()
+    }
+
+    log = cdc_operation_log(spark, sf_dir)
+    ev = log.where(F.col("operation") != "DELETE").select(
+        F.col("key_id").alias("ev_key"),
+        F.col("seq").alias("event_seq"),
+        F.col("ts").alias("ev_ts"),
+    )
+    er = log.where(F.col("operation") == "DELETE").select(
+        F.col("key_id").alias("err_key"),
+        F.col("seq").alias("window_seq"),
+        F.col("ts").alias("err_ts"),
+    )
+    want = {
+        (r["err_key"], r["window_seq"], r["event_seq"])
+        for r in ev.join(
+            er,
+            (F.col("ev_key") == F.col("err_key"))
+            & (
+                F.col("ev_ts")
+                >= F.col("err_ts") - F.expr("INTERVAL 5 MINUTES")
+            )
+            & (
+                F.col("ev_ts")
+                <= F.col("err_ts") + F.expr("INTERVAL 5 MINUTES")
+            ),
+        ).collect()
+    }
+    assert want, "batch twin found no band matches — test data regression"
+    assert got == want
