@@ -55,6 +55,12 @@ HEADLINE = [
     "semdedup_cells",
     "pack_sequences",
     "corpus_keep_list_v3",
+    "events_count_min_users",
+    "corpus_bloom_decontaminate",
+    "cdc_agg_incremental",
+    "sample_importance_weights",
+    "text_gopher_rules",
+    "ann_pq_rerank_topk",
 ]
 
 
