@@ -3992,3 +3992,255 @@ def q_mm_content_dedup(spark, sf_dir):
             "is_canonical", F.col("doc_id") == F.min("doc_id").over(w)
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# R4b: point-in-time join, cumulative distinct, co-occurrence, group sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scd2_point_in_time_join",
+    oracle=_with_log(
+        """
+        , scd2 AS (
+            SELECT key_id, seq, event_type, value, operation,
+                   ts AS valid_from,
+                   lead(ts) OVER w AS valid_to
+            FROM log WINDOW w AS (PARTITION BY key_id ORDER BY ts ASC, seq ASC))
+        , probes AS (
+            SELECT event_id, user_id AS key_id, ts AS probe_ts
+            FROM events WHERE event_type = 'purchase')
+        SELECT p.event_id, p.key_id, p.probe_ts,
+               s.seq AS state_seq, s.event_type AS state_event_type,
+               s.value AS state_value
+        FROM probes p
+        JOIN scd2 s
+          ON s.key_id = p.key_id
+         AND s.valid_from <= p.probe_ts
+         AND (s.valid_to IS NULL OR s.valid_to > p.probe_ts)
+         AND s.operation <> 'DELETE'
+        """
+    ),
+)
+def q_scd2_point_in_time_join(spark, sf_dir):
+    """Point-in-time (feature-store) join: enrich each purchase
+    event with the CDC entity state that was valid AT its timestamp
+    — the training-data primitive that prevents feature leakage
+    (never join tomorrow's dimension row onto today's example), the
+    lookup surface the reference gets from Delta time travel
+    generalized from one global timestamp (cdc_state_at_timestamp)
+    to per-row timestamps.
+
+    Scale: the SCD2 intervals and the probes are both partitioned by
+    key_id, so this is an equi-key join with a residual interval
+    predicate — one co-partitioned shuffle pair, never a broadcast
+    nested loop; a key's interval list is bounded by its change
+    count. The window building SCD2 shares the same key
+    partitioning (ReuseExchange)."""
+    log = cdc_operation_log(spark, sf_dir)
+    scd2 = cdc_apply.scd2_history(log).select(
+        "key_id",
+        F.col("seq").alias("state_seq"),
+        F.col("event_type").alias("state_event_type"),
+        F.col("value").alias("state_value"),
+        "operation",
+        "valid_from",
+        "valid_to",
+    )
+    probes = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            F.col("user_id").alias("key_id"),
+            F.col("ts").alias("probe_ts"),
+        )
+    )
+    return (
+        probes.join(
+            scd2,
+            (probes.key_id == scd2.key_id)
+            & (scd2.valid_from <= probes.probe_ts)
+            & (scd2.valid_to.isNull() | (scd2.valid_to > probes.probe_ts))
+            & (scd2.operation != "DELETE"),
+        )
+        .select(
+            "event_id",
+            probes.key_id.alias("key_id"),
+            "probe_ts",
+            "state_seq",
+            "state_event_type",
+            "state_value",
+        )
+    )
+
+
+@query(
+    "events_cumulative_users",
+    oracle="""
+        WITH first_seen AS (
+            SELECT user_id, MIN(date_trunc('day', ts)) AS d
+            FROM events GROUP BY user_id)
+        , daily_new AS (
+            SELECT d, CAST(COUNT(*) AS BIGINT) AS new_users
+            FROM first_seen GROUP BY d)
+        , active AS (
+            SELECT date_trunc('day', ts) AS d,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+            FROM events GROUP BY 1)
+        SELECT a.d AS day, a.active_users,
+               COALESCE(n.new_users, 0) AS new_users,
+               CAST(SUM(COALESCE(n.new_users, 0)) OVER (
+                   ORDER BY a.d ASC) AS BIGINT) AS cumulative_users
+        FROM active a LEFT JOIN daily_new n ON a.d = n.d
+    """,
+)
+def q_events_cumulative_users(spark, sf_dir):
+    """Growth-accounting view: daily active users, first-time users,
+    and the running total of distinct users ever seen. The naive
+    form (COUNT(DISTINCT) over an expanding window) rescans history
+    per day; this computes each user's FIRST DAY once (one shuffle on
+    user_id), aggregates new users per day (bounded by days), and
+    takes a running sum over that tiny aggregate — the
+    scale-correct decomposition of cumulative-distinct.
+
+    The final ordered window runs on day-count rows (bounded
+    metadata), so the single-partition sort is irrelevant at any
+    SF."""
+    events = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    day = F.date_trunc("day", F.col("ts"))
+    first_seen = events.groupBy("user_id").agg(F.min(day).alias("d"))
+    daily_new = first_seen.groupBy("d").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    active = events.groupBy(day.alias("d")).agg(
+        F.countDistinct("user_id").alias("active_users")
+    )
+    w = Window.orderBy(F.col("day").asc())
+    return (
+        active.join(daily_new, "d", "left")
+        .select(
+            F.col("d").alias("day"),
+            "active_users",
+            F.coalesce(F.col("new_users"), F.lit(0)).alias("new_users"),
+        )
+        .withColumn(
+            "cumulative_users", F.sum("new_users").over(w).cast("long")
+        )
+    )
+
+
+_BASKET_TOPK = 20
+
+
+@query(
+    "basket_part_pairs",
+    oracle=f"""
+        WITH lines AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        , pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+            FROM lines a JOIN lines b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey)
+        , counted AS (
+            SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM pairs GROUP BY part_a, part_b)
+        , ranked AS (
+            SELECT *, row_number() OVER (
+                ORDER BY n_orders DESC, part_a ASC, part_b ASC) AS rnk
+            FROM counted)
+        SELECT part_a, part_b, n_orders, CAST(rnk AS BIGINT) AS rnk
+        FROM ranked WHERE rnk <= {_BASKET_TOPK}
+    """,
+)
+def q_basket_part_pairs(spark, sf_dir):
+    """Market-basket co-occurrence: the top part pairs ordered
+    together — the association-mining primitive (frequent itemsets
+    at k=2). The pair fan-out is per-ORDER (self-join on l_orderkey)
+    and an order holds at most 7 lines in TPC-H, so the blow-up is a
+    bounded quadratic per group — the legitimate pattern for
+    within-group pair enumeration, NEVER a corpus-level cross join;
+    one shuffle on orderkey, map-side-combined pair counts, and the
+    rank window runs on the aggregated pair table.
+
+    At 100 TB the pair aggregate can itself be large; the top-k
+    window would then become a per-partition top-k + merge
+    (rank-pushdown), which AQE's TakeOrderedAndProject already
+    applies for this LIMIT-shaped plan."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = a.join(b, "ok").where(F.col("part_a") < F.col("part_b"))
+    counted = pairs.groupBy("part_a", "part_b").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+    )
+    return (
+        counted.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= _BASKET_TOPK)
+    )
+
+
+_GROUP_SAMPLE_K = 5
+
+
+@query(
+    "sample_per_group_topk",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT doc_id, source,
+                   md5(CAST(doc_id AS VARCHAR)) AS h
+            FROM documents)
+        , ranked AS (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY h ASC, doc_id ASC)
+                       AS rnk
+            FROM keyed)
+        SELECT doc_id, source, CAST(rnk AS BIGINT) AS sample_rank
+        FROM ranked WHERE rnk <= {_GROUP_SAMPLE_K}
+    """,
+)
+def q_sample_per_group_topk(spark, sf_dir):
+    """Fixed-size per-group sampling: exactly K docs per source,
+    chosen by md5 rank — the deterministic, engine-identical analog
+    of per-group reservoir sampling (every doc equally likely under
+    the hash ordering, reproducible across runs/engines, no RNG
+    state). Complements the RATE-based samplers (sample_stratified,
+    sample_domain_mix) when the contract is a COUNT per group
+    (eval-set construction, per-domain spot-check sheets).
+
+    Scale: one shuffle on source; the rank window never
+    materializes a global sort — at extreme group sizes you'd swap
+    in a per-partition top-K + merge (the same rank-pushdown shape
+    as basket_part_pairs' note)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    keyed = docs.select(
+        "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("h").asc(), F.col("doc_id").asc()
+    )
+    return (
+        keyed.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= _GROUP_SAMPLE_K)
+        .select("doc_id", "source", "sample_rank")
+    )

@@ -191,3 +191,126 @@ def test_mm_content_dedup_family_law(spark, sf_dir):
         for r in fam:
             assert r["family_size"] == len(fam)
             assert r["is_canonical"] == (r["doc_id"] == canon)
+
+
+R4B_QUERIES = [
+    "scd2_point_in_time_join",
+    "events_cumulative_users",
+    "basket_part_pairs",
+    "sample_per_group_topk",
+]
+
+
+@pytest.mark.parametrize("name", R4B_QUERIES)
+def test_oracle_parity_r4b(spark, sf_dir, name):
+    assert_matches_oracle(spark, name, sf_dir)
+
+
+def test_pit_join_matches_asof_semantics(spark, sf_dir):
+    """The point-in-time join must hand every probe the LATEST
+    non-deleted state at or before its timestamp — cross-checked
+    against a direct last-event-per-probe computation."""
+    from aurora_cdc_demo_spark.sources.cdc_log import cdc_operation_log
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["scd2_point_in_time_join"](spark, sf_dir).collect()
+    assert rows
+    log = {}
+    for r in cdc_operation_log(spark, sf_dir).collect():
+        log.setdefault(r["key_id"], []).append(r)
+    for changes in log.values():
+        changes.sort(key=lambda r: (r["ts"], r["seq"]))
+    for r in rows[:200]:
+        changes = log[r["key_id"]]
+        last = None
+        for c in changes:
+            if c["ts"] <= r["probe_ts"]:
+                last = c
+            else:
+                break
+        assert last is not None
+        assert last["operation"] != "DELETE"
+        assert r["state_seq"] == last["seq"]
+
+
+def test_cumulative_users_laws(spark, sf_dir):
+    """Monotone growth; final cumulative == corpus-wide distinct
+    users; daily active never exceeds cumulative-so-far."""
+    from aurora_cdc_demo_spark.tables import load_table
+
+    rows = sorted(
+        QUERIES["events_cumulative_users"](spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    total = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    prev = 0
+    for r in rows:
+        assert r["cumulative_users"] >= prev
+        assert r["active_users"] <= r["cumulative_users"]
+        assert r["new_users"] >= 0
+        prev = r["cumulative_users"]
+    assert rows[-1]["cumulative_users"] == total
+    assert sum(r["new_users"] for r in rows) == total
+
+
+def test_basket_pairs_recount(spark, sf_dir):
+    """Recount the top pair's support directly from lineitem."""
+    from aurora_cdc_demo_spark.tables import load_table
+
+    rows = QUERIES["basket_part_pairs"](spark, sf_dir).collect()
+    assert rows
+    top = min(rows, key=lambda r: r["rnk"])
+    assert top["rnk"] == 1
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    by_order = {}
+    for r in li:
+        by_order.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    n = sum(
+        1
+        for parts in by_order.values()
+        if top["part_a"] in parts and top["part_b"] in parts
+    )
+    assert n == top["n_orders"]
+    # no pair below it has higher support
+    assert all(r["n_orders"] <= top["n_orders"] for r in rows)
+
+
+def test_per_group_sample_exact_k(spark, sf_dir):
+    """Exactly K (or group size) rows per source, stable across
+    runs."""
+    from aurora_cdc_demo_spark.registry import _GROUP_SAMPLE_K
+    from aurora_cdc_demo_spark.tables import load_table
+
+    rows = QUERIES["sample_per_group_topk"](spark, sf_dir).collect()
+    sizes = {
+        r["source"]: r["cnt"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .count()
+        .withColumnRenamed("count", "cnt")
+        .collect()
+    }
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == set(sizes)
+    for src, picks in by_src.items():
+        assert len(picks) == min(_GROUP_SAMPLE_K, sizes[src])
+        assert sorted(p["sample_rank"] for p in picks) == list(
+            range(1, len(picks) + 1)
+        )
+    again = {
+        (r["doc_id"], r["source"])
+        for r in QUERIES["sample_per_group_topk"](spark, sf_dir).collect()
+    }
+    assert again == {(r["doc_id"], r["source"]) for r in rows}
