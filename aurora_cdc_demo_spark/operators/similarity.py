@@ -528,18 +528,10 @@ def ivf_cell_stats_sql(dialect: str) -> str:
 KNN_K = 3
 
 
-def knn_graph_sql(dialect: str) -> str:
-    """Batch KNN-graph construction: EVERY vector gets its KNN_K
-    nearest cell-mates (cosine, deterministic tie-break) — the
-    primitive behind graph-based dedup, diversity sampling, and
-    label propagation over a corpus. Unlike ann_ivf_topk (10 query
-    vectors), this is the all-vectors self-join form.
-
-    Scale: candidate pairs are cell-bounded (equi-join on the coarse
-    cell, shuffle on the cell key), and the per-vector top-k is a
-    rank window over candidates partitioned by the source vector —
-    O(sum cell²) candidates, never corpus²; k and the cell count cap
-    the output at KNN_K rows per vector."""
+def _knn_ctes(dialect: str) -> str:
+    """Shared CTE chain ``v → seeds → assign → cells → cand →
+    ranked`` used by the KNN-graph query and the PageRank query
+    built on its edges."""
     return f"""
         WITH v AS (
             SELECT vec_id, embedding, {_norm('embedding', dialect)} AS nrm
@@ -568,11 +560,96 @@ def knn_graph_sql(dialect: str) -> str:
             SELECT *, row_number() OVER (
                 PARTITION BY vec_id
                 ORDER BY cos DESC, neighbor_id ASC) AS rnk
-            FROM cand)
+            FROM cand)"""
+
+
+def knn_graph_sql(dialect: str) -> str:
+    """Batch KNN-graph construction: EVERY vector gets its KNN_K
+    nearest cell-mates (cosine, deterministic tie-break) — the
+    primitive behind graph-based dedup, diversity sampling, and
+    label propagation over a corpus. Unlike ann_ivf_topk (10 query
+    vectors), this is the all-vectors self-join form.
+
+    Scale: candidate pairs are cell-bounded (equi-join on the coarse
+    cell, shuffle on the cell key), and the per-vector top-k is a
+    rank window over candidates partitioned by the source vector —
+    O(sum cell²) candidates, never corpus²; k and the cell count cap
+    the output at KNN_K rows per vector."""
+    return f"""{_knn_ctes(dialect)}
         SELECT vec_id, neighbor_id, CAST(rnk AS BIGINT) AS nn_rank,
                CAST(FLOOR(cos * 1000000) AS BIGINT) AS cos_e6
         FROM ranked WHERE rnk <= {KNN_K}
     """
+
+
+# PageRank over the KNN graph: PR_ITERS fixed power iterations with
+# damping 0.85, all arithmetic integer (rank mass scaled by PR_SCALE,
+# floor division) so every engine lands on identical longs. Dangling
+# mass (vectors in singleton cells have no out-edges) is dropped, the
+# documented simplification of the classic formulation.
+PR_ITERS = 3
+PR_SCALE = 1_000_000_000
+
+
+def pagerank_sql(dialect: str) -> str:
+    """Centrality over the corpus KNN graph — the 'hubby' vectors a
+    curation pipeline inspects for over-represented regions (a
+    high-PageRank embedding sits in a dense, mutually-near
+    neighborhood; diversity-aware sampling downweights it).
+
+    The iteration is UNROLLED: each round is one contributions
+    aggregate (edges ⋈ ranks, grouped by dst — a key-partitioned
+    shuffle bounded by edge count) plus a left join back to nodes.
+    Fixed PR_ITERS keeps the plan static (no driver-side convergence
+    loop) and the unrolled CTE chain is the oracle twin — both
+    engines run the same integer algebra, so the hash match proves
+    the fixpoint algebra, not a float tolerance.
+
+    Scale: per round, one shuffle on dst + one on vec_id; ranks and
+    degrees are node-sized, edges KNN_K-bounded per node. At 1000
+    executors the repeated lineage would be checkpointed per round
+    (see operators/graph.py's reliable-checkpoint mode); at
+    PR_ITERS=3 the plan stays comfortably analyzable."""
+    div = "div" if dialect == "spark" else "//"
+    ctes = f"""{_knn_ctes(dialect)}
+        , edges AS (
+            SELECT vec_id AS src, neighbor_id AS dst
+            FROM ranked WHERE rnk <= {KNN_K})
+        , nodes AS (SELECT vec_id FROM v)
+        , nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes)
+        , outdeg AS (
+            SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM edges GROUP BY src)
+        , r0 AS (
+            SELECT vec_id, CAST({PR_SCALE} {div} n_nodes AS BIGINT) AS r
+            FROM nodes CROSS JOIN nn)"""
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        ctes += f"""
+        , c{i} AS (
+            SELECT e.dst AS vec_id,
+                   CAST(SUM(p.r {div} d.deg) AS BIGINT) AS contrib
+            FROM edges e
+            JOIN {prev} p ON p.vec_id = e.src
+            JOIN outdeg d ON d.src = e.src
+            GROUP BY e.dst)
+        , r{i} AS (
+            SELECT n.vec_id,
+                   CAST((15 * ({PR_SCALE} {div} nn.n_nodes)) {div} 100
+                        + (85 * COALESCE(c.contrib, 0)) {div} 100
+                        AS BIGINT) AS r
+            FROM nodes n CROSS JOIN nn
+            LEFT JOIN c{i} c ON c.vec_id = n.vec_id)"""
+        prev = f"r{i}"
+    return f"""{ctes}
+        SELECT p.vec_id, p.r AS pagerank_e9,
+               CAST(COALESCE(d.deg, 0) AS BIGINT) AS out_degree
+        FROM {prev} p LEFT JOIN outdeg d ON d.src = p.vec_id
+    """
+
+
+def pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, pagerank_sql("spark"))
 
 
 def _run(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:

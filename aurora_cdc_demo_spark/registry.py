@@ -4244,3 +4244,14 @@ def q_sample_per_group_topk(spark, sf_dir):
         .where(F.col("sample_rank") <= _GROUP_SAMPLE_K)
         .select("doc_id", "source", "sample_rank")
     )
+
+
+@query("graph_pagerank_knn", oracle=_sim.pagerank_sql("duck"))
+def q_graph_pagerank_knn(spark, sf_dir):
+    """PageRank centrality over the corpus KNN graph, 3 unrolled
+    integer-exact power iterations (damping 0.85, rank mass scaled
+    e9, floor division) — the over-representation signal for
+    diversity-aware curation; see operators/similarity.py:
+    pagerank_sql for the algebra and scale notes. Mass-conservation
+    and hub-vs-leaf laws pinned in tests/test_round4.py."""
+    return _sim.pagerank_knn(spark, sf_dir)

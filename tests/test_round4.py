@@ -314,3 +314,31 @@ def test_per_group_sample_exact_k(spark, sf_dir):
         for r in QUERIES["sample_per_group_topk"](spark, sf_dir).collect()
     }
     assert again == {(r["doc_id"], r["source"]) for r in rows}
+
+
+def test_pagerank_oracle_parity(spark, sf_dir):
+    assert_matches_oracle(spark, "graph_pagerank_knn", sf_dir)
+
+
+def test_pagerank_laws(spark, sf_dir):
+    """Rank laws on the integer-exact fixpoint: (a) every rank holds
+    at least the teleport floor; (b) total mass never exceeds the
+    scaled unit (floor division + dangling drop only LOSE mass);
+    (c) ranks discriminate (not all equal); (d) a node with no
+    in-links sits exactly on the teleport floor."""
+    rows = QUERIES["graph_pagerank_knn"](spark, sf_dir).collect()
+    n = len(rows)
+    assert n
+    from aurora_cdc_demo_spark.operators.similarity import PR_SCALE
+
+    floor = (15 * (PR_SCALE // n)) // 100
+    total = sum(r["pagerank_e9"] for r in rows)
+    assert all(r["pagerank_e9"] >= floor for r in rows)
+    assert total <= PR_SCALE
+    assert len({r["pagerank_e9"] for r in rows}) > 1
+
+    edges = QUERIES["ann_knn_graph"](spark, sf_dir).collect()
+    with_inlinks = {e["neighbor_id"] for e in edges}
+    sinks = [r for r in rows if r["vec_id"] not in with_inlinks]
+    for r in sinks:
+        assert r["pagerank_e9"] == floor
