@@ -1872,11 +1872,7 @@ def q_corpus_keep_list_v2(spark, sf_dir):
     return j.select("doc_id", keep.alias("keep"), decision.alias("decision"))
 
 
-@query(
-    "corpus_keep_list_v3",
-    oracle=f"""
-        {_KEEP_GATES_CTES}
-        , ngc_tot AS (
+_V3_EXTRA_CTES = f""", ngc_tot AS (
             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
             FROM (SELECT doc_id,
                          unnest(list_transform(range(1, len(t) - {_NGC_N - 2}),
@@ -1922,7 +1918,14 @@ def q_corpus_keep_list_v2(spark, sf_dir):
                          CAST(len(list_filter(string_split(text, ' '),
                               x -> regexp_full_match(x, '[0-9]+'))) AS BIGINT)
                              AS n_digit
-                  FROM documents))
+                  FROM documents))"""
+
+
+@query(
+    "corpus_keep_list_v3",
+    oracle=f"""
+        {_KEEP_GATES_CTES}
+        {_V3_EXTRA_CTES}
         SELECT d.doc_id,
                e.is_canonical AND c.cluster_id = d.doc_id
                    AND co.doc_id IS NULL
@@ -4255,3 +4258,153 @@ def q_graph_pagerank_knn(spark, sf_dir):
     pagerank_sql for the algebra and scale notes. Mass-conservation
     and hub-vs-leaf laws pinned in tests/test_round4.py."""
     return _sim.pagerank_knn(spark, sf_dir)
+
+
+# DSIR importance floor for the v4 keep-list: docs whose mean
+# hashed-unigram importance ratio sits below this are 'off_target'
+# (the resampling step would almost never pick them).
+_DSIR_MIN_MEAN_PPM = 945_000
+
+
+@query(
+    "corpus_keep_list_v4",
+    oracle=f"""
+        {_KEEP_GATES_CTES}
+        {_V3_EXTRA_CTES}
+        , goph AS (
+            SELECT doc_id,
+                   NOT (gn >= {_GOPHER_MIN_WORDS}
+                        AND gn <= {_GOPHER_MAX_WORDS}
+                        AND g_wlen >= {_GOPHER_WLEN_LO_CENTI}
+                        AND g_wlen <= {_GOPHER_WLEN_HI_CENTI}
+                        AND g_alpha >= {_GOPHER_ALPHA_BP_MIN}
+                        AND g_stop >= {_GOPHER_MIN_STOPWORDS})
+                       AS gopher_filtered
+            FROM (SELECT doc_id,
+                         CAST(len(string_split(text, ' ')) AS BIGINT) AS gn,
+                         CAST((100 * list_sum(list_transform(
+                              string_split(text, ' '), x -> length(x))))
+                              // len(string_split(text, ' ')) AS BIGINT)
+                             AS g_wlen,
+                         (10000 * len(list_filter(string_split(text, ' '),
+                              x -> regexp_matches(x, '[a-zA-Z]'))))
+                             // len(string_split(text, ' ')) AS g_alpha,
+                         CAST(len(list_filter(string_split(text, ' '),
+                              x -> list_contains(['the', 'be', 'to', 'of',
+                                                  'and', 'that', 'have',
+                                                  'with'], x))) AS BIGINT)
+                             AS g_stop
+                  FROM documents))
+        , dsir_tok AS (
+            SELECT doc_id, lang,
+                   CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)
+                       % {_DSIR_BUCKETS} AS bkt
+            FROM (SELECT doc_id, lang,
+                         unnest(string_split(text, ' ')) AS w
+                  FROM documents))
+        , dsir_src AS (
+            SELECT bkt, CAST(COUNT(*) AS BIGINT) AS cs FROM dsir_tok
+            GROUP BY bkt)
+        , dsir_tgt AS (
+            SELECT bkt, CAST(COUNT(*) AS BIGINT) AS ct FROM dsir_tok
+            WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY bkt)
+        , dsir_totals AS (
+            SELECT (SELECT COUNT(*) FROM dsir_tok) + {_DSIR_BUCKETS} AS tsb,
+                   (SELECT COUNT(*) FROM dsir_tok
+                    WHERE lang = '{_DSIR_TARGET_LANG}') + {_DSIR_BUCKETS}
+                       AS ttb)
+        , dsir_ratio AS (
+            SELECT s.bkt,
+                   (1000000 * (COALESCE(t.ct, 0) + 1) * tot.tsb)
+                       // ((s.cs + 1) * tot.ttb) AS r_ppm
+            FROM dsir_src s LEFT JOIN dsir_tgt t ON s.bkt = t.bkt
+            CROSS JOIN dsir_totals tot)
+        , dsir AS (
+            SELECT b.doc_id,
+                   CAST(SUM(r.r_ppm) // COUNT(*) AS BIGINT)
+                       < {_DSIR_MIN_MEAN_PPM} AS off_target
+            FROM dsir_tok b JOIN dsir_ratio r ON b.bkt = r.bkt
+            GROUP BY b.doc_id)
+        SELECT d.doc_id,
+               e.is_canonical AND c.cluster_id = d.doc_id
+                   AND co.doc_id IS NULL
+                   AND NOT COALESCE(n.is_dup_heavy, FALSE)
+                   AND NOT r.is_repetitive
+                   AND NOT c4.c4_filtered
+                   AND NOT g.gopher_filtered
+                   AND qu.quality_bp >= {_KEEP_QUALITY_BP}
+                   AND NOT ds.off_target
+                   AND s.in_sample
+                   AS keep,
+               CASE WHEN NOT e.is_canonical THEN 'exact_dup'
+                    WHEN c.cluster_id <> d.doc_id THEN 'near_dup'
+                    WHEN co.doc_id IS NOT NULL THEN 'contaminated'
+                    WHEN COALESCE(n.is_dup_heavy, FALSE) THEN 'dup_heavy'
+                    WHEN r.is_repetitive THEN 'repetitive'
+                    WHEN c4.c4_filtered THEN 'c4_filtered'
+                    WHEN g.gopher_filtered THEN 'gopher_filtered'
+                    WHEN qu.quality_bp < {_KEEP_QUALITY_BP} THEN 'low_quality'
+                    WHEN ds.off_target THEN 'off_target'
+                    WHEN NOT s.in_sample THEN 'sampled_out'
+                    ELSE 'keep' END AS decision
+        FROM documents d
+        JOIN exact e USING (doc_id)
+        JOIN clusters c USING (doc_id)
+        JOIN quality qu USING (doc_id)
+        JOIN samp s USING (doc_id)
+        JOIN rep r USING (doc_id)
+        JOIN c4 USING (doc_id)
+        JOIN goph g USING (doc_id)
+        JOIN dsir ds USING (doc_id)
+        LEFT JOIN contaminated co USING (doc_id)
+        LEFT JOIN ngc n USING (doc_id)
+    """,
+)
+def q_corpus_keep_list_v4(spark, sf_dir):
+    """The TEN-gate keep-list: v3's eight gates plus the R4 Gopher
+    quality battery and the DSIR importance floor (off-target docs
+    the importance resampler would never pick), priority-ordered
+    into one reason code per drop (exact_dup > near_dup >
+    contaminated > dup_heavy > repetitive > c4_filtered >
+    gopher_filtered > low_quality > off_target > sampled_out).
+    Every gate is an already-oracle-verified distributed operator
+    composed by doc_id equi-joins; v4-refines-v3 law in pytest.
+
+    Scale: inherits each gate's plan (see their entries); the
+    composition adds only doc_id-keyed joins over per-doc gate
+    outputs — AQE broadcast or co-partitioned, nothing new shuffles
+    the corpus."""
+    base = QUERIES["corpus_keep_list_v3"](spark, sf_dir).select(
+        "doc_id",
+        F.col("keep").alias("keep_v3"),
+        F.col("decision").alias("decision_v3"),
+    )
+    goph = QUERIES["text_gopher_rules"](spark, sf_dir).select(
+        "doc_id", (F.col("keep") == 0).alias("gopher_filtered")
+    )
+    dsir = QUERIES["sample_importance_weights"](spark, sf_dir).select(
+        "doc_id",
+        (F.col("mean_ratio_ppm") < _DSIR_MIN_MEAN_PPM).alias("off_target"),
+    )
+    j = base.join(goph, "doc_id").join(dsir, "doc_id")
+    keep = (
+        F.col("keep_v3") & ~F.col("gopher_filtered") & ~F.col("off_target")
+    )
+    decision = (
+        F.when(
+            F.col("decision_v3").isin(
+                "exact_dup",
+                "near_dup",
+                "contaminated",
+                "dup_heavy",
+                "repetitive",
+                "c4_filtered",
+            ),
+            F.col("decision_v3"),
+        )
+        .when(F.col("gopher_filtered"), "gopher_filtered")
+        .when(F.col("decision_v3") == "low_quality", "low_quality")
+        .when(F.col("off_target"), "off_target")
+        .otherwise(F.col("decision_v3"))
+    )
+    return j.select("doc_id", keep.alias("keep"), decision.alias("decision"))

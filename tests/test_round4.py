@@ -342,3 +342,35 @@ def test_pagerank_laws(spark, sf_dir):
     sinks = [r for r in rows if r["vec_id"] not in with_inlinks]
     for r in sinks:
         assert r["pagerank_e9"] == floor
+
+
+def test_keep_list_v4_oracle_parity(spark, sf_dir):
+    assert_matches_oracle(spark, "corpus_keep_list_v4", sf_dir)
+
+
+def test_v4_refines_v3(spark, sf_dir):
+    """v4 may only REMOVE docs from v3's keep set (two extra gates,
+    no resurrection), carried codes stay stable, and every v4-only
+    drop is attributed to one of the two new codes."""
+    v3 = {
+        r["doc_id"]: (r["keep"], r["decision"])
+        for r in QUERIES["corpus_keep_list_v3"](spark, sf_dir).collect()
+    }
+    v4 = {
+        r["doc_id"]: (r["keep"], r["decision"])
+        for r in QUERIES["corpus_keep_list_v4"](spark, sf_dir).collect()
+    }
+    assert set(v3) == set(v4)
+    new_codes = {"gopher_filtered", "off_target"}
+    demoted = 0
+    for doc_id, (k4, d4) in v4.items():
+        k3, d3 = v3[doc_id]
+        if k4:
+            assert k3, f"doc {doc_id} kept by v4 but dropped by v3"
+        if k3 and not k4:
+            demoted += 1
+            assert d4 in new_codes
+        if d3 != "keep" and d3 not in ("low_quality", "sampled_out"):
+            # high-priority codes are carried verbatim
+            assert d4 == d3
+    assert demoted > 0, "v4's new gates never fired — thresholds vacuous"
