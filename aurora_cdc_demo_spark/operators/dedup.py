@@ -617,3 +617,98 @@ DEDUP_CLUSTERS_SQL = f"""
         SELECT e.b, rr.r FROM reach rr JOIN edges e ON e.a = rr.node)
     SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
 """
+
+
+# ---------------------------------------------------------------------------
+# Containment near-dup (asymmetric): catches a small doc swallowed by
+# a larger one, which Jaccard (and hence MinHash-LSH) structurally
+# misses — C(A,B) = |A∩B| / min(|A|,|B|) is high while J(A,B) is low
+# whenever the sizes are lopsided (Broder 1997 distinguishes the two
+# resemblance measures for exactly this case).
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD_BP = 8000  # containment >= 0.8
+SHINGLE_DF_CAP = 50  # drop stop-shingles with postings longer than this
+
+
+def containment_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) pairs with shingle containment >= 0.8, plus
+    the Jaccard view and a containment_only flag marking the pairs
+    the symmetric dedup path would have missed.
+
+    Scale: candidates come from the shingle POSTINGS equi-join —
+    linear in total postings, quadratic only within one shingle's
+    posting list, and the df cap removes stop-shingles before the
+    join (the standard guard: a shingle seen in > cap docs carries
+    no dedup signal but quadratic join cost). Work is
+    O(sum_{s: df<=cap} df(s)^2) with the cap bounding each term —
+    skew-safe without salting. Containment/Jaccard are computed on
+    the SAME capped shingle sets in both engines (deterministic,
+    documented approximation when the cap fires; at this corpus the
+    max df is single-digit so the cap is pure insurance)."""
+    sh = shingles(docs)
+    df = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    kept = sh.join(df.where(F.col("df") <= SHINGLE_DF_CAP), "s", "left_semi")
+    counts = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    a = kept.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
+    b = kept.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    inter = (
+        a.join(
+            b,
+            (F.col("s_a") == F.col("s_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("c").alias("ca"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("c").alias("cb"))
+    j = inter.join(ca, "doc_a").join(cb, "doc_b")
+    return (
+        j.where(
+            F.lit(10000) * F.col("inter")
+            >= F.lit(CONTAINMENT_THRESHOLD_BP) * F.least("ca", "cb")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").cast("long").alias("inter"),
+            F.expr("(10000 * inter) div least(ca, cb)").alias(
+                "containment_bp"
+            ),
+            F.expr("(10000 * inter) div (ca + cb - inter)").alias(
+                "jaccard_bp"
+            ),
+            (
+                F.lit(10000) * F.col("inter")
+                < F.lit(JACCARD_THRESHOLD_BP)
+                * (F.col("ca") + F.col("cb") - F.col("inter"))
+            ).alias("containment_only"),
+        )
+    )
+
+
+CONTAINMENT_SQL = f"""
+    WITH {_SHINGLES_SQL}
+    , df AS (SELECT s, COUNT(*) AS d FROM sh GROUP BY s)
+    , kept AS (
+        SELECT sh.doc_id, sh.s FROM sh
+        JOIN df ON df.s = sh.s AND df.d <= {SHINGLE_DF_CAP})
+    , kc AS (SELECT doc_id, COUNT(*) AS c FROM kept GROUP BY doc_id)
+    , inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT i.doc_a, i.doc_b,
+           CAST(inter AS BIGINT) AS inter,
+           CAST((10000 * inter) // least(x.c, y.c) AS BIGINT)
+               AS containment_bp,
+           CAST((10000 * inter) // (x.c + y.c - inter) AS BIGINT)
+               AS jaccard_bp,
+           10000 * inter < {JACCARD_THRESHOLD_BP} * (x.c + y.c - inter)
+               AS containment_only
+    FROM inter i
+    JOIN kc x ON i.doc_a = x.doc_id
+    JOIN kc y ON i.doc_b = y.doc_id
+    WHERE 10000 * inter >= {CONTAINMENT_THRESHOLD_BP} * least(x.c, y.c)
+"""

@@ -4408,3 +4408,15 @@ def q_corpus_keep_list_v4(spark, sf_dir):
         .otherwise(F.col("decision_v3"))
     )
     return j.select("doc_id", keep.alias("keep"), decision.alias("decision"))
+
+
+@query("dedup_containment", oracle=_dedup.CONTAINMENT_SQL)
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric containment near-dup: pairs where the smaller
+    doc's shingles are >=80% inside the larger's — the
+    doc-swallowed-by-doc case Jaccard/MinHash structurally miss
+    (containment_only marks exactly those). Candidates from the
+    df-capped shingle postings join (linear in postings, stop-
+    shingles dropped before the join); see
+    operators/dedup.py:containment_pairs for the scale analysis."""
+    return _dedup.containment_pairs(load_table(spark, sf_dir, "documents"))

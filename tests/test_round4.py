@@ -374,3 +374,52 @@ def test_v4_refines_v3(spark, sf_dir):
             # high-priority codes are carried verbatim
             assert d4 == d3
     assert demoted > 0, "v4's new gates never fired — thresholds vacuous"
+
+
+def test_containment_oracle_parity(spark, sf_dir):
+    assert_matches_oracle(spark, "dedup_containment", sf_dir)
+
+
+def test_containment_corpus_laws(spark, sf_dir):
+    """Structural laws on the corpus: containment >= jaccard always,
+    every emitted pair clears the containment bar, and the flag is
+    exactly the below-Jaccard-threshold predicate. (This synthetic
+    corpus's dup families are same-length rewrites, so no asymmetric
+    pair exists here — the asymmetric behavior is pinned on
+    constructed rows below.)"""
+    from aurora_cdc_demo_spark.operators.dedup import (
+        CONTAINMENT_THRESHOLD_BP,
+        JACCARD_THRESHOLD_BP,
+    )
+
+    rows = QUERIES["dedup_containment"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["containment_bp"] >= r["jaccard_bp"]
+        assert r["containment_bp"] >= CONTAINMENT_THRESHOLD_BP
+        assert r["containment_only"] == (
+            r["jaccard_bp"] < JACCARD_THRESHOLD_BP
+        )
+
+
+def test_containment_catches_constructed_swallowed_doc(spark):
+    """A short doc verbatim-contained in a much longer doc must be
+    caught as containment_only: containment = 1.0 while Jaccard sits
+    far below the symmetric dedup threshold."""
+    from aurora_cdc_demo_spark.operators.dedup import containment_pairs
+
+    small = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"tok{i} tok{i + 1} pad{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, small), (2, small + " " + filler), (3, "unrelated words only")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in containment_pairs(docs).collect()
+    }
+    assert (1, 2) in rows
+    r = rows[(1, 2)]
+    assert r["containment_bp"] == 10000
+    assert r["containment_only"]
+    assert all(k == (1, 2) for k in rows)
