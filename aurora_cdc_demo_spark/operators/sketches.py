@@ -61,6 +61,29 @@ def _ab_sql(expr: str) -> tuple[str, str]:
 # ---------------------------------------------------------------------------
 
 
+def count_min_sketch(rows: DataFrame, key: str) -> DataFrame:
+    """The sketch table itself: (d, bucket, counter), at most
+    DEPTH*WIDTH rows. Counters are ADDITIVE, so sketches of disjoint
+    row sets merge by summing matching counters — the property that
+    makes count-min streaming-friendly (per-micro-batch sketches sum
+    to the batch sketch; pinned in tests/test_streaming.py)."""
+    a, b = _ab(F.col(key))
+    d = F.explode(F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))).alias("d")
+    hashed = rows.select(F.col(key), a.alias("a"), b.alias("b")).select(
+        key, "a", "b", d
+    )
+    bucketed = hashed.select(
+        key,
+        "d",
+        ((F.col("a") + F.col("d") * F.col("b")) % F.lit(CM_WIDTH)).alias(
+            "bucket"
+        ),
+    )
+    return bucketed.groupBy("d", "bucket").agg(
+        F.count(F.lit(1)).alias("counter")
+    )
+
+
 def count_min_estimates(rows: DataFrame, key: str) -> DataFrame:
     """Count-min frequency estimation for every distinct ``key``.
 
@@ -81,23 +104,10 @@ def count_min_estimates(rows: DataFrame, key: str) -> DataFrame:
     count is joined in for observability; a production probe of a
     100 TB stream would keep only the sketch.
     """
-    a, b = _ab(F.col(key))
-    d = F.explode(F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))).alias("d")
-    hashed = rows.select(F.col(key), a.alias("a"), b.alias("b")).select(
-        key, "a", "b", d
-    )
-    bucketed = hashed.select(
-        key,
-        "d",
-        ((F.col("a") + F.col("d") * F.col("b")) % F.lit(CM_WIDTH)).alias(
-            "bucket"
-        ),
-    )
-    sketch = bucketed.groupBy("d", "bucket").agg(
-        F.count(F.lit(1)).alias("counter")
-    )
+    sketch = count_min_sketch(rows, key)
     exact = rows.groupBy(key).agg(F.count(F.lit(1)).alias("exact_count"))
     ea, eb = _ab(F.col(key))
+    d = F.explode(F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))).alias("d")
     probe = (
         exact.select(key, "exact_count", ea.alias("a"), eb.alias("b"))
         .select(key, "exact_count", "a", "b", d)

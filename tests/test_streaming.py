@@ -501,3 +501,94 @@ def test_stream_stream_interval_join(spark, sf_dir, log_dir, tmp_path):
     }
     assert want, "batch twin found no band matches — test data regression"
     assert got == want
+
+
+def test_count_min_sketch_merges_across_microbatches(
+    spark, sf_dir, log_dir, tmp_path
+):
+    """Count-min counters are additive, so per-micro-batch sketches
+    must SUM to the batch sketch exactly — the mergeability that
+    makes the sketch maintainable by foreachBatch on an endless
+    stream with constant state."""
+    from aurora_cdc_demo_spark.operators.sketches import count_min_sketch
+    from aurora_cdc_demo_spark.streaming.pipelines import read_cdc_stream
+
+    out = str(tmp_path / "cm_batches")
+
+    def apply_batch(batch_df, batch_id):
+        count_min_sketch(batch_df, "key_id").write.mode("append").parquet(out)
+
+    q = (
+        read_cdc_stream(spark, log_dir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt_cm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    merged = {
+        (r["d"], r["bucket"]): r["total"]
+        for r in spark.read.parquet(out)
+        .groupBy("d", "bucket")
+        .agg(F.sum("counter").alias("total"))
+        .collect()
+    }
+    want = {
+        (r["d"], r["bucket"]): r["counter"]
+        for r in count_min_sketch(
+            cdc_operation_log(spark, sf_dir), "key_id"
+        ).collect()
+    }
+    assert merged == want
+
+
+def test_stream_static_point_in_time_enrichment(
+    spark, sf_dir, log_dir, tmp_path
+):
+    """Stream-static join: streaming purchase probes enriched
+    against the STATIC SCD2 dimension with the per-row interval
+    predicate — the online feature-store lookup; stateless on the
+    stream side, and the result must equal the batch PIT join."""
+    from aurora_cdc_demo_spark.operators.cdc_apply import scd2_history
+    from aurora_cdc_demo_spark.registry import QUERIES
+    from aurora_cdc_demo_spark.streaming.pipelines import read_cdc_stream
+
+    scd2 = scd2_history(cdc_operation_log(spark, sf_dir)).select(
+        F.col("key_id").alias("dim_key"),
+        F.col("seq").alias("state_seq"),
+        "operation",
+        "valid_from",
+        "valid_to",
+    )
+    probes = read_cdc_stream(spark, log_dir, watermark=None).where(
+        F.col("event_type") == "purchase"
+    )
+    joined = probes.join(
+        scd2,
+        (probes.key_id == scd2.dim_key)
+        & (scd2.valid_from <= probes.ts)
+        & (scd2.valid_to.isNull() | (scd2.valid_to > probes.ts))
+        & (scd2.operation != "DELETE"),
+    ).select(
+        probes.seq.alias("probe_seq"), "dim_key", "state_seq"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("pit_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_pit"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["probe_seq"], r["dim_key"], r["state_seq"])
+        for r in spark.sql("SELECT * FROM pit_stream").collect()
+    }
+    want = {
+        (r["event_id"], r["key_id"], r["state_seq"])
+        for r in QUERIES["scd2_point_in_time_join"](spark, sf_dir).collect()
+    }
+    assert want
+    assert got == want
