@@ -278,3 +278,36 @@ def latest_state_agg(
     return agg.where(F.col("_r.operation") != "DELETE").select(
         *keys, *[F.col(f"_r.{c}").alias(c) for c in payload]
     )
+
+
+def late_arrival_report(log: DataFrame, key: str = "key_id") -> DataFrame:
+    """Per-key out-of-order severity: events whose event time sits
+    BEHIND the key's running high-water mark in arrival (seq) order,
+    with the worst lateness in whole seconds — the measurement a
+    stream's watermark delay is calibrated against. Keys with no
+    late events are omitted (an empty result means fully in-order
+    delivery — true of the driver testdata, pinned in pytest along
+    with a constructed-disorder case). One running-max window
+    sharing the key shuffle, one aggregate; integer epoch math."""
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("seq").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    arr = log.withColumn("high_water", F.max("ts").over(w))
+    late = F.when(F.col("ts") < F.col("high_water"), 1).otherwise(0)
+    late_s = F.when(
+        F.col("ts") < F.col("high_water"),
+        F.expr("(unix_micros(high_water) - unix_micros(ts)) div 1000000"),
+    )
+    return (
+        arr.groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(late).cast("long").alias("n_late"),
+            F.coalesce(F.max(late_s), F.lit(0)).cast("long").alias(
+                "max_late_s"
+            ),
+        )
+        .where(F.col("n_late") > 0)
+    )

@@ -4431,3 +4431,123 @@ def q_ann_ivf_kmeans(spark, sf_dir):
     monotone-improvement law pinned in tests/test_round4.py; see
     operators/similarity.py:kmeans_sql."""
     return _sim.kmeans_cells(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# R4c: behavioral transitions, late-arrival report, diversity sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_type_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC) AS next_type
+            FROM events)
+        SELECT event_type AS from_type, next_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n_transitions
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    """,
+)
+def q_events_type_transitions(spark, sf_dir):
+    """Behavioral transition matrix: counts of consecutive
+    event-type pairs per user (the Markov-chain view behind funnel
+    and churn models; events_funnel checks one fixed path, this is
+    the full matrix). One window over (user_id) order (ts, event_id)
+    + one bounded aggregate — the window shares the user_id shuffle;
+    output is |types|² rows at any SF."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        events.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+@query(
+    "cdc_late_arrival_report",
+    oracle=_with_log(
+        """
+        , arr AS (
+            SELECT key_id, seq, ts,
+                   MAX(ts) OVER (
+                       PARTITION BY key_id
+                       ORDER BY seq ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS high_water
+            FROM log)
+        SELECT key_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN ts < high_water THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_late,
+               CAST(COALESCE(MAX(CASE WHEN ts < high_water THEN
+                    (epoch_us(high_water) - epoch_us(ts)) // 1000000
+                    END), 0) AS BIGINT) AS max_late_s
+        FROM arr GROUP BY key_id
+        HAVING SUM(CASE WHEN ts < high_water THEN 1 ELSE 0 END) > 0
+        """
+    ),
+)
+def q_cdc_late_arrival_report(spark, sf_dir):
+    """Out-of-order severity report: per key, how many events
+    arrived (in binlog/seq order) with an event time BEHIND the
+    key's running high-water mark, and the worst lateness — the
+    measurement that justifies a stream's watermark delay (a 30-min
+    watermark is right only if max_late_s stays under it; the
+    late-data contract test pins what happens past it).
+
+    One running-max window sharing the key shuffle, one aggregate;
+    lateness in whole seconds via integer epoch math (engine-exact,
+    see the date_diff gotcha in the verify skill)."""
+    return cdc_apply.late_arrival_report(cdc_operation_log(spark, sf_dir))
+
+
+_DIVERSITY_QUOTA = 8
+
+
+@query(
+    "sample_embed_diversity",
+    oracle=f"""
+        WITH km AS ({_sim.kmeans_sql('duck')})
+        , ranked AS (
+            SELECT vec_id, cell,
+                   row_number() OVER (
+                       PARTITION BY cell
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC,
+                                vec_id ASC) AS rnk
+            FROM km)
+        SELECT vec_id, cell, CAST(rnk AS BIGINT) AS pick_rank
+        FROM ranked WHERE rnk <= {_DIVERSITY_QUOTA}
+    """,
+)
+def q_sample_embed_diversity(spark, sf_dir):
+    """Diversity-aware sampling over the embedding space: a fixed
+    quota per TRAINED k-means cell (md5 pick order, deterministic) —
+    the cluster-then-quota downsampling that flattens dense regions
+    (the same regions graph_pagerank_knn scores as hubs) instead of
+    sampling them proportionally. Composes ann_ivf_kmeans's cells
+    with the per-group-top-k pattern; cell-coverage law in pytest."""
+    from pyspark.sql import Window
+
+    km = _sim.kmeans_cells(spark, sf_dir)
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(F.col("vec_id").cast("string")).asc(), F.col("vec_id").asc()
+    )
+    return (
+        km.select("vec_id", "cell")
+        .withColumn("pick_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("pick_rank") <= _DIVERSITY_QUOTA)
+    )

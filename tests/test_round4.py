@@ -444,3 +444,77 @@ def test_kmeans_wss_improves(spark, sf_dir):
     from aurora_cdc_demo_spark.operators.similarity import N_SEEDS
 
     assert len({r["cell"] for r in rows}) <= N_SEEDS
+
+
+R4C_QUERIES = [
+    "events_type_transitions",
+    "cdc_late_arrival_report",
+    "sample_embed_diversity",
+]
+
+
+@pytest.mark.parametrize("name", R4C_QUERIES)
+def test_oracle_parity_r4c(spark, sf_dir, name):
+    assert_matches_oracle(spark, name, sf_dir)
+
+
+def test_transitions_conservation(spark, sf_dir):
+    """Total transitions == total events minus one per multi-event
+    user (each user's chain has n_i - 1 links)."""
+    from aurora_cdc_demo_spark.tables import load_table
+
+    rows = QUERIES["events_type_transitions"](spark, sf_dir).collect()
+    total = sum(r["n_transitions"] for r in rows)
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    want = sum(r["count"] - 1 for r in per_user if r["count"] > 0)
+    assert total == want
+
+
+def test_late_arrival_fires_on_disorder(spark, sf_dir):
+    """The driver testdata is fully in-order (empty report — pinned),
+    and a constructed out-of-order log is reported with the exact
+    lateness."""
+    import datetime as dt
+
+    from aurora_cdc_demo_spark.operators.cdc_apply import late_arrival_report
+
+    assert QUERIES["cdc_late_arrival_report"](spark, sf_dir).count() == 0
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 1, t0),
+        (1, 2, t0 + dt.timedelta(seconds=100)),
+        (1, 3, t0 + dt.timedelta(seconds=40)),  # 60 s late
+        (2, 4, t0),
+        (2, 5, t0 + dt.timedelta(seconds=10)),
+    ]
+    log = spark.createDataFrame(
+        rows, "key_id long, seq long, ts timestamp"
+    )
+    got = {r["key_id"]: r for r in late_arrival_report(log).collect()}
+    assert set(got) == {1}
+    assert got[1]["n_late"] == 1
+    assert got[1]["max_late_s"] == 60
+
+
+def test_diversity_sample_covers_cells(spark, sf_dir):
+    """Every trained cell contributes min(quota, |cell|) picks, rank
+    sequences are 1..k, and picks are stable across runs."""
+    from aurora_cdc_demo_spark.registry import _DIVERSITY_QUOTA
+
+    cells = {}
+    for r in QUERIES["ann_ivf_kmeans"](spark, sf_dir).collect():
+        cells[r["cell"]] = cells.get(r["cell"], 0) + 1
+    picks = {}
+    for r in QUERIES["sample_embed_diversity"](spark, sf_dir).collect():
+        picks.setdefault(r["cell"], []).append(r["pick_rank"])
+    assert set(picks) == set(cells)
+    for cell, ranks in picks.items():
+        assert sorted(ranks) == list(
+            range(1, min(_DIVERSITY_QUOTA, cells[cell]) + 1)
+        )
