@@ -4551,3 +4551,101 @@ def q_sample_embed_diversity(spark, sf_dir):
         .withColumn("pick_rank", F.row_number().over(w).cast("long"))
         .where(F.col("pick_rank") <= _DIVERSITY_QUOTA)
     )
+
+
+_PARETO_BUCKETS = 32
+_PARETO_REV = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * "
+    "(CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+
+@query(
+    "supplier_revenue_pareto",
+    oracle=f"""
+        WITH rev AS (
+            SELECT l_suppkey AS suppkey,
+                   CAST(SUM({_PARETO_REV}) * 10000 AS BIGINT) AS rev_e4
+            FROM lineitem GROUP BY 1)
+        , tot AS (SELECT CAST(SUM(rev_e4) AS BIGINT) AS t FROM rev)
+        , c AS (
+            SELECT suppkey, rev_e4,
+                   CAST(SUM(rev_e4) OVER (
+                       ORDER BY rev_e4 DESC, suppkey ASC) AS BIGINT) AS cum
+            FROM rev)
+        SELECT suppkey, rev_e4,
+               CAST((10000 * cum) // t AS BIGINT) AS cum_share_bp,
+               ((cum - rev_e4) * 10000) // t < 8000 AS in_top80
+        FROM c CROSS JOIN tot
+    """,
+)
+def q_supplier_revenue_pareto(spark, sf_dir):
+    """Pareto (80/20) revenue concentration: every supplier's
+    cumulative revenue share in (revenue desc) order, flagging the
+    head set that covers 80% — the concentration view behind
+    key-account analysis and skew diagnosis.
+
+    Scale pattern — GLOBAL ordered cumulative WITHOUT a global sort:
+    a naive running sum over all suppliers is a single-partition
+    window (the WindowExec everything-to-one-reducer trap). Here the
+    revenue range splits into 32 value buckets (1-row min/max
+    broadcast); bucket totals (32 rows) take a tiny prefix window,
+    and each supplier's cumulative = its bucket's prefix + a running
+    sum WITHIN its bucket (windows partitioned by bucket, fully
+    parallel). Equal revenues can't straddle a bucket, so the
+    two-level order equals the global (rev desc, key asc) order —
+    the oracle runs the single global window (small-scale truth) and
+    the hash match proves the decomposition exact. All money math is
+    decimal scaled to integer e4; shares are floor bp."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev_expr = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (
+            F.lit(1.00).cast("decimal(4,2)")
+            - F.col("l_discount").cast("decimal(4,2)")
+        )
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        (F.sum(rev_expr) * 10000).cast("long").alias("rev_e4")
+    )
+    bounds = rev.agg(
+        F.min("rev_e4").alias("lo"),
+        F.max("rev_e4").alias("hi"),
+        F.sum("rev_e4").alias("t"),
+    )
+    bucketed = rev.crossJoin(F.broadcast(bounds)).select(
+        "suppkey",
+        "rev_e4",
+        "t",
+        F.expr(
+            f"((hi - rev_e4) * {_PARETO_BUCKETS}) div (hi - lo + 1)"
+        ).alias("bucket"),
+    )
+    w_in = Window.partitionBy("bucket").orderBy(
+        F.col("rev_e4").desc(), F.col("suppkey").asc()
+    )
+    btot = bucketed.groupBy("bucket").agg(
+        F.sum("rev_e4").alias("bucket_total")
+    )
+    w_b = Window.orderBy(F.col("bucket").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bpre = btot.select(
+        "bucket",
+        F.coalesce(F.sum("bucket_total").over(w_b), F.lit(0)).alias(
+            "bucket_prefix"
+        ),
+    )
+    cum = (
+        bucketed.join(F.broadcast(bpre), "bucket")
+        .withColumn("in_bucket_cum", F.sum("rev_e4").over(w_in))
+        .withColumn("cum", F.col("bucket_prefix") + F.col("in_bucket_cum"))
+    )
+    return cum.select(
+        "suppkey",
+        "rev_e4",
+        F.expr("(10000 * cum) div t").alias("cum_share_bp"),
+        F.expr("((cum - rev_e4) * 10000) div t < 8000").alias("in_top80"),
+    )

@@ -518,3 +518,45 @@ def test_diversity_sample_covers_cells(spark, sf_dir):
         assert sorted(ranks) == list(
             range(1, min(_DIVERSITY_QUOTA, cells[cell]) + 1)
         )
+
+
+def test_pareto_oracle_parity(spark, sf_dir):
+    assert_matches_oracle(spark, "supplier_revenue_pareto", sf_dir)
+
+
+def test_pareto_cumulative_laws(spark, sf_dir):
+    """Cumulative share is monotone in (rev desc, key asc) order and
+    ends at exactly 10000 bp; the top-80 head is a proper prefix and
+    non-trivial."""
+    rows = sorted(
+        QUERIES["supplier_revenue_pareto"](spark, sf_dir).collect(),
+        key=lambda r: (-r["rev_e4"], r["suppkey"]),
+    )
+    assert rows
+    prev = 0
+    flipped = False
+    for r in rows:
+        assert r["cum_share_bp"] >= prev
+        prev = r["cum_share_bp"]
+        if not r["in_top80"]:
+            flipped = True
+        else:
+            assert not flipped, "in_top80 must be a prefix"
+    assert rows[-1]["cum_share_bp"] == 10000
+    n_top = sum(r["in_top80"] for r in rows)
+    assert 0 < n_top <= len(rows)
+
+
+def test_pareto_plan_has_no_global_data_window(spark, sf_dir):
+    """The supplier-sized running sum must be partitioned by bucket;
+    the only unpartitioned window runs over the 32-row bucket-totals
+    aggregate. We assert the window over the supplier-sized relation
+    carries a partition spec (bucket) in the executed plan."""
+    plan = plan_of(spark, sf_dir, "supplier_revenue_pareto")
+    import re
+
+    # every Window node mentioning rev_e4's running sum must be
+    # partitioned by bucket; the bucket-prefix window (over
+    # bucket_total) is the only one allowed without it
+    for m in re.finditer(r"Window \[[^\]]*in_bucket_cum[^\]]*\]", plan):
+        assert "bucket" in m.group(0)
