@@ -61,6 +61,12 @@ HEADLINE = [
     "sample_importance_weights",
     "text_gopher_rules",
     "ann_pq_rerank_topk",
+    "corpus_keep_list_v4",
+    "ann_ivf_kmeans",
+    "graph_pagerank_knn",
+    "dedup_containment",
+    "supplier_revenue_pareto",
+    "scd2_point_in_time_join",
 ]
 
 
