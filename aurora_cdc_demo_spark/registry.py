@@ -4649,3 +4649,91 @@ def q_supplier_revenue_pareto(spark, sf_dir):
         F.expr("(10000 * cum) div t").alias("cum_share_bp"),
         F.expr("((cum - rev_e4) * 10000) div t < 8000").alias("in_top80"),
     )
+
+
+@query(
+    "scd2_compact",
+    oracle=_with_log(
+        """
+        , scd2 AS (
+            SELECT key_id, seq, operation, event_type, value,
+                   ts AS valid_from, lead(ts) OVER w AS valid_to
+            FROM log WINDOW w AS (PARTITION BY key_id ORDER BY ts ASC, seq ASC))
+        , flagged AS (
+            SELECT *,
+                   CASE WHEN lag(seq) OVER w2 IS NULL THEN 1
+                        WHEN operation <> lag(operation) OVER w2
+                          OR event_type <> lag(event_type) OVER w2
+                        THEN 1 ELSE 0 END AS chg
+            FROM scd2
+            WINDOW w2 AS (PARTITION BY key_id
+                          ORDER BY valid_from ASC, seq ASC))
+        , islands AS (
+            SELECT *, CAST(SUM(chg) OVER (
+                PARTITION BY key_id ORDER BY valid_from ASC, seq ASC
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+            FROM flagged)
+        SELECT key_id, island, MIN(seq) AS first_seq,
+               CAST(COUNT(*) AS BIGINT) AS n_merged,
+               MIN(operation) AS operation,
+               MIN(event_type) AS event_type,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 4)
+                   AS span_value,
+               MIN(valid_from) AS valid_from,
+               MAX(valid_to) AS valid_to
+        FROM islands
+        GROUP BY key_id, island
+        """
+    ),
+)
+def q_scd2_compact(spark, sf_dir):
+    """SCD2 compaction (interval coalescing): consecutive versions
+    whose tracked payload (operation, event_type, value) did not
+    actually change are merged into one validity span — the
+    no-op-update cleanup a warehouse runs on CDC-fed SCD2 tables:
+    the tracked dimension here is (operation, event_type); `value`
+    is an untracked measure (summed over the span), so binlog
+    UPDATEs that only moved the measure collapse into one version —
+    exactly the rows that otherwise bloat history. Gaps-and-islands: change flag via lag, island id via
+    running sum, one group-by — all three windows share the single
+    key_id shuffle. MAX(valid_to) is NULL-safe by SQL semantics only
+    when the island's last row is not the open row; the open
+    interval's NULL valid_to survives because MAX over a set
+    containing NULL ignores NULL — matched on both engines — so the
+    compacted current row keeps a non-NULL end only if a later span
+    exists; the conservation + adjacency laws are pinned in
+    tests/test_round4.py."""
+    from pyspark.sql import Window
+
+    scd2 = cdc_apply.scd2_history(cdc_operation_log(spark, sf_dir)).drop(
+        "is_current"
+    )
+    w2 = Window.partitionBy("key_id").orderBy(
+        F.col("valid_from").asc(), F.col("seq").asc()
+    )
+    chg = (
+        F.when(F.lag("seq").over(w2).isNull(), 1)
+        .when(
+            (F.col("operation") != F.lag("operation").over(w2))
+            | (F.col("event_type") != F.lag("event_type").over(w2)),
+            1,
+        )
+        .otherwise(0)
+    )
+    islands = scd2.withColumn("chg", chg).withColumn(
+        "island",
+        F.sum("chg")
+        .over(w2.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    return islands.groupBy("key_id", "island").agg(
+        F.min("seq").alias("first_seq"),
+        F.count(F.lit(1)).alias("n_merged"),
+        F.min("operation").alias("operation"),
+        F.min("event_type").alias("event_type"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double"), 4
+        ).alias("span_value"),
+        F.min("valid_from").alias("valid_from"),
+        F.max("valid_to").alias("valid_to"),
+    )

@@ -560,3 +560,36 @@ def test_pareto_plan_has_no_global_data_window(spark, sf_dir):
     # bucket_total) is the only one allowed without it
     for m in re.finditer(r"Window \[[^\]]*in_bucket_cum[^\]]*\]", plan):
         assert "bucket" in m.group(0)
+
+
+def test_scd2_compact_oracle_parity(spark, sf_dir):
+    assert_matches_oracle(spark, "scd2_compact", sf_dir)
+
+
+def test_scd2_compact_laws(spark, sf_dir):
+    """Conservation: merged row counts sum to the raw SCD2 row
+    count; islands actually merge on this data (n_merged > 1
+    exists); within a key, island spans are disjoint and ordered
+    (each span's valid_from follows the previous span's end); and
+    each span is homogeneous by construction (one (operation,
+    event_type))."""
+    from aurora_cdc_demo_spark.operators.cdc_apply import scd2_history
+    from aurora_cdc_demo_spark.sources.cdc_log import cdc_operation_log
+
+    raw_n = cdc_operation_log(spark, sf_dir).count()
+    rows = QUERIES["scd2_compact"](spark, sf_dir).collect()
+    assert sum(r["n_merged"] for r in rows) == raw_n
+    assert any(r["n_merged"] > 1 for r in rows)
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["key_id"], []).append(r)
+    for spans in by_key.values():
+        spans.sort(key=lambda r: r["island"])
+        for prev, nxt in zip(spans, spans[1:]):
+            assert prev["valid_to"] is not None
+            assert prev["valid_to"] <= nxt["valid_from"]
+        # exactly one open span at most, and only at the end
+        open_spans = [s for s in spans if s["valid_to"] is None]
+        assert len(open_spans) <= 1
+        if open_spans:
+            assert open_spans[0] is spans[-1]
