@@ -531,15 +531,24 @@ KNN_K = 3
 def _knn_ctes(dialect: str) -> str:
     """Shared CTE chain ``v → seeds → assign → cells → cand →
     ranked`` used by the KNN-graph query and the PageRank query
-    built on its edges."""
+    built on its edges.
+
+    The heavy members are MATERIALIZED in the DuckDB dialect:
+    PageRank's unrolled rounds reference the chain repeatedly and
+    DuckDB 1.0 inlines CTEs by default, re-evaluating the
+    seed-assignment cross join once per reference — enough to OOM a
+    long-lived oracle connection at the end of a full-registry
+    sweep. Spark reuses the exchange on its own (ReuseExchange), so
+    the keyword is dialect-gated."""
+    mat = "MATERIALIZED " if dialect != "spark" else ""
     return f"""
-        WITH v AS (
+        WITH v AS {mat}(
             SELECT vec_id, embedding, {_norm('embedding', dialect)} AS nrm
             FROM embeddings)
         , seeds AS (
             SELECT vec_id AS seed_id, embedding AS se, nrm AS snrm
             FROM v WHERE vec_id < {N_SEEDS})
-        , assign AS (
+        , assign AS {mat}(
             SELECT v.vec_id, v.embedding, v.nrm, s.seed_id,
                    row_number() OVER (
                        PARTITION BY v.vec_id
@@ -547,16 +556,16 @@ def _knn_ctes(dialect: str) -> str:
                                 / (v.nrm * s.snrm) DESC,
                                 s.seed_id ASC) AS rn
             FROM v CROSS JOIN seeds s)
-        , cells AS (
+        , cells AS {mat}(
             SELECT vec_id, embedding, nrm, seed_id AS cell
             FROM assign WHERE rn = 1)
-        , cand AS (
+        , cand AS {mat}(
             SELECT a.vec_id, b.vec_id AS neighbor_id,
                    ({_dot('a.embedding', 'b.embedding', dialect)})
                        / (a.nrm * b.nrm) AS cos
             FROM cells a
             JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
-        , ranked AS (
+        , ranked AS {mat}(
             SELECT *, row_number() OVER (
                 PARTITION BY vec_id
                 ORDER BY cos DESC, neighbor_id ASC) AS rnk
@@ -611,13 +620,14 @@ def pagerank_sql(dialect: str) -> str:
     (see operators/graph.py's reliable-checkpoint mode); at
     PR_ITERS=3 the plan stays comfortably analyzable."""
     div = "div" if dialect == "spark" else "//"
+    mat = "MATERIALIZED " if dialect != "spark" else ""
     ctes = f"""{_knn_ctes(dialect)}
-        , edges AS (
+        , edges AS {mat}(
             SELECT vec_id AS src, neighbor_id AS dst
             FROM ranked WHERE rnk <= {KNN_K})
         , nodes AS (SELECT vec_id FROM v)
         , nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes)
-        , outdeg AS (
+        , outdeg AS {mat}(
             SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
             FROM edges GROUP BY src)
         , r0 AS (
@@ -984,11 +994,12 @@ def kmeans_sql(dialect: str) -> str:
             FROM embeddings,
                  (SELECT CAST(unnest(range(1, 65)) AS BIGINT) AS dim) d)
         """
+    mat = "MATERIALIZED " if dialect != "spark" else ""
     sql = f"""
         WITH {explode}
-        , stats AS (
+        , stats AS {mat}(
             SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM e GROUP BY dim)
-        , codes AS (
+        , codes AS {mat}(
             SELECT e.vec_id, e.dim,
                    CASE WHEN s.hi = s.lo THEN 0
                         ELSE LEAST(255, GREATEST(0, CAST(FLOOR(
@@ -1002,13 +1013,13 @@ def kmeans_sql(dialect: str) -> str:
     prev = "c0"
     for i in range(1, KM_ITERS + 1):
         sql += f"""
-        , d{i} AS (
+        , d{i} AS {mat}(
             SELECT v.vec_id, c.cid,
                    CAST(SUM((v.cx - c.cc) * (v.cx - c.cc)) AS BIGINT)
                        AS dist2
             FROM codes v JOIN {prev} c ON v.dim = c.dim
             GROUP BY v.vec_id, c.cid)
-        , asg{i} AS (
+        , asg{i} AS {mat}(
             SELECT vec_id, cid, dist2 FROM (
                 SELECT *, row_number() OVER (
                     PARTITION BY vec_id
