@@ -4737,3 +4737,84 @@ def q_scd2_compact(spark, sf_dir):
         F.min("valid_from").alias("valid_from"),
         F.max("valid_to").alias("valid_to"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R4d: Debezium medallion GOLD layer (DLT apply_changes analog)
+# ---------------------------------------------------------------------------
+
+_DEBEZIUM_SILVER_CTE = f"""
+    , silver AS (
+        {_debezium.DEBEZIUM_SILVER_SQL_BODY}
+    )
+"""
+
+
+@query(
+    "debezium_gold_scd1",
+    oracle=_with_log(
+        _DEBEZIUM_SILVER_CTE
+        + """
+        , ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY key_id ORDER BY pos DESC) AS rn
+            FROM silver)
+        SELECT key_id, pos, operation, value, event_timestamp, table_name
+        FROM ranked WHERE rn = 1 AND operation <> 'DELETE'
+        """
+    ),
+)
+def q_debezium_gold_scd1(spark, sf_dir):
+    """Debezium medallion GOLD, SCD1: apply_changes keyed by key_id
+    sequenced by binlog position — the DLT
+    `apply_changes(stored_as_scd_type=1)` end state (reference
+    debezium-approach/notebooks/dlt_cdc_pipeline.py gold layer):
+    last change wins, DELETE drops the key, SNAPSHOT ('r') rows
+    upsert like inserts. Completes the bronze→silver→gold path whose
+    bronze/silver/DLQ stages are already oracle-checked. One shuffle
+    on key_id (row_number by pos)."""
+    silver = _debezium.parse_envelopes(
+        _debezium.synth_envelopes(cdc_operation_log(spark, sf_dir))
+    )
+    return cdc_apply.latest_state(
+        silver, key="key_id", ts="pos", seq="pos"
+    ).select("key_id", "pos", "operation", "value", "event_timestamp",
+             "table_name")
+
+
+@query(
+    "debezium_gold_scd2",
+    oracle=_with_log(
+        _DEBEZIUM_SILVER_CTE
+        + """
+        SELECT key_id, pos, operation, value,
+               lead(pos) OVER w AS end_pos,
+               (lead(pos) OVER w IS NULL AND operation <> 'DELETE')
+                   AS is_current
+        FROM silver WINDOW w AS (PARTITION BY key_id ORDER BY pos ASC)
+        """
+    ),
+)
+def q_debezium_gold_scd2(spark, sf_dir):
+    """Debezium medallion GOLD, SCD2: every silver change becomes a
+    versioned row valid over [pos, end_pos) with an is_current flag
+    — the DLT `apply_changes(stored_as_scd_type=2)` __START_AT/
+    __END_AT history (reference dlt_cdc_pipeline.py gold layer),
+    sequenced by binlog position. Same single key shuffle as SCD1;
+    the lead window shares it."""
+    from pyspark.sql import Window
+
+    silver = _debezium.parse_envelopes(
+        _debezium.synth_envelopes(cdc_operation_log(spark, sf_dir))
+    )
+    w = Window.partitionBy("key_id").orderBy(F.col("pos").asc())
+    return silver.select(
+        "key_id",
+        "pos",
+        "operation",
+        "value",
+        F.lead("pos").over(w).alias("end_pos"),
+        (
+            F.lead("pos").over(w).isNull() & (F.col("operation") != "DELETE")
+        ).alias("is_current"),
+    )

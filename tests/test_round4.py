@@ -593,3 +593,33 @@ def test_scd2_compact_laws(spark, sf_dir):
         assert len(open_spans) <= 1
         if open_spans:
             assert open_spans[0] is spans[-1]
+
+
+@pytest.mark.parametrize(
+    "name", ["debezium_gold_scd1", "debezium_gold_scd2"]
+)
+def test_oracle_parity_debezium_gold(spark, sf_dir, name):
+    assert_matches_oracle(spark, name, sf_dir)
+
+
+def test_debezium_gold_consistency(spark, sf_dir):
+    """Medallion-internal law: SCD1 is exactly SCD2's is_current
+    slice, and each key's SCD2 version chain is contiguous in binlog
+    position (end_pos of one version == pos of the next)."""
+    scd1 = {
+        r["key_id"]: r["pos"]
+        for r in QUERIES["debezium_gold_scd1"](spark, sf_dir).collect()
+    }
+    scd2 = QUERIES["debezium_gold_scd2"](spark, sf_dir).collect()
+    current = {
+        r["key_id"]: r["pos"] for r in scd2 if r["is_current"]
+    }
+    assert scd1 == current
+    chains = {}
+    for r in scd2:
+        chains.setdefault(r["key_id"], []).append(r)
+    for rows in chains.values():
+        rows.sort(key=lambda r: r["pos"])
+        for a, b in zip(rows, rows[1:]):
+            assert a["end_pos"] == b["pos"]
+        assert rows[-1]["end_pos"] is None
