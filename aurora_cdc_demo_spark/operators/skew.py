@@ -56,3 +56,47 @@ SALTED_AGG_SQL = """
            MAX(ts) AS last_ts
     FROM log GROUP BY event_type
 """
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_salts: int = N_SALTS,
+) -> DataFrame:
+    """Skew-safe equi-join: the FACT side gets a deterministic salt
+    (md5 of its row id — no RNG) and the DIM side is replicated
+    n_salts ways, so one hot key's fact rows spread over n_salts
+    reducers instead of melting a single one. The join result is
+    EXACTLY the plain join (each fact row meets precisely the one
+    dim replica carrying its salt) — pinned by the oracle, which
+    runs the unsalted join.
+
+    This is the manual form of what AQE skew-join does adaptively
+    (splitting oversized partitions at runtime); you write it by
+    hand when the skew is known and stable (power-law user keys) or
+    when the engine's threshold heuristics don't fire. Cost: dim is
+    shuffled n_salts times larger — only worth it when dim is small
+    relative to the hot key's volume but too big (or too
+    churn-prone) to broadcast."""
+    salt = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(fact_key).cast("string"), F.lit("#"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_salts
+    )
+    salted_fact = fact.withColumn("_salt", salt)
+    replicated = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("long"))
+    cond = (F.col(fact_key) == F.col(dim_key)) & (
+        salted_fact["_salt"] == replicated["_salt"]
+    )
+    return salted_fact.join(replicated, cond).drop("_salt")

@@ -4818,3 +4818,41 @@ def q_debezium_gold_scd2(spark, sf_dir):
             F.lead("pos").over(w).isNull() & (F.col("operation") != "DELETE")
         ).alias("is_current"),
     )
+
+
+@query(
+    "skew_salted_join",
+    oracle=_with_log(
+        """
+        , ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY key_id ORDER BY ts DESC, seq DESC) AS rn
+            FROM log)
+        , dim AS (
+            SELECT key_id, seq AS state_seq, value AS state_value
+            FROM ranked WHERE rn = 1 AND operation <> 'DELETE')
+        SELECT e.event_id, e.user_id, d.state_seq, d.state_value
+        FROM events e JOIN dim d ON d.key_id = e.user_id
+        """
+    ),
+)
+def q_skew_salted_join(spark, sf_dir):
+    """Skew-safe fact-dim enrichment: every event joined to its
+    user's final CDC state through a SALTED equi-join (deterministic
+    md5 salt on the fact side, dim replicated N_SALTS ways) — the
+    manual skew pattern for power-law keys when broadcast is off the
+    table; see operators/skew.py:salted_join. The oracle runs the
+    UNSALTED join, so the hash match proves salting changes the
+    physical distribution and nothing else; the plan test pins the
+    salt in the join keys."""
+    from .operators import skew as _skew
+
+    events = load_table(spark, sf_dir, "events")
+    dim = cdc_apply.latest_state(cdc_operation_log(spark, sf_dir)).select(
+        "key_id",
+        F.col("seq").alias("state_seq"),
+        F.col("value").alias("state_value"),
+    )
+    return _skew.salted_join(
+        events.select("event_id", "user_id"), dim, "user_id", "key_id"
+    ).select("event_id", "user_id", "state_seq", "state_value")

@@ -623,3 +623,38 @@ def test_debezium_gold_consistency(spark, sf_dir):
         for a, b in zip(rows, rows[1:]):
             assert a["end_pos"] == b["pos"]
         assert rows[-1]["end_pos"] is None
+
+
+def test_salted_join_oracle_parity(spark, sf_dir):
+    assert_matches_oracle(spark, "skew_salted_join", sf_dir)
+
+
+def test_salted_join_equals_plain_and_salts_keys(spark, sf_dir):
+    """The salted join must equal the plain join row-for-row, and
+    the physical join keys must include the salt column (that IS the
+    skew mechanism)."""
+    from aurora_cdc_demo_spark.operators import cdc_apply
+    from aurora_cdc_demo_spark.sources.cdc_log import cdc_operation_log
+    from aurora_cdc_demo_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id"
+    )
+    dim = cdc_apply.latest_state(
+        cdc_operation_log(spark, sf_dir)
+    ).select("key_id", F.col("seq").alias("state_seq"))
+    plain = {
+        (r["event_id"], r["state_seq"])
+        for r in events.join(
+            dim, events.user_id == dim.key_id
+        ).collect()
+    }
+    got = {
+        (r["event_id"], r["state_seq"])
+        for r in QUERIES["skew_salted_join"](spark, sf_dir).collect()
+    }
+    assert got == plain
+
+    plan = plan_of(spark, sf_dir, "skew_salted_join")
+    assert "_salt" in plan
