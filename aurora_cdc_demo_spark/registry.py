@@ -4856,3 +4856,81 @@ def q_skew_salted_join(spark, sf_dir):
     return _skew.salted_join(
         events.select("event_id", "user_id"), dim, "user_id", "key_id"
     ).select("event_id", "user_id", "state_seq", "state_value")
+
+
+_FUNNEL_WINDOW_H = 72  # conversion must land within 72 h of the prior step
+
+
+@query(
+    "events_funnel_windowed",
+    oracle=f"""
+        WITH first_signup AS (
+            SELECT user_id, MIN(ts) AS t_signup
+            FROM events WHERE event_type = 'signup' GROUP BY user_id)
+        , first_click AS (
+            SELECT e.user_id, MIN(e.ts) AS t_click
+            FROM events e JOIN first_signup s ON e.user_id = s.user_id
+            WHERE e.event_type = 'click' AND e.ts >= s.t_signup
+              AND epoch_us(e.ts) - epoch_us(s.t_signup)
+                  <= {_FUNNEL_WINDOW_H} * 3600000000
+            GROUP BY e.user_id)
+        , first_purchase AS (
+            SELECT e.user_id, MIN(e.ts) AS t_purchase
+            FROM events e JOIN first_click c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+              AND epoch_us(e.ts) - epoch_us(c.t_click)
+                  <= {_FUNNEL_WINDOW_H} * 3600000000
+            GROUP BY e.user_id)
+        SELECT
+            (SELECT COUNT(*) FROM first_signup) AS n_signup,
+            (SELECT COUNT(*) FROM first_click) AS n_click_72h,
+            (SELECT COUNT(*) FROM first_purchase) AS n_purchase_72h
+    """,
+)
+def q_events_funnel_windowed(spark, sf_dir):
+    """Time-bound conversion funnel: each step must land within 72 h
+    of the previous step's first event — the attribution-window
+    variant of events_funnel (unbounded funnels overcount: a
+    purchase months after the click is not that click's conversion).
+    Same three shrinking key-partitioned aggregations; the deadline
+    is integer microsecond arithmetic on both engines (see the
+    date_diff gotcha). Windowed counts <= unbounded counts is pinned
+    in pytest."""
+    ev = load_table(spark, sf_dir, "events")
+    lim_us = _FUNNEL_WINDOW_H * 3600 * 1_000_000
+    signup = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    click = (
+        ev.where(F.col("event_type") == "click")
+        .join(signup, "user_id")
+        .where(
+            (F.col("ts") >= F.col("t_signup"))
+            & (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.col("t_signup"))
+                <= lim_us
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchase = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(click, "user_id")
+        .where(
+            (F.col("ts") >= F.col("t_click"))
+            & (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.col("t_click"))
+                <= lim_us
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        signup.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(click.agg(F.count(F.lit(1)).alias("n_click_72h")))
+        .crossJoin(purchase.agg(F.count(F.lit(1)).alias("n_purchase_72h")))
+    )

@@ -658,3 +658,19 @@ def test_salted_join_equals_plain_and_salts_keys(spark, sf_dir):
 
     plan = plan_of(spark, sf_dir, "skew_salted_join")
     assert "_salt" in plan
+
+
+def test_funnel_windowed_oracle_parity(spark, sf_dir):
+    assert_matches_oracle(spark, "events_funnel_windowed", sf_dir)
+
+
+def test_funnel_windowed_bounds_unbounded(spark, sf_dir):
+    """The attribution window can only shrink each step's count, and
+    step counts are monotone down the funnel."""
+    unb = QUERIES["events_funnel"](spark, sf_dir).collect()[0]
+    win = QUERIES["events_funnel_windowed"](spark, sf_dir).collect()[0]
+    assert win["n_signup"] == unb["n_signup"]
+    assert win["n_click_72h"] <= unb["n_click_after_signup"]
+    assert win["n_purchase_72h"] <= unb["n_purchase_after_click"]
+    assert win["n_signup"] >= win["n_click_72h"] >= win["n_purchase_72h"]
+    assert win["n_click_72h"] > 0
