@@ -674,3 +674,30 @@ def test_funnel_windowed_bounds_unbounded(spark, sf_dir):
     assert win["n_purchase_72h"] <= unb["n_purchase_after_click"]
     assert win["n_signup"] >= win["n_click_72h"] >= win["n_purchase_72h"]
     assert win["n_click_72h"] > 0
+
+
+def test_bloom_probe_unit(spark):
+    """Unit law for the reusable bloom_probe operator: every true
+    member passes (no false negatives), and flags are booleans over
+    exactly the probe set."""
+    from aurora_cdc_demo_spark.operators.sketches import (
+        bloom_bits,
+        bloom_probe,
+    )
+
+    members = spark.createDataFrame(
+        [(f"member-{i}",) for i in range(50)], "g string"
+    )
+    probes = spark.createDataFrame(
+        [(f"member-{i}",) for i in range(0, 50, 5)]
+        + [(f"outsider-{i}",) for i in range(40)],
+        "g string",
+    )
+    bits = bloom_bits(members, "g")
+    got = {r["g"]: r["maybe_member"] for r in bloom_probe(probes, "g", bits).collect()}
+    assert len(got) == 10 + 40
+    for i in range(0, 50, 5):
+        assert got[f"member-{i}"] is True
+    # outsiders may false-positive, but at n=50, m=65536, k=3 the
+    # expected FP rate is ~1e-8 — all should read False here
+    assert sum(got[f"outsider-{i}"] for i in range(40)) == 0
