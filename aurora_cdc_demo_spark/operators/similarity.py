@@ -432,8 +432,17 @@ def quantize_sql(dialect: str) -> str:
     / ANN-memory compression step): per-dimension [min, max] over the
     corpus, 256 uniform bins, dequantize at bin centers. Emits
     integer-exact evidence per vector: the code sum and the
-    floor-scaled (1e6) per-dim reconstruction-error sum/max —
+    e6-scaled per-dim reconstruction-error sum/max —
     order-independent integers, so the oracle compare is exact.
+
+    Determinism: each value is floored to an e6-scaled BIGINT first
+    (ONE IEEE multiply by an exactly-representable constant — safe
+    per-operation), then binning, bin centers, and errors are pure
+    integer algebra: code = ((xi-lo)*256) div (hi-lo+1) in [0,255],
+    err_e6 = |512*(xi-lo) - (2*code+1)*(hi-lo+1)| div 512. No float
+    division chain anywhere, so no reassociation/FMA hazard between
+    engines (ADVICE r2: FLOOR over a two-step float quotient was the
+    one non-integer step in the 'integer-exact' claim).
 
     Scale: the explode is 64x row count but narrow (three columns);
     per-dim stats aggregate to DIMS rows — a bounded broadcast back
@@ -454,29 +463,31 @@ def quantize_sql(dialect: str) -> str:
             FROM embeddings,
                  (SELECT CAST(unnest(range(1, 65)) AS BIGINT) AS dim) d)
         """
+    idiv = "div" if dialect == "spark" else "//"
     return f"""
         WITH {explode}
+        , ei AS (
+            SELECT vec_id, dim,
+                   CAST(FLOOR(x * 1000000) AS BIGINT) AS xi
+            FROM e)
         , stats AS (
-            SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM e GROUP BY dim)
+            SELECT dim, MIN(xi) AS lo, MAX(xi) AS hi FROM ei GROUP BY dim)
         , q AS (
-            SELECT e.vec_id,
+            SELECT ei.vec_id,
                    CASE WHEN s.hi = s.lo THEN 0
-                        ELSE LEAST(255, GREATEST(0, CAST(FLOOR(
-                             (e.x - s.lo) / ((s.hi - s.lo) / 255)) AS BIGINT)))
+                        ELSE ((ei.xi - s.lo) * 256) {idiv} (s.hi - s.lo + 1)
                    END AS code,
-                   CASE WHEN s.hi = s.lo THEN CAST(0 AS DOUBLE)
-                        ELSE ABS(e.x - (s.lo + (LEAST(255, GREATEST(0,
-                             CAST(FLOOR((e.x - s.lo) / ((s.hi - s.lo) / 255))
-                                  AS BIGINT))) + 0.5)
-                             * ((s.hi - s.lo) / 255)))
-                   END AS err
-            FROM e JOIN stats s ON e.dim = s.dim)
+                   CASE WHEN s.hi = s.lo THEN 0
+                        ELSE ABS(512 * (ei.xi - s.lo)
+                             - (2 * (((ei.xi - s.lo) * 256)
+                                     {idiv} (s.hi - s.lo + 1)) + 1)
+                               * (s.hi - s.lo + 1)) {idiv} 512
+                   END AS err_e6
+            FROM ei JOIN stats s ON ei.dim = s.dim)
         SELECT vec_id,
                CAST(SUM(code) AS BIGINT) AS code_sum,
-               CAST(SUM(CAST(FLOOR(err * 1000000) AS BIGINT)) AS BIGINT)
-                   AS err_sum_e6,
-               CAST(MAX(CAST(FLOOR(err * 1000000) AS BIGINT)) AS BIGINT)
-                   AS err_max_e6
+               CAST(SUM(err_e6) AS BIGINT) AS err_sum_e6,
+               CAST(MAX(err_e6) AS BIGINT) AS err_max_e6
         FROM q GROUP BY vec_id
     """
 
@@ -997,16 +1008,18 @@ def kmeans_sql(dialect: str) -> str:
     mat = "MATERIALIZED " if dialect != "spark" else ""
     sql = f"""
         WITH {explode}
+        , ei AS (
+            SELECT vec_id, dim,
+                   CAST(FLOOR(x * 1000000) AS BIGINT) AS xi
+            FROM e)
         , stats AS {mat}(
-            SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM e GROUP BY dim)
+            SELECT dim, MIN(xi) AS lo, MAX(xi) AS hi FROM ei GROUP BY dim)
         , codes AS {mat}(
-            SELECT e.vec_id, e.dim,
+            SELECT ei.vec_id, ei.dim,
                    CASE WHEN s.hi = s.lo THEN 0
-                        ELSE LEAST(255, GREATEST(0, CAST(FLOOR(
-                             (e.x - s.lo) / ((s.hi - s.lo) / 255))
-                             AS BIGINT)))
+                        ELSE ((ei.xi - s.lo) * 256) {div} (s.hi - s.lo + 1)
                    END AS cx
-            FROM e JOIN stats s ON e.dim = s.dim)
+            FROM ei JOIN stats s ON ei.dim = s.dim)
         , c0 AS (
             SELECT vec_id AS cid, dim, cx AS cc FROM codes
             WHERE vec_id < {N_SEEDS})"""

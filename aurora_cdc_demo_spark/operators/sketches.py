@@ -135,6 +135,11 @@ def count_min_estimates(rows: DataFrame, key: str) -> DataFrame:
 
 def count_min_sql(source: str, key: str) -> str:
     a, b = _ab_sql(key)
+    # qualified variants for the probe CTE — built from the same
+    # generator, never by substring-replacing `key` into the
+    # unqualified SQL (a key name occurring inside md5/substr would
+    # corrupt the expression)
+    ea, eb = _ab_sql(f"e.{key}")
     return f"""
         WITH hashed AS (
             SELECT {key}, {a} AS a, {b} AS b FROM {source})
@@ -150,8 +155,7 @@ def count_min_sql(source: str, key: str) -> str:
             FROM {source} GROUP BY {key})
         , probe AS (
             SELECT e.{key}, e.exact_count, d.d,
-                   ({a.replace(key, f'e.{key}')} + d.d *
-                    {b.replace(key, f'e.{key}')}) % {CM_WIDTH} AS bucket
+                   ({ea} + d.d * {eb}) % {CM_WIDTH} AS bucket
             FROM exact e CROSS JOIN (
                 SELECT unnest(range({CM_DEPTH})) AS d) d)
         SELECT p.{key},

@@ -58,20 +58,51 @@ SALTED_AGG_SQL = """
 """
 
 
+def row_salt(
+    fact: DataFrame, row_id_col: str | None, n_salts: int
+):
+    """Deterministic per-ROW salt expression. The salt MUST vary
+    within a join key — deriving it from the join key itself would
+    give every row of a hot key the same salt, leaving the (key,
+    salt) distribution identical to key alone and the mitigation a
+    no-op. Salt from the row identity instead: md5 of `row_id_col`
+    when the fact has one, else xxhash64 over all fact columns."""
+    if row_id_col is not None:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col(row_id_col).cast("string"), F.lit("#")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n_salts
+        )
+    return F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), n_salts)
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,
     fact_key: str,
     dim_key: str,
     n_salts: int = N_SALTS,
+    row_id_col: str | None = None,
 ) -> DataFrame:
-    """Skew-safe equi-join: the FACT side gets a deterministic salt
-    (md5 of its row id — no RNG) and the DIM side is replicated
-    n_salts ways, so one hot key's fact rows spread over n_salts
-    reducers instead of melting a single one. The join result is
-    EXACTLY the plain join (each fact row meets precisely the one
-    dim replica carrying its salt) — pinned by the oracle, which
-    runs the unsalted join.
+    """Skew-safe equi-join: the FACT side gets a deterministic
+    per-ROW salt (md5 of `row_id_col`, or xxhash64 of the whole row
+    when no id column is given — never the join key, see row_salt)
+    and the DIM side is replicated n_salts ways, so one hot key's
+    fact rows spread over n_salts reducers instead of melting a
+    single one. The join result is EXACTLY the plain join (each fact
+    row meets precisely the one dim replica carrying its salt) —
+    pinned by the oracle, which runs the unsalted join.
 
     This is the manual form of what AQE skew-join does adaptively
     (splitting oversized partitions at runtime); you write it by
@@ -80,19 +111,9 @@ def salted_join(
     shuffled n_salts times larger — only worth it when dim is small
     relative to the hot key's volume but too big (or too
     churn-prone) to broadcast."""
-    salt = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col(fact_key).cast("string"), F.lit("#"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % n_salts
+    salted_fact = fact.withColumn(
+        "_salt", row_salt(fact, row_id_col, n_salts)
     )
-    salted_fact = fact.withColumn("_salt", salt)
     replicated = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     ).withColumn("_salt", F.col("_salt").cast("long"))

@@ -3877,8 +3877,10 @@ _DSIR_TARGET_LANG = "en"
                        AS ttb)
         , ratio AS (
             SELECT s.bkt,
-                   (1000000 * (COALESCE(t.ct, 0) + 1) * tot.tsb)
-                       // ((s.cs + 1) * tot.ttb) AS r_ppm
+                   CAST((CAST(1000000 AS HUGEINT)
+                         * (COALESCE(t.ct, 0) + 1) * tot.tsb)
+                        // ((s.cs + 1) * CAST(tot.ttb AS HUGEINT))
+                        AS BIGINT) AS r_ppm
             FROM src s LEFT JOIN tgt t ON s.bkt = t.bkt
             CROSS JOIN totals tot)
         SELECT b.doc_id,
@@ -3902,7 +3904,12 @@ def q_sample_importance_weights(spark, sf_dir):
     the corpus size (the whole point of hashed features) — it
     broadcasts, so the token stream aggregates per doc with one
     map-side-combined shuffle on doc_id and never shuffles tokens by
-    bucket; the source/target counts are two bounded aggregates."""
+    bucket; the source/target counts are two bounded aggregates.
+    The ratio numerator 1e6*(ct+1)*tsb multiplies three token-scale
+    counters, which overflows 64-bit at ~1e13 tokens — so both
+    engines evaluate it in exact 128-bit integer arithmetic
+    (DECIMAL(38,0) `div` on Spark, HUGEINT `//` on DuckDB; identical
+    rational floor) and only the bounded quotient is a BIGINT."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("w")
@@ -3936,8 +3943,9 @@ def q_sample_importance_weights(spark, sf_dir):
         .select(
             "bkt",
             F.expr(
-                "(1000000 * (COALESCE(ct, 0) + 1) * tsb) "
-                "div ((cs + 1) * ttb)"
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) "
+                "      * (COALESCE(ct, 0) + 1) * tsb) "
+                "div ((cs + 1) * CAST(ttb AS DECIMAL(38,0))) AS BIGINT)"
             ).alias("r_ppm"),
         )
     )
@@ -4680,7 +4688,8 @@ def q_supplier_revenue_pareto(spark, sf_dir):
                ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 4)
                    AS span_value,
                MIN(valid_from) AS valid_from,
-               MAX(valid_to) AS valid_to
+               CASE WHEN COUNT(*) <> COUNT(valid_to) THEN NULL
+                    ELSE MAX(valid_to) END AS valid_to
         FROM islands
         GROUP BY key_id, island
         """
@@ -4696,12 +4705,14 @@ def q_scd2_compact(spark, sf_dir):
     UPDATEs that only moved the measure collapse into one version —
     exactly the rows that otherwise bloat history. Gaps-and-islands: change flag via lag, island id via
     running sum, one group-by — all three windows share the single
-    key_id shuffle. MAX(valid_to) is NULL-safe by SQL semantics only
-    when the island's last row is not the open row; the open
-    interval's NULL valid_to survives because MAX over a set
-    containing NULL ignores NULL — matched on both engines — so the
-    compacted current row keeps a non-NULL end only if a later span
-    exists; the conservation + adjacency laws are pinned in
+    key_id shuffle. The open interval's NULL valid_to must be
+    preserved explicitly: SQL MAX *ignores* NULL, so an island that
+    merges the open row with earlier closed rows would otherwise
+    report the last closed row's end as the span end. The compaction
+    therefore emits NULL valid_to for any island whose row count
+    exceeds its non-NULL valid_to count (the island contains the
+    open row) — every live key's last compacted span stays open;
+    conservation + adjacency + last-span-open laws are pinned in
     tests/test_round4.py."""
     from pyspark.sql import Window
 
@@ -4735,7 +4746,11 @@ def q_scd2_compact(spark, sf_dir):
             F.sum(F.col("value").cast("decimal(12,2)")).cast("double"), 4
         ).alias("span_value"),
         F.min("valid_from").alias("valid_from"),
-        F.max("valid_to").alias("valid_to"),
+        F.when(
+            F.count(F.lit(1)) != F.count("valid_to"), F.lit(None)
+        )
+        .otherwise(F.max("valid_to"))
+        .alias("valid_to"),
     )
 
 
@@ -4839,12 +4854,14 @@ def q_debezium_gold_scd2(spark, sf_dir):
 def q_skew_salted_join(spark, sf_dir):
     """Skew-safe fact-dim enrichment: every event joined to its
     user's final CDC state through a SALTED equi-join (deterministic
-    md5 salt on the fact side, dim replicated N_SALTS ways) — the
-    manual skew pattern for power-law keys when broadcast is off the
-    table; see operators/skew.py:salted_join. The oracle runs the
-    UNSALTED join, so the hash match proves salting changes the
-    physical distribution and nothing else; the plan test pins the
-    salt in the join keys."""
+    per-ROW md5 salt on event_id — NOT the join key, so one hot
+    user's events spread across N_SALTS reducers; dim replicated
+    N_SALTS ways) — the manual skew pattern for power-law keys when
+    broadcast is off the table; see operators/skew.py:salted_join.
+    The oracle runs the UNSALTED join, so the hash match proves
+    salting changes the physical distribution and nothing else; the
+    plan test pins the salt in the join keys AND that a hot key's
+    rows land on multiple salts."""
     from .operators import skew as _skew
 
     events = load_table(spark, sf_dir, "events")
@@ -4854,7 +4871,11 @@ def q_skew_salted_join(spark, sf_dir):
         F.col("value").alias("state_value"),
     )
     return _skew.salted_join(
-        events.select("event_id", "user_id"), dim, "user_id", "key_id"
+        events.select("event_id", "user_id"),
+        dim,
+        "user_id",
+        "key_id",
+        row_id_col="event_id",
     ).select("event_id", "user_id", "state_seq", "state_value")
 
 

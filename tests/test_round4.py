@@ -588,11 +588,15 @@ def test_scd2_compact_laws(spark, sf_dir):
         for prev, nxt in zip(spans, spans[1:]):
             assert prev["valid_to"] is not None
             assert prev["valid_to"] <= nxt["valid_from"]
-        # exactly one open span at most, and only at the end
+        # exactly one open span per key, and only at the end: every
+        # key's raw SCD2 chain ends with the open row (lead == NULL),
+        # so compaction must preserve exactly one open span — a
+        # closed last span means MAX(valid_to) swallowed the NULL
+        # (the bug ADVICE r2 flagged: 'valid_to IS NULL = current'
+        # consumers would lose the key)
         open_spans = [s for s in spans if s["valid_to"] is None]
-        assert len(open_spans) <= 1
-        if open_spans:
-            assert open_spans[0] is spans[-1]
+        assert len(open_spans) == 1
+        assert open_spans[0] is spans[-1]
 
 
 @pytest.mark.parametrize(
@@ -658,6 +662,31 @@ def test_salted_join_equals_plain_and_salts_keys(spark, sf_dir):
 
     plan = plan_of(spark, sf_dir, "skew_salted_join")
     assert "_salt" in plan
+
+    # the point of the pattern: one hot key's rows must NOT share a
+    # single salt (a key-derived salt would leave the (key, salt)
+    # distribution identical to key alone — ADVICE r2)
+    from aurora_cdc_demo_spark.operators.skew import N_SALTS, row_salt
+
+    salted = events.withColumn(
+        "_salt", row_salt(events, "event_id", N_SALTS)
+    )
+    spread = (
+        salted.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("_salt").alias("n_salts"),
+        )
+        .where(F.col("n") >= 2 * N_SALTS)
+        .collect()
+    )
+    assert spread, "expected at least one key with >= 2*N_SALTS rows"
+    for r in spread:
+        assert r["n_salts"] > N_SALTS // 2, (
+            r["user_id"],
+            r["n"],
+            r["n_salts"],
+        )
 
 
 def test_funnel_windowed_oracle_parity(spark, sf_dir):
