@@ -1646,12 +1646,32 @@ def q_corpus_keep_list(spark, sf_dir):
     hash), near-dup clustering (component representative), quality
     threshold, and stratified sampling — with a reason code per drop.
     One pass over each component, joined on doc_id; at 100 TB every
-    component is the already-verified distributed operator."""
+    component is the already-verified distributed operator. The
+    near-dup graph source is parameterized (exact | minhash-LSH);
+    this entry is the exact-graph oracle twin, corpus_keep_list_lsh
+    and the *_lsh v2-v4 chain the 100 TB path."""
+    return _keep_list_base(spark, sf_dir, "exact")
+
+
+def _near_dup_clusters(spark, sf_dir, graph):
+    """The keep-list chain's near-dup component map, by graph
+    source: 'exact' = all-pairs shingle Jaccard (oracle twin),
+    'lsh' = MinHash-banded candidates (the scale path)."""
+    docs = load_table(spark, sf_dir, "documents")
+    if graph == "exact":
+        return _dedup.dedup_clusters(docs)
+    from .operators.graph import connected_components
+
+    pairs = _dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    return connected_components(docs.select("doc_id"), pairs)
+
+
+def _keep_list_base(spark, sf_dir, graph):
     docs = load_table(spark, sf_dir, "documents")
     exact = _dedup.dedup_exact(docs).select(
         "doc_id", F.col("is_canonical").alias("exact_canonical")
     )
-    clusters = _dedup.dedup_clusters(docs)
+    clusters = _near_dup_clusters(spark, sf_dir, graph)
     quality = _text.quality_score(docs).select("doc_id", "quality_bp")
     rate_map = F.create_map(
         *[F.lit(x) for kv in _sampling.SAMPLE_RATES_BP.items() for x in kv]
@@ -1716,11 +1736,13 @@ _C4_MAX_TOKEN_CHARS = 20
 _C4_DIGIT_BP_MAX = 2000  # <=20% pure-digit tokens
 
 
-# Shared CTE block for the composed keep-lists (v2 + v3): the
-# near-dup cluster graph, exact-dup canonicals, quality, sampling,
-# repetition and decontamination gates, all per doc_id.
-_KEEP_GATES_CTES = f"""
-        WITH RECURSIVE {_dedup._SHINGLES_SQL}
+# Near-dup pair CTEs for the composed keep-lists, by graph source.
+# Both produce a `pairs(doc_a, doc_b)` CTE from the shared shingle
+# CTE `sh`; the EXACT source is the O(n²)-worst-case all-pairs
+# shingle self-join (the small-SF oracle twin), the LSH source is
+# the MinHash-banded candidate join (the 100 TB path: only
+# band-bucket collisions are verified, O(docs + candidates)).
+_EXACT_PAIRS_CTES = f"""
         , inter AS (
             SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS inter
             FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
@@ -1731,6 +1753,50 @@ _KEEP_GATES_CTES = f"""
             JOIN sc cy ON p.doc_b = cy.doc_id
             WHERE 10000 * inter >= {_dedup.JACCARD_THRESHOLD_BP}
                   * (cx.c + cy.c - inter))
+"""
+
+_LSH_PAIRS_CTES = f"""
+        , hashed AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS a,
+                   CAST('0x' || substr(md5(s), 9, 8) AS BIGINT) AS b
+            FROM sh)
+        , sig AS (SELECT doc_id, {_dedup._minhash_sql_cols()}
+                  FROM hashed GROUP BY doc_id)
+        , bands AS (SELECT doc_id, {_dedup._band_sql_cols()} FROM sig)
+        , cand AS (
+            SELECT DISTINCT doc_a, doc_b FROM (
+                {" UNION ALL ".join(
+                    f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+                    f"FROM bands a JOIN bands b "
+                    f"ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+                    for b in range(_dedup.NUM_MINHASH // _dedup.BAND_ROWS)
+                )}))
+        , inter AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+            FROM cand c
+            JOIN sh x ON x.doc_id = c.doc_a
+            JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+            GROUP BY 1, 2)
+        , pairs AS (
+            SELECT i.doc_a, i.doc_b
+            FROM inter i
+            JOIN sc cx ON i.doc_a = cx.doc_id
+            JOIN sc cy ON i.doc_b = cy.doc_id
+            WHERE 10000 * inter >= {_dedup.JACCARD_THRESHOLD_BP}
+                  * (cx.c + cy.c - inter))
+"""
+
+
+def _keep_gates_ctes(graph: str) -> str:
+    """Shared CTE block for the composed keep-lists (v2/v3/v4): the
+    near-dup cluster graph (from the chosen pair source), exact-dup
+    canonicals, quality, sampling, repetition and decontamination
+    gates, all per doc_id."""
+    pair_ctes = _EXACT_PAIRS_CTES if graph == "exact" else _LSH_PAIRS_CTES
+    return f"""
+        WITH RECURSIVE {_dedup._SHINGLES_SQL}
+        {pair_ctes}
         , edges AS (
             SELECT doc_a AS a, doc_b AS b FROM pairs
             UNION ALL SELECT doc_b, doc_a FROM pairs)
@@ -1800,10 +1866,12 @@ _KEEP_GATES_CTES = f"""
 """
 
 
-@query(
-    "corpus_keep_list_v2",
-    oracle=f"""
-        {_KEEP_GATES_CTES}
+_KEEP_GATES_CTES = _keep_gates_ctes("exact")
+_KEEP_GATES_CTES_LSH = _keep_gates_ctes("lsh")
+
+# Final SELECT of the six-gate v2 keep-list — shared verbatim by the
+# exact-graph and LSH-graph variants (only the `pairs` CTE differs).
+_V2_SELECT = f"""
         SELECT d.doc_id,
                e.is_canonical AND c.cluster_id = d.doc_id
                    AND co.doc_id IS NULL AND NOT r.is_repetitive
@@ -1823,7 +1891,12 @@ _KEEP_GATES_CTES = f"""
         JOIN samp s USING (doc_id)
         JOIN rep r USING (doc_id)
         LEFT JOIN contaminated co USING (doc_id)
-    """,
+"""
+
+
+@query(
+    "corpus_keep_list_v2",
+    oracle=_KEEP_GATES_CTES + _V2_SELECT,
 )
 def q_corpus_keep_list_v2(spark, sf_dir):
     """The full six-gate keep-list: v1's exact-dup / near-dup /
@@ -1832,9 +1905,16 @@ def q_corpus_keep_list_v2(spark, sf_dir):
     per drop (exact_dup > near_dup > contaminated > repetitive >
     low_quality > sampled_out). Every gate is the already-verified
     distributed operator, joined on doc_id — the complete
-    pre-training data path in one artifact."""
+    pre-training data path in one artifact. The near-dup graph
+    source is parameterized (exact | LSH); this entry is the
+    exact-graph oracle twin, corpus_keep_list_v2_lsh the 100 TB
+    path."""
+    return _keep_list_v2(spark, sf_dir, "exact")
+
+
+def _keep_list_v2(spark, sf_dir, graph):
     docs = load_table(spark, sf_dir, "documents")
-    base = QUERIES["corpus_keep_list"](spark, sf_dir).select(
+    base = _keep_list_base(spark, sf_dir, graph).select(
         "doc_id", "exact_canonical", "cluster_canonical", "quality_ok",
         "in_sample",
     )
@@ -1921,11 +2001,7 @@ _V3_EXTRA_CTES = f""", ngc_tot AS (
                   FROM documents))"""
 
 
-@query(
-    "corpus_keep_list_v3",
-    oracle=f"""
-        {_KEEP_GATES_CTES}
-        {_V3_EXTRA_CTES}
+_V3_SELECT = f"""
         SELECT d.doc_id,
                e.is_canonical AND c.cluster_id = d.doc_id
                    AND co.doc_id IS NULL
@@ -1952,7 +2028,12 @@ _V3_EXTRA_CTES = f""", ngc_tot AS (
         JOIN c4 USING (doc_id)
         LEFT JOIN contaminated co USING (doc_id)
         LEFT JOIN ngc n USING (doc_id)
-    """,
+"""
+
+
+@query(
+    "corpus_keep_list_v3",
+    oracle=_KEEP_GATES_CTES + _V3_EXTRA_CTES + _V3_SELECT,
 )
 def q_corpus_keep_list_v3(spark, sf_dir):
     """The EIGHT-gate keep-list: v2's six gates plus the R3
@@ -1962,8 +2043,14 @@ def q_corpus_keep_list_v3(spark, sf_dir):
     repetitive > c4_filtered > low_quality > sampled_out). Every gate
     is the already-oracle-verified distributed operator, composed by
     doc_id equi-joins — the complete R3 pre-training data path in one
-    artifact; the v3-refines-v2 law is pinned in pytest."""
-    base = QUERIES["corpus_keep_list_v2"](spark, sf_dir).select(
+    artifact; the v3-refines-v2 law is pinned in pytest. Graph
+    source parameterized; corpus_keep_list_v3_lsh is the 100 TB
+    variant."""
+    return _keep_list_v3(spark, sf_dir, "exact")
+
+
+def _keep_list_v3(spark, sf_dir, graph):
+    base = _keep_list_v2(spark, sf_dir, graph).select(
         "doc_id", F.col("keep").alias("keep_v2"),
         F.col("decision").alias("decision_v2"),
     )
@@ -2163,49 +2250,9 @@ def q_corpus_keep_list_lsh(spark, sf_dir):
     instead of the exact all-pairs shingle join (O(n^2) worst case).
     The oracle mirrors the SAME banding algorithm, so parity holds
     even where LSH misses a pair the exact graph would find."""
-    from .operators.graph import connected_components
-
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = _dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
-    clusters = connected_components(docs.select("doc_id"), pairs)
-    exact = _dedup.dedup_exact(docs).select(
-        "doc_id", F.col("is_canonical").alias("exact_canonical")
+    return _keep_list_base(spark, sf_dir, "lsh").select(
+        "doc_id", "keep", "decision"
     )
-    quality = _text.quality_score(docs).select("doc_id", "quality_bp")
-    rate_map = F.create_map(
-        *[F.lit(x) for kv in _sampling.SAMPLE_RATES_BP.items() for x in kv]
-    )
-    samp = docs.select(
-        "doc_id",
-        (
-            _sampling._hash_bp(F.col("doc_id"))
-            < F.coalesce(rate_map[F.col("lang")],
-                         F.lit(_sampling.DEFAULT_RATE_BP)).cast("long")
-        ).alias("in_sample"),
-    )
-    j = (
-        docs.select("doc_id")
-        .join(exact, "doc_id")
-        .join(clusters, "doc_id")
-        .join(quality, "doc_id")
-        .join(samp, "doc_id")
-    )
-    cluster_canonical = F.col("cluster_id") == F.col("doc_id")
-    quality_ok = F.col("quality_bp") >= _KEEP_QUALITY_BP
-    keep = (
-        F.col("exact_canonical")
-        & cluster_canonical
-        & quality_ok
-        & F.col("in_sample")
-    )
-    decision = (
-        F.when(~F.col("exact_canonical"), "exact_dup")
-        .when(~cluster_canonical, "near_dup")
-        .when(~quality_ok, "low_quality")
-        .when(~F.col("in_sample"), "sampled_out")
-        .otherwise("keep")
-    )
-    return j.select("doc_id", keep.alias("keep"), decision.alias("decision"))
 
 
 # ---------------------------------------------------------------------------
@@ -4274,11 +4321,7 @@ def q_graph_pagerank_knn(spark, sf_dir):
 _DSIR_MIN_MEAN_PPM = 945_000
 
 
-@query(
-    "corpus_keep_list_v4",
-    oracle=f"""
-        {_KEEP_GATES_CTES}
-        {_V3_EXTRA_CTES}
+_V4_EXTRA_CTES = f"""
         , goph AS (
             SELECT doc_id,
                    NOT (gn >= {_GOPHER_MIN_WORDS}
@@ -4323,8 +4366,10 @@ _DSIR_MIN_MEAN_PPM = 945_000
                        AS ttb)
         , dsir_ratio AS (
             SELECT s.bkt,
-                   (1000000 * (COALESCE(t.ct, 0) + 1) * tot.tsb)
-                       // ((s.cs + 1) * tot.ttb) AS r_ppm
+                   CAST((CAST(1000000 AS HUGEINT)
+                         * (COALESCE(t.ct, 0) + 1) * tot.tsb)
+                        // ((s.cs + 1) * CAST(tot.ttb AS HUGEINT))
+                        AS BIGINT) AS r_ppm
             FROM dsir_src s LEFT JOIN dsir_tgt t ON s.bkt = t.bkt
             CROSS JOIN dsir_totals tot)
         , dsir AS (
@@ -4333,6 +4378,9 @@ _DSIR_MIN_MEAN_PPM = 945_000
                        < {_DSIR_MIN_MEAN_PPM} AS off_target
             FROM dsir_tok b JOIN dsir_ratio r ON b.bkt = r.bkt
             GROUP BY b.doc_id)
+"""
+
+_V4_SELECT = f"""
         SELECT d.doc_id,
                e.is_canonical AND c.cluster_id = d.doc_id
                    AND co.doc_id IS NULL
@@ -4366,7 +4414,12 @@ _DSIR_MIN_MEAN_PPM = 945_000
         JOIN dsir ds USING (doc_id)
         LEFT JOIN contaminated co USING (doc_id)
         LEFT JOIN ngc n USING (doc_id)
-    """,
+"""
+
+
+@query(
+    "corpus_keep_list_v4",
+    oracle=_KEEP_GATES_CTES + _V3_EXTRA_CTES + _V4_EXTRA_CTES + _V4_SELECT,
 )
 def q_corpus_keep_list_v4(spark, sf_dir):
     """The TEN-gate keep-list: v3's eight gates plus the R4 Gopher
@@ -4381,8 +4434,14 @@ def q_corpus_keep_list_v4(spark, sf_dir):
     Scale: inherits each gate's plan (see their entries); the
     composition adds only doc_id-keyed joins over per-doc gate
     outputs — AQE broadcast or co-partitioned, nothing new shuffles
-    the corpus."""
-    base = QUERIES["corpus_keep_list_v3"](spark, sf_dir).select(
+    the corpus. Graph source parameterized; corpus_keep_list_v4_lsh
+    runs the same ten gates on the LSH-pruned near-dup graph — the
+    variant a real 100 TB curation run executes."""
+    return _keep_list_v4(spark, sf_dir, "exact")
+
+
+def _keep_list_v4(spark, sf_dir, graph):
+    base = _keep_list_v3(spark, sf_dir, graph).select(
         "doc_id",
         F.col("keep").alias("keep_v3"),
         F.col("decision").alias("decision_v3"),
@@ -4416,6 +4475,48 @@ def q_corpus_keep_list_v4(spark, sf_dir):
         .otherwise(F.col("decision_v3"))
     )
     return j.select("doc_id", keep.alias("keep"), decision.alias("decision"))
+
+
+@query(
+    "corpus_keep_list_v2_lsh",
+    oracle=_KEEP_GATES_CTES_LSH + _V2_SELECT,
+)
+def q_corpus_keep_list_v2_lsh(spark, sf_dir):
+    """Six-gate keep-list on the MinHash-LSH near-dup graph — the
+    100 TB twin of corpus_keep_list_v2 (identical gates and reason
+    codes; only the `pairs` source differs: banded candidates
+    instead of the exact all-pairs shingle join). The oracle mirrors
+    the same banding, so parity holds even where LSH misses a pair
+    the exact graph would find."""
+    return _keep_list_v2(spark, sf_dir, "lsh")
+
+
+@query(
+    "corpus_keep_list_v3_lsh",
+    oracle=_KEEP_GATES_CTES_LSH + _V3_EXTRA_CTES + _V3_SELECT,
+)
+def q_corpus_keep_list_v3_lsh(spark, sf_dir):
+    """Eight-gate keep-list on the LSH-pruned near-dup graph — the
+    100 TB twin of corpus_keep_list_v3."""
+    return _keep_list_v3(spark, sf_dir, "lsh")
+
+
+@query(
+    "corpus_keep_list_v4_lsh",
+    oracle=_KEEP_GATES_CTES_LSH + _V3_EXTRA_CTES + _V4_EXTRA_CTES
+    + _V4_SELECT,
+)
+def q_corpus_keep_list_v4_lsh(spark, sf_dir):
+    """THE deployment artifact: the full ten-gate keep-list running
+    on the MinHash-LSH near-dup graph — every gate identical to
+    corpus_keep_list_v4 but the near-dup component map comes from
+    banded candidate pairs (O(docs + candidates)) instead of the
+    exact all-pairs shingle self-join (O(n²) worst case). This is
+    the variant a 100 TB curation run executes end to end; the exact
+    chain remains as the small-SF oracle twin. The
+    v4_lsh-refines-v3_lsh law is pinned in pytest alongside the
+    exact chain's laws."""
+    return _keep_list_v4(spark, sf_dir, "lsh")
 
 
 @query("dedup_containment", oracle=_dedup.CONTAINMENT_SQL)

@@ -1,0 +1,113 @@
+"""Round-5 additions: the LSH-graph keep-list chain (v2/v3/v4 on the
+MinHash-banded near-dup graph — the 100 TB deployment path the R2
+verdict asked for), plus this round's scale-fix laws."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aurora_cdc_demo_spark.registry import QUERIES
+
+from .helpers import assert_matches_oracle
+
+
+# -- LSH keep-list chain ----------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "corpus_keep_list_v2_lsh",
+        "corpus_keep_list_v3_lsh",
+        "corpus_keep_list_v4_lsh",
+    ],
+)
+def test_keep_list_lsh_oracle_parity(spark, sf_dir, name):
+    assert_matches_oracle(spark, name, sf_dir)
+
+
+def _keep_map(spark, sf_dir, name):
+    return {
+        r["doc_id"]: (r["keep"], r["decision"])
+        for r in QUERIES[name](spark, sf_dir).collect()
+    }
+
+
+def test_lsh_chain_refinement(spark, sf_dir):
+    """The v(n)-refines-v(n-1) law re-pinned on the LSH chain: each
+    version only REMOVES docs from the previous version's keep set
+    (no resurrection), every new drop carries one of the newly added
+    reason codes, and high-priority carried codes stay verbatim."""
+    v1 = _keep_map(spark, sf_dir, "corpus_keep_list_lsh")
+    v2 = _keep_map(spark, sf_dir, "corpus_keep_list_v2_lsh")
+    v3 = _keep_map(spark, sf_dir, "corpus_keep_list_v3_lsh")
+    v4 = _keep_map(spark, sf_dir, "corpus_keep_list_v4_lsh")
+    assert set(v1) == set(v2) == set(v3) == set(v4)
+
+    chain = [
+        (v1, v2, {"contaminated", "repetitive"}),
+        (v2, v3, {"dup_heavy", "c4_filtered"}),
+        (v3, v4, {"gopher_filtered", "off_target"}),
+    ]
+    for prev, nxt, new_codes in chain:
+        for doc_id, (keep_n, dec_n) in nxt.items():
+            keep_p, dec_p = prev[doc_id]
+            if keep_n:
+                assert keep_p, f"doc {doc_id} resurrected"
+            if keep_p and not keep_n:
+                assert dec_n in new_codes, (doc_id, dec_p, dec_n)
+
+
+def test_lsh_v4_agrees_with_exact_v4(spark, sf_dir):
+    """The LSH chain differs from the exact chain only through
+    near-dup recall: every divergent decision involves 'near_dup' on
+    the exact side or the LSH side, and overall agreement stays
+    high (recall >= 0.9 band of the underlying LSH pairs)."""
+    exact = _keep_map(spark, sf_dir, "corpus_keep_list_v4")
+    lsh = _keep_map(spark, sf_dir, "corpus_keep_list_v4_lsh")
+    assert set(exact) == set(lsh)
+    diverged = 0
+    for doc_id, (ke, de) in exact.items():
+        kl, dl = lsh[doc_id]
+        if (ke, de) != (kl, dl):
+            diverged += 1
+            assert "near_dup" in (de, dl), (doc_id, de, dl)
+    assert diverged <= max(2, len(exact) // 20), diverged
+
+
+def test_lsh_v4_near_dup_gate_is_the_lsh_graph(spark, sf_dir):
+    """Structural guard (the final plan is cut at the Pregel
+    checkpoint, so this is pinned on results, not plan text): the
+    near_dup drops of the LSH v4 chain must be EXACTLY the near_dup
+    drops of the v1 LSH keep-list — i.e. v2-v4 thread the same
+    LSH cluster map through, never recomputing an exact graph."""
+    v1l = {
+        d for d, (_, dec) in _keep_map(
+            spark, sf_dir, "corpus_keep_list_lsh"
+        ).items() if dec == "near_dup"
+    }
+    v4l = {
+        d for d, (_, dec) in _keep_map(
+            spark, sf_dir, "corpus_keep_list_v4_lsh"
+        ).items() if dec == "near_dup"
+    }
+    assert v4l == v1l
+
+
+# -- per-row salt law (operator-level; the query-level law lives in
+# test_round4) -------------------------------------------------------------
+
+
+def test_row_salt_whole_row_fallback(spark):
+    """Without a row id column, row_salt hashes the whole row —
+    distinct rows of one key must still spread across salts."""
+    from aurora_cdc_demo_spark.operators.skew import row_salt
+
+    df = spark.createDataFrame(
+        [(1, i) for i in range(64)], "k int, payload int"
+    )
+    got = df.withColumn("_salt", row_salt(df, None, 8))
+    n_salts = got.select("_salt").distinct().count()
+    assert n_salts >= 4
+    assert got.where("_salt < 0 OR _salt >= 8").count() == 0
