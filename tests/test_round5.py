@@ -95,6 +95,22 @@ def test_lsh_v4_near_dup_gate_is_the_lsh_graph(spark, sf_dir):
     assert v4l == v1l
 
 
+# -- PageRank edge materialization ------------------------------------------
+
+
+def test_pagerank_iterates_over_materialized_edges(spark, sf_dir):
+    """The unrolled rounds must NOT re-evaluate the KNN chain: the
+    final plan scans the checkpointed edge RDD and contains no
+    cell-keyed self-join (that join ran exactly once, before the
+    checkpoint cut the lineage)."""
+    df = QUERIES["graph_pagerank_knn"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
+    assert "cell" not in plan
+    # and the result is still the oracle-pinned fixpoint
+    assert_matches_oracle(spark, "graph_pagerank_knn", sf_dir)
+
+
 # -- per-row salt law (operator-level; the query-level law lives in
 # test_round4) -------------------------------------------------------------
 
