@@ -30,7 +30,20 @@ from pyspark.sql import DataFrame, SparkSession
 DIMS = 64
 TOPK = 5
 N_QUERIES = 10  # vec_id < 10
-N_SEEDS = 16  # IVF coarse cells: vec_id < 16 as seed vectors
+# IVF coarse-cell count (vec_id < N_SEEDS as seed vectors). This is
+# the TEST-SF DEFAULT, not a structural constant: every cell-bounded
+# operator (IVF probe, semdedup, KNN graph, PageRank, trained
+# k-means, diversity sampling) takes an n_seeds/n_cells parameter.
+# Sizing rule at scale: cell-bounded work is Θ(Σ cell²) =
+# Θ(n²/n_cells) under balance, so a FIXED cell count is still
+# quadratic in corpus size — pick n_cells ∝ n / target_cell_size
+# (e.g. target ~2-10k vectors per cell; FAISS practice is
+# n_cells ≈ sqrt(n) to several×sqrt(n)). Assignment stays cheap as
+# n_cells grows: O(n·n_cells·DIMS) with the centroid table a
+# bounded broadcast — the trained-kmeans path makes large n_cells
+# affordable. Oracle parity at two different cell counts is pinned
+# in tests/test_round5.py.
+N_SEEDS = 16
 NEAR_DUP_THRESHOLD = 0.4
 
 
@@ -112,14 +125,14 @@ def centroids_sql(dialect: str) -> str:
     """
 
 
-def ivf_topk_sql(dialect: str) -> str:
+def ivf_topk_sql(dialect: str, n_seeds: int = N_SEEDS) -> str:
     return f"""
         WITH v AS (
             SELECT vec_id, embedding, {_norm('embedding', dialect)} AS nrm
             FROM embeddings)
         , seeds AS (
             SELECT vec_id AS seed_id, embedding AS se, nrm AS snrm
-            FROM v WHERE vec_id < {N_SEEDS})
+            FROM v WHERE vec_id < {n_seeds})
         , assign AS (
             SELECT v.vec_id, v.embedding, v.nrm, s.seed_id,
                    row_number() OVER (
@@ -151,7 +164,7 @@ def ivf_topk_sql(dialect: str) -> str:
 N_PROBES = 2
 
 
-def ivf_multiprobe_sql(dialect: str) -> str:
+def ivf_multiprobe_sql(dialect: str, n_seeds: int = N_SEEDS) -> str:
     """IVF with multi-probe: each query searches its N_PROBES nearest
     coarse cells instead of one — the standard recall/latency knob
     (e.g. FAISS nprobe).  Corpus vectors still live in exactly one
@@ -163,7 +176,7 @@ def ivf_multiprobe_sql(dialect: str) -> str:
             FROM embeddings)
         , seeds AS (
             SELECT vec_id AS seed_id, embedding AS se, nrm AS snrm
-            FROM v WHERE vec_id < {N_SEEDS})
+            FROM v WHERE vec_id < {n_seeds})
         , assign AS (
             SELECT v.vec_id, v.embedding, v.nrm, s.seed_id,
                    row_number() OVER (
@@ -383,7 +396,7 @@ def near_dup_lsh_sql(dialect: str) -> str:
 SEMDEDUP_TAU = NEAR_DUP_THRESHOLD
 
 
-def semdedup_sql(dialect: str) -> str:
+def semdedup_sql(dialect: str, n_seeds: int = N_SEEDS) -> str:
     """SemDeDup (Abbas et al. 2023): cluster embeddings into coarse
     cells (k-means stand-in: nearest of the N_SEEDS seed vectors, the
     same assignment the IVF index uses), then WITHIN EACH CELL drop
@@ -402,7 +415,7 @@ def semdedup_sql(dialect: str) -> str:
             FROM embeddings)
         , seeds AS (
             SELECT vec_id AS seed_id, embedding AS se, nrm AS snrm
-            FROM v WHERE vec_id < {N_SEEDS})
+            FROM v WHERE vec_id < {n_seeds})
         , assign AS (
             SELECT v.vec_id, v.embedding, v.nrm, s.seed_id,
                    row_number() OVER (
@@ -492,7 +505,7 @@ def quantize_sql(dialect: str) -> str:
     """
 
 
-def ivf_cell_stats_sql(dialect: str) -> str:
+def ivf_cell_stats_sql(dialect: str, n_seeds: int = N_SEEDS) -> str:
     """IVF index-build observability: per coarse cell — vector count,
     share of the corpus (floor bp), and the cell's cosine-affinity
     profile to its seed (floor-scaled e6 min/mean is avoided: mean of
@@ -511,7 +524,7 @@ def ivf_cell_stats_sql(dialect: str) -> str:
             FROM embeddings)
         , seeds AS (
             SELECT vec_id AS seed_id, embedding AS se, nrm AS snrm
-            FROM v WHERE vec_id < {N_SEEDS})
+            FROM v WHERE vec_id < {n_seeds})
         , assign AS (
             SELECT v.vec_id, s.seed_id,
                    ({_dot('v.embedding', 's.se', dialect)})
@@ -539,7 +552,7 @@ def ivf_cell_stats_sql(dialect: str) -> str:
 KNN_K = 3
 
 
-def _knn_ctes(dialect: str) -> str:
+def _knn_ctes(dialect: str, n_seeds: int = N_SEEDS) -> str:
     """Shared CTE chain ``v → seeds → assign → cells → cand →
     ranked`` used by the KNN-graph query and the PageRank query
     built on its edges.
@@ -558,7 +571,7 @@ def _knn_ctes(dialect: str) -> str:
             FROM embeddings)
         , seeds AS (
             SELECT vec_id AS seed_id, embedding AS se, nrm AS snrm
-            FROM v WHERE vec_id < {N_SEEDS})
+            FROM v WHERE vec_id < {n_seeds})
         , assign AS {mat}(
             SELECT v.vec_id, v.embedding, v.nrm, s.seed_id,
                    row_number() OVER (
@@ -583,7 +596,7 @@ def _knn_ctes(dialect: str) -> str:
             FROM cand)"""
 
 
-def knn_graph_sql(dialect: str) -> str:
+def knn_graph_sql(dialect: str, n_seeds: int = N_SEEDS) -> str:
     """Batch KNN-graph construction: EVERY vector gets its KNN_K
     nearest cell-mates (cosine, deterministic tie-break) — the
     primitive behind graph-based dedup, diversity sampling, and
@@ -595,7 +608,7 @@ def knn_graph_sql(dialect: str) -> str:
     rank window over candidates partitioned by the source vector —
     O(sum cell²) candidates, never corpus²; k and the cell count cap
     the output at KNN_K rows per vector."""
-    return f"""{_knn_ctes(dialect)}
+    return f"""{_knn_ctes(dialect, n_seeds)}
         SELECT vec_id, neighbor_id, CAST(rnk AS BIGINT) AS nn_rank,
                CAST(FLOOR(cos * 1000000) AS BIGINT) AS cos_e6
         FROM ranked WHERE rnk <= {KNN_K}
@@ -611,7 +624,7 @@ PR_ITERS = 3
 PR_SCALE = 1_000_000_000
 
 
-def pagerank_sql(dialect: str) -> str:
+def pagerank_sql(dialect: str, n_seeds: int = N_SEEDS) -> str:
     """Centrality over the corpus KNN graph — the 'hubby' vectors a
     curation pipeline inspects for over-represented regions (a
     high-PageRank embedding sits in a dense, mutually-near
@@ -632,7 +645,7 @@ def pagerank_sql(dialect: str) -> str:
     PR_ITERS=3 the plan stays comfortably analyzable."""
     div = "div" if dialect == "spark" else "//"
     mat = "MATERIALIZED " if dialect != "spark" else ""
-    ctes = f"""{_knn_ctes(dialect)}
+    ctes = f"""{_knn_ctes(dialect, n_seeds)}
         , edges AS {mat}(
             SELECT vec_id AS src, neighbor_id AS dst
             FROM ranked WHERE rnk <= {KNN_K})
@@ -717,7 +730,9 @@ def pagerank_iter_sql(edges_view: str, nodes_view: str) -> str:
     """
 
 
-def pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pagerank_knn(
+    spark: SparkSession, sf_dir: str, n_seeds: int = N_SEEDS
+) -> DataFrame:
     """Build the KNN edge list ONCE (eager localCheckpoint cuts the
     lineage so no round re-runs the cell self-join), then iterate
     over the materialized edges. On a cluster the checkpoint would
@@ -729,7 +744,7 @@ def pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embeddings"
     )
     edges = spark.sql(
-        f"""{_knn_ctes('spark')}
+        f"""{_knn_ctes('spark', n_seeds)}
         SELECT vec_id AS src, neighbor_id AS dst
         FROM ranked WHERE rnk <= {KNN_K}
         """
@@ -771,20 +786,26 @@ def ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, ivf_multiprobe_sql("spark"))
 
 
-def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _run(spark, sf_dir, semdedup_sql("spark"))
+def semdedup(
+    spark: SparkSession, sf_dir: str, n_seeds: int = N_SEEDS
+) -> DataFrame:
+    return _run(spark, sf_dir, semdedup_sql("spark", n_seeds))
 
 
 def quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, quantize_sql("spark"))
 
 
-def ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _run(spark, sf_dir, ivf_cell_stats_sql("spark"))
+def ivf_cell_stats(
+    spark: SparkSession, sf_dir: str, n_seeds: int = N_SEEDS
+) -> DataFrame:
+    return _run(spark, sf_dir, ivf_cell_stats_sql("spark", n_seeds))
 
 
-def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _run(spark, sf_dir, knn_graph_sql("spark"))
+def knn_graph(
+    spark: SparkSession, sf_dir: str, n_seeds: int = N_SEEDS
+) -> DataFrame:
+    return _run(spark, sf_dir, knn_graph_sql("spark", n_seeds))
 
 
 
@@ -1033,7 +1054,7 @@ def pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 KM_ITERS = 2
 
 
-def kmeans_sql(dialect: str) -> str:
+def kmeans_sql(dialect: str, n_seeds: int = N_SEEDS) -> str:
     """K-means training for the IVF coarse quantizer — the step the
     seed-based IVF queries skip (they use raw vectors vec_id <
     N_SEEDS as cells; ann_ivf_cell_stats watches the resulting
@@ -1087,7 +1108,7 @@ def kmeans_sql(dialect: str) -> str:
             FROM ei JOIN stats s ON ei.dim = s.dim)
         , c0 AS (
             SELECT vec_id AS cid, dim, cx AS cc FROM codes
-            WHERE vec_id < {N_SEEDS})"""
+            WHERE vec_id < {n_seeds})"""
     prev = "c0"
     for i in range(1, KM_ITERS + 1):
         sql += f"""
@@ -1116,5 +1137,7 @@ def kmeans_sql(dialect: str) -> str:
     """
 
 
-def kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _run(spark, sf_dir, kmeans_sql("spark"))
+def kmeans_cells(
+    spark: SparkSession, sf_dir: str, n_seeds: int = N_SEEDS
+) -> DataFrame:
+    return _run(spark, sf_dir, kmeans_sql("spark", n_seeds))

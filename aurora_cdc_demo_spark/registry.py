@@ -4627,10 +4627,9 @@ def q_cdc_late_arrival_report(spark, sf_dir):
 _DIVERSITY_QUOTA = 8
 
 
-@query(
-    "sample_embed_diversity",
-    oracle=f"""
-        WITH km AS ({_sim.kmeans_sql('duck')})
+def embed_diversity_oracle_sql(n_seeds: int = _sim.N_SEEDS) -> str:
+    return f"""
+        WITH km AS ({_sim.kmeans_sql('duck', n_seeds)})
         , ranked AS (
             SELECT vec_id, cell,
                    row_number() OVER (
@@ -4640,18 +4639,13 @@ _DIVERSITY_QUOTA = 8
             FROM km)
         SELECT vec_id, cell, CAST(rnk AS BIGINT) AS pick_rank
         FROM ranked WHERE rnk <= {_DIVERSITY_QUOTA}
-    """,
-)
-def q_sample_embed_diversity(spark, sf_dir):
-    """Diversity-aware sampling over the embedding space: a fixed
-    quota per TRAINED k-means cell (md5 pick order, deterministic) —
-    the cluster-then-quota downsampling that flattens dense regions
-    (the same regions graph_pagerank_knn scores as hubs) instead of
-    sampling them proportionally. Composes ann_ivf_kmeans's cells
-    with the per-group-top-k pattern; cell-coverage law in pytest."""
+    """
+
+
+def embed_diversity(spark, sf_dir, n_seeds: int = _sim.N_SEEDS):
     from pyspark.sql import Window
 
-    km = _sim.kmeans_cells(spark, sf_dir)
+    km = _sim.kmeans_cells(spark, sf_dir, n_seeds)
     w = Window.partitionBy("cell").orderBy(
         F.md5(F.col("vec_id").cast("string")).asc(), F.col("vec_id").asc()
     )
@@ -4660,6 +4654,19 @@ def q_sample_embed_diversity(spark, sf_dir):
         .withColumn("pick_rank", F.row_number().over(w).cast("long"))
         .where(F.col("pick_rank") <= _DIVERSITY_QUOTA)
     )
+
+
+@query("sample_embed_diversity", oracle=embed_diversity_oracle_sql())
+def q_sample_embed_diversity(spark, sf_dir):
+    """Diversity-aware sampling over the embedding space: a fixed
+    quota per TRAINED k-means cell (md5 pick order, deterministic) —
+    the cluster-then-quota downsampling that flattens dense regions
+    (the same regions graph_pagerank_knn scores as hubs) instead of
+    sampling them proportionally. Composes ann_ivf_kmeans's cells
+    with the per-group-top-k pattern; cell-coverage law in pytest.
+    Cell count parameterized (n_seeds ∝ corpus/target-cell at
+    scale; see operators/similarity.py N_SEEDS)."""
+    return embed_diversity(spark, sf_dir)
 
 
 _PARETO_BUCKETS = 32

@@ -95,6 +95,84 @@ def test_lsh_v4_near_dup_gate_is_the_lsh_graph(spark, sf_dir):
     assert v4l == v1l
 
 
+# -- parameterized coarse-quantizer cell count ------------------------------
+
+
+def _duck(sf_dir, sql):
+    from .helpers import duck_connection
+
+    return duck_connection(sf_dir).execute(sql).fetchdf()
+
+
+def _assert_frames_equal(sdf, ddf):
+    from .helpers import normalize
+
+    import pandas as pd
+
+    a, b = normalize(sdf), normalize(ddf)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+@pytest.mark.parametrize("n_seeds", [8, 32])
+def test_cell_count_parameterized_oracles(spark, sf_dir, n_seeds):
+    """The same oracles stay green at a NON-DEFAULT cell count —
+    both engine sides are generated from the same n_seeds value, so
+    this pins that no operator hardcodes 16 cells anywhere in its
+    algebra (the r2 verdict's scale complaint: cell-bounded is only
+    scale-safe if the cell count can track corpus size)."""
+    from aurora_cdc_demo_spark.operators import similarity as _sim
+    from aurora_cdc_demo_spark.registry import (
+        embed_diversity,
+        embed_diversity_oracle_sql,
+    )
+
+    cases = [
+        (
+            _sim.semdedup(spark, sf_dir, n_seeds),
+            _sim.semdedup_sql("duck", n_seeds),
+        ),
+        (
+            _sim.knn_graph(spark, sf_dir, n_seeds),
+            _sim.knn_graph_sql("duck", n_seeds),
+        ),
+        (
+            _sim.kmeans_cells(spark, sf_dir, n_seeds),
+            _sim.kmeans_sql("duck", n_seeds),
+        ),
+        (
+            _sim.pagerank_knn(spark, sf_dir, n_seeds),
+            _sim.pagerank_sql("duck", n_seeds),
+        ),
+        (
+            embed_diversity(spark, sf_dir, n_seeds),
+            embed_diversity_oracle_sql(n_seeds),
+        ),
+    ]
+    for sdf, oracle in cases:
+        _assert_frames_equal(sdf.toPandas(), _duck(sf_dir, oracle))
+
+
+def test_cell_population_bounded(spark, sf_dir):
+    """Per-cell candidate bound: the within-cell pairwise work is
+    Σ cell², so cells must actually split the corpus. At every
+    tested cell count the largest cell must hold well under the
+    whole corpus, and raising the cell count must not concentrate
+    MORE of the corpus into the largest cell."""
+    from aurora_cdc_demo_spark.operators import similarity as _sim
+
+    max_share = {}
+    for n_seeds in (8, 32):
+        stats = _sim.ivf_cell_stats(spark, sf_dir, n_seeds).collect()
+        n_total = sum(r["n_vecs"] for r in stats)
+        biggest = max(r["n_vecs"] for r in stats)
+        assert len(stats) > n_seeds // 2
+        assert biggest < n_total // 2, (n_seeds, biggest, n_total)
+        max_share[n_seeds] = biggest
+    assert max_share[32] <= max_share[8]
+
+
 # -- PageRank edge materialization ------------------------------------------
 
 
