@@ -71,9 +71,17 @@ def _sessionize_group(
         ts = pdf["ts"].to_numpy("datetime64[ns]").astype("int64") // 1000
         vals = pdf["value"].to_numpy("float64")
 
+        # row 0 ALWAYS starts the first segment for segmentation —
+        # whether that segment continues the carried session is a
+        # separate flag. (Folding the continuation test into
+        # new_sess[0] made the first segment vanish from starts_idx
+        # whenever the batch continued a carried session: an empty
+        # index crash if the batch had no later gap, silently dropped
+        # rows if it did — seen at maxFilesPerTrigger=4.)
         new_sess = np.zeros(len(ts), dtype=bool)
         new_sess[1:] = np.diff(ts) > GAP_US
-        new_sess[0] = start_us is None or (ts[0] - end_us) > GAP_US
+        new_sess[0] = True
+        continues = start_us is not None and (ts[0] - end_us) <= GAP_US
 
         starts_idx = np.flatnonzero(new_sess)
         bounds = np.append(starts_idx, len(ts))
@@ -83,14 +91,14 @@ def _sessionize_group(
         seg_sum = np.add.reduceat(vals, bounds[:-1])
 
         if start_us is not None:
-            if new_sess[0]:
-                # gap before this batch: the carried session closes
-                closed.append((key_id, start_us, end_us, n_events, sum_value))
-            else:
+            if continues:
                 # first segment continues the carried session
                 seg_start[0] = start_us
                 seg_n[0] += n_events
                 seg_sum[0] += sum_value
+            else:
+                # gap before this batch: the carried session closes
+                closed.append((key_id, start_us, end_us, n_events, sum_value))
         closed.extend(
             (key_id, int(seg_start[j]), int(seg_end[j]), int(seg_n[j]),
              float(seg_sum[j]))

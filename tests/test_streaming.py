@@ -182,6 +182,77 @@ def test_transform_with_state_matches_legacy_sessionize(
     assert got_s[key + ["n_events"]].equals(want_s[key + ["n_events"]])
 
 
+def test_sessionize_continuation_batches(spark, tmp_path):
+    """Regression (found at maxFilesPerTrigger=4 in bench): a
+    micro-batch whose FIRST rows continue the carried session must
+    segment correctly in both sub-cases —
+    - continuation with NO later gap in the batch (used to crash:
+      empty starts_idx → IndexError), and
+    - continuation WITH a later gap (used to silently drop the
+      continuation rows and graft the carried session onto the
+      wrong segment)."""
+    rows0 = [
+        (1, 1, "INSERT", "click", "2024-01-01 00:00:00", 1.0),
+        (2, 1, "INSERT", "click", "2024-01-01 00:00:00", 10.0),
+    ]
+    rows1 = [
+        # key 1: continues (+10 min), then a >30-min gap opens a new
+        # session inside the same batch
+        (1, 2, "UPDATE", "click", "2024-01-01 00:10:00", 2.0),
+        (1, 3, "UPDATE", "click", "2024-01-01 02:00:00", 3.0),
+        # key 2: continues (+5 min), no later gap — stays open
+        (2, 2, "UPDATE", "click", "2024-01-01 00:05:00", 20.0),
+    ]
+    schema = (
+        "key_id long, seq long, operation string, event_type string, "
+        "ts timestamp, value double"
+    )
+    indir = tmp_path / "in"
+    for i, rows in enumerate([rows0, rows1]):
+        spark.createDataFrame(
+            [(k, s, o, e, __import__("datetime").datetime.fromisoformat(t), v)
+             for k, s, o, e, t, v in rows],
+            schema,
+        ).coalesce(1).write.mode("overwrite").parquet(str(indir / f"b{i}"))
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    import shutil
+    from pathlib import Path
+
+    for i in range(2):
+        for j, f in enumerate(sorted(Path(indir / f"b{i}").glob("*.parquet"))):
+            shutil.copy(f, flat / f"{i:02d}_{j:02d}.parquet")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sessions_cont")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cont"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql(
+        "SELECT key_id, session_start, session_end, n_events, sum_value "
+        "FROM sessions_cont"
+    ).collect()
+    # exactly ONE closed session: key 1's continued [00:00, 00:10]
+    # (n=2, sum=3.0); key 2's session stays open in state
+    assert len(got) == 1, got
+    r = got[0]
+    assert r["key_id"] == 1
+    assert r["n_events"] == 2
+    assert r["sum_value"] == 3.0
+    assert str(r["session_start"]).startswith("2024-01-01 00:00:00")
+    assert str(r["session_end"]).startswith("2024-01-01 00:10:00")
+
+
 def test_stream_dedup_exactly_once(spark, sf_dir, log_dir, tmp_path):
     """Feeding every change file twice must produce each (key_id,
     seq) exactly once — the streaming exactly-once guarantee."""
