@@ -32,12 +32,13 @@ DAY_HOURS_BONUS = 20
 class TableMetadata:
     name: str
     row_count: int = 0
-    data_size: int = 0
+    data_size: int = 0  # bytes
     last_update: str | None = None  # ISO timestamp
     priority: int = 0
     last_processed: str | None = None
     error_count: int = 0
     last_error: str | None = None
+    update_frequency: int = 0  # updates/hour
 
     def to_dict(self) -> dict:
         return asdict(self)
@@ -93,13 +94,69 @@ class TableManager:
                 priority += DAY_HOURS_BONUS
         meta.priority = priority
 
-    def get_next_batch(self, max_tables: int | None = None) -> list[TableMetadata]:
+    def get_next_batch(
+        self,
+        max_tables: int | None = None,
+        group: str | None = None,
+    ) -> list[TableMetadata]:
         """Highest-priority tables not yet processed this round
-        (reference: table_manager.py:206-240)."""
+        (reference: table_manager.py:206-240). With ``group``, the
+        round is restricted to one logical table group (coordinated
+        processing: e.g. drain all `order_*` tables together so
+        cross-table FK consistency holds at the snapshot point)."""
         n = max_tables or self.batch_size
         pending = [m for m in self.registry.values() if m.last_processed is None]
+        if group is not None:
+            members = set(self.get_table_groups().get(group, []))
+            pending = [m for m in pending if m.name in members]
         pending.sort(key=lambda m: (-m.priority, m.name))
         return pending[:n]
+
+    # -- logical table groups (reference: table_manager.py:264-319) ----
+
+    _SIZE_LARGE = 1_000 * 1024 * 1024  # > 1 GB
+    _SIZE_MEDIUM = 100 * 1024 * 1024  # 100 MB - 1 GB
+    _FREQ_HIGH = 50  # updates/hour
+    _FREQ_MEDIUM = 10
+
+    def get_table_groups(self) -> dict[str, list[str]]:
+        """Logical table groupings for coordinated processing —
+        exactly the reference's three views of the registry:
+        common name prefix (`order` from `order_items`; single-token
+        names have no prefix group), size class (size_large/medium/
+        small on data_size), and update-frequency class
+        (freq_high/medium/low_frequency on updates per hour).
+        Recomputed on demand (the registry is driver-side metadata;
+        no caching-vs-staleness tradeoff worth carrying)."""
+        prefix_groups: dict[str, list[str]] = {}
+        size_groups: dict[str, list[str]] = {
+            "size_large": [],
+            "size_medium": [],
+            "size_small": [],
+        }
+        freq_groups: dict[str, list[str]] = {
+            "freq_high_frequency": [],
+            "freq_medium_frequency": [],
+            "freq_low_frequency": [],
+        }
+        for name in sorted(self.registry):
+            meta = self.registry[name]
+            parts = name.split("_")
+            if len(parts) > 1:
+                prefix_groups.setdefault(parts[0], []).append(name)
+            if meta.data_size > self._SIZE_LARGE:
+                size_groups["size_large"].append(name)
+            elif meta.data_size > self._SIZE_MEDIUM:
+                size_groups["size_medium"].append(name)
+            else:
+                size_groups["size_small"].append(name)
+            if meta.update_frequency > self._FREQ_HIGH:
+                freq_groups["freq_high_frequency"].append(name)
+            elif meta.update_frequency > self._FREQ_MEDIUM:
+                freq_groups["freq_medium_frequency"].append(name)
+            else:
+                freq_groups["freq_low_frequency"].append(name)
+        return {**prefix_groups, **size_groups, **freq_groups}
 
     def mark_processed(
         self, name: str, success: bool = True, error: str | None = None

@@ -70,3 +70,58 @@ def test_multi_table_composite_key_merge(spark, sf_dir):
     assert (
         merged.groupBy("table", "key_id").count().where("count > 1").count() == 0
     )
+
+
+def test_table_groups_500_tables():
+    """Reference get_table_groups surface: 500 registered tables
+    partition into prefix, size-class, and frequency-class groups;
+    every table lands in exactly one size group and one frequency
+    group, and multi-token names join their prefix group."""
+    mgr = TableManager()
+    for i in range(500):
+        domain = ["order", "customer", "inventory", "payment", "audit"][i % 5]
+        mgr.register_table(
+            TableMetadata(
+                name=f"{domain}_t{i:03d}",
+                row_count=i * 10,
+                data_size=i * 5 * 1024 * 1024,  # 0 .. ~2.5 GB
+                update_frequency=i % 80,
+            )
+        )
+    groups = mgr.get_table_groups()
+
+    for d in ["order", "customer", "inventory", "payment", "audit"]:
+        assert len(groups[d]) == 100
+    size_names = [n for k in ("size_large", "size_medium", "size_small")
+                  for n in groups[k]]
+    assert sorted(size_names) == sorted(mgr.registry)
+    freq_names = [n for k in ("freq_high_frequency", "freq_medium_frequency",
+                              "freq_low_frequency") for n in groups[k]]
+    assert sorted(freq_names) == sorted(mgr.registry)
+    # boundaries: >1GB large, >100MB medium
+    assert "order_t410" in groups["size_large"]  # 410*5MB > 1GB
+    assert "order_t015" in groups["size_small"]  # 75MB
+
+
+def test_scheduler_round_consumes_a_group():
+    """A scheduling round restricted to one group drains exactly that
+    group, highest priority first, and leaves other groups pending."""
+    mgr = TableManager(batch_size=1000)
+    for i in range(60):
+        domain = "order" if i % 2 == 0 else "customer"
+        mgr.register_table(
+            TableMetadata(name=f"{domain}_t{i:03d}", row_count=i)
+        )
+    batch = mgr.get_next_batch(group="order")
+    names = [m.name for m in batch]
+    assert len(names) == 30 and all(n.startswith("order_") for n in names)
+    # priority-ordered (row_count caps priority here)
+    prios = [m.priority for m in batch]
+    assert prios == sorted(prios, reverse=True)
+    for m in batch:
+        mgr.mark_processed(m.name)
+    # the group is drained; the next unrestricted batch is all customer
+    assert mgr.get_next_batch(group="order") == []
+    rest = mgr.get_next_batch()
+    assert len(rest) == 30
+    assert all(m.name.startswith("customer_") for m in rest)
