@@ -173,6 +173,24 @@ def test_cell_population_bounded(spark, sf_dir):
     assert max_share[32] <= max_share[8]
 
 
+# -- two-level diversity quota ----------------------------------------------
+
+
+def test_diversity_sampling_salted_prerank(spark, sf_dir):
+    """Plan guard for the two-level quota: the first Window runs
+    over (cell, _salt) — the salted pre-rank that keeps any single
+    reducer from seeing a whole cell — and only the second, exact
+    window partitions by cell alone; result stays oracle-pinned."""
+    import re
+
+    df = QUERIES["sample_embed_diversity"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    windows = re.findall(r"Window \[[^\]]*row_number[^\]]*\]", plan)
+    assert len(windows) >= 2
+    assert any("_salt" in w for w in windows)
+    assert_matches_oracle(spark, "sample_embed_diversity", sf_dir)
+
+
 # -- PageRank edge materialization ------------------------------------------
 
 
