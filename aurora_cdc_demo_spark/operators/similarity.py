@@ -1075,6 +1075,17 @@ def kmeans_sql(dialect: str, n_seeds: int = N_SEEDS) -> str:
     centroid, and the round-1 distance for the same vector — the
     pytest law pins total WSS(round 2) <= WSS(round 1), Lloyd's
     monotone-improvement property surviving integer rounding."""
+    return f"""{_kmeans_ctes(dialect, n_seeds)}
+        SELECT f.vec_id, f.cid AS cell, f.dist2,
+               p.dist2 AS dist2_round1
+        FROM asg{KM_ITERS} f JOIN asg1 p ON p.vec_id = f.vec_id
+    """
+
+
+def _kmeans_ctes(dialect: str, n_seeds: int = N_SEEDS) -> str:
+    """The Lloyd-training CTE chain (ends at asg{KM_ITERS}: each
+    vector's trained cell + integer L2²), shared by the training
+    query and the trained-quantizer ANN search."""
     div = "div" if dialect == "spark" else "//"
     if dialect == "spark":
         explode = """
@@ -1130,14 +1141,57 @@ def kmeans_sql(dialect: str, n_seeds: int = N_SEEDS) -> str:
             FROM asg{i} a JOIN codes v ON v.vec_id = a.vec_id
             GROUP BY a.cid, v.dim)"""
         prev = f"c{i}"
-    return f"""{sql}
-        SELECT f.vec_id, f.cid AS cell, f.dist2,
-               p.dist2 AS dist2_round1
-        FROM asg{KM_ITERS} f JOIN asg1 p ON p.vec_id = f.vec_id
-    """
+    return sql
 
 
 def kmeans_cells(
     spark: SparkSession, sf_dir: str, n_seeds: int = N_SEEDS
 ) -> DataFrame:
     return _run(spark, sf_dir, kmeans_sql("spark", n_seeds))
+
+
+def kmeans_topk_sql(dialect: str, n_seeds: int = N_SEEDS) -> str:
+    """ANN search through the TRAINED coarse quantizer: each query
+    vector probes its own trained cell and ranks cell-mates by exact
+    cosine — the serving-side complement of ann_ivf_kmeans (which
+    only trains/assigns) and the trained twin of ann_ivf_topk (which
+    probes raw seed cells). This is the standard IVF deployment
+    shape: train the codebook offline, assign the corpus once, probe
+    k cells at query time (here nprobe=1; multiprobe composes the
+    same way as ivf_multiprobe_sql).
+
+    Scale: the Lloyd chain is the training cost (see kmeans_sql);
+    search adds one cell-keyed equi-join of queries to cell-mates
+    (never corpus²) and a per-query rank window."""
+    return f"""{_kmeans_ctes(dialect, n_seeds)}
+        , vv AS (
+            SELECT vec_id, embedding, {_norm('embedding', dialect)} AS nrm
+            FROM embeddings)
+        , cellmap AS (SELECT vec_id, cid AS cell FROM asg{KM_ITERS})
+        , qq AS (
+            SELECT m.vec_id AS query_id, m.cell, v.embedding AS qe,
+                   v.nrm AS qn
+            FROM cellmap m JOIN vv v ON v.vec_id = m.vec_id
+            WHERE m.vec_id < {N_QUERIES})
+        , cand AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   ({_dot('c.embedding', 'q.qe', dialect)})
+                       / (c.nrm * q.qn) AS cos
+            FROM qq q
+            JOIN cellmap m ON m.cell = q.cell AND m.vec_id <> q.query_id
+            JOIN vv c ON c.vec_id = m.vec_id)
+        , rankedq AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id ASC) AS rnk
+            FROM cand)
+        SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS nn_rank,
+               CAST(FLOOR(cos * 1000000) AS BIGINT) AS cos_e6
+        FROM rankedq WHERE rnk <= {TOPK}
+    """
+
+
+def kmeans_topk(
+    spark: SparkSession, sf_dir: str, n_seeds: int = N_SEEDS
+) -> DataFrame:
+    return _run(spark, sf_dir, kmeans_topk_sql("spark", n_seeds))

@@ -4531,6 +4531,18 @@ def q_dedup_containment(spark, sf_dir):
     return _dedup.containment_pairs(load_table(spark, sf_dir, "documents"))
 
 
+@query("ann_ivf_kmeans_topk", oracle=_sim.kmeans_topk_sql("duck"))
+def q_ann_ivf_kmeans_topk(spark, sf_dir):
+    """ANN top-k through the TRAINED coarse quantizer — each query
+    probes its trained k-means cell and ranks cell-mates by exact
+    cosine. Completes the IVF story: ann_ivf_topk/multiprobe search
+    seed cells, ann_ivf_kmeans trains the codebook, this query
+    SERVES from it (the deployment path: train offline, assign once,
+    probe at query time). Recall floor vs the exact top-k pinned in
+    pytest; see operators/similarity.py:kmeans_topk_sql."""
+    return _sim.kmeans_topk(spark, sf_dir)
+
+
 @query("ann_ivf_kmeans", oracle=_sim.kmeans_sql("duck"))
 def q_ann_ivf_kmeans(spark, sf_dir):
     """Trained IVF coarse quantizer: two unrolled Lloyd rounds over

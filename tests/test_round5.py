@@ -173,6 +173,29 @@ def test_cell_population_bounded(spark, sf_dir):
     assert max_share[32] <= max_share[8]
 
 
+# -- trained-quantizer ANN search -------------------------------------------
+
+
+def test_kmeans_topk_oracle_parity(spark, sf_dir):
+    assert_matches_oracle(spark, "ann_ivf_kmeans_topk", sf_dir)
+
+
+def test_kmeans_topk_recall_floor(spark, sf_dir):
+    """Serving through the trained quantizer must preserve most of
+    the exact top-k neighborhood (measured 0.86 on this corpus at
+    sf0.001 and sf0.01; a broken codebook or probe falls far
+    below)."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["embed_cosine_topk"](spark, sf_dir).collect()
+    }
+    trained = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["ann_ivf_kmeans_topk"](spark, sf_dir).collect()
+    }
+    assert len(exact & trained) / len(exact) >= 0.7
+
+
 # -- two-level diversity quota ----------------------------------------------
 
 
