@@ -113,15 +113,21 @@ def test_stateful_sessionize_closed_sessions(spark, sf_dir, log_dir, tmp_path):
         .select("key_id", "session_start", "n_events")
         .toPandas()
     )
-    merged = got.merge(
-        want, on=["key_id", "session_start"], how="left", suffixes=("_got", "_want")
+    # EXACT law (not just subset): the stream emits precisely the
+    # batch sessions that are followed by a gap — i.e. everything
+    # except each key's trailing session, which stays open in state
+    # when the input is exhausted.
+    last_start = want.groupby("key_id")["session_start"].transform("max")
+    want_closed = (
+        want[want["session_start"] != last_start]
+        .sort_values(["key_id", "session_start"])
+        .reset_index(drop=True)
     )
-    # every emitted closed session exists in the batch result with
-    # the same event count
-    assert merged["n_events_want"].notna().all()
-    assert (merged["n_events_got"] == merged["n_events_want"]).all()
-    # and most sessions close during the stream (sanity: non-trivial)
-    assert len(got) > 0.5 * len(want)
+    got_s = got.sort_values(["key_id", "session_start"]).reset_index(drop=True)
+    assert len(got_s) == len(want_closed)
+    assert got_s.equals(want_closed)
+    # sanity: the law is non-trivial on this data
+    assert len(got_s) > 0.5 * len(want)
 
 
 @pytest.mark.skipif(not HAS_TWS, reason="transformWithState needs pyspark>=4 + protobuf")
