@@ -669,3 +669,71 @@ def test_stream_static_point_in_time_enrichment(
     }
     assert want
     assert got == want
+
+
+def test_streaming_curation_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming ingest curation (cross-batch exact dedup + quality
+    floor) must land on exactly the batch keep-list restricted to
+    the same two gates: dedup_exact canonicals meeting the quality
+    floor. Batches are split by doc_id so arrival-order-wins and
+    min-doc_id canonicals coincide; a replayed final batch must be a
+    no-op (exactly-once)."""
+    from aurora_cdc_demo_spark.operators.dedup import dedup_exact
+    from aurora_cdc_demo_spark.operators.text import quality_score
+    from aurora_cdc_demo_spark.streaming.curation import (
+        KEEP_QUALITY_BP,
+        CurationStore,
+    )
+    from aurora_cdc_demo_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+    indir = tmp_path / "docs_in"
+    for i, part in enumerate(
+        [docs.where(F.col("doc_id") <= mid), docs.where(F.col("doc_id") > mid)]
+    ):
+        part.coalesce(1).write.mode("overwrite").parquet(
+            str(indir / f"b{i}")
+        )
+    flat = tmp_path / "docs_flat"
+    flat.mkdir()
+    import shutil
+    from pathlib import Path
+
+    for i in range(2):
+        for j, f in enumerate(sorted(Path(indir / f"b{i}").glob("*.parquet"))):
+            shutil.copy(f, flat / f"{i:02d}_{j:02d}.parquet")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    store = CurationStore(spark, str(tmp_path / "admitted"))
+    q = store.start(stream, str(tmp_path / "ckpt_curation"))
+    q.awaitTermination(300)
+
+    got = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "admitted")).collect()
+    }
+    canonical = dedup_exact(docs).where("is_canonical").select("doc_id")
+    want = {
+        r["doc_id"]
+        for r in canonical.join(
+            quality_score(docs).where(
+                F.col("quality_bp") >= KEEP_QUALITY_BP
+            ).select("doc_id"),
+            "doc_id",
+        ).collect()
+    }
+    assert got == want and got
+
+    # exactly-once: replaying the last committed batch id is a no-op
+    last = int(Path(str(tmp_path / "admitted") + ".last_batch").read_text())
+    store.apply_batch(docs.limit(10), last)
+    again = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "admitted")).collect()
+    }
+    assert again == want
