@@ -731,13 +731,19 @@ def pagerank_iter_sql(edges_view: str, nodes_view: str) -> str:
 
 
 def pagerank_knn(
-    spark: SparkSession, sf_dir: str, n_seeds: int = N_SEEDS
+    spark: SparkSession,
+    sf_dir: str,
+    n_seeds: int = N_SEEDS,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
-    """Build the KNN edge list ONCE (eager localCheckpoint cuts the
+    """Build the KNN edge list ONCE (eager checkpoint cuts the
     lineage so no round re-runs the cell self-join), then iterate
-    over the materialized edges. On a cluster the checkpoint would
-    be reliable-mode (operators/graph.py); the iteration SQL is
-    engine-identical to the oracle's MATERIALIZED-CTE form."""
+    over the materialized edges. checkpoint_mode mirrors
+    operators/graph.connected_components: 'local' (single-node
+    test/default) vs 'reliable' (replicated checkpoint files — the
+    cluster deployment mode, checkpoint dir must already be set on
+    the SparkContext); the iteration SQL is engine-identical to the
+    oracle's MATERIALIZED-CTE form."""
     from ..tables import load_table
 
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
@@ -748,7 +754,13 @@ def pagerank_knn(
         SELECT vec_id AS src, neighbor_id AS dst
         FROM ranked WHERE rnk <= {KNN_K}
         """
-    ).localCheckpoint()
+    )
+    if checkpoint_mode == "reliable":
+        edges = edges.checkpoint(eager=True)
+    elif checkpoint_mode == "local":
+        edges = edges.localCheckpoint()
+    else:
+        raise ValueError(f"unknown checkpoint_mode: {checkpoint_mode!r}")
     edges.createOrReplaceTempView("knn_edges_mat")
     return spark.sql(pagerank_iter_sql("knn_edges_mat", "embeddings"))
 
