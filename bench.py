@@ -224,6 +224,30 @@ def main() -> None:
         dt4 = time.perf_counter() - t0
         timings["native_replay_read"] = round(dt4, 3)
         native_events_per_sec = round(n_native / dt4)
+
+        # streaming ingest curation: documents through the
+        # exact-dedup + quality-floor CurationStore (two
+        # micro-batches; stage-and-swap commits inside the span)
+        from aurora_cdc_demo_spark.streaming.curation import CurationStore
+        from aurora_cdc_demo_spark.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        n_docs = docs.count()
+        docs.repartition(8).write.mode("overwrite").parquet(
+            f"{workdir}/docs_in"
+        )
+        doc_stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(f"{workdir}/docs_in")
+        )
+        cur = CurationStore(spark, f"{workdir}/admitted")
+        t0 = time.perf_counter()
+        q3 = cur.start(doc_stream, f"{workdir}/ckpt_curation")
+        q3.awaitTermination(600)
+        dt5 = time.perf_counter() - t0
+        timings["streaming_curation"] = round(dt5, 3)
+        curation_docs_per_sec = round(n_docs / dt5)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -256,6 +280,7 @@ def main() -> None:
         "cdc_ingest_events_per_sec": cdc_events_per_sec,
         "datasource_replay_events_per_sec": replay_events_per_sec,
         "native_replay_events_per_sec": native_events_per_sec,
+        "curation_docs_per_sec": curation_docs_per_sec,
         "sf": sf,
     }
     if "sf_secondary" in detail:
