@@ -4191,6 +4191,70 @@ def q_events_cumulative_users(spark, sf_dir):
     )
 
 
+@query(
+    "events_dau_wau_stickiness",
+    oracle="""
+        WITH du AS (
+            SELECT DISTINCT date_trunc('day', ts) AS d, user_id
+            FROM events)
+        , dau AS (
+            SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY d)
+        , fan AS (
+            SELECT du.user_id,
+                   du.d + CAST(o.i AS BIGINT) * INTERVAL 1 DAY AS wd
+            FROM du CROSS JOIN (
+                SELECT unnest(range(7)) AS i) o)
+        , wau AS (
+            SELECT f.wd AS d, CAST(COUNT(DISTINCT f.user_id) AS BIGINT)
+                       AS wau
+            FROM fan f JOIN dau a ON a.d = f.wd
+            GROUP BY f.wd)
+        SELECT a.d AS day, a.dau, w.wau,
+               CAST((10000 * a.dau) // w.wau AS BIGINT) AS stickiness_bp
+        FROM dau a JOIN wau w ON a.d = w.d
+    """,
+)
+def q_events_dau_wau_stickiness(spark, sf_dir):
+    """DAU/WAU stickiness per day — the standard engagement ratio
+    (what share of the weekly audience shows up daily). WAU is
+    trailing-7-day distinct users; the naive COUNT(DISTINCT) over a
+    RANGE window isn't supported by either engine and would rescan 7
+    days per day anyway. Scale-correct decomposition: distinct
+    (day, user) pairs once (one shuffle, map-side combined), fan each
+    pair out to the ≤7 future days whose trailing window contains it
+    (bounded 7× fan-out of the DISTINCT pairs, not raw events), then
+    a distinct-count per day. Output is day-bounded; stickiness as
+    floor bp (integer-exact)."""
+    events = load_table(spark, sf_dir, "events")
+    du = events.select(
+        F.date_trunc("day", F.col("ts")).alias("d"), "user_id"
+    ).distinct()
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    fan = du.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(6))
+        ).alias("i"),
+        "d",
+    ).select(
+        "user_id", (F.col("d") + F.make_dt_interval(F.col("i"))).alias("wd")
+    )
+    wau = (
+        fan.join(dau.select(F.col("d").alias("wd")), "wd")
+        .groupBy("wd")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau["d"] == wau["wd"])
+        .select(
+            F.col("d").alias("day"),
+            "dau",
+            "wau",
+            F.expr("(10000 * dau) div wau").alias("stickiness_bp"),
+        )
+    )
+
+
 _BASKET_TOPK = 20
 
 

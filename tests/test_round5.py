@@ -173,6 +173,30 @@ def test_cell_population_bounded(spark, sf_dir):
     assert max_share[32] <= max_share[8]
 
 
+# -- DAU/WAU stickiness -----------------------------------------------------
+
+
+def test_stickiness_oracle_parity(spark, sf_dir):
+    assert_matches_oracle(spark, "events_dau_wau_stickiness", sf_dir)
+
+
+def test_stickiness_laws(spark, sf_dir):
+    """DAU ≤ WAU per day (the day's users are in its own trailing
+    window), stickiness ≤ 10000 bp, and the dau column agrees with
+    events_cumulative_users' active_users."""
+    rows = QUERIES["events_dau_wau_stickiness"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["dau"] <= r["wau"]
+        assert 0 < r["stickiness_bp"] <= 10000
+    dau = {r["day"]: r["dau"] for r in rows}
+    active = {
+        r["day"]: r["active_users"]
+        for r in QUERIES["events_cumulative_users"](spark, sf_dir).collect()
+    }
+    assert dau == active
+
+
 # -- trained-quantizer ANN search -------------------------------------------
 
 
