@@ -1257,3 +1257,97 @@ def kmeans_multiprobe(
     spark: SparkSession, sf_dir: str, n_seeds: int = N_SEEDS
 ) -> DataFrame:
     return _run(spark, sf_dir, kmeans_multiprobe_sql("spark", n_seeds))
+
+
+# ---------------------------------------------------------------------------
+# Binary (sign-bit) quantization + Hamming-distance ANN with exact
+# rerank — the 1-bit compression point of the quantization ladder
+# (float32 -> int8 -> PQ -> sign bits: 256x smaller than the raw
+# vectors, 32x smaller than int8).
+# ---------------------------------------------------------------------------
+
+SIGN_CAND = 50  # Hamming candidates reranked per query (10x topk)
+
+
+def _sign_word(col: str, lo: int, dialect: str) -> str:
+    """Bits for dims lo..lo+31 packed little-endian into one BIGINT.
+
+    The sign rule is a float comparison (> 0), exact and identical
+    across engines; the weights are integer literals, so the packed
+    word is integer-exact on both sides."""
+    terms = [
+        f"(CASE WHEN {_elem(col, i, dialect)} > 0 "
+        f"THEN CAST({1 << (i - lo)} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END)"
+        for i in range(lo, lo + 32)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _xor(a: str, b: str, dialect: str) -> str:
+    return f"({a} ^ {b})" if dialect == "spark" else f"xor({a}, {b})"
+
+
+def sign_hamming_sql(
+    dialect: str,
+    topk: int = TOPK,
+    n_queries: int = N_QUERIES,
+    cand: int = SIGN_CAND,
+) -> str:
+    """Sign-bit ANN: quantize each 64-dim vector to 2 packed BIGINT
+    words (one sign bit per dimension), scan by Hamming distance
+    (``bit_count(xor)`` — two integer ops per comparison instead of
+    64 multiply-adds), keep the ``cand`` closest codes per query,
+    exact-cosine rerank only those, emit top-``topk``.
+
+    Scale (100 TB): the packed-code table is 16 bytes/vector — a
+    1e9-vector corpus is 16 GB of codes, scannable from memory on a
+    modest executor fleet, while the float vectors (256 GB) are
+    touched only for the ``n_queries * cand`` rerank rows. The query
+    set is a bounded broadcast; the corpus is never shuffled (the
+    only exchange carries |Q| * cand candidate rows to the rerank
+    window). Ties in Hamming break on neighbor_id, rerank ties on
+    exact cosine then neighbor_id — fully deterministic both sides.
+    Recall vs the exact scan (embed_cosine_topk) is pinned in
+    tests/test_similarity.py."""
+    ham = (
+        f"CAST(bit_count({_xor('q.qw1', 'v.w1', dialect)}) "
+        f"+ bit_count({_xor('q.qw2', 'v.w2', dialect)}) AS BIGINT)"
+    )
+    return f"""
+        WITH v AS (
+            SELECT vec_id, embedding, {_norm('embedding', dialect)} AS nrm,
+                   {_sign_word('embedding', 1, dialect)} AS w1,
+                   {_sign_word('embedding', 33, dialect)} AS w2
+            FROM embeddings)
+        , q AS (
+            SELECT vec_id AS query_id, embedding AS qe, nrm AS qn,
+                   w1 AS qw1, w2 AS qw2
+            FROM v WHERE vec_id < {n_queries})
+        , ham AS (
+            SELECT q.query_id, v.vec_id AS neighbor_id,
+                   q.qe, q.qn, v.embedding AS ve, v.nrm AS vn,
+                   {ham} AS hamming
+            FROM q CROSS JOIN v WHERE v.vec_id <> q.query_id)
+        , hranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY hamming ASC, neighbor_id ASC) AS hrn
+            FROM ham)
+        , rer AS (
+            SELECT query_id, neighbor_id, hamming,
+                   ({_dot('qe', 've', dialect)}) / (qn * vn) AS cos
+            FROM hranked WHERE hrn <= {cand})
+        , ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id ASC) AS rn
+            FROM rer)
+        SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS nn_rank,
+               hamming, ROUND(cos, 6) AS cosine
+        FROM ranked WHERE rn <= {topk}
+    """
+
+
+def sign_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, sign_hamming_sql("spark"))

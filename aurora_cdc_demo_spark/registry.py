@@ -5174,3 +5174,21 @@ def q_events_funnel_windowed(spark, sf_dir):
         .crossJoin(click.agg(F.count(F.lit(1)).alias("n_click_72h")))
         .crossJoin(purchase.agg(F.count(F.lit(1)).alias("n_purchase_72h")))
     )
+
+
+# ---------------------------------------------------------------------------
+# R6: binary sign quantization + Hamming ANN
+# ---------------------------------------------------------------------------
+
+
+@query("embed_sign_hamming_topk", oracle=_sim.sign_hamming_sql("duck"))
+def q_embed_sign_hamming_topk(spark, sf_dir):
+    """1-bit (sign) embedding quantization + Hamming-scan ANN with
+    exact-cosine rerank: the cheapest point of the quantization
+    ladder (float32 → int8 #96 → PQ #139 → sign bits here, 256× raw
+    compression). Codes are 2 packed BIGINTs/vector; the candidate
+    scan is bit_count(xor) integer ops, float vectors touched only
+    for |Q|×50 rerank rows. Recall vs the exact scan pinned in
+    tests/test_similarity.py; see
+    operators/similarity.py:sign_hamming_sql for the scale shape."""
+    return _sim.sign_hamming_topk(spark, sf_dir)

@@ -119,3 +119,28 @@ def test_embed_dedup_clusters_lsh_close_to_allpairs(spark, sf_dir):
     # measured: the one missed borderline edge (recall 58/59) splits
     # one cluster, relabeling 6 of 500 vectors -> 0.988 agreement
     assert same / len(a) >= 0.98
+
+
+def test_sign_hamming_oracle_parity(spark, sf_dir):
+    assert_matches_oracle(spark, "embed_sign_hamming_topk", sf_dir)
+
+
+def test_sign_hamming_recall_and_shape(spark, sf_dir):
+    """1-bit codes lose most of the vector, so this is the weakest
+    rung of the quantization ladder — but a 10x-topk Hamming
+    candidate pool reranked by exact cosine must still recover the
+    majority of true neighbors (measured on this data: 0.68-0.70),
+    and every returned neighbor's cosine is exact (rerank), so a
+    returned set is always correctly ordered."""
+    brute = QUERIES["embed_cosine_topk"](spark, sf_dir).toPandas()
+    sign = QUERIES["embed_sign_hamming_topk"](spark, sf_dir).toPandas()
+    truth = set(zip(brute["query_id"], brute["neighbor_id"]))
+    hits = sum(
+        (q, n) in truth for q, n in zip(sign["query_id"], sign["neighbor_id"])
+    )
+    assert hits / len(truth) >= 0.6
+    counts = sign.groupby("query_id")["neighbor_id"].count()
+    assert (counts == 5).all() and len(counts) == 10
+    # rerank order: cosine non-increasing within each query
+    for _, g in sign.sort_values(["query_id", "nn_rank"]).groupby("query_id"):
+        assert (g["cosine"].diff().dropna() <= 1e-12).all()
