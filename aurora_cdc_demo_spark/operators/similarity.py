@@ -1351,3 +1351,227 @@ def sign_hamming_sql(
 
 def sign_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, sign_hamming_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Community structure over the KNN graph: synchronous label
+# propagation (Raghavan et al. 2007) and triangle counting /
+# clustering coefficient — the neighborhood-structure diagnostics a
+# curation pipeline runs beside PageRank (#121): LPA finds the dense
+# semantic communities to balance, the clustering coefficient tells
+# how "clumped" each vector's neighborhood is (high cc + high rank =
+# an over-represented region).
+# ---------------------------------------------------------------------------
+
+LP_ITERS = 3
+
+
+def _uedges_cte(mat: str) -> str:
+    """Symmetrized (undirected) KNN edge relation: UNION of both
+    directions dedups, so every neighbor pair appears exactly once
+    per direction. Bounded by 2*KNN_K per node."""
+    return f"""
+        , uedges AS {mat}(
+            SELECT src, dst FROM edges
+            UNION
+            SELECT dst AS src, src AS dst FROM edges)"""
+
+
+def _lp_rounds(edges_rel: str, nodes_rel: str, div: str) -> str:
+    """Unrolled synchronous LPA rounds. Each node's next label is the
+    most frequent label among its neighbors AND itself (the self-vote
+    keeps singletons stable); ties break to the smallest label —
+    integer counts + total tie order make every round deterministic
+    on both engines. Per round: one shuffle keyed by dst (label
+    fan-out bounded by 2*KNN_K per node) + one count + one window."""
+    ctes = f"""
+        , l0 AS (SELECT vec_id, vec_id AS lbl FROM {nodes_rel})"""
+    prev = "l0"
+    for i in range(1, LP_ITERS + 1):
+        ctes += f"""
+        , nb{i} AS (
+            SELECT e.dst AS vec_id, l.lbl
+            FROM {edges_rel} e JOIN {prev} l ON l.vec_id = e.src
+            UNION ALL
+            SELECT vec_id, lbl FROM {prev})
+        , cnt{i} AS (
+            SELECT vec_id, lbl, CAST(COUNT(*) AS BIGINT) AS c
+            FROM nb{i} GROUP BY vec_id, lbl)
+        , l{i} AS (
+            SELECT vec_id, lbl FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id
+                    ORDER BY c DESC, lbl ASC) AS rn
+                FROM cnt{i}) t
+            WHERE rn = 1)"""
+        prev = f"l{i}"
+    return ctes, prev
+
+
+def label_prop_sql(dialect: str, n_seeds: int = N_SEEDS) -> str:
+    """Single-statement oracle form: KNN chain -> undirected edges ->
+    unrolled LPA -> community sizes. MATERIALIZED on DuckDB for the
+    same reason as pagerank_sql (CTE inlining re-evaluates the cell
+    self-join per reference)."""
+    div = "div" if dialect == "spark" else "//"
+    mat = "MATERIALIZED " if dialect != "spark" else ""
+    rounds, prev = _lp_rounds("uedges", "v", div)
+    return f"""{_knn_ctes(dialect, n_seeds)}
+        , edges AS {mat}(
+            SELECT vec_id AS src, neighbor_id AS dst
+            FROM ranked WHERE rnk <= {KNN_K})
+        {_uedges_cte(mat)}
+        {rounds}
+        , sizes AS (
+            SELECT lbl, CAST(COUNT(*) AS BIGINT) AS community_size
+            FROM {prev} GROUP BY lbl)
+        SELECT p.vec_id, p.lbl AS community_id, s.community_size
+        FROM {prev} p JOIN sizes s ON s.lbl = p.lbl
+    """
+
+
+def label_prop_iter_sql(edges_view: str, nodes_view: str) -> str:
+    """Spark-side LPA over an ALREADY-MATERIALIZED undirected edge
+    relation (same materialize-once pattern as pagerank_iter_sql:
+    without the checkpoint every round's UNION ALL re-runs the KNN
+    cell self-join)."""
+    rounds, prev = _lp_rounds(edges_view, f"(SELECT vec_id FROM {nodes_view})", "div")
+    return f"""
+        WITH _dummy AS (SELECT 1)
+        {rounds}
+        , sizes AS (
+            SELECT lbl, CAST(COUNT(*) AS BIGINT) AS community_size
+            FROM {prev} GROUP BY lbl)
+        SELECT p.vec_id, p.lbl AS community_id, s.community_size
+        FROM {prev} p JOIN sizes s ON s.lbl = p.lbl
+    """
+
+
+def _materialized_uedges(
+    spark: SparkSession,
+    sf_dir: str,
+    n_seeds: int,
+    checkpoint_mode: str,
+) -> None:
+    """Build + checkpoint the undirected KNN edge list, register it
+    as view ``knn_uedges_mat``. checkpoint_mode: 'local' (single
+    node) | 'reliable' (cluster; needs a checkpoint dir) — the same
+    split as connected_components/pagerank_knn."""
+    from ..tables import load_table
+
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    edges = spark.sql(
+        f"""{_knn_ctes('spark', n_seeds)}
+        , edges AS (
+            SELECT vec_id AS src, neighbor_id AS dst
+            FROM ranked WHERE rnk <= {KNN_K})
+        SELECT src, dst FROM edges
+        UNION
+        SELECT dst AS src, src AS dst FROM edges
+        """
+    )
+    if checkpoint_mode == "reliable":
+        edges = edges.checkpoint(eager=True)
+    elif checkpoint_mode == "local":
+        edges = edges.localCheckpoint()
+    else:
+        raise ValueError(f"unknown checkpoint_mode: {checkpoint_mode!r}")
+    edges.createOrReplaceTempView("knn_uedges_mat")
+
+
+def label_prop(
+    spark: SparkSession,
+    sf_dir: str,
+    n_seeds: int = N_SEEDS,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    _materialized_uedges(spark, sf_dir, n_seeds, checkpoint_mode)
+    return spark.sql(label_prop_iter_sql("knn_uedges_mat", "embeddings"))
+
+
+def triangle_sql(dialect: str, n_seeds: int = N_SEEDS) -> str:
+    """Triangle count + clustering coefficient per node over the
+    undirected KNN graph. DEGREE-ORDERED orientation (the
+    Schank/Wagner "forward" algorithm): each undirected edge points
+    from its (degree, id)-smaller endpoint to the larger, a triangle
+    a->b, a->c, b->c is found exactly once at its apex via a
+    common-src two-path closed by the third directed edge. cc is the
+    floor-bp of 2*T / (deg*(deg-1)) — integer-exact both engines.
+
+    Scale: KNN OUT-degree is KNN_K-bounded but IN-degree is not
+    (hub vectors sit in many top-k lists), so a naive id-ordered
+    two-path join fans quadratically on hubs. Degree ordering bounds
+    every node's oriented out-degree by O(sqrt(E)) regardless of
+    skew — the standard distributed-triangle plan. Three linear
+    shuffles keyed on edge endpoints; degrees are node-sized."""
+    mat = "MATERIALIZED " if dialect != "spark" else ""
+    div = "div" if dialect == "spark" else "//"
+    return f"""{_knn_ctes(dialect, n_seeds)}
+        , edges AS {mat}(
+            SELECT vec_id AS src, neighbor_id AS dst
+            FROM ranked WHERE rnk <= {KNN_K})
+        {_uedges_cte(mat)}
+        {_tri_body("uedges", div, mat)}
+    """
+
+
+def _tri_body(uedges: str, div: str, mat: str = "") -> str:
+    """Shared triangle-count tail over an undirected edge relation:
+    degree table -> degree-ordered directed edges (carrying each
+    endpoint's (degree, id) order key) -> apex two-path join ->
+    corner credit -> cc."""
+    return f"""
+        , deg AS {mat}(
+            SELECT src AS vec_id, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM {uedges} GROUP BY src)
+        , de AS {mat}(
+            SELECT u.src, u.dst, ds.degree AS sdeg, dd.degree AS ddeg
+            FROM {uedges} u
+            JOIN deg ds ON ds.vec_id = u.src
+            JOIN deg dd ON dd.vec_id = u.dst
+            WHERE ds.degree < dd.degree
+               OR (ds.degree = dd.degree AND u.src < u.dst))
+        , tri AS (
+            SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+            FROM de e1
+            JOIN de e2 ON e2.src = e1.src
+                AND (e1.ddeg < e2.ddeg
+                     OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))
+            JOIN de e3 ON e3.src = e1.dst AND e3.dst = e2.dst)
+        , corner AS (
+            SELECT a AS vec_id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+        , tcount AS (
+            SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS triangles
+            FROM corner GROUP BY vec_id)
+        SELECT d.vec_id, d.degree,
+               CAST(COALESCE(t.triangles, 0) AS BIGINT) AS triangles,
+               CASE WHEN d.degree >= 2 THEN
+                   (20000 * COALESCE(t.triangles, 0))
+                       {div} (d.degree * (d.degree - 1))
+               ELSE CAST(0 AS BIGINT) END AS clustering_bp
+        FROM deg d LEFT JOIN tcount t ON t.vec_id = d.vec_id"""
+
+
+def triangle_iter_sql(edges_view: str) -> str:
+    """Spark-side triangle count over the materialized undirected
+    edges (the directed relation is referenced three times — the
+    checkpoint keeps each reference a cached-block scan instead of a
+    KNN-chain re-run)."""
+    return f"""
+        WITH _dummy AS (SELECT 1)
+        {_tri_body(edges_view, "div")}
+    """
+
+
+def triangle_knn(
+    spark: SparkSession,
+    sf_dir: str,
+    n_seeds: int = N_SEEDS,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    _materialized_uedges(spark, sf_dir, n_seeds, checkpoint_mode)
+    return spark.sql(triangle_iter_sql("knn_uedges_mat"))

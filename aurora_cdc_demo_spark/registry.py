@@ -5192,3 +5192,37 @@ def q_embed_sign_hamming_topk(spark, sf_dir):
     tests/test_similarity.py; see
     operators/similarity.py:sign_hamming_sql for the scale shape."""
     return _sim.sign_hamming_topk(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# R6: KNN-graph community structure (label propagation, triangles)
+# ---------------------------------------------------------------------------
+
+
+@query("graph_label_prop_knn", oracle=_sim.label_prop_sql("duck"))
+def q_graph_label_prop_knn(spark, sf_dir):
+    """Synchronous label propagation (Raghavan et al. 2007) over the
+    corpus KNN graph: 3 unrolled deterministic rounds (most-frequent
+    neighbor+self label, ties to smallest) — the community detector a
+    curation pipeline pairs with PageRank #121 to find and balance
+    dense semantic clusters. Edges are built ONCE and checkpointed
+    (same materialize-once discipline as pagerank_knn); per round one
+    2*KNN_K-bounded label fan-out shuffle + one count. Oracle is the
+    identical unrolled integer algebra in one MATERIALIZED-CTE
+    statement; see operators/similarity.py:label_prop_sql."""
+    return _sim.label_prop(spark, sf_dir)
+
+
+@query("graph_triangle_knn", oracle=_sim.triangle_sql("duck"))
+def q_graph_triangle_knn(spark, sf_dir):
+    """Per-node triangle count + clustering coefficient (floor-bp of
+    2T/deg(deg-1)) on the undirected KNN graph: the neighborhood-
+    density diagnostic (high cc + high PageRank = over-represented
+    region). Degree-ordered orientation (Schank/Wagner forward
+    algorithm): each edge points to its (degree,id)-larger endpoint,
+    the apex two-path join finds each triangle once with fan-out
+    bounded O(sqrt(E)) even on KNN hub nodes (out-degree is K-bounded
+    but IN-degree is not — hubness is the skew here). Edge list
+    checkpointed once (referenced 3x);
+    see operators/similarity.py:triangle_sql."""
+    return _sim.triangle_knn(spark, sf_dir)

@@ -1,0 +1,71 @@
+"""Round-6 additions: KNN-graph community structure (label
+propagation, triangles/clustering), the 1-bit quantization ANN rung,
+and this round's curation/sampling operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aurora_cdc_demo_spark.operators.similarity import KNN_K
+from aurora_cdc_demo_spark.registry import QUERIES
+
+from .helpers import assert_matches_oracle
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["graph_label_prop_knn", "graph_triangle_knn"],
+)
+def test_graph_oracle_parity(spark, sf_dir, name):
+    assert_matches_oracle(spark, name, sf_dir)
+
+
+def test_label_prop_is_partition(spark, sf_dir):
+    """LPA output is a valid partition: one label per vector, every
+    label is itself a member's vec_id (labels start as identities and
+    propagate — a label can only spread from a node that carries it),
+    and community sizes are consistent with membership counts."""
+    lp = QUERIES["graph_label_prop_knn"](spark, sf_dir).toPandas()
+    assert lp["vec_id"].is_unique
+    ids = set(lp["vec_id"])
+    assert set(lp["community_id"]) <= ids
+    sizes = lp.groupby("community_id")["vec_id"].count()
+    declared = lp.drop_duplicates("community_id").set_index("community_id")[
+        "community_size"
+    ]
+    assert (sizes == declared.reindex(sizes.index)).all()
+    # propagation happened: fewer communities than nodes
+    assert lp["community_id"].nunique() < len(lp)
+
+
+def test_triangle_conservation_and_bounds(spark, sf_dir):
+    """Per-corner triangle credits must sum to 3x the number of
+    distinct triangles (each triangle has exactly 3 corners);
+    clustering coefficient is a proper ratio (<= 10000 bp). KNN
+    OUT-degree is K-bounded but IN-degree is not (hub vectors) — the
+    degree histogram itself documents the hubness the degree-ordered
+    orientation exists to absorb."""
+    t = QUERIES["graph_triangle_knn"](spark, sf_dir).toPandas()
+    assert t["triangles"].sum() % 3 == 0
+    assert (t["clustering_bp"] <= 10000).all()
+    assert (t["clustering_bp"] >= 0).all()
+    assert (t["degree"] >= 1).all()
+    # hubness is real on this data: some node's undirected degree
+    # exceeds 2*KNN_K (the reason for degree-ordered orientation)
+    assert t["degree"].max() > 2 * KNN_K
+
+
+def test_graph_queries_share_edge_checkpoint(spark, sf_dir):
+    """Scale guard: the iteration plans must run over the
+    materialized (checkpointed) edge list — no CartesianProduct and
+    no re-derivation of the KNN cell join inside the iteration SQL
+    (the checkpoint cuts the lineage, so the executed plan of the
+    final query contains scan-of-RDD, not the cosine cross join)."""
+    for name in ["graph_label_prop_knn", "graph_triangle_knn"]:
+        df = QUERIES[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        # the KNN chain's seed cross join must NOT appear in the
+        # post-checkpoint iteration plan
+        assert "BroadcastNestedLoopJoin" not in plan
