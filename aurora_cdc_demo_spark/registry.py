@@ -5226,3 +5226,81 @@ def q_graph_triangle_knn(spark, sf_dir):
     checkpointed once (referenced 3x);
     see operators/similarity.py:triangle_sql."""
     return _sim.triangle_knn(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# R6: tombstone GC (retention purge of deleted-key history)
+# ---------------------------------------------------------------------------
+
+_TOMBSTONE_RETENTION_HOURS = 12
+
+
+@query(
+    "cdc_tombstone_gc",
+    oracle=_with_log(
+        f"""
+        , scd2 AS (
+            SELECT key_id, seq, operation, event_type, value,
+                   ts AS valid_from, lead(ts) OVER w AS valid_to
+            FROM log WINDOW w AS (PARTITION BY key_id ORDER BY ts ASC, seq ASC))
+        , lastop AS (
+            SELECT key_id, operation, ts FROM (
+                SELECT key_id, operation, ts, row_number() OVER (
+                    PARTITION BY key_id ORDER BY ts DESC, seq DESC) AS rn
+                FROM log) r WHERE rn = 1)
+        , mx AS (SELECT MAX(ts) AS maxts FROM log)
+        , purge AS (
+            SELECT l.key_id FROM lastop l CROSS JOIN mx
+            WHERE l.operation = 'DELETE'
+              AND epoch_us(l.ts) <= epoch_us(mx.maxts)
+                  - CAST({_TOMBSTONE_RETENTION_HOURS} * 3600 AS BIGINT) * 1000000)
+        SELECT s.key_id, s.seq, s.operation, s.event_type, s.value,
+               s.valid_from, s.valid_to
+        FROM scd2 s LEFT JOIN purge p ON p.key_id = s.key_id
+        WHERE p.key_id IS NULL
+        """
+    ),
+)
+def q_cdc_tombstone_gc(spark, sf_dir):
+    """Tombstone GC — the SCD2-history analog of Delta's
+    deleted-file retention / GDPR forget: a key whose FINAL operation
+    is DELETE and whose delete is older than the retention watermark
+    (12h behind the log head) has its ENTIRE version history purged;
+    keys still live, or deleted within retention (replay-safe
+    window), keep full history. Delete-then-reinsert keys are live by
+    definition (final op is not DELETE) and are never purged.
+
+    Scale: the history window and the last-op window share one
+    key_id shuffle; the purge set is applied as a LEFT ANTI join on
+    key_id (linear, skew-free — key_id is the primary key); the
+    watermark is a 1-row broadcast. Retention semantics + partition
+    law pinned in tests/test_round6.py."""
+    from pyspark.sql import Window
+
+    log = cdc_operation_log(spark, sf_dir)
+    scd2 = cdc_apply.scd2_history(log).drop("is_current")
+    w = Window.partitionBy("key_id").orderBy(
+        F.col("ts").desc(), F.col("seq").desc()
+    )
+    lastop = (
+        log.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("key_id", "operation", "ts")
+    )
+    mx = log.agg(F.max("ts").alias("maxts"))
+    ret_us = _TOMBSTONE_RETENTION_HOURS * 3600 * 1_000_000
+    purge = (
+        lastop.crossJoin(F.broadcast(mx))
+        .where(
+            (F.col("operation") == "DELETE")
+            & (
+                F.unix_micros(F.col("ts"))
+                <= F.unix_micros(F.col("maxts")) - F.lit(ret_us)
+            )
+        )
+        .select("key_id")
+    )
+    return scd2.join(purge, "key_id", "left_anti").select(
+        "key_id", "seq", "operation", "event_type", "value",
+        "valid_from", "valid_to",
+    )

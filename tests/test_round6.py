@@ -69,3 +69,35 @@ def test_graph_queries_share_edge_checkpoint(spark, sf_dir):
         # the KNN chain's seed cross join must NOT appear in the
         # post-checkpoint iteration plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tombstone_gc_oracle_parity(spark, sf_dir):
+    assert_matches_oracle(spark, "cdc_tombstone_gc", sf_dir)
+
+
+def test_tombstone_gc_retention_partition(spark, sf_dir):
+    """GC must partition keys exactly: a key is purged iff its final
+    operation is DELETE and that delete is older than the retention
+    watermark; every surviving key keeps its FULL history (version
+    counts unchanged vs cdc_scd2_history)."""
+    from aurora_cdc_demo_spark.registry import _TOMBSTONE_RETENTION_HOURS
+
+    full = QUERIES["cdc_scd2_history"](spark, sf_dir).toPandas()
+    kept = QUERIES["cdc_tombstone_gc"](spark, sf_dir).toPandas()
+    full_sorted = full.sort_values(["key_id", "valid_from", "seq"])
+    last = full_sorted.groupby("key_id").tail(1)
+    maxts = full["valid_from"].max()
+    cutoff = maxts - __import__("pandas").Timedelta(
+        hours=_TOMBSTONE_RETENTION_HOURS
+    )
+    expected_purged = set(
+        last[(last["operation"] == "DELETE") & (last["valid_from"] <= cutoff)][
+            "key_id"
+        ]
+    )
+    assert set(full["key_id"]) - set(kept["key_id"]) == expected_purged
+    assert len(expected_purged) > 0  # retention actually bites here
+    counts_full = full.groupby("key_id")["seq"].count()
+    counts_kept = kept.groupby("key_id")["seq"].count()
+    surv = counts_kept.index
+    assert (counts_full.loc[surv] == counts_kept).all()
