@@ -122,3 +122,74 @@ CHUNK_WINDOWS_SQL = f"""
                AS chunk_md5
     FROM e
 """
+
+
+# ---------------------------------------------------------------------------
+# UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+# More Effective Language Sampling for Large-Scale Multilingual
+# Pretraining"): waterfill a document budget across languages —
+# repeatedly give every still-open language an equal share of the
+# remaining budget; languages smaller than their share are taken
+# WHOLE (capped) and the leftover re-waterfills across the rest.
+# ---------------------------------------------------------------------------
+
+UNIMAX_ROUNDS = 3  # fixpoint on this data in 3 rounds (law-pinned vs 4)
+
+
+def unimax_sql(dialect: str, rounds: int = UNIMAX_ROUNDS) -> str:
+    """Dual-dialect unrolled waterfilling. Budget = 80% of the corpus
+    (floor), all algebra integer (floor division), so both engines
+    agree bit-for-bit. Each round updates only the tiny per-language
+    state table; the single corpus-scale operation is the initial
+    GROUP BY lang count.
+
+    Scale (100 TB): the per-language table is bounded by the number
+    of languages (~100s), so every waterfilling round is a broadcast-
+    sized computation regardless of corpus size; the allocation
+    output then drives a hash-threshold sample (see
+    sample_stratified) with no further shuffle. Convergence: capped
+    languages only gain members per round, so n_rounds <= n_langs;
+    the fixpoint certificate (rounds vs rounds+1 identical) is pinned
+    in tests/test_round6.py."""
+    div = "div" if dialect == "spark" else "//"
+    ctes = f"""
+        WITH sizes AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY lang)
+        , budget AS (
+            SELECT CAST((4 * SUM(n)) {div} 5 AS BIGINT) AS b FROM sizes)
+        , c0 AS (
+            SELECT lang, n, FALSE AS capped FROM sizes)"""
+    prev = "c0"
+    for i in range(1, rounds + 1):
+        ctes += f"""
+        , st{i} AS (
+            SELECT CAST(b.b - COALESCE(SUM(CASE WHEN c.capped THEN c.n
+                                          ELSE CAST(0 AS BIGINT) END), 0)
+                   AS BIGINT) AS remb,
+                   CAST(COALESCE(SUM(CASE WHEN c.capped THEN 0 ELSE 1 END), 0)
+                   AS BIGINT) AS nrem
+            FROM {prev} c CROSS JOIN budget b
+            GROUP BY b.b)
+        , c{i} AS (
+            SELECT c.lang, c.n,
+                   c.capped OR COALESCE(
+                       c.n <= s.remb {div} NULLIF(s.nrem, 0), FALSE)
+                       AS capped
+            FROM {prev} c CROSS JOIN st{i} s)"""
+        prev = f"c{i}"
+    return f"""{ctes}
+        , stf AS (
+            SELECT CAST(b.b - COALESCE(SUM(CASE WHEN c.capped THEN c.n
+                                          ELSE CAST(0 AS BIGINT) END), 0)
+                   AS BIGINT) AS remb,
+                   CAST(COALESCE(SUM(CASE WHEN c.capped THEN 0 ELSE 1 END), 0)
+                   AS BIGINT) AS nrem
+            FROM {prev} c CROSS JOIN budget b
+            GROUP BY b.b)
+        SELECT c.lang, c.n AS n_docs,
+               CASE WHEN c.capped THEN c.n
+                    ELSE s.remb {div} NULLIF(s.nrem, 0) END AS allocation,
+               c.capped AS is_capped
+        FROM {prev} c CROSS JOIN stf s
+    """

@@ -5304,3 +5304,28 @@ def q_cdc_tombstone_gc(spark, sf_dir):
         "key_id", "seq", "operation", "event_type", "value",
         "valid_from", "valid_to",
     )
+
+
+# ---------------------------------------------------------------------------
+# R6: UniMax budget waterfilling
+# ---------------------------------------------------------------------------
+
+from .operators import sampling as _sampling  # noqa: E402
+
+
+@query("sample_unimax_budget", oracle=_sampling.unimax_sql("duck"))
+def q_sample_unimax_budget(spark, sf_dir):
+    """UniMax (Chung et al. 2023) language-budget waterfilling:
+    every still-open language repeatedly gets an equal share of the
+    remaining budget; languages smaller than their share are taken
+    WHOLE and the leftover re-waterfills — the fairness-motivated
+    alternative to temperature sampling for multilingual pretraining
+    mixes. 3 unrolled integer rounds (fixpoint on this data,
+    certificate pinned vs a 4th round); the only corpus-scale work is
+    one GROUP BY lang count — the waterfilling itself runs on the
+    language-bounded state table. See
+    operators/sampling.py:unimax_sql."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_sampling.unimax_sql("spark"))

@@ -101,3 +101,37 @@ def test_tombstone_gc_retention_partition(spark, sf_dir):
     counts_kept = kept.groupby("key_id")["seq"].count()
     surv = counts_kept.index
     assert (counts_full.loc[surv] == counts_kept).all()
+
+
+def test_unimax_oracle_parity(spark, sf_dir):
+    assert_matches_oracle(spark, "sample_unimax_budget", sf_dir)
+
+
+def test_unimax_waterfilling_laws(spark, sf_dir):
+    """UniMax allocation laws: no language over-allocated, capped
+    languages taken whole, budget never exceeded (and exactly
+    exhausted when any language is uncapped, up to floor-div
+    remainder < n_uncapped), and the 3-round unroll is a FIXPOINT on
+    this data (a 4th round changes nothing)."""
+    from aurora_cdc_demo_spark.operators.sampling import unimax_sql
+    from aurora_cdc_demo_spark.tables import load_table
+
+    df = QUERIES["sample_unimax_budget"](spark, sf_dir).toPandas()
+    assert (df["allocation"] <= df["n_docs"]).all()
+    capped = df[df["is_capped"]]
+    assert (capped["allocation"] == capped["n_docs"]).all()
+    budget = 4 * df["n_docs"].sum() // 5
+    assert df["allocation"].sum() <= budget
+    n_open = (~df["is_capped"]).sum()
+    if n_open:
+        assert budget - df["allocation"].sum() < n_open
+    # fixpoint certificate: one more round is identical
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    df4 = (
+        spark.sql(unimax_sql("spark", rounds=4))
+        .toPandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    df3 = df.sort_values("lang").reset_index(drop=True)
+    assert df3.equals(df4)
