@@ -255,3 +255,92 @@ TEXT_ORACLES["text_rolling_hash"] = f"""
            length(text) AS n_chars_calc
     FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# Log-free integer BM25 ranking (Robertson/Sparck-Jones BM25 with a
+# RATIONAL idf — (2N-2df+1)/(2df+1) is the argument of BM25's log,
+# used directly so the whole score stays in exact integer algebra
+# across engines; the log is strictly monotone, so rare-vs-common
+# ORDERING is preserved, only the scale differs from textbook BM25).
+# k1 = 1.2, b = 0.75 exactly, via the scaled-integer identity
+#   tf_norm = 22000*tf / (10000*tf + 3000 + 9*r),  r = (1000*dl) div avgdl.
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("dup", "spark", "vector")
+BM25_TOPN = 10
+
+
+def bm25_sql(dialect: str) -> str:
+    """Dual-dialect BM25 top-N. Overflow discipline (the 100 TB
+    bound, per the r2 ADVICE lesson): idf at e2 scale (<= 2e2*N),
+    tf_norm at e4 (<= 2.2e4), their product <= 4.4e6*N stays inside
+    BIGINT to N ~ 2e12 docs, and the per-term contribution is divided
+    back to e4 BEFORE the per-doc sum — divide-before-multiply
+    everywhere a counter product could run away.
+
+    Scale: one explode + hash agg for tf (map-side combined,
+    filtered to the query terms BEFORE the shuffle — the exploded
+    token stream never shuffles); df and corpus stats are
+    term-/1-row-bounded broadcasts; the final top-N is ORDER BY +
+    LIMIT — Spark executes TakeOrderedAndProject (per-partition
+    partial top-k, no single-reducer window), and the rank window
+    runs over N=10 rows."""
+    div = "div" if dialect == "spark" else "//"
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    if dialect == "spark":
+        tok = (
+            "SELECT doc_id, explode(split(text, ' ')) AS t FROM documents"
+        )
+        base = (
+            "SELECT doc_id, CAST(size(split(text, ' ')) AS BIGINT) AS dl "
+            "FROM documents"
+        )
+    else:
+        tok = (
+            "SELECT doc_id, unnest(string_split(text, ' ')) AS t "
+            "FROM documents"
+        )
+        base = (
+            "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) "
+            "AS dl FROM documents"
+        )
+    return f"""
+        WITH tok AS ({tok})
+        , base AS ({base})
+        , stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(dl) AS BIGINT) AS sumdl
+            FROM base)
+        , tf AS (
+            SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM tok WHERE t IN ({terms}) GROUP BY doc_id, t)
+        , dft AS (
+            SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t)
+        , scored AS (
+            SELECT f.doc_id,
+                   ((100 * (2 * s.n - 2 * d.df + 1)) {div} (2 * d.df + 1))
+                       AS idf_e2,
+                   ((220000000 * f.tf) {div}
+                    (10000 * f.tf + 3000
+                     + 9 * ((1000 * b.dl) {div} (s.sumdl {div} s.n))))
+                       AS tfn_e4
+            FROM tf f
+            JOIN dft d ON d.t = f.t
+            JOIN base b ON b.doc_id = f.doc_id
+            CROSS JOIN stats s)
+        , agg AS (
+            SELECT doc_id,
+                   CAST(SUM((idf_e2 * tfn_e4) {div} 100) AS BIGINT)
+                       AS score_e4,
+                   CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+            FROM scored GROUP BY doc_id)
+        , top AS (
+            SELECT * FROM agg
+            ORDER BY score_e4 DESC, doc_id ASC LIMIT {BM25_TOPN})
+        SELECT doc_id, score_e4, n_terms_hit,
+               CAST(row_number() OVER (
+                   ORDER BY score_e4 DESC, doc_id ASC) AS BIGINT)
+                   AS bm25_rank
+        FROM top
+    """

@@ -5329,3 +5329,19 @@ def q_sample_unimax_budget(spark, sf_dir):
         "documents"
     )
     return spark.sql(_sampling.unimax_sql("spark"))
+
+
+@query("text_bm25_topk", oracle=_text.bm25_sql("duck"))
+def q_text_bm25_topk(spark, sf_dir):
+    """BM25 relevance ranking (k1=1.2, b=0.75 exact) with a RATIONAL
+    idf — the retrieval scorer a data pipeline uses for query-driven
+    corpus slicing / hard-negative mining. Log-free integer algebra
+    end to end (the log's argument ranks identically; scales
+    documented in operators/text.py:bm25_sql), tf filtered to query
+    terms BEFORE any shuffle, top-N via ORDER BY+LIMIT
+    (TakeOrderedAndProject — distributed partial top-k, no global
+    window)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_text.bm25_sql("spark"))

@@ -135,3 +135,23 @@ def test_unimax_waterfilling_laws(spark, sf_dir):
     )
     df3 = df.sort_values("lang").reset_index(drop=True)
     assert df3.equals(df4)
+
+
+def test_bm25_oracle_parity(spark, sf_dir):
+    assert_matches_oracle(spark, "text_bm25_topk", sf_dir)
+
+
+def test_bm25_rare_term_dominates_and_plan(spark, sf_dir):
+    """Retrieval sanity: the rare query term ('dup', df~5% of docs)
+    must out-rank common-term-only matches — the rank-1 document
+    contains 'dup'. Plan guard: the top-N must execute as
+    TakeOrderedAndProject (distributed partial top-k), never a
+    single-partition global window over the full candidate set."""
+    df = QUERIES["text_bm25_topk"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    top = df.toPandas().sort_values("bm25_rank")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    rank1_text = docs.set_index("doc_id").loc[top.iloc[0]["doc_id"], "text"]
+    assert "dup" in rank1_text.split()
+    assert len(top) == 10 and top["score_e4"].is_monotonic_decreasing
