@@ -712,3 +712,125 @@ CONTAINMENT_SQL = f"""
     JOIN kc y ON i.doc_b = y.doc_id
     WHERE 10000 * inter >= {CONTAINMENT_THRESHOLD_BP} * least(x.c, y.c)
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus MinHash-LSH decontamination: flag TRAIN docs that
+# near-duplicate a HELD-OUT benchmark doc. corpus_decontaminate (#85)
+# catches verbatim 8-gram overlap; this catches paraphrase-level
+# contamination (high Jaccard without a single shared 8-gram run
+# needed) through the same banded-join machinery as dedup_minhash_lsh
+# — no all-pairs compare, and the benchmark side of the band join is
+# an eval-suite-bounded broadcast.
+# ---------------------------------------------------------------------------
+
+
+def _banded(signatures: DataFrame) -> DataFrame:
+    """(doc_id, band, bk) stacked band keys — one posexplode, shared
+    by the self-join (dedup) and cross-corpus (decontaminate) paths."""
+    n_bands = NUM_MINHASH // BAND_ROWS
+    return signatures.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"mh{b * BAND_ROWS + r}")
+                                for r in range(BAND_ROWS)
+                            ],
+                        )
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "bk"),
+    )
+
+
+def decontaminate_lsh(
+    docs: DataFrame,
+    bench_max_id: int = 20,
+    threshold_bp: int = JACCARD_THRESHOLD_BP,
+) -> DataFrame:
+    """Per-train-doc contamination report: how many benchmark docs it
+    near-duplicates (exact-Jaccard verified >= threshold) and the
+    worst overlap. The band join keys on (band_idx, band_key) with
+    the benchmark side BROADCAST (bounded by eval-suite size at any
+    corpus SF); the train corpus streams through map-side — the only
+    corpus-scale shuffle is the shingle->signature aggregate it
+    shares with the dedup path."""
+    sh = shingles(docs)
+    banded = _banded(minhash_signatures(sh))
+    bench = (
+        banded.where(F.col("doc_id") < bench_max_id)
+        .select(F.col("doc_id").alias("doc_a"), "band", "bk")
+    )
+    train = (
+        banded.where(F.col("doc_id") >= bench_max_id)
+        .select(F.col("doc_id").alias("doc_b"), "band", "bk")
+    )
+    cand = (
+        train.join(F.broadcast(bench), ["band", "bk"])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sim = _pair_jaccard(sh, pairs=cand)
+    return (
+        sim.where(
+            F.lit(10000) * F.col("inter")
+            >= F.lit(threshold_bp) * F.col("uni")
+        )
+        .select(
+            F.col("doc_b").alias("doc_id"),
+            F.expr("(10000 * inter) div uni").alias("jaccard_bp"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bench_hits"),
+            F.max("jaccard_bp").alias("max_jaccard_bp"),
+        )
+    )
+
+
+def decontaminate_lsh_sql(
+    bench_max_id: int = 20, threshold_bp: int = JACCARD_THRESHOLD_BP
+) -> str:
+    """DuckDB oracle: identical minhash/band/verify algebra, candidate
+    join restricted to bench x train instead of the dedup self-join."""
+    band_joins = " UNION ALL ".join(
+        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        f"FROM bands a JOIN bands b ON a.band{k} = b.band{k} "
+        f"AND a.doc_id < {bench_max_id} AND b.doc_id >= {bench_max_id}"
+        for k in range(NUM_MINHASH // BAND_ROWS)
+    )
+    return f"""
+    WITH {_SHINGLES_SQL}
+    , hashed AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS a,
+               CAST('0x' || substr(md5(s), 9, 8) AS BIGINT) AS b
+        FROM sh)
+    , sig AS (SELECT doc_id, {_minhash_sql_cols()} FROM hashed GROUP BY doc_id)
+    , bands AS (SELECT doc_id, {_band_sql_cols()} FROM sig)
+    , cand AS (SELECT DISTINCT doc_a, doc_b FROM ({band_joins}))
+    , inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+        GROUP BY 1, 2)
+    , verified AS (
+        SELECT i.doc_b AS doc_id,
+               (10000 * CAST(inter AS BIGINT))
+                   // CAST(x.c + y.c - inter AS BIGINT) AS jaccard_bp
+        FROM inter i
+        JOIN sc x ON i.doc_a = x.doc_id
+        JOIN sc y ON i.doc_b = y.doc_id
+        WHERE 10000 * inter >= {threshold_bp} * (x.c + y.c - inter))
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bench_hits,
+           MAX(jaccard_bp) AS max_jaccard_bp
+    FROM verified GROUP BY doc_id
+    """

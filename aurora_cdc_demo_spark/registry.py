@@ -5345,3 +5345,21 @@ def q_text_bm25_topk(spark, sf_dir):
         "documents"
     )
     return spark.sql(_text.bm25_sql("spark"))
+
+
+@query(
+    "corpus_decontaminate_lsh",
+    oracle=_dedup.decontaminate_lsh_sql(_DECON_BENCH_MAX_ID),
+)
+def q_corpus_decontaminate_lsh(spark, sf_dir):
+    """Paraphrase-level benchmark decontamination: train docs that
+    MinHash-near-duplicate a held-out benchmark doc (docs 0-19),
+    exact-Jaccard verified — catches contamination the verbatim
+    8-gram sweep (#85) misses once whitespace/word-order drifts. Same
+    banded machinery as dedup_minhash_lsh; the benchmark band table
+    is an eval-suite-bounded broadcast, so the train corpus never
+    shuffles for the candidate join. See
+    operators/dedup.py:decontaminate_lsh."""
+    return _dedup.decontaminate_lsh(
+        load_table(spark, sf_dir, "documents"), _DECON_BENCH_MAX_ID
+    )

@@ -155,3 +155,28 @@ def test_bm25_rare_term_dominates_and_plan(spark, sf_dir):
     rank1_text = docs.set_index("doc_id").loc[top.iloc[0]["doc_id"], "text"]
     assert "dup" in rank1_text.split()
     assert len(top) == 10 and top["score_e4"].is_monotonic_decreasing
+
+
+def test_decontaminate_lsh_oracle_parity(spark, sf_dir):
+    assert_matches_oracle(spark, "corpus_decontaminate_lsh", sf_dir)
+
+
+def test_decontaminate_lsh_consistent_with_dedup_pairs(spark, sf_dir):
+    """Same threshold, same sketch: the contamination report must be
+    exactly the bench-side slice of the dedup pair list — every
+    (bench < 20 <= train) LSH near-dup pair contributes one hit."""
+    from aurora_cdc_demo_spark.registry import _DECON_BENCH_MAX_ID
+
+    pairs = QUERIES["dedup_minhash_lsh"](spark, sf_dir).toPandas()
+    rep = QUERIES["corpus_decontaminate_lsh"](spark, sf_dir).toPandas()
+    cross = pairs[
+        (pairs["doc_a"] < _DECON_BENCH_MAX_ID)
+        & (pairs["doc_b"] >= _DECON_BENCH_MAX_ID)
+    ]
+    expected = cross.groupby("doc_b").agg(
+        n=("doc_a", "count"), mx=("jaccard_bp", "max")
+    )
+    got = rep.set_index("doc_id").sort_index()
+    assert set(got.index) == set(expected.index)
+    assert (got["n_bench_hits"] == expected["n"].sort_index()).all()
+    assert (got["max_jaccard_bp"] == expected["mx"].sort_index()).all()
