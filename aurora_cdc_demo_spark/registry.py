@@ -5363,3 +5363,73 @@ def q_corpus_decontaminate_lsh(spark, sf_dir):
     return _dedup.decontaminate_lsh(
         load_table(spark, sf_dir, "documents"), _DECON_BENCH_MAX_ID
     )
+
+
+@query(
+    "sample_importance_hash",
+    oracle=f"""
+        WITH iw AS ({{IW}})
+        , st AS (
+            SELECT CAST(SUM(mean_ratio_ppm) AS HUGEINT) AS sw,
+                   CAST(COUNT(*) // 5 AS BIGINT) AS b
+            FROM iw)
+        , keyed AS (
+            SELECT doc_id, mean_ratio_ppm,
+                   CAST('0x' || substr(md5('imp' || CAST(doc_id AS VARCHAR)),
+                        1, 8) AS BIGINT) % 1000000 AS u_ppm
+            FROM iw)
+        SELECT k.doc_id, k.mean_ratio_ppm, k.u_ppm
+        FROM keyed k CROSS JOIN st
+        WHERE CAST(k.u_ppm AS HUGEINT) * st.sw
+              < CAST(st.b AS HUGEINT) * k.mean_ratio_ppm * 1000000
+    """,
+)
+def q_sample_importance_hash(spark, sf_dir):
+    """DSIR importance RESAMPLING (the selection step Xie et al. run
+    on the #119 weights): deterministic weighted acceptance — doc i
+    is kept iff its md5-uniform u_i < B * w_i / SUM(w), so the
+    expected sample size is the budget B (20% of the corpus) and
+    inclusion probability is proportional to the importance weight.
+    Hash-threshold selection is a pure per-row predicate (same
+    reproducibility argument as sample_stratified): no RNG state, no
+    shuffle beyond what #119 already does; the (SUM(w), B) pair is a
+    1-row broadcast. The counter product u*SUM(w) multiplies two
+    token-scale integers — both engines evaluate it in 128-bit
+    (DECIMAL(38,0) / HUGEINT) per the r2 ADVICE overflow rule.
+    Inclusion-bias law pinned in tests/test_round6.py."""
+    iw = QUERIES["sample_importance_weights"](spark, sf_dir)
+    st = iw.agg(
+        F.sum("mean_ratio_ppm").cast("decimal(38,0)").alias("sw"),
+        F.expr("count(*) div 5").cast("long").alias("b"),
+    )
+    keyed = iw.select(
+        "doc_id",
+        "mean_ratio_ppm",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("imp"), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000000
+        ).alias("u_ppm"),
+    )
+    return (
+        keyed.crossJoin(F.broadcast(st))
+        .where(
+            F.expr(
+                "CAST(u_ppm AS DECIMAL(38,0)) * sw "
+                "< CAST(b AS DECIMAL(38,0)) * mean_ratio_ppm * 1000000"
+            )
+        )
+        .select("doc_id", "mean_ratio_ppm", "u_ppm")
+    )
+
+
+ORACLES["sample_importance_hash"] = ORACLES["sample_importance_hash"].replace(
+    "{IW}", ORACLES["sample_importance_weights"]
+)

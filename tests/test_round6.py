@@ -180,3 +180,25 @@ def test_decontaminate_lsh_consistent_with_dedup_pairs(spark, sf_dir):
     assert set(got.index) == set(expected.index)
     assert (got["n_bench_hits"] == expected["n"].sort_index()).all()
     assert (got["max_jaccard_bp"] == expected["mx"].sort_index()).all()
+
+
+def test_importance_hash_oracle_parity(spark, sf_dir):
+    assert_matches_oracle(spark, "sample_importance_hash", sf_dir)
+
+
+def test_importance_hash_budget_and_bias(spark, sf_dir):
+    """Weighted acceptance laws: the sample is a subset of the
+    weighted corpus with size binomially around the 20% budget, and
+    selection is biased TOWARD weight — the selected docs' mean
+    importance weight exceeds the corpus mean (that bias is the
+    operator's purpose), while every selected doc satisfies the
+    acceptance inequality exactly."""
+    iw = QUERIES["sample_importance_weights"](spark, sf_dir).toPandas()
+    sel = QUERIES["sample_importance_hash"](spark, sf_dir).toPandas()
+    n, b = len(iw), len(iw) // 5
+    assert set(sel["doc_id"]) <= set(iw["doc_id"])
+    assert 0.5 * b <= len(sel) <= 1.6 * b  # binomial envelope
+    assert sel["mean_ratio_ppm"].mean() > iw["mean_ratio_ppm"].mean()
+    sw = iw["mean_ratio_ppm"].sum()
+    for _, r in sel.iterrows():
+        assert r["u_ppm"] * sw < b * r["mean_ratio_ppm"] * 1_000_000
