@@ -158,3 +158,111 @@ MM_FRAME_SAMPLE_SQL = f"""
                AS frame_md5
     FROM documents, generate_series(0, {N_FRAMES - 1}) AS g(frame_idx)
 """
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash-style content near-dup over binary payloads: the
+# multimodal complement of text simhash — a 64-bit fingerprint from
+# an 8x8 strided byte grid thresholded at its own mean (the aHash
+# construction; a real image pipeline would DCT a decoded thumbnail
+# instead — swap the grid CTE for a mapInPandas decode, the banding
+# and verify stages are unchanged), then banded Hamming near-dup.
+# ---------------------------------------------------------------------------
+
+PHASH_BITS = 64
+
+
+def phash_near_dup_sql(dialect: str) -> str:
+    """Dual-dialect banded perceptual-hash nearest-neighbor report:
+    every doc's closest content fingerprint among its band-collision
+    candidates — the triage list a multimodal dedup reviews (low
+    hamming = likely same asset re-encoded/trimmed).
+
+    The fingerprint is built EXPLODE-then-AGGREGATE: 64 (doc, i)
+    sample rows, mean threshold as a per-doc aggregate, then the two
+    packed words as SUM(bit << i) — constant-size expressions at any
+    width (a 64-wide column formulation inlines the 64-term mean into
+    every bit comparison and blows up Catalyst's expression tree;
+    measured: analysis hangs). Candidates come from 4 equi-joins on
+    16-bit band keys expressed as ONE stacked join (band table
+    unpivoted by a 4-row VALUES cross join); the nearest-neighbor
+    window partitions by doc_id over candidate rows only. A 16-bit
+    band collision is a strong similarity signal (random codes
+    collide w.p. ~4*2^-16) so candidate volume stays ~linear; pairs
+    at Hamming <= 3 are GUARANTEED found (pigeonhole over 4 bands),
+    beyond that best-effort — like multi-band simhash at radius >
+    bands-1. Payload bytes are read only in the sample stage; the
+    heavy binary column never shuffles (samples are (doc_id, i,
+    byte) triples)."""
+    div = "div" if dialect == "spark" else "//"
+    if dialect == "spark":
+        idx = "explode(sequence(0, {n})) AS i".format(n=PHASH_BITS - 1)
+        shl = "shiftleft(CAST(1 AS BIGINT), CAST(i AS INT))"
+        shl32 = "shiftleft(CAST(1 AS BIGINT), CAST(i - 32 AS INT))"
+        xor1 = "(a.w1 ^ b.w1)"
+        xor2 = "(a.w2 ^ b.w2)"
+    else:
+        idx = "unnest(range(0, {n})) AS i".format(n=PHASH_BITS)
+        shl = "(CAST(1 AS BIGINT) << CAST(i AS INT))"
+        shl32 = "(CAST(1 AS BIGINT) << CAST(i - 32 AS INT))"
+        xor1 = "xor(a.w1, b.w1)"
+        xor2 = "xor(a.w2, b.w2)"
+    return f"""
+        WITH samples AS (
+            SELECT doc_id,
+                   CAST(i AS BIGINT) AS i,
+                   CAST(ascii(substr(text,
+                        CAST(1 + (i * (length(text) - 1)) {div} {PHASH_BITS - 1}
+                             AS INT), 1)) AS BIGINT) AS byte
+            FROM (SELECT doc_id, text, {idx}
+                  FROM documents
+                  WHERE length(text) >= {PHASH_BITS}) t)
+        , mu AS (
+            SELECT doc_id, SUM(byte) {div} {PHASH_BITS} AS mu
+            FROM samples GROUP BY doc_id)
+        , sig AS (
+            SELECT s.doc_id,
+                   CAST(SUM(CASE WHEN s.i < 32 AND s.byte > m.mu
+                            THEN {shl} ELSE CAST(0 AS BIGINT) END)
+                        AS BIGINT) AS w1,
+                   CAST(SUM(CASE WHEN s.i >= 32 AND s.byte > m.mu
+                            THEN {shl32} ELSE CAST(0 AS BIGINT) END)
+                        AS BIGINT) AS w2
+            FROM samples s JOIN mu m ON m.doc_id = s.doc_id
+            GROUP BY s.doc_id)
+        , banded AS (
+            SELECT doc_id, w1, w2,
+                   w1 % 65536 AS b0, w1 {div} 65536 AS b1,
+                   w2 % 65536 AS b2, w2 {div} 65536 AS b3
+            FROM sig)
+        , stacked AS (
+            SELECT doc_id, w1, w2, k,
+                   CASE k WHEN 0 THEN b0 WHEN 1 THEN b1
+                          WHEN 2 THEN b2 ELSE b3 END AS bk
+            FROM banded CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(k))
+        , scored AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count({xor1}) + bit_count({xor2}) AS BIGINT)
+                       AS hamming
+            FROM stacked a
+            JOIN stacked b ON a.k = b.k AND a.bk = b.bk
+                 AND a.doc_id < b.doc_id)
+        , sym AS (
+            SELECT doc_a AS doc_id, doc_b AS nn, hamming FROM scored
+            UNION ALL
+            SELECT doc_b AS doc_id, doc_a AS nn, hamming FROM scored)
+        , best AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY hamming ASC, nn ASC) AS rn
+            FROM sym)
+        SELECT doc_id, nn AS nn_doc_id, hamming FROM best WHERE rn = 1
+    """
+
+
+def phash_near_dup(spark, sf_dir: str) -> DataFrame:
+    from ..tables import load_table
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(phash_near_dup_sql("spark"))

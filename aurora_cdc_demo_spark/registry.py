@@ -5433,3 +5433,16 @@ def q_sample_importance_hash(spark, sf_dir):
 ORACLES["sample_importance_hash"] = ORACLES["sample_importance_hash"].replace(
     "{IW}", ORACLES["sample_importance_weights"]
 )
+
+
+@query("mm_phash_near_dup", oracle=_mm.phash_near_dup_sql("duck"))
+def q_mm_phash_near_dup(spark, sf_dir):
+    """Multimodal content near-dup triage: an aHash-style 64-bit
+    fingerprint from an 8x8 strided byte grid of each binary payload
+    (a real image pipeline swaps the grid CTE for a mapInPandas
+    DCT-of-thumbnail decode — banding/verify unchanged), banded into
+    4x16-bit keys, and every doc's nearest fingerprint among band
+    collisions reported with its exact Hamming distance. The binary
+    complement of dedup_simhash; see
+    operators/multimodal.py:phash_near_dup_sql for the scale shape."""
+    return _mm.phash_near_dup(spark, sf_dir)

@@ -202,3 +202,33 @@ def test_importance_hash_budget_and_bias(spark, sf_dir):
     sw = iw["mean_ratio_ppm"].sum()
     for _, r in sel.iterrows():
         assert r["u_ppm"] * sw < b * r["mean_ratio_ppm"] * 1_000_000
+
+
+def test_phash_oracle_parity(spark, sf_dir):
+    assert_matches_oracle(spark, "mm_phash_near_dup", sf_dir)
+
+
+def test_phash_symmetric_floor_and_duplicate_detection(spark, sf_dir):
+    """(a) Hamming is a metric: each reported nearest distance is
+    achieved by a real candidate pair, so if a's NN is b at d, then
+    b's NN distance is <= d. (b) A byte-identical payload pair MUST
+    be reported at hamming 0 (pigeonhole guarantee at distance 0) —
+    constructed duplicate through the same SQL on a temp view."""
+    rep = QUERIES["mm_phash_near_dup"](spark, sf_dir).toPandas()
+    d = rep.set_index("doc_id")["hamming"].to_dict()
+    nn = rep.set_index("doc_id")["nn_doc_id"].to_dict()
+    for a, b in nn.items():
+        if b in d:
+            assert d[b] <= d[a]
+    # constructed duplicate payloads
+    from aurora_cdc_demo_spark.operators.multimodal import phash_near_dup_sql
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 40 + "y" * 40), (2, "x" * 40 + "y" * 40), (3, "z" * 80)],
+        "doc_id long, text string",
+    )
+    docs.createOrReplaceTempView("documents")
+    out = spark.sql(phash_near_dup_sql("spark")).toPandas()
+    pair = out[out["doc_id"] == 1]
+    assert len(pair) == 1 and pair.iloc[0]["nn_doc_id"] == 2
+    assert pair.iloc[0]["hamming"] == 0
