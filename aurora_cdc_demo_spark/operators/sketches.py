@@ -220,3 +220,86 @@ def bloom_probe(probes: DataFrame, col: str, bits: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog registers — EXPLICIT register table (unlike the opaque
+# approx_count_distinct sketch, these are plain rows: cross-engine
+# exact, mergeable by MAX, and maintainable by foreachBatch with
+# constant state). Geometry: 256 buckets; rank = trailing-zero count
+# of the remaining 44 hash bits + 1 (Flajolet's rho under the
+# trailing-zero convention; either convention is a valid geometric
+# observable as long as both engines share it).
+# ---------------------------------------------------------------------------
+
+HLL_BUCKETS = 256
+_HLL_XBITS = 44  # 52-bit hash minus 8 bucket bits
+HLL_RHO_CAP = _HLL_XBITS + 1
+
+
+def _hll_cols(a: str, b: str, div: str) -> tuple[str, str]:
+    """(bucket, rho) SQL from the K-M base pair columns: a 52-bit
+    hash h = (a mod 2^20)*2^32 + b stays inside signed-64 exactly;
+    trailing zeros via the two's-complement trick
+    bit_count((x & -x) - 1) — both engines' bit_count/& agree on
+    BIGINT."""
+    h = f"(({a} % 1048576) * 4294967296 + {b})"
+    x = f"({h} {div} {HLL_BUCKETS})"
+    rho = (
+        f"CASE WHEN {x} = 0 THEN {HLL_RHO_CAP} "
+        f"ELSE bit_count(({x} & -{x}) - 1) + 1 END"
+    )
+    return f"({h} % {HLL_BUCKETS})", rho
+
+
+def hll_registers(rows: DataFrame, key: str) -> DataFrame:
+    """(bucket, rho) register table: rho = max rank observed per
+    bucket. Additive-merge law: max of per-partition (or per-micro-
+    batch) registers equals the global registers — the mergeability
+    that makes HLL the 100 TB distinct counter (constant 256-row
+    state per group however large the stream)."""
+    a, b = _ab(F.col(key))
+    h = (a % 1048576) * F.lit(4294967296) + b
+    df = rows.select(
+        (h % HLL_BUCKETS).cast("long").alias("bucket"),
+        (h - h % HLL_BUCKETS).alias("_num"),
+    ).withColumn("x_", (F.col("_num") / HLL_BUCKETS).cast("long"))
+    return (
+        df.select(
+            "bucket",
+            F.when(F.col("x_") == 0, F.lit(HLL_RHO_CAP))
+            .otherwise(F.expr("bit_count((x_ & -x_) - 1) + 1").cast("long"))
+            .cast("long")
+            .alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_sql(source: str, key: str, dialect: str, group: str = "") -> str:
+    """Dual-dialect register SQL, optionally grouped (e.g. per
+    event_type): identical integer algebra to :func:`hll_registers`."""
+    div = "div" if dialect == "spark" else "//"
+    if dialect == "spark":
+        a = (
+            f"CAST(conv(substring(md5(CAST({key} AS STRING)), 1, 8), 16, 10)"
+            " AS BIGINT)"
+        )
+        b = (
+            f"CAST(conv(substring(md5(CAST({key} AS STRING)), 9, 8), 16, 10)"
+            " AS BIGINT)"
+        )
+    else:
+        a, b = _ab_sql(key)
+    bucket, rho = _hll_cols(a, b, div)
+    gcols = f"{group}, " if group else ""
+    gby = f"{group}, bucket" if group else "bucket"
+    return f"""
+        WITH h AS (
+            SELECT {gcols}{bucket} AS bucket,
+                   CAST({rho} AS BIGINT) AS rho
+            FROM {source})
+        SELECT {gcols}bucket, MAX(rho) AS rho
+        FROM h GROUP BY {gby}
+    """

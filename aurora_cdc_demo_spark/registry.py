@@ -5446,3 +5446,23 @@ def q_mm_phash_near_dup(spark, sf_dir):
     complement of dedup_simhash; see
     operators/multimodal.py:phash_near_dup_sql for the scale shape."""
     return _mm.phash_near_dup(spark, sf_dir)
+
+
+@query(
+    "events_hll_registers",
+    oracle=_sk.hll_sql("events", "user_id", "duck", group="event_type"),
+)
+def q_events_hll_registers(spark, sf_dir):
+    """EXPLICIT HyperLogLog register table per event type — the
+    glass-box twin of events_distinct_users_hll (#62): where
+    approx_count_distinct's sketch is engine-opaque (rows-only
+    check), these registers are plain (bucket, max-rank) rows in
+    exact md5 integer algebra, so the oracle hash-matches them. The
+    registers merge by MAX — per-micro-batch registers maintained by
+    foreachBatch equal the batch registers (law in
+    tests/test_streaming.py); constant 256-row state per group at any
+    stream size. See operators/sketches.py:hll_sql."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _sk.hll_sql("events", "user_id", "spark", group="event_type")
+    )

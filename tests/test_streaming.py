@@ -737,3 +737,44 @@ def test_streaming_curation_equals_batch(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "admitted")).collect()
     }
     assert again == want
+
+
+def test_hll_registers_merge_across_microbatches(
+    spark, sf_dir, log_dir, tmp_path
+):
+    """HLL registers merge by MAX, so per-micro-batch register
+    tables must MAX-combine to the batch register table exactly —
+    the mergeability that lets foreachBatch maintain a distinct-count
+    sketch with constant (256-row) state on an endless stream."""
+    from aurora_cdc_demo_spark.operators.sketches import hll_registers
+    from aurora_cdc_demo_spark.streaming.pipelines import read_cdc_stream
+
+    out = str(tmp_path / "hll_batches")
+
+    def apply_batch(batch_df, batch_id):
+        hll_registers(batch_df, "key_id").write.mode("append").parquet(out)
+
+    q = (
+        read_cdc_stream(spark, log_dir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt_hll"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    merged = {
+        (r["bucket"]): r["mx"]
+        for r in spark.read.parquet(out)
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("mx"))
+        .collect()
+    }
+    want = {
+        (r["bucket"]): r["rho"]
+        for r in hll_registers(
+            cdc_operation_log(spark, sf_dir), "key_id"
+        ).collect()
+    }
+    assert merged == want
+    assert len(want) <= 256
