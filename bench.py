@@ -69,6 +69,13 @@ HEADLINE = [
     "dedup_containment",
     "supplier_revenue_pareto",
     "scd2_point_in_time_join",
+    "embed_sign_hamming_topk",
+    "graph_label_prop_knn",
+    "graph_triangle_knn",
+    "corpus_decontaminate_lsh",
+    "text_bm25_topk",
+    "mm_phash_near_dup",
+    "events_hll_registers",
 ]
 
 
