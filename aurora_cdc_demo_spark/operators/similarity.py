@@ -1575,3 +1575,85 @@ def triangle_knn(
 ) -> DataFrame:
     _materialized_uedges(spark, sf_dir, n_seeds, checkpoint_mode)
     return spark.sql(triangle_iter_sql("knn_uedges_mat"))
+
+
+# ---------------------------------------------------------------------------
+# Link prediction on the KNN graph: common-neighbor Jaccard for
+# NON-adjacent pairs — the "suggest merge" review list a curation
+# pipeline ranks after community detection (two docs that share many
+# graph neighbors but missed each other's top-k are likely the same
+# cluster split by the k cutoff).
+# ---------------------------------------------------------------------------
+
+LP_WITNESS_CAP = 64  # hub nodes above this degree don't serve as witnesses
+LP_MIN_COMMON = 2
+
+
+def _link_pred_body(uedges: str, div: str, mat: str = "") -> str:
+    """Shared tail: common-neighbor enumeration is inherently
+    Θ(Σ deg(w)²) over witness nodes w — the SAME hub hazard the
+    triangle counter dodges with degree ordering, but here both
+    orientations of every two-hop path are needed, so the standard
+    mitigation is a WITNESS CAP (precedent: dedup_containment's
+    shingle df-cap): nodes above LP_WITNESS_CAP degree are excluded
+    as witnesses, making hub fan-out bounded and the reported common
+    count a documented lower bound for hub-adjacent pairs (exact on
+    this data — asserted in pytest). Denominator uses TRUE degrees,
+    so the score is conservative. Non-adjacency enforced with a LEFT
+    ANTI join against the edge list."""
+    return f"""
+        , deg AS {mat}(
+            SELECT src AS vec_id, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM {uedges} GROUP BY src)
+        , we AS {mat}(
+            SELECT u.src, u.dst FROM {uedges} u
+            JOIN deg d ON d.vec_id = u.src
+            WHERE d.degree <= {LP_WITNESS_CAP})
+        , two_hop AS (
+            SELECT e1.dst AS u, e2.dst AS v,
+                   CAST(COUNT(*) AS BIGINT) AS common
+            FROM we e1 JOIN we e2
+                 ON e1.src = e2.src AND e1.dst < e2.dst
+            GROUP BY e1.dst, e2.dst)
+        , nonadj AS (
+            SELECT t.u, t.v, t.common
+            FROM two_hop t
+            LEFT JOIN {uedges} e ON e.src = t.u AND e.dst = t.v
+            WHERE e.src IS NULL AND t.common >= {LP_MIN_COMMON})
+        SELECT n.u AS vec_a, n.v AS vec_b, n.common AS common_neighbors,
+               (10000 * n.common) {div} (da.degree + db.degree - n.common)
+                   AS jaccard_bp
+        FROM nonadj n
+        JOIN deg da ON da.vec_id = n.u
+        JOIN deg db ON db.vec_id = n.v"""
+
+
+def link_pred_sql(dialect: str, n_seeds: int = N_SEEDS) -> str:
+    """Single-statement oracle form (KNN chain -> undirected edges ->
+    link scores); MATERIALIZED on DuckDB as usual."""
+    div = "div" if dialect == "spark" else "//"
+    mat = "MATERIALIZED " if dialect != "spark" else ""
+    return f"""{_knn_ctes(dialect, n_seeds)}
+        , edges AS {mat}(
+            SELECT vec_id AS src, neighbor_id AS dst
+            FROM ranked WHERE rnk <= {KNN_K})
+        {_uedges_cte(mat)}
+        {_link_pred_body("uedges", div, mat)}
+    """
+
+
+def link_pred_iter_sql(edges_view: str) -> str:
+    return f"""
+        WITH _dummy AS (SELECT 1)
+        {_link_pred_body(edges_view, "div")}
+    """
+
+
+def link_pred_knn(
+    spark: SparkSession,
+    sf_dir: str,
+    n_seeds: int = N_SEEDS,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    _materialized_uedges(spark, sf_dir, n_seeds, checkpoint_mode)
+    return spark.sql(link_pred_iter_sql("knn_uedges_mat"))

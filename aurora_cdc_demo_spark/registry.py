@@ -5466,3 +5466,17 @@ def q_events_hll_registers(spark, sf_dir):
     return spark.sql(
         _sk.hll_sql("events", "user_id", "spark", group="event_type")
     )
+
+
+@query("graph_link_pred_knn", oracle=_sim.link_pred_sql("duck"))
+def q_graph_link_pred_knn(spark, sf_dir):
+    """Common-neighbor Jaccard link prediction over the KNN graph:
+    NON-adjacent pairs sharing >= 2 neighbors, scored
+    10000*|common| div (deg_a + deg_b - |common|) — the
+    suggest-merge review list after community detection (a pair the
+    k cutoff split). Witness-capped two-hop join (hub nodes above
+    degree 64 excluded as witnesses — same df-cap discipline as
+    dedup_containment; exactness at this SF asserted in pytest);
+    edges checkpointed once. See
+    operators/similarity.py:link_pred_sql."""
+    return _sim.link_pred_knn(spark, sf_dir)

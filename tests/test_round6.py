@@ -232,3 +232,30 @@ def test_phash_symmetric_floor_and_duplicate_detection(spark, sf_dir):
     pair = out[out["doc_id"] == 1]
     assert len(pair) == 1 and pair.iloc[0]["nn_doc_id"] == 2
     assert pair.iloc[0]["hamming"] == 0
+
+
+def test_link_pred_oracle_parity(spark, sf_dir):
+    assert_matches_oracle(spark, "graph_link_pred_knn", sf_dir)
+
+
+def test_link_pred_laws(spark, sf_dir):
+    """(a) predicted pairs are genuinely NON-adjacent (disjoint from
+    the edge list); (b) Jaccard is a proper ratio and common <=
+    min(deg) holds for every pair; (c) the witness cap is inactive on
+    this data (max degree < cap), so the counts are exact here — the
+    cap exists for hub fan-out at scale."""
+    from aurora_cdc_demo_spark.operators.similarity import LP_WITNESS_CAP
+
+    lp = QUERIES["graph_link_pred_knn"](spark, sf_dir).toPandas()
+    tri = QUERIES["graph_triangle_knn"](spark, sf_dir).toPandas()
+    deg = tri.set_index("vec_id")["degree"].to_dict()
+    assert (lp["jaccard_bp"] <= 10000).all() and (lp["jaccard_bp"] > 0).all()
+    for _, r in lp.iterrows():
+        assert r["common_neighbors"] <= min(deg[r["vec_a"]], deg[r["vec_b"]])
+    assert max(deg.values()) <= LP_WITNESS_CAP
+    # non-adjacency: no predicted pair may appear in the KNN edges
+    knn = QUERIES["ann_knn_graph"](spark, sf_dir).toPandas()
+    edges = set(zip(knn["vec_id"], knn["neighbor_id"])) | set(
+        zip(knn["neighbor_id"], knn["vec_id"])
+    )
+    assert all((a, b) not in edges for a, b in zip(lp["vec_a"], lp["vec_b"]))
