@@ -5480,3 +5480,74 @@ def q_graph_link_pred_knn(spark, sf_dir):
     edges checkpointed once. See
     operators/similarity.py:link_pred_sql."""
     return _sim.link_pred_knn(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# R6: Markov stationary distribution of the event-type chain
+# ---------------------------------------------------------------------------
+
+_MARKOV_ITERS = 3
+_MARKOV_SCALE = 1_000_000_000
+
+
+def _markov_sql(dialect: str, iters: int = _MARKOV_ITERS) -> str:
+    """Unrolled integer power iteration on the event-type transition
+    matrix (#129's counts row-normalized on the fly: contribution =
+    (pi_i * n_ij) div rowtotal_i — never a float probability).
+    The corpus-scale work is the ONE lead-window transition count;
+    every iteration runs on the |types|²-bounded matrix, so the
+    fixpoint math is broadcast-sized at any SF. Dangling types
+    (no outgoing transition) shed their mass like PageRank's
+    dangling nodes — conservation-up-to-floor-loss is pinned in
+    pytest."""
+    div = "div" if dialect == "spark" else "//"
+    ctes = f"""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC) AS next_type
+            FROM events)
+        , trans AS (
+            SELECT event_type AS ft, next_type AS tt,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        , rowtot AS (
+            SELECT ft, CAST(SUM(n) AS BIGINT) AS tot FROM trans GROUP BY ft)
+        , types AS (SELECT DISTINCT event_type AS t FROM events)
+        , nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM types)
+        , p0 AS (
+            SELECT t, CAST({_MARKOV_SCALE} AS BIGINT) {div} k AS p
+            FROM types CROSS JOIN nt)"""
+    prev = "p0"
+    for i in range(1, iters + 1):
+        ctes += f"""
+        , c{i} AS (
+            SELECT tr.tt AS t,
+                   CAST(SUM((p.p * tr.n) {div} rt.tot) AS BIGINT) AS p
+            FROM trans tr
+            JOIN {prev} p ON p.t = tr.ft
+            JOIN rowtot rt ON rt.ft = tr.ft
+            GROUP BY tr.tt)
+        , p{i} AS (
+            SELECT ty.t, COALESCE(c{i}.p, CAST(0 AS BIGINT)) AS p
+            FROM types ty LEFT JOIN c{i} ON c{i}.t = ty.t)"""
+        prev = f"p{i}"
+    return f"""{ctes}
+        SELECT p.t AS event_type, p.p AS stationary_e9,
+               CAST(COALESCE(rt.tot, 0) AS BIGINT) AS n_outgoing
+        FROM {prev} p LEFT JOIN rowtot rt ON rt.ft = p.t
+    """
+
+
+@query("events_markov_stationary", oracle=_markov_sql("duck"))
+def q_events_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the behavioral Markov chain — the
+    long-run share of time users spend in each event type, the
+    summary statistic behind engagement-mix dashboards (transition
+    matrix itself is #129). 3 unrolled integer power iterations on
+    the |types|²-bounded matrix; one corpus-scale window total. See
+    _markov_sql for the scale shape; conservation law in
+    tests/test_round6.py."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_markov_sql("spark"))

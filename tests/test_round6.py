@@ -259,3 +259,22 @@ def test_link_pred_laws(spark, sf_dir):
         zip(knn["neighbor_id"], knn["vec_id"])
     )
     assert all((a, b) not in edges for a, b in zip(lp["vec_a"], lp["vec_b"]))
+
+
+def test_markov_oracle_parity(spark, sf_dir):
+    assert_matches_oracle(spark, "events_markov_stationary", sf_dir)
+
+
+def test_markov_mass_conservation(spark, sf_dir):
+    """Power-iteration mass law: with every event type having
+    outgoing transitions (verified), total stationary mass equals the
+    1e9 start mass minus only floor-division loss — bounded by
+    (#types + #matrix-cells) per round; and the distribution is
+    non-degenerate (no type holds all the mass)."""
+    m = QUERIES["events_markov_stationary"](spark, sf_dir).toPandas()
+    assert (m["n_outgoing"] > 0).all()
+    k = len(m)
+    total = m["stationary_e9"].sum()
+    loss_bound = 3 * (k + k * k) + k  # 3 rounds + initial split
+    assert 1_000_000_000 - loss_bound <= total <= 1_000_000_000
+    assert m["stationary_e9"].max() < 1_000_000_000
