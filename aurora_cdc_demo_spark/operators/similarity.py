@@ -1657,3 +1657,76 @@ def link_pred_knn(
 ) -> DataFrame:
     _materialized_uedges(spark, sf_dir, n_seeds, checkpoint_mode)
     return spark.sql(link_pred_iter_sql("knn_uedges_mat"))
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center (farthest-point traversal, Gonzalez 1985): the
+# classic 2-approximation coreset selector — pick the point farthest
+# from the chosen set, repeat. The diversity-sampling complement of
+# sample_embed_diversity (quota by cell) and sample_importance_hash
+# (weight-biased): k-center OPTIMIZES coverage of embedding space.
+# ---------------------------------------------------------------------------
+
+KC_CENTERS = 4
+KC_SCALE = 1_000_000
+
+
+def kcenter_sql(dialect: str, k: int = KC_CENTERS) -> str:
+    """Unrolled greedy k-center. Distance = floor-e6 of cosine
+    distance (1 - cos), computed by the same left-associated double
+    chain as every cosine here, so both engines floor the identical
+    IEEE value. Seed = min vec_id; each argmax breaks ties on min
+    vec_id — fully deterministic.
+
+    Scale: each round is ONE corpus pass against a 1-row broadcast
+    (the newly chosen center) + a TakeOrdered argmax; min-dists fold
+    via LEAST, so round t's pass costs the same as round 1 (the
+    running min is carried as a column, not recomputed against all
+    centers). k rounds = k linear passes, the textbook distributed
+    k-center plan. Output is k rows (round, center, covering radius);
+    radius monotonicity pinned in pytest."""
+    mat = "MATERIALIZED " if dialect != "spark" else ""
+    ctes = f"""
+        WITH v AS {mat}(
+            SELECT vec_id, embedding, {_norm('embedding', dialect)} AS nrm
+            FROM embeddings)
+        , c1 AS (
+            SELECT vec_id, embedding, nrm FROM v
+            WHERE vec_id = (SELECT MIN(vec_id) FROM v))
+        , d1 AS {mat}(
+            SELECT v.vec_id,
+                   CAST(FLOOR((1 - ({_dot('v.embedding', 'c.embedding', dialect)})
+                        / (v.nrm * c.nrm)) * {KC_SCALE}) AS BIGINT) AS d
+            FROM v CROSS JOIN c1 c
+            WHERE v.vec_id <> c.vec_id)"""
+    for i in range(2, k + 1):
+        ctes += f"""
+        , s{i} AS (
+            SELECT vec_id FROM d{i - 1}
+            ORDER BY d DESC, vec_id ASC LIMIT 1)
+        , c{i} AS (
+            SELECT v.vec_id, v.embedding, v.nrm
+            FROM v JOIN s{i} ON s{i}.vec_id = v.vec_id)
+        , d{i} AS {mat}(
+            SELECT p.vec_id,
+                   LEAST(p.d,
+                       CAST(FLOOR((1 - ({_dot('vv.embedding', 'c.embedding', dialect)})
+                            / (vv.nrm * c.nrm)) * {KC_SCALE}) AS BIGINT))
+                       AS d
+            FROM d{i - 1} p
+            JOIN v vv ON vv.vec_id = p.vec_id
+            CROSS JOIN c{i} c
+            WHERE p.vec_id <> c.vec_id)"""
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS sel_round, "
+        f"(SELECT vec_id FROM c{i}) AS center_id, "
+        f"(SELECT MAX(d) FROM d{i}) AS covering_radius_e6"
+        for i in range(1, k + 1)
+    )
+    return f"""{ctes}
+        {rows}
+    """
+
+
+def kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, kcenter_sql("spark"))

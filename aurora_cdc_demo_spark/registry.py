@@ -5551,3 +5551,16 @@ def q_events_markov_stationary(spark, sf_dir):
     tests/test_round6.py."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_markov_sql("spark"))
+
+
+@query("sample_kcenter_greedy", oracle=_sim.kcenter_sql("duck"))
+def q_sample_kcenter_greedy(spark, sf_dir):
+    """Greedy k-center coreset selection (Gonzalez 1985 farthest-
+    point traversal, the 2-approx coverage sampler): 4 unrolled
+    rounds, each ONE corpus pass against the newly-chosen 1-row
+    broadcast center with the running min-dist folded by LEAST —
+    round t costs the same as round 1. The coverage-optimizing
+    member of the sampling family (quota #131, weighted #154).
+    Covering radius monotone law in tests/test_round6.py; see
+    operators/similarity.py:kcenter_sql."""
+    return _sim.kcenter_greedy(spark, sf_dir)

@@ -278,3 +278,22 @@ def test_markov_mass_conservation(spark, sf_dir):
     loss_bound = 3 * (k + k * k) + k  # 3 rounds + initial split
     assert 1_000_000_000 - loss_bound <= total <= 1_000_000_000
     assert m["stationary_e9"].max() < 1_000_000_000
+
+
+def test_kcenter_oracle_parity(spark, sf_dir):
+    assert_matches_oracle(spark, "sample_kcenter_greedy", sf_dir)
+
+
+def test_kcenter_radius_monotone_and_distinct(spark, sf_dir):
+    """Adding a center can only shrink the covering radius (the
+    min-dist fold is pointwise <=), centers are distinct, and the
+    seed is the min vec_id."""
+    kc = (
+        QUERIES["sample_kcenter_greedy"](spark, sf_dir)
+        .toPandas()
+        .sort_values("sel_round")
+    )
+    assert kc["covering_radius_e6"].is_monotonic_decreasing
+    assert kc["center_id"].is_unique
+    assert kc.iloc[0]["center_id"] == 0
+    assert len(kc) == 4
