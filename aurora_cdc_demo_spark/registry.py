@@ -5564,3 +5564,62 @@ def q_sample_kcenter_greedy(spark, sf_dir):
     Covering radius monotone law in tests/test_round6.py; see
     operators/similarity.py:kcenter_sql."""
     return _sim.kcenter_greedy(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# R6: zone-map / partition-pruning observability
+# ---------------------------------------------------------------------------
+
+_PRUNE_LO_BP = 4000  # probe predicate: event_id in [40%, 45%] of max
+_PRUNE_HI_BP = 4500
+
+
+@query(
+    "events_scan_pruning_report",
+    oracle=f"""
+        WITH zones AS (
+            SELECT date_trunc('day', ts) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   MIN(event_id) AS min_eid,
+                   MAX(event_id) AS max_eid
+            FROM events GROUP BY 1)
+        , probe AS (
+            SELECT (MAX(max_eid) * {_PRUNE_LO_BP}) // 10000 AS lo,
+                   (MAX(max_eid) * {_PRUNE_HI_BP}) // 10000 AS hi
+            FROM zones)
+        SELECT z.day, z.n_rows, z.min_eid, z.max_eid,
+               (z.max_eid >= p.lo AND z.min_eid <= p.hi) AS would_scan
+        FROM zones z CROSS JOIN probe p
+    """,
+)
+def q_events_scan_pruning_report(spark, sf_dir):
+    """Zone-map observability for the partitioned landing layout:
+    per-day partition min/max statistics on event_id plus the
+    would-scan verdict for a band probe (event_id in [40%,45%] of
+    max) — the file-skipping report a lakehouse table maintains in
+    its manifest (Delta/Iceberg column stats; sinks/partitioned.py
+    writes the physical layout this report audits). On this data
+    event_id is ingestion-time-clustered, so the zone maps are
+    non-overlapping and the probe prunes ~95% of days —
+    effectiveness law pinned in pytest. One map-side-combined
+    aggregate; the probe bound is a 1-row broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    zones = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("event_id").alias("min_eid"),
+        F.max("event_id").alias("max_eid"),
+    )
+    probe = zones.agg(
+        F.expr(f"(MAX(max_eid) * {_PRUNE_LO_BP}) div 10000").alias("lo"),
+        F.expr(f"(MAX(max_eid) * {_PRUNE_HI_BP}) div 10000").alias("hi"),
+    )
+    return zones.crossJoin(F.broadcast(probe)).select(
+        "day",
+        "n_rows",
+        "min_eid",
+        "max_eid",
+        (
+            (F.col("max_eid") >= F.col("lo"))
+            & (F.col("min_eid") <= F.col("hi"))
+        ).alias("would_scan"),
+    )

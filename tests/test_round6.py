@@ -297,3 +297,27 @@ def test_kcenter_radius_monotone_and_distinct(spark, sf_dir):
     assert kc["center_id"].is_unique
     assert kc.iloc[0]["center_id"] == 0
     assert len(kc) == 4
+
+
+def test_pruning_report_oracle_parity(spark, sf_dir):
+    assert_matches_oracle(spark, "events_scan_pruning_report", sf_dir)
+
+
+def test_pruning_report_correct_and_effective(spark, sf_dir):
+    """The would_scan verdict must be exactly right: re-running the
+    probe predicate per partition, a day is skippable iff no row
+    matches — and on this ingestion-time-clustered layout the probe
+    must actually prune most days (zone maps are worth maintaining)."""
+    rep = QUERIES["events_scan_pruning_report"](spark, sf_dir).toPandas()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    mx = ev["event_id"].max()
+    lo, hi = mx * 4000 // 10000, mx * 4500 // 10000
+    ev["day"] = ev["ts"].dt.floor("D")
+    truth = (
+        ev[(ev["event_id"] >= lo) & (ev["event_id"] <= hi)]["day"]
+        .unique()
+        .tolist()
+    )
+    flagged = set(rep[rep["would_scan"]]["day"])
+    assert flagged == set(truth)
+    assert len(flagged) <= len(rep) * 0.25  # pruning actually bites
