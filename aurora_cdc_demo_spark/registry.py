@@ -5623,3 +5623,66 @@ def q_events_scan_pruning_report(spark, sf_dir):
             & (F.col("min_eid") <= F.col("hi"))
         ).alias("would_scan"),
     )
+
+
+@query(
+    "events_top_paths",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lead(event_type, 1) OVER w AS t2,
+                   lead(event_type, 2) OVER w AS t3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+        , paths AS (
+            SELECT event_type || '>' || t2 || '>' || t3 AS path,
+                   CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM seq WHERE t3 IS NOT NULL
+            GROUP BY 1)
+        SELECT path, n_occurrences, n_users,
+               CAST(row_number() OVER (
+                   ORDER BY n_occurrences DESC, path ASC) AS BIGINT)
+                   AS path_rank
+        FROM (SELECT * FROM paths
+              ORDER BY n_occurrences DESC, path ASC LIMIT 20) t
+    """,
+)
+def q_events_top_paths(spark, sf_dir):
+    """Sequence mining lite: the 20 most frequent length-3
+    event-type paths (sliding, per user-order) with occurrence and
+    distinct-user counts — the behavioral-pattern report between the
+    one-step transition matrix (#129) and a full funnel definition.
+    One user_id window (shared shuffle for both leads) + a
+    |types|³-bounded aggregate; top-20 via ORDER BY + LIMIT
+    (TakeOrderedAndProject), rank window over 20 rows."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).where(F.col("t3").isNotNull())
+    paths = seq.groupBy(
+        F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+    ).agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    top = paths.orderBy(
+        F.col("n_occurrences").desc(), F.col("path").asc()
+    ).limit(20)
+    rank_w = Window.orderBy(
+        F.col("n_occurrences").desc(), F.col("path").asc()
+    )
+    return top.select(
+        "path",
+        "n_occurrences",
+        "n_users",
+        F.row_number().over(rank_w).cast("long").alias("path_rank"),
+    )

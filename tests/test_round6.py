@@ -321,3 +321,27 @@ def test_pruning_report_correct_and_effective(spark, sf_dir):
     flagged = set(rep[rep["would_scan"]]["day"])
     assert flagged == set(truth)
     assert len(flagged) <= len(rep) * 0.25  # pruning actually bites
+
+
+def test_top_paths_oracle_parity(spark, sf_dir):
+    assert_matches_oracle(spark, "events_top_paths", sf_dir)
+
+
+def test_top_paths_consistent_with_transitions(spark, sf_dir):
+    """Coherence with the one-step matrix: the total occurrences of
+    paths starting a>b (summed over all c) can never exceed the a>b
+    transition count (every length-3 occurrence contains that
+    two-step prefix at the same position); ranks are 1..20 dense and
+    n_users <= n_occurrences."""
+    paths = QUERIES["events_top_paths"](spark, sf_dir).toPandas()
+    trans = QUERIES["events_type_transitions"](spark, sf_dir).toPandas()
+    t = {(r["from_type"], r["to_type"]): r["n_transitions"]
+         for _, r in trans.iterrows()}
+    assert sorted(paths["path_rank"]) == list(range(1, 21))
+    assert (paths["n_users"] <= paths["n_occurrences"]).all()
+    pre = {}
+    for _, r in paths.iterrows():
+        a, b, _c = r["path"].split(">")
+        pre[(a, b)] = pre.get((a, b), 0) + r["n_occurrences"]
+    for k, v in pre.items():
+        assert v <= t[k]
