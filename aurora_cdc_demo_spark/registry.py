@@ -5686,3 +5686,80 @@ def q_events_top_paths(spark, sf_dir):
         "n_users",
         F.row_number().over(rank_w).cast("long").alias("path_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R6: TPC-H refresh stream through the CDC merge path
+# ---------------------------------------------------------------------------
+
+_RF_NEWKEY_OFFSET = 1_000_000_000_000  # synthetic insert keys, collision-free
+
+
+@query(
+    "tpch_rf_merge",
+    oracle=f"""
+        WITH base AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_e2,
+                   o_orderdate, o_orderpriority
+            FROM orders)
+        , updated AS (
+            SELECT o_orderkey, o_custkey,
+                   'R' AS o_orderstatus,
+                   (price_e2 * 11) // 10 AS price_e2,
+                   o_orderdate, o_orderpriority
+            FROM base WHERE o_orderkey % 10 = 3)
+        , inserted AS (
+            SELECT o_orderkey + {_RF_NEWKEY_OFFSET} AS o_orderkey,
+                   o_custkey, 'O' AS o_orderstatus, price_e2,
+                   o_orderdate, o_orderpriority
+            FROM base WHERE o_orderkey % 10 = 9)
+        , survivors AS (
+            SELECT * FROM base
+            WHERE o_orderkey % 10 <> 7 AND o_orderkey % 10 <> 3)
+        SELECT o_orderkey, o_custkey, o_orderstatus, price_e2,
+               o_orderdate, o_orderpriority
+        FROM survivors
+        UNION ALL SELECT * FROM updated
+        UNION ALL SELECT * FROM inserted
+    """,
+)
+def q_tpch_rf_merge(spark, sf_dir):
+    """TPC-H refresh functions (RF1 inserts / RF2 deletes, plus an
+    update slice) applied through the SAME cdc_apply.upsert_merge
+    operator the CDC engine uses — the parity proof that the
+    analytics tables are CDC-maintainable: deletes drop keys ending
+    in 7, updates re-price (+10%, integer cents) and flag keys
+    ending in 3, inserts re-key the 9-slice past a collision-free
+    offset. The oracle is direct set algebra (no merge machinery),
+    so the hash match certifies MERGE INTO semantics end to end on a
+    real TPC-H table. One full-outer join on o_orderkey — the
+    identical plan shape as cdc_upsert_merge (#4) at any SF. Money
+    kept in integer cents per the determinism rules."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_e2"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    upd = (
+        orders.where(F.col("o_orderkey") % 10 == 3)
+        .withColumn("o_orderstatus", F.lit("R"))
+        .withColumn("price_e2", F.expr("(price_e2 * 11) div 10"))
+        .withColumn("operation", F.lit("UPDATE"))
+    )
+    dels = orders.where(F.col("o_orderkey") % 10 == 7).withColumn(
+        "operation", F.lit("DELETE")
+    )
+    ins = (
+        orders.where(F.col("o_orderkey") % 10 == 9)
+        .withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(_RF_NEWKEY_OFFSET)
+        )
+        .withColumn("o_orderstatus", F.lit("O"))
+        .withColumn("operation", F.lit("INSERT"))
+    )
+    changes = upd.unionByName(dels).unionByName(ins)
+    return cdc_apply.upsert_merge(orders, changes, key="o_orderkey")

@@ -345,3 +345,33 @@ def test_top_paths_consistent_with_transitions(spark, sf_dir):
         pre[(a, b)] = pre.get((a, b), 0) + r["n_occurrences"]
     for k, v in pre.items():
         assert v <= t[k]
+
+
+def test_tpch_rf_merge_oracle_parity(spark, sf_dir):
+    assert_matches_oracle(spark, "tpch_rf_merge", sf_dir)
+
+
+def test_tpch_rf_merge_semantics(spark, sf_dir):
+    """MERGE semantics on the orders table: deleted slice absent,
+    updated slice re-priced exactly +10% (integer cents) with status
+    R, inserted slice present past the offset, untouched slice
+    byte-identical, and |result| = |orders| - |deletes| + |inserts|."""
+    from aurora_cdc_demo_spark.registry import _RF_NEWKEY_OFFSET
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    out = QUERIES["tpch_rf_merge"](spark, sf_dir).toPandas()
+    orders["price_e2"] = (orders["o_totalprice"] * 100).round().astype("int64")
+    m = orders["o_orderkey"] % 10
+    assert not (out["o_orderkey"] % 10 == 7).any() or (
+        out[out["o_orderkey"] % 10 == 7]["o_orderkey"]
+        > _RF_NEWKEY_OFFSET
+    ).all()
+    n_del, n_ins = (m == 7).sum(), (m == 9).sum()
+    assert len(out) == len(orders) - n_del + n_ins
+    upd = out[(out["o_orderkey"] % 10 == 3) & (out["o_orderkey"] < _RF_NEWKEY_OFFSET)]
+    base3 = orders[m == 3].set_index("o_orderkey")
+    for _, r in upd.iterrows():
+        assert r["o_orderstatus"] == "R"
+        assert r["price_e2"] == base3.loc[r["o_orderkey"], "price_e2"] * 11 // 10
+    ins = out[out["o_orderkey"] >= _RF_NEWKEY_OFFSET]
+    assert len(ins) == n_ins and (ins["o_orderstatus"] == "O").all()
