@@ -1730,3 +1730,175 @@ def kcenter_sql(dialect: str, k: int = KC_CENTERS) -> str:
 
 def kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, kcenter_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998):
+# diversified re-rank of an ANN shortlist — the serving-time
+# complement of the offline diversity samplers (#131 quota, k-center
+# coreset). score(c) = lambda*rel(c) - (1-lambda)*max sim(c, sel).
+#
+# Scale shape: the corpus is touched ONCE (the shortlist top-N, same
+# plan as brute topk / an IVF probe at scale); every greedy round
+# after that runs on |Q| x MMR_SHORTLIST rows with a join against
+# the <= r-1 selected rows per query — all bounded by constants, so
+# round t costs the same at any corpus size. Floats are the exact
+# left-associated double chains shared with topk_sql, so argmax
+# ties (broken by neighbor_id) agree across engines.
+# ---------------------------------------------------------------------------
+
+MMR_SHORTLIST = 8
+MMR_SELECT = 3
+MMR_LAMBDA_NUM = 7  # lambda = 0.7 as the exact rational 7/10
+MMR_DEN = 10
+
+
+def mmr_sql(dialect: str) -> str:
+    """Unrolled greedy MMR over the cosine shortlist.
+
+    score = (7*rel - 3*maxsim) / 10 computed in doubles from
+    bit-identical cosines (exact small-integer scaling keeps the
+    float ops identically associated in both dialects)."""
+    ctes = f"""
+        WITH v AS (
+            SELECT vec_id, embedding, {_norm('embedding', dialect)} AS nrm
+            FROM embeddings)
+        , q AS (
+            SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+            FROM v WHERE vec_id < {N_QUERIES})
+        , scored AS (
+            SELECT q.query_id, v.vec_id AS neighbor_id, v.embedding, v.nrm,
+                   ({_dot('q.qe', 'v.embedding', dialect)}) / (q.qn * v.nrm)
+                       AS rel
+            FROM q CROSS JOIN v WHERE v.vec_id <> q.query_id)
+        , short AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY rel DESC, neighbor_id ASC) AS rn
+                FROM scored) t
+            WHERE rn <= {MMR_SHORTLIST})
+        , pair AS (
+            SELECT a.query_id, a.neighbor_id AS cand, b.neighbor_id AS sel,
+                   ({_dot('a.embedding', 'b.embedding', dialect)})
+                       / (a.nrm * b.nrm) AS sim
+            FROM short a JOIN short b
+              ON a.query_id = b.query_id
+             AND a.neighbor_id <> b.neighbor_id)
+        , sel1 AS (
+            SELECT query_id, neighbor_id, rel,
+                   rel AS score
+            FROM short WHERE rn = 1)"""
+    prev_sels = ["sel1"]
+    for r in range(2, MMR_SELECT + 1):
+        sel_union = " UNION ALL ".join(
+            f"SELECT query_id, neighbor_id FROM {s}" for s in prev_sels
+        )
+        ctes += f"""
+        , selset{r} AS ({sel_union})
+        , cand{r} AS (
+            SELECT s.query_id, s.neighbor_id, s.rel,
+                   MAX(p.sim) AS maxsim
+            FROM short s
+            JOIN pair p ON p.query_id = s.query_id
+                       AND p.cand = s.neighbor_id
+            JOIN selset{r} ss ON ss.query_id = p.query_id
+                             AND ss.neighbor_id = p.sel
+            WHERE NOT EXISTS (
+                SELECT 1 FROM selset{r} x
+                WHERE x.query_id = s.query_id
+                  AND x.neighbor_id = s.neighbor_id)
+            GROUP BY s.query_id, s.neighbor_id, s.rel)
+        , sel{r} AS (
+            SELECT query_id, neighbor_id, rel,
+                   ({MMR_LAMBDA_NUM} * rel - ({MMR_DEN} - {MMR_LAMBDA_NUM}) * maxsim)
+                       / {MMR_DEN} AS score
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY ({MMR_LAMBDA_NUM} * rel
+                              - ({MMR_DEN} - {MMR_LAMBDA_NUM}) * maxsim) DESC,
+                             neighbor_id ASC) AS rr
+                FROM cand{r}) t
+            WHERE rr = 1)"""
+        prev_sels.append(f"sel{r}")
+    rows = " UNION ALL ".join(
+        f"SELECT query_id, neighbor_id, CAST({i} AS BIGINT) AS mmr_rank, "
+        f"ROUND(rel, 6) AS relevance, ROUND(score, 6) AS mmr_score "
+        f"FROM sel{i}"
+        for i in range(1, MMR_SELECT + 1)
+    )
+    return f"""{ctes}
+        {rows}
+    """
+
+
+def mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, mmr_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-distribution drift: per-label centroid displacement
+# between the first and second half of the corpus (vec_id order as
+# ingestion time) — the training-data distribution monitor run
+# between pipeline epochs. Integer-exact: components are floored to
+# e6 BEFORE any aggregation, centroids use floor division, the
+# displacement is an integer L2^2 — no float accumulation anywhere.
+#
+# Scale shape: one explode to (label, dim) keyed rows, one hash
+# aggregate with map-side partials (2*DIMS*|labels| output rows),
+# then a DIMS-bounded join — no corpus-scale shuffle beyond the
+# aggregate, nothing broadcast but the label-bounded result.
+# ---------------------------------------------------------------------------
+
+DRIFT_SCALE = 1_000_000
+
+
+def label_drift_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    if dialect == "spark":
+        ex = f"""
+            SELECT label,
+                   CASE WHEN vec_id < (SELECT (MAX(vec_id) + 1) {div} 2
+                                       FROM embeddings)
+                        THEN 0 ELSE 1 END AS half,
+                   pos, CAST(FLOOR(CAST(comp AS DOUBLE) * {DRIFT_SCALE})
+                             AS BIGINT) AS c_e6
+            FROM (
+                SELECT label, vec_id, posexplode(embedding) AS (pos, comp)
+                FROM embeddings)"""
+    else:
+        ex = f"""
+            SELECT label,
+                   CASE WHEN vec_id < (SELECT (MAX(vec_id) + 1) {div} 2
+                                       FROM embeddings)
+                        THEN 0 ELSE 1 END AS half,
+                   generate_subscripts(embedding, 1) - 1 AS pos,
+                   CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                              * {DRIFT_SCALE}) AS BIGINT) AS c_e6
+            FROM embeddings"""
+    return f"""
+        WITH comps AS ({ex})
+        , cent AS (
+            SELECT label, half, pos,
+                   CAST(SUM(c_e6) AS BIGINT) {div}
+                       CAST(COUNT(*) AS BIGINT) AS c,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM comps GROUP BY label, half, pos)
+        , paired AS (
+            SELECT a.label, a.pos, a.c AS ca, b.c AS cb,
+                   a.n AS n_first, b.n AS n_second
+            FROM cent a JOIN cent b
+              ON a.label = b.label AND a.pos = b.pos
+            WHERE a.half = 0 AND b.half = 1)
+        SELECT label,
+               MIN(n_first) AS n_first,
+               MIN(n_second) AS n_second,
+               CAST(SUM((ca - cb) * (ca - cb)) AS BIGINT) AS drift_l2sq_e12
+        FROM paired
+        GROUP BY label
+    """
+
+
+def label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, label_drift_sql("spark"))

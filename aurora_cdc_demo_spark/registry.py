@@ -5763,3 +5763,546 @@ def q_tpch_rf_merge(spark, sf_dir):
     )
     changes = upd.unionByName(dels).unionByName(ins)
     return cdc_apply.upsert_merge(orders, changes, key="o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# R7: MMR diversified serving + embedding drift monitor
+# ---------------------------------------------------------------------------
+
+
+@query("ann_mmr_topk", oracle=_sim.mmr_sql("duck"))
+def q_ann_mmr_topk(spark, sf_dir):
+    """Maximal Marginal Relevance diversified re-rank (Carbonell &
+    Goldstein 1998): greedy top-3 from the cosine top-8 shortlist,
+    score = 0.7*relevance - 0.3*max-sim-to-selected — the
+    serving-time diversity knob next to the offline samplers
+    (#131 quota, #159 k-center). The corpus is touched ONCE for the
+    shortlist (same plan as brute topk / an IVF probe at scale);
+    every greedy round then runs on |Q|x8 bounded rows joined
+    against the <=2 already-selected rows per query — constant cost
+    per round at any corpus size. Cosines are the shared
+    left-associated double chains, so argmax ties (broken by
+    neighbor_id) agree across engines. See
+    operators/similarity.py:mmr_sql."""
+    return _sim.mmr_topk(spark, sf_dir)
+
+
+@query("embed_label_drift", oracle=_sim.label_drift_sql("duck"))
+def q_embed_label_drift(spark, sf_dir):
+    """Embedding-distribution drift monitor: per-label centroid
+    displacement (integer L2², components floored to e6 BEFORE
+    aggregation — no float accumulation) between the first and
+    second corpus half in vec_id (ingestion) order — the
+    between-epoch distribution check a training-data pipeline runs
+    before re-indexing. One (label, dim)-keyed hash aggregate with
+    map-side partials, then a DIMS×|labels|-bounded join; no
+    corpus-scale shuffle beyond the aggregate. See
+    operators/similarity.py:label_drift_sql."""
+    return _sim.label_drift(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# R7: bigram familiarity, Zipf curve, BPE pair statistics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_bigram_familiarity",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, tok, pos FROM (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS tok,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos
+                FROM documents))
+        , big AS (
+            SELECT doc_id,
+                   tok || ' ' || lead(tok) OVER (
+                       PARTITION BY doc_id ORDER BY pos ASC) AS bg
+            FROM tok)
+        , bigs AS (SELECT doc_id, bg FROM big WHERE bg IS NOT NULL)
+        , bf AS (
+            SELECT bg, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM bigs GROUP BY bg)
+        , tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM bf)
+        , scored AS (
+            SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(f.freq) AS BIGINT) AS sum_bf
+            FROM bigs b JOIN bf f ON b.bg = f.bg
+            GROUP BY b.doc_id)
+        SELECT s.doc_id, s.n_bigrams, s.sum_bf,
+               CAST((1000000 * s.sum_bf) // (s.n_bigrams * tot.total)
+                    AS BIGINT) AS familiarity_ppm
+        FROM scored s CROSS JOIN tot
+    """,
+)
+def q_text_bigram_familiarity(spark, sf_dir):
+    """Second-order CCNet-style familiarity: mean corpus relative
+    frequency of each doc's BIGRAMS — the LM-free step up from the
+    unigram proxy (#112): texts whose word PAIRS are corpus-typical
+    score high, shuffled/templated word salad with common unigrams
+    but rare transitions scores low (the failure mode the unigram
+    gate can't see). Integer-exact (ppm floor division).
+
+    Scale: bigrams come from one lead() over the (doc_id, pos)
+    window — the same doc-partitioned shuffle the tokenizer already
+    pays; the bigram->frequency join shuffles on the bigram key
+    (vocabulary² grows with the corpus — NOT broadcast, same rule
+    as #112); only the 1-row total is broadcast. Docs with a single
+    token have no bigram and are absent by definition."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("pos").asc())
+    bigs = (
+        tok.select(
+            "doc_id",
+            F.concat_ws(" ", "tok", F.lead("tok").over(w)).alias("bg"),
+            F.lead("tok").over(w).alias("nxt"),
+        )
+        .where(F.col("nxt").isNotNull())
+        .drop("nxt")
+    )
+    bf = bigs.groupBy("bg").agg(F.count(F.lit(1)).alias("freq"))
+    total = bf.agg(F.sum("freq").alias("total"))
+    scored = (
+        bigs.join(bf, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("freq").alias("sum_bf"),
+        )
+    )
+    return scored.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_bigrams",
+        "sum_bf",
+        F.expr("(1000000 * sum_bf) div (n_bigrams * total)").alias(
+            "familiarity_ppm"
+        ),
+    )
+
+
+@query(
+    "text_zipf_curve",
+    oracle="""
+        WITH tok AS (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        , tf AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM tok GROUP BY tok)
+        , ranked AS (
+            SELECT tok, freq, CAST(row_number() OVER (
+                ORDER BY freq DESC, tok ASC) AS BIGINT) AS rnk
+            FROM tf)
+        SELECT CAST(LENGTH(bin(rnk)) - 1 AS BIGINT) AS rank_octave,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(freq) AS BIGINT) AS n_occurrences,
+               MIN(rnk) AS rank_lo, MAX(rnk) AS rank_hi,
+               MIN(freq) AS min_freq, MAX(freq) AS max_freq
+        FROM ranked GROUP BY 1
+    """,
+)
+def q_text_zipf_curve(spark, sf_dir):
+    """Zipf rank-frequency curve in octave (power-of-2 rank) bins —
+    the corpus-health fingerprint (natural text tracks slope ≈ -1;
+    boilerplate floods single octaves) read before/after dedup
+    gates. Octave = floor(log2(rank)) computed INTEGER-exactly as
+    length(bin(rank))-1 — no float log anywhere.
+
+    Scale: one corpus-scale token aggregate (map-side combined);
+    the rank window runs over the VOCABULARY-bounded frequency
+    table, and the output is <= 64 octave rows. At 100 TB the
+    vocabulary table is still orders below the corpus — same
+    deliberate non-broadcast rule as #112."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("tok").asc())
+    ranked = tf.select(
+        "freq", F.row_number().over(w).cast("long").alias("rnk")
+    )
+    return (
+        ranked.groupBy(
+            (F.length(F.bin(F.col("rnk"))) - 1)
+            .cast("long")
+            .alias("rank_octave")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("freq").alias("n_occurrences"),
+            F.min("rnk").alias("rank_lo"),
+            F.max("rnk").alias("rank_hi"),
+            F.min("freq").alias("min_freq"),
+            F.max("freq").alias("max_freq"),
+        )
+    )
+
+
+_BPE_TOP = 20
+
+
+@query(
+    "bpe_pair_counts",
+    oracle=f"""
+        WITH words AS (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        , wf AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM words WHERE LENGTH(w) >= 2 GROUP BY w)
+        , pairs AS (
+            SELECT substr(w, i, 1) || substr(w, i + 1, 1) AS pair,
+                   CAST(SUM(freq) AS BIGINT) AS n_occurrences,
+                   CAST(COUNT(*) AS BIGINT) AS n_word_types
+            FROM wf, unnest(generate_series(1, LENGTH(w) - 1)) AS t(i)
+            GROUP BY 1)
+        SELECT pair, n_occurrences, n_word_types,
+               CAST(row_number() OVER (
+                   ORDER BY n_occurrences DESC, pair ASC) AS BIGINT)
+                   AS merge_rank
+        FROM (SELECT * FROM pairs
+              ORDER BY n_occurrences DESC, pair ASC LIMIT {_BPE_TOP}) t
+    """,
+)
+def q_bpe_pair_counts(spark, sf_dir):
+    """BPE tokenizer-training first merge step (Sennrich et al.
+    2016): corpus-weighted adjacent-symbol pair frequencies at the
+    character stage — the top-{_BPE_TOP} candidates are exactly the
+    first merges a BPE trainer would pick; iterating this op IS BPE
+    training. The big win is algebraic: pairs are counted on the
+    DISTINCT-WORD table weighted by word frequency, so the explode
+    touches vocabulary-bounded rows, not the corpus — the corpus is
+    read once for the word counts (map-side combined). Top-20 via
+    ORDER BY + LIMIT (TakeOrderedAndProject), rank window over 20
+    rows."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = (
+        wf.select(
+            "w",
+            "freq",
+            F.explode(
+                F.sequence(F.lit(1), F.length("w") - 1)
+            ).alias("i"),
+        )
+        .select(
+            F.expr("substr(w, i, 1) || substr(w, i + 1, 1)").alias("pair"),
+            "freq",
+        )
+        .groupBy("pair")
+        .agg(
+            F.sum("freq").alias("n_occurrences"),
+            F.count(F.lit(1)).alias("n_word_types"),
+        )
+    )
+    top = pairs.orderBy(
+        F.col("n_occurrences").desc(), F.col("pair").asc()
+    ).limit(_BPE_TOP)
+    rw = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+    return top.select(
+        "pair",
+        "n_occurrences",
+        "n_word_types",
+        F.row_number().over(rw).cast("long").alias("merge_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R7: transaction reassembly + DBLog-style incremental snapshot
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cdc_txn_multi_table",
+    oracle=f"""
+        WITH {_BINLOG_LOG_CTE}
+        SELECT transaction_id,
+               CAST(COUNT(*) AS BIGINT) AS n_ops,
+               CAST(COUNT(DISTINCT tbl) AS BIGINT) AS n_tables,
+               MIN(seq) AS first_seq, MAX(seq) AS last_seq,
+               (MAX(seq) - MIN(seq) + 1 = COUNT(*)) AS contiguous,
+               string_agg(DISTINCT tbl, ',' ORDER BY tbl) AS tables,
+               CAST(SUM(CASE WHEN operation = 'INSERT' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_inserts,
+               CAST(SUM(CASE WHEN operation = 'DELETE' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_deletes
+        FROM binlog GROUP BY transaction_id
+    """,
+)
+def q_cdc_txn_multi_table(spark, sf_dir):
+    """Transaction reassembly from the interleaved multi-table
+    binlog: per transaction_id, the op mix, the ordered seq span,
+    the sorted table list, and the contiguity certificate
+    (binlog events of one transaction are position-contiguous —
+    the property downstream exactly-once appliers rely on when they
+    commit at transaction boundaries; reference:
+    aurora_cdc_datasource_v2.py carries transaction_id precisely so
+    consumers can do this). Multi-table transactions (n_tables > 1)
+    are the rows a cross-table-consistency consumer must apply
+    atomically. One hash aggregate on transaction_id with map-side
+    partials; the distinct-table list is bounded by the table count
+    per txn (= 8 events), never corpus-scale. JVM-native binlog scan
+    (no Python workers)."""
+    raw = read_binlog_jvm(spark, sf_dir)
+    return raw.groupBy("transaction_id").agg(
+        F.count(F.lit(1)).alias("n_ops"),
+        F.countDistinct("table").alias("n_tables"),
+        F.min("seq").alias("first_seq"),
+        F.max("seq").alias("last_seq"),
+        (F.max("seq") - F.min("seq") + 1 == F.count(F.lit(1))).alias(
+            "contiguous"
+        ),
+        F.concat_ws(",", F.array_sort(F.collect_set("table"))).alias(
+            "tables"
+        ),
+        F.sum(
+            F.when(F.col("operation") == "INSERT", 1).otherwise(0)
+        ).alias("n_inserts"),
+        F.sum(
+            F.when(F.col("operation") == "DELETE", 1).otherwise(0)
+        ).alias("n_deletes"),
+    )
+
+
+_SNAP_CHUNKS = 8
+
+
+@query(
+    "cdc_incremental_snapshot",
+    oracle=_with_log(
+        f"""
+        , b AS (
+            SELECT MAX(seq) AS smax, MAX(key_id) AS kmax FROM log)
+        , p AS (
+            SELECT smax, kmax,
+                   smax // 2 AS s0,
+                   (kmax // {_SNAP_CHUNKS}) + 1 AS w,
+                   (smax - smax // 2) // {_SNAP_CHUNKS} AS step
+            FROM b)
+        , keyed AS (
+            SELECT l.*,
+                   (l.key_id // p.w) AS chunk,
+                   p.s0 + ((l.key_id // p.w) + 1) * p.step AS hw,
+                   p.s0 AS s0
+            FROM log l CROSS JOIN p)
+        , ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY key_id ORDER BY seq DESC) AS rn
+            FROM keyed)
+        , agg AS (
+            SELECT key_id, MAX(seq) AS last_seq,
+                   CAST(SUM(CASE WHEN seq > s0 AND seq <= hw
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_in_window
+            FROM keyed GROUP BY key_id)
+        SELECT r.key_id, r.chunk, r.hw AS chunk_hw, r.seq, r.operation,
+               r.event_type, r.ts, r.value,
+               CASE WHEN a.last_seq > r.hw THEN 'binlog'
+                    ELSE 'snapshot' END AS src,
+               (a.n_in_window > 0) AS changed_during_snapshot
+        FROM ranked r JOIN agg a ON r.key_id = a.key_id
+        WHERE r.rn = 1 AND r.operation <> 'DELETE'
+        """
+    ),
+)
+def q_cdc_incremental_snapshot(spark, sf_dir):
+    """DBLog-style incremental snapshot (Andreoni Lopez et al. 2019,
+    the algorithm behind Debezium's incremental snapshots and the
+    reference's bulk+stream bootstrap): while the binlog streams, the
+    table is snapshotted in {_SNAP_CHUNKS} primary-key-range chunks,
+    each chunk selected at its own high-watermark position
+    hw_c — the chunk windows advance through the log, interleaving
+    snapshot reads with replication instead of stopping it. DBLog's
+    dedup rule, re-expressed relationally: a key whose binlog
+    carries events past its chunk's hw is delivered by the LOG
+    (src='binlog' — the snapshot row was suppressed as stale); a key
+    untouched after hw_c is delivered by the SNAPSHOT (its chunk
+    image is already final). `changed_during_snapshot` marks keys
+    that changed inside (s0, hw_c] — the rows DBLog's watermark
+    window actually deduplicates. The reconstructed state is pinned
+    ≡ position-order latest-state in pytest (chunking invariance).
+
+    Scale: ONE key_id shuffle shared by the per-key window and the
+    per-key aggregate; the log bounds (smax, kmax) are a 1-row
+    broadcast; chunk count is a parameter (a real snapshotter picks
+    chunks ∝ table size / chunk-row-target, exactly like the cell
+    sizing rule in operators/similarity.py)."""
+    from pyspark.sql import Window
+
+    log = cdc_operation_log(spark, sf_dir)
+    b = log.agg(
+        F.max("seq").alias("smax"), F.max("key_id").alias("kmax")
+    )
+    p = b.select(
+        "smax",
+        "kmax",
+        F.expr("smax div 2").alias("s0"),
+        F.expr(f"(kmax div {_SNAP_CHUNKS}) + 1").alias("w"),
+        F.expr(
+            f"(smax - smax div 2) div {_SNAP_CHUNKS}"
+        ).alias("step"),
+    )
+    keyed = log.crossJoin(F.broadcast(p)).select(
+        log["*"],
+        F.expr("key_id div w").alias("chunk"),
+        F.expr("s0 + (key_id div w + 1) * step").alias("hw"),
+        "s0",
+    )
+    wk = Window.partitionBy("key_id").orderBy(F.col("seq").desc())
+    ranked = keyed.withColumn("rn", F.row_number().over(wk))
+    agg = keyed.groupBy("key_id").agg(
+        F.max("seq").alias("last_seq"),
+        F.sum(
+            F.when(
+                (F.col("seq") > F.col("s0")) & (F.col("seq") <= F.col("hw")),
+                1,
+            ).otherwise(0)
+        ).alias("n_in_window"),
+    )
+    return (
+        ranked.where((F.col("rn") == 1) & (F.col("operation") != "DELETE"))
+        .join(agg, "key_id")
+        .select(
+            "key_id",
+            "chunk",
+            F.col("hw").alias("chunk_hw"),
+            "seq",
+            "operation",
+            "event_type",
+            "ts",
+            "value",
+            F.when(F.col("last_seq") > F.col("hw"), F.lit("binlog"))
+            .otherwise(F.lit("snapshot"))
+            .alias("src"),
+            (F.col("n_in_window") > 0).alias("changed_during_snapshot"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# R7: RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+        WITH m AS (
+            SELECT o_custkey AS custkey,
+                   MAX(o_orderdate) AS last_order,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS spend_e2
+            FROM orders GROUP BY o_custkey)
+        , n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM m)
+        , ranked AS (
+            SELECT m.*,
+                   CAST(row_number() OVER (
+                       ORDER BY last_order DESC, custkey ASC) AS BIGINT)
+                       AS r_rnk,
+                   CAST(row_number() OVER (
+                       ORDER BY n_orders DESC, custkey ASC) AS BIGINT)
+                       AS f_rnk,
+                   CAST(row_number() OVER (
+                       ORDER BY spend_e2 DESC, custkey ASC) AS BIGINT)
+                       AS m_rnk
+            FROM m)
+        SELECT custkey, last_order, n_orders, spend_e2,
+               5 - ((r_rnk - 1) * 5) // nc AS r_score,
+               5 - ((f_rnk - 1) * 5) // nc AS f_score,
+               5 - ((m_rnk - 1) * 5) // nc AS m_score,
+               (5 - ((r_rnk - 1) * 5) // nc) * 100
+                   + (5 - ((f_rnk - 1) * 5) // nc) * 10
+                   + (5 - ((m_rnk - 1) * 5) // nc) AS rfm_segment
+        FROM ranked CROSS JOIN n
+    """,
+)
+def q_customer_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation (recency / frequency / monetary
+    quintiles, the classic CRM warehouse mart): per customer, the
+    last order date, order count, and integer-cent spend, each
+    quintiled 5..1 (5 = best) and composed into the 111..555 segment
+    code. Quintiles are defined EXPLICITLY as
+    5 - ((rank-1)*5) div n over a total order (metric desc, custkey
+    asc) — not the engine's ntile(), whose remainder placement is an
+    implementation detail this formula pins identically in both
+    engines.
+
+    Scale: one map-side-combined aggregate collapses fact-scale
+    orders to dimension-scale customers; the three rank windows then
+    run on the CUSTOMER table — dimension-sized by definition. If
+    customers ever reach fact scale, each rank decomposes into the
+    bucket-prefix two-level form proven exact by
+    supplier_revenue_pareto (#132)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "spend_e2"
+        ),
+    )
+    n = m.agg(F.count(F.lit(1)).alias("nc"))
+    ranked = (
+        m.withColumn(
+            "r_rnk",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.col("last_order").desc(), F.col("custkey").asc()
+                )
+            )
+            .cast("long"),
+        )
+        .withColumn(
+            "f_rnk",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.col("n_orders").desc(), F.col("custkey").asc()
+                )
+            )
+            .cast("long"),
+        )
+        .withColumn(
+            "m_rnk",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.col("spend_e2").desc(), F.col("custkey").asc()
+                )
+            )
+            .cast("long"),
+        )
+    )
+    return ranked.crossJoin(F.broadcast(n)).select(
+        "custkey",
+        "last_order",
+        "n_orders",
+        "spend_e2",
+        F.expr("5 - ((r_rnk - 1) * 5) div nc").alias("r_score"),
+        F.expr("5 - ((f_rnk - 1) * 5) div nc").alias("f_score"),
+        F.expr("5 - ((m_rnk - 1) * 5) div nc").alias("m_score"),
+        F.expr(
+            "(5 - ((r_rnk - 1) * 5) div nc) * 100"
+            " + (5 - ((f_rnk - 1) * 5) div nc) * 10"
+            " + (5 - ((m_rnk - 1) * 5) div nc)"
+        ).alias("rfm_segment"),
+    )

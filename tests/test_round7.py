@@ -1,0 +1,248 @@
+"""Round-7 additions: DBLog-style incremental snapshot, transaction
+reassembly, MMR diversified serving, embedding drift, second-order
+text familiarity, Zipf observability, BPE pair statistics, and RFM
+segmentation."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from aurora_cdc_demo_spark.registry import QUERIES
+
+from .helpers import assert_matches_oracle, duck_connection
+
+R7_QUERIES = [
+    "ann_mmr_topk",
+    "embed_label_drift",
+    "text_bigram_familiarity",
+    "text_zipf_curve",
+    "bpe_pair_counts",
+    "cdc_txn_multi_table",
+    "cdc_incremental_snapshot",
+    "customer_rfm_segments",
+]
+
+
+@pytest.mark.parametrize("name", R7_QUERIES)
+def test_r7_oracle_parity(spark, sf_dir, name):
+    assert_matches_oracle(spark, name, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# DBLog incremental snapshot laws
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_snapshot_reconstructs_latest_state(spark, sf_dir):
+    """Chunking invariance — the DBLog interleave must reconstruct
+    EXACTLY the position-order latest state (non-DELETE last ops),
+    whatever the chunk boundaries did: same keys, same winning seq,
+    same payload."""
+    snap = (
+        QUERIES["cdc_incremental_snapshot"](spark, sf_dir)
+        .select("key_id", "seq", "event_type", "value")
+        .toPandas()
+        .sort_values("key_id")
+        .reset_index(drop=True)
+    )
+    con = duck_connection(sf_dir)
+    truth = con.execute(
+        """
+        WITH log AS (
+            SELECT user_id AS key_id, event_id AS seq,
+                   CASE WHEN event_type = 'signup' THEN 'INSERT'
+                        WHEN event_type = 'error' THEN 'DELETE'
+                        ELSE 'UPDATE' END AS operation,
+                   event_type, value
+            FROM events)
+        , r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY key_id ORDER BY seq DESC) AS rn
+            FROM log)
+        SELECT key_id, seq, event_type, value
+        FROM r WHERE rn = 1 AND operation <> 'DELETE'
+        ORDER BY key_id
+        """
+    ).fetchdf()
+    assert len(snap) == len(truth)
+    assert (snap["key_id"].values == truth["key_id"].values).all()
+    assert (snap["seq"].values == truth["seq"].values).all()
+    assert (snap["event_type"].values == truth["event_type"].values).all()
+
+
+def test_incremental_snapshot_src_semantics(spark, sf_dir):
+    """src='snapshot' keys must have NO binlog event past their
+    chunk's high watermark (the chunk image was already final);
+    src='binlog' keys must have at least one. Both sources must
+    appear (the interleave is real, not degenerate)."""
+    df = QUERIES["cdc_incremental_snapshot"](spark, sf_dir).toPandas()
+    con = duck_connection(sf_dir)
+    last = con.execute(
+        "SELECT user_id AS key_id, MAX(event_id) AS last_seq "
+        "FROM events GROUP BY user_id"
+    ).fetchdf()
+    merged = df.merge(last, on="key_id")
+    snap = merged[merged["src"] == "snapshot"]
+    binl = merged[merged["src"] == "binlog"]
+    assert (snap["last_seq"] <= snap["chunk_hw"]).all()
+    assert (binl["last_seq"] > binl["chunk_hw"]).all()
+    assert len(snap) > 0 and len(binl) > 0
+    # chunk watermarks advance strictly with chunk id
+    hw = merged.groupby("chunk")["chunk_hw"].first().sort_index()
+    assert hw.is_monotonic_increasing and hw.nunique() == len(hw)
+
+
+# ---------------------------------------------------------------------------
+# Transaction reassembly laws
+# ---------------------------------------------------------------------------
+
+
+def test_txn_contiguity_and_conservation(spark, sf_dir):
+    """Every transaction's events are binlog-position contiguous
+    (the exactly-once commit-boundary property), op counts conserve
+    the full binlog volume, and multi-table transactions exist (the
+    case the atomic applier is for)."""
+    txns = QUERIES["cdc_txn_multi_table"](spark, sf_dir).toPandas()
+    assert txns["contiguous"].all()
+    assert txns["n_ops"].sum() == (txns["last_seq"] - txns["first_seq"] + 1).sum()
+    assert (txns["n_tables"] > 1).any()
+    for _, row in txns[txns["n_tables"] > 1].head(3).iterrows():
+        assert len(row["tables"].split(",")) == row["n_tables"]
+
+
+# ---------------------------------------------------------------------------
+# MMR laws
+# ---------------------------------------------------------------------------
+
+
+def test_mmr_topk_laws(spark, sf_dir):
+    """MMR rank 1 is the plain cosine top-1 (round 1 is pure
+    relevance); each query yields exactly 3 distinct neighbors drawn
+    from the cosine top-8 shortlist; and on at least one query the
+    diversified set differs from the plain top-3 (the 0.3 redundancy
+    penalty does something)."""
+    mmr = QUERIES["ann_mmr_topk"](spark, sf_dir).toPandas()
+    topk = QUERIES["embed_cosine_topk"](spark, sf_dir).toPandas()
+    per_q = mmr.groupby("query_id")["neighbor_id"]
+    assert (per_q.count() == 3).all()
+    assert (per_q.nunique() == 3).all()
+    top1 = topk[topk["nn_rank"] == 1].set_index("query_id")["neighbor_id"]
+    m1 = mmr[mmr["mmr_rank"] == 1].set_index("query_id")["neighbor_id"]
+    assert (m1 == top1.reindex(m1.index)).all()
+    top3 = topk[topk["nn_rank"] <= 3].groupby("query_id")["neighbor_id"].apply(set)
+    msel = per_q.apply(set)
+    assert any(msel[q] != top3[q] for q in msel.index)
+    # scores never exceed pure relevance (the penalty only subtracts)
+    assert (mmr["mmr_score"] <= mmr["relevance"] + 1e-9).all()
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift laws
+# ---------------------------------------------------------------------------
+
+
+def test_label_drift_counts_partition_corpus(spark, sf_dir):
+    """Halves partition each label's vectors exactly, every label
+    appears, and drift is a non-negative integer."""
+    drift = QUERIES["embed_label_drift"](spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    totals = con.execute(
+        f"SELECT label, COUNT(*) AS n FROM '{sf_dir}/embeddings.parquet' "
+        "GROUP BY label"
+    ).fetchdf()
+    merged = drift.merge(totals, on="label")
+    assert len(merged) == len(totals)
+    assert (merged["n_first"] + merged["n_second"] == merged["n"]).all()
+    assert (merged["drift_l2sq_e12"] >= 0).all()
+
+
+# ---------------------------------------------------------------------------
+# Text laws
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_familiarity_bounds(spark, sf_dir):
+    """n_bigrams = n_tokens - 1 per doc (chain length), familiarity
+    is a proper ppm mean (<= 1e6), and only multi-token docs
+    appear."""
+    bg = QUERIES["text_bigram_familiarity"](spark, sf_dir).toPandas()
+    ts = QUERIES["text_token_stats"](spark, sf_dir).toPandas()
+    merged = bg.merge(ts[["doc_id", "n_tokens"]], on="doc_id")
+    assert len(merged) == len(bg)
+    assert (merged["n_bigrams"] == merged["n_tokens"] - 1).all()
+    assert (bg["familiarity_ppm"] <= 1_000_000).all()
+    assert (bg["familiarity_ppm"] > 0).all()
+
+
+def test_zipf_curve_octaves_tile_vocabulary(spark, sf_dir):
+    """Octave o covers ranks [2^o, 2^(o+1)-1]; the octaves tile the
+    full vocabulary rank range with no gap or overlap; type counts
+    sum to the vocabulary size."""
+    z = (
+        QUERIES["text_zipf_curve"](spark, sf_dir)
+        .toPandas()
+        .sort_values("rank_octave")
+        .reset_index(drop=True)
+    )
+    con = duck_connection(sf_dir)
+    vocab = con.execute(
+        "SELECT COUNT(DISTINCT tok) FROM (SELECT unnest(string_split(text,' ')) "
+        "AS tok FROM documents)"
+    ).fetchone()[0]
+    assert z["n_types"].sum() == vocab
+    for _, row in z.iterrows():
+        o = row["rank_octave"]
+        assert row["rank_lo"] >= 2**o
+        assert row["rank_hi"] <= 2 ** (o + 1) - 1
+        assert row["n_types"] == row["rank_hi"] - row["rank_lo"] + 1
+    assert z["rank_lo"].iloc[0] == 1
+    assert z["rank_hi"].iloc[-1] == vocab
+    # Zipf shape: frequency falls as rank octave rises
+    assert z["max_freq"].is_monotonic_decreasing
+
+
+def test_bpe_top_pair_matches_direct_count(spark, sf_dir):
+    """The rank-1 merge candidate equals a from-scratch pandas pair
+    count over the corpus (weighted by word frequency)."""
+    from collections import Counter
+
+    bpe = QUERIES["bpe_pair_counts"](spark, sf_dir).toPandas()
+    con = duck_connection(sf_dir)
+    words = con.execute(
+        "SELECT w, COUNT(*) AS f FROM (SELECT unnest(string_split(text,' ')) "
+        "AS w FROM documents) WHERE LENGTH(w) >= 2 GROUP BY w"
+    ).fetchall()
+    counts: Counter = Counter()
+    for w, f in words:
+        for i in range(len(w) - 1):
+            counts[w[i : i + 2]] += f
+    best = min(
+        counts.items(), key=lambda kv: (-kv[1], kv[0])
+    )
+    r1 = bpe[bpe["merge_rank"] == 1].iloc[0]
+    assert (r1["pair"], r1["n_occurrences"]) == best
+    assert len(bpe) == 20
+    assert bpe.sort_values("merge_rank")["n_occurrences"].is_monotonic_decreasing
+
+
+# ---------------------------------------------------------------------------
+# RFM laws
+# ---------------------------------------------------------------------------
+
+
+def test_rfm_quintiles_balanced(spark, sf_dir):
+    """Every score is in 1..5, each metric's quintile sizes are
+    balanced to within 1 (the explicit rank formula guarantees it),
+    and the top spender gets m_score 5."""
+    rfm = QUERIES["customer_rfm_segments"](spark, sf_dir).toPandas()
+    for c in ("r_score", "f_score", "m_score"):
+        assert rfm[c].between(1, 5).all()
+        sizes = rfm[c].value_counts()
+        assert sizes.max() - sizes.min() <= 1
+    top = rfm.sort_values(["spend_e2", "custkey"], ascending=[False, True]).iloc[0]
+    assert top["m_score"] == 5
+    assert (
+        rfm["rfm_segment"]
+        == rfm["r_score"] * 100 + rfm["f_score"] * 10 + rfm["m_score"]
+    ).all()
