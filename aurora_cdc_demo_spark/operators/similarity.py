@@ -1902,3 +1902,53 @@ def label_drift_sql(dialect: str) -> str:
 
 def label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, label_drift_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# ANN recall observability: every approximate serving path scored
+# against the exact top-k in ONE report — the index-quality dashboard
+# a serving stack watches after each re-index. Re-uses the method
+# SQL verbatim (composition, not reimplementation), so the report
+# can never drift from the operators it audits.
+#
+# Scale shape: each method keeps its own plan (see each generator);
+# the report adds only |methods| x |Q| x TOPK bounded rows, a
+# (query, neighbor) equi-join against the exact top-k, and a
+# |methods|x|Q|-bounded aggregate. At production SF the exact arm is
+# the expensive one — it is already the documented correctness
+# baseline (sampled queries in practice), and the report is
+# explicitly the SAMPLED-query audit, never a full-corpus pass.
+# ---------------------------------------------------------------------------
+
+
+def recall_report_sql(dialect: str) -> str:
+    methods = [
+        ("ivf_seed", ivf_topk_sql(dialect)),
+        ("ivf_kmeans", kmeans_topk_sql(dialect)),
+        ("pq_adc", pq_topk_sql(dialect)),
+        ("pq_rerank", pq_rerank_topk_sql(dialect)),
+        ("sign_hamming", sign_hamming_sql(dialect)),
+    ]
+    ctes = ",\n".join(
+        f"m_{name} AS ({sql})" for name, sql in methods
+    )
+    union = "\nUNION ALL ".join(
+        f"SELECT '{name}' AS method, query_id, neighbor_id FROM m_{name}"
+        for name, _ in methods
+    )
+    return f"""
+        WITH exact AS ({topk_sql(dialect)}),
+        {ctes},
+        methods AS ({union})
+        SELECT m.method, m.query_id,
+               CAST(COUNT(e.neighbor_id) AS BIGINT) AS hits,
+               CAST((10000 * COUNT(e.neighbor_id)) {'div' if dialect == 'spark' else '//'} {TOPK}
+                    AS BIGINT) AS recall_bp
+        FROM methods m LEFT JOIN exact e
+          ON e.query_id = m.query_id AND e.neighbor_id = m.neighbor_id
+        GROUP BY m.method, m.query_id
+    """
+
+
+def recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, recall_report_sql("spark"))

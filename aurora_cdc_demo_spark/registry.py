@@ -6306,3 +6306,279 @@ def q_customer_rfm_segments(spark, sf_dir):
             " + (5 - ((m_rnk - 1) * 5) div nc)"
         ).alias("rfm_segment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R7: corpus datasheet (curation composition report)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_datasheet",
+    oracle=_KEEP_GATES_CTES_LSH + _V3_EXTRA_CTES + _V4_EXTRA_CTES
+    + ", v4 AS (" + _V4_SELECT + ")"
+    + """
+        SELECT d.source, d.lang, v.decision,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT)
+                   AS n_tokens,
+               CAST((10000 * COUNT(*)) // CAST(SUM(COUNT(*)) OVER (
+                   PARTITION BY d.source, d.lang) AS BIGINT) AS BIGINT)
+                   AS share_bp
+        FROM documents d JOIN v4 v ON d.doc_id = v.doc_id
+        GROUP BY d.source, d.lang, v.decision
+    """,
+)
+def q_corpus_datasheet(spark, sf_dir):
+    """The corpus DATASHEET (Gebru et al. 2021 'datasheets for
+    datasets', the artifact a curation run publishes): per (source,
+    lang), the document/token volume reaching each ten-gate outcome
+    of the deployment keep-list (corpus_keep_list_v4_lsh #143) and
+    its share of the stratum — where the data came from, what was
+    dropped, and WHY, in one table. Composition is the point: the
+    entire LSH-graph gate chain is reused verbatim, then one
+    (source, lang, decision) aggregate + a stratum-bounded share
+    window.
+
+    Scale: inherits the v4_lsh chain's O(docs + candidates) plan;
+    the datasheet adds a doc_id equi-join with the documents scan
+    (co-partitioned/AQE) and an aggregate whose output is bounded by
+    |sources|x|langs|x|decisions| — observability is free at any
+    SF."""
+    from pyspark.sql import Window
+
+    v4 = QUERIES["corpus_keep_list_v4_lsh"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("toks"),
+    )
+    g = (
+        docs.join(v4, "doc_id")
+        .groupBy("source", "lang", "decision")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy("source", "lang")
+    return (
+        g.withColumn("tot", F.sum("n_docs").over(w))
+        .withColumn("share_bp", F.expr("(10000 * n_docs) div tot"))
+        .drop("tot")
+    )
+
+
+@query("ann_recall_report", oracle=_sim.recall_report_sql("duck"))
+def q_ann_recall_report(spark, sf_dir):
+    """ANN index-quality dashboard: recall@5 vs the exact top-k for
+    EVERY approximate serving path in the repo (seed-cell IVF,
+    trained-kmeans IVF, PQ ADC, PQ+rerank, sign-bit Hamming), per
+    query, in one report — the audit a serving stack runs after each
+    re-index, and the quantified version of the recall laws pytest
+    pins one-by-one. Pure composition: each method's SQL is reused
+    verbatim, so the report cannot drift from the operators it
+    audits. See operators/similarity.py:recall_report_sql for the
+    scale shape (sampled-query audit; bounded joins/aggregates on
+    top of the methods' own plans)."""
+    return _sim.recall_report(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# R7: conversion lag, temperature-based language mix, backlog aging
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_conversion_lag",
+    oracle="""
+        WITH nxt AS (
+            SELECT event_type, epoch_us(ts) AS t_us,
+                   MIN(CASE WHEN event_type = 'purchase'
+                       THEN epoch_us(ts) END) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                       AS np_us
+            FROM events)
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(np_us) AS BIGINT) AS n_converted,
+               CAST((10000 * COUNT(np_us)) // COUNT(*) AS BIGINT)
+                   AS conversion_bp,
+               CAST(COALESCE(
+                   (CAST(SUM(np_us - t_us) AS BIGINT)
+                       // COUNT(np_us)) // 1000000, 0) AS BIGINT)
+                   AS mean_lag_s,
+               CAST(COALESCE(MIN(np_us - t_us) // 1000000, 0) AS BIGINT)
+                   AS min_lag_s,
+               CAST(COALESCE(MAX(np_us - t_us) // 1000000, 0) AS BIGINT)
+                   AS max_lag_s
+        FROM nxt GROUP BY event_type
+    """,
+)
+def q_events_conversion_lag(spark, sf_dir):
+    """Time-to-conversion attribution: for every event, the delay
+    until that user's NEXT purchase, aggregated per event type —
+    which touchpoints sit closest upstream of revenue (the
+    attribution-modeling input next to the windowed funnel #137).
+    The next-purchase timestamp is a conditional MIN over the
+    forward frame of the ONE user-partitioned window every events
+    query shares — no self-join, no per-event rescan. Lags are
+    integer microseconds floored to seconds; means use floor
+    division (no float accumulation).
+
+    Scale: one user_id window (the shared shuffle), one
+    |types|-bounded aggregate with map-side partials."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase", F.unix_micros("ts")
+            )
+        )
+        .over(w)
+        .alias("np_us"),
+    )
+    return nxt.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("np_us").alias("n_converted"),
+        F.expr("(10000 * count(np_us)) div count(1)").alias(
+            "conversion_bp"
+        ),
+        F.expr(
+            "coalesce((sum(np_us - t_us) div count(np_us)) div 1000000, 0)"
+        ).alias("mean_lag_s"),
+        F.expr("coalesce(min(np_us - t_us) div 1000000, 0)").alias(
+            "min_lag_s"
+        ),
+        F.expr("coalesce(max(np_us - t_us) div 1000000, 0)").alias(
+            "max_lag_s"
+        ),
+    )
+
+
+_TEMP_BUDGET = 1000
+
+
+@query(
+    "sample_lang_temperature",
+    oracle=f"""
+        WITH counts AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY lang)
+        , weighted AS (
+            SELECT lang, n_docs,
+                   CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT)
+                       AS w
+            FROM counts)
+        , tot AS (
+            SELECT CAST(SUM(w) AS BIGINT) AS tw,
+                   CAST(SUM(n_docs) AS BIGINT) AS td
+            FROM weighted)
+        SELECT w.lang, w.n_docs, w.w AS weight,
+               CAST((10000 * w.n_docs) // t.td AS BIGINT)
+                   AS natural_share_bp,
+               CAST((10000 * w.w) // t.tw AS BIGINT) AS sampled_share_bp,
+               CAST(({_TEMP_BUDGET} * w.w) // t.tw AS BIGINT)
+                   AS budget_docs
+        FROM weighted w CROSS JOIN tot t
+    """,
+)
+def q_sample_lang_temperature(spark, sf_dir):
+    """Temperature-based language mixing (the T=0.5 rule of
+    multilingual LM pretraining — mBERT/XLM-R exponentiate natural
+    frequencies to flatten head languages): sampling weight =
+    floor(sqrt(n_docs)) per language, shares and a
+    {_TEMP_BUDGET}-doc budget allocation in integer bp/doc floor
+    division. sqrt is IEEE-correctly-rounded in both engines
+    (deterministic), and everything after the sqrt is integer
+    algebra. Sits between uniform (T→0, UniMax #151's cap) and
+    natural (T=1) sampling.
+
+    Scale: one map-side-combined language aggregate; everything
+    downstream runs on the |langs|-bounded table with a 1-row total
+    broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    weighted = counts.withColumn(
+        "w",
+        F.floor(F.sqrt(F.col("n_docs").cast("double"))).cast("long"),
+    )
+    tot = weighted.agg(
+        F.sum("w").alias("tw"), F.sum("n_docs").alias("td")
+    )
+    return weighted.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.col("w").alias("weight"),
+        F.expr("(10000 * n_docs) div td").alias("natural_share_bp"),
+        F.expr("(10000 * w) div tw").alias("sampled_share_bp"),
+        F.expr(f"({_TEMP_BUDGET} * w) div tw").alias("budget_docs"),
+    )
+
+
+_AGING_BUCKET_DAYS = 90
+
+
+@query(
+    "orders_backlog_aging",
+    oracle=f"""
+        WITH horizon AS (
+            SELECT MAX(o_orderdate) AS h FROM orders)
+        , open_orders AS (
+            SELECT o.o_orderkey, o.o_orderpriority,
+                   CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS price_e2,
+                   (epoch_us(h.h) - epoch_us(o.o_orderdate))
+                       // (86400000000 * {_AGING_BUCKET_DAYS}) AS bucket
+            FROM orders o CROSS JOIN horizon h
+            WHERE o.o_orderstatus = 'O')
+        SELECT bucket, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(price_e2) AS BIGINT) AS backlog_value_e2
+        FROM open_orders
+        GROUP BY bucket, o_orderpriority
+    """,
+)
+def q_orders_backlog_aging(spark, sf_dir):
+    """Open-order backlog aging: orders still in status 'O' bucketed
+    by {_AGING_BUCKET_DAYS}-day age (vs the newest order date) and
+    priority, with order counts and integer-cent backlog value — the
+    operations-dashboard twin of the order-priority report (#13).
+    Age is integer-microsecond arithmetic floored into buckets (the
+    DuckDB date_diff boundary-counting trap documented in the verify
+    skill is avoided by construction).
+
+    Scale: the status filter pushes to the parquet scan; one
+    map-side-combined aggregate on the (bucket, priority)-bounded
+    key; the horizon is a 1-row broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    horizon = orders.agg(F.max("o_orderdate").alias("h"))
+    open_orders = (
+        orders.where(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_e2"),
+            F.expr(
+                "(unix_micros(h) - unix_micros(o_orderdate))"
+                f" div (86400000000 * {_AGING_BUCKET_DAYS})"
+            ).alias("bucket"),
+        )
+    )
+    return open_orders.groupBy("bucket", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price_e2").alias("backlog_value_e2"),
+    )

@@ -246,3 +246,164 @@ def test_rfm_quintiles_balanced(spark, sf_dir):
         rfm["rfm_segment"]
         == rfm["r_score"] * 100 + rfm["f_score"] * 10 + rfm["m_score"]
     ).all()
+
+
+# ---------------------------------------------------------------------------
+# R7b: datasheet, recall report, conversion lag, temperature mix,
+# backlog aging + the streaming DBLog interleave twin
+# ---------------------------------------------------------------------------
+
+R7B_QUERIES = [
+    "corpus_datasheet",
+    "ann_recall_report",
+    "events_conversion_lag",
+    "sample_lang_temperature",
+    "orders_backlog_aging",
+]
+
+
+@pytest.mark.parametrize("name", R7B_QUERIES)
+def test_r7b_oracle_parity(spark, sf_dir, name):
+    assert_matches_oracle(spark, name, sf_dir)
+
+
+def test_datasheet_conserves_corpus(spark, sf_dir):
+    """Every document lands in exactly one (source, lang, decision)
+    cell; kept counts agree with the keep-list itself; stratum
+    shares are proper bp."""
+    ds = QUERIES["corpus_datasheet"](spark, sf_dir).toPandas()
+    v4 = QUERIES["corpus_keep_list_v4_lsh"](spark, sf_dir).toPandas()
+    assert ds["n_docs"].sum() == len(v4)
+    kept_ds = ds[ds["decision"] == "keep"]["n_docs"].sum()
+    assert kept_ds == int(v4["keep"].sum())
+    assert (ds["share_bp"] <= 10000).all() and (ds["share_bp"] > 0).all()
+    # per-stratum share sums land within bp-floor slack of 10000
+    sums = ds.groupby(["source", "lang"])["share_bp"].sum()
+    n_dec = ds.groupby(["source", "lang"])["share_bp"].count()
+    assert ((10000 - sums) < n_dec).all() and (sums <= 10000).all()
+
+
+def test_recall_report_orders_methods_sanely(spark, sf_dir):
+    """PQ+rerank recall >= pure-ADC recall per query (the shortlist
+    can only help); every recall is a proper bp; all five methods
+    report on every query."""
+    rr = QUERIES["ann_recall_report"](spark, sf_dir).toPandas()
+    assert rr.groupby("method")["query_id"].count().nunique() == 1
+    assert set(rr["method"]) == {
+        "ivf_seed",
+        "ivf_kmeans",
+        "pq_adc",
+        "pq_rerank",
+        "sign_hamming",
+    }
+    assert rr["recall_bp"].between(0, 10000).all()
+    piv = rr.pivot(index="query_id", columns="method", values="recall_bp")
+    assert (piv["pq_rerank"] >= piv["pq_adc"]).all()
+
+
+def test_conversion_lag_laws(spark, sf_dir):
+    """Converted counts never exceed event counts, lags are
+    non-negative, and purchase events themselves convert with
+    positive lag (the window starts at the FOLLOWING row)."""
+    cl = QUERIES["events_conversion_lag"](spark, sf_dir).toPandas()
+    assert (cl["n_converted"] <= cl["n_events"]).all()
+    assert (cl["min_lag_s"] >= 0).all()
+    assert (cl["mean_lag_s"] <= cl["max_lag_s"]).all()
+    assert (cl["conversion_bp"] <= 10000).all()
+
+
+def test_lang_temperature_flattens(spark, sf_dir):
+    """T=0.5 sampling flattens the language mix: the head language's
+    sampled share is below its natural share, every tail language's
+    sampled share is >= its natural share, and the budget never
+    exceeds the stratum supply at this SF."""
+    lt = (
+        QUERIES["sample_lang_temperature"](spark, sf_dir)
+        .toPandas()
+        .sort_values("n_docs", ascending=False)
+        .reset_index(drop=True)
+    )
+    head, tail = lt.iloc[0], lt.iloc[1:]
+    assert head["sampled_share_bp"] <= head["natural_share_bp"]
+    assert (tail["sampled_share_bp"] >= tail["natural_share_bp"] - 1).all()
+    assert lt["budget_docs"].sum() <= 1000
+
+
+def test_backlog_aging_conserves_open_orders(spark, sf_dir):
+    import duckdb
+
+    ba = QUERIES["orders_backlog_aging"](spark, sf_dir).toPandas()
+    n_open = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/orders.parquet' "
+        "WHERE o_orderstatus = 'O'"
+    ).fetchone()[0]
+    assert ba["n_orders"].sum() == n_open
+    assert (ba["bucket"] >= 0).all()
+
+
+def test_dblog_interleaved_stream_reconstructs_state(spark, sf_dir, tmp_path):
+    """Streaming twin of cdc_incremental_snapshot: snapshot chunk
+    images (each taken at its own high-watermark position) are
+    interleaved INTO the micro-batch stream of post-s0 binlog events
+    and applied through the same ParquetStateStore every CDC
+    pipeline uses, starting from an EMPTY destination. Because chunk
+    c's image already folds every event <= hw_c and batches arrive
+    in watermark order, blind-overwrite MERGE semantics reconstruct
+    EXACTLY the full-replay latest state — DBLog's correctness
+    argument, executed. (On this testdata ts is monotone in seq, so
+    the store's (ts, seq) netting equals binlog-position order; the
+    snapshot images are computed under the same ordering rule.)"""
+    from aurora_cdc_demo_spark.sources.cdc_log import cdc_operation_log
+    from aurora_cdc_demo_spark.streaming.pipelines import ParquetStateStore
+
+    pdf = (
+        cdc_operation_log(spark, sf_dir)
+        .toPandas()
+        .sort_values(["ts", "seq"])
+        .reset_index(drop=True)
+    )
+    smax, kmax = int(pdf["seq"].max()), int(pdf["key_id"].max())
+    n_chunks = 8
+    s0 = smax // 2
+    wkey = kmax // n_chunks + 1
+    step = (smax - s0) // n_chunks
+    hws = [s0 + (c + 1) * step for c in range(n_chunks)]
+
+    def snap_chunk(c):
+        sub = pdf[(pdf["key_id"] // wkey == c) & (pdf["seq"] <= hws[c])]
+        sub = sub.groupby("key_id").tail(1)  # (ts, seq)-latest per key
+        return sub[sub["operation"] != "DELETE"]
+
+    tail_ev = pdf[pdf["seq"] > s0]
+    batches, prev = [], s0
+    for c in range(n_chunks):
+        batches.append(tail_ev[(tail_ev["seq"] > prev) & (tail_ev["seq"] <= hws[c])])
+        batches.append(snap_chunk(c))
+        prev = hws[c]
+    batches.append(tail_ev[tail_ev["seq"] > prev])
+
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    applied = 0
+    for i, b in enumerate(batches):
+        if len(b) == 0:
+            continue
+        store.apply_batch(spark.createDataFrame(b), i)
+        applied += 1
+    assert applied > n_chunks  # snapshot AND binlog batches both ran
+
+    final = (
+        spark.read.parquet(str(tmp_path / "state"))
+        .toPandas()
+        .sort_values("key_id")
+        .reset_index(drop=True)
+    )
+    truth = pdf.groupby("key_id").tail(1)
+    truth = (
+        truth[truth["operation"] != "DELETE"]
+        .sort_values("key_id")
+        .reset_index(drop=True)
+    )
+    assert len(final) == len(truth)
+    assert (final["key_id"].values == truth["key_id"].values).all()
+    assert (final["seq"].values == truth["seq"].values).all()
+    assert (final["value"].values == truth["value"].values).all()
