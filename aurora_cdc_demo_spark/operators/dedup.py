@@ -204,7 +204,9 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidates(signatures: DataFrame) -> DataFrame:
+def lsh_candidates(
+    signatures: DataFrame, band_rows: int = BAND_ROWS
+) -> DataFrame:
     """Band-bucket collision pairs via ONE self-join on
     (band_idx, band_key) over posexploded band rows — not one join
     per band.  A per-band union would repeat the signature subtree
@@ -212,7 +214,7 @@ def lsh_candidates(signatures: DataFrame) -> DataFrame:
     and schedule n_bands separate shuffles; the stacked form scans
     signatures once, shuffles n_bands× (tiny) band rows once, and
     ReuseExchange shares the one exchange between both join sides."""
-    n_bands = NUM_MINHASH // BAND_ROWS
+    n_bands = NUM_MINHASH // band_rows
     banded = signatures.select(
         "doc_id",
         F.posexplode(
@@ -222,8 +224,8 @@ def lsh_candidates(signatures: DataFrame) -> DataFrame:
                         F.concat_ws(
                             "|",
                             *[
-                                F.col(f"mh{b * BAND_ROWS + r}")
-                                for r in range(BAND_ROWS)
+                                F.col(f"mh{b * band_rows + r}")
+                                for r in range(band_rows)
                             ],
                         )
                     )
@@ -834,3 +836,133 @@ def decontaminate_lsh_sql(
            MAX(jaccard_bp) AS max_jaccard_bp
     FROM verified GROUP BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# LSH S-curve tuning report: the same 12 minhashes banded at every
+# divisor row-width r (bands = 12/r), each config's candidate volume
+# and exact-verified yield side by side — the
+# precision/recall-vs-cost table an operator reads before fixing
+# (b, r) for a 100 TB dedup run. Pigeonhole: cand(r) ⊆ cand(1)
+# (an r-row band match implies each row matches), so r=1 (the most
+# permissive config) is the recall reference.
+#
+# Scale: the signature table is computed once per config from the
+# same shingle base (bounded re-derivation, 5 configs); every
+# config's candidate join stays the banded equi-join — the report
+# NEVER runs an all-pairs truth, recall is measured against the
+# r=1 candidate set's verified pairs.
+# ---------------------------------------------------------------------------
+
+LSH_TUNING_ROWS = (1, 2, 3, 4, 6)
+
+
+def lsh_tuning(docs: DataFrame) -> DataFrame:
+    sh = shingles(docs)
+    sig = minhash_signatures(sh)
+    summaries = []
+    for r in LSH_TUNING_ROWS:
+        cand = lsh_candidates(sig, band_rows=r)
+        sim = _pair_jaccard(sh, pairs=cand)
+        ver = sim.where(
+            F.lit(10000) * F.col("inter")
+            >= F.lit(JACCARD_THRESHOLD_BP) * F.col("uni")
+        )
+        summaries.append(
+            cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+            .crossJoin(ver.agg(F.count(F.lit(1)).alias("n_verified")))
+            .select(
+                F.lit(r).cast("long").alias("band_rows"),
+                F.lit(NUM_MINHASH // r).cast("long").alias("n_bands"),
+                "n_candidates",
+                "n_verified",
+            )
+        )
+    out = reduce(lambda a, b: a.unionByName(b), summaries)
+    ref = (
+        out.where(F.col("band_rows") == 1)
+        .select(F.col("n_verified").alias("ref_verified"))
+    )
+    return out.crossJoin(F.broadcast(ref)).select(
+        "band_rows",
+        "n_bands",
+        "n_candidates",
+        "n_verified",
+        F.expr(
+            "CASE WHEN n_candidates = 0 THEN 0"
+            " ELSE (10000 * n_verified) div n_candidates END"
+        ).alias("precision_bp"),
+        F.expr(
+            "CASE WHEN ref_verified = 0 THEN 0"
+            " ELSE (10000 * n_verified) div ref_verified END"
+        ).alias("recall_vs_r1_bp"),
+    )
+
+
+def _tuning_band_list_sql(r: int) -> str:
+    n_bands = NUM_MINHASH // r
+    items = ", ".join(
+        "md5("
+        + " || '|' || ".join(
+            f"CAST(mh{b * r + k} AS VARCHAR)" for k in range(r)
+        )
+        + ")"
+        for b in range(n_bands)
+    )
+    return f"[{items}]"
+
+
+def _lsh_tuning_config_ctes(r: int) -> str:
+    return f"""
+    , bands_{r} AS (
+        SELECT doc_id, generate_subscripts(bl, 1) AS bi, unnest(bl) AS bk
+        FROM (SELECT doc_id, {_tuning_band_list_sql(r)} AS bl FROM sig))
+    , cand_{r} AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands_{r} a JOIN bands_{r} b
+          ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id)
+    , int_{r} AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+        FROM cand_{r} c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+        GROUP BY 1, 2)
+    , ver_{r} AS (
+        SELECT i.doc_a FROM int_{r} i
+        JOIN sc x ON i.doc_a = x.doc_id
+        JOIN sc y ON i.doc_b = y.doc_id
+        WHERE 10000 * inter >= {JACCARD_THRESHOLD_BP} * (x.c + y.c - inter))
+"""
+
+
+LSH_TUNING_SQL = (
+    f"""
+    WITH {_SHINGLES_SQL}
+    , hashed AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS a,
+               CAST('0x' || substr(md5(s), 9, 8) AS BIGINT) AS b
+        FROM sh)
+    , sig AS (SELECT doc_id, {_minhash_sql_cols()} FROM hashed GROUP BY doc_id)
+"""
+    + "".join(_lsh_tuning_config_ctes(r) for r in LSH_TUNING_ROWS)
+    + f"""
+    , summary AS ({" UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS band_rows, "
+        f"CAST({NUM_MINHASH // r} AS BIGINT) AS n_bands, "
+        f"(SELECT CAST(COUNT(*) AS BIGINT) FROM cand_{r}) AS n_candidates, "
+        f"(SELECT CAST(COUNT(*) AS BIGINT) FROM ver_{r}) AS n_verified"
+        for r in LSH_TUNING_ROWS
+    )})
+    , ref AS (SELECT n_verified AS ref_verified FROM summary
+              WHERE band_rows = 1)
+    SELECT s.band_rows, s.n_bands, s.n_candidates, s.n_verified,
+           CASE WHEN s.n_candidates = 0 THEN 0
+                ELSE (10000 * s.n_verified) // s.n_candidates END
+               AS precision_bp,
+           CASE WHEN r.ref_verified = 0 THEN 0
+                ELSE (10000 * s.n_verified) // r.ref_verified END
+               AS recall_vs_r1_bp
+    FROM summary s CROSS JOIN ref r
+"""
+)

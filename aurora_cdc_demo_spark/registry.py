@@ -776,7 +776,7 @@ def q_cdc_distinct_transactions(spark, sf_dir):
     map-side partials; count(distinct) expands to a two-stage
     aggregate on (tbl, transaction_id) — both shuffles are on
     low-cardinality keys."""
-    raw = read_binlog(spark, sf_dir)
+    raw = read_binlog_jvm(spark, sf_dir)
     return raw.groupBy(F.col("table").alias("tbl")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("transaction_id").alias("n_txns"),
@@ -810,7 +810,7 @@ def q_cdc_latest_state_with_truncate(spark, sf_dir):
     aurora_cdc_datasource_v2.py:61): a TRUNCATE wipes all earlier
     changes of its table; later changes rebuild state. DataSource →
     flatten → latest_state_with_truncate (operators/cdc_apply.py)."""
-    raw = read_binlog(spark, sf_dir)
+    raw = read_binlog_jvm(spark, sf_dir)
     log = raw.select(
         F.col("table").alias("tbl"),
         F.col("primary_keys")["key_id"].cast("long").alias("key_id"),
@@ -2458,7 +2458,7 @@ def q_cdc_progress(spark, sf_dir):
     notebook UNION-ALLs the landed tables because Delta loses the
     source `table` column — our unified schema keeps it, so this is
     ONE aggregate, not a per-table union)."""
-    raw = read_binlog(spark, sf_dir)
+    raw = read_binlog_jvm(spark, sf_dir)
     return raw.groupBy(
         F.col("table").alias("tbl"), "operation"
     ).agg(
@@ -2488,7 +2488,7 @@ def q_cdc_batch_metrics(spark, sf_dir):
     span, and average ingest→process lag measured from the REAL
     processing_time/ts columns of the 21-column schema. One hash
     aggregate on the (bounded) batch id."""
-    raw = read_binlog(spark, sf_dir)
+    raw = read_binlog_jvm(spark, sf_dir)
     return raw.groupBy("batch_id").agg(
         F.count(F.lit(1)).alias("event_count"),
         F.countDistinct("table").alias("n_tables"),
@@ -2867,7 +2867,7 @@ def q_cdc_gtid_gap_monitor(spark, sf_dir):
     DataSource round-trip), not taken from seq."""
     from pyspark.sql import Window
 
-    raw = read_binlog(spark, sf_dir)
+    raw = read_binlog_jvm(spark, sf_dir)
     g = raw.select(
         "server_id",
         F.split(F.col("gtid"), ":").getItem(1).cast("long").alias("gtid_seq"),
@@ -6581,4 +6581,162 @@ def q_orders_backlog_aging(spark, sf_dir):
     return open_orders.groupBy("bucket", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("price_e2").alias("backlog_value_e2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R7: LSH tuning, embedding keep-list, market concentration
+# ---------------------------------------------------------------------------
+
+
+@query("dedup_lsh_tuning", oracle=_dedup.LSH_TUNING_SQL)
+def q_dedup_lsh_tuning(spark, sf_dir):
+    """LSH S-curve tuning report: the SAME 12 minhashes banded at
+    every divisor row-width r (bands = 12/r), each config's
+    candidate volume, exact-verified yield, precision, and recall
+    vs the r=1 reference — the cost/quality table an operator reads
+    before fixing (b, r) for a 100 TB dedup run (Leskovec et al.'s
+    S-curve, measured instead of assumed). Pigeonhole gives
+    cand(r) ⊆ cand(1), so r=1 is a sound recall denominator and the
+    report NEVER computes an all-pairs truth. See
+    operators/dedup.py:lsh_tuning for the scale shape."""
+    return _dedup.lsh_tuning(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "embed_keep_list",
+    oracle=f"""
+        WITH cl AS ({ORACLES["embed_dedup_clusters_lsh"]})
+        , sd AS ({_sim.semdedup_sql("duck")})
+        , dv AS ({embed_diversity_oracle_sql()})
+        SELECT e.vec_id,
+               cl.cluster_id,
+               sd.keep = 1 AS sem_keep,
+               dv.vec_id IS NOT NULL AS in_quota,
+               (cl.cluster_id = e.vec_id AND sd.keep = 1
+                AND dv.vec_id IS NOT NULL) AS keep,
+               CASE WHEN cl.cluster_id <> e.vec_id THEN 'near_dup'
+                    WHEN sd.keep = 0 THEN 'sem_dup'
+                    WHEN dv.vec_id IS NULL THEN 'quota_out'
+                    ELSE 'keep' END AS decision
+        FROM embeddings e
+        JOIN cl ON cl.vec_id = e.vec_id
+        JOIN sd ON sd.vec_id = e.vec_id
+        LEFT JOIN dv ON dv.vec_id = e.vec_id
+    """,
+)
+def q_embed_keep_list(spark, sf_dir):
+    """The EMBEDDING-side keep-list — the curation pipeline artifact
+    for the vector corpus, mirroring the text side's
+    corpus_keep_list_v4_lsh: (1) LSH near-dup components keep only
+    the min-id canonical (hyperplane-banded candidates, exact-cosine
+    verified — never all-pairs); (2) SemDeDup (Abbas et al. 2023)
+    drops semantic duplicates within coarse cells; (3) the k-means
+    diversity quota (#131) caps dense regions. Priority-ordered
+    reason codes (near_dup > sem_dup > quota_out > keep), one row
+    per vector. Every gate is an already-oracle-verified operator
+    composed by vec_id equi-joins — nothing new shuffles the
+    corpus."""
+    cl = QUERIES["embed_dedup_clusters_lsh"](spark, sf_dir)
+    sd = QUERIES["semdedup_cells"](spark, sf_dir).select(
+        "vec_id", F.col("keep").alias("sem_keep_i")
+    )
+    dv = embed_diversity(spark, sf_dir).select(
+        "vec_id", F.lit(1).alias("dv_hit")
+    )
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    j = (
+        e.join(cl, "vec_id")
+        .join(sd, "vec_id")
+        .join(dv, "vec_id", "left")
+    )
+    keep = (
+        (F.col("cluster_id") == F.col("vec_id"))
+        & (F.col("sem_keep_i") == 1)
+        & F.col("dv_hit").isNotNull()
+    )
+    decision = (
+        F.when(F.col("cluster_id") != F.col("vec_id"), "near_dup")
+        .when(F.col("sem_keep_i") == 0, "sem_dup")
+        .when(F.col("dv_hit").isNull(), "quota_out")
+        .otherwise("keep")
+    )
+    return j.select(
+        "vec_id",
+        "cluster_id",
+        (F.col("sem_keep_i") == 1).alias("sem_keep"),
+        F.col("dv_hit").isNotNull().alias("in_quota"),
+        keep.alias("keep"),
+        decision.alias("decision"),
+    )
+
+
+@query(
+    "market_concentration_hhi",
+    oracle="""
+        WITH rev AS (
+            SELECT p.p_type, l.l_suppkey,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice
+                        * (1 - l.l_discount) * 10000) AS BIGINT))
+                        AS BIGINT) AS rev_e4
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            GROUP BY p.p_type, l.l_suppkey)
+        , tot AS (
+            SELECT p_type, CAST(SUM(rev_e4) AS BIGINT) AS t,
+                   CAST(COUNT(*) AS BIGINT) AS n_suppliers
+            FROM rev GROUP BY p_type)
+        , shares AS (
+            SELECT r.p_type, (10000 * r.rev_e4) // t.t AS share_bp
+            FROM rev r JOIN tot t ON t.p_type = r.p_type)
+        SELECT s.p_type, t.n_suppliers, t.t AS total_rev_e4,
+               CAST(SUM(share_bp * share_bp) AS BIGINT) AS hhi,
+               MAX(share_bp) AS top_share_bp
+        FROM shares s JOIN tot t ON t.p_type = s.p_type
+        GROUP BY s.p_type, t.n_suppliers, t.t
+    """,
+)
+def q_market_concentration_hhi(spark, sf_dir):
+    """Herfindahl–Hirschman market-concentration index per part
+    type: supplier revenue shares in integer bp, HHI = Σ share_bp²
+    (10000² = monopoly) — the antitrust-style concentration screen
+    as a warehouse mart, next to the Pareto 80/20 view (#132).
+    Revenue is integer e4 money; shares floor-divide, so both
+    engines agree bit-for-bit.
+
+    Scale: one fact-scale join (part dimension broadcastable by
+    AQE) feeding a (p_type, suppkey) map-side-combined aggregate;
+    everything after runs on the type×supplier-bounded table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(part.select("p_partkey", "p_type")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type", "l_suppkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * 10000
+                ).cast("long")
+            ).alias("rev_e4")
+        )
+    )
+    tot = rev.groupBy("p_type").agg(
+        F.sum("rev_e4").alias("t"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    shares = rev.join(tot, "p_type").select(
+        "p_type",
+        "n_suppliers",
+        "t",
+        F.expr("(10000 * rev_e4) div t").alias("share_bp"),
+    )
+    return shares.groupBy(
+        "p_type", "n_suppliers", F.col("t").alias("total_rev_e4")
+    ).agg(
+        F.sum(F.col("share_bp") * F.col("share_bp"))
+        .cast("long")
+        .alias("hhi"),
+        F.max("share_bp").alias("top_share_bp"),
     )

@@ -76,6 +76,9 @@ HEADLINE = [
     "text_bm25_topk",
     "mm_phash_near_dup",
     "events_hll_registers",
+    "cdc_incremental_snapshot",
+    "embed_keep_list",
+    "dedup_lsh_tuning",
 ]
 
 

@@ -407,3 +407,80 @@ def test_dblog_interleaved_stream_reconstructs_state(spark, sf_dir, tmp_path):
     assert (final["key_id"].values == truth["key_id"].values).all()
     assert (final["seq"].values == truth["seq"].values).all()
     assert (final["value"].values == truth["value"].values).all()
+
+
+# ---------------------------------------------------------------------------
+# R7c: LSH tuning, embedding keep-list, HHI
+# ---------------------------------------------------------------------------
+
+R7C_QUERIES = [
+    "dedup_lsh_tuning",
+    "embed_keep_list",
+    "market_concentration_hhi",
+]
+
+
+@pytest.mark.parametrize("name", R7C_QUERIES)
+def test_r7c_oracle_parity(spark, sf_dir, name):
+    assert_matches_oracle(spark, name, sf_dir)
+
+
+def test_lsh_tuning_s_curve_laws(spark, sf_dir):
+    """Pigeonhole: candidate volume is non-increasing in band
+    row-width; r=1 has recall 10000 by definition; the production
+    config's (r=4) verified count equals the shipped
+    dedup_minhash_lsh pair count (the tuning table audits the
+    operator it tunes)."""
+    t = (
+        QUERIES["dedup_lsh_tuning"](spark, sf_dir)
+        .toPandas()
+        .sort_values("band_rows")
+        .reset_index(drop=True)
+    )
+    # pigeonhole nesting holds along divisor chains (an aligned
+    # r-row band contains an aligned r/2-row band): 1 | 2 | 4 and
+    # 1 | 3 | 6 — NOT between e.g. 3 and 4, whose bands interleave
+    by_r = t.set_index("band_rows")
+    for chain in ((1, 2, 4), (1, 3, 6)):
+        for lo, hi in zip(chain, chain[1:]):
+            assert by_r.loc[hi, "n_candidates"] <= by_r.loc[lo, "n_candidates"]
+            assert by_r.loc[hi, "n_verified"] <= by_r.loc[lo, "n_verified"]
+    assert t.loc[t["band_rows"] == 1, "recall_vs_r1_bp"].iloc[0] == 10000
+    assert (t["recall_vs_r1_bp"] <= 10000).all()
+    assert (t["n_verified"] <= t["n_candidates"]).all()
+    shipped = QUERIES["dedup_minhash_lsh"](spark, sf_dir).count()
+    assert t.loc[t["band_rows"] == 4, "n_verified"].iloc[0] == shipped
+
+
+def test_embed_keep_list_gate_consistency(spark, sf_dir):
+    """One row per vector; keep requires all three gates; decision
+    codes respect the near_dup > sem_dup > quota_out priority; the
+    kept set is bounded by the diversity quota capacity."""
+    from aurora_cdc_demo_spark.operators.similarity import N_SEEDS
+    from aurora_cdc_demo_spark.registry import _DIVERSITY_QUOTA
+
+    kl = QUERIES["embed_keep_list"](spark, sf_dir).toPandas()
+    assert kl["vec_id"].is_unique
+    kept = kl[kl["keep"]]
+    assert (kept["cluster_id"] == kept["vec_id"]).all()
+    assert kept["sem_keep"].all() and kept["in_quota"].all()
+    nd = kl[kl["decision"] == "near_dup"]
+    assert (nd["cluster_id"] != nd["vec_id"]).all()
+    sd = kl[kl["decision"] == "sem_dup"]
+    assert (sd["cluster_id"] == sd["vec_id"]).all() and (~sd["sem_keep"]).all()
+    assert len(kept) <= N_SEEDS * _DIVERSITY_QUOTA
+    assert set(kl["decision"]) <= {"near_dup", "sem_dup", "quota_out", "keep"}
+    assert (kl["decision"] == "keep").sum() == len(kept)
+
+
+def test_hhi_bounds(spark, sf_dir):
+    """HHI is bounded by [top_share², 10000·top_share] (Cauchy-
+    Schwarz on bp shares) and by the monopoly ceiling 10⁸; a
+    single-supplier market is exactly the ceiling."""
+    h = QUERIES["market_concentration_hhi"](spark, sf_dir).toPandas()
+    assert (h["hhi"] <= 100_000_000).all()
+    assert (h["hhi"] >= h["top_share_bp"] ** 2).all()
+    assert (h["hhi"] <= 10000 * h["top_share_bp"]).all()
+    mono = h[h["n_suppliers"] == 1]
+    if len(mono):
+        assert (mono["hhi"] == 100_000_000).all()
