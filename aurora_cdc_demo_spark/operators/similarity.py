@@ -1952,3 +1952,46 @@ def recall_report_sql(dialect: str) -> str:
 
 def recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, recall_report_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# nprobe recall curve through the TRAINED quantizer: the
+# quality-vs-cost dial of IVF serving, measured (recall is monotone
+# in nprobe — each added cell only widens the candidate set, and a
+# displacing candidate must itself be in the exact top-k).
+# Scale: at production the trained cell map is materialized once
+# offline; here each nprobe arm re-derives the bounded Lloyd chain
+# (documented re-derivation, |probes| configs).
+# ---------------------------------------------------------------------------
+
+NPROBE_MAX = 4
+
+
+def nprobe_curve_sql(dialect: str) -> str:
+    arms = ",\n".join(
+        f"mp{p} AS ({kmeans_multiprobe_sql(dialect, nprobe=p)})"
+        for p in range(1, NPROBE_MAX + 1)
+    )
+    union = "\nUNION ALL ".join(
+        f"SELECT CAST({p} AS BIGINT) AS nprobe, query_id, neighbor_id "
+        f"FROM mp{p}"
+        for p in range(1, NPROBE_MAX + 1)
+    )
+    idiv = "div" if dialect == "spark" else "//"
+    return f"""
+        WITH exact AS ({topk_sql(dialect)}),
+        {arms},
+        probes AS ({union})
+        SELECT p.nprobe,
+               CAST(COUNT(e.neighbor_id) AS BIGINT) AS hits,
+               CAST((10000 * COUNT(e.neighbor_id))
+                    {idiv} {N_QUERIES * TOPK} AS BIGINT)
+                   AS mean_recall_bp
+        FROM probes p LEFT JOIN exact e
+          ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
+        GROUP BY p.nprobe
+    """
+
+
+def nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, nprobe_curve_sql("spark"))

@@ -6740,3 +6740,109 @@ def q_market_concentration_hhi(spark, sf_dir):
         .alias("hhi"),
         F.max("share_bp").alias("top_share_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R7: bloom-semijoin pushdown, nprobe curve, cluster size histogram
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q3_bloom_semijoin",
+    oracle=TPCH_ORACLES["q3_shipping_priority"],
+)
+def q_q3_bloom_semijoin(spark, sf_dir):
+    """TPC-H Q3 computed through an explicit Bloom-filter semi-join
+    reduction — the runtime-filter pushdown pattern (Spark's own
+    InjectRuntimeFilter / Delta dynamic file pruning, written out
+    relationally): the qualifying order keys (date + BUILDING
+    segment) build a 2^16-bit filter (bounded BROADCAST by
+    construction), the fact scan keeps only maybe-member keys
+    (no-false-negative law → no qualifying lineitem row is ever
+    dropped), and the real join then removes the false positives.
+    The ORACLE IS PLAIN Q3 — the hash match certifies the reduction
+    changes nothing but the plan. At 100 TB this is the difference
+    between shuffling the whole fact table into the join and
+    shuffling ~selectivity× of it; the bits table stays constant
+    size however large the build side grows."""
+    from .operators.sketches import bloom_bits, bloom_probe
+    from .queries.tpch import Q3_DATE, _rev
+
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.to_timestamp(F.lit(Q3_DATE))
+    )
+    qual = orders.join(
+        cust.select(F.col("c_custkey").alias("o_custkey")),
+        "o_custkey",
+        "left_semi",
+    )
+    bits = bloom_bits(qual.select("o_orderkey"), "o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.to_timestamp(F.lit(Q3_DATE))
+    )
+    keys = bloom_probe(
+        li.select("l_orderkey").distinct(), "l_orderkey", bits
+    ).where(F.col("maybe_member")).select("l_orderkey")
+    li_reduced = li.join(keys, "l_orderkey", "left_semi")
+    joined = li_reduced.join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    agg = joined.groupBy(
+        "l_orderkey", "o_orderdate", "o_orderpriority"
+    ).agg(F.sum(_rev()).alias("_revenue"))
+    top = agg.orderBy(
+        F.col("_revenue").desc(),
+        F.col("o_orderdate").asc(),
+        F.col("l_orderkey").asc(),
+    ).limit(10)
+    return top.select(
+        "l_orderkey",
+        F.col("_revenue").cast("double").alias("revenue"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+
+
+@query("ann_nprobe_curve", oracle=_sim.nprobe_curve_sql("duck"))
+def q_ann_nprobe_curve(spark, sf_dir):
+    """IVF quality-vs-cost dial, measured: mean recall@5 vs the
+    exact top-k at nprobe 1..4 through the TRAINED quantizer — the
+    table an operator reads to pick nprobe for a latency budget
+    (FAISS practice), quantifying the monotone-recall law pytest
+    pins qualitatively. See operators/similarity.py:nprobe_curve_sql
+    for the scale shape (bounded per-arm re-derivation; production
+    materializes the cell map once)."""
+    return _sim.nprobe_curve(spark, sf_dir)
+
+
+@query(
+    "embed_cluster_size_histogram",
+    oracle=f"""
+        WITH cl AS ({ORACLES["embed_dedup_clusters_lsh"]})
+        , sizes AS (
+            SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+            FROM cl GROUP BY cluster_id)
+        SELECT sz AS cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(SUM(sz) AS BIGINT) AS n_vectors
+        FROM sizes GROUP BY sz
+    """,
+)
+def q_embed_cluster_size_histogram(spark, sf_dir):
+    """Near-dup cluster-size histogram for the vector corpus — the
+    dedup-observability twin of dedup_family_sizes (#106) on the
+    embedding side: how much of the corpus sits in how-large
+    duplicate families (the heavy tail is what SemDeDup/quota gates
+    then prune). Composes the LSH component map; two bounded
+    aggregates after it."""
+    cl = QUERIES["embed_dedup_clusters_lsh"](spark, sf_dir)
+    sizes = cl.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("sz").alias("n_vectors"),
+    )

@@ -484,3 +484,74 @@ def test_hhi_bounds(spark, sf_dir):
     mono = h[h["n_suppliers"] == 1]
     if len(mono):
         assert (mono["hhi"] == 100_000_000).all()
+
+
+# ---------------------------------------------------------------------------
+# R7d: bloom semi-join pushdown, nprobe curve, cluster histogram
+# ---------------------------------------------------------------------------
+
+R7D_QUERIES = [
+    "q3_bloom_semijoin",
+    "ann_nprobe_curve",
+    "embed_cluster_size_histogram",
+]
+
+
+@pytest.mark.parametrize("name", R7D_QUERIES)
+def test_r7d_oracle_parity(spark, sf_dir, name):
+    assert_matches_oracle(spark, name, sf_dir)
+
+
+def test_bloom_semijoin_no_false_negatives(spark, sf_dir):
+    """The bloom-reduced Q3 equals plain Q3 row for row (the oracle
+    already pins it against the UNfiltered SQL; this pins the two
+    Spark plans against each other), and the probed key set covers
+    every truly qualifying order key."""
+    import pandas as pd
+
+    from aurora_cdc_demo_spark.operators.sketches import (
+        bloom_bits,
+        bloom_probe,
+    )
+    from aurora_cdc_demo_spark.tables import load_table
+    from pyspark.sql import functions as SF
+
+    a = QUERIES["q3_bloom_semijoin"](spark, sf_dir).toPandas()
+    b = QUERIES["q3_shipping_priority"](spark, sf_dir).toPandas()
+    pd.testing.assert_frame_equal(a, b)
+
+    members = (
+        load_table(spark, sf_dir, "orders")
+        .select(SF.col("o_orderkey").alias("k"))
+        .limit(200)
+    )
+    bits = bloom_bits(members, "k")
+    probed = bloom_probe(members, "k", bits).toPandas()
+    assert probed["maybe_member"].all()  # members always pass
+
+
+def test_nprobe_curve_monotone(spark, sf_dir):
+    """Recall is monotone non-decreasing in nprobe and the curve is
+    a proper bp series over exactly NPROBE_MAX points."""
+    from aurora_cdc_demo_spark.operators.similarity import NPROBE_MAX
+
+    c = (
+        QUERIES["ann_nprobe_curve"](spark, sf_dir)
+        .toPandas()
+        .sort_values("nprobe")
+        .reset_index(drop=True)
+    )
+    assert len(c) == NPROBE_MAX
+    assert c["mean_recall_bp"].is_monotonic_increasing
+    assert c["mean_recall_bp"].between(0, 10000).all()
+
+
+def test_cluster_histogram_conserves_corpus(spark, sf_dir):
+    import duckdb
+
+    h = QUERIES["embed_cluster_size_histogram"](spark, sf_dir).toPandas()
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchone()[0]
+    assert h["n_vectors"].sum() == n
+    assert (h["n_vectors"] == h["cluster_size"] * h["n_clusters"]).all()
