@@ -6703,9 +6703,14 @@ def q_market_concentration_hhi(spark, sf_dir):
     Revenue is integer e4 money; shares floor-divide, so both
     engines agree bit-for-bit.
 
-    Scale: one fact-scale join (part dimension broadcastable by
-    AQE) feeding a (p_type, suppkey) map-side-combined aggregate;
-    everything after runs on the type×supplier-bounded table."""
+    Scale: ONE fact-scale pass — broadcast part-dim join into a
+    (p_type, suppkey) map-side-combined aggregate; type totals come
+    from a window over that bounded table (not a join back, which
+    would evaluate the fact subtree twice), so everything after the
+    aggregate runs on type×supplier-bounded rows sharing the single
+    p_type shuffle."""
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     rev = (
@@ -6722,11 +6727,13 @@ def q_market_concentration_hhi(spark, sf_dir):
             ).alias("rev_e4")
         )
     )
-    tot = rev.groupBy("p_type").agg(
-        F.sum("rev_e4").alias("t"),
-        F.count(F.lit(1)).alias("n_suppliers"),
-    )
-    shares = rev.join(tot, "p_type").select(
+    w = Window.partitionBy("p_type")
+    shares = rev.select(
+        "p_type",
+        F.count(F.lit(1)).over(w).alias("n_suppliers"),
+        F.sum("rev_e4").over(w).alias("t"),
+        "rev_e4",
+    ).select(
         "p_type",
         "n_suppliers",
         "t",

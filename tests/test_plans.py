@@ -158,3 +158,26 @@ def test_near_dup_lsh_no_data_broadcast_hint(spark, sf_dir):
     forced broadcast hint may survive into the optimized plan."""
     plan = optimized(spark, sf_dir, "embed_near_dup_lsh")
     assert plan.count("strategy=broadcast") == 0
+
+
+def test_backlog_aging_status_pushdown(spark, sf_dir):
+    plan = formatted(spark, sf_dir, "orders_backlog_aging")
+    assert "EqualTo(o_orderstatus,O)" in plan  # filter reached the scan
+
+
+def test_hhi_single_fact_pass(spark, sf_dir):
+    """One lineitem scan (broadcast part dim, no join-back for type
+    totals — the window shares the single p_type shuffle)."""
+    plan = plan_of(spark, sf_dir, "market_concentration_hhi")
+    assert plan.count("FileScan parquet") == 2  # lineitem + part only
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bloom_semijoin_bits_broadcast(spark, sf_dir):
+    """The bloom bit-position table must reach the probe side as a
+    broadcast (it is bounded by 2^16 positions BY CONSTRUCTION,
+    whatever the build side's size) — the whole point of the
+    runtime-filter pattern."""
+    plan = plan_of(spark, sf_dir, "q3_bloom_semijoin")
+    assert "BroadcastHashJoin" in plan
