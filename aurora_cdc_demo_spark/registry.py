@@ -6853,3 +6853,248 @@ def q_embed_cluster_size_histogram(spark, sf_dir):
         F.count(F.lit(1)).alias("n_clusters"),
         F.sum("sz").alias("n_vectors"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R7: watermark policy simulation, YoY growth, inter-session gaps
+# ---------------------------------------------------------------------------
+
+_WM_POLICIES_MIN = (0, 30, 60, 120)
+_WM_JITTER_MOD = 97  # deterministic disorder: ts - (seq % 97) minutes
+
+
+@query(
+    "cdc_watermark_policy_sim",
+    oracle=f"""
+        WITH {_BINLOG_LOG_CTE}
+        , jit AS (
+            SELECT tbl, seq,
+                   epoch_us(ts) - (seq % {_WM_JITTER_MOD}) * 60000000
+                       AS ev_us
+            FROM binlog)
+        , hwm AS (
+            SELECT tbl, seq, ev_us,
+                   MAX(ev_us) OVER (
+                       PARTITION BY tbl ORDER BY seq ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS hw_us
+            FROM jit)
+        , late AS (
+            SELECT CASE WHEN hw_us IS NULL OR hw_us <= ev_us THEN 0
+                        ELSE hw_us - ev_us END AS late_us
+            FROM hwm)
+        SELECT * FROM ({" UNION ALL ".join(
+            f'''SELECT CAST({p} AS BIGINT) AS allowed_lateness_min,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CASE WHEN late_us > {p * 60000000}
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+                   CAST((10000 * SUM(CASE WHEN late_us > {p * 60000000}
+                            THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+                       AS drop_bp,
+                   CAST(MAX(late_us) // 1000000 AS BIGINT) AS max_late_s
+            FROM late''' for p in _WM_POLICIES_MIN)}) t
+    """,
+)
+def q_cdc_watermark_policy_sim(spark, sf_dir):
+    """Watermark allowed-lateness policy simulation: the binlog's
+    event times get a DETERMINISTIC disorder injection
+    (ts − (seq mod {_WM_JITTER_MOD}) minutes — the driver testdata is
+    fully in-order, as cdc_late_arrival_report pins, so the
+    simulation constructs the disorder a WAN replication path
+    exhibits), each event's lateness is measured against the running
+    per-table high-water mark, and every candidate policy in
+    {_WM_POLICIES_MIN} minutes reports how many events it would DROP
+    — the table you read before setting withWatermark() on a real
+    stream. Integer-µs algebra end to end.
+
+    Scale: the hwm window is per-table over binlog position — the
+    same per-source-partition ordering a streaming watermark
+    actually tracks (never a global order); one |policies|-bounded
+    aggregate over one shared scan."""
+    from pyspark.sql import Window
+
+    raw = read_binlog_jvm(spark, sf_dir).select(
+        "table",
+        "seq",
+        (
+            F.unix_micros("ts")
+            - (F.col("seq") % _WM_JITTER_MOD) * 60000000
+        ).alias("ev_us"),
+    )
+    w = (
+        Window.partitionBy("table")
+        .orderBy(F.col("seq").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = raw.select(
+        F.when(
+            F.max("ev_us").over(w).isNull()
+            | (F.max("ev_us").over(w) <= F.col("ev_us")),
+            F.lit(0),
+        )
+        .otherwise(F.max("ev_us").over(w) - F.col("ev_us"))
+        .alias("late_us")
+    )
+    outs = []
+    for p in _WM_POLICIES_MIN:
+        outs.append(
+            late.agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(
+                    F.when(F.col("late_us") > p * 60000000, 1).otherwise(0)
+                ).alias("n_dropped"),
+                F.expr(
+                    f"(10000 * sum(CASE WHEN late_us > {p * 60000000}L"
+                    " THEN 1 ELSE 0 END)) div count(1)"
+                ).alias("drop_bp"),
+                F.expr("max(late_us) div 1000000").alias("max_late_s"),
+            ).select(
+                F.lit(p).cast("long").alias("allowed_lateness_min"),
+                "n_events",
+                "n_dropped",
+                "drop_bp",
+                "max_late_s",
+            )
+        )
+    from functools import reduce as _reduce
+
+    return _reduce(lambda a, b: a.unionByName(b), outs)
+
+
+@query(
+    "revenue_yoy_growth",
+    oracle="""
+        WITH monthly AS (
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+                   CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS rev_e2,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1, 2)
+        SELECT c.yr, c.mo, c.rev_e2, c.n_orders,
+               p.rev_e2 AS prev_rev_e2,
+               CASE WHEN p.rev_e2 IS NULL THEN NULL
+                    ELSE ((c.rev_e2 - p.rev_e2) * 10000) // p.rev_e2 END
+                   AS yoy_growth_bp
+        FROM monthly c
+        LEFT JOIN monthly p ON p.yr = c.yr - 1 AND p.mo = c.mo
+    """,
+)
+def q_revenue_yoy_growth(spark, sf_dir):
+    """Year-over-year monthly revenue growth — the board-deck twin
+    of the medallion rollup (#18): integer-cent monthly revenue,
+    previous-year same-month via an explicit (yr−1, mo) self-join on
+    the MONTH-BOUNDED aggregate (never a lag window that assumes
+    month continuity), growth in floor bp, NULL for the first year.
+
+    Scale: one map-side-combined fact aggregate collapses orders to
+    |months| rows; the self-join and growth algebra run on that
+    bounded table."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "rev_e2"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    prev = monthly.select(
+        (F.col("yr") + 1).alias("yr"),
+        F.col("mo").alias("mo"),
+        F.col("rev_e2").alias("prev_rev_e2"),
+    )
+    return monthly.join(prev, ["yr", "mo"], "left").select(
+        "yr",
+        "mo",
+        "rev_e2",
+        "n_orders",
+        "prev_rev_e2",
+        F.expr(
+            "CASE WHEN prev_rev_e2 IS NULL THEN NULL"
+            " ELSE ((rev_e2 - prev_rev_e2) * 10000) div prev_rev_e2 END"
+        ).alias("yoy_growth_bp"),
+    )
+
+
+@query(
+    "events_intersession_gaps",
+    oracle=_with_log(
+        """
+        , us AS (
+            SELECT key_id, seq, value, ts, epoch_us(ts) AS t_us FROM log)
+        , flagged AS (
+            SELECT *, CASE WHEN lag(t_us) OVER w IS NULL THEN 1
+                           WHEN t_us - lag(t_us) OVER w > 1800000000
+                           THEN 1 ELSE 0 END AS new_sess
+            FROM us WINDOW w AS (PARTITION BY key_id
+                                 ORDER BY ts ASC, seq ASC))
+        , sess AS (
+            SELECT key_id,
+                   CAST(SUM(new_sess) OVER (
+                       PARTITION BY key_id ORDER BY ts ASC, seq ASC
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id,
+                   t_us
+            FROM flagged)
+        , spans AS (
+            SELECT key_id, session_id,
+                   MIN(t_us) AS s_start, MAX(t_us) AS s_end
+            FROM sess GROUP BY key_id, session_id)
+        , gaps AS (
+            SELECT key_id,
+                   s_start - lag(s_end) OVER (
+                       PARTITION BY key_id ORDER BY session_id ASC)
+                       AS gap_us
+            FROM spans)
+        SELECT gap_us // 3600000000 AS gap_hours,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               CAST(COUNT(DISTINCT key_id) AS BIGINT) AS n_users
+        FROM gaps WHERE gap_us IS NOT NULL
+        GROUP BY 1
+        """
+    ),
+)
+def q_events_intersession_gaps(spark, sf_dir):
+    """Inter-session gap histogram (return-time distribution): the
+    time between a user's consecutive sessions, bucketed by hour —
+    the churn-model feature and the empirical basis for the 30-min
+    session gap itself (the histogram's dead zone under 0.5 h is
+    the sessionizer's own guarantee, pinned in pytest). Re-derives
+    sessions with the same gaps-and-islands algebra as
+    cdc_sessionize (#9) — every window shares the ONE key_id
+    shuffle; the histogram is an hour-bounded aggregate."""
+    from pyspark.sql import Window
+
+    log = cdc_operation_log(spark, sf_dir)
+    wk = Window.partitionBy("key_id").orderBy(
+        F.col("ts").asc(), F.col("seq").asc()
+    )
+    t_us = F.unix_micros("ts")
+    new_sess = (
+        F.when(F.lag(t_us).over(wk).isNull(), 1)
+        .when(t_us - F.lag(t_us).over(wk) > 1800000000, 1)
+        .otherwise(0)
+    )
+    sess = log.select(
+        "key_id",
+        t_us.alias("t_us"),
+        F.sum(new_sess)
+        .over(wk.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("session_id"),
+    )
+    spans = sess.groupBy("key_id", "session_id").agg(
+        F.min("t_us").alias("s_start"), F.max("t_us").alias("s_end")
+    )
+    ws = Window.partitionBy("key_id").orderBy(F.col("session_id").asc())
+    gaps = spans.select(
+        "key_id",
+        (F.col("s_start") - F.lag("s_end").over(ws)).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    return gaps.groupBy(
+        F.expr("gap_us div 3600000000").alias("gap_hours")
+    ).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.countDistinct("key_id").alias("n_users"),
+    )

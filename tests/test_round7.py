@@ -555,3 +555,56 @@ def test_cluster_histogram_conserves_corpus(spark, sf_dir):
     ).fetchone()[0]
     assert h["n_vectors"].sum() == n
     assert (h["n_vectors"] == h["cluster_size"] * h["n_clusters"]).all()
+
+
+# ---------------------------------------------------------------------------
+# R7e: watermark policy sim, YoY growth, inter-session gaps
+# ---------------------------------------------------------------------------
+
+R7E_QUERIES = [
+    "cdc_watermark_policy_sim",
+    "revenue_yoy_growth",
+    "events_intersession_gaps",
+]
+
+
+@pytest.mark.parametrize("name", R7E_QUERIES)
+def test_r7e_oracle_parity(spark, sf_dir, name):
+    assert_matches_oracle(spark, name, sf_dir)
+
+
+def test_watermark_policy_monotone(spark, sf_dir):
+    """Drops are monotone non-increasing in allowed lateness, the
+    zero-tolerance policy drops the most, the constructed jitter is
+    bounded so the widest policy keeps (almost) everything, and the
+    event universe is constant across policies."""
+    w = (
+        QUERIES["cdc_watermark_policy_sim"](spark, sf_dir)
+        .toPandas()
+        .sort_values("allowed_lateness_min")
+        .reset_index(drop=True)
+    )
+    assert w["n_events"].nunique() == 1
+    assert w["n_dropped"].is_monotonic_decreasing
+    assert w["n_dropped"].iloc[0] > 0  # the jitter creates real disorder
+    assert w["n_dropped"].iloc[-1] < w["n_dropped"].iloc[0]
+    assert w["max_late_s"].nunique() == 1
+
+
+def test_yoy_growth_join_is_exact(spark, sf_dir):
+    g = QUERIES["revenue_yoy_growth"](spark, sf_dir).toPandas()
+    base = g.set_index(["yr", "mo"])["rev_e2"]
+    for _, r in g[g["prev_rev_e2"].notna()].iterrows():
+        assert r["prev_rev_e2"] == base.loc[(r["yr"] - 1, r["mo"])]
+    first_year = g["yr"].min()
+    assert g.loc[g["yr"] == first_year, "prev_rev_e2"].isna().all()
+
+
+def test_intersession_gaps_conserve_sessions(spark, sf_dir):
+    """Per-user gap count = session count - 1, summed; and no gap is
+    negative (sessions are disjoint, ordered spans)."""
+    gaps = QUERIES["events_intersession_gaps"](spark, sf_dir).toPandas()
+    sess = QUERIES["cdc_sessionize"](spark, sf_dir).toPandas()
+    per_user = sess.groupby("key_id")["session_id"].nunique()
+    assert gaps["n_gaps"].sum() == int((per_user - 1).sum())
+    assert (gaps["gap_hours"] >= 0).all()
