@@ -1995,3 +1995,80 @@ def nprobe_curve_sql(dialect: str) -> str:
 
 def nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, nprobe_curve_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection audit: project 64-dim
+# vectors to RP_DIMS with a FIXED ±1 matrix (signs derived offline
+# from md5(i_j) parity — data-independent constants inlined as
+# literals, so both engines run the identical arithmetic; no
+# per-row hashing). The report is the norm-distortion ratio
+# ||Px||²/(RP_DIMS·||x||²) per vector — E[ratio]=1 for ±1 JL
+# matrices, and the concentration is what makes RP a legitimate
+# pre-LSH compression rung.
+#
+# Scale: shuffle-free codegen projection (literal sign folds per
+# output dim), one narrow output row per vector — the same
+# per-row-projection shape as simhash/sign quantization.
+# ---------------------------------------------------------------------------
+
+RP_DIMS = 16
+
+
+def _rp_signs() -> list[list[float]]:
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(
+                hashlib.md5(f"{i}_{j}".encode()).hexdigest()[:2], 16
+            )
+            % 2
+            == 0
+            else -1.0
+            for i in range(DIMS)
+        ]
+        for j in range(RP_DIMS)
+    ]
+
+
+def rp_distortion_sql(dialect: str) -> str:
+    signs = _rp_signs()
+    if dialect == "spark":
+        projs = []
+        for j in range(RP_DIMS):
+            arr = ", ".join(
+                f"CAST({signs[j][i]} AS DOUBLE)" for i in range(DIMS)
+            )
+            projs.append(
+                f"aggregate(zip_with(embedding, array({arr}), "
+                "(x, s) -> CAST(x AS DOUBLE) * s), "
+                f"CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS p{j}"
+            )
+        proj_sql = ",\n                   ".join(projs)
+    else:
+        projs = []
+        for j in range(RP_DIMS):
+            terms = " + ".join(
+                f"({signs[j][i]} * {_elem('embedding', i + 1, dialect)})"
+                for i in range(DIMS)
+            )
+            projs.append(f"({terms}) AS p{j}")
+        proj_sql = ",\n                   ".join(projs)
+    psq = " + ".join(f"(p{j} * p{j})" for j in range(RP_DIMS))
+    return f"""
+        WITH proj AS (
+            SELECT vec_id, label,
+                   {_dot('embedding', 'embedding', dialect)} AS n64,
+                   {proj_sql}
+            FROM embeddings)
+        SELECT vec_id, label,
+               CAST(FLOOR(1000000 * ({psq}) / ({RP_DIMS} * n64))
+                    AS BIGINT) AS ratio_e6
+        FROM proj WHERE n64 > 0
+    """
+
+
+def rp_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, rp_distortion_sql("spark"))

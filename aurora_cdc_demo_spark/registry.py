@@ -7098,3 +7098,121 @@ def q_events_intersession_gaps(spark, sf_dir):
         F.count(F.lit(1)).alias("n_gaps"),
         F.countDistinct("key_id").alias("n_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R7: JL projection audit, cohort LTV, community profiles
+# ---------------------------------------------------------------------------
+
+
+@query("embed_rp_distortion", oracle=_sim.rp_distortion_sql("duck"))
+def q_embed_rp_distortion(spark, sf_dir):
+    """Johnson-Lindenstrauss random-projection audit: every vector
+    projected 64→16 dims through a FIXED ±1 matrix (signs are
+    data-independent md5-parity constants inlined as literals —
+    both engines run identical arithmetic, nothing hashed per row)
+    and reported as the norm-distortion ratio
+    ||Px||²/(16·||x||²), E[ratio]=1 — the measurement that
+    justifies RP as a pre-LSH compression rung (Achlioptas 2003
+    database-friendly projections). Shuffle-free codegen
+    projection, one narrow row per vector; mean-concentration law
+    in pytest. See operators/similarity.py:rp_distortion_sql."""
+    return _sim.rp_distortion(spark, sf_dir)
+
+
+@query(
+    "orders_cohort_ltv",
+    oracle="""
+        WITH first_order AS (
+            SELECT o_custkey AS custkey,
+                   CAST(MIN(EXTRACT(year FROM o_orderdate)) AS BIGINT)
+                       AS cohort_yr
+            FROM orders GROUP BY o_custkey)
+        SELECT f.cohort_yr,
+               CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
+                   AS order_yr,
+               CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT)
+                   AS n_active_customers,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_e2,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    // COUNT(DISTINCT o.o_custkey) AS BIGINT)
+                   AS rev_per_customer_e2
+        FROM orders o JOIN first_order f ON f.custkey = o.o_custkey
+        GROUP BY 1, 2
+    """,
+)
+def q_orders_cohort_ltv(spark, sf_dir):
+    """Customer-cohort lifetime-value triangle: customers grouped by
+    first-order year, revenue and active counts tracked per
+    subsequent order year — the LTV curve behind retention economics
+    (the orders-side twin of events_user_retention #55). Integer
+    cents; per-customer value floor-divided.
+
+    Scale: the first-order table is one map-side-combined aggregate
+    (dimension-scale output); the cohort join is customer-keyed
+    (AQE-broadcastable); the triangle aggregate is bounded by
+    years²."""
+    orders = load_table(spark, sf_dir, "orders")
+    first = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.min(F.year("o_orderdate")).cast("long").alias("cohort_yr")
+    )
+    return (
+        orders.join(first, F.col("o_custkey") == F.col("custkey"))
+        .groupBy(
+            "cohort_yr",
+            F.year("o_orderdate").cast("long").alias("order_yr"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active_customers"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("revenue_e2"),
+            F.expr(
+                "sum(CAST(ROUND(o_totalprice * 100) AS BIGINT))"
+                " div count(DISTINCT o_custkey)"
+            ).alias("rev_per_customer_e2"),
+        )
+    )
+
+
+@query(
+    "graph_community_profiles",
+    oracle=f"""
+        WITH lp AS ({ORACLES["graph_label_prop_knn"]})
+        , tri AS ({ORACLES["graph_triangle_knn"]})
+        SELECT lp.community_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(tri.degree) AS BIGINT) AS total_degree,
+               CAST(SUM(tri.triangles) AS BIGINT) AS triangle_credits,
+               CAST(SUM(tri.clustering_bp) // COUNT(*) AS BIGINT)
+                   AS mean_clustering_bp
+        FROM lp JOIN tri ON tri.vec_id = lp.vec_id
+        GROUP BY lp.community_id
+    """,
+)
+def q_graph_community_profiles(spark, sf_dir):
+    """Community quality profiles: label-propagation communities
+    (#148) joined with per-node triangle structure (#149) — size,
+    degree mass, triangle credits, and mean clustering per
+    community, the table that separates real dense communities from
+    propagation artifacts before any downstream pruning keys on
+    community_id. Pure composition by vec_id equi-join + a
+    community-bounded aggregate; both inputs reuse the one
+    checkpointed KNN edge list."""
+    lp = QUERIES["graph_label_prop_knn"](spark, sf_dir).select(
+        "vec_id", "community_id"
+    )
+    tri = QUERIES["graph_triangle_knn"](spark, sf_dir)
+    return (
+        lp.join(tri, "vec_id")
+        .groupBy("community_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("degree").alias("total_degree"),
+            F.sum("triangles").alias("triangle_credits"),
+            F.expr("sum(clustering_bp) div count(1)").alias(
+                "mean_clustering_bp"
+            ),
+        )
+    )

@@ -608,3 +608,60 @@ def test_intersession_gaps_conserve_sessions(spark, sf_dir):
     per_user = sess.groupby("key_id")["session_id"].nunique()
     assert gaps["n_gaps"].sum() == int((per_user - 1).sum())
     assert (gaps["gap_hours"] >= 0).all()
+
+
+# ---------------------------------------------------------------------------
+# R7f: JL distortion, cohort LTV, community profiles
+# ---------------------------------------------------------------------------
+
+R7F_QUERIES = [
+    "embed_rp_distortion",
+    "orders_cohort_ltv",
+    "graph_community_profiles",
+]
+
+
+@pytest.mark.parametrize("name", R7F_QUERIES)
+def test_r7f_oracle_parity(spark, sf_dir, name):
+    assert_matches_oracle(spark, name, sf_dir)
+
+
+def test_rp_distortion_concentrates(spark, sf_dir):
+    """E[||Px||²/(k·||x||²)] = 1 for a ±1 JL matrix: the corpus mean
+    ratio must sit near 1e6 and every ratio must be positive (a
+    64→16 projection can distort an individual vector, but not
+    annihilate the corpus)."""
+    rp = QUERIES["embed_rp_distortion"](spark, sf_dir).toPandas()
+    assert (rp["ratio_e6"] > 0).all()
+    mean = rp["ratio_e6"].mean()
+    assert 700_000 < mean < 1_300_000
+    # one row per vector with nonzero norm
+    assert rp["vec_id"].is_unique
+
+
+def test_cohort_ltv_triangle_laws(spark, sf_dir):
+    """No order years precede their cohort year (a cohort's first
+    year IS a member's first order), the diagonal is fully
+    populated, and revenue conserves the orders table."""
+    import duckdb
+
+    ltv = QUERIES["orders_cohort_ltv"](spark, sf_dir).toPandas()
+    assert (ltv["order_yr"] >= ltv["cohort_yr"]).all()
+    years = set(ltv["cohort_yr"])
+    diag = ltv[ltv["order_yr"] == ltv["cohort_yr"]]
+    assert set(diag["cohort_yr"]) == years
+    total = duckdb.sql(
+        f"SELECT CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) "
+        f"FROM '{sf_dir}/orders.parquet'"
+    ).fetchone()[0]
+    assert ltv["revenue_e2"].sum() == total
+
+
+def test_community_profiles_conserve_membership(spark, sf_dir):
+    lp = QUERIES["graph_label_prop_knn"](spark, sf_dir).toPandas()
+    prof = QUERIES["graph_community_profiles"](spark, sf_dir).toPandas()
+    assert prof["n_members"].sum() == len(lp)
+    sizes = lp.groupby("community_id")["vec_id"].count()
+    merged = prof.set_index("community_id")["n_members"]
+    assert (sizes == merged.reindex(sizes.index)).all()
+    assert (prof["mean_clustering_bp"] <= 10000).all()
