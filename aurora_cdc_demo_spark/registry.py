@@ -7216,3 +7216,186 @@ def q_graph_community_profiles(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# R7: reconciliation checksums, language confusion, threshold sweep
+# ---------------------------------------------------------------------------
+
+_CKSUM_BUCKETS = 64
+
+
+@query(
+    "cdc_state_checksums",
+    oracle=_with_log(
+        f"""
+        , ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY key_id ORDER BY ts DESC, seq DESC) AS rn
+            FROM log)
+        , state AS (
+            SELECT key_id, seq, event_type FROM ranked
+            WHERE rn = 1 AND operation <> 'DELETE')
+        SELECT key_id % {_CKSUM_BUCKETS} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(CAST('0x' || substr(md5(
+                   CAST(key_id AS VARCHAR) || '|' ||
+                   CAST(seq AS VARCHAR) || '|' || event_type), 1, 12)
+                   AS BIGINT)) AS BIGINT) AS checksum,
+               MIN(key_id) AS min_key, MAX(key_id) AS max_key
+        FROM state GROUP BY 1
+        """
+    ),
+)
+def q_cdc_state_checksums(spark, sf_dir):
+    """Table-reconciliation checksums — the verification step of an
+    incremental snapshot / cross-system migration (Debezium's
+    incremental-snapshot verification, reference operational need:
+    prove the replica equals the source without shipping rows): the
+    latest state is folded into {_CKSUM_BUCKETS} key-range bucket
+    checksums (order-insensitive md5-prefix SUMS over the row
+    identity (key, winning seq, payload type)), so two sides
+    compare {_CKSUM_BUCKETS} rows and recurse only into mismatched
+    buckets. Integer-exact: 48-bit hash prefixes summed in BIGINT
+    never overflow below ~10^13 rows per bucket.
+
+    Scale: the one key_id latest-state shuffle, then a
+    bucket-bounded aggregate with map-side partials; checksum
+    comparison traffic is constant however large the table."""
+    state = cdc_apply.latest_state(cdc_operation_log(spark, sf_dir))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("key_id").cast("string"),
+                    F.col("seq").cast("string"),
+                    F.col("event_type"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return state.groupBy(
+        (F.col("key_id") % _CKSUM_BUCKETS).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(h).alias("checksum"),
+        F.min("key_id").alias("min_key"),
+        F.max("key_id").alias("max_key"),
+    )
+
+
+@query(
+    "text_lang_confusion",
+    oracle=f"""
+        WITH pred AS ({_text.TEXT_ORACLES["text_lang_id"]})
+        SELECT lang, pred_lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST((10000 * COUNT(*)) // CAST(SUM(COUNT(*)) OVER (
+                   PARTITION BY lang) AS BIGINT) AS BIGINT) AS row_share_bp
+        FROM pred GROUP BY lang, pred_lang
+    """,
+)
+def q_text_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: declared metadata lang ×
+    n-gram-heuristic prediction (#23), with row-normalized shares —
+    the data-quality view that catches mislabeled strata before the
+    temperature mixer (#174) trusts the lang column. Composes the
+    lang_id operator verbatim; the matrix aggregate is
+    |langs|²-bounded with a stratum-bounded share window."""
+    from pyspark.sql import Window
+
+    pred = QUERIES["text_lang_id"](spark, sf_dir)
+    g = pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("lang")
+    return (
+        g.withColumn("tot", F.sum("n_docs").over(w))
+        .select(
+            "lang",
+            "pred_lang",
+            "n_docs",
+            F.expr("(10000 * n_docs) div tot").alias("row_share_bp"),
+        )
+    )
+
+
+_SWEEP_THRESHOLDS_BP = (3000, 4000, 5000, 6000, 7000, 8000)
+
+
+@query(
+    "dedup_threshold_sweep",
+    oracle=f"""
+        WITH {_dedup._SHINGLES_SQL}
+        , hashed AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS a,
+                   CAST('0x' || substr(md5(s), 9, 8) AS BIGINT) AS b
+            FROM sh)
+        , sig AS (SELECT doc_id, {_dedup._minhash_sql_cols()}
+                  FROM hashed GROUP BY doc_id)
+        , bands AS (SELECT doc_id, {_dedup._band_sql_cols()} FROM sig)
+        , cand AS (
+            SELECT DISTINCT doc_a, doc_b FROM (
+                {" UNION ALL ".join(
+                    f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+                    f"FROM bands a JOIN bands b "
+                    f"ON a.band{{b}} = b.band{{b}} AND a.doc_id < b.doc_id".format(b=b)
+                    for b in range(3)
+                )}))
+        , sim AS (
+            SELECT c.doc_a, c.doc_b,
+                   (10000 * CAST(i.inter AS BIGINT))
+                       // CAST(x.c + y.c - i.inter AS BIGINT) AS j_bp
+            FROM (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+                  FROM cand c
+                  JOIN sh x ON x.doc_id = c.doc_a
+                  JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+                  GROUP BY 1, 2) i
+            JOIN cand c ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+            JOIN sc x ON c.doc_a = x.doc_id
+            JOIN sc y ON c.doc_b = y.doc_id)
+        SELECT * FROM ({" UNION ALL ".join(
+            f'''SELECT CAST({t} AS BIGINT) AS threshold_bp,
+                   CAST(SUM(CASE WHEN j_bp >= {t} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_pairs,
+                   CAST(COUNT(DISTINCT CASE WHEN j_bp >= {t}
+                        THEN doc_b END) AS BIGINT) AS n_docs_dropped
+            FROM sim''' for t in _SWEEP_THRESHOLDS_BP)}) t
+    """,
+)
+def q_dedup_threshold_sweep(spark, sf_dir):
+    """Dedup aggressiveness sweep ('onion' layers): from ONE LSH
+    candidate verification pass, the near-dup pair count and the
+    docs a keep-lower-id policy would drop at every candidate
+    Jaccard threshold — the corpus-shrinkage-vs-threshold table read
+    before fixing the dedup gate (the same measured-not-assumed
+    discipline as dedup_lsh_tuning, on the other axis). Candidates
+    and exact Jaccard are computed ONCE; each threshold row is a
+    conditional aggregate over the same verified pair list."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _dedup.minhash_lsh_pairs(docs, threshold_bp=0)
+    outs = []
+    for t in _SWEEP_THRESHOLDS_BP:
+        outs.append(
+            pairs.agg(
+                F.sum(
+                    F.when(F.col("jaccard_bp") >= t, 1).otherwise(0)
+                ).alias("n_pairs"),
+                F.countDistinct(
+                    F.when(F.col("jaccard_bp") >= t, F.col("doc_b"))
+                ).alias("n_docs_dropped"),
+            ).select(
+                F.lit(t).cast("long").alias("threshold_bp"),
+                "n_pairs",
+                "n_docs_dropped",
+            )
+        )
+    from functools import reduce as _reduce
+
+    return _reduce(lambda a, b: a.unionByName(b), outs)

@@ -665,3 +665,81 @@ def test_community_profiles_conserve_membership(spark, sf_dir):
     merged = prof.set_index("community_id")["n_members"]
     assert (sizes == merged.reindex(sizes.index)).all()
     assert (prof["mean_clustering_bp"] <= 10000).all()
+
+
+# ---------------------------------------------------------------------------
+# R7g: reconciliation checksums, language confusion, threshold sweep
+# ---------------------------------------------------------------------------
+
+R7G_QUERIES = [
+    "cdc_state_checksums",
+    "text_lang_confusion",
+    "dedup_threshold_sweep",
+]
+
+
+@pytest.mark.parametrize("name", R7G_QUERIES)
+def test_r7g_oracle_parity(spark, sf_dir, name):
+    assert_matches_oracle(spark, name, sf_dir)
+
+
+def test_state_checksums_detect_any_difference(spark, sf_dir):
+    """The bucket checksums cover the whole state (key counts
+    conserve), and perturbing ONE row's winning version changes
+    exactly that key's bucket checksum — the property reconciliation
+    relies on."""
+    import hashlib
+
+    cks = QUERIES["cdc_state_checksums"](spark, sf_dir).toPandas()
+    state = QUERIES["cdc_latest_state"](spark, sf_dir).toPandas()
+    assert cks["n_keys"].sum() == len(state)
+    # recompute one bucket's checksum from the state rows directly
+    b0 = state[state["key_id"] % 64 == int(cks.iloc[0]["bucket"])]
+    def h(r):
+        m = hashlib.md5(
+            f"{r.key_id}|{r.seq}|{r.event_type}".encode()
+        ).hexdigest()[:12]
+        return int(m, 16)
+    assert sum(h(r) for r in b0.itertuples()) == cks.iloc[0]["checksum"]
+    # a perturbed version number changes the checksum
+    r = next(b0.itertuples())
+    perturbed = sum(
+        h(x) if x.key_id != r.key_id
+        else int(hashlib.md5(
+            f"{x.key_id}|{x.seq + 1}|{x.event_type}".encode()
+        ).hexdigest()[:12], 16)
+        for x in b0.itertuples()
+    )
+    assert perturbed != cks.iloc[0]["checksum"]
+
+
+def test_lang_confusion_diagonal_dominates(spark, sf_dir):
+    """Row shares are proper bp per declared lang; the matrix
+    conserves the corpus; the heuristic beats chance (the diagonal
+    carries more mass than any single off-diagonal cell)."""
+    import duckdb
+
+    cm = QUERIES["text_lang_confusion"](spark, sf_dir).toPandas()
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    assert cm["n_docs"].sum() == n
+    diag = cm[cm["lang"] == cm["pred_lang"]]["n_docs"].sum()
+    offmax = cm[cm["lang"] != cm["pred_lang"]]["n_docs"].max()
+    assert diag > (offmax if offmax == offmax else 0)
+
+
+def test_threshold_sweep_monotone(spark, sf_dir):
+    """Raising the threshold can only shrink the pair list and the
+    dropped-doc set; the 5000-bp row equals the shipped
+    dedup_minhash_lsh pair count."""
+    sw = (
+        QUERIES["dedup_threshold_sweep"](spark, sf_dir)
+        .toPandas()
+        .sort_values("threshold_bp")
+        .reset_index(drop=True)
+    )
+    assert sw["n_pairs"].is_monotonic_decreasing
+    assert sw["n_docs_dropped"].is_monotonic_decreasing
+    shipped = QUERIES["dedup_minhash_lsh"](spark, sf_dir).count()
+    assert sw.loc[sw["threshold_bp"] == 5000, "n_pairs"].iloc[0] == shipped
