@@ -2072,3 +2072,70 @@ def rp_distortion_sql(dialect: str) -> str:
 
 def rp_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, rp_distortion_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup tau sensitivity: the drop-rate-vs-threshold table from
+# ONE cell-bounded pair computation (the same discipline as
+# dedup_lsh_tuning / dedup_threshold_sweep on the embedding side) —
+# Abbas et al. tune tau per corpus; this is the table they read.
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAUS = ("0.3", "0.4", "0.5", "0.6", "0.7")
+
+
+def semdedup_tau_sweep_sql(dialect: str, n_seeds: int = N_SEEDS) -> str:
+    idiv = "div" if dialect == "spark" else "//"
+    # DuckDB inlines CTEs: the 5 UNION arms referencing agg/nn would
+    # re-instantiate the whole cells->pairc chain per arm (x32
+    # threads) — materialize once. Spark SQL has no MATERIALIZED
+    # keyword; its arms read the tiny agg/nn subtrees repeatedly,
+    # which ReuseExchange covers.
+    mat = "MATERIALIZED " if dialect == "duck" else ""
+    cols = ", ".join(
+        f"CAST(COUNT(CASE WHEN maxcos >= {t} THEN 1 END) "
+        f"AS BIGINT) AS d{int(float(t) * 100)}"
+        for t in SEMDEDUP_TAUS
+    )
+    arms = " UNION ALL ".join(
+        f"""SELECT CAST({int(float(t) * 100)} AS BIGINT) AS tau_e2,
+               a.d{int(float(t) * 100)} AS n_dropped,
+               n.n - a.d{int(float(t) * 100)} AS n_kept,
+               (10000 * a.d{int(float(t) * 100)}) {idiv} n.n AS drop_bp
+            FROM agg a CROSS JOIN nn n"""
+        for t in SEMDEDUP_TAUS
+    )
+    return f"""
+        WITH v AS (
+            SELECT vec_id, embedding, {_norm('embedding', dialect)} AS nrm
+            FROM embeddings)
+        , seeds AS (
+            SELECT vec_id AS seed_id, embedding AS se, nrm AS snrm
+            FROM v WHERE vec_id < {n_seeds})
+        , assign AS (
+            SELECT v.vec_id, v.embedding, v.nrm, s.seed_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY ({_dot('v.embedding', 's.se', dialect)})
+                                / (v.nrm * s.snrm) DESC,
+                                s.seed_id ASC) AS rn
+            FROM v CROSS JOIN seeds s)
+        , cells AS (
+            SELECT vec_id, embedding, nrm, seed_id AS cell
+            FROM assign WHERE rn = 1)
+        , pairc AS (
+            SELECT b.vec_id AS b_id,
+                   ({_dot('a.embedding', 'b.embedding', dialect)})
+                       / (a.nrm * b.nrm) AS cos
+            FROM cells a JOIN cells b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id)
+        , bmax AS (
+            SELECT b_id, MAX(cos) AS maxcos FROM pairc GROUP BY b_id)
+        , agg AS {mat}(SELECT {cols} FROM bmax)
+        , nn AS {mat}(SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cells)
+        SELECT * FROM ({arms}) t
+    """
+
+
+def semdedup_tau_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, semdedup_tau_sweep_sql("spark"))

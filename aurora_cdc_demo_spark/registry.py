@@ -7399,3 +7399,148 @@ def q_dedup_threshold_sweep(spark, sf_dir):
     from functools import reduce as _reduce
 
     return _reduce(lambda a, b: a.unionByName(b), outs)
+
+
+# ---------------------------------------------------------------------------
+# R7: SemDeDup tau sweep, multimodal shard manifest, seasonality
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "semdedup_tau_sweep",
+    oracle=_sim.semdedup_tau_sweep_sql("duck"),
+)
+def q_semdedup_tau_sweep(spark, sf_dir):
+    """SemDeDup tau sensitivity table: drop rate vs cosine threshold
+    from ONE cell-bounded pair computation — Abbas et al. 2023 tune
+    tau per corpus by exactly this curve; same measured-not-assumed
+    discipline as dedup_lsh_tuning (#176) and the Jaccard sweep
+    (#190), on the embedding axis. All arms are conditional
+    aggregates over the same pair list; cell-bounded, never
+    all-pairs. See operators/similarity.py:semdedup_tau_sweep_sql."""
+    return _sim.semdedup_tau_sweep(spark, sf_dir)
+
+
+_SHARD_TARGET_BYTES = 65536
+_SHARD_PLAN_GROUP = 4096  # docs per planning group (bounded window)
+
+
+@query(
+    "mm_shard_manifest",
+    oracle=f"""
+        WITH sized AS (
+            SELECT doc_id, source,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   doc_id // {_SHARD_PLAN_GROUP} AS plan_group
+            FROM documents)
+        , packed AS (
+            SELECT *,
+                   CAST(SUM(n_bytes) OVER (
+                       PARTITION BY source, plan_group
+                       ORDER BY doc_id ASC
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_bytes
+            FROM sized)
+        , sharded AS (
+            SELECT *,
+                   (cum_bytes - 1) // {_SHARD_TARGET_BYTES} AS local_shard
+            FROM packed)
+        SELECT source, plan_group, local_shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM sharded
+        GROUP BY source, plan_group, local_shard
+    """,
+)
+def q_mm_shard_manifest(spark, sf_dir):
+    """Multimodal shard-packing manifest: binary payloads planned
+    into ~{_SHARD_TARGET_BYTES}-byte output shards by a running byte
+    total — the write-manifest step of an image/audio export (the
+    byte-level sibling of pack_sequences #97). The prefix sum runs
+    within (source, plan_group) where a planning group is
+    ≤{_SHARD_PLAN_GROUP} docs — bounded window state per reducer at
+    any corpus size (a global ordered prefix sum would funnel the
+    corpus through one reducer; contiguity is preserved WITHIN
+    groups, which is all a sharded export needs).
+
+    Integer bytes end to end; payload length via the same
+    encode(text) the mm family uses for its binary column."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.octet_length(F.encode(F.col("text"), "UTF-8"))
+        .cast("long")
+        .alias("n_bytes"),
+        F.expr(f"doc_id div {_SHARD_PLAN_GROUP}").alias("plan_group"),
+    )
+    w = (
+        Window.partitionBy("source", "plan_group")
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sharded = sized.withColumn(
+        "cum_bytes", F.sum("n_bytes").over(w)
+    ).withColumn(
+        "local_shard",
+        F.expr(f"(cum_bytes - 1) div {_SHARD_TARGET_BYTES}"),
+    )
+    return sharded.groupBy("source", "plan_group", "local_shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bytes").alias("shard_bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@query(
+    "events_dow_hod_matrix",
+    oracle="""
+        WITH e AS (
+            SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+                   (epoch_us(ts) % 86400000000) // 3600000000 AS hod,
+                   user_id
+            FROM events)
+        SELECT dow, hod,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST((1000000 * COUNT(*)) // CAST(SUM(COUNT(*)) OVER ()
+                    AS BIGINT) AS BIGINT) AS share_ppm
+        FROM e GROUP BY dow, hod
+    """,
+)
+def q_events_dow_hod_matrix(spark, sf_dir):
+    """Traffic seasonality heatmap: events per (day-of-week ×
+    hour-of-day) cell with distinct users and corpus share — the
+    capacity-planning / anomaly-baseline matrix behind
+    events_anomaly_hours (#99). Day-of-week computed from epoch
+    days ((days + 4) mod 7, Thursday-anchored) — engine-independent
+    integer algebra, immune to the Sunday=0-vs-1 convention split
+    between engines. One map-side-combined aggregate; the share
+    window runs over the 168-row matrix."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.expr("((unix_micros(ts) div 86400000000) + 4) % 7").alias(
+            "dow"
+        ),
+        F.expr("(unix_micros(ts) % 86400000000) div 3600000000").alias(
+            "hod"
+        ),
+        "user_id",
+    )
+    g = e.groupBy("dow", "hod").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    w = Window.partitionBy()
+    return g.withColumn("tot", F.sum("n_events").over(w)).select(
+        "dow",
+        "hod",
+        "n_events",
+        "n_users",
+        F.expr("(1000000 * n_events) div tot").alias("share_ppm"),
+    )

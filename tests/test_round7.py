@@ -743,3 +743,69 @@ def test_threshold_sweep_monotone(spark, sf_dir):
     assert sw["n_docs_dropped"].is_monotonic_decreasing
     shipped = QUERIES["dedup_minhash_lsh"](spark, sf_dir).count()
     assert sw.loc[sw["threshold_bp"] == 5000, "n_pairs"].iloc[0] == shipped
+
+
+# ---------------------------------------------------------------------------
+# R7h: tau sweep, shard manifest, seasonality matrix
+# ---------------------------------------------------------------------------
+
+R7H_QUERIES = [
+    "semdedup_tau_sweep",
+    "mm_shard_manifest",
+    "events_dow_hod_matrix",
+]
+
+
+@pytest.mark.parametrize("name", R7H_QUERIES)
+def test_r7h_oracle_parity(spark, sf_dir, name):
+    assert_matches_oracle(spark, name, sf_dir)
+
+
+def test_tau_sweep_monotone_and_pinned(spark, sf_dir):
+    """Dropping is monotone non-increasing in tau; the production
+    tau (0.4 = NEAR_DUP_THRESHOLD) row reproduces semdedup_cells'
+    own drop count; kept+dropped conserves the corpus."""
+    sw = (
+        QUERIES["semdedup_tau_sweep"](spark, sf_dir)
+        .toPandas()
+        .sort_values("tau_e2")
+        .reset_index(drop=True)
+    )
+    assert sw["n_dropped"].is_monotonic_decreasing
+    assert (sw["n_dropped"] + sw["n_kept"]).nunique() == 1
+    sd = QUERIES["semdedup_cells"](spark, sf_dir).toPandas()
+    dropped_at_40 = int((sd["keep"] == 0).sum())
+    assert sw.loc[sw["tau_e2"] == 40, "n_dropped"].iloc[0] == dropped_at_40
+
+
+def test_shard_manifest_packs_correctly(spark, sf_dir):
+    """Bytes conserve the corpus; every shard except a group's last
+    is filled past the target OR is the only shard; doc ranges are
+    disjoint within (source, plan_group)."""
+    m = QUERIES["mm_shard_manifest"](spark, sf_dir).toPandas()
+    import duckdb
+
+    total = duckdb.sql(
+        f"SELECT CAST(SUM(octet_length(encode(text))) AS BIGINT) "
+        f"FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    assert m["shard_bytes"].sum() == total
+    assert (m["first_doc"] <= m["last_doc"]).all()
+    for (_, _), grp in m.groupby(["source", "plan_group"]):
+        g = grp.sort_values("local_shard")
+        # consecutive shards cover disjoint ascending doc ranges
+        assert (g["first_doc"].values[1:] > g["last_doc"].values[:-1]).all()
+
+
+def test_dow_hod_matrix_covers_clock(spark, sf_dir):
+    m = QUERIES["events_dow_hod_matrix"](spark, sf_dir).toPandas()
+    assert m["dow"].between(0, 6).all()
+    assert m["hod"].between(0, 23).all()
+    assert len(m) <= 168
+    assert m["share_ppm"].sum() <= 1_000_000
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+    assert m["n_events"].sum() == n
