@@ -7544,3 +7544,262 @@ def q_events_dow_hod_matrix(spark, sf_dir):
         "n_users",
         F.expr("(1000000 * n_events) div tot").alias("share_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R7: CCNet terciles without a global sort, retention curve,
+# supplier scorecard
+# ---------------------------------------------------------------------------
+
+_TERCILE_BUCKETS = 32
+
+
+@query(
+    "text_ccnet_terciles",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+        , tf AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM tok GROUP BY tok)
+        , tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM tf)
+        , scored AS (
+            SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(f.freq) AS BIGINT) AS sum_tf
+            FROM tok t JOIN tf f ON t.tok = f.tok
+            GROUP BY t.doc_id)
+        , fam AS (
+            SELECT s.doc_id,
+                   CAST((1000000 * s.sum_tf) // (s.n_tokens * tot.total)
+                        AS BIGINT) AS familiarity_ppm
+            FROM scored s CROSS JOIN tot)
+        , ranked AS (
+            SELECT doc_id, familiarity_ppm,
+                   CAST(row_number() OVER (
+                       ORDER BY familiarity_ppm DESC, doc_id ASC)
+                       AS BIGINT) AS corpus_rank,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n
+            FROM fam)
+        SELECT doc_id, familiarity_ppm, corpus_rank,
+               ((corpus_rank - 1) * 3) // n AS tercile,
+               CASE ((corpus_rank - 1) * 3) // n
+                    WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                    ELSE 'tail' END AS ccnet_bucket
+        FROM ranked
+    """,
+)
+def q_text_ccnet_terciles(spark, sf_dir):
+    """CCNet head/middle/tail partition (Wenzek et al. 2020 split
+    CommonCrawl by LM-perplexity terciles; here the tercile key is
+    the #112 familiarity proxy) — EXACT terciles computed WITHOUT a
+    global sort: docs land in 32 familiarity value bands, each
+    band's population prefix-sums over a 32-row table, and the
+    within-band rank window partitions by band — corpus_rank =
+    band_prefix + within_band_rank, equal to the oracle's single
+    global window (the supplier_revenue_pareto #132 decomposition
+    reused at corpus scale, where it matters most). Equal
+    familiarity values cannot straddle a band, so the two-level
+    order equals the global (fam DESC, doc_id ASC) order.
+
+    Scale: the only corpus-wide structures are the 32-row band
+    table (broadcast) and per-band rank windows (corpus/32 per
+    reducer, and band count is a knob)."""
+    from pyspark.sql import Window
+
+    fam = QUERIES["text_unigram_familiarity"](spark, sf_dir).select(
+        "doc_id", "familiarity_ppm"
+    )
+    b = fam.withColumn(
+        "band",
+        F.expr(
+            f"((1000000 - familiarity_ppm) * {_TERCILE_BUCKETS})"
+            " div 1000001"
+        ),
+    )
+    bcnt = b.groupBy("band").agg(F.count(F.lit(1)).alias("bn"))
+    w_pre = Window.orderBy(F.col("band").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bpre = bcnt.select(
+        "band",
+        F.coalesce(F.sum("bn").over(w_pre), F.lit(0)).alias("prefix"),
+    )
+    n = fam.agg(F.count(F.lit(1)).alias("n"))
+    w_in = Window.partitionBy("band").orderBy(
+        F.col("familiarity_ppm").desc(), F.col("doc_id").asc()
+    )
+    ranked = (
+        b.join(F.broadcast(bpre), "band")
+        .withColumn("within", F.row_number().over(w_in))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "familiarity_ppm",
+            (F.col("prefix") + F.col("within"))
+            .cast("long")
+            .alias("corpus_rank"),
+            "n",
+        )
+    )
+    return ranked.select(
+        "doc_id",
+        "familiarity_ppm",
+        "corpus_rank",
+        F.expr("((corpus_rank - 1) * 3) div n").alias("tercile"),
+        F.expr(
+            "CASE ((corpus_rank - 1) * 3) div n WHEN 0 THEN 'head'"
+            " WHEN 1 THEN 'middle' ELSE 'tail' END"
+        ).alias("ccnet_bucket"),
+    )
+
+
+_RETENTION_DAYS = (1, 3, 7, 14)
+
+
+@query(
+    "events_retention_curve",
+    oracle=f"""
+        WITH days AS (
+            SELECT user_id,
+                   epoch_us(ts) // 86400000000 AS day
+            FROM events GROUP BY 1, 2)
+        , first_day AS (
+            SELECT user_id, MIN(day) AS d0 FROM days GROUP BY user_id)
+        , cohort AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users
+                     FROM first_day)
+        SELECT * FROM ({" UNION ALL ".join(
+            f'''SELECT CAST({n} AS BIGINT) AS day_n,
+                   c.n_users,
+                   (SELECT CAST(COUNT(*) AS BIGINT)
+                    FROM first_day f JOIN days d
+                      ON d.user_id = f.user_id AND d.day = f.d0 + {n})
+                       AS n_retained,
+                   ((SELECT CAST(COUNT(*) AS BIGINT)
+                     FROM first_day f JOIN days d
+                       ON d.user_id = f.user_id AND d.day = f.d0 + {n})
+                    * 10000) // c.n_users AS retention_bp
+            FROM cohort c''' for n in _RETENTION_DAYS)}) t
+    """,
+)
+def q_events_retention_curve(spark, sf_dir):
+    """Classic D-N retention curve (N ∈ {_RETENTION_DAYS}): the
+    share of all users active exactly N days after their first-seen
+    day — the growth-accounting summary the weekly cohort matrix
+    (#55) details. Built from the DISTINCT (user, day) activity set
+    (one shuffle) + a first-day self-join per N (bounded arms,
+    co-partitioned on user_id); integer epoch-day algebra.
+
+    Scale: activity distinct and first-day share the user shuffle;
+    each arm's join is user-keyed; output is |N| rows."""
+    days = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .distinct()
+    )
+    first = days.groupBy("user_id").agg(F.min("day").alias("d0"))
+    cohort = first.agg(F.count(F.lit(1)).alias("n_users"))
+    outs = []
+    act = days.select(
+        F.col("user_id").alias("a_user"), F.col("day").alias("a_day")
+    )
+    for nd in _RETENTION_DAYS:
+        ret = (
+            first.join(
+                act,
+                (F.col("a_user") == F.col("user_id"))
+                & (F.col("a_day") == F.col("d0") + nd),
+            )
+            .agg(F.count(F.lit(1)).alias("n_retained"))
+        )
+        outs.append(
+            cohort.crossJoin(ret).select(
+                F.lit(nd).cast("long").alias("day_n"),
+                "n_users",
+                "n_retained",
+                F.expr("(n_retained * 10000) div n_users").alias(
+                    "retention_bp"
+                ),
+            )
+        )
+    from functools import reduce as _reduce
+
+    return _reduce(lambda a, b: a.unionByName(b), outs)
+
+
+@query(
+    "supplier_scorecard",
+    oracle="""
+        WITH perf AS (
+            SELECT l_suppkey AS suppkey,
+                   CAST(SUM(CAST(ROUND(l_extendedprice
+                        * (1 - l_discount) * 10000) AS BIGINT))
+                        AS BIGINT) AS revenue_e4,
+                   CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+                   CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+                   CAST((10000 * SUM(CASE WHEN l_returnflag = 'R'
+                        THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+                       AS return_bp
+            FROM lineitem GROUP BY l_suppkey)
+        SELECT s.s_suppkey, s.s_name, n.n_name,
+               p.revenue_e4, p.n_lineitems, p.n_orders, p.return_bp,
+               CAST(row_number() OVER (
+                   PARTITION BY n.n_name
+                   ORDER BY p.revenue_e4 DESC, s.s_suppkey ASC)
+                   AS BIGINT) AS nation_rank
+        FROM perf p
+        JOIN supplier s ON s.s_suppkey = p.suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+    """,
+)
+def q_supplier_scorecard(spark, sf_dir):
+    """Supplier performance scorecard: revenue (integer e4),
+    lineitem/order volume, return-rate bp, and revenue rank within
+    nation — the procurement mart composing q15's revenue view with
+    return behavior (q10's measure on the supply side).
+
+    Scale: one fact aggregate (map-side combined) collapses
+    lineitem to the supplier dimension; supplier/nation joins are
+    broadcastable; the rank window partitions by nation over
+    dimension-scale rows."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    perf = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+            ).cast("long")
+        ).alias("revenue_e4"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.expr(
+            "(10000 * sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END))"
+            " div count(1)"
+        ).alias("return_bp"),
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    j = perf.join(
+        F.broadcast(supp.select("s_suppkey", "s_name", "s_nationkey")),
+        F.col("suppkey") == F.col("s_suppkey"),
+    ).join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("revenue_e4").desc(), F.col("s_suppkey").asc()
+    )
+    return j.select(
+        "s_suppkey",
+        "s_name",
+        "n_name",
+        "revenue_e4",
+        "n_lineitems",
+        "n_orders",
+        "return_bp",
+        F.row_number().over(w).cast("long").alias("nation_rank"),
+    )

@@ -809,3 +809,50 @@ def test_dow_hod_matrix_covers_clock(spark, sf_dir):
         f"SELECT COUNT(*) FROM '{sf_dir}/events.parquet'"
     ).fetchone()[0]
     assert m["n_events"].sum() == n
+
+
+# ---------------------------------------------------------------------------
+# R7i: CCNet terciles, retention curve, supplier scorecard
+# ---------------------------------------------------------------------------
+
+R7I_QUERIES = [
+    "text_ccnet_terciles",
+    "events_retention_curve",
+    "supplier_scorecard",
+]
+
+
+@pytest.mark.parametrize("name", R7I_QUERIES)
+def test_r7i_oracle_parity(spark, sf_dir, name):
+    assert_matches_oracle(spark, name, sf_dir)
+
+
+def test_ccnet_terciles_partition_corpus(spark, sf_dir):
+    """Ranks are a permutation 1..n, terciles are balanced to within
+    one (explicit formula), and the head tercile's familiarity never
+    falls below the tail's (ordering correctness)."""
+    t = QUERIES["text_ccnet_terciles"](spark, sf_dir).toPandas()
+    n = len(t)
+    assert sorted(t["corpus_rank"]) == list(range(1, n + 1))
+    sizes = t["tercile"].value_counts()
+    assert sizes.max() - sizes.min() <= 1
+    head_min = t[t["ccnet_bucket"] == "head"]["familiarity_ppm"].min()
+    tail_max = t[t["ccnet_bucket"] == "tail"]["familiarity_ppm"].max()
+    assert head_min >= tail_max
+
+
+def test_retention_curve_bounds(spark, sf_dir):
+    r = QUERIES["events_retention_curve"](spark, sf_dir).toPandas()
+    assert (r["n_retained"] <= r["n_users"]).all()
+    assert r["retention_bp"].between(0, 10000).all()
+    assert r["n_users"].nunique() == 1
+
+
+def test_supplier_scorecard_ranks_within_nation(spark, sf_dir):
+    sc = QUERIES["supplier_scorecard"](spark, sf_dir).toPandas()
+    assert sc["s_suppkey"].is_unique
+    for _, g in sc.groupby("n_name"):
+        g = g.sort_values("nation_rank")
+        assert list(g["nation_rank"]) == list(range(1, len(g) + 1))
+        assert g["revenue_e4"].is_monotonic_decreasing
+    assert sc["return_bp"].between(0, 10000).all()
