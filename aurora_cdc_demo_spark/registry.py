@@ -7803,3 +7803,233 @@ def q_supplier_scorecard(spark, sf_dir):
         "return_bp",
         F.row_number().over(w).cast("long").alias("nation_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R7: trade matrix, key lifecycle, packing efficiency
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "nation_trade_matrix",
+    oracle="""
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                    * 10000) AS BIGINT)) AS BIGINT) AS volume_e4,
+               CAST(COUNT(*) AS BIGINT) AS n_lineitems
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        GROUP BY sn.n_name, cn.n_name
+    """,
+)
+def q_nation_trade_matrix(spark, sf_dir):
+    """Full bilateral trade matrix — Q7 generalized from two nations
+    to all |nations|² flows: supplier-nation × customer-nation
+    shipped volume (integer e4). The macro view a trade dashboard
+    cubes; Q7's filtered twin remains the oracle-pinned special
+    case.
+
+    Scale: the standard TPC-H join tree — fact joins with
+    broadcastable dims, one map-side-combined aggregate to the
+    625-row matrix."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(cust.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+    )
+    return j.groupBy("supp_nation", "cust_nation").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+            ).cast("long")
+        ).alias("volume_e4"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+@query(
+    "cdc_key_lifecycle",
+    oracle=_with_log(
+        """
+        , per_key AS (
+            SELECT key_id,
+                   MIN(CASE WHEN operation = 'INSERT' THEN seq END)
+                       AS first_insert,
+                   MIN(seq) AS first_seq, MAX(seq) AS last_seq,
+                   CAST(SUM(CASE WHEN operation = 'DELETE'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+                   CAST(COUNT(*) AS BIGINT) AS n_ops
+            FROM log GROUP BY key_id)
+        , final_op AS (
+            SELECT key_id, operation AS last_op FROM (
+                SELECT key_id, operation, row_number() OVER (
+                    PARTITION BY key_id ORDER BY seq DESC) AS rn
+                FROM log) t WHERE rn = 1)
+        , classed AS (
+            SELECT p.key_id,
+                   CASE WHEN f.last_op = 'DELETE' THEN 'deleted'
+                        WHEN p.n_deletes > 0 THEN 'reborn'
+                        WHEN p.first_insert = p.first_seq THEN 'created'
+                        ELSE 'pre_existing' END AS lifecycle,
+                   p.n_ops, p.n_deletes
+            FROM per_key p JOIN final_op f ON f.key_id = p.key_id)
+        SELECT lifecycle,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(n_ops) AS BIGINT) AS n_ops,
+               CAST(SUM(n_deletes) AS BIGINT) AS n_deletes,
+               CAST(SUM(n_ops) // COUNT(*) AS BIGINT) AS mean_ops_per_key
+        FROM classed GROUP BY lifecycle
+        """
+    ),
+)
+def q_cdc_key_lifecycle(spark, sf_dir):
+    """Key lifecycle classification over the change stream:
+    `created` (log opens with the key's INSERT), `pre_existing`
+    (first op is an update — the key predates the captured log; the
+    case an incremental snapshot must backfill), `deleted` (final op
+    DELETE — tombstone-GC candidates, #150), `reborn` (deleted then
+    re-inserted — the hardest case for naive appliers, exercised by
+    the hypothesis merge laws). Per class: key counts, op volume,
+    mean ops. One key_id shuffle shared by the aggregate and the
+    final-op window; class-bounded output."""
+    from pyspark.sql import Window
+
+    log = cdc_operation_log(spark, sf_dir)
+    per_key = log.groupBy("key_id").agg(
+        F.min(
+            F.when(F.col("operation") == "INSERT", F.col("seq"))
+        ).alias("first_insert"),
+        F.min("seq").alias("first_seq"),
+        F.max("seq").alias("last_seq"),
+        F.sum(
+            F.when(F.col("operation") == "DELETE", 1).otherwise(0)
+        ).alias("n_deletes"),
+        F.count(F.lit(1)).alias("n_ops"),
+    )
+    w = Window.partitionBy("key_id").orderBy(F.col("seq").desc())
+    final_op = (
+        log.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("key_id", F.col("operation").alias("last_op"))
+    )
+    classed = per_key.join(final_op, "key_id").select(
+        F.when(F.col("last_op") == "DELETE", "deleted")
+        .when(F.col("n_deletes") > 0, "reborn")
+        .when(F.col("first_insert") == F.col("first_seq"), "created")
+        .otherwise("pre_existing")
+        .alias("lifecycle"),
+        "n_ops",
+        "n_deletes",
+    )
+    return classed.groupBy("lifecycle").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_ops").alias("n_ops"),
+        F.sum("n_deletes").alias("n_deletes"),
+        F.expr("sum(n_ops) div count(1)").alias("mean_ops_per_key"),
+    )
+
+
+@query(
+    "pack_efficiency_report",
+    oracle=f"""
+        WITH t AS (
+            SELECT source, doc_id, doc_id // {_PACK_SHARD} AS shard,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+            FROM documents)
+        , c AS (
+            SELECT source, shard, doc_id, n,
+                   CAST(SUM(n) OVER (PARTITION BY source, shard
+                                     ORDER BY doc_id) - n AS BIGINT) AS start
+            FROM t)
+        , bins AS (
+            SELECT source, shard, CAST(start // {_PACK_CTX} AS BIGINT)
+                       AS bin_id,
+                   CAST(SUM(n) AS BIGINT) AS n_tokens
+            FROM c GROUP BY source, shard, start // {_PACK_CTX})
+        , marked AS (
+            SELECT *, bin_id = MAX(bin_id) OVER (
+                PARTITION BY source, shard) AS is_last
+            FROM bins)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_bins,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN is_last THEN 0
+                        ELSE GREATEST({_PACK_CTX} - n_tokens, 0) END)
+                    AS BIGINT) AS interior_slack_tokens,
+               CAST((10000 * SUM(CASE WHEN is_last THEN 0
+                        ELSE GREATEST({_PACK_CTX} - n_tokens, 0) END))
+                    // (CAST(COUNT(*) AS BIGINT) * {_PACK_CTX})
+                    AS BIGINT) AS slack_bp
+        FROM marked GROUP BY source
+    """,
+)
+def q_pack_efficiency_report(spark, sf_dir):
+    """Packing efficiency audit for the #97 manifest: bins, token
+    volume, and INTERIOR slack (capacity unused by bins other than
+    each shard's tail bin — the waste a better packer could
+    reclaim; tail bins are structurally partial) per source, with
+    slack bp of total capacity. The measure that justifies (or
+    indicts) first-fit packing before a training run burns compute
+    on padding. Same bounded (source, shard) windows as the
+    manifest; report is source-bounded."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        "doc_id",
+        F.expr(f"doc_id div {_PACK_SHARD}").alias("shard"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n"),
+    )
+    wc = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = t.withColumn("start", F.sum("n").over(wc) - F.col("n"))
+    bins = c.groupBy(
+        "source",
+        "shard",
+        F.expr(f"start div {_PACK_CTX}").alias("bin_id"),
+    ).agg(F.sum("n").alias("n_tokens"))
+    wl = Window.partitionBy("source", "shard")
+    marked = bins.withColumn(
+        "is_last", F.col("bin_id") == F.max("bin_id").over(wl)
+    )
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum(
+            F.when(F.col("is_last"), 0).otherwise(
+                F.greatest(
+                    F.lit(_PACK_CTX) - F.col("n_tokens"), F.lit(0)
+                )
+            )
+        ).alias("interior_slack_tokens"),
+        F.expr(
+            "(10000 * sum(CASE WHEN is_last THEN 0 ELSE"
+            f" GREATEST({_PACK_CTX} - n_tokens, 0) END))"
+            f" div (count(1) * {_PACK_CTX})"
+        ).alias("slack_bp"),
+    )

@@ -856,3 +856,64 @@ def test_supplier_scorecard_ranks_within_nation(spark, sf_dir):
         assert list(g["nation_rank"]) == list(range(1, len(g) + 1))
         assert g["revenue_e4"].is_monotonic_decreasing
     assert sc["return_bp"].between(0, 10000).all()
+
+
+# ---------------------------------------------------------------------------
+# R7j: trade matrix, key lifecycle, packing efficiency
+# ---------------------------------------------------------------------------
+
+R7J_QUERIES = [
+    "nation_trade_matrix",
+    "cdc_key_lifecycle",
+    "pack_efficiency_report",
+]
+
+
+@pytest.mark.parametrize("name", R7J_QUERIES)
+def test_r7j_oracle_parity(spark, sf_dir, name):
+    assert_matches_oracle(spark, name, sf_dir)
+
+
+def test_trade_matrix_contains_q7_slice(spark, sf_dir):
+    """The full matrix is a superset view: every nation pair appears
+    at most once and the matrix revenue is symmetric-complete (total
+    equals the one-pass lineitem+orders join revenue)."""
+    m = QUERIES["nation_trade_matrix"](spark, sf_dir).toPandas()
+    assert not m.duplicated(["supp_nation", "cust_nation"]).any()
+    import duckdb
+
+    total = duckdb.sql(
+        f"""SELECT CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+            * 10000) AS BIGINT)) AS BIGINT)
+            FROM '{sf_dir}/lineitem.parquet' l
+            JOIN '{sf_dir}/orders.parquet' o ON l.l_orderkey = o.o_orderkey
+        """
+    ).fetchone()[0]
+    assert m["volume_e4"].sum() == total
+
+
+def test_key_lifecycle_conserves(spark, sf_dir):
+    lc = QUERIES["cdc_key_lifecycle"](spark, sf_dir).toPandas()
+    log = QUERIES["cdc_operation_log"](spark, sf_dir).toPandas()
+    assert lc["n_keys"].sum() == log["key_id"].nunique()
+    assert lc["n_ops"].sum() == len(log)
+    assert set(lc["lifecycle"]) <= {
+        "created",
+        "pre_existing",
+        "deleted",
+        "reborn",
+    }
+
+
+def test_pack_efficiency_consistent_with_manifest(spark, sf_dir):
+    """Token totals agree with pack_sequences' own bins; slack is a
+    proper bp; interior slack never exceeds capacity."""
+    eff = QUERIES["pack_efficiency_report"](spark, sf_dir).toPandas()
+    bins = QUERIES["pack_sequences"](spark, sf_dir).toPandas()
+    per_src = bins.groupby("source").agg(
+        n_bins=("bin_id", "count"), n_tokens=("n_tokens", "sum")
+    )
+    merged = eff.set_index("source").join(per_src, rsuffix="_m")
+    assert (merged["n_bins"] == merged["n_bins_m"]).all()
+    assert (merged["n_tokens"] == merged["n_tokens_m"]).all()
+    assert eff["slack_bp"].between(0, 10000).all()
