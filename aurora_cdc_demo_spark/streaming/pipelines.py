@@ -326,3 +326,171 @@ def error_context_stream_join(
         "err_ts",
         "ev_ts",
     )
+
+
+class StreamingLSHDedupGate:
+    """Incremental near-dup gate for a document INGEST stream — the
+    streaming complement of the batch MinHash-LSH dedup
+    (operators/dedup.py): documents are admitted as they ARRIVE,
+    each batch checked against the signatures of everything admitted
+    so far.
+
+    State = the admitted docs' 12-minhash signatures (one row per
+    admitted doc — bounded by the SURVIVING corpus, the index a real
+    ingest service keeps anyway), stage-and-swap committed like
+    ParquetStateStore. A candidate is a near-dup of an admitted doc
+    when >= ``min_matches`` of its 12 minhashes agree (the MinHash
+    ESTIMATE of Jaccard — dedup_minhash_estimate #110 calibrates
+    exactly this), so verification needs NO shingle state.
+
+    Batch protocol per micro-batch:
+      1. signature the batch (same minhash_signatures as batch mode);
+      2. drop docs estimate-colliding with ADMITTED state;
+      3. among survivors, run the batch LSH component dedup and admit
+         each component's min-id canonical (the same
+         keep-one-per-group rule as corpus_keep_list_lsh).
+
+    Contract (pinned in tests/test_round7.py):
+      - independence: no two admitted docs estimate-collide;
+      - coverage: every rejected doc estimate-collides with an
+        admitted doc, or shares a within-batch component with one;
+      - replay idempotence: re-delivering a batch id is a no-op.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        min_matches: int = 6,
+    ):
+        self.spark = spark
+        self.state_dir = state_dir
+        self.min_matches = min_matches
+
+    # -- state plumbing (same stage-and-swap as ParquetStateStore) --
+    def _read_state(self) -> DataFrame | None:
+        from pathlib import Path
+
+        state, old = Path(self.state_dir), Path(self.state_dir + ".old")
+        if not state.exists() and old.exists():
+            old.rename(state)
+        if not state.exists():
+            return None
+        return self.spark.read.parquet(self.state_dir)
+
+    def _is_replay(self, batch_id: int) -> bool:
+        from pathlib import Path
+
+        marker = Path(self.state_dir + ".last_batch")
+        return marker.exists() and marker.read_text() == str(batch_id)
+
+    def _commit(self, merged: DataFrame, batch_id: int) -> None:
+        import shutil
+        from pathlib import Path
+
+        staging = self.state_dir + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        old = self.state_dir + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if Path(self.state_dir).exists():
+            Path(self.state_dir).rename(old)
+        Path(staging).rename(self.state_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        Path(self.state_dir + ".last_batch").write_text(str(batch_id))
+
+    # -- the gate --
+    def _signatures(self, docs: DataFrame) -> DataFrame:
+        from ..operators.dedup import minhash_signatures, shingles
+
+        return minhash_signatures(shingles(docs))
+
+    def _estimate_collisions(
+        self, cand: DataFrame, admitted: DataFrame
+    ) -> DataFrame:
+        """doc_ids of ``cand`` with >= min_matches matching
+        minhashes against any ``admitted`` signature — the collision
+        probe is a band-bucket equi-join (same banded shape as batch
+        LSH), then the match count verifies the estimate; no
+        all-pairs compare."""
+        from ..operators.dedup import NUM_MINHASH
+
+        c = cand.select(
+            F.col("doc_id").alias("c_id"),
+            *[F.col(f"mh{k}").alias(f"c{k}") for k in range(NUM_MINHASH)],
+        )
+        a = admitted.select(
+            F.col("doc_id").alias("a_id"),
+            *[F.col(f"mh{k}").alias(f"a{k}") for k in range(NUM_MINHASH)],
+        )
+        # candidate pairs: any single minhash equality (r=1 banding —
+        # supersets every >= min_matches pair by pigeonhole)
+        c_b = c.select(
+            "c_id",
+            F.posexplode(
+                F.array(*[F.col(f"c{k}") for k in range(NUM_MINHASH)])
+            ).alias("band", "mh"),
+        )
+        a_b = a.select(
+            "a_id",
+            F.posexplode(
+                F.array(*[F.col(f"a{k}") for k in range(NUM_MINHASH)])
+            ).alias("band", "mh"),
+        )
+        pairs = (
+            c_b.join(a_b, ["band", "mh"])
+            .select("c_id", "a_id")
+            .distinct()
+        )
+        matches = (
+            pairs.join(c, "c_id")
+            .join(a, "a_id")
+            .select(
+                "c_id",
+                sum(
+                    F.when(
+                        F.col(f"c{k}") == F.col(f"a{k}"), 1
+                    ).otherwise(0)
+                    for k in range(NUM_MINHASH)
+                ).alias("n_match"),
+            )
+        )
+        return (
+            matches.where(F.col("n_match") >= self.min_matches)
+            .select(F.col("c_id").alias("doc_id"))
+            .distinct()
+        )
+
+    def apply_batch(self, batch_docs: DataFrame, batch_id: int) -> None:
+        if self._is_replay(batch_id):
+            return
+        from ..operators.dedup import minhash_lsh_pairs
+        from ..operators.graph import connected_components
+
+        sig = self._signatures(batch_docs)
+        state = self._read_state()
+        if state is not None and state.head(1):
+            hits = self._estimate_collisions(sig, state)
+            survivors_ids = sig.select("doc_id").join(
+                hits, "doc_id", "left_anti"
+            )
+        else:
+            survivors_ids = sig.select("doc_id")
+        surv_docs = batch_docs.join(survivors_ids, "doc_id")
+        pairs = minhash_lsh_pairs(surv_docs).select("doc_a", "doc_b")
+        comps = connected_components(
+            surv_docs.select("doc_id"),
+            pairs,
+            id_col="doc_id",
+            src="doc_a",
+            dst="doc_b",
+        )
+        canon = comps.where(
+            F.col("cluster_id") == F.col("doc_id")
+        ).select("doc_id")
+        admitted_new = sig.join(canon, "doc_id")
+        merged = (
+            state.unionByName(admitted_new)
+            if state is not None
+            else admitted_new
+        )
+        self._commit(merged, batch_id)

@@ -985,3 +985,83 @@ def test_vocab_growth_laws(spark, sf_dir):
     assert v["cum_vocab"].iloc[-1] == vocab
     assert v["cum_tokens"].iloc[-1] == toks
     assert v["new_types"].iloc[-1] < v["new_types"].iloc[0]
+
+
+# ---------------------------------------------------------------------------
+# Streaming LSH dedup gate (incremental near-dup admission)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_lsh_gate_contract(spark, sf_dir, tmp_path):
+    """Documents streamed in 4 doc_id-range micro-batches through
+    StreamingLSHDedupGate: (a) independence — no two admitted docs
+    share >= min_matches of 12 minhashes; (b) coverage — every
+    rejected doc estimate-collides with an admitted doc or shares a
+    within-batch LSH component with one; (c) replay idempotence."""
+    import pandas as pd
+    from pyspark.sql import functions as SF
+
+    from aurora_cdc_demo_spark.operators.dedup import (
+        NUM_MINHASH,
+        minhash_signatures,
+        shingles,
+    )
+    from aurora_cdc_demo_spark.streaming.pipelines import (
+        StreamingLSHDedupGate,
+    )
+    from aurora_cdc_demo_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    max_id = docs.agg(SF.max("doc_id")).collect()[0][0]
+    gate = StreamingLSHDedupGate(spark, str(tmp_path / "lsh_state"))
+    step = max_id // 4 + 1
+    for i in range(4):
+        batch = docs.where(
+            (SF.col("doc_id") >= i * step)
+            & (SF.col("doc_id") < (i + 1) * step)
+        )
+        gate.apply_batch(batch, i)
+
+    state = spark.read.parquet(str(tmp_path / "lsh_state")).toPandas()
+    admitted = set(state["doc_id"])
+    all_sigs = minhash_signatures(shingles(docs)).toPandas()
+    sig_map = {
+        r["doc_id"]: [r[f"mh{k}"] for k in range(NUM_MINHASH)]
+        for _, r in all_sigs.iterrows()
+    }
+
+    def est_matches(a, b):
+        return sum(x == y for x, y in zip(sig_map[a], sig_map[b]))
+
+    adm = sorted(admitted)
+    # (a) independence
+    for i, a in enumerate(adm):
+        for b in adm[i + 1 :]:
+            assert est_matches(a, b) < gate.min_matches, (a, b)
+
+    # (b) coverage: rejected docs (that have signatures) are
+    # explained by an admitted near-dup or a shared component
+    rejected = [d for d in sig_map if d not in admitted]
+    assert rejected, "corpus should contain near-duplicates"
+    for d in rejected:
+        explained = any(
+            est_matches(d, a) >= gate.min_matches for a in adm
+        )
+        if not explained:
+            # within-batch component with an admitted doc: accept a
+            # one-hop neighbor chain through any doc in d's batch
+            mine = d // step
+            batchmates = [
+                x for x in sig_map if x // step == mine and x != d
+            ]
+            assert any(
+                est_matches(d, x) >= gate.min_matches for x in batchmates
+            ), d
+
+    # (c) replay idempotence
+    before = len(state)
+    gate.apply_batch(
+        docs.where(SF.col("doc_id") < step), 3  # replayed last id
+    )
+    after = spark.read.parquet(str(tmp_path / "lsh_state")).count()
+    assert after == before
