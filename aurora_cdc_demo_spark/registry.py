@@ -8441,3 +8441,146 @@ def q_embed_ood_topk(spark, sf_dir):
             "far_rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# R7: CUSUM changepoints, near-dup graph degree histogram
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_cusum_changepoints",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   epoch_us(ts) // 86400000000 AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2)
+        , stats AS (
+            SELECT event_type,
+                   CAST(SUM(n) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n_days
+            FROM daily GROUP BY event_type)
+        , dev AS (
+            SELECT d.event_type, d.day,
+                   d.n * s.n_days - s.total AS dev_scaled
+            FROM daily d JOIN stats s ON s.event_type = d.event_type)
+        , cusum AS (
+            SELECT event_type, day, dev_scaled,
+                   CAST(SUM(dev_scaled) OVER (
+                       PARTITION BY event_type ORDER BY day ASC
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_cum
+            FROM dev)
+        , extremes AS (
+            SELECT event_type,
+                   MAX(ABS(s_cum)) AS max_abs_cusum
+            FROM cusum GROUP BY event_type)
+        SELECT c.event_type, c.day AS changepoint_day,
+               c.s_cum AS cusum_at_peak,
+               e.max_abs_cusum,
+               CAST((SELECT SUM(ABS(dev_scaled)) FROM dev d2
+                     WHERE d2.event_type = c.event_type) AS BIGINT)
+                   AS total_abs_dev
+        FROM cusum c JOIN extremes e
+          ON e.event_type = c.event_type
+         AND ABS(c.s_cum) = e.max_abs_cusum
+        QUALIFY row_number() OVER (
+            PARTITION BY c.event_type ORDER BY c.day ASC) = 1
+    """,
+)
+def q_events_cusum_changepoints(spark, sf_dir):
+    """CUSUM changepoint detection per event type: the day where
+    the cumulative deviation from the series mean peaks — the
+    classic level-shift locator (Page 1954) behind
+    traffic-mix-shift alerts; the integer twin of what
+    events_anomaly_hours (#99) does pointwise. Deviations are
+    scaled by n_days (n·days − total) so everything stays in exact
+    BIGINT algebra — no float means anywhere.
+
+    Scale: one map-side-combined daily aggregate; the CUSUM window
+    runs over the DAY-BOUNDED per-type series (366 rows/type/year),
+    never events."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_days")
+    )
+    dev = daily.join(stats, "event_type").select(
+        "event_type",
+        "day",
+        (F.col("n") * F.col("n_days") - F.col("total")).alias(
+            "dev_scaled"
+        ),
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("day").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cusum = dev.withColumn(
+        "s_cum", F.sum("dev_scaled").over(wc).cast("long")
+    )
+    extremes = cusum.groupBy("event_type").agg(
+        F.max(F.abs(F.col("s_cum"))).alias("max_abs_cusum")
+    )
+    tad = dev.groupBy("event_type").agg(
+        F.sum(F.abs(F.col("dev_scaled"))).alias("total_abs_dev")
+    )
+    peaks = (
+        cusum.join(extremes, "event_type")
+        .where(F.abs(F.col("s_cum")) == F.col("max_abs_cusum"))
+        .join(tad, "event_type")
+    )
+    wf = Window.partitionBy("event_type").orderBy(F.col("day").asc())
+    return (
+        peaks.withColumn("rn", F.row_number().over(wf))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("changepoint_day"),
+            F.col("s_cum").alias("cusum_at_peak"),
+            "max_abs_cusum",
+            "total_abs_dev",
+        )
+    )
+
+
+@query(
+    "dedup_graph_degree_histogram",
+    oracle=f"""
+        WITH pairs AS ({_dedup.MINHASH_LSH_SQL})
+        , deg AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM (SELECT doc_a AS doc_id FROM pairs
+                  UNION ALL SELECT doc_b FROM pairs) t
+            GROUP BY doc_id)
+        SELECT degree,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM deg GROUP BY degree
+    """,
+)
+def q_dedup_graph_degree_histogram(spark, sf_dir):
+    """Near-dup graph degree histogram on the TEXT side — how many
+    documents have how many verified LSH near-duplicates (the
+    text-side twin of embed_cluster_size_histogram #181 at edge
+    granularity): hub documents (templates, boilerplate) surface as
+    the heavy tail that dedup_containment's df-cap and the
+    keep-list's component canonicals must absorb. Composes the
+    shipped pair list; two bounded aggregates."""
+    pairs = _dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_a", "doc_b")
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

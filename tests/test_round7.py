@@ -1123,3 +1123,46 @@ def test_ood_topk_are_cell_maxima(spark, sf_dir):
     for _, g in per_cell:
         g = g.sort_values("far_rank")
         assert g["dist2_int8"].is_monotonic_decreasing
+
+
+# ---------------------------------------------------------------------------
+# R7m: CUSUM changepoints, near-dup degree histogram
+# ---------------------------------------------------------------------------
+
+R7M_QUERIES = [
+    "events_cusum_changepoints",
+    "dedup_graph_degree_histogram",
+]
+
+
+@pytest.mark.parametrize("name", R7M_QUERIES)
+def test_r7m_oracle_parity(spark, sf_dir, name):
+    assert_matches_oracle(spark, name, sf_dir)
+
+
+def test_cusum_peak_is_true_max(spark, sf_dir):
+    """Recompute one type's CUSUM in pandas: the reported peak day
+    carries the true maximum |cumulative deviation|."""
+    import duckdb
+
+    cp = QUERIES["events_cusum_changepoints"](spark, sf_dir).toPandas()
+    t = cp.iloc[0]["event_type"]
+    daily = duckdb.sql(
+        f"""SELECT epoch_us(ts)//86400000000 AS day, COUNT(*) AS n
+            FROM '{sf_dir}/events.parquet' WHERE event_type = '{t}'
+            GROUP BY 1 ORDER BY 1"""
+    ).fetchdf()
+    nd, total = len(daily), daily["n"].sum()
+    s, best = 0, 0
+    for _, r in daily.iterrows():
+        s += int(r["n"]) * nd - int(total)
+        best = max(best, abs(s))
+    assert best == cp.iloc[0]["max_abs_cusum"]
+    assert (cp["max_abs_cusum"] <= cp["total_abs_dev"]).all()
+
+
+def test_degree_histogram_consistent_with_pairs(spark, sf_dir):
+    h = QUERIES["dedup_graph_degree_histogram"](spark, sf_dir).toPandas()
+    pairs = QUERIES["dedup_minhash_lsh"](spark, sf_dir).toPandas()
+    # handshake: sum(degree * n_docs) = 2 * |pairs|
+    assert (h["degree"] * h["n_docs"]).sum() == 2 * len(pairs)
