@@ -8584,3 +8584,158 @@ def q_dedup_graph_degree_histogram(spark, sf_dir):
     return deg.groupBy("degree").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# R7: glass-box HLL estimation, keyspace fragmentation
+# ---------------------------------------------------------------------------
+
+_HLL_M = 256
+_HLL_ALPHA_E5 = 70927  # 0.7213/(1+1.079/256), e5 fixed point
+_HLL_SHIFT = 50
+
+
+def _hll_lc_table() -> str:
+    """Linear-counting correction m*ln(m/V) for every possible
+    empty-bucket count V in 1..m — 256 data-independent integer
+    constants, precomputed offline and inlined as a VALUES table
+    (the same constants-not-runtime-floats rule as the JL sign
+    matrix): ln never runs inside either engine."""
+    import math
+
+    rows = ", ".join(
+        f"({v}, {round(_HLL_M * math.log(_HLL_M / v))})"
+        for v in range(1, _HLL_M + 1)
+    )
+    return f"(VALUES {rows}) lc(v, lc_est)"
+
+
+def _hll_estimate_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    if dialect == "spark":
+        shl = f"shiftleft(CAST(1 AS BIGINT), {_HLL_SHIFT} - CAST(rho AS INT))"
+        big = "DECIMAL(38,0)"
+        est = (
+            f"CAST((CAST({_HLL_ALPHA_E5} AS {big}) * {_HLL_M} * {_HLL_M}"
+            f" * CAST(shiftleft(CAST(1 AS BIGINT), {_HLL_SHIFT}) AS {big}))"
+            f" div (CAST(denom AS {big}) * 100000) AS BIGINT)"
+        )
+    else:
+        shl = f"(CAST(1 AS BIGINT) << ({_HLL_SHIFT} - CAST(rho AS INT)))"
+        est = (
+            f"CAST((CAST({_HLL_ALPHA_E5} AS HUGEINT) * {_HLL_M} * {_HLL_M}"
+            f" * (CAST(1 AS HUGEINT) << {_HLL_SHIFT}))"
+            f" // (CAST(denom AS HUGEINT) * 100000) AS BIGINT)"
+        )
+    regs = _sk.hll_sql("events", "user_id", dialect, group="event_type")
+    return f"""
+        WITH regs AS ({regs})
+        , filled AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_filled,
+                   CAST(SUM({shl}) AS BIGINT) AS filled_denom
+            FROM regs GROUP BY event_type)
+        , denoms AS (
+            SELECT event_type, n_filled,
+                   filled_denom + ({_HLL_M} - n_filled)
+                       * CAST({2 ** _HLL_SHIFT} AS BIGINT) AS denom
+            FROM filled)
+        , exact AS (
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+            FROM events GROUP BY event_type)
+        , raw AS (
+            SELECT event_type, n_filled, {est} AS raw_est,
+                   {_HLL_M} - n_filled AS n_empty
+            FROM denoms)
+        , corrected AS (
+            SELECT r.event_type, r.n_filled, r.raw_est,
+                   CAST(CASE WHEN r.raw_est <= {_HLL_M * 5 // 2}
+                                  AND r.n_empty > 0
+                        THEN lc.lc_est ELSE r.raw_est END AS BIGINT)
+                       AS hll_estimate
+            FROM raw r LEFT JOIN {_hll_lc_table()}
+              ON lc.v = r.n_empty)
+        SELECT c.event_type, c.n_filled, c.raw_est, c.hll_estimate,
+               e.exact_distinct,
+               (10000 * ABS(c.hll_estimate - e.exact_distinct))
+                   {div} e.exact_distinct AS err_bp
+        FROM corrected c JOIN exact e ON e.event_type = c.event_type
+    """
+
+
+@query("events_hll_estimate", oracle=_hll_estimate_sql("duck"))
+def q_events_hll_estimate(spark, sf_dir):
+    """Glass-box HyperLogLog ESTIMATION, oracle-checked end to end:
+    the raw Flajolet estimate alpha·m²/Σ2^(−M_j) computed from the
+    explicit register table (#156) in EXACT integer algebra —
+    2^(−M) terms become 2^(50−M) BIGINT shifts, the alpha·m²·2^50
+    numerator runs in DECIMAL(38,0)/HUGEINT (the r2 ADVICE 128-bit
+    rule), and the quotient floors identically in both engines. This
+    upgrades the engine-opaque approx_count_distinct check (#62,
+    rows-only by design) with a cross-engine-EXACT estimator whose
+    accuracy is itself measured (err_bp vs the true distinct). The
+    small-range linear-counting correction m·ln(m/V) is applied
+    through a 256-entry precomputed INTEGER constant table (V is an
+    integer in 1..m, so ln never runs inside either engine — the
+    same constants-not-runtime-floats rule as the JL sign matrix);
+    raw and corrected estimates are both emitted.
+
+    Scale: registers are constant 256 rows/group however large the
+    stream (MAX-mergeable, maintained by foreachBatch in the
+    streaming law); the estimate is group-bounded algebra."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_hll_estimate_sql("spark"))
+
+
+_FRAG_BLOCK = 1000
+
+
+@query(
+    "orders_keyspace_fragmentation",
+    oracle=f"""
+        WITH blocks AS (
+            SELECT o_orderkey // {_FRAG_BLOCK} AS block,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   MIN(o_orderkey) AS min_key,
+                   MAX(o_orderkey) AS max_key
+            FROM orders GROUP BY 1)
+        SELECT block, n_keys, min_key, max_key,
+               CAST((10000 * n_keys) // {_FRAG_BLOCK} AS BIGINT)
+                   AS density_bp,
+               (max_key - min_key + 1) - n_keys AS interior_gaps
+        FROM blocks
+    """,
+)
+def q_orders_keyspace_fragmentation(spark, sf_dir):
+    """Primary-keyspace density map: keys per {_FRAG_BLOCK}-key
+    block with density bp and interior gap counts — the histogram a
+    chunked snapshotter (#163) consults so equal-WIDTH chunks don't
+    become wildly unequal WORK when the keyspace is fragmented
+    (classic TPC-H orderkeys are deliberately sparse — on the
+    driver's dense generator this map certifies density instead). One map-side-combined aggregate; block-bounded
+    output."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.expr(f"o_orderkey div {_FRAG_BLOCK}").alias("block")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .select(
+            "block",
+            "n_keys",
+            "min_key",
+            "max_key",
+            F.expr(f"(10000 * n_keys) div {_FRAG_BLOCK}").alias(
+                "density_bp"
+            ),
+            (
+                (F.col("max_key") - F.col("min_key") + 1)
+                - F.col("n_keys")
+            ).alias("interior_gaps"),
+        )
+    )

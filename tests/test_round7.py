@@ -1166,3 +1166,48 @@ def test_degree_histogram_consistent_with_pairs(spark, sf_dir):
     pairs = QUERIES["dedup_minhash_lsh"](spark, sf_dir).toPandas()
     # handshake: sum(degree * n_docs) = 2 * |pairs|
     assert (h["degree"] * h["n_docs"]).sum() == 2 * len(pairs)
+
+
+# ---------------------------------------------------------------------------
+# R7n: glass-box HLL estimation, keyspace fragmentation
+# ---------------------------------------------------------------------------
+
+R7N_QUERIES = [
+    "events_hll_estimate",
+    "orders_keyspace_fragmentation",
+]
+
+
+@pytest.mark.parametrize("name", R7N_QUERIES)
+def test_r7n_oracle_parity(spark, sf_dir, name):
+    assert_matches_oracle(spark, name, sf_dir)
+
+
+def test_hll_estimate_accuracy_envelope(spark, sf_dir):
+    """The raw (uncorrected) register estimate lands within a loose
+    envelope of the truth — at small cardinalities raw HLL
+    overestimates — which the constant-table linear-counting
+    correction repairs; err_bp is self-consistent."""
+    h = QUERIES["events_hll_estimate"](spark, sf_dir).toPandas()
+    # corrected estimate: within ±30% (m=256 → ~6.5% std error for
+    # the raw regime; linear counting tighter still at small V)
+    assert (h["hll_estimate"] * 10 >= h["exact_distinct"] * 7).all()
+    assert (h["hll_estimate"] * 10 <= h["exact_distinct"] * 13).all()
+    err = (
+        10000 * (h["hll_estimate"] - h["exact_distinct"]).abs()
+        // h["exact_distinct"]
+    )
+    assert (err == h["err_bp"]).all()
+    assert (h["n_filled"] <= 256).all()
+
+
+def test_keyspace_fragmentation_conserves(spark, sf_dir):
+    import duckdb
+
+    f = QUERIES["orders_keyspace_fragmentation"](spark, sf_dir).toPandas()
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/orders.parquet'"
+    ).fetchone()[0]
+    assert f["n_keys"].sum() == n
+    assert (f["interior_gaps"] >= 0).all()
+    assert (f["density_bp"] <= 10000).all()
