@@ -8739,3 +8739,110 @@ def q_orders_keyspace_fragmentation(spark, sf_dir):
             ).alias("interior_gaps"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# R7: per-source vocabulary drift
+# ---------------------------------------------------------------------------
+
+_DRIFT_HEAD_K = 200  # head vocabulary compared (bounded)
+
+
+@query(
+    "text_source_drift",
+    oracle=f"""
+        WITH tok AS (
+            SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+        , corpus AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS cf
+            FROM tok GROUP BY tok)
+        , head AS (
+            SELECT tok, cf, CAST(row_number() OVER (
+                ORDER BY cf DESC, tok ASC) AS BIGINT) AS rnk
+            FROM corpus QUALIFY rnk <= {_DRIFT_HEAD_K})
+        , totals AS (
+            SELECT CAST(SUM(cf) AS BIGINT) AS corpus_total FROM corpus)
+        , stot AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS source_total
+            FROM tok GROUP BY source)
+        , sf AS (
+            SELECT t.source, t.tok, CAST(COUNT(*) AS BIGINT) AS f
+            FROM tok t JOIN head h ON h.tok = t.tok
+            GROUP BY t.source, t.tok)
+        , ppm AS (
+            SELECT st.source, h.tok,
+                   (1000000 * COALESCE(s.f, 0)) // st.source_total AS p_src,
+                   (1000000 * h.cf) // tt.corpus_total AS p_corpus
+            FROM stot st
+            CROSS JOIN head h
+            CROSS JOIN totals tt
+            LEFT JOIN sf s ON s.source = st.source AND s.tok = h.tok)
+        SELECT source,
+               CAST(SUM(((p_src - p_corpus) * (p_src - p_corpus))
+                    // (p_src + p_corpus + 1)) AS BIGINT) AS chisq_ppm,
+               CAST(SUM(CASE WHEN p_src = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_missing_head_tokens
+        FROM ppm GROUP BY source
+    """,
+)
+def q_text_source_drift(spark, sf_dir):
+    """Per-source vocabulary drift vs the corpus: a chi-square-style
+    distance Σ (p_s − p_c)²/(p_s + p_c + 1) over the TOP-{_DRIFT_HEAD_K}
+    head vocabulary, all in ppm floor integers (the log-free
+    domain-shift measure; KL/JS need ln, which has no integer form —
+    chi² ranks the same drifts). High-drift sources are the strata
+    the domain mixer (#86) and confusion matrix (#189) investigate
+    first.
+
+    Scale: the head vocabulary is a K-bounded broadcast; per-source
+    frequencies come from one token join against it (K-bounded per
+    source); the rank window runs on the vocabulary-bounded corpus
+    table."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    corpus = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cf"))
+    w = Window.orderBy(F.col("cf").desc(), F.col("tok").asc())
+    head = (
+        corpus.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= _DRIFT_HEAD_K)
+        .select("tok", "cf")
+    )
+    totals = corpus.agg(F.sum("cf").alias("corpus_total"))
+    stot = tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("source_total")
+    )
+    sf_ = (
+        tok.join(F.broadcast(head.select("tok")), "tok")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    ppm = (
+        stot.crossJoin(F.broadcast(head))
+        .crossJoin(F.broadcast(totals))
+        .join(sf_, ["source", "tok"], "left")
+        .select(
+            "source",
+            F.expr(
+                "(1000000 * coalesce(f, 0)) div source_total"
+            ).alias("p_src"),
+            F.expr("(1000000 * cf) div corpus_total").alias("p_corpus"),
+        )
+    )
+    return ppm.groupBy("source").agg(
+        F.sum(
+            F.expr(
+                "((p_src - p_corpus) * (p_src - p_corpus))"
+                " div (p_src + p_corpus + 1)"
+            )
+        )
+        .cast("long")
+        .alias("chisq_ppm"),
+        F.sum(F.when(F.col("p_src") == 0, 1).otherwise(0)).alias(
+            "n_missing_head_tokens"
+        ),
+    )

@@ -1211,3 +1211,29 @@ def test_keyspace_fragmentation_conserves(spark, sf_dir):
     assert f["n_keys"].sum() == n
     assert (f["interior_gaps"] >= 0).all()
     assert (f["density_bp"] <= 10000).all()
+
+
+# ---------------------------------------------------------------------------
+# R7o: per-source vocabulary drift
+# ---------------------------------------------------------------------------
+
+
+def test_r7o_source_drift_parity(spark, sf_dir):
+    assert_matches_oracle(spark, "text_source_drift", sf_dir)
+
+
+def test_source_drift_laws(spark, sf_dir):
+    """Every source appears once; drift is non-negative; missing
+    head tokens are bounded by the head size; a source identical to
+    the corpus would score 0 (self-consistency: the aggregate of all
+    sources weighted by volume reconstructs the corpus, so drifts
+    cannot ALL be large while missing counts are 0)."""
+    d = QUERIES["text_source_drift"](spark, sf_dir).toPandas()
+    import duckdb
+
+    n_sources = duckdb.sql(
+        f"SELECT COUNT(DISTINCT source) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    assert len(d) == n_sources
+    assert (d["chisq_ppm"] >= 0).all()
+    assert (d["n_missing_head_tokens"] <= 200).all()
