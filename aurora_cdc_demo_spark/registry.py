@@ -8846,3 +8846,64 @@ def q_text_source_drift(spark, sf_dir):
             "n_missing_head_tokens"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# R7: work-balanced snapshot chunk planner
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cdc_snapshot_chunk_plan",
+    oracle=_with_log(
+        f"""
+        , keys AS (
+            SELECT key_id, CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM log GROUP BY key_id)
+        , ranked AS (
+            SELECT key_id, n_events,
+                   CAST(row_number() OVER (ORDER BY key_id ASC)
+                        AS BIGINT) AS rnk,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n
+            FROM keys)
+        SELECT ((rnk - 1) * {_SNAP_CHUNKS}) // n AS chunk,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(n_events) AS BIGINT) AS n_events,
+               MIN(key_id) AS lo_key, MAX(key_id) AS hi_key
+        FROM ranked GROUP BY 1
+        """
+    ),
+)
+def q_cdc_snapshot_chunk_plan(spark, sf_dir):
+    """Work-balanced snapshot chunk PLANNER — the fix for what
+    orders_keyspace_fragmentation (#209) measures: equal-WIDTH
+    chunks go wrong on fragmented keyspaces, so chunk boundaries
+    come from the key RANK instead (chunk = (rank−1)·N div n —
+    each chunk gets n/N ± 1 keys whatever the key distribution),
+    with per-chunk event volume as the work estimate the
+    incremental snapshotter (#163) schedules by.
+
+    Scale: the rank window runs over the KEY dimension (one row per
+    key after the map-side-combined count — orders of magnitude
+    below the log); if keys ever reach fact scale the rank
+    decomposes into the band-prefix form proven exact by #132/#194.
+    Output is N rows."""
+    from pyspark.sql import Window
+
+    log = cdc_operation_log(spark, sf_dir)
+    keys = log.groupBy("key_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.orderBy(F.col("key_id").asc())
+    n = keys.agg(F.count(F.lit(1)).alias("n"))
+    ranked = keys.withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    ).crossJoin(F.broadcast(n))
+    return ranked.groupBy(
+        F.expr(f"((rnk - 1) * {_SNAP_CHUNKS}) div n").alias("chunk")
+    ).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_events").alias("n_events"),
+        F.min("key_id").alias("lo_key"),
+        F.max("key_id").alias("hi_key"),
+    )

@@ -1237,3 +1237,23 @@ def test_source_drift_laws(spark, sf_dir):
     assert len(d) == n_sources
     assert (d["chisq_ppm"] >= 0).all()
     assert (d["n_missing_head_tokens"] <= 200).all()
+
+
+def test_snapshot_chunk_plan_balances_keys(spark, sf_dir):
+    """Chunks hold n/N ± 1 keys regardless of key distribution,
+    cover disjoint ascending ranges, and conserve keys and events."""
+    cp = (
+        QUERIES["cdc_snapshot_chunk_plan"](spark, sf_dir)
+        .toPandas()
+        .sort_values("chunk")
+        .reset_index(drop=True)
+    )
+    log = QUERIES["cdc_operation_log"](spark, sf_dir).toPandas()
+    assert cp["n_keys"].sum() == log["key_id"].nunique()
+    assert cp["n_events"].sum() == len(log)
+    assert cp["n_keys"].max() - cp["n_keys"].min() <= 1
+    assert (cp["lo_key"].values[1:] > cp["hi_key"].values[:-1]).all()
+
+
+def test_r7_chunk_plan_parity(spark, sf_dir):
+    assert_matches_oracle(spark, "cdc_snapshot_chunk_plan", sf_dir)
