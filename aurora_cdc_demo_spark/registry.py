@@ -8907,3 +8907,120 @@ def q_cdc_snapshot_chunk_plan(spark, sf_dir):
         F.min("key_id").alias("lo_key"),
         F.max("key_id").alias("hi_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R7: document novelty, ordering-tie observability
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        , grams AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, len(t) - 1),
+                          i -> array_to_string(t[i:i+2], ' '))) AS g
+            FROM toks WHERE len(t) >= 3)
+        , first_seen AS (
+            SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g)
+        SELECT gr.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN f.first_doc = gr.doc_id
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+               CAST((10000 * SUM(CASE WHEN f.first_doc = gr.doc_id
+                        THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+                   AS novelty_bp
+        FROM grams gr JOIN first_seen f ON f.g = gr.g
+        GROUP BY gr.doc_id
+    """,
+)
+def q_text_ngram_novelty(spark, sf_dir):
+    """Document novelty in ingestion order: the share of a doc's
+    distinct 3-gram shingles appearing for the FIRST time in the
+    corpus at that doc — the keep-the-new signal an incremental
+    crawl reads (novelty ≈ 0 → the doc is assembled from text
+    already ingested, even if no single source contains it — the
+    case pairwise dedup structurally misses). Same
+    charge-to-first-occurrence algebra as text_vocab_growth (#202)
+    at shingle granularity: one gram-keyed aggregate (min doc),
+    one gram-keyed join back — linear shuffles, nothing broadcast,
+    no quadratic structure.
+
+    The first document scores 10000 by construction; corpus novelty
+    mass conservation (Σ n_novel = |distinct grams|) pinned in
+    pytest."""
+    from .operators.dedup import shingles
+
+    grams = shingles(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.col("s").alias("g")
+    )
+    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+            F.expr(
+                "(10000 * sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0"
+                " END)) div count(1)"
+            ).alias("novelty_bp"),
+        )
+    )
+
+
+@query(
+    "cdc_ordering_tie_report",
+    oracle=_with_log(
+        """
+        , ties AS (
+            SELECT key_id, ts, CAST(COUNT(*) AS BIGINT) AS n_ops,
+                   MAX(seq) - MIN(seq) AS seq_span
+            FROM log GROUP BY key_id, ts HAVING COUNT(*) > 1)
+        SELECT CAST((SELECT COUNT(*) FROM log) AS BIGINT) AS n_events,
+               CAST(COUNT(*) AS BIGINT) AS n_tie_groups,
+               CAST(COALESCE(SUM(n_ops), 0) AS BIGINT) AS n_tied_events,
+               CAST(COALESCE(MAX(n_ops), 0) AS BIGINT) AS worst_tie,
+               CAST(COALESCE(MAX(seq_span), 0) AS BIGINT)
+                   AS worst_tie_seq_span
+        FROM ties
+        """
+    ),
+)
+def q_cdc_ordering_tie_report(spark, sf_dir):
+    """Ordering-tie observability: how often the (ts, seq) total
+    order actually NEEDS its seq tie-break — same-key events sharing
+    a timestamp are exactly where latest-state, SCD2 and sessionize
+    results depend on binlog position rather than time (the
+    hypothesis suite's seq-split counterexample lives here). A
+    pipeline consuming a source WITHOUT a reliable position column
+    reads this report to know how much state is timestamp-ambiguous.
+    One (key, ts) map-side-combined aggregate; 1-row output."""
+    log = cdc_operation_log(spark, sf_dir)
+    n_events = log.count()
+    ties = (
+        log.groupBy("key_id", "ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_ops"),
+            (F.max("seq") - F.min("seq")).alias("seq_span"),
+        )
+        .where(F.col("n_ops") > 1)
+    )
+    return ties.agg(
+        F.lit(n_events).cast("long").alias("n_events"),
+        F.count(F.lit(1)).alias("n_tie_groups"),
+        F.coalesce(F.sum("n_ops"), F.lit(0)).cast("long").alias(
+            "n_tied_events"
+        ),
+        F.coalesce(F.max("n_ops"), F.lit(0)).cast("long").alias(
+            "worst_tie"
+        ),
+        F.coalesce(F.max("seq_span"), F.lit(0)).cast("long").alias(
+            "worst_tie_seq_span"
+        ),
+    )

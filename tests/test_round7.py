@@ -1257,3 +1257,44 @@ def test_snapshot_chunk_plan_balances_keys(spark, sf_dir):
 
 def test_r7_chunk_plan_parity(spark, sf_dir):
     assert_matches_oracle(spark, "cdc_snapshot_chunk_plan", sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# R7p: novelty + ordering ties
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name", ["text_ngram_novelty", "cdc_ordering_tie_report"]
+)
+def test_r7p_oracle_parity(spark, sf_dir, name):
+    assert_matches_oracle(spark, name, sf_dir)
+
+
+def test_novelty_conserves_gram_mass(spark, sf_dir):
+    """Σ n_novel over docs = |distinct shingles| (every gram charged
+    to exactly one first-occurrence doc); the first doc scores
+    10000; novelty is a proper bp."""
+    import duckdb
+
+    nv = QUERIES["text_ngram_novelty"](spark, sf_dir).toPandas()
+    n_grams = duckdb.sql(
+        f"""SELECT COUNT(DISTINCT g) FROM (
+            SELECT unnest(list_transform(range(1, len(t) - 1),
+                   i -> array_to_string(t[i:i+2], ' '))) AS g
+            FROM (SELECT string_split(text, ' ') AS t
+                  FROM '{sf_dir}/documents.parquet') WHERE len(t) >= 3)"""
+    ).fetchone()[0]
+    assert nv["n_novel"].sum() == n_grams
+    first = nv.sort_values("doc_id").iloc[0]
+    assert first["novelty_bp"] == 10000
+    assert nv["novelty_bp"].between(0, 10000).all()
+
+
+def test_ordering_tie_report_consistent(spark, sf_dir):
+    t = QUERIES["cdc_ordering_tie_report"](spark, sf_dir).toPandas().iloc[0]
+    log = QUERIES["cdc_operation_log"](spark, sf_dir).toPandas()
+    assert t["n_events"] == len(log)
+    dup = log.groupby(["key_id", "ts"])["seq"].count()
+    assert t["n_tie_groups"] == int((dup > 1).sum())
+    assert t["n_tied_events"] == int(dup[dup > 1].sum())
