@@ -2139,3 +2139,34 @@ def semdedup_tau_sweep_sql(dialect: str, n_seeds: int = N_SEEDS) -> str:
 
 def semdedup_tau_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, semdedup_tau_sweep_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Cosine calibration histogram over the LSH candidate pairs — the
+# continuous view behind the NEAR_DUP_THRESHOLD choice (the Jaccard
+# threshold sweep's embedding twin): decile-bucketed cosine counts
+# of banded candidates, never all-pairs.
+# ---------------------------------------------------------------------------
+
+
+def cos_histogram_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    return f"""
+        WITH {_lsh_band_ctes(dialect)}
+        , scored AS (
+            SELECT cand.vec_a, cand.vec_b,
+                   ({_dot('va.embedding', 'vb.embedding', dialect)})
+                       / (va.nrm * vb.nrm) AS cos
+            FROM cand
+            JOIN v va ON va.vec_id = cand.vec_a
+            JOIN v vb ON vb.vec_id = cand.vec_b)
+        SELECT CAST(FLOOR(cos * 10) AS BIGINT) AS cos_decile,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(FLOOR(MIN(cos) * 1000000) AS BIGINT) AS min_cos_e6,
+               CAST(FLOOR(MAX(cos) * 1000000) AS BIGINT) AS max_cos_e6
+        FROM scored GROUP BY 1
+    """
+
+
+def cos_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, cos_histogram_sql("spark"))

@@ -9024,3 +9024,77 @@ def q_cdc_ordering_tie_report(spark, sf_dir):
             "worst_tie_seq_span"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# R7: cosine calibration histogram, schema completeness profile
+# ---------------------------------------------------------------------------
+
+
+@query("embed_cos_histogram", oracle=_sim.cos_histogram_sql("duck"))
+def q_embed_cos_histogram(spark, sf_dir):
+    """Cosine calibration histogram over the hyperplane-LSH
+    candidate pairs: decile-bucketed similarity counts — the
+    continuous distribution one reads before fixing
+    NEAR_DUP_THRESHOLD (the embedding twin of dedup_threshold_sweep
+    #190); a bimodal histogram separates true duplicates from the
+    banding noise floor. Candidates only (banded equi-join) — the
+    histogram never looks at all pairs. See
+    operators/similarity.py:cos_histogram_sql."""
+    return _sim.cos_histogram(spark, sf_dir)
+
+
+_PROFILE_COLS = (
+    ("events", ("event_id", "ts", "user_id", "event_type", "value", "props")),
+    ("documents", ("doc_id", "text", "lang", "source", "n_chars")),
+    ("embeddings", ("vec_id", "embedding", "label")),
+    ("orders", ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                "o_orderdate", "o_orderpriority")),
+    ("customer", ("c_custkey", "c_name", "c_nationkey", "c_mktsegment",
+                  "c_acctbal")),
+    ("supplier", ("s_suppkey", "s_name", "s_nationkey", "s_acctbal")),
+    ("part", ("p_partkey", "p_name", "p_type", "p_brand", "p_retailprice")),
+)
+
+
+@query(
+    "dq_completeness_profile",
+    oracle=f"""
+        SELECT * FROM ({" UNION ALL ".join(
+            f"SELECT '{t}' AS table_name, '{c}' AS column_name, "
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM {t}) AS n_rows, "
+            f"(SELECT CAST(COUNT(*) - COUNT({c}) AS BIGINT) FROM {t}) "
+            f"AS n_null"
+            for t, cols in _PROFILE_COLS for c in cols)}) p
+    """,
+)
+def q_dq_completeness_profile(spark, sf_dir):
+    """Schema-wide completeness profile: NULL counts for every
+    column of every table in one report — the profiling DQ layer
+    beside the row-level audit (#67) and the FK audit (#203);
+    medallion promotion gates read exactly this table. Each column
+    is a COUNT(col) conditional inside its table's single
+    map-side-combined scan (Spark runs ONE aggregate per table, not
+    one per column); output is |columns| rows."""
+    outs = []
+    for t, cols in _PROFILE_COLS:
+        df = load_table(spark, sf_dir, t)
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                (F.count(F.lit(1)) - F.count(c)).alias(f"null_{c}")
+                for c in cols
+            ],
+        )
+        for c in cols:
+            outs.append(
+                agg.select(
+                    F.lit(t).alias("table_name"),
+                    F.lit(c).alias("column_name"),
+                    F.col("n_rows").cast("long").alias("n_rows"),
+                    F.col(f"null_{c}").cast("long").alias("n_null"),
+                )
+            )
+    from functools import reduce as _reduce
+
+    return _reduce(lambda a, b: a.unionByName(b), outs)

@@ -1298,3 +1298,39 @@ def test_ordering_tie_report_consistent(spark, sf_dir):
     dup = log.groupby(["key_id", "ts"])["seq"].count()
     assert t["n_tie_groups"] == int((dup > 1).sum())
     assert t["n_tied_events"] == int(dup[dup > 1].sum())
+
+
+# ---------------------------------------------------------------------------
+# R7q: cosine histogram + completeness profile
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name", ["embed_cos_histogram", "dq_completeness_profile"]
+)
+def test_r7q_oracle_parity(spark, sf_dir, name):
+    assert_matches_oracle(spark, name, sf_dir)
+
+
+def test_cos_histogram_covers_near_dups(spark, sf_dir):
+    """Pairs at or above the near-dup threshold in the histogram
+    equal the shipped embed_near_dup_lsh pair count; decile bounds
+    are consistent."""
+    h = QUERIES["embed_cos_histogram"](spark, sf_dir).toPandas()
+    nd = QUERIES["embed_near_dup_lsh"](spark, sf_dir).count()
+    # NEAR_DUP_THRESHOLD = 0.4 -> deciles >= 4 hold the verified pairs
+    n_above = h.loc[h["cos_decile"] >= 4, "n_pairs"].sum()
+    assert n_above == nd
+    assert (h["min_cos_e6"] <= h["max_cos_e6"]).all()
+
+
+def test_completeness_profile_clean_and_conserving(spark, sf_dir):
+    import duckdb
+
+    p = QUERIES["dq_completeness_profile"](spark, sf_dir).toPandas()
+    assert (p["n_null"] == 0).all()  # generator emits complete rows
+    for t in ("events", "documents", "orders"):
+        n = duckdb.sql(
+            f"SELECT COUNT(*) FROM '{sf_dir}/{t}.parquet'"
+        ).fetchone()[0]
+        assert (p.loc[p["table_name"] == t, "n_rows"] == n).all()
