@@ -2170,3 +2170,89 @@ def cos_histogram_sql(dialect: str) -> str:
 
 def cos_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, cos_histogram_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# PageRank convergence series: per-round L1 residual + total mass —
+# the is-3-rounds-enough certificate for the fixed unroll depth
+# (the iteration-observability twin of the UniMax fixpoint
+# certificate). Residual arms reference every round's rank table,
+# so the duck dialect MATERIALIZES each r_i (CTE inlining would
+# re-instantiate the KNN chain per arm) and the Spark path iterates
+# over the checkpointed edge view.
+# ---------------------------------------------------------------------------
+
+
+def pagerank_convergence_sql(dialect: str, edges_view: str | None = None,
+                             n_seeds: int = N_SEEDS) -> str:
+    div = "div" if dialect == "spark" else "//"
+    mat = "MATERIALIZED " if dialect != "spark" else ""
+    if dialect == "spark":
+        assert edges_view is not None
+        ctes = f"""
+        WITH edges AS (SELECT src, dst FROM {edges_view})
+        , nodes AS (SELECT vec_id FROM embeddings)"""
+    else:
+        ctes = f"""
+        {_knn_ctes(dialect, n_seeds)}
+        , edges AS {mat}(
+            SELECT vec_id AS src, neighbor_id AS dst
+            FROM ranked WHERE rnk <= {KNN_K})
+        , nodes AS (SELECT vec_id FROM v)"""
+    ctes += f"""
+        , nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes)
+        , outdeg AS {mat}(
+            SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM edges GROUP BY src)
+        , r0 AS {mat}(
+            SELECT vec_id, CAST({PR_SCALE} {div} n_nodes AS BIGINT) AS r
+            FROM nodes CROSS JOIN nn)"""
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        ctes += f"""
+        , c{i} AS (
+            SELECT e.dst AS vec_id,
+                   CAST(SUM(p.r {div} d.deg) AS BIGINT) AS contrib
+            FROM edges e
+            JOIN {prev} p ON p.vec_id = e.src
+            JOIN outdeg d ON d.src = e.src
+            GROUP BY e.dst)
+        , r{i} AS {mat}(
+            SELECT n.vec_id,
+                   CAST((15 * ({PR_SCALE} {div} nn.n_nodes)) {div} 100
+                        + (85 * COALESCE(c.contrib, 0)) {div} 100
+                        AS BIGINT) AS r
+            FROM nodes n CROSS JOIN nn
+            LEFT JOIN c{i} c ON c.vec_id = n.vec_id)"""
+        prev = f"r{i}"
+    arms = " UNION ALL ".join(
+        f"""SELECT CAST({i} AS BIGINT) AS round,
+               (SELECT CAST(SUM(ABS(a.r - b.r)) AS BIGINT)
+                FROM r{i} a JOIN r{i - 1} b ON b.vec_id = a.vec_id)
+                   AS residual_e9,
+               (SELECT CAST(SUM(r) AS BIGINT) FROM r{i}) AS mass_e9"""
+        for i in range(1, PR_ITERS + 1)
+    )
+    return f"""{ctes}
+        SELECT * FROM ({arms}) t
+    """
+
+
+def pagerank_convergence(
+    spark: SparkSession, sf_dir: str, n_seeds: int = N_SEEDS
+) -> DataFrame:
+    from ..tables import load_table
+
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    edges = spark.sql(
+        f"""{_knn_ctes('spark', n_seeds)}
+        SELECT vec_id AS src, neighbor_id AS dst
+        FROM ranked WHERE rnk <= {KNN_K}
+        """
+    ).localCheckpoint()
+    edges.createOrReplaceTempView("knn_edges_conv_mat")
+    return spark.sql(
+        pagerank_convergence_sql("spark", "knn_edges_conv_mat")
+    )

@@ -9098,3 +9098,20 @@ def q_dq_completeness_profile(spark, sf_dir):
     from functools import reduce as _reduce
 
     return _reduce(lambda a, b: a.unionByName(b), outs)
+
+
+@query(
+    "graph_pagerank_convergence",
+    oracle=_sim.pagerank_convergence_sql("duck"),
+)
+def q_graph_pagerank_convergence(spark, sf_dir):
+    """PageRank convergence certificate: per-round L1 residual and
+    total mass of the #121 iteration — the is-the-unroll-deep-enough
+    evidence (the iteration twin of UniMax's fixpoint certificate
+    #151): a geometrically shrinking residual certifies the fixed
+    3-round plan; mass tracks the damping + dangling-loss algebra.
+    Spark iterates over the ONCE-checkpointed edge view; the duck
+    oracle MATERIALIZES every round's rank table (inlining would
+    re-instantiate the KNN chain per residual arm). See
+    operators/similarity.py:pagerank_convergence_sql."""
+    return _sim.pagerank_convergence(spark, sf_dir)

@@ -1334,3 +1334,31 @@ def test_completeness_profile_clean_and_conserving(spark, sf_dir):
             f"SELECT COUNT(*) FROM '{sf_dir}/{t}.parquet'"
         ).fetchone()[0]
         assert (p.loc[p["table_name"] == t, "n_rows"] == n).all()
+
+
+# ---------------------------------------------------------------------------
+# R7r: PageRank convergence certificate
+# ---------------------------------------------------------------------------
+
+
+def test_r7r_pagerank_convergence_parity(spark, sf_dir):
+    assert_matches_oracle(spark, "graph_pagerank_convergence", sf_dir)
+
+
+def test_pagerank_residual_shrinks(spark, sf_dir):
+    """The L1 residual is strictly decreasing over the unrolled
+    rounds (damping 0.85 contracts the map) — the certificate that 3
+    rounds is a sane fixed depth; mass stays positive and bounded by
+    the initial scale."""
+    from aurora_cdc_demo_spark.operators.similarity import PR_SCALE
+
+    c = (
+        QUERIES["graph_pagerank_convergence"](spark, sf_dir)
+        .toPandas()
+        .sort_values("round")
+        .reset_index(drop=True)
+    )
+    assert len(c) == 3
+    assert c["residual_e9"].is_monotonic_decreasing
+    assert (c["mass_e9"] > 0).all()
+    assert (c["mass_e9"] <= PR_SCALE).all()
