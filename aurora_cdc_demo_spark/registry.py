@@ -9115,3 +9115,122 @@ def q_graph_pagerank_convergence(spark, sf_dir):
     re-instantiate the KNN chain per residual arm). See
     operators/similarity.py:pagerank_convergence_sql."""
     return _sim.pagerank_convergence(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# R7: order-total consistency audit, props schema inference
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_order_total_consistency",
+    oracle="""
+        WITH charges AS (
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(ROUND(((l_extendedprice
+                        * (1 - l_discount)) * (1 + l_tax)) * 1000000)
+                        AS BIGINT)) AS BIGINT) AS line_total_e6
+            FROM lineitem GROUP BY l_orderkey)
+        , diffs AS (
+            SELECT o.o_orderkey,
+                   ABS(CAST(ROUND(o.o_totalprice * 100) AS BIGINT) * 10000
+                       - COALESCE(c.line_total_e6, 0)) // 10000 AS diff_e2,
+                   c.l_orderkey IS NULL AS no_lineitems
+            FROM orders o LEFT JOIN charges c
+              ON c.l_orderkey = o.o_orderkey)
+        SELECT CAST(LENGTH(bin(diff_e2 + 1)) - 1 AS BIGINT)
+                   AS diff_octave_e2,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CASE WHEN no_lineitems THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_without_lineitems,
+               MIN(diff_e2) AS min_diff_e2, MAX(diff_e2) AS max_diff_e2
+        FROM diffs GROUP BY 1
+    """,
+)
+def q_dq_order_total_consistency(spark, sf_dir):
+    """Cross-table invariant audit: |o_totalprice − Σ line charges|
+    per order, octave-bucketed in cents — the TPC-H consistency rule
+    (totalprice = Σ extprice·(1−disc)·(1+tax)) checked as a DQ
+    query. On this driver's generator the invariant does NOT hold
+    (totalprice is drawn independently) — the audit REPORTS that,
+    which is exactly its job; pinned in pytest so a future generator
+    change that fixes the invariant surfaces as a (welcome) test
+    update. Charges are per-line e6 integers (6-decimal product is
+    rationally integral, so the round is boundary-safe), summed
+    exactly; diffs integer cents; octave via length(bin())-1.
+
+    Scale: one map-side-combined lineitem aggregate + an
+    order-keyed left join; octave-bounded output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    charges = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.round(
+                (
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    * (1 + F.col("l_tax"))
+                )
+                * 1000000
+            ).cast("long")
+        ).alias("line_total_e6")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    diffs = orders.join(
+        charges, F.col("o_orderkey") == F.col("l_orderkey"), "left"
+    ).select(
+        F.expr(
+            "ABS(CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000"
+            " - COALESCE(line_total_e6, 0)) div 10000"
+        ).alias("diff_e2"),
+        F.col("l_orderkey").isNull().alias("no_lineitems"),
+    )
+    return diffs.groupBy(
+        (F.length(F.bin(F.col("diff_e2") + 1)) - 1)
+        .cast("long")
+        .alias("diff_octave_e2")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("no_lineitems"), 1).otherwise(0)).alias(
+            "n_without_lineitems"
+        ),
+        F.min("diff_e2").alias("min_diff_e2"),
+        F.max("diff_e2").alias("max_diff_e2"),
+    )
+
+
+@query(
+    "events_props_schema_report",
+    oracle="""
+        WITH keys AS (
+            SELECT event_id, unnest(json_keys(props)) AS k FROM events)
+        , tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events)
+        SELECT k AS prop_key,
+               CAST(COUNT(*) AS BIGINT) AS n_present,
+               CAST((10000 * COUNT(*)) // t.n AS BIGINT) AS presence_bp
+        FROM keys CROSS JOIN tot t
+        GROUP BY k, t.n
+    """,
+)
+def q_events_props_schema_report(spark, sf_dir):
+    """Semi-structured schema inference over the props JSON column:
+    every key observed, with presence share — the schema-drift
+    monitor for payloads no DDL governs (a new producer key or a
+    vanishing one shows up here first; today's generator emits the
+    single key 'k' at 100%, and THAT is the pinned baseline drift is
+    measured against). json_object_keys/json_keys both engines; one
+    map-side-combined aggregate over the exploded keys."""
+    ev = load_table(spark, sf_dir, "events")
+    keys = ev.select(
+        "event_id",
+        F.explode(F.json_object_keys(F.col("props"))).alias("k"),
+    )
+    tot = ev.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        keys.groupBy(F.col("k").alias("prop_key"))
+        .agg(F.count(F.lit(1)).alias("n_present"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "prop_key",
+            "n_present",
+            F.expr("(10000 * n_present) div n").alias("presence_bp"),
+        )
+    )

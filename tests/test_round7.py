@@ -1362,3 +1362,38 @@ def test_pagerank_residual_shrinks(spark, sf_dir):
     assert c["residual_e9"].is_monotonic_decreasing
     assert (c["mass_e9"] > 0).all()
     assert (c["mass_e9"] <= PR_SCALE).all()
+
+
+# ---------------------------------------------------------------------------
+# R7s: order-total audit + props schema report
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name", ["dq_order_total_consistency", "events_props_schema_report"]
+)
+def test_r7s_oracle_parity(spark, sf_dir, name):
+    assert_matches_oracle(spark, name, sf_dir)
+
+
+def test_order_total_audit_finds_generator_gap(spark, sf_dir):
+    """The driver generator draws o_totalprice independently of the
+    lineitems, so the TPC-H invariant FAILS here and the audit must
+    say so (n_orders conserved; nonzero diffs dominate). If a future
+    generator enforces the invariant this test flips — intentionally."""
+    import duckdb
+
+    a = QUERIES["dq_order_total_consistency"](spark, sf_dir).toPandas()
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/orders.parquet'"
+    ).fetchone()[0]
+    assert a["n_orders"].sum() == n
+    zero_bucket = a.loc[a["diff_octave_e2"] == 0, "n_orders"].sum()
+    assert zero_bucket < n  # inconsistency is detected
+    assert (a["min_diff_e2"] <= a["max_diff_e2"]).all()
+
+
+def test_props_schema_is_single_key_baseline(spark, sf_dir):
+    p = QUERIES["events_props_schema_report"](spark, sf_dir).toPandas()
+    assert list(p["prop_key"]) == ["k"]
+    assert (p["presence_bp"] == 10000).all()
