@@ -9234,3 +9234,203 @@ def q_events_props_schema_report(spark, sf_dir):
             F.expr("(10000 * n_present) div n").alias("presence_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# R7: rolling distinct via HLL merge, norm variance decomposition
+# ---------------------------------------------------------------------------
+
+
+def _rolling_hll_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    if dialect == "spark":
+        a = (
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8),"
+            " 16, 10) AS BIGINT)"
+        )
+        b = (
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 9, 8),"
+            " 16, 10) AS BIGINT)"
+        )
+        shl = f"shiftleft(CAST(1 AS BIGINT), {_HLL_SHIFT} - CAST(rho AS INT))"
+        big = "DECIMAL(38,0)"
+        est = (
+            f"CAST((CAST({_HLL_ALPHA_E5} AS {big}) * {_HLL_M} * {_HLL_M}"
+            f" * CAST(shiftleft(CAST(1 AS BIGINT), {_HLL_SHIFT}) AS {big}))"
+            f" div (CAST(denom AS {big}) * 100000) AS BIGINT)"
+        )
+    else:
+        a = "CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)"
+        b = "CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8) AS BIGINT)"
+        shl = f"(CAST(1 AS BIGINT) << ({_HLL_SHIFT} - CAST(rho AS INT)))"
+        est = (
+            f"CAST((CAST({_HLL_ALPHA_E5} AS HUGEINT) * {_HLL_M} * {_HLL_M}"
+            f" * (CAST(1 AS HUGEINT) << {_HLL_SHIFT}))"
+            f" // (CAST(denom AS HUGEINT) * 100000) AS BIGINT)"
+        )
+    mat = "MATERIALIZED " if dialect == "duck" else ""
+    epoch_day = (
+        "unix_micros(ts) div 86400000000"
+        if dialect == "spark"
+        else "epoch_us(ts) // 86400000000"
+    )
+    return f"""
+        WITH daily_regs AS {mat}(
+            SELECT day, bucket, MAX(rho) AS rho FROM (
+                SELECT {epoch_day} AS day,
+                       {_sk._hll_cols(a, b, div)[0]} AS bucket,
+                       CAST({_sk._hll_cols(a, b, div)[1]} AS BIGINT) AS rho
+                FROM events) t
+            GROUP BY day, bucket)
+        , days AS (SELECT DISTINCT day FROM daily_regs)
+        , win AS (
+            SELECT d.day, r.bucket, MAX(r.rho) AS rho
+            FROM days d
+            JOIN daily_regs r
+              ON r.day BETWEEN d.day - 6 AND d.day
+            GROUP BY d.day, r.bucket)
+        , filled AS (
+            SELECT day, CAST(COUNT(*) AS BIGINT) AS n_filled,
+                   CAST(SUM({shl}) AS BIGINT) AS filled_denom
+            FROM win GROUP BY day)
+        , denoms AS (
+            SELECT day, n_filled,
+                   filled_denom + ({_HLL_M} - n_filled)
+                       * CAST({2 ** _HLL_SHIFT} AS BIGINT) AS denom
+            FROM filled)
+        , raw AS (
+            SELECT day, n_filled, {est} AS raw_est,
+                   {_HLL_M} - n_filled AS n_empty
+            FROM denoms)
+        , corrected AS (
+            SELECT r.day,
+                   CAST(CASE WHEN r.raw_est <= {_HLL_M * 5 // 2}
+                                  AND r.n_empty > 0
+                        THEN lc.lc_est ELSE r.raw_est END AS BIGINT)
+                       AS hll_estimate
+            FROM raw r LEFT JOIN {_hll_lc_table()}
+              ON lc.v = r.n_empty)
+        , pairs AS (
+            SELECT DISTINCT {epoch_day} AS day, user_id FROM events)
+        , exact AS (
+            SELECT d.day, CAST(COUNT(DISTINCT p.user_id) AS BIGINT)
+                       AS exact_distinct
+            FROM days d JOIN pairs p
+              ON p.day BETWEEN d.day - 6 AND d.day
+            GROUP BY d.day)
+        SELECT c.day, c.hll_estimate, e.exact_distinct,
+               (10000 * ABS(c.hll_estimate - e.exact_distinct))
+                   {div} e.exact_distinct AS err_bp
+        FROM corrected c JOIN exact e ON e.day = c.day
+    """
+
+
+@query("events_rolling_distinct_hll", oracle=_rolling_hll_sql("duck"))
+def q_events_rolling_distinct_hll(spark, sf_dir):
+    """Trailing-7-day distinct users via HLL REGISTER MERGE — the
+    sketch-mergeability story as a batch query: per-day registers
+    (256 rows/day forever) OR-merge by MAX across the window, so the
+    rolling distinct costs 7×256 register rows per day instead of
+    re-scanning a week of raw events — THE way a 100 TB pipeline
+    serves rolling uniques (the exact twin here is the bounded
+    7-day fan-out of #146; the exact arm exists to measure err_bp).
+    Same integer estimator + linear-counting constant table as
+    #208. Registers use
+    the SAME K-M hash + trailing-zero rank as #156 (shared
+    _hll_cols), so these are the real mergeable registers, not a
+    presence bitmap.
+
+    Scale: one events scan → day-bounded register table; everything
+    after is |days|×256 algebra."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_rolling_hll_sql("spark"))
+
+
+@query(
+    "embed_norm_anova",
+    oracle=f"""
+        WITH norms AS (
+            SELECT label,
+                   CAST(FLOOR({_sim._norm('embedding', 'duck')} * 1000000)
+                        AS BIGINT) AS nrm_e6
+            FROM embeddings)
+        , grand AS (
+            SELECT CAST(SUM(nrm_e6) AS BIGINT) AS gs,
+                   CAST(COUNT(*) AS BIGINT) AS gn
+            FROM norms)
+        , per_label AS (
+            SELECT label, CAST(SUM(nrm_e6) AS BIGINT) AS ls,
+                   CAST(COUNT(*) AS BIGINT) AS ln
+            FROM norms GROUP BY label)
+        , ssw AS (
+            SELECT n.label,
+                   CAST(SUM((n.nrm_e6 - p.ls // p.ln)
+                        * (n.nrm_e6 - p.ls // p.ln)) AS BIGINT) AS ss
+            FROM norms n JOIN per_label p ON p.label = n.label
+            GROUP BY n.label)
+        SELECT p.label, p.ln AS n_vecs,
+               p.ls // p.ln AS mean_norm_e6,
+               CAST(p.ln * ((p.ls // p.ln) - (g.gs // g.gn))
+                    * ((p.ls // p.ln) - (g.gs // g.gn)) AS BIGINT)
+                   AS ss_between,
+               w.ss AS ss_within
+        FROM per_label p
+        JOIN ssw w ON w.label = p.label
+        CROSS JOIN grand g
+    """,
+)
+def q_embed_norm_anova(spark, sf_dir):
+    """Variance decomposition of embedding norms by label —
+    between-label vs within-label sums of squares (the ANOVA
+    numerators) in exact integer algebra (norms floored e6, integer
+    means by floor division): a between/within ratio near zero says
+    the label structure carries no norm signal (healthy for
+    normalized embeddings); a large one flags label-correlated
+    scaling the indexers (#96/#138) must handle. Extends
+    embed_norm_stats (#107) from ranges to second moments.
+
+    Scale: one (label)-keyed aggregate + one label-bounded join —
+    the norm projection is the same shuffle-free codegen as #107."""
+    from pyspark.sql import functions as _F
+
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    norms = spark.sql(
+        f"""SELECT label,
+               CAST(FLOOR({_sim._norm('embedding', 'spark')} * 1000000)
+                    AS BIGINT) AS nrm_e6
+            FROM embeddings"""
+    )
+    grand = norms.agg(
+        F.sum("nrm_e6").alias("gs"), F.count(F.lit(1)).alias("gn")
+    )
+    per_label = norms.groupBy("label").agg(
+        F.sum("nrm_e6").alias("ls"), F.count(F.lit(1)).alias("ln")
+    )
+    ssw = (
+        norms.join(per_label, "label")
+        .select(
+            "label",
+            (
+                (F.col("nrm_e6") - F.expr("ls div ln"))
+                * (F.col("nrm_e6") - F.expr("ls div ln"))
+            ).alias("sq"),
+        )
+        .groupBy("label")
+        .agg(F.sum("sq").alias("ss"))
+    )
+    return (
+        per_label.join(ssw.withColumnRenamed("ss", "ss_within"), "label")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "label",
+            F.col("ln").alias("n_vecs"),
+            F.expr("ls div ln").alias("mean_norm_e6"),
+            F.expr(
+                "CAST(ln * ((ls div ln) - (gs div gn))"
+                " * ((ls div ln) - (gs div gn)) AS BIGINT)"
+            ).alias("ss_between"),
+            "ss_within",
+        )
+    )

@@ -1397,3 +1397,46 @@ def test_props_schema_is_single_key_baseline(spark, sf_dir):
     p = QUERIES["events_props_schema_report"](spark, sf_dir).toPandas()
     assert list(p["prop_key"]) == ["k"]
     assert (p["presence_bp"] == 10000).all()
+
+
+# ---------------------------------------------------------------------------
+# R7t: rolling HLL merge + norm ANOVA
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name", ["events_rolling_distinct_hll", "embed_norm_anova"]
+)
+def test_r7t_oracle_parity(spark, sf_dir, name):
+    assert_matches_oracle(spark, name, sf_dir)
+
+
+def test_rolling_hll_tracks_exact(spark, sf_dir):
+    """Register-merged rolling estimates stay within a ±35%
+    envelope of the exact trailing-7d distinct (m=256 → ~6.5% std
+    error, wider at linear-counting scale), and err_bp is
+    self-consistent."""
+    r = QUERIES["events_rolling_distinct_hll"](spark, sf_dir).toPandas()
+    assert (r["hll_estimate"] * 100 >= r["exact_distinct"] * 65).all()
+    assert (r["hll_estimate"] * 100 <= r["exact_distinct"] * 135).all()
+    err = (
+        10000 * (r["hll_estimate"] - r["exact_distinct"]).abs()
+        // r["exact_distinct"]
+    )
+    assert (err == r["err_bp"]).all()
+
+
+def test_norm_anova_decomposition(spark, sf_dir):
+    """SS components are non-negative; per-label counts conserve the
+    corpus; for unit-normalized-ish embeddings between-label norm
+    signal is small relative to within (ratio sanity, not a strict
+    theorem — flags a generator change)."""
+    import duckdb
+
+    a = QUERIES["embed_norm_anova"](spark, sf_dir).toPandas()
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchone()[0]
+    assert a["n_vecs"].sum() == n
+    assert (a["ss_between"] >= 0).all()
+    assert (a["ss_within"] >= 0).all()
