@@ -9434,3 +9434,157 @@ def q_embed_norm_anova(spark, sf_dir):
             "ss_within",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# R7: dedup distribution-bias report, length × quality matrix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embed_dedup_bias_report",
+    oracle=f"""
+        WITH cl AS ({ORACLES["embed_dedup_clusters_lsh"]})
+        , sd AS ({_sim.semdedup_sql("duck")})
+        , dv AS ({embed_diversity_oracle_sql()})
+        , kept AS (
+            SELECT e.vec_id
+            FROM embeddings e
+            JOIN cl ON cl.vec_id = e.vec_id
+            JOIN sd ON sd.vec_id = e.vec_id
+            LEFT JOIN dv ON dv.vec_id = e.vec_id
+            WHERE cl.cluster_id = e.vec_id AND sd.keep = 1
+              AND dv.vec_id IS NOT NULL)
+        , comps AS (
+            SELECT label, vec_id,
+                   generate_subscripts(embedding, 1) - 1 AS pos,
+                   CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                        AS BIGINT) AS c_e6
+            FROM embeddings)
+        , cent_all AS (
+            SELECT label, pos,
+                   CAST(SUM(c_e6) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+                       AS c,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM comps GROUP BY label, pos)
+        , cent_kept AS (
+            SELECT c.label, c.pos,
+                   CAST(SUM(c.c_e6) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+                       AS c,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM comps c JOIN kept k ON k.vec_id = c.vec_id
+            GROUP BY c.label, c.pos)
+        SELECT a.label,
+               MIN(a.n) AS n_before, MIN(k.n) AS n_kept,
+               CAST(SUM((a.c - k.c) * (a.c - k.c)) AS BIGINT)
+                   AS centroid_shift_l2sq_e12
+        FROM cent_all a JOIN cent_kept k
+          ON k.label = a.label AND k.pos = a.pos
+        GROUP BY a.label
+    """,
+)
+def q_embed_dedup_bias_report(spark, sf_dir):
+    """Did dedup BIAS the distribution? Per-label centroid shift
+    (integer L2², #166's algebra) between the full corpus and the
+    embed_keep_list (#177) survivors — the check that the near-dup /
+    SemDeDup / quota gates thinned density without MOVING the
+    distribution (a large shift on one label means the gates fired
+    asymmetrically there — Abbas et al.'s SemDeDup paper audits
+    exactly this before trusting downstream training). Pure
+    composition: the keep-list's kept set joined into the (label,
+    dim) centroid aggregate — one corpus-scale explode shared by
+    both centroids, label×DIMS-bounded algebra after."""
+    kl = QUERIES["embed_keep_list"](spark, sf_dir)
+    kept = kl.where(F.col("keep")).select("vec_id")
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        "label",
+        "vec_id",
+        F.posexplode("embedding").alias("pos", "comp"),
+    ).select(
+        "label",
+        "vec_id",
+        "pos",
+        F.floor(F.col("comp").cast("double") * 1000000)
+        .cast("long")
+        .alias("c_e6"),
+    )
+    cent_all = comps.groupBy("label", "pos").agg(
+        F.expr("sum(c_e6) div count(1)").alias("c_a"),
+        F.count(F.lit(1)).alias("n_a"),
+    )
+    cent_kept = (
+        comps.join(kept, "vec_id")
+        .groupBy("label", "pos")
+        .agg(
+            F.expr("sum(c_e6) div count(1)").alias("c_k"),
+            F.count(F.lit(1)).alias("n_k"),
+        )
+    )
+    return (
+        cent_all.join(cent_kept, ["label", "pos"])
+        .groupBy("label")
+        .agg(
+            F.min("n_a").alias("n_before"),
+            F.min("n_k").alias("n_kept"),
+            F.sum(
+                (F.col("c_a") - F.col("c_k"))
+                * (F.col("c_a") - F.col("c_k"))
+            )
+            .cast("long")
+            .alias("centroid_shift_l2sq_e12"),
+        )
+    )
+
+
+@query(
+    "text_length_quality_matrix",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id,
+                   CAST(LENGTH(bin(len(string_split(text, ' ')))) - 1
+                        AS BIGINT) AS length_octave,
+                   CASE WHEN (10000 * len(list_filter(
+                            string_split(text, ' '),
+                            x -> x IN ('the','a','of','and','to','in'))))
+                            // len(string_split(text, ' ')) >= 1500
+                        THEN 'stopword_rich' ELSE 'stopword_poor' END
+                       AS quality_class
+            FROM documents)
+        SELECT length_octave, quality_class,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM scored GROUP BY length_octave, quality_class
+    """,
+)
+def q_text_length_quality_matrix(spark, sf_dir):
+    """Corpus profile contingency: token-length octave × stopword
+    class — the 2-D histogram a curation review reads first (C4's
+    length and stopword gates, #93, act on these axes; this is
+    their joint distribution). Octaves via length(bin())−1 (shared
+    integer-log2 idiom, #168); stopword share in integer bp. One
+    shuffle-free projection + one bounded aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop = F.size(
+        F.filter(
+            toks,
+            lambda x: x.isin("the", "a", "of", "and", "to", "in"),
+        )
+    )
+    scored = docs.select(
+        (F.length(F.bin(F.size(toks))) - 1)
+        .cast("long")
+        .alias("length_octave"),
+        F.when(
+            F.floor(
+                (F.lit(10000) * stop).cast("long") / F.size(toks)
+            ).cast("long")
+            >= 1500,
+            "stopword_rich",
+        )
+        .otherwise("stopword_poor")
+        .alias("quality_class"),
+    )
+    return scored.groupBy("length_octave", "quality_class").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

@@ -1440,3 +1440,46 @@ def test_norm_anova_decomposition(spark, sf_dir):
     assert a["n_vecs"].sum() == n
     assert (a["ss_between"] >= 0).all()
     assert (a["ss_within"] >= 0).all()
+
+
+# ---------------------------------------------------------------------------
+# R7u: dedup bias report + length/quality matrix
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name", ["embed_dedup_bias_report", "text_length_quality_matrix"]
+)
+def test_r7u_oracle_parity(spark, sf_dir, name):
+    assert_matches_oracle(spark, name, sf_dir)
+
+
+def test_dedup_bias_counts_match_keep_list(spark, sf_dir):
+    """n_kept per label equals the keep-list's own kept count per
+    label; every label is present; shift is non-negative."""
+    br = QUERIES["embed_dedup_bias_report"](spark, sf_dir).toPandas()
+    kl = QUERIES["embed_keep_list"](spark, sf_dir).toPandas()
+    import duckdb
+
+    labels = duckdb.sql(
+        f"SELECT vec_id, label FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchdf()
+    kl = kl.merge(labels, on="vec_id")
+    kept_per_label = kl[kl["keep"]].groupby("label")["vec_id"].count()
+    merged = br.set_index("label")
+    assert (
+        kept_per_label == merged["n_kept"].reindex(kept_per_label.index)
+    ).all()
+    assert (br["centroid_shift_l2sq_e12"] >= 0).all()
+    assert br["n_before"].sum() == len(kl)
+
+
+def test_length_quality_matrix_conserves(spark, sf_dir):
+    import duckdb
+
+    m = QUERIES["text_length_quality_matrix"](spark, sf_dir).toPandas()
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    assert m["n_docs"].sum() == n
+    assert set(m["quality_class"]) <= {"stopword_rich", "stopword_poor"}
