@@ -6636,13 +6636,30 @@ def q_embed_keep_list(spark, sf_dir):
     reason codes (near_dup > sem_dup > quota_out > keep), one row
     per vector. Every gate is an already-oracle-verified operator
     composed by vec_id equi-joins — nothing new shuffles the
-    corpus."""
-    cl = QUERIES["embed_dedup_clusters_lsh"](spark, sf_dir)
-    sd = QUERIES["semdedup_cells"](spark, sf_dir).select(
-        "vec_id", F.col("keep").alias("sem_keep_i")
+    corpus.
+
+    Each gate's per-vec_id verdict map is MATERIALIZED (checkpoint)
+    before the joins — gluing three deep chains (LSH components,
+    seed-cell SemDeDup, trained-k-means quota) into one plan made
+    Catalyst re-derive shared subtrees it cannot ReuseExchange
+    across differently-shaped trees (r3 verdict: 16 s vs ~9.6 s for
+    the gates run separately at sf0.1). Same local-vs-reliable
+    split as operators/graph.py: localCheckpoint on a single node,
+    df.checkpoint(eager=True) against a replicated checkpoint dir
+    on a cluster. The maps are one row per vector — tiny next to
+    the chains that produce them. Plan-pinned in
+    tests/test_round8.py (no Generate/kmeans subtree survives in
+    the final join plan)."""
+    cl = QUERIES["embed_dedup_clusters_lsh"](spark, sf_dir).localCheckpoint()
+    sd = (
+        QUERIES["semdedup_cells"](spark, sf_dir)
+        .select("vec_id", F.col("keep").alias("sem_keep_i"))
+        .localCheckpoint()
     )
-    dv = embed_diversity(spark, sf_dir).select(
-        "vec_id", F.lit(1).alias("dv_hit")
+    dv = (
+        embed_diversity(spark, sf_dir)
+        .select("vec_id", F.lit(1).alias("dv_hit"))
+        .localCheckpoint()
     )
     e = load_table(spark, sf_dir, "embeddings").select("vec_id")
     j = (
