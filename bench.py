@@ -1,11 +1,15 @@
 """Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints TWO JSON lines — a detail line (secondary-SF per-query map,
-streaming batch-size profile), then a COMPACT final line sized to
-survive the driver's 2000-char stdout tail capture:
+Prints TWO JSON lines — a detail line (FULL primary + secondary-SF
+per-query maps, streaming batch-size profile), then a COMPACT final
+line sized to survive the driver's 2000-char stdout tail capture:
 {"metric": "headline_suite_wall_seconds", "value": total_sec,
- "unit": "sec", "queries": {name: sec, ...}, "sf": 0.1, ...}
+ "unit": "sec", "queries": {<FINAL_SUBSET>: sec, ...},
+ "queries_subset": true, "n_queries_timed": N, "sf": 0.1, ...}
+The final line's query map is the FIXED subset FINAL_SUBSET (stable
+keys round-over-round); the complete map lives on the detail line.
+Size contract pinned in tests/test_bench_contract.py.
 
 Each query is forced end-to-end with the noop sink (full plan
 execution, no driver collect overhead). The same suite also runs at a
@@ -80,6 +84,59 @@ HEADLINE = [
     "embed_keep_list",
     "dedup_lsh_tuning",
 ]
+
+
+# Fixed subset of per-query timings carried on the COMPACT final line
+# (the driver tails ~2000 chars of stdout; at 50+ timed queries the
+# full map no longer fits — r3 bench silently dropped entries). The
+# FULL map goes on the detail line; this subset is stable across
+# rounds so round-over-round comparisons never lose a headline key.
+FINAL_SUBSET = [
+    "cdc_latest_state",
+    "cdc_sessionize",
+    "q1_pricing_summary",
+    "q9_product_profit",
+    "q18_large_volume_customers",
+    "asof_order_event",
+    "dedup_minhash_lsh",
+    "dedup_containment",
+    "dedup_lsh_tuning",
+    "embed_near_dup_lsh",
+    "semdedup_cells",
+    "ann_ivf_kmeans",
+    "ann_pq_rerank_topk",
+    "graph_pagerank_knn",
+    "corpus_keep_list_v4",
+    "corpus_keep_list_v4_lsh",
+    "embed_keep_list",
+    "pack_sequences",
+    "text_gopher_rules",
+    "text_bm25_topk",
+    "mm_phash_near_dup",
+    "cdc_incremental_snapshot",
+    "streaming_sessionize",
+    "streaming_cdc_ingest",
+    "streaming_curation",
+]
+
+
+def build_final(timings: dict[str, float], extras: dict) -> str:
+    """The compact final JSON line: fixed query subset + throughput
+    metrics. Deterministically under the driver's ~2000-char tail
+    capture — pinned by tests/test_bench_contract.py with worst-case
+    magnitudes, so truncation can never silently return."""
+    result = {
+        "metric": "headline_suite_wall_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": {
+            k: round(timings[k], 2) for k in FINAL_SUBSET if k in timings
+        },
+        "queries_subset": True,
+        "n_queries_timed": len(timings),
+    }
+    result.update(extras)
+    return json.dumps(result, separators=(",", ":"))
 
 
 def _run_suite(spark, sf_dir: str) -> dict[str, float]:
@@ -273,6 +330,7 @@ def main() -> None:
     detail = {
         "metric": "headline_suite_detail",
         "sf": sf,
+        "queries": {k: round(v, 3) for k, v in timings.items()},
         "streaming_batch_profiles": batch_profiles,
     }
     if sec_dir and os.path.isdir(sec_dir) and sec_dir.rstrip("/") != sf_dir.rstrip("/"):
@@ -280,32 +338,29 @@ def main() -> None:
         detail["queries_secondary"] = _run_suite(spark, sec_dir)
     print(json.dumps(detail, separators=(",", ":")))
 
-    result = {
-        "metric": "headline_suite_wall_seconds",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in timings.items()},
+    extras = {
         "streaming_events_per_sec": streaming_events_per_sec,
         "streaming_batch_latency": batch_ms,
         "cdc_ingest_events_per_sec": cdc_events_per_sec,
         "datasource_replay_events_per_sec": replay_events_per_sec,
         "native_replay_events_per_sec": native_events_per_sec,
+        # regression pin for the Python-DataSource protocol path:
+        # measured in the SAME run as the native scan, so the ratio
+        # is host-load-insensitive where absolute events/s are not
+        # (r2->r3 the absolute number swung 73k->52k->91k on load
+        # alone). A real protocol regression shows as ratio_pct
+        # collapsing; floor_ok pins replay >= native/8.
+        "replay_native_ratio_pct": round(
+            100 * replay_events_per_sec / native_events_per_sec
+        ),
+        "replay_floor_ok": replay_events_per_sec * 8
+        >= native_events_per_sec,
         "curation_docs_per_sec": curation_docs_per_sec,
         "sf": sf,
     }
     if "sf_secondary" in detail:
-        result["sf_secondary"] = detail["sf_secondary"]
-    line = json.dumps(result, separators=(",", ":"))
-    if len(line) > 1900:
-        # trim per-query detail before metadata: drop the cheapest
-        # queries' entries until the line fits (full map is on the
-        # detail line above)
-        cheap = sorted(timings, key=timings.get)
-        while len(line) > 1900 and cheap:
-            result["queries"].pop(cheap.pop(0), None)
-            result["queries_truncated"] = True
-            line = json.dumps(result, separators=(",", ":"))
-    print(line)
+        extras["sf_secondary"] = detail["sf_secondary"]
+    print(build_final(timings, extras))
 
 
 if __name__ == "__main__":
