@@ -344,3 +344,179 @@ def bm25_sql(dialect: str) -> str:
                    AS bm25_rank
         FROM top
     """
+
+
+# ---------------------------------------------------------------------------
+# Gopher duplicate-line/paragraph + duplicated-n-gram battery
+# (Rae et al. 2021, Table A1 — the repetition half text_repetition
+# stats/#84 doesn't cover). The synthetic corpus carries no newlines,
+# so "line" / "paragraph" segmentation is PARAMETERIZED: production
+# splits on '\n' / '\n\n'; here a line is a non-overlapping
+# LINE_TOKENS-token window and a paragraph a PARA_TOKENS-token window
+# (stated stand-in — the hashing/fraction algebra under test is
+# segmentation-independent).
+# ---------------------------------------------------------------------------
+
+LINE_TOKENS = 10
+PARA_TOKENS = 30
+
+# Table A1 thresholds, floor-scaled to basis points. A doc is dropped
+# when the metric EXCEEDS its threshold.
+GOPHER_REP_THRESHOLDS_BP = {
+    "dup_line_bp": 3000,        # duplicate line fraction > 0.30
+    "dup_para_bp": 3000,        # duplicate paragraph fraction > 0.30
+    "dup_line_char_bp": 2000,   # chars in duplicate lines > 0.20
+    "dup_para_char_bp": 2000,   # chars in duplicate paragraphs > 0.20
+    "top2_bp": 2000,            # top 2-gram char occupancy > 0.20
+    "top3_bp": 1800,
+    "top4_bp": 1600,
+    "dup5_bp": 1500,            # chars in dup 5-grams > 0.15
+    "dup6_bp": 1400,
+    "dup7_bp": 1300,
+    "dup8_bp": 1200,
+    "dup9_bp": 1100,
+    "dup10_bp": 1000,
+}
+
+
+def _gopher_gram_arms(dialect: str) -> str:
+    """The combined (n, gram) struct list: word n-grams for n=2..10
+    plus line windows (n=101) and paragraph windows (n=102), built
+    with array functions so ONE Generate/unnest explodes everything
+    (a per-n UNION of explodes would duplicate the corpus scan 11x —
+    the r1 posexplode lesson)."""
+    arms = []
+    if dialect == "spark":
+        for n in range(2, 11):
+            arms.append(
+                f"transform(filter(transform("
+                f"sequence(1, greatest(size(w) - {n} + 1, 1)),"
+                f" i -> slice(w, i, {n})), x -> size(x) = {n}),"
+                f" x -> named_struct('n', {n}, 'g', array_join(x, ' ')))"
+            )
+        for n, width in ((101, LINE_TOKENS), (102, PARA_TOKENS)):
+            arms.append(
+                f"transform(sequence(0, (size(w) + {width - 1})"
+                f" div {width} - 1),"
+                f" j -> named_struct('n', {n},"
+                f" 'g', array_join(slice(w, j * {width} + 1, {width}),"
+                f" ' ')))"
+            )
+        return "concat(" + ", ".join(arms) + ")"
+    for n in range(2, 11):
+        arms.append(
+            f"list_transform(list_filter(list_transform("
+            f"range(1, greatest(len(w) - {n} + 2, 1)),"
+            f" i -> w[i:i+{n}-1]), x -> len(x) = {n}),"
+            f" x -> {{'n': {n}, 'g': array_to_string(x, ' ')}})"
+        )
+    for n, width in ((101, LINE_TOKENS), (102, PARA_TOKENS)):
+        arms.append(
+            f"list_transform(range(0, (len(w) + {width - 1})"
+            f" // {width}),"
+            f" j -> {{'n': {n}, 'g': array_to_string("
+            f"w[j*{width}+1:j*{width}+{width}], ' ')}})"
+        )
+    return " || ".join(arms)
+
+
+def gopher_repetition_sql(dialect: str) -> str:
+    """Per-doc repetition report + keep flag.
+
+    Definitions (identical in both dialects, floor-bp integers):
+    - dup_line_bp / dup_para_bp: repeat WINDOW occurrences beyond the
+      first, over total windows (count basis).
+    - dup_line_char_bp / dup_para_char_bp: char mass of those repeat
+      occurrences over total window char mass.
+    - top{2,3,4}_bp: char mass of the single most frequent n-gram
+      (count x gram length) over total n-gram char mass.
+    - dup{5..10}_bp: char mass of repeat occurrences (beyond first)
+      of duplicated n-grams over total n-gram char mass — the
+      count-basis convention (not positional coverage), stated here
+      because published implementations vary.
+
+    Scale: one Generate over ~11x the token stream, one map-side-
+    combined (doc, n, gram) aggregate, one (doc) aggregate — two
+    linear key-partitioned shuffles, no UDFs, no quadratic
+    structure (same discipline as the gram-keyed dedup ops)."""
+    div = "div" if dialect == "spark" else "//"
+    arms = _gopher_gram_arms(dialect)
+    if dialect == "spark":
+        base = f"""
+        WITH t AS (
+            SELECT doc_id, split(text, ' ') AS w FROM documents)
+        , gr AS (
+            SELECT doc_id, u.n AS n, u.g AS g
+            FROM t LATERAL VIEW explode({arms}) AS u)"""
+    else:
+        base = f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        , gr AS (
+            SELECT doc_id, u.n AS n, u.g AS g
+            FROM (SELECT doc_id, unnest({arms}) AS u FROM t) s)"""
+
+    def agg(n: int, kind: str) -> str:
+        if kind == "top":
+            return (
+                f"MAX(cnt * LENGTH(g)) FILTER (WHERE n = {n}) AS top{n}_m,"
+                f" SUM(cnt * LENGTH(g)) FILTER (WHERE n = {n}) AS tot{n}_m"
+            )
+        return (
+            f"SUM((cnt - 1) * LENGTH(g))"
+            f" FILTER (WHERE n = {n} AND cnt >= 2) AS dup{n}_m,"
+            f" SUM(cnt * LENGTH(g)) FILTER (WHERE n = {n}) AS tot{n}_m"
+        )
+
+    win_aggs = []
+    for n, tag in ((101, "line"), (102, "para")):
+        win_aggs.append(
+            f"SUM(cnt) FILTER (WHERE n = {n}) AS {tag}_occ,"
+            f" SUM(cnt - 1) FILTER (WHERE n = {n}) AS {tag}_dup,"
+            f" SUM(cnt * LENGTH(g)) FILTER (WHERE n = {n}) AS {tag}_m,"
+            f" SUM((cnt - 1) * LENGTH(g))"
+            f" FILTER (WHERE n = {n} AND cnt >= 2) AS {tag}_dup_m"
+        )
+    gram_aggs = [agg(n, "top") for n in (2, 3, 4)]
+    gram_aggs += [agg(n, "dup") for n in range(5, 11)]
+
+    def bp(num: str, den: str) -> str:
+        return (
+            f"CAST(CASE WHEN {den} IS NULL OR {den} = 0 THEN 0"
+            f" ELSE (10000 * COALESCE({num}, 0)) {div} {den} END"
+            f" AS BIGINT)"
+        )
+
+    cols = {
+        "dup_line_bp": bp("line_dup", "line_occ"),
+        "dup_line_char_bp": bp("line_dup_m", "line_m"),
+        "dup_para_bp": bp("para_dup", "para_occ"),
+        "dup_para_char_bp": bp("para_dup_m", "para_m"),
+    }
+    for n in (2, 3, 4):
+        cols[f"top{n}_bp"] = bp(f"top{n}_m", f"tot{n}_m")
+    for n in range(5, 11):
+        cols[f"dup{n}_bp"] = bp(f"dup{n}_m", f"tot{n}_m")
+    out_cols = ",\n               ".join(
+        f"{expr} AS {name}" for name, expr in cols.items()
+    )
+    keep_pred = " AND ".join(
+        f"{cols[name]} <= {thr}"
+        for name, thr in GOPHER_REP_THRESHOLDS_BP.items()
+    )
+    return f"""{base}
+        , gc AS (
+            SELECT doc_id, n, g, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM gr GROUP BY doc_id, n, g)
+        , m AS (
+            SELECT doc_id,
+                   {", ".join(win_aggs)},
+                   {", ".join(gram_aggs)}
+            FROM gc GROUP BY doc_id)
+        SELECT doc_id,
+               CAST(line_occ AS BIGINT) AS n_lines,
+               {out_cols},
+               CAST(CASE WHEN {keep_pred} THEN 1 ELSE 0 END AS BIGINT)
+                   AS keep
+        FROM m
+    """

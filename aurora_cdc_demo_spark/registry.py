@@ -9605,3 +9605,125 @@ def q_text_length_quality_matrix(spark, sf_dir):
     return scored.groupBy("length_octave", "quality_class").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# R8: Gopher duplicate-line/paragraph battery + eleven-gate keep-list
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_gopher_repetition",
+    oracle=_text.gopher_repetition_sql("duck"),
+)
+def q_text_gopher_repetition(spark, sf_dir):
+    """The duplicate-LINE half of Gopher's repetition battery (Rae
+    et al. 2021 Table A1) that #84/#118 don't cover: per doc, the
+    duplicate line/paragraph fractions by count AND by character
+    mass, top-{{2,3,4}}-gram char occupancy, and duplicated-
+    {{5..10}}-gram char fractions, each floor-bp against the
+    published thresholds, plus the combined keep flag. Line /
+    paragraph segmentation is parameterized (prod: split on
+    newlines; this corpus: fixed token windows — see
+    operators/text.py). ONE Generate emits all eleven gram families
+    → one (doc, n, gram) aggregate → one (doc) aggregate: two
+    linear shuffles, no UDF, no quadratic structure."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_text.gopher_repetition_sql("spark"))
+
+
+_V5_EXTRA_CTES = f"""
+        , grep AS (
+            SELECT doc_id, keep = 0 AS gopher_repetitive
+            FROM ({_text.gopher_repetition_sql('duck')}) )
+"""
+
+# v5 = v4 with the repetition gate spliced in directly after the
+# quality-battery gate it completes (gopher_filtered), built by
+# textual refinement of _V4_SELECT so the two stay in sync by
+# construction (asserts below fail the import if v4's text drifts).
+_V5_SELECT = (
+    _V4_SELECT.replace(
+        "AND NOT g.gopher_filtered",
+        "AND NOT g.gopher_filtered\n"
+        "                   AND NOT gr2.gopher_repetitive",
+    )
+    .replace(
+        "WHEN g.gopher_filtered THEN 'gopher_filtered'",
+        "WHEN g.gopher_filtered THEN 'gopher_filtered'\n"
+        "                    WHEN gr2.gopher_repetitive"
+        " THEN 'gopher_repetitive'",
+    )
+    .replace(
+        "JOIN goph g USING (doc_id)",
+        "JOIN goph g USING (doc_id)\n"
+        "        JOIN grep gr2 USING (doc_id)",
+    )
+)
+assert _V5_SELECT.count("gopher_repetitive") == 3, "v4 SELECT drifted"
+
+
+def _keep_list_v5(spark, sf_dir, graph):
+    base = _keep_list_v4(spark, sf_dir, graph).select(
+        "doc_id",
+        F.col("keep").alias("keep_v4"),
+        F.col("decision").alias("decision_v4"),
+    )
+    rep = QUERIES["text_gopher_repetition"](spark, sf_dir).select(
+        "doc_id", (F.col("keep") == 0).alias("gopher_repetitive")
+    )
+    j = base.join(rep, "doc_id")
+    keep = F.col("keep_v4") & ~F.col("gopher_repetitive")
+    decision = (
+        F.when(
+            F.col("decision_v4").isin(
+                "exact_dup",
+                "near_dup",
+                "contaminated",
+                "dup_heavy",
+                "repetitive",
+                "c4_filtered",
+                "gopher_filtered",
+            ),
+            F.col("decision_v4"),
+        )
+        .when(F.col("gopher_repetitive"), "gopher_repetitive")
+        .otherwise(F.col("decision_v4"))
+    )
+    return j.select(
+        "doc_id", keep.alias("keep"), decision.alias("decision")
+    )
+
+
+@query(
+    "corpus_keep_list_v5",
+    oracle=_KEEP_GATES_CTES
+    + _V3_EXTRA_CTES
+    + _V4_EXTRA_CTES
+    + _V5_EXTRA_CTES
+    + _V5_SELECT,
+)
+def q_corpus_keep_list_v5(spark, sf_dir):
+    """ELEVEN-gate keep-list: v4's ten gates plus the Gopher
+    duplicate-line/paragraph repetition battery
+    (text_gopher_repetition), priority-ordered into one reason code
+    (… > gopher_filtered > gopher_repetitive > low_quality > …).
+    Exact near-dup graph twin; v5-refines-v4 law in pytest."""
+    return _keep_list_v5(spark, sf_dir, "exact")
+
+
+@query(
+    "corpus_keep_list_v5_lsh",
+    oracle=_KEEP_GATES_CTES_LSH
+    + _V3_EXTRA_CTES
+    + _V4_EXTRA_CTES
+    + _V5_EXTRA_CTES
+    + _V5_SELECT,
+)
+def q_corpus_keep_list_v5_lsh(spark, sf_dir):
+    """THE deployment artifact, extended: the eleven-gate keep-list
+    on the MinHash-LSH near-dup graph — every gate linear or
+    banded, O(docs + candidates) end to end."""
+    return _keep_list_v5(spark, sf_dir, "lsh")

@@ -83,6 +83,8 @@ HEADLINE = [
     "cdc_incremental_snapshot",
     "embed_keep_list",
     "dedup_lsh_tuning",
+    "text_gopher_repetition",
+    "corpus_keep_list_v5_lsh",
 ]
 
 
@@ -108,6 +110,7 @@ FINAL_SUBSET = [
     "graph_pagerank_knn",
     "corpus_keep_list_v4",
     "corpus_keep_list_v4_lsh",
+    "corpus_keep_list_v5_lsh",
     "embed_keep_list",
     "pack_sequences",
     "text_gopher_rules",

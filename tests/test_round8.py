@@ -51,3 +51,77 @@ def test_embed_keep_list_matches_unmaterialized_composition(spark, sf_dir):
         for r in kl.collect()
     }
     assert got == ref
+
+
+def _gopher_rep_on(spark, rows):
+    from aurora_cdc_demo_spark.operators.text import gopher_repetition_sql
+
+    spark.createDataFrame(rows, "doc_id long, text string").createOrReplaceTempView("documents")
+    out = {r["doc_id"]: r.asDict() for r in spark.sql(gopher_repetition_sql("spark")).collect()}
+    return out
+
+
+def test_gopher_repetition_hand_values(spark):
+    """Hand-computed bp values on constructed docs: a 2-gram loop
+    fires the top-n-gram gates; a thrice-repeated 10-token line
+    fires the duplicate-line gates; a clean doc keeps."""
+    line = "x y z w v u t s r q"
+    rows = [
+        (1, "a b a b a b"),
+        (2, " ".join([line] * 3)),
+        (3, "one two three four five six seven eight nine ten eleven"),
+    ]
+    out = _gopher_rep_on(spark, rows)
+    d1 = out[1]
+    # 2-grams: 'a b'x3,'b a'x2, len 3 each: top=9/15 -> 6000 bp
+    assert d1["top2_bp"] == 6000
+    # 3-grams: 'a b a'x2,'b a b'x2, len 5: top=10/20 -> 5000 bp
+    assert d1["top3_bp"] == 5000
+    # 4-grams: 'a b a b'x2 + 'b a b a', len 7: top=14/21 -> 6666 bp
+    assert d1["top4_bp"] == 6666
+    assert d1["dup5_bp"] == 0 and d1["keep"] == 0
+    d2 = out[2]
+    # three identical 10-token lines: 2 repeats / 3 lines
+    assert d2["n_lines"] == 3
+    assert d2["dup_line_bp"] == 6666
+    assert d2["dup_line_char_bp"] == 6666
+    # single 30-token paragraph window: no dup
+    assert d2["dup_para_bp"] == 0
+    assert d2["keep"] == 0
+    d3 = out[3]
+    assert d3["keep"] == 1
+    assert all(
+        d3[k] == 0
+        for k in ("dup_line_bp", "dup5_bp", "dup10_bp", "dup_para_bp")
+    )
+
+
+def test_gopher_repetition_short_doc_no_crash(spark):
+    """Docs shorter than the largest n must produce empty gram
+    families (coalesced to 0), not partial grams or errors."""
+    out = _gopher_rep_on(spark, [(1, "solo"), (2, "two words")])
+    assert out[1]["top2_bp"] == 0 and out[1]["dup10_bp"] == 0
+    assert out[2]["top2_bp"] == 10000  # exactly one 2-gram
+    assert out[2]["keep"] == 0  # single 2-gram occupies 100% > 20%
+
+
+def test_keep_list_v5_refines_v4(spark, sf_dir):
+    """v5 only ever demotes: keeps are a subset of v4's, and any
+    decision change is to 'gopher_repetitive' from a code ranked
+    below it."""
+    v4 = {
+        r["doc_id"]: (r["keep"], r["decision"])
+        for r in QUERIES["corpus_keep_list_v4_lsh"](spark, sf_dir).collect()
+    }
+    v5 = {
+        r["doc_id"]: (r["keep"], r["decision"])
+        for r in QUERIES["corpus_keep_list_v5_lsh"](spark, sf_dir).collect()
+    }
+    assert set(v4) == set(v5)
+    for d, (k5, dec5) in v5.items():
+        k4, dec4 = v4[d]
+        if k5:
+            assert k4
+        if dec5 != dec4:
+            assert dec5 == "gopher_repetitive"
+            assert dec4 in ("low_quality", "off_target", "sampled_out", "keep")
