@@ -520,3 +520,87 @@ def gopher_repetition_sql(dialect: str) -> str:
                    AS keep
         FROM m
     """
+
+
+# ---------------------------------------------------------------------------
+# Line-level corpus dedup — CCNet's pre-step (Wenzek et al. 2020):
+# dedup NORMALIZED lines across the whole corpus before LM scoring,
+# charging every line to its FIRST occurrence (doc_id, line_no
+# order). Complements doc-level (#25/#27), span-level (#113) and
+# gram-level (#92) dedup: boilerplate that repeats across documents
+# (headers, navigation, license blurbs) disappears corpus-wide while
+# each unique line survives exactly once. Same parameterized
+# segmentation as the Gopher battery above (prod: '\n' split).
+# ---------------------------------------------------------------------------
+
+
+def _line_cte(dialect: str) -> str:
+    w = LINE_TOKENS
+    if dialect == "spark":
+        return f"""
+        WITH t AS (
+            SELECT doc_id, split(text, ' ') AS tok FROM documents)
+        , ln AS (
+            SELECT doc_id, CAST(j AS BIGINT) AS line_no,
+                   array_join(slice(tok, j * {w} + 1, {w}), ' ') AS line
+            FROM t LATERAL VIEW explode(
+                sequence(0, (size(tok) + {w - 1}) div {w} - 1)) AS j)
+        , ranked AS (
+            SELECT doc_id, line_no, LENGTH(line) AS nchars,
+                   row_number() OVER (
+                       PARTITION BY md5(regexp_replace(
+                           lower(trim(line)), '\\\\s+', ' '))
+                       ORDER BY doc_id ASC, line_no ASC) AS rn
+            FROM ln)"""
+    return f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS tok FROM documents)
+        , ln AS (
+            SELECT doc_id, CAST(j AS BIGINT) AS line_no,
+                   array_to_string(tok[j*{w}+1:j*{w}+{w}], ' ') AS line
+            FROM t, unnest(range(0, (len(tok) + {w - 1}) // {w}))
+                 AS u(j))
+        , ranked AS (
+            SELECT doc_id, line_no, LENGTH(line) AS nchars,
+                   row_number() OVER (
+                       PARTITION BY md5(regexp_replace(
+                           lower(trim(line)), '\\s+', ' ', 'g'))
+                       ORDER BY doc_id ASC, line_no ASC) AS rn
+            FROM ln)"""
+
+
+def line_dedup_sql(dialect: str) -> str:
+    """Keep-list at line grain: (doc_id, line_no, keep) — keep iff
+    this is the corpus-first occurrence of the normalized line.
+
+    Scale: one Generate over the token stream, one line-hash-keyed
+    rank window (linear shuffle on the hash — duplicates of one line
+    colocate; boilerplate-heavy corpora skew that key, and the
+    window degrades gracefully because only rank-1 survives: a
+    salted two-level pre-rank (the #131 pattern) drops in if one
+    line dominates a corpus)."""
+    return f"""{_line_cte(dialect)}
+        SELECT doc_id, line_no, (rn = 1) AS keep
+        FROM ranked
+    """
+
+
+def line_dedup_report_sql(dialect: str) -> str:
+    """Per-doc removal report over the same chain: how many lines
+    and what integer-bp share of the doc's char mass line-dedup
+    removed — the per-doc cost a curation review reads before
+    enabling corpus-wide line dedup (a doc losing most of its mass
+    is boilerplate; composition with the span rewriter #113 is
+    one-directional: run line dedup FIRST, spans second)."""
+    div = "div" if dialect == "spark" else "//"
+    return f"""{_line_cte(dialect)}
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_removed,
+               CAST((10000 * SUM(CASE WHEN rn > 1 THEN nchars ELSE 0 END))
+                    {div} SUM(nchars) AS BIGINT) AS removed_char_bp
+        FROM ranked GROUP BY doc_id
+    """

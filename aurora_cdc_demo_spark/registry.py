@@ -9727,3 +9727,38 @@ def q_corpus_keep_list_v5_lsh(spark, sf_dir):
     on the MinHash-LSH near-dup graph — every gate linear or
     banded, O(docs + candidates) end to end."""
     return _keep_list_v5(spark, sf_dir, "lsh")
+
+
+# ---------------------------------------------------------------------------
+# R8: line-level corpus dedup (CCNet pre-step)
+# ---------------------------------------------------------------------------
+
+
+@query("corpus_line_dedup", oracle=_text.line_dedup_sql("duck"))
+def q_corpus_line_dedup(spark, sf_dir):
+    """CCNet's pre-step (Wenzek et al. 2020): exact dedup of
+    NORMALIZED lines across the whole corpus, keep-list grain —
+    (doc_id, line_no, keep), keep iff corpus-first occurrence
+    (doc_id then line_no order). The standard curation operator
+    between doc-level dedup (#25/#27) and span rewriting (#113);
+    conservation + first-occurrence laws in pytest. One Generate,
+    one line-hash-keyed rank window — linear; see
+    operators/text.py:line_dedup_sql for the skew note."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_text.line_dedup_sql("spark"))
+
+
+@query(
+    "corpus_line_dedup_report", oracle=_text.line_dedup_report_sql("duck")
+)
+def q_corpus_line_dedup_report(spark, sf_dir):
+    """Per-doc line-dedup removal report: lines kept/removed and the
+    integer-bp char mass removed — the boilerplate-density view a
+    curation review reads before enabling corpus-wide line dedup
+    (run it FIRST, the #113 span rewriter second)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_text.line_dedup_report_sql("spark"))

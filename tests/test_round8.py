@@ -125,3 +125,62 @@ def test_keep_list_v5_refines_v4(spark, sf_dir):
         if dec5 != dec4:
             assert dec5 == "gopher_repetitive"
             assert dec4 in ("low_quality", "off_target", "sampled_out", "keep")
+
+
+def test_line_dedup_conservation_and_first_occurrence(spark, sf_dir):
+    """Each distinct normalized line survives EXACTLY once, at its
+    corpus-minimal (doc_id, line_no); kept+removed = total lines."""
+    from aurora_cdc_demo_spark.operators.text import LINE_TOKENS
+
+    kl = QUERIES["corpus_line_dedup"](spark, sf_dir)
+    docs = QUERIES["corpus_line_dedup_report"](spark, sf_dir)
+    total = kl.count()
+    kept = kl.where("keep").count()
+    # distinct normalized lines, computed independently
+    from aurora_cdc_demo_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    lines = d.select(
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    ((F.size(toks) + LINE_TOKENS - 1) / LINE_TOKENS)
+                    .cast("int")
+                    - 1,
+                ),
+                lambda j: F.array_join(
+                    F.slice(toks, j * LINE_TOKENS + 1, LINE_TOKENS), " "
+                ),
+            )
+        ).alias("line")
+    )
+    n_distinct = lines.select(
+        F.md5(F.regexp_replace(F.lower(F.trim("line")), r"\s+", " "))
+    ).distinct().count()
+    assert kept == n_distinct
+    rep = docs.agg(
+        F.sum("n_lines").alias("t"), F.sum("n_kept").alias("k"),
+        F.sum("n_removed").alias("r"),
+    ).first()
+    assert rep["t"] == total and rep["k"] == kept
+    assert rep["k"] + rep["r"] == rep["t"]
+
+
+def test_line_dedup_duplicate_doc_fully_removed(spark):
+    """A doc that is an exact copy of an earlier doc loses every
+    line; the original keeps every line."""
+    from aurora_cdc_demo_spark.operators.text import line_dedup_sql
+
+    text = " ".join(f"w{i}" for i in range(25))
+    spark.createDataFrame(
+        [(5, text), (9, "totally different words here"), (12, text)],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("documents")
+    out = spark.sql(line_dedup_sql("spark")).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["keep"])
+    assert all(by_doc[5]) and all(by_doc[9])
+    assert not any(by_doc[12])
