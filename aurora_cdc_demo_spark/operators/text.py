@@ -604,3 +604,117 @@ def line_dedup_report_sql(dialect: str) -> str:
                     {div} SUM(nchars) AS BIGINT) AS removed_char_bp
         FROM ranked GROUP BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Multi-round BPE merge training (Sennrich et al. 2016) — extends
+# the first-merge pair count (#169) into a usable tokenizer-training
+# primitive: K unrolled merge rounds, each counting adjacent-symbol
+# pairs on the DISTINCT-WORD table (weighted by corpus word
+# frequency), picking the top pair, and APPLYING it greedily
+# left-to-right (non-overlapping — "aaa" + merge "aa" yields
+# ["aa","a"], one merge, exactly like reference BPE trainers).
+# ---------------------------------------------------------------------------
+
+BPE_ROUNDS = 3
+
+
+def bpe_merge_rounds_sql(dialect: str, k: int = BPE_ROUNDS) -> str:
+    """Learned vocab of the first k merges + the corpus token count
+    after each round.
+
+    Greedy application is gaps-and-islands: positions matching the
+    round's top pair form runs; within a run merges fire at offsets
+    0, 2, 4, … from the run head (a merged position consumes its
+    right neighbor, so the next candidate is two away). All string /
+    integer algebra — engine-exact; ties break (count DESC, pair
+    ASC).
+
+    Scale: every per-round step runs on the VOCABULARY (distinct
+    words × word length rows), never the corpus — the corpus is read
+    once for word frequencies (map-side combined). Windows partition
+    by word (tiny partitions); the top pair is a 1-row broadcast.
+    The k round chains nest, so Spark re-evaluates round r's lineage
+    in later rounds' arms — bounded by k × vocab, fine for the
+    unrolled-training use; duck materializes shared rounds
+    (CTE-inlining gotcha)."""
+    div = "div" if dialect == "spark" else "//"
+    mat = "MATERIALIZED " if dialect != "spark" else ""
+    if dialect == "spark":
+        sql = """
+        WITH wf AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM (SELECT explode(split(text, ' ')) AS w FROM documents)
+            WHERE LENGTH(w) >= 2 GROUP BY w)
+        , s0 AS (
+            SELECT w, freq, CAST(pos AS BIGINT) AS pos,
+                   substr(w, pos, 1) AS sym
+            FROM wf LATERAL VIEW explode(sequence(1, LENGTH(w))) AS pos)"""
+    else:
+        sql = """
+        WITH wf AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            WHERE LENGTH(w) >= 2 GROUP BY w)
+        , s0 AS (
+            SELECT w, freq, CAST(pos AS BIGINT) AS pos,
+                   substr(w, CAST(pos AS INTEGER), 1) AS sym
+            FROM wf, unnest(range(1, LENGTH(w) + 1)) AS t(pos))"""
+    arms = []
+    for r in range(1, k + 1):
+        prev = f"s{r - 1}"
+        sql += f"""
+        , d{r} AS (
+            SELECT w, freq,
+                   CAST(row_number() OVER (
+                       PARTITION BY w ORDER BY pos ASC) AS BIGINT) AS pos,
+                   sym
+            FROM {prev})
+        , p{r} AS (
+            SELECT w, freq, pos, sym,
+                   lead(sym) OVER (PARTITION BY w ORDER BY pos ASC) AS nxt
+            FROM d{r})
+        , pc{r} AS {mat}(
+            SELECT sym || nxt AS pair,
+                   CAST(SUM(freq) AS BIGINT) AS n_occurrences,
+                   CAST(COUNT(*) AS BIGINT) AS n_word_types
+            FROM p{r} WHERE nxt IS NOT NULL
+            GROUP BY sym || nxt)
+        , top{r} AS (
+            SELECT pair, n_occurrences, n_word_types FROM pc{r}
+            ORDER BY n_occurrences DESC, pair ASC LIMIT 1)
+        , m{r} AS (
+            SELECT p.w, p.freq, p.pos, p.sym, p.nxt,
+                   COALESCE(p.sym || p.nxt = t.pair, FALSE) AS is_match
+            FROM p{r} p CROSS JOIN top{r} t)
+        , g{r} AS (
+            SELECT *,
+                   CASE WHEN is_match THEN pos - row_number() OVER (
+                       PARTITION BY w, is_match ORDER BY pos ASC)
+                   END AS isl
+            FROM m{r})
+        , a{r} AS (
+            SELECT *,
+                   CASE WHEN is_match AND (pos - MIN(pos) OVER (
+                            PARTITION BY w, isl)) % 2 = 0
+                        THEN 1 ELSE 0 END AS do_merge
+            FROM g{r})
+        , c{r} AS (
+            SELECT *, lag(do_merge, 1, 0) OVER (
+                       PARTITION BY w ORDER BY pos ASC) AS consumed
+            FROM a{r})
+        , s{r} AS {mat}(
+            SELECT w, freq, pos,
+                   CASE WHEN do_merge = 1 THEN sym || nxt ELSE sym END
+                       AS sym
+            FROM c{r} WHERE consumed = 0)"""
+        arms.append(
+            f"""
+        SELECT CAST({r} AS BIGINT) AS round, t.pair, t.n_occurrences,
+               t.n_word_types,
+               (SELECT CAST(SUM(freq) AS BIGINT) FROM s{r})
+                   AS corpus_tokens_after
+        FROM top{r} t"""
+        )
+    return sql + "\n        " + " UNION ALL ".join(arms)

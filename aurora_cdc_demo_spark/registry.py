@@ -9762,3 +9762,20 @@ def q_corpus_line_dedup_report(spark, sf_dir):
         "documents"
     )
     return spark.sql(_text.line_dedup_report_sql("spark"))
+
+
+@query("bpe_merge_rounds", oracle=_text.bpe_merge_rounds_sql("duck"))
+def q_bpe_merge_rounds(spark, sf_dir):
+    """Multi-round BPE merge training: the first K={_k} merges
+    learned and APPLIED (greedy non-overlapping, gaps-and-islands
+    windows) on the distinct-word table, with the corpus token count
+    after each round — turns the single-pair count (#169) into a
+    tokenizer-training primitive. Monotone law pinned in pytest:
+    round k+1's winning count never exceeds round k's (new pairs are
+    bounded by the previous round's merge events). Vocabulary-
+    bounded algebra only; see operators/text.py:bpe_merge_rounds_sql
+    for the scale shape.""".replace("{_k}", str(_text.BPE_ROUNDS))
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_text.bpe_merge_rounds_sql("spark"))

@@ -184,3 +184,38 @@ def test_line_dedup_duplicate_doc_fully_removed(spark):
         by_doc.setdefault(r["doc_id"], []).append(r["keep"])
     assert all(by_doc[5]) and all(by_doc[9])
     assert not any(by_doc[12])
+
+
+def test_bpe_merge_rounds_monotone_and_conserving(spark, sf_dir):
+    """Winning pair counts are non-increasing across rounds, token
+    counts strictly decrease while merges fire, and each round's
+    token reduction never exceeds its winning count (overlaps merge
+    fewer times than they count)."""
+    rows = sorted(
+        (r["round"], r["n_occurrences"], r["corpus_tokens_after"])
+        for r in QUERIES["bpe_merge_rounds"](spark, sf_dir).collect()
+    )
+    assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+    for (_, n1, t1), (_, n2, t2) in zip(rows, rows[1:]):
+        assert n2 <= n1
+        assert t2 < t1
+    for i, (_, n, t) in enumerate(rows):
+        if i > 0:
+            assert rows[i - 1][2] - t <= n
+
+
+def test_bpe_greedy_nonoverlap_hand_case(spark):
+    """'aaaa' x3: round 1 counts 9 'aa' occurrences but merges only
+    2 per word (greedy), round 2 merges 'aaaa'; rounds with no
+    remaining pairs vanish."""
+    from aurora_cdc_demo_spark.operators.text import bpe_merge_rounds_sql
+
+    spark.createDataFrame(
+        [(1, "aaaa aaaa aaaa")], "doc_id long, text string"
+    ).createOrReplaceTempView("documents")
+    out = sorted(
+        (r["round"], r["pair"], r["n_occurrences"],
+         r["corpus_tokens_after"])
+        for r in spark.sql(bpe_merge_rounds_sql("spark")).collect()
+    )
+    assert out == [(1, "aa", 9, 6), (2, "aaaa", 3, 3)]
