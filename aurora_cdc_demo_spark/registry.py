@@ -9779,3 +9779,126 @@ def q_bpe_merge_rounds(spark, sf_dir):
         "documents"
     )
     return spark.sql(_text.bpe_merge_rounds_sql("spark"))
+
+
+@query(
+    "cdc_incremental_snapshot_balanced",
+    oracle=_with_log(
+        f"""
+        , b AS (SELECT MAX(seq) AS smax FROM log)
+        , dk AS (SELECT DISTINCT key_id FROM log)
+        , keys AS (
+            SELECT key_id,
+                   CAST(row_number() OVER (ORDER BY key_id ASC)
+                        AS BIGINT) AS rnk,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n
+            FROM dk)
+        , kc AS (
+            SELECT key_id, ((rnk - 1) * {_SNAP_CHUNKS}) // n AS chunk
+            FROM keys)
+        , p AS (
+            SELECT smax, smax // 2 AS s0,
+                   (smax - smax // 2) // {_SNAP_CHUNKS} AS step
+            FROM b)
+        , keyed AS (
+            SELECT l.*, k.chunk,
+                   p.s0 + (k.chunk + 1) * p.step AS hw, p.s0
+            FROM log l JOIN kc k USING (key_id) CROSS JOIN p)
+        , ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY key_id ORDER BY seq DESC) AS rn
+            FROM keyed)
+        , agg AS (
+            SELECT key_id, MAX(seq) AS last_seq,
+                   CAST(SUM(CASE WHEN seq > s0 AND seq <= hw
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_in_window
+            FROM keyed GROUP BY key_id)
+        SELECT r.key_id, r.chunk, r.hw AS chunk_hw, r.seq, r.operation,
+               r.event_type, r.ts, r.value,
+               CASE WHEN a.last_seq > r.hw THEN 'binlog'
+                    ELSE 'snapshot' END AS src,
+               (a.n_in_window > 0) AS changed_during_snapshot
+        FROM ranked r JOIN agg a ON r.key_id = a.key_id
+        WHERE r.rn = 1 AND r.operation <> 'DELETE'
+        """
+    ),
+)
+def q_cdc_incremental_snapshot_balanced(spark, sf_dir):
+    """The DBLog incremental snapshot (#163) DRIVEN BY the
+    work-balanced chunk planner (#211): chunk boundaries come from
+    the key RANK over distinct keys — every chunk gets n/N ± 1 keys
+    whatever the keyspace fragmentation (#209) did — instead of
+    equal key-width ranges, closing the DBLog story end to end
+    (plan, then snapshot by the plan). The per-chunk high-watermark
+    schedule and the log-vs-snapshot dedup rule are identical to
+    #163, so the chunking-invariance law (reconstructed state ==
+    position-order latest state) carries over; the balance law
+    (per-chunk key spread <= 1) is the planner's bound, both pinned
+    in pytest.
+
+    Scale: the key->chunk map is one row per KEY (orders below the
+    log); its global rank runs on that bounded table (band-prefix
+    decomposition per #132/#194 if keys ever reach fact scale). The
+    log joins the map on key_id — the SAME shuffle key the per-key
+    window and aggregate need, so AQE plans one key_id exchange
+    feeding all three."""
+    from pyspark.sql import Window
+
+    log = cdc_operation_log(spark, sf_dir)
+    b = log.agg(F.max("seq").alias("smax"))
+    p = b.select(
+        "smax",
+        F.expr("smax div 2").alias("s0"),
+        F.expr(f"(smax - smax div 2) div {_SNAP_CHUNKS}").alias("step"),
+    )
+    dk = log.select("key_id").distinct()
+    n = dk.agg(F.count(F.lit(1)).alias("n"))
+    wk_rank = Window.orderBy(F.col("key_id").asc())
+    kc = (
+        dk.withColumn("rnk", F.row_number().over(wk_rank).cast("long"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "key_id",
+            F.expr(f"((rnk - 1) * {_SNAP_CHUNKS}) div n").alias("chunk"),
+        )
+    )
+    keyed = (
+        log.join(kc, "key_id")
+        .crossJoin(F.broadcast(p))
+        .select(
+            log["*"],
+            "chunk",
+            F.expr("s0 + (chunk + 1) * step").alias("hw"),
+            "s0",
+        )
+    )
+    wk = Window.partitionBy("key_id").orderBy(F.col("seq").desc())
+    ranked = keyed.withColumn("rn", F.row_number().over(wk))
+    agg = keyed.groupBy("key_id").agg(
+        F.max("seq").alias("last_seq"),
+        F.sum(
+            F.when(
+                (F.col("seq") > F.col("s0"))
+                & (F.col("seq") <= F.col("hw")),
+                1,
+            ).otherwise(0)
+        ).alias("n_in_window"),
+    )
+    return (
+        ranked.where((F.col("rn") == 1) & (F.col("operation") != "DELETE"))
+        .join(agg, "key_id")
+        .select(
+            "key_id",
+            "chunk",
+            F.col("hw").alias("chunk_hw"),
+            "seq",
+            "operation",
+            "event_type",
+            "ts",
+            "value",
+            F.when(F.col("last_seq") > F.col("hw"), F.lit("binlog"))
+            .otherwise(F.lit("snapshot"))
+            .alias("src"),
+            (F.col("n_in_window") > 0).alias("changed_during_snapshot"),
+        )
+    )

@@ -219,3 +219,33 @@ def test_bpe_greedy_nonoverlap_hand_case(spark):
         for r in spark.sql(bpe_merge_rounds_sql("spark")).collect()
     )
     assert out == [(1, "aa", 9, 6), (2, "aaaa", 3, 3)]
+
+
+def test_balanced_snapshot_reconstructs_and_balances(spark, sf_dir):
+    """Plan-driven chunking preserves the chunking-invariance law
+    (exact same delivered state as the equal-width snapshotter,
+    which pytest already pins == position-order latest state) AND
+    achieves the planner's balance bound: per-chunk key counts
+    spread <= 1."""
+    bal = QUERIES["cdc_incremental_snapshot_balanced"](spark, sf_dir)
+    eqw = QUERIES["cdc_incremental_snapshot"](spark, sf_dir)
+    a = sorted(
+        (r["key_id"], r["seq"], r["event_type"], r["value"])
+        for r in bal.collect()
+    )
+    b = sorted(
+        (r["key_id"], r["seq"], r["event_type"], r["value"])
+        for r in eqw.collect()
+    )
+    assert a == b
+    counts = [
+        r["c"]
+        for r in bal.groupBy("chunk")
+        .agg(F.countDistinct("key_id").alias("c"))
+        .collect()
+    ]
+    assert max(counts) - min(counts) <= 1
+    # chunk watermarks advance strictly with chunk id
+    hw = {r["chunk"]: r["chunk_hw"] for r in bal.select("chunk", "chunk_hw").distinct().collect()}
+    ordered = [hw[c] for c in sorted(hw)]
+    assert ordered == sorted(set(ordered))
