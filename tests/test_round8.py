@@ -249,3 +249,88 @@ def test_balanced_snapshot_reconstructs_and_balances(spark, sf_dir):
     hw = {r["chunk"]: r["chunk_hw"] for r in bal.select("chunk", "chunk_hw").distinct().collect()}
     ordered = [hw[c] for c in sorted(hw)]
     assert ordered == sorted(set(ordered))
+
+
+def test_concurrent_table_group_streams_equal_serial(spark, sf_dir, tmp_path):
+    """The reference's 500-table demo drains many tables through
+    concurrent streams scheduled by the TableManager. Drive TWO
+    foreachBatch merge queries CONCURRENTLY (disjoint table batches
+    handed out by get_next_batch + mark_processed) against separate
+    store/checkpoint layouts, and pin the union of their end states
+    == the serial single-stream run over all tables."""
+    from aurora_cdc_demo_spark.config.table_manager import TableManager
+    from aurora_cdc_demo_spark.registry import read_binlog_jvm
+    from aurora_cdc_demo_spark.streaming.pipelines import ParquetStateStore
+
+    flat = (
+        read_binlog_jvm(spark, sf_dir)
+        .where(F.col("operation").isin("INSERT", "UPDATE", "DELETE"))
+        .select(
+            "table",
+            F.col("primary_keys")["key_id"].cast("long").alias("key_id"),
+            "seq",
+            "operation",
+            F.col("after")["event_type"].alias("event_type"),
+            "ts",
+            F.col("after")["value"].cast("double").alias("value"),
+        )
+    )
+    in_dir = str(tmp_path / "in")
+    flat.repartition(6).write.mode("overwrite").parquet(in_dir)
+    schema = (
+        "`table` string, key_id long, seq long, operation string, "
+        "event_type string, ts timestamp, value double"
+    )
+
+    tm = TableManager()
+    tm.register_tables_from_log(flat)
+    assert len(tm.registry) >= 4
+    half = len(tm.registry) // 2
+    batch_a = [m.name for m in tm.get_next_batch(max_tables=half)]
+    for name in batch_a:
+        tm.mark_processed(name)
+    batch_b = [m.name for m in tm.get_next_batch()]
+    assert batch_a and batch_b and not set(batch_a) & set(batch_b)
+    assert set(batch_a) | set(batch_b) == set(tm.registry)
+
+    def start_stream(members, tag):
+        store = ParquetStateStore(
+            spark, str(tmp_path / f"state_{tag}"), key=["table", "key_id"]
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(in_dir)
+            .where(F.col("table").isin(members))
+        )
+        return store.start(stream, str(tmp_path / f"ckpt_{tag}"))
+
+    qa = start_stream(batch_a, "a")
+    qb = start_stream(batch_b, "b")
+    assert qa.isActive or qb.isActive  # genuinely concurrent launch
+    qa.awaitTermination(300)
+    qb.awaitTermination(300)
+
+    serial = ParquetStateStore(
+        spark, str(tmp_path / "state_all"), key=["table", "key_id"]
+    )
+    qs = serial.start(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(in_dir),
+        str(tmp_path / "ckpt_all"),
+    )
+    qs.awaitTermination(300)
+
+    def state(path):
+        return sorted(
+            (r["table"], r["key_id"], r["seq"], r["event_type"],
+             r["value"])
+            for r in spark.read.parquet(path).collect()
+        )
+
+    got = sorted(
+        state(str(tmp_path / "state_a")) + state(str(tmp_path / "state_b"))
+    )
+    want = state(str(tmp_path / "state_all"))
+    assert got == want and len(want) > 0
