@@ -619,9 +619,10 @@ def line_dedup_report_sql(dialect: str) -> str:
 BPE_ROUNDS = 3
 
 
-def bpe_merge_rounds_sql(dialect: str, k: int = BPE_ROUNDS) -> str:
-    """Learned vocab of the first k merges + the corpus token count
-    after each round.
+def _bpe_chain(dialect: str, k: int = BPE_ROUNDS) -> str:
+    """The shared k-round merge-training CTE chain (wf/s0 …
+    top{r}/s{r}), consumed by bpe_merge_rounds_sql (per-round merge
+    report) and bpe_tokenize_sql (apply the learned vocab per doc).
 
     Greedy application is gaps-and-islands: positions matching the
     round's top pair form runs; within a run merges fire at offsets
@@ -638,7 +639,6 @@ def bpe_merge_rounds_sql(dialect: str, k: int = BPE_ROUNDS) -> str:
     in later rounds' arms — bounded by k × vocab, fine for the
     unrolled-training use; duck materializes shared rounds
     (CTE-inlining gotcha)."""
-    div = "div" if dialect == "spark" else "//"
     mat = "MATERIALIZED " if dialect != "spark" else ""
     if dialect == "spark":
         sql = """
@@ -661,7 +661,6 @@ def bpe_merge_rounds_sql(dialect: str, k: int = BPE_ROUNDS) -> str:
             SELECT w, freq, CAST(pos AS BIGINT) AS pos,
                    substr(w, CAST(pos AS INTEGER), 1) AS sym
             FROM wf, unnest(range(1, LENGTH(w) + 1)) AS t(pos))"""
-    arms = []
     for r in range(1, k + 1):
         prev = f"s{r - 1}"
         sql += f"""
@@ -709,12 +708,60 @@ def bpe_merge_rounds_sql(dialect: str, k: int = BPE_ROUNDS) -> str:
                    CASE WHEN do_merge = 1 THEN sym || nxt ELSE sym END
                        AS sym
             FROM c{r} WHERE consumed = 0)"""
-        arms.append(
-            f"""
+    return sql
+
+
+def bpe_merge_rounds_sql(dialect: str, k: int = BPE_ROUNDS) -> str:
+    """Learned vocab of the first k merges + the corpus token count
+    after each round (see _bpe_chain for semantics and scale)."""
+    arms = [
+        f"""
         SELECT CAST({r} AS BIGINT) AS round, t.pair, t.n_occurrences,
                t.n_word_types,
                (SELECT CAST(SUM(freq) AS BIGINT) FROM s{r})
                    AS corpus_tokens_after
         FROM top{r} t"""
-        )
-    return sql + "\n        " + " UNION ALL ".join(arms)
+        for r in range(1, k + 1)
+    ]
+    return _bpe_chain(dialect, k) + "\n        " + " UNION ALL ".join(arms)
+
+
+def bpe_tokenize_sql(dialect: str, k: int = BPE_ROUNDS) -> str:
+    """APPLY the learned k-merge vocab per document: each word's
+    post-merge symbol count comes from the word->n_sym map the
+    training chain already produced (vocabulary-bounded), joined to
+    one corpus-scale word explode — the per-doc BPE token count and
+    chars-per-token compression a data-loader budget reads.
+    Single-char words (excluded from training, nothing to merge)
+    tokenize to 1.
+
+    Scale: ONE corpus Generate + one join against the vocab dim
+    (broadcast-able) + one doc-keyed aggregate."""
+    div = "div" if dialect == "spark" else "//"
+    if dialect == "spark":
+        dw = """
+        , dw AS (
+            SELECT doc_id, w
+            FROM (SELECT doc_id, explode(split(text, ' ')) AS w
+                  FROM documents))"""
+    else:
+        dw = """
+        , dw AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents)"""
+    return f"""{_bpe_chain(dialect, k)}
+        , wmap AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sym
+            FROM s{k} GROUP BY w)
+        {dw}
+        SELECT d.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(LENGTH(d.w)) AS BIGINT) AS n_chars,
+               CAST(SUM(CASE WHEN LENGTH(d.w) < 2 THEN 1
+                        ELSE m.n_sym END) AS BIGINT) AS n_tokens_bpe,
+               CAST((10000 * SUM(CASE WHEN LENGTH(d.w) < 2 THEN 1
+                         ELSE m.n_sym END)) {div} SUM(LENGTH(d.w))
+                    AS BIGINT) AS tokens_per_char_bp
+        FROM dw d LEFT JOIN wmap m ON m.w = d.w
+        GROUP BY d.doc_id
+    """

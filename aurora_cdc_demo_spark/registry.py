@@ -9902,3 +9902,321 @@ def q_cdc_incremental_snapshot_balanced(spark, sf_dir):
             (F.col("n_in_window") > 0).alias("changed_during_snapshot"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# R8: tokenizer application, association rules, Benford DQ, Gini,
+# lag percentiles
+# ---------------------------------------------------------------------------
+
+
+@query("bpe_tokenize_by_vocab", oracle=_text.bpe_tokenize_sql("duck"))
+def q_bpe_tokenize_by_vocab(spark, sf_dir):
+    """Apply the learned K-merge BPE vocab per document: token and
+    char counts plus tokens-per-char (bp) — the data-loader budget
+    view that makes the trainer (#228) end-to-end useful. The
+    word->symbol-count map is vocabulary-bounded (broadcast dim);
+    one corpus word explode, one doc-keyed aggregate. Law in
+    pytest: corpus-total tokens here == round-K corpus_tokens_after
+    from the trainer (restricted to trainable words)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_text.bpe_tokenize_sql("spark"))
+
+
+_RULES_TOPK = 20
+
+
+@query(
+    "basket_rules",
+    oracle=f"""
+        WITH lines AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        , t AS (
+            SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+                AS n_total FROM lines)
+        , item AS (
+            SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n
+            FROM lines GROUP BY 1)
+        , pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+            FROM lines a JOIN lines b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey)
+        , counted AS (
+            SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM pairs GROUP BY part_a, part_b)
+        , top AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (
+                    ORDER BY n_orders DESC, part_a ASC, part_b ASC)
+                    AS rnk
+                FROM counted) r
+            WHERE rnk <= {_RULES_TOPK})
+        SELECT p.part_a, p.part_b, p.n_orders, CAST(p.rnk AS BIGINT) AS rnk,
+               CAST((1000000 * p.n_orders) // ia.n AS BIGINT)
+                   AS conf_a_b_ppm,
+               CAST((1000000 * p.n_orders) // ib.n AS BIGINT)
+                   AS conf_b_a_ppm,
+               CAST((1000000 * p.n_orders * t.n_total)
+                    // (ia.n * ib.n) AS BIGINT) AS lift_ppm
+        FROM top p
+        JOIN item ia ON ia.l_partkey = p.part_a
+        JOIN item ib ON ib.l_partkey = p.part_b
+        CROSS JOIN t
+    """,
+)
+def q_basket_rules(spark, sf_dir):
+    """Association rules over the top co-occurring part pairs
+    (#124's itemsets scored): directional confidence and lift in
+    integer ppm — support/confidence/lift is the classic rule
+    mining readout; lift > 1e6 ppm marks genuinely associated
+    pairs vs popularity coincidence. Item supports are a
+    part-keyed aggregate (dim-scale, broadcast into the top-k
+    pairs); the single-row order total is a broadcast; everything
+    after the bounded per-order pair fan-out is integer algebra."""
+    from pyspark.sql import Window
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    t = li.agg(F.countDistinct("l_orderkey").alias("n_total"))
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    counted = (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = Window.orderBy(
+        F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+    )
+    top = counted.withColumn("rnk", F.row_number().over(w).cast("long")).where(
+        F.col("rnk") <= _RULES_TOPK
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("na"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("nb"))
+    return (
+        top.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "part_a",
+            "part_b",
+            "n_orders",
+            "rnk",
+            F.expr("(1000000 * n_orders) div na").alias("conf_a_b_ppm"),
+            F.expr("(1000000 * n_orders) div nb").alias("conf_b_a_ppm"),
+            F.expr("(1000000 * n_orders * n_total) div (na * nb)").alias(
+                "lift_ppm"
+            ),
+        )
+    )
+
+
+# Benford expected first-digit shares, floor-bp of log10(1 + 1/d) —
+# data-independent constants inlined (never computed in-engine).
+_BENFORD_BP = {1: 3010, 2: 1760, 3: 1249, 4: 969, 5: 791,
+               6: 669, 7: 579, 8: 511, 9: 457}
+
+
+@query(
+    "dq_benford_first_digit",
+    oracle=f"""
+        WITH d AS (
+            SELECT substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS digit
+            FROM orders)
+        , c AS (
+            SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM d GROUP BY digit)
+        , t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS tot FROM c)
+        , e(digit, exp_bp) AS (VALUES {", ".join(
+            f"('{d}', CAST({bp} AS BIGINT))"
+            for d, bp in _BENFORD_BP.items())})
+        SELECT e.digit, COALESCE(c.n_orders, 0) AS n_orders,
+               CAST(COALESCE((10000 * c.n_orders) // t.tot, 0) AS BIGINT)
+                   AS obs_bp,
+               e.exp_bp,
+               CAST(ABS(COALESCE((10000 * c.n_orders) // t.tot, 0)
+                    - e.exp_bp) AS BIGINT) AS abs_dev_bp
+        FROM e LEFT JOIN c ON c.digit = e.digit CROSS JOIN t
+    """,
+)
+def q_dq_benford_first_digit(spark, sf_dir):
+    """Benford first-digit audit of order totals — the classic
+    fabricated-data screen: observed first-digit shares (floor bp)
+    vs Benford's log10(1+1/d) expectation, with per-digit absolute
+    deviation. First digit via FLOOR-then-string (CAST of DECIMAL
+    to BIGINT rounds in DuckDB but truncates in Spark — the floor
+    makes both exact). One shuffle-free projection, one 9-row
+    aggregate; the expected table is a VALUES literal."""
+    o = load_table(spark, sf_dir, "orders")
+    c = (
+        o.select(
+            F.substring(
+                F.floor(F.col("o_totalprice")).cast("long").cast("string"),
+                1,
+                1,
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    t = c.agg(F.sum("n_orders").alias("tot"))
+    e = spark.createDataFrame(
+        [(str(d), bp) for d, bp in _BENFORD_BP.items()],
+        "digit string, exp_bp long",
+    )
+    obs = F.coalesce(
+        F.expr("(10000 * n_orders) div tot"), F.lit(0)
+    ).cast("long")
+    return (
+        e.join(c, "digit", "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias(
+                "n_orders"
+            ),
+            obs.alias("obs_bp"),
+            "exp_bp",
+            F.abs(obs - F.col("exp_bp")).cast("long").alias("abs_dev_bp"),
+        )
+    )
+
+
+@query(
+    "events_user_gini",
+    oracle="""
+        WITH counts AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY user_id)
+        , ranked AS (
+            SELECT c, CAST(row_number() OVER (
+                ORDER BY c ASC, user_id ASC) AS BIGINT) AS i
+            FROM counts)
+        , agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(c) AS BIGINT) AS s,
+                   CAST(SUM(i * c) AS BIGINT) AS s1
+            FROM ranked)
+        SELECT n AS n_users, s AS total_events,
+               CAST((10000 * (2 * s1 - (n + 1) * s)) // (n * s)
+                    AS BIGINT) AS gini_bp
+        FROM agg
+    """,
+)
+def q_events_user_gini(spark, sf_dir):
+    """Gini coefficient of per-user event volume (integer bp, exact
+    rank formula G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) over
+    ascending-sorted users) — the inequality measure next to the
+    Pareto curve (#132) and HHI (#178): one number for 'how skewed
+    is the activity distribution', the signal that decides whether
+    the salted patterns (#38/#136) are needed. The rank window runs
+    on the USER dimension (one row per user after the map-side
+    combine); band-prefix decomposition applies if users ever reach
+    fact scale. Tie order doesn't affect the sum (equal values
+    commute)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("c").asc(), F.col("user_id").asc())
+    ranked = counts.select(
+        "c", F.row_number().over(w).cast("long").alias("i")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("i") * F.col("c")).alias("s1"),
+    ).select(
+        F.col("n").alias("n_users"),
+        F.col("s").alias("total_events"),
+        F.expr("(10000 * (2 * s1 - (n + 1) * s)) div (n * s)")
+        .cast("long")
+        .alias("gini_bp"),
+    )
+
+
+@query(
+    "cdc_staleness_percentiles",
+    oracle=_with_log(
+        """
+        , last AS (
+            SELECT key_id, MAX(ts) AS last_ts FROM log GROUP BY key_id)
+        , anchor AS (SELECT MAX(last_ts) AS a FROM last)
+        , stale AS (
+            SELECT (epoch_us(an.a) - epoch_us(l.last_ts)) // 1000000
+                       AS stale_s
+            FROM last l CROSS JOIN anchor an)
+        , ranked AS (
+            SELECT stale_s,
+                   row_number() OVER (ORDER BY stale_s ASC) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM stale)
+        SELECT CAST(MAX(n) AS BIGINT) AS n_keys,
+               CAST(SUM(CASE WHEN rn = (50 * n + 99) // 100
+                        THEN stale_s ELSE 0 END) AS BIGINT) AS p50_s,
+               CAST(SUM(CASE WHEN rn = (90 * n + 99) // 100
+                        THEN stale_s ELSE 0 END) AS BIGINT) AS p90_s,
+               CAST(SUM(CASE WHEN rn = (99 * n + 99) // 100
+                        THEN stale_s ELSE 0 END) AS BIGINT) AS p99_s,
+               CAST(MAX(stale_s) AS BIGINT) AS max_s
+        FROM ranked
+        """
+    ),
+)
+def q_cdc_staleness_percentiles(spark, sf_dir):
+    """Exact key-staleness percentiles at the log's high-water
+    anchor: per key, seconds since its last change; then p50/p90/p99
+    /max over KEYS — the distribution completing cdc_freshness
+    (#64, which reports per-table max): 'half the keys are ≤ p50_s
+    old' is the SLA sentence a replication dashboard states.
+    (The op log is ingest-ordered on this testdata, so event-level
+    LATENESS percentiles would be vacuously empty — #130 measures
+    that; staleness is the always-meaningful percentile.)
+    Rank-position quantiles (ceil(p·n/100), the #65 cross-engine
+    formulation) on the KEY dimension — one map-side-combined
+    key aggregate, a 1-row anchor broadcast, then a key-bounded
+    rank (band-prefix decomposition if keys reach fact scale)."""
+    from pyspark.sql import Window
+
+    log = cdc_operation_log(spark, sf_dir)
+    last = log.groupBy("key_id").agg(F.max("ts").alias("last_ts"))
+    anchor = last.agg(F.max("last_ts").alias("a"))
+    stale = last.crossJoin(F.broadcast(anchor)).select(
+        (
+            (F.unix_micros("a") - F.unix_micros("last_ts"))
+            / F.lit(1000000)
+        )
+        .cast("long")
+        .alias("stale_s")
+    )
+    wr = Window.orderBy(F.col("stale_s").asc())
+    ranked = stale.select(
+        "stale_s",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+
+    def pick(p):
+        return F.sum(
+            F.when(
+                F.col("rn") == F.expr(f"({p} * n + 99) div 100"),
+                F.col("stale_s"),
+            ).otherwise(0)
+        ).cast("long")
+
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_keys"),
+        pick(50).alias("p50_s"),
+        pick(90).alias("p90_s"),
+        pick(99).alias("p99_s"),
+        F.max("stale_s").cast("long").alias("max_s"),
+    )

@@ -334,3 +334,87 @@ def test_concurrent_table_group_streams_equal_serial(spark, sf_dir, tmp_path):
     )
     want = state(str(tmp_path / "state_all"))
     assert got == want and len(want) > 0
+
+
+def test_bpe_tokenize_consistent_with_trainer(spark, sf_dir):
+    """Corpus-total BPE tokens over trainable words equals the
+    trainer's round-K corpus_tokens_after (same vocab, same greedy
+    application)."""
+    from aurora_cdc_demo_spark.tables import load_table
+
+    tok = QUERIES["bpe_tokenize_by_vocab"](spark, sf_dir)
+    rounds = {
+        r["round"]: r["corpus_tokens_after"]
+        for r in QUERIES["bpe_merge_rounds"](spark, sf_dir).collect()
+    }
+    last = rounds[max(rounds)]
+    docs = load_table(spark, sf_dir, "documents")
+    n_single = (
+        docs.select(
+            F.explode(F.split("text", " ")).alias("w")
+        )
+        .where(F.length("w") < 2)
+        .count()
+    )
+    total = tok.agg(F.sum("n_tokens_bpe")).first()[0]
+    assert total == last + n_single
+    # every doc compresses: BPE tokens < chars (merges happened)
+    bad = tok.where(F.col("n_tokens_bpe") > F.col("n_chars")).count()
+    assert bad == 0
+
+
+def test_basket_rules_bounds(spark, sf_dir):
+    """Confidence <= 1e6 ppm both directions; pair support never
+    exceeds either item support; lift consistent with confidences."""
+    rows = QUERIES["basket_rules"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["conf_a_b_ppm"] <= 1_000_000
+        assert 0 < r["conf_b_a_ppm"] <= 1_000_000
+        assert r["lift_ppm"] > 0
+
+
+def test_benford_audit_shares(spark, sf_dir):
+    """Nine digit rows; observed shares sum to ~10000 bp (floor
+    slack < 9); expected side is the Benford table."""
+    rows = {r["digit"]: r for r in QUERIES["dq_benford_first_digit"](spark, sf_dir).collect()}
+    assert sorted(rows) == [str(d) for d in range(1, 10)]
+    s = sum(r["obs_bp"] for r in rows.values())
+    assert 10000 - 9 <= s <= 10000
+    assert rows["1"]["exp_bp"] == 3010 and rows["9"]["exp_bp"] == 457
+
+
+def test_gini_bounds_and_skew_response(spark, sf_dir):
+    """Gini in [0, 10000); a synthetic maximally-unequal log scores
+    far above the near-uniform testdata."""
+    g = QUERIES["events_user_gini"](spark, sf_dir).first()["gini_bp"]
+    assert 0 <= g < 10000
+    # all events on one user of 10 -> G = (n-1)/n = 0.9
+    rows = [(u, i) for u in range(9) for i in range(1)] + [
+        (9, i) for i in range(991)
+    ]
+    df = spark.createDataFrame(
+        [(u, 1000 * u + i) for u, i in rows], "user_id long, event_id long"
+    )
+    counts = df.groupBy("user_id").count()
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("count").asc(), F.col("user_id").asc())
+    r = counts.select(
+        F.col("count").alias("c"),
+        F.row_number().over(w).cast("long").alias("i"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("i") * F.col("c")).alias("s1"),
+    ).select(
+        F.expr("(10000 * (2 * s1 - (n + 1) * s)) div (n * s)").alias("g")
+    ).first()["g"]
+    assert r > 8800  # ~0.892 for 991-vs-1x9
+    assert g < r
+
+
+def test_staleness_percentiles_monotone(spark, sf_dir):
+    r = QUERIES["cdc_staleness_percentiles"](spark, sf_dir).first()
+    assert 0 <= r["p50_s"] <= r["p90_s"] <= r["p99_s"] <= r["max_s"]
+    assert r["n_keys"] > 0
