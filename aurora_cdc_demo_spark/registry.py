@@ -10220,3 +10220,279 @@ def q_cdc_staleness_percentiles(spark, sf_dir):
         pick(99).alias("p99_s"),
         F.max("stale_s").cast("long").alias("max_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R8: multimodal byte histogram, deterministic split assignment,
+# op-mix drift, KNN label vote
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mm_byte_histogram",
+    oracle="""
+        WITH h AS (
+            SELECT doc_id, hex(encode(text)) AS hx FROM documents)
+        , bytes AS (
+            SELECT doc_id, substr(hx, CAST(2 * i - 1 AS INTEGER), 2)
+                       AS byte
+            FROM h, unnest(range(1, LENGTH(hx) // 2 + 1)) AS t(i))
+        , bc AS (
+            SELECT doc_id, byte, CAST(COUNT(*) AS BIGINT) AS c
+            FROM bytes GROUP BY doc_id, byte)
+        , ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY c DESC, byte ASC) AS rn,
+                CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n,
+                CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT)
+                    AS n_distinct
+            FROM bc)
+        SELECT doc_id, n AS n_bytes, n_distinct AS n_distinct_bytes,
+               byte AS top_byte,
+               CAST((10000 * c) // n AS BIGINT) AS top_byte_bp
+        FROM ranked WHERE rn = 1
+    """,
+)
+def q_mm_byte_histogram(spark, sf_dir):
+    """Byte-level payload profile for opaque binary columns: total
+    and distinct byte counts, the modal byte and its bp occupancy —
+    the corruption/format screen a multimodal ingest runs before
+    decode (a 'JPEG' whose modal byte occupies 90% is not a JPEG;
+    truncated payloads show as collapsed distinct counts). Payload =
+    the same UTF-8 bytes the other mm_* ops use; bytes come from
+    ONE hex projection + a 2-char-window Generate — stays in
+    codegen, no UDF, byte domain is 256 so every aggregate is
+    bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    h = docs.select(
+        "doc_id",
+        F.hex(F.encode(F.col("text"), "UTF-8")).alias("hx"),
+    )
+    bytes_ = h.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(hx) div 2),"
+                " i -> substr(hx, 2 * i - 1, 2))"
+            )
+        ).alias("byte"),
+    )
+    bc = bytes_.groupBy("doc_id", "byte").agg(F.count(F.lit(1)).alias("c"))
+    wr = Window.partitionBy("doc_id").orderBy(
+        F.col("c").desc(), F.col("byte").asc()
+    )
+    wd = Window.partitionBy("doc_id")
+    ranked = bc.select(
+        "doc_id",
+        "byte",
+        "c",
+        F.row_number().over(wr).alias("rn"),
+        F.sum("c").over(wd).alias("n"),
+        F.count(F.lit(1)).over(wd).alias("n_distinct"),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_bytes"),
+        F.col("n_distinct").cast("long").alias("n_distinct_bytes"),
+        F.col("byte").alias("top_byte"),
+        F.expr("(10000 * c) div n").cast("long").alias("top_byte_bp"),
+    )
+
+
+_SPLIT_TRAIN_PCT = 80
+_SPLIT_VAL_PCT = 10  # test gets the remainder
+
+
+@query(
+    "sample_split_assign",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT doc_id, lang,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 100 AS bkt
+            FROM documents)
+        , labeled AS (
+            SELECT doc_id, lang,
+                   CASE WHEN bkt < {_SPLIT_TRAIN_PCT} THEN 'train'
+                        WHEN bkt < {_SPLIT_TRAIN_PCT + _SPLIT_VAL_PCT}
+                            THEN 'val'
+                        ELSE 'test' END AS split
+            FROM assigned)
+        SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+        FROM labeled GROUP BY split, lang
+    """,
+)
+def q_sample_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment by content-stable
+    hash bucket (md5(doc_id) mod 100 → 80/10/10) with the per-split
+    × per-lang balance audit — the split that survives reshuffles,
+    re-partitioning, and incremental appends because membership is a
+    pure function of the id, never of position (the classic
+    randomSplit trap: position-dependent splits leak across reruns).
+    Shuffle-free projection + bounded aggregate; the same bucket
+    idiom as the stratified sampler (#53)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bkt = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bkt < _SPLIT_TRAIN_PCT, "train")
+        .when(bkt < _SPLIT_TRAIN_PCT + _SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("doc_id", "lang", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+@query(
+    "cdc_op_mix_drift",
+    oracle=_with_log(
+        """
+        , daily AS (
+            SELECT date_trunc('day', ts) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST((10000 * SUM(CASE WHEN operation = 'INSERT'
+                        THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+                       AS ins_bp,
+                   CAST((10000 * SUM(CASE WHEN operation = 'UPDATE'
+                        THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+                       AS upd_bp,
+                   CAST((10000 * SUM(CASE WHEN operation = 'DELETE'
+                        THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+                       AS del_bp
+            FROM log GROUP BY 1)
+        SELECT day, n, ins_bp, upd_bp, del_bp,
+               CAST(ABS(ins_bp - lag(ins_bp) OVER (ORDER BY day))
+                    + ABS(upd_bp - lag(upd_bp) OVER (ORDER BY day))
+                    + ABS(del_bp - lag(del_bp) OVER (ORDER BY day))
+                    AS BIGINT) AS l1_drift_bp
+        FROM daily
+        """
+    ),
+)
+def q_cdc_op_mix_drift(spark, sf_dir):
+    """Daily operation-mix drift monitor: INSERT/UPDATE/DELETE
+    shares (bp) per day and the L1 distance to the previous day —
+    the cheap canary for upstream behavior changes (an ETL bug that
+    turns updates into delete+insert pairs shows as a drift spike
+    long before row counts move). One day-keyed aggregate
+    (map-side combined), then lag windows over the DAY-bounded
+    table — nothing fact-scale after the first shuffle."""
+    from pyspark.sql import Window
+
+    log = cdc_operation_log(spark, sf_dir)
+
+    def share(op):
+        return F.expr(
+            f"(10000 * sum(CASE WHEN operation = '{op}' THEN 1 ELSE 0"
+            " END)) div count(1)"
+        )
+
+    daily = log.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        share("INSERT").alias("ins_bp"),
+        share("UPDATE").alias("upd_bp"),
+        share("DELETE").alias("del_bp"),
+    )
+    w = Window.orderBy("day")
+    drift = (
+        F.abs(F.col("ins_bp") - F.lag("ins_bp").over(w))
+        + F.abs(F.col("upd_bp") - F.lag("upd_bp").over(w))
+        + F.abs(F.col("del_bp") - F.lag("del_bp").over(w))
+    )
+    return daily.select(
+        "day",
+        "n",
+        "ins_bp",
+        "upd_bp",
+        "del_bp",
+        drift.cast("long").alias("l1_drift_bp"),
+    )
+
+
+@query(
+    "ann_knn_label_vote",
+    oracle=f"""
+        {_sim._knn_ctes('duck')}
+        , g AS (
+            SELECT vec_id AS query_id, neighbor_id
+            FROM ranked WHERE rnk <= {_sim.KNN_K})
+        , votes AS (
+            SELECT g.query_id, e.label AS vote
+            FROM g JOIN embeddings e ON e.vec_id = g.neighbor_id)
+        , tally AS (
+            SELECT query_id, vote, CAST(COUNT(*) AS BIGINT) AS c
+            FROM votes GROUP BY query_id, vote)
+        , win AS (
+            SELECT query_id, vote, c FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY c DESC, vote ASC) AS rn
+                FROM tally) r WHERE rn = 1)
+        SELECT e.label AS true_label,
+               CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CAST(SUM(CASE WHEN w.vote = e.label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_correct,
+               CAST((10000 * SUM(CASE WHEN w.vote = e.label
+                    THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+                   AS acc_bp
+        FROM win w JOIN embeddings e ON e.vec_id = w.query_id
+        GROUP BY e.label
+    """,
+)
+def q_ann_knn_label_vote(spark, sf_dir):
+    """KNN majority-vote label prediction scored against the true
+    labels, per class — the standard embedding-quality eval
+    (neighbors agree on labels ⇔ the space is usable for
+    classification), read next to label-prop communities (#148) and
+    label drift (#166). Votes come from the cell-bounded KNN graph
+    (#109, never corpus²); the tally and argmax are
+    query×label-bounded; ties break deterministically (count DESC,
+    label ASC)."""
+    from pyspark.sql import Window
+
+    g = _sim.knn_graph(spark, sf_dir).select(
+        F.col("vec_id").alias("query_id"), "neighbor_id"
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    votes = g.join(
+        emb.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+    ).select("query_id", F.col("label").alias("vote"))
+    tally = votes.groupBy("query_id", "vote").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("c").desc(), F.col("vote").asc()
+    )
+    win = tally.withColumn("rn", F.row_number().over(wr)).where(
+        F.col("rn") == 1
+    )
+    truth = emb.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+        "label", "true_label"
+    )
+    j = win.join(truth, "query_id")
+    return j.groupBy("true_label").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(
+            F.when(F.col("vote") == F.col("true_label"), 1).otherwise(0)
+        ).alias("n_correct"),
+        F.expr(
+            "(10000 * sum(CASE WHEN vote = true_label THEN 1 ELSE 0 END))"
+            " div count(1)"
+        ).alias("acc_bp"),
+    )

@@ -418,3 +418,53 @@ def test_staleness_percentiles_monotone(spark, sf_dir):
     r = QUERIES["cdc_staleness_percentiles"](spark, sf_dir).first()
     assert 0 <= r["p50_s"] <= r["p90_s"] <= r["p99_s"] <= r["max_s"]
     assert r["n_keys"] > 0
+
+
+def test_split_assign_partitions_everything(spark, sf_dir):
+    """Splits cover every doc exactly once and roughly hit 80/10/10
+    (hash buckets, so exact counts vary)."""
+    from aurora_cdc_demo_spark.tables import load_table
+
+    rows = QUERIES["sample_split_assign"](spark, sf_dir).collect()
+    total = sum(r["n_docs"] for r in rows)
+    assert total == load_table(spark, sf_dir, "documents").count()
+    by_split = {}
+    for r in rows:
+        by_split[r["split"]] = by_split.get(r["split"], 0) + r["n_docs"]
+    assert set(by_split) == {"train", "val", "test"}
+    assert by_split["train"] > by_split["val"]
+    assert by_split["train"] > by_split["test"]
+    # determinism: re-running yields identical assignment counts
+    again = QUERIES["sample_split_assign"](spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_byte_histogram_bounds(spark, sf_dir):
+    rows = QUERIES["mm_byte_histogram"](spark, sf_dir).collect()
+    for r in rows:
+        assert 1 <= r["n_distinct_bytes"] <= 256
+        assert 0 < r["top_byte_bp"] <= 10000
+        assert len(r["top_byte"]) == 2
+        # payload is space-separated lowercase text: space (20) or a
+        # letter dominates
+        assert r["top_byte"] == "20" or "61" <= r["top_byte"] <= "7A"
+
+
+def test_op_mix_drift_shares_sum(spark, sf_dir):
+    rows = QUERIES["cdc_op_mix_drift"](spark, sf_dir).collect()
+    assert rows
+    n_null = 0
+    for r in rows:
+        s = r["ins_bp"] + r["upd_bp"] + r["del_bp"]
+        assert 10000 - 3 <= s <= 10000
+        if r["l1_drift_bp"] is None:
+            n_null += 1
+    assert n_null == 1  # exactly the first day has no predecessor
+
+
+def test_knn_label_vote_sane(spark, sf_dir):
+    rows = QUERIES["ann_knn_label_vote"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_correct"] <= r["n_queries"]
+        assert 0 <= r["acc_bp"] <= 10000
