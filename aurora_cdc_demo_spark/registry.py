@@ -10496,3 +10496,184 @@ def q_ann_knn_label_vote(spark, sf_dir):
             " div count(1)"
         ).alias("acc_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R8: source-pair distribution distance, shingle DF profile,
+# burstiness
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_source_similarity_matrix",
+    oracle="""
+        WITH tok AS (
+            SELECT source, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+        , c AS (
+            SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tok GROUP BY source, w)
+        , t AS (
+            SELECT source, CAST(SUM(c) AS BIGINT) AS tot
+            FROM c GROUP BY source)
+        , vocab AS (SELECT DISTINCT w FROM c)
+        , grid AS (
+            SELECT t.source, t.tot, v.w, COALESCE(c.c, 0) AS c
+            FROM t CROSS JOIN vocab v
+            LEFT JOIN c ON c.source = t.source AND c.w = v.w)
+        SELECT a.source AS source_a, b.source AS source_b,
+               a.tot AS tokens_a, b.tot AS tokens_b,
+               CAST((10000 * SUM(ABS(a.c * b.tot - b.c * a.tot)))
+                    // (a.tot * b.tot) AS BIGINT) AS l1_bp
+        FROM grid a JOIN grid b
+          ON a.w = b.w AND a.source < b.source
+        GROUP BY a.source, b.source, a.tot, b.tot
+    """,
+)
+def q_text_source_similarity_matrix(spark, sf_dir):
+    """Pairwise L1 distance between per-source unigram
+    distributions (exact rational: Σ|c₁T₂ − c₂T₁|·10⁴ div T₁T₂,
+    range [0, 20000] bp) — the cross-SOURCE complement of the
+    over-TIME drift monitor (#210): which corpora are
+    interchangeable and which bring genuinely different text, the
+    matrix a mixing-weight decision (#86/#174) reads. The dense
+    source×vocab grid makes zero counts explicit (missing words
+    carry the mass); everything after the corpus token count is
+    vocab×sources-bounded algebra, and the pair join is on the word
+    key — never corpus-scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    c = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    t = c.groupBy("source").agg(F.sum("c").alias("tot"))
+    vocab = c.select("w").distinct()
+    grid = (
+        t.crossJoin(vocab)
+        .join(c, ["source", "w"], "left")
+        .select(
+            "source", "tot", "w", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+        )
+    )
+    a = grid.select(
+        F.col("source").alias("source_a"),
+        F.col("tot").alias("tokens_a"),
+        "w",
+        F.col("c").alias("ca"),
+    )
+    b = grid.select(
+        F.col("source").alias("source_b"),
+        F.col("tot").alias("tokens_b"),
+        "w",
+        F.col("c").alias("cb"),
+    )
+    return (
+        a.join(b, "w")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b", "tokens_a", "tokens_b")
+        .agg(
+            F.expr(
+                "CAST((10000 * sum(ABS(ca * tokens_b - cb * tokens_a)))"
+                " div (tokens_a * tokens_b) AS BIGINT)"
+            ).alias("l1_bp")
+        )
+    )
+
+
+@query(
+    "dedup_shingle_df_profile",
+    oracle=f"""
+        WITH {_dedup._SHINGLES_SQL}
+        , df AS (
+            SELECT s, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM sh GROUP BY s)
+        SELECT CAST(LENGTH(bin(df)) - 1 AS BIGINT) AS df_octave,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(df) AS BIGINT) AS n_postings,
+               MIN(df) AS min_df, MAX(df) AS max_df
+        FROM df GROUP BY 1
+    """,
+)
+def q_dedup_shingle_df_profile(spark, sf_dir):
+    """Document-frequency histogram of dedup shingles in octave
+    buckets (integer log2 via LENGTH(bin())−1, the #168 idiom) —
+    the profile that JUSTIFIES the df-cap the containment join
+    (#127) applies: the top octaves are the stop-shingles whose
+    postings would quadratically dominate the candidate join, and
+    n_postings per octave is exactly the join cost each cap value
+    trades away. One shingle-keyed aggregate, then an
+    octave-bounded rollup."""
+    from .operators.dedup import shingles
+
+    sh = shingles(load_table(spark, sf_dir, "documents"))
+    df = sh.groupBy("s").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        df.groupBy(
+            (F.length(F.bin(F.col("df"))) - 1)
+            .cast("long")
+            .alias("df_octave")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("df").alias("n_postings"),
+            F.min("df").alias("min_df"),
+            F.max("df").alias("max_df"),
+        )
+    )
+
+
+@query(
+    "events_burstiness",
+    oracle="""
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2)
+        , span AS (
+            SELECT user_id,
+                   CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS active_hours,
+                   CAST((epoch_us(MAX(h)) - epoch_us(MIN(h)))
+                        // 3600000000 + 1 AS BIGINT) AS span_hours,
+                   CAST(SUM(c * c) AS BIGINT) AS s2
+            FROM hourly GROUP BY user_id)
+        SELECT user_id, n AS n_events, active_hours, span_hours,
+               CAST((1000 * (span_hours * s2 - n * n))
+                    // (span_hours * n) AS BIGINT) AS fano_e3
+        FROM span
+    """,
+)
+def q_events_burstiness(spark, sf_dir):
+    """Per-user burstiness: the Fano factor (variance/mean, e3
+    integer) of hourly event counts over the user's active span —
+    ≈1000 is Poisson-like traffic, ≫1000 is bursty sessions, ≪1000
+    is metronomic automation (a bot signature). Zero hours inside
+    the span carry mass through the identity
+    var/mean = (H·Σc² − N²)/(H·N) with H = span hours — no zero
+    rows are materialized. One (user, hour) aggregate sharing the
+    user shuffle with the per-user rollup; pure integer algebra."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    span = hourly.groupBy("user_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("active_hours"),
+        (
+            (F.unix_micros(F.max("h")) - F.unix_micros(F.min("h")))
+            / F.lit(3600000000)
+        )
+        .cast("long")
+        .alias("sp"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    return span.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        "active_hours",
+        (F.col("sp") + 1).alias("span_hours"),
+        F.expr(
+            "CAST((1000 * ((sp + 1) * s2 - n * n)) div ((sp + 1) * n)"
+            " AS BIGINT)"
+        ).alias("fano_e3"),
+    )

@@ -468,3 +468,80 @@ def test_knn_label_vote_sane(spark, sf_dir):
     for r in rows:
         assert 0 <= r["n_correct"] <= r["n_queries"]
         assert 0 <= r["acc_bp"] <= 10000
+
+
+def test_source_similarity_matrix_shape(spark, sf_dir):
+    """n·(n−1)/2 unordered pairs, L1 in [0, 20000] bp, and the
+    distance to SELF-like distributions is small: the corpus shares
+    one vocabulary, so no pair should be near the theoretical max."""
+    from aurora_cdc_demo_spark.tables import load_table
+
+    rows = QUERIES["text_source_similarity_matrix"](spark, sf_dir).collect()
+    n_src = (
+        load_table(spark, sf_dir, "documents")
+        .select("source")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_src * (n_src - 1) // 2
+    for r in rows:
+        assert 0 <= r["l1_bp"] <= 20000
+        assert r["source_a"] < r["source_b"]
+
+
+def test_shingle_df_profile_conservation(spark, sf_dir):
+    """Octave histogram conserves the shingle universe: Σ n_shingles
+    = distinct shingles, Σ n_postings = distinct (doc, shingle)
+    postings; octave bounds hold."""
+    from aurora_cdc_demo_spark.operators.dedup import shingles
+    from aurora_cdc_demo_spark.tables import load_table
+
+    rows = QUERIES["dedup_shingle_df_profile"](spark, sf_dir).collect()
+    sh = shingles(load_table(spark, sf_dir, "documents"))
+    n_distinct = sh.select("s").distinct().count()
+    n_postings = sh.select("doc_id", "s").distinct().count()
+    assert sum(r["n_shingles"] for r in rows) == n_distinct
+    assert sum(r["n_postings"] for r in rows) == n_postings
+    for r in rows:
+        assert 2 ** r["df_octave"] <= r["max_df"] < 2 ** (r["df_octave"] + 1)
+        assert 2 ** r["df_octave"] <= r["min_df"]
+
+
+def test_burstiness_poisson_anchor(spark, sf_dir):
+    """Fano ≥ 0; a constructed metronome (1 event/hour) scores 0 and
+    a constructed burst (all events in one hour of a long span)
+    scores ≈ n·(span−1)/span · 1000 ≫ 1000."""
+    rows = QUERIES["events_burstiness"](spark, sf_dir).collect()
+    assert rows and all(r["fano_e3"] >= 0 for r in rows)
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    metro = [(1, base + dt.timedelta(hours=i)) for i in range(48)]
+    burst = [(2, base + dt.timedelta(minutes=i)) for i in range(48)]
+    pad = [(2, base + dt.timedelta(hours=47))]
+    df = spark.createDataFrame(
+        metro + burst + pad, "user_id long, ts timestamp"
+    )
+    hourly = df.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    span = hourly.groupBy("user_id").agg(
+        F.sum("c").alias("n"),
+        (
+            (F.unix_micros(F.max("h")) - F.unix_micros(F.min("h")))
+            / F.lit(3600000000)
+        ).cast("long").alias("sp"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    out = {
+        r["user_id"]: r["f"]
+        for r in span.select(
+            "user_id",
+            F.expr(
+                "CAST((1000 * ((sp + 1) * s2 - n * n)) div ((sp + 1) * n)"
+                " AS BIGINT)"
+            ).alias("f"),
+        ).collect()
+    }
+    assert out[1] == 0
+    assert out[2] > 10000
