@@ -10677,3 +10677,102 @@ def q_events_burstiness(spark, sf_dir):
             " AS BIGINT)"
         ).alias("fano_e3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R8: twelve-gate keep-list — line-dedup boilerplate gate
+# ---------------------------------------------------------------------------
+
+_BOILERPLATE_BP = 5000  # drop docs losing > half their mass to line dedup
+
+_V6_EXTRA_CTES = f"""
+        , ld AS (
+            SELECT doc_id, removed_char_bp > {_BOILERPLATE_BP}
+                       AS boilerplate
+            FROM ({_text.line_dedup_report_sql('duck')}) )
+"""
+
+# v6 = v5 with the boilerplate gate spliced in after dup_heavy (it is
+# a cross-doc duplication signal, so it outranks the quality gates) —
+# same textual-refinement discipline as _V5_SELECT.
+_V6_SELECT = (
+    _V5_SELECT.replace(
+        "AND NOT COALESCE(n.is_dup_heavy, FALSE)",
+        "AND NOT COALESCE(n.is_dup_heavy, FALSE)\n"
+        "                   AND NOT ld.boilerplate",
+    )
+    .replace(
+        "WHEN COALESCE(n.is_dup_heavy, FALSE) THEN 'dup_heavy'",
+        "WHEN COALESCE(n.is_dup_heavy, FALSE) THEN 'dup_heavy'\n"
+        "                    WHEN ld.boilerplate THEN 'boilerplate'",
+    )
+    .replace(
+        "JOIN grep gr2 USING (doc_id)",
+        "JOIN grep gr2 USING (doc_id)\n"
+        "        JOIN ld USING (doc_id)",
+    )
+)
+assert _V6_SELECT.count("boilerplate") == 3, "v5 SELECT drifted"
+
+
+def _keep_list_v6(spark, sf_dir, graph):
+    base = _keep_list_v5(spark, sf_dir, graph).select(
+        "doc_id",
+        F.col("keep").alias("keep_v5"),
+        F.col("decision").alias("decision_v5"),
+    )
+    ld = QUERIES["corpus_line_dedup_report"](spark, sf_dir).select(
+        "doc_id",
+        (F.col("removed_char_bp") > _BOILERPLATE_BP).alias("boilerplate"),
+    )
+    j = base.join(ld, "doc_id")
+    keep = F.col("keep_v5") & ~F.col("boilerplate")
+    decision = (
+        F.when(
+            F.col("decision_v5").isin(
+                "exact_dup", "near_dup", "contaminated", "dup_heavy"
+            ),
+            F.col("decision_v5"),
+        )
+        .when(F.col("boilerplate"), "boilerplate")
+        .otherwise(F.col("decision_v5"))
+    )
+    return j.select(
+        "doc_id", keep.alias("keep"), decision.alias("decision")
+    )
+
+
+@query(
+    "corpus_keep_list_v6",
+    oracle=_KEEP_GATES_CTES
+    + _V3_EXTRA_CTES
+    + _V4_EXTRA_CTES
+    + _V5_EXTRA_CTES
+    + _V6_EXTRA_CTES
+    + _V6_SELECT,
+)
+def q_corpus_keep_list_v6(spark, sf_dir):
+    """TWELVE-gate keep-list: v5 plus the line-dedup boilerplate
+    gate — docs losing > {bp} bp of their char mass to corpus-wide
+    line dedup (#227) are assembled boilerplate even when no single
+    doc-level dup/containment pair catches them. Gate ranks with
+    the duplication family (after dup_heavy, above the quality
+    battery). Exact-graph oracle twin; v6-refines-v5 law in
+    pytest.""".replace("{bp}", str(_BOILERPLATE_BP))
+    return _keep_list_v6(spark, sf_dir, "exact")
+
+
+@query(
+    "corpus_keep_list_v6_lsh",
+    oracle=_KEEP_GATES_CTES_LSH
+    + _V3_EXTRA_CTES
+    + _V4_EXTRA_CTES
+    + _V5_EXTRA_CTES
+    + _V6_EXTRA_CTES
+    + _V6_SELECT,
+)
+def q_corpus_keep_list_v6_lsh(spark, sf_dir):
+    """The deployment artifact at its widest: twelve gates on the
+    LSH near-dup graph — every gate linear or banded,
+    O(docs + candidates) end to end."""
+    return _keep_list_v6(spark, sf_dir, "lsh")

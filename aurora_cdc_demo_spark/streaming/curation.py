@@ -131,3 +131,92 @@ class CurationStore:
             .trigger(availableNow=True)
             .start()
         )
+
+
+# ---------------------------------------------------------------------------
+# Streaming LINE-level dedup — the ingest twin of the batch CCNet
+# pre-step (registry: corpus_line_dedup). Lines are admitted
+# first-arrival-wins across micro-batches; the cross-batch state is
+# the admitted line-hash set carried inside the keep-list table
+# (bounded by DISTINCT lines, not deliveries — the same state-bound
+# argument as CurationStore's digest set).
+# ---------------------------------------------------------------------------
+
+LINE_TOKENS = 10  # same stand-in segmentation as operators/text.py
+
+
+def _lines(docs: DataFrame) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    w = LINE_TOKENS
+    arr = F.transform(
+        F.sequence(
+            F.lit(0), ((F.size(toks) + w - 1) / w).cast("int") - 1
+        ),
+        lambda j: F.array_join(F.slice(toks, j * w + 1, w), " "),
+    )
+    return docs.select(
+        "doc_id", F.posexplode(arr).alias("line_no", "line")
+    ).select(
+        "doc_id",
+        F.col("line_no").cast("long").alias("line_no"),
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("line"))), r"\s+", " ")
+        ).alias("line_hash"),
+        F.length("line").alias("nchars"),
+    )
+
+
+class LineDedupStore:
+    """foreachBatch sink maintaining the corpus-wide line keep-list
+    as documents ARRIVE: per batch — in-batch first occurrence per
+    line hash (doc_id, line_no order), anti-probe against already-
+    admitted hashes, atomic stage-and-swap commit with batch-id
+    replay idempotence. End state == the batch corpus_line_dedup
+    keep-list whenever arrival order follows doc_id (pinned in
+    pytest)."""
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.spark = spark
+        self.state_dir = state_dir
+
+    _read_state = CurationStore._read_state
+    _is_replay = CurationStore._is_replay
+    _commit = CurationStore._commit
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self._is_replay(batch_id):
+            return
+        from pyspark.sql import Window
+
+        lines = _lines(batch_df)
+        w = Window.partitionBy("line_hash").orderBy(
+            F.col("doc_id").asc(), F.col("line_no").asc()
+        )
+        ranked = lines.withColumn("_rn", F.row_number().over(w))
+        state = self._read_state()
+        if state is not None:
+            seen = (
+                state.where(F.col("keep"))
+                .select("line_hash")
+                .withColumn("_seen", F.lit(1))
+            )
+            ranked = ranked.join(seen, "line_hash", "left")
+        else:
+            ranked = ranked.withColumn("_seen", F.lit(None).cast("int"))
+        scored = ranked.select(
+            "doc_id",
+            "line_no",
+            "line_hash",
+            "nchars",
+            ((F.col("_rn") == 1) & F.col("_seen").isNull()).alias("keep"),
+        )
+        merged = scored if state is None else state.unionByName(scored)
+        self._commit(merged.localCheckpoint(), batch_id)
+
+    def start(self, stream: DataFrame, checkpoint_dir: str):
+        return (
+            stream.writeStream.foreachBatch(self.apply_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
