@@ -85,6 +85,8 @@ HEADLINE = [
     "dedup_lsh_tuning",
     "text_gopher_repetition",
     "corpus_keep_list_v5_lsh",
+    "corpus_line_dedup",
+    "corpus_keep_list_v6_lsh",
 ]
 
 
@@ -111,6 +113,7 @@ FINAL_SUBSET = [
     "corpus_keep_list_v4",
     "corpus_keep_list_v4_lsh",
     "corpus_keep_list_v5_lsh",
+    "corpus_keep_list_v6_lsh",
     "embed_keep_list",
     "pack_sequences",
     "text_gopher_rules",
