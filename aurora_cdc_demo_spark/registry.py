@@ -10776,3 +10776,295 @@ def q_corpus_keep_list_v6_lsh(spark, sf_dir):
     LSH near-dup graph — every gate linear or banded,
     O(docs + candidates) end to end."""
     return _keep_list_v6(spark, sf_dir, "lsh")
+
+
+# ---------------------------------------------------------------------------
+# R8: robust daily anomaly screen, part-name entity resolution,
+# trained-quantizer quality index
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_daily_anomaly_mad",
+    oracle="""
+        WITH daily AS (
+            SELECT date_trunc('day', ts) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1)
+        , r1 AS (
+            SELECT day, n,
+                   row_number() OVER (ORDER BY n ASC, day ASC) AS rn,
+                   COUNT(*) OVER () AS cnt
+            FROM daily)
+        , med AS (
+            SELECT CAST(SUM(CASE WHEN rn = (cnt + 1) // 2
+                        THEN n ELSE 0 END) AS BIGINT) AS m
+            FROM r1)
+        , dev AS (
+            SELECT day, n, ABS(n - med.m) AS d, med.m
+            FROM daily CROSS JOIN med)
+        , r2 AS (
+            SELECT d, row_number() OVER (ORDER BY d ASC) AS rn,
+                   COUNT(*) OVER () AS cnt
+            FROM dev)
+        , mad AS (
+            SELECT CAST(SUM(CASE WHEN rn = (cnt + 1) // 2
+                        THEN d ELSE 0 END) AS BIGINT) AS mad
+            FROM r2)
+        SELECT v.day, v.n AS n_events, v.m AS median_n,
+               CAST(v.d AS BIGINT) AS abs_dev, mad.mad AS mad_n,
+               CAST(CASE WHEN mad.mad = 0 THEN 0
+                    ELSE (1000 * v.d) // mad.mad END AS BIGINT) AS z_e3,
+               CAST(CASE WHEN mad.mad > 0 AND (1000 * v.d) // mad.mad
+                         > 3500 THEN 1 ELSE 0 END AS BIGINT)
+                   AS is_anomaly
+        FROM dev v CROSS JOIN mad
+    """,
+)
+def q_events_daily_anomaly_mad(spark, sf_dir):
+    """Robust daily-volume anomaly screen: deviation from the
+    median in MAD units (the outlier-resistant z-score, e3 integer;
+    lower-median order statistic so no parity halving) with the
+    standard 3.5-MAD flag — the day-grain complement of the
+    hour-of-day profile (#99) and CUSUM changepoints (#206):
+    medians don't move when the anomaly itself is in the window,
+    which is exactly where mean/stddev screens fail. Day table is
+    bounded, so both rank windows and the two 1-row broadcasts are
+    trivial; the only fact-scale work is the first aggregate."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w1 = Window.orderBy(F.col("n").asc(), F.col("day").asc())
+    wc = Window.partitionBy()
+    r1 = daily.select(
+        "n",
+        F.row_number().over(w1).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    med = r1.agg(
+        F.sum(
+            F.when(F.col("rn") == F.expr("(cnt + 1) div 2"), F.col("n"))
+            .otherwise(0)
+        ).alias("m")
+    )
+    dev = daily.crossJoin(F.broadcast(med)).select(
+        "day", "n", "m", F.abs(F.col("n") - F.col("m")).alias("d")
+    )
+    w2 = Window.orderBy(F.col("d").asc())
+    r2 = dev.select(
+        "d",
+        F.row_number().over(w2).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    mad = r2.agg(
+        F.sum(
+            F.when(F.col("rn") == F.expr("(cnt + 1) div 2"), F.col("d"))
+            .otherwise(0)
+        ).alias("mad")
+    )
+    z = F.expr("CASE WHEN mad = 0 THEN 0 ELSE (1000 * d) div mad END")
+    return dev.crossJoin(F.broadcast(mad)).select(
+        "day",
+        F.col("n").alias("n_events"),
+        F.col("m").alias("median_n"),
+        F.col("d").cast("long").alias("abs_dev"),
+        F.col("mad").alias("mad_n"),
+        z.cast("long").alias("z_e3"),
+        F.expr(
+            "CAST(CASE WHEN mad > 0 AND (1000 * d) div mad > 3500"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("is_anomaly"),
+    )
+
+
+_FUZZY_TOPK = 50
+_FUZZY_JACCARD_BP = 5000
+
+
+@query(
+    "part_fuzzy_match",
+    oracle=f"""
+        WITH words AS (
+            SELECT DISTINCT p_partkey, unnest(string_split(p_name, ' '))
+                       AS w
+            FROM part)
+        , df AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS df
+            FROM words GROUP BY w)
+        , sizes AS (
+            SELECT p_partkey, CAST(COUNT(*) AS BIGINT) AS sz
+            FROM words GROUP BY p_partkey)
+        , rarest AS (
+            SELECT p_partkey, w FROM (
+                SELECT wo.p_partkey, wo.w,
+                       row_number() OVER (
+                           PARTITION BY wo.p_partkey
+                           ORDER BY d.df ASC, wo.w ASC) AS rn
+                FROM words wo JOIN df d ON d.w = wo.w) r
+            WHERE rn = 1)
+        , cand AS (
+            SELECT a.p_partkey AS key_a, b.p_partkey AS key_b
+            FROM rarest a JOIN rarest b
+              ON a.w = b.w AND a.p_partkey < b.p_partkey)
+        , inter AS (
+            SELECT c.key_a, c.key_b, CAST(COUNT(*) AS BIGINT) AS i
+            FROM cand c
+            JOIN words x ON x.p_partkey = c.key_a
+            JOIN words y ON y.p_partkey = c.key_b AND y.w = x.w
+            GROUP BY c.key_a, c.key_b)
+        , scored AS (
+            SELECT i.key_a, i.key_b,
+                   CAST((10000 * i.i) // (sa.sz + sb.sz - i.i)
+                        AS BIGINT) AS jaccard_bp
+            FROM inter i
+            JOIN sizes sa ON sa.p_partkey = i.key_a
+            JOIN sizes sb ON sb.p_partkey = i.key_b
+            WHERE (10000 * i.i) // (sa.sz + sb.sz - i.i)
+                  >= {_FUZZY_JACCARD_BP})
+        SELECT key_a, key_b, jaccard_bp,
+               CAST(row_number() OVER (
+                   ORDER BY jaccard_bp DESC, key_a ASC, key_b ASC)
+                   AS BIGINT) AS rnk
+        FROM scored
+        QUALIFY rnk <= {_FUZZY_TOPK}
+    """,
+)
+def q_part_fuzzy_match(spark, sf_dir):
+    """Entity resolution on the part DIMENSION: near-identical
+    p_name pairs by word-set Jaccard, blocked on each name's
+    RAREST word (canopy blocking: every name lands in exactly one
+    block keyed by its lowest-df token, so candidate volume is
+    Σ block² over small blocks — never parts², the same df-
+    discipline as the containment join #127; recall is bounded by
+    the blocking like LSH and documented as such). Fuzzy dim
+    matching is the warehouse-side dedup the text family doesn't
+    cover — catalog merge, supplier-feed reconciliation. Verify is
+    an exact posting intersection on candidates only; top-{_k}
+    deterministic rank.""".replace("{_k}", str(_FUZZY_TOPK))
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part")
+    words = part.select(
+        "p_partkey", F.explode(F.split("p_name", " ")).alias("w")
+    ).distinct()
+    df = words.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    sizes = words.groupBy("p_partkey").agg(F.count(F.lit(1)).alias("sz"))
+    wr = Window.partitionBy("p_partkey").orderBy(
+        F.col("df").asc(), F.col("w").asc()
+    )
+    rarest = (
+        words.join(df, "w")
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select("p_partkey", "w")
+    )
+    a = rarest.select(F.col("p_partkey").alias("key_a"), "w")
+    b = rarest.select(F.col("p_partkey").alias("key_b"), "w")
+    cand = a.join(b, "w").where(F.col("key_a") < F.col("key_b")).select(
+        "key_a", "key_b"
+    )
+    x = words.select(F.col("p_partkey").alias("key_a"), "w")
+    y = words.select(F.col("p_partkey").alias("key_b"), "w")
+    inter = (
+        cand.join(x, "key_a")
+        .join(y, ["key_b", "w"])
+        .groupBy("key_a", "key_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("p_partkey").alias("key_a"), F.col("sz").alias("sa"))
+    sb = sizes.select(F.col("p_partkey").alias("key_b"), F.col("sz").alias("sb"))
+    scored = (
+        inter.join(sa, "key_a")
+        .join(sb, "key_b")
+        .select(
+            "key_a",
+            "key_b",
+            F.expr("(10000 * i) div (sa + sb - i)")
+            .cast("long")
+            .alias("jaccard_bp"),
+        )
+        .where(F.col("jaccard_bp") >= _FUZZY_JACCARD_BP)
+    )
+    wk = Window.orderBy(
+        F.col("jaccard_bp").desc(), F.col("key_a").asc(), F.col("key_b").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wk).cast("long"))
+        .where(F.col("rnk") <= _FUZZY_TOPK)
+    )
+
+
+@query(
+    "ann_ivf_kmeans_quality",
+    oracle=f"""
+        {_sim._kmeans_ctes('duck')}
+        , cellstats AS (
+            SELECT cid AS cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                   CAST(SUM(dist2) // COUNT(*) AS BIGINT) AS scatter
+            FROM asg{_sim.KM_ITERS} GROUP BY cid)
+        , cd AS (
+            SELECT a.cid AS ci, b.cid AS cj,
+                   CAST(SUM((a.cc - b.cc) * (a.cc - b.cc)) AS BIGINT)
+                       AS d2
+            FROM c{_sim.KM_ITERS} a
+            JOIN c{_sim.KM_ITERS} b
+              ON a.dim = b.dim AND a.cid <> b.cid
+            GROUP BY a.cid, b.cid)
+        , db AS (
+            SELECT s.cell, s.n_vecs, s.scatter,
+                   CAST(MAX(CASE WHEN cd.d2 > 0 THEN
+                        (1000 * (s.scatter + o.scatter)) // cd.d2
+                        END) AS BIGINT) AS db_e3,
+                   CAST(MIN(cd.d2) AS BIGINT) AS nearest_c2
+            FROM cellstats s
+            JOIN cd ON cd.ci = s.cell
+            JOIN cellstats o ON o.cell = cd.cj
+            GROUP BY s.cell, s.n_vecs, s.scatter)
+        SELECT cell, n_vecs, scatter, db_e3, nearest_c2 FROM db
+    """,
+)
+def q_ann_ivf_kmeans_quality(spark, sf_dir):
+    """Davies–Bouldin-style quality index for the TRAINED coarse
+    quantizer, per cell: within-cell scatter (mean integer L2² to
+    the trained centroid — already produced by the Lloyd chain),
+    the nearest other centroid, and max over neighbors of
+    (sᵢ+sⱼ)/dᵢⱼ in e3 — high db_e3 cells are where IVF recall
+    leaks (scatter comparable to centroid separation ⇒ probes miss
+    neighbors), the cell-level WHY behind the recall dashboard
+    (#172) and nprobe curve (#180). Centroid-pair table is
+    cells²×dims-bounded; everything reuses the training chain's
+    integer algebra, bit-identical cross-engine."""
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    return spark.sql(
+        f"""
+        {_sim._kmeans_ctes('spark')}
+        , cellstats AS (
+            SELECT cid AS cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                   CAST(SUM(dist2) div COUNT(*) AS BIGINT) AS scatter
+            FROM asg{_sim.KM_ITERS} GROUP BY cid)
+        , cd AS (
+            SELECT a.cid AS ci, b.cid AS cj,
+                   CAST(SUM((a.cc - b.cc) * (a.cc - b.cc)) AS BIGINT)
+                       AS d2
+            FROM c{_sim.KM_ITERS} a
+            JOIN c{_sim.KM_ITERS} b
+              ON a.dim = b.dim AND a.cid <> b.cid
+            GROUP BY a.cid, b.cid)
+        , db AS (
+            SELECT s.cell, s.n_vecs, s.scatter,
+                   CAST(MAX(CASE WHEN cd.d2 > 0 THEN
+                        (1000 * (s.scatter + o.scatter)) div cd.d2
+                        END) AS BIGINT) AS db_e3,
+                   CAST(MIN(cd.d2) AS BIGINT) AS nearest_c2
+            FROM cellstats s
+            JOIN cd ON cd.ci = s.cell
+            JOIN cellstats o ON o.cell = cd.cj
+            GROUP BY s.cell, s.n_vecs, s.scatter)
+        SELECT cell, n_vecs, scatter, db_e3, nearest_c2 FROM db
+        """
+    )

