@@ -11068,3 +11068,235 @@ def q_ann_ivf_kmeans_quality(spark, sf_dir):
         SELECT cell, n_vecs, scatter, db_e3, nearest_c2 FROM db
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# R8: TF-IDF keywords, ANN margin, k-core peel, write amplification
+# ---------------------------------------------------------------------------
+
+_TFIDF_TOPK = 3
+
+
+def _tfidf_sql(dialect: str) -> str:
+    """Per-doc top-K terms by tf × rational-idf (the log-free idf_e2
+    of the BM25 operator — rank-equivalent to textbook tf-idf).
+    One (doc, term) aggregate, a term-keyed df aggregate joined back
+    (dim-sized), one per-doc rank window."""
+    div = "div" if dialect == "spark" else "//"
+    if dialect == "spark":
+        tok = "SELECT doc_id, explode(split(text, ' ')) AS t FROM documents"
+    else:
+        tok = (
+            "SELECT doc_id, unnest(string_split(text, ' ')) AS t"
+            " FROM documents"
+        )
+    return f"""
+        WITH tok AS ({tok})
+        , tf AS (
+            SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM tok GROUP BY doc_id, t)
+        , dfr AS (
+            SELECT t, CAST(COUNT(*) AS BIGINT) AS df
+            FROM tf GROUP BY t)
+        , n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+        , scored AS (
+            SELECT f.doc_id, f.t AS term, f.tf,
+                   CAST((100 * (2 * n.n - 2 * d.df + 1))
+                        {div} (2 * d.df + 1) AS BIGINT) AS idf_e2
+            FROM tf f JOIN dfr d ON d.t = f.t CROSS JOIN n)
+        , ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY tf * idf_e2 DESC, term ASC) AS rn
+            FROM scored)
+        SELECT doc_id, term, tf, idf_e2,
+               CAST(tf * idf_e2 AS BIGINT) AS score_e2,
+               CAST(rn AS BIGINT) AS term_rank
+        FROM ranked WHERE rn <= {_TFIDF_TOPK}
+    """
+
+
+@query("text_tfidf_topk_terms", oracle=_tfidf_sql("duck"))
+def q_text_tfidf_topk_terms(spark, sf_dir):
+    """Keyword extraction: each doc's top-{k} terms by tf × the
+    log-free rational idf (#152's idf_e2 — rank-equivalent to
+    textbook tf-idf without float ln) — the distinctive-token view
+    at DOC grain complementing #61's source grain. df is a
+    term-keyed dim join; the rank window is per-doc.""".replace(
+        "{k}", str(_TFIDF_TOPK)
+    )
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_tfidf_sql("spark"))
+
+
+@query(
+    "ann_neighbor_margin",
+    oracle=f"""
+        {_sim._knn_ctes('duck')}
+        , top2 AS (
+            SELECT vec_id,
+                   CAST(SUM(CASE WHEN rnk = 1 THEN
+                        CAST(FLOOR(cos * 1000000) AS BIGINT) END)
+                        AS BIGINT) AS cos1_e6,
+                   CAST(SUM(CASE WHEN rnk = 2 THEN
+                        CAST(FLOOR(cos * 1000000) AS BIGINT) END)
+                        AS BIGINT) AS cos2_e6
+            FROM ranked WHERE rnk <= 2
+            GROUP BY vec_id HAVING COUNT(*) = 2)
+        SELECT vec_id, cos1_e6, cos2_e6,
+               CAST(cos1_e6 - cos2_e6 AS BIGINT) AS margin_e6
+        FROM top2
+    """,
+)
+def q_ann_neighbor_margin(spark, sf_dir):
+    """Nearest-neighbor margin per vector: cos(1st) − cos(2nd)
+    neighbor (e6 integers from the cell-bounded KNN chain) — tiny
+    margins mark hubness/ambiguity regions where ANN rank errors
+    are invisible to recall@k (swapping #1/#2 costs nothing) and
+    where SemDeDup's greedy keep choice is effectively arbitrary.
+    Vectors with fewer than two cell-mates drop (HAVING = 2).
+    Reuses the #109 chain: nothing new shuffles the corpus."""
+    from pyspark.sql import Window  # noqa: F401
+
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    return spark.sql(
+        f"""
+        {_sim._knn_ctes('spark')}
+        , top2 AS (
+            SELECT vec_id,
+                   CAST(SUM(CASE WHEN rnk = 1 THEN
+                        CAST(FLOOR(cos * 1000000) AS BIGINT) END)
+                        AS BIGINT) AS cos1_e6,
+                   CAST(SUM(CASE WHEN rnk = 2 THEN
+                        CAST(FLOOR(cos * 1000000) AS BIGINT) END)
+                        AS BIGINT) AS cos2_e6
+            FROM ranked WHERE rnk <= 2
+            GROUP BY vec_id HAVING COUNT(*) = 2)
+        SELECT vec_id, cos1_e6, cos2_e6,
+               CAST(cos1_e6 - cos2_e6 AS BIGINT) AS margin_e6
+        FROM top2
+        """
+    )
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+def _kcore_rounds_sql(edges: str, div: str, c1: str = "a", c2: str = "b") -> str:
+    """Unrolled peeling rounds over an undirected edge relation
+    ``edges({c1}, {c2})``: drop nodes with degree < K, delete their
+    edges, repeat. Fixed-round discipline (like PageRank/label
+    prop): round r's survivors are a superset of the true k-core,
+    converging from above."""
+    sql = f"""
+        , e0 AS (SELECT {c1} AS a, {c2} AS b FROM {edges})
+        , n0 AS (SELECT DISTINCT a AS node FROM e0)"""
+    for i in range(1, _KCORE_ROUNDS + 1):
+        sql += f"""
+        , deg{i} AS (
+            SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM e{i - 1} GROUP BY a)
+        , keep{i} AS (SELECT node FROM deg{i} WHERE d >= {_KCORE_K})
+        , e{i} AS (
+            SELECT e.a, e.b FROM e{i - 1} e
+            JOIN keep{i} x ON x.node = e.a
+            JOIN keep{i} y ON y.node = e.b)"""
+    checks = " ".join(
+        f"WHEN k{i}.node IS NULL THEN {i}" for i in range(1, _KCORE_ROUNDS + 1)
+    )
+    joins = "\n        ".join(
+        f"LEFT JOIN keep{i} k{i} ON k{i}.node = n.node"
+        for i in range(1, _KCORE_ROUNDS + 1)
+    )
+    return (
+        sql
+        + f"""
+        SELECT n.node, d1.d AS initial_degree,
+               CAST(CASE {checks} ELSE 0 END AS BIGINT) AS peel_round
+        FROM n0 n
+        JOIN deg1 d1 ON d1.node = n.node
+        {joins}
+    """
+    )
+
+
+@query(
+    "graph_kcore_knn",
+    oracle=f"""
+        {_sim._knn_ctes('duck')}
+        , uedges AS MATERIALIZED (
+            SELECT vec_id AS a, neighbor_id AS b FROM ranked
+            WHERE rnk <= {_sim.KNN_K}
+            UNION
+            SELECT neighbor_id, vec_id FROM ranked
+            WHERE rnk <= {_sim.KNN_K})
+        {_kcore_rounds_sql('uedges', '//')}
+    """,
+)
+def q_graph_kcore_knn(spark, sf_dir):
+    """K-core peeling over the undirected KNN graph: {r} unrolled
+    rounds removing nodes of degree < {k} — peel_round records WHEN
+    a node fell out (0 = still in the round-{r} core), the standard
+    coreness proxy for hub/periphery structure next to triangles
+    (#149) and PageRank (#121). The edge list is built ONCE and
+    checkpointed (the label-prop materialization pattern,
+    operators/similarity.py) so each round scans a cached relation
+    instead of re-deriving the KNN chain; per-round work is one
+    degree aggregate + two semijoins — linear in surviving
+    edges.""".replace("{r}", str(_KCORE_ROUNDS)).replace(
+        "{k}", str(_KCORE_K)
+    )
+    _sim._materialized_uedges(spark, sf_dir, _sim.N_SEEDS, "local")
+    return spark.sql(
+        f"""
+        WITH placeholder AS (SELECT 1)
+        {_kcore_rounds_sql('knn_uedges_mat', 'div', 'src', 'dst')}
+        """
+    )
+
+
+@query(
+    "cdc_write_amplification",
+    oracle=f"""
+        WITH {_BINLOG_LOG_CTE}
+        SELECT tbl, date_trunc('day', ts) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT key_id) AS BIGINT) AS n_keys,
+               CAST((100 * COUNT(*)) // COUNT(DISTINCT key_id)
+                    AS BIGINT) AS amp_x100,
+               CAST((10000 * (COUNT(*) - COUNT(DISTINCT key_id)))
+                    // COUNT(*) AS BIGINT) AS overwrite_bp
+        FROM binlog WHERE key_id IS NOT NULL
+        GROUP BY tbl, date_trunc('day', ts)
+    """,
+)
+def q_cdc_write_amplification(spark, sf_dir):
+    """Write amplification per table per day: events over distinct
+    keys touched (×100 integer) and the share of writes that
+    overwrite a key already written that day (bp) — the metric that
+    decides between applying every change and applying net-changes
+    (#cdc_dedup/net_changes): amp ≈ 100 means pass-through is fine,
+    amp ≫ 100 means per-batch netting pays for itself. One (table,
+    day) aggregate over the JVM-native binlog scan; the distinct
+    is per-group hash-distinct with partial aggregation."""
+    raw = read_binlog_jvm(spark, sf_dir)
+    flat = raw.where(F.col("primary_keys")["key_id"].isNotNull()).select(
+        F.col("table").alias("tbl"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.col("primary_keys")["key_id"].cast("long").alias("key_id"),
+    )
+    return flat.groupBy("tbl", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("key_id").alias("n_keys"),
+        F.expr("(100 * count(1)) div count(DISTINCT key_id)").alias(
+            "amp_x100"
+        ),
+        F.expr(
+            "(10000 * (count(1) - count(DISTINCT key_id))) div count(1)"
+        ).alias("overwrite_bp"),
+    )

