@@ -11300,3 +11300,196 @@ def q_cdc_write_amplification(spark, sf_dir):
             "(10000 * (count(1) - count(DISTINCT key_id))) div count(1)"
         ).alias("overwrite_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R8: embedding dimension stats, uniqueness profile, transition lift
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embed_dim_stats",
+    oracle="""
+        WITH comps AS (
+            SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+                   CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                        * 1000000) AS BIGINT) AS x
+            FROM embeddings)
+        , s AS (
+            SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+                   MIN(x) AS lo_e6, MAX(x) AS hi_e6,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx
+            FROM comps GROUP BY pos)
+        SELECT CAST(pos AS BIGINT) AS pos, n, lo_e6, hi_e6,
+               CAST(sx // n AS BIGINT) AS mean_e6,
+               CAST((sxx - (sx * sx) // n) // n AS BIGINT) AS var_e12,
+               CAST(CASE WHEN hi_e6 - lo_e6 < 1000 THEN 1 ELSE 0 END
+                    AS BIGINT) AS is_dead
+        FROM s
+    """,
+)
+def q_embed_dim_stats(spark, sf_dir):
+    """Per-DIMENSION embedding statistics: range, integer mean and
+    population variance (e6/e12 floor-scaled) and a dead-dimension
+    flag (range < 1e-3) — the profile that sizes quantizers: int8
+    (#96) spends its 256 bins per dimension on [lo, hi], PQ (#138)
+    allocates codebooks across sub-vectors, and dead dims waste
+    both (the signal to prune or rotate first). One corpus
+    posexplode, one pos-keyed aggregate — DIMS-bounded output."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        F.posexplode("embedding").alias("pos", "c")
+    ).select(
+        "pos",
+        F.floor(F.col("c").cast("double") * 1000000)
+        .cast("long")
+        .alias("x"),
+    )
+    return (
+        comps.groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").alias("lo_e6"),
+            F.max("x").alias("hi_e6"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        .select(
+            F.col("pos").cast("long").alias("pos"),
+            "n",
+            "lo_e6",
+            "hi_e6",
+            F.expr("sx div n").cast("long").alias("mean_e6"),
+            F.expr("(sxx - (sx * sx) div n) div n")
+            .cast("long")
+            .alias("var_e12"),
+            F.expr(
+                "CAST(CASE WHEN hi_e6 - lo_e6 < 1000 THEN 1 ELSE 0 END"
+                " AS BIGINT)"
+            ).alias("is_dead"),
+        )
+    )
+
+
+_UNIQ_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_orderpriority",
+)
+
+
+@query(
+    "dq_uniqueness_profile",
+    oracle=f"""
+        SELECT col, n, n_distinct,
+               CAST((10000 * n_distinct) // n AS BIGINT) AS distinct_bp,
+               CAST(CASE WHEN n_distinct = n THEN 1 ELSE 0 END
+                    AS BIGINT) AS is_candidate_key
+        FROM ({" UNION ALL ".join(
+            f"SELECT '{c}' AS col, CAST(COUNT(*) AS BIGINT) AS n, "
+            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct "
+            f"FROM orders"
+            for c in _UNIQ_COLS)})
+    """,
+)
+def q_dq_uniqueness_profile(spark, sf_dir):
+    """Column uniqueness profile of the orders table: distinct
+    ratio (bp) per column and the candidate-key certificate
+    (distinct == rows) — the profiling step that validates merge
+    keys before a CDC applier trusts them (a 'primary key' at 9 999
+    bp means silent upsert collisions), next to completeness
+    (#215) and referential integrity (#203). One pass per column
+    over the same scan; at 100 TB the exact distincts swap for the
+    HLL sketch (#62) with the same report shape."""
+    o = load_table(spark, sf_dir, "orders")
+    parts = []
+    for c in _UNIQ_COLS:
+        parts.append(
+            o.agg(
+                F.lit(c).alias("col"),
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct(c).alias("n_distinct"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.select(
+        "col",
+        "n",
+        "n_distinct",
+        F.expr("(10000 * n_distinct) div n").cast("long").alias(
+            "distinct_bp"
+        ),
+        F.expr(
+            "CAST(CASE WHEN n_distinct = n THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("is_candidate_key"),
+    )
+
+
+@query(
+    "events_transition_lift",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY event_id ASC) AS nxt
+            FROM events)
+        , trans AS (
+            SELECT event_type AS src, nxt AS dst,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2)
+        , marg AS (
+            SELECT src, CAST(SUM(n) AS BIGINT) AS n_src FROM trans
+            GROUP BY src)
+        , margd AS (
+            SELECT dst, CAST(SUM(n) AS BIGINT) AS n_dst FROM trans
+            GROUP BY dst)
+        , tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM trans)
+        SELECT tr.src, tr.dst, tr.n,
+               CAST((1000000 * tr.n * tot.t)
+                    // (m.n_src * d.n_dst) AS BIGINT) AS lift_ppm
+        FROM trans tr
+        JOIN marg m ON m.src = tr.src
+        JOIN margd d ON d.dst = tr.dst
+        CROSS JOIN tot
+    """,
+)
+def q_events_transition_lift(spark, sf_dir):
+    """Transition LIFT over consecutive event types per user:
+    observed transition count vs the independence expectation
+    (row-marginal × column-marginal / total, integer ppm) — > 1e6
+    marks genuinely sequential behavior, completing the raw
+    transition counts (#129) and the stationary distribution
+    (#158) with the strength-of-association view. One user-keyed
+    lead window (shares the events shuffle), then type²-bounded
+    algebra."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").asc())
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).where(F.col("nxt").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    marg = trans.groupBy("src").agg(F.sum("n").alias("n_src"))
+    margd = trans.groupBy("dst").agg(F.sum("n").alias("n_dst"))
+    tot = trans.agg(F.sum("n").alias("t"))
+    return (
+        trans.join(F.broadcast(marg), "src")
+        .join(F.broadcast(margd), "dst")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "src",
+            "dst",
+            "n",
+            F.expr("(1000000 * n * t) div (n_src * n_dst)")
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+    )

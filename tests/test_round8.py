@@ -755,3 +755,37 @@ def test_write_amplification_identity(spark, sf_dir):
         assert r["n_events"] >= r["n_keys"] > 0
         assert r["amp_x100"] == (100 * r["n_events"]) // r["n_keys"]
         assert 0 <= r["overwrite_bp"] < 10000
+
+
+def test_embed_dim_stats_consistency(spark, sf_dir):
+    """64 dimensions, range brackets mean, variance non-negative, no
+    dead dims in this synthetic corpus."""
+    rows = QUERIES["embed_dim_stats"](spark, sf_dir).collect()
+    assert len(rows) == 64
+    for r in rows:
+        assert r["lo_e6"] <= r["mean_e6"] <= r["hi_e6"]
+        assert r["var_e12"] >= 0
+        assert r["is_dead"] == 0
+
+
+def test_uniqueness_profile_key_certificate(spark, sf_dir):
+    rows = {r["col"]: r for r in QUERIES["dq_uniqueness_profile"](spark, sf_dir).collect()}
+    assert rows["o_orderkey"]["is_candidate_key"] == 1
+    assert rows["o_orderstatus"]["is_candidate_key"] == 0
+    for r in rows.values():
+        assert 0 < r["distinct_bp"] <= 10000
+
+
+def test_transition_lift_lower_bound(spark, sf_dir):
+    """The observed-weighted mean lift is ≥ 1 in exact rationals
+    (Σ n·lift/1e6·t⁻¹ = 1 + a chi-square-like nonneg term); floors
+    only shave ppm slack. Near-independent synthetic traffic sits
+    close to 1e6."""
+    rows = QUERIES["events_transition_lift"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["lift_ppm"] > 0
+    total = sum(r["n"] for r in rows)
+    wsum = sum(r["n"] * r["lift_ppm"] for r in rows)
+    assert wsum >= 990_000 * total  # ≥ 1e6·total minus floor slack
+    assert wsum <= 2_000_000 * total  # sanity: not wildly structured
