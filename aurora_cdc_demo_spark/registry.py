@@ -11493,3 +11493,82 @@ def q_events_transition_lift(spark, sf_dir):
             .alias("lift_ppm"),
         )
     )
+
+
+_DECILE_BANDS = 32
+
+
+@query(
+    "lineitem_price_deciles",
+    oracle="""
+        WITH v AS (
+            SELECT CAST(l_extendedprice * 100 AS BIGINT) AS p
+            FROM lineitem)
+        , ranked AS (
+            SELECT p, row_number() OVER (ORDER BY p ASC) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM v)
+        SELECT CAST(d AS BIGINT) AS decile,
+               CAST(MAX((d * n + 9) // 10) AS BIGINT) AS global_rank,
+               CAST(MAX(p) AS BIGINT) AS price_centi
+        FROM ranked CROSS JOIN (SELECT unnest(range(1, 10)) AS d) ds
+        WHERE rn = (d * n + 9) // 10
+        GROUP BY d
+    """,
+)
+def q_lineitem_price_deciles(spark, sf_dir):
+    """EXACT price deciles over the FACT table without a global
+    sort or single-reducer window — the #132/#194 band-prefix
+    decomposition applied at value grain where it matters most:
+    prices land in {B} value bands scaled by the broadcast
+    (min, max); band populations prefix-sum over a {B}-row table;
+    the rank window partitions BY BAND (≈1/{B} of the fact per
+    reducer, and {B} is a knob); global_rank = band_prefix +
+    within_band_rank. The value at a rank position is unique
+    whatever the tie order, so the output equals the oracle's
+    single global window bit-for-bit. This is the scale template
+    for every 'exact percentile of a fact column' ask that
+    approx_percentile can't satisfy.""".replace(
+        "{B}", str(_DECILE_BANDS)
+    )
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        (F.col("l_extendedprice") * 100).cast("long").alias("p")
+    )
+    mm = v.agg(
+        F.min("p").alias("lo"),
+        F.max("p").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    b = v.crossJoin(F.broadcast(mm)).withColumn(
+        "band",
+        F.expr(f"((p - lo) * {_DECILE_BANDS}) div (hi - lo + 1)"),
+    )
+    bcnt = b.groupBy("band").agg(F.count(F.lit(1)).alias("bn"))
+    w_pre = Window.orderBy(F.col("band").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bpre = bcnt.select(
+        "band",
+        F.coalesce(F.sum("bn").over(w_pre), F.lit(0)).alias("prefix"),
+    )
+    w_in = Window.partitionBy("band").orderBy(F.col("p").asc())
+    ranked = (
+        b.join(F.broadcast(bpre), "band")
+        .withColumn("within", F.row_number().over(w_in))
+        .withColumn("rn", (F.col("prefix") + F.col("within")).cast("long"))
+    )
+    ds = spark.range(1, 10).select(F.col("id").alias("decile"))
+    return (
+        ranked.join(
+            F.broadcast(ds),
+            F.col("rn") == F.expr("(decile * n + 9) div 10"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.max("rn").cast("long").alias("global_rank"),
+            F.max("p").cast("long").alias("price_centi"),
+        )
+    )

@@ -789,3 +789,23 @@ def test_transition_lift_lower_bound(spark, sf_dir):
     wsum = sum(r["n"] * r["lift_ppm"] for r in rows)
     assert wsum >= 990_000 * total  # ≥ 1e6·total minus floor slack
     assert wsum <= 2_000_000 * total  # sanity: not wildly structured
+
+
+def test_price_deciles_band_prefix_plan_and_monotone(spark, sf_dir):
+    """Deciles are monotone non-decreasing with dense positions, and
+    the plan contains NO unpartitioned fact-scale window: the only
+    global-order window runs on the band table (32 rows)."""
+    df = QUERIES["lineitem_price_deciles"](spark, sf_dir)
+    rows = {r["decile"]: r for r in df.collect()}
+    assert sorted(rows) == list(range(1, 10))
+    prices = [rows[d]["price_centi"] for d in range(1, 10)]
+    assert prices == sorted(prices)
+    ranks = [rows[d]["global_rank"] for d in range(1, 10)]
+    assert ranks == sorted(ranks)
+    # plan: within-band window partitions by band (fact side); the
+    # band-prefix window is over the bounded band table
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Window \[row_number\(\)[^\n]*", plan):
+        assert "band" in m.group(0)
