@@ -11502,7 +11502,8 @@ _DECILE_BANDS = 32
     "lineitem_price_deciles",
     oracle="""
         WITH v AS (
-            SELECT CAST(l_extendedprice * 100 AS BIGINT) AS p
+            SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                        AS BIGINT) AS p
             FROM lineitem)
         , ranked AS (
             SELECT p, row_number() OVER (ORDER BY p ASC) AS rn,
@@ -11535,7 +11536,9 @@ def q_lineitem_price_deciles(spark, sf_dir):
 
     li = load_table(spark, sf_dir, "lineitem")
     v = li.select(
-        (F.col("l_extendedprice") * 100).cast("long").alias("p")
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("p")
     )
     mm = v.agg(
         F.min("p").alias("lo"),
@@ -11570,5 +11573,163 @@ def q_lineitem_price_deciles(spark, sf_dir):
         .agg(
             F.max("rn").cast("long").alias("global_rank"),
             F.max("p").cast("long").alias("price_centi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# R8: seasonal-naive backtest, IQR outlier screen
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_seasonal_naive_backtest",
+    oracle="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1)
+        , j AS (
+            SELECT a.h, a.n AS actual, b.n AS predicted
+            FROM hourly a
+            JOIN hourly b ON b.h = a.h - INTERVAL 7 DAY)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_hours,
+               CAST(SUM(ABS(actual - predicted)) AS BIGINT)
+                   AS total_abs_err,
+               CAST(SUM(ABS(actual - predicted)) // COUNT(*)
+                    AS BIGINT) AS mae,
+               CAST((10000 * SUM(ABS(actual - predicted)))
+                    // SUM(actual) AS BIGINT) AS wape_bp,
+               CAST(SUM(CASE WHEN actual > predicted THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_over,
+               CAST(SUM(CASE WHEN actual < predicted THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_under
+        FROM j
+    """,
+)
+def q_events_seasonal_naive_backtest(spark, sf_dir):
+    """Seasonal-naive forecast backtest: predict each hour's event
+    volume with the SAME hour one week earlier and score MAE +
+    weighted absolute percentage error (bp integers) with the
+    over/under split — the baseline every real forecasting model
+    must beat, and the capacity-planning sanity number on its own
+    (WAPE ≈ how wrong a naive scaler would be). One hour-keyed
+    aggregate, one self-equi-join on the shifted hour key
+    (hour-grid-bounded), integer algebra after."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    pred = hourly.select(
+        (F.col("h") + F.expr("INTERVAL 7 DAY")).alias("h"),
+        F.col("n").alias("predicted"),
+    )
+    j = hourly.withColumnRenamed("n", "actual").join(pred, "h")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(F.abs(F.col("actual") - F.col("predicted"))).alias(
+            "total_abs_err"
+        ),
+        F.expr("sum(ABS(actual - predicted)) div count(1)")
+        .cast("long")
+        .alias("mae"),
+        F.expr("(10000 * sum(ABS(actual - predicted))) div sum(actual)")
+        .cast("long")
+        .alias("wape_bp"),
+        F.sum(
+            F.when(F.col("actual") > F.col("predicted"), 1).otherwise(0)
+        ).alias("n_over"),
+        F.sum(
+            F.when(F.col("actual") < F.col("predicted"), 1).otherwise(0)
+        ).alias("n_under"),
+    )
+
+
+@query(
+    "dq_outlier_price_iqr",
+    oracle="""
+        WITH v AS (
+            SELECT p.p_type,
+                   CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100
+                        AS BIGINT) AS p
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey)
+        , ranked AS (
+            SELECT p_type, p,
+                   row_number() OVER (
+                       PARTITION BY p_type ORDER BY p ASC) AS rn,
+                   COUNT(*) OVER (PARTITION BY p_type) AS n
+            FROM v)
+        , q AS (
+            SELECT p_type,
+                   CAST(MAX(CASE WHEN rn = (n + 3) // 4 THEN p END)
+                        AS BIGINT) AS q1,
+                   CAST(MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN p END)
+                        AS BIGINT) AS q3,
+                   CAST(MAX(n) AS BIGINT) AS n
+            FROM ranked GROUP BY p_type)
+        SELECT v.p_type, q.n AS n_lines, q.q1 AS q1_centi,
+               q.q3 AS q3_centi,
+               CAST(SUM(CASE WHEN 2 * v.p < 5 * q.q1 - 3 * q.q3
+                          OR 2 * v.p > 5 * q.q3 - 3 * q.q1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM v JOIN q ON q.p_type = v.p_type
+        GROUP BY v.p_type, q.n, q.q1, q.q3
+    """,
+)
+def q_dq_outlier_price_iqr(spark, sf_dir):
+    """Tukey-fence price outliers per part type: exact integer
+    quartiles (rank positions ceil(n/4), ceil(3n/4)) and the count
+    outside [Q1 − 1.5·IQR, Q3 + 1.5·IQR] — the fence test written
+    2p < 5q1 − 3q3 (×2 clears the .5 without leaving integers).
+    The per-type rank window shuffles the fact by p_type (~150
+    keys; at 100 TB the within-type rank decomposes into the
+    band-prefix form #254 per type — same algebra, noted not
+    needed at bench scale). Quartile rows broadcast back into the
+    fence scan."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    v = li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"]).select(
+        "p_type",
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("p"),
+    )
+    wr = Window.partitionBy("p_type").orderBy(F.col("p").asc())
+    wn = Window.partitionBy("p_type")
+    ranked = v.select(
+        "p_type",
+        "p",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    q = ranked.groupBy("p_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 3) div 4"), F.col("p"))
+        ).alias("q1"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(3 * n + 3) div 4"), F.col("p"))
+        ).alias("q3"),
+        F.max("n").alias("n"),
+    )
+    return (
+        v.join(F.broadcast(q), "p_type")
+        .groupBy("p_type", "n", "q1", "q3")
+        .agg(
+            F.sum(
+                F.when(
+                    (2 * F.col("p") < 5 * F.col("q1") - 3 * F.col("q3"))
+                    | (2 * F.col("p") > 5 * F.col("q3") - 3 * F.col("q1")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers")
+        )
+        .select(
+            "p_type",
+            F.col("n").alias("n_lines"),
+            F.col("q1").alias("q1_centi"),
+            F.col("q3").alias("q3_centi"),
+            "n_outliers",
         )
     )

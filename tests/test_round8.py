@@ -809,3 +809,42 @@ def test_price_deciles_band_prefix_plan_and_monotone(spark, sf_dir):
 
     for m in re.finditer(r"Window \[row_number\(\)[^\n]*", plan):
         assert "band" in m.group(0)
+
+
+def test_seasonal_backtest_identities(spark, sf_dir):
+    r = QUERIES["events_seasonal_naive_backtest"](spark, sf_dir).first()
+    assert r["n_hours"] > 0
+    assert r["n_over"] + r["n_under"] <= r["n_hours"]
+    assert r["mae"] == r["total_abs_err"] // r["n_hours"]
+    assert r["wape_bp"] >= 0
+
+
+def test_iqr_outliers_match_quartiles(spark, sf_dir):
+    """Quartiles bracket correctly and outlier counts re-verify
+    against a pandas recomputation per part type."""
+    rows = QUERIES["dq_outlier_price_iqr"](spark, sf_dir).collect()
+    assert rows
+    from aurora_cdc_demo_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("p"),
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    pdf = (
+        li.join(pt, li["l_partkey"] == pt["p_partkey"])
+        .select("p_type", "p")
+        .toPandas()
+    )
+    for r in rows:
+        assert r["q1_centi"] <= r["q3_centi"]
+        ps = sorted(pdf[pdf["p_type"] == r["p_type"]]["p"])
+        n = len(ps)
+        q1, q3 = ps[(n + 3) // 4 - 1], ps[(3 * n + 3) // 4 - 1]
+        assert (q1, q3) == (r["q1_centi"], r["q3_centi"])
+        out = sum(
+            1 for p in ps if 2 * p < 5 * q1 - 3 * q3 or 2 * p > 5 * q3 - 3 * q1
+        )
+        assert out == r["n_outliers"]
