@@ -11733,3 +11733,104 @@ def q_dq_outlier_price_iqr(spark, sf_dir):
             "n_outliers",
         )
     )
+
+
+@query(
+    "corpus_keep_list_source_bias",
+    oracle=_KEEP_GATES_CTES_LSH
+    + _V3_EXTRA_CTES
+    + _V4_EXTRA_CTES
+    + _V5_EXTRA_CTES
+    + _V6_EXTRA_CTES
+    + ", v6 AS ("
+    + _V6_SELECT
+    + """)
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_before,
+               CAST(SUM(CASE WHEN v.keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               CAST((10000 * SUM(CASE WHEN v.keep THEN 1 ELSE 0 END))
+                    // COUNT(*) AS BIGINT) AS keep_bp
+        FROM documents d JOIN v6 v USING (doc_id)
+        GROUP BY d.source
+    """,
+)
+def q_corpus_keep_list_source_bias(spark, sf_dir):
+    """Did the TEXT keep-list bias the corpus? Per-source survival
+    rates through the full twelve-gate v6_lsh chain — the text-side
+    twin of the embedding bias report (#221): a source whose
+    keep_bp collapses relative to the corpus mean lost its voice to
+    gates that fired asymmetrically (the audit Abbas et al./Dodge
+    et al. run before trusting a filtered corpus). Pure
+    composition: one source-keyed aggregate over the keep-list
+    join."""
+    kl = QUERIES["corpus_keep_list_v6_lsh"](spark, sf_dir).select(
+        "doc_id", "keep"
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    return (
+        docs.join(kl, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_before"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+            F.expr(
+                "(10000 * sum(CASE WHEN keep THEN 1 ELSE 0 END))"
+                " div count(1)"
+            ).alias("keep_bp"),
+        )
+    )
+
+
+@query(
+    "customer_order_running_total",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(row_number() OVER w AS BIGINT) AS order_seq,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate,
+                          o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND
+                          CURRENT ROW) AS BIGINT) AS cum_spend_centi,
+               CAST(COALESCE((epoch_us(o_orderdate)
+                    - epoch_us(lag(o_orderdate) OVER w)) // 86400000000,
+                    -1) AS BIGINT) AS days_since_prev
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_customer_order_running_total(spark, sf_dir):
+    """Per-customer order timeline: sequence number, running spend
+    (exact centi money), and inter-order gap in whole days (−1 for
+    the first order) — the everyday cumulative-window surface
+    (running totals, lag deltas) the RFM/LTV marts (#170/#186)
+    aggregate away. One customer-keyed sort window; all three
+    functions share the single window spec, so Spark plans ONE
+    shuffle + sort."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("long").alias("order_seq"),
+        F.sum(cents).over(wsum).cast("long").alias("cum_spend_centi"),
+        F.coalesce(
+            (
+                (
+                    F.unix_micros("o_orderdate")
+                    - F.unix_micros(F.lag("o_orderdate").over(w))
+                )
+                / F.lit(86400000000)
+            ).cast("long"),
+            F.lit(-1),
+        ).alias("days_since_prev"),
+    )

@@ -848,3 +848,23 @@ def test_iqr_outliers_match_quartiles(spark, sf_dir):
             1 for p in ps if 2 * p < 5 * q1 - 3 * q3 or 2 * p > 5 * q3 - 3 * q1
         )
         assert out == r["n_outliers"]
+
+
+def test_source_bias_conserves_keeplist(spark, sf_dir):
+    rows = QUERIES["corpus_keep_list_source_bias"](spark, sf_dir).collect()
+    kl = QUERIES["corpus_keep_list_v6_lsh"](spark, sf_dir)
+    assert sum(r["n_before"] for r in rows) == kl.count()
+    assert sum(r["n_kept"] for r in rows) == kl.where("keep").count()
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_before"]
+
+
+def test_running_total_monotone_per_customer(spark, sf_dir):
+    df = QUERIES["customer_order_running_total"](spark, sf_dir)
+    pdf = df.toPandas().sort_values(["o_custkey", "order_seq"])
+    for _, g in pdf.groupby("o_custkey"):
+        cs = list(g["cum_spend_centi"])
+        assert cs == sorted(cs)
+        assert list(g["order_seq"]) == list(range(1, len(g) + 1))
+        assert g.iloc[0]["days_since_prev"] == -1
+        assert (g["days_since_prev"].iloc[1:] >= 0).all()
