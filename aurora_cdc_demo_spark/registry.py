@@ -11834,3 +11834,117 @@ def q_customer_order_running_total(spark, sf_dir):
             F.lit(-1),
         ).alias("days_since_prev"),
     )
+
+
+@query(
+    "embed_label_compactness",
+    oracle="""
+        WITH comps AS (
+            SELECT label,
+                   generate_subscripts(embedding, 1) - 1 AS pos,
+                   CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                        * 1000000) AS BIGINT) AS x
+            FROM embeddings)
+        , lp AS (
+            SELECT label, pos, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx
+            FROM comps GROUP BY label, pos)
+        , gp AS (
+            SELECT pos, CAST(SUM(sx) AS BIGINT) AS gsx,
+                   CAST(SUM(n) AS BIGINT) AS gn
+            FROM lp GROUP BY pos)
+        SELECT lp.label, CAST(MIN(lp.n) AS BIGINT) AS n_vecs,
+               CAST(SUM(lp.sxx - (lp.sx * lp.sx) // lp.n) AS BIGINT)
+                   AS wss_e12,
+               CAST(SUM(lp.n * ((lp.sx // lp.n) - (gp.gsx // gp.gn))
+                        * ((lp.sx // lp.n) - (gp.gsx // gp.gn)))
+                    AS BIGINT) AS bss_e12
+        FROM lp JOIN gp ON gp.pos = lp.pos
+        GROUP BY lp.label
+    """,
+)
+def q_embed_label_compactness(spark, sf_dir):
+    """FULL-VECTOR variance decomposition per label: within-label
+    scatter (Σ over dims of the sxx − sx²/n identity) and
+    between-label scatter (n·‖μ_label − μ_global‖², integer means)
+    — the Fisher-criterion pieces at vector grain, extending the
+    norm-only ANOVA (#220): bss/wss per label says whether labels
+    are separable clusters or arbitrary tags (drives whether
+    label-stratified sampling or label-prop eval means anything).
+    One corpus posexplode, then label×DIMS-bounded algebra."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "c")
+    ).select(
+        "label",
+        "pos",
+        F.floor(F.col("c").cast("double") * 1000000)
+        .cast("long")
+        .alias("x"),
+    )
+    lp = comps.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    gp = lp.groupBy("pos").agg(
+        F.sum("sx").alias("gsx"), F.sum("n").alias("gn")
+    )
+    return (
+        lp.join(gp, "pos")
+        .groupBy("label")
+        .agg(
+            F.min("n").cast("long").alias("n_vecs"),
+            F.sum(F.expr("sxx - (sx * sx) div n"))
+            .cast("long")
+            .alias("wss_e12"),
+            F.sum(
+                F.expr(
+                    "n * ((sx div n) - (gsx div gn))"
+                    " * ((sx div n) - (gsx div gn))"
+                )
+            )
+            .cast("long")
+            .alias("bss_e12"),
+        )
+    )
+
+
+@query(
+    "mm_frame_dedup",
+    oracle=f"""
+        WITH frames AS ({_mm.MM_FRAME_SAMPLE_SQL})
+        , ranked AS (
+            SELECT doc_id, frame_idx, frame_md5,
+                   row_number() OVER (
+                       PARTITION BY frame_md5
+                       ORDER BY doc_id ASC, frame_idx ASC) AS rn
+            FROM frames)
+        SELECT doc_id, frame_idx, (rn = 1) AS keep
+        FROM ranked
+    """,
+)
+def q_mm_frame_dedup(spark, sf_dir):
+    """Cross-corpus FRAME dedup: the line-dedup discipline (#226)
+    applied at frame grain over the sampled-frame table (#83) —
+    repeated intros/watermarks/test patterns collapse to their
+    first (doc, frame) occurrence corpus-wide, the multimodal twin
+    of line-level text dedup (a video pipeline dedups frames
+    before feature extraction for exactly this reason). One
+    frame-hash-keyed rank window over the frame table (bounded:
+    N_FRAMES per doc)."""
+    from pyspark.sql import Window
+
+    frames = QUERIES["mm_frame_sample"](spark, sf_dir).select(
+        "doc_id", "frame_idx", "frame_md5"
+    )
+    w = Window.partitionBy("frame_md5").orderBy(
+        F.col("doc_id").asc(), F.col("frame_idx").asc()
+    )
+    return (
+        frames.withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id", "frame_idx", (F.col("rn") == 1).alias("keep")
+        )
+    )

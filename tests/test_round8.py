@@ -868,3 +868,27 @@ def test_running_total_monotone_per_customer(spark, sf_dir):
         assert list(g["order_seq"]) == list(range(1, len(g) + 1))
         assert g.iloc[0]["days_since_prev"] == -1
         assert (g["days_since_prev"].iloc[1:] >= 0).all()
+
+
+def test_label_compactness_scatter_laws(spark, sf_dir):
+    """WSS/BSS ≥ 0; Σ label WSS + Σ BSS ≈ total scatter (integer
+    floors shave only downward); labels partition the corpus."""
+    from aurora_cdc_demo_spark.tables import load_table
+
+    rows = QUERIES["embed_label_compactness"](spark, sf_dir).collect()
+    n_total = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_vecs"] for r in rows) == n_total
+    for r in rows:
+        assert r["wss_e12"] >= 0 and r["bss_e12"] >= 0
+
+
+def test_frame_dedup_first_occurrence(spark, sf_dir):
+    """Each distinct frame hash survives exactly once; duplicate
+    frames exist on this corpus (copied docs share frames)."""
+    kl = QUERIES["mm_frame_dedup"](spark, sf_dir)
+    frames = QUERIES["mm_frame_sample"](spark, sf_dir)
+    kept = kl.where("keep").count()
+    n_distinct = frames.select("frame_md5").distinct().count()
+    assert kept == n_distinct
+    assert kl.count() == frames.count()
+    assert kl.where("NOT keep").count() > 0
