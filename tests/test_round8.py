@@ -892,3 +892,49 @@ def test_frame_dedup_first_occurrence(spark, sf_dir):
     assert kept == n_distinct
     assert kl.count() == frames.count()
     assert kl.where("NOT keep").count() > 0
+
+
+def test_line_dedup_store_crash_recovery(spark, sf_dir, tmp_path):
+    """Simulate a crash between the two renames of the stage-and-
+    swap commit (state dir gone, .old present): _read_state must
+    roll back to the previous state, and re-applying the lost batch
+    converges to the same end state."""
+    from pathlib import Path
+
+    from aurora_cdc_demo_spark.streaming.curation import LineDedupStore
+    from aurora_cdc_demo_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    first = docs.where("doc_id < 100")
+    second = docs.where("doc_id >= 100")
+
+    import shutil
+
+    store = LineDedupStore(spark, str(tmp_path / "state"))
+    store.apply_batch(first, 0)
+    snap0 = sorted(
+        map(tuple, spark.read.parquet(str(tmp_path / "state")).collect())
+    )
+    # keep a copy of the pre-batch-1 state (what .old holds in the
+    # real crash window)
+    shutil.copytree(tmp_path / "state", tmp_path / "pre1")
+    store.apply_batch(second, 1)
+    done = sorted(
+        map(tuple, spark.read.parquet(str(tmp_path / "state")).collect())
+    )
+    # crash simulation: batch 1's swap half-applied — state dir
+    # missing, .old = the PRE-batch-1 state still on disk
+    state = Path(tmp_path / "state")
+    shutil.rmtree(state)
+    shutil.rmtree(tmp_path / "state.old", ignore_errors=True)
+    (tmp_path / "pre1").rename(tmp_path / "state.old")
+    (tmp_path / "state.last_batch").write_text("0")  # marker rewound
+
+    recovered = store._read_state()
+    assert recovered is not None
+    assert sorted(map(tuple, recovered.collect())) == snap0
+    store.apply_batch(second, 1)  # replay the lost batch
+    again = sorted(
+        map(tuple, spark.read.parquet(str(tmp_path / "state")).collect())
+    )
+    assert again == done
