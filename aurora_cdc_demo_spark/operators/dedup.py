@@ -966,3 +966,79 @@ LSH_TUNING_SQL = (
     FROM summary s CROSS JOIN ref r
 """
 )
+
+
+MINHASH_K_SWEEP = (4, 8, 12)
+
+
+def minhash_k_sweep_sql(dialect: str) -> str:
+    """Hash-count calibration for MinHash: the SAME candidate pairs
+    scored with the first k of the 12 minhashes (a prefix of
+    independent minhashes is itself a valid MinHash estimator), each
+    k's estimate compared against exact shingle Jaccard — the
+    measured accuracy/cost curve that justifies NUM_MINHASH, next to
+    the band-shape sweep (lsh_tuning). Per k: candidate-pair count,
+    mean and max absolute estimate error (bp). All the heavy
+    relations (signatures, candidates, exact intersections) are
+    computed ONCE; the three k-arms read the bounded per-pair
+    table."""
+    div = "div" if dialect == "spark" else "//"
+    mat = "MATERIALIZED " if dialect != "spark" else ""
+    match_k = {
+        k: " + ".join(
+            f"(CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END)"
+            for j in range(k)
+        )
+        for k in MINHASH_K_SWEEP
+    }
+    arms = " UNION ALL ".join(
+        f"""
+        SELECT CAST({k} AS BIGINT) AS k,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(ABS((10000 * m{k}) {div} {k} - exact_bp))
+                    {div} COUNT(*) AS BIGINT) AS mean_abs_err_bp,
+               CAST(MAX(ABS((10000 * m{k}) {div} {k} - exact_bp))
+                    AS BIGINT) AS max_abs_err_bp
+        FROM scored"""
+        for k in MINHASH_K_SWEEP
+    )
+    return f"""
+    WITH {_SHINGLES_SQL}
+    , hashed AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS a,
+               CAST('0x' || substr(md5(s), 9, 8) AS BIGINT) AS b
+        FROM sh)
+    , sig AS {mat}(SELECT doc_id, {_minhash_sql_cols()}
+                   FROM hashed GROUP BY doc_id)
+    , bands AS (SELECT doc_id, {_band_sql_cols()} FROM sig)
+    , cand AS {mat}(
+        SELECT DISTINCT doc_a, doc_b FROM (
+            {" UNION ALL ".join(
+                f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+                f"FROM bands a JOIN bands b "
+                f"ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+                for b in range(NUM_MINHASH // BAND_ROWS)
+            )}))
+    , inter AS {mat}(
+        SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+        GROUP BY 1, 2)
+    , scored AS {mat}(
+        SELECT c.doc_a, c.doc_b,
+               {", ".join(
+                   f"CAST({expr} AS BIGINT) AS m{k}"
+                   for k, expr in match_k.items())},
+               (10000 * CAST(COALESCE(i.inter, 0) AS BIGINT))
+                   {div} CAST(x.c + y.c - COALESCE(i.inter, 0) AS BIGINT)
+                   AS exact_bp
+        FROM cand c
+        JOIN sig a ON a.doc_id = c.doc_a
+        JOIN sig b ON b.doc_id = c.doc_b
+        LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+        JOIN sc x ON c.doc_a = x.doc_id
+        JOIN sc y ON c.doc_b = y.doc_id)
+    {arms}
+    """

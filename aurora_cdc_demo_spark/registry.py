@@ -11948,3 +11948,78 @@ def q_mm_frame_dedup(spark, sf_dir):
             "doc_id", "frame_idx", (F.col("rn") == 1).alias("keep")
         )
     )
+
+
+@query("dedup_minhash_k_sweep", oracle=_dedup.minhash_k_sweep_sql("duck"))
+def q_dedup_minhash_k_sweep(spark, sf_dir):
+    """MinHash hash-count calibration: estimate error vs exact
+    Jaccard at k = 4/8/12 hashes over the SAME LSH candidate pairs —
+    completes the tuning family (#110 per-pair calibration, #176
+    band-shape S-curve, #190 threshold sweep) with the
+    accuracy-per-hash curve that justifies NUM_MINHASH: error should
+    shrink ~1/√k, and a k where it plateaus is signature budget
+    wasted. Signatures, candidates, and exact intersections compute
+    once; the k-arms read a bounded per-pair table."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _dedup.shingles(docs)
+    sig = _dedup.minhash_signatures(sh)
+    cand = _dedup.lsh_candidates(sig)
+    jac = _dedup._pair_jaccard(sh, pairs=cand).select(
+        "doc_a",
+        "doc_b",
+        F.expr("(10000 * inter) div uni").alias("exact_bp"),
+    )
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[
+            F.col(f"mh{j}").alias(f"a{j}")
+            for j in range(_dedup.NUM_MINHASH)
+        ],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[
+            F.col(f"mh{j}").alias(f"b{j}")
+            for j in range(_dedup.NUM_MINHASH)
+        ],
+    )
+    scored = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .join(jac, ["doc_a", "doc_b"], "left")
+        .select(
+            *[
+                F.expr(
+                    " + ".join(
+                        f"(CASE WHEN a{j} = b{j} THEN 1 ELSE 0 END)"
+                        for j in range(k)
+                    )
+                )
+                .cast("long")
+                .alias(f"m{k}")
+                for k in _dedup.MINHASH_K_SWEEP
+            ],
+            F.coalesce(F.col("exact_bp"), F.lit(0)).alias("exact_bp"),
+        )
+        .localCheckpoint()
+    )
+    arms = []
+    for k in _dedup.MINHASH_K_SWEEP:
+        err = F.abs(F.expr(f"(10000 * m{k}) div {k}") - F.col("exact_bp"))
+        arms.append(
+            scored.agg(
+                F.lit(k).cast("long").alias("k"),
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.expr(
+                    f"sum(ABS((10000 * m{k}) div {k} - exact_bp))"
+                    " div count(1)"
+                )
+                .cast("long")
+                .alias("mean_abs_err_bp"),
+                F.max(err).cast("long").alias("max_abs_err_bp"),
+            )
+        )
+    out = arms[0]
+    for arm in arms[1:]:
+        out = out.unionByName(arm)
+    return out

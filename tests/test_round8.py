@@ -938,3 +938,19 @@ def test_line_dedup_store_crash_recovery(spark, sf_dir, tmp_path):
         map(tuple, spark.read.parquet(str(tmp_path / "state")).collect())
     )
     assert again == done
+
+
+def test_minhash_k_sweep_error_shrinks(spark, sf_dir):
+    """More hashes, less error: mean absolute estimate error is
+    non-increasing in k over the same candidate pairs; pair count is
+    constant across arms."""
+    rows = sorted(
+        (r["k"], r["n_pairs"], r["mean_abs_err_bp"], r["max_abs_err_bp"])
+        for r in QUERIES["dedup_minhash_k_sweep"](spark, sf_dir).collect()
+    )
+    assert [r[0] for r in rows] == [4, 8, 12]
+    assert len({r[1] for r in rows}) == 1
+    means = [r[2] for r in rows]
+    assert means == sorted(means, reverse=True)
+    for _, _, mean, mx in rows:
+        assert 0 <= mean <= mx <= 10000
