@@ -87,6 +87,7 @@ HEADLINE = [
     "corpus_keep_list_v5_lsh",
     "corpus_line_dedup",
     "corpus_keep_list_v6_lsh",
+    "lineitem_price_deciles",
 ]
 
 
