@@ -12023,3 +12023,544 @@ def q_dedup_minhash_k_sweep(spark, sf_dir):
     for arm in arms[1:]:
         out = out.unionByName(arm)
     return out
+
+
+# ---------------------------------------------------------------------------
+# R9: graph structure metrics over the KNN graph
+# ---------------------------------------------------------------------------
+
+_ASSORT_UEDGES_DUCK = f"""
+        {{ctes}}
+        , uedges AS MATERIALIZED (
+            SELECT vec_id AS src, neighbor_id AS dst FROM ranked
+            WHERE rnk <= {_sim.KNN_K}
+            UNION
+            SELECT neighbor_id, vec_id FROM ranked
+            WHERE rnk <= {_sim.KNN_K})
+"""
+
+
+def _assort_body_sql(div: str) -> str:
+    """Degree-assortativity report body over ``uedges(src, dst)``.
+
+    Pearson r over the directed edge list of (deg(src), deg(dst))
+    pairs — the standard undirected formulation, since every edge
+    appears in both orientations. sqrt-free: we report the covariance
+    and variance NUMERATORS (m·Σxy − Σx·Σy etc.) exactly, plus the
+    SIGNED r² in e6 (sign(cov)·10⁶·cov² / (varx·vary)) so both
+    engines agree bit-for-bit without a square root. Products of two
+    ~e14 numerators need 128-bit intermediates: HUGEINT (duck) /
+    DECIMAL(38,0) (spark)."""
+    big = "HUGEINT" if div == "//" else "DECIMAL(38,0)"
+    return f"""
+        , deg AS (
+            SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM uedges GROUP BY src)
+        , ed AS (
+            SELECT da.d AS x, db.d AS y
+            FROM uedges e
+            JOIN deg da ON da.node = e.src
+            JOIN deg db ON db.node = e.dst)
+        , s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy
+            FROM ed)
+        , nums AS (
+            SELECT m,
+                   CAST(m AS {big}) * sxy - CAST(sx AS {big}) * sy
+                       AS cov_num,
+                   CAST(m AS {big}) * sxx - CAST(sx AS {big}) * sx
+                       AS varx_num,
+                   CAST(m AS {big}) * syy - CAST(sy AS {big}) * sy
+                       AS vary_num
+            FROM s)
+        SELECT m AS n_directed_edges,
+               CAST(cov_num AS BIGINT) AS cov_num,
+               CAST(varx_num AS BIGINT) AS varx_num,
+               CAST(vary_num AS BIGINT) AS vary_num,
+               CAST(CASE WHEN varx_num = 0 OR vary_num = 0 THEN 0
+                    ELSE (CASE WHEN cov_num < 0 THEN -1 ELSE 1 END)
+                         * ((CAST(1000000 AS {big}) * cov_num * cov_num)
+                            {div} (varx_num * vary_num))
+                    END AS BIGINT) AS assort_r2_signed_e6
+        FROM nums
+    """
+
+
+@query(
+    "graph_assortativity_knn",
+    oracle=_ASSORT_UEDGES_DUCK.format(ctes=_sim._knn_ctes("duck"))
+    + _assort_body_sql("//"),
+)
+def q_graph_assortativity_knn(spark, sf_dir):
+    """Degree assortativity of the KNN graph — do hubs link to hubs
+    (r > 0, social-network-like) or to the periphery (r < 0,
+    core-periphery / hub-spoke)? The one-number structural summary
+    that tells an ANN operator whether hubness (#248's margin
+    collapse) is concentrated or diffuse, and whether the k-core
+    (#249) will peel in thin shells or collapse at once. One degree
+    aggregate + one edge-degree join over the checkpointed edge
+    list; the report is a single row of exact integer moment
+    numerators (sqrt-free signed r² — see _assort_body_sql).
+    128-bit products via DECIMAL(38,0)/HUGEINT, the DSIR discipline
+    (#119)."""
+    _sim._materialized_uedges(spark, sf_dir, _sim.N_SEEDS, "local")
+    return spark.sql(
+        "WITH uedges AS (SELECT src, dst FROM knn_uedges_mat)"
+        + _assort_body_sql("div")
+    )
+
+
+_EMB_WITNESS_CAP = 64  # hubs above this degree don't serve as witnesses
+
+
+def _embeddedness_body_sql() -> str:
+    """Edge-embeddedness body over ``uedges(src, dst)``: for every
+    undirected edge (a < b), the count of common neighbors and the
+    neighborhood-Jaccard share in bp. Wedge join is witness-capped
+    (degree ≤ {cap}) — identical df-cap discipline to link-pred
+    (#157) and containment (#127): Θ(Σ_w≤cap deg(w)²) instead of
+    hub-quadratic, common counts a documented lower bound on
+    hub-adjacent edges (exact at test SF, pinned in pytest). The
+    union denominator excludes the endpoints themselves
+    (deg_a + deg_b − common − 2); a 0/0 edge (two degree-1 nodes)
+    reports 0 bp.""".replace("{cap}", str(_EMB_WITNESS_CAP))
+    return f"""
+        , deg AS (
+            SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM uedges GROUP BY src)
+        , wit AS (SELECT node FROM deg WHERE d <= {_EMB_WITNESS_CAP})
+        , wedge AS (
+            SELECT e1.dst AS a, e2.dst AS b
+            FROM uedges e1
+            JOIN wit w ON w.node = e1.src
+            JOIN uedges e2 ON e2.src = e1.src AND e1.dst < e2.dst)
+        , cn AS (
+            SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+            FROM wedge GROUP BY a, b)
+        , canon AS (SELECT src AS a, dst AS b FROM uedges WHERE src < dst)
+        SELECT e.a, e.b, da.d AS deg_a, db.d AS deg_b,
+               COALESCE(cn.c, 0) AS common_neighbors,
+               CAST(CASE WHEN da.d + db.d - COALESCE(cn.c, 0) - 2 <= 0
+                    THEN 0
+                    ELSE (10000 * COALESCE(cn.c, 0))
+                         / (da.d + db.d - COALESCE(cn.c, 0) - 2)
+                    END AS BIGINT) AS embeddedness_bp,
+               COALESCE(cn.c, 0) = 0 AS is_local_bridge
+        FROM canon e
+        JOIN deg da ON da.node = e.a
+        JOIN deg db ON db.node = e.b
+        LEFT JOIN cn ON cn.a = e.a AND cn.b = e.b
+    """
+
+
+@query(
+    "graph_edge_embeddedness_knn",
+    oracle=_ASSORT_UEDGES_DUCK.format(ctes=_sim._knn_ctes("duck"))
+    + _embeddedness_body_sql().replace("/ (da.d", "// (da.d"),
+)
+def q_graph_edge_embeddedness_knn(spark, sf_dir):
+    """Edge embeddedness (Granovetter weak ties) over the KNN
+    graph: per EXISTING edge, common-neighbor count and
+    neighborhood-Jaccard bp — the complement of link-pred (#157,
+    which scores NON-edges): embeddedness ≈ 0 marks local bridges,
+    the edges that glue otherwise-separate similarity regions
+    together and that community detection (#148/#187) is most
+    likely to cut; high embeddedness marks redundant intra-cluster
+    edges a graph-sparsification pass could drop first. Same
+    witness-capped wedge join as the triangle counter — linear in
+    capped wedges, never hub-quadratic; edge list built once and
+    checkpointed."""
+    _sim._materialized_uedges(spark, sf_dir, _sim.N_SEEDS, "local")
+    return spark.sql(
+        "WITH uedges AS (SELECT src, dst FROM knn_uedges_mat)"
+        + _embeddedness_body_sql().replace(
+            "/ (da.d", "div (da.d"
+        )
+    )
+
+
+@query(
+    "events_user_type_diversity",
+    oracle="""
+        WITH tc AS (
+            SELECT user_id, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY user_id, event_type)
+        SELECT user_id,
+               CAST(SUM(c) AS BIGINT) AS n_events,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST((10000 * MAX(c)) // SUM(c) AS BIGINT)
+                   AS dominant_share_bp,
+               CAST((10000 * (SUM(c) * SUM(c) - SUM(c * c)))
+                    // (SUM(c) * SUM(c)) AS BIGINT) AS simpson_bp
+        FROM tc GROUP BY user_id
+    """,
+)
+def q_events_user_type_diversity(spark, sf_dir):
+    """Behavioral diversity per user WITHOUT logarithms: the
+    Gini–Simpson index 1 − Σp² as an exact rational in bp
+    (10000·(N² − Σc²)/N², integer counts only — the log-free twin
+    of Shannon entropy, same ranking for the screening purpose),
+    plus the dominant-type share. 0 bp = single-behavior bots /
+    scrapers, high bp = genuine multi-surface users — the
+    per-user mixing signal that volume-side skew views (#233 Gini,
+    #178 HHI) can't see. Two hash aggregates, both with map-side
+    partial aggregation; second is user-grain (bounded by users ×
+    |type vocab| intermediate)."""
+    ev = load_table(spark, sf_dir, "events")
+    tc = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return tc.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.expr("(10000 * max(c)) div sum(c)")
+        .cast("long")
+        .alias("dominant_share_bp"),
+        F.expr(
+            "(10000 * (sum(c) * sum(c) - sum(c * c)))"
+            " div (sum(c) * sum(c))"
+        )
+        .cast("long")
+        .alias("simpson_bp"),
+    )
+
+
+@query(
+    "orders_purchase_cadence",
+    oracle="""
+        WITH seq AS (
+            SELECT o_custkey, o_orderdate,
+                   lag(o_orderdate) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS prev_dt
+            FROM orders)
+        , gaps AS (
+            SELECT o_custkey,
+                   CAST((epoch_us(o_orderdate) - epoch_us(prev_dt))
+                        // 86400000000 AS BIGINT) AS gap_d
+            FROM seq WHERE prev_dt IS NOT NULL)
+        , med AS (
+            SELECT o_custkey, gap_d AS median_gap_days
+            FROM (
+                SELECT o_custkey, gap_d,
+                       row_number() OVER (
+                           PARTITION BY o_custkey ORDER BY gap_d) AS rn,
+                       COUNT(*) OVER (PARTITION BY o_custkey) AS n
+                FROM gaps)
+            WHERE rn = (n + 1) // 2)
+        , cust AS (
+            SELECT o_custkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   MAX(o_orderdate) AS last_dt
+            FROM orders GROUP BY o_custkey)
+        , hw AS (SELECT MAX(o_orderdate) AS hwm FROM orders)
+        SELECT c.o_custkey, c.n_orders, m.median_gap_days,
+               CAST((epoch_us(hw.hwm) - epoch_us(c.last_dt))
+                    // 86400000000 AS BIGINT) AS recency_days,
+               CAST((100 * ((epoch_us(hw.hwm) - epoch_us(c.last_dt))
+                    // 86400000000))
+                    // GREATEST(m.median_gap_days, 1) AS BIGINT)
+                   AS cadence_ratio_x100,
+               ((epoch_us(hw.hwm) - epoch_us(c.last_dt)) // 86400000000)
+                   > 2 * GREATEST(m.median_gap_days, 1) AS churned
+        FROM cust c JOIN med m ON m.o_custkey = c.o_custkey
+        CROSS JOIN hw
+    """,
+)
+def q_orders_purchase_cadence(spark, sf_dir):
+    """SELF-relative churn: each repeat customer's median
+    inter-order gap (exact lower-median order statistic, the #234
+    formulation) vs days since their last order at the data's
+    high-water mark — churned = recency > 2× OWN median cadence.
+    Population-relative recency quintiles (#170 RFM) call every
+    infrequent-but-regular buyer cold; cadence-relative
+    classification is what retention teams actually page on. One
+    customer-keyed sort window for gaps (same shuffle the running-
+    total timeline #258 already pays), customer-grain algebra
+    after; the high-water mark is a single-row broadcast, not a
+    driver collect."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    day_us = 86400000000
+    gaps = (
+        o.select(
+            "o_custkey",
+            "o_orderdate",
+            F.lag("o_orderdate").over(w).alias("prev_dt"),
+        )
+        .where(F.col("prev_dt").isNotNull())
+        .select(
+            "o_custkey",
+            (
+                (
+                    F.unix_micros("o_orderdate")
+                    - F.unix_micros("prev_dt")
+                )
+                / F.lit(day_us)
+            )
+            .cast("long")
+            .alias("gap_d"),
+        )
+    )
+    wg = Window.partitionBy("o_custkey").orderBy(F.col("gap_d").asc())
+    wn = Window.partitionBy("o_custkey")
+    med = (
+        gaps.withColumn("rn", F.row_number().over(wg))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .where(F.expr("rn = (n + 1) div 2"))
+        .select("o_custkey", F.col("gap_d").alias("median_gap_days"))
+    )
+    cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.max("o_orderdate").alias("last_dt"),
+    )
+    hw = o.agg(F.max("o_orderdate").alias("hwm"))
+    rec = (
+        (F.unix_micros(F.col("hwm")) - F.unix_micros(F.col("last_dt")))
+        / F.lit(day_us)
+    ).cast("long")
+    med_floor = F.greatest(F.col("median_gap_days"), F.lit(1))
+    return (
+        cust.join(med, "o_custkey")
+        .crossJoin(F.broadcast(hw))
+        .select(
+            "o_custkey",
+            "n_orders",
+            "median_gap_days",
+            rec.alias("recency_days"),
+            F.expr(
+                "(100 * ((unix_micros(hwm) - unix_micros(last_dt))"
+                " div 86400000000))"
+                " div GREATEST(median_gap_days, 1)"
+            )
+            .cast("long")
+            .alias("cadence_ratio_x100"),
+            (rec > 2 * med_floor).alias("churned"),
+        )
+    )
+
+
+_HOT_KEY_TOPK = 8
+_HOT_KEY_BP = 100  # keys above 1% of a table's traffic are "hot"
+
+
+@query(
+    "cdc_hot_key_report",
+    oracle=f"""
+        WITH {_BINLOG_LOG_CTE}
+        , kc AS (
+            SELECT tbl, key_id, CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM binlog WHERE key_id IS NOT NULL
+            GROUP BY tbl, key_id)
+        , tot AS (
+            SELECT tbl, CAST(SUM(n_events) AS BIGINT) AS t
+            FROM kc GROUP BY tbl)
+        , ranked AS (
+            SELECT kc.tbl, kc.key_id, kc.n_events,
+                   CAST(row_number() OVER (
+                       PARTITION BY kc.tbl
+                       ORDER BY kc.n_events DESC, kc.key_id ASC)
+                       AS BIGINT) AS rnk,
+                   CAST((10000 * kc.n_events) // t.t AS BIGINT)
+                       AS share_bp
+            FROM kc JOIN tot t ON t.tbl = kc.tbl)
+        SELECT tbl, key_id, rnk, n_events, share_bp,
+               share_bp > {_HOT_KEY_BP} AS is_hot,
+               CAST(CASE WHEN share_bp > {_HOT_KEY_BP}
+                    THEN (share_bp * 32) // 10000 + 1 ELSE 1 END
+                    AS BIGINT) AS salt_buckets
+        FROM ranked WHERE rnk <= {_HOT_KEY_TOPK}
+    """,
+)
+def q_cdc_hot_key_report(spark, sf_dir):
+    """Hot-key detector per CDC table: the top-{k} keys by event
+    share (bp) with a concrete salting prescription — salt_buckets
+    = ceil-ish of the key's share of a 32-slot shuffle round
+    (share_bp·32/10⁴ + 1), i.e. how many sub-keys it takes before
+    no reducer sees more than ~1/32 of the table's traffic. This is
+    the MEASUREMENT that decides when the salted-agg/join rewrites
+    (#38/#136) are worth their extra pre-aggregation: text-side
+    heavy hitters (#105) found hot TOKENS; this finds hot KEYS on
+    the write path, where one viral row turns a partitioned upsert
+    into a straggler. Key-grain aggregate (map-side combined) +
+    per-table top-K via TakeOrdered-style rank window — never a
+    global sort; the rank window partitions by table.""".replace(
+        "{k}", str(_HOT_KEY_TOPK)
+    )
+    from pyspark.sql import Window
+
+    raw = read_binlog_jvm(spark, sf_dir)
+    kc = (
+        raw.where(F.col("primary_keys")["key_id"].isNotNull())
+        .select(
+            F.col("table").alias("tbl"),
+            F.col("primary_keys")["key_id"].cast("long").alias("key_id"),
+        )
+        .groupBy("tbl", "key_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    tot = kc.groupBy("tbl").agg(F.sum("n_events").alias("t"))
+    w = Window.partitionBy("tbl").orderBy(
+        F.col("n_events").desc(), F.col("key_id").asc()
+    )
+    ranked = (
+        kc.join(F.broadcast(tot), "tbl")
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "share_bp", F.expr("(10000 * n_events) div t").cast("long")
+        )
+    )
+    return ranked.where(F.col("rnk") <= _HOT_KEY_TOPK).select(
+        "tbl",
+        "key_id",
+        "rnk",
+        F.col("n_events").cast("long").alias("n_events"),
+        "share_bp",
+        (F.col("share_bp") > _HOT_KEY_BP).alias("is_hot"),
+        F.expr(
+            f"CASE WHEN share_bp > {_HOT_KEY_BP}"
+            " THEN (share_bp * 32) div 10000 + 1 ELSE 1 END"
+        )
+        .cast("long")
+        .alias("salt_buckets"),
+    )
+
+
+_PCA_ROUNDS = 3
+
+
+def _pca_fd(a: str, b: str, div: str) -> str:
+    """Floor division a/b (b > 0) that is IDENTICAL on both engines
+    even for negative a: subtract the positive remainder first, then
+    divide exactly — Spark's `div` truncates toward zero while
+    DuckDB's `//` floors, so raw integer division of a negative
+    numerator silently disagrees by one."""
+    return (
+        f"((({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) {div} ({b}))"
+    )
+
+
+def _pca_power_sql(dialect: str) -> str:
+    """Top principal direction of the embedding corpus by UNROLLED
+    integer power iteration (the #158 Markov / #216 PageRank
+    fixed-round discipline applied to the covariance matrix).
+
+    Corpus-scale work is exactly ONE pass: the centered outer-product
+    aggregate Σᵢ cxᵢ·cxᵢᵀ — rows×dims² products collapsing map-side
+    into a dims²-bounded partial per partition (the Gram-matrix
+    treeAggregate shape MLlib's RowMatrix uses); at 100 TB the
+    shuffle moves only n_partitions×4096 rows. Every later step
+    (matvec, max-abs normalize, Rayleigh quotient) is dims-bounded
+    algebra. 128-bit intermediates (HUGEINT / DECIMAL(38,0)) carry
+    the matvec sums; normalization keeps v in e3 so nothing ever
+    exceeds ~1e25."""
+    if dialect == "duck":
+        div, big = "//", "HUGEINT"
+        comps = """
+        comps AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) - 1 AS pos,
+                   CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                        * 1000000) AS BIGINT) AS x
+            FROM embeddings)"""
+    else:
+        div, big = "div", "DECIMAL(38,0)"
+        comps = """
+        comps AS (
+            SELECT vec_id, pos,
+                   CAST(FLOOR(CAST(c AS DOUBLE) * 1000000) AS BIGINT)
+                       AS x
+            FROM embeddings
+            LATERAL VIEW posexplode(embedding) t AS pos, c)"""
+
+    def fd(a: str, b: str) -> str:
+        return _pca_fd(a, b, div)
+
+    sql = f"""
+        WITH {comps}
+        , stats AS (
+            SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx
+            FROM comps GROUP BY pos)
+        , mu AS (SELECT pos, CAST({fd('sx', 'n')} AS BIGINT) AS m
+                 FROM stats)
+        , cc AS (
+            SELECT c.vec_id, c.pos, c.x - m.m AS cx
+            FROM comps c JOIN mu m ON m.pos = c.pos)
+        , cov AS (
+            SELECT a.pos AS p, b.pos AS q,
+                   CAST(SUM(a.cx * b.cx) AS BIGINT) AS c
+            FROM cc a JOIN cc b ON b.vec_id = a.vec_id
+            GROUP BY a.pos, b.pos)
+        , v0 AS (SELECT pos AS p, CAST(1000 AS BIGINT) AS v FROM stats)"""
+    prev = "v0"
+    for i in range(1, _PCA_ROUNDS + 1):
+        sql += f"""
+        , w{i} AS (
+            SELECT cov.p,
+                   CAST(SUM(CAST(cov.c AS {big}) * {prev}.v)
+                        AS {big}) AS w
+            FROM cov JOIN {prev} ON {prev}.p = cov.q
+            GROUP BY cov.p)
+        , m{i} AS (SELECT MAX(ABS(w)) AS mx FROM w{i})
+        , v{i} AS (
+            SELECT w{i}.p,
+                   CAST({fd(f'1000 * w{i}.w', f'm{i}.mx')} AS BIGINT)
+                       AS v
+            FROM w{i} CROSS JOIN m{i})"""
+        prev = f"v{i}"
+    last = prev
+    sql += f"""
+        , wf AS (
+            SELECT cov.p,
+                   CAST(SUM(CAST(cov.c AS {big}) * {last}.v)
+                        AS {big}) AS w
+            FROM cov JOIN {last} ON {last}.p = cov.q
+            GROUP BY cov.p)
+        , ray AS (
+            SELECT CAST(SUM(CAST({last}.v AS {big}) * wf.w)
+                        AS {big}) AS num,
+                   CAST(SUM({last}.v * {last}.v) AS BIGINT) AS den
+            FROM {last} JOIN wf ON wf.p = {last}.p)
+        , tr AS (SELECT CAST(SUM(c) AS BIGINT) AS trace
+                 FROM cov WHERE p = q)
+        SELECT {last}.p AS pos, mu.m AS mean_e6, {last}.v AS pc1_e3,
+               CAST({fd('10000 * ray.num',
+                        f'CAST(ray.den AS {big}) * tr.trace')}
+                    AS BIGINT) AS eigen_share_bp,
+               tr.trace AS cov_trace
+        FROM {last}
+        JOIN mu ON mu.pos = {last}.p
+        CROSS JOIN ray CROSS JOIN tr
+    """
+    return sql
+
+
+@query("embed_pca_top_direction", oracle=_pca_power_sql("duck"))
+def q_embed_pca_top_direction(spark, sf_dir):
+    """Top principal direction + variance share of the embedding
+    corpus, computed bit-identically on both engines: integer
+    covariance (floor-mean centered, e6 inputs), three unrolled
+    power-iteration rounds with max-abs e3 normalization, Rayleigh-
+    quotient variance share in bp against the covariance trace. The
+    anisotropy probe that explains WHY cosine histograms (#214)
+    bunch and how much a JL/PQ budget (#185/#138) must spend on the
+    dominant axis; a share near 10000 bp says the corpus is nearly
+    rank-1 (embedding collapse — a real training-failure signal).
+    See _pca_power_sql for the one-pass Gram-matrix scale shape;
+    division is posrem-floored everywhere so negative components
+    can't split the engines (_pca_fd)."""
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    return spark.sql(_pca_power_sql("spark"))

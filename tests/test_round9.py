@@ -1,0 +1,157 @@
+"""Round-9 additions: KNN-graph structure metrics (assortativity,
+edge embeddedness), log-free behavioral diversity, self-relative
+purchase-cadence churn."""
+
+from __future__ import annotations
+
+from aurora_cdc_demo_spark.registry import QUERIES
+
+
+def test_assortativity_symmetric_variances(spark, sf_dir):
+    """The directed edge list holds both orientations of every
+    undirected edge, so the x- and y-degree marginals are identical
+    distributions: their variance numerators must be EQUAL, and the
+    signed r-squared must lie in [-1e6, 1e6]."""
+    row = QUERIES["graph_assortativity_knn"](spark, sf_dir).collect()[0]
+    assert row["varx_num"] == row["vary_num"]
+    assert row["varx_num"] > 0
+    assert row["n_directed_edges"] % 2 == 0
+    assert -1_000_000 <= row["assort_r2_signed_e6"] <= 1_000_000
+
+
+def test_assortativity_matches_python(spark, sf_dir):
+    """Recompute Pearson moment numerators from the materialized
+    edge list in plain Python and compare exactly."""
+    QUERIES["graph_assortativity_knn"](spark, sf_dir).collect()
+    edges = [
+        (r["src"], r["dst"])
+        for r in spark.sql("SELECT src, dst FROM knn_uedges_mat").collect()
+    ]
+    deg: dict[int, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    xs = [deg[s] for s, d in edges]
+    ys = [deg[d] for s, d in edges]
+    m = len(edges)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    row = QUERIES["graph_assortativity_knn"](spark, sf_dir).collect()[0]
+    assert row["n_directed_edges"] == m
+    assert row["cov_num"] == m * sxy - sx * sy
+
+
+def test_embeddedness_bounds_and_bridge_flag(spark, sf_dir):
+    rows = QUERIES["graph_edge_embeddedness_knn"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["a"] < r["b"]
+        assert 0 <= r["embeddedness_bp"] <= 10000
+        assert r["is_local_bridge"] == (r["common_neighbors"] == 0)
+        assert r["common_neighbors"] <= min(r["deg_a"], r["deg_b"])
+
+
+def test_embeddedness_exact_at_test_sf(spark, sf_dir):
+    """At test SF no node exceeds the witness cap, so the wedge
+    counts must equal brute-force common-neighbor counts computed
+    from the materialized edge list."""
+    out = {
+        (r["a"], r["b"]): r["common_neighbors"]
+        for r in QUERIES["graph_edge_embeddedness_knn"](
+            spark, sf_dir
+        ).collect()
+    }
+    nbrs: dict[int, set[int]] = {}
+    for r in spark.sql("SELECT src, dst FROM knn_uedges_mat").collect():
+        nbrs.setdefault(r["src"], set()).add(r["dst"])
+    if max(len(v) for v in nbrs.values()) <= 64:
+        for (a, b), c in out.items():
+            assert c == len(nbrs[a] & nbrs[b]), (a, b)
+
+
+def test_user_diversity_laws(spark, sf_dir):
+    rows = QUERIES["events_user_type_diversity"](spark, sf_dir).collect()
+    assert rows
+    total = sum(r["n_events"] for r in rows)
+    n_events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where("user_id IS NOT NULL")
+        .count()
+    )
+    assert total == n_events
+    for r in rows:
+        assert 0 <= r["simpson_bp"] < 10000
+        assert (r["simpson_bp"] == 0) == (r["n_types"] == 1)
+        # dominant share floor: Sum c^2 >= max^2 => simpson <= 1 - pmax^2
+        assert (
+            r["simpson_bp"] * r["n_events"] * r["n_events"]
+            <= 10000
+            * (
+                r["n_events"] * r["n_events"]
+                - (r["dominant_share_bp"] * r["n_events"] // 10000) ** 2
+            )
+        )
+
+
+def test_purchase_cadence_laws(spark, sf_dir):
+    rows = QUERIES["orders_purchase_cadence"](spark, sf_dir).collect()
+    assert rows
+    n_repeat = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy("o_custkey")
+        .count()
+        .where("count >= 2")
+        .count()
+    )
+    assert len(rows) == n_repeat
+    for r in rows:
+        assert r["n_orders"] >= 2
+        assert r["median_gap_days"] >= 0
+        assert r["recency_days"] >= 0
+        assert r["churned"] == (
+            r["recency_days"] > 2 * max(r["median_gap_days"], 1)
+        )
+
+
+def test_hot_key_report_laws(spark, sf_dir):
+    rows = QUERIES["cdc_hot_key_report"](spark, sf_dir).collect()
+    assert rows
+    by_tbl: dict[str, list] = {}
+    for r in rows:
+        by_tbl.setdefault(r["tbl"], []).append(r)
+        assert 1 <= r["rnk"] <= 8
+        assert 0 <= r["share_bp"] <= 10000
+        assert r["is_hot"] == (r["share_bp"] > 100)
+        assert r["salt_buckets"] >= 1
+        if not r["is_hot"]:
+            assert r["salt_buckets"] == 1
+    for tbl, rs in by_tbl.items():
+        # top-K shares can't exceed the whole
+        assert sum(r["share_bp"] for r in rs) <= 10000
+        # ranks are dense from 1 and ordered by count desc
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        counts = [r["n_events"] for r in rs]
+        assert counts == sorted(counts, reverse=True)
+
+
+def test_pca_normalization_and_share(spark, sf_dir):
+    rows = QUERIES["embed_pca_top_direction"](spark, sf_dir).collect()
+    assert len(rows) == 64
+    comps = [r["pc1_e3"] for r in rows]
+    # max-abs normalization pins the largest component to exactly
+    # +/-1000; nothing exceeds it
+    assert max(abs(c) for c in comps) == 1000
+    share = rows[0]["eigen_share_bp"]
+    assert all(r["eigen_share_bp"] == share for r in rows)
+    # Rayleigh quotient of the iterated vector: positive, <= trace,
+    # and at least ~trace/dims (power iteration started from ones
+    # can only improve on the average eigenvalue, modulo floor slack)
+    assert 0 < share <= 10000
+    assert share >= 100
+    assert rows[0]["cov_trace"] > 0
+
+
+def test_pca_deterministic(spark, sf_dir):
+    a = QUERIES["embed_pca_top_direction"](spark, sf_dir).collect()
+    b = QUERIES["embed_pca_top_direction"](spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
