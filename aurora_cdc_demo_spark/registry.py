@@ -12450,103 +12450,118 @@ def _pca_fd(a: str, b: str, div: str) -> str:
     )
 
 
-def _pca_power_sql(dialect: str) -> str:
-    """Top principal direction of the embedding corpus by UNROLLED
-    integer power iteration (the #158 Markov / #216 PageRank
-    fixed-round discipline applied to the covariance matrix).
-
-    Corpus-scale work is exactly ONE pass: the centered outer-product
-    aggregate Σᵢ cxᵢ·cxᵢᵀ — rows×dims² products collapsing map-side
-    into a dims²-bounded partial per partition (the Gram-matrix
-    treeAggregate shape MLlib's RowMatrix uses); at 100 TB the
-    shuffle moves only n_partitions×4096 rows. Every later step
-    (matvec, max-abs normalize, Rayleigh quotient) is dims-bounded
-    algebra. 128-bit intermediates (HUGEINT / DECIMAL(38,0)) carry
-    the matvec sums; normalization keeps v in e3 so nothing ever
-    exceeds ~1e25."""
+def _pca_comps_cte(dialect: str) -> str:
+    """(vec_id, pos, x=floor(c*1e6)) exploded components, per
+    dialect (duck: generate_subscripts/unnest; spark: posexplode)."""
     if dialect == "duck":
-        div, big = "//", "HUGEINT"
-        comps = """
-        comps AS (
+        return """
             SELECT vec_id,
                    generate_subscripts(embedding, 1) - 1 AS pos,
                    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
                         * 1000000) AS BIGINT) AS x
-            FROM embeddings)"""
-    else:
-        div, big = "div", "DECIMAL(38,0)"
-        comps = """
-        comps AS (
+            FROM embeddings"""
+    return """
             SELECT vec_id, pos,
                    CAST(FLOOR(CAST(c AS DOUBLE) * 1000000) AS BIGINT)
                        AS x
             FROM embeddings
-            LATERAL VIEW posexplode(embedding) t AS pos, c)"""
+            LATERAL VIEW posexplode(embedding) t AS pos, c"""
 
-    def fd(a: str, b: str) -> str:
-        return _pca_fd(a, b, div)
 
-    sql = f"""
-        WITH {comps}
-        , stats AS (
+def _pca_mu_body(div: str) -> str:
+    return f"""
             SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
-                   CAST(SUM(x) AS BIGINT) AS sx
-            FROM comps GROUP BY pos)
-        , mu AS (SELECT pos, CAST({fd('sx', 'n')} AS BIGINT) AS m
-                 FROM stats)
-        , cc AS (
-            SELECT c.vec_id, c.pos, c.x - m.m AS cx
-            FROM comps c JOIN mu m ON m.pos = c.pos)
-        , cov AS (
+                   CAST({_pca_fd('SUM(x)', 'COUNT(*)', div)} AS BIGINT)
+                       AS m
+            FROM comps GROUP BY pos"""
+
+
+def _pca_cov_body(mu: str) -> str:
+    """Centered outer-product aggregate over ``comps`` + mean
+    relation ``{mu}(pos, m)`` — the ONE corpus-scale pass (classic
+    two-pass mean-then-covariance; rows×dims² products collapse
+    map-side into a dims²-bounded partial per partition, the
+    Gram-matrix treeAggregate shape MLlib's RowMatrix uses; the
+    shuffle moves only n_partitions×dims² rows at any SF)."""
+    return f"""
             SELECT a.pos AS p, b.pos AS q,
                    CAST(SUM(a.cx * b.cx) AS BIGINT) AS c
-            FROM cc a JOIN cc b ON b.vec_id = a.vec_id
-            GROUP BY a.pos, b.pos)
-        , v0 AS (SELECT pos AS p, CAST(1000 AS BIGINT) AS v FROM stats)"""
+            FROM (SELECT c.vec_id, c.pos, c.x - m.m AS cx
+                  FROM comps c JOIN {mu} m ON m.pos = c.pos) a
+            JOIN (SELECT c.vec_id, c.pos, c.x - m.m AS cx
+                  FROM comps c JOIN {mu} m ON m.pos = c.pos) b
+                ON b.vec_id = a.vec_id
+            GROUP BY a.pos, b.pos"""
+
+
+def _pca_round_body(cov: str, prev: str, div: str, big: str) -> str:
+    """One power-iteration round over materialized ``{cov}(p,q,c)``:
+    matvec in 128-bit, then max-abs normalization back to e3 via
+    posrem floor division (cross-engine safe for negative
+    components)."""
+    return f"""
+            SELECT w.p,
+                   CAST({_pca_fd('1000 * w.w', 'm.mx', div)} AS BIGINT)
+                       AS v
+            FROM (SELECT cov.p,
+                         CAST(SUM(CAST(cov.c AS {big}) * pv.v)
+                              AS {big}) AS w
+                  FROM {cov} cov JOIN {prev} pv ON pv.p = cov.q
+                  GROUP BY cov.p) w
+            CROSS JOIN (
+                  SELECT MAX(ABS(w2.w)) AS mx
+                  FROM (SELECT CAST(SUM(CAST(cov.c AS {big}) * pv.v)
+                               AS {big}) AS w
+                        FROM {cov} cov JOIN {prev} pv ON pv.p = cov.q
+                        GROUP BY cov.p) w2) m"""
+
+
+def _pca_final_body(cov: str, mu: str, last: str, div: str, big: str) -> str:
+    return f"""
+        , wf AS (
+            SELECT cov.p,
+                   CAST(SUM(CAST(cov.c AS {big}) * lv.v)
+                        AS {big}) AS w
+            FROM {cov} cov JOIN {last} lv ON lv.p = cov.q
+            GROUP BY cov.p)
+        , ray AS (
+            SELECT CAST(SUM(CAST(lv.v AS {big}) * wf.w)
+                        AS {big}) AS num,
+                   CAST(SUM(lv.v * lv.v) AS BIGINT) AS den
+            FROM {last} lv JOIN wf ON wf.p = lv.p)
+        , tr AS (SELECT CAST(SUM(c) AS BIGINT) AS trace
+                 FROM {cov} WHERE p = q)
+        SELECT lv.p AS pos, mu.m AS mean_e6, lv.v AS pc1_e3,
+               CAST({_pca_fd('10000 * ray.num',
+                             f'CAST(ray.den AS {big}) * tr.trace', div)}
+                    AS BIGINT) AS eigen_share_bp,
+               tr.trace AS cov_trace
+        FROM {last} lv
+        JOIN {mu} mu ON mu.pos = lv.p
+        CROSS JOIN ray CROSS JOIN tr
+    """
+
+
+def _pca_oracle_sql() -> str:
+    """DuckDB single-statement twin. Multiply-referenced chains are
+    AS MATERIALIZED (DuckDB inlines CTEs otherwise — the cov chain
+    is referenced by every round plus the trace; see the verify
+    skill's CTE-inlining gotcha)."""
+    div, big = "//", "HUGEINT"
+    sql = f"""
+        WITH comps AS MATERIALIZED ({_pca_comps_cte('duck')})
+        , mu AS MATERIALIZED ({_pca_mu_body(div)})
+        , cov AS MATERIALIZED ({_pca_cov_body('mu')})
+        , v0 AS (SELECT pos AS p, CAST(1000 AS BIGINT) AS v FROM mu)"""
     prev = "v0"
     for i in range(1, _PCA_ROUNDS + 1):
         sql += f"""
-        , w{i} AS (
-            SELECT cov.p,
-                   CAST(SUM(CAST(cov.c AS {big}) * {prev}.v)
-                        AS {big}) AS w
-            FROM cov JOIN {prev} ON {prev}.p = cov.q
-            GROUP BY cov.p)
-        , m{i} AS (SELECT MAX(ABS(w)) AS mx FROM w{i})
-        , v{i} AS (
-            SELECT w{i}.p,
-                   CAST({fd(f'1000 * w{i}.w', f'm{i}.mx')} AS BIGINT)
-                       AS v
-            FROM w{i} CROSS JOIN m{i})"""
+        , v{i} AS MATERIALIZED ({_pca_round_body('cov', prev, div, big)})"""
         prev = f"v{i}"
-    last = prev
-    sql += f"""
-        , wf AS (
-            SELECT cov.p,
-                   CAST(SUM(CAST(cov.c AS {big}) * {last}.v)
-                        AS {big}) AS w
-            FROM cov JOIN {last} ON {last}.p = cov.q
-            GROUP BY cov.p)
-        , ray AS (
-            SELECT CAST(SUM(CAST({last}.v AS {big}) * wf.w)
-                        AS {big}) AS num,
-                   CAST(SUM({last}.v * {last}.v) AS BIGINT) AS den
-            FROM {last} JOIN wf ON wf.p = {last}.p)
-        , tr AS (SELECT CAST(SUM(c) AS BIGINT) AS trace
-                 FROM cov WHERE p = q)
-        SELECT {last}.p AS pos, mu.m AS mean_e6, {last}.v AS pc1_e3,
-               CAST({fd('10000 * ray.num',
-                        f'CAST(ray.den AS {big}) * tr.trace')}
-                    AS BIGINT) AS eigen_share_bp,
-               tr.trace AS cov_trace
-        FROM {last}
-        JOIN mu ON mu.pos = {last}.p
-        CROSS JOIN ray CROSS JOIN tr
-    """
-    return sql
+    return sql + _pca_final_body("cov", "mu", prev, div, big)
 
 
-@query("embed_pca_top_direction", oracle=_pca_power_sql("duck"))
+@query("embed_pca_top_direction", oracle=_pca_oracle_sql())
 def q_embed_pca_top_direction(spark, sf_dir):
     """Top principal direction + variance share of the embedding
     corpus, computed bit-identically on both engines: integer
@@ -12557,10 +12572,44 @@ def q_embed_pca_top_direction(spark, sf_dir):
     bunch and how much a JL/PQ budget (#185/#138) must spend on the
     dominant axis; a share near 10000 bp says the corpus is nearly
     rank-1 (embedding collapse — a real training-failure signal).
-    See _pca_power_sql for the one-pass Gram-matrix scale shape;
-    division is posrem-floored everywhere so negative components
-    can't split the engines (_pca_fd)."""
+
+    Scale shape: TWO corpus passes (mean, then the centered
+    Gram-matrix aggregate — see _pca_cov_body) and then ONLY
+    dims-bounded algebra. The mean (64 rows) and covariance (4096
+    rows) relations are MATERIALIZED before the iteration — glued
+    into one plan, Catalyst re-derives the corpus self-join once
+    per round reference and the tree grows exponentially (observed:
+    242 exchanges / 201 Generates before materialization, ~20
+    after; same embed_keep_list lesson). Each round's v is also
+    checkpointed, so round plans stay flat. Division is
+    posrem-floored everywhere so negative components can't split
+    the engines (_pca_fd); DuckDB twin uses AS MATERIALIZED for the
+    same reason (CTE inlining)."""
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
         "embeddings"
     )
-    return spark.sql(_pca_power_sql("spark"))
+    div, big = "div", "DECIMAL(38,0)"
+    mu = spark.sql(
+        f"WITH comps AS ({_pca_comps_cte('spark')}) {_pca_mu_body(div)}"
+    ).localCheckpoint()
+    mu.createOrReplaceTempView("pca_mu_mat")
+    cov = spark.sql(
+        f"WITH comps AS ({_pca_comps_cte('spark')})"
+        f" {_pca_cov_body('pca_mu_mat')}"
+    ).localCheckpoint()
+    cov.createOrReplaceTempView("pca_cov_mat")
+    v = spark.sql(
+        "SELECT pos AS p, CAST(1000 AS BIGINT) AS v FROM pca_mu_mat"
+    ).localCheckpoint()
+    v.createOrReplaceTempView("pca_v_mat_0")
+    for i in range(1, _PCA_ROUNDS + 1):
+        v = spark.sql(
+            _pca_round_body("pca_cov_mat", f"pca_v_mat_{i - 1}", div, big)
+        ).localCheckpoint()
+        v.createOrReplaceTempView(f"pca_v_mat_{i}")
+    return spark.sql(
+        "WITH placeholder AS (SELECT 1)"
+        + _pca_final_body(
+            "pca_cov_mat", "pca_mu_mat", f"pca_v_mat_{_PCA_ROUNDS}", div, big
+        )
+    )

@@ -155,3 +155,15 @@ def test_pca_deterministic(spark, sf_dir):
     a = QUERIES["embed_pca_top_direction"](spark, sf_dir).collect()
     b = QUERIES["embed_pca_top_direction"](spark, sf_dir).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pca_final_plan_materialized(spark, sf_dir):
+    """The covariance/mean/v relations are checkpointed before the
+    final select: no Generate (the corpus posexplode) and no parquet
+    scan may survive into the composed plan (the embed_keep_list
+    materialization lesson — the unmaterialized tree re-derived the
+    corpus self-join per round reference)."""
+    df = QUERIES["embed_pca_top_direction"](spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Generate" not in plan
+    assert "parquet" not in plan
