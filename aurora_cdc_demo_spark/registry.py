@@ -12613,3 +12613,147 @@ def q_embed_pca_top_direction(spark, sf_dir):
             "pca_cov_mat", "pca_mu_mat", f"pca_v_mat_{_PCA_ROUNDS}", div, big
         )
     )
+
+
+def _stl_sql(dialect: str) -> str:
+    """Classical additive decomposition of the daily event-count
+    series: trend = centered 7-day moving average (full-window rows
+    only, guarded by count AND span so a gappy grid can't fake a
+    window), seasonal = per-day-of-week floor-mean of the detrended
+    series, residual = the exact remainder. Day-of-week is
+    epoch-day mod 7 on BOTH engines (DuckDB dayofweek starts
+    Sunday=0, Spark Sunday=1 — a silent off-by-one). All integer:
+    counts, floor means via posrem division (detrended goes
+    negative). The corpus-scale work is the one day aggregate; the
+    windows run on the DAY-grain series (bounded by the calendar,
+    not the data — the #57 rolling-7d discipline)."""
+    div = "//" if dialect == "duck" else "div"
+    day = (
+        "date_trunc('day', ts)"
+    )
+    sql = f"""
+        WITH daily AS (
+            SELECT {day} AS day, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY {day})
+        , ma AS (
+            SELECT day, n,
+                   CAST(SUM(n) OVER w AS BIGINT) AS s7,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS c7,
+                   MIN(day) OVER w AS d_lo,
+                   MAX(day) OVER w AS d_hi
+            FROM daily
+            WINDOW w AS (ORDER BY day
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+        , full_w AS (
+            SELECT day, n, CAST(s7 {div} 7 AS BIGINT) AS trend,
+                   n - (s7 {div} 7) AS det,
+                   CAST((epoch_us(day) {div} 86400000000) % 7
+                        AS BIGINT) AS dow
+            FROM ma
+            WHERE c7 = 7
+              AND (epoch_us(d_hi) - epoch_us(d_lo)) {div} 86400000000
+                  = 6)
+        , seas AS (
+            SELECT dow,
+                   CAST({_pca_fd('SUM(det)', 'COUNT(*)', div)}
+                        AS BIGINT) AS s
+            FROM full_w GROUP BY dow)
+        SELECT f.day, f.n AS n_events, f.trend AS trend_ma7,
+               s.s AS seasonal_dow,
+               CAST(f.det - s.s AS BIGINT) AS residual
+        FROM full_w f JOIN seas s ON s.dow = f.dow
+    """
+    if dialect == "spark":
+        sql = sql.replace("epoch_us(", "unix_micros(")
+    return sql
+
+
+@query("events_stl_decomposition", oracle=_stl_sql("duck"))
+def q_events_stl_decomposition(spark, sf_dir):
+    """Additive trend/seasonal/residual decomposition of daily event
+    volume — the classical STL-shaped split, exact in integers: the
+    baseline every anomaly screen in the family (#99 hourly, #206
+    CUSUM, #244 MAD) implicitly assumes. residual isolates what's
+    left after the week-shape and the level — the series a capacity
+    planner actually alerts on; conservation n = trend + seasonal +
+    residual holds EXACTLY by construction (pinned in pytest, both
+    engines bit-identical via posrem floor means). See _stl_sql for
+    the calendar-bounded window shape."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "events"
+    )
+    return spark.sql(_stl_sql("spark"))
+
+
+@query(
+    "events_feature_adoption",
+    oracle="""
+        WITH first_use AS (
+            SELECT user_id, event_type,
+                   date_trunc('day', MIN(ts)) AS first_day
+            FROM events GROUP BY user_id, event_type)
+        , adopt AS (
+            SELECT event_type, first_day AS day,
+                   CAST(COUNT(*) AS BIGINT) AS new_adopters
+            FROM first_use GROUP BY event_type, first_day)
+        , tot AS (
+            SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events)
+        SELECT a.event_type, a.day, a.new_adopters,
+               CAST(SUM(a.new_adopters) OVER (
+                   PARTITION BY a.event_type ORDER BY a.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_adopters,
+               CAST((10000 * CAST(SUM(a.new_adopters) OVER (
+                   PARTITION BY a.event_type ORDER BY a.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT)) // t.n_users AS BIGINT)
+                   AS adoption_bp
+        FROM adopt a CROSS JOIN tot t
+    """,
+)
+def q_events_feature_adoption(spark, sf_dir):
+    """Feature-adoption curve: per event type and day, users whose
+    FIRST use of that type lands on that day, the running adopter
+    count, and the share of the whole user base in bp — the
+    product-analytics S-curve that DAU/stickiness (#146) and
+    retention (#195) don't give you (those count activity, this
+    counts first-touch). One (user, type) min-aggregate over the
+    corpus (map-side combined), then day×type-bounded algebra; the
+    cumulative window partitions by type over the day grid, and the
+    user-base total is a single-row broadcast."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id", "event_type").agg(
+        F.date_trunc("day", F.min("ts")).alias("first_day")
+    )
+    adopt = first.groupBy(
+        "event_type", F.col("first_day").alias("day")
+    ).agg(F.count(F.lit(1)).alias("new_adopters"))
+    tot = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        adopt.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "day",
+            F.col("new_adopters").cast("long").alias("new_adopters"),
+            F.sum("new_adopters").over(w).cast("long").alias(
+                "cum_adopters"
+            ),
+            F.expr(
+                "(10000 * sum(new_adopters) OVER ("
+                "PARTITION BY event_type ORDER BY day"
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"
+                " div n_users"
+            )
+            .cast("long")
+            .alias("adoption_bp"),
+        )
+    )

@@ -4,6 +4,8 @@ purchase-cadence churn."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from aurora_cdc_demo_spark.registry import QUERIES
 
 
@@ -167,3 +169,55 @@ def test_pca_final_plan_materialized(spark, sf_dir):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "Generate" not in plan
     assert "parquet" not in plan
+
+
+def test_stl_conservation(spark, sf_dir):
+    """n = trend + seasonal + residual EXACTLY, and per-dow residual
+    mass sits in [0, dow_count) — the floor-mean remainder bound."""
+    rows = QUERIES["events_stl_decomposition"](spark, sf_dir).collect()
+    assert rows
+    by_dow: dict[int, list] = {}
+    for r in rows:
+        assert (
+            r["n_events"]
+            == r["trend_ma7"] + r["seasonal_dow"] + r["residual"]
+        )
+        dow = (r["day"].toordinal() - 1) % 7
+        by_dow.setdefault(dow, []).append(r["residual"])
+    for dow, res in by_dow.items():
+        assert 0 <= sum(res) < len(res) + 7  # floor-mean remainder
+
+
+def test_stl_drops_partial_windows(spark, sf_dir):
+    """Exactly 6 edge days (3 each side) lack a full centered 7-day
+    window and must be absent."""
+    n_days = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("date_trunc('day', ts) AS d")
+        .distinct()
+        .count()
+    )
+    rows = QUERIES["events_stl_decomposition"](spark, sf_dir).collect()
+    assert len(rows) == n_days - 6
+
+
+def test_feature_adoption_laws(spark, sf_dir):
+    rows = QUERIES["events_feature_adoption"](spark, sf_dir).collect()
+    assert rows
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per_type = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r["day"])
+        cums = [r["cum_adopters"] for r in rs]
+        assert cums == sorted(cums)  # non-decreasing
+        assert cums[-1] == per_type[et]  # everyone eventually adopts
+        assert cums[-1] == sum(r["new_adopters"] for r in rs)
+        assert all(0 <= r["adoption_bp"] <= 10000 for r in rs)
