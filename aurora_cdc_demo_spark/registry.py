@@ -12757,3 +12757,167 @@ def q_events_feature_adoption(spark, sf_dir):
             .alias("adoption_bp"),
         )
     )
+
+
+def _pca_ray_body(cov: str, v: str, div: str, big: str) -> str:
+    """Rayleigh pieces (num = vᵀCv in 128-bit, den = vᵀv) over
+    materialized ``{cov}`` and ``{v}``."""
+    return f"""
+            SELECT CAST(SUM(CAST(lv.v AS {big}) * wf.w) AS {big})
+                       AS num,
+                   CAST(SUM(lv.v * lv.v) AS BIGINT) AS den
+            FROM {v} lv
+            JOIN (SELECT cov.p,
+                         CAST(SUM(CAST(cov.c AS {big}) * pv.v)
+                              AS {big}) AS w
+                  FROM {cov} cov JOIN {v} pv ON pv.p = cov.q
+                  GROUP BY cov.p) wf ON wf.p = lv.p"""
+
+
+def _pca_deflate_body(cov: str, v: str, ray: str, div: str, big: str) -> str:
+    """Hotelling deflation C' = C − λ·vvᵀ/(vᵀv) in exact integers:
+    subtracted entry = fd(num·v_p·v_q, den²) with num/den the
+    Rayleigh pieces — posrem-floored so both engines produce the
+    SAME deflated matrix bit-for-bit (num·v_p·v_q ≤ ~1e30, den² ≤
+    ~4e15: both inside 128-bit)."""
+    sub = _pca_fd(
+        "ray.num * a.v * b.v", f"CAST(ray.den AS {big}) * ray.den", div
+    )
+    return f"""
+            SELECT cov.p, cov.q,
+                   CAST(cov.c - {sub} AS BIGINT) AS c
+            FROM {cov} cov
+            JOIN {v} a ON a.p = cov.p
+            JOIN {v} b ON b.p = cov.q
+            CROSS JOIN {ray} ray"""
+
+
+def _pca_top2_final(v1: str, v2: str, r1: str, r2: str, tr: str,
+                    div: str, big: str) -> str:
+    s1 = _pca_fd(
+        "10000 * r1.num", f"CAST(r1.den AS {big}) * t.trace", div
+    )
+    s2 = _pca_fd(
+        "10000 * r2.num", f"CAST(r2.den AS {big}) * t.trace", div
+    )
+    return f"""
+        SELECT a.p AS pos, a.v AS pc1_e3, b.v AS pc2_e3,
+               CAST({s1} AS BIGINT) AS share1_bp,
+               CAST({s2} AS BIGINT) AS share2_bp,
+               d.dot AS ortho_dot
+        FROM {v1} a
+        JOIN {v2} b ON b.p = a.p
+        CROSS JOIN {r1} r1 CROSS JOIN {r2} r2
+        CROSS JOIN (SELECT CAST(SUM(x.v * y.v) AS BIGINT) AS dot
+                    FROM {v1} x JOIN {v2} y ON y.p = x.p) d
+        CROSS JOIN {tr} t
+    """
+
+
+def _pca_top2_oracle() -> str:
+    div, big = "//", "HUGEINT"
+    sql = f"""
+        WITH comps AS MATERIALIZED ({_pca_comps_cte('duck')})
+        , mu AS MATERIALIZED ({_pca_mu_body(div)})
+        , cov AS MATERIALIZED ({_pca_cov_body('mu')})
+        , v0 AS (SELECT pos AS p, CAST(1000 AS BIGINT) AS v FROM mu)"""
+    prev = "v0"
+    for i in range(1, _PCA_ROUNDS + 1):
+        sql += f"""
+        , a{i} AS MATERIALIZED ({_pca_round_body('cov', prev, div, big)})"""
+        prev = f"a{i}"
+    v1 = prev
+    sql += f"""
+        , r1 AS MATERIALIZED ({_pca_ray_body('cov', v1, div, big)})
+        , cov2 AS MATERIALIZED (
+            {_pca_deflate_body('cov', v1, 'r1', div, big)})
+        , b0 AS (SELECT pos AS p, CAST(1000 AS BIGINT) AS v FROM mu)"""
+    prev = "b0"
+    for i in range(1, _PCA_ROUNDS + 1):
+        sql += f"""
+        , b{i} AS MATERIALIZED ({_pca_round_body('cov2', prev, div, big)})"""
+        prev = f"b{i}"
+    v2 = prev
+    sql += f"""
+        , r2 AS MATERIALIZED ({_pca_ray_body('cov2', v2, div, big)})
+        , tr AS (SELECT CAST(SUM(c) AS BIGINT) AS trace
+                 FROM cov WHERE p = q)
+        {_pca_top2_final(v1, v2, 'r1', 'r2', 'tr', div, big)}"""
+    return sql
+
+
+@query("embed_pca_top2", oracle=_pca_top2_oracle())
+def q_embed_pca_top2(spark, sf_dir):
+    """TOP-2 principal directions by Hotelling deflation: iterate to
+    the dominant direction, subtract λ₁·v₁v₁ᵀ/(v₁ᵀv₁) from the
+    covariance IN EXACT INTEGERS (posrem-floored — both engines
+    deflate to the identical matrix), iterate again. Reports both
+    e3 directions, each one's variance share against the ORIGINAL
+    trace, and the v₁·v₂ dot product as the measured orthogonality
+    defect of floor-integer deflation (pinned small in pytest).
+    Extends #267 to the question a PQ/JL budget (#138/#185)
+    actually asks — how much variance do the top FEW axes hold?
+    Same scale shape as #267: two corpus passes, then everything is
+    dims-bounded; cov, each iterate, Rayleigh pieces, and the
+    deflated matrix are all materialized before composition (4096
+    rows max), so no corpus subtree is ever re-derived."""
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    div, big = "div", "DECIMAL(38,0)"
+
+    def mat(df, name):
+        d = df.localCheckpoint()
+        d.createOrReplaceTempView(name)
+        return d
+
+    mat(
+        spark.sql(
+            f"WITH comps AS ({_pca_comps_cte('spark')}) {_pca_mu_body(div)}"
+        ),
+        "p2_mu",
+    )
+    mat(
+        spark.sql(
+            f"WITH comps AS ({_pca_comps_cte('spark')})"
+            f" {_pca_cov_body('p2_mu')}"
+        ),
+        "p2_cov",
+    )
+    mat(
+        spark.sql("SELECT pos AS p, CAST(1000 AS BIGINT) AS v FROM p2_mu"),
+        "p2_a0",
+    )
+    for i in range(1, _PCA_ROUNDS + 1):
+        mat(
+            spark.sql(_pca_round_body("p2_cov", f"p2_a{i - 1}", div, big)),
+            f"p2_a{i}",
+        )
+    v1 = f"p2_a{_PCA_ROUNDS}"
+    mat(spark.sql(_pca_ray_body("p2_cov", v1, div, big)), "p2_r1")
+    mat(
+        spark.sql(_pca_deflate_body("p2_cov", v1, "p2_r1", div, big)),
+        "p2_cov2",
+    )
+    mat(
+        spark.sql("SELECT pos AS p, CAST(1000 AS BIGINT) AS v FROM p2_mu"),
+        "p2_b0",
+    )
+    for i in range(1, _PCA_ROUNDS + 1):
+        mat(
+            spark.sql(_pca_round_body("p2_cov2", f"p2_b{i - 1}", div, big)),
+            f"p2_b{i}",
+        )
+    v2 = f"p2_b{_PCA_ROUNDS}"
+    mat(spark.sql(_pca_ray_body("p2_cov2", v2, div, big)), "p2_r2")
+    mat(
+        spark.sql(
+            "SELECT CAST(SUM(c) AS BIGINT) AS trace FROM p2_cov"
+            " WHERE p = q"
+        ),
+        "p2_tr",
+    )
+    return spark.sql(
+        "WITH placeholder AS (SELECT 1)"
+        + _pca_top2_final(v1, v2, "p2_r1", "p2_r2", "p2_tr", div, big)
+    )

@@ -88,6 +88,8 @@ HEADLINE = [
     "corpus_line_dedup",
     "corpus_keep_list_v6_lsh",
     "lineitem_price_deciles",
+    "embed_pca_top_direction",
+    "events_stl_decomposition",
 ]
 
 

@@ -221,3 +221,32 @@ def test_feature_adoption_laws(spark, sf_dir):
         assert cums[-1] == per_type[et]  # everyone eventually adopts
         assert cums[-1] == sum(r["new_adopters"] for r in rs)
         assert all(0 <= r["adoption_bp"] <= 10000 for r in rs)
+
+
+def test_pca_top2_laws(spark, sf_dir):
+    rows = QUERIES["embed_pca_top2"](spark, sf_dir).collect()
+    assert len(rows) == 64
+    s1 = rows[0]["share1_bp"]
+    s2 = rows[0]["share2_bp"]
+    # top direction matches the single-direction query exactly
+    top = {
+        r["pos"]: (r["pc1_e3"], r["eigen_share_bp"])
+        for r in QUERIES["embed_pca_top_direction"](spark, sf_dir).collect()
+    }
+    for r in rows:
+        assert top[r["pos"]][0] == r["pc1_e3"]
+        assert top[r["pos"]][1] == s1
+    # deflated direction can't beat the dominant one (slack for the
+    # flat-spectrum / floor-deflation case)
+    assert s2 <= s1 + 50
+    assert 0 < s2 <= 10000
+    assert s1 + s2 <= 10000
+    # orthogonality defect of integer deflation stays bounded:
+    # |v1.v2| <= 0.25 * ||v1|| * ||v2||
+    dot = rows[0]["ortho_dot"]
+    den1 = sum(r["pc1_e3"] ** 2 for r in rows)
+    den2 = sum(r["pc2_e3"] ** 2 for r in rows)
+    assert 16 * dot * dot <= den1 * den2
+    # both vectors max-abs normalized
+    assert max(abs(r["pc1_e3"]) for r in rows) == 1000
+    assert max(abs(r["pc2_e3"]) for r in rows) == 1000
