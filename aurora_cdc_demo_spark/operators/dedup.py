@@ -1042,3 +1042,153 @@ def minhash_k_sweep_sql(dialect: str) -> str:
         JOIN sc y ON c.doc_b = y.doc_id)
     {arms}
     """
+
+
+# ---------------------------------------------------------------------------
+# cross-method agreement: MinHash estimate vs SimHash distance
+# ---------------------------------------------------------------------------
+
+
+def method_agreement(docs: DataFrame) -> DataFrame:
+    """Agreement audit between the two near-dup families ON THE SAME
+    candidate pairs: every MinHash-LSH candidate is scored by (a) the
+    12-hash MinHash Jaccard estimate, (b) exact shingle Jaccard, and
+    (c) SimHash Hamming distance — then bucketed into the 2×2
+    confusion grid (minhash-dup? × simhash-dup?) with per-cell mean
+    exact Jaccard and mean Hamming. The mh_only cell is where bag-
+    of-shingles similarity exists without bitwise profile agreement
+    (reorderings); sh_only is the reverse (frequency-profile twins
+    with low shingle overlap). Candidates, signatures, and exact
+    intersections each compute once; the cells aggregate a bounded
+    per-pair table — the same O(docs+candidates) scale shape as the
+    tuning family (lsh_tuning / minhash_k_sweep)."""
+    sh = shingles(docs)
+    sig = minhash_signatures(sh)
+    cand = lsh_candidates(sig)
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(NUM_MINHASH)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(NUM_MINHASH)],
+    )
+    jac = _pair_jaccard(sh, pairs=cand).select(
+        "doc_a", "doc_b", F.expr("(10000 * inter) div uni").alias("exact_bp")
+    )
+    ssig = simhash_signatures(docs)
+    sa = ssig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("h1").alias("ah1"),
+        F.col("h2").alias("ah2"),
+    )
+    sb = ssig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("h1").alias("bh1"),
+        F.col("h2").alias("bh2"),
+    )
+    m12 = " + ".join(
+        f"(CASE WHEN a{j} = b{j} THEN 1 ELSE 0 END)"
+        for j in range(NUM_MINHASH)
+    )
+    scored = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .join(jac, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.expr(f"(10000 * ({m12})) div {NUM_MINHASH}")
+            .cast("long")
+            .alias("est_bp"),
+            F.coalesce(F.col("exact_bp"), F.lit(0))
+            .cast("long")
+            .alias("exact_bp"),
+            F.expr("bit_count(ah1 ^ bh1) + bit_count(ah2 ^ bh2)")
+            .cast("long")
+            .alias("hamming"),
+        )
+    )
+    return scored.groupBy(
+        (F.col("est_bp") >= JACCARD_THRESHOLD_BP).alias("mh_dup"),
+        (F.col("hamming") <= SIMHASH_MAX_HAMMING).alias("sh_dup"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr("sum(exact_bp) div count(1)")
+        .cast("long")
+        .alias("mean_exact_bp"),
+        F.expr("sum(hamming) div count(1)")
+        .cast("long")
+        .alias("mean_hamming"),
+    )
+
+
+def method_agreement_sql() -> str:
+    """DuckDB twin of method_agreement: the MinHash chain reuses the
+    k-sweep CTE shape (MATERIALIZED — DuckDB inlines CTEs), the
+    SimHash signature chain reuses SIMHASH_SQL's vote/pack CTEs, and
+    the two meet on the candidate pairs."""
+    m12 = " + ".join(
+        f"(CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END)"
+        for j in range(NUM_MINHASH)
+    )
+    return f"""
+    WITH {_SHINGLES_SQL}
+    , hashed AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS a,
+               CAST('0x' || substr(md5(s), 9, 8) AS BIGINT) AS b
+        FROM sh)
+    , sig AS MATERIALIZED (SELECT doc_id, {_minhash_sql_cols()}
+                           FROM hashed GROUP BY doc_id)
+    , bands AS (SELECT doc_id, {_band_sql_cols()} FROM sig)
+    , cand AS MATERIALIZED (
+        SELECT DISTINCT doc_a, doc_b FROM (
+            {" UNION ALL ".join(
+                f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+                f"FROM bands a JOIN bands b "
+                f"ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+                for b in range(NUM_MINHASH // BAND_ROWS)
+            )}))
+    , inter AS MATERIALIZED (
+        SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+        GROUP BY 1, 2)
+    , tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents)
+    , weighted AS (
+        SELECT doc_id, t, COUNT(*) AS w FROM tok GROUP BY doc_id, t)
+    , shashed AS (SELECT doc_id, w, md5(t) AS h FROM weighted)
+    , votes AS (SELECT doc_id, {_simhash_votes_sql()}
+                FROM shashed GROUP BY doc_id)
+    , ssig AS MATERIALIZED (
+        SELECT doc_id,
+               {_simhash_half_sql(0, 32, 0)} AS h1,
+               {_simhash_half_sql(32, 64, 32)} AS h2
+        FROM votes)
+    , scored AS (
+        SELECT (10000 * ({m12})) // {NUM_MINHASH} AS est_bp,
+               (10000 * CAST(COALESCE(i.inter, 0) AS BIGINT))
+                   // CAST(x.c + y.c - COALESCE(i.inter, 0) AS BIGINT)
+                   AS exact_bp,
+               CAST(bit_count(xor(sa.h1, sb.h1))
+                    + bit_count(xor(sa.h2, sb.h2)) AS BIGINT) AS hamming
+        FROM cand c
+        JOIN sig a ON a.doc_id = c.doc_a
+        JOIN sig b ON b.doc_id = c.doc_b
+        LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+        JOIN sc x ON c.doc_a = x.doc_id
+        JOIN sc y ON c.doc_b = y.doc_id
+        JOIN ssig sa ON sa.doc_id = c.doc_a
+        JOIN ssig sb ON sb.doc_id = c.doc_b)
+    SELECT est_bp >= {JACCARD_THRESHOLD_BP} AS mh_dup,
+           hamming <= {SIMHASH_MAX_HAMMING} AS sh_dup,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(exact_bp) // COUNT(*) AS BIGINT) AS mean_exact_bp,
+           CAST(SUM(hamming) // COUNT(*) AS BIGINT) AS mean_hamming
+    FROM scored
+    GROUP BY 1, 2
+    """

@@ -12921,3 +12921,184 @@ def q_embed_pca_top2(spark, sf_dir):
         "WITH placeholder AS (SELECT 1)"
         + _pca_top2_final(v1, v2, "p2_r1", "p2_r2", "p2_tr", div, big)
     )
+
+
+@query("dedup_method_agreement", oracle=_dedup.method_agreement_sql())
+def q_dedup_method_agreement(spark, sf_dir):
+    """2×2 confusion grid between MinHash (bag-of-shingles estimate
+    ≥ τ) and SimHash (64-bit profile Hamming ≤ 3) verdicts on the
+    SAME MinHash-LSH candidate pairs, with per-cell mean exact
+    Jaccard and mean Hamming — the cross-METHOD audit completing
+    the within-method tuning family (#110 calibration, #176
+    S-curve, #190 threshold sweep, #261 hash count): disagreement
+    cells show which near-dup definition each family actually
+    implements (reorderings land mh_only, frequency-profile twins
+    land sh_only), the evidence for choosing the production gate.
+    See operators/dedup.py:method_agreement for the
+    O(docs+candidates) shape."""
+    return _dedup.method_agreement(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "events_power_user_curve",
+    oracle="""
+        WITH uc AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY user_id)
+        , ranked AS (
+            SELECT user_id, n,
+                   CAST(row_number() OVER (ORDER BY n, user_id)
+                        AS BIGINT) AS rn,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS nu,
+                   CAST(SUM(n) OVER () AS BIGINT) AS t
+            FROM uc)
+        , dec AS (
+            SELECT ((rn - 1) * 10) // nu + 1 AS decile,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(n) AS BIGINT) AS n_events,
+                   MIN(t) AS t
+            FROM ranked GROUP BY 1)
+        SELECT CAST(decile AS BIGINT) AS decile, n_users, n_events,
+               CAST((10000 * n_events) // t AS BIGINT) AS share_bp,
+               CAST((10000 * CAST(SUM(n_events) OVER (
+                   ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT)) // t AS BIGINT) AS cum_share_bp
+        FROM dec
+    """,
+)
+def q_events_power_user_curve(spark, sf_dir):
+    """The Lorenz curve behind the Gini number (#233): users ranked
+    by activity and cut into deciles, each decile's share and
+    cumulative share of total events in bp — the table a capacity/
+    abuse reviewer reads ("the top decile generates X% of load")
+    where a single Gini coefficient hides the shape. The rank
+    window is USER-grain — a dimension-bounded relation (the #233
+    justification), not the fact table; the decile roll-up and the
+    10-row cumulative window are constant-size."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    uc = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.orderBy(F.col("n").asc(), F.col("user_id").asc())
+    ranked = uc.select(
+        "n",
+        F.row_number().over(wr).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias(
+            "nu"
+        ),
+        F.sum("n").over(Window.partitionBy()).cast("long").alias("t"),
+    )
+    dec = ranked.groupBy(
+        F.expr("((rn - 1) * 10) div nu + 1").cast("long").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n").cast("long").alias("n_events"),
+        F.min("t").alias("t"),
+    )
+    return dec.select(
+        "decile",
+        "n_users",
+        "n_events",
+        F.expr("(10000 * n_events) div t").cast("long").alias("share_bp"),
+        F.expr(
+            "(10000 * sum(n_events) OVER (ORDER BY decile"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) div t"
+        )
+        .cast("long")
+        .alias("cum_share_bp"),
+    )
+
+
+_LIFT_TOP_TOKENS = 20
+
+
+@query(
+    "text_token_lift_pairs",
+    oracle=f"""
+        WITH dt AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t
+            FROM documents)
+        , nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n
+                 FROM documents)
+        , df AS (
+            SELECT t, CAST(COUNT(*) AS BIGINT) AS df
+            FROM dt GROUP BY t)
+        , top AS (
+            SELECT t, df FROM (
+                SELECT t, df, row_number() OVER (
+                    ORDER BY df DESC, t ASC) AS rn
+                FROM df)
+            WHERE rn <= {_LIFT_TOP_TOKENS})
+        , co AS (
+            SELECT a.t AS tok_a, b.t AS tok_b,
+                   CAST(COUNT(*) AS BIGINT) AS co_docs
+            FROM dt a
+            JOIN dt b ON b.doc_id = a.doc_id AND a.t < b.t
+            JOIN top ta ON ta.t = a.t
+            JOIN top tb ON tb.t = b.t
+            GROUP BY a.t, b.t)
+        SELECT c.tok_a, c.tok_b, ta.df AS df_a, tb.df AS df_b,
+               c.co_docs,
+               CAST((1000000 * c.co_docs * nd.n)
+                    // (ta.df * tb.df) AS BIGINT) AS lift_ppm
+        FROM co c
+        JOIN top ta ON ta.t = c.tok_a
+        JOIN top tb ON tb.t = c.tok_b
+        CROSS JOIN nd
+    """,
+)
+def q_text_token_lift_pairs(spark, sf_dir):
+    """Collocation mining over the head vocabulary: for the top-{k}
+    tokens by document frequency, every co-occurring pair's lift vs
+    independence in ppm (10⁶·P(a,b)/(P(a)P(b)) as an exact integer
+    rational) — the token-level twin of the event-transition lift
+    (#253) and the association-rule mart (#Zipf/#BPE family's
+    semantic complement): lift ≫ 10⁶ = phrase-like collocations a
+    tokenizer should merge, lift ≪ 10⁶ = complementary-distribution
+    tokens (topic separators). The corpus pass is one distinct
+    (doc, token) projection; the pair join is restricted to the
+    {k}-token head BEFORE it fans out (two broadcast semijoins), so
+    the candidate space is ≤ C({k},2) per doc — vocabulary-head
+    bounded, never corpus × vocab². Pairs with zero co-occurrence
+    are absent by construction (they have no lift evidence and
+    would make the output quadratic in the head size at no
+    information gain).""".replace("{k}", str(_LIFT_TOP_TOKENS))
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+    ).distinct()
+    nd = docs.agg(F.countDistinct("doc_id").alias("n"))
+    df = dt.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    wr = Window.orderBy(F.col("df").desc(), F.col("t").asc())
+    top = (
+        df.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= _LIFT_TOP_TOKENS)
+        .select("t", "df")
+    )
+    a = dt.join(
+        F.broadcast(top.select(F.col("t"), F.col("df").alias("df_a"))),
+        "t",
+    ).select("doc_id", F.col("t").alias("tok_a"), "df_a")
+    b = dt.join(
+        F.broadcast(top.select(F.col("t"), F.col("df").alias("df_b"))),
+        "t",
+    ).select("doc_id", F.col("t").alias("tok_b"), "df_b")
+    co = (
+        a.join(b, "doc_id")
+        .where(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b", "df_a", "df_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("co_docs"))
+    )
+    return co.crossJoin(F.broadcast(nd)).select(
+        "tok_a",
+        "tok_b",
+        F.col("df_a").cast("long").alias("df_a"),
+        F.col("df_b").cast("long").alias("df_b"),
+        "co_docs",
+        F.expr("(1000000 * co_docs * n) div (df_a * df_b)")
+        .cast("long")
+        .alias("lift_ppm"),
+    )

@@ -250,3 +250,58 @@ def test_pca_top2_laws(spark, sf_dir):
     # both vectors max-abs normalized
     assert max(abs(r["pc1_e3"]) for r in rows) == 1000
     assert max(abs(r["pc2_e3"]) for r in rows) == 1000
+
+
+def test_method_agreement_partition(spark, sf_dir):
+    """The four cells partition the candidate set: total n_pairs
+    equals the LSH candidate-pair count; cell means respect the
+    defining thresholds."""
+    from aurora_cdc_demo_spark.operators import dedup as _dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_cand = _dedup.lsh_candidates(
+        _dedup.minhash_signatures(_dedup.shingles(docs))
+    ).count()
+    rows = QUERIES["dedup_method_agreement"](spark, sf_dir).collect()
+    assert sum(r["n_pairs"] for r in rows) == n_cand
+    for r in rows:
+        if r["sh_dup"]:
+            assert r["mean_hamming"] <= 3
+        assert 0 <= r["mean_exact_bp"] <= 10000
+
+
+def test_power_user_curve_laws(spark, sf_dir):
+    rows = sorted(
+        QUERIES["events_power_user_curve"](spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, len(rows) + 1))
+    assert rows[-1]["cum_share_bp"] == 10000
+    cums = [r["cum_share_bp"] for r in rows]
+    assert cums == sorted(cums)
+    # Lorenz convexity: per-decile share non-decreasing in rank order
+    shares = [r["share_bp"] / r["n_users"] for r in rows]
+    assert all(b >= a * 0.99 for a, b in zip(shares, shares[1:]))
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_users"] for r in rows) == n_users
+
+
+def test_token_lift_pairs_laws(spark, sf_dir):
+    rows = QUERIES["text_token_lift_pairs"](spark, sf_dir).collect()
+    assert rows
+    n_docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    )
+    for r in rows:
+        assert r["tok_a"] < r["tok_b"]
+        assert r["co_docs"] <= min(r["df_a"], r["df_b"])
+        assert r["df_a"] <= n_docs and r["df_b"] <= n_docs
+        # lift bound: co <= min(df) => lift <= 1e6 * n / max(df)
+        assert r["lift_ppm"] <= 1000000 * n_docs // max(
+            r["df_a"], r["df_b"]
+        )
