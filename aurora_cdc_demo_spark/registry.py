@@ -13102,3 +13102,150 @@ def q_text_token_lift_pairs(spark, sf_dir):
         .cast("long")
         .alias("lift_ppm"),
     )
+
+
+def _growth_sql(dialect: str) -> str:
+    """Weekly growth accounting over epoch-week buckets (epoch-day
+    div 7 — cross-engine deterministic, unlike date_trunc('week')
+    locale edges). active = new + retained + resurrected by
+    construction; churned(w) = actives of w−1 that are absent in w.
+    All relations after the one distinct (user, week) projection
+    are user×week-bounded."""
+    div = "//" if dialect == "duck" else "div"
+    ep = "epoch_us" if dialect == "duck" else "unix_micros"
+    return f"""
+        WITH ua AS (
+            SELECT DISTINCT user_id,
+                   CAST(({ep}(ts) {div} 86400000000) {div} 7
+                        AS BIGINT) AS wk
+            FROM events)
+        , fw AS (
+            SELECT user_id, MIN(wk) AS fw FROM ua GROUP BY user_id)
+        , flags AS (
+            SELECT ua.user_id, ua.wk,
+                   CASE WHEN ua.wk = fw.fw THEN 1 ELSE 0 END AS is_new,
+                   CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END
+                       AS was_prev
+            FROM ua
+            JOIN fw ON fw.user_id = ua.user_id
+            LEFT JOIN ua p ON p.user_id = ua.user_id
+                AND p.wk = ua.wk - 1)
+        , mx AS (SELECT MAX(wk) AS mwk FROM ua)
+        , churn AS (
+            SELECT a.wk + 1 AS wk, CAST(COUNT(*) AS BIGINT) AS c
+            FROM ua a
+            LEFT JOIN ua b ON b.user_id = a.user_id
+                AND b.wk = a.wk + 1
+            CROSS JOIN mx
+            WHERE b.user_id IS NULL AND a.wk + 1 <= mx.mwk
+            GROUP BY a.wk + 1)
+        SELECT f.wk AS week_id,
+               CAST(COUNT(*) AS BIGINT) AS n_active,
+               CAST(SUM(f.is_new) AS BIGINT) AS n_new,
+               CAST(SUM(f.was_prev) AS BIGINT) AS n_retained,
+               CAST(COUNT(*) - SUM(f.is_new) - SUM(f.was_prev)
+                    AS BIGINT) AS n_resurrected,
+               CAST(COALESCE(MIN(ch.c), 0) AS BIGINT) AS n_churned
+        FROM flags f
+        LEFT JOIN churn ch ON ch.wk = f.wk
+        GROUP BY f.wk
+    """
+
+
+@query("events_growth_accounting", oracle=_growth_sql("duck"))
+def q_events_growth_accounting(spark, sf_dir):
+    """The growth-accounting decomposition every consumer product
+    reports weekly: actives split into NEW (first-ever week),
+    RETAINED (also active last week), RESURRECTED (returning after
+    a gap), plus CHURNED (active last week, absent this week) —
+    the flows behind the DAU/WAU stock (#146) and the D-N curve
+    (#195): two products with identical retention curves can have
+    opposite churn/resurrection flows. Conservation laws (active =
+    new+retained+resurrected; churned(w) = active(w−1) −
+    retained(w)) pinned in pytest on both engines. One distinct
+    (user, week) projection of the corpus; everything after is
+    user×week-bounded joins on (user_id, wk) — and a user can be
+    new AND retained never (first week has no predecessor), so the
+    split is a true partition."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "events"
+    )
+    return spark.sql(_growth_sql("spark"))
+
+
+_ACF_LAGS = (1, 24, 168)
+
+
+def _acf_sql(dialect: str) -> str:
+    """Autocorrelation of the hourly event-count series at fixed
+    lags, sqrt-free: per lag, the Pearson covariance/variance
+    NUMERATORS over the overlapping (x_t, x_{t+L}) pairs plus the
+    signed r² in e6 — the same exact-integer discipline as the
+    assortativity report. The series is hour-grid bounded (the
+    corpus pass is one hour aggregate); each lag arm is a
+    self-join on hr+L over that bounded series."""
+    div = "//" if dialect == "duck" else "div"
+    big = "HUGEINT" if dialect == "duck" else "DECIMAL(38,0)"
+    ep = "epoch_us" if dialect == "duck" else "unix_micros"
+    arms = []
+    for lag in _ACF_LAGS:
+        arms.append(f"""
+        SELECT CAST({lag} AS BIGINT) AS lag,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(CAST(COUNT(*) AS {big}) * SUM(x * y)
+                    - CAST(SUM(x) AS {big}) * SUM(y) AS BIGINT)
+                   AS cov_num,
+               CAST(CAST(COUNT(*) AS {big}) * SUM(x * x)
+                    - CAST(SUM(x) AS {big}) * SUM(x) AS BIGINT)
+                   AS varx_num,
+               CAST(CAST(COUNT(*) AS {big}) * SUM(y * y)
+                    - CAST(SUM(y) AS {big}) * SUM(y) AS BIGINT)
+                   AS vary_num,
+               CAST(CASE WHEN CAST(COUNT(*) AS {big}) * SUM(x * x)
+                              - CAST(SUM(x) AS {big}) * SUM(x) = 0
+                         OR CAST(COUNT(*) AS {big}) * SUM(y * y)
+                              - CAST(SUM(y) AS {big}) * SUM(y) = 0
+                    THEN 0
+                    ELSE (CASE WHEN CAST(COUNT(*) AS {big}) * SUM(x * y)
+                               - CAST(SUM(x) AS {big}) * SUM(y) < 0
+                          THEN -1 ELSE 1 END)
+                         * ((CAST(1000000 AS {big})
+                             * (CAST(COUNT(*) AS {big}) * SUM(x * y)
+                                - CAST(SUM(x) AS {big}) * SUM(y))
+                             * (CAST(COUNT(*) AS {big}) * SUM(x * y)
+                                - CAST(SUM(x) AS {big}) * SUM(y)))
+                            {div} ((CAST(COUNT(*) AS {big}) * SUM(x * x)
+                                    - CAST(SUM(x) AS {big}) * SUM(x))
+                                   * (CAST(COUNT(*) AS {big}) * SUM(y * y)
+                                      - CAST(SUM(y) AS {big}) * SUM(y))))
+                    END AS BIGINT) AS acf_r2_signed_e6
+        FROM (SELECT a.n AS x, b.n AS y
+              FROM hourly a JOIN hourly b ON b.hr = a.hr + {lag})""")
+    return f"""
+        WITH hourly AS (
+            SELECT CAST({ep}(ts) {div} 3600000000 AS BIGINT) AS hr,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1)
+        {" UNION ALL ".join(arms)}
+    """
+
+
+@query("events_acf", oracle=_acf_sql("duck"))
+def q_events_acf(spark, sf_dir):
+    """Autocorrelation function of hourly traffic at lags 1 (hour
+    persistence), 24 (daily seasonality), 168 (weekly seasonality)
+    — the one diagnostic that justifies the seasonal-naive
+    baseline's t−7d choice (#255) and the STL week window (#268):
+    if acf(168) ≪ acf(24), the forecaster should difference on
+    days, not weeks. Exact integer moment numerators + sqrt-free
+    signed r² (the #262 discipline); the corpus collapses to the
+    hour grid in one aggregate, and each lag arm self-joins the
+    BOUNDED hourly series — the arms re-read an ~hours-sized
+    relation, not the corpus (duck's CTE inlining is harmless at
+    that size)."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "events"
+    )
+    return spark.sql(_acf_sql("spark"))

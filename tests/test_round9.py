@@ -305,3 +305,43 @@ def test_token_lift_pairs_laws(spark, sf_dir):
         assert r["lift_ppm"] <= 1000000 * n_docs // max(
             r["df_a"], r["df_b"]
         )
+
+
+def test_growth_accounting_conservation(spark, sf_dir):
+    rows = sorted(
+        QUERIES["events_growth_accounting"](spark, sf_dir).collect(),
+        key=lambda r: r["week_id"],
+    )
+    assert rows
+    for r in rows:
+        assert (
+            r["n_active"]
+            == r["n_new"] + r["n_retained"] + r["n_resurrected"]
+        )
+        assert min(
+            r["n_new"], r["n_retained"], r["n_resurrected"], r["n_churned"]
+        ) >= 0
+    # churned(w) = active(w-1) - retained(w) on consecutive weeks
+    for prev, cur in zip(rows, rows[1:]):
+        if cur["week_id"] == prev["week_id"] + 1:
+            assert cur["n_churned"] == prev["n_active"] - cur["n_retained"]
+    # first week: everyone is new
+    assert rows[0]["n_new"] == rows[0]["n_active"]
+    assert rows[0]["n_churned"] == 0
+
+
+def test_acf_laws(spark, sf_dir):
+    rows = {
+        r["lag"]: r for r in QUERIES["events_acf"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {1, 24, 168}
+    n_hours = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("unix_micros(ts) div 3600000000 AS h")
+        .distinct()
+        .count()
+    )
+    for lag, r in rows.items():
+        assert r["n_pairs"] <= n_hours - 1
+        assert -1_000_000 <= r["acf_r2_signed_e6"] <= 1_000_000
+        assert r["varx_num"] >= 0 and r["vary_num"] >= 0
