@@ -2256,3 +2256,59 @@ def pagerank_convergence(
     return spark.sql(
         pagerank_convergence_sql("spark", "knn_edges_conv_mat")
     )
+
+
+def quant_distortion_sql(dialect: str) -> str:
+    """Squared-L2 reconstruction distortion of the two sketch-side
+    quantizers on the SAME normalized vectors — the cause-side
+    complement of the recall dashboard (#172, which compares the
+    END metric): PQ's error is the sum of its winning per-subspace
+    assignment distances (exactly the d{s} minima the code
+    assignment already ranks on), the sign sketch's error against
+    its ±1/√64 reconstruction is 2 − Σ|e_i|/4 (√64 = 8 exactly, so
+    the expression is rational in the normalized components — no
+    irrational constant enters). Both are LEFT-ASSOCIATED double
+    folds identical on both engines (the PQ ADC discipline), floored
+    to e9 only at the output boundary. One corpus scan per method
+    arm; the PQ arm reuses the broadcast codebook cross join
+    (#138), the sign arm is a scan-only projection."""
+    mins = ",\n                   ".join(
+        f"MIN(d{s}) AS md{s}" for s in range(PQ_M)
+    )
+    tot = " + ".join(f"md{s}" for s in range(PQ_M))
+    if dialect == "spark":
+        absfold = (
+            "aggregate(transform(e, x -> ABS(x)), CAST(0 AS DOUBLE),"
+            " (acc, v) -> acc + v)"
+        )
+    else:
+        absfold = " + ".join(f"ABS(e[{i}])" for i in range(1, DIMS + 1))
+    return f"""{_pq_base_ctes(dialect)}
+        , pq_err AS (
+            SELECT vec_id,
+                   {mins}
+            FROM dist GROUP BY vec_id)
+        , pq_e AS (
+            SELECT vec_id,
+                   CAST(FLOOR(({tot}) * 1000000000) AS BIGINT)
+                       AS sqerr_e9
+            FROM pq_err)
+        , sign_e AS (
+            SELECT vec_id,
+                   CAST(FLOOR((2 - ({absfold}) / 4) * 1000000000)
+                        AS BIGINT) AS sqerr_e9
+            FROM v)
+        SELECT 'pq' AS method,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(sqerr_e9) {'//' if dialect != 'spark' else 'div'}
+                    COUNT(*) AS BIGINT) AS mean_sqerr_e9,
+               CAST(MAX(sqerr_e9) AS BIGINT) AS max_sqerr_e9
+        FROM pq_e
+        UNION ALL
+        SELECT 'sign',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(sqerr_e9) {'//' if dialect != 'spark' else 'div'}
+                    COUNT(*) AS BIGINT),
+               CAST(MAX(sqerr_e9) AS BIGINT)
+        FROM sign_e
+    """

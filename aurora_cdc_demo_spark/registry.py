@@ -13249,3 +13249,23 @@ def q_events_acf(spark, sf_dir):
         "events"
     )
     return spark.sql(_acf_sql("spark"))
+
+
+@query(
+    "embed_quantization_distortion",
+    oracle=_sim.quant_distortion_sql("duck"),
+)
+def q_embed_quantization_distortion(spark, sf_dir):
+    """Mean/max squared-L2 reconstruction distortion of the PQ
+    codebook (#138) vs the sign/Hamming sketch (#147) on the same
+    normalized vectors — recall (#172) tells you WHICH method wins
+    at ranking; this tells you WHY (how much geometry each budget
+    keeps), and it's the number a quantizer ablation reports.
+    Distances are the same left-associated double folds the PQ
+    assignment already ranks on, floored to e9 integers at the
+    output boundary only. See
+    operators/similarity.py:quant_distortion_sql."""
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    return spark.sql(_sim.quant_distortion_sql("spark"))

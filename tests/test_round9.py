@@ -345,3 +345,19 @@ def test_acf_laws(spark, sf_dir):
         assert r["n_pairs"] <= n_hours - 1
         assert -1_000_000 <= r["acf_r2_signed_e6"] <= 1_000_000
         assert r["varx_num"] >= 0 and r["vary_num"] >= 0
+
+
+def test_quant_distortion_laws(spark, sf_dir):
+    rows = {
+        r["method"]: r
+        for r in QUERIES["embed_quantization_distortion"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == {"pq", "sign"}
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    for r in rows.values():
+        assert r["n_vecs"] == n_vecs
+        assert 0 <= r["mean_sqerr_e9"] <= r["max_sqerr_e9"]
+        # unit vector vs any reconstruction in these families: ||v-r||^2 < 4
+        assert r["max_sqerr_e9"] < 4_000_000_000
