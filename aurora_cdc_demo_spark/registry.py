@@ -13269,3 +13269,141 @@ def q_embed_quantization_distortion(spark, sf_dir):
         "embeddings"
     )
     return spark.sql(_sim.quant_distortion_sql("spark"))
+
+
+@query(
+    "corpus_training_manifest",
+    oracle=_KEEP_GATES_CTES_LSH
+    + _V3_EXTRA_CTES
+    + _V4_EXTRA_CTES
+    + _V5_EXTRA_CTES
+    + _V6_EXTRA_CTES
+    + ", v6 AS ("
+    + _V6_SELECT
+    + f""")
+        , base AS MATERIALIZED (
+            SELECT d.doc_id, d.lang, d.source, v.keep, v.decision,
+                   CAST(len(string_split(d.text, ' ')) AS BIGINT)
+                       AS n_tokens,
+                   CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                        1, 8) AS BIGINT) % 100 AS bkt
+            FROM documents d JOIN v6 v USING (doc_id))
+        , lc AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS nk
+            FROM base WHERE keep GROUP BY lang)
+        , lw AS (
+            SELECT lang, nk,
+                   CAST(FLOOR(SQRT(CAST(nk AS DOUBLE))) AS BIGINT) AS w
+            FROM lc)
+        , tot AS (
+            SELECT CAST(COALESCE(SUM(w), 0) AS BIGINT) AS tw,
+                   CAST(COALESCE(SUM(nk), 0) AS BIGINT) AS tk
+            FROM lw)
+        SELECT b.doc_id, b.lang, b.source, b.n_tokens, b.keep,
+               b.decision,
+               CASE WHEN b.bkt < {_SPLIT_TRAIN_PCT} THEN 'train'
+                    WHEN b.bkt < {_SPLIT_TRAIN_PCT + _SPLIT_VAL_PCT}
+                        THEN 'val'
+                    ELSE 'test' END AS split,
+               CASE WHEN b.keep AND t.tw > 0 THEN
+                   CAST((CAST(1000000 AS HUGEINT) * l.w * t.tk)
+                        // (CAST(t.tw AS HUGEINT) * l.nk) AS BIGINT)
+               END AS weight_ppm
+        FROM base b
+        LEFT JOIN lw l USING (lang)
+        CROSS JOIN tot t
+    """,
+)
+def q_corpus_training_manifest(spark, sf_dir):
+    """THE final deliverable of the curation pipeline: one row per
+    document carrying everything a training run consumes — the
+    twelve-gate keep verdict + reason (#243 v6_lsh), the
+    content-stable train/val/test split (#236's md5-bucket rule:
+    membership is a pure function of doc_id, so appends and
+    re-partitions never leak across splits), the token count, and
+    the language sampling weight in ppm computed over the SURVIVOR
+    corpus (√-temperature, the #174 rule — recomputed post-dedup
+    because dedup shifts language mass, which is exactly why the
+    funnel #200 and bias audit #257 exist; NULL for rejected docs
+    and whenever no survivors exist — on THIS synthetic word-salad
+    testdata the repetition gate rejects every document, so the
+    weight column is exercised by the clean-corpus pytest, not the
+    oracle). weight_ppm is normalized so a uniform sampler reading
+    survivors at these weights reproduces the temperature mix
+    (mean ≈ 10⁶ over survivors; law pinned in pytest on a corpus
+    that passes the gates).
+    Composition discipline: the gate verdict join is MATERIALIZED
+    before the survivor census — the base table feeds both the
+    language census and the final join, and without the checkpoint
+    Catalyst re-derives the whole twelve-gate chain per reference
+    (the embed_keep_list lesson); census/weights are lang-bounded
+    broadcasts; the weight product runs in 128-bit (at corpus
+    scale 10⁶·w·n_docs overflows BIGINT)."""
+    kl = QUERIES["corpus_keep_list_v6_lsh"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    bkt = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    base = (
+        docs.join(kl, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "keep",
+            "decision",
+            F.size(F.split(F.col("text"), " "))
+            .cast("long")
+            .alias("n_tokens"),
+            bkt.alias("bkt"),
+        )
+        .localCheckpoint()
+    )
+    lw = (
+        base.where(F.col("keep"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("nk"))
+        .select(
+            "lang",
+            "nk",
+            F.floor(F.sqrt(F.col("nk").cast("double")))
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    tot = lw.agg(
+        F.coalesce(F.sum("w"), F.lit(0)).alias("tw"),
+        F.coalesce(F.sum("nk"), F.lit(0)).alias("tk"),
+    )
+    split = (
+        F.when(F.col("bkt") < _SPLIT_TRAIN_PCT, "train")
+        .when(
+            F.col("bkt") < _SPLIT_TRAIN_PCT + _SPLIT_VAL_PCT, "val"
+        )
+        .otherwise("test")
+    )
+    return (
+        base.join(F.broadcast(lw), "lang", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_tokens",
+            "keep",
+            "decision",
+            split.alias("split"),
+            F.when(
+                F.col("keep") & (F.col("tw") > 0),
+                F.expr(
+                    "(CAST(1000000 AS DECIMAL(38,0)) * w * tk)"
+                    " div (CAST(tw AS DECIMAL(38,0)) * nk)"
+                ).cast("long"),
+            ).alias("weight_ppm"),
+        )
+    )

@@ -361,3 +361,136 @@ def test_quant_distortion_laws(spark, sf_dir):
         assert 0 <= r["mean_sqerr_e9"] <= r["max_sqerr_e9"]
         # unit vector vs any reconstruction in these families: ||v-r||^2 < 4
         assert r["max_sqerr_e9"] < 4_000_000_000
+
+
+# ---------------------------------------------------------------------------
+# corpus_training_manifest: the testdata word-salad fails the quality
+# gates wholesale (weight_ppm never materializes there), so the weight
+# path is pinned here on a generated corpus that PASSES the twelve
+# gates — unique compound content words per sentence (no shared
+# 5-grams => no dup/contamination flags) with natural function-word
+# density (under the 40% repeated-token gate).
+# ---------------------------------------------------------------------------
+
+_POOL = [
+    "pine", "oak", "elm", "ash", "birch", "cedar", "maple", "willow",
+    "alder", "hazel", "rowan", "linden", "aspen", "beech", "larch",
+    "spruce", "holly", "juniper", "yew", "poplar", "ivy", "fern",
+    "moss", "reed", "sedge", "clover", "thistle", "heather",
+    "bramble", "gorse", "sorrel", "vetch", "flax", "rye", "barley",
+    "oat", "millet", "spelt", "lentil", "bean",
+]
+_VERBS = ["rests", "drifts", "settles", "lingers", "waits", "turns",
+          "leans", "stands"]
+_PREPS = ["beside", "under", "near", "behind", "along", "above",
+          "within", "around"]
+
+
+def _clean_corpus_dir(tmp_path) -> str:
+    import pandas as pd
+
+    def w(u, salt):
+        return (
+            _POOL[(u + 7 * salt) % 40]
+            + _POOL[((u // 40) + 11 * salt + 1) % 40]
+        )
+
+    rows = []
+    langs = ["en"] * 30 + ["de"] * 20 + ["fr"] * 10
+    for i in range(60):
+        sents = []
+        for j in range(8):
+            u = i * 8 + j
+            sents.append(
+                f"The {w(u, 0)} {w(u, 1)} {_VERBS[(i + j) % 8]}"
+                f" {_PREPS[(i + 3 * j) % 8]} the {w(u, 2)} {w(u, 3)}"
+                f" during {w(u, 4)} {w(u, 5)} season."
+            )
+        text = " ".join(sents)
+        rows.append(
+            {
+                "doc_id": i,
+                "text": text,
+                "lang": langs[i],
+                "source": f"src{i % 3}",
+                "n_chars": len(text),
+            }
+        )
+    d = tmp_path / "clean_sf"
+    d.mkdir()
+    pd.DataFrame(rows).to_parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_manifest_weights_on_clean_corpus(spark, tmp_path):
+    """On a corpus with real survivors: weights exist exactly for
+    keepers, sum to 1e6 * n_survivors (mean 1e6, modulo per-doc
+    floor slack), and each language's total weight share equals its
+    sqrt-temperature share."""
+    import math
+
+    d = _clean_corpus_dir(tmp_path)
+    rows = QUERIES["corpus_training_manifest"](spark, d).collect()
+    assert len(rows) == 60
+    keep = [r for r in rows if r["keep"]]
+    assert len(keep) >= 10
+    assert all(r["weight_ppm"] is not None for r in keep)
+    assert all(
+        r["weight_ppm"] is None for r in rows if not r["keep"]
+    )
+    nk: dict[str, int] = {}
+    for r in keep:
+        nk[r["lang"]] = nk.get(r["lang"], 0) + 1
+    tw = sum(int(math.isqrt(n)) for n in nk.values())
+    tk = len(keep)
+    total = sum(r["weight_ppm"] for r in keep)
+    assert abs(total - 1_000_000 * tk) <= tk  # floor slack
+    for lang, n in nk.items():
+        w = int(math.isqrt(n))
+        lang_total = sum(
+            r["weight_ppm"] for r in keep if r["lang"] == lang
+        )
+        expect = 1_000_000 * w * tk * n // (tw * n)
+        assert abs(lang_total - n * (1_000_000 * w * tk // (tw * n))) == 0
+        assert expect  # non-degenerate
+
+
+def test_manifest_matches_oracle_on_clean_corpus(spark, tmp_path):
+    """Full driver-style oracle compare on the clean corpus — the
+    one place the weight SQL is exercised end-to-end against
+    DuckDB with non-null weights."""
+    import duckdb
+    import pandas as pd
+
+    from aurora_cdc_demo_spark.registry import ORACLES
+    from tests.helpers import normalize
+
+    d = _clean_corpus_dir(tmp_path)
+    sdf = QUERIES["corpus_training_manifest"](spark, d).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    ddf = con.execute(ORACLES["corpus_training_manifest"]).fetchdf()
+    a, b = normalize(sdf), normalize(ddf)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b) == 60
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert sdf["weight_ppm"].notna().sum() >= 10
+
+
+def test_manifest_split_is_content_stable(spark, sf_dir):
+    """Split must equal the md5-bucket rule recomputed in Python —
+    membership is a pure function of doc_id."""
+    import hashlib
+
+    rows = QUERIES["corpus_training_manifest"](spark, sf_dir).collect()
+    assert rows
+    for r in rows[:200]:
+        bkt = int(
+            hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16
+        ) % 100
+        expect = (
+            "train" if bkt < 80 else ("val" if bkt < 90 else "test")
+        )
+        assert r["split"] == expect, r["doc_id"]
