@@ -13407,3 +13407,84 @@ def q_corpus_training_manifest(spark, sf_dir):
             ).alias("weight_ppm"),
         )
     )
+
+
+def _modularity_body_sql(lp: str, edges: str, div: str, big: str) -> str:
+    """Newman modularity over directed-doubled edges: with m2 = |directed
+    edges|, intra_c = directed edges inside community c, deg_c = directed
+    degree mass of c, each community contributes
+    (m2·intra_c − deg_c²)/m2² and Q = Σ_c contribution. Emitted as
+    per-community SIGNED e6 fixed-point via posrem floor division
+    (_pca_fd — contributions go negative for communities sparser than
+    their degree mass predicts), with the global Q as the exact sum of
+    the per-community integers (document: the sum of floors, a
+    well-defined deterministic quantity both engines share)."""
+    contrib = _pca_fd(
+        f"CAST(1000000 AS {big}) * (CAST(m.m2 AS {big}) * s.intra"
+        f" - CAST(s.degsum AS {big}) * s.degsum)",
+        f"CAST(m.m2 AS {big}) * m.m2",
+        div,
+    )
+    return f"""
+        , ec AS (
+            SELECT la.community_id AS ca, lb.community_id AS cb
+            FROM {edges} e
+            JOIN {lp} la ON la.vec_id = e.src
+            JOIN {lp} lb ON lb.vec_id = e.dst)
+        , m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM ec)
+        , s AS (
+            SELECT ca AS community_id,
+                   CAST(SUM(CASE WHEN ca = cb THEN 1 ELSE 0 END)
+                        AS BIGINT) AS intra,
+                   CAST(COUNT(*) AS BIGINT) AS degsum
+            FROM ec GROUP BY ca)
+        , contribs AS (
+            SELECT s.community_id, s.intra, s.degsum,
+                   CAST({contrib} AS BIGINT) AS contribution_e6
+            FROM s CROSS JOIN m)
+        SELECT c.community_id, c.intra AS intra_directed,
+               c.degsum AS degree_sum, c.contribution_e6,
+               CAST(g.q AS BIGINT) AS q_e6
+        FROM contribs c
+        CROSS JOIN (SELECT SUM(contribution_e6) AS q FROM contribs) g
+    """
+
+
+@query(
+    "graph_modularity_knn",
+    oracle=f"""
+        WITH lp AS ({ORACLES["graph_label_prop_knn"]})
+        , ue AS MATERIALIZED (
+            {_sim._knn_ctes('duck')}
+            SELECT vec_id AS src, neighbor_id AS dst FROM ranked
+            WHERE rnk <= {_sim.KNN_K}
+            UNION
+            SELECT neighbor_id, vec_id FROM ranked
+            WHERE rnk <= {_sim.KNN_K})
+        {_modularity_body_sql('lp', 'ue', '//', 'HUGEINT')}
+    """,
+)
+def q_graph_modularity_knn(spark, sf_dir):
+    """Newman modularity Q of the label-propagation partition
+    (#148) on the KNN graph — THE number that says whether the
+    detected communities beat the degree-preserving null model
+    (Q ≈ 0: propagation artifacts; Q ≳ 0.3: real structure), the
+    missing summary over the per-community profile table (#187):
+    per community the signed e6 contribution, plus the global Q as
+    their exact sum. The edge list and the community map are each
+    built once (checkpointed); the modularity algebra runs on the
+    community-bounded census. 128-bit products (m2·intra, deg²
+    exceed BIGINT at cluster scale); posrem floor division keeps
+    negative contributions bit-identical across engines."""
+    lp = (
+        QUERIES["graph_label_prop_knn"](spark, sf_dir)
+        .select("vec_id", "community_id")
+        .localCheckpoint()
+    )
+    lp.createOrReplaceTempView("lp_mod_mat")
+    return spark.sql(
+        "WITH placeholder AS (SELECT 1)"
+        + _modularity_body_sql(
+            "lp_mod_mat", "knn_uedges_mat", "div", "DECIMAL(38,0)"
+        )
+    )

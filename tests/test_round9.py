@@ -494,3 +494,19 @@ def test_manifest_split_is_content_stable(spark, sf_dir):
             "train" if bkt < 80 else ("val" if bkt < 90 else "test")
         )
         assert r["split"] == expect, r["doc_id"]
+
+
+def test_modularity_laws(spark, sf_dir):
+    rows = QUERIES["graph_modularity_knn"](spark, sf_dir).collect()
+    assert rows
+    q = rows[0]["q_e6"]
+    assert all(r["q_e6"] == q for r in rows)
+    assert q == sum(r["contribution_e6"] for r in rows)
+    assert q <= 1_000_000
+    m2 = spark.sql("SELECT COUNT(*) AS c FROM knn_uedges_mat").collect()[
+        0
+    ]["c"]
+    assert sum(r["degree_sum"] for r in rows) == m2
+    assert sum(r["intra_directed"] for r in rows) <= m2
+    for r in rows:
+        assert r["intra_directed"] <= r["degree_sum"]
