@@ -13488,3 +13488,146 @@ def q_graph_modularity_knn(spark, sf_dir):
             "lp_mod_mat", "knn_uedges_mat", "div", "DECIMAL(38,0)"
         )
     )
+
+
+@query(
+    "dedup_best_of_cluster",
+    oracle=f"""
+        WITH cl AS ({ORACLES["dedup_clusters"]})
+        , q AS ({_text.TEXT_ORACLES["text_quality_score"]})
+        , ranked AS (
+            SELECT cl.doc_id, cl.cluster_id, q.quality_bp,
+                   row_number() OVER (
+                       PARTITION BY cl.cluster_id
+                       ORDER BY q.quality_bp DESC, cl.doc_id ASC)
+                       AS rn
+            FROM cl JOIN q ON q.doc_id = cl.doc_id)
+        SELECT doc_id, cluster_id,
+               CAST(quality_bp AS BIGINT) AS quality_bp,
+               rn = 1 AS is_keeper
+        FROM ranked
+    """,
+)
+def q_dedup_best_of_cluster(spark, sf_dir):
+    """Quality-argmax canonical selection: within each near-dup
+    cluster (#63) keep the HIGHEST-QUALITY member (ties to smallest
+    doc_id) instead of the min-id convention every keep-list uses —
+    the refinement real curation runs apply (of N crawls of the
+    same page, keep the cleanest, not the first-crawled; min-id
+    keeps whatever the crawler happened to see first). One row per
+    doc with its verdict; downstream keep-lists can swap their
+    canonical rule for this one without touching the cluster
+    graph. Cluster map and quality scores are both already-verified
+    operators composed by doc_id; the rank window partitions by
+    cluster (bounded fan-in — cluster sizes are the #106 family
+    histogram, never corpus-scale)."""
+    from pyspark.sql import Window
+
+    cl = QUERIES["dedup_clusters"](spark, sf_dir)
+    q = QUERIES["text_quality_score"](spark, sf_dir).select(
+        "doc_id", "quality_bp"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_bp").desc(), F.col("doc_id").asc()
+    )
+    return (
+        cl.join(q, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.col("quality_bp").cast("long").alias("quality_bp"),
+            (F.col("rn") == 1).alias("is_keeper"),
+        )
+    )
+
+
+_EWMA_WINDOW = 24
+_EWMA_DEN = (1 << _EWMA_WINDOW) - 1
+_EWMA_VALUES = ", ".join(
+    f"({j}, {1 << (_EWMA_WINDOW - j)})" for j in range(1, _EWMA_WINDOW + 1)
+)
+
+
+def _forecast_backtest_sql(dialect: str) -> str:
+    """One-step-ahead backtest of three baselines over the hourly
+    grid: EWMA with alpha = 1/2 truncated at {w} terms (weights are
+    POWERS OF TWO, so the forecast is the exact integer
+    num div (2^{w} − 1) — no float smoothing recursion), the
+    seasonal-naive t−168, and the naive t−1. All models score only
+    hours where every model is defined (full EWMA window AND a
+    t−168 ancestor), so the comparison is apples-to-apples. The
+    corpus pass is the one hour aggregate; the EWMA arm joins the
+    BOUNDED hourly grid against a {w}-row weight table.""".replace(
+        "{w}", str(_EWMA_WINDOW)
+    )
+    div = "//" if dialect == "duck" else "div"
+    big = "HUGEINT" if dialect == "duck" else "DECIMAL(38,0)"
+    ep = "epoch_us" if dialect == "duck" else "unix_micros"
+    return f"""
+        WITH hourly AS (
+            SELECT CAST({ep}(ts) {div} 3600000000 AS BIGINT) AS hr,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1)
+        , offsets AS (SELECT j, w FROM (VALUES {_EWMA_VALUES})
+                      AS t(j, w))
+        , ew AS (
+            SELECT h.hr,
+                   CAST(SUM(CAST(p.n AS {big}) * o.w) AS {big}) AS num,
+                   CAST(COUNT(*) AS BIGINT) AS k
+            FROM hourly h
+            JOIN offsets o ON 1 = 1
+            JOIN hourly p ON p.hr = h.hr - o.j
+            GROUP BY h.hr)
+        , evalh AS (
+            SELECT h.hr, h.n,
+                   CAST(ew.num {div} {_EWMA_DEN} AS BIGINT) AS f_ewma,
+                   sn.n AS f_seasonal,
+                   nv.n AS f_naive
+            FROM hourly h
+            JOIN ew ON ew.hr = h.hr AND ew.k = {_EWMA_WINDOW}
+            JOIN hourly sn ON sn.hr = h.hr - 168
+            JOIN hourly nv ON nv.hr = h.hr - 1)
+        SELECT 'ewma_half' AS model,
+               CAST(COUNT(*) AS BIGINT) AS n_hours,
+               CAST((100 * SUM(ABS(n - f_ewma))) {div} COUNT(*)
+                    AS BIGINT) AS mae_e2,
+               CAST((10000 * SUM(ABS(n - f_ewma))) {div} SUM(n)
+                    AS BIGINT) AS wape_bp
+        FROM evalh
+        UNION ALL
+        SELECT 'seasonal_168',
+               CAST(COUNT(*) AS BIGINT),
+               CAST((100 * SUM(ABS(n - f_seasonal))) {div} COUNT(*)
+                    AS BIGINT),
+               CAST((10000 * SUM(ABS(n - f_seasonal))) {div} SUM(n)
+                    AS BIGINT)
+        FROM evalh
+        UNION ALL
+        SELECT 'naive_1',
+               CAST(COUNT(*) AS BIGINT),
+               CAST((100 * SUM(ABS(n - f_naive))) {div} COUNT(*)
+                    AS BIGINT),
+               CAST((10000 * SUM(ABS(n - f_naive))) {div} SUM(n)
+                    AS BIGINT)
+        FROM evalh
+    """
+
+
+@query("events_forecast_backtest", oracle=_forecast_backtest_sql("duck"))
+def q_events_forecast_backtest(spark, sf_dir):
+    """Head-to-head one-step-ahead forecast backtest on hourly
+    traffic: integer EWMA (alpha = 1/2 — power-of-two weights make
+    exponential smoothing EXACT, no float recursion), seasonal
+    naive t−168 (#255's rule at hour grain), and naive t−1, scored
+    by MAE and WAPE over the identical evaluable hours. The model-
+    selection mart that the single-baseline backtest (#255) can't
+    give you: if naive_1 wins, traffic is a random walk and the
+    seasonal story is noise; if seasonal_168 wins, the week shape
+    (#268/#275) is the signal. See _forecast_backtest_sql for the
+    hour-grid-bounded shape."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "events"
+    )
+    return spark.sql(_forecast_backtest_sql("spark"))

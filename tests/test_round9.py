@@ -510,3 +510,31 @@ def test_modularity_laws(spark, sf_dir):
     assert sum(r["intra_directed"] for r in rows) <= m2
     for r in rows:
         assert r["intra_directed"] <= r["degree_sum"]
+
+
+def test_best_of_cluster_laws(spark, sf_dir):
+    rows = QUERIES["dedup_best_of_cluster"](spark, sf_dir).collect()
+    assert rows
+    by_cl: dict[int, list] = {}
+    for r in rows:
+        by_cl.setdefault(r["cluster_id"], []).append(r)
+    for cl, rs in by_cl.items():
+        keepers = [r for r in rs if r["is_keeper"]]
+        assert len(keepers) == 1, cl
+        kq = keepers[0]["quality_bp"]
+        assert all(r["quality_bp"] <= kq for r in rs)
+        ties = [r for r in rs if r["quality_bp"] == kq]
+        assert keepers[0]["doc_id"] == min(t["doc_id"] for t in ties)
+
+
+def test_forecast_backtest_laws(spark, sf_dir):
+    rows = {
+        r["model"]: r
+        for r in QUERIES["events_forecast_backtest"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {"ewma_half", "seasonal_168", "naive_1"}
+    n = {r["n_hours"] for r in rows.values()}
+    assert len(n) == 1  # identical evaluable set
+    for r in rows.values():
+        assert r["mae_e2"] >= 0
+        assert 0 <= r["wape_bp"]
