@@ -13631,3 +13631,178 @@ def q_events_forecast_backtest(spark, sf_dir):
         "events"
     )
     return spark.sql(_forecast_backtest_sql("spark"))
+
+
+_DRIFT_BANDS = 64  # value bands for the first-half decile decomposition
+
+
+@query(
+    "events_value_drift_chi2",
+    oracle="""
+        WITH hr AS (
+            SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+                   CAST(FLOOR(value * 100) AS BIGINT) AS v
+            FROM events WHERE value IS NOT NULL)
+        , mid AS (
+            SELECT (MIN(h) + MAX(h) + 1) // 2 AS m FROM hr)
+        , halves AS (
+            SELECT CASE WHEN hr.h < mid.m THEN 1 ELSE 2 END AS half,
+                   hr.v
+            FROM hr CROSS JOIN mid)
+        , r1 AS (
+            SELECT v, row_number() OVER (ORDER BY v ASC) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM halves WHERE half = 1)
+        , bounds AS (
+            SELECT CAST(d AS BIGINT) AS d, MAX(v) AS bd
+            FROM r1 CROSS JOIN (SELECT unnest(range(1, 10)) AS d) ds
+            WHERE rn = (d * n + 9) // 10
+            GROUP BY d)
+        , banded AS (
+            SELECT h.half,
+                   CAST(COALESCE(SUM(CASE WHEN h.v > b.bd THEN 1
+                                     ELSE 0 END), 0) AS BIGINT) AS band
+            FROM (SELECT half, v,
+                         row_number() OVER () AS rid
+                  FROM halves) h
+            LEFT JOIN bounds b ON 1 = 1
+            GROUP BY h.rid, h.half, h.v)
+        , cells AS (
+            SELECT band,
+                   CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c1,
+                   CAST(SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c2
+            FROM banded GROUP BY band)
+        , tots AS (
+            SELECT CAST(SUM(c1) AS BIGINT) AS t1,
+                   CAST(SUM(c2) AS BIGINT) AS t2
+            FROM cells)
+        , scored AS (
+            SELECT c.band, c.c1, c.c2,
+                   CAST((c.c1 * t.t2) // t.t1 AS BIGINT) AS expected2,
+                   CAST((1000 * (c.c2 - (c.c1 * t.t2) // t.t1)
+                         * (c.c2 - (c.c1 * t.t2) // t.t1))
+                        // GREATEST((c.c1 * t.t2) // t.t1, 1)
+                        AS BIGINT) AS contrib_e3
+            FROM cells c CROSS JOIN tots t)
+        SELECT s.band, s.c1, s.c2, s.expected2, s.contrib_e3,
+               CAST(g.chi AS BIGINT) AS chi2_e3
+        FROM scored s
+        CROSS JOIN (SELECT SUM(contrib_e3) AS chi FROM scored) g
+    """,
+)
+def q_events_value_drift_chi2(spark, sf_dir):
+    """Numeric-distribution drift between the FIRST and SECOND half
+    of the stream (midpoint-hour split): first-half value deciles
+    define 10 equal-expected bands, the second half is counted into
+    them, and the chi-square statistic (e3 integer, per-band
+    contributions + exact-sum total) says whether the value
+    distribution moved — the numeric-column twin of the vocabulary
+    drift screen (#210) and the log-free stand-in for PSI (same
+    monotone purpose, no logarithms). Boundaries on the Spark side
+    come from the #254 band-prefix decomposition (NO global sort:
+    values land in {B} bands from a broadcast (min,max), the rank
+    window partitions by band, boundary rank = band prefix +
+    within-band rank); the oracle uses DuckDB's plain global window
+    — same boundaries bit-for-bit because a rank position's VALUE
+    is tie-order invariant. Counting into bands is a 9-row
+    broadcast join; the chi-square is 10-cell algebra.""".replace(
+        "{B}", str(_DRIFT_BANDS)
+    )
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hr = ev.where(F.col("value").isNotNull()).select(
+        F.expr("unix_micros(ts) div 3600000000").alias("h"),
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+    )
+    mid = hr.agg(
+        F.expr("(MIN(h) + MAX(h) + 1) div 2").alias("m")
+    )
+    halves = hr.crossJoin(F.broadcast(mid)).select(
+        F.when(F.col("h") < F.col("m"), 1).otherwise(2).alias("half"),
+        "v",
+    )
+    h1 = halves.where(F.col("half") == 1).select("v")
+    mm = h1.agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    b = h1.crossJoin(F.broadcast(mm)).withColumn(
+        "band_k",
+        F.expr(f"((v - lo) * {_DRIFT_BANDS}) div (hi - lo + 1)"),
+    )
+    bcnt = b.groupBy("band_k").agg(F.count(F.lit(1)).alias("bn"))
+    wpre = (
+        Window.orderBy("band_k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 0)
+    )
+    pre = bcnt.select(
+        "band_k",
+        (F.sum("bn").over(wpre) - F.col("bn")).alias("prefix"),
+    )
+    wband = Window.partitionBy("band_k").orderBy(F.col("v").asc())
+    ranked = (
+        b.join(F.broadcast(pre), "band_k")
+        .withColumn("rn", F.row_number().over(wband) + F.col("prefix"))
+    )
+    ds = spark.range(1, 10).select(F.col("id").alias("d"))
+    bounds = (
+        ranked.crossJoin(F.broadcast(ds))
+        .where(F.expr("rn = (d * n + 9) div 10"))
+        .groupBy("d")
+        .agg(F.max("v").alias("bd"))
+        .select("bd")
+    )
+    banded = (
+        halves.withColumn("rid", F.monotonically_increasing_id())
+        .join(F.broadcast(bounds), F.lit(True), "left")
+        .groupBy("rid", "half", "v")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("v") > F.col("bd"), 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("band")
+        )
+    )
+    cells = banded.groupBy("band").agg(
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("half") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    tots = cells.agg(
+        F.sum("c1").alias("t1"), F.sum("c2").alias("t2")
+    )
+    scored = (
+        cells.crossJoin(F.broadcast(tots))
+        .select(
+            "band",
+            "c1",
+            "c2",
+            F.expr("(c1 * t2) div t1").cast("long").alias("expected2"),
+            F.expr(
+                "(1000 * (c2 - (c1 * t2) div t1)"
+                " * (c2 - (c1 * t2) div t1))"
+                " div GREATEST((c1 * t2) div t1, 1)"
+            )
+            .cast("long")
+            .alias("contrib_e3"),
+        )
+        .localCheckpoint()
+    )
+    tot_chi = scored.agg(F.sum("contrib_e3").alias("chi"))
+    return scored.crossJoin(F.broadcast(tot_chi)).select(
+        "band",
+        "c1",
+        "c2",
+        "expected2",
+        "contrib_e3",
+        F.col("chi").cast("long").alias("chi2_e3"),
+    )

@@ -90,6 +90,8 @@ HEADLINE = [
     "lineitem_price_deciles",
     "embed_pca_top_direction",
     "events_stl_decomposition",
+    "corpus_training_manifest",
+    "graph_modularity_knn",
 ]
 
 

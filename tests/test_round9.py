@@ -538,3 +538,19 @@ def test_forecast_backtest_laws(spark, sf_dir):
     for r in rows.values():
         assert r["mae_e2"] >= 0
         assert 0 <= r["wape_bp"]
+
+
+def test_value_drift_laws(spark, sf_dir):
+    rows = sorted(
+        QUERIES["events_value_drift_chi2"](spark, sf_dir).collect(),
+        key=lambda r: r["band"],
+    )
+    assert [r["band"] for r in rows] == list(range(10))
+    chi = rows[0]["chi2_e3"]
+    assert chi == sum(r["contrib_e3"] for r in rows)
+    assert chi >= 0
+    t1 = sum(r["c1"] for r in rows)
+    # equal-expected bands: each first-half cell within 1 of t1/10
+    for r in rows:
+        assert abs(r["c1"] - t1 // 10) <= 1 + t1 % 10
+        assert r["contrib_e3"] >= 0
