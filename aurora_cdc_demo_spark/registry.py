@@ -13806,3 +13806,92 @@ def q_events_value_drift_chi2(spark, sf_dir):
         "contrib_e3",
         F.col("chi").cast("long").alias("chi2_e3"),
     )
+
+
+_BOT_DOMINANT_BP = 9000   # >90% of activity in one event type
+_BOT_FANO_LOW_E3 = 200    # Fano < 0.2: metronomic automation
+_BOT_FANO_HIGH_E3 = 5000  # Fano > 5.0: extreme burst scripting
+_BOT_VOLUME_X = 10        # > 10x the mean per-user volume
+
+
+@query(
+    "events_user_audit",
+    oracle=f"""
+        WITH dv AS ({ORACLES["events_user_type_diversity"]})
+        , bs AS ({ORACLES["events_burstiness"]})
+        , mv AS (
+            SELECT CAST(SUM(n_events) // COUNT(*) AS BIGINT)
+                       AS mean_events
+            FROM dv)
+        SELECT dv.user_id, dv.n_events, dv.n_types,
+               dv.dominant_share_bp, bs.fano_e3,
+               dv.dominant_share_bp > {_BOT_DOMINANT_BP}
+                   AS single_surface,
+               bs.fano_e3 < {_BOT_FANO_LOW_E3} AS metronomic,
+               bs.fano_e3 > {_BOT_FANO_HIGH_E3} AS bursty,
+               dv.n_events > {_BOT_VOLUME_X} * mv.mean_events
+                   AS extreme_volume,
+               NOT (dv.dominant_share_bp > {_BOT_DOMINANT_BP}
+                    OR bs.fano_e3 < {_BOT_FANO_LOW_E3}
+                    OR bs.fano_e3 > {_BOT_FANO_HIGH_E3}
+                    OR dv.n_events > {_BOT_VOLUME_X} * mv.mean_events)
+                   AS keep,
+               CASE WHEN dv.dominant_share_bp > {_BOT_DOMINANT_BP}
+                        THEN 'single_surface'
+                    WHEN bs.fano_e3 < {_BOT_FANO_LOW_E3}
+                        THEN 'metronomic'
+                    WHEN bs.fano_e3 > {_BOT_FANO_HIGH_E3}
+                        THEN 'bursty'
+                    WHEN dv.n_events > {_BOT_VOLUME_X} * mv.mean_events
+                        THEN 'extreme_volume'
+                    ELSE 'keep' END AS decision
+        FROM dv
+        JOIN bs ON bs.user_id = dv.user_id
+        CROSS JOIN mv
+    """,
+)
+def q_events_user_audit(spark, sf_dir):
+    """USER-grain keep-list — the corpus keep-list discipline
+    (#242) applied to the traffic side: four bot-signature gates
+    with priority-ordered reason codes (single_surface = >90%
+    one-type activity from the diversity screen #264; metronomic /
+    bursty = Fano-factor extremes from #241 — cron-like automation
+    and burst scripting respectively; extreme_volume = >10× the
+    mean per-user load). A training pipeline ingesting behavioral
+    events filters users exactly like it filters documents, and
+    for the same reason: automation inflates frequency statistics
+    the same way boilerplate inflates n-gram counts. Pure
+    composition of two verified user-grain operators by user_id
+    equi-join plus a single-row mean broadcast."""
+    dv = QUERIES["events_user_type_diversity"](spark, sf_dir)
+    bs = QUERIES["events_burstiness"](spark, sf_dir).select(
+        "user_id", "fano_e3"
+    )
+    mv = dv.agg(
+        F.expr("sum(n_events) div count(1)").alias("mean_events")
+    )
+    j = dv.join(bs, "user_id").crossJoin(F.broadcast(mv))
+    single = F.col("dominant_share_bp") > _BOT_DOMINANT_BP
+    metro = F.col("fano_e3") < _BOT_FANO_LOW_E3
+    bursty = F.col("fano_e3") > _BOT_FANO_HIGH_E3
+    volume = F.col("n_events") > _BOT_VOLUME_X * F.col("mean_events")
+    decision = (
+        F.when(single, "single_surface")
+        .when(metro, "metronomic")
+        .when(bursty, "bursty")
+        .when(volume, "extreme_volume")
+        .otherwise("keep")
+    )
+    return j.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        "dominant_share_bp",
+        "fano_e3",
+        single.alias("single_surface"),
+        metro.alias("metronomic"),
+        bursty.alias("bursty"),
+        volume.alias("extreme_volume"),
+        (~(single | metro | bursty | volume)).alias("keep"),
+        decision.alias("decision"),
+    )

@@ -554,3 +554,77 @@ def test_value_drift_laws(spark, sf_dir):
     for r in rows:
         assert abs(r["c1"] - t1 // 10) <= 1 + t1 % 10
         assert r["contrib_e3"] >= 0
+
+
+def test_user_audit_gates_on_constructed_bots(spark, tmp_path):
+    """Constructed traffic: a metronomic bot (1 event/hour, zero
+    variance), a burst bot (everything in one hour of a long span),
+    a single-surface scraper, a volume whale, and normal users —
+    each must land in its gate with the documented priority."""
+    import datetime as dt
+
+    import pandas as pd
+
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 1, 1)
+
+    def add(uid, ts, etype, value=1.0):
+        nonlocal eid
+        rows.append(
+            {
+                "event_id": eid,
+                "ts": ts,
+                "user_id": uid,
+                "event_type": etype,
+                "value": value,
+                "props": "{}",
+            }
+        )
+        eid += 1
+
+    types = ["click", "view", "purchase", "signup"]
+    # normal users: mixed types, mildly irregular hours (enough of
+    # them that the whale below can clear 10x the mean volume)
+    for uid in range(20):
+        for k in range(40):
+            add(
+                uid,
+                base + dt.timedelta(hours=k * 3 + (k * uid) % 5, minutes=k % 50),
+                types[(k + uid) % 4],
+            )
+    # metronomic bot: exactly one event every hour, mixed types
+    for k in range(100):
+        add(30, base + dt.timedelta(hours=k), types[k % 4])
+    # burst bot: 120 events inside one hour, then silence for a week
+    for k in range(120):
+        add(31, base + dt.timedelta(minutes=k % 60), types[k % 4])
+    add(31, base + dt.timedelta(days=7), types[0])
+    # single-surface scraper: one type only, spread out
+    for k in range(50):
+        add(32, base + dt.timedelta(hours=2 * k + k % 3), "click")
+    # volume whale: huge count with MODERATE burstiness (alternating
+    # 5/15 events per hour -> Fano = 2.5, inside the keep band) so
+    # only the volume gate can fire
+    eid_h = 0
+    for h in range(300):
+        for _ in range(5 if h % 2 == 0 else 15):
+            add(33, base + dt.timedelta(hours=h, minutes=eid_h % 59), types[eid_h % 4])
+            eid_h += 1
+
+    d = tmp_path / "audit_sf"
+    d.mkdir()
+    pd.DataFrame(rows).to_parquet(str(d / "events.parquet"))
+    out = {
+        r["user_id"]: r
+        for r in QUERIES["events_user_audit"](spark, str(d)).collect()
+    }
+    assert out[30]["decision"] == "metronomic"
+    assert out[30]["fano_e3"] == 0
+    assert out[31]["decision"] == "bursty"
+    assert out[32]["decision"] == "single_surface"
+    assert out[33]["decision"] == "extreme_volume"
+    assert 200 < out[33]["fano_e3"] < 5000
+    for uid in range(20):
+        assert out[uid]["decision"] == "keep", (uid, dict(out[uid].asDict()))
+        assert out[uid]["keep"]
