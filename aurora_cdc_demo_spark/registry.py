@@ -13895,3 +13895,78 @@ def q_events_user_audit(spark, sf_dir):
         (~(single | metro | bursty | volume)).alias("keep"),
         decision.alias("decision"),
     )
+
+
+@query(
+    "part_single_source_risk",
+    oracle="""
+        WITH ps AS (
+            SELECT l_partkey,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)
+                       AS n_suppliers,
+                   CAST(SUM(CAST(ROUND(l_extendedprice
+                        * (1 - l_discount) * 10000) AS BIGINT))
+                        AS BIGINT) AS rev_e4
+            FROM lineitem GROUP BY l_partkey)
+        , tot AS (SELECT CAST(SUM(rev_e4) AS BIGINT) AS t FROM ps)
+        SELECT p.p_type,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(CASE WHEN ps.n_suppliers = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_single_source,
+               CAST(SUM(CASE WHEN ps.n_suppliers = 1 THEN ps.rev_e4
+                        ELSE 0 END) AS BIGINT) AS revenue_at_risk_e4,
+               CAST((10000 * SUM(CASE WHEN ps.n_suppliers = 1
+                        THEN ps.rev_e4 ELSE 0 END)) // MIN(t.t)
+                    AS BIGINT) AS risk_share_bp
+        FROM ps
+        JOIN part p ON p.p_partkey = ps.l_partkey
+        CROSS JOIN tot t
+        GROUP BY p.p_type
+    """,
+)
+def q_part_single_source_risk(spark, sf_dir):
+    """Supply-chain concentration risk per part type: parts whose
+    entire observed volume comes from ONE supplier, with the exact
+    integer revenue that supplier outage would strand and its share
+    of total revenue — the procurement twin of the HHI screen
+    (#178): HHI says revenue is concentrated ACROSS suppliers,
+    this says specific parts have NO alternative at all. One
+    part-grain aggregate over the fact table (distinct-supplier is
+    per-part hash distinct with partial aggregation), a broadcast
+    dimension join, and a type-bounded roll-up."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    ps = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.sum(rev).alias("rev_e4"),
+    )
+    tot = ps.agg(F.sum("rev_e4").alias("t"))
+    single_rev = F.sum(
+        F.when(F.col("n_suppliers") == 1, F.col("rev_e4")).otherwise(0)
+    )
+    return (
+        ps.join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            ps.l_partkey == F.col("p_partkey"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum(
+                F.when(F.col("n_suppliers") == 1, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_single_source"),
+            single_rev.cast("long").alias("revenue_at_risk_e4"),
+            F.expr(
+                "(10000 * sum(CASE WHEN n_suppliers = 1 THEN rev_e4"
+                " ELSE 0 END)) div min(t)"
+            )
+            .cast("long")
+            .alias("risk_share_bp"),
+        )
+    )

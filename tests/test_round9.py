@@ -628,3 +628,14 @@ def test_user_audit_gates_on_constructed_bots(spark, tmp_path):
     for uid in range(20):
         assert out[uid]["decision"] == "keep", (uid, dict(out[uid].asDict()))
         assert out[uid]["keep"]
+
+
+def test_single_source_risk_laws(spark, sf_dir):
+    rows = QUERIES["part_single_source_risk"](spark, sf_dir).collect()
+    assert rows
+    assert sum(r["risk_share_bp"] for r in rows) <= 10000
+    for r in rows:
+        assert 0 <= r["n_single_source"] <= r["n_parts"]
+        assert r["revenue_at_risk_e4"] >= 0
+        if r["n_single_source"] == 0:
+            assert r["revenue_at_risk_e4"] == 0
