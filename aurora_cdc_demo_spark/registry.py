@@ -13970,3 +13970,88 @@ def q_part_single_source_risk(spark, sf_dir):
             .alias("risk_share_bp"),
         )
     )
+
+
+@query(
+    "events_type_affinity",
+    oracle="""
+        WITH ut AS (
+            SELECT DISTINCT user_id, event_type FROM events)
+        , nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS u
+                 FROM events)
+        , tc AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM ut GROUP BY event_type)
+        , co AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_both
+            FROM ut a
+            JOIN ut b ON b.user_id = a.user_id
+                AND a.event_type < b.event_type
+            GROUP BY 1, 2)
+        SELECT c.type_a, c.type_b, ta.n AS users_a, tb.n AS users_b,
+               c.n_both,
+               CAST((1000000 * c.n_both * nu.u) // (ta.n * tb.n)
+                    AS BIGINT) AS lift_ppm,
+               CAST((10000 * c.n_both) // (ta.n + tb.n - c.n_both)
+                    AS BIGINT) AS jaccard_bp
+        FROM co c
+        JOIN tc ta ON ta.event_type = c.type_a
+        JOIN tc tb ON tb.event_type = c.type_b
+        CROSS JOIN nu
+    """,
+)
+def q_events_type_affinity(spark, sf_dir):
+    """User-grain behavior affinity: for every event-type pair, the
+    user-overlap lift vs independence (exact ppm) and Jaccard bp —
+    completing the lift family at its third grain (sequence
+    transitions #253, document collocations #273, now user
+    co-engagement): lift ≫ 10⁶ pairs are surfaces the same users
+    adopt together (bundle them), ≪ 10⁶ pairs partition the user
+    base (different audiences). One distinct (user, type)
+    projection; the self-join fans out ≤ |types| per user and the
+    result is |types|²-bounded — the vocabulary here is the type
+    enum, so every post-projection relation broadcasts at any
+    corpus scale."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    nu = ev.agg(F.countDistinct("user_id").alias("u"))
+    tc = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = ut.select(
+        "user_id", F.col("event_type").alias("type_a")
+    )
+    b = ut.select(
+        "user_id", F.col("event_type").alias("type_b")
+    )
+    co = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ta = tc.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("users_a")
+    )
+    tb = tc.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("users_b")
+    )
+    return (
+        co.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("users_a").cast("long").alias("users_a"),
+            F.col("users_b").cast("long").alias("users_b"),
+            F.col("n_both").cast("long").alias("n_both"),
+            F.expr("(1000000 * n_both * u) div (users_a * users_b)")
+            .cast("long")
+            .alias("lift_ppm"),
+            F.expr(
+                "(10000 * n_both) div (users_a + users_b - n_both)"
+            )
+            .cast("long")
+            .alias("jaccard_bp"),
+        )
+    )

@@ -639,3 +639,21 @@ def test_single_source_risk_laws(spark, sf_dir):
         assert r["revenue_at_risk_e4"] >= 0
         if r["n_single_source"] == 0:
             assert r["revenue_at_risk_e4"] == 0
+
+
+def test_type_affinity_laws(spark, sf_dir):
+    rows = QUERIES["events_type_affinity"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["type_a"] < r["type_b"]
+        assert r["n_both"] <= min(r["users_a"], r["users_b"])
+        assert 0 <= r["jaccard_bp"] <= 10000
+        # both <= min(ua, ub) => lift <= 1e6 * U / max(ua, ub)
+        n_users = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "user_id"
+        ).distinct().count()
+        assert (
+            0
+            <= r["lift_ppm"]
+            <= 1_000_000 * n_users // max(r["users_a"], r["users_b"])
+        )
