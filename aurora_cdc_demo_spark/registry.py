@@ -14055,3 +14055,81 @@ def q_events_type_affinity(spark, sf_dir):
             .alias("jaccard_bp"),
         )
     )
+
+
+_MAHA_FLAG_E6 = 2 * 64 * 1_000_000  # z-square sum > 2x dims
+
+
+def _maha_sql(dialect: str) -> str:
+    """Diagonal-covariance Mahalanobis score per vector: z² summed
+    over dims with per-dim integer mean/variance (floor means via
+    posrem division — components go negative). Per-term quotient is
+    fd(10⁶·cx², var) so the sum lands in e6 z-square units
+    (E[score] ≈ dims·10⁶ under the null, pinned in pytest). Two
+    corpus passes (dim stats, then the score scan — the dim-stats
+    relation is a 64-row broadcast back onto the scan) and nothing
+    corpus-sized shuffles except the pos-keyed stats aggregate."""
+    div = "//" if dialect == "duck" else "div"
+    big = "HUGEINT" if dialect == "duck" else "DECIMAL(38,0)"
+    if dialect == "duck":
+        comps = """
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) - 1 AS pos,
+                   CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                        * 1000000) AS BIGINT) AS x
+            FROM embeddings"""
+    else:
+        comps = """
+            SELECT vec_id, pos,
+                   CAST(FLOOR(CAST(c AS DOUBLE) * 1000000) AS BIGINT)
+                       AS x
+            FROM embeddings
+            LATERAL VIEW posexplode(embedding) t AS pos, c"""
+    mu = _pca_fd("sx", "n", div)
+    var = _pca_fd(
+        f"CAST(n AS {big}) * sxx - CAST(sx AS {big}) * sx",
+        f"CAST(n AS {big}) * n",
+        div,
+    )
+    term = _pca_fd(
+        f"CAST(1000000 AS {big}) * (c.x - s.mu) * (c.x - s.mu)",
+        "GREATEST(s.var_e12, 1)",
+        div,
+    )
+    return f"""
+        WITH comps AS ({comps})
+        , stats AS (
+            SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx
+            FROM comps GROUP BY pos)
+        , dimp AS (
+            SELECT pos, CAST({mu} AS BIGINT) AS mu,
+                   CAST({var} AS BIGINT) AS var_e12
+            FROM stats)
+        SELECT c.vec_id,
+               CAST(SUM(CAST({term} AS BIGINT)) AS BIGINT) AS maha_e6,
+               CAST(SUM(CAST({term} AS BIGINT)) AS BIGINT)
+                   > {_MAHA_FLAG_E6} AS is_outlier
+        FROM comps c JOIN dimp s ON s.pos = c.pos
+        GROUP BY c.vec_id
+    """
+
+
+@query("embed_mahalanobis_outliers", oracle=_maha_sql("duck"))
+def q_embed_mahalanobis_outliers(spark, sf_dir):
+    """GLOBAL whitened outlier screen: per-vector diagonal
+    Mahalanobis score (Σ z² in e6, per-dim integer mean/variance)
+    with a 2×dims flag threshold — the distribution-level
+    complement of the cell-LOCAL far-tail queue (#205, farthest
+    from own centroid): a vector can sit close to some centroid yet
+    far from the corpus distribution along low-variance dims, and
+    only whitening sees that. This is also the screen that uses
+    the per-dim stats profile (#251) as an actual decision input.
+    Exact cross-engine integers throughout (_pca_fd posrem
+    division; 128-bit products for n·sxx and 10⁶·cx²); mean score
+    ≈ dims·10⁶ under the null is pinned in pytest."""
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    return spark.sql(_maha_sql("spark"))

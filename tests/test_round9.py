@@ -657,3 +657,17 @@ def test_type_affinity_laws(spark, sf_dir):
             <= r["lift_ppm"]
             <= 1_000_000 * n_users // max(r["users_a"], r["users_b"])
         )
+
+
+def test_mahalanobis_null_calibration(spark, sf_dir):
+    """Under the null, E[z-square] = 1 per dim, so the corpus mean
+    score must sit at ~dims * 1e6 (within 10%); flags follow the
+    2x-dims threshold exactly."""
+    rows = QUERIES["embed_mahalanobis_outliers"](spark, sf_dir).collect()
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(rows) == n_vecs
+    mean = sum(r["maha_e6"] for r in rows) // len(rows)
+    assert 57_600_000 <= mean <= 70_400_000
+    for r in rows:
+        assert r["maha_e6"] >= 0
+        assert r["is_outlier"] == (r["maha_e6"] > 128_000_000)
