@@ -14133,3 +14133,93 @@ def q_embed_mahalanobis_outliers(spark, sf_dir):
         "embeddings"
     )
     return spark.sql(_maha_sql("spark"))
+
+
+@query(
+    "embed_two_nn_ratio",
+    oracle=f"""
+        {_sim._knn_ctes('duck')}
+        , top2 AS (
+            SELECT vec_id,
+                   CAST(SUM(CASE WHEN rnk = 1 THEN
+                        CAST(FLOOR(cos * 1000000) AS BIGINT) END)
+                        AS BIGINT) AS cos1_e6,
+                   CAST(SUM(CASE WHEN rnk = 2 THEN
+                        CAST(FLOOR(cos * 1000000) AS BIGINT) END)
+                        AS BIGINT) AS cos2_e6
+            FROM ranked WHERE rnk <= 2
+            GROUP BY vec_id HAVING COUNT(*) = 2)
+        , mu AS (
+            SELECT vec_id,
+                   CAST((1000 * (1000000 - cos2_e6))
+                        // GREATEST(1000000 - cos1_e6, 1) AS BIGINT)
+                       AS mu2_e3
+            FROM top2)
+        , hist AS (
+            SELECT CASE WHEN mu2_e3 < 1500 THEN 0
+                        WHEN mu2_e3 < 2000 THEN 1
+                        WHEN mu2_e3 < 3000 THEN 2
+                        WHEN mu2_e3 < 5000 THEN 3
+                        ELSE 4 END AS bucket,
+                   mu2_e3
+            FROM mu)
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(MIN(mu2_e3) AS BIGINT) AS min_mu2_e3,
+               CAST(MAX(mu2_e3) AS BIGINT) AS max_mu2_e3,
+               CAST(SUM(mu2_e3) // COUNT(*) AS BIGINT) AS mean_mu2_e3
+        FROM hist GROUP BY bucket
+    """,
+)
+def q_embed_two_nn_ratio(spark, sf_dir):
+    """TwoNN intrinsic-dimension evidence, log-free: per vector the
+    squared-distance ratio of its 2nd to 1st nearest neighbor
+    μ² = (1−cos₂)/(1−cos₁) (exact e3 rational on the floored
+    cosines — for unit vectors d² = 2−2cos, so the 2s cancel),
+    bucketed into the five bands an ID reader inspects. Facco et
+    al.'s estimator is id = ln N / Σ ln μ — the LOG of this exact
+    distribution; we publish the distribution itself (the same
+    oracle-honesty split as the HLL registers #156 vs estimate
+    #208). μ² hugging 1 everywhere = high intrinsic dimension (ANN
+    budgets #138/#180 will pay for it); a fat ≥5000 band = low-ID
+    manifold structure worth a smaller PQ/IVF budget. Reuses the
+    #109/#248 cell-bounded KNN chain — nothing new touches the
+    corpus; the histogram is 5-row algebra."""
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    return spark.sql(
+        f"""
+        {_sim._knn_ctes('spark')}
+        , top2 AS (
+            SELECT vec_id,
+                   CAST(SUM(CASE WHEN rnk = 1 THEN
+                        CAST(FLOOR(cos * 1000000) AS BIGINT) END)
+                        AS BIGINT) AS cos1_e6,
+                   CAST(SUM(CASE WHEN rnk = 2 THEN
+                        CAST(FLOOR(cos * 1000000) AS BIGINT) END)
+                        AS BIGINT) AS cos2_e6
+            FROM ranked WHERE rnk <= 2
+            GROUP BY vec_id HAVING COUNT(*) = 2)
+        , mu AS (
+            SELECT vec_id,
+                   CAST((1000 * (1000000 - cos2_e6))
+                        div GREATEST(1000000 - cos1_e6, 1) AS BIGINT)
+                       AS mu2_e3
+            FROM top2)
+        , hist AS (
+            SELECT CASE WHEN mu2_e3 < 1500 THEN 0
+                        WHEN mu2_e3 < 2000 THEN 1
+                        WHEN mu2_e3 < 3000 THEN 2
+                        WHEN mu2_e3 < 5000 THEN 3
+                        ELSE 4 END AS bucket,
+                   mu2_e3
+            FROM mu)
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(MIN(mu2_e3) AS BIGINT) AS min_mu2_e3,
+               CAST(MAX(mu2_e3) AS BIGINT) AS max_mu2_e3,
+               CAST(SUM(mu2_e3) div COUNT(*) AS BIGINT) AS mean_mu2_e3
+        FROM hist GROUP BY bucket
+        """
+    )

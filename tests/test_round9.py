@@ -671,3 +671,16 @@ def test_mahalanobis_null_calibration(spark, sf_dir):
     for r in rows:
         assert r["maha_e6"] >= 0
         assert r["is_outlier"] == (r["maha_e6"] > 128_000_000)
+
+
+def test_two_nn_ratio_laws(spark, sf_dir):
+    rows = QUERIES["embed_two_nn_ratio"](spark, sf_dir).collect()
+    assert rows
+    total = sum(r["n_vecs"] for r in rows)
+    # every vector with >= 2 cell-mates contributes exactly once
+    margins = QUERIES["ann_neighbor_margin"](spark, sf_dir).count()
+    assert total == margins
+    for r in rows:
+        # mu^2 >= 1000 by construction (cos1 >= cos2)
+        assert r["min_mu2_e3"] >= 1000
+        assert r["min_mu2_e3"] <= r["mean_mu2_e3"] <= r["max_mu2_e3"]
