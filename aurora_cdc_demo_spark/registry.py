@@ -14223,3 +14223,116 @@ def q_embed_two_nn_ratio(spark, sf_dir):
         FROM hist GROUP BY bucket
         """
     )
+
+
+_LAYOUT_CHUNKS = 64
+
+
+def _layout_pruning_sql(dialect: str) -> str:
+    """Zone-map pruning simulation across three physical orderings
+    of the SAME events data: time-clustered (the natural ingestion
+    layout), user-clustered, and Z-ORDER (the #104 Morton key).
+    Rows land in {C} equal-WIDTH chunks of each layout's ordering
+    key (range partitioning — no global sort, unlike rank-equal
+    chunks; chunk row counts are reported so unevenness is
+    visible); each chunk keeps (min, max) zone maps on user_id and
+    event hour; two band probes (the central 40-45% slice of each
+    dimension's span) are then tested for chunk overlap. The table
+    a layout decision actually reads: ts-layout prunes the time
+    probe and nothing else, user-layout the reverse, Z-order prunes
+    BOTH partially — measured, not asserted. One scan per layout
+    arm; all bounds are single-row broadcasts; output is
+    3 layouts × 2 probes.""".replace("{C}", str(_LAYOUT_CHUNKS))
+    div = "//" if dialect == "duck" else "div"
+    ep = "epoch_us" if dialect == "duck" else "unix_micros"
+    morton = _morton_sql("x16", "y16", dialect)
+    layouts = {
+        "ts": "hr",
+        "user": "user_id",
+        "zorder": "zkey",
+    }
+    chunk_arms = " UNION ALL ".join(
+        f"""
+        SELECT '{name}' AS layout,
+               ((k - kmin) * {_LAYOUT_CHUNKS}) {div} (kmax - kmin + 1)
+                   AS chunk,
+               user_id, hr, n_dup
+        FROM (SELECT {key} AS k, user_id, hr, 1 AS n_dup FROM base) b
+        CROSS JOIN (SELECT MIN({key}) AS kmin, MAX({key}) AS kmax
+                    FROM base) mm"""
+        for name, key in layouts.items()
+    )
+    return f"""
+        WITH raw AS (
+            SELECT CAST(user_id % 65536 AS BIGINT) AS x16,
+                   CAST(({ep}(ts) {div} 3600000000) % 65536 AS BIGINT)
+                       AS y16,
+                   user_id,
+                   CAST({ep}(ts) {div} 3600000000 AS BIGINT) AS hr
+            FROM events)
+        , base AS (
+            SELECT user_id, hr,
+                   CAST({morton} AS BIGINT) AS zkey
+            FROM raw)
+        , chunked AS ({chunk_arms})
+        , zones AS (
+            SELECT layout, chunk,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   MIN(user_id) AS u_lo, MAX(user_id) AS u_hi,
+                   MIN(hr) AS h_lo, MAX(hr) AS h_hi
+            FROM chunked GROUP BY layout, chunk)
+        , span AS (
+            SELECT MIN(user_id) AS su_lo, MAX(user_id) AS su_hi,
+                   MIN(hr) AS sh_lo, MAX(hr) AS sh_hi
+            FROM base)
+        , probes AS (
+            SELECT 'user_band' AS probe,
+                   su_lo + ((su_hi - su_lo) * 40) {div} 100 AS p_lo,
+                   su_lo + ((su_hi - su_lo) * 45) {div} 100 AS p_hi,
+                   1 AS on_user
+            FROM span
+            UNION ALL
+            SELECT 'hour_band',
+                   sh_lo + ((sh_hi - sh_lo) * 40) {div} 100,
+                   sh_lo + ((sh_hi - sh_lo) * 45) {div} 100,
+                   0
+            FROM span)
+        SELECT z.layout, p.probe,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN (p.on_user = 1 AND z.u_hi >= p.p_lo
+                                   AND z.u_lo <= p.p_hi)
+                             OR (p.on_user = 0 AND z.h_hi >= p.p_lo
+                                 AND z.h_lo <= p.p_hi)
+                        THEN 1 ELSE 0 END) AS BIGINT)
+                   AS chunks_scanned,
+               CAST((10000 * SUM(CASE WHEN (p.on_user = 1
+                                   AND z.u_hi >= p.p_lo
+                                   AND z.u_lo <= p.p_hi)
+                             OR (p.on_user = 0 AND z.h_hi >= p.p_lo
+                                 AND z.h_lo <= p.p_hi)
+                        THEN z.n_rows ELSE 0 END))
+                    {div} SUM(z.n_rows) AS BIGINT) AS rows_scanned_bp
+        FROM zones z CROSS JOIN probes p
+        GROUP BY z.layout, p.probe
+    """
+
+
+@query("layout_pruning_compare", oracle=_layout_pruning_sql("duck"))
+def q_layout_pruning_compare(spark, sf_dir):
+    """WHICH physical layout should the landing zone use? Measured
+    zone-map pruning for the same data under time-clustered,
+    user-clustered, and Z-ordered chunking, probed with a user-band
+    and an hour-band predicate — the quantified version of the
+    choice #104 (builds the Z-key) and #160 (audits one layout)
+    leave implicit, and the exhibit behind every OPTIMIZE/ZORDER
+    decision at 100 TB: single-key layouts prune their own
+    dimension to ~2 of {C} chunks and scan everything on the other;
+    Z-order pays a modest penalty on both. See _layout_pruning_sql
+    for the no-global-sort equal-width chunking.""".replace(
+        "{C}", str(_LAYOUT_CHUNKS)
+    )
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "events"
+    )
+    return spark.sql(_layout_pruning_sql("spark"))

@@ -684,3 +684,26 @@ def test_two_nn_ratio_laws(spark, sf_dir):
         # mu^2 >= 1000 by construction (cos1 >= cos2)
         assert r["min_mu2_e3"] >= 1000
         assert r["min_mu2_e3"] <= r["mean_mu2_e3"] <= r["max_mu2_e3"]
+
+
+def test_layout_pruning_story(spark, sf_dir):
+    """Single-key layouts prune their own dimension and scan 100%
+    of the other; z-order prunes at least one (both at balanced
+    domains — at sf0.001 the 15-user domain starves the Morton x
+    bits, documented in the docstring)."""
+    rows = {
+        (r["layout"], r["probe"]): r
+        for r in QUERIES["layout_pruning_compare"](spark, sf_dir).collect()
+    }
+    assert len(rows) == 6
+    assert rows[("ts", "user_band")]["rows_scanned_bp"] == 10000
+    assert rows[("ts", "hour_band")]["rows_scanned_bp"] < 10000
+    assert rows[("user", "hour_band")]["rows_scanned_bp"] == 10000
+    assert rows[("user", "user_band")]["rows_scanned_bp"] < 10000
+    z = min(
+        rows[("zorder", "user_band")]["rows_scanned_bp"],
+        rows[("zorder", "hour_band")]["rows_scanned_bp"],
+    )
+    assert z < 10000
+    for r in rows.values():
+        assert r["chunks_scanned"] <= r["n_chunks"]
