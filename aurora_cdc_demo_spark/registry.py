@@ -14336,3 +14336,106 @@ def q_layout_pruning_compare(spark, sf_dir):
         "events"
     )
     return spark.sql(_layout_pruning_sql("spark"))
+
+
+@query(
+    "dedup_chain_artifact_report",
+    oracle=f"""
+        WITH cl AS ({ORACLES["dedup_clusters"]})
+        , {_dedup._SHINGLES_SQL.lstrip()}
+        , inter AS (
+            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                   COUNT(*) AS inter
+            FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+            GROUP BY 1, 2)
+        , pairs AS (
+            SELECT doc_a, doc_b
+            FROM inter p
+            JOIN sc cx ON p.doc_a = cx.doc_id
+            JOIN sc cy ON p.doc_b = cy.doc_id
+            WHERE 10000 * inter >= {_dedup.JACCARD_THRESHOLD_BP}
+                  * (cx.c + cy.c - inter))
+        , sizes AS (
+            SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n
+            FROM cl GROUP BY cluster_id HAVING COUNT(*) >= 2)
+        , in_edges AS (
+            SELECT ca.cluster_id, CAST(COUNT(*) AS BIGINT) AS e
+            FROM pairs p
+            JOIN cl ca ON ca.doc_id = p.doc_a
+            JOIN cl cb ON cb.doc_id = p.doc_b
+                AND cb.cluster_id = ca.cluster_id
+            GROUP BY ca.cluster_id)
+        , dens AS (
+            SELECT s.cluster_id, s.n,
+                   COALESCE(e.e, 0) AS e,
+                   CAST((10000 * COALESCE(e.e, 0) * 2)
+                        // (s.n * (s.n - 1)) AS BIGINT) AS density_bp
+            FROM sizes s
+            LEFT JOIN in_edges e ON e.cluster_id = s.cluster_id)
+        SELECT n AS cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(SUM(density_bp) // COUNT(*) AS BIGINT)
+                   AS mean_density_bp,
+               CAST(MIN(density_bp) AS BIGINT) AS min_density_bp,
+               CAST(SUM(CASE WHEN density_bp < 10000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_chained
+        FROM dens GROUP BY n
+    """,
+)
+def q_dedup_chain_artifact_report(spark, sf_dir):
+    """The chaining audit connected-components dedup owes its
+    users: per cluster size, the mean and minimum PAIR DENSITY
+    (direct near-dup edges over all member pairs, bp) and the count
+    of clusters with density < 10000 — clusters holding members
+    that are NOT pairwise similar, i.e. A~B~C chains where the
+    min-id canonical silently deletes a C that never resembled A
+    (the standard transitive-closure over-merge criticism of
+    every components-based dedup, #63/#80 included; SemDeDup's
+    cell bound #95 exists precisely to limit it). Density computes
+    from cluster sizes and the edge relation ALGEBRAICALLY
+    (e·2/(n·(n−1)) — member pairs are never enumerated), so the
+    report costs one edge-to-cluster join beyond the chains it
+    audits."""
+    edges = _dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_a", "doc_b")
+    cl = QUERIES["dedup_clusters"](spark, sf_dir).localCheckpoint()
+    sizes = (
+        cl.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+    )
+    ca = cl.select(
+        F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("ca")
+    )
+    cb = cl.select(
+        F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("cb")
+    )
+    in_edges = (
+        edges.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("e"))
+    )
+    dens = (
+        sizes.join(in_edges, "cluster_id", "left")
+        .select(
+            "n",
+            F.coalesce(F.col("e"), F.lit(0)).alias("e"),
+        )
+        .withColumn(
+            "density_bp",
+            F.expr("(10000 * e * 2) div (n * (n - 1))").cast("long"),
+        )
+    )
+    return dens.groupBy(F.col("n").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.expr("sum(density_bp) div count(1)")
+        .cast("long")
+        .alias("mean_density_bp"),
+        F.min("density_bp").cast("long").alias("min_density_bp"),
+        F.sum(F.when(F.col("density_bp") < 10000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_chained"),
+    )

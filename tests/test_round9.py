@@ -707,3 +707,17 @@ def test_layout_pruning_story(spark, sf_dir):
     assert z < 10000
     for r in rows.values():
         assert r["chunks_scanned"] <= r["n_chunks"]
+
+
+def test_chain_artifact_laws(spark, sf_dir):
+    rows = QUERIES["dedup_chain_artifact_report"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["cluster_size"] >= 2
+        assert 0 < r["mean_density_bp"] <= 10000
+        assert r["min_density_bp"] <= r["mean_density_bp"]
+        assert 0 <= r["n_chained"] <= r["n_clusters"]
+        if r["cluster_size"] == 2:
+            # a 2-cluster's one pair IS the merging edge: density 10000
+            assert r["mean_density_bp"] == 10000
+            assert r["n_chained"] == 0
