@@ -14439,3 +14439,69 @@ def q_dedup_chain_artifact_report(spark, sf_dir):
         .cast("long")
         .alias("n_chained"),
     )
+
+
+@query(
+    "revenue_bridge_mom",
+    oracle="""
+        WITH m AS (
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT))
+                        AS BIGINT) AS rev_e4
+            FROM orders GROUP BY 1)
+        , lagged AS (
+            SELECT month, n_orders, rev_e4,
+                   lag(n_orders) OVER w AS pn,
+                   lag(rev_e4) OVER w AS pr
+            FROM m WINDOW w AS (ORDER BY month))
+        SELECT month, n_orders, rev_e4,
+               CAST(rev_e4 - pr AS BIGINT) AS d_rev_e4,
+               CAST((n_orders - pn) * (pr // pn) AS BIGINT)
+                   AS volume_effect_e4,
+               CAST((rev_e4 - pr) - (n_orders - pn) * (pr // pn)
+                    AS BIGINT) AS price_effect_e4
+        FROM lagged WHERE pn IS NOT NULL
+    """,
+)
+def q_revenue_bridge_mom(spark, sf_dir):
+    """Month-over-month revenue BRIDGE: ΔRevenue split into the
+    volume effect (Δorders × prior average order value, exact e4
+    integers, floor average) and the price/mix effect (the exact
+    residual — the two-factor waterfall every finance review walks,
+    conservation volume + price = Δrev BY CONSTRUCTION and pinned
+    in pytest). YoY growth (#183) says revenue moved; the bridge
+    says whether more orders or bigger orders moved it. One
+    month-grain aggregate; the lag window runs on the month
+    dimension (#268 discipline)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 10000).cast("long"))
+        .cast("long")
+        .alias("rev_e4"),
+    )
+    w = Window.orderBy("month")
+    lagged = m.select(
+        "month",
+        "n_orders",
+        "rev_e4",
+        F.lag("n_orders").over(w).alias("pn"),
+        F.lag("rev_e4").over(w).alias("pr"),
+    ).where(F.col("pn").isNotNull())
+    return lagged.select(
+        "month",
+        "n_orders",
+        "rev_e4",
+        (F.col("rev_e4") - F.col("pr")).cast("long").alias("d_rev_e4"),
+        F.expr("(n_orders - pn) * (pr div pn)")
+        .cast("long")
+        .alias("volume_effect_e4"),
+        F.expr("(rev_e4 - pr) - (n_orders - pn) * (pr div pn)")
+        .cast("long")
+        .alias("price_effect_e4"),
+    )

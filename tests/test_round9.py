@@ -721,3 +721,19 @@ def test_chain_artifact_laws(spark, sf_dir):
             # a 2-cluster's one pair IS the merging edge: density 10000
             assert r["mean_density_bp"] == 10000
             assert r["n_chained"] == 0
+
+
+def test_revenue_bridge_conservation(spark, sf_dir):
+    rows = QUERIES["revenue_bridge_mom"](spark, sf_dir).collect()
+    assert rows
+    n_months = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr("date_trunc('month', o_orderdate) AS m")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_months - 1  # first month has no bridge
+    for r in rows:
+        assert (
+            r["volume_effect_e4"] + r["price_effect_e4"] == r["d_rev_e4"]
+        )
