@@ -118,3 +118,49 @@ def test_line_dedup_matches_reference(spark, docs):
             want[(i, j)] = key not in seen
             seen.add(key)
     assert got == want
+
+
+def test_posrem_floor_division_cross_engine():
+    """The _pca_fd posrem floor form must equal Python's floor
+    division on BOTH engines for any sign combination (b > 0) —
+    the primitive every centered-moment/deflation/residual query
+    leans on (Spark div truncates, DuckDB // floors; the posrem
+    rewrite removes the disagreement)."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aurora_cdc_demo_spark.registry import _pca_fd
+
+    con = duckdb.connect()
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        a=st.integers(min_value=-(10**17), max_value=10**17),
+        b=st.integers(min_value=1, max_value=10**12),
+    )
+    def check(a, b):
+        expr = _pca_fd(str(a), str(b), "//")
+        got = con.execute(f"SELECT {expr}").fetchone()[0]
+        assert got == a // b, (a, b)
+
+    check()
+
+
+def test_posrem_floor_division_spark(spark):
+    """Spark side of the same primitive, on a deterministic grid of
+    sign/magnitude edge cases (hypothesis drives the DuckDB twin;
+    one Spark round-trip checks the dialect translation)."""
+    from aurora_cdc_demo_spark.registry import _pca_fd
+
+    cases = [
+        (7, 3), (-7, 3), (6, 3), (-6, 3), (0, 5), (-1, 10**9),
+        (10**17, 7), (-(10**17), 7), (1, 1), (-1, 1),
+    ]
+    exprs = ", ".join(
+        f"{_pca_fd(str(a), str(b), 'div')} AS c{i}"
+        for i, (a, b) in enumerate(cases)
+    )
+    row = spark.sql(f"SELECT {exprs}").collect()[0]
+    for i, (a, b) in enumerate(cases):
+        assert row[f"c{i}"] == a // b, (a, b)

@@ -737,3 +737,88 @@ def test_revenue_bridge_conservation(spark, sf_dir):
         assert (
             r["volume_effect_e4"] + r["price_effect_e4"] == r["d_rev_e4"]
         )
+
+
+def test_streaming_hot_key_state_maintenance(spark, sf_dir, tmp_path):
+    """Hot-key detection on an endless stream: per-key counts are
+    additive, so foreachBatch-appended per-batch counts merged by
+    key must reproduce the BATCH top-8 hot-key table (ranks,
+    shares, salt prescriptions) exactly — key-bounded state, the
+    count-min maintenance discipline applied at the report level."""
+    import shutil
+    from pathlib import Path
+
+    from pyspark.sql import Window
+
+    from aurora_cdc_demo_spark.sources.cdc_log import cdc_operation_log
+    from aurora_cdc_demo_spark.streaming.pipelines import read_cdc_stream
+
+    # two time-split chunks flattened into one dir (the file-stream
+    # source does not recurse), same shape as test_streaming.log_dir
+    log = cdc_operation_log(spark, sf_dir)
+    split = F.to_timestamp(F.lit("2024-01-16 00:00:00"))
+    stage = tmp_path / "hk_stage"
+    log.where(F.col("ts") < split).coalesce(1).write.parquet(
+        str(stage / "b0")
+    )
+    log.where(F.col("ts") >= split).coalesce(1).write.parquet(
+        str(stage / "b1")
+    )
+    src = tmp_path / "hk_stream_in"
+    src.mkdir()
+    for i, sub in enumerate(["b0", "b1"]):
+        for j, f in enumerate(sorted((stage / sub).glob("*.parquet"))):
+            shutil.copy(f, src / f"{i:02d}_{j:02d}.parquet")
+    out = str(tmp_path / "hk_batches")
+
+    def apply_batch(batch_df, batch_id):
+        (
+            batch_df.where(F.col("key_id").isNotNull())
+            .groupBy("key_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        read_cdc_stream(spark, str(src))
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt_hk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    def report(counts):
+        tot = counts.agg(F.sum("c").alias("t"))
+        w = Window.orderBy(F.col("c").desc(), F.col("key_id").asc())
+        return {
+            tuple(r)
+            for r in counts.crossJoin(F.broadcast(tot))
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 8)
+            .selectExpr(
+                "key_id",
+                "rnk",
+                "c",
+                "(10000 * c) div t AS share_bp",
+                "CASE WHEN (10000 * c) div t > 100"
+                " THEN ((10000 * c) div t * 32) div 10000 + 1"
+                " ELSE 1 END AS salt_buckets",
+            )
+            .collect()
+        }
+
+    streamed = report(
+        spark.read.parquet(out).groupBy("key_id").agg(
+            F.sum("c").alias("c")
+        )
+    )
+    batch = report(
+        cdc_operation_log(spark, sf_dir)
+        .where(F.col("key_id").isNotNull())
+        .groupBy("key_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    assert streamed == batch
+    assert len(streamed) == 8
