@@ -14505,3 +14505,179 @@ def q_revenue_bridge_mom(spark, sf_dir):
         .cast("long")
         .alias("price_effect_e4"),
     )
+
+
+_ATTR_FLAGS_SQL = """
+               NOT e.is_canonical AS g_exact_dup,
+               c.cluster_id <> d.doc_id AS g_near_dup,
+               co.doc_id IS NOT NULL AS g_contaminated,
+               COALESCE(n.is_dup_heavy, FALSE) AS g_dup_heavy,
+               r.is_repetitive AS g_repetitive,
+               c4.c4_filtered AS g_c4_filtered,
+               g.gopher_filtered AS g_gopher_filtered,
+               gr2.gopher_repetitive AS g_gopher_repetitive,
+               qu.quality_bp < {q} AS g_low_quality,
+               ds.off_target AS g_off_target,
+               NOT s.in_sample AS g_sampled_out,
+               ld.boilerplate AS g_boilerplate"""
+
+_ATTR_N_FIRED_SQL = """
+        (CASE WHEN NOT e.is_canonical THEN 1 ELSE 0 END)
+        + (CASE WHEN c.cluster_id <> d.doc_id THEN 1 ELSE 0 END)
+        + (CASE WHEN co.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        + (CASE WHEN COALESCE(n.is_dup_heavy, FALSE) THEN 1 ELSE 0 END)
+        + (CASE WHEN r.is_repetitive THEN 1 ELSE 0 END)
+        + (CASE WHEN c4.c4_filtered THEN 1 ELSE 0 END)
+        + (CASE WHEN g.gopher_filtered THEN 1 ELSE 0 END)
+        + (CASE WHEN gr2.gopher_repetitive THEN 1 ELSE 0 END)
+        + (CASE WHEN qu.quality_bp < {q} THEN 1 ELSE 0 END)
+        + (CASE WHEN ds.off_target THEN 1 ELSE 0 END)
+        + (CASE WHEN NOT s.in_sample THEN 1 ELSE 0 END)
+        + (CASE WHEN ld.boilerplate THEN 1 ELSE 0 END)"""
+
+
+@query(
+    "corpus_gate_attribution",
+    oracle=_KEEP_GATES_CTES_LSH
+    + _V3_EXTRA_CTES
+    + _V4_EXTRA_CTES
+    + _V5_EXTRA_CTES
+    + _V6_EXTRA_CTES
+    + f"""
+        SELECT d.doc_id,
+               {_ATTR_FLAGS_SQL.format(q=_KEEP_QUALITY_BP)},
+               CAST({_ATTR_N_FIRED_SQL.format(q=_KEEP_QUALITY_BP)}
+                    AS BIGINT) AS n_gates_fired,
+               ({_ATTR_N_FIRED_SQL.format(q=_KEEP_QUALITY_BP)}) = 1
+                   AS sole_blocker
+        FROM documents d
+        JOIN exact e USING (doc_id)
+        JOIN clusters c USING (doc_id)
+        JOIN quality qu USING (doc_id)
+        JOIN samp s USING (doc_id)
+        JOIN rep r USING (doc_id)
+        JOIN c4 USING (doc_id)
+        JOIN goph g USING (doc_id)
+        JOIN dsir ds USING (doc_id)
+        JOIN grep gr2 USING (doc_id)
+        JOIN ld USING (doc_id)
+        LEFT JOIN contaminated co USING (doc_id)
+        LEFT JOIN ngc n USING (doc_id)
+    """,
+)
+def q_corpus_gate_attribution(spark, sf_dir):
+    """MULTI-LABEL gate attribution for the twelve-gate keep-list:
+    every gate's verdict per document (not just the first-priority
+    reason code v6 reports), the count of gates fired, and the
+    sole_blocker flag — docs exactly ONE gate rejects, the
+    actionable set for gate tuning ('if I relaxed the repetition
+    threshold, which documents would actually come back?' — under
+    priority codes alone that question is unanswerable because
+    later gates' verdicts are masked). Pure composition: the same
+    twelve verified component queries the v6 chain consumes,
+    joined by doc_id with each flag referenced once (no
+    re-derivation, so no checkpoint needed — unlike the manifest's
+    census-plus-join double reference)."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = _dedup.dedup_exact(docs).select(
+        "doc_id", (~F.col("is_canonical")).alias("g_exact_dup")
+    )
+    clusters = _near_dup_clusters(spark, sf_dir, "lsh").select(
+        "doc_id",
+        (F.col("cluster_id") != F.col("doc_id")).alias("g_near_dup"),
+    )
+    quality = _text.quality_score(docs).select(
+        "doc_id",
+        (F.col("quality_bp") < _KEEP_QUALITY_BP).alias("g_low_quality"),
+    )
+    rate_map = F.create_map(
+        *[F.lit(x) for kv in _sampling.SAMPLE_RATES_BP.items() for x in kv]
+    )
+    samp = docs.select(
+        "doc_id",
+        (
+            ~(
+                _sampling._hash_bp(F.col("doc_id"))
+                < F.coalesce(
+                    rate_map[F.col("lang")],
+                    F.lit(_sampling.DEFAULT_RATE_BP),
+                ).cast("long")
+            )
+        ).alias("g_sampled_out"),
+    )
+    rep = QUERIES["text_repetition_stats"](spark, sf_dir).select(
+        "doc_id", (F.col("is_repetitive") == 1).alias("g_repetitive")
+    )
+    con = QUERIES["corpus_decontaminate"](spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("g_contaminated")
+    )
+    ngc = QUERIES["dedup_ngram_coverage"](spark, sf_dir).select(
+        "doc_id", (F.col("is_dup_heavy") == 1).alias("g_dup_heavy")
+    )
+    c4 = QUERIES["text_c4_filters"](spark, sf_dir).select(
+        "doc_id", (F.col("keep") == 0).alias("g_c4_filtered")
+    )
+    goph = QUERIES["text_gopher_rules"](spark, sf_dir).select(
+        "doc_id", (F.col("keep") == 0).alias("g_gopher_filtered")
+    )
+    dsir = QUERIES["sample_importance_weights"](spark, sf_dir).select(
+        "doc_id",
+        (F.col("mean_ratio_ppm") < _DSIR_MIN_MEAN_PPM).alias(
+            "g_off_target"
+        ),
+    )
+    grep = QUERIES["text_gopher_repetition"](spark, sf_dir).select(
+        "doc_id", (F.col("keep") == 0).alias("g_gopher_repetitive")
+    )
+    ld = QUERIES["corpus_line_dedup_report"](spark, sf_dir).select(
+        "doc_id",
+        (F.col("removed_char_bp") > _BOILERPLATE_BP).alias(
+            "g_boilerplate"
+        ),
+    )
+    j = (
+        docs.select("doc_id")
+        .join(exact, "doc_id")
+        .join(clusters, "doc_id")
+        .join(con, "doc_id", "left")
+        .join(ngc, "doc_id", "left")
+        .join(rep, "doc_id")
+        .join(c4, "doc_id")
+        .join(goph, "doc_id")
+        .join(grep, "doc_id")
+        .join(quality, "doc_id")
+        .join(dsir, "doc_id")
+        .join(samp, "doc_id")
+        .join(ld, "doc_id")
+        .withColumn(
+            "g_contaminated",
+            F.coalesce(F.col("g_contaminated"), F.lit(False)),
+        )
+        .withColumn(
+            "g_dup_heavy",
+            F.coalesce(F.col("g_dup_heavy"), F.lit(False)),
+        )
+    )
+    flags = [
+        "g_exact_dup",
+        "g_near_dup",
+        "g_contaminated",
+        "g_dup_heavy",
+        "g_repetitive",
+        "g_c4_filtered",
+        "g_gopher_filtered",
+        "g_gopher_repetitive",
+        "g_low_quality",
+        "g_off_target",
+        "g_sampled_out",
+        "g_boilerplate",
+    ]
+    n_fired = F.expr(
+        " + ".join(f"(CASE WHEN {f} THEN 1 ELSE 0 END)" for f in flags)
+    ).cast("long")
+    return j.select(
+        "doc_id",
+        *flags,
+        n_fired.alias("n_gates_fired"),
+        (n_fired == 1).alias("sole_blocker"),
+    )

@@ -822,3 +822,33 @@ def test_streaming_hot_key_state_maintenance(spark, sf_dir, tmp_path):
     )
     assert streamed == batch
     assert len(streamed) == 8
+
+
+def test_gate_attribution_consistency_with_v6(spark, sf_dir):
+    """The multi-label view must agree with the priority-coded
+    keep-list: keep(v6_lsh) iff zero gates fired, and every
+    priority reason's own flag is set in the attribution row."""
+    attr = {
+        r["doc_id"]: r
+        for r in QUERIES["corpus_gate_attribution"](spark, sf_dir).collect()
+    }
+    flag_of = {
+        "exact_dup": "g_exact_dup",
+        "near_dup": "g_near_dup",
+        "contaminated": "g_contaminated",
+        "dup_heavy": "g_dup_heavy",
+        "repetitive": "g_repetitive",
+        "c4_filtered": "g_c4_filtered",
+        "gopher_filtered": "g_gopher_filtered",
+        "gopher_repetitive": "g_gopher_repetitive",
+        "low_quality": "g_low_quality",
+        "off_target": "g_off_target",
+        "sampled_out": "g_sampled_out",
+        "boilerplate": "g_boilerplate",
+    }
+    for r in QUERIES["corpus_keep_list_v6_lsh"](spark, sf_dir).collect():
+        a = attr[r["doc_id"]]
+        assert r["keep"] == (a["n_gates_fired"] == 0), r["doc_id"]
+        if not r["keep"]:
+            assert a[flag_of[r["decision"]]], (r["doc_id"], r["decision"])
+        assert a["sole_blocker"] == (a["n_gates_fired"] == 1)
