@@ -14681,3 +14681,49 @@ def q_corpus_gate_attribution(spark, sf_dir):
         n_fired.alias("n_gates_fired"),
         (n_fired == 1).alias("sole_blocker"),
     )
+
+
+def _cohort_matrix_sql(dialect: str) -> str:
+    div = "//" if dialect == "duck" else "div"
+    ep = "epoch_us" if dialect == "duck" else "unix_micros"
+    return f"""
+        WITH ua AS (
+            SELECT DISTINCT user_id,
+                   CAST(({ep}(ts) {div} 86400000000) {div} 7
+                        AS BIGINT) AS wk
+            FROM events)
+        , fw AS (
+            SELECT user_id, MIN(wk) AS cohort FROM ua
+            GROUP BY user_id)
+        , cells AS (
+            SELECT fw.cohort, ua.wk - fw.cohort AS weeks_since,
+                   CAST(COUNT(*) AS BIGINT) AS n_active
+            FROM ua JOIN fw ON fw.user_id = ua.user_id
+            GROUP BY fw.cohort, ua.wk - fw.cohort)
+        , sizes AS (
+            SELECT cohort, n_active AS cohort_size
+            FROM cells WHERE weeks_since = 0)
+        SELECT c.cohort AS cohort_week, c.weeks_since, c.n_active,
+               s.cohort_size,
+               CAST((10000 * c.n_active) {div} s.cohort_size
+                    AS BIGINT) AS retention_bp
+        FROM cells c JOIN sizes s ON s.cohort = c.cohort
+    """
+
+
+@query("events_cohort_retention_matrix", oracle=_cohort_matrix_sql("duck"))
+def q_events_cohort_retention_matrix(spark, sf_dir):
+    """The weekly cohort-retention TRIANGLE — rows are acquisition
+    cohorts (first-activity epoch-week), columns weeks-since, cells
+    the share of the cohort still active (bp) — the table that
+    separates 'retention is improving' from 'old cohorts are
+    aging out' (a single global D-N curve #195 mixes the two; the
+    growth-accounting flows #274 sum over cohorts). week-0 cells
+    are exactly 10000 bp by construction (pinned). One distinct
+    (user, week) projection, one user-keyed first-week join, then
+    cohort×week-bounded algebra — same scale shape as #274."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "events"
+    )
+    return spark.sql(_cohort_matrix_sql("spark"))

@@ -852,3 +852,29 @@ def test_gate_attribution_consistency_with_v6(spark, sf_dir):
         if not r["keep"]:
             assert a[flag_of[r["decision"]]], (r["doc_id"], r["decision"])
         assert a["sole_blocker"] == (a["n_gates_fired"] == 1)
+
+
+def test_cohort_retention_matrix_laws(spark, sf_dir):
+    rows = QUERIES["events_cohort_retention_matrix"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    by_cohort: dict[int, list] = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_week"], []).append(r)
+        assert r["weeks_since"] >= 0
+        assert 0 < r["retention_bp"] <= 10000
+        assert r["n_active"] <= r["cohort_size"]
+        if r["weeks_since"] == 0:
+            assert r["retention_bp"] == 10000
+    # cross-check vs growth accounting: week-w actives = sum over
+    # cohorts of that week's cell
+    ga = {
+        r["week_id"]: r["n_active"]
+        for r in QUERIES["events_growth_accounting"](spark, sf_dir).collect()
+    }
+    per_week: dict[int, int] = {}
+    for r in rows:
+        w = r["cohort_week"] + r["weeks_since"]
+        per_week[w] = per_week.get(w, 0) + r["n_active"]
+    assert per_week == ga
