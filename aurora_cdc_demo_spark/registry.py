@@ -14727,3 +14727,100 @@ def q_events_cohort_retention_matrix(spark, sf_dir):
         "events"
     )
     return spark.sql(_cohort_matrix_sql("spark"))
+
+
+_ATTR_LOOKBACK_US = 7 * 86400000000
+
+
+@query(
+    "events_purchase_attribution",
+    oracle=f"""
+        WITH purchases AS (
+            SELECT event_id AS pid, user_id, ts FROM events
+            WHERE event_type = 'purchase')
+        , touches AS (
+            SELECT user_id, event_id, ts, event_type FROM events
+            WHERE event_type <> 'purchase')
+        , firsts AS (
+            SELECT p.pid, t.event_type,
+                   row_number() OVER (
+                       PARTITION BY p.pid
+                       ORDER BY t.ts ASC, t.event_id ASC) AS rn
+            FROM purchases p
+            JOIN touches t ON t.user_id = p.user_id
+                AND t.ts < p.ts
+                AND epoch_us(t.ts) >= epoch_us(p.ts)
+                    - {_ATTR_LOOKBACK_US})
+        , attributed AS (
+            SELECT p.pid,
+                   COALESCE(f.event_type, 'no_touch') AS first_touch
+            FROM purchases p
+            LEFT JOIN firsts f ON f.pid = p.pid AND f.rn = 1)
+        , tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM purchases)
+        SELECT a.first_touch,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST((10000 * COUNT(*)) // tot.t AS BIGINT) AS share_bp
+        FROM attributed a CROSS JOIN tot
+        GROUP BY a.first_touch, tot.t
+    """,
+)
+def q_events_purchase_attribution(spark, sf_dir):
+    """First-touch attribution: every purchase credited to the
+    EARLIEST non-purchase event of the same user inside a 7-day
+    lookback (ties by event id; purchases with an empty window land
+    in 'no_touch') — the marketing-channel mart the funnel family
+    (#58/#137) and conversion lag (#173) don't answer: lag says
+    how long conversion takes, attribution says what STARTED it.
+    The user-keyed range join fans out by per-user 7-day activity;
+    at 100 TB it runs as the banded interval join (#59's template:
+    bucket both sides by day so a probe only meets ±7 day bands,
+    never a whole user history); the rank window partitions by
+    purchase."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id"),
+        F.col("ts").alias("pts"),
+    )
+    touches = ev.where(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_id").alias("tid"),
+        F.col("ts").alias("tts"),
+        "event_type",
+    )
+    joined = purchases.join(touches, "user_id").where(
+        (F.col("tts") < F.col("pts"))
+        & (
+            F.unix_micros("tts")
+            >= F.unix_micros("pts") - F.lit(_ATTR_LOOKBACK_US)
+        )
+    )
+    w = Window.partitionBy("pid").orderBy(
+        F.col("tts").asc(), F.col("tid").asc()
+    )
+    firsts = (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("pid", "event_type")
+    )
+    attributed = purchases.join(firsts, "pid", "left").select(
+        "pid",
+        F.coalesce(F.col("event_type"), F.lit("no_touch")).alias(
+            "first_touch"
+        ),
+    )
+    tot = purchases.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        attributed.crossJoin(F.broadcast(tot))
+        .groupBy("first_touch", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"))
+        .select(
+            "first_touch",
+            "n_purchases",
+            F.expr("(10000 * n_purchases) div t")
+            .cast("long")
+            .alias("share_bp"),
+        )
+    )

@@ -878,3 +878,18 @@ def test_cohort_retention_matrix_laws(spark, sf_dir):
         w = r["cohort_week"] + r["weeks_since"]
         per_week[w] = per_week.get(w, 0) + r["n_active"]
     assert per_week == ga
+
+
+def test_purchase_attribution_laws(spark, sf_dir):
+    rows = QUERIES["events_purchase_attribution"](spark, sf_dir).collect()
+    assert rows
+    n_purchases = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where("event_type = 'purchase'")
+        .count()
+    )
+    assert sum(r["n_purchases"] for r in rows) == n_purchases
+    assert all(r["first_touch"] != "purchase" for r in rows)
+    total_bp = sum(r["share_bp"] for r in rows)
+    # floor shares: within len(rows) bp of the whole
+    assert 10000 - len(rows) < total_bp <= 10000
