@@ -2312,3 +2312,145 @@ def quant_distortion_sql(dialect: str) -> str:
                CAST(MAX(sqerr_e9) AS BIGINT)
         FROM sign_e
     """
+
+
+# ---------------------------------------------------------------------------
+# Graph-walk ANN: HNSW-style greedy search over the KNN graph
+# ---------------------------------------------------------------------------
+
+GREEDY_HOPS = 3
+
+
+def _greedy_chain_sql(dialect: str, edges_rel: str, hops: int = GREEDY_HOPS) -> str:
+    """Hop CTE chain for the greedy graph walk (requires ``v``,
+    ``seeds`` and the edge relation ``edges_rel`` to be in scope).
+
+    gq = the probe vectors; f0 = the ENTRY point per probe (best
+    seed by exact cosine — the coarse quantizer plays the role of
+    HNSW's upper layers); each hop scores the KNN-neighbors of the
+    current frontier against the probe and keeps the argmax of
+    {current} ∪ {neighbors} (greedy best-first, ties by vec_id, so
+    a stalled walk is a fixpoint by construction); ``visited``
+    accumulates every node the walk ever scored — the ef-search
+    candidate pool the final exact rerank runs over."""
+    mat = "MATERIALIZED " if dialect != "spark" else ""
+    sql = f"""
+        , gq AS {mat}(
+            SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+            FROM v WHERE vec_id < {N_QUERIES})
+        , f0 AS (
+            SELECT query_id, node, cos FROM (
+                SELECT gq.query_id, s.seed_id AS node,
+                       ({_dot('gq.qe', 's.se', dialect)})
+                           / (gq.qn * s.snrm) AS cos,
+                       row_number() OVER (
+                           PARTITION BY gq.query_id
+                           ORDER BY ({_dot('gq.qe', 's.se', dialect)})
+                                    / (gq.qn * s.snrm) DESC,
+                                    s.seed_id ASC) AS rn
+                FROM gq CROSS JOIN seeds s) t0
+            WHERE rn = 1)"""
+    for h in range(1, hops + 1):
+        sql += f"""
+        , n{h} AS (
+            SELECT f.query_id, e.dst AS node,
+                   ({_dot('g.qe', 'nb.embedding', dialect)})
+                       / (g.qn * nb.nrm) AS cos
+            FROM f{h - 1} f
+            JOIN {edges_rel} e ON e.src = f.node
+            JOIN v nb ON nb.vec_id = e.dst
+            JOIN gq g ON g.query_id = f.query_id)
+        , f{h} AS (
+            SELECT query_id, node, cos FROM (
+                SELECT query_id, node, cos,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cos DESC, node ASC) AS rn
+                FROM (SELECT query_id, node, cos FROM f{h - 1}
+                      UNION ALL
+                      SELECT query_id, node, cos FROM n{h}) u{h}) t{h}
+            WHERE rn = 1)"""
+    pool = "\n                  UNION ALL ".join(
+        [f"SELECT query_id, node, cos FROM f0"]
+        + [f"SELECT query_id, node, cos FROM n{h}" for h in range(1, hops + 1)]
+    )
+    sql += f"""
+        , visited AS (
+            SELECT query_id, node, MAX(cos) AS cos
+            FROM ({pool}) pool
+            GROUP BY query_id, node)"""
+    return sql
+
+
+_GREEDY_FINAL_SQL = f"""
+        SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS nn_rank,
+               cos_e6
+        FROM (
+            SELECT query_id, node AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cos DESC, node ASC) AS rn,
+                   CAST(FLOOR(cos * 1000000) AS BIGINT) AS cos_e6
+            FROM visited WHERE node <> query_id) fin
+        WHERE rn <= {TOPK}
+    """
+
+
+def graph_greedy_topk_sql(
+    dialect: str, n_seeds: int = N_SEEDS, hops: int = GREEDY_HOPS
+) -> str:
+    """Single-statement form (the DuckDB oracle twin): KNN chain →
+    edge list → greedy hop chain → exact rerank of the visited
+    pool."""
+    mat = "MATERIALIZED " if dialect != "spark" else ""
+    return f"""{_knn_ctes(dialect, n_seeds)}
+        , edges AS {mat}(
+            SELECT vec_id AS src, neighbor_id AS dst
+            FROM ranked WHERE rnk <= {KNN_K})
+        {_greedy_chain_sql(dialect, 'edges', hops)}
+        {_GREEDY_FINAL_SQL}"""
+
+
+def graph_greedy_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_seeds: int = N_SEEDS,
+    hops: int = GREEDY_HOPS,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Spark side of the greedy graph-walk ANN: the KNN edge list is
+    materialized ONCE (eager checkpoint — same local/reliable split
+    as pagerank_knn; the hop rounds must not re-run the cell
+    self-join), then the hop chain runs over the cached edge blocks.
+    ``v``/``seeds`` are re-derived row-wise from the embeddings scan
+    (no join, cheap) rather than checkpointed."""
+    from ..tables import load_table
+
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    edges = spark.sql(
+        f"""{_knn_ctes('spark', n_seeds)}
+        SELECT vec_id AS src, neighbor_id AS dst
+        FROM ranked WHERE rnk <= {KNN_K}
+        """
+    )
+    if checkpoint_mode == "reliable":
+        edges = edges.checkpoint(eager=True)
+    elif checkpoint_mode == "local":
+        edges = edges.localCheckpoint()
+    else:
+        raise ValueError(f"unknown checkpoint_mode: {checkpoint_mode!r}")
+    edges.createOrReplaceTempView("greedy_edges_mat")
+    return spark.sql(
+        f"""
+        WITH v AS (
+            SELECT vec_id, embedding,
+                   {_norm('embedding', 'spark')} AS nrm
+            FROM embeddings)
+        , seeds AS (
+            SELECT vec_id AS seed_id, embedding AS se, nrm AS snrm
+            FROM v WHERE vec_id < {n_seeds})
+        {_greedy_chain_sql('spark', 'greedy_edges_mat', hops)}
+        {_GREEDY_FINAL_SQL}"""
+    )

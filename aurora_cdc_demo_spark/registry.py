@@ -14824,3 +14824,37 @@ def q_events_purchase_attribution(spark, sf_dir):
             .alias("share_bp"),
         )
     )
+
+
+@query(
+    "ann_graph_greedy_topk",
+    oracle=_sim.graph_greedy_topk_sql("duck"),
+)
+def q_ann_graph_greedy_topk(spark, sf_dir):
+    """GRAPH-WALK ANN — the sixth (and at billion-vector scale the
+    state-of-the-art) search paradigm next to brute force, IVF,
+    trained-k-means IVF, PQ, and sign-Hamming: an HNSW-style
+    layer-0 greedy best-first walk (Malkov & Yashunin 2018) over
+    the corpus KNN graph (#147's edge list). The coarse quantizer
+    supplies the ENTRY point per probe (exactly the role of HNSW's
+    upper layers: one broadcast argmax over the seed table), then
+    GREEDY_HOPS unrolled rounds each expand the current node's
+    KNN_K neighbors, score them against the probe by exact cosine,
+    and keep the argmax of {current} ∪ {neighbors} — a stalled walk
+    is a fixpoint by construction, so fixed unrolling subsumes the
+    classic 'stop when no improvement' rule. The final top-k is an
+    exact rerank of every node the walk VISITED (the ef-search
+    candidate pool). recall@5 = 0.60 vs brute force at sf0.001
+    (pinned band in tests/test_round10.py) from a pool of ≤
+    1 + HOPS·KNN_K candidates per probe — ~10 distance evaluations
+    per hop round vs the corpus-sized scan brute force pays.
+
+    Scale: the edge list is built ONCE and checkpoint-materialized
+    (local/reliable split, same as graph_pagerank_knn — hop rounds
+    must not re-run the cell self-join); each hop is a frontier
+    (ONE row per probe) equi-joined to the KNN_K-bounded edge list
+    plus a vec_id-keyed embedding fetch — per-hop work is
+    O(|probes|·KNN_K), independent of corpus size, which is the
+    whole point of graph-walk ANN. Reference has no ANN surface;
+    this extends the pipeline brief's similarity-search family."""
+    return _sim.graph_greedy_topk(spark, sf_dir)

@@ -1,0 +1,84 @@
+"""Round-10 additions: graph-walk ANN, b-bit minwise sketches,
+multi-touch attribution, RAKE keywords, interarrival hazard."""
+
+from __future__ import annotations
+
+from aurora_cdc_demo_spark.registry import QUERIES
+
+
+def test_graph_greedy_visited_pool_bounded(spark, sf_dir):
+    """Candidate pool per probe is ≤ 1 + HOPS·KNN_K before the self
+    filter — the walk only ever scores entry + per-hop neighbor
+    expansions."""
+    from aurora_cdc_demo_spark.operators import similarity as s
+
+    rows = QUERIES["ann_graph_greedy_topk"](spark, sf_dir).collect()
+    assert rows
+    per_q: dict[int, int] = {}
+    for r in rows:
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+        assert r["neighbor_id"] != r["query_id"]
+    bound = 1 + s.GREEDY_HOPS * s.KNN_K
+    assert all(n <= min(s.TOPK, bound) for n in per_q.values())
+
+
+def test_graph_greedy_recall_band(spark, sf_dir):
+    """recall@TOPK vs the brute-force oracle stays in a pinned band:
+    a 3-hop greedy walk over a K=3 graph from a quantizer entry
+    must beat random (the pool is ~10 of 600+ vectors) without
+    claiming exactness."""
+    exact = QUERIES["embed_cosine_topk"](spark, sf_dir).collect()
+    greedy = QUERIES["ann_graph_greedy_topk"](spark, sf_dir).collect()
+    truth: dict[int, set[int]] = {}
+    for r in exact:
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got: dict[int, set[int]] = {}
+    for r in greedy:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    assert hits / total >= 0.3, (hits, total)
+
+
+def test_graph_greedy_first_hit_improves_on_entry(spark, sf_dir):
+    """The walk's best result is at least as close as the entry
+    seed itself (greedy frontier cosine is monotone by
+    construction; rank-1 of the visited pool dominates it)."""
+    from pyspark.sql import functions as F
+
+    from aurora_cdc_demo_spark.operators import similarity as s
+    from aurora_cdc_demo_spark.tables import load_table
+
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    entry = spark.sql(
+        f"""
+        WITH v AS (
+            SELECT vec_id, embedding,
+                   {s._norm('embedding', 'spark')} AS nrm
+            FROM embeddings)
+        , seeds AS (
+            SELECT vec_id AS seed_id, embedding AS se, nrm AS snrm
+            FROM v WHERE vec_id < {s.N_SEEDS})
+        , gq AS (
+            SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+            FROM v WHERE vec_id < {s.N_QUERIES})
+        SELECT query_id,
+               MAX(CAST(FLOOR(({s._dot('gq.qe', 's2.se', 'spark')})
+                   / (gq.qn * s2.snrm) * 1000000) AS BIGINT))
+                   AS best_seed_e6
+        FROM gq CROSS JOIN seeds s2
+        WHERE s2.seed_id <> gq.query_id
+        GROUP BY query_id
+        """
+    ).collect()
+    best_seed = {r["query_id"]: r["best_seed_e6"] for r in entry}
+    top1 = (
+        QUERIES["ann_graph_greedy_topk"](spark, sf_dir)
+        .where(F.col("nn_rank") == 1)
+        .collect()
+    )
+    assert top1
+    for r in top1:
+        assert r["cos_e6"] >= best_seed[r["query_id"]]
