@@ -1192,3 +1192,154 @@ def method_agreement_sql() -> str:
     FROM scored
     GROUP BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------------
+# b-bit minwise hashing (Li & Konig 2010): the storage-compressed
+# sketch variant — keep only the lowest B_BIT bits of each minhash
+# ---------------------------------------------------------------------------
+
+B_BIT = 4  # bits kept per minhash; collision prob C = 2^-4 = 1/16
+
+
+def bbit_minhash_estimate(docs: DataFrame) -> DataFrame:
+    """b-bit minwise calibration: for every LSH candidate pair, the
+    FULL-width MinHash Jaccard estimate next to the b-bit one —
+    keeping only the lowest B_BIT=4 bits of each of the 12 minhashes
+    (a 6-byte signature instead of 96 bytes: the 16× compression Li
+    & Konig 2010 show loses almost no resolution at verification
+    scale). A b-bit match can be a hash ACCIDENT with probability
+    C = 2^-b, so the raw match fraction E overestimates J; the
+    unbiased estimator J = (E - C)/(1 - C) becomes exact integer
+    algebra: est_b4_bp = (10000·max(2^b·m − H, 0)) div ((2^b−1)·H)
+    with H = NUM_MINHASH (the max() keeps the floor-division
+    numerator non-negative — Spark div truncates toward zero while
+    DuckDB // floors, so a negative numerator would disagree by
+    one). matches_b4 ≥ matches_full per pair BY CONSTRUCTION (equal
+    full words have equal low bits), pinned in tests/test_round10.
+
+    Scale: identical shape to minhash_estimate — candidates from
+    the banded equi-join (never all-pairs), the signature re-join
+    is k small integer columns per side; at deployment the b-bit
+    table is what ships to the verification cluster, cutting the
+    signature shuffle 16×."""
+    sh = shingles(docs)
+    sig = minhash_signatures(sh)
+    cand = lsh_candidates(sig)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{k}").alias(f"a{k}") for k in range(NUM_MINHASH)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{k}").alias(f"b{k}") for k in range(NUM_MINHASH)],
+    )
+    full = None
+    bbit = None
+    mask = (1 << B_BIT) - 1
+    for k in range(NUM_MINHASH):
+        tf = F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
+        tb = F.when(
+            (F.col(f"a{k}") % (mask + 1)) == (F.col(f"b{k}") % (mask + 1)),
+            1,
+        ).otherwise(0)
+        full = tf if full is None else full + tf
+        bbit = tb if bbit is None else bbit + tb
+    m = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            full.cast("long").alias("matches_full"),
+            bbit.cast("long").alias("matches_b4"),
+        )
+    )
+    ex = _pair_jaccard(sh, pairs=cand).select("doc_a", "doc_b", "inter", "uni")
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("c").alias("ca"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("c").alias("cb"))
+    j = (
+        m.join(ex, ["doc_a", "doc_b"], "left")
+        .join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn("inter0", F.coalesce(F.col("inter"), F.lit(0)))
+        .withColumn(
+            "uni0",
+            F.coalesce(F.col("uni"), F.col("ca") + F.col("cb")).cast("long"),
+        )
+    )
+    scale = mask + 1  # 2^b
+    denom = mask * NUM_MINHASH  # (2^b - 1) * H
+    return j.select(
+        "doc_a",
+        "doc_b",
+        "matches_full",
+        "matches_b4",
+        F.expr(f"(10000 * matches_full) div {NUM_MINHASH}").alias(
+            "est_full_bp"
+        ),
+        F.expr(
+            f"(10000 * GREATEST({scale} * matches_b4"
+            f" - {NUM_MINHASH}, 0)) div {denom}"
+        ).alias("est_b4_bp"),
+        F.expr("(10000 * inter0) div uni0").alias("exact_jaccard_bp"),
+    )
+
+
+def _bbit_sql() -> str:
+    mask = (1 << B_BIT) - 1
+    scale = mask + 1
+    denom = mask * NUM_MINHASH
+    return f"""
+    WITH {_SHINGLES_SQL}
+    , hashed AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS a,
+               CAST('0x' || substr(md5(s), 9, 8) AS BIGINT) AS b
+        FROM sh)
+    , sig AS (SELECT doc_id, {_minhash_sql_cols()} FROM hashed GROUP BY doc_id)
+    , bands AS (SELECT doc_id, {_band_sql_cols()} FROM sig)
+    , cand AS (
+        SELECT DISTINCT doc_a, doc_b FROM (
+            {" UNION ALL ".join(
+                f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+                f"FROM bands a JOIN bands b "
+                f"ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+                for b in range(NUM_MINHASH // BAND_ROWS)
+            )}))
+    , m AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST({" + ".join(
+                   f"(CASE WHEN a.mh{k} = b.mh{k} THEN 1 ELSE 0 END)"
+                   for k in range(NUM_MINHASH)
+               )} AS BIGINT) AS matches_full,
+               CAST({" + ".join(
+                   f"(CASE WHEN a.mh{k} % {scale} = b.mh{k} % {scale}"
+                   f" THEN 1 ELSE 0 END)"
+                   for k in range(NUM_MINHASH)
+               )} AS BIGINT) AS matches_b4
+        FROM cand c
+        JOIN sig a ON a.doc_id = c.doc_a
+        JOIN sig b ON b.doc_id = c.doc_b)
+    , inter AS (
+        SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+        GROUP BY 1, 2)
+    SELECT m.doc_a, m.doc_b, m.matches_full, m.matches_b4,
+           (10000 * m.matches_full) // {NUM_MINHASH} AS est_full_bp,
+           (10000 * GREATEST({scale} * m.matches_b4
+                - {NUM_MINHASH}, 0)) // {denom} AS est_b4_bp,
+           (10000 * CAST(COALESCE(i.inter, 0) AS BIGINT))
+               // CAST(x.c + y.c - COALESCE(i.inter, 0) AS BIGINT)
+               AS exact_jaccard_bp
+    FROM m
+    LEFT JOIN inter i ON m.doc_a = i.doc_a AND m.doc_b = i.doc_b
+    JOIN sc x ON m.doc_a = x.doc_id
+    JOIN sc y ON m.doc_b = y.doc_id
+"""
+
+
+BBIT_MINHASH_SQL = _bbit_sql()

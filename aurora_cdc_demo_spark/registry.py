@@ -14858,3 +14858,18 @@ def q_ann_graph_greedy_topk(spark, sf_dir):
     whole point of graph-walk ANN. Reference has no ANN surface;
     this extends the pipeline brief's similarity-search family."""
     return _sim.graph_greedy_topk(spark, sf_dir)
+
+
+@query("dedup_minhash_b_bit", oracle=_dedup.BBIT_MINHASH_SQL)
+def q_dedup_minhash_b_bit(spark, sf_dir):
+    """b-bit minwise hashing (Li & Konig 2010): per LSH candidate
+    pair, the 4-bit-truncated sketch estimate beside the full-width
+    one and the exact Jaccard — the 16× signature-compression
+    knob's measured cost, with the collision-corrected unbiased
+    estimator in exact integer bp; see
+    operators/dedup.py:bbit_minhash_estimate for the algebra and
+    the negative-numerator guard. matches_b4 ≥ matches_full and
+    the b4=full-at-12 fixpoint are pinned in tests/test_round10."""
+    return _dedup.bbit_minhash_estimate(
+        load_table(spark, sf_dir, "documents")
+    )

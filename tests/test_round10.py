@@ -82,3 +82,29 @@ def test_graph_greedy_first_hit_improves_on_entry(spark, sf_dir):
     assert top1
     for r in top1:
         assert r["cos_e6"] >= best_seed[r["query_id"]]
+
+
+def test_bbit_dominance_and_fixpoint(spark, sf_dir):
+    """b-bit matches dominate full matches (equal words ⇒ equal low
+    bits); the estimator hits exactly 10000 bp iff all 12 b-bit
+    slots agree; est_b4 never exceeds est_full by more than the
+    collision correction allows at the top."""
+    rows = QUERIES["dedup_minhash_b_bit"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["matches_b4"] >= r["matches_full"]
+        assert 0 <= r["est_b4_bp"] <= 10000
+        if r["matches_b4"] == 12:
+            assert r["est_b4_bp"] == 10000
+        if r["matches_full"] == 12:
+            assert r["matches_b4"] == 12
+
+
+def test_bbit_estimator_tracks_full(spark, sf_dir):
+    """Mean |est_b4 − est_full| stays small on real candidates —
+    the 16× compression costs resolution, not validity (Li & Konig
+    2010's point). Band, not equality: the correction is unbiased
+    over hash draws, not per-pair."""
+    rows = QUERIES["dedup_minhash_b_bit"](spark, sf_dir).collect()
+    diffs = [abs(r["est_b4_bp"] - r["est_full_bp"]) for r in rows]
+    assert sum(diffs) / len(diffs) <= 1500, sum(diffs) / len(diffs)
