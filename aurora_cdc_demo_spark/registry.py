@@ -14873,3 +14873,108 @@ def q_dedup_minhash_b_bit(spark, sf_dir):
     return _dedup.bbit_minhash_estimate(
         load_table(spark, sf_dir, "documents")
     )
+
+
+@query(
+    "events_multitouch_attribution",
+    oracle=f"""
+        WITH purchases AS (
+            SELECT event_id AS pid, user_id, ts FROM events
+            WHERE event_type = 'purchase')
+        , touches AS (
+            SELECT user_id, event_id, ts, event_type FROM events
+            WHERE event_type <> 'purchase')
+        , windowed AS (
+            SELECT p.pid, t.event_type,
+                   row_number() OVER (
+                       PARTITION BY p.pid
+                       ORDER BY t.ts ASC, t.event_id ASC) AS rn,
+                   row_number() OVER (
+                       PARTITION BY p.pid
+                       ORDER BY t.ts DESC, t.event_id DESC) AS rn_last,
+                   COUNT(*) OVER (PARTITION BY p.pid) AS n
+            FROM purchases p
+            JOIN touches t ON t.user_id = p.user_id
+                AND t.ts < p.ts
+                AND epoch_us(t.ts) >= epoch_us(p.ts)
+                    - {_ATTR_LOOKBACK_US})
+        , credited AS (
+            SELECT event_type,
+                   CASE WHEN rn = 1 THEN 10000 ELSE 0 END AS first_bp,
+                   CASE WHEN rn_last = 1 THEN 10000 ELSE 0 END
+                       AS last_bp,
+                   (10000 // n) + (CASE WHEN rn <= 10000 % n
+                                   THEN 1 ELSE 0 END) AS linear_bp
+            FROM windowed)
+        SELECT event_type AS channel,
+               CAST(COUNT(*) AS BIGINT) AS n_touches,
+               CAST(SUM(first_bp) AS BIGINT) AS first_credit_bp,
+               CAST(SUM(last_bp) AS BIGINT) AS last_credit_bp,
+               CAST(SUM(linear_bp) AS BIGINT) AS linear_credit_bp
+        FROM credited GROUP BY event_type
+    """,
+)
+def q_events_multitouch_attribution(spark, sf_dir):
+    """MULTI-touch attribution beside #292's first-touch: per
+    purchase, every non-purchase event in the 7-day lookback gets
+    credit under three models at once — first-touch (10000 bp to
+    the earliest), last-touch (to the latest), and LINEAR (10000
+    div n to each, with the remainder distributed one bp to the n
+    mod positions earliest — so each purchase's credit sums to
+    EXACTLY 10000 bp under every model, the conservation law
+    pytest pins; naive floor division would leak n−1 bp per
+    purchase). Channel-grain sums answer the budget question
+    first/last alone bias: channels that ASSIST mid-journey earn
+    linear credit but zero first/last. Same banded-interval scale
+    shape as #292; the three windows share one partition key
+    (pid), so Spark computes them in a single sort."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id"),
+        F.col("ts").alias("pts"),
+    )
+    touches = ev.where(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_id").alias("tid"),
+        F.col("ts").alias("tts"),
+        "event_type",
+    )
+    joined = purchases.join(touches, "user_id").where(
+        (F.col("tts") < F.col("pts"))
+        & (
+            F.unix_micros("tts")
+            >= F.unix_micros("pts") - F.lit(_ATTR_LOOKBACK_US)
+        )
+    )
+    wp = Window.partitionBy("pid")
+    wa = wp.orderBy(F.col("tts").asc(), F.col("tid").asc())
+    wd = wp.orderBy(F.col("tts").desc(), F.col("tid").desc())
+    windowed = joined.select(
+        "pid",
+        "event_type",
+        F.row_number().over(wa).alias("rn"),
+        F.row_number().over(wd).alias("rn_last"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    credited = windowed.select(
+        "event_type",
+        F.when(F.col("rn") == 1, 10000).otherwise(0).alias("first_bp"),
+        F.when(F.col("rn_last") == 1, 10000)
+        .otherwise(0)
+        .alias("last_bp"),
+        (
+            F.expr("10000 div n")
+            + F.when(F.col("rn") <= F.expr("10000 % n"), 1).otherwise(0)
+        ).alias("linear_bp"),
+    )
+    return credited.groupBy(
+        F.col("event_type").alias("channel")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.sum("first_bp").cast("long").alias("first_credit_bp"),
+        F.sum("last_bp").cast("long").alias("last_credit_bp"),
+        F.sum("linear_bp").cast("long").alias("linear_credit_bp"),
+    )

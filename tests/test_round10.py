@@ -108,3 +108,42 @@ def test_bbit_estimator_tracks_full(spark, sf_dir):
     rows = QUERIES["dedup_minhash_b_bit"](spark, sf_dir).collect()
     diffs = [abs(r["est_b4_bp"] - r["est_full_bp"]) for r in rows]
     assert sum(diffs) / len(diffs) <= 1500, sum(diffs) / len(diffs)
+
+
+def test_multitouch_conservation(spark, sf_dir):
+    """Every attribution model distributes exactly 10000 bp per
+    purchase-with-touches — the remainder trick makes linear exact,
+    not approximately exact."""
+    from pyspark.sql import functions as F2
+
+    rows = QUERIES["events_multitouch_attribution"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.where("event_type = 'purchase'").select(
+        F2.col("event_id").alias("pid"),
+        "user_id",
+        F2.col("ts").alias("pts"),
+    )
+    touches = ev.where("event_type <> 'purchase'")
+    n_attr = (
+        purchases.join(
+            touches.select(
+                "user_id", F2.col("ts").alias("tts")
+            ),
+            "user_id",
+        )
+        .where(
+            (F2.col("tts") < F2.col("pts"))
+            & (
+                F2.unix_micros("tts")
+                >= F2.unix_micros("pts") - 7 * 86400000000
+            )
+        )
+        .select("pid")
+        .distinct()
+        .count()
+    )
+    for model in ("first_credit_bp", "last_credit_bp", "linear_credit_bp"):
+        assert sum(r[model] for r in rows) == 10000 * n_attr, model
