@@ -765,3 +765,98 @@ def bpe_tokenize_sql(dialect: str, k: int = BPE_ROUNDS) -> str:
         FROM dw d LEFT JOIN wmap m ON m.w = d.w
         GROUP BY d.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (Rose et al. 2010)
+# ---------------------------------------------------------------------------
+
+RAKE_TOP = 20
+
+
+def rake_keywords_sql(dialect: str) -> str:
+    """RAKE (Rapid Automatic Keyword Extraction, Rose et al. 2010)
+    adapted to this corpus: candidate phrases are maximal runs of
+    non-stopword tokens delimited by the STOPWORDS list (the corpus
+    has no punctuation, so stopword boundaries are the only
+    delimiters — exactly RAKE's degenerate case). Per word,
+    freq = occurrences inside candidate phrases and deg = the sum
+    of the lengths of the phrases each occurrence sits in (RAKE's
+    co-occurrence degree: deg/freq is the mean phrase length the
+    word appears in, so words that anchor long multi-word phrases
+    outrank equally-frequent words that appear alone). Score is
+    exact centi-integer floor((100*deg)/freq); top RAKE_TOP words
+    by (score DESC, token ASC).
+
+    The phrase split is STRING-level, not positional: spaces are
+    doubled so each stopword occurrence owns a private space pair,
+    every ' <stop> ' becomes a '|' delimiter (doubling makes the
+    replacements overlap-free: 'a of' would otherwise lose the
+    shared space to the first match), and one split produces the
+    phrase runs — no gaps-and-islands window over token positions,
+    so the whole extraction is two Generates and one hash
+    aggregate, linear in corpus size with no per-doc sort.
+
+    Scale: phrase rows ≈ stopword occurrences + docs; word rows =
+    non-stop tokens — both linear; the only shuffle is the final
+    token-keyed aggregate and the constant top-k."""
+    s = "replace(concat(' ', text, ' '), ' ', '  ')"
+    for w in STOPWORDS:
+        s = f"replace({s}, ' {w} ', '|')"
+    if dialect == "spark":
+        split_phr = f"explode(split({s}, '[|]'))"
+        toks = "filter(split(trim(p), ' '), x -> x <> '')"
+        explode_tok = "explode(toks)"
+        div = "div"
+        return f"""
+        WITH ph AS (
+            SELECT doc_id, trim(p) AS p FROM (
+                SELECT doc_id, {split_phr} AS p FROM documents) r
+            WHERE trim(p) <> '')
+        , pl AS (
+            SELECT doc_id, {toks} AS toks FROM ph)
+        , pw AS (
+            SELECT doc_id, size(toks) AS n, tok
+            FROM pl LATERAL VIEW explode(toks) ex AS tok)
+        , stats AS (
+            SELECT tok AS token,
+                   CAST(COUNT(*) AS BIGINT) AS freq,
+                   CAST(SUM(n) AS BIGINT) AS deg
+            FROM pw GROUP BY tok)
+        SELECT token, freq, deg,
+               CAST((100 * deg) {div} freq AS BIGINT) AS score_centi,
+               CAST(rn AS BIGINT) AS kw_rank
+        FROM (
+            SELECT *, row_number() OVER (
+                ORDER BY (100 * deg) {div} freq DESC, token ASC) AS rn
+            FROM stats) t
+        WHERE rn <= {RAKE_TOP}
+        """
+    return f"""
+        WITH ph AS (
+            SELECT doc_id, trim(p) AS p FROM (
+                SELECT doc_id, unnest(string_split({s}, '|')) AS p
+                FROM documents) r
+            WHERE trim(p) <> '')
+        , pl AS (
+            SELECT doc_id,
+                   list_filter(string_split(trim(p), ' '),
+                               x -> x <> '') AS toks
+            FROM ph)
+        , pw AS (
+            SELECT doc_id, len(toks) AS n, unnest(toks) AS tok
+            FROM pl)
+        , stats AS (
+            SELECT tok AS token,
+                   CAST(COUNT(*) AS BIGINT) AS freq,
+                   CAST(SUM(n) AS BIGINT) AS deg
+            FROM pw GROUP BY tok)
+        SELECT token, freq, deg,
+               CAST((100 * deg) // freq AS BIGINT) AS score_centi,
+               CAST(rn AS BIGINT) AS kw_rank
+        FROM (
+            SELECT *, row_number() OVER (
+                ORDER BY (100 * deg) // freq DESC, token ASC) AS rn
+            FROM stats) t
+        WHERE rn <= {RAKE_TOP}
+        """

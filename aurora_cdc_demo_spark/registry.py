@@ -14978,3 +14978,20 @@ def q_events_multitouch_attribution(spark, sf_dir):
         F.sum("last_bp").cast("long").alias("last_credit_bp"),
         F.sum("linear_bp").cast("long").alias("linear_credit_bp"),
     )
+
+
+@query("text_rake_keywords", oracle=_text.rake_keywords_sql("duck"))
+def q_text_rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction (Rose et al. 2010): corpus top-20
+    words by co-occurrence degree / frequency over stopword-
+    delimited candidate phrases — the graph-free keyword ranker
+    that complements tf-idf (#110) and distinctive-token lift
+    (#240): RAKE rewards words that ANCHOR long multi-word runs,
+    not words that are merely frequent or merely source-specific.
+    String-level overlap-free phrase split (no positional window);
+    see operators/text.py:rake_keywords_sql for the doubling trick
+    and scale shape."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_text.rake_keywords_sql("spark"))

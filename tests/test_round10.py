@@ -147,3 +147,28 @@ def test_multitouch_conservation(spark, sf_dir):
     )
     for model in ("first_credit_bp", "last_credit_bp", "linear_credit_bp"):
         assert sum(r[model] for r in rows) == 10000 * n_attr, model
+
+
+def test_rake_laws(spark, sf_dir):
+    """deg ≥ freq (every phrase has length ≥ 1), score ≥ 100 centi,
+    stopwords never rank, and freq sums over ranked tokens can't
+    exceed the corpus non-stop token count."""
+    from aurora_cdc_demo_spark.operators.text import STOPWORDS
+
+    rows = QUERIES["text_rake_keywords"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    n_nonstop = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr(
+            "size(filter(split(text, ' '), "
+            f"x -> NOT array_contains(array({','.join(repr(s) for s in STOPWORDS)}), x))) AS n"
+        )
+        .groupBy()
+        .sum("n")
+        .collect()[0][0]
+    )
+    for r in rows:
+        assert r["token"] not in STOPWORDS
+        assert r["deg"] >= r["freq"] >= 1
+        assert r["score_centi"] >= 100
+    assert sum(r["freq"] for r in rows) <= n_nonstop
