@@ -14995,3 +14995,74 @@ def q_text_rake_keywords(spark, sf_dir):
         "documents"
     )
     return spark.sql(_text.rake_keywords_sql("spark"))
+
+
+def _reorder_hazard_sql(dialect: str) -> str:
+    div = "//" if dialect == "duck" else "div"
+    ep = "epoch_us" if dialect == "duck" else "unix_micros"
+    return f"""
+        WITH seq AS (
+            SELECT o_custkey, o_orderdate,
+                   lag(o_orderdate) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS prev_dt
+            FROM orders)
+        , ev AS (
+            SELECT CAST(((({ep}(o_orderdate) - {ep}(prev_dt))
+                        {div} 86400000000) {div} 7) AS BIGINT) AS b,
+                   1 AS is_event
+            FROM seq WHERE prev_dt IS NOT NULL)
+        , hw AS (SELECT MAX(o_orderdate) AS hwm FROM orders)
+        , cen AS (
+            SELECT CAST(((({ep}(hw.hwm) - {ep}(c.last_dt))
+                        {div} 86400000000) {div} 7) AS BIGINT) AS b,
+                   0 AS is_event
+            FROM (SELECT o_custkey, MAX(o_orderdate) AS last_dt
+                  FROM orders GROUP BY o_custkey) c
+            CROSS JOIN hw)
+        , obs AS (
+            SELECT b, is_event FROM ev
+            UNION ALL SELECT b, is_event FROM cen)
+        , byb AS (
+            SELECT b,
+                   CAST(SUM(is_event) AS BIGINT) AS n_reorder,
+                   CAST(SUM(1 - is_event) AS BIGINT) AS n_censored,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM obs GROUP BY b)
+        , risk AS (
+            SELECT b, n_reorder, n_censored,
+                   CAST(SUM(n) OVER (ORDER BY b DESC) AS BIGINT)
+                       AS n_at_risk
+            FROM byb)
+        SELECT b AS gap_week, n_at_risk, n_reorder, n_censored,
+               CAST((10000 * n_reorder) {div} n_at_risk AS BIGINT)
+                   AS hazard_bp
+        FROM risk
+    """
+
+
+@query("orders_reorder_hazard", oracle=_reorder_hazard_sql("duck"))
+def q_orders_reorder_hazard(spark, sf_dir):
+    """Discrete-time reorder SURVIVAL table (the Kaplan-Meier input
+    grid): observations are inter-order gaps per customer (events)
+    plus each customer's open gap since their LAST order, right-
+    censored at the corpus high-water-mark date — dropping the
+    censored arm (what a naive gap histogram does) overstates late
+    hazards because long open gaps silently leave the denominator.
+    Bucketed by 7-day intervals: n_at_risk(b) = observations
+    surviving to b (reverse-cumulative window, includes b),
+    hazard_bp = 10000·reorders(b)/at-risk(b), floor-exact. The KM
+    survival CURVE is a cumulative product of (1 − hazard) — a
+    float product the integer-exact contract deliberately leaves to
+    the consumer; this table is the estimator's sufficient input
+    (hazards + risk sets), which IS exact.
+
+    Scale: one lag window per customer partition (key-bounded), one
+    customer-grain aggregate, then bucket-grain algebra (≤ span/7
+    rows); the reverse cumsum runs on the bucket dimension, never
+    rows — the #268 window-on-dimension discipline."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders"
+    )
+    return spark.sql(_reorder_hazard_sql("spark"))

@@ -172,3 +172,27 @@ def test_rake_laws(spark, sf_dir):
         assert r["deg"] >= r["freq"] >= 1
         assert r["score_centi"] >= 100
     assert sum(r["freq"] for r in rows) <= n_nonstop
+
+
+def test_reorder_hazard_laws(spark, sf_dir):
+    """At-risk telescopes: n_at_risk(b) − events(b) − censored(b)
+    = n_at_risk(next b); total observations = gaps + customers
+    (every customer contributes exactly one censored open gap);
+    hazards in [0, 10000]."""
+    rows = sorted(
+        QUERIES["orders_reorder_hazard"](spark, sf_dir).collect(),
+        key=lambda r: r["gap_week"],
+    )
+    assert rows
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n_orders = orders.count()
+    n_cust = orders.select("o_custkey").distinct().count()
+    # gaps = orders - customers (per customer: n-1 consecutive gaps)
+    assert rows[0]["n_at_risk"] == (n_orders - n_cust) + n_cust == n_orders
+    assert sum(r["n_censored"] for r in rows) == n_cust
+    for i, r in enumerate(rows):
+        assert 0 <= r["hazard_bp"] <= 10000
+        nxt = rows[i + 1]["n_at_risk"] if i + 1 < len(rows) else 0
+        assert (
+            r["n_at_risk"] - r["n_reorder"] - r["n_censored"] == nxt
+        )
