@@ -1922,12 +1922,22 @@ def label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def recall_report_sql(dialect: str) -> str:
+    # the graph-walk arm: single-statement form for the oracle
+    # (MATERIALIZED KNN ctes), materialized-view form for Spark —
+    # recall_report() registers greedy_edges_mat before running, so
+    # the hop rounds never re-run the cell self-join inside the
+    # report plan.
+    if dialect == "spark":
+        greedy = _greedy_view_sql()
+    else:
+        greedy = graph_greedy_topk_sql(dialect)
     methods = [
         ("ivf_seed", ivf_topk_sql(dialect)),
         ("ivf_kmeans", kmeans_topk_sql(dialect)),
         ("pq_adc", pq_topk_sql(dialect)),
         ("pq_rerank", pq_rerank_topk_sql(dialect)),
         ("sign_hamming", sign_hamming_sql(dialect)),
+        ("graph_greedy", greedy),
     ]
     ctes = ",\n".join(
         f"m_{name} AS ({sql})" for name, sql in methods
@@ -1951,6 +1961,7 @@ def recall_report_sql(dialect: str) -> str:
 
 
 def recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _materialize_greedy_edges(spark, sf_dir)
     return _run(spark, sf_dir, recall_report_sql("spark"))
 
 
@@ -2411,19 +2422,36 @@ def graph_greedy_topk_sql(
         {_GREEDY_FINAL_SQL}"""
 
 
-def graph_greedy_topk(
+def _greedy_view_sql(
+    n_seeds: int = N_SEEDS,
+    hops: int = GREEDY_HOPS,
+    edges_view: str = "greedy_edges_mat",
+) -> str:
+    """Spark hop chain over an ALREADY-MATERIALIZED edge view;
+    ``v``/``seeds`` are re-derived row-wise from the embeddings scan
+    (no join, cheap) rather than checkpointed."""
+    return f"""
+        WITH v AS (
+            SELECT vec_id, embedding,
+                   {_norm('embedding', 'spark')} AS nrm
+            FROM embeddings)
+        , seeds AS (
+            SELECT vec_id AS seed_id, embedding AS se, nrm AS snrm
+            FROM v WHERE vec_id < {n_seeds})
+        {_greedy_chain_sql('spark', edges_view, hops)}
+        {_GREEDY_FINAL_SQL}"""
+
+
+def _materialize_greedy_edges(
     spark: SparkSession,
     sf_dir: str,
     n_seeds: int = N_SEEDS,
-    hops: int = GREEDY_HOPS,
     checkpoint_mode: str = "local",
-) -> DataFrame:
-    """Spark side of the greedy graph-walk ANN: the KNN edge list is
-    materialized ONCE (eager checkpoint — same local/reliable split
-    as pagerank_knn; the hop rounds must not re-run the cell
-    self-join), then the hop chain runs over the cached edge blocks.
-    ``v``/``seeds`` are re-derived row-wise from the embeddings scan
-    (no join, cheap) rather than checkpointed."""
+) -> None:
+    """Build the KNN edge list ONCE and checkpoint it into the
+    ``greedy_edges_mat`` view (same local/reliable split as
+    pagerank_knn — the hop rounds must not re-run the cell
+    self-join)."""
     from ..tables import load_table
 
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
@@ -2442,15 +2470,16 @@ def graph_greedy_topk(
     else:
         raise ValueError(f"unknown checkpoint_mode: {checkpoint_mode!r}")
     edges.createOrReplaceTempView("greedy_edges_mat")
-    return spark.sql(
-        f"""
-        WITH v AS (
-            SELECT vec_id, embedding,
-                   {_norm('embedding', 'spark')} AS nrm
-            FROM embeddings)
-        , seeds AS (
-            SELECT vec_id AS seed_id, embedding AS se, nrm AS snrm
-            FROM v WHERE vec_id < {n_seeds})
-        {_greedy_chain_sql('spark', 'greedy_edges_mat', hops)}
-        {_GREEDY_FINAL_SQL}"""
-    )
+
+
+def graph_greedy_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_seeds: int = N_SEEDS,
+    hops: int = GREEDY_HOPS,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Spark side of the greedy graph-walk ANN: materialized edge
+    list + hop chain over the cached edge blocks."""
+    _materialize_greedy_edges(spark, sf_dir, n_seeds, checkpoint_mode)
+    return spark.sql(_greedy_view_sql(n_seeds, hops))

@@ -6374,7 +6374,8 @@ def q_corpus_datasheet(spark, sf_dir):
 def q_ann_recall_report(spark, sf_dir):
     """ANN index-quality dashboard: recall@5 vs the exact top-k for
     EVERY approximate serving path in the repo (seed-cell IVF,
-    trained-kmeans IVF, PQ ADC, PQ+rerank, sign-bit Hamming), per
+    trained-kmeans IVF, PQ ADC, PQ+rerank, sign-bit Hamming, and
+    the #293 graph-walk greedy search — six paradigms), per
     query, in one report — the audit a serving stack runs after each
     re-index, and the quantified version of the recall laws pytest
     pins one-by-one. Pure composition: each method's SQL is reused

@@ -285,7 +285,7 @@ def test_datasheet_conserves_corpus(spark, sf_dir):
 
 def test_recall_report_orders_methods_sanely(spark, sf_dir):
     """PQ+rerank recall >= pure-ADC recall per query (the shortlist
-    can only help); every recall is a proper bp; all five methods
+    can only help); every recall is a proper bp; all six methods
     report on every query."""
     rr = QUERIES["ann_recall_report"](spark, sf_dir).toPandas()
     assert rr.groupby("method")["query_id"].count().nunique() == 1
@@ -295,6 +295,7 @@ def test_recall_report_orders_methods_sanely(spark, sf_dir):
         "pq_adc",
         "pq_rerank",
         "sign_hamming",
+        "graph_greedy",
     }
     assert rr["recall_bp"].between(0, 10000).all()
     piv = rr.pivot(index="query_id", columns="method", values="recall_bp")
