@@ -15067,3 +15067,93 @@ def q_orders_reorder_hazard(spark, sf_dir):
         "orders"
     )
     return spark.sql(_reorder_hazard_sql("spark"))
+
+
+def _peak_concurrency_sql(dialect: str) -> str:
+    div = "//" if dialect == "duck" else "div"
+    ep = "epoch_us" if dialect == "duck" else "unix_micros"
+    return f"""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                CASE WHEN lag({ep}(ts)) OVER w IS NULL THEN 1
+                     WHEN {ep}(ts) - lag({ep}(ts)) OVER w
+                          > 1800000000 THEN 1
+                     ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+        , sess AS (
+            SELECT user_id,
+                   CAST(SUM(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid,
+                   ts
+            FROM flagged)
+        , spans AS (
+            SELECT user_id, sid,
+                   MIN(ts) AS s_start, MAX(ts) AS s_end
+            FROM sess GROUP BY user_id, sid)
+        , b AS (
+            SELECT date_trunc('day', s_start) AS day,
+                   {ep}(s_start) AS t_us, 1 AS delta, 0 AS ord
+            FROM spans
+            UNION ALL
+            SELECT date_trunc('day', s_end) AS day,
+                   {ep}(s_end) AS t_us, -1 AS delta, 1 AS ord
+            FROM spans)
+        , daily AS (
+            SELECT day,
+                   CAST(SUM(delta) AS BIGINT) AS net,
+                   CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_started
+            FROM b GROUP BY day)
+        , carry AS (
+            SELECT day, n_started,
+                   CAST(SUM(net) OVER (ORDER BY day) - net AS BIGINT)
+                       AS carry_in
+            FROM daily)
+        , run AS (
+            SELECT day,
+                   CAST(SUM(delta) OVER (
+                       PARTITION BY day ORDER BY t_us, ord)
+                       AS BIGINT) AS r
+            FROM b)
+        , peak AS (
+            SELECT day, CAST(MAX(r) AS BIGINT) AS max_run
+            FROM run GROUP BY day)
+        SELECT c.day, c.n_started, c.carry_in,
+               CAST(c.carry_in + GREATEST(p.max_run, 0) AS BIGINT)
+                   AS peak_concurrent
+        FROM carry c JOIN peak p ON p.day = c.day
+    """
+
+
+@query("events_peak_concurrency", oracle=_peak_concurrency_sql("duck"))
+def q_events_peak_concurrency(spark, sf_dir):
+    """Per-day PEAK simultaneous sessions — the capacity-planning
+    number (how many concurrent users must the serving tier hold?)
+    that session counts and DAU (#55/#190) cannot give. Sessions
+    are the #66 lag-flag islands (gap > 30 min splits, span =
+    [first event, last event]); each span emits +1/-1 boundary
+    rows and concurrency(t) is their prefix sum. The prefix NEVER
+    runs globally: per-day windows take the within-day running sum
+    (starts ordered before ends at equal timestamps — closed-
+    interval semantics; the default RANGE frame makes tie groups
+    share the group-end value, so the per-day MAX is deterministic
+    without a unique tiebreak), and the cross-day baseline is the
+    band-prefix carry_in — a day-grain cumulative of net deltas,
+    the #132/#194 decomposition that keeps the global sort off the
+    data rows. Midnight-crossing sessions are handled exactly: the
+    +1 lands in the start day, the -1 in the end day, carry_in
+    bridges. peak = carry_in + max(0, within-day max run) — the
+    max(0,·) covers days whose first boundary is an end (the peak
+    then stands at the carried baseline before any boundary).
+
+    Laws pinned in tests/test_round10: global net telescopes to
+    zero (every span closes), carry_in ≥ 0, per-day peak ≥
+    carry-adjusted bounds, and the sf0.001 peak cross-checked
+    against a Python sweep."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "events"
+    )
+    return spark.sql(_peak_concurrency_sql("spark"))

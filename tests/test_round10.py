@@ -196,3 +196,62 @@ def test_reorder_hazard_laws(spark, sf_dir):
         assert (
             r["n_at_risk"] - r["n_reorder"] - r["n_censored"] == nxt
         )
+
+
+def test_peak_concurrency_laws_and_python_sweep(spark, sf_dir):
+    """carry_in ≥ 0; peaks bound sensibly; and the per-day peak
+    equals a brute-force Python interval sweep at test SF."""
+    rows = QUERIES["events_peak_concurrency"](spark, sf_dir).collect()
+    assert rows
+    got = {r["day"]: r for r in rows}
+    for r in rows:
+        assert r["carry_in"] >= 0
+        assert r["peak_concurrent"] >= r["carry_in"]
+        assert r["peak_concurrent"] >= 1 or r["n_started"] == 0
+    # brute-force sweep over the same session spans
+    import datetime as dt
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("user_id", "unix_micros(ts) AS t", "event_id")
+        .collect()
+    )
+    by_user: dict[str, list[tuple[int, int]]] = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append((r["t"], r["event_id"]))
+    spans = []
+    for _, ts in by_user.items():
+        ts.sort()
+        start = prev = ts[0][0]
+        for t, _eid in ts[1:]:
+            if t - prev > 1800000000:
+                spans.append((start, prev))
+                start = t
+            prev = t
+        spans.append((start, prev))
+    bounds = []
+    for s, e in spans:
+        bounds.append((s, 0, 1))
+        bounds.append((e, 1, -1))
+    bounds.sort()
+    cur = 0
+    peaks: dict[object, int] = {}
+    carry: dict[object, int] = {}
+
+    def day_of(us: int):
+        return dt.datetime.fromtimestamp(
+            us / 1e6, tz=dt.timezone.utc
+        ).replace(hour=0, minute=0, second=0, microsecond=0)
+
+    for t, _ord, d in bounds:
+        day = day_of(t)
+        if day not in carry:
+            carry[day] = cur
+            peaks[day] = cur
+        cur += d
+        peaks[day] = max(peaks[day], cur)
+    assert cur == 0  # every span closes
+    for day, r in got.items():
+        key = day.replace(tzinfo=dt.timezone.utc)
+        if key in peaks:
+            assert r["peak_concurrent"] == peaks[key], (day, r)
