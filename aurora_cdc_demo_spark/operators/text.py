@@ -860,3 +860,100 @@ def rake_keywords_sql(dialect: str) -> str:
             FROM stats) t
         WHERE rn <= {RAKE_TOP}
         """
+
+
+RAKE_MAX_PHRASE = 6  # practical RAKE caps candidate length
+RAKE_PHRASE_TOP = 15
+
+
+def rake_phrases_sql(dialect: str) -> str:
+    """Phrase-grain RAKE: candidate phrases (the same stopword-
+    delimited runs as rake_keywords_sql, capped at RAKE_MAX_PHRASE
+    words — the standard practical cap; uncapped runs in a
+    punctuation-free corpus degenerate to whole-document spans)
+    scored by the RAKE rule: phrase score = Σ member-word
+    score (with multiplicity), where word score is the corpus-wide
+    deg/freq from the word-grain pass. Top RAKE_PHRASE_TOP distinct
+    phrases by (score DESC, phrase ASC) with occurrence counts.
+
+    Scale: word stats are vocabulary-bounded; distinct phrases are
+    corpus-linear with a constant-width cap; the phrase-token
+    explode is ≤ RAKE_MAX_PHRASE rows per distinct phrase; one
+    token-keyed broadcastable join against the (tiny) word-stat
+    table; constant top-k."""
+    s = "replace(concat(' ', text, ' '), ' ', '  ')"
+    for w in STOPWORDS:
+        s = f"replace({s}, ' {w} ', '|')"
+    div = "div" if dialect == "spark" else "//"
+    if dialect == "spark":
+        split_phr = f"explode(split({s}, '[|]'))"
+        toks = "filter(split(trim(p), ' '), x -> x <> '')"
+        pl = f"""
+        , pl AS (
+            SELECT doc_id, {toks} AS toks FROM ph)
+        , pw AS (
+            SELECT doc_id, size(toks) AS n, tok
+            FROM pl LATERAL VIEW explode(toks) ex AS tok)"""
+        phr = """
+        , phr AS (
+            SELECT array_join(toks, ' ') AS phrase, size(toks) AS n_words
+            FROM pl WHERE size(toks) <= {cap})
+        , ph_occ AS (
+            SELECT phrase, MIN(n_words) AS n_words,
+                   CAST(COUNT(*) AS BIGINT) AS n_occurrences
+            FROM phr GROUP BY phrase)
+        , ph_tok AS (
+            SELECT phrase, tok
+            FROM (SELECT phrase FROM ph_occ)
+            LATERAL VIEW explode(split(phrase, ' ')) ex2 AS tok)"""
+    else:
+        split_phr = f"unnest(string_split({s}, '|')) "
+        pl = """
+        , pl AS (
+            SELECT doc_id,
+                   list_filter(string_split(trim(p), ' '),
+                               x -> x <> '') AS toks
+            FROM ph)
+        , pw AS (
+            SELECT doc_id, len(toks) AS n, unnest(toks) AS tok
+            FROM pl)"""
+        phr = """
+        , phr AS (
+            SELECT array_to_string(toks, ' ') AS phrase,
+                   len(toks) AS n_words
+            FROM pl WHERE len(toks) <= {cap})
+        , ph_occ AS (
+            SELECT phrase, MIN(n_words) AS n_words,
+                   CAST(COUNT(*) AS BIGINT) AS n_occurrences
+            FROM phr GROUP BY phrase)
+        , ph_tok AS (
+            SELECT phrase, unnest(string_split(phrase, ' ')) AS tok
+            FROM (SELECT phrase FROM ph_occ) po)"""
+    return f"""
+        WITH ph AS (
+            SELECT doc_id, trim(p) AS p FROM (
+                SELECT doc_id, {split_phr} AS p FROM documents) r
+            WHERE trim(p) <> '')
+        {pl}
+        , stats AS (
+            SELECT tok AS token,
+                   CAST(COUNT(*) AS BIGINT) AS freq,
+                   CAST(SUM(n) AS BIGINT) AS deg
+            FROM pw GROUP BY tok)
+        {phr.format(cap=RAKE_MAX_PHRASE)}
+        , ps AS (
+            SELECT t.phrase,
+                   CAST(SUM((100 * s2.deg) {div} s2.freq) AS BIGINT)
+                       AS score_centi
+            FROM ph_tok t JOIN stats s2 ON s2.token = t.tok
+            GROUP BY t.phrase)
+        SELECT phrase, n_words, n_occurrences, score_centi,
+               CAST(rn AS BIGINT) AS phrase_rank
+        FROM (
+            SELECT o.phrase, o.n_words, o.n_occurrences,
+                   p2.score_centi,
+                   row_number() OVER (
+                       ORDER BY p2.score_centi DESC, o.phrase ASC) AS rn
+            FROM ph_occ o JOIN ps p2 ON p2.phrase = o.phrase) t
+        WHERE rn <= {RAKE_PHRASE_TOP}
+        """

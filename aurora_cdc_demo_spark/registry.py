@@ -15157,3 +15157,18 @@ def q_events_peak_concurrency(spark, sf_dir):
         "events"
     )
     return spark.sql(_peak_concurrency_sql("spark"))
+
+
+@query("text_rake_phrases", oracle=_text.rake_phrases_sql("duck"))
+def q_text_rake_phrases(spark, sf_dir):
+    """Phrase-grain RAKE (Rose et al. 2010): top-15 candidate
+    phrases by summed member-word deg/freq score — the keyphrase
+    surface (#296 ranks words; this ranks the multi-word spans
+    RAKE was designed for, capped at RAKE_MAX_PHRASE words as
+    practical implementations do). Vocabulary-bounded word stats,
+    corpus-linear distinct phrases, one broadcastable token join;
+    see operators/text.py:rake_phrases_sql."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_text.rake_phrases_sql("spark"))
