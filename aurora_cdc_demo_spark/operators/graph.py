@@ -75,13 +75,35 @@ def connected_components(
             .groupBy("_src")
             .agg(F.min("cluster_id").alias("_n_min"))
         )
-        new_labels = _ckpt(
+        # neighbor-min step (checkpointed: the halving step below
+        # references it twice — map side + probe side)
+        upd = _ckpt(
             labels.join(neigh, labels[id_col] == neigh["_src"], "left")
             .select(
                 id_col,
                 F.least(
                     F.col("cluster_id"),
                     F.coalesce(F.col("_n_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+        )
+        # path-halving (pointer doubling): label <- label(label).
+        # label(n) always names a node REACHABLE from n, and labels
+        # only ever decrease toward the component min, so composing
+        # the label map with itself preserves the invariant while
+        # halving chain depth — O(diameter) rounds become
+        # O(log diameter) (measured 17 -> 6 on the sf0.1 LSH
+        # near-dup graph, whose worst component has diameter ~16).
+        lmap = upd.select(
+            F.col(id_col).alias("_k"), F.col("cluster_id").alias("_kl")
+        )
+        new_labels = _ckpt(
+            upd.join(lmap, upd["cluster_id"] == lmap["_k"], "left")
+            .select(
+                id_col,
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("_kl"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
         )

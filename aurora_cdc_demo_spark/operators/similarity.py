@@ -2483,3 +2483,103 @@ def graph_greedy_topk(
     list + hop chain over the cached edge blocks."""
     _materialize_greedy_edges(spark, sf_dir, n_seeds, checkpoint_mode)
     return spark.sql(_greedy_view_sql(n_seeds, hops))
+
+
+# ---------------------------------------------------------------------------
+# Seed-reach layers: multi-source BFS census over the KNN graph —
+# the coverage certificate for the greedy graph walk
+# ---------------------------------------------------------------------------
+
+
+def seed_reach_sql(
+    dialect: str, n_seeds: int = N_SEEDS, hops: int = GREEDY_HOPS
+) -> str:
+    """Single-statement (oracle) form: multi-source BFS from the
+    quantizer seeds over the DIRECTED KNN edge list, unrolled
+    ``hops`` rounds. Census output: n_nodes first reached at each
+    layer (layer 0 = the seeds), plus layer −1 = nodes the walk can
+    NEVER visit within ``hops`` hops — the hard upper bound on
+    what graph_greedy_topk (#293) can return, making this the
+    index-coverage diagnostic for the graph-walk serving path.
+    Reached sets are MATERIALIZED in the duck dialect (each round
+    references the previous twice: expansion + census)."""
+    mat = "MATERIALIZED " if dialect != "spark" else ""
+    ctes = f"""{_knn_ctes(dialect, n_seeds)}
+        , edges AS {mat}(
+            SELECT vec_id AS src, neighbor_id AS dst
+            FROM ranked WHERE rnk <= {KNN_K})
+        , r0 AS {mat}(
+            SELECT seed_id AS vec_id FROM seeds)"""
+    for h in range(1, hops + 1):
+        ctes += f"""
+        , r{h} AS {mat}(
+            SELECT DISTINCT vec_id FROM (
+                SELECT vec_id FROM r{h - 1}
+                UNION ALL
+                SELECT e.dst AS vec_id
+                FROM edges e JOIN r{h - 1} p ON p.vec_id = e.src) u{h})"""
+    arms = [
+        "SELECT CAST(0 AS BIGINT) AS layer,"
+        " CAST((SELECT COUNT(*) FROM r0) AS BIGINT) AS n_nodes"
+    ]
+    for h in range(1, hops + 1):
+        arms.append(
+            f"SELECT CAST({h} AS BIGINT),"
+            f" CAST((SELECT COUNT(*) FROM r{h})"
+            f" - (SELECT COUNT(*) FROM r{h - 1}) AS BIGINT)"
+        )
+    arms.append(
+        f"SELECT CAST(-1 AS BIGINT),"
+        f" CAST((SELECT COUNT(*) FROM v)"
+        f" - (SELECT COUNT(*) FROM r{hops}) AS BIGINT)"
+    )
+    return f"""{ctes}
+        {" UNION ALL ".join(arms)}
+    """
+
+
+def seed_reach_layers(
+    spark: SparkSession,
+    sf_dir: str,
+    n_seeds: int = N_SEEDS,
+    hops: int = GREEDY_HOPS,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Spark side: the shared greedy edge list is checkpoint-
+    materialized once, then each round's reached set is itself
+    eagerly materialized before the next round references it twice
+    (expansion + census) — the multiplicative-CTE lesson; the
+    census is scalar counts over the tiny cached sets."""
+    _materialize_greedy_edges(spark, sf_dir, n_seeds, checkpoint_mode)
+    reached = spark.sql(
+        f"SELECT vec_id FROM embeddings WHERE vec_id < {n_seeds}"
+    ).localCheckpoint()
+    reached.createOrReplaceTempView("reach_0")
+    for h in range(1, hops + 1):
+        nxt = spark.sql(
+            f"""
+            SELECT DISTINCT vec_id FROM (
+                SELECT vec_id FROM reach_{h - 1}
+                UNION ALL
+                SELECT e.dst AS vec_id
+                FROM greedy_edges_mat e
+                JOIN reach_{h - 1} p ON p.vec_id = e.src) u
+            """
+        ).localCheckpoint()
+        nxt.createOrReplaceTempView(f"reach_{h}")
+    arms = [
+        "SELECT CAST(0 AS BIGINT) AS layer,"
+        " CAST((SELECT COUNT(*) FROM reach_0) AS BIGINT) AS n_nodes"
+    ]
+    for h in range(1, hops + 1):
+        arms.append(
+            f"SELECT CAST({h} AS BIGINT),"
+            f" CAST((SELECT COUNT(*) FROM reach_{h})"
+            f" - (SELECT COUNT(*) FROM reach_{h - 1}) AS BIGINT)"
+        )
+    arms.append(
+        f"SELECT CAST(-1 AS BIGINT),"
+        f" CAST((SELECT COUNT(*) FROM embeddings)"
+        f" - (SELECT COUNT(*) FROM reach_{hops}) AS BIGINT)"
+    )
+    return spark.sql(" UNION ALL ".join(arms))

@@ -92,6 +92,13 @@ HEADLINE = [
     "events_stl_decomposition",
     "corpus_training_manifest",
     "graph_modularity_knn",
+    "ann_graph_greedy_topk",
+    "dedup_minhash_b_bit",
+    "events_peak_concurrency",
+    "text_rake_phrases",
+    "events_hll_overlap",
+    "text_classifier_score",
+    "layout_hilbert_compare",
 ]
 
 

@@ -291,3 +291,22 @@ def test_rake_phrases_laws(spark, sf_dir):
         assert all(t not in STOPWORDS for t in toks)
         expected = sum((100 * deg[t]) // freq[t] for t in toks)
         assert r["score_centi"] == expected, r["phrase"]
+
+
+def test_seed_reach_census_conserves(spark, sf_dir):
+    """Layer counts partition the corpus: Σ n_nodes (incl. −1)
+    = |embeddings|; layer 0 = N_SEEDS; all counts ≥ 0; and the
+    unreached mass upper-bounds greedy misses."""
+    from aurora_cdc_demo_spark.operators import similarity as s
+
+    rows = {
+        r["layer"]: r["n_nodes"]
+        for r in QUERIES["graph_seed_reach_layers"](
+            spark, sf_dir
+        ).collect()
+    }
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(rows.values()) == n
+    assert rows[0] == s.N_SEEDS
+    assert all(v >= 0 for v in rows.values())
+    assert set(rows) == {-1, 0, 1, 2, 3}

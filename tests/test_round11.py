@@ -1,0 +1,186 @@
+"""Round-11 additions: HLL set algebra (audience overlap),
+k-anonymity risk profile, hashed linear quality classifier, Hilbert
+layout keys."""
+
+from __future__ import annotations
+
+import hashlib
+
+from aurora_cdc_demo_spark.registry import (
+    QUERIES,
+    _CLF_BIAS_E4,
+    _CLF_BUCKETS,
+)
+from aurora_cdc_demo_spark.operators import hilbert as H
+
+
+# ---------------------------------------------------------------------------
+# Hilbert
+# ---------------------------------------------------------------------------
+
+
+def test_hilbert_lut_matches_reference_everywhere():
+    """The two-nibble LUT walk equals the textbook xy2d on the FULL
+    256×256 grid — and is therefore bijective (the reference is)."""
+    lut = {k: (d, s) for k, d, s in H.hilbert_lut_rows()}
+    seen = set()
+    for x in range(256):
+        for y in range(256):
+            d1, st = lut[0 * 256 + (x // 16) * 16 + (y // 16)]
+            d2, _ = lut[st * 256 + (x % 16) * 16 + (y % 16)]
+            key = d1 * 256 + d2
+            assert key == H.xy2d(256, x, y)
+            seen.add(key)
+    assert len(seen) == 65536
+
+
+def test_hilbert_adjacent_keys_are_adjacent_cells():
+    """Defining property Morton lacks: consecutive Hilbert indices
+    are Manhattan-distance-1 neighbors. Checked via the inverse map
+    built from the forward walk."""
+    inv = {}
+    lut = {k: (d, s) for k, d, s in H.hilbert_lut_rows()}
+    for x in range(256):
+        for y in range(256):
+            d1, st = lut[(x // 16) * 16 + (y // 16)]
+            d2, _ = lut[st * 256 + (x % 16) * 16 + (y % 16)]
+            inv[d1 * 256 + d2] = (x, y)
+    for k in range(65535):
+        (x1, y1), (x2, y2) = inv[k], inv[k + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_hilbert_key_spark_matches_reference(spark, sf_dir):
+    """Engine-side key equals xy2d for every event row."""
+    rows = QUERIES["events_hilbert_key"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["hkey"] == H.xy2d(256, r["x8"], r["y8"])
+        assert r["hbucket"] == r["hkey"] // 1024
+
+
+def test_layout_hilbert_compare_laws(spark, sf_dir):
+    """Single-key layouts scan EVERYTHING on the opposite probe;
+    both curves prune BOTH probes; chunk counts bounded by the
+    configured chunk budget."""
+    rows = QUERIES["layout_hilbert_compare"](spark, sf_dir).collect()
+    by = {(r["layout"], r["probe"]): r for r in rows}
+    assert len(by) == 8
+    assert by[("ts", "user_band")]["rows_scanned_bp"] == 10000
+    assert by[("user", "hour_band")]["rows_scanned_bp"] == 10000
+    for curve in ("zorder8", "hilbert8"):
+        for probe in ("user_band", "hour_band"):
+            r = by[(curve, probe)]
+            assert r["rows_scanned_bp"] < 10000
+            assert r["chunks_scanned"] <= r["n_chunks"] <= 64
+
+
+# ---------------------------------------------------------------------------
+# HLL overlap
+# ---------------------------------------------------------------------------
+
+
+def test_hll_overlap_set_algebra_laws(spark, sf_dir):
+    """Union ≤ sum of parts (register-wise MAX can only shrink the
+    I-E sum); intersection clamped ≥ 0 and ≤ min(est_a, est_b) + the
+    register error budget; exact columns obey true set identities;
+    estimate stays inside a generous 256-register error band."""
+    rows = QUERIES["events_hll_overlap"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["est_union"] <= r["est_a"] + r["est_b"]
+        assert r["est_inter"] >= 0
+        assert r["exact_inter"] <= r["exact_union"]
+        assert 0 <= r["jacc_exact_bp"] <= 10000
+        assert 0 <= r["jacc_est_bp"] <= 10000
+        # inclusion-exclusion error ~ 3 estimates' worth of the
+        # sigma ≈ 1.04/sqrt(256) = 6.5% band, against the union size
+        assert abs(r["est_inter"] - r["exact_inter"]) <= max(
+            60, 0.25 * r["exact_union"]
+        )
+
+
+def test_hll_overlap_jaccard_recomputation(spark, sf_dir):
+    rows = QUERIES["events_hll_overlap"](spark, sf_dir).collect()
+    for r in rows:
+        assert (
+            r["jacc_est_bp"] == (10000 * r["est_inter"]) // r["est_union"]
+        )
+        assert (
+            r["jacc_exact_bp"]
+            == (10000 * r["exact_inter"]) // r["exact_union"]
+        )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity
+# ---------------------------------------------------------------------------
+
+
+def test_k_anonymity_monotone_and_consistent(spark, sf_dir):
+    rows = sorted(
+        QUERIES["dq_k_anonymity"](spark, sf_dir).collect(),
+        key=lambda r: r["k"],
+    )
+    assert [r["k"] for r in rows] == [2, 5, 10, 25]
+    n_rows = rows[0]["n_rows"]
+    kanon = rows[0]["k_anonymity"]
+    prev_g = prev_r = -1
+    for r in rows:
+        assert r["n_rows"] == n_rows and r["k_anonymity"] == kanon
+        assert r["groups_below_k"] >= prev_g
+        assert r["rows_below_k"] >= prev_r
+        assert r["rows_below_bp"] == (10000 * r["rows_below_k"]) // n_rows
+        # a group below k exists iff the dataset's k-anonymity < k
+        assert (r["groups_below_k"] > 0) == (kanon < r["k"])
+        prev_g, prev_r = r["groups_below_k"], r["rows_below_k"]
+
+
+def test_k_anonymity_counts_customer_rows(spark, sf_dir):
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/customer.parquet'"
+    ).fetchone()[0]
+    rows = QUERIES["dq_k_anonymity"](spark, sf_dir).collect()
+    assert all(r["n_rows"] == n for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# hashed linear classifier
+# ---------------------------------------------------------------------------
+
+
+def test_classifier_score_recomputation(spark, sf_dir):
+    """Recompute the logit independently in Python (md5 bucket →
+    weight, posrem-floor mean + bias) for every doc."""
+    import random
+
+    rng = random.Random(4242)
+    w = [rng.randrange(-20000, 20001) for _ in range(_CLF_BUCKETS)]
+
+    import duckdb
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["text_classifier_score"](spark, sf_dir).collect()
+    }
+    assert len(got) == len(docs)
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        s = sum(
+            w[
+                int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+                % _CLF_BUCKETS
+            ]
+            for t in toks
+        )
+        n = len(toks)
+        logit = (s - (((s % n) + n) % n)) // n + _CLF_BIAS_E4
+        r = got[doc_id]
+        assert r["n_tokens"] == n
+        assert r["logit_e4"] == logit
+        assert r["keep_flag"] == (1 if logit > 0 else 0)
