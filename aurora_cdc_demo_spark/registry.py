@@ -15707,3 +15707,262 @@ def q_layout_hilbert_compare(spark, sf_dir):
         "WITH _x AS (SELECT 1)"
         + _layout_compare_core("spark", _HZ_LAYOUTS, "hzbase_mat")
     )
+
+
+# ---------------------------------------------------------------------------
+# R11: thirteen-gate keep-list — model-based classifier gate
+# ---------------------------------------------------------------------------
+
+_V7_EXTRA_CTES = f"""
+        , clf AS (
+            SELECT doc_id, logit_e4 > 0 AS model_keep
+            FROM ({_clf_score_sql('duck')}) )
+"""
+
+# v7 = v6 with the model gate spliced in after the DSIR importance
+# floor (rules first, model last: a model veto on a doc the rule
+# battery already explains would hide the cheaper-to-fix reason) —
+# same textual-refinement discipline as _V5_SELECT/_V6_SELECT.
+_V7_SELECT = (
+    _V6_SELECT.replace(
+        "AND NOT ds.off_target",
+        "AND NOT ds.off_target\n"
+        "                   AND cl.model_keep",
+    )
+    .replace(
+        "WHEN ds.off_target THEN 'off_target'",
+        "WHEN ds.off_target THEN 'off_target'\n"
+        "                    WHEN NOT cl.model_keep THEN 'model_reject'",
+    )
+    .replace(
+        "JOIN dsir ds USING (doc_id)",
+        "JOIN dsir ds USING (doc_id)\n"
+        "        JOIN clf cl USING (doc_id)",
+    )
+)
+assert _V7_SELECT.count("model_keep") == 2, "v6 SELECT drifted"
+assert _V7_SELECT.count("cl.") == 2, "v7 splice incomplete"
+
+_V7_PRIOR_REASONS = [
+    "exact_dup",
+    "near_dup",
+    "contaminated",
+    "dup_heavy",
+    "boilerplate",
+    "repetitive",
+    "c4_filtered",
+    "gopher_filtered",
+    "gopher_repetitive",
+    "low_quality",
+    "off_target",
+]
+
+
+def _keep_list_v7(spark, sf_dir, graph):
+    base = _keep_list_v6(spark, sf_dir, graph).select(
+        "doc_id",
+        F.col("keep").alias("keep_v6"),
+        F.col("decision").alias("decision_v6"),
+    )
+    cl = QUERIES["text_classifier_score"](spark, sf_dir).select(
+        "doc_id", (F.col("keep_flag") == 1).alias("model_keep")
+    )
+    j = base.join(cl, "doc_id")
+    keep = F.col("keep_v6") & F.col("model_keep")
+    decision = (
+        F.when(
+            F.col("decision_v6").isin(*_V7_PRIOR_REASONS),
+            F.col("decision_v6"),
+        )
+        .when(~F.col("model_keep"), "model_reject")
+        .otherwise(F.col("decision_v6"))
+    )
+    return j.select(
+        "doc_id", keep.alias("keep"), decision.alias("decision")
+    )
+
+
+@query(
+    "corpus_keep_list_v7",
+    oracle=_KEEP_GATES_CTES
+    + _V3_EXTRA_CTES
+    + _V4_EXTRA_CTES
+    + _V5_EXTRA_CTES
+    + _V6_EXTRA_CTES
+    + _V7_EXTRA_CTES
+    + _V7_SELECT,
+)
+def q_corpus_keep_list_v7(spark, sf_dir):
+    """THIRTEEN-gate keep-list: v6's twelve rule gates plus the
+    hashed linear classifier (#303) as the closing MODEL gate —
+    the gate order every production corpus run converges on (rules
+    first because their reason codes are actionable and their cost
+    is linear; the model veto last so it only adjudicates docs no
+    rule explains). Priority: ... > low_quality > off_target >
+    model_reject > sampled_out. Exact-graph oracle twin;
+    v7-refines-v6 law in pytest (v7 keeps ⊆ v6 keeps, and every
+    newly-dropped doc carries decision = model_reject)."""
+    return _keep_list_v7(spark, sf_dir, "exact")
+
+
+@query(
+    "corpus_keep_list_v7_lsh",
+    oracle=_KEEP_GATES_CTES_LSH
+    + _V3_EXTRA_CTES
+    + _V4_EXTRA_CTES
+    + _V5_EXTRA_CTES
+    + _V6_EXTRA_CTES
+    + _V7_EXTRA_CTES
+    + _V7_SELECT,
+)
+def q_corpus_keep_list_v7_lsh(spark, sf_dir):
+    """The deployment artifact, now with the model gate: thirteen
+    gates on the LSH near-dup graph — the classifier adds one
+    64-row broadcast join + a doc-keyed aggregate to a chain that
+    stays O(docs + candidates) end to end."""
+    return _keep_list_v7(spark, sf_dir, "lsh")
+
+
+# ---------------------------------------------------------------------------
+# R11: hybrid retrieval (RRF fusion) + contrastive hard-negative
+# mining
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+_RRF_DENSE_TOPN = 10
+
+
+def _rrf_hybrid_sql(dialect: str) -> str:
+    """Sparse arm = the #152 BM25 top-10 (fixed query terms); dense
+    arm = cosine top-10 for the query embedding (vec_id 0 — doc_id
+    and vec_id share the 0..N id space by the testdata contract);
+    fused by reciprocal-rank fusion rrf = Σ 1/(K + rank) in e6
+    floor-scaled integers. Ranks carry a 0 sentinel (not NULL) for
+    'absent from this arm' so the output stays a non-nullable
+    integer frame on both engines."""
+    div = "div" if dialect == "spark" else "//"
+    bm = _text.bm25_sql(dialect)
+    return f"""
+        WITH bm AS ({bm})
+        , v AS (
+            SELECT vec_id, embedding,
+                   {_sim._norm('embedding', dialect)} AS nrm
+            FROM embeddings)
+        , q AS (
+            SELECT embedding AS qe, nrm AS qn FROM v WHERE vec_id = 0)
+        , dscored AS (
+            SELECT v.vec_id AS doc_id,
+                   ({_sim._dot('q.qe', 'v.embedding', dialect)})
+                       / (q.qn * v.nrm) AS cos
+            FROM v CROSS JOIN q WHERE v.vec_id <> 0)
+        , dtop AS (
+            SELECT doc_id, cos FROM dscored
+            ORDER BY cos DESC, doc_id ASC LIMIT {_RRF_DENSE_TOPN})
+        , dense AS (
+            SELECT doc_id, CAST(row_number() OVER (
+                       ORDER BY cos DESC, doc_id ASC) AS BIGINT)
+                   AS dense_rank
+            FROM dtop)
+        , fused AS (
+            SELECT COALESCE(b.doc_id, d.doc_id) AS doc_id,
+                   COALESCE(b.bm25_rank, 0) AS bm25_rank,
+                   COALESCE(d.dense_rank, 0) AS dense_rank,
+                   (CASE WHEN b.bm25_rank IS NULL THEN 0
+                         ELSE 1000000 {div} ({_RRF_K} + b.bm25_rank) END
+                    + CASE WHEN d.dense_rank IS NULL THEN 0
+                           ELSE 1000000 {div} ({_RRF_K} + d.dense_rank)
+                      END) AS rrf_e6
+            FROM bm b FULL OUTER JOIN dense d ON b.doc_id = d.doc_id)
+        SELECT doc_id, bm25_rank, dense_rank,
+               CAST(rrf_e6 AS BIGINT) AS rrf_e6,
+               CAST(row_number() OVER (
+                   ORDER BY rrf_e6 DESC, doc_id ASC) AS BIGINT)
+                   AS fused_rank
+        FROM fused
+    """
+
+
+@query("retrieval_rrf_hybrid", oracle=_rrf_hybrid_sql("duck"))
+def q_retrieval_rrf_hybrid(spark, sf_dir):
+    """HYBRID RETRIEVAL — the serving pattern modern RAG stacks run
+    (sparse keyword recall + dense semantic recall, fused without
+    score calibration): the #152 BM25 top-10 and the cosine top-10
+    of the query embedding, merged by reciprocal-rank fusion
+    Σ 1/(K+rank), K=60 — rank-based fusion needs NO normalization
+    across the incomparable score scales, which is exactly why RRF
+    is the default hybrid combiner. Floor-scaled e6 integers keep
+    the fusion exact cross-engine; absent-from-arm is a 0-rank
+    sentinel, so each arm's unique hits survive fusion (the recall
+    union property that makes hybrid beat either arm).
+
+    Scale: the sparse arm is #152's plan (filtered-before-shuffle
+    tf + TakeOrderedAndProject); the dense arm is one broadcast of
+    the single query vector against the corpus + top-N (at scale
+    the IVF/PQ serving paths #139/#144 substitute for the
+    brute-force arm unchanged — rank lists are the interface);
+    fusion itself is a 20-row FULL OUTER JOIN."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    return spark.sql(_rrf_hybrid_sql("spark"))
+
+
+def _hard_negatives_sql(dialect: str) -> str:
+    """Top-TOPK most-similar DIFFERENT-label neighbors per query
+    seed — the #29 top-k chain with the label-mismatch predicate
+    pushed below the ranking window."""
+    from .operators.similarity import N_QUERIES, TOPK
+
+    return f"""
+        WITH v AS (
+            SELECT vec_id, embedding, label,
+                   {_sim._norm('embedding', dialect)} AS nrm
+            FROM embeddings)
+        , q AS (
+            SELECT vec_id AS query_id, embedding AS qe, nrm AS qn,
+                   label AS qlabel
+            FROM v WHERE vec_id < {N_QUERIES})
+        , scored AS (
+            SELECT q.query_id, v.vec_id AS neighbor_id,
+                   v.label AS neg_label,
+                   ({_sim._dot('q.qe', 'v.embedding', dialect)})
+                       / (q.qn * v.nrm) AS cos
+            FROM q CROSS JOIN v
+            WHERE v.vec_id <> q.query_id AND v.label <> q.qlabel)
+        , ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id ASC) AS rn
+            FROM scored)
+        SELECT query_id, neighbor_id, neg_label,
+               CAST(rn AS BIGINT) AS hn_rank,
+               ROUND(cos, 6) AS cosine
+        FROM ranked WHERE rn <= {TOPK}
+    """
+
+
+@query("embed_hard_negatives", oracle=_hard_negatives_sql("duck"))
+def q_embed_hard_negatives(spark, sf_dir):
+    """Contrastive HARD-NEGATIVE mining — the training-data op that
+    feeds embedding-model finetuning (and the reranker stage of the
+    hybrid stack): for each query seed, the TOPK most-similar
+    vectors with a DIFFERENT label. High-cosine/wrong-label is the
+    definition of a hard negative; random negatives are trivially
+    separable and teach the model nothing. Same brute-force chain
+    as #29 (the oracle baseline) with the label-mismatch predicate
+    pushed below the window, so the ranked set IS the hard set.
+
+    Scale: the mining corpus never shuffles — queries broadcast
+    (seed-bounded), per-partition partial top-k via the rank
+    window's partial aggregation; at deployment scale the
+    IVF-bucketed paths substitute for the cross join exactly as in
+    the ANN family."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    return spark.sql(_hard_negatives_sql("spark"))

@@ -99,6 +99,8 @@ HEADLINE = [
     "events_hll_overlap",
     "text_classifier_score",
     "layout_hilbert_compare",
+    "corpus_keep_list_v7_lsh",
+    "retrieval_rrf_hybrid",
 ]
 
 

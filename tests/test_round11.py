@@ -184,3 +184,145 @@ def test_classifier_score_recomputation(spark, sf_dir):
         assert r["n_tokens"] == n
         assert r["logit_e4"] == logit
         assert r["keep_flag"] == (1 if logit > 0 else 0)
+
+
+# ---------------------------------------------------------------------------
+# v7 keep-list refinement
+# ---------------------------------------------------------------------------
+
+
+def test_v7_refines_v6(spark, sf_dir):
+    """v7 keeps ⊆ v6 keeps; every newly-dropped doc carries
+    decision = model_reject; rule reason codes are untouched."""
+    for suffix in ("", "_lsh"):
+        v6 = {
+            r["doc_id"]: r
+            for r in QUERIES[f"corpus_keep_list_v6{suffix}"](
+                spark, sf_dir
+            ).collect()
+        }
+        v7 = {
+            r["doc_id"]: r
+            for r in QUERIES[f"corpus_keep_list_v7{suffix}"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert set(v6) == set(v7)
+        for d, r7 in v7.items():
+            r6 = v6[d]
+            if r7["keep"]:
+                assert r6["keep"]
+            if r6["keep"] and not r7["keep"]:
+                assert r7["decision"] == "model_reject"
+            if r6["decision"] not in ("keep", "sampled_out"):
+                assert r7["decision"] == r6["decision"]
+
+
+def test_v7_model_gate_agrees_with_classifier(spark, sf_dir):
+    clf = {
+        r["doc_id"]: r["keep_flag"]
+        for r in QUERIES["text_classifier_score"](spark, sf_dir).collect()
+    }
+    for r in QUERIES["corpus_keep_list_v7"](spark, sf_dir).collect():
+        if r["decision"] == "model_reject":
+            assert clf[r["doc_id"]] == 0
+        if r["keep"]:
+            assert clf[r["doc_id"]] == 1
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval + hard negatives
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_fusion_laws(spark, sf_dir):
+    """RRF score equals the floor-scaled identity recomputed from
+    the emitted ranks; fused order is dense in 1..n; arm ranks stay
+    within their top-N windows; at least one arm contributed to
+    every row."""
+    rows = QUERIES["retrieval_rrf_hybrid"](spark, sf_dir).collect()
+    assert rows
+    got_ranks = sorted(r["fused_rank"] for r in rows)
+    assert got_ranks == list(range(1, len(rows) + 1))
+    for r in rows:
+        expect = 0
+        if r["bm25_rank"] > 0:
+            assert 1 <= r["bm25_rank"] <= 10
+            expect += 1000000 // (60 + r["bm25_rank"])
+        if r["dense_rank"] > 0:
+            assert 1 <= r["dense_rank"] <= 10
+            expect += 1000000 // (60 + r["dense_rank"])
+        assert expect > 0
+        assert r["rrf_e6"] == expect
+
+
+def test_rrf_both_arms_rank1_outranks_single_arm(spark, sf_dir):
+    """A doc present in BOTH arms at any rank ≤ 10 beats a doc in
+    one arm at rank > 1 — the union-recall property."""
+    rows = QUERIES["retrieval_rrf_hybrid"](spark, sf_dir).collect()
+    both = [r for r in rows if r["bm25_rank"] > 0 and r["dense_rank"] > 0]
+    single_worst = [
+        r
+        for r in rows
+        if (r["bm25_rank"] == 0) != (r["dense_rank"] == 0)
+        and max(r["bm25_rank"], r["dense_rank"]) > 1
+    ]
+    for b in both:
+        for s in single_worst:
+            assert b["rrf_e6"] > s["rrf_e6"]
+
+
+def test_hard_negatives_exclude_own_label(spark, sf_dir):
+    import duckdb
+
+    labels = dict(
+        duckdb.sql(
+            f"SELECT vec_id, label FROM '{sf_dir}/embeddings.parquet'"
+        ).fetchall()
+    )
+    rows = QUERIES["embed_hard_negatives"](spark, sf_dir).collect()
+    assert rows
+    per_q: dict[int, list] = {}
+    for r in rows:
+        assert labels[r["neighbor_id"]] != labels[r["query_id"]]
+        assert labels[r["neighbor_id"]] == r["neg_label"]
+        per_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r["hn_rank"])
+        assert [r["hn_rank"] for r in rs] == list(range(1, len(rs) + 1))
+        cosines = [r["cosine"] for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_hard_negatives_are_hardest(spark, sf_dir):
+    """The mined set is exactly the top of the different-label
+    cosine ordering: no unmined different-label vector may beat a
+    mined one (checked for query 0 against a brute-force duckdb
+    pass)."""
+    import duckdb
+
+    rows = [
+        r
+        for r in QUERIES["embed_hard_negatives"](spark, sf_dir).collect()
+        if r["query_id"] == 0
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS"
+        f" SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    brute = con.execute(
+        """
+        WITH v AS (SELECT vec_id, embedding, label,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> x * x))) AS nrm FROM embeddings)
+        SELECT b.vec_id,
+               list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                    p -> p[1] * p[2])) / (a.nrm * b.nrm) AS cos
+        FROM v a JOIN v b
+          ON a.vec_id = 0 AND b.vec_id <> 0 AND b.label <> a.label
+        ORDER BY cos DESC, b.vec_id ASC
+        """
+    ).fetchall()
+    mined = {r["neighbor_id"] for r in rows}
+    assert mined == {vid for vid, _ in brute[: len(rows)]}
