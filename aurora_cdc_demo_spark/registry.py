@@ -15408,67 +15408,14 @@ def q_dq_k_anonymity(spark, sf_dir):
     return spark.sql(_k_anonymity_sql("spark"))
 
 
-_CLF_BUCKETS = 64
-_CLF_BIAS_E4 = 1500
+from .operators.classifier import (  # noqa: E402
+    CLF_BIAS_E4 as _CLF_BIAS_E4,
+    CLF_BUCKETS as _CLF_BUCKETS,
+    clf_score_sql as _clf_score_sql,
+)
 
-
-def _clf_weight_table() -> str:
-    """64 hashed-feature weights in e4 fixed point — data-
-    independent constants generated once in Python from a fixed
-    seed and inlined as a VALUES literal (the JL-sign-matrix rule:
-    model parameters are artifacts shipped WITH the job, never
-    computed in-engine). A real deployment would paste its trained
-    fasttext/logistic weights here unchanged."""
-    import random
-
-    rng = random.Random(4242)
-    rows = ", ".join(
-        f"({b}, {rng.randrange(-20000, 20001)})"
-        for b in range(_CLF_BUCKETS)
-    )
-    return f"(VALUES {rows}) w(bucket, w_e4)"
-
-
-def _clf_score_sql(dialect: str) -> str:
-    """Hashed bag-of-words linear classifier (fasttext-style
-    mean-pooled): token → md5 bucket → weight, mean over the doc's
-    tokens + bias = logit. Mean uses the posrem floor form (weight
-    sums go negative; Spark div truncates, DuckDB // floors)."""
-    div = "div" if dialect == "spark" else "//"
-    if dialect == "spark":
-        h = "CAST(conv(substring(md5(token), 1, 8), 16, 10) AS BIGINT)"
-        tok = (
-            "SELECT doc_id, token"
-            " FROM documents"
-            " LATERAL VIEW explode(split(text, ' ')) t AS token"
-        )
-    else:
-        h = "CAST('0x' || substr(md5(token), 1, 8) AS BIGINT)"
-        tok = (
-            "SELECT doc_id, unnest(string_split(text, ' ')) AS token"
-            " FROM documents"
-        )
-    mean = (
-        f"((s - (((s % n) + n) % n)) {div} n)"
-    )
-    return f"""
-        WITH toks AS ({tok})
-        , feats AS (
-            SELECT doc_id, ({h}) % {_CLF_BUCKETS} AS bucket
-            FROM toks)
-        , scored AS (
-            SELECT f.doc_id,
-                   CAST(SUM(w.w_e4) AS BIGINT) AS s,
-                   CAST(COUNT(*) AS BIGINT) AS n
-            FROM feats f JOIN {_clf_weight_table()}
-              ON w.bucket = f.bucket
-            GROUP BY f.doc_id)
-        SELECT doc_id, n AS n_tokens,
-               {mean} + {_CLF_BIAS_E4} AS logit_e4,
-               CASE WHEN {mean} + {_CLF_BIAS_E4} > 0
-                    THEN 1 ELSE 0 END AS keep_flag
-        FROM scored
-    """
+# (scoring definition lives in operators/classifier.py — shared with
+# the streaming admission gate so batch and stream cannot drift)
 
 
 @query("text_classifier_score", oracle=_clf_score_sql("duck"))
@@ -15966,3 +15913,70 @@ def q_embed_hard_negatives(spark, sf_dir):
         "embeddings"
     )
     return spark.sql(_hard_negatives_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# R11: session-definition sensitivity sweep
+# ---------------------------------------------------------------------------
+
+_GAP_SWEEP_MINS = [5, 15, 30, 60, 120]
+
+
+def _gap_sweep_sql(dialect: str) -> str:
+    """ONE lag/lead pass over the user-ordered stream, then every
+    threshold evaluated against the SAME gap columns (a session
+    starts where gap_prev exceeds g; a singleton also ends there) —
+    the sweep never re-sessionizes. Threshold µs products are
+    precomputed in Python (120·60000000 overflows Spark's INT32
+    literal arithmetic under ANSI — the r7 rule)."""
+    div = "div" if dialect == "spark" else "//"
+    ep = "epoch_us" if dialect == "duck" else "unix_micros"
+    th = ", ".join(f"({m}, {m * 60000000})" for m in _GAP_SWEEP_MINS)
+    w = "PARTITION BY user_id ORDER BY ts ASC, event_id ASC"
+    return f"""
+        WITH seq AS (
+            SELECT user_id,
+                   {ep}(ts) - lag({ep}(ts)) OVER ({w}) AS gap_prev,
+                   lead({ep}(ts)) OVER ({w}) - {ep}(ts) AS gap_next
+            FROM events)
+        , marked AS (
+            SELECT th.mins, s.user_id,
+                   CASE WHEN s.gap_prev IS NULL
+                             OR s.gap_prev > th.g_us
+                        THEN 1 ELSE 0 END AS is_start,
+                   CASE WHEN (s.gap_prev IS NULL
+                              OR s.gap_prev > th.g_us)
+                         AND (s.gap_next IS NULL
+                              OR s.gap_next > th.g_us)
+                        THEN 1 ELSE 0 END AS is_singleton
+            FROM seq s
+            CROSS JOIN (VALUES {th}) AS th(mins, g_us))
+        SELECT mins AS gap_minutes,
+               CAST(SUM(is_start) AS BIGINT) AS n_sessions,
+               CAST(SUM(is_singleton) AS BIGINT) AS n_singletons,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST((100 * COUNT(*)) AS BIGINT) {div}
+                   CAST(SUM(is_start) AS BIGINT)
+                   AS events_per_session_centi
+        FROM marked GROUP BY mins
+    """
+
+
+@query("events_gap_threshold_sweep", oracle=_gap_sweep_sql("duck"))
+def q_events_gap_threshold_sweep(spark, sf_dir):
+    """How sensitive is 'a session' to the gap threshold? Session,
+    singleton-session, and events-per-session counts for g ∈
+    {5,15,30,60,120} min from ONE lag/lead pass — each threshold is
+    a predicate over the same two gap columns, never a
+    re-sessionization (5 thresholds cost 5 CASEs, not 5 window
+    passes). The mart behind choosing the 30-min constant that #9
+    and #184 hard-code: where the n_sessions curve flattens, the
+    definition stops mattering; a high singleton share at small g
+    says the threshold is cutting real dwells in half.
+
+    Scale: one user-keyed shuffle (shared shape with every other
+    per-user window op), a constant 5-row broadcast, integer
+    algebra; output is threshold-bounded."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_gap_sweep_sql("spark"))

@@ -52,10 +52,16 @@ class CurationStore:
         spark: SparkSession,
         state_dir: str,
         quality_bp: int = KEEP_QUALITY_BP,
+        model_gate: bool = False,
     ):
         self.spark = spark
         self.state_dir = state_dir
         self.quality_bp = quality_bp
+        # model_gate=True adds the hashed-linear-classifier veto
+        # (operators/classifier — the SAME scoring definition the
+        # batch v7 keep-list runs, so stream-equals-batch stays a
+        # law about state handling, not two scorers drifting)
+        self.model_gate = model_gate
 
     # -- state plumbing (same contract as ParquetStateStore) --------
 
@@ -119,6 +125,13 @@ class CurationStore:
             .where(F.col("quality_bp") >= self.quality_bp)
             .drop("quality_bp")
         )
+        if self.model_gate:
+            from ..operators.classifier import clf_score_df
+
+            # row-local (per-doc) like the quality floor: a stateless
+            # codegen chain, so admission stays order-independent
+            ok = clf_score_df(kept).where("keep_flag = 1").select("doc_id")
+            kept = kept.join(ok, "doc_id")
         merged = kept if state is None else state.unionByName(kept)
         # localCheckpoint cuts lineage before the overwrite (the new
         # state must not lazily re-read the dir it replaces)

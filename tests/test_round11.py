@@ -326,3 +326,117 @@ def test_hard_negatives_are_hardest(spark, sf_dir):
     ).fetchall()
     mined = {r["neighbor_id"] for r in rows}
     assert mined == {vid for vid, _ in brute[: len(rows)]}
+
+
+# ---------------------------------------------------------------------------
+# streaming model-gated admission
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_curation_model_gate_equals_batch(spark, sf_dir, tmp_path):
+    """CurationStore(model_gate=True) must land on the batch
+    three-gate set: dedup_exact canonicals ∩ quality floor ∩
+    classifier keep — the streaming twin of v7's model gate, using
+    the ONE shared scoring definition."""
+    from pyspark.sql import functions as F
+
+    from aurora_cdc_demo_spark.operators.classifier import clf_score_df
+    from aurora_cdc_demo_spark.operators.dedup import dedup_exact
+    from aurora_cdc_demo_spark.operators.text import quality_score
+    from aurora_cdc_demo_spark.streaming.curation import (
+        KEEP_QUALITY_BP,
+        CurationStore,
+    )
+    from aurora_cdc_demo_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+    flat = tmp_path / "docs_flat"
+    flat.mkdir()
+    import shutil
+    from pathlib import Path
+
+    for i, part in enumerate(
+        [docs.where(F.col("doc_id") <= mid), docs.where(F.col("doc_id") > mid)]
+    ):
+        outdir = tmp_path / f"b{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(str(outdir))
+        for j, f in enumerate(sorted(Path(outdir).glob("*.parquet"))):
+            shutil.copy(f, flat / f"{i:02d}_{j:02d}.parquet")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    store = CurationStore(
+        spark, str(tmp_path / "admitted"), model_gate=True
+    )
+    q = store.start(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    got = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "admitted")).collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in dedup_exact(docs)
+        .where("is_canonical")
+        .select("doc_id")
+        .join(
+            quality_score(docs)
+            .where(F.col("quality_bp") >= KEEP_QUALITY_BP)
+            .select("doc_id"),
+            "doc_id",
+        )
+        .join(
+            clf_score_df(docs).where("keep_flag = 1").select("doc_id"),
+            "doc_id",
+        )
+        .collect()
+    }
+    assert got == want and got
+    # the gate actually bit: some quality-passing canonical docs
+    # were vetoed by the model
+    base = {
+        r["doc_id"]
+        for r in dedup_exact(docs)
+        .where("is_canonical")
+        .select("doc_id")
+        .join(
+            quality_score(docs)
+            .where(F.col("quality_bp") >= KEEP_QUALITY_BP)
+            .select("doc_id"),
+            "doc_id",
+        )
+        .collect()
+    }
+    assert got < base
+
+
+def test_gap_threshold_sweep_laws(spark, sf_dir):
+    """Sessions monotonically decrease as the gap threshold grows
+    (coarser definition merges sessions, never splits); singletons
+    ≤ sessions and also monotone non-increasing; event totals are
+    threshold-invariant; the events-per-session ratio recomputes."""
+    rows = sorted(
+        QUERIES["events_gap_threshold_sweep"](spark, sf_dir).collect(),
+        key=lambda r: r["gap_minutes"],
+    )
+    assert [r["gap_minutes"] for r in rows] == [5, 15, 30, 60, 120]
+    n_events = rows[0]["n_events"]
+    prev_s = prev_single = None
+    for r in rows:
+        assert r["n_events"] == n_events
+        assert 0 < r["n_singletons"] <= r["n_sessions"] or (
+            r["n_singletons"] == 0
+        )
+        assert (
+            r["events_per_session_centi"]
+            == (100 * r["n_events"]) // r["n_sessions"]
+        )
+        if prev_s is not None:
+            assert r["n_sessions"] <= prev_s
+            assert r["n_singletons"] <= prev_single
+        prev_s, prev_single = r["n_sessions"], r["n_singletons"]
