@@ -61,11 +61,17 @@ def connected_components(
     else:
         raise ValueError(f"unknown checkpoint_mode: {checkpoint_mode!r}")
 
+    # materialize the incoming edge list ONCE before the undirected
+    # union references it twice (forward + reversed arms are separate
+    # subtrees — without this the caller's whole candidate-generation
+    # chain executes twice inside the bidir build; measured ~4 s off
+    # embed_dedup_clusters_lsh at sf0.1)
+    e1 = _ckpt(
+        edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    )
     bidir = _ckpt(
-        edges.select(
-            F.col(src).alias("_src"), F.col(dst).alias("_dst")
-        ).unionByName(
-            edges.select(F.col(dst).alias("_src"), F.col(src).alias("_dst"))
+        e1.unionByName(
+            e1.select(F.col("_dst").alias("_src"), F.col("_src").alias("_dst"))
         )
     )
     labels = _ckpt(nodes.select(F.col(id_col), F.col(id_col).alias("cluster_id")))
@@ -85,6 +91,7 @@ def connected_components(
                     F.col("cluster_id"),
                     F.coalesce(F.col("_n_min"), F.col("cluster_id")),
                 ).alias("cluster_id"),
+                F.col("cluster_id").alias("_old"),
             )
         )
         # path-halving (pointer doubling): label <- label(label).
@@ -97,7 +104,12 @@ def connected_components(
         lmap = upd.select(
             F.col(id_col).alias("_k"), F.col("cluster_id").alias("_kl")
         )
-        new_labels = _ckpt(
+        # convergence is detected from the pre-round label riding
+        # along as _old (carried through upd, no extra join), so the
+        # change count is a SCAN over the already-checkpointed step
+        # result — not the labels-vs-new join+shuffle per round the
+        # first version paid
+        stepped = _ckpt(
             upd.join(lmap, upd["cluster_id"] == lmap["_k"], "left")
             .select(
                 id_col,
@@ -105,14 +117,11 @@ def connected_components(
                     F.col("cluster_id"),
                     F.coalesce(F.col("_kl"), F.col("cluster_id")),
                 ).alias("cluster_id"),
+                F.col("_old"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), id_col)
-            .where("n.cluster_id <> o.cluster_id")
-            .count()
-        )
+        changed = stepped.where("cluster_id <> _old").count()
+        new_labels = stepped.drop("_old")
         labels = new_labels
         if changed == 0:
             break

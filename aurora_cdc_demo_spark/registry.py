@@ -15980,3 +15980,272 @@ def q_events_gap_threshold_sweep(spark, sf_dir):
     ensure_utc(spark)
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_gap_sweep_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# R11: content-defined chunk dedup (storage-layer dedup for
+# multimodal payloads)
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 8  # rolling fingerprint window (bytes)
+_CHUNK_B = 257
+_CHUNK_M = 1000003
+_CHUNK_DIV = 64  # boundary rate 1/64 → mean chunk ≈ 64 bytes
+_FIXED_SZ = 64  # the fixed-size strawman arm
+
+
+def _cdc_chunk_sql(dialect: str) -> str:
+    """Rabin-style content-defined chunking vs fixed-size chunking,
+    both arms over the same payloads (documents bytes — the mm
+    binary convention), chunk-hash dedup stats per size octave.
+    The W-byte window fingerprint at each position is an 8-term
+    polynomial in exact BIGINT (terms reach 255·M ≈ 2.5e8 — cast
+    before multiply, the INT32 literal rule); a cut lands wherever
+    fingerprint ≡ 0 (mod {div}), so boundaries are CONTENT-LOCAL:
+    an insertion shifts every fixed-size grid cell after it but
+    only the chunk it lands in here — the property that makes CDC
+    the storage-dedup standard."""
+    pw = [pow(_CHUNK_B, j, _CHUNK_M) for j in range(_CHUNK_W)]
+    h = " + ".join(
+        f"CAST(ascii(substring(text, pos + {j}, 1)) AS BIGINT) * {pw[j]}"
+        for j in range(_CHUNK_W)
+    )
+    if dialect == "spark":
+        positions = f"""
+            SELECT doc_id, text, pos
+            FROM (SELECT doc_id, text FROM documents
+                  WHERE length(text) >= {_CHUNK_W}) d
+            LATERAL VIEW explode(
+                sequence(1, length(text) - {_CHUNK_W - 1})) p AS pos"""
+        fixed_offs = f"""
+            SELECT doc_id, text, off
+            FROM documents
+            LATERAL VIEW explode(
+                sequence(0, length(text) - 1, {_FIXED_SZ})) o AS off"""
+    else:
+        positions = f"""
+            SELECT doc_id, text,
+                   unnest(generate_series(
+                       1, length(text) - {_CHUNK_W - 1})) AS pos
+            FROM documents WHERE length(text) >= {_CHUNK_W}"""
+        fixed_offs = f"""
+            SELECT doc_id, text,
+                   unnest(generate_series(
+                       0, length(text) - 1, {_FIXED_SZ})) AS off
+            FROM documents"""
+    return f"""
+        WITH positions AS ({positions})
+        , boundaries AS (
+            SELECT doc_id, pos FROM (
+                SELECT doc_id, pos, ({h}) % {_CHUNK_M} AS h
+                FROM positions) f
+            WHERE h % {_CHUNK_DIV} = 0)
+        , mid AS (
+            SELECT doc_id, lag(pos, 1, 0) OVER (
+                       PARTITION BY doc_id ORDER BY pos ASC) AS s,
+                   pos AS e
+            FROM boundaries)
+        , tails AS (
+            SELECT d.doc_id, COALESCE(b.last_b, 0) AS s,
+                   length(d.text) AS e
+            FROM documents d
+            LEFT JOIN (SELECT doc_id, MAX(pos) AS last_b
+                       FROM boundaries GROUP BY doc_id) b
+              ON b.doc_id = d.doc_id)
+        , chunks AS (
+            SELECT 'cdc' AS method, c.doc_id,
+                   md5(substring(d.text, c.s + 1, c.e - c.s))
+                       AS chunk_md5,
+                   CAST(c.e - c.s AS BIGINT) AS sz
+            FROM (SELECT * FROM mid UNION ALL SELECT * FROM tails) c
+            JOIN documents d ON d.doc_id = c.doc_id
+            UNION ALL
+            SELECT 'fixed' AS method, doc_id,
+                   md5(substring(text, off + 1, {_FIXED_SZ}))
+                       AS chunk_md5,
+                   CAST(LEAST({_FIXED_SZ},
+                              length(text) - off) AS BIGINT) AS sz
+            FROM ({fixed_offs}) fo)
+        , counts AS (
+            SELECT method, chunk_md5, sz,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM chunks GROUP BY method, chunk_md5, sz)
+        SELECT method,
+               CAST(LENGTH(bin(sz)) - 1 AS BIGINT) AS size_octave,
+               CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(SUM(cnt * sz) AS BIGINT) AS total_bytes,
+               CAST(SUM((cnt - 1) * sz) AS BIGINT) AS dup_bytes
+        FROM counts
+        GROUP BY method, CAST(LENGTH(bin(sz)) - 1 AS BIGINT)
+    """
+
+
+@query("mm_cdc_chunk_dedup", oracle=_cdc_chunk_sql("duck"))
+def q_mm_cdc_chunk_dedup(spark, sf_dir):
+    """STORAGE-layer dedup — the paradigm below all the content
+    dedup families (doc #25, line #227, span #113, gram #92):
+    content-defined chunking splits each payload where a W-byte
+    rolling fingerprint ≡ 0 (mod 64), so chunk boundaries move WITH
+    the content (an insertion re-chunks one chunk, not every grid
+    cell after it — why backup/dedup stores chunk this way), then
+    dedups by chunk hash. Both arms measured side by side on the
+    same bytes: the fixed-64-byte grid strawman and CDC, per size
+    octave (n_chunks, distinct, total vs duplicate bytes — the
+    dedup-ratio mart a storage engine publishes). Payloads are the
+    documents bytes (the mm binary convention, #33).
+
+    Scale: the fingerprint explode is LINEAR in corpus bytes with a
+    constant 8-term codegen expression per position (no Python, no
+    shuffle until the chunk-hash aggregate); boundary placement is
+    embarrassingly parallel because cuts are content-local (no
+    min/max-size chaining in this variant). The chunk table shuffles
+    once on chunk_md5 — the same shape as every hash-dedup in the
+    family."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_cdc_chunk_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# R11: Matryoshka prefix-dimension recall
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = [8, 16, 32, 64]
+
+
+def _mrl_cos(d: int, dialect: str) -> str:
+    """Prefix-d cosine between q.qe and v.embedding — left-
+    associated fold over the FIRST d elements on both engines
+    (Spark: aggregate over zip_with of slice; duck: explicit +
+    chain), the #29 bit-identical discipline restricted to the
+    prefix."""
+    if dialect == "spark":
+        dot = (
+            f"aggregate(zip_with(slice(q.qe, 1, {d}),"
+            f" slice(v.embedding, 1, {d}),"
+            " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        nq = (
+            f"SQRT(aggregate(slice(q.qe, 1, {d}), CAST(0 AS DOUBLE),"
+            " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+        )
+        nv = (
+            f"SQRT(aggregate(slice(v.embedding, 1, {d}),"
+            " CAST(0 AS DOUBLE),"
+            " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+        )
+    else:
+        dot = " + ".join(
+            f"(CAST(q.qe[{i}] AS DOUBLE)"
+            f" * CAST(v.embedding[{i}] AS DOUBLE))"
+            for i in range(1, d + 1)
+        )
+        nq = "SQRT(" + " + ".join(
+            f"(CAST(q.qe[{i}] AS DOUBLE) * CAST(q.qe[{i}] AS DOUBLE))"
+            for i in range(1, d + 1)
+        ) + ")"
+        nv = "SQRT(" + " + ".join(
+            f"(CAST(v.embedding[{i}] AS DOUBLE)"
+            f" * CAST(v.embedding[{i}] AS DOUBLE))"
+            for i in range(1, d + 1)
+        ) + ")"
+    return f"({dot}) / ({nq} * {nv})"
+
+
+def _mrl_sql(dialect: str, scored_src: str | None = None) -> str:
+    """Recall@TOPK of each prefix width vs the full-width truth.
+    ``scored_src`` overrides the scored CTE body (the Spark side
+    passes a localCheckpointed temp view — the pairwise score table
+    is referenced by FIVE arms, the multiplicative-CTE rule; duck
+    uses AS MATERIALIZED)."""
+    from .operators.similarity import N_QUERIES, TOPK
+
+    div = "div" if dialect == "spark" else "//"
+    mat = "MATERIALIZED " if dialect != "spark" else ""
+    cols = ", ".join(
+        f"{_mrl_cos(d, dialect)} AS c{d}" for d in _MRL_DIMS
+    )
+    scored_body = scored_src or f"""
+            SELECT q.query_id, v.vec_id, {cols}
+            FROM (SELECT vec_id AS query_id, embedding AS qe
+                  FROM embeddings WHERE vec_id < {N_QUERIES}) q
+            CROSS JOIN embeddings v
+            WHERE v.vec_id <> q.query_id"""
+    full = _MRL_DIMS[-1]
+    arms = " UNION ALL ".join(
+        f"""
+        SELECT {d} AS dims, query_id, vec_id FROM (
+            SELECT query_id, vec_id, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY c{d} DESC, vec_id ASC) AS rn
+            FROM scored) r{d}
+        WHERE rn <= {TOPK}"""
+        for d in _MRL_DIMS
+    )
+    return f"""
+        WITH scored AS {mat}({scored_body})
+        , truth AS {mat}(
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY c{full} DESC, vec_id ASC) AS rn
+                FROM scored) t
+            WHERE rn <= {TOPK})
+        , arms AS ({arms})
+        SELECT a.dims,
+               CAST(COUNT(t.vec_id) AS BIGINT) AS hits,
+               CAST((10000 * COUNT(t.vec_id))
+                    {div} {N_QUERIES * TOPK} AS BIGINT) AS recall_bp
+        FROM arms a
+        LEFT JOIN truth t
+          ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+        GROUP BY a.dims
+    """
+
+
+@query("embed_matryoshka_recall", oracle=_mrl_sql("duck"))
+def q_embed_matryoshka_recall(spark, sf_dir):
+    """Matryoshka serving curve: recall@TOPK when queries are
+    answered with only the FIRST d dimensions (d ∈ {8,16,32,64}) vs
+    the full-width truth — the measurement behind
+    Matryoshka-representation serving (store one embedding, serve
+    cheap prefixes; same shape as the PQ/sign/JL audits #138-147/
+    #185, but along the DIMENSION-PREFIX axis those can't see). The
+    d=64 arm is the truth itself (recall_bp = 10000 by
+    construction, the self-consistency pin). Prefix cosines use the
+    #29 left-associated fold restricted to the slice, so both
+    engines rank bit-identically.
+
+    Scale: one pairwise score pass computes ALL widths (4 extra
+    codegen'd folds per pair, not 4 passes), localCheckpointed
+    before the five ranking arms read it; at deployment scale the
+    brute pass is replaced per-arm by the IVF/PQ serving chain and
+    the recall law is measured on a sampled query set exactly as
+    here (query-bounded)."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    # build the scored relation once, checkpoint, then rank
+    from .operators.similarity import N_QUERIES
+
+    cols = ", ".join(
+        f"{_mrl_cos(d, 'spark')} AS c{d}" for d in _MRL_DIMS
+    )
+    base = spark.sql(
+        f"""
+        SELECT q.query_id, v.vec_id, {cols}
+        FROM (SELECT vec_id AS query_id, embedding AS qe
+              FROM embeddings WHERE vec_id < {N_QUERIES}) q
+        CROSS JOIN embeddings v
+        WHERE v.vec_id <> q.query_id
+        """
+    ).localCheckpoint()
+    base.createOrReplaceTempView("mrl_scored_mat")
+    return spark.sql(
+        _mrl_sql("spark", scored_src="SELECT * FROM mrl_scored_mat")
+    )

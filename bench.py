@@ -101,6 +101,8 @@ HEADLINE = [
     "layout_hilbert_compare",
     "corpus_keep_list_v7_lsh",
     "retrieval_rrf_hybrid",
+    "mm_cdc_chunk_dedup",
+    "embed_matryoshka_recall",
 ]
 
 

