@@ -16249,3 +16249,129 @@ def q_embed_matryoshka_recall(spark, sf_dir):
     return spark.sql(
         _mrl_sql("spark", scored_src="SELECT * FROM mrl_scored_mat")
     )
+
+
+# ---------------------------------------------------------------------------
+# R11: CRDT conflict resolution, Good-Turing coverage
+# ---------------------------------------------------------------------------
+
+_CRDT_SITES = 4
+
+
+def _crdt_sql(dialect: str) -> str:
+    """State-based CRDT registers per key from the CDC log, with
+    ops deterministically attributed to {sites} replica sites
+    (site = seq mod {sites} — the simulation stand-in for the
+    origin-server id a real multi-master log carries). The
+    per-(key, site) slot counts ARE the G-counter/PN-counter state
+    vectors; this query emits their merged view."""
+    div = "div" if dialect == "spark" else "//"
+    return _with_log(f"""
+        , sited AS (
+            SELECT key_id, seq % {_CRDT_SITES} AS site, operation,
+                   ts, seq, value
+            FROM log)
+        , slots AS (
+            SELECT key_id, site,
+                   CAST(SUM(CASE WHEN operation <> 'DELETE'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS p_slot,
+                   CAST(SUM(CASE WHEN operation = 'DELETE'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_slot,
+                   CAST(MAX(CAST(ROUND(value * 100) AS BIGINT))
+                        AS BIGINT) AS max_slot
+            FROM sited GROUP BY key_id, site)
+        , lww AS (
+            SELECT key_id, seq AS lww_seq FROM (
+                SELECT key_id, seq, row_number() OVER (
+                    PARTITION BY key_id
+                    ORDER BY ts DESC, seq DESC) AS rn
+                FROM sited) r WHERE rn = 1)
+        SELECT s.key_id,
+               CAST(COUNT(*) AS BIGINT) AS n_sites_active,
+               CAST(SUM(s.p_slot) AS BIGINT) AS g_count,
+               CAST(SUM(s.p_slot) - SUM(s.n_slot) AS BIGINT) AS pn_value,
+               CAST(MAX(s.max_slot) AS BIGINT) AS max_register_cents,
+               MAX(l.lww_seq) AS lww_seq
+        FROM slots s JOIN lww l ON l.key_id = s.key_id
+        GROUP BY s.key_id
+    """)
+
+
+@query("cdc_crdt_state", oracle=_crdt_sql("duck"))
+def q_cdc_crdt_state(spark, sf_dir):
+    """CONFLICT RESOLUTION beyond last-writer-wins — the multi-
+    master merge semantics a CDC consumer needs when the same key is
+    written from several sites concurrently: G-counter (grow-only:
+    per-site slot vector, merge = slot-wise MAX, read = Σ slots),
+    PN-counter (increments − decrements, two G-counters), MAX
+    register (merge = max), and the LWW register (#2's rule) side by
+    side for the same key. The per-(key,site) slot table IS the CRDT
+    state: slot-wise MAX merge makes redelivery IDEMPOTENT and
+    site-order COMMUTATIVE — the exactly-once-without-coordination
+    property, pinned in pytest by merging duplicated site states in
+    shuffled order and landing on this query's exact output.
+
+    Scale: one key,site aggregate (the slot vector — bounded at
+    sites × keys) + one key-window for LWW sharing the key shuffle;
+    merged reads are per-key algebra. Site attribution is seq mod S
+    here; a real Debezium log substitutes its server_id column and
+    NOTHING else changes."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_crdt_sql("spark"))
+
+
+def _good_turing_sql(dialect: str) -> str:
+    if dialect == "spark":
+        tok = (
+            "SELECT source, token FROM documents"
+            " LATERAL VIEW explode(split(text, ' ')) t AS token"
+        )
+    else:
+        tok = (
+            "SELECT source, unnest(string_split(text, ' ')) AS token"
+            " FROM documents"
+        )
+    div = "div" if dialect == "spark" else "//"
+    return f"""
+        WITH tok AS ({tok})
+        , tf AS (
+            SELECT source, token, CAST(COUNT(*) AS BIGINT) AS r
+            FROM tok GROUP BY source, token)
+        , per AS (
+            SELECT source,
+                   CAST(SUM(r) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n1,
+                   CAST(SUM(CASE WHEN r = 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n2
+            FROM tf GROUP BY source)
+        SELECT source, n_tokens, n_types, n1, n2,
+               (10000 * n1) {div} n_tokens AS unseen_mass_bp,
+               CASE WHEN n1 > 0 THEN (200 * n2) {div} n1
+                    ELSE 0 END AS r1_star_centi
+        FROM per
+    """
+
+
+@query("text_good_turing", oracle=_good_turing_sql("duck"))
+def q_text_good_turing(spark, sf_dir):
+    """Good-Turing COVERAGE per source: the probability mass a
+    sample assigns to UNSEEN vocabulary is estimated by its hapax
+    share (P(unseen) ≈ n1/N — the Good-Turing missing-mass
+    estimator), with the smoothed count for once-seen words
+    r1* = 2·n2/n1 beside it. The corpus-datasheet number (#171
+    family) that says whether a source's token statistics have
+    converged — high unseen mass means every familiarity/Zipf/
+    growth statistic (#112/#168/#202) is still moving; near zero
+    means the vocabulary is saturated and subsampling is safe.
+
+    Scale: the standard explode → (source, token) count — shares
+    its shuffle shape with every frequency operator; the estimator
+    is per-source integer algebra on four counters."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_good_turing_sql("spark"))

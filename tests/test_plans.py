@@ -181,3 +181,38 @@ def test_bloom_semijoin_bits_broadcast(spark, sf_dir):
     runtime-filter pattern."""
     plan = plan_of(spark, sf_dir, "q3_bloom_semijoin")
     assert "BroadcastHashJoin" in plan
+
+
+def test_classifier_weight_join_broadcasts(spark, sf_dir):
+    """The 64-row weight VALUES literal must reach the exploded
+    token stream as a broadcast — the vocabulary-free scoring plan
+    may never shuffle the corpus against the model."""
+    plan = plan_of(spark, sf_dir, "text_classifier_score")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hilbert_lut_joins_broadcast(spark, sf_dir):
+    """Both nibble LUT steps (1024-row literals) broadcast; the key
+    computation never shuffles the events table."""
+    plan = plan_of(spark, sf_dir, "events_hilbert_key")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_cdc_chunking_no_python_worker(spark, sf_dir):
+    """The rolling-fingerprint chunker is pure codegen — no Python
+    UDF eval anywhere in the plan (the 8-term window polynomial is
+    an expression, not a worker round-trip)."""
+    plan = plan_of(spark, sf_dir, "mm_cdc_chunk_dedup")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan
+
+
+def test_rrf_dense_arm_take_ordered(spark, sf_dir):
+    """The dense arm's top-N must execute as TakeOrderedAndProject
+    (per-partition partial top-k) — never a global-sort window over
+    the scored corpus."""
+    plan = plan_of(spark, sf_dir, "retrieval_rrf_hybrid")
+    assert "TakeOrderedAndProject" in plan

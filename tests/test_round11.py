@@ -577,3 +577,99 @@ def test_matryoshka_recall_laws(spark, sf_dir):
         len(topk(8, q) & topk(64, q)) for q in range(N_QUERIES)
     )
     assert rows[8]["hits"] == hits8
+
+
+# ---------------------------------------------------------------------------
+# CRDT merge laws + Good-Turing
+# ---------------------------------------------------------------------------
+
+
+def test_crdt_merge_idempotent_commutative(spark, sf_dir):
+    """The CRDT content: rebuild per-(key,site) slot states in
+    Python, deliver every site state TWICE in shuffled order, merge
+    by slot-wise MAX (counters) / MAX (register) — the merged read
+    must equal the query's output exactly. Redelivery changes
+    nothing (idempotence); order never mattered (commutativity)."""
+    import random
+
+    from aurora_cdc_demo_spark.sources.cdc_log import cdc_operation_log
+
+    log = cdc_operation_log(spark, sf_dir).collect()
+    slots: dict = {}
+    lww: dict = {}
+    for r in log:
+        site = r["seq"] % 4
+        k = (r["key_id"], site)
+        p, n, mx = slots.get(k, (0, 0, None))
+        if r["operation"] == "DELETE":
+            n += 1
+        else:
+            p += 1
+        cents = round(r["value"] * 100)
+        mx = cents if mx is None else max(mx, cents)
+        slots[k] = (p, n, mx)
+        cur = lww.get(r["key_id"])
+        cand = (r["ts"], r["seq"])
+        if cur is None or cand > cur:
+            lww[r["key_id"]] = cand
+
+    deliveries = list(slots.items()) * 2
+    random.Random(1).shuffle(deliveries)
+    merged: dict = {}
+    for (key, site), (p, n, mx) in deliveries:
+        k = (key, site)
+        if k in merged:
+            p0, n0, m0 = merged[k]
+            merged[k] = (max(p0, p), max(n0, n), max(m0, mx))
+        else:
+            merged[k] = (p, n, mx)
+
+    got = {
+        r["key_id"]: r
+        for r in QUERIES["cdc_crdt_state"](spark, sf_dir).collect()
+    }
+    per_key: dict = {}
+    for (key, site), (p, n, mx) in merged.items():
+        g, pn, m, s = per_key.get(key, (0, 0, None, 0))
+        per_key[key] = (
+            g + p,
+            pn + p - n,
+            mx if m is None else max(m, mx),
+            s + 1,
+        )
+    assert set(got) == set(per_key)
+    for key, (g, pn, m, s) in per_key.items():
+        r = got[key]
+        assert r["g_count"] == g
+        assert r["pn_value"] == pn
+        assert r["max_register_cents"] == m
+        assert r["n_sites_active"] == s
+        assert r["lww_seq"] == lww[key][1]
+
+
+def test_good_turing_laws(spark, sf_dir):
+    """n1 ≤ n_types ≤ n_tokens; unseen mass recomputes and is < 1;
+    totals agree with an independent duckdb pass per source."""
+    import duckdb
+
+    rows = QUERIES["text_good_turing"](spark, sf_dir).collect()
+    assert rows
+    con = duckdb.connect()
+    want = {
+        s: (n, v)
+        for s, n, v in con.execute(
+            f"""
+            SELECT source, COUNT(*), COUNT(DISTINCT token)
+            FROM (SELECT source,
+                         unnest(string_split(text, ' ')) AS token
+                  FROM '{sf_dir}/documents.parquet') t
+            GROUP BY source
+            """
+        ).fetchall()
+    }
+    for r in rows:
+        n, v = want[r["source"]]
+        assert r["n_tokens"] == n and r["n_types"] == v
+        assert r["n1"] <= r["n_types"] <= r["n_tokens"]
+        assert r["unseen_mass_bp"] == (10000 * r["n1"]) // r["n_tokens"]
+        assert 0 <= r["unseen_mass_bp"] < 10000
