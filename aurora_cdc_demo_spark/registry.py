@@ -16375,3 +16375,156 @@ def q_text_good_turing(spark, sf_dir):
         "documents"
     )
     return spark.sql(_good_turing_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# R11: bitmap-index distinct rollup (the EXACT mergeable sketch)
+# ---------------------------------------------------------------------------
+
+_BMP_BITS = 62  # bits per word — stay strictly inside signed-64
+
+
+def _bitmap_rollup_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    shl = (
+        "shiftleft(CAST(1 AS BIGINT), CAST(user_id % {b} AS INT))"
+        if dialect == "spark"
+        else "(CAST(1 AS BIGINT) << CAST(user_id % {b} AS INT))"
+    ).format(b=_BMP_BITS)
+    return f"""
+        WITH bits AS (
+            SELECT date_trunc('day', ts) AS day,
+                   CAST(user_id {div} {_BMP_BITS} AS BIGINT) AS word_idx,
+                   CAST(bit_or({shl}) AS BIGINT) AS w
+            FROM events
+            GROUP BY date_trunc('day', ts),
+                     CAST(user_id {div} {_BMP_BITS} AS BIGINT))
+        , rolled AS (
+            SELECT day, word_idx, w,
+                   CAST(bit_or(w) OVER (
+                       PARTITION BY word_idx ORDER BY day ASC
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS w7
+            FROM bits)
+        SELECT day,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(bit_count(w)) AS BIGINT) AS dau_exact,
+               CAST(SUM(bit_count(w7)) AS BIGINT) AS rolling_7d_upper
+        FROM rolled
+        GROUP BY day
+    """
+
+
+@query("events_user_bitmap_rollup", oracle=_bitmap_rollup_sql("duck"))
+def q_events_user_bitmap_rollup(spark, sf_dir):
+    """The EXACT mergeable distinct-counter — the bitmap-index
+    paradigm beside the approximate sketches (#62 engine HLL, #156
+    registers, #114 count-min): pack each day's user set into
+    62-bit words (word = user div 62, bit = user mod 62), merge by
+    bitwise OR, read by popcount. OR-merge is idempotent,
+    commutative, and EXACT — the roaring-bitmap trick every OLAP
+    engine uses when the id space is dense enough to afford it
+    (state = idspace/62 words per group vs HLL's fixed 256 — the
+    documented tradeoff). Emits per-day exact DAU (popcount == the
+    COUNT DISTINCT law in pytest) and the 7-day rolling OR-union
+    (a word-partitioned window — each word rolls independently, no
+    day's full set is ever rebuilt).
+
+    NB the 7-day column counts days PRESENT in the window's ROWS
+    frame (sparse calendar ⇒ an upper window, named accordingly);
+    the per-day popcount law is exact regardless.
+
+    Scale: state is (days × active words); the OR window shuffles
+    on word_idx — the same key the bitmap is stored under, so
+    rollups are co-partitioned; popcount reads are projections. At
+    a 10^9 id space the words-per-day bound is ~16M rows — heavy
+    but exact, which is precisely when you pick HLL instead; this
+    query IS that decision's cost side."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_bitmap_rollup_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# R11: compensation (undo) log — point-in-time ROLLBACK as data
+# ---------------------------------------------------------------------------
+
+
+def _compensation_sql(dialect: str) -> str:
+    """Inverse of the #116 diff: the op stream that rolls the
+    CURRENT state back to the TIME_TRAVEL_AS_OF savepoint. value is
+    exact integer cents; DELETE carries the 0 sentinel (documented —
+    keeps the frame null-free on both engines)."""
+    return _with_log(f"""
+        , r1 AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY key_id ORDER BY ts DESC, seq DESC) AS rn
+            FROM log WHERE ts <= TIMESTAMP '{TIME_TRAVEL_AS_OF}')
+        , save AS (SELECT * FROM r1 WHERE rn = 1 AND operation <> 'DELETE')
+        , r2 AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY key_id ORDER BY ts DESC, seq DESC) AS rn
+            FROM log)
+        , cur AS (SELECT * FROM r2 WHERE rn = 1 AND operation <> 'DELETE')
+        SELECT COALESCE(s.key_id, c.key_id) AS key_id,
+               CASE WHEN s.key_id IS NULL THEN 'DELETE'
+                    WHEN c.key_id IS NULL THEN 'INSERT'
+                    ELSE 'UPDATE' END AS op,
+               CAST(CASE WHEN s.key_id IS NULL THEN 0
+                    ELSE CAST(ROUND(s.value * 100) AS BIGINT)
+                    END AS BIGINT) AS value_cents
+        FROM save s FULL OUTER JOIN cur c ON s.key_id = c.key_id
+        WHERE s.key_id IS NULL OR c.key_id IS NULL
+              OR s.seq <> c.seq
+    """)
+
+
+@query("cdc_compensation_ops", oracle=_compensation_sql("duck"))
+def q_cdc_compensation_ops(spark, sf_dir):
+    """POINT-IN-TIME ROLLBACK as a change stream — the compensating
+    transaction generator (flashback / PITR-by-undo): the minimal op
+    set that, applied to the CURRENT latest-state with ordinary
+    upsert semantics, reproduces the state at the
+    TIME_TRAVEL_AS_OF savepoint. Keys created since the savepoint
+    get DELETE; keys dropped since get INSERT (with their savepoint
+    value); keys whose winning op changed get UPDATE. This is #116's
+    diff INVERTED into executable form — rollback becomes one more
+    CDC batch through the existing upsert_merge machinery instead of
+    a table restore, which is exactly how production systems undo a
+    bad deploy without losing the intervening audit history. The
+    apply-law (upsert(current, compensation) == state_at_savepoint,
+    key-for-key in cents) is pinned in pytest.
+
+    Scale: two key-windows sharing one key shuffle + a key-keyed
+    FULL OUTER join — the #2/#34 plan shape; output is bounded by
+    keys that actually changed."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_compensation_sql("spark"))
+
+
+def crdt_slots(log_df: DataFrame) -> DataFrame:
+    """Per-(key, site) CRDT slot state from (a batch of) the CDC
+    log — the DataFrame twin of #313's slots CTE, shared with the
+    streaming maintenance law: per-micro-batch PARTIAL slots SUM
+    (op-based: each site increments its own slot), redelivered FULL
+    states MAX (state-based) — both land on the same merged read."""
+    return (
+        log_df.withColumn("site", F.col("seq") % _CRDT_SITES)
+        .groupBy("key_id", "site")
+        .agg(
+            F.sum(
+                F.when(F.col("operation") != "DELETE", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("p_slot"),
+            F.sum(
+                F.when(F.col("operation") == "DELETE", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_slot"),
+            F.max(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).alias(
+                "max_slot"
+            ),
+        )
+    )

@@ -673,3 +673,141 @@ def test_good_turing_laws(spark, sf_dir):
         assert r["n1"] <= r["n_types"] <= r["n_tokens"]
         assert r["unseen_mass_bp"] == (10000 * r["n1"]) // r["n_tokens"]
         assert 0 <= r["unseen_mass_bp"] < 10000
+
+
+# ---------------------------------------------------------------------------
+# bitmap rollup + compensation apply-law
+# ---------------------------------------------------------------------------
+
+
+def test_bitmap_popcount_equals_count_distinct(spark, sf_dir):
+    """The exactness claim: per-day popcount over OR-merged words ==
+    COUNT(DISTINCT user_id); words bound by ceil(idspace/62)."""
+    import duckdb
+
+    rows = {
+        str(r["day"]): r
+        for r in QUERIES["events_user_bitmap_rollup"](
+            spark, sf_dir
+        ).collect()
+    }
+    want = duckdb.sql(
+        f"""
+        SELECT CAST(date_trunc('day', ts) AS VARCHAR) AS day,
+               COUNT(DISTINCT user_id) AS d
+        FROM '{sf_dir}/events.parquet' GROUP BY 1
+        """
+    ).fetchall()
+    assert len(rows) == len(want)
+    for day, d in want:
+        got = rows[day + " 00:00:00" if " " not in day else day]
+        assert got["dau_exact"] == d
+        assert got["rolling_7d_upper"] >= got["dau_exact"]
+
+
+def test_compensation_ops_roll_back_to_savepoint(spark, sf_dir):
+    """THE law: upsert(current_state, compensation_ops) ==
+    state_at_savepoint, key for key, value in exact cents."""
+    from aurora_cdc_demo_spark.registry import TIME_TRAVEL_AS_OF
+    from aurora_cdc_demo_spark.sources.cdc_log import cdc_operation_log
+
+    log = cdc_operation_log(spark, sf_dir).collect()
+
+    def state(rows):
+        best = {}
+        for r in rows:
+            k = r["key_id"]
+            cand = (r["ts"], r["seq"])
+            if k not in best or cand > best[k][0]:
+                best[k] = (cand, r["operation"], r["value"])
+        return {
+            k: round(v * 100)
+            for k, (_, op, v) in best.items()
+            if op != "DELETE"
+        }
+
+    import datetime
+
+    t = datetime.datetime.fromisoformat(TIME_TRAVEL_AS_OF)
+    current = state(log)
+    savepoint = state([r for r in log if r["ts"] <= t])
+
+    comp = QUERIES["cdc_compensation_ops"](spark, sf_dir).collect()
+    rolled = dict(current)
+    for r in comp:
+        if r["op"] == "DELETE":
+            rolled.pop(r["key_id"], None)
+        else:
+            rolled[r["key_id"]] = r["value_cents"]
+    assert rolled == savepoint
+    assert comp
+
+    # minimality: an op may only touch a key whose WINNING VERSION
+    # (seq) or presence differs between the two sides
+    def winning_seq(rows):
+        best = {}
+        for r in rows:
+            k = r["key_id"]
+            cand = (r["ts"], r["seq"])
+            if k not in best or cand > best[k][0]:
+                best[k] = (cand, r["operation"], r["seq"])
+        return {
+            k: s for k, (_, op, s) in best.items() if op != "DELETE"
+        }
+
+    seq_cur = winning_seq(log)
+    seq_save = winning_seq([r for r in log if r["ts"] <= t])
+    for r in comp:
+        k = r["key_id"]
+        assert seq_cur.get(k) != seq_save.get(k), k
+
+
+def test_crdt_slots_maintainable_by_stream(spark, sf_dir, tmp_path):
+    """Streaming maintenance law for #313: per-micro-batch PARTIAL
+    slot tables SUM (p/n counters) and MAX (register) to exactly
+    the batch slot state — so foreachBatch maintains the CRDT with
+    constant per-key-site state, and the merged read equals
+    cdc_crdt_state's counters."""
+    from pyspark.sql import functions as F
+
+    from aurora_cdc_demo_spark.registry import crdt_slots
+    from aurora_cdc_demo_spark.sources.cdc_log import cdc_operation_log
+
+    log = cdc_operation_log(spark, sf_dir)
+    out = str(tmp_path / "crdt_batches")
+
+    mid = log.agg(F.max("seq")).collect()[0][0] // 2
+    for part in [
+        log.where(F.col("seq") <= mid),
+        log.where(F.col("seq") > mid),
+    ]:
+        crdt_slots(part).write.mode("append").parquet(out)
+
+    merged = (
+        spark.read.parquet(out)
+        .groupBy("key_id", "site")
+        .agg(
+            F.sum("p_slot").alias("p_slot"),
+            F.sum("n_slot").alias("n_slot"),
+            F.max("max_slot").alias("max_slot"),
+        )
+    )
+    got = {
+        (r["key_id"], r["site"]): (r["p_slot"], r["n_slot"], r["max_slot"])
+        for r in merged.collect()
+    }
+    want = {
+        (r["key_id"], r["site"]): (r["p_slot"], r["n_slot"], r["max_slot"])
+        for r in crdt_slots(log).collect()
+    }
+    assert got == want
+
+    reads = {}
+    for (k, _s), (p, n, m) in got.items():
+        g, pn, mx = reads.get(k, (0, 0, None))
+        reads[k] = (g + p, pn + p - n, m if mx is None else max(mx, m))
+    state = {
+        r["key_id"]: (r["g_count"], r["pn_value"], r["max_register_cents"])
+        for r in QUERIES["cdc_crdt_state"](spark, sf_dir).collect()
+    }
+    assert {k: v for k, v in reads.items()} == state
