@@ -16528,3 +16528,115 @@ def crdt_slots(log_df: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# R11: hash-ranked uniform sample, join-blowup audit
+# ---------------------------------------------------------------------------
+
+_RESERVOIR_K = 200
+
+
+def _hash_rank_sample_sql(dialect: str) -> str:
+    """Fixed-size uniform sample WITHOUT replacement: rank every row
+    by md5(event_id) and keep the K smallest — equivalent to a
+    reservoir sample but deterministic, repeatable, and MERGEABLE
+    (top-K of per-partition top-Ks == global top-K, the law in
+    pytest). ORDER BY hash LIMIT K executes as
+    TakeOrderedAndProject — per-partition partial top-K, no global
+    sort."""
+    if dialect == "spark":
+        h = (
+            "conv(substring(md5(CAST(event_id AS STRING)), 1, 15),"
+            " 16, 10)"
+        )
+    else:
+        h = (
+            "CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)"
+            " AS BIGINT)"
+        )
+    return f"""
+        WITH ranked AS (
+            SELECT event_id, user_id, event_type,
+                   CAST({h} AS BIGINT) AS hkey
+            FROM events
+            ORDER BY hkey ASC, event_id ASC LIMIT {_RESERVOIR_K})
+        SELECT event_id, user_id, event_type, hkey FROM ranked
+    """
+
+
+@query("sample_hash_reservoir", oracle=_hash_rank_sample_sql("duck"))
+def q_sample_hash_reservoir(spark, sf_dir):
+    """Fixed-SIZE uniform sampling — the missing shape beside the
+    fixed-RATE samplers (#53 stratified, #154 acceptance-hash):
+    rank rows by a content hash and keep the K smallest. Exactly a
+    reservoir sample's distribution, but deterministic (rerunnable
+    audits), exactly K rows, and MERGEABLE: the K smallest of the
+    union are among the per-shard K smallest, so shards sample
+    independently and a coordinator merges — no sequential reservoir
+    state, no RNG coordination. The pytest law pins merge-equality
+    over a 4-way split and distribution uniformity via a
+    chi-squared-style bound on user buckets.
+
+    Scale: TakeOrderedAndProject (per-partition partial top-K) —
+    corpus never shuffles; K rows reach the driver-side merge
+    however large the table."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_hash_rank_sample_sql("spark"))
+
+
+def _join_blowup_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    return f"""
+        WITH ca AS (
+            SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt_o
+            FROM orders GROUP BY o_custkey)
+        , cb AS (
+            SELECT o_custkey AS k,
+                   CAST(COUNT(*) AS BIGINT) AS cnt_l
+            FROM orders o JOIN lineitem l
+              ON l.l_orderkey = o.o_orderkey
+            GROUP BY o_custkey)
+        , contrib AS (
+            SELECT ca.k, ca.cnt_o, COALESCE(cb.cnt_l, 0) AS cnt_l,
+                   ca.cnt_o * COALESCE(cb.cnt_l, 0) AS out_rows
+            FROM ca LEFT JOIN cb ON cb.k = ca.k)
+        , tot AS (
+            SELECT CAST(SUM(out_rows) AS BIGINT) AS total_out,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(MAX(out_rows) AS BIGINT) AS max_key_out
+            FROM contrib)
+        SELECT c.k AS cust_key, c.cnt_o, c.cnt_l,
+               CAST(c.out_rows AS BIGINT) AS out_rows,
+               (10000 * c.out_rows) {div} t.total_out AS share_bp,
+               t.total_out, t.n_keys,
+               (10000 * t.max_key_out) {div} t.total_out
+                   AS top_key_share_bp
+        FROM contrib c CROSS JOIN tot t
+        ORDER BY c.out_rows DESC, c.k ASC LIMIT 10
+    """
+
+
+@query("dq_join_blowup_audit", oracle=_join_blowup_sql("duck"))
+def q_dq_join_blowup_audit(spark, sf_dir):
+    """PRE-FLIGHT join cardinality audit — the optimizer statistic
+    as a mart: for a planned customer-grain self-join of orders
+    against customer-rolled lineitem counts, the output size per key
+    is cnt_a·cnt_b from the two sides' key histograms ALONE — no
+    join executed. Emits the top-10 blowup keys with their output
+    share (bp) and the total: the number that says broadcast /
+    salt / pre-aggregate BEFORE the shuffle is launched, and the
+    exact key list #136's salting would target. At 100 TB this
+    histogram-product audit is how you catch the 10^12-row join
+    before paying for it.
+
+    Scale: two key-keyed aggregates + a key equi-join of the
+    HISTOGRAMS (key-cardinality-sized, not row-sized); top-10 via
+    TakeOrderedAndProject."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem"
+    )
+    return spark.sql(_join_blowup_sql("spark"))

@@ -811,3 +811,77 @@ def test_crdt_slots_maintainable_by_stream(spark, sf_dir, tmp_path):
         for r in QUERIES["cdc_crdt_state"](spark, sf_dir).collect()
     }
     assert {k: v for k, v in reads.items()} == state
+
+
+# ---------------------------------------------------------------------------
+# hash reservoir + join blowup
+# ---------------------------------------------------------------------------
+
+
+def test_hash_reservoir_merge_law_and_uniformity(spark, sf_dir):
+    """Mergeability: global K-smallest == K-smallest of the union of
+    per-shard K-smallest (4 hash shards). Uniformity: user-id parity
+    split of the sample stays within a generous binomial band."""
+    import duckdb
+
+    from aurora_cdc_demo_spark.registry import _RESERVOIR_K
+
+    rows = QUERIES["sample_hash_reservoir"](spark, sf_dir).collect()
+    assert len(rows) == _RESERVOIR_K
+    got = sorted((r["hkey"], r["event_id"]) for r in rows)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    shard_union = []
+    for s in range(4):
+        shard_union += con.execute(
+            f"""
+            SELECT CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                        1, 15) AS BIGINT) AS h, event_id
+            FROM events WHERE event_id % 4 = {s}
+            ORDER BY h ASC, event_id ASC LIMIT {_RESERVOIR_K}
+            """
+        ).fetchall()
+    merged = sorted(shard_union)[:_RESERVOIR_K]
+    assert got == merged
+
+    odd = sum(1 for r in rows if r["user_id"] % 2 == 1)
+    # binomial(200, ~0.5): 4-sigma ≈ 28 — generous determinism-safe
+    # band around the corpus odd-user-id event share
+    tot_odd, tot = con.execute(
+        "SELECT SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END),"
+        " COUNT(*) FROM events"
+    ).fetchone()
+    expect = _RESERVOIR_K * tot_odd / tot
+    assert abs(odd - expect) < 30, (odd, expect)
+
+
+def test_join_blowup_audit_predicts_actual_join(spark, sf_dir):
+    """The histogram product must equal the ACTUAL executed join's
+    output cardinality — totals and the top key's share."""
+    import duckdb
+
+    rows = QUERIES["dq_join_blowup_audit"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    actual_total = con.execute(
+        """
+        SELECT COUNT(*) FROM orders a
+        JOIN (SELECT o_custkey, l.l_orderkey
+              FROM orders o JOIN lineitem l
+                ON l.l_orderkey = o.o_orderkey) b
+          ON b.o_custkey = a.o_custkey
+        """
+    ).fetchone()[0]
+    assert all(r["total_out"] == actual_total for r in rows)
+    top = rows[0]
+    assert top["out_rows"] == top["cnt_o"] * top["cnt_l"]
+    assert top["share_bp"] == (10000 * top["out_rows"]) // actual_total
+    shares = [r["out_rows"] for r in rows]
+    assert shares == sorted(shares, reverse=True)
