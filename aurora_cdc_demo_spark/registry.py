@@ -16640,3 +16640,197 @@ def q_dq_join_blowup_audit(spark, sf_dir):
         "lineitem"
     )
     return spark.sql(_join_blowup_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# R11: filtered vector search (pre- vs post-filter), decayed
+# engagement
+# ---------------------------------------------------------------------------
+
+_FILTERED_OVERFETCH = 3  # post-filter overfetch multiplier
+
+
+def _ann_filtered_sql(dialect: str) -> str:
+    from .operators.similarity import N_QUERIES, TOPK
+
+    cos = (
+        f"({_sim._dot('q.qe', 'v.embedding', dialect)})"
+        " / (q.qn * v.nrm)"
+    )
+    div = "div" if dialect == "spark" else "//"
+    mat = "MATERIALIZED " if dialect != "spark" else ""
+    return f"""
+        WITH v AS (
+            SELECT vec_id, embedding, label,
+                   {_sim._norm('embedding', dialect)} AS nrm
+            FROM embeddings)
+        , q AS (
+            SELECT vec_id AS query_id, embedding AS qe, nrm AS qn,
+                   label AS qlabel
+            FROM v WHERE vec_id < {N_QUERIES})
+        , scored AS {mat}(
+            SELECT q.query_id, q.qlabel, v.vec_id, v.label,
+                   {cos} AS cos
+            FROM q CROSS JOIN v WHERE v.vec_id <> q.query_id)
+        , truth AS {mat}(
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cos DESC, vec_id ASC) AS rn
+                FROM scored WHERE label = qlabel) t
+            WHERE rn <= {TOPK})
+        , pre AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cos DESC, vec_id ASC) AS rn
+                FROM scored WHERE label = qlabel) p
+            WHERE rn <= {TOPK})
+        , post AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id, label, qlabel,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cos DESC, vec_id ASC) AS rn
+                FROM scored) g
+            WHERE rn <= {TOPK * _FILTERED_OVERFETCH}
+                  AND label = qlabel)
+        , post_k AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id, row_number() OVER (
+                    PARTITION BY query_id ORDER BY vec_id ASC) AS rk
+                FROM post) pk
+            WHERE rk <= {TOPK})
+        , arms AS (
+            SELECT 'pre_filter' AS strategy, query_id, vec_id FROM pre
+            UNION ALL
+            SELECT 'post_filter', query_id, vec_id FROM post_k)
+        SELECT a.strategy,
+               CAST(COUNT(*) AS BIGINT) AS n_returned,
+               CAST(COUNT(t.vec_id) AS BIGINT) AS hits,
+               CAST((10000 * COUNT(t.vec_id))
+                    {div} {N_QUERIES * TOPK} AS BIGINT) AS recall_bp
+        FROM arms a
+        LEFT JOIN truth t
+          ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+        GROUP BY a.strategy
+    """
+
+
+@query("ann_filtered_search_recall", oracle=_ann_filtered_sql("duck"))
+def q_ann_filtered_search_recall(spark, sf_dir):
+    """FILTERED vector search — the tradeoff every vector store
+    documents: answering 'top-k nearest WITH label = X' either by
+    PRE-FILTERING (search only the predicate's rows — exact recall,
+    but the index must support predicate pushdown) or by
+    POST-FILTERING (overfetch k·{m} from the unfiltered index, then
+    filter — cheap on any index, loses recall when the predicate is
+    selective because qualifying rows fall outside the overfetch
+    window, and can return FEWER than k). Both arms measured against
+    the exact filtered truth: pre_filter pins 10000 bp by
+    construction (the self-consistency arm), post_filter's shortfall
+    and its under-return (n_returned < queries·k) are THE published
+    numbers behind choosing overfetch multipliers. The brute-force
+    score pass stands in for the index; at scale the IVF/PQ chains
+    substitute per arm and the same two rank lists come back.
+
+    Scale: ONE pairwise score pass feeds truth + both arms
+    (localCheckpointed — multiplicative-CTE rule; duck AS
+    MATERIALIZED); everything after is query-bounded rank algebra.
+    """.replace("{m}", str(_FILTERED_OVERFETCH))
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    from .operators.similarity import N_QUERIES
+
+    base = spark.sql(
+        f"""
+        SELECT q.query_id, q.qlabel, v.vec_id, v.label,
+               ({_sim._dot('q.qe', 'v.embedding', 'spark')})
+                   / (q.qn * v.nrm) AS cos
+        FROM (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn,
+                     label AS qlabel
+              FROM (SELECT vec_id, embedding, label,
+                           {_sim._norm('embedding', 'spark')} AS nrm
+                    FROM embeddings) s
+              WHERE vec_id < {N_QUERIES}) q
+        CROSS JOIN (SELECT vec_id, embedding, label,
+                           {_sim._norm('embedding', 'spark')} AS nrm
+                    FROM embeddings) v
+        WHERE v.vec_id <> q.query_id
+        """
+    ).localCheckpoint()
+    base.createOrReplaceTempView("annf_scored_mat")
+    sql = _ann_filtered_sql("spark")
+    head, tail = sql.split(", truth AS", 1)
+    return spark.sql(
+        "WITH scored AS (SELECT * FROM annf_scored_mat)\n, truth AS"
+        + tail
+    )
+
+
+_DECAY_CAP = 30  # dyadic half-life cap: ages beyond this weigh 0
+
+
+def _decayed_engagement_sql(dialect: str) -> str:
+    """Per-user exponentially time-decayed engagement with a 1-day
+    half-life as EXACT dyadic integers: weight(age d) = 2^(CAP−d)
+    (so today = 2^CAP, yesterday half that …), ages past CAP weigh
+    ZERO — the documented truncation that keeps the score a BIGINT
+    shift-sum instead of a float pow. Rank stable cross-engine."""
+    div = "div" if dialect == "spark" else "//"
+    ep = "epoch_us" if dialect == "duck" else "unix_micros"
+    age = (
+        f"CAST((hwm_us - {ep}(ts)) {div} 86400000000 AS INT)"
+    )
+    shl = (
+        f"shiftleft(CAST(1 AS BIGINT), {_DECAY_CAP} - age_d)"
+        if dialect == "spark"
+        else f"(CAST(1 AS BIGINT) << ({_DECAY_CAP} - age_d))"
+    )
+    return f"""
+        WITH hwm AS (
+            SELECT MAX({ep}(ts)) AS hwm_us FROM events)
+        , aged AS (
+            SELECT user_id, {age} AS age_d
+            FROM events CROSS JOIN hwm)
+        , scored AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN age_d <= {_DECAY_CAP}
+                            THEN {shl} ELSE 0 END) AS BIGINT)
+                       AS score_dyadic,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(MIN(age_d) AS BIGINT) AS freshest_age_d
+            FROM aged GROUP BY user_id)
+        , top AS (
+            SELECT user_id, score_dyadic, n_events, freshest_age_d
+            FROM scored
+            ORDER BY score_dyadic DESC, user_id ASC LIMIT 100)
+        SELECT user_id, score_dyadic, n_events, freshest_age_d,
+               CAST(row_number() OVER (
+                   ORDER BY score_dyadic DESC, user_id ASC)
+                   AS BIGINT) AS engagement_rank
+        FROM top
+    """
+
+
+@query("events_decayed_engagement", oracle=_decayed_engagement_sql("duck"))
+def q_events_decayed_engagement(spark, sf_dir):
+    """Time-decayed engagement scoring — the feature-store staple
+    (recency-weighted activity for ranking/churn features) in EXACT
+    integer algebra: a 1-day half-life decay is 2^(CAP−age_days),
+    so the per-user score is a BIGINT shift-sum, not a float pow
+    chain (no cross-engine rounding surface, and incrementally
+    maintainable: tomorrow's score = today's div 2 + today's new
+    events — the dyadic-decay law pinned in pytest). Ages past
+    {cap} days truncate to zero weight, stated. Top-100 by score
+    via TakeOrderedAndProject.
+
+    Scale: one user-keyed aggregate over a per-row projection; the
+    window ranks only after the LIMIT-bounded ordering. The
+    half-life is the unit here; any 2^k-day half-life stays dyadic
+    (age div k).""".replace("{cap}", str(_DECAY_CAP))
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_decayed_engagement_sql("spark"))

@@ -103,6 +103,8 @@ HEADLINE = [
     "retrieval_rrf_hybrid",
     "mm_cdc_chunk_dedup",
     "embed_matryoshka_recall",
+    "ann_filtered_search_recall",
+    "events_user_bitmap_rollup",
 ]
 
 

@@ -885,3 +885,80 @@ def test_join_blowup_audit_predicts_actual_join(spark, sf_dir):
     assert top["share_bp"] == (10000 * top["out_rows"]) // actual_total
     shares = [r["out_rows"] for r in rows]
     assert shares == sorted(shares, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# filtered ANN + decayed engagement
+# ---------------------------------------------------------------------------
+
+
+def test_filtered_search_pre_exact_post_lossy(spark, sf_dir):
+    """pre_filter IS the truth (10000 bp, exactly q·k rows);
+    post_filter may under-return and under-recall but every row it
+    returns is a true filtered hit ⊆ overfetch window."""
+    rows = {
+        r["strategy"]: r
+        for r in QUERIES["ann_filtered_search_recall"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == {"pre_filter", "post_filter"}
+    pre, post = rows["pre_filter"], rows["post_filter"]
+    assert pre["recall_bp"] == 10000 and pre["hits"] == pre["n_returned"]
+    assert post["n_returned"] <= pre["n_returned"]
+    assert post["recall_bp"] <= 10000
+    assert post["hits"] <= post["n_returned"]
+
+
+def test_decayed_engagement_dyadic_law(spark, sf_dir):
+    """Exact recomputation in Python: score = Σ 2^(CAP−age_days)
+    over events aged ≤ CAP; rank order pinned; and the incremental
+    law — advancing the high-water mark one day halves every
+    surviving weight (score_tomorrow = score_today // 2 when no new
+    events arrive and no weight falls off the cap edge)."""
+    import duckdb
+
+    from aurora_cdc_demo_spark.registry import _DECAY_CAP
+
+    rows = QUERIES["events_decayed_engagement"](spark, sf_dir).collect()
+    con = duckdb.connect()
+    ages = con.execute(
+        f"""
+        SELECT user_id,
+               CAST((hwm - epoch_us(ts)) // 86400000000 AS INT) AS a
+        FROM '{sf_dir}/events.parquet'
+        CROSS JOIN (SELECT MAX(epoch_us(ts)) AS hwm
+                    FROM '{sf_dir}/events.parquet') h
+        """
+    ).fetchall()
+    scores: dict = {}
+    for u, a in ages:
+        if a <= _DECAY_CAP:
+            scores[u] = scores.get(u, 0) + (1 << (_DECAY_CAP - a))
+        else:
+            scores.setdefault(u, 0)
+    assert len(rows) == min(100, len(scores))
+    for r in rows:
+        assert r["score_dyadic"] == scores[r["user_id"]]
+    want_top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    got_top = [
+        (r["user_id"], r["score_dyadic"])
+        for r in sorted(rows, key=lambda r: r["engagement_rank"])
+    ]
+    assert got_top == want_top
+    # incremental maintainability: halving yesterday's weights ==
+    # re-scoring with hwm advanced one day (for users whose oldest
+    # surviving weight is not at the cap edge)
+    for r in rows[:20]:
+        u = r["user_id"]
+        tomorrow = sum(
+            1 << (_DECAY_CAP - (a + 1))
+            for uu, a in ages
+            if uu == u and a + 1 <= _DECAY_CAP
+        )
+        halved = sum(
+            (1 << (_DECAY_CAP - a)) // 2
+            for uu, a in ages
+            if uu == u and a <= _DECAY_CAP and a + 1 <= _DECAY_CAP
+        )
+        assert tomorrow == halved
