@@ -16834,3 +16834,90 @@ def q_events_decayed_engagement(spark, sf_dir):
     ensure_utc(spark)
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_decayed_engagement_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# R11: scale sizing plan — the 100 TB shuffle/broadcast calculator
+# ---------------------------------------------------------------------------
+
+# width model (documented, both engines): fixed-width types by
+# schema; strings/arrays measured per row. BIGINT/DOUBLE/TIMESTAMP=8,
+# INTEGER=4, FLOAT array = 4/elem (+16 header).
+_SIZING_TABLES: dict[str, tuple[int, list[str]]] = {
+    # table -> (fixed bytes per row, per-row measured-length exprs)
+    "region": (4, ["length(r_name)"]),
+    "nation": (8, ["length(n_name)"]),
+    "customer": (20, ["length(c_name)", "length(c_mktsegment)"]),
+    "supplier": (20, ["length(s_name)"]),
+    "part": (
+        20,
+        ["length(p_name)", "length(p_brand)", "length(p_type)"],
+    ),
+    "orders": (
+        32,
+        ["length(o_orderstatus)", "length(o_orderpriority)"],
+    ),
+    "lineitem": (60, ["length(l_returnflag)", "length(l_linestatus)"]),
+    "events": (32, ["length(event_type)", "length(props)"]),
+    "documents": (16, ["length(text)", "length(lang)", "length(source)"]),
+    "embeddings": (12 + 16 + 4 * 64, []),
+}
+
+_SIZING_MULTIPLIERS = [1, 10, 100, 1000]
+_TARGET_PARTITION_BYTES = 128 * 1024 * 1024
+_BROADCAST_BYTES = 10 * 1024 * 1024
+
+
+def _sizing_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    stat_arms = " UNION ALL ".join(
+        f"""
+        SELECT '{t}' AS table_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST({f"SUM({' + '.join(lens)})" if lens else '0'}
+                    + COUNT(*) * {fixed} AS BIGINT) AS est_bytes
+        FROM {t}"""
+        for t, (fixed, lens) in _SIZING_TABLES.items()
+    )
+    mults = ", ".join(f"({m})" for m in _SIZING_MULTIPLIERS)
+    return f"""
+        WITH stats AS ({stat_arms})
+        SELECT s.table_name, m.mult,
+               s.n_rows * m.mult AS n_rows_scaled,
+               s.est_bytes * m.mult AS est_bytes_scaled,
+               GREATEST(CAST(1 AS BIGINT),
+                   CAST((s.est_bytes * m.mult
+                         + {_TARGET_PARTITION_BYTES - 1})
+                        {div} {_TARGET_PARTITION_BYTES} AS BIGINT))
+                   AS shuffle_partitions_128mb,
+               CASE WHEN s.est_bytes * m.mult <= {_BROADCAST_BYTES}
+                    THEN 1 ELSE 0 END AS fits_broadcast
+        FROM stats s
+        CROSS JOIN (VALUES {mults}) AS m(mult)
+    """
+
+
+@query("ops_scale_sizing_plan", oracle=_sizing_sql("duck"))
+def q_ops_scale_sizing_plan(spark, sf_dir):
+    """The 100 TB SIZING CALCULATOR — 'size shuffle partitions and
+    maxPartitionBytes so partitions fit in executor memory' as a
+    query instead of folklore: per table × scale multiplier
+    {1,10,100,1000}, the measured byte estimate (fixed type widths
+    from the schema + per-row string/array lengths summed in-engine
+    — the width model every optimizer CBO uses), the shuffle
+    partition count that keeps partitions at the 128 MB parquet-
+    split sweet spot (ceil-division, floor 1), and whether the table
+    still fits Spark's 10 MB autoBroadcast threshold at that scale —
+    the exact row that says WHEN a dimension join flips from
+    broadcast to sort-merge and the conf must be raised or the join
+    salted. region/nation stay broadcastable at every multiplier;
+    the fact tables' partition counts ARE the
+    spark.sql.shuffle.partitions settings for each deployment size.
+
+    Scale: one aggregate per table (count + length sums — no
+    shuffle wider than a scalar), a constant 4-row multiplier
+    cross join; the calculator itself is free at any corpus size."""
+    ensure_utc(spark)
+    for t in _SIZING_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_sizing_sql("spark"))

@@ -962,3 +962,26 @@ def test_decayed_engagement_dyadic_law(spark, sf_dir):
             if uu == u and a <= _DECAY_CAP and a + 1 <= _DECAY_CAP
         )
         assert tomorrow == halved
+
+
+def test_scale_sizing_plan_laws(spark, sf_dir):
+    """Byte estimates scale exactly linearly in the multiplier;
+    partition counts are the 128 MB ceil-division (never 0);
+    broadcast flags are monotone non-increasing in scale; tiny dims
+    stay broadcastable at 1000×."""
+    rows = QUERIES["ops_scale_sizing_plan"](spark, sf_dir).collect()
+    by = {(r["table_name"], r["mult"]): r for r in rows}
+    assert len(by) == 40
+    target = 128 * 1024 * 1024
+    for (t, m), r in by.items():
+        base = by[(t, 1)]
+        assert r["est_bytes_scaled"] == base["est_bytes_scaled"] * m
+        assert r["n_rows_scaled"] == base["n_rows_scaled"] * m
+        assert r["shuffle_partitions_128mb"] == max(
+            1, -(-r["est_bytes_scaled"] // target)
+        )
+        if m > 1:
+            prev = by[(t, m // 10)]
+            assert r["fits_broadcast"] <= prev["fits_broadcast"]
+    assert by[("region", 1000)]["fits_broadcast"] == 1
+    assert by[("nation", 1000)]["fits_broadcast"] == 1
