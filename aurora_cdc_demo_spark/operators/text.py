@@ -957,3 +957,44 @@ def rake_phrases_sql(dialect: str) -> str:
             FROM ph_occ o JOIN ps p2 ON p2.phrase = o.phrase) t
         WHERE rn <= {RAKE_PHRASE_TOP}
         """
+
+
+def bpe_fertility_sql(dialect: str, k: int = BPE_ROUNDS) -> str:
+    """Tokenizer FERTILITY per language: subword tokens emitted per
+    whitespace word under the learned k-merge vocab — the
+    multilingual-equity metric (a language with fertility 2× pays
+    2× the sequence length for the same text; the number behind
+    vocab-allocation debates). Same vocabulary-bounded word→n_sym
+    map as bpe_tokenize_sql, grouped by the documents' lang column
+    instead of doc_id."""
+    div = "div" if dialect == "spark" else "//"
+    if dialect == "spark":
+        dw = """
+        , dw AS (
+            SELECT lang, w
+            FROM (SELECT lang, explode(split(text, ' ')) AS w
+                  FROM documents))"""
+    else:
+        dw = """
+        , dw AS (
+            SELECT lang, unnest(string_split(text, ' ')) AS w
+            FROM documents)"""
+    return f"""{_bpe_chain(dialect, k)}
+        , wmap AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sym
+            FROM s{k} GROUP BY w)
+        {dw}
+        SELECT d.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(CASE WHEN LENGTH(d.w) < 2 THEN 1
+                        ELSE m.n_sym END) AS BIGINT) AS n_tokens_bpe,
+               CAST((10000 * SUM(CASE WHEN LENGTH(d.w) < 2 THEN 1
+                         ELSE m.n_sym END)) {div} COUNT(*)
+                    AS BIGINT) AS fertility_bp,
+               CAST((100 * SUM(LENGTH(d.w)))
+                    {div} SUM(CASE WHEN LENGTH(d.w) < 2 THEN 1
+                          ELSE m.n_sym END) AS BIGINT)
+                   AS chars_per_token_centi
+        FROM dw d LEFT JOIN wmap m ON m.w = d.w
+        GROUP BY d.lang
+    """

@@ -16921,3 +16921,153 @@ def q_ops_scale_sizing_plan(spark, sf_dir):
     for t in _SIZING_TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_sizing_sql("spark"))
+
+
+@query(
+    "debezium_gold_scd3",
+    oracle=_with_log(
+        _DEBEZIUM_SILVER_CTE
+        + """
+        , seq3 AS (
+            SELECT key_id, pos, operation,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                   lag(CAST(ROUND(value * 100) AS BIGINT)) OVER w
+                       AS prev_cents,
+                   row_number() OVER (
+                       PARTITION BY key_id ORDER BY pos DESC) AS rn
+            FROM silver
+            WINDOW w AS (PARTITION BY key_id ORDER BY pos ASC))
+        SELECT key_id, pos, cents AS cur_value_cents, prev_cents
+        FROM seq3 WHERE rn = 1 AND operation <> 'DELETE'
+        """
+    ),
+)
+def q_debezium_gold_scd3(spark, sf_dir):
+    """Debezium medallion GOLD, SCD3 — the third classic slowly-
+    changing-dimension shape beside the SCD1 (#134) and SCD2 (#135)
+    golds: current value PLUS the immediately-prior value as a
+    column (the 'previous_*' attribute pattern for
+    before/after comparisons without joining history), keyed like
+    SCD1 (DELETE drops the key), values in exact cents, prior value
+    NULL for keys with a single version. Both windows (the prior-
+    value lag and the latest-wins rank) run over the SAME key
+    partition — one shuffle, the #2 plan shape.
+
+    Scale: one key_id shuffle; output one row per live key."""
+    from pyspark.sql import Window
+
+    silver = _debezium.parse_envelopes(
+        _debezium.synth_envelopes(cdc_operation_log(spark, sf_dir))
+    )
+    w = Window.partitionBy("key_id").orderBy(F.col("pos").asc())
+    wd = Window.partitionBy("key_id").orderBy(F.col("pos").desc())
+    cents = F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+    out = (
+        silver.select(
+            "key_id",
+            "pos",
+            "operation",
+            cents.alias("cents"),
+        )
+        .withColumn("prev_cents", F.lag("cents").over(w))
+        .withColumn("rn", F.row_number().over(wd))
+    )
+    return (
+        out.where("rn = 1 AND operation <> 'DELETE'")
+        .select(
+            "key_id",
+            "pos",
+            F.col("cents").alias("cur_value_cents"),
+            "prev_cents",
+        )
+    )
+
+
+@query("bpe_fertility_by_lang", oracle=_text.bpe_fertility_sql("duck"))
+def q_bpe_fertility_by_lang(spark, sf_dir):
+    """Tokenizer FERTILITY per language — subword tokens per
+    whitespace word under the learned K-merge BPE vocab (#228/#253's
+    chain): THE multilingual-equity number (fertility 2× ⇒ the same
+    sentence costs 2× the context window and 2× the training
+    compute — the measured basis of vocab-allocation decisions),
+    with chars-per-token beside it. Languages whose words the vocab
+    never merges sit at fertility ≈ word length; the training
+    language's merges pull it down — measured, per lang.
+
+    Scale: the vocab map is vocabulary-bounded (broadcast); one
+    corpus word explode shared with #253; lang-keyed aggregate."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_text.bpe_fertility_sql("spark"))
+
+
+_SCENE_FRAMES = 16
+_SCENE_WIN = 16  # bytes per frame window
+
+
+def _scene_cuts_sql(dialect: str) -> str:
+    """Frame-energy scene-cut detection over the stub frame grid
+    (#83's byte windows, {n} frames): energy = Σ byte values over
+    the frame window (ascii-per-position unrolled — both engines
+    return 0 past end-of-string, verified), a CUT where the energy
+    jump exceeds 20% of the previous frame (5·|Δ| > e_prev in exact
+    integers). A real pipeline swaps the byte window for a decoded
+    luma histogram via mapInPandas — the frame grid, the delta
+    test, and every downstream column are unchanged (the #33 stub
+    discipline)."""
+    gen = (
+        f"LATERAL VIEW explode(sequence(0, {_SCENE_FRAMES - 1}))"
+        " g AS frame_idx"
+        if dialect == "spark"
+        else f", generate_series(0, {_SCENE_FRAMES - 1}) AS g(frame_idx)"
+    )
+    sub = "substring" if dialect == "spark" else "substr"
+    div = "div" if dialect == "spark" else "//"
+    energy = " + ".join(
+        f"ascii({sub}(text, CAST(frame_idx *"
+        f" (length(text) {div} {_SCENE_FRAMES}) + {j + 1} AS INT), 1))"
+        for j in range(_SCENE_WIN)
+    )
+    return f"""
+        WITH frames AS (
+            SELECT doc_id, frame_idx,
+                   CAST({energy} AS BIGINT) AS energy
+            FROM documents {gen})
+        , deltas AS (
+            SELECT doc_id, frame_idx, energy,
+                   energy - lag(energy) OVER (
+                       PARTITION BY doc_id ORDER BY frame_idx ASC)
+                       AS d
+            FROM frames)
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN d IS NOT NULL
+                        AND 5 * ABS(d) > (energy - d)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+               CAST(MAX(ABS(d)) AS BIGINT) AS max_abs_delta,
+               CAST(SUM(energy) AS BIGINT) AS total_energy
+        FROM deltas GROUP BY doc_id
+    """
+
+
+@query("mm_scene_cuts", oracle=_scene_cuts_sql("duck"))
+def q_mm_scene_cuts(spark, sf_dir):
+    """Scene-cut detection for the video modality — the shot-
+    boundary pass every video-training pipeline runs before frame
+    sampling (sample per SHOT, not per fixed stride, or a 2-hour
+    static shot dominates): per doc, frame energies over the #83
+    stub frame grid and a cut wherever the energy jumps > 20%
+    frame-over-frame (5·|Δ| > e_prev, exact integers; NB e_prev
+    reconstructed as energy − Δ so the window shares one pass).
+    The decode is the documented stub — a real ffmpeg/luma-histogram
+    decoder drops into the frames CTE via mapInPandas with every
+    downstream column unchanged.
+
+    Scale: constant {n}× row explode, per-doc window (doc-keyed
+    shuffle), bounded aggregate.""".replace("{n}", str(_SCENE_FRAMES))
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_scene_cuts_sql("spark"))

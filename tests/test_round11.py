@@ -985,3 +985,93 @@ def test_scale_sizing_plan_laws(spark, sf_dir):
             assert r["fits_broadcast"] <= prev["fits_broadcast"]
     assert by[("region", 1000)]["fits_broadcast"] == 1
     assert by[("nation", 1000)]["fits_broadcast"] == 1
+
+
+# ---------------------------------------------------------------------------
+# SCD3 + fertility + scene cuts
+# ---------------------------------------------------------------------------
+
+
+def test_scd3_prev_value_law(spark, sf_dir):
+    """SCD3 agrees with SCD1 on the current version (same live keys,
+    same latest pos); prev is NULL exactly for single-version keys;
+    (prev, cur) equals the last two ordered versions per key."""
+    scd1 = {
+        r["key_id"]: r
+        for r in QUERIES["debezium_gold_scd1"](spark, sf_dir).collect()
+    }
+    scd3 = {
+        r["key_id"]: r
+        for r in QUERIES["debezium_gold_scd3"](spark, sf_dir).collect()
+    }
+    assert set(scd1) == set(scd3)
+    from aurora_cdc_demo_spark.sources.cdc_log import cdc_operation_log
+
+    per_key: dict = {}
+    for r in cdc_operation_log(spark, sf_dir).collect():
+        per_key.setdefault(r["key_id"], []).append(
+            (r["seq"], round(r["value"] * 100))
+        )
+    for k, r in scd3.items():
+        assert r["pos"] == scd1[k]["pos"]
+        hist = sorted(per_key[k])
+        assert r["cur_value_cents"] == hist[-1][1]
+        if len(hist) == 1:
+            assert r["prev_cents"] is None
+        else:
+            assert r["prev_cents"] == hist[-2][1]
+
+
+def test_fertility_recomputes_from_tokenize(spark, sf_dir):
+    """Lang-grain fertility equals the doc-grain #253 tokenization
+    re-aggregated by lang — one definition, two grains."""
+    import duckdb
+
+    langs = dict(
+        duckdb.sql(
+            f"SELECT doc_id, lang FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    )
+    per_lang: dict = {}
+    for r in QUERIES["bpe_tokenize_by_vocab"](spark, sf_dir).collect():
+        w, t = per_lang.get(langs[r["doc_id"]], (0, 0))
+        per_lang[langs[r["doc_id"]]] = (
+            w + r["n_words"],
+            t + r["n_tokens_bpe"],
+        )
+    rows = QUERIES["bpe_fertility_by_lang"](spark, sf_dir).collect()
+    assert {r["lang"] for r in rows} == set(per_lang)
+    for r in rows:
+        w, t = per_lang[r["lang"]]
+        assert r["n_words"] == w and r["n_tokens_bpe"] == t
+        assert r["fertility_bp"] == (10000 * t) // w
+
+
+def test_scene_cuts_recompute(spark, sf_dir):
+    """Per-doc cut count recomputed independently in Python over the
+    same frame grid and 20% jump rule."""
+    import duckdb
+
+    from aurora_cdc_demo_spark.registry import _SCENE_FRAMES, _SCENE_WIN
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["mm_scene_cuts"](spark, sf_dir).collect()
+    }
+    for doc_id, text in docs[:100]:
+        stride = len(text) // _SCENE_FRAMES
+        energies = []
+        for i in range(_SCENE_FRAMES):
+            off = i * stride
+            win = text[off : off + _SCENE_WIN]
+            energies.append(sum(ord(c) for c in win))
+        cuts = sum(
+            1
+            for a, b in zip(energies, energies[1:])
+            if 5 * abs(b - a) > a
+        )
+        assert got[doc_id]["n_cuts"] == cuts, doc_id
+        assert got[doc_id]["total_energy"] == sum(energies)
