@@ -17071,3 +17071,59 @@ def q_mm_scene_cuts(spark, sf_dir):
         "documents"
     )
     return spark.sql(_scene_cuts_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# R11: deterministic experiment assignment + exact arm moments
+# ---------------------------------------------------------------------------
+
+_AB_ARMS = 2
+
+
+def _ab_moments_sql(dialect: str) -> str:
+    if dialect == "spark":
+        h = (
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8),"
+            " 16, 10) AS BIGINT)"
+        )
+    else:
+        h = (
+            "CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)"
+            " AS BIGINT)"
+        )
+    div = "div" if dialect == "spark" else "//"
+    return f"""
+        WITH assigned AS (
+            SELECT ({h}) % {_AB_ARMS} AS arm, user_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS v_e2
+            FROM events)
+        SELECT arm,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(v_e2) AS BIGINT) AS sum_v_e2,
+               CAST(SUM(v_e2 * v_e2) AS BIGINT) AS sumsq_v_e4,
+               CAST(SUM(v_e2) AS BIGINT) {div} COUNT(*) AS mean_v_e2
+        FROM assigned GROUP BY arm
+    """
+
+
+@query("events_ab_arm_moments", oracle=_ab_moments_sql("duck"))
+def q_events_ab_arm_moments(spark, sf_dir):
+    """EXPERIMENTATION analytics — deterministic hash-split A/B
+    assignment (arm = md5(user_id) mod {a}: stable across sessions
+    and engines, no assignment table to persist — the standard
+    bucketing every experimentation platform uses) plus the EXACT
+    per-arm sufficient statistics (n, Σv, Σv² in integer cents) from
+    which any test statistic (Welch t, z, CUPED adjustment) is one
+    driver-side formula — the heavy part (the corpus scan) is done
+    once, exactly, and the float math happens on {a} rows. The
+    assignment-balance and moment-recomputation laws are pinned in
+    pytest (balance within a 4σ binomial band — determinism-safe).
+
+    Scale: one projection + one {a}-group aggregate with map-side
+    combine; COUNT(DISTINCT user_id) per arm is the only expensive
+    column (exact two-level aggregate) — swap for the HLL register
+    read (#156) at extreme scale.""".replace("{a}", str(_AB_ARMS))
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_ab_moments_sql("spark"))

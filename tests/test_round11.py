@@ -1075,3 +1075,44 @@ def test_scene_cuts_recompute(spark, sf_dir):
         )
         assert got[doc_id]["n_cuts"] == cuts, doc_id
         assert got[doc_id]["total_energy"] == sum(energies)
+
+
+def test_ab_arm_moments_laws(spark, sf_dir):
+    """Arms partition users AND events exactly; moments recompute
+    from an independent pass; assignment balance stays within a 4σ
+    binomial band on users."""
+    import duckdb
+    import hashlib
+
+    rows = {
+        r["arm"]: r
+        for r in QUERIES["events_ab_arm_moments"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {0, 1}
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT user_id, value FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    moments = {0: [0, 0, 0, set()], 1: [0, 0, 0, set()]}
+    for u, v in ev:
+        arm = (
+            int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+        )
+        c = round(v * 100)
+        m = moments[arm]
+        m[0] += 1
+        m[1] += c
+        m[2] += c * c
+        m[3].add(u)
+    for arm, r in rows.items():
+        n, s, ss, users = moments[arm]
+        assert r["n_events"] == n
+        assert r["sum_v_e2"] == s
+        assert r["sumsq_v_e4"] == ss
+        assert r["n_users"] == len(users)
+        assert r["mean_v_e2"] == s // n
+    total_users = len(moments[0][3] | moments[1][3])
+    import math
+
+    sigma = math.sqrt(total_users) / 2
+    assert abs(rows[0]["n_users"] - total_users / 2) <= 4 * sigma + 1
