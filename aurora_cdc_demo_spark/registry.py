@@ -17127,3 +17127,100 @@ def q_events_ab_arm_moments(spark, sf_dir):
     ensure_utc(spark)
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_ab_moments_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# R11: cross-path reconciliation (migration validator)
+# ---------------------------------------------------------------------------
+
+_RECON_CHUNK = 10  # keys per reconciliation chunk
+
+
+def _recon_checksum(dialect: str, src: str) -> str:
+    """Order-insensitive chunk checksum over the row IDENTITY both
+    paths carry (key, seq, operation — payload conventions differ by
+    design: the binlog's DELETE after-image is NULL while the event
+    log retains the value; identity-less TRUNCATE rows are excluded
+    and reconciled by count elsewhere): SUM of 32-bit md5 prefixes —
+    each term < 2^32, so the BIGINT sum never overflows at any real
+    chunk size (stated bound)."""
+    div = "div" if dialect == "spark" else "//"
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    row = (
+        f"CAST(key_id AS {cast}) || '|' || CAST(seq AS {cast})"
+        " || '|' || operation"
+    )
+    h = (
+        f"CAST(conv(substring(md5({row}), 1, 8), 16, 10) AS BIGINT)"
+        if dialect == "spark"
+        else f"CAST('0x' || substr(md5({row}), 1, 8) AS BIGINT)"
+    )
+    return f"""
+        SELECT key_id {div} {_RECON_CHUNK} AS chunk,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT key_id) AS BIGINT) AS n_keys,
+               CAST(SUM({h}) AS BIGINT) AS checksum
+        FROM {src} WHERE key_id IS NOT NULL
+        GROUP BY key_id {div} {_RECON_CHUNK}"""
+
+
+def _recon_sql(dialect: str, side_a: str, side_b: str) -> str:
+    return f"""
+        WITH ca AS ({_recon_checksum(dialect, side_a)})
+        , cb AS ({_recon_checksum(dialect, side_b)})
+        SELECT COALESCE(ca.chunk, cb.chunk) AS chunk,
+               COALESCE(ca.n_rows, 0) AS n_rows_a,
+               COALESCE(cb.n_rows, 0) AS n_rows_b,
+               COALESCE(ca.n_keys, 0) AS n_keys,
+               COALESCE(ca.checksum, 0) AS checksum_a,
+               COALESCE(cb.checksum, 0) AS checksum_b,
+               CASE WHEN ca.checksum = cb.checksum
+                         AND ca.n_rows = cb.n_rows
+                    THEN 1 ELSE 0 END AS is_match
+        FROM ca FULL OUTER JOIN cb ON cb.chunk = ca.chunk
+    """
+
+
+@query(
+    "cdc_reconciliation_chunks",
+    oracle=_with_log(
+        ", lg AS (SELECT * FROM log WHERE seq % 251 <> 250)"
+        + _recon_sql("duck", "lg", "lg").replace("WITH ca", ", ca", 1)
+    ),
+)
+def q_cdc_reconciliation_chunks(spark, sf_dir):
+    """MIGRATION VALIDATOR — the reconciliation pass every CDC
+    cutover runs before flipping traffic: chunk the keyspace, compute
+    an order-insensitive checksum per chunk on BOTH pipelines, and
+    diff. Here the two sides are this repo's two REAL ingestion
+    paths — the events-derived operation log (#1) and the JVM-native
+    binlog replay (#101) — so is_match = 1 everywhere IS the
+    cross-path equivalence guarantee, continuously verifiable; a
+    single perturbed row flips exactly its chunk (the true-positive
+    law in pytest). Chunk grain bounds re-verification cost to the
+    divergent chunk, not the table — the DBLog/validator pattern at
+    its standard grain.
+
+    Scale: two independent chunk-keyed aggregates (map-side
+    combined; each term < 2^32 so the BIGINT sum is overflow-safe at
+    any real chunk size) + a chunk-count-sized FULL OUTER join."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    # mask the binlog's identity-less TRUNCATE positions on the log
+    # side too (seq % 251 = 250 — the generator's table-wide ops);
+    # row-identity reconciliation is defined over rows BOTH paths
+    # key, the stated contract above
+    cdc_operation_log(spark, sf_dir).where(
+        "seq % 251 <> 250"
+    ).createOrReplaceTempView("recon_a")
+    read_binlog_jvm(spark, sf_dir).select(
+        F.col("primary_keys")["key_id"].cast("long").alias("key_id"),
+        "seq",
+        "operation",
+        F.col("after")["value"].cast("double").alias("value"),
+    ).createOrReplaceTempView("recon_b")
+    return spark.sql(
+        _recon_sql("spark", "recon_a", "recon_b").replace(
+            "WITH ca", "WITH ca", 1
+        )
+    )

@@ -1116,3 +1116,45 @@ def test_ab_arm_moments_laws(spark, sf_dir):
 
     sigma = math.sqrt(total_users) / 2
     assert abs(rows[0]["n_users"] - total_users / 2) <= 4 * sigma + 1
+
+
+def test_reconciliation_all_match_and_true_positive(spark, sf_dir):
+    """Both real ingestion paths reconcile chunk-for-chunk
+    (is_match = 1 everywhere — the cross-path equivalence
+    guarantee); and a single perturbed row flips EXACTLY its own
+    chunk (true-positive sensitivity, the reason checksums are
+    chunk-grain)."""
+    from aurora_cdc_demo_spark.registry import (
+        _RECON_CHUNK,
+        _recon_sql,
+        read_binlog_jvm,
+    )
+    from aurora_cdc_demo_spark.sources.cdc_log import cdc_operation_log
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["cdc_reconciliation_chunks"](spark, sf_dir).collect()
+    assert rows and all(r["is_match"] == 1 for r in rows)
+    assert all(r["n_rows_a"] == r["n_rows_b"] for r in rows)
+
+    # perturb one row's operation on side A → exactly one chunk flips
+    log = cdc_operation_log(spark, sf_dir).where("seq % 251 <> 250")
+    victim = log.limit(1).collect()[0]
+    perturbed = log.withColumn(
+        "operation",
+        F.when(
+            F.col("seq") == victim["seq"], F.lit("PERTURBED")
+        ).otherwise(F.col("operation")),
+    )
+    perturbed.createOrReplaceTempView("recon_a")
+    read_binlog_jvm(spark, sf_dir).select(
+        F.col("primary_keys")["key_id"].cast("long").alias("key_id"),
+        "seq",
+        "operation",
+        F.col("after")["value"].cast("double").alias("value"),
+    ).createOrReplaceTempView("recon_b")
+    rows2 = spark.sql(
+        _recon_sql("spark", "recon_a", "recon_b")
+    ).collect()
+    bad = [r for r in rows2 if r["is_match"] == 0]
+    assert len(bad) == 1
+    assert bad[0]["chunk"] == victim["key_id"] // _RECON_CHUNK
