@@ -17224,3 +17224,91 @@ def q_cdc_reconciliation_chunks(spark, sf_dir):
             "WITH ca", "WITH ca", 1
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# R11: incremental JOIN-view maintenance (delta rules)
+# ---------------------------------------------------------------------------
+
+_IVM_CUTOFF = "1997-01-01 00:00:00"
+
+
+def _join_ivm_sql(dialect: str) -> str:
+    """The delta decomposition for a two-sided changing join:
+    A⋈B = A₀⋈B₀ ∪ ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB (disjoint when Δ is a
+    partition of each side). orders split by o_orderdate, lineitem
+    by l_shipdate at the same cutoff; checksum = Σ 32-bit md5
+    prefixes of the join row identity (order-insensitive, overflow
+    bound as #326)."""
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    row = (
+        f"CAST(o.o_orderkey AS {cast}) || '|' ||"
+        f" CAST(l.l_partkey AS {cast}) || '|' ||"
+        f" CAST(l.l_linenumber AS {cast})"
+    )
+    h = (
+        f"CAST(conv(substring(md5({row}), 1, 8), 16, 10) AS BIGINT)"
+        if dialect == "spark"
+        else f"CAST('0x' || substr(md5({row}), 1, 8) AS BIGINT)"
+    )
+    def term(name, a_pred, b_pred):
+        return f"""
+        SELECT '{name}' AS term,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COALESCE(SUM({h}), 0) AS BIGINT) AS checksum
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE {a_pred} AND {b_pred}"""
+
+    old_a = f"o.o_orderdate < TIMESTAMP '{_IVM_CUTOFF}'"
+    new_a = f"o.o_orderdate >= TIMESTAMP '{_IVM_CUTOFF}'"
+    old_b = f"l.l_shipdate < TIMESTAMP '{_IVM_CUTOFF}'"
+    new_b = f"l.l_shipdate >= TIMESTAMP '{_IVM_CUTOFF}'"
+    return f"""
+        WITH terms AS (
+            {term('a0_b0', old_a, old_b)}
+            UNION ALL {term('da_b0', new_a, old_b)}
+            UNION ALL {term('a0_db', old_a, new_b)}
+            UNION ALL {term('da_db', new_a, new_b)}
+            UNION ALL {term('full', '1=1', '1=1')})
+        SELECT t.term, t.n_rows, t.checksum,
+               CASE WHEN t.term = 'full' THEN s.sum_rows
+                    ELSE CAST(-1 AS BIGINT) END AS delta_sum_rows,
+               CASE WHEN t.term = 'full'
+                         AND t.n_rows = s.sum_rows
+                         AND t.checksum = s.sum_checksum
+                    THEN 1
+                    WHEN t.term = 'full' THEN 0
+                    ELSE -1 END AS ivm_match
+        FROM terms t
+        CROSS JOIN (
+            SELECT CAST(SUM(n_rows) AS BIGINT) AS sum_rows,
+                   CAST(SUM(checksum) AS BIGINT) AS sum_checksum
+            FROM terms WHERE term <> 'full') s
+    """
+
+
+@query("cdc_join_view_ivm", oracle=_join_ivm_sql("duck"))
+def q_cdc_join_view_ivm(spark, sf_dir):
+    """Incremental JOIN-view maintenance — the other half of IVM
+    beside the aggregate deltas (#117): when BOTH join sides change,
+    the view delta is the three-term rule ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB,
+    and the maintained view equals the full recompute exactly. This
+    query EXHIBITS the law on orders⋈lineitem split at a date
+    cutoff: all four disjoint terms with row counts + order-
+    insensitive checksums, the full join beside them, and
+    ivm_match = 1 pinning Σterms == full (counts AND checksums).
+    This is the algebra a streaming join's state store implements
+    (#? stream-stream interval join maintains exactly these terms
+    batch-by-batch); here it is stated, measured, and oracle-checked
+    as data.
+
+    Scale: each term is the SAME key equi-join with partition-
+    prunable date predicates pushed to both scans (delta terms read
+    only the new partitions — the entire point of IVM: cost ∝ Δ,
+    not ∝ |view|); checksums as #326."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem"
+    )
+    return spark.sql(_join_ivm_sql("spark"))

@@ -1158,3 +1158,20 @@ def test_reconciliation_all_match_and_true_positive(spark, sf_dir):
     bad = [r for r in rows2 if r["is_match"] == 0]
     assert len(bad) == 1
     assert bad[0]["chunk"] == victim["key_id"] // _RECON_CHUNK
+
+
+def test_join_view_ivm_delta_rule(spark, sf_dir):
+    """Σ of the four disjoint delta terms == the full join (counts
+    AND checksums — ivm_match = 1); terms are genuinely disjoint
+    and non-trivial (at least two non-empty)."""
+    rows = {
+        r["term"]: r
+        for r in QUERIES["cdc_join_view_ivm"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {"a0_b0", "da_b0", "a0_db", "da_db", "full"}
+    full = rows["full"]
+    parts = [rows[t] for t in ("a0_b0", "da_b0", "a0_db", "da_db")]
+    assert full["ivm_match"] == 1
+    assert full["n_rows"] == sum(p["n_rows"] for p in parts)
+    assert full["checksum"] == sum(p["checksum"] for p in parts)
+    assert sum(1 for p in parts if p["n_rows"] > 0) >= 2
