@@ -17312,3 +17312,105 @@ def q_cdc_join_view_ivm(spark, sf_dir):
         "lineitem"
     )
     return spark.sql(_join_ivm_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# R11: dictionary scan, functional-dependency profile
+# ---------------------------------------------------------------------------
+
+_SCAN_PHRASES = ["the dup", "spark", "vector store", "model", "data set"]
+
+
+def _dict_scan_sql(dialect: str) -> str:
+    arms = " UNION ALL ".join(
+        f"SELECT '{p}' AS phrase, {len(p)} AS plen" for p in _SCAN_PHRASES
+    )
+    div = "div" if dialect == "spark" else "//"
+    return f"""
+        WITH dict AS ({arms})
+        , hits AS (
+            SELECT d.phrase,
+                   (length(doc.text)
+                    - length(replace(doc.text, d.phrase, '')))
+                       {div} d.plen AS n_occ
+            FROM documents doc CROSS JOIN dict d)
+        SELECT phrase,
+               CAST(SUM(CASE WHEN n_occ > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_docs_matched,
+               CAST(SUM(n_occ) AS BIGINT) AS total_occurrences,
+               CAST(MAX(n_occ) AS BIGINT) AS max_per_doc
+        FROM hits GROUP BY phrase
+    """
+
+
+@query("text_dictionary_scan", oracle=_dict_scan_sql("duck"))
+def q_text_dictionary_scan(spark, sf_dir):
+    """Multi-PHRASE dictionary scan — the blocklist/compliance pass
+    (banned phrases, trademark terms, eval-set canaries as raw
+    strings) that token-grain operators (#105/#61, the gram
+    families) cannot express because phrases cross token boundaries:
+    per dictionary phrase, matched docs, total occurrences, and the
+    per-doc maximum, counted EXACTLY via the replace-length identity
+    occurrences = (len(t) − len(replace(t, p, ''))) / len(p) — one
+    codegen'd expression per (doc, phrase), no regex engine, no
+    explode. The dictionary is a broadcast VALUES literal; at
+    production scale this is the scan shape of every ToS/brand-
+    safety screen (dictionary ≪ corpus, corpus read once).
+
+    Scale: corpus × |dict| narrow projections (each a constant-cost
+    string pass), phrase-keyed aggregate; nothing shuffles but the
+    |dict|-sized rollup."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_dict_scan_sql("spark"))
+
+
+_FD_CANDIDATES = [
+    # (name, table, lhs, rhs) — candidate functional dependencies
+    ("nation_to_region", "nation", "n_nationkey", "n_regionkey"),
+    ("cust_to_nation", "customer", "c_custkey", "c_nationkey"),
+    ("cust_to_segment", "customer", "c_custkey", "c_mktsegment"),
+    ("order_to_cust", "orders", "o_orderkey", "o_custkey"),
+    ("part_brand_to_type", "part", "p_brand", "p_type"),
+    ("doc_source_to_lang", "documents", "source", "lang"),
+]
+
+
+def _fd_profile_sql(dialect: str) -> str:
+    arms = " UNION ALL ".join(
+        f"""
+        SELECT '{name}' AS fd,
+               CAST(COUNT(*) AS BIGINT) AS n_lhs_groups,
+               CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_violating_groups,
+               CAST(MAX(n_rhs) AS BIGINT) AS max_rhs_per_lhs
+        FROM (SELECT {lhs} AS l,
+                     CAST(COUNT(DISTINCT {rhs}) AS BIGINT) AS n_rhs
+              FROM {tbl} GROUP BY {lhs}) g{i}"""
+        for i, (name, tbl, lhs, rhs) in enumerate(_FD_CANDIDATES)
+    )
+    return f"WITH arms AS ({arms}) SELECT * FROM arms"
+
+
+@query("dq_functional_dependencies", oracle=_fd_profile_sql("duck"))
+def q_dq_functional_dependencies(spark, sf_dir):
+    """Functional-dependency PROFILING — schema-knowledge discovery
+    as data (the DQ paradigm behind normalization checks and key
+    inference): for each candidate LHS→RHS, the count of LHS groups,
+    how many VIOLATE the dependency (more than one RHS value), and
+    the worst multiplicity. Key-determined candidates (custkey→
+    nation, orderkey→cust) must profile violation-free — the
+    primary-key sanity the #203 referential audit doesn't cover —
+    while attribute-attribute candidates (brand→type, source→lang)
+    measure how FAR from functional the pair is (max_rhs_per_lhs is
+    the fan-out a denormalizing join would multiply by).
+
+    Scale: one LHS-keyed two-level distinct aggregate per candidate
+    (the #62-exact shape), arms unioned; output is candidate-
+    bounded."""
+    ensure_utc(spark)
+    for t in {c[1] for c in _FD_CANDIDATES}:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_fd_profile_sql("spark"))

@@ -1175,3 +1175,47 @@ def test_join_view_ivm_delta_rule(spark, sf_dir):
     assert full["n_rows"] == sum(p["n_rows"] for p in parts)
     assert full["checksum"] == sum(p["checksum"] for p in parts)
     assert sum(1 for p in parts if p["n_rows"] > 0) >= 2
+
+
+def test_dictionary_scan_recomputes(spark, sf_dir):
+    """Occurrence counts recomputed with Python str.count per
+    phrase; key-determined sanity on bounds."""
+    import duckdb
+
+    from aurora_cdc_demo_spark.registry import _SCAN_PHRASES
+
+    docs = [
+        t
+        for (t,) in duckdb.sql(
+            f"SELECT text FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    ]
+    rows = {
+        r["phrase"]: r
+        for r in QUERIES["text_dictionary_scan"](spark, sf_dir).collect()
+    }
+    assert set(rows) == set(_SCAN_PHRASES)
+    for p in _SCAN_PHRASES:
+        occ = [t.count(p) for t in docs]
+        r = rows[p]
+        assert r["total_occurrences"] == sum(occ)
+        assert r["n_docs_matched"] == sum(1 for o in occ if o > 0)
+        assert r["max_per_doc"] == max(occ)
+
+
+def test_fd_profile_keys_are_functional(spark, sf_dir):
+    """Key-determined candidates must be violation-free; every
+    profile obeys 0 ≤ violations ≤ groups and max multiplicity ≥ 1."""
+    rows = {
+        r["fd"]: r
+        for r in QUERIES["dq_functional_dependencies"](
+            spark, sf_dir
+        ).collect()
+    }
+    for key_fd in ("nation_to_region", "cust_to_nation",
+                   "cust_to_segment", "order_to_cust"):
+        assert rows[key_fd]["n_violating_groups"] == 0
+        assert rows[key_fd]["max_rhs_per_lhs"] == 1
+    for r in rows.values():
+        assert 0 <= r["n_violating_groups"] <= r["n_lhs_groups"]
+        assert r["max_rhs_per_lhs"] >= 1
