@@ -17414,3 +17414,125 @@ def q_dq_functional_dependencies(spark, sf_dir):
     for t in {c[1] for c in _FD_CANDIDATES}:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_fd_profile_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# R11: concurrent-write conflict detection, energy segmentation
+# ---------------------------------------------------------------------------
+
+
+def _concurrent_writes_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    ep = "epoch_us" if dialect == "duck" else "unix_micros"
+    return _with_log(f"""
+        , sited AS (
+            SELECT key_id, seq % {_CRDT_SITES} AS site,
+                   {ep}(ts) {div} 60000000 AS minute
+            FROM log)
+        , cells AS (
+            SELECT key_id, minute,
+                   CAST(COUNT(DISTINCT site) AS BIGINT) AS n_sites,
+                   CAST(COUNT(*) AS BIGINT) AS n_writes
+            FROM sited GROUP BY key_id, minute)
+        SELECT key_id,
+               CAST(COUNT(*) AS BIGINT) AS n_active_minutes,
+               CAST(SUM(CASE WHEN n_sites > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_conflict_minutes,
+               CAST(SUM(CASE WHEN n_sites > 1 THEN n_writes
+                        ELSE 0 END) AS BIGINT) AS n_conflict_writes,
+               CAST(MAX(n_sites) AS BIGINT) AS max_sites_per_minute
+        FROM cells GROUP BY key_id
+        HAVING SUM(CASE WHEN n_sites > 1 THEN 1 ELSE 0 END) > 0
+    """)
+
+
+@query("cdc_concurrent_write_conflicts", oracle=_concurrent_writes_sql("duck"))
+def q_cdc_concurrent_write_conflicts(spark, sf_dir):
+    """Concurrent-write DETECTION for the multi-master topology —
+    the diagnostic that decides whether #313's CRDT merge or #2's
+    LWW is even safe: keys where writes from MULTIPLE origin sites
+    land in the same wall-clock minute (the concurrency window where
+    LWW ordering is timestamp-skew roulette), with conflict-minute
+    and conflict-write counts and the worst per-minute site fan-in.
+    Zero rows ⇒ the keyspace is effectively single-writer and LWW is
+    fine; hot rows ⇒ those keys need the CRDT register or an owner
+    shard. Site = seq mod S as in #313 (a real log substitutes its
+    server_id).
+
+    Scale: one (key, minute) aggregate + a key rollup — the key
+    shuffle every CDC op shares; output bounded by conflicted
+    keys."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_concurrent_writes_sql("spark"))
+
+
+_VAD_THRESH_CENTI = 110  # frame is "active" if energy*100 > 110*mean
+
+
+def _energy_segments_sql(dialect: str) -> str:
+    """Maximal runs of above-threshold frames (gaps-and-islands over
+    the #324 frame grid): a segment starts at an active frame whose
+    predecessor is inactive (or absent)."""
+    gen = (
+        f"LATERAL VIEW explode(sequence(0, {_SCENE_FRAMES - 1}))"
+        " g AS frame_idx"
+        if dialect == "spark"
+        else f", generate_series(0, {_SCENE_FRAMES - 1}) AS g(frame_idx)"
+    )
+    sub = "substring" if dialect == "spark" else "substr"
+    div = "div" if dialect == "spark" else "//"
+    energy = " + ".join(
+        f"ascii({sub}(text, CAST(frame_idx *"
+        f" (length(text) {div} {_SCENE_FRAMES}) + {j + 1} AS INT), 1))"
+        for j in range(_SCENE_WIN)
+    )
+    return f"""
+        WITH frames AS (
+            SELECT doc_id, frame_idx,
+                   CAST({energy} AS BIGINT) AS energy
+            FROM documents {gen})
+        , marked AS (
+            SELECT doc_id, frame_idx, energy,
+                   CASE WHEN 100 * energy * {_SCENE_FRAMES}
+                             > {_VAD_THRESH_CENTI}
+                               * SUM(energy) OVER (PARTITION BY doc_id)
+                        THEN 1 ELSE 0 END AS active
+            FROM frames)
+        , runs AS (
+            SELECT doc_id, frame_idx, energy, active,
+                   CASE WHEN active = 1
+                             AND COALESCE(lag(active) OVER (
+                                 PARTITION BY doc_id
+                                 ORDER BY frame_idx ASC), 0) = 0
+                        THEN 1 ELSE 0 END AS is_start
+            FROM marked)
+        SELECT doc_id,
+               CAST(SUM(active) AS BIGINT) AS n_active_frames,
+               CAST(SUM(is_start) AS BIGINT) AS n_segments,
+               CAST(SUM(active * energy) AS BIGINT) AS active_energy
+        FROM runs GROUP BY doc_id
+    """
+
+
+@query("mm_energy_segments", oracle=_energy_segments_sql("duck"))
+def q_mm_energy_segments(spark, sf_dir):
+    """Activity SEGMENTATION for the audio modality — the VAD
+    (voice-activity-detection) pass that precedes every speech
+    pipeline (transcribe/train on active segments, drop silence):
+    frames whose energy exceeds {t}% of the doc's mean frame energy
+    are active, and maximal active runs are counted with the
+    gaps-and-islands start trick (active ∧ predecessor inactive) —
+    the same sessionize algebra (#9) at frame grain. Energies are
+    the #324 stub features; a real pipeline swaps in decoded RMS
+    frames via mapInPandas with the segmentation algebra unchanged.
+
+    Scale: constant frame explode, one doc-partitioned window pass
+    (mean + lag share the doc shuffle), per-doc rollup.""".replace(
+        "{t}", str(_VAD_THRESH_CENTI)
+    )
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_energy_segments_sql("spark"))

@@ -1219,3 +1219,74 @@ def test_fd_profile_keys_are_functional(spark, sf_dir):
     for r in rows.values():
         assert 0 <= r["n_violating_groups"] <= r["n_lhs_groups"]
         assert r["max_rhs_per_lhs"] >= 1
+
+
+def test_concurrent_conflicts_recompute(spark, sf_dir):
+    """Conflict minutes recomputed in Python from the log + the
+    zero-rows-iff-no-overlap contract."""
+    from aurora_cdc_demo_spark.sources.cdc_log import cdc_operation_log
+
+    cells: dict = {}
+    for r in cdc_operation_log(spark, sf_dir).collect():
+        key = (r["key_id"], int(r["ts"].timestamp() * 1e6) // 60000000)
+        cells.setdefault(key, set()).add(r["seq"] % 4)
+    want: dict = {}
+    for (k, _m), sites in cells.items():
+        if len(sites) > 1:
+            want[k] = want.get(k, 0) + 1
+    rows = {
+        r["key_id"]: r
+        for r in QUERIES["cdc_concurrent_write_conflicts"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == set(want)
+    for k, n in want.items():
+        assert rows[k]["n_conflict_minutes"] == n
+        assert rows[k]["max_sites_per_minute"] >= 2
+
+
+def test_energy_segments_runs_law(spark, sf_dir):
+    """Per-doc segment count recomputed from the frame energies in
+    Python (threshold on mean, maximal runs); segments ≤ active
+    frames; a doc with no active frames has zero segments."""
+    import duckdb
+
+    from aurora_cdc_demo_spark.registry import (
+        _SCENE_FRAMES,
+        _SCENE_WIN,
+        _VAD_THRESH_CENTI,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["mm_energy_segments"](spark, sf_dir).collect()
+    }
+    for doc_id, text in docs[:100]:
+        stride = len(text) // _SCENE_FRAMES
+        energies = [
+            sum(
+                ord(c)
+                for c in text[i * stride : i * stride + _SCENE_WIN]
+            )
+            for i in range(_SCENE_FRAMES)
+        ]
+        tot = sum(energies)
+        active = [
+            1
+            if 100 * e * _SCENE_FRAMES > _VAD_THRESH_CENTI * tot
+            else 0
+            for e in energies
+        ]
+        segs = sum(
+            1
+            for i, a in enumerate(active)
+            if a and (i == 0 or not active[i - 1])
+        )
+        r = got[doc_id]
+        assert r["n_active_frames"] == sum(active)
+        assert r["n_segments"] == segs
+        assert r["n_segments"] <= max(1, r["n_active_frames"])
