@@ -17536,3 +17536,170 @@ def q_mm_energy_segments(spark, sf_dir):
         "documents"
     )
     return spark.sql(_energy_segments_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# R11: jackknife uncertainty, winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+_JK_BUCKETS = 10
+
+
+def _jackknife_sql(dialect: str) -> str:
+    """Delete-one-bucket jackknife over deterministic hash buckets:
+    leave-one-out means in exact e4 fixed point, and the jackknife
+    variance numerator Σ(θ̄₋ᵢ − mean of θ̄₋ᵢ)² in e8 — the classic
+    distributed uncertainty estimator (buckets are the resamples;
+    no RNG, mergeable per bucket)."""
+    if dialect == "spark":
+        h = (
+            "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 8),"
+            " 16, 10) AS BIGINT)"
+        )
+    else:
+        h = (
+            "CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)"
+            " AS BIGINT)"
+        )
+    div = "div" if dialect == "spark" else "//"
+    return f"""
+        WITH b AS (
+            SELECT ({h}) % {_JK_BUCKETS} AS bucket,
+                   CAST(ROUND(value * 100) AS BIGINT) AS v
+            FROM events)
+        , per AS (
+            SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(v) AS BIGINT) AS s
+            FROM b GROUP BY bucket)
+        , tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+                   CAST(SUM(s) AS BIGINT) AS s_tot
+            FROM per)
+        , loo AS (
+            SELECT p.bucket, p.n, p.s,
+                   ((t.s_tot - p.s) * 100) {div} (t.n_tot - p.n)
+                       AS loo_mean_e4
+            FROM per p CROSS JOIN tot t)
+        , center AS (
+            SELECT CAST(SUM(loo_mean_e4) AS BIGINT)
+                       {div} {_JK_BUCKETS} AS mbar
+            FROM loo)
+        SELECT l.bucket, l.n, l.s AS sum_v_e2, l.loo_mean_e4,
+               (l.loo_mean_e4 - c.mbar)
+                   * (l.loo_mean_e4 - c.mbar) AS sq_dev_e8
+        FROM loo l CROSS JOIN center c
+    """
+
+
+@query("events_jackknife_moments", oracle=_jackknife_sql("duck"))
+def q_events_jackknife_moments(spark, sf_dir):
+    """UNCERTAINTY quantification for distributed aggregates — the
+    delete-one-bucket jackknife (the estimator engines like the
+    theta-sketch family publish alongside point values): rows are
+    hash-assigned to {b} deterministic buckets (the resamples — no
+    RNG, so repeatable and mergeable), each bucket's LEAVE-ONE-OUT
+    mean is exact e4 fixed point, and the squared deviations from
+    the jackknife center are e8 integers — the driver multiplies by
+    (B−1)/B for the variance of the mean, a one-line float on {b}
+    rows while everything corpus-scale stayed exact. The law test
+    recomputes every column and checks the jackknife variance
+    against the classical σ²/n within a factor band.
+
+    Scale: one bucket-keyed aggregate (map-side combined) + {b}-row
+    algebra; the same shape per group key if a grouped version is
+    needed.""".replace("{b}", str(_JK_BUCKETS))
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_jackknife_sql("spark"))
+
+
+_WINNOW_K = 3  # tokens per gram
+_WINNOW_W = 4  # grams per winnowing window
+_WINNOW_TOP = 15
+
+
+def _winnow_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    if dialect == "spark":
+        toks = (
+            "SELECT doc_id, pos, token FROM documents"
+            " LATERAL VIEW posexplode(split(text, ' ')) t AS pos, token"
+        )
+        h = "CAST(conv(substring(md5(gram), 1, 8), 16, 10) AS BIGINT)"
+        gram = (
+            "concat_ws(' ', token, lead(token, 1) OVER w,"
+            " lead(token, 2) OVER w)"
+        )
+    else:
+        toks = (
+            "SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS token, "
+            "generate_subscripts(string_split(text, ' '), 1) - 1 AS pos"
+            " FROM documents"
+        )
+        h = "CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT)"
+        gram = (
+            "concat_ws(' ', token, lead(token, 1) OVER w,"
+            " lead(token, 2) OVER w)"
+        )
+    return f"""
+        WITH toks AS ({toks})
+        , grams AS (
+            SELECT doc_id, pos, {gram} AS gram,
+                   CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT)
+                       AS n_tok
+            FROM toks
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos ASC))
+        , hashed AS (
+            SELECT doc_id, pos, {h} AS gh
+            FROM grams WHERE pos + {_WINNOW_K} <= n_tok)
+        , winmin AS (
+            SELECT doc_id, pos,
+                   MIN(gh) OVER (PARTITION BY doc_id ORDER BY pos ASC
+                       ROWS BETWEEN 0 PRECEDING
+                       AND {_WINNOW_W - 1} FOLLOWING) AS fp
+            FROM hashed)
+        , fps AS (
+            SELECT DISTINCT doc_id, fp FROM winmin)
+        , shared AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM fps a JOIN fps b
+              ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id)
+        , top AS (
+            SELECT * FROM shared
+            ORDER BY n_shared DESC, doc_a ASC, doc_b ASC
+            LIMIT {_WINNOW_TOP})
+        SELECT doc_a, doc_b, n_shared,
+               CAST(row_number() OVER (
+                   ORDER BY n_shared DESC, doc_a ASC, doc_b ASC)
+                   AS BIGINT) AS rnk
+        FROM top
+    """
+
+
+@query("text_winnowing_fingerprints", oracle=_winnow_sql("duck"))
+def q_text_winnowing_fingerprints(spark, sf_dir):
+    """WINNOWING (Schleimer/Wilkerson/Aiken 2003 — the MOSS
+    plagiarism detector's fingerprint selection): hash every
+    {k}-token gram, keep each {w}-window's MINIMUM hash, and compare
+    docs by SHARED selected fingerprints. The guarantee the paper
+    proves — any shared run of ≥ w+k−1 tokens shares at least one
+    selected fingerprint — makes this the robust middle ground
+    between exact substring dedup (#92, position-fragile) and
+    MinHash (#27, whole-doc granularity): it localizes matches while
+    sampling only ~2/(w+1) of grams. Top-{t} sharing pairs ranked.
+
+    Scale: posexplode + two doc-partitioned windows (lead-gram +
+    window-min share the doc shuffle), DISTINCT fingerprints
+    (selected-density ~2/(w+1) of grams), fingerprint-keyed
+    equi-join for pairs (postings shape, df-cappable exactly like
+    #127 at scale), TakeOrderedAndProject.""".replace(
+        "{k}", str(_WINNOW_K)
+    ).replace("{w}", str(_WINNOW_W)).replace("{t}", str(_WINNOW_TOP))
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_winnow_sql("spark"))

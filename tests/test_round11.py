@@ -1290,3 +1290,99 @@ def test_energy_segments_runs_law(spark, sf_dir):
         assert r["n_active_frames"] == sum(active)
         assert r["n_segments"] == segs
         assert r["n_segments"] <= max(1, r["n_active_frames"])
+
+
+# ---------------------------------------------------------------------------
+# jackknife + winnowing
+# ---------------------------------------------------------------------------
+
+
+def test_jackknife_recomputes_and_tracks_classical_variance(spark, sf_dir):
+    import duckdb
+    import hashlib
+
+    from aurora_cdc_demo_spark.registry import _JK_BUCKETS
+
+    ev = duckdb.sql(
+        f"SELECT event_id, value FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    per = {b: [0, 0] for b in range(_JK_BUCKETS)}
+    for eid, v in ev:
+        b = (
+            int(hashlib.md5(str(eid).encode()).hexdigest()[:8], 16)
+            % _JK_BUCKETS
+        )
+        per[b][0] += 1
+        per[b][1] += round(v * 100)
+    n_tot = sum(n for n, _ in per.values())
+    s_tot = sum(s for _, s in per.values())
+    loo = {
+        b: ((s_tot - s) * 100) // (n_tot - n)
+        for b, (n, s) in per.items()
+    }
+    mbar = sum(loo.values()) // _JK_BUCKETS
+    rows = {
+        r["bucket"]: r
+        for r in QUERIES["events_jackknife_moments"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == set(range(_JK_BUCKETS))
+    for b, r in rows.items():
+        assert r["n"] == per[b][0]
+        assert r["sum_v_e2"] == per[b][1]
+        assert r["loo_mean_e4"] == loo[b]
+        assert r["sq_dev_e8"] == (loo[b] - mbar) ** 2
+    # jackknife var of the mean ~ classical sigma^2/n (factor band)
+    B = _JK_BUCKETS
+    jk_var_e8 = (B - 1) / B * sum(r["sq_dev_e8"] for r in rows.values())
+    vals = [round(v * 100) for _, v in ev]
+    mean = sum(vals) / len(vals)
+    classical_e8 = (
+        sum((v - mean) ** 2 for v in vals) / len(vals) / len(vals)
+    ) * 10000
+    assert classical_e8 / 5 < jk_var_e8 < classical_e8 * 5
+
+
+def test_winnowing_guarantee_on_constructed_pair(spark, sf_dir):
+    """The paper's guarantee, pinned directly: two docs sharing a
+    run of ≥ w+k−1 tokens share ≥ 1 selected fingerprint — checked
+    in Python with the same constants; and the engine's top pairs
+    are symmetric/deduped with ranks dense."""
+    import hashlib
+
+    from aurora_cdc_demo_spark.registry import (
+        _WINNOW_K,
+        _WINNOW_W,
+    )
+
+    def fingerprints(text):
+        toks = text.split(" ")
+        ghs = [
+            int(
+                hashlib.md5(
+                    " ".join(toks[i : i + _WINNOW_K]).encode()
+                ).hexdigest()[:8],
+                16,
+            )
+            for i in range(len(toks) - _WINNOW_K + 1)
+        ]
+        return {
+            min(ghs[i : i + _WINNOW_W]) for i in range(len(ghs))
+        }
+
+    shared_run = "alpha beta gamma delta epsilon zeta"  # w+k-1 = 6
+    a = "one two " + shared_run + " three four"
+    bdoc = "five six seven " + shared_run + " eight"
+    assert fingerprints(a) & fingerprints(bdoc)
+
+    rows = QUERIES["text_winnowing_fingerprints"](spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert (r["doc_a"], r["doc_b"]) not in seen
+        seen.add((r["doc_a"], r["doc_b"]))
+        assert r["n_shared"] > 0
+    ranks = sorted(r["rnk"] for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
