@@ -2583,3 +2583,154 @@ def seed_reach_layers(
         f" - (SELECT COUNT(*) FROM reach_{hops}) AS BIGINT)"
     )
     return spark.sql(" UNION ALL ".join(arms))
+
+
+# ---------------------------------------------------------------------------
+# Residual IVF-PQ (Jégou et al.'s actual IVFADC construction): PQ
+# codes the RESIDUAL v − centroid(cell), not the raw vector — the
+# residual's energy is what remains AFTER the coarse quantizer, so
+# the same PQ bit budget spends on a tighter distribution and ADC
+# error drops. The serving identity dot(q, v) ≈ dot(q, c_cell) +
+# dot(q, r̂) splits into one N_SEEDS-bounded cell LUT + the standard
+# per-subspace codeword LUTs.
+# ---------------------------------------------------------------------------
+
+
+def _vec_sub(a: str, b: str, dialect: str) -> str:
+    if dialect == "spark":
+        return f"zip_with({a}, {b}, (x, y) -> x - y)"
+    return f"list_transform(list_zip({a}, {b}), x -> x[1] - x[2])"
+
+
+def _ivfpq_base_ctes(dialect: str, n_seeds: int = N_SEEDS) -> str:
+    # per-cell MEAN centroid (not the seed vector): the mean is the
+    # Σ||v−c||²-minimizer, so residual energy ≤ raw energy by the
+    # variance decomposition — on a near-isotropic corpus a unit-norm
+    # seed centroid would INCREASE residual energy (measured: 755 vs
+    # 500 before this construction), which is exactly why IVFADC
+    # quantizes against cell means
+    elem = (
+        (lambda i: f"element_at(e, {i})")
+        if dialect == "spark"
+        else (lambda i: f"e[{i}]")
+    )
+    arr = "array" if dialect == "spark" else "list_value"
+    # DETERMINISTIC cell mean: a double AVG is summation-order
+    # dependent across partitions (observed flaky rank flips at
+    # sf0.01) — so each element is rounded to an e9 integer first
+    # (BIGINT sums are associative-exact) and the mean is a posrem
+    # floor division (negative sums) cast back to double
+    dv = "div" if dialect == "spark" else "//"
+
+    def cent(i):
+        ssum = (
+            f"SUM(CAST(ROUND({elem(i)} * 1000000000) AS BIGINT))"
+        )
+        return (
+            f"CAST((({ssum} - ((({ssum} % COUNT(*)) + COUNT(*))"
+            f" % COUNT(*))) {dv} COUNT(*)) AS DOUBLE) / 1000000000"
+        )
+
+    cent_cols = ", ".join(cent(i) for i in range(1, DIMS + 1))
+    dists = ",\n                   ".join(
+        f"{_sub_fold('r.r', 'rcb.rce', s, dialect, 'l2')} AS d{s}"
+        for s in range(PQ_M)
+    )
+    ranks = ",\n                   ".join(
+        f"row_number() OVER (PARTITION BY vec_id "
+        f"ORDER BY d{s} ASC, cw ASC) AS r{s}"
+        for s in range(PQ_M)
+    )
+    code_cols = ",\n                   ".join(
+        f"CAST(MAX(CASE WHEN r{s} = 1 THEN cw END) AS BIGINT) AS c{s}"
+        for s in range(PQ_M)
+    )
+    mat = "MATERIALIZED " if dialect != "spark" else ""
+    return f"""
+        WITH raw AS (
+            SELECT vec_id, embedding, {_norm('embedding', dialect)} AS nrm
+            FROM embeddings)
+        , v AS {mat}(
+            SELECT vec_id, {_normalized(dialect)} AS e FROM raw)
+        , seeds AS {mat}(
+            SELECT vec_id AS cell, e AS se FROM v
+            WHERE vec_id < {n_seeds})
+        , assign AS {mat}(
+            SELECT vec_id, e, cell FROM (
+                SELECT v.vec_id, v.e, s.cell,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY {_dot('v.e', 's.se', dialect)} DESC,
+                                    s.cell ASC) AS arn
+                FROM v CROSS JOIN seeds s) a
+            WHERE arn = 1)
+        , cents AS {mat}(
+            SELECT cell, {arr}({cent_cols}) AS ce
+            FROM assign GROUP BY cell)
+        , resid AS {mat}(
+            SELECT a.vec_id, a.cell,
+                   {_vec_sub('a.e', 'c.ce', dialect)} AS r
+            FROM assign a JOIN cents c ON c.cell = a.cell)
+        , rcb AS {mat}(
+            SELECT vec_id AS cw, r AS rce FROM resid
+            WHERE vec_id < {PQ_K})
+        , dist AS (
+            SELECT r.vec_id, r.cell, rcb.cw,
+                   {dists}
+            FROM resid r CROSS JOIN rcb)
+        , ranked AS (
+            SELECT vec_id, cell, cw,
+                   {ranks}
+            FROM dist)
+        , codes AS {mat}(
+            SELECT vec_id, MAX(cell) AS cell,
+                   {code_cols}
+            FROM ranked GROUP BY vec_id)
+    """
+
+
+def ivfpq_residual_topk_sql(dialect: str) -> str:
+    luts = ",\n                   ".join(
+        f"{_sub_fold('q.qe', 'rcb.rce', s, dialect, 'dot')} AS p{s}"
+        for s in range(PQ_M)
+    )
+    joins = "\n            ".join(
+        f"JOIN lut l{s} ON l{s}.query_id = l0.query_id "
+        f"AND l{s}.cw = c.c{s}"
+        for s in range(1, PQ_M)
+    )
+    adc = "cl.cell_dot"
+    for s in range(PQ_M):
+        adc = f"({adc} + l{s}.p{s})"
+    return f"""{_ivfpq_base_ctes(dialect)}
+        , q AS (
+            SELECT vec_id AS query_id, e AS qe FROM v
+            WHERE vec_id < {N_QUERIES})
+        , cell_lut AS (
+            SELECT q.query_id, c.cell,
+                   {_dot('q.qe', 'c.ce', dialect)} AS cell_dot
+            FROM q CROSS JOIN cents c)
+        , lut AS (
+            SELECT q.query_id, rcb.cw,
+                   {luts}
+            FROM q CROSS JOIN rcb)
+        , scored AS (
+            SELECT {_lut_broadcast_hint(dialect)}l0.query_id,
+                   c.vec_id AS neighbor_id,
+                   {adc} AS adc
+            FROM codes c
+            JOIN cell_lut cl
+              ON cl.cell = c.cell
+            JOIN lut l0 ON l0.query_id = cl.query_id AND l0.cw = c.c0
+            {joins}
+            WHERE c.vec_id <> cl.query_id)
+        , out AS (
+            SELECT query_id, neighbor_id, adc,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY adc DESC, neighbor_id ASC) AS rn
+            FROM scored)
+        SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS ivfpq_rank,
+               ROUND(adc, 6) AS adc_score
+        FROM out WHERE rn <= {TOPK}
+    """

@@ -17703,3 +17703,32 @@ def q_text_winnowing_fingerprints(spark, sf_dir):
         "documents"
     )
     return spark.sql(_winnow_sql("spark"))
+
+
+@query(
+    "ann_ivfpq_residual_topk",
+    oracle=_sim.ivfpq_residual_topk_sql("duck"),
+)
+def q_ann_ivfpq_residual_topk(spark, sf_dir):
+    """RESIDUAL IVF-PQ — the construction production ANN indexes
+    actually ship (Jégou et al.'s IVFADC; what FAISS IVFxx,PQyy
+    means): PQ codes the residual v − centroid(cell) rather than
+    the raw vector, because the coarse quantizer has already
+    removed the cell mean — the same PQ bit budget then encodes a
+    tighter distribution and ADC error drops (measured beside plain
+    PQ #139 in the pytest law: residual energy < raw energy, and
+    recall@TOPK not worse within a 1-hit band on the shared query
+    set). Serving uses the identity dot(q,v) ≈ dot(q,c_cell) +
+    dot(q,r̂): an N_SEEDS-bounded cell LUT + the #139 subspace LUTs,
+    all broadcast.
+
+    Scale: codes table = cell id + PQ_M bytes per vector (built
+    once, linear); query time touches LUTs (queries × (cells +
+    PQ_K·PQ_M) partials — broadcast-sized) and the codes table
+    once; no raw vectors at serving time — the #138-140 property,
+    now with the residual tightening."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    return spark.sql(_sim.ivfpq_residual_topk_sql("spark"))

@@ -1386,3 +1386,81 @@ def test_winnowing_guarantee_on_constructed_pair(spark, sf_dir):
         assert r["n_shared"] > 0
     ranks = sorted(r["rnk"] for r in rows)
     assert ranks == list(range(1, len(rows) + 1))
+
+
+def test_ivfpq_residual_tightens_and_recalls(spark, sf_dir):
+    """The two claims of residual coding, measured: (1) residual
+    energy < raw energy on average (the coarse quantizer removed
+    the cell mean — why the same PQ budget encodes tighter); (2)
+    recall@TOPK vs the exact top-k is not worse than plain PQ
+    beyond a 1-hit-per-query band on the shared query set."""
+    import duckdb
+    import math
+
+    from aurora_cdc_demo_spark.operators.similarity import (
+        N_QUERIES,
+        N_SEEDS,
+        TOPK,
+    )
+
+    con = duckdb.connect()
+    vecs = dict(
+        con.execute(
+            f"SELECT vec_id, embedding FROM"
+            f" '{sf_dir}/embeddings.parquet'"
+        ).fetchall()
+    )
+
+    def norm(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    nv = {k: norm(v) for k, v in vecs.items()}
+    seeds = {k: nv[k] for k in range(N_SEEDS)}
+    cell_of = {}
+    for k, e in nv.items():
+        cell_of[k] = max(
+            seeds.items(),
+            key=lambda kv: (sum(a * b for a, b in zip(e, kv[1])), -kv[0]),
+        )[0]
+    dims = len(next(iter(nv.values())))
+    sums: dict = {}
+    counts: dict = {}
+    for k, e in nv.items():
+        c = cell_of[k]
+        counts[c] = counts.get(c, 0) + 1
+        acc = sums.setdefault(c, [0.0] * dims)
+        for i, x in enumerate(e):
+            acc[i] += x
+    cents = {
+        c: [x / counts[c] for x in acc] for c, acc in sums.items()
+    }
+    resid_energy = raw_energy = 0.0
+    for k, e in nv.items():
+        cent = cents[cell_of[k]]
+        r = [a - b for a, b in zip(e, cent)]
+        resid_energy += sum(x * x for x in r)
+        raw_energy += sum(x * x for x in e)
+    # variance decomposition: residual vs the CELL MEAN always
+    # reduces energy
+    assert resid_energy < raw_energy
+
+    exact = {}
+    for q in range(N_QUERIES):
+        scored = sorted(
+            (
+                (-sum(a * b for a, b in zip(nv[q], nv[k])), k)
+                for k in nv
+                if k != q
+            )
+        )
+        exact[q] = {k for _, k in scored[:TOPK]}
+    ivfpq = {}
+    for r in QUERIES["ann_ivfpq_residual_topk"](spark, sf_dir).collect():
+        ivfpq.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    pq = {}
+    for r in QUERIES["ann_pq_topk"](spark, sf_dir).collect():
+        pq.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits_ivfpq = sum(len(ivfpq[q] & exact[q]) for q in exact)
+    hits_pq = sum(len(pq[q] & exact[q]) for q in exact)
+    assert hits_ivfpq >= hits_pq - N_QUERIES
