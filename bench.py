@@ -105,6 +105,9 @@ HEADLINE = [
     "embed_matryoshka_recall",
     "ann_filtered_search_recall",
     "events_user_bitmap_rollup",
+    "ann_ivfpq_residual_topk",
+    "text_winnowing_fingerprints",
+    "cdc_reconciliation_chunks",
 ]
 
 
