@@ -17732,3 +17732,163 @@ def q_ann_ivfpq_residual_topk(spark, sf_dir):
         "embeddings"
     )
     return spark.sql(_sim.ivfpq_residual_topk_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Readability scoring (Flesch / Flesch-Kincaid)
+# ---------------------------------------------------------------------------
+
+
+def _readability_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    if dialect == "spark":
+        n_words = "CAST(size(split(text, ' ')) AS BIGINT)"
+        n_sent = (
+            "CAST(size(regexp_extract_all(text, '[.!?]+', 0)) AS BIGINT)"
+        )
+        n_syl = (
+            "CAST(size(regexp_extract_all(lower(text), '[aeiouy]+', 0))"
+            " AS BIGINT)"
+        )
+    else:
+        n_words = "CAST(len(string_split(text, ' ')) AS BIGINT)"
+        n_sent = "CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)"
+        n_syl = (
+            "CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))"
+            " AS BIGINT)"
+        )
+    return f"""
+        WITH counts AS (
+            SELECT doc_id, source,
+                   {n_words} AS n_words,
+                   GREATEST(CAST(1 AS BIGINT), {n_sent}) AS n_sentences,
+                   {n_syl} AS n_syllables
+            FROM documents)
+        , scored AS (
+            SELECT doc_id, source, n_words, n_sentences, n_syllables,
+                   CAST(206835 - ((1015 * n_words) {div} n_sentences)
+                        - ((84600 * n_syllables) {div} n_words)
+                        AS BIGINT) AS fre_e3,
+                   CAST(((390 * n_words) {div} n_sentences)
+                        + ((11800 * n_syllables) {div} n_words) - 15590
+                        AS BIGINT) AS fkgl_e3
+            FROM counts WHERE n_words > 0)
+        SELECT doc_id, source, n_words, n_sentences, n_syllables,
+               fre_e3, fkgl_e3,
+               CASE WHEN fre_e3 >= 90000 THEN 'very_easy'
+                    WHEN fre_e3 >= 70000 THEN 'easy'
+                    WHEN fre_e3 >= 50000 THEN 'standard'
+                    WHEN fre_e3 >= 30000 THEN 'difficult'
+                    ELSE 'very_difficult' END AS band
+        FROM scored
+    """
+
+
+@query("text_readability", oracle=_readability_sql("duck"))
+def q_text_readability(spark, sf_dir):
+    """FLESCH reading-ease + FLESCH-KINCAID grade level per document
+    (Flesch 1948; Kincaid et al. 1975) — the classic surface
+    readability pair every corpus datasheet reports beside length
+    and quality gates (reference keeps no readability surface; this
+    extends the text-quality family #22/#41/#222). Syllables are
+    approximated by vowel-group runs ([aeiouy]+) — the standard
+    dictionary-free estimator; sentences by [.!?]+ runs floored at
+    1 so punctuation-free corpora (this testdata) degrade to the
+    words-per-doc regime instead of dividing by zero.
+
+    Both formulas are emitted as floor-scaled e3 integers
+    (206.835 - 1.015 W/S - 84.6 Syl/W and 0.39 W/S + 11.8 Syl/W -
+    15.59) with the multiply-before-divide discipline, so Spark and
+    DuckDB agree bit-for-bit — no float rounding surface.
+
+    Scale: one projection pass over documents, regexp counting in
+    whole-stage codegen, zero shuffles, zero joins; 100 TB = a
+    map-only scan."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_readability_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# SymSpell deletion-neighborhood fuzzy vocabulary matching
+# ---------------------------------------------------------------------------
+
+
+def _symspell_sql(dialect: str) -> str:
+    if dialect == "spark":
+        toks = (
+            "SELECT word FROM part"
+            " LATERAL VIEW explode(split(p_name, ' ')) t AS word"
+        )
+        variants = (
+            "SELECT word,"
+            " IF(pos = 0, word,"
+            "    concat(substring(word, 1, pos - 1),"
+            "           substring(word, pos + 1))) AS variant"
+            " FROM vocab"
+            " LATERAL VIEW explode(sequence(0, length(word))) t AS pos"
+        )
+    else:
+        toks = (
+            "SELECT unnest(string_split(p_name, ' ')) AS word FROM part"
+        )
+        variants = (
+            "SELECT word,"
+            " CASE WHEN pos = 0 THEN word"
+            "      ELSE substr(word, 1, pos - 1) || substr(word, pos + 1)"
+            " END AS variant"
+            " FROM vocab,"
+            " unnest(generate_series(0, length(word))) AS t(pos)"
+        )
+    return f"""
+        WITH toks AS ({toks})
+        , freq AS (
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM toks GROUP BY word)
+        , vocab AS (
+            SELECT word FROM freq WHERE length(word) >= 3)
+        , variants AS ({variants})
+        , cand AS (
+            SELECT DISTINCT a.word AS word_a, b.word AS word_b
+            FROM variants a JOIN variants b
+              ON a.variant = b.variant AND a.word < b.word)
+        , verified AS (
+            SELECT word_a, word_b FROM cand
+            WHERE levenshtein(word_a, word_b) = 1)
+        SELECT v.word_a, v.word_b,
+               fa.freq AS freq_a, fb.freq AS freq_b,
+               CAST(row_number() OVER (
+                   ORDER BY fa.freq + fb.freq DESC,
+                            v.word_a ASC, v.word_b ASC)
+                   AS BIGINT) AS rnk
+        FROM verified v
+        JOIN freq fa ON fa.word = v.word_a
+        JOIN freq fb ON fb.word = v.word_b
+    """
+
+
+@query("dedup_symspell_edit1", oracle=_symspell_sql("duck"))
+def q_dedup_symspell_edit1(spark, sf_dir):
+    """SYMSPELL deletion-neighborhood fuzzy matching (Garbe's
+    symmetric-delete algorithm, the standard sub-linear alternative
+    to BK-trees): every edit-distance-1 pair — insert, delete, OR
+    substitute — shares at least one single-deletion variant when
+    each word's neighborhood includes the word itself, so candidate
+    generation is a variant-keyed EQUI-join instead of an all-pairs
+    levenshtein scan; exact levenshtein then verifies the bounded
+    candidate set (deletion-key collisions like abc/acb are distance
+    2 and must be dropped). Run over the part-name token vocabulary
+    — the typo/variant-normalization step of entity resolution,
+    complementing token-set matching (part_fuzzy_match).
+
+    Scale: the corpus is touched ONCE for token frequencies; the
+    deletion expansion (×(len+1)) runs on the DISTINCT vocabulary
+    only (≪ corpus — Heaps' law), the variant join is postings-
+    shaped (df-cappable like #127 if a variant key ever grows hot),
+    and verification is O(candidates) with candidates ≈ true pairs
+    + rare collisions. No all-pairs anywhere."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_symspell_sql("spark"))

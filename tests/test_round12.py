@@ -1,0 +1,116 @@
+"""Round-12 additions: Flesch/Flesch-Kincaid readability,
+SymSpell deletion-neighborhood fuzzy matching."""
+
+from __future__ import annotations
+
+import re
+
+from aurora_cdc_demo_spark.registry import QUERIES
+
+
+def test_readability_matches_independent_recomputation(spark, sf_dir):
+    """The e3-scaled Flesch / FK formulas recompute exactly in
+    Python from the raw parquet (floor division, multiply first)."""
+    import duckdb
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    expect = {}
+    for doc_id, text in docs:
+        w = len(text.split(" "))
+        s = max(1, len(re.findall(r"[.!?]+", text)))
+        syl = len(re.findall(r"[aeiouy]+", text.lower()))
+        if w == 0:
+            continue
+        fre = 206835 - (1015 * w) // s - (84600 * syl) // w
+        fkgl = (390 * w) // s + (11800 * syl) // w - 15590
+        expect[doc_id] = (w, s, syl, fre, fkgl)
+    got = {
+        r["doc_id"]: (
+            r["n_words"],
+            r["n_sentences"],
+            r["n_syllables"],
+            r["fre_e3"],
+            r["fkgl_e3"],
+        )
+        for r in QUERIES["text_readability"](spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_readability_bands_partition_score_range(spark, sf_dir):
+    rows = QUERIES["text_readability"](spark, sf_dir).collect()
+    bounds = {
+        "very_easy": (90000, None),
+        "easy": (70000, 90000),
+        "standard": (50000, 70000),
+        "difficult": (30000, 50000),
+        "very_difficult": (None, 30000),
+    }
+    assert rows
+    for r in rows:
+        lo, hi = bounds[r["band"]]
+        if lo is not None:
+            assert r["fre_e3"] >= lo
+        if hi is not None:
+            assert r["fre_e3"] < hi
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (ca != cb),
+                )
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_symspell_equals_brute_force_all_pairs(spark, sf_dir):
+    """Soundness AND completeness of the deletion-neighborhood
+    candidate generation: the query's verified pair set equals the
+    brute-force all-pairs levenshtein=1 scan over the same
+    vocabulary (the paper's guarantee that edit-distance-1 pairs —
+    insert, delete, substitute — always share a deletion variant
+    when the word itself is included)."""
+    import duckdb
+
+    con = duckdb.connect()
+    toks = con.execute(
+        f"SELECT p_name FROM '{sf_dir}/part.parquet'"
+    ).fetchall()
+    freq: dict[str, int] = {}
+    for (name,) in toks:
+        for w in name.split(" "):
+            freq[w] = freq.get(w, 0) + 1
+    vocab = sorted(w for w in freq if len(w) >= 3)
+    expect = {
+        (a, b)
+        for i, a in enumerate(vocab)
+        for b in vocab[i + 1 :]
+        if _lev(a, b) == 1
+    }
+    rows = QUERIES["dedup_symspell_edit1"](spark, sf_dir).collect()
+    got = {(r["word_a"], r["word_b"]) for r in rows}
+    assert got == expect
+    for r in rows:
+        assert r["freq_a"] == freq[r["word_a"]]
+        assert r["freq_b"] == freq[r["word_b"]]
+
+
+def test_symspell_collision_is_not_a_match():
+    """abc/acb share deletion variants ab/ac but are distance 2 —
+    the verification step must reject exactly this shape."""
+    assert _lev("abc", "acb") == 2
+    da = {"abc"[:i] + "abc"[i + 1 :] for i in range(3)} | {"abc"}
+    db = {"acb"[:i] + "acb"[i + 1 :] for i in range(3)} | {"acb"}
+    assert da & db  # candidate is generated ...
+    # ... and only the levenshtein check removes it.
