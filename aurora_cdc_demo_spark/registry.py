@@ -17892,3 +17892,143 @@ def q_dedup_symspell_edit1(spark, sf_dir):
     ensure_utc(spark)
     load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(_symspell_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Retrieval evaluation: nDCG / precision / recall @ 10 per arm
+# ---------------------------------------------------------------------------
+
+# floor(1e6 / log2(rank+1)) for rank 1..10 — data-independent
+# constants computed in Python and inlined (never per-row in-engine).
+_NDCG_DISC_E6 = (
+    (1, 1000000),
+    (2, 630929),
+    (3, 500000),
+    (4, 430676),
+    (5, 386852),
+    (6, 356207),
+    (7, 333333),
+    (8, 315464),
+    (9, 301029),
+    (10, 289064),
+)
+_NDCG_AT = 10
+
+
+def _ndcg_report_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    bm = _text.bm25_sql(dialect)
+    disc_rows = ", ".join(f"({r}, {d})" for r, d in _NDCG_DISC_E6)
+    return f"""
+        WITH bm AS ({bm})
+        , v AS (
+            SELECT vec_id, embedding, label,
+                   {_sim._norm('embedding', dialect)} AS nrm
+            FROM embeddings)
+        , q AS (
+            SELECT embedding AS qe, nrm AS qn, label AS qlabel
+            FROM v WHERE vec_id = 0)
+        , dscored AS (
+            SELECT v.vec_id AS doc_id,
+                   ({_sim._dot('q.qe', 'v.embedding', dialect)})
+                       / (q.qn * v.nrm) AS cos
+            FROM v CROSS JOIN q WHERE v.vec_id <> 0)
+        , dtop AS (
+            SELECT doc_id, cos FROM dscored
+            ORDER BY cos DESC, doc_id ASC LIMIT {_NDCG_AT})
+        , dense AS (
+            SELECT doc_id, CAST(row_number() OVER (
+                       ORDER BY cos DESC, doc_id ASC) AS BIGINT)
+                   AS rnk
+            FROM dtop)
+        , fused AS (
+            SELECT COALESCE(b.doc_id, d.doc_id) AS doc_id,
+                   (CASE WHEN b.bm25_rank IS NULL THEN 0
+                         ELSE 1000000 {div} ({_RRF_K} + b.bm25_rank) END
+                    + CASE WHEN d.rnk IS NULL THEN 0
+                           ELSE 1000000 {div} ({_RRF_K} + d.rnk) END)
+                       AS rrf_e6
+            FROM bm b FULL OUTER JOIN dense d ON b.doc_id = d.doc_id)
+        , rrf AS (
+            SELECT doc_id, CAST(row_number() OVER (
+                       ORDER BY rrf_e6 DESC, doc_id ASC) AS BIGINT)
+                   AS rnk
+            FROM fused)
+        , arm_ranks AS (
+            SELECT 'bm25' AS arm, doc_id, bm25_rank AS rnk FROM bm
+            UNION ALL
+            SELECT 'dense' AS arm, doc_id, rnk FROM dense
+            UNION ALL
+            SELECT 'rrf' AS arm, doc_id, rnk FROM rrf
+            WHERE rnk <= {_NDCG_AT})
+        , rel AS (
+            SELECT v.vec_id AS doc_id,
+                   CASE WHEN v.vec_id <> 0 AND v.label = q.qlabel
+                        THEN 1 ELSE 0 END AS rel
+            FROM v CROSS JOIN q)
+        , disc AS (
+            SELECT * FROM (VALUES {disc_rows}) AS d(rnk, disc_e6))
+        , totals AS (
+            SELECT CAST(SUM(rel) AS BIGINT) AS n_rel_total FROM rel)
+        , idcg AS (
+            SELECT CAST(SUM(d.disc_e6) AS BIGINT) AS idcg_e6
+            FROM disc d CROSS JOIN totals t
+            WHERE d.rnk <= LEAST({_NDCG_AT}, t.n_rel_total))
+        , hits AS (
+            SELECT a.arm,
+                   CAST(SUM(r.rel) AS BIGINT) AS n_rel_at_10,
+                   CAST(SUM(r.rel * d.disc_e6) AS BIGINT) AS dcg_e6
+            FROM arm_ranks a
+            JOIN rel r ON r.doc_id = a.doc_id
+            JOIN disc d ON d.rnk = a.rnk
+            GROUP BY a.arm)
+        , arms AS (
+            SELECT * FROM (VALUES ('bm25'), ('dense'), ('rrf'))
+                AS a(arm))
+        SELECT a.arm,
+               COALESCE(h.n_rel_at_10, CAST(0 AS BIGINT))
+                   AS n_rel_at_10,
+               COALESCE(h.dcg_e6, CAST(0 AS BIGINT)) AS dcg_e6,
+               i.idcg_e6,
+               CAST((COALESCE(h.dcg_e6, 0) * 1000000) {div} i.idcg_e6
+                   AS BIGINT) AS ndcg_ppm,
+               CAST((COALESCE(h.n_rel_at_10, 0) * 1000000)
+                   {div} {_NDCG_AT} AS BIGINT) AS precision_ppm,
+               CAST((COALESCE(h.n_rel_at_10, 0) * 1000000)
+                   {div} t.n_rel_total AS BIGINT) AS recall_ppm
+        FROM arms a
+        LEFT JOIN hits h ON h.arm = a.arm
+        CROSS JOIN idcg i CROSS JOIN totals t
+    """
+
+
+@query("retrieval_ndcg_report", oracle=_ndcg_report_sql("duck"))
+def q_retrieval_ndcg_report(spark, sf_dir):
+    """RETRIEVAL EVALUATION — nDCG@10 / precision@10 / recall@10
+    for each serving arm (BM25 sparse, dense cosine, RRF fusion)
+    against label-match relevance (a doc is relevant iff its
+    embedding shares vec 0's label — the query's class, excluding
+    the query itself). Completes the IR loop beside the ANN RECALL
+    dashboard (#172): recall measures index fidelity to exact
+    cosine; nDCG measures end-task ranking quality against an
+    INDEPENDENT ground truth, which is what actually decides a
+    hybrid rollout. Discounts 1/log2(rank+1) are e6 floor-scaled
+    Python-precomputed literals in a VALUES table (Jarvelin &
+    Kekalainen 2002); IDCG truncates at min(10, n_relevant) so
+    ndcg_ppm = 1e6 means a perfect head. All-integer arithmetic
+    cross-engine; arms absent from the hit join still report
+    zero rows via the literal arms table.
+
+    Scale: both arms are the existing serving plans (#152
+    TakeOrderedAndProject, one-vector broadcast dense top-N); the
+    evaluation itself touches 30 rank rows against a broadcast
+    10-row discount table — the corpus is never re-scanned for
+    scoring."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    return spark.sql(_ndcg_report_sql("spark"))

@@ -114,3 +114,62 @@ def test_symspell_collision_is_not_a_match():
     db = {"acb"[:i] + "acb"[i + 1 :] for i in range(3)} | {"acb"}
     assert da & db  # candidate is generated ...
     # ... and only the levenshtein check removes it.
+
+
+def test_ndcg_report_matches_independent_recomputation(spark, sf_dir):
+    """nDCG/precision/recall recompute exactly from the arm rank
+    lists (taken from the already-oracle-checked #152/#308 outputs)
+    and the raw label column."""
+    import duckdb
+
+    from aurora_cdc_demo_spark.registry import (
+        _NDCG_AT,
+        _NDCG_DISC_E6,
+        QUERIES,
+    )
+
+    con = duckdb.connect()
+    labels = dict(
+        con.execute(
+            f"SELECT vec_id, label FROM '{sf_dir}/embeddings.parquet'"
+        ).fetchall()
+    )
+    qlabel = labels[0]
+    rel = {
+        k: 1 if (k != 0 and v == qlabel) else 0
+        for k, v in labels.items()
+    }
+    n_rel_total = sum(rel.values())
+    disc = dict(_NDCG_DISC_E6)
+    idcg = sum(
+        disc[r] for r in range(1, min(_NDCG_AT, n_rel_total) + 1)
+    )
+
+    hybrid = QUERIES["retrieval_rrf_hybrid"](spark, sf_dir).collect()
+    arms = {"bm25": {}, "dense": {}, "rrf": {}}
+    for r in hybrid:
+        if r["bm25_rank"] > 0:
+            arms["bm25"][r["doc_id"]] = r["bm25_rank"]
+        if r["dense_rank"] > 0:
+            arms["dense"][r["doc_id"]] = r["dense_rank"]
+        if r["fused_rank"] <= _NDCG_AT:
+            arms["rrf"][r["doc_id"]] = r["fused_rank"]
+
+    got = {
+        r["arm"]: r
+        for r in QUERIES["retrieval_ndcg_report"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == {"bm25", "dense", "rrf"}
+    for arm, ranks in arms.items():
+        # docs outside the embeddings id space carry rel 0
+        n_hit = sum(rel.get(d, 0) for d in ranks)
+        dcg = sum(rel.get(d, 0) * disc[rk] for d, rk in ranks.items())
+        row = got[arm]
+        assert row["n_rel_at_10"] == n_hit
+        assert row["dcg_e6"] == dcg
+        assert row["idcg_e6"] == idcg
+        assert row["ndcg_ppm"] == (dcg * 1000000) // idcg
+        assert row["precision_ppm"] == (n_hit * 1000000) // _NDCG_AT
+        assert row["recall_ppm"] == (n_hit * 1000000) // n_rel_total
