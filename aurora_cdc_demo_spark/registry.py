@@ -18032,3 +18032,98 @@ def q_retrieval_ndcg_report(spark, sf_dir):
         "embeddings"
     )
     return spark.sql(_ndcg_report_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap (distributed resampling)
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 32
+# cumulative Poisson(1) CDF at k=0..8, e6-floored — data-independent
+# constants computed in Python (math.exp), inlined as literals.
+_BOOT_CDF_E6 = (
+    367879,
+    735758,
+    919698,
+    981011,
+    996340,
+    999405,
+    999916,
+    999989,
+    999998,
+)
+
+
+def _poisson_bootstrap_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    if dialect == "spark":
+        reps = (
+            "SELECT doc_id, n_tokens, b FROM base"
+            f" LATERAL VIEW explode(sequence(0, {_BOOT_B - 1})) t AS b"
+        )
+        u = (
+            "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING),"
+            " ':', CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            " % 1000000"
+        )
+        ntok = "CAST(size(split(text, ' ')) AS BIGINT)"
+    else:
+        reps = (
+            "SELECT doc_id, n_tokens, b FROM base,"
+            f" unnest(generate_series(0, {_BOOT_B - 1})) AS t(b)"
+        )
+        u = (
+            "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'"
+            " || CAST(b AS VARCHAR)), 1, 8) AS BIGINT) % 1000000"
+        )
+        ntok = "CAST(len(string_split(text, ' ')) AS BIGINT)"
+    cases = " ".join(
+        f"WHEN u < {c} THEN {k}" for k, c in enumerate(_BOOT_CDF_E6)
+    )
+    return f"""
+        WITH base AS (
+            SELECT doc_id, {ntok} AS n_tokens FROM documents)
+        , reps AS ({reps})
+        , hashed AS (
+            SELECT doc_id, n_tokens, b, {u} AS u FROM reps)
+        , weighted AS (
+            SELECT b, n_tokens,
+                   CAST(CASE {cases} ELSE {len(_BOOT_CDF_E6)} END
+                        AS BIGINT) AS w
+            FROM hashed)
+        SELECT b AS replicate,
+               CAST(SUM(w) AS BIGINT) AS n_eff,
+               CAST(SUM(w * n_tokens) AS BIGINT) AS sum_tokens,
+               CAST((SUM(w * n_tokens) * 1000000) {div} SUM(w)
+                   AS BIGINT) AS mean_tokens_e6
+        FROM weighted
+        GROUP BY b
+    """
+
+
+@query("sample_poisson_bootstrap", oracle=_poisson_bootstrap_sql("duck"))
+def q_sample_poisson_bootstrap(spark, sf_dir):
+    """POISSON BOOTSTRAP (Chamandy et al. 2012, "Estimating
+    uncertainty for massive data streams" — Google's bootstrap for
+    data too large to multinomial-resample): replicate b reweights
+    each doc by an independent Poisson(1) draw, so all B resamples
+    are computed in ONE pass with no coordination on the total count
+    (the multinomial constraint Σw = n is relaxed — exactly what
+    makes it embarrassingly parallel). The draw is DETERMINISTIC:
+    u = md5(doc_id:b) mod 1e6 inverted through the e6-floored
+    Poisson(1) CDF as a literal CASE ladder (k ≤ 9 captures all but
+    1e-6 of mass). Per-replicate effective count, token sum, and e6
+    floor-scaled mean — the replicate spread IS the standard-error
+    estimate, the sibling of the delete-one-bucket jackknife (#332)
+    that needs no bucket structure.
+
+    Scale: one corpus scan, a ×B row expansion (B=32 bounded)
+    entirely inside whole-stage codegen (hash + CASE ladder — no
+    joins, no Python), then a 32-group hash aggregate with map-side
+    combine. The classic n-multinomial bootstrap cannot run at this
+    shape; Poisson is the distributed standard for a reason."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_poisson_bootstrap_sql("spark"))

@@ -173,3 +173,68 @@ def test_ndcg_report_matches_independent_recomputation(spark, sf_dir):
         assert row["ndcg_ppm"] == (dcg * 1000000) // idcg
         assert row["precision_ppm"] == (n_hit * 1000000) // _NDCG_AT
         assert row["recall_ppm"] == (n_hit * 1000000) // n_rel_total
+
+
+def test_poisson_bootstrap_weights_and_se(spark, sf_dir):
+    """Replicate aggregates recompute exactly from md5-derived
+    Poisson weights in Python; the replicate spread (bootstrap SE)
+    falls within a loose band of the analytic SE sd/sqrt(n)."""
+    import hashlib
+    import math
+
+    import duckdb
+
+    from aurora_cdc_demo_spark.registry import (
+        _BOOT_B,
+        _BOOT_CDF_E6,
+        QUERIES,
+    )
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, len(string_split(text, ' '))"
+        f" FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+
+    def weight(doc_id: int, b: int) -> int:
+        h = hashlib.md5(f"{doc_id}:{b}".encode()).hexdigest()
+        u = int(h[:8], 16) % 1000000
+        for k, c in enumerate(_BOOT_CDF_E6):
+            if u < c:
+                return k
+        return len(_BOOT_CDF_E6)
+
+    expect = {}
+    for b in range(_BOOT_B):
+        n_eff = sum_tok = 0
+        for doc_id, ntok in docs:
+            w = weight(doc_id, b)
+            n_eff += w
+            sum_tok += w * ntok
+        expect[b] = (n_eff, sum_tok, (sum_tok * 1000000) // n_eff)
+
+    rows = QUERIES["sample_poisson_bootstrap"](spark, sf_dir).collect()
+    got = {
+        r["replicate"]: (
+            r["n_eff"],
+            r["sum_tokens"],
+            r["mean_tokens_e6"],
+        )
+        for r in rows
+    }
+    assert got == expect
+
+    means = [m / 1e6 for _, _, m in got.values()]
+    boot_se = (
+        sum((m - sum(means) / len(means)) ** 2 for m in means)
+        / (len(means) - 1)
+    ) ** 0.5
+    toks = [t for _, t in docs]
+    mu = sum(toks) / len(toks)
+    sd = math.sqrt(
+        sum((t - mu) ** 2 for t in toks) / (len(toks) - 1)
+    )
+    analytic_se = sd / math.sqrt(len(toks))
+    # B=32 replicates: chi-square spread on the SE ratio is wide;
+    # 3x band catches only gross breakage (wrong CDF, broken hash).
+    assert analytic_se / 3 < boot_se < analytic_se * 3
