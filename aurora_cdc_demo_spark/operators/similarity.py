@@ -2734,3 +2734,139 @@ def ivfpq_residual_topk_sql(dialect: str) -> str:
                ROUND(adc, 6) AS adc_score
         FROM out WHERE rn <= {TOPK}
     """
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities over the KNN graph
+# ---------------------------------------------------------------------------
+
+HITS_ITERS = 3
+HITS_SCALE = 1_000_000_000
+
+
+def _hits_rounds(div: str, edges: str, iters: int = HITS_ITERS) -> str:
+    """Unrolled mutually-recursive HITS rounds over an edge relation.
+    Overflow discipline: with L1 mass pinned to HITS_SCALE per round,
+    every per-node raw sum is <= the GLOBAL mass (each neighbor's
+    score enters a node's sum at most once), so raw * HITS_SCALE
+    <= 1e18 stays inside BIGINT — the explicit-normalization sibling
+    of the Markov chain's inline row-normalization."""
+    ctes = ""
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        ctes += f"""
+        , araw{i} AS (
+            SELECT e.dst AS vec_id, CAST(SUM(p.s) AS BIGINT) AS raw
+            FROM {edges} e JOIN {prev_h} p ON p.vec_id = e.src
+            GROUP BY e.dst)
+        , atot{i} AS (
+            SELECT GREATEST(CAST(1 AS BIGINT),
+                            CAST(SUM(raw) AS BIGINT)) AS tot
+            FROM araw{i})
+        , a{i} AS (
+            SELECT n.vec_id,
+                   CAST((COALESCE(r.raw, 0) * {HITS_SCALE}) {div} t.tot
+                       AS BIGINT) AS s
+            FROM nodes n CROSS JOIN atot{i} t
+            LEFT JOIN araw{i} r ON r.vec_id = n.vec_id)
+        , hraw{i} AS (
+            SELECT e.src AS vec_id, CAST(SUM(a.s) AS BIGINT) AS raw
+            FROM {edges} e JOIN a{i} a ON a.vec_id = e.dst
+            GROUP BY e.src)
+        , htot{i} AS (
+            SELECT GREATEST(CAST(1 AS BIGINT),
+                            CAST(SUM(raw) AS BIGINT)) AS tot
+            FROM hraw{i})
+        , h{i} AS (
+            SELECT n.vec_id,
+                   CAST((COALESCE(r.raw, 0) * {HITS_SCALE}) {div} t.tot
+                       AS BIGINT) AS s
+            FROM nodes n CROSS JOIN htot{i} t
+            LEFT JOIN hraw{i} r ON r.vec_id = n.vec_id)"""
+        prev_h = f"h{i}"
+    return ctes
+
+
+_HITS_SELECT = f"""
+        SELECT h.vec_id, h.s AS hub_e9, a.s AS auth_e9,
+               CAST(COALESCE(ind.deg, 0) AS BIGINT) AS in_degree,
+               CAST(COALESCE(outd.deg, 0) AS BIGINT) AS out_degree
+        FROM h{HITS_ITERS} h
+        JOIN a{HITS_ITERS} a ON a.vec_id = h.vec_id
+        LEFT JOIN outdeg outd ON outd.src = h.vec_id
+        LEFT JOIN indeg ind ON ind.dst = h.vec_id
+    """
+
+
+def hits_sql(dialect: str, n_seeds: int = N_SEEDS) -> str:
+    """Single-statement HITS twin (DuckDB oracle keeps the
+    MATERIALIZED-CTE spelling of materialize-once)."""
+    div = "div" if dialect == "spark" else "//"
+    mat = "MATERIALIZED " if dialect != "spark" else ""
+    head = f"""{_knn_ctes(dialect, n_seeds)}
+        , edges AS {mat}(
+            SELECT vec_id AS src, neighbor_id AS dst
+            FROM ranked WHERE rnk <= {KNN_K})
+        , nodes AS (SELECT vec_id FROM v)
+        , nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes)
+        , outdeg AS {mat}(
+            SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM edges GROUP BY src)
+        , indeg AS {mat}(
+            SELECT dst, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM edges GROUP BY dst)
+        , h0 AS (
+            SELECT vec_id,
+                   CAST({HITS_SCALE} {div} n_nodes AS BIGINT) AS s
+            FROM nodes CROSS JOIN nn)"""
+    return head + _hits_rounds(div, "edges") + _HITS_SELECT
+
+
+def hits_iter_sql(edges_view: str, nodes_view: str) -> str:
+    """Spark-side HITS over an ALREADY-MATERIALIZED edge relation —
+    the pagerank_iter_sql pattern: every round scans the cached edge
+    blocks instead of re-deriving the KNN cell self-join."""
+    head = f"""
+        WITH nodes AS (SELECT vec_id FROM {nodes_view})
+        , nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes)
+        , outdeg AS (
+            SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM {edges_view} GROUP BY src)
+        , indeg AS (
+            SELECT dst, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM {edges_view} GROUP BY dst)
+        , h0 AS (
+            SELECT vec_id,
+                   CAST({HITS_SCALE} div n_nodes AS BIGINT) AS s
+            FROM nodes CROSS JOIN nn)"""
+    return head + _hits_rounds("div", edges_view) + _HITS_SELECT
+
+
+def hits_knn(
+    spark: SparkSession,
+    sf_dir: str,
+    n_seeds: int = N_SEEDS,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Materialize the KNN edge list once (local/reliable checkpoint
+    split, same as pagerank_knn), then run the unrolled HITS rounds
+    over the cached edges."""
+    from ..tables import load_table
+
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    edges = spark.sql(
+        f"""{_knn_ctes('spark', n_seeds)}
+        SELECT vec_id AS src, neighbor_id AS dst
+        FROM ranked WHERE rnk <= {KNN_K}
+        """
+    )
+    if checkpoint_mode == "reliable":
+        edges = edges.checkpoint(eager=True)
+    elif checkpoint_mode == "local":
+        edges = edges.localCheckpoint()
+    else:
+        raise ValueError(f"unknown checkpoint_mode: {checkpoint_mode!r}")
+    edges.createOrReplaceTempView("hits_edges_mat")
+    return spark.sql(hits_iter_sql("hits_edges_mat", "embeddings"))

@@ -18127,3 +18127,26 @@ def q_sample_poisson_bootstrap(spark, sf_dir):
         "documents"
     )
     return spark.sql(_poisson_bootstrap_sql("spark"))
+
+
+@query("graph_hits_knn", oracle=_sim.hits_sql("duck"))
+def q_graph_hits_knn(spark, sf_dir):
+    """HITS hubs & authorities (Kleinberg 1999) over the corpus KNN
+    graph — the DIRECTED centrality pair PageRank's single score
+    conflates: an authority is an embedding many regions point TO
+    (their nearest representative — a canonical-ish vector), a hub
+    points AT many authorities (sits between dense regions). The
+    mutual recursion a = A'h, h = Aa runs HITS_ITERS unrolled rounds
+    with explicit integer L1 normalization per half-step (raw sums
+    are bounded by the global mass, so raw×SCALE stays in BIGINT —
+    see operators/similarity.py:_hits_rounds); both engines land on
+    identical longs, so the hash match pins the fixpoint algebra.
+
+    Scale: edge list materialized ONCE (localCheckpoint here,
+    reliable checkpoint on a cluster — the pagerank r2-verdict
+    lesson applied from birth); each round is two edge-keyed
+    aggregates + node-sized joins, KNN_K-bounded edges, scalar
+    totals broadcast. No per-round re-derivation of the KNN
+    construction."""
+    ensure_utc(spark)
+    return _sim.hits_knn(spark, sf_dir)

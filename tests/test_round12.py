@@ -238,3 +238,55 @@ def test_poisson_bootstrap_weights_and_se(spark, sf_dir):
     # B=32 replicates: chi-square spread on the SE ratio is wide;
     # 3x band catches only gross breakage (wrong CDF, broken hash).
     assert analytic_se / 3 < boot_se < analytic_se * 3
+
+
+def test_hits_matches_python_fixpoint_algebra(spark, sf_dir):
+    """HITS recomputes exactly in Python from the (oracle-checked)
+    KNN edge list with the same integer normalization — the hash
+    match is an algebra identity, not a float tolerance. Also pins
+    the L1 law: each normalized vector's mass is SCALE minus only
+    floor loss (< one unit per node)."""
+    from aurora_cdc_demo_spark.operators.similarity import (
+        HITS_ITERS,
+        HITS_SCALE,
+    )
+    from aurora_cdc_demo_spark.registry import QUERIES
+
+    edges = [
+        (r["vec_id"], r["neighbor_id"])
+        for r in QUERIES["ann_knn_graph"](spark, sf_dir).collect()
+    ]
+    import duckdb
+
+    con = duckdb.connect()
+    nodes = [
+        v
+        for (v,) in con.execute(
+            f"SELECT vec_id FROM '{sf_dir}/embeddings.parquet'"
+            " ORDER BY vec_id"
+        ).fetchall()
+    ]
+    n = len(nodes)
+    h = {v: HITS_SCALE // n for v in nodes}
+    a = {}
+    for _ in range(HITS_ITERS):
+        araw = {v: 0 for v in nodes}
+        for s, d in edges:
+            araw[d] += h[s]
+        tot = max(1, sum(araw.values()))
+        a = {v: (araw[v] * HITS_SCALE) // tot for v in nodes}
+        hraw = {v: 0 for v in nodes}
+        for s, d in edges:
+            hraw[s] += a[d]
+        tot = max(1, sum(hraw.values()))
+        h = {v: (hraw[v] * HITS_SCALE) // tot for v in nodes}
+
+    rows = QUERIES["graph_hits_knn"](spark, sf_dir).collect()
+    assert len(rows) == n
+    for r in rows:
+        assert r["hub_e9"] == h[r["vec_id"]]
+        assert r["auth_e9"] == a[r["vec_id"]]
+    mass_h = sum(r["hub_e9"] for r in rows)
+    mass_a = sum(r["auth_e9"] for r in rows)
+    assert HITS_SCALE - n <= mass_h <= HITS_SCALE
+    assert HITS_SCALE - n <= mass_a <= HITS_SCALE
