@@ -18150,3 +18150,224 @@ def q_graph_hits_knn(spark, sf_dir):
     construction."""
     ensure_utc(spark)
     return _sim.hits_knn(spark, sf_dir)
+
+
+def _l_diversity_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    band = (
+        "((c - (((c % 100000) + 100000) % 100000))"
+        f" {div} 100000)"
+    )
+    return f"""
+        WITH cents AS (
+            SELECT CAST(ROUND(c_acctbal * 100) AS BIGINT) AS c,
+                   c_nationkey, c_mktsegment
+            FROM customer)
+        , qi AS (
+            SELECT c_nationkey, {band} AS bal_band,
+                   c_mktsegment AS sens
+            FROM cents)
+        , sc AS (
+            SELECT c_nationkey, bal_band, sens,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM qi GROUP BY c_nationkey, bal_band, sens)
+        , gs AS (
+            SELECT c_nationkey, bal_band,
+                   CAST(SUM(n) AS BIGINT) AS gsize,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct_sens,
+                   CAST(MAX(n) AS BIGINT) AS r1
+            FROM sc GROUP BY c_nationkey, bal_band)
+        , tot AS (
+            SELECT CAST(SUM(gsize) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) AS BIGINT) AS n_groups,
+                   CAST(MIN(n_distinct_sens) AS BIGINT) AS l_diversity,
+                   CAST(SUM(CASE WHEN r1 >= 2 * (gsize - r1) THEN 1
+                            ELSE 0 END) AS BIGINT)
+                       AS groups_failing_c2l2
+            FROM gs)
+        SELECT lv.l, t.n_groups, t.n_rows, t.l_diversity,
+               t.groups_failing_c2l2,
+               CAST(SUM(CASE WHEN g.n_distinct_sens < lv.l THEN 1
+                        ELSE 0 END) AS BIGINT) AS groups_below_l,
+               CAST(SUM(CASE WHEN g.n_distinct_sens < lv.l
+                        THEN g.gsize ELSE 0 END) AS BIGINT)
+                   AS rows_below_l,
+               CAST((10000 * SUM(CASE WHEN g.n_distinct_sens < lv.l
+                                 THEN g.gsize ELSE 0 END))
+                    AS BIGINT) {div} t.n_rows AS rows_below_bp
+        FROM gs g
+        CROSS JOIN (VALUES (2), (3), (5)) AS lv(l)
+        CROSS JOIN tot t
+        GROUP BY lv.l, t.n_groups, t.n_rows, t.l_diversity,
+                 t.groups_failing_c2l2
+    """
+
+
+@query("dq_l_diversity", oracle=_l_diversity_sql("duck"))
+def q_dq_l_diversity(spark, sf_dir):
+    """l-DIVERSITY risk profile (Machanavajjhala et al. 2007) — the
+    gate k-anonymity (#302) cannot express: a QI group can hold 25
+    indistinguishable rows and STILL leak if they all share one
+    sensitive value (the homogeneity attack). Quasi-identifiers =
+    (nation, 1000-unit balance band, posrem floor banding for
+    negative balances), sensitive attribute = market segment.
+    Reports distinct l-diversity (min distinct sensitive values per
+    group), per-threshold l ∈ {2,3,5} group/row exposure, and the
+    recursive (c=2, l=2) failure count — a group fails when its
+    modal sensitive value outweighs 2× the rest (r1 ≥ 2(g−r1)),
+    the integer form of Machanavajjhala's recursive criterion.
+
+    Scale: two hash aggregates (QI×sens, then QI) + a broadcast
+    3-row threshold grid and a scalar totals row — the same shape
+    as #302, linear in the table, no windows, no joins on data
+    keys."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer"
+    )
+    return spark.sql(_l_diversity_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution
+# ---------------------------------------------------------------------------
+
+_MKATTR_ITERS = 6
+_MKATTR_CHANNELS = ("click", "view", "signup", "error")
+
+
+def _markov_attr_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    chan_rows = ", ".join(f"('{c}')" for c in _MKATTR_CHANNELS)
+    state_rows = ", ".join(
+        f"('{s}')"
+        for s in ("START",) + _MKATTR_CHANNELS + ("CONV", "NULLS")
+    )
+    ctes = f"""
+        WITH ordered AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER w AS prev_type,
+                   lead(event_type) OVER w AS next_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY ts ASC, event_id ASC))
+        , trans_raw AS (
+            SELECT event_type AS ft,
+                   CASE WHEN next_type = 'purchase' THEN 'CONV'
+                        ELSE next_type END AS tt
+            FROM ordered
+            WHERE event_type <> 'purchase' AND next_type IS NOT NULL
+            UNION ALL
+            SELECT 'START' AS ft,
+                   CASE WHEN event_type = 'purchase' THEN 'CONV'
+                        ELSE event_type END AS tt
+            FROM ordered
+            WHERE prev_type IS NULL OR prev_type = 'purchase'
+            UNION ALL
+            SELECT event_type AS ft, 'NULLS' AS tt
+            FROM ordered
+            WHERE next_type IS NULL AND event_type <> 'purchase')
+        , trans AS (
+            SELECT ft, tt, CAST(COUNT(*) AS BIGINT) AS n
+            FROM trans_raw GROUP BY ft, tt)
+        , rowtot AS (
+            SELECT ft, CAST(SUM(n) AS BIGINT) AS tot
+            FROM trans GROUP BY ft)
+        , prob AS (
+            SELECT t.ft, t.tt,
+                   CAST((t.n * 1000000) {div} r.tot AS BIGINT)
+                       AS prob_e6
+            FROM trans t JOIN rowtot r ON r.ft = t.ft)
+        , journeys AS (
+            SELECT CAST(SUM(CASE WHEN ft = 'START' THEN n ELSE 0 END)
+                        AS BIGINT) AS n_journeys,
+                   CAST(SUM(CASE WHEN tt = 'CONV' THEN n ELSE 0 END)
+                        AS BIGINT) AS n_conversions
+            FROM trans)
+        , variants AS (
+            SELECT rm FROM (VALUES ('none'), {chan_rows}) AS t(rm))
+        , states AS (
+            SELECT s FROM (VALUES {state_rows}) AS t(s))
+        , base AS (
+            SELECT va.rm, st.s FROM variants va CROSS JOIN states st)
+        , v0 AS (
+            SELECT rm, s,
+                   CAST(CASE WHEN s = 'CONV' THEN 1000000000
+                        ELSE 0 END AS BIGINT) AS v
+            FROM base)"""
+    prev = "v0"
+    for i in range(1, _MKATTR_ITERS + 1):
+        ctes += f"""
+        , acc{i} AS (
+            SELECT pv.rm, p.ft AS s,
+                   CAST(SUM((p.prob_e6 * pv.v) {div} 1000000)
+                       AS BIGINT) AS acc
+            FROM prob p JOIN {prev} pv ON pv.s = p.tt
+            GROUP BY pv.rm, p.ft)
+        , v{i} AS (
+            SELECT b.rm, b.s,
+                   CASE WHEN b.s = 'CONV'
+                            THEN CAST(1000000000 AS BIGINT)
+                        WHEN b.s = 'NULLS' OR b.s = b.rm
+                            THEN CAST(0 AS BIGINT)
+                        ELSE COALESCE(a.acc, CAST(0 AS BIGINT))
+                   END AS v
+            FROM base b
+            LEFT JOIN acc{i} a ON a.rm = b.rm AND a.s = b.s)"""
+        prev = f"v{i}"
+    return f"""{ctes}
+        , pfull AS (
+            SELECT v AS p_full FROM {prev}
+            WHERE rm = 'none' AND s = 'START')
+        , pvar AS (
+            SELECT rm AS channel, v AS p_removed FROM {prev}
+            WHERE rm <> 'none' AND s = 'START')
+        , re AS (
+            SELECT pv.channel, pf.p_full, pv.p_removed,
+                   CAST(((pf.p_full - pv.p_removed) * 1000000)
+                        {div} GREATEST(CAST(1 AS BIGINT), pf.p_full)
+                        AS BIGINT) AS removal_effect_ppm
+            FROM pvar pv CROSS JOIN pfull pf)
+        , retot AS (
+            SELECT GREATEST(CAST(1 AS BIGINT),
+                            CAST(SUM(removal_effect_ppm) AS BIGINT))
+                       AS tot
+            FROM re)
+        SELECT r.channel,
+               r.p_full AS p_conv_full_e9,
+               r.p_removed AS p_conv_removed_e9,
+               r.removal_effect_ppm,
+               CAST((r.removal_effect_ppm * 1000000) {div} t.tot
+                   AS BIGINT) AS attribution_ppm,
+               j.n_journeys, j.n_conversions
+        FROM re r CROSS JOIN retot t CROSS JOIN journeys j
+    """
+
+
+@query("events_markov_attribution", oracle=_markov_attr_sql("duck"))
+def q_events_markov_attribution(spark, sf_dir):
+    """MARKOV REMOVAL-EFFECT ATTRIBUTION (Anderl et al. 2014) — the
+    data-driven counterfactual the heuristic first/last/linear
+    splits (#297) cannot give: model journeys as a first-order
+    chain over touch channels with absorbing CONV/NULL states,
+    compute P(convert | START), then for each channel KNOCK IT OUT
+    (its state pinned to the null value — mass routed into it is
+    lost) and re-measure; a channel's credit is its share of the
+    total conversion-probability drop. Journeys segment at each
+    purchase (the next event starts a new one); transition rows are
+    e6-normalized probabilities BEFORE the iteration, so each
+    contribution prob_e6·v div 1e6 is ≤ 1e15 at ANY corpus size —
+    the overflow-proof variant of #158's inline row-normalization.
+    _MKATTR_ITERS unrolled value-iteration rounds give
+    P(absorb within K steps) — the K-step truncation is documented
+    and identical cross-engine (exact absorption needs a matrix
+    inverse no SQL engine should be asked for).
+
+    Scale: ONE corpus window pass builds the transition counts;
+    everything after runs on a |states|²-bounded broadcast matrix ×
+    5 removal variants × 6 rounds of ~35-row joins. Removal
+    monotonicity (p_removed ≤ p_full) and the conservation of the
+    attribution shares are pinned in pytest."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_markov_attr_sql("spark"))

@@ -290,3 +290,91 @@ def test_hits_matches_python_fixpoint_algebra(spark, sf_dir):
     mass_a = sum(r["auth_e9"] for r in rows)
     assert HITS_SCALE - n <= mass_h <= HITS_SCALE
     assert HITS_SCALE - n <= mass_a <= HITS_SCALE
+
+
+def test_markov_attribution_matches_python_chain(spark, sf_dir):
+    """Journey segmentation + e6-normalized value iteration
+    recompute exactly in Python from the raw events; removal is
+    monotone and attribution shares conserve 1e6 up to floor
+    loss."""
+    import duckdb
+
+    from aurora_cdc_demo_spark.registry import (
+        _MKATTR_CHANNELS,
+        _MKATTR_ITERS,
+        QUERIES,
+    )
+
+    con = duckdb.connect()
+    evs = con.execute(
+        f"SELECT user_id, event_type FROM '{sf_dir}/events.parquet'"
+        " ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    by_user: dict = {}
+    for u, t in evs:
+        by_user.setdefault(u, []).append(t)
+    trans: dict = {}
+
+    def add(f, t):
+        trans[(f, t)] = trans.get((f, t), 0) + 1
+
+    for seq in by_user.values():
+        prev = None
+        for i, t in enumerate(seq):
+            st = "CONV" if t == "purchase" else t
+            if prev is None or prev == "purchase":
+                add("START", st)
+            if t != "purchase":
+                if i + 1 < len(seq):
+                    nxt = seq[i + 1]
+                    add(t, "CONV" if nxt == "purchase" else nxt)
+                else:
+                    add(t, "NULLS")
+            prev = t
+
+    rowtot: dict = {}
+    for (f, _), n in trans.items():
+        rowtot[f] = rowtot.get(f, 0) + n
+    prob = {
+        (f, t): (n * 1000000) // rowtot[f]
+        for (f, t), n in trans.items()
+    }
+    states = ("START",) + _MKATTR_CHANNELS + ("CONV", "NULLS")
+
+    def p_start(removed):
+        v = {s: (1000000000 if s == "CONV" else 0) for s in states}
+        for _ in range(_MKATTR_ITERS):
+            acc = {s: 0 for s in states}
+            for (f, t), p in prob.items():
+                acc[f] += (p * v[t]) // 1000000
+            v = {
+                s: 1000000000
+                if s == "CONV"
+                else 0
+                if s in ("NULLS", removed)
+                else acc[s]
+                for s in states
+            }
+        return v["START"]
+
+    p_full = p_start("none")
+    rows = {
+        r["channel"]: r
+        for r in QUERIES["events_markov_attribution"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == set(_MKATTR_CHANNELS)
+    re = {c: p_full - p_start(c) for c in _MKATTR_CHANNELS}
+    re_ppm = {
+        c: (d * 1000000) // max(1, p_full) for c, d in re.items()
+    }
+    tot = max(1, sum(re_ppm.values()))
+    for c, r in rows.items():
+        assert r["p_conv_full_e9"] == p_full
+        assert r["p_conv_removed_e9"] == p_full - re[c]
+        assert r["p_conv_removed_e9"] <= p_full  # removal monotone
+        assert r["removal_effect_ppm"] == re_ppm[c]
+        assert r["attribution_ppm"] == (re_ppm[c] * 1000000) // tot
+    share_sum = sum(r["attribution_ppm"] for r in rows.values())
+    assert 1000000 - len(_MKATTR_CHANNELS) <= share_sum <= 1000000
