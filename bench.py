@@ -108,6 +108,8 @@ HEADLINE = [
     "ann_ivfpq_residual_topk",
     "text_winnowing_fingerprints",
     "cdc_reconciliation_chunks",
+    "graph_hits_knn",
+    "events_markov_attribution",
 ]
 
 
