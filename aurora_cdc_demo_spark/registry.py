@@ -18371,3 +18371,105 @@ def q_events_markov_attribution(spark, sf_dir):
     ensure_utc(spark)
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_markov_attr_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# RFM segment migration matrix
+# ---------------------------------------------------------------------------
+
+
+def _segment_migration_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    us = "unix_micros" if dialect == "spark" else "epoch_us"
+    ctes = f"""
+        WITH b AS (
+            SELECT MIN({us}(o_orderdate)) AS mn,
+                   MAX({us}(o_orderdate)) AS mx
+            FROM orders)
+        , cut AS (
+            SELECT mn + (mx - mn) {div} 2 AS c FROM b)"""
+    for i, pred in ((1, "<"), (2, ">=")):
+        ctes += f"""
+        , m{i} AS (
+            SELECT o_custkey AS custkey,
+                   MAX(o_orderdate) AS last_order,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS spend_e2
+            FROM orders CROSS JOIN cut
+            WHERE {us}(o_orderdate) {pred} cut.c
+            GROUP BY o_custkey)
+        , n{i} AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM m{i})
+        , ranked{i} AS (
+            SELECT m{i}.*,
+                   CAST(row_number() OVER (
+                       ORDER BY last_order DESC, custkey ASC) AS BIGINT)
+                       AS r_rnk,
+                   CAST(row_number() OVER (
+                       ORDER BY n_orders DESC, custkey ASC) AS BIGINT)
+                       AS f_rnk,
+                   CAST(row_number() OVER (
+                       ORDER BY spend_e2 DESC, custkey ASC) AS BIGINT)
+                       AS m_rnk
+            FROM m{i})
+        , seg{i} AS (
+            SELECT custkey,
+                   CASE
+                     WHEN 5 - ((r_rnk - 1) * 5) {div} nc >= 4
+                          AND 5 - ((f_rnk - 1) * 5) {div} nc >= 4
+                          AND 5 - ((m_rnk - 1) * 5) {div} nc >= 4
+                         THEN 'champion'
+                     WHEN 5 - ((f_rnk - 1) * 5) {div} nc >= 4
+                         THEN 'loyal'
+                     WHEN 5 - ((m_rnk - 1) * 5) {div} nc >= 4
+                         THEN 'big_spender'
+                     WHEN 5 - ((r_rnk - 1) * 5) {div} nc <= 2
+                          AND 5 - ((f_rnk - 1) * 5) {div} nc >= 3
+                         THEN 'at_risk'
+                     WHEN 5 - ((r_rnk - 1) * 5) {div} nc <= 2
+                         THEN 'hibernating'
+                     ELSE 'mid'
+                   END AS tier
+            FROM ranked{i} CROSS JOIN n{i})"""
+    return f"""{ctes}
+        , joined AS (
+            SELECT COALESCE(s1.custkey, s2.custkey) AS custkey,
+                   COALESCE(s1.tier, 'absent') AS seg_from,
+                   COALESCE(s2.tier, 'absent') AS seg_to
+            FROM seg1 s1 FULL OUTER JOIN seg2 s2
+              ON s1.custkey = s2.custkey)
+        , tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n FROM joined)
+        SELECT j.seg_from, j.seg_to,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST((COUNT(*) * 10000) {div} t.n AS BIGINT) AS share_bp
+        FROM joined j CROSS JOIN tot t
+        GROUP BY j.seg_from, j.seg_to, t.n
+    """
+
+
+@query(
+    "customer_segment_migration",
+    oracle=_segment_migration_sql("duck"),
+)
+def q_customer_segment_migration(spark, sf_dir):
+    """RFM SEGMENT MIGRATION MATRIX — the longitudinal view the
+    static #170 snapshot can't give: recompute RFM tiers (champion /
+    loyal / big_spender / at_risk / hibernating / mid, the classic
+    CRM taxonomy as an ordered CASE over the #170 quintile formula)
+    independently on each HALF of the order history (epoch-micro
+    midpoint split, integer cut), then cross-tabulate where every
+    customer moved — including 'absent' (churned out of / newly
+    entered a period) via the FULL OUTER join. The migration mart
+    behind retention planning: champion→hibernating flow is the
+    churn alarm, absent→champion the acquisition win.
+
+    Scale: two map-side-combined fact→customer aggregates (each
+    reads its half-partition once — the date predicate prunes
+    partitions in a date-partitioned landing layout), rank windows
+    on the DIMENSION-sized customer table (bucket-prefix
+    decomposition per #132 if customers reach fact scale), and a
+    customer-keyed full outer join; the matrix is ≤ 7×7."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_segment_migration_sql("spark"))

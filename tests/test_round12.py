@@ -378,3 +378,28 @@ def test_markov_attribution_matches_python_chain(spark, sf_dir):
         assert r["attribution_ppm"] == (re_ppm[c] * 1000000) // tot
     share_sum = sum(r["attribution_ppm"] for r in rows.values())
     assert 1000000 - len(_MKATTR_CHANNELS) <= share_sum <= 1000000
+
+
+def test_segment_migration_conservation(spark, sf_dir):
+    """Matrix cells partition the customer universe: totals equal
+    the distinct custkeys with any order, no absent→absent cell,
+    and share_bp floors sum to ≤ 10000 over > 10000 - cells."""
+    import duckdb
+
+    from aurora_cdc_demo_spark.registry import QUERIES
+
+    con = duckdb.connect()
+    n_cust = con.execute(
+        f"SELECT COUNT(DISTINCT o_custkey)"
+        f" FROM '{sf_dir}/orders.parquet'"
+    ).fetchone()[0]
+    rows = QUERIES["customer_segment_migration"](
+        spark, sf_dir
+    ).collect()
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    assert not any(
+        r["seg_from"] == "absent" and r["seg_to"] == "absent"
+        for r in rows
+    )
+    bp = sum(r["share_bp"] for r in rows)
+    assert 10000 - len(rows) <= bp <= 10000
