@@ -18473,3 +18473,129 @@ def q_customer_segment_migration(spark, sf_dir):
     ensure_utc(spark)
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_segment_migration_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch set algebra (union, intersection, DIFFERENCE)
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_DOM = 4294967296  # 2^32 — the hash domain
+
+
+def _theta_sketch_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    if dialect == "spark":
+        h = (
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8),"
+            " 16, 10) AS BIGINT) + 1"
+        )
+    else:
+        h = (
+            "CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)"
+            " AS BIGINT) + 1"
+        )
+    return f"""
+        WITH du AS (
+            SELECT DISTINCT event_type, user_id FROM events)
+        , hx AS (
+            SELECT DISTINCT event_type, {h} AS h FROM du)
+        , ranked AS (
+            SELECT event_type, h,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY h ASC) AS rnk
+            FROM hx)
+        , sk AS (
+            SELECT event_type, h FROM ranked WHERE rnk <= {_KMV_K})
+        , stats AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(MAX(h) AS BIGINT) AS kth
+            FROM sk GROUP BY event_type)
+        , est AS (
+            SELECT event_type, n_kept, kth,
+                   CAST(CASE WHEN n_kept < {_KMV_K} THEN n_kept
+                        ELSE (({_KMV_K} - 1) * {_KMV_DOM}) {div} kth
+                        END AS BIGINT) AS est_n
+            FROM stats)
+        , exact AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS exact_n
+            FROM du GROUP BY event_type)
+        , w AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM sk a
+            JOIN sk b ON b.h = a.h AND a.event_type < b.event_type
+            JOIN est ea ON ea.event_type = a.event_type
+            JOIN est eb ON eb.event_type = b.event_type
+            WHERE a.h <= LEAST(ea.kth, eb.kth)
+            GROUP BY a.event_type, b.event_type)
+        , xw AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS exact_inter
+            FROM du a
+            JOIN du b ON b.user_id = a.user_id
+                     AND a.event_type < b.event_type
+            GROUP BY a.event_type, b.event_type)
+        , pairs AS (
+            SELECT ea.event_type AS type_a, eb.event_type AS type_b,
+                   ea.est_n AS est_a, eb.est_n AS est_b,
+                   ea.n_kept AS kept_a, eb.n_kept AS kept_b,
+                   LEAST(ea.kth, eb.kth) AS theta,
+                   COALESCE(w.n_common, 0) AS n_common
+            FROM est ea
+            JOIN est eb ON ea.event_type < eb.event_type
+            LEFT JOIN w ON w.type_a = ea.event_type
+                       AND w.type_b = eb.event_type)
+        , ests AS (
+            SELECT type_a, type_b, est_a, est_b,
+                   CAST(LEAST(est_a, est_b,
+                        CASE WHEN kept_a < {_KMV_K}
+                                  AND kept_b < {_KMV_K}
+                             THEN n_common
+                        ELSE (n_common * {_KMV_DOM}) {div} theta
+                        END) AS BIGINT) AS est_intersection
+            FROM pairs)
+        SELECT e.type_a, e.type_b, e.est_a, e.est_b,
+               e.est_intersection,
+               CAST(e.est_a + e.est_b - e.est_intersection AS BIGINT)
+                   AS est_union,
+               CAST(GREATEST(0, e.est_a - e.est_intersection)
+                   AS BIGINT) AS est_diff_ab,
+               xa.exact_n AS exact_a, xb.exact_n AS exact_b,
+               x.exact_inter AS exact_intersection,
+               CAST(xa.exact_n - x.exact_inter AS BIGINT)
+                   AS exact_diff_ab
+        FROM ests e
+        JOIN exact xa ON xa.event_type = e.type_a
+        JOIN exact xb ON xb.event_type = e.type_b
+        JOIN xw x ON x.type_a = e.type_a AND x.type_b = e.type_b
+    """
+
+
+@query("events_theta_sketch_ops", oracle=_theta_sketch_sql("duck"))
+def q_events_theta_sketch_ops(spark, sf_dir):
+    """KMV / THETA SKETCH set algebra (Beyer et al. 2007 "On
+    synopses for distinct-value estimation"; the Apache DataSketches
+    theta family): keep the K smallest 32-bit hash values per
+    audience; the Kth minimum θ estimates density, so
+    n̂ = (K−1)·2³² div θ — and UNLIKE HLL (#301, register-MAX only)
+    the kept sample supports INTERSECTION and DIFFERENCE directly:
+    common kept values below min(θa, θb) scale by 2³²/θ, and
+    A\\B = n̂_A − n̂_∩, with the standard library clamp
+    n̂_∩ ≤ min(n̂_A, n̂_B) (W can reach K while the single-set
+    estimator uses K−1). Sketches with fewer than K values are exact
+    and the estimator degrades to the true count (the CASE arm).
+    Exact audits computed beside every estimate, #301-style, so the
+    error is visible in the mart itself.
+
+    Scale: sketch build = one distinct-project + a per-type rank
+    window truncated at K (TakeOrdered shape); all pairwise algebra
+    runs on ≤ K rows per audience — mergeable (K smallest of a
+    union of K-sets), so partial sketches combine map-side exactly
+    like the HLL registers. The exact-audit CTEs are the
+    toy-SF honesty instrument; production reads the estimates."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_theta_sketch_sql("spark"))

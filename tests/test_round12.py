@@ -403,3 +403,71 @@ def test_segment_migration_conservation(spark, sf_dir):
     )
     bp = sum(r["share_bp"] for r in rows)
     assert 10000 - len(rows) <= bp <= 10000
+
+
+def test_theta_sketch_laws(spark, sf_dir):
+    """KMV laws: estimates recompute exactly in Python from md5
+    hashes (sketch = K smallest, estimator + clamp); sub-K
+    audiences are EXACT; union/inter/diff identities hold."""
+    import hashlib
+
+    import duckdb
+
+    from aurora_cdc_demo_spark.registry import (
+        _KMV_DOM,
+        _KMV_K,
+        QUERIES,
+    )
+
+    con = duckdb.connect()
+    du = con.execute(
+        f"SELECT DISTINCT event_type, user_id"
+        f" FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    users: dict = {}
+    for t, u in du:
+        users.setdefault(t, set()).add(u)
+
+    def hv(u):
+        return (
+            int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) + 1
+        )
+
+    sk = {
+        t: sorted({hv(u) for u in us})[:_KMV_K]
+        for t, us in users.items()
+    }
+
+    def est(t):
+        s = sk[t]
+        if len(s) < _KMV_K:
+            return len(s)
+        return ((_KMV_K - 1) * _KMV_DOM) // s[-1]
+
+    rows = QUERIES["events_theta_sketch_ops"](
+        spark, sf_dir
+    ).collect()
+    types = sorted(users)
+    assert len(rows) == len(types) * (len(types) - 1) // 2
+    for r in rows:
+        a, b = r["type_a"], r["type_b"]
+        assert r["est_a"] == est(a)
+        assert r["est_b"] == est(b)
+        theta = min(sk[a][-1], sk[b][-1])
+        w = len(
+            {h for h in sk[a] if h <= theta}
+            & {h for h in sk[b] if h <= theta}
+        )
+        if len(sk[a]) < _KMV_K and len(sk[b]) < _KMV_K:
+            raw = w
+        else:
+            raw = (w * _KMV_DOM) // theta
+        inter = min(r["est_a"], r["est_b"], raw)
+        assert r["est_intersection"] == inter
+        assert r["est_union"] == r["est_a"] + r["est_b"] - inter
+        assert r["est_diff_ab"] == max(0, r["est_a"] - inter)
+        assert r["exact_a"] == len(users[a])
+        assert r["exact_intersection"] == len(users[a] & users[b])
+        assert r["exact_diff_ab"] == len(users[a] - users[b])
+        # estimator consistency: clamped inter never exceeds union
+        assert r["est_intersection"] <= r["est_union"]
