@@ -18599,3 +18599,71 @@ def q_events_theta_sketch_ops(spark, sf_dir):
     ensure_utc(spark)
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_theta_sketch_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder (Hamilton) sample allocation
+# ---------------------------------------------------------------------------
+
+_HAM_BUDGET = 1000
+
+
+def _hamilton_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    return f"""
+        WITH strata AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY source)
+        , tot AS (
+            SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM strata)
+        , quota AS (
+            SELECT s.source, s.n_docs,
+                   CAST(({_HAM_BUDGET} * s.n_docs) {div} t.n
+                       AS BIGINT) AS floor_alloc,
+                   CAST(({_HAM_BUDGET} * s.n_docs) % t.n
+                       AS BIGINT) AS rem_num
+            FROM strata s CROSS JOIN tot t)
+        , leftover AS (
+            SELECT CAST({_HAM_BUDGET} - SUM(floor_alloc) AS BIGINT)
+                       AS l
+            FROM quota)
+        , ranked AS (
+            SELECT q.*,
+                   CAST(row_number() OVER (
+                       ORDER BY q.rem_num DESC, q.source ASC)
+                       AS BIGINT) AS rem_rank
+            FROM quota q)
+        SELECT r.source, r.n_docs, r.floor_alloc, r.rem_num,
+               r.rem_rank,
+               CAST(CASE WHEN r.rem_rank <= lv.l THEN 1 ELSE 0 END
+                   AS BIGINT) AS extra,
+               CAST(r.floor_alloc
+                    + CASE WHEN r.rem_rank <= lv.l THEN 1 ELSE 0 END
+                   AS BIGINT) AS alloc
+        FROM ranked r CROSS JOIN leftover lv
+    """
+
+
+@query("sample_allocation_hamilton", oracle=_hamilton_sql("duck"))
+def q_sample_allocation_hamilton(spark, sf_dir):
+    """LARGEST-REMAINDER (Hamilton) APPORTIONMENT of a fixed sample
+    budget across strata — the exact-integer answer to 'give every
+    source its proportional share of {B} samples' that naive
+    per-stratum rounding cannot give (floors under-shoot, rounds
+    drift): floor the exact quota B·N_h/N, then award the leftover
+    seats to the largest fractional remainders (deterministic
+    source-key tie-break). Guarantees Σ alloc = B EXACTLY and
+    |alloc_h − quota_h| < 1 (the quota property) — the allocation
+    step that feeds the stratified sampler (#53): its per-stratum
+    take-counts become exact instead of hash-expected. Remainders
+    compare as integer numerators over the COMMON denominator N —
+    no fraction ever materializes.
+
+    Scale: one hash aggregate to stratum grain, scalar totals
+    broadcast, and a rank window over the STRATUM table (sources —
+    bounded); corpus touched once.""".replace("{B}", str(_HAM_BUDGET))
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_hamilton_sql("spark"))

@@ -471,3 +471,27 @@ def test_theta_sketch_laws(spark, sf_dir):
         assert r["exact_diff_ab"] == len(users[a] - users[b])
         # estimator consistency: clamped inter never exceeds union
         assert r["est_intersection"] <= r["est_union"]
+
+
+def test_hamilton_allocation_quota_property(spark, sf_dir):
+    """Σ alloc equals the budget EXACTLY, and every stratum's
+    allocation is within 1 of its exact fractional quota (the
+    Hamilton quota property); extras go to the largest
+    remainders."""
+    from aurora_cdc_demo_spark.registry import _HAM_BUDGET, QUERIES
+
+    rows = QUERIES["sample_allocation_hamilton"](
+        spark, sf_dir
+    ).collect()
+    n = sum(r["n_docs"] for r in rows)
+    assert sum(r["alloc"] for r in rows) == _HAM_BUDGET
+    for r in rows:
+        q = _HAM_BUDGET * r["n_docs"] / n
+        assert q - 1 < r["alloc"] < q + 1
+    # extras awarded in remainder order
+    by_extra = sorted(
+        rows, key=lambda r: (-r["rem_num"], r["source"])
+    )
+    n_extra = sum(r["extra"] for r in rows)
+    assert all(r["extra"] == 1 for r in by_extra[:n_extra])
+    assert all(r["extra"] == 0 for r in by_extra[n_extra:])
