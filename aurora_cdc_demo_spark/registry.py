@@ -18667,3 +18667,98 @@ def q_sample_allocation_hamilton(spark, sf_dir):
         "documents"
     )
     return spark.sql(_hamilton_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Haar wavelet energy decomposition (multi-resolution burst profile)
+# ---------------------------------------------------------------------------
+
+_HAAR_HOURS = 64  # 2^6 dyadic grid
+_HAAR_LEVELS = 3
+
+
+def _haar_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    us = "unix_micros" if dialect == "spark" else "epoch_us"
+    if dialect == "spark":
+        grid = (
+            "SELECT idx FROM (SELECT explode(sequence(0,"
+            f" {_HAAR_HOURS - 1})) AS idx)"
+        )
+    else:
+        grid = (
+            f"SELECT unnest(generate_series(0, {_HAAR_HOURS - 1}))"
+            " AS idx"
+        )
+    ctes = f"""
+        WITH b AS (
+            SELECT MIN({us}(ts)) AS t0 FROM events)
+        , hours AS (
+            SELECT ({us}(ts) - b.t0) {div} 3600000000 AS idx
+            FROM events CROSS JOIN b)
+        , counts AS (
+            SELECT idx, CAST(COUNT(*) AS BIGINT) AS v
+            FROM hours WHERE idx < {_HAAR_HOURS} GROUP BY idx)
+        , grid AS ({grid})
+        , g0 AS (
+            SELECT g.idx, COALESCE(c.v, CAST(0 AS BIGINT)) AS v
+            FROM grid g LEFT JOIN counts c ON c.idx = g.idx)"""
+    prev = "g0"
+    for lv in range(1, _HAAR_LEVELS + 1):
+        val = "v" if lv == 1 else "a"
+        ctes += f"""
+        , l{lv} AS (
+            SELECT idx {div} 2 AS idx,
+                   CAST(SUM(CASE WHEN idx % 2 = 0 THEN {val}
+                            ELSE -{val} END) AS BIGINT) AS d,
+                   CAST(SUM({val}) AS BIGINT) AS a
+            FROM {prev} GROUP BY idx {div} 2)"""
+        prev = f"l{lv}"
+    detail_arms = "\n            UNION ALL".join(
+        f"""
+            SELECT 'detail{lv}' AS kind,
+                   CAST(COUNT(*) AS BIGINT) AS n_coeffs,
+                   CAST(SUM(d * d) AS BIGINT) AS energy
+            FROM l{lv}"""
+        for lv in range(1, _HAAR_LEVELS + 1)
+    )
+    return f"""{ctes}
+        , rows_out AS (
+            SELECT 'signal' AS kind,
+                   CAST(COUNT(*) AS BIGINT) AS n_coeffs,
+                   CAST(SUM(v * v) AS BIGINT) AS energy
+            FROM g0
+            UNION ALL{detail_arms}
+            UNION ALL
+            SELECT 'approx{_HAAR_LEVELS}' AS kind,
+                   CAST(COUNT(*) AS BIGINT) AS n_coeffs,
+                   CAST(SUM(a * a) AS BIGINT) AS energy
+            FROM l{_HAAR_LEVELS})
+        SELECT kind, n_coeffs, energy FROM rows_out
+    """
+
+
+@query("events_haar_energy", oracle=_haar_sql("duck"))
+def q_events_haar_energy(spark, sf_dir):
+    """HAAR WAVELET energy decomposition of the hourly event series
+    — the multi-resolution burst profile the single-scale screens
+    (ACF #275, CUSUM #206, MAD #244) cannot give: detail energy at
+    level l measures variance at the 2^l-hour scale, so a
+    bot-traffic micro-burst loads detail1 while a diurnal swing
+    loads detail3+ — one mart row per scale. Unnormalized integer
+    Haar (pair sums and differences, no √2), which keeps every
+    coefficient a BIGINT and makes Parseval EXACT:
+    2^L·Σx² = Σ_l 2^(L−l)·Σd_l² + Σa_L² — pinned bit-for-bit in
+    pytest, something float wavelets can never promise. First
+    2^6 = 64 hours from the corpus minimum, dense dyadic grid
+    (missing hours are true zeros).
+
+    Scale: ONE corpus pass to hourly counts (map-side combined),
+    then L=3 aggregates over a 64-row dyadic ladder — the
+    transform is O(grid), not O(events); widen the grid and the
+    ladder stays loglinear. The classic DSP alternative (FFT) needs
+    floats and global transposes; Haar is the shuffle-free integer
+    member of the family."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_haar_sql("spark"))

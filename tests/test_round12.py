@@ -495,3 +495,63 @@ def test_hamilton_allocation_quota_property(spark, sf_dir):
     n_extra = sum(r["extra"] for r in rows)
     assert all(r["extra"] == 1 for r in by_extra[:n_extra])
     assert all(r["extra"] == 0 for r in by_extra[n_extra:])
+
+
+def test_haar_exact_parseval(spark, sf_dir):
+    """Exact integer Parseval for the unnormalized Haar ladder:
+    2^L Σx² = Σ_l 2^(L-l) Σd_l² + Σa_L², bit-for-bit; plus a full
+    Python recomputation of every level from the raw hourly
+    counts."""
+    import duckdb
+
+    from aurora_cdc_demo_spark.registry import (
+        _HAAR_HOURS,
+        _HAAR_LEVELS,
+        QUERIES,
+    )
+
+    con = duckdb.connect()
+    t0 = con.execute(
+        f"SELECT MIN(epoch_us(ts)) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+    hrs = con.execute(
+        f"SELECT (epoch_us(ts) - {t0}) // 3600000000 AS h, COUNT(*)"
+        f" FROM '{sf_dir}/events.parquet'"
+        f" WHERE (epoch_us(ts) - {t0}) // 3600000000 < {_HAAR_HOURS}"
+        " GROUP BY 1"
+    ).fetchall()
+    x = [0] * _HAAR_HOURS
+    for h, c in hrs:
+        x[int(h)] = c
+    got = {
+        r["kind"]: (r["n_coeffs"], r["energy"])
+        for r in QUERIES["events_haar_energy"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got["signal"] == (_HAAR_HOURS, sum(v * v for v in x))
+    cur = x
+    details = {}
+    for lv in range(1, _HAAR_LEVELS + 1):
+        d = [
+            cur[2 * i] - cur[2 * i + 1] for i in range(len(cur) // 2)
+        ]
+        a = [
+            cur[2 * i] + cur[2 * i + 1] for i in range(len(cur) // 2)
+        ]
+        details[lv] = d
+        assert got[f"detail{lv}"] == (
+            len(d),
+            sum(v * v for v in d),
+        )
+        cur = a
+    assert got[f"approx{_HAAR_LEVELS}"] == (
+        len(cur),
+        sum(v * v for v in cur),
+    )
+    lhs = (2**_HAAR_LEVELS) * got["signal"][1]
+    rhs = sum(
+        (2 ** (_HAAR_LEVELS - lv)) * got[f"detail{lv}"][1]
+        for lv in range(1, _HAAR_LEVELS + 1)
+    ) + got[f"approx{_HAAR_LEVELS}"][1]
+    assert lhs == rhs
