@@ -18762,3 +18762,85 @@ def q_events_haar_energy(spark, sf_dir):
     ensure_utc(spark)
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_haar_sql("spark"))
+
+
+def _keyframes_sql(dialect: str) -> str:
+    gen = (
+        f"LATERAL VIEW explode(sequence(0, {_SCENE_FRAMES - 1}))"
+        " g AS frame_idx"
+        if dialect == "spark"
+        else f", generate_series(0, {_SCENE_FRAMES - 1}) AS g(frame_idx)"
+    )
+    sub = "substring" if dialect == "spark" else "substr"
+    div = "div" if dialect == "spark" else "//"
+    energy = " + ".join(
+        f"ascii({sub}(text, CAST(frame_idx *"
+        f" (length(text) {div} {_SCENE_FRAMES}) + {j + 1} AS INT), 1))"
+        for j in range(_SCENE_WIN)
+    )
+    return f"""
+        WITH frames AS (
+            SELECT doc_id, frame_idx,
+                   CAST({energy} AS BIGINT) AS energy
+            FROM documents {gen})
+        , deltas AS (
+            SELECT doc_id, frame_idx, energy,
+                   energy - lag(energy) OVER (
+                       PARTITION BY doc_id ORDER BY frame_idx ASC)
+                       AS d
+            FROM frames)
+        , cuts AS (
+            SELECT doc_id, frame_idx, energy,
+                   CASE WHEN d IS NOT NULL
+                        AND 5 * ABS(d) > (energy - d)
+                        THEN 1 ELSE 0 END AS is_cut
+            FROM deltas)
+        , shots AS (
+            SELECT doc_id, frame_idx, energy,
+                   CAST(SUM(is_cut) OVER (
+                       PARTITION BY doc_id ORDER BY frame_idx ASC
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS shot_id
+            FROM cuts)
+        , ranked AS (
+            SELECT doc_id, shot_id, frame_idx, energy,
+                   row_number() OVER (
+                       PARTITION BY doc_id, shot_id
+                       ORDER BY energy DESC, frame_idx ASC) AS rn
+            FROM shots)
+        , spans AS (
+            SELECT doc_id, shot_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_frames,
+                   CAST(MIN(frame_idx) AS BIGINT) AS start_frame,
+                   CAST(MAX(frame_idx) AS BIGINT) AS end_frame
+            FROM shots GROUP BY doc_id, shot_id)
+        SELECT s.doc_id, s.shot_id, s.n_frames,
+               s.start_frame, s.end_frame,
+               CAST(r.frame_idx AS BIGINT) AS keyframe_idx,
+               r.energy AS keyframe_energy
+        FROM spans s
+        JOIN ranked r ON r.doc_id = s.doc_id
+                     AND r.shot_id = s.shot_id AND r.rn = 1
+    """
+
+
+@query("mm_keyframes", oracle=_keyframes_sql("duck"))
+def q_mm_keyframes(spark, sf_dir):
+    """KEYFRAME SELECTION per shot — the step after shot-boundary
+    detection (#324) in every video-training pipeline: segment each
+    doc's frame grid into shots (gaps-and-islands via the running
+    cut-flag sum), then pick the ARGMAX-energy frame per shot
+    (deterministic tie-break: lowest frame index) as the shot's
+    representative for the VLM training sample. Per-shot span and
+    frame count ride along so downstream sampling can weight by
+    shot length. Same stub-decode discipline as #83/#324: a real
+    decoder replaces the byte-window energy via mapInPandas and
+    every downstream column is unchanged.
+
+    Scale: constant 16× frame explode, two doc-keyed windows
+    sharing one shuffle (lag + running sum), a (doc, shot) rank
+    window, and a bounded self-join — all linear in docs."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_keyframes_sql("spark"))

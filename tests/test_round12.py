@@ -555,3 +555,40 @@ def test_haar_exact_parseval(spark, sf_dir):
         for lv in range(1, _HAAR_LEVELS + 1)
     ) + got[f"approx{_HAAR_LEVELS}"][1]
     assert lhs == rhs
+
+
+def test_keyframes_partition_shots_and_argmax(spark, sf_dir):
+    """Shots tile the frame grid exactly (spans disjoint, cover
+    0..15, counts telescope) and each keyframe is the shot's
+    energy argmax with lowest-index tie-break; shot count per doc
+    equals #324's n_cuts + 1."""
+    from aurora_cdc_demo_spark.registry import (
+        _SCENE_FRAMES,
+        QUERIES,
+    )
+
+    cuts = {
+        r["doc_id"]: r["n_cuts"]
+        for r in QUERIES["mm_scene_cuts"](spark, sf_dir).collect()
+    }
+    rows = QUERIES["mm_keyframes"](spark, sf_dir).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(cuts)
+    for doc, shots in by_doc.items():
+        shots.sort(key=lambda r: r["shot_id"])
+        assert len(shots) == cuts[doc] + 1
+        assert shots[0]["start_frame"] == 0
+        assert shots[-1]["end_frame"] == _SCENE_FRAMES - 1
+        for i, s in enumerate(shots):
+            assert (
+                s["n_frames"]
+                == s["end_frame"] - s["start_frame"] + 1
+            )
+            assert s["start_frame"] <= s["keyframe_idx"] <= s["end_frame"]
+            if i:
+                assert (
+                    s["start_frame"]
+                    == shots[i - 1]["end_frame"] + 1
+                )
