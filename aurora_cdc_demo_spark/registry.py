@@ -18844,3 +18844,88 @@ def q_mm_keyframes(spark, sf_dir):
         "documents"
     )
     return spark.sql(_keyframes_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Value-shape (pattern) profiling
+# ---------------------------------------------------------------------------
+
+_PATTERN_TOPN = 5
+
+
+def _pattern_profile_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    # DuckDB regexp_replace is FIRST-match unless the 'g' flag is
+    # passed; Spark is global by default and has no flag argument.
+    g = "" if dialect == "spark" else ", 'g'"
+
+    def shape(col: str) -> str:
+        s = f"regexp_replace({col}, '[0-9]', '9'{g})"
+        s = f"regexp_replace({s}, '[A-Z]', 'A'{g})"
+        s = f"regexp_replace({s}, '[a-z]', 'a'{g})"
+        s = f"regexp_replace({s}, '9+', '9'{g})"
+        s = f"regexp_replace({s}, 'A+', 'A'{g})"
+        return f"regexp_replace({s}, 'a+', 'a'{g})"
+
+    arms = "\n            UNION ALL".join(
+        f"""
+            SELECT '{t}.{c}' AS col_name, {shape(c)} AS pattern
+            FROM {t}"""
+        for t, c in (
+            ("part", "p_name"),
+            ("part", "p_brand"),
+            ("part", "p_type"),
+            ("customer", "c_name"),
+            ("customer", "c_mktsegment"),
+        )
+    )
+    return f"""
+        WITH shapes AS ({arms})
+        , counts AS (
+            SELECT col_name, pattern,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM shapes GROUP BY col_name, pattern)
+        , tots AS (
+            SELECT col_name, CAST(SUM(n) AS BIGINT) AS tot
+            FROM counts GROUP BY col_name)
+        , ranked AS (
+            SELECT c.col_name, c.pattern, c.n,
+                   CAST((c.n * 10000) {div} t.tot AS BIGINT)
+                       AS share_bp,
+                   CAST(row_number() OVER (
+                       PARTITION BY c.col_name
+                       ORDER BY c.n DESC, c.pattern ASC) AS BIGINT)
+                       AS rnk,
+                   CAST(COUNT(*) OVER (PARTITION BY c.col_name)
+                       AS BIGINT) AS n_patterns
+            FROM counts c JOIN tots t ON t.col_name = c.col_name)
+        SELECT col_name, pattern, n, share_bp, rnk, n_patterns
+        FROM ranked WHERE rnk <= {_PATTERN_TOPN}
+    """
+
+
+@query("dq_pattern_profile", oracle=_pattern_profile_sql("duck"))
+def q_dq_pattern_profile(spark, sf_dir):
+    """VALUE-SHAPE PROFILING (the format-conformance report Deequ /
+    Great Expectations ship as `pattern` analyzers): every string
+    collapses to its character-class SHAPE — digit runs → 9,
+    upper runs → A, lower runs → a, punctuation verbatim — so
+    'Customer#000000042' profiles as 'A#9' and 'Brand#13' as
+    'Aa#9'; per column the top shapes with counts, basis-point
+    share, and the total distinct-shape count. A format break (a
+    NULL-ish sentinel, a stray locale) shows up as a new shape row
+    long before any value-level rule names it — the profiling gate
+    that writes the value-conformance rules for #67's audit.
+
+    Scale: shape derivation is six chained JVM regexes in
+    whole-stage codegen (no explode — one shape per VALUE, not per
+    char), one hash aggregate per (column, shape), and rank windows
+    partitioned BY COLUMN over the shape-bounded counts table.
+    Shapes per column are format-bounded (text has thousands at
+    most), so the window input is tiny regardless of corpus."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer"
+    )
+    return spark.sql(_pattern_profile_sql("spark"))

@@ -592,3 +592,48 @@ def test_keyframes_partition_shots_and_argmax(spark, sf_dir):
                     s["start_frame"]
                     == shots[i - 1]["end_frame"] + 1
                 )
+
+
+def test_pattern_profile_shapes(spark, sf_dir):
+    """Shape collapse recomputes in Python (class map + run
+    collapse) and per-column shares telescope to ≤ 10000 bp."""
+    import re as _re
+
+    import duckdb
+
+    from aurora_cdc_demo_spark.registry import QUERIES
+
+    def shape(s):
+        s = _re.sub(r"[0-9]", "9", s)
+        s = _re.sub(r"[A-Z]", "A", s)
+        s = _re.sub(r"[a-z]", "a", s)
+        s = _re.sub(r"9+", "9", s)
+        s = _re.sub(r"A+", "A", s)
+        return _re.sub(r"a+", "a", s)
+
+    con = duckdb.connect()
+    cols = {
+        "part.p_name": ("part", "p_name"),
+        "part.p_brand": ("part", "p_brand"),
+        "part.p_type": ("part", "p_type"),
+        "customer.c_name": ("customer", "c_name"),
+        "customer.c_mktsegment": ("customer", "c_mktsegment"),
+    }
+    expect: dict = {}
+    for key, (t, c) in cols.items():
+        vals = con.execute(
+            f"SELECT {c} FROM '{sf_dir}/{t}.parquet'"
+        ).fetchall()
+        counts: dict = {}
+        for (v,) in vals:
+            counts[shape(v)] = counts.get(shape(v), 0) + 1
+        expect[key] = counts
+    rows = QUERIES["dq_pattern_profile"](spark, sf_dir).collect()
+    assert {r["col_name"] for r in rows} == set(cols)
+    for r in rows:
+        counts = expect[r["col_name"]]
+        assert r["pattern"] in counts
+        assert r["n"] == counts[r["pattern"]]
+        assert r["n_patterns"] == len(counts)
+        tot = sum(counts.values())
+        assert r["share_bp"] == (r["n"] * 10000) // tot
