@@ -18929,3 +18929,86 @@ def q_dq_pattern_profile(spark, sf_dir):
         "customer"
     )
     return spark.sql(_pattern_profile_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Cosine-threshold same-label precision/recall curve
+# ---------------------------------------------------------------------------
+
+_THRESH_GRID_E6 = (500000, 600000, 700000, 800000, 900000)
+
+
+def _threshold_precision_sql(dialect: str) -> str:
+    from .operators.similarity import N_QUERIES
+
+    div = "div" if dialect == "spark" else "//"
+    grid = ", ".join(f"({t})" for t in _THRESH_GRID_E6)
+    return f"""
+        WITH v AS (
+            SELECT vec_id, embedding, label,
+                   {_sim._norm('embedding', dialect)} AS nrm
+            FROM embeddings)
+        , q AS (
+            SELECT vec_id AS query_id, embedding AS qe, nrm AS qn,
+                   label AS qlabel
+            FROM v WHERE vec_id < {N_QUERIES})
+        , pairs AS (
+            SELECT q.query_id, v.vec_id,
+                   CAST(FLOOR(
+                       ({_sim._dot('q.qe', 'v.embedding', dialect)})
+                       / (q.qn * v.nrm) * 1000000) AS BIGINT)
+                       AS cos_e6,
+                   CASE WHEN v.label = q.qlabel THEN 1 ELSE 0 END
+                       AS is_match
+            FROM q CROSS JOIN v WHERE v.vec_id <> q.query_id)
+        , rel AS (
+            SELECT CAST(SUM(is_match) AS BIGINT) AS n_rel FROM pairs)
+        , grid AS (
+            SELECT * FROM (VALUES {grid}) AS g(thresh_e6))
+        SELECT g.thresh_e6,
+               CAST(SUM(CASE WHEN p.cos_e6 >= g.thresh_e6
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
+               CAST(SUM(CASE WHEN p.cos_e6 >= g.thresh_e6
+                        THEN p.is_match ELSE 0 END) AS BIGINT)
+                   AS n_true_pos,
+               r.n_rel,
+               CAST((SUM(CASE WHEN p.cos_e6 >= g.thresh_e6
+                         THEN p.is_match ELSE 0 END) * 1000000)
+                    {div} GREATEST(CAST(1 AS BIGINT),
+                        SUM(CASE WHEN p.cos_e6 >= g.thresh_e6
+                            THEN 1 ELSE 0 END)) AS BIGINT)
+                   AS precision_ppm,
+               CAST((SUM(CASE WHEN p.cos_e6 >= g.thresh_e6
+                         THEN p.is_match ELSE 0 END) * 1000000)
+                    {div} GREATEST(CAST(1 AS BIGINT), r.n_rel)
+                   AS BIGINT) AS recall_ppm
+        FROM pairs p CROSS JOIN grid g CROSS JOIN rel r
+        GROUP BY g.thresh_e6, r.n_rel
+    """
+
+
+@query(
+    "embed_threshold_precision_curve",
+    oracle=_threshold_precision_sql("duck"),
+)
+def q_embed_threshold_precision_curve(spark, sf_dir):
+    """COSINE-THRESHOLD CALIBRATION against label ground truth —
+    the decision-support curve behind every 'is 0.8 similar
+    enough?' question: over the seed-query × corpus pair grid,
+    precision and recall of predicting SAME-LABEL at cosine ≥ t
+    for a 5-point threshold grid. The labeled sibling of the
+    unlabeled sweeps (#190 dedup S-curve, #191 semdedup tau): those
+    count survivors, this measures task accuracy, which is what
+    actually picks the production threshold. Monotone laws pinned
+    in pytest: predicted-positives and true-positives (hence
+    recall) are non-increasing in t.
+
+    Scale: pairs are N_QUERIES-bounded (seeds broadcast against
+    the corpus — one scan); the threshold grid multiplies the
+    AGGREGATE only (5 conditional sums in one pass), never the
+    pair rows; scalar n_rel broadcast."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    return spark.sql(_threshold_precision_sql("spark"))

@@ -637,3 +637,26 @@ def test_pattern_profile_shapes(spark, sf_dir):
         assert r["n_patterns"] == len(counts)
         tot = sum(counts.values())
         assert r["share_bp"] == (r["n"] * 10000) // tot
+
+
+def test_threshold_curve_monotone(spark, sf_dir):
+    """Raising t can only shrink the predicted set: n_pred_pos,
+    n_true_pos, recall monotone non-increasing; n_rel constant;
+    true positives never exceed predictions or relevant count."""
+    from aurora_cdc_demo_spark.registry import QUERIES
+
+    rows = sorted(
+        QUERIES["embed_threshold_precision_curve"](
+            spark, sf_dir
+        ).collect(),
+        key=lambda r: r["thresh_e6"],
+    )
+    assert len(rows) == 5
+    assert len({r["n_rel"] for r in rows}) == 1
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_pred_pos"] <= a["n_pred_pos"]
+        assert b["n_true_pos"] <= a["n_true_pos"]
+        assert b["recall_ppm"] <= a["recall_ppm"]
+    for r in rows:
+        assert r["n_true_pos"] <= r["n_pred_pos"]
+        assert r["n_true_pos"] <= r["n_rel"]
