@@ -303,3 +303,38 @@ def hll_sql(source: str, key: str, dialect: str, group: str = "") -> str:
         SELECT {gcols}bucket, MAX(rho) AS rho
         FROM h GROUP BY {gby}
     """
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch (K minimum hash values)
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+
+
+def kmv_sketch(rows: DataFrame, key: str, k: int = KMV_K) -> DataFrame:
+    """The K smallest 32-bit md5 hash values of ``key`` — the KMV /
+    theta sketch sample (registry events_theta_sketch_ops runs the
+    estimator algebra over it). MERGEABLE by construction: the K
+    smallest of a union of per-partition K-smallest sets equals the
+    K smallest of the union (any globally-kept value is necessarily
+    kept by its own partition), so per-micro-batch sketches re-trim
+    to the batch sketch — pinned in tests/test_streaming.py.
+
+    Scale: distinct-project then sort-limit — Spark executes
+    TakeOrderedAndProject (per-partition partial top-k), no global
+    sort, output bounded at K rows."""
+    h = (
+        F.conv(F.md5(F.col(key).cast("string")).substr(1, 8), 16, 10)
+        .cast("long")
+        + 1
+    ).alias("h")
+    return (
+        rows.select(h).distinct().orderBy("h").limit(k)
+    )
+
+
+def kmv_merge(sketches: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Re-trim a union of KMV sketch rows to the K smallest distinct
+    values — the streaming merge step (same TakeOrdered shape)."""
+    return sketches.select("h").distinct().orderBy("h").limit(k)

@@ -778,3 +778,45 @@ def test_hll_registers_merge_across_microbatches(
     }
     assert merged == want
     assert len(want) <= 256
+
+
+def test_kmv_sketch_merges_across_microbatches(
+    spark, sf_dir, log_dir, tmp_path
+):
+    """KMV mergeability: the K smallest of the union of per-micro-
+    batch K-smallest sets equals the batch sketch exactly — any
+    globally-kept hash is necessarily kept by its own batch, so
+    foreachBatch can maintain the theta sketch with K rows of
+    state."""
+    from aurora_cdc_demo_spark.operators.sketches import (
+        kmv_merge,
+        kmv_sketch,
+    )
+    from aurora_cdc_demo_spark.streaming.pipelines import read_cdc_stream
+
+    out = str(tmp_path / "kmv_batches")
+
+    def apply_batch(batch_df, batch_id):
+        kmv_sketch(batch_df, "key_id").write.mode("append").parquet(out)
+
+    q = (
+        read_cdc_stream(spark, log_dir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt_kmv"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    merged = sorted(
+        r["h"]
+        for r in kmv_merge(spark.read.parquet(out)).collect()
+    )
+    want = sorted(
+        r["h"]
+        for r in kmv_sketch(
+            cdc_operation_log(spark, sf_dir), "key_id"
+        ).collect()
+    )
+    assert merged == want
+    assert len(want) <= 64
