@@ -19012,3 +19012,118 @@ def q_embed_threshold_precision_curve(spark, sf_dir):
         "embeddings"
     )
     return spark.sql(_threshold_precision_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Gap fill: dense day grid + LOCF + exact linear interpolation
+# ---------------------------------------------------------------------------
+
+_GAPFILL_USERS = 20
+
+
+def _gapfill_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    us = "unix_micros" if dialect == "spark" else "epoch_us"
+    if dialect == "spark":
+        grid = (
+            "SELECT u.user_id, d AS day_idx FROM users u"
+            " CROSS JOIN span s"
+            " LATERAL VIEW explode(sequence(0, s.span_days)) t AS d"
+        )
+    else:
+        grid = (
+            "SELECT u.user_id, t.d AS day_idx FROM users u"
+            " CROSS JOIN span s,"
+            " unnest(generate_series(0, s.span_days)) AS t(d)"
+        )
+    # floor division that agrees on negative numerators (posrem)
+    def fdiv(a: str, b: str) -> str:
+        return f"(({a} - ((({a} % {b}) + {b}) % {b})) {div} {b})"
+
+    interp_num = "(nv - pv) * (day_idx - pd)"
+    interp_den = "(nd - pd)"
+    # IGNORE NULLS placement differs: Spark takes it AFTER the call,
+    # DuckDB INSIDE the parens.
+    inn = " IGNORE NULLS" if dialect != "spark" else ""
+    outn = " IGNORE NULLS" if dialect == "spark" else ""
+    lv, fv = "last_value", "first_value"
+    return f"""
+        WITH b AS (
+            SELECT MIN({us}(ts)) AS t0 FROM events)
+        , daily AS (
+            SELECT user_id,
+                   ({us}(ts) - b.t0) {div} 86400000000 AS day_idx,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                       AS BIGINT) AS observed_cents
+            FROM events CROSS JOIN b
+            WHERE user_id < {_GAPFILL_USERS}
+            GROUP BY user_id, ({us}(ts) - b.t0) {div} 86400000000)
+        , span AS (
+            SELECT CAST(MAX(day_idx) AS BIGINT) AS span_days
+            FROM daily)
+        , users AS (
+            SELECT DISTINCT user_id FROM daily)
+        , grid AS ({grid})
+        , joined AS (
+            SELECT g.user_id, CAST(g.day_idx AS BIGINT) AS day_idx,
+                   d.observed_cents
+            FROM grid g
+            LEFT JOIN daily d ON d.user_id = g.user_id
+                             AND d.day_idx = g.day_idx)
+        , anchored AS (
+            SELECT user_id, day_idx, observed_cents,
+                   {lv}(observed_cents{inn}){outn} OVER (
+                       PARTITION BY user_id ORDER BY day_idx ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS pv,
+                   {lv}(CASE WHEN observed_cents IS NOT NULL
+                        THEN day_idx END{inn}){outn} OVER (
+                       PARTITION BY user_id ORDER BY day_idx ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS pd,
+                   {fv}(observed_cents{inn}){outn} OVER (
+                       PARTITION BY user_id ORDER BY day_idx ASC
+                       ROWS BETWEEN CURRENT ROW
+                       AND UNBOUNDED FOLLOWING) AS nv,
+                   {fv}(CASE WHEN observed_cents IS NOT NULL
+                        THEN day_idx END{inn}){outn} OVER (
+                       PARTITION BY user_id ORDER BY day_idx ASC
+                       ROWS BETWEEN CURRENT ROW
+                       AND UNBOUNDED FOLLOWING) AS nd
+            FROM joined)
+        SELECT user_id, day_idx, observed_cents,
+               CAST(pv AS BIGINT) AS locf_cents,
+               CAST(CASE
+                    WHEN observed_cents IS NOT NULL THEN observed_cents
+                    WHEN pv IS NOT NULL AND nv IS NOT NULL
+                        THEN pv + {fdiv(interp_num, interp_den)}
+                    WHEN pv IS NOT NULL THEN pv
+                    ELSE nv END AS BIGINT) AS interp_cents,
+               (observed_cents IS NULL) AS is_gap
+        FROM anchored
+    """
+
+
+@query("events_gap_fill_interp", oracle=_gapfill_sql("duck"))
+def q_events_gap_fill_interp(spark, sf_dir):
+    """TIME-SERIES DENSIFICATION + IMPUTATION — the gap-fill pass
+    every per-entity metric series needs before window features or
+    forecasting (#255/#280 assume a dense grid; this BUILDS it):
+    per user, a dense day grid over the corpus span LEFT-joined
+    with observed daily spend, then two imputations side by side —
+    LOCF (last observation carried forward, the feature-store
+    default) and EXACT linear interpolation between the bracketing
+    observations, computed with the posrem floor division so both
+    engines agree even when the slope is negative (Spark div
+    truncates toward zero, DuckDB // floors — the r8 lesson).
+    Leading gaps fall back to the next observation, trailing to
+    LOCF; a 20-user panel bounds the demo output (the grid is the
+    deployment shape: entities × span).
+
+    Scale: grid = entity-table × bounded day sequence (no corpus
+    blowup); the four anchor columns share ONE user-partitioned
+    sort (four frames over the same window ordering — one
+    shuffle); interpolation is pure codegen arithmetic."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_gapfill_sql("spark"))

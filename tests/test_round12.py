@@ -660,3 +660,75 @@ def test_threshold_curve_monotone(spark, sf_dir):
     for r in rows:
         assert r["n_true_pos"] <= r["n_pred_pos"]
         assert r["n_true_pos"] <= r["n_rel"]
+
+
+def test_gap_fill_interp_matches_python(spark, sf_dir):
+    """Dense grid, LOCF, and floor-division linear interpolation
+    recompute exactly in Python — including negative slopes (the
+    posrem floor form) and edge gaps."""
+    import duckdb
+
+    from aurora_cdc_demo_spark.registry import (
+        _GAPFILL_USERS,
+        QUERIES,
+    )
+
+    con = duckdb.connect()
+    t0 = con.execute(
+        f"SELECT MIN(epoch_us(ts)) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+    daily = con.execute(
+        f"""
+        SELECT user_id, (epoch_us(ts) - {t0}) // 86400000000 AS d,
+               SUM(CAST(ROUND(value * 100) AS BIGINT))
+        FROM '{sf_dir}/events.parquet'
+        WHERE user_id < {_GAPFILL_USERS}
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    obs: dict = {}
+    span = 0
+    for u, d, v in daily:
+        obs[(u, int(d))] = int(v)
+        span = max(span, int(d))
+    users = sorted({u for u, _ in obs})
+
+    rows = QUERIES["events_gap_fill_interp"](spark, sf_dir).collect()
+    assert len(rows) == len(users) * (span + 1)
+    got = {(r["user_id"], r["day_idx"]): r for r in rows}
+    for u in users:
+        days = [obs.get((u, d)) for d in range(span + 1)]
+        for d in range(span + 1):
+            r = got[(u, d)]
+            assert r["observed_cents"] == days[d]
+            assert r["is_gap"] == (days[d] is None)
+            prev = next(
+                (
+                    (i, days[i])
+                    for i in range(d, -1, -1)
+                    if days[i] is not None
+                ),
+                None,
+            )
+            nxt = next(
+                (
+                    (i, days[i])
+                    for i in range(d, span + 1)
+                    if days[i] is not None
+                ),
+                None,
+            )
+            assert r["locf_cents"] == (prev[1] if prev else None)
+            if days[d] is not None:
+                want = days[d]
+            elif prev and nxt:
+                pd_, pv = prev
+                nd_, nv = nxt
+                want = pv + ((nv - pv) * (d - pd_)) // (nd_ - pd_)
+            elif prev:
+                want = prev[1]
+            elif nxt:
+                want = nxt[1]
+            else:
+                want = None
+            assert r["interp_cents"] == want
