@@ -25,7 +25,8 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 DIMS = 64
 TOPK = 5
@@ -2870,3 +2871,353 @@ def hits_knn(
         raise ValueError(f"unknown checkpoint_mode: {checkpoint_mode!r}")
     edges.createOrReplaceTempView("hits_edges_mat")
     return spark.sql(hits_iter_sql("hits_edges_mat", "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# HNSW layered descent: geometric layer assignment + per-layer
+# greedy descent feeding the layer-0 walk
+# ---------------------------------------------------------------------------
+
+HNSW_LMAX = 3
+HNSW_LAYER_HOPS = 3
+HNSW_EF = 8  # layer-0 beam width (ef-search)
+HNSW_M = 8  # upper-layer out-degree (HNSW's M, vs layer-0 KNN_K)
+HNSW_DESCENT_BEAM = 2  # frontier width during the upper-layer descent
+
+
+def _hnsw_lvl_expr(dialect: str) -> str:
+    """Geometric layer via trailing-zero bits of a 32-bit md5 hash:
+    P(lvl >= k) = 2^-k — the integer spelling of HNSW's
+    floor(-ln(u)·mL) draw, no logs, no RNG."""
+    if dialect == "spark":
+        h = (
+            "CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 8),"
+            " 16, 10) AS BIGINT)"
+        )
+    else:
+        h = (
+            "CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)"
+            " AS BIGINT)"
+        )
+    return (
+        f"CASE WHEN {h} % 8 = 0 THEN 3"
+        f" WHEN {h} % 4 = 0 THEN 2"
+        f" WHEN {h} % 2 = 0 THEN 1 ELSE 0 END"
+    )
+
+
+def _hnsw_layer_edges_ctes(dialect: str, n_seeds: int) -> str:
+    """Per-layer KNN edge lists: layer l keeps nodes with lvl >= l
+    (≈ 2^-l of the corpus), assigns them to the same coarse seed
+    cells, and ranks KNN_K cell-mate neighbors — the upper-layer
+    graphs of the HNSW index."""
+    mat = "MATERIALIZED " if dialect != "spark" else ""
+    if dialect == "spark":
+        ring_h = (
+            "CAST(conv(substring(md5(concat('ring:',"
+            " CAST(vec_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        )
+    else:
+        ring_h = (
+            "CAST('0x' || substr(md5('ring:' ||"
+            " CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT)"
+        )
+    sql = f"""
+        , lvl AS {mat}(
+            SELECT vec_id, {_hnsw_lvl_expr(dialect)} AS lvl FROM v)"""
+    for lv in range(1, HNSW_LMAX + 1):
+        sql += f"""
+        , nodes{lv} AS {mat}(
+            SELECT v.vec_id, v.embedding, v.nrm
+            FROM v JOIN lvl ON lvl.vec_id = v.vec_id
+            WHERE lvl.lvl >= {lv})
+        , cells{lv} AS {mat}(
+            SELECT vec_id, cell FROM (
+                SELECT n.vec_id, s.seed_id AS cell,
+                       row_number() OVER (
+                           PARTITION BY n.vec_id
+                           ORDER BY ({_dot('n.embedding', 's.se', dialect)})
+                                    / (n.nrm * s.snrm) DESC,
+                                    s.seed_id ASC) AS rn
+                FROM nodes{lv} n CROSS JOIN seeds s) t
+            WHERE rn = 1)
+        , ring{lv} AS {mat}(
+            SELECT vec_id,
+                   row_number() OVER (ORDER BY {ring_h}, vec_id ASC)
+                       - 1 AS pos,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n
+            FROM nodes{lv})
+        , edges{lv} AS {mat}(
+            SELECT src, dst FROM (
+                SELECT a.vec_id AS src, b.vec_id AS dst,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY ({_dot('av.embedding', 'bv.embedding',
+                                           dialect)})
+                                    / (av.nrm * bv.nrm) DESC,
+                                    b.vec_id ASC) AS rn
+                FROM cells{lv} a
+                JOIN cells{lv} b ON b.cell = a.cell
+                                AND b.vec_id <> a.vec_id
+                JOIN nodes{lv} av ON av.vec_id = a.vec_id
+                JOIN nodes{lv} bv ON bv.vec_id = b.vec_id) t
+            WHERE rn <= {HNSW_M}
+            UNION
+            SELECT ra.vec_id AS src, rb.vec_id AS dst
+            FROM ring{lv} ra
+            JOIN ring{lv} rb
+              ON rb.pos = (ra.pos + 1) % ra.n
+              OR rb.pos = (ra.pos + 2) % ra.n)"""
+    return sql
+
+
+def _hnsw_descent_ctes(dialect: str, edges_fmt: str) -> str:
+    """Descent chain: global entry (max layer, min id) scored per
+    probe, then HNSW_LAYER_HOPS greedy hops per layer from LMAX
+    down to 1, each keeping argmax of {current} ∪ {neighbors}.
+    ``edges_fmt`` formats a layer number into its edge relation.
+    Every round CTE is MATERIALIZED in the duck dialect: each round
+    references its predecessor twice (neighbor expansion + union),
+    so an inlined chain re-instantiates MULTIPLICATIVELY (2^rounds —
+    the unrolled-iteration rule)."""
+    mat = "MATERIALIZED " if dialect != "spark" else ""
+    sql = f"""
+        , entry AS (
+            SELECT vec_id AS node FROM lvl
+            ORDER BY lvl DESC, vec_id ASC LIMIT 1)
+        , dstart AS (
+            SELECT gq.query_id, en.node,
+                   ({_dot('gq.qe', 'ev.embedding', dialect)})
+                       / (gq.qn * ev.nrm) AS cos
+            FROM gq CROSS JOIN entry en
+            JOIN v ev ON ev.vec_id = en.node)"""
+    prev = "dstart"
+    cands = ["dstart"]
+    for lv in range(HNSW_LMAX, 0, -1):
+        edges = edges_fmt.format(lv)
+        for h in range(1, HNSW_LAYER_HOPS + 1):
+            cur = f"d{lv}_{h}"
+            cands.append(f"{cur}n")
+            sql += f"""
+        , {cur}n AS {mat}(
+            SELECT f.query_id, e.dst AS node,
+                   ({_dot('g.qe', 'nb.embedding', dialect)})
+                       / (g.qn * nb.nrm) AS cos
+            FROM {prev} f
+            JOIN {edges} e ON e.src = f.node
+            JOIN v nb ON nb.vec_id = e.dst
+            JOIN gq g ON g.query_id = f.query_id)
+        , {cur} AS {mat}(
+            SELECT query_id, node, cos FROM (
+                SELECT query_id, node, cos,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cos DESC, node ASC) AS rn
+                FROM (SELECT query_id, node, MAX(cos) AS cos
+                      FROM (SELECT query_id, node, cos FROM {prev}
+                            UNION ALL
+                            SELECT query_id, node, cos FROM {cur}n) u
+                      GROUP BY query_id, node) du) t
+            WHERE rn <= {HNSW_DESCENT_BEAM})"""
+            prev = cur
+    return sql, prev, cands
+
+
+def hnsw_topk_sql(dialect: str, n_seeds: int = N_SEEDS) -> str:
+    """Single-statement HNSW descent + layer-0 walk (oracle twin)."""
+    mat = "MATERIALIZED " if dialect != "spark" else ""
+    descent, last, cands = _hnsw_descent_ctes(dialect, "edges{}")
+    head = f"""{_knn_ctes(dialect, n_seeds)}
+        , edges0 AS {mat}(
+            SELECT vec_id AS src, neighbor_id AS dst
+            FROM ranked WHERE rnk <= {KNN_K})
+        , gq AS {mat}(
+            SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+            FROM v WHERE vec_id < {N_QUERIES})"""
+    head += _hnsw_layer_edges_ctes(dialect, n_seeds)
+    head += descent
+    # layer-0 walk seeded by the descent result
+    prev = last
+    for h in range(1, GREEDY_HOPS + 1):
+        head += f"""
+        , z{h}n AS {mat}(
+            SELECT f.query_id, e.dst AS node,
+                   ({_dot('g.qe', 'nb.embedding', dialect)})
+                       / (g.qn * nb.nrm) AS cos
+            FROM {prev} f
+            JOIN edges0 e ON e.src = f.node
+            JOIN v nb ON nb.vec_id = e.dst
+            JOIN gq g ON g.query_id = f.query_id)
+        , z{h} AS {mat}(
+            SELECT query_id, node, cos FROM (
+                SELECT query_id, node, cos,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cos DESC, node ASC) AS rn
+                FROM (SELECT query_id, node, MAX(cos) AS cos
+                      FROM (SELECT query_id, node, cos FROM {prev}
+                            UNION ALL
+                            SELECT query_id, node, cos FROM z{h}n) u
+                      GROUP BY query_id, node) du) t
+            WHERE rn <= {HNSW_EF})"""
+        prev = f"z{h}"
+    pool = "\n                  UNION ALL ".join(
+        [f"SELECT query_id, node, cos FROM {c}" for c in cands]
+        + [f"SELECT query_id, node, cos FROM {last}"]
+        + [
+            f"SELECT query_id, node, cos FROM z{h}n"
+            for h in range(1, GREEDY_HOPS + 1)
+        ]
+    )
+    return f"""{head}
+        , visited AS (
+            SELECT query_id, node, MAX(cos) AS cos
+            FROM ({pool}) pool
+            GROUP BY query_id, node)
+        {_GREEDY_FINAL_SQL}"""
+
+
+def hnsw_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_seeds: int = N_SEEDS,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Spark side: per-layer edge lists, the level map, the probe
+    table, and EVERY hop frontier are materialized eagerly in a
+    DRIVER LOOP (localCheckpoint locally / reliable checkpoint on a
+    cluster). A single unrolled SQL statement is NOT an option here:
+    each hop references its predecessor twice (neighbor expansion +
+    union), so the inlined tree re-instantiates 2^rounds times —
+    at 3 layers × 3 hops + 3 beamed layer-0 hops that is 2^12
+    subtrees (observed as a multi-minute hang before this loop).
+    Each materialized frontier is ≤ HNSW_EF rows per probe, so the
+    per-hop job is a broadcast-sized join against the cached edge
+    blocks — the logarithmic-routing cost HNSW promises."""
+    from ..tables import load_table
+
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+
+    def ckpt(df):
+        if checkpoint_mode == "reliable":
+            return df.checkpoint(eager=True)
+        if checkpoint_mode == "local":
+            return df.localCheckpoint()
+        raise ValueError(f"unknown checkpoint_mode: {checkpoint_mode!r}")
+
+    v_sql = f"""
+        WITH v AS (
+            SELECT vec_id, embedding,
+                   {_norm('embedding', 'spark')} AS nrm
+            FROM embeddings)
+        , seeds AS (
+            SELECT vec_id AS seed_id, embedding AS se, nrm AS snrm
+            FROM v WHERE vec_id < {n_seeds})
+        {{body}}"""
+
+    # layer-0 KNN edges + upper-layer graphs, materialized once
+    edges0 = spark.sql(
+        f"""{_knn_ctes('spark', n_seeds)}
+        SELECT vec_id AS src, neighbor_id AS dst
+        FROM ranked WHERE rnk <= {KNN_K}
+        """
+    )
+    ckpt(edges0).createOrReplaceTempView("hnsw_edges0_mat")
+    layers_body = _hnsw_layer_edges_ctes("spark", n_seeds)
+    for lv in range(1, HNSW_LMAX + 1):
+        df = spark.sql(
+            v_sql.format(body=f"{layers_body} SELECT src, dst FROM edges{lv}")
+        )
+        ckpt(df).createOrReplaceTempView(f"hnsw_edges{lv}_mat")
+    lvl_df = spark.sql(
+        "SELECT vec_id, "
+        + _hnsw_lvl_expr("spark")
+        + " AS lvl FROM embeddings"
+    )
+    ckpt(lvl_df).createOrReplaceTempView("hnsw_lvl_mat")
+
+    # probes + entry frontier (descent start), materialized.
+    # Hops use the DataFrame API against the cached edge/embedding
+    # frames — no temp-view swapping inside the loop.
+    v_df = spark.sql(
+        f"""
+        SELECT vec_id, embedding,
+               {_norm('embedding', 'spark')} AS nrm
+        FROM embeddings
+        """
+    )
+    gq = ckpt(
+        v_df.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+    entry = spark.sql(
+        """
+        SELECT vec_id AS node FROM hnsw_lvl_mat
+        ORDER BY lvl DESC, vec_id ASC LIMIT 1
+        """
+    )
+    cos_expr = (
+        F.expr(_dot("qe", "embedding", "spark"))
+        / (F.col("qn") * F.col("nrm"))
+    ).alias("cos")
+    frontier = ckpt(
+        gq.crossJoin(entry)
+        .join(v_df, F.col("vec_id") == F.col("node"))
+        .select("query_id", "node", cos_expr)
+    )
+    pool = [frontier]
+
+    def hop(frontier_df, edges_view, keep):
+        edges = spark.table(edges_view)
+        cand = ckpt(
+            frontier_df.select("query_id", "node")
+            .join(edges, F.col("src") == F.col("node"))
+            .select("query_id", F.col("dst"))
+            .join(gq, "query_id")
+            .join(v_df, F.col("vec_id") == F.col("dst"))
+            .select(
+                "query_id", F.col("dst").alias("node"), cos_expr
+            )
+        )
+        merged = (
+            frontier_df.unionAll(cand)
+            .groupBy("query_id", "node")
+            .agg(F.max("cos").alias("cos"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("node").asc()
+        )
+        nxt = ckpt(
+            merged.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= keep)
+            .select("query_id", "node", "cos")
+        )
+        return nxt, cand
+
+    for lv in range(HNSW_LMAX, 0, -1):
+        for _ in range(HNSW_LAYER_HOPS):
+            frontier, cand = hop(
+                frontier, f"hnsw_edges{lv}_mat", HNSW_DESCENT_BEAM
+            )
+            pool.append(cand)
+    for _ in range(GREEDY_HOPS):
+        frontier, cand = hop(frontier, "hnsw_edges0_mat", HNSW_EF)
+        pool.append(cand)
+
+    allc = pool[0]
+    for p in pool[1:]:
+        allc = allc.unionAll(p)
+    ckpt(allc).createOrReplaceTempView("hnsw_pool")
+    return spark.sql(
+        f"""
+        WITH visited AS (
+            SELECT query_id, node, MAX(cos) AS cos
+            FROM hnsw_pool GROUP BY query_id, node)
+        {_GREEDY_FINAL_SQL}
+        """
+    )

@@ -19127,3 +19127,41 @@ def q_events_gap_fill_interp(spark, sf_dir):
     ensure_utc(spark)
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_gapfill_sql("spark"))
+
+
+@query("ann_hnsw_descent_topk", oracle=_sim.hnsw_topk_sql("duck"))
+def q_ann_hnsw_descent_topk(spark, sf_dir):
+    """FULL HNSW SEARCH STRUCTURE (Malkov & Yashunin 2018) — the
+    hierarchical half #293's layer-0 walk approximated with the
+    coarse quantizer, now built for real: every vector draws a
+    geometric layer from the TRAILING-ZERO BITS of its id hash
+    (P(lvl ≥ k) = 2^-k — the integer spelling of floor(−ln(u)·mL),
+    no logs, no RNG), each upper layer keeps a KNN graph over its
+    ≈2^-l-thinned node set, and a probe enters at the GLOBAL top
+    node, greedily descends layer by layer (2 hops per layer), and
+    hands the landing node to the layer-0 walk + exact rerank of
+    the visited pool — the production zoom-coarse-to-fine shape
+    instead of a seed-table argmax. Output matches #293's serving
+    contract (query_id, neighbor_id, nn_rank, cos_e6) so the two
+    entry strategies are directly comparable.
+
+    MEASURED (sf0.001, isotropic 64-d embeddings): cell-confined
+    upper graphs trap the descent in the entry cell (recall@5
+    0.10); adding deterministic RING links (hash-ordered ±2
+    wrap-around per layer — degree-bounded cross-cell
+    navigability, the small-world ingredient HNSW's insert
+    heuristic provides implicitly) lifts it to 0.28, and a width-2
+    descent beam + ef=8 layer-0 beam to 0.36 — still below #293's
+    multi-seed entry (0.60), the honest finding: on isotropic
+    data 16 quantizer probes beat one hierarchical path; the
+    hierarchy's value is O(log n) routing on CLUSTERED corpora.
+    Band + contract laws in pytest.
+
+    Scale: layer graphs cost a geometric series (Σ 2^-l) of the
+    layer-0 build and are checkpoint-materialized like every graph
+    chain since the pagerank lesson; per-probe descent work is
+    O(layers · hops · KNN_K) — independent of corpus size, the
+    logarithmic-routing property that makes HNSW the
+    billion-vector default."""
+    ensure_utc(spark)
+    return _sim.hnsw_topk(spark, sf_dir)

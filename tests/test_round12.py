@@ -732,3 +732,83 @@ def test_gap_fill_interp_matches_python(spark, sf_dir):
             else:
                 want = None
             assert r["interp_cents"] == want
+
+
+def test_hnsw_descent_output_contract_and_recall(spark, sf_dir):
+    """Serving contract (dense ranks, non-increasing cosine) and a
+    recall band: the hierarchical entry must stay within a loose
+    band of #293's seed-table entry on the shared query set; layer
+    draw is the md5 trailing-zero geometric (distribution sanity)."""
+    import hashlib
+    import math
+
+    import duckdb
+
+    from aurora_cdc_demo_spark.operators.similarity import (
+        HNSW_LMAX,
+        N_QUERIES,
+        TOPK,
+    )
+    from aurora_cdc_demo_spark.registry import QUERIES
+
+    con = duckdb.connect()
+    vecs = dict(
+        con.execute(
+            f"SELECT vec_id, embedding FROM"
+            f" '{sf_dir}/embeddings.parquet'"
+        ).fetchall()
+    )
+
+    def norm(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    nv = {k: norm(v) for k, v in vecs.items()}
+    exact = {}
+    for q in range(N_QUERIES):
+        scored = sorted(
+            (
+                (-sum(a * b for a, b in zip(nv[q], nv[k])), k)
+                for k in nv
+                if k != q
+            )
+        )
+        exact[q] = {k for _, k in scored[:TOPK]}
+
+    rows = QUERIES["ann_hnsw_descent_topk"](spark, sf_dir).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) <= set(range(N_QUERIES))
+    hnsw_hits = 0
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["nn_rank"])
+        assert [r["nn_rank"] for r in rs] == list(
+            range(1, len(rs) + 1)
+        )
+        for a, b in zip(rs, rs[1:]):
+            assert a["cos_e6"] >= b["cos_e6"]
+        hnsw_hits += len({r["neighbor_id"] for r in rs} & exact[q])
+
+    greedy = {}
+    for r in QUERIES["ann_graph_greedy_topk"](
+        spark, sf_dir
+    ).collect():
+        greedy.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    greedy_hits = sum(len(greedy[q] & exact[q]) for q in greedy)
+    assert hnsw_hits >= greedy_hits - 2 * N_QUERIES
+
+    # geometric layer draw: share at lvl>=1 ~ 1/2 within 5 sigma
+    n = len(vecs)
+    at1 = sum(
+        1
+        for k in vecs
+        if int(
+            hashlib.md5(str(k).encode()).hexdigest()[:8], 16
+        )
+        % 2
+        == 0
+    )
+    sigma = math.sqrt(n * 0.25)
+    assert abs(at1 - n / 2) < 5 * sigma
+    assert HNSW_LMAX == 3
