@@ -3221,3 +3221,140 @@ def hnsw_topk(
         {_GREEDY_FINAL_SQL}
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (random walk with restart) from probe seeds
+# ---------------------------------------------------------------------------
+
+PPR_ITERS = 3
+PPR_SCALE = 1_000_000_000
+
+
+def _ppr_rounds(div: str, edges: str, iters: int = PPR_ITERS) -> str:
+    """Unrolled RWR rounds over (seed_id, vec_id) mass tables:
+    r_{t+1} = 0.15·e_seed + 0.85·Σ_in r_t/outdeg — PageRank's
+    algebra with the teleport pinned to THE SEED instead of the
+    uniform vector, run for all probe seeds at once (seed_id rides
+    the key). Same integer discipline as pagerank_sql."""
+    ctes = ""
+    prev = "p0"
+    for i in range(1, iters + 1):
+        ctes += f"""
+        , c{i} AS (
+            SELECT p.seed_id, e.dst AS vec_id,
+                   CAST(SUM((p.r {div} d.deg) * 85) {div} 100
+                       AS BIGINT) AS contrib
+            FROM {edges} e
+            JOIN {prev} p ON p.vec_id = e.src
+            JOIN outdeg d ON d.src = e.src
+            GROUP BY p.seed_id, e.dst)
+        , p{i} AS (
+            SELECT b.seed_id, b.vec_id,
+                   CAST(CASE WHEN b.vec_id = b.seed_id
+                        THEN {PPR_SCALE * 15 // 100} ELSE 0 END
+                        + COALESCE(c.contrib, 0) AS BIGINT) AS r
+            FROM pbase b
+            LEFT JOIN c{i} c ON c.seed_id = b.seed_id
+                            AND c.vec_id = b.vec_id)"""
+        prev = f"p{i}"
+    return ctes
+
+
+def ppr_seeds_sql(dialect: str, n_seeds: int = N_SEEDS) -> str:
+    """Single-statement oracle twin (MATERIALIZED edges + rounds —
+    each round references its predecessor once here, but the edge
+    relation thrice across rounds)."""
+    div = "div" if dialect == "spark" else "//"
+    mat = "MATERIALIZED " if dialect != "spark" else ""
+    head = f"""{_knn_ctes(dialect, n_seeds)}
+        , edges AS {mat}(
+            SELECT vec_id AS src, neighbor_id AS dst
+            FROM ranked WHERE rnk <= {KNN_K})
+        , outdeg AS {mat}(
+            SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM edges GROUP BY src)
+        , probes AS (
+            SELECT vec_id AS seed_id FROM v
+            WHERE vec_id < {N_QUERIES})
+        , pbase AS (
+            SELECT p.seed_id, n.vec_id
+            FROM probes p CROSS JOIN (SELECT vec_id FROM v) n)
+        , p0 AS (
+            SELECT seed_id, vec_id,
+                   CAST(CASE WHEN vec_id = seed_id
+                        THEN {PPR_SCALE} ELSE 0 END AS BIGINT) AS r
+            FROM pbase)"""
+    head += _ppr_rounds(div, "edges")
+    return f"""{head}
+        , ranked_out AS (
+            SELECT seed_id, vec_id, r,
+                   row_number() OVER (
+                       PARTITION BY seed_id
+                       ORDER BY r DESC, vec_id ASC) AS rn
+            FROM p{PPR_ITERS} WHERE r > 0 AND vec_id <> seed_id)
+        SELECT seed_id, vec_id AS neighbor_id,
+               r AS ppr_e9, CAST(rn AS BIGINT) AS ppr_rank
+        FROM ranked_out WHERE rn <= {TOPK}
+    """
+
+
+def ppr_seeds(
+    spark: SparkSession,
+    sf_dir: str,
+    n_seeds: int = N_SEEDS,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Spark side: edges checkpointed once (pagerank pattern), then
+    the unrolled rounds run over the cached blocks; the per-round
+    mass table is (probes × touched nodes)-bounded."""
+    from ..tables import load_table
+
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    edges = spark.sql(
+        f"""{_knn_ctes('spark', n_seeds)}
+        SELECT vec_id AS src, neighbor_id AS dst
+        FROM ranked WHERE rnk <= {KNN_K}
+        """
+    )
+    if checkpoint_mode == "reliable":
+        edges = edges.checkpoint(eager=True)
+    elif checkpoint_mode == "local":
+        edges = edges.localCheckpoint()
+    else:
+        raise ValueError(f"unknown checkpoint_mode: {checkpoint_mode!r}")
+    edges.createOrReplaceTempView("ppr_edges_mat")
+    div = "div"
+    body = f"""
+        WITH v AS (
+            SELECT vec_id FROM embeddings)
+        , outdeg AS (
+            SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM ppr_edges_mat GROUP BY src)
+        , probes AS (
+            SELECT vec_id AS seed_id FROM v
+            WHERE vec_id < {N_QUERIES})
+        , pbase AS (
+            SELECT p.seed_id, n.vec_id
+            FROM probes p CROSS JOIN (SELECT vec_id FROM v) n)
+        , p0 AS (
+            SELECT seed_id, vec_id,
+                   CAST(CASE WHEN vec_id = seed_id
+                        THEN {PPR_SCALE} ELSE 0 END AS BIGINT) AS r
+            FROM pbase)"""
+    body += _ppr_rounds(div, "ppr_edges_mat")
+    return spark.sql(
+        f"""{body}
+        , ranked_out AS (
+            SELECT seed_id, vec_id, r,
+                   row_number() OVER (
+                       PARTITION BY seed_id
+                       ORDER BY r DESC, vec_id ASC) AS rn
+            FROM p{PPR_ITERS} WHERE r > 0 AND vec_id <> seed_id)
+        SELECT seed_id, vec_id AS neighbor_id,
+               r AS ppr_e9, CAST(rn AS BIGINT) AS ppr_rank
+        FROM ranked_out WHERE rn <= {TOPK}
+    """
+    )

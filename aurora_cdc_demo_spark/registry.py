@@ -19165,3 +19165,27 @@ def q_ann_hnsw_descent_topk(spark, sf_dir):
     billion-vector default."""
     ensure_utc(spark)
     return _sim.hnsw_topk(spark, sf_dir)
+
+
+@query("graph_ppr_seeds", oracle=_sim.ppr_seeds_sql("duck"))
+def q_graph_ppr_seeds(spark, sf_dir):
+    """PERSONALIZED PAGERANK / random walk with restart (Page et
+    al.'s teleport pinned to a seed; Tong et al. 2006) over the
+    corpus KNN graph — the RECOMMENDER primitive the global scores
+    can't give: global PageRank (#121) answers 'what is hubby
+    overall', HITS (#339) 'hubs vs authorities', PPR answers 'what
+    is close to THIS seed by multi-hop graph proximity' — the
+    query-time relevance diffusion behind graph recommenders and
+    label-propagation seeds. All probe seeds run at once (seed_id
+    rides the aggregation key); 3 unrolled rounds, 15% restart mass
+    to the seed each round, floor-integer algebra identical on both
+    engines; top-{k} per seed by diffused mass.
+
+    Scale: edges checkpointed once (the pagerank lesson); each
+    round is one edge-keyed aggregate whose mass table is bounded
+    by probes × reached nodes (≤ probes × KNN_K^round, the locality
+    of RWR); the pbase grid is probes × nodes but only as a sparse
+    left-join target. Dangling-node mass sheds as in #121
+    (documented).""".replace("{k}", "5")
+    ensure_utc(spark)
+    return _sim.ppr_seeds(spark, sf_dir)

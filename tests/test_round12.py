@@ -812,3 +812,64 @@ def test_hnsw_descent_output_contract_and_recall(spark, sf_dir):
     sigma = math.sqrt(n * 0.25)
     assert abs(at1 - n / 2) < 5 * sigma
     assert HNSW_LMAX == 3
+
+
+def test_ppr_matches_python_and_mass_law(spark, sf_dir):
+    """RWR recomputes exactly in Python from the oracle-checked KNN
+    edges (same floor-integer algebra); restart mass keeps every
+    seed's own score positive, and total mass per seed never
+    exceeds SCALE (teleport + damped diffusion, floor losses
+    only shrink it)."""
+    from aurora_cdc_demo_spark.operators.similarity import (
+        PPR_ITERS,
+        PPR_SCALE,
+        TOPK,
+    )
+    from aurora_cdc_demo_spark.registry import QUERIES
+
+    edges: dict = {}
+    for r in QUERIES["ann_knn_graph"](spark, sf_dir).collect():
+        edges.setdefault(r["vec_id"], []).append(r["neighbor_id"])
+    import duckdb
+
+    con = duckdb.connect()
+    nodes = [
+        v
+        for (v,) in con.execute(
+            f"SELECT vec_id FROM '{sf_dir}/embeddings.parquet'"
+            " ORDER BY vec_id"
+        ).fetchall()
+    ]
+    restart = PPR_SCALE * 15 // 100
+    expect_top: dict = {}
+    for seed in range(10):
+        r = {v: (PPR_SCALE if v == seed else 0) for v in nodes}
+        for _ in range(PPR_ITERS):
+            nxt = {v: 0 for v in nodes}
+            for src, dsts in edges.items():
+                share85 = (r[src] // len(dsts)) * 85
+                for d in dsts:
+                    nxt[d] += share85
+            # the query applies div 100 AFTER the per-dst SUM
+            r = {
+                v: (restart if v == seed else 0) + nxt[v] // 100
+                for v in nodes
+            }
+        ranked = sorted(
+            ((val, v) for v, val in r.items() if val > 0 and v != seed),
+            key=lambda t: (-t[0], t[1]),
+        )[:TOPK]
+        expect_top[seed] = [(v, val) for val, v in ranked]
+        assert sum(r.values()) <= PPR_SCALE
+
+    rows = QUERIES["graph_ppr_seeds"](spark, sf_dir).collect()
+    got: dict = {}
+    for r in rows:
+        got.setdefault(r["seed_id"], []).append(
+            (r["ppr_rank"], r["neighbor_id"], r["ppr_e9"])
+        )
+    for seed, lst in got.items():
+        lst.sort()
+        assert [
+            (nid, val) for _, nid, val in lst
+        ] == expect_top[seed]
