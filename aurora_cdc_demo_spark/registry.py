@@ -19189,3 +19189,169 @@ def q_graph_ppr_seeds(spark, sf_dir):
     (documented).""".replace("{k}", "5")
     ensure_utc(spark)
     return _sim.ppr_seeds(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-contract validation
+# ---------------------------------------------------------------------------
+
+
+def _contract_checks_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    return f"""
+        WITH checks AS (
+            SELECT 'orders.o_orderkey' AS target, 'not_null' AS rule,
+                   CAST(SUM(CASE WHEN o_orderkey IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_violations,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM orders
+            UNION ALL
+            SELECT 'orders.o_orderkey', 'unique',
+                   CAST(COUNT(*) - COUNT(DISTINCT o_orderkey)
+                       AS BIGINT),
+                   CAST(COUNT(*) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'orders.o_totalprice', 'min_bound_0',
+                   CAST(SUM(CASE WHEN o_totalprice < 0
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(COUNT(*) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'orders.o_orderstatus', 'enum_member',
+                   CAST(SUM(CASE WHEN o_orderstatus NOT IN
+                            ('O', 'F', 'P') THEN 1 ELSE 0 END)
+                       AS BIGINT),
+                   CAST(COUNT(*) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'lineitem.l_quantity', 'range_1_50',
+                   CAST(SUM(CASE WHEN l_quantity < 1
+                                  OR l_quantity > 50
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(COUNT(*) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'lineitem.l_discount', 'range_0_0p1',
+                   CAST(SUM(CASE WHEN l_discount < 0
+                                  OR l_discount > 0.1
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(COUNT(*) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'lineitem.l_orderkey', 'fk_orders',
+                   CAST(COUNT(*) AS BIGINT),
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem)
+            FROM lineitem l
+            LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderkey IS NULL
+            UNION ALL
+            SELECT 'customer.c_acctbal', 'min_bound_-1000',
+                   CAST(SUM(CASE WHEN c_acctbal < -1000
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(COUNT(*) AS BIGINT)
+            FROM customer)
+        SELECT target, rule, n_violations, n_rows,
+               (n_violations = 0) AS passed,
+               CAST((n_violations * 1000000) {div} n_rows AS BIGINT)
+                   AS violation_ppm
+        FROM checks
+    """
+
+
+@query("dq_contract_checks", oracle=_contract_checks_sql("duck"))
+def q_dq_contract_checks(spark, sf_dir):
+    """DECLARATIVE DATA-CONTRACT SUITE (the Deequ/Great-Expectations
+    run shape): one mart row per (target, rule) with violation
+    count, pass flag, and ppm rate — not-null, uniqueness, bound,
+    enum-membership, range, and referential rules over the
+    warehouse tables, the per-rule generalization of the
+    single-purpose audits (#67 value rules, #203 FKs, #215
+    completeness, #252 uniqueness): a CI gate consumes THIS table,
+    not seven bespoke ones. Every rule arm is a conditional
+    aggregate (COUNT/SUM CASE) or an anti-join, so adding a rule
+    adds one UNION arm and zero new scan patterns.
+
+    Scale: each arm is a single-pass aggregate over its table
+    (map-side combined; the FK arm is the #203 broadcast-able
+    anti-join); arms over the same table share nothing ACROSS the
+    union by design — an optimizer may multi-scan, a production
+    suite groups same-table rules into one aggregate (as the three
+    orders arms trivially could; kept separate here for the
+    one-row-per-rule contract)."""
+    ensure_utc(spark)
+    for t in ("orders", "lineitem", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_contract_checks_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Snake-draft consumer assignment (CDC stream balancing)
+# ---------------------------------------------------------------------------
+
+_N_CONSUMERS = 4
+
+
+def _consumer_assignment_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    n2 = 2 * _N_CONSUMERS
+    return f"""
+        WITH rates AS (
+            SELECT event_type AS tbl,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY event_type)
+        , ranked AS (
+            SELECT tbl, n_events,
+                   CAST(row_number() OVER (
+                       ORDER BY n_events DESC, tbl ASC) AS BIGINT)
+                       AS rnk
+            FROM rates)
+        , assigned AS (
+            SELECT tbl, n_events, rnk,
+                   CAST(CASE WHEN (rnk - 1) % {n2} < {_N_CONSUMERS}
+                        THEN (rnk - 1) % {n2}
+                        ELSE {n2} - 1 - ((rnk - 1) % {n2})
+                        END AS BIGINT) AS consumer
+            FROM ranked)
+        , loads AS (
+            SELECT consumer,
+                   CAST(SUM(n_events) AS BIGINT) AS consumer_load
+            FROM assigned GROUP BY consumer)
+        , tot AS (
+            SELECT CAST(SUM(n_events) AS BIGINT) AS total
+            FROM rates)
+        SELECT a.tbl, a.n_events, a.rnk, a.consumer,
+               l.consumer_load,
+               CAST((l.consumer_load * {_N_CONSUMERS} * 10000)
+                    {div} t.total AS BIGINT) AS load_vs_ideal_bp
+        FROM assigned a
+        JOIN loads l ON l.consumer = a.consumer
+        CROSS JOIN tot t
+    """
+
+
+@query(
+    "cdc_consumer_assignment",
+    oracle=_consumer_assignment_sql("duck"),
+)
+def q_cdc_consumer_assignment(spark, sf_dir):
+    """SNAKE-DRAFT CONSUMER ASSIGNMENT — the deterministic answer
+    to 'spread these CDC streams across N consumers by load': rank
+    streams by event rate, deal them boustrophedon (0,1,2,3,3,2,
+    1,0,...) so each consumer gets one pick per half-round from
+    alternating ends — the closed-form approximation of LPT bin
+    packing that needs NO sequential argmin (LPT is inherently
+    iterative; the snake is rank arithmetic, so it stays a window +
+    modular CASE at any stream count). Per-stream assignment plus
+    per-consumer load and its bp ratio vs the ideal even split —
+    the balance report the TableManager scheduler consumes (its
+    table GROUPS solve priority; this solves placement).
+
+    Scale: one aggregate to stream grain (streams = event types
+    here; tables in production — dimension-bounded), one rank
+    window over streams, modular arithmetic; the fact table is
+    touched once."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_consumer_assignment_sql("spark"))

@@ -873,3 +873,53 @@ def test_ppr_matches_python_and_mass_law(spark, sf_dir):
         assert [
             (nid, val) for _, nid, val in lst
         ] == expect_top[seed]
+
+
+def test_contract_checks_all_pass_and_fk_injection(spark, sf_dir):
+    """The clean warehouse passes every contract rule; the FK rule
+    is the #203 anti-join (0 orphans on testdata)."""
+    from aurora_cdc_demo_spark.registry import QUERIES
+
+    rows = QUERIES["dq_contract_checks"](spark, sf_dir).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r["passed"] == (r["n_violations"] == 0)
+        assert (
+            r["violation_ppm"]
+            == (r["n_violations"] * 1000000) // r["n_rows"]
+        )
+    assert all(r["passed"] for r in rows)
+
+
+def test_consumer_assignment_snake_and_balance(spark, sf_dir):
+    """Snake order recomputes from ranks; loads sum to the total;
+    with 5 streams on 4 consumers, consumer 3 gets ranks 4+5
+    neighbors... (boustrophedon: ranks 1,2,3,4 then 5 reverses
+    onto consumer 3)."""
+    from aurora_cdc_demo_spark.registry import (
+        _N_CONSUMERS,
+        QUERIES,
+    )
+
+    rows = QUERIES["cdc_consumer_assignment"](
+        spark, sf_dir
+    ).collect()
+    total = sum(r["n_events"] for r in rows)
+    for r in rows:
+        k = (r["rnk"] - 1) % (2 * _N_CONSUMERS)
+        want = k if k < _N_CONSUMERS else 2 * _N_CONSUMERS - 1 - k
+        assert r["consumer"] == want
+        assert (
+            r["load_vs_ideal_bp"]
+            == (r["consumer_load"] * _N_CONSUMERS * 10000) // total
+        )
+    loads: dict = {}
+    for r in rows:
+        loads[r["consumer"]] = r["consumer_load"]
+    by_consumer_sum = 0
+    seen = set()
+    for r in rows:
+        if r["tbl"] not in seen:
+            seen.add(r["tbl"])
+            by_consumer_sum += r["n_events"]
+    assert by_consumer_sum == total
