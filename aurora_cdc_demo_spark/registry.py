@@ -19355,3 +19355,82 @@ def q_cdc_consumer_assignment(spark, sf_dir):
     ensure_utc(spark)
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_consumer_assignment_sql("spark"))
+
+
+def _stratified_exact_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    if dialect == "spark":
+        h = (
+            "CAST(conv(substring(md5(concat('strat:',"
+            " CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        )
+    else:
+        h = (
+            "CAST('0x' || substr(md5('strat:' ||"
+            " CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+        )
+    return f"""
+        WITH strata AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY source)
+        , tot AS (
+            SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM strata)
+        , quota AS (
+            SELECT s.source, s.n_docs,
+                   CAST(({_HAM_BUDGET} * s.n_docs) {div} t.n
+                       AS BIGINT) AS floor_alloc,
+                   CAST(({_HAM_BUDGET} * s.n_docs) % t.n
+                       AS BIGINT) AS rem_num
+            FROM strata s CROSS JOIN tot t)
+        , leftover AS (
+            SELECT CAST({_HAM_BUDGET} - SUM(floor_alloc) AS BIGINT)
+                       AS l
+            FROM quota)
+        , alloc AS (
+            SELECT q.source,
+                   q.floor_alloc
+                   + CASE WHEN CAST(row_number() OVER (
+                              ORDER BY q.rem_num DESC, q.source ASC)
+                              AS BIGINT) <= lv.l
+                          THEN 1 ELSE 0 END AS alloc
+            FROM quota q CROSS JOIN leftover lv)
+        , hashed AS (
+            SELECT doc_id, source, {h} AS hk
+            FROM documents)
+        , ranked AS (
+            SELECT doc_id, source, hk,
+                   CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY hk ASC, doc_id ASC) AS BIGINT)
+                       AS rn
+            FROM hashed)
+        SELECT r.doc_id, r.source, r.rn AS strat_rank,
+               a.alloc AS stratum_take
+        FROM ranked r
+        JOIN alloc a ON a.source = r.source
+        WHERE r.rn <= a.alloc
+    """
+
+
+@query("sample_stratified_exact", oracle=_stratified_exact_sql("duck"))
+def q_sample_stratified_exact(spark, sf_dir):
+    """EXACT-COUNT STRATIFIED SAMPLE — the composition of Hamilton
+    apportionment (#344) with deterministic hash-rank selection:
+    each stratum contributes EXACTLY its allocated count (smallest
+    md5-rank docs win — reproducible, mergeable, no RNG), so the
+    sample hits the budget of {B} docs precisely where the
+    hash-threshold sampler (#53) only hits it in expectation
+    (binomial noise ±√n per stratum). This is the sampler a
+    fixed-size eval set or labeling budget actually needs.
+    Σ takes = budget and per-stratum take == #344's alloc, pinned.
+
+    Scale: stratum stats + Hamilton run on the stratum-bounded
+    table; selection is a per-stratum rank window — at fact-scale
+    strata this becomes per-stratum TakeOrdered (top-alloc by hash),
+    which Spark executes as partial top-k per partition, no global
+    sort.""".replace("{B}", str(_HAM_BUDGET))
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_stratified_exact_sql("spark"))

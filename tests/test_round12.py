@@ -923,3 +923,48 @@ def test_consumer_assignment_snake_and_balance(spark, sf_dir):
             seen.add(r["tbl"])
             by_consumer_sum += r["n_events"]
     assert by_consumer_sum == total
+
+
+def test_stratified_exact_takes_match_allocation(spark, sf_dir):
+    """Per-stratum take equals min(Hamilton alloc, stratum size)
+    — exactly alloc when the stratum can cover it (at sf0.001 the
+    budget exceeds the corpus, so every doc is taken; the law
+    still pins the composition); winners are the smallest
+    hash-ranks."""
+    import hashlib
+
+    import duckdb
+
+    from aurora_cdc_demo_spark.registry import QUERIES
+
+    alloc = {
+        r["source"]: (r["alloc"], r["n_docs"])
+        for r in QUERIES["sample_allocation_hamilton"](
+            spark, sf_dir
+        ).collect()
+    }
+    rows = QUERIES["sample_stratified_exact"](spark, sf_dir).collect()
+    taken: dict = {}
+    for r in rows:
+        taken.setdefault(r["source"], []).append(r)
+    for src, (a, n) in alloc.items():
+        assert len(taken.get(src, [])) == min(a, n)
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, source FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+
+    def hk(d):
+        return int(
+            hashlib.md5(f"strat:{d}".encode()).hexdigest()[:8], 16
+        )
+
+    by_src: dict = {}
+    for d, s in docs:
+        by_src.setdefault(s, []).append(d)
+    for src, lst in taken.items():
+        a, _ = alloc[src]
+        want = set(
+            sorted(by_src[src], key=lambda d: (hk(d), d))[: a]
+        )
+        assert {r["doc_id"] for r in lst} == want
