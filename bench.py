@@ -110,6 +110,8 @@ HEADLINE = [
     "cdc_reconciliation_chunks",
     "graph_hits_knn",
     "events_markov_attribution",
+    "events_theta_sketch_ops",
+    "graph_ppr_seeds",
 ]
 
 
