@@ -19434,3 +19434,115 @@ def q_sample_stratified_exact(spark, sf_dir):
         "documents"
     )
     return spark.sql(_stratified_exact_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Weighted exact percentiles (quantity-weighted price)
+# ---------------------------------------------------------------------------
+
+_WPCT_BANDS = 64
+_WPCT_GRID = (25, 50, 75, 90)
+
+
+def _weighted_pct_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    grid = ", ".join(f"({q})" for q in _WPCT_GRID)
+    if dialect != "spark":
+        # oracle: one cumulative window over distinct values
+        return f"""
+        WITH wp AS (
+            SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                        AS BIGINT) AS p,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS w
+            FROM lineitem GROUP BY 1)
+        , tot AS (SELECT CAST(SUM(w) AS BIGINT) AS wt FROM wp)
+        , cum AS (
+            SELECT p, CAST(SUM(w) OVER (ORDER BY p ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS cw
+            FROM wp)
+        , grid AS (SELECT * FROM (VALUES {grid}) AS g(pct))
+        SELECT g.pct,
+               CAST((g.pct * t.wt + 99) {div} 100 AS BIGINT)
+                   AS threshold_w,
+               CAST(MIN(c.p) AS BIGINT) AS price_centi,
+               t.wt AS total_w
+        FROM grid g CROSS JOIN tot t
+        JOIN cum c ON c.cw >= (g.pct * t.wt + 99) {div} 100
+        GROUP BY g.pct, t.wt
+        """
+    # spark: band-prefix decomposition — no global window
+    return f"""
+        WITH wp AS (
+            SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                        AS BIGINT) AS p,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS w
+            FROM lineitem GROUP BY 1)
+        , mm AS (
+            SELECT MIN(p) AS lo, MAX(p) AS hi,
+                   CAST(SUM(w) AS BIGINT) AS wt
+            FROM wp)
+        , banded AS (
+            SELECT p, w,
+                   ((p - lo) * {_WPCT_BANDS}) {div} (hi - lo + 1)
+                       AS band
+            FROM wp CROSS JOIN mm)
+        , bsum AS (
+            SELECT band, CAST(SUM(w) AS BIGINT) AS bw
+            FROM banded GROUP BY band)
+        , bpre AS (
+            SELECT band,
+                   CAST(COALESCE(SUM(bw) OVER (ORDER BY band ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS BIGINT) AS prefix
+            FROM bsum)
+        , cum AS (
+            SELECT b.p, bp.prefix
+                   + CAST(SUM(b.w) OVER (PARTITION BY b.band
+                       ORDER BY b.p ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS cw
+            FROM banded b JOIN bpre bp ON bp.band = b.band)
+        , grid AS (SELECT * FROM (VALUES {grid}) AS g(pct))
+        SELECT g.pct,
+               CAST((g.pct * m.wt + 99) {div} 100 AS BIGINT)
+                   AS threshold_w,
+               CAST(MIN(c.p) AS BIGINT) AS price_centi,
+               m.wt AS total_w
+        FROM grid g CROSS JOIN mm m
+        JOIN cum c ON c.cw >= (g.pct * m.wt + 99) {div} 100
+        GROUP BY g.pct, m.wt
+    """
+
+
+@query(
+    "lineitem_weighted_percentiles",
+    oracle=_weighted_pct_sql("duck"),
+)
+def q_lineitem_weighted_percentiles(spark, sf_dir):
+    """QUANTITY-WEIGHTED exact price percentiles — the weighted
+    order statistic (#254 handles the unweighted case): the p-th
+    weighted percentile is the smallest price whose CUMULATIVE
+    QUANTITY reaches ceil(p·W/100), i.e. 'the price below which p%
+    of UNITS (not line items) trade' — the statistic pricing and
+    inventory actually want. The Spark plan is the band-prefix
+    decomposition at distinct-value grain (values hash-aggregate →
+    {B} band weight sums prefix over a {B}-row window → within-band
+    cumulative windows at ≈1/{B} of the values per reducer); the
+    DuckDB oracle keeps the single global cumulative window — the
+    answer is plan-independent because the minimum crossing value
+    is unique. HUGEINT window-sum gotcha handled by casting every
+    windowed sum.
+
+    Scale: the fact table collapses to distinct (price, Σqty) rows
+    first (map-side combine); no global sort, no single-reducer
+    window — the #254 template extended with weights.""".replace(
+        "{B}", str(_WPCT_BANDS)
+    )
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem"
+    )
+    return spark.sql(_weighted_pct_sql("spark"))

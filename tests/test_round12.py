@@ -968,3 +968,50 @@ def test_stratified_exact_takes_match_allocation(spark, sf_dir):
             sorted(by_src[src], key=lambda d: (hk(d), d))[: a]
         )
         assert {r["doc_id"] for r in lst} == want
+
+
+def test_weighted_percentiles_match_python(spark, sf_dir):
+    """Weighted percentile = smallest price whose cumulative
+    quantity reaches ceil(p·W/100); recomputed exactly in Python
+    and pinned monotone across the grid."""
+    import duckdb
+
+    from aurora_cdc_demo_spark.registry import (
+        _WPCT_GRID,
+        QUERIES,
+    )
+
+    con = duckdb.connect()
+    rows_in = con.execute(
+        f"""
+        SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                    AS BIGINT) AS p,
+               SUM(CAST(l_quantity AS BIGINT))
+        FROM '{sf_dir}/lineitem.parquet' GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    wt = sum(w for _, w in rows_in)
+    got = {
+        r["pct"]: r
+        for r in QUERIES["lineitem_weighted_percentiles"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(_WPCT_GRID)
+    prev = None
+    for pct in sorted(_WPCT_GRID):
+        t = (pct * wt + 99) // 100
+        cw = 0
+        ans = None
+        for p, w in rows_in:
+            cw += w
+            if cw >= t:
+                ans = p
+                break
+        r = got[pct]
+        assert r["threshold_w"] == t
+        assert r["price_centi"] == ans
+        assert r["total_w"] == wt
+        if prev is not None:
+            assert r["price_centi"] >= prev
+        prev = r["price_centi"]
