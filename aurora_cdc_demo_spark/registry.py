@@ -19546,3 +19546,84 @@ def q_lineitem_weighted_percentiles(spark, sf_dir):
         "lineitem"
     )
     return spark.sql(_weighted_pct_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Skip-bigram sequence mining (frequent a→…→b within K events)
+# ---------------------------------------------------------------------------
+
+_SKIP_K = 3
+
+
+def _skip_bigrams_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    big = (
+        "DECIMAL(38,0)" if dialect == "spark" else "HUGEINT"
+    )
+    leads = ", ".join(
+        f"lead(event_type, {j}) OVER w AS l{j}"
+        for j in range(1, _SKIP_K + 1)
+    )
+    arr = ", ".join(f"l{j}" for j in range(1, _SKIP_K + 1))
+    if dialect == "spark":
+        expand = (
+            f"SELECT ta, tb FROM"
+            f" (SELECT event_type AS ta, array({arr}) AS ls FROM seq)"
+            f" LATERAL VIEW explode(ls) t AS tb"
+        )
+    else:
+        expand = (
+            f"SELECT event_type AS ta,"
+            f" unnest(list_value({arr})) AS tb FROM seq"
+        )
+    return f"""
+        WITH seq AS (
+            SELECT event_type, {leads}
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY ts ASC, event_id ASC))
+        , pairs AS (
+            SELECT ta, tb FROM ({expand}) x WHERE tb IS NOT NULL)
+        , sup AS (
+            SELECT ta, tb, CAST(COUNT(*) AS BIGINT) AS support
+            FROM pairs GROUP BY ta, tb)
+        , lt AS (
+            SELECT ta, CAST(SUM(support) AS BIGINT) AS nl
+            FROM sup GROUP BY ta)
+        , rt AS (
+            SELECT tb, CAST(SUM(support) AS BIGINT) AS nr
+            FROM sup GROUP BY tb)
+        , tot AS (
+            SELECT CAST(SUM(support) AS BIGINT) AS t FROM sup)
+        SELECT s.ta AS type_a, s.tb AS type_b, s.support,
+               l.nl AS n_left, r.nr AS n_right,
+               CAST((CAST(s.support AS {big}) * t.t * 10000)
+                    {div} (l.nl * CAST(r.nr AS {big})) AS BIGINT)
+                   AS lift_bp
+        FROM sup s
+        JOIN lt l ON l.ta = s.ta
+        JOIN rt r ON r.tb = s.tb
+        CROSS JOIN tot t
+    """
+
+
+@query("events_skip_bigrams", oracle=_skip_bigrams_sql("duck"))
+def q_events_skip_bigrams(spark, sf_dir):
+    """SKIP-BIGRAM SEQUENCE MINING (the L=2 core of
+    PrefixSpan/SPADE with a gap constraint): how often does type a
+    precede type b within the next {K} events of the same user —
+    including NON-adjacent precedence, which the adjacent-only
+    transition matrix (#129) and top paths (#161) structurally
+    miss (a click→…→purchase with an error between them counts
+    here, not there). Support plus association lift vs the
+    independence baseline (support·total / (left·right) in bp,
+    DECIMAL(38,0)/HUGEINT numerators per the overflow rule — four
+    BIGINT counters multiply past 2⁶³ at fact scale).
+
+    Scale: ONE user-partitioned window pass computes all {K} leads
+    (shared shuffle), a bounded ×{K} expansion, then
+    |types|²-bounded algebra; no self-join on the fact
+    table.""".replace("{K}", str(_SKIP_K))
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_skip_bigrams_sql("spark"))

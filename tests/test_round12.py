@@ -1015,3 +1015,43 @@ def test_weighted_percentiles_match_python(spark, sf_dir):
         if prev is not None:
             assert r["price_centi"] >= prev
         prev = r["price_centi"]
+
+
+def test_skip_bigrams_match_python(spark, sf_dir):
+    """Skip-pair supports recompute exactly from ordered per-user
+    sequences (window K=3, non-adjacent included); lift identity
+    holds in exact integers."""
+    import duckdb
+
+    from aurora_cdc_demo_spark.registry import _SKIP_K, QUERIES
+
+    con = duckdb.connect()
+    evs = con.execute(
+        f"SELECT user_id, event_type FROM '{sf_dir}/events.parquet'"
+        " ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    by_user: dict = {}
+    for u, t in evs:
+        by_user.setdefault(u, []).append(t)
+    sup: dict = {}
+    for seq in by_user.values():
+        for i, a in enumerate(seq):
+            for j in range(i + 1, min(i + 1 + _SKIP_K, len(seq))):
+                sup[(a, seq[j])] = sup.get((a, seq[j]), 0) + 1
+    nl: dict = {}
+    nr: dict = {}
+    for (a, b), c in sup.items():
+        nl[a] = nl.get(a, 0) + c
+        nr[b] = nr.get(b, 0) + c
+    tot = sum(sup.values())
+    rows = QUERIES["events_skip_bigrams"](spark, sf_dir).collect()
+    assert {(r["type_a"], r["type_b"]) for r in rows} == set(sup)
+    for r in rows:
+        k = (r["type_a"], r["type_b"])
+        assert r["support"] == sup[k]
+        assert r["n_left"] == nl[k[0]]
+        assert r["n_right"] == nr[k[1]]
+        assert (
+            r["lift_bp"]
+            == (sup[k] * tot * 10000) // (nl[k[0]] * nr[k[1]])
+        )
