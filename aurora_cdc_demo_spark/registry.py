@@ -19627,3 +19627,181 @@ def q_events_skip_bigrams(spark, sf_dir):
     ensure_utc(spark)
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_skip_bigrams_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Audio loudness normalization plan (linear power gains, no dB/logs)
+# ---------------------------------------------------------------------------
+
+_GAIN_CAP_BP = 40000  # max 4x power amplification
+
+
+def _audio_gain_sql(dialect: str) -> str:
+    gen = (
+        f"LATERAL VIEW explode(sequence(0, {_SCENE_FRAMES - 1}))"
+        " g AS frame_idx"
+        if dialect == "spark"
+        else f", generate_series(0, {_SCENE_FRAMES - 1}) AS g(frame_idx)"
+    )
+    sub = "substring" if dialect == "spark" else "substr"
+    div = "div" if dialect == "spark" else "//"
+    energy = " + ".join(
+        f"ascii({sub}(text, CAST(frame_idx *"
+        f" (length(text) {div} {_SCENE_FRAMES}) + {j + 1} AS INT), 1))"
+        for j in range(_SCENE_WIN)
+    )
+    return f"""
+        WITH frames AS (
+            SELECT doc_id, frame_idx,
+                   CAST({energy} AS BIGINT) AS energy
+            FROM documents {gen})
+        , clips AS (
+            SELECT doc_id,
+                   CAST(SUM(energy * energy) {div} COUNT(*)
+                       AS BIGINT) AS clip_power
+            FROM frames GROUP BY doc_id)
+        , ranked AS (
+            SELECT clip_power,
+                   row_number() OVER (
+                       ORDER BY clip_power ASC, clip_power ASC)
+                       AS rn,
+                   COUNT(*) OVER () AS n
+            FROM clips)
+        , med AS (
+            SELECT CAST(MIN(clip_power) AS BIGINT) AS target_power
+            FROM ranked WHERE rn = (n + 1) {div} 2)
+        SELECT c.doc_id, c.clip_power, m.target_power,
+               CAST((m.target_power * 10000)
+                    {div} GREATEST(CAST(1 AS BIGINT), c.clip_power)
+                   AS BIGINT) AS power_gain_bp,
+               CAST(LEAST((m.target_power * 10000)
+                    {div} GREATEST(CAST(1 AS BIGINT), c.clip_power),
+                    CAST({_GAIN_CAP_BP} AS BIGINT)) AS BIGINT)
+                   AS gain_capped_bp
+        FROM clips c CROSS JOIN med m
+    """
+
+
+@query("mm_audio_power_gain", oracle=_audio_gain_sql("duck"))
+def q_mm_audio_power_gain(spark, sf_dir):
+    """LOUDNESS NORMALIZATION PLAN for the audio modality — the
+    per-clip gain a training pipeline applies so every clip plays
+    at comparable level (the batch analog of ffmpeg loudnorm's
+    first pass): clip power = mean squared frame energy over the
+    #331 stub grid, target = the corpus EXACT MEDIAN power (the
+    #65 lower-median rank idiom), gain = target/clip in basis
+    points of POWER RATIO — the log-free integer form (dB = 10
+    log10(ratio) is presentation, the ratio is the math; a driver
+    formats dB if a human needs it), capped at 4× amplification
+    (the standard clipping guard). Stub energies swap for decoded
+    RMS via mapInPandas with every downstream column unchanged
+    (#33 discipline).
+
+    Scale: one constant-×16 frame expansion + doc-grain aggregate;
+    the median window runs at CLIP grain (band-prefix per #254 if
+    clips reach fact scale); gains are pure codegen arithmetic."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_audio_gain_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Haar denoise + exact integer inverse reconstruction
+# ---------------------------------------------------------------------------
+
+
+def _haar_denoise_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    us = "unix_micros" if dialect == "spark" else "epoch_us"
+    if dialect == "spark":
+        grid = (
+            "SELECT idx FROM (SELECT explode(sequence(0,"
+            f" {_HAAR_HOURS - 1})) AS idx)"
+        )
+    else:
+        grid = (
+            f"SELECT unnest(generate_series(0, {_HAAR_HOURS - 1}))"
+            " AS idx"
+        )
+    ctes = f"""
+        WITH b AS (
+            SELECT MIN({us}(ts)) AS t0 FROM events)
+        , hours AS (
+            SELECT ({us}(ts) - b.t0) {div} 3600000000 AS idx
+            FROM events CROSS JOIN b)
+        , counts AS (
+            SELECT idx, CAST(COUNT(*) AS BIGINT) AS v
+            FROM hours WHERE idx < {_HAAR_HOURS} GROUP BY idx)
+        , grid AS ({grid})
+        , g0 AS (
+            SELECT g.idx, COALESCE(c.v, CAST(0 AS BIGINT)) AS v
+            FROM grid g LEFT JOIN counts c ON c.idx = g.idx)"""
+    prev = "g0"
+    for lv in range(1, _HAAR_LEVELS + 1):
+        val = "v" if lv == 1 else "a"
+        ctes += f"""
+        , l{lv} AS (
+            SELECT idx {div} 2 AS idx,
+                   CAST(SUM(CASE WHEN idx % 2 = 0 THEN {val}
+                            ELSE -{val} END) AS BIGINT) AS d,
+                   CAST(SUM({val}) AS BIGINT) AS a
+            FROM {prev} GROUP BY idx {div} 2)
+        , t{lv} AS (
+            SELECT CAST(MAX(ABS(d)) {div} 4 AS BIGINT) AS thr
+            FROM l{lv})
+        , k{lv} AS (
+            SELECT l.idx, l.d, l.a,
+                   CAST(CASE WHEN ABS(l.d) >= t.thr THEN l.d
+                        ELSE 0 END AS BIGINT) AS dk
+            FROM l{lv} l CROSS JOIN t{lv} t)"""
+        prev = f"l{lv}"
+    # inverse: start from a_L, carry (full, denoised) together
+    ctes += f"""
+        , r{_HAAR_LEVELS} AS (
+            SELECT idx, a AS vf, a AS vd FROM l{_HAAR_LEVELS})"""
+    for lv in range(_HAAR_LEVELS, 0, -1):
+        mult = 2 ** (_HAAR_LEVELS - lv)
+        ctes += f"""
+        , r{lv - 1} AS (
+            SELECT r.idx * 2 + bb.b AS idx,
+                   CAST(r.vf + (1 - 2 * bb.b) * {mult} * k.d
+                       AS BIGINT) AS vf,
+                   CAST(r.vd + (1 - 2 * bb.b) * {mult} * k.dk
+                       AS BIGINT) AS vd
+            FROM r{lv} r
+            JOIN k{lv} k ON k.idx = r.idx
+            CROSS JOIN (VALUES (0), (1)) AS bb(b))"""
+    scale = 2**_HAAR_LEVELS
+    return f"""{ctes}
+        SELECT g.idx AS hour_idx, g.v AS observed,
+               r.vf AS recon_full_x{scale},
+               r.vd AS recon_denoised_x{scale},
+               CAST(ABS(r.vd - {scale} * g.v) AS BIGINT)
+                   AS denoise_residual_x{scale}
+        FROM g0 g JOIN r0 r ON r.idx = g.idx
+    """
+
+
+@query("events_haar_denoise", oracle=_haar_denoise_sql("duck"))
+def q_events_haar_denoise(spark, sf_dir):
+    """HAAR DENOISING with the EXACT integer inverse transform —
+    the reconstruction half of #345: detail coefficients below a
+    quarter of their level's max magnitude are zeroed (hard
+    thresholding, the wavelet-shrinkage primitive), then the
+    ladder inverts level by level; working at scale 2^L keeps every
+    intermediate a BIGINT (x̂·8 is integer even when the thresholded
+    halves would not be), and the FULL-detail path reconstructs
+    recon_full_x8 == 8·observed BIT-FOR-BIT — the invertibility
+    law carried inside the output itself (a float wavelet can only
+    promise ≈). The denoised series is the smoothed baseline the
+    anomaly screens (#244/#206) compare against; its residual
+    column IS the per-hour anomaly signal at multi-scale.
+
+    Scale: same O(grid) ladder as #345 after one corpus pass; the
+    inverse is L joins over the 8..64-row dyadic tables with a
+    2-row VALUES expansion — no shuffle beyond the forward's."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_haar_denoise_sql("spark"))

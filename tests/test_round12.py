@@ -1055,3 +1055,47 @@ def test_skip_bigrams_match_python(spark, sf_dir):
             r["lift_bp"]
             == (sup[k] * tot * 10000) // (nl[k[0]] * nr[k[1]])
         )
+
+
+def test_haar_inverse_is_exact_and_denoise_caps_residual(
+    spark, sf_dir
+):
+    """Invertibility law: recon_full_x8 == 8·observed everywhere,
+    bit-for-bit; the denoised path differs from full only through
+    the zeroed details (residual recomputes from the dropped
+    coefficients)."""
+    from aurora_cdc_demo_spark.registry import (
+        _HAAR_LEVELS,
+        QUERIES,
+    )
+
+    rows = QUERIES["events_haar_denoise"](spark, sf_dir).collect()
+    scale = 2**_HAAR_LEVELS
+    assert rows
+    for r in rows:
+        assert r[f"recon_full_x{scale}"] == scale * r["observed"]
+        assert (
+            r[f"denoise_residual_x{scale}"]
+            == abs(
+                r[f"recon_denoised_x{scale}"]
+                - scale * r["observed"]
+            )
+        )
+
+
+def test_audio_power_gain_median_target(spark, sf_dir):
+    """Target is the exact lower median of clip powers; gains
+    recompute and the cap binds exactly at 4x."""
+    from aurora_cdc_demo_spark.registry import (
+        _GAIN_CAP_BP,
+        QUERIES,
+    )
+
+    rows = QUERIES["mm_audio_power_gain"](spark, sf_dir).collect()
+    powers = sorted(r["clip_power"] for r in rows)
+    target = powers[(len(powers) + 1) // 2 - 1]
+    for r in rows:
+        assert r["target_power"] == target
+        g = (target * 10000) // max(1, r["clip_power"])
+        assert r["power_gain_bp"] == g
+        assert r["gain_capped_bp"] == min(g, _GAIN_CAP_BP)
