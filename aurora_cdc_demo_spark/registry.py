@@ -19805,3 +19805,151 @@ def q_events_haar_denoise(spark, sf_dir):
     ensure_utc(spark)
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_haar_denoise_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 analog: suppliers who kept multi-supplier orders waiting
+# ---------------------------------------------------------------------------
+
+
+def _q21_analog_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    late = (
+        "l.l_shipdate > o.o_orderdate + INTERVAL 90 DAYS"
+        if dialect == "spark"
+        else "l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY"
+    )
+    return f"""
+        WITH lines AS (
+            SELECT l.l_orderkey, l.l_suppkey,
+                   CASE WHEN {late} THEN 1 ELSE 0 END AS is_late
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey)
+        , per_order AS (
+            SELECT l_orderkey,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)
+                       AS n_supp,
+                   CAST(COUNT(DISTINCT CASE WHEN is_late = 1
+                        THEN l_suppkey END) AS BIGINT)
+                       AS n_late_supp,
+                   MAX(CASE WHEN is_late = 1 THEN l_suppkey END)
+                       AS late_supp
+            FROM lines GROUP BY l_orderkey)
+        , blamed AS (
+            SELECT late_supp AS suppkey,
+                   CAST(COUNT(*) AS BIGINT) AS numwait
+            FROM per_order
+            WHERE n_supp >= 2 AND n_late_supp = 1
+            GROUP BY late_supp)
+        , ranked AS (
+            SELECT b.suppkey, s.s_name, b.numwait,
+                   CAST(row_number() OVER (
+                       ORDER BY b.numwait DESC, s.s_name ASC)
+                       AS BIGINT) AS rnk
+            FROM blamed b JOIN supplier s ON s.s_suppkey = b.suppkey)
+        SELECT suppkey, s_name, numwait, rnk
+        FROM ranked WHERE rnk <= 10
+    """
+
+
+@query("q21_suppliers_waiting", oracle=_q21_analog_sql("duck"))
+def q_q21_suppliers_waiting(spark, sf_dir):
+    """TPC-H Q21 ANALOG — 'suppliers who kept orders waiting',
+    re-expressed for this schema exactly as q12 was (the testdata
+    carries no commit/receipt dates, so LATE = shipped > 90 days
+    after the order date — q12's documented rule): in orders with
+    ≥ 2 distinct suppliers where EXACTLY ONE supplier shipped
+    late, blame that supplier; top 10 by wait count. This closes
+    the last TPC-H query slot with a stated analog instead of an
+    absence (the sole-blocker semantics — the interesting part of
+    Q21 — are preserved; only the lateness predicate is adapted,
+    as the reference's own demo queries adapt theirs).
+
+    Scale: one fact-fact equi-join on the order key (co-partitioned
+    at scale by bucketing both on orderkey — sinks/bucketed.py),
+    one order-grain aggregate with two conditional distincts, a
+    supplier-dimension broadcast, TakeOrdered for the top 10."""
+    ensure_utc(spark)
+    for t in ("lineitem", "orders", "supplier"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_q21_analog_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Semi-hard triplet mining (FaceNet recipe)
+# ---------------------------------------------------------------------------
+
+_TRIPLET_MARGIN_E6 = 200000  # 0.2 cosine margin
+
+
+def _semihard_triplets_sql(dialect: str) -> str:
+    from .operators.similarity import N_QUERIES
+
+    return f"""
+        WITH v AS (
+            SELECT vec_id, embedding, label,
+                   {_sim._norm('embedding', dialect)} AS nrm
+            FROM embeddings)
+        , q AS (
+            SELECT vec_id AS anchor_id, embedding AS qe, nrm AS qn,
+                   label AS alabel
+            FROM v WHERE vec_id < {N_QUERIES})
+        , scored AS (
+            SELECT q.anchor_id, q.alabel, v.vec_id, v.label,
+                   CAST(FLOOR(
+                       ({_sim._dot('q.qe', 'v.embedding', dialect)})
+                       / (q.qn * v.nrm) * 1000000) AS BIGINT)
+                       AS cos_e6
+            FROM q CROSS JOIN v WHERE v.vec_id <> q.anchor_id)
+        , pos AS (
+            SELECT anchor_id, vec_id AS positive_id,
+                   cos_e6 AS pos_cos_e6
+            FROM (
+                SELECT anchor_id, vec_id, cos_e6,
+                       row_number() OVER (
+                           PARTITION BY anchor_id
+                           ORDER BY cos_e6 DESC, vec_id ASC) AS rn
+                FROM scored WHERE label = alabel) t
+            WHERE rn = 1)
+        , neg AS (
+            SELECT s.anchor_id, s.vec_id AS negative_id,
+                   s.cos_e6 AS neg_cos_e6,
+                   row_number() OVER (
+                       PARTITION BY s.anchor_id
+                       ORDER BY s.cos_e6 DESC, s.vec_id ASC) AS rn
+            FROM scored s
+            JOIN pos p ON p.anchor_id = s.anchor_id
+            WHERE s.label <> s.alabel
+              AND s.cos_e6 < p.pos_cos_e6
+              AND p.pos_cos_e6 - s.cos_e6 < {_TRIPLET_MARGIN_E6})
+        SELECT p.anchor_id, p.positive_id, p.pos_cos_e6,
+               n.negative_id, n.neg_cos_e6,
+               CAST(p.pos_cos_e6 - n.neg_cos_e6 AS BIGINT) AS gap_e6
+        FROM pos p
+        JOIN neg n ON n.anchor_id = p.anchor_id AND n.rn = 1
+    """
+
+
+@query("embed_semihard_triplets", oracle=_semihard_triplets_sql("duck"))
+def q_embed_semihard_triplets(spark, sf_dir):
+    """SEMI-HARD TRIPLET MINING (Schroff et al. 2015, FaceNet — the
+    selection rule that made triplet loss train): per anchor, the
+    nearest SAME-label vector is the positive; the negative is the
+    HARDEST different-label vector that is still farther than the
+    positive but within the margin band (pos_cos − margin <
+    neg_cos < pos_cos). Too-hard negatives (closer than the
+    positive) collapse training, too-easy ones (outside the
+    margin) contribute zero gradient — semi-hard is the band that
+    learns; #309's hard negatives are the serving-side diagnosis,
+    this is the training-batch construction. Anchors with an empty
+    band drop (documented; the margin is the knob).
+
+    Scale: anchors are N_QUERIES-bounded broadcast against one
+    corpus scan (at scale the candidate set comes from the IVF/LSH
+    cells like #309); two anchor-partitioned rank windows over the
+    scored rows."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    return spark.sql(_semihard_triplets_sql("spark"))

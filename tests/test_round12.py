@@ -1099,3 +1099,98 @@ def test_audio_power_gain_median_target(spark, sf_dir):
         g = (target * 10000) // max(1, r["clip_power"])
         assert r["power_gain_bp"] == g
         assert r["gain_capped_bp"] == min(g, _GAIN_CAP_BP)
+
+
+def test_q21_analog_sole_blocker_semantics(spark, sf_dir):
+    """Blame recomputes from raw data: only multi-supplier orders
+    with exactly one late supplier contribute, credited to that
+    supplier."""
+    import duckdb
+
+    from aurora_cdc_demo_spark.registry import QUERIES
+
+    con = duckdb.connect()
+    rows_in = con.execute(
+        f"""
+        SELECT l.l_orderkey, l.l_suppkey,
+               l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        FROM '{sf_dir}/lineitem.parquet' l
+        JOIN '{sf_dir}/orders.parquet' o
+          ON o.o_orderkey = l.l_orderkey
+        """
+    ).fetchall()
+    per_order: dict = {}
+    for ok, sk, late in rows_in:
+        supp, lsupp = per_order.setdefault(ok, (set(), set()))
+        supp.add(sk)
+        if late:
+            lsupp.add(sk)
+    blame: dict = {}
+    for supp, lsupp in per_order.values():
+        if len(supp) >= 2 and len(lsupp) == 1:
+            s = next(iter(lsupp))
+            blame[s] = blame.get(s, 0) + 1
+    rows = QUERIES["q21_suppliers_waiting"](spark, sf_dir).collect()
+    for r in rows:
+        assert blame[r["suppkey"]] == r["numwait"]
+    want_top = sorted(blame.values(), reverse=True)[: len(rows)]
+    assert sorted(
+        (r["numwait"] for r in rows), reverse=True
+    ) == want_top
+
+
+def test_semihard_triplets_band_and_hardest(spark, sf_dir):
+    """Every triplet satisfies the FaceNet band
+    (0 < pos − neg < margin) and the negative is the hardest
+    different-label vector inside the band; positive is the
+    nearest same-label vector."""
+    import math
+
+    import duckdb
+
+    from aurora_cdc_demo_spark.registry import (
+        _TRIPLET_MARGIN_E6,
+        QUERIES,
+    )
+
+    con = duckdb.connect()
+    data = con.execute(
+        f"SELECT vec_id, embedding, label FROM"
+        f" '{sf_dir}/embeddings.parquet'"
+    ).fetchall()
+    nv = {}
+    lab = {}
+    for vid, emb, lb in data:
+        n = math.sqrt(sum(x * x for x in emb))
+        nv[vid] = [x / n for x in emb]
+        lab[vid] = lb
+
+    def cos_e6(a, b):
+        return math.floor(
+            sum(x * y for x, y in zip(nv[a], nv[b])) * 1000000
+        )
+
+    rows = QUERIES["embed_semihard_triplets"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    for r in rows:
+        a = r["anchor_id"]
+        cands = [
+            (cos_e6(a, v), -v, v)
+            for v in nv
+            if v != a and lab[v] == lab[a]
+        ]
+        pc, _, pid = max(cands)
+        assert (r["positive_id"], r["pos_cos_e6"]) == (pid, pc)
+        negs = [
+            (cos_e6(a, v), -v, v)
+            for v in nv
+            if v != a
+            and lab[v] != lab[a]
+            and cos_e6(a, v) < pc
+            and pc - cos_e6(a, v) < _TRIPLET_MARGIN_E6
+        ]
+        nc, _, nid = max(negs)
+        assert (r["negative_id"], r["neg_cos_e6"]) == (nid, nc)
+        assert 0 < r["gap_e6"] < _TRIPLET_MARGIN_E6
