@@ -20132,3 +20132,85 @@ def q_cdc_bitemporal_grid(spark, sf_dir):
     ensure_utc(spark)
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_bitemporal_sql("spark"))
+
+
+def _ams_join_size_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    if dialect == "spark":
+        h = (
+            "CAST(conv(substring(md5(concat(CAST(j AS STRING), ':',"
+            " CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        )
+        gen = (
+            f"LATERAL VIEW explode(sequence(0, {_AMS_ESTIMATORS - 1}))"
+            " t AS j"
+        )
+    else:
+        h = (
+            "CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||"
+            " CAST(k AS VARCHAR)), 1, 8) AS BIGINT)"
+        )
+        gen = (
+            f", unnest(generate_series(0, {_AMS_ESTIMATORS - 1}))"
+            " AS t(j)"
+        )
+    return f"""
+        WITH keys AS (
+            SELECT DISTINCT user_id AS k FROM events
+            UNION
+            SELECT DISTINCT o_custkey AS k FROM orders)
+        , signs AS (
+            SELECT j, k, CAST(1 - 2 * ({h} % 2) AS BIGINT) AS sg
+            FROM keys {gen})
+        , za AS (
+            SELECT s.j, CAST(SUM(s.sg) AS BIGINT) AS z
+            FROM events e JOIN signs s ON s.k = e.user_id
+            GROUP BY s.j)
+        , zb AS (
+            SELECT s.j, CAST(SUM(s.sg) AS BIGINT) AS z
+            FROM orders o JOIN signs s ON s.k = o.o_custkey
+            GROUP BY s.j)
+        , ests AS (
+            SELECT a.j, a.z AS z_events, b.z AS z_orders,
+                   CAST(a.z * b.z AS BIGINT) AS est_join
+            FROM za a JOIN zb b ON b.j = a.j)
+        , mean_e AS (
+            SELECT CAST(SUM(est_join) {div} COUNT(*) AS BIGINT)
+                       AS mean_est
+            FROM ests)
+        , exact AS (
+            SELECT CAST(SUM(fa.c * fb.c) AS BIGINT) AS exact_join
+            FROM (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM events GROUP BY user_id) fa
+            JOIN (SELECT o_custkey AS k,
+                         CAST(COUNT(*) AS BIGINT) AS c
+                  FROM orders GROUP BY o_custkey) fb
+              ON fb.k = fa.k)
+        SELECT e.j, e.z_events, e.z_orders, e.est_join,
+               m.mean_est, x.exact_join
+        FROM ests e CROSS JOIN mean_e m CROSS JOIN exact x
+    """
+
+
+@query("events_orders_join_size_ams", oracle=_ams_join_size_sql("duck"))
+def q_events_orders_join_size_ams(spark, sf_dir):
+    """AMS JOIN-SIZE ESTIMATION — the use case the tug-of-war
+    sketch was built for (AMS 1996 §3; the cost-model primitive):
+    with a SHARED sign function over the join key domain,
+    E[Z_events · Z_orders] = Σ_k f_events(k)·f_orders(k) — the
+    exact row count of events ⋈ orders on user=custkey — so two
+    single-pass scans predict a join's size WITHOUT running it
+    (the sketch-side answer to the exact histogram-product audit
+    #318, and cross-relation where #361's F2 is the self-join
+    diagonal). Per-estimator products (sign cancellation makes
+    some negative — that is the unbiasedness mechanism, visible),
+    their mean, and the exact join size beside.
+
+    Scale: each Z is one scan with an inline sign hash (the signs
+    CTE keeps the oracle twin aligned; production computes sg in
+    the projection); the estimate needs NO shuffle of either fact
+    table — the whole point. Mergeable: partial Z's sum."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_ams_join_size_sql("spark"))

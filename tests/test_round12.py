@@ -1260,3 +1260,38 @@ def test_ams_f2_estimators_bracket_exact(spark, sf_dir):
     assert rows[0]["mean_est"] == sum(ests) // len(ests)
     # unbiased mean of 16 draws: loose 4x band catches breakage
     assert exact // 4 <= rows[0]["mean_est"] <= exact * 4
+
+
+def test_ams_join_size_unbiased_mechanism(spark, sf_dir):
+    """Exact join size recomputes from frequency vectors; each
+    estimator is the product of its two signed sums; the mean of
+    16 unbiased draws lands within a loose band."""
+    import duckdb
+
+    from aurora_cdc_demo_spark.registry import (
+        _AMS_ESTIMATORS,
+        QUERIES,
+    )
+
+    con = duckdb.connect()
+    want = con.execute(
+        f"""
+        SELECT SUM(fa.c * fb.c) FROM
+            (SELECT user_id k, COUNT(*) c
+             FROM '{sf_dir}/events.parquet' GROUP BY 1) fa
+        JOIN
+            (SELECT o_custkey k, COUNT(*) c
+             FROM '{sf_dir}/orders.parquet' GROUP BY 1) fb
+        USING (k)
+        """
+    ).fetchone()[0]
+    rows = QUERIES["events_orders_join_size_ams"](
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == _AMS_ESTIMATORS
+    assert rows[0]["exact_join"] == want
+    for r in rows:
+        assert r["est_join"] == r["z_events"] * r["z_orders"]
+    mean = sum(r["est_join"] for r in rows) // len(rows)
+    assert rows[0]["mean_est"] == mean
+    assert want // 5 <= mean <= want * 5
