@@ -20214,3 +20214,110 @@ def q_events_orders_join_size_ams(spark, sf_dir):
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_ams_join_size_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Behavioral k-means on hour-of-day activity profiles
+# ---------------------------------------------------------------------------
+
+_BKM_K = 4
+_BKM_ROUNDS = 2
+
+
+def _behavior_kmeans_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    mat = "MATERIALIZED " if dialect != "spark" else ""
+    hod = (
+        "CAST(date_format(ts, 'H') AS INT)"
+        if dialect == "spark"
+        else "CAST(date_part('hour', ts) AS INT)"
+    )
+    if dialect == "spark":
+        grid = (
+            "SELECT u.user_id, h AS hod FROM users u"
+            " LATERAL VIEW explode(sequence(0, 23)) t AS h"
+        )
+    else:
+        grid = (
+            "SELECT u.user_id, t.h AS hod FROM users u,"
+            " unnest(generate_series(0, 23)) AS t(h)"
+        )
+    ctes = f"""
+        WITH raw AS (
+            SELECT user_id, {hod} AS hod,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY user_id, {hod})
+        , users AS (SELECT DISTINCT user_id FROM raw)
+        , grid AS ({grid})
+        , prof AS {mat}(
+            SELECT g.user_id, g.hod,
+                   COALESCE(r.c, CAST(0 AS BIGINT)) AS c
+            FROM grid g
+            LEFT JOIN raw r ON r.user_id = g.user_id
+                           AND r.hod = g.hod)
+        , c0 AS (
+            SELECT user_id AS k, hod,
+                   CAST(c * 1000 AS BIGINT) AS cent_e3
+            FROM prof WHERE user_id < {_BKM_K})"""
+    prev_c = "c0"
+    for i in range(1, _BKM_ROUNDS + 1):
+        ctes += f"""
+        , d{i} AS (
+            SELECT p.user_id, cc.k,
+                   CAST(SUM((p.c * 1000 - cc.cent_e3)
+                            * (p.c * 1000 - cc.cent_e3))
+                       AS BIGINT) AS dist
+            FROM prof p JOIN {prev_c} cc ON cc.hod = p.hod
+            GROUP BY p.user_id, cc.k)
+        , a{i} AS {mat}(
+            SELECT user_id, k AS cluster FROM (
+                SELECT user_id, k,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY dist ASC, k ASC) AS rn
+                FROM d{i}) t
+            WHERE rn = 1)
+        , c{i} AS {mat}(
+            SELECT a.cluster AS k, p.hod,
+                   CAST((SUM(p.c) * 1000) {div} COUNT(DISTINCT a.user_id)
+                       AS BIGINT) AS cent_e3
+            FROM prof p JOIN a{i} a ON a.user_id = p.user_id
+            GROUP BY a.cluster, p.hod)"""
+        prev_c = f"c{i}"
+    final_a = f"a{_BKM_ROUNDS}"
+    return f"""{ctes}
+        , sizes AS (
+            SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members
+            FROM {final_a} GROUP BY cluster)
+        SELECT a.user_id, a.cluster, s.n_members,
+               d.dist AS dist_e6
+        FROM {final_a} a
+        JOIN sizes s ON s.cluster = a.cluster
+        JOIN d{_BKM_ROUNDS} d ON d.user_id = a.user_id
+                             AND d.k = a.cluster
+    """
+
+
+@query("events_behavior_kmeans", oracle=_behavior_kmeans_sql("duck"))
+def q_events_behavior_kmeans(spark, sf_dir):
+    """BEHAVIORAL SEGMENTATION — integer Lloyd k-means on
+    CONSTRUCTED features (each user's dense 24-bin hour-of-day
+    activity profile), the relational sibling of the embedding-
+    space k-means (#128): no vector column exists; the 'vectors'
+    are (user, hod, count) rows, distances are a hod-keyed join +
+    aggregate, and centroids are e3 floor-scaled integer means —
+    so both engines land on identical assignments (the #128
+    bit-identical discipline on a feature the warehouse built
+    itself). Seeds = first K users' profiles; {R} unrolled rounds;
+    output carries final cluster, size, and the user's distance.
+
+    Scale: profile build is one fact aggregate + a ×24 dense grid
+    (linear); each round is a (user×K×24)-row join-aggregate —
+    K bounded — and a user-partitioned argmin window; centroids
+    are K×24 rows, broadcast by construction. DuckDB MATERIALIZED
+    on prof/assignments (multiply-referenced chains).""".replace(
+        "{R}", str(_BKM_ROUNDS)
+    )
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_behavior_kmeans_sql("spark"))

@@ -1295,3 +1295,69 @@ def test_ams_join_size_unbiased_mechanism(spark, sf_dir):
     mean = sum(r["est_join"] for r in rows) // len(rows)
     assert rows[0]["mean_est"] == mean
     assert want // 5 <= mean <= want * 5
+
+
+def test_behavior_kmeans_assignments_recompute(spark, sf_dir):
+    """Two Lloyd rounds recompute exactly in Python from the raw
+    hourly profiles (integer centroids, floor means, argmin with
+    k tie-break); partition property: every user sits with its
+    nearest final centroid."""
+    import duckdb
+
+    from aurora_cdc_demo_spark.registry import (
+        _BKM_K,
+        _BKM_ROUNDS,
+        QUERIES,
+    )
+
+    con = duckdb.connect()
+    raw = con.execute(
+        f"""
+        SELECT user_id, CAST(date_part('hour', ts) AS INT),
+               COUNT(*)
+        FROM '{sf_dir}/events.parquet' GROUP BY 1, 2
+        """
+    ).fetchall()
+    prof: dict = {}
+    for u, h, c in raw:
+        prof.setdefault(u, [0] * 24)[h] = c
+    cents = {
+        k: [v * 1000 for v in prof[k]] for k in range(_BKM_K)
+    }
+    assign: dict = {}
+    dists: dict = {}
+    for _ in range(_BKM_ROUNDS):
+        for u, p in prof.items():
+            best = min(
+                (
+                    (
+                        sum(
+                            (p[h] * 1000 - cents[k][h]) ** 2
+                            for h in range(24)
+                        ),
+                        k,
+                    )
+                    for k in cents
+                ),
+            )
+            assign[u] = best[1]
+            dists[u] = best[0]
+        members: dict = {}
+        for u, k in assign.items():
+            members.setdefault(k, []).append(u)
+        cents = {
+            k: [
+                (sum(prof[u][h] for u in us) * 1000) // len(us)
+                for h in range(24)
+            ]
+            for k, us in members.items()
+        }
+    rows = QUERIES["events_behavior_kmeans"](spark, sf_dir).collect()
+    assert len(rows) == len(prof)
+    sizes: dict = {}
+    for u, k in assign.items():
+        sizes[k] = sizes.get(k, 0) + 1
+    for r in rows:
+        assert r["cluster"] == assign[r["user_id"]]
+        assert r["dist_e6"] == dists[r["user_id"]]
+        assert r["n_members"] == sizes[r["cluster"]]
