@@ -20321,3 +20321,100 @@ def q_events_behavior_kmeans(spark, sf_dir):
     ensure_utc(spark)
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_behavior_kmeans_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile bounds (mergeable sketch + exact within-bin)
+# ---------------------------------------------------------------------------
+
+_HQ_BINS = 128
+_HQ_GRID = (50, 90, 99)
+
+
+def _hist_quantile_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    grid = ", ".join(f"({q})" for q in _HQ_GRID)
+    return f"""
+        WITH v AS (
+            SELECT CAST(ROUND(value * 100) AS BIGINT) AS c
+            FROM events)
+        , mm AS (
+            SELECT MIN(c) AS lo, MAX(c) AS hi,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM v)
+        , binned AS (
+            SELECT c, ((c - lo) * {_HQ_BINS}) {div} (hi - lo + 1)
+                       AS b
+            FROM v CROSS JOIN mm)
+        , hist AS (
+            SELECT b, CAST(COUNT(*) AS BIGINT) AS bn
+            FROM binned GROUP BY b)
+        , cum AS (
+            SELECT b, bn,
+                   CAST(SUM(bn) OVER (ORDER BY b ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS cbn,
+                   CAST(COALESCE(SUM(bn) OVER (ORDER BY b ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS BIGINT) AS prefix
+            FROM hist)
+        , grid AS (SELECT * FROM (VALUES {grid}) AS g(q_pct))
+        , targets AS (
+            SELECT g.q_pct,
+                   CAST((g.q_pct * m.n + 99) {div} 100 AS BIGINT)
+                       AS target_rank
+            FROM grid g CROSS JOIN mm m)
+        , crossing AS (
+            SELECT t.q_pct, t.target_rank,
+                   CAST(MIN(c.b) AS BIGINT) AS bin_idx
+            FROM targets t JOIN cum c ON c.cbn >= t.target_rank
+            GROUP BY t.q_pct, t.target_rank)
+        , exacts AS (
+            SELECT x.q_pct,
+                   CAST(MIN(r.c) AS BIGINT) AS exact_cents
+            FROM crossing x
+            JOIN cum cu ON cu.b = x.bin_idx
+            JOIN (
+                SELECT bi.c, bi.b,
+                       row_number() OVER (
+                           PARTITION BY bi.b
+                           ORDER BY bi.c ASC) AS wr
+                FROM binned bi) r
+              ON r.b = x.bin_idx
+             AND r.wr = x.target_rank - cu.prefix
+            GROUP BY x.q_pct)
+        SELECT x.q_pct, x.target_rank, x.bin_idx,
+               CAST(m.lo + (x.bin_idx * (m.hi - m.lo + 1))
+                    {div} {_HQ_BINS} AS BIGINT) AS est_lo_cents,
+               CAST(m.lo + ((x.bin_idx + 1) * (m.hi - m.lo + 1))
+                    {div} {_HQ_BINS} AS BIGINT) AS est_hi_cents,
+               e.exact_cents
+        FROM crossing x
+        JOIN exacts e ON e.q_pct = x.q_pct
+        CROSS JOIN mm m
+    """
+
+
+@query("events_value_quantile_hist", oracle=_hist_quantile_sql("duck"))
+def q_events_value_quantile_hist(spark, sf_dir):
+    """HISTOGRAM QUANTILE BOUNDS — the mergeable-sketch answer to
+    'p50/p90/p99 of a fact column' with an a-priori error
+    CONTRACT: a {B}-bin equi-width histogram brackets any quantile
+    inside one bin (est_lo ≤ true ≤ est_hi, width (hi−lo)/{B} —
+    the bound is structural, not probabilistic, unlike
+    percentile_approx's rank-error ε), and because histograms SUM,
+    per-partition/per-day histograms maintain the sketch
+    incrementally where a rank window cannot. The exact value is
+    computed beside via the SAME decomposition (prefix + within-
+    crossing-bin rank — #254's band-prefix, so the audit costs one
+    extra window over 1/{B} of the data), making the bounds law
+    (lo ≤ exact ≤ hi) visible per row and pinned in pytest.
+
+    Scale: one scan → {B}-row histogram (map-side combined);
+    cumulative window over {B} rows; the exact audit ranks ONLY
+    the crossing bins. Mergeable: histograms add.""".replace(
+        "{B}", str(_HQ_BINS)
+    )
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_hist_quantile_sql("spark"))

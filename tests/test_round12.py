@@ -1361,3 +1361,43 @@ def test_behavior_kmeans_assignments_recompute(spark, sf_dir):
         assert r["cluster"] == assign[r["user_id"]]
         assert r["dist_e6"] == dists[r["user_id"]]
         assert r["n_members"] == sizes[r["cluster"]]
+
+
+def test_hist_quantile_bounds_bracket_exact(spark, sf_dir):
+    """Structural bounds law: est_lo <= exact <= est_hi per
+    quantile, bin width matches the contract, and the exact value
+    recomputes from a full Python sort."""
+    import duckdb
+
+    from aurora_cdc_demo_spark.registry import (
+        _HQ_BINS,
+        _HQ_GRID,
+        QUERIES,
+    )
+
+    con = duckdb.connect()
+    vals = sorted(
+        int(v)
+        for (v,) in con.execute(
+            f"SELECT CAST(ROUND(value * 100) AS BIGINT)"
+            f" FROM '{sf_dir}/events.parquet'"
+        ).fetchall()
+    )
+    n = len(vals)
+    rows = {
+        r["q_pct"]: r
+        for r in QUERIES["events_value_quantile_hist"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == set(_HQ_GRID)
+    lo, hi = vals[0], vals[-1]
+    for q, r in rows.items():
+        t = (q * n + 99) // 100
+        assert r["target_rank"] == t
+        assert r["exact_cents"] == vals[t - 1]
+        assert r["est_lo_cents"] <= r["exact_cents"] <= r["est_hi_cents"]
+        assert (
+            r["est_hi_cents"] - r["est_lo_cents"]
+            <= (hi - lo + 1) // _HQ_BINS + 1
+        )
