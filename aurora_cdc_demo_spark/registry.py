@@ -20418,3 +20418,127 @@ def q_events_value_quantile_hist(spark, sf_dir):
     ensure_utc(spark)
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_hist_quantile_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Merkle anti-entropy tree over the reconciliation chunks
+# ---------------------------------------------------------------------------
+
+_MERKLE_LEAVES = 16
+_MERKLE_LEVELS = 4  # 16 -> 8 -> 4 -> 2 -> 1
+
+
+def _merkle_tree_sql(
+    dialect: str, side_a: str, side_b: str
+) -> str:
+    div = "div" if dialect == "spark" else "//"
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    if dialect == "spark":
+        gen = (
+            f"SELECT idx FROM (SELECT"
+            f" explode(sequence(0, {_MERKLE_LEAVES - 1})) AS idx)"
+        )
+    else:
+        gen = (
+            f"SELECT unnest(generate_series(0,"
+            f" {_MERKLE_LEAVES - 1})) AS idx"
+        )
+
+    def leaf(side: str, tag: str) -> str:
+        return f"""
+        , ck{tag} AS ({_recon_checksum(dialect, side)})
+        , leaves{tag} AS (
+            SELECT g.idx,
+                   md5(CAST(COALESCE(SUM(c.checksum), 0) AS {cast})
+                       || ':' ||
+                       CAST(COALESCE(SUM(c.n_rows), 0) AS {cast}))
+                       AS h
+            FROM lgrid g
+            LEFT JOIN ck{tag} c
+              ON c.chunk % {_MERKLE_LEAVES} = g.idx
+            GROUP BY g.idx)"""
+
+    ctes = f"""
+        WITH lgrid AS ({gen})"""
+    ctes += leaf(side_a, "a") + leaf(side_b, "b")
+    arms = []
+    for tag in ("a", "b"):
+        prev = f"leaves{tag}"
+        arms.append(
+            f"SELECT 0 AS lvl, idx, h AS h{tag} FROM leaves{tag}"
+            if tag == "a"
+            else None
+        )
+        for lv in range(1, _MERKLE_LEVELS + 1):
+            ctes += f"""
+        , n{tag}{lv} AS (
+            SELECT l.idx {div} 2 AS idx,
+                   md5(MIN(CASE WHEN l.idx % 2 = 0 THEN l.h END)
+                       || MIN(CASE WHEN l.idx % 2 = 1 THEN l.h END))
+                       AS h
+            FROM {prev} l GROUP BY l.idx {div} 2)"""
+            prev = f"n{tag}{lv}"
+    all_a = "\n            UNION ALL ".join(
+        ["SELECT 0 AS lvl, idx, h FROM leavesa"]
+        + [
+            f"SELECT {lv} AS lvl, idx, h FROM na{lv}"
+            for lv in range(1, _MERKLE_LEVELS + 1)
+        ]
+    )
+    all_b = "\n            UNION ALL ".join(
+        ["SELECT 0 AS lvl, idx, h FROM leavesb"]
+        + [
+            f"SELECT {lv} AS lvl, idx, h FROM nb{lv}"
+            for lv in range(1, _MERKLE_LEVELS + 1)
+        ]
+    )
+    return f"""{ctes}
+        , ta AS ({all_a})
+        , tb AS ({all_b})
+        SELECT ta.lvl AS level, CAST(ta.idx AS BIGINT) AS node_idx,
+               ta.h AS hash_a, tb.h AS hash_b,
+               CAST(CASE WHEN ta.h = tb.h THEN 1 ELSE 0 END
+                   AS BIGINT) AS is_match
+        FROM ta JOIN tb ON tb.lvl = ta.lvl AND tb.idx = ta.idx
+    """
+
+
+@query(
+    "cdc_merkle_anti_entropy",
+    oracle=_with_log(
+        ", lg AS (SELECT * FROM log WHERE seq % 251 <> 250)"
+        + _merkle_tree_sql("duck", "lg", "lg").replace(
+            "WITH lgrid", ", lgrid", 1
+        )
+    ),
+)
+def q_cdc_merkle_anti_entropy(spark, sf_dir):
+    """MERKLE ANTI-ENTROPY (Dynamo/Cassandra repair; Merkle 1987)
+    — the O(log) localization layer ABOVE #326's flat chunk diff:
+    hash the 16 chunk checksums into leaves, hash sibling pairs up
+    4 levels to a root, and compare the two pipelines' trees
+    top-down — equal roots certify the whole table in ONE
+    comparison; a divergent root needs only log₂(chunks) probes to
+    the bad chunk, which is the entire point when chunks number in
+    the millions and the network between replicas is the cost.
+    Both trees here are built from the repo's two REAL ingestion
+    paths (#326's sides), so all-match is the cross-path
+    equivalence certificate again — now with the repair-protocol
+    shape. Python twin re-derives the tree and pins the
+    one-leaf-flip → exactly-one-node-per-level property.
+
+    Scale: the leaf layer is #326's chunk aggregate; everything
+    above is log₂(chunks) tiny hash levels; at a million chunks
+    the tree is built in 20 levels of bounded aggregates and the
+    comparison transfers O(divergent paths), not O(chunks)."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    cdc_operation_log(spark, sf_dir).where(
+        "seq % 251 <> 250"
+    ).createOrReplaceTempView("merkle_a")
+    read_binlog_jvm(spark, sf_dir).select(
+        F.col("primary_keys")["key_id"].cast("long").alias("key_id"),
+        "seq",
+        "operation",
+    ).createOrReplaceTempView("merkle_b")
+    return spark.sql(_merkle_tree_sql("spark", "merkle_a", "merkle_b"))

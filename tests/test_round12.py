@@ -1401,3 +1401,59 @@ def test_hist_quantile_bounds_bracket_exact(spark, sf_dir):
             r["est_hi_cents"] - r["est_lo_cents"]
             <= (hi - lo + 1) // _HQ_BINS + 1
         )
+
+
+def test_merkle_tree_structure_and_flip_localization(spark, sf_dir):
+    """Both real-path trees fully match (cross-path equivalence at
+    repair-protocol grain); the tree recomputes in Python from the
+    leaf hashes; flipping ONE leaf flips exactly one node per
+    level up to the root (the O(log) localization property)."""
+    import hashlib
+
+    from aurora_cdc_demo_spark.registry import (
+        _MERKLE_LEAVES,
+        _MERKLE_LEVELS,
+        QUERIES,
+    )
+
+    rows = QUERIES["cdc_merkle_anti_entropy"](
+        spark, sf_dir
+    ).collect()
+    assert all(r["is_match"] == 1 for r in rows)
+    by_lvl: dict = {}
+    for r in rows:
+        by_lvl.setdefault(r["level"], {})[r["node_idx"]] = r["hash_a"]
+    assert len(by_lvl[0]) == _MERKLE_LEAVES
+    assert len(by_lvl[_MERKLE_LEVELS]) == 1
+
+    def build(leaves):
+        tree = {0: dict(enumerate(leaves))}
+        for lv in range(1, _MERKLE_LEVELS + 1):
+            prev = tree[lv - 1]
+            tree[lv] = {
+                i: hashlib.md5(
+                    (prev[2 * i] + prev[2 * i + 1]).encode()
+                ).hexdigest()
+                for i in range(len(prev) // 2)
+            }
+        return tree
+
+    leaves = [by_lvl[0][i] for i in range(_MERKLE_LEAVES)]
+    tree = build(leaves)
+    for lv in range(1, _MERKLE_LEVELS + 1):
+        assert tree[lv] == by_lvl[lv]
+
+    flipped = list(leaves)
+    flipped[5] = hashlib.md5(b"perturbed").hexdigest()
+    t2 = build(flipped)
+    for lv in range(_MERKLE_LEVELS + 1):
+        diff = [
+            i
+            for i in t2.get(lv, {})
+            if t2[lv][i] != tree[lv][i]
+        ] if lv else [
+            i for i in range(_MERKLE_LEAVES)
+            if flipped[i] != leaves[i]
+        ]
+        assert len(diff) == 1
+        assert diff[0] == 5 >> lv
