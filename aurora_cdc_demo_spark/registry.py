@@ -20542,3 +20542,178 @@ def q_cdc_merkle_anti_entropy(spark, sf_dir):
         "operation",
     ).createOrReplaceTempView("merkle_b")
     return spark.sql(_merkle_tree_sql("spark", "merkle_a", "merkle_b"))
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences over hash-split arms
+# ---------------------------------------------------------------------------
+
+
+def _did_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    us = "unix_micros" if dialect == "spark" else "epoch_us"
+    if dialect == "spark":
+        arm = (
+            "CAST(conv(substring(md5(concat('ab:',"
+            " CAST(user_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            " % 2"
+        )
+    else:
+        arm = (
+            "CAST('0x' || substr(md5('ab:' ||"
+            " CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 2"
+        )
+    return f"""
+        WITH b AS (
+            SELECT MIN({us}(ts)) AS lo, MAX({us}(ts)) AS hi
+            FROM events)
+        , tagged AS (
+            SELECT {arm} AS arm,
+                   CASE WHEN {us}(ts) < b.lo + (b.hi - b.lo) {div} 2
+                        THEN 0 ELSE 1 END AS period,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events CROSS JOIN b)
+        , cells AS (
+            SELECT arm, period,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents,
+                   CAST(SUM(cents) {div} COUNT(*) AS BIGINT)
+                       AS mean_cents
+            FROM tagged GROUP BY arm, period)
+        , wide AS (
+            SELECT
+                MAX(CASE WHEN arm = 0 AND period = 0
+                    THEN mean_cents END) AS a_pre,
+                MAX(CASE WHEN arm = 0 AND period = 1
+                    THEN mean_cents END) AS a_post,
+                MAX(CASE WHEN arm = 1 AND period = 0
+                    THEN mean_cents END) AS b_pre,
+                MAX(CASE WHEN arm = 1 AND period = 1
+                    THEN mean_cents END) AS b_post
+            FROM cells)
+        SELECT c.arm, c.period, c.n_events, c.sum_cents,
+               c.mean_cents,
+               CAST((w.b_post - w.b_pre) - (w.a_post - w.a_pre)
+                   AS BIGINT) AS did_cents
+        FROM cells c CROSS JOIN wide w
+    """
+
+
+@query("events_did_estimate", oracle=_did_sql("duck"))
+def q_events_did_estimate(spark, sf_dir):
+    """DIFFERENCE-IN-DIFFERENCES — the causal-inference workhorse
+    on top of the #325 experimentation plumbing: deterministic
+    md5 arm assignment × epoch-midpoint pre/post split gives the
+    2×2 mean table, and DiD = (B_post − B_pre) − (A_post − A_pre)
+    cancels both the arm-level baseline difference and the common
+    time trend — the estimate an A/B readout quotes when treatment
+    started mid-experiment. Floor-integer cell means (the same
+    cents discipline as #325; the exact Σ/n pairs ride along so a
+    driver can compute unbiased variants); on this untreated corpus
+    DiD ≈ 0 — the placebo/parallel-trends check, pinned in a band.
+
+    Scale: one scan, one 4-group aggregate, a 1-row pivot — the
+    entire analysis is map-side combinable."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_did_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Cross-modality dedup agreement (text MinHash vs embedding cosine)
+# ---------------------------------------------------------------------------
+
+
+def _cross_modal_agreement_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    # duck-only: the Spark side composes the two registered
+    # DataFrame queries directly (see the query function below).
+    assert dialect == "duck"
+    text_pairs = ORACLES["dedup_minhash_lsh"]
+    embed_pairs = ORACLES["embed_near_dup"]
+    return f"""
+        WITH tp AS ({text_pairs})
+        , ep AS ({embed_pairs})
+        , u AS (
+            SELECT COALESCE(t.doc_a, e.vec_a) AS id_a,
+                   COALESCE(t.doc_b, e.vec_b) AS id_b,
+                   CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END
+                       AS in_text,
+                   CASE WHEN e.vec_a IS NOT NULL THEN 1 ELSE 0 END
+                       AS in_embed
+            FROM tp t
+            FULL OUTER JOIN ep e
+              ON e.vec_a = t.doc_a AND e.vec_b = t.doc_b)
+        , counts AS (
+            SELECT CAST(SUM(in_text * in_embed) AS BIGINT) AS n_both,
+                   CAST(SUM(in_text * (1 - in_embed)) AS BIGINT)
+                       AS n_text_only,
+                   CAST(SUM((1 - in_text) * in_embed) AS BIGINT)
+                       AS n_embed_only,
+                   CAST(COUNT(*) AS BIGINT) AS n_union
+            FROM u)
+        SELECT n_both, n_text_only, n_embed_only, n_union,
+               CAST((n_both * 10000) {div}
+                    GREATEST(CAST(1 AS BIGINT), n_union) AS BIGINT)
+                   AS jaccard_agreement_bp
+        FROM counts
+    """
+
+
+@query(
+    "dedup_cross_modal_agreement",
+    oracle=_cross_modal_agreement_sql("duck"),
+)
+def q_dedup_cross_modal_agreement(spark, sf_dir):
+    """CROSS-MODALITY dedup agreement — do TEXT duplicates and
+    EMBEDDING duplicates name the same pairs? #271 audits two text
+    sketches against each other; this audits across modalities
+    (MinHash-LSH verified pairs #27 vs cosine near-dups #30, the
+    doc/vec id spaces shared by the testdata contract), which is
+    the question a pipeline faces when deciding whether SemDeDup
+    can REPLACE n-gram dedup or must run beside it: high agreement
+    ⇒ redundant passes, low agreement (this synthetic corpus:
+    text shingles and random embeddings are independent by
+    construction, so ≈0 — the honest expected value, pinned) ⇒
+    the two gates catch DIFFERENT duplication and both stay.
+    2×2 census over the union universe + Jaccard agreement in bp.
+
+    Scale: both pair sets are the already-sub-quadratic candidate
+    chains; the audit adds one pair-keyed FULL OUTER join on
+    outputs that are candidate-sized, not corpus-sized."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    tp = QUERIES["dedup_minhash_lsh"](spark, sf_dir)
+    ep = QUERIES["embed_near_dup"](spark, sf_dir)
+    u = (
+        tp.selectExpr("doc_a AS id_a", "doc_b AS id_b", "1 AS in_text")
+        .join(
+            ep.selectExpr(
+                "vec_a AS id_a", "vec_b AS id_b", "1 AS in_embed"
+            ),
+            ["id_a", "id_b"],
+            "full_outer",
+        )
+        .selectExpr(
+            "COALESCE(in_text, 0) AS in_text",
+            "COALESCE(in_embed, 0) AS in_embed",
+        )
+    )
+    return u.selectExpr(
+        "CAST(SUM(in_text * in_embed) AS BIGINT) AS n_both",
+        "CAST(SUM(in_text * (1 - in_embed)) AS BIGINT) AS n_text_only",
+        "CAST(SUM((1 - in_text) * in_embed) AS BIGINT) AS n_embed_only",
+        "CAST(COUNT(*) AS BIGINT) AS n_union",
+    ).selectExpr(
+        "n_both",
+        "n_text_only",
+        "n_embed_only",
+        "n_union",
+        "CAST((n_both * 10000) div GREATEST(CAST(1 AS BIGINT),"
+        " n_union) AS BIGINT) AS jaccard_agreement_bp",
+    )

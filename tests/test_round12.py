@@ -1457,3 +1457,52 @@ def test_merkle_tree_structure_and_flip_localization(spark, sf_dir):
         ]
         assert len(diff) == 1
         assert diff[0] == 5 >> lv
+
+
+def test_did_placebo_and_cells(spark, sf_dir):
+    """Untreated corpus: DiD is a placebo test — the estimate must
+    sit in a small band around zero relative to the overall mean;
+    cells partition all events."""
+    import duckdb
+
+    from aurora_cdc_demo_spark.registry import QUERIES
+
+    rows = QUERIES["events_did_estimate"](spark, sf_dir).collect()
+    assert len(rows) == 4
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(*) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n_events"] for r in rows) == n
+    did = rows[0]["did_cents"]
+    grand_mean = sum(r["sum_cents"] for r in rows) // n
+    # placebo: |DiD| should be well under the grand mean level
+    assert abs(did) < max(100, grand_mean)
+
+
+def test_cross_modal_agreement_census(spark, sf_dir):
+    """2x2 census telescopes (both + text_only + embed_only =
+    union) and matches the two source pair sets exactly."""
+    from aurora_cdc_demo_spark.registry import QUERIES
+
+    tp = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_minhash_lsh"](
+            spark, sf_dir
+        ).collect()
+    }
+    ep = {
+        (r["vec_a"], r["vec_b"])
+        for r in QUERIES["embed_near_dup"](spark, sf_dir).collect()
+    }
+    r = QUERIES["dedup_cross_modal_agreement"](
+        spark, sf_dir
+    ).collect()[0]
+    assert r["n_both"] == len(tp & ep)
+    assert r["n_text_only"] == len(tp - ep)
+    assert r["n_embed_only"] == len(ep - tp)
+    assert r["n_union"] == len(tp | ep)
+    assert (
+        r["n_both"] + r["n_text_only"] + r["n_embed_only"]
+        == r["n_union"]
+    )
