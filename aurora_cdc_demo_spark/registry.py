@@ -20717,3 +20717,55 @@ def q_dedup_cross_modal_agreement(spark, sf_dir):
         "CAST((n_both * 10000) div GREATEST(CAST(1 AS BIGINT),"
         " n_union) AS BIGINT) AS jaccard_agreement_bp",
     )
+
+
+# ---------------------------------------------------------------------------
+# Soft dedup: per-doc downweighting instead of removal
+# ---------------------------------------------------------------------------
+
+
+def _soft_dedup_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    clusters = ORACLES["dedup_clusters"]
+    head = f"WITH cl AS ({clusters})" if dialect != "spark" else (
+        "WITH cl AS (SELECT doc_id, cluster_id FROM soft_dedup_cl)"
+    )
+    return f"""{head}
+        , sizes AS (
+            SELECT cluster_id,
+                   CAST(COUNT(*) AS BIGINT) AS cluster_size
+            FROM cl GROUP BY cluster_id)
+        SELECT c.doc_id, c.cluster_id, s.cluster_size,
+               CAST(1000000 {div} s.cluster_size AS BIGINT)
+                   AS weight_ppm,
+               CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END
+                   AS is_canonical
+        FROM cl c JOIN sizes s ON s.cluster_id = c.cluster_id
+    """
+
+
+@query("sample_soft_dedup_weights", oracle=_soft_dedup_sql("duck"))
+def q_sample_soft_dedup_weights(spark, sf_dir):
+    """SOFT DEDUP — downweight duplicates instead of dropping them
+    (the modern alternative hard removal: weight 1/cluster_size
+    keeps each duplicate FAMILY's total sampling mass at one
+    document, so near-duplicate evidence still contributes without
+    multiplying — the knob between 'keep all' (weight 1) and the
+    keep-list's hard keep/drop). Weights in e6 floor integers over
+    the MinHash-LSH connected components (#63); the canonical flag
+    (min-label representative) rides along so a consumer can switch
+    between soft weighting and hard selection from ONE mart.
+    Conservation law pinned: Σ weights per cluster ∈
+    (1e6 − size, 1e6].
+
+    Scale: the component map is the already-linear #63 chain
+    (checkpointed Pregel); this adds one cluster-keyed aggregate
+    and a join — both on the doc-grain map."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    QUERIES["dedup_clusters"](spark, sf_dir).createOrReplaceTempView(
+        "soft_dedup_cl"
+    )
+    return spark.sql(_soft_dedup_sql("spark"))

@@ -1506,3 +1506,26 @@ def test_cross_modal_agreement_census(spark, sf_dir):
         r["n_both"] + r["n_text_only"] + r["n_embed_only"]
         == r["n_union"]
     )
+
+
+def test_soft_dedup_weight_conservation(spark, sf_dir):
+    """Each duplicate family's total mass stays one document (up
+    to floor loss); exactly one canonical per cluster; weights
+    recompute from cluster sizes."""
+    from aurora_cdc_demo_spark.registry import QUERIES
+
+    rows = QUERIES["sample_soft_dedup_weights"](
+        spark, sf_dir
+    ).collect()
+    by_cl: dict = {}
+    for r in rows:
+        by_cl.setdefault(r["cluster_id"], []).append(r)
+    for cl, members in by_cl.items():
+        size = len(members)
+        assert all(r["cluster_size"] == size for r in members)
+        assert all(
+            r["weight_ppm"] == 1000000 // size for r in members
+        )
+        mass = sum(r["weight_ppm"] for r in members)
+        assert 1000000 - size < mass <= 1000000
+        assert sum(r["is_canonical"] for r in members) == 1
