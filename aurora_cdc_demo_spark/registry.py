@@ -20769,3 +20769,148 @@ def q_sample_soft_dedup_weights(spark, sf_dir):
         "soft_dedup_cl"
     )
     return spark.sql(_soft_dedup_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering (easy-first training order, no global sort)
+# ---------------------------------------------------------------------------
+
+
+def _curriculum_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    if dialect == "spark":
+        h = (
+            "CAST(conv(substring(md5(concat('cur:',"
+            " CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        )
+    else:
+        h = (
+            "CAST('0x' || substr(md5('cur:' ||"
+            " CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+        )
+    quality = ORACLES["text_quality_score"]
+    q_src = (
+        f"({quality})"
+        if dialect != "spark"
+        else "curriculum_quality"
+    )
+    return f"""
+        WITH q AS (
+            SELECT doc_id, quality_bp FROM {q_src})
+        , bucketed AS (
+            SELECT doc_id, quality_bp,
+                   CAST(LEAST(3, quality_bp {div} 2500) AS BIGINT)
+                       AS bucket,
+                   {h} AS hk
+            FROM q)
+        , ranked AS (
+            SELECT doc_id, quality_bp, bucket,
+                   CAST(row_number() OVER (
+                       PARTITION BY bucket
+                       ORDER BY hk ASC, doc_id ASC) AS BIGINT)
+                       AS order_in_bucket
+            FROM bucketed)
+        , bsizes AS (
+            SELECT bucket, CAST(COUNT(*) AS BIGINT) AS bn
+            FROM bucketed GROUP BY bucket)
+        , bpre AS (
+            SELECT bucket,
+                   CAST(COALESCE(SUM(bn) OVER (
+                       ORDER BY bucket DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS BIGINT) AS prefix
+            FROM bsizes)
+        SELECT r.doc_id, r.quality_bp, r.bucket,
+               r.order_in_bucket,
+               CAST(p.prefix + r.order_in_bucket AS BIGINT)
+                   AS global_order
+        FROM ranked r JOIN bpre p ON p.bucket = r.bucket
+    """
+
+
+@query("corpus_curriculum_order", oracle=_curriculum_sql("duck"))
+def q_corpus_curriculum_order(spark, sf_dir):
+    """CURRICULUM ORDERING (Bengio et al. 2009 applied to corpus
+    prep): assign every document a deterministic TRAINING POSITION
+    — highest-quality bucket first (quality_bp quartile buckets,
+    easy/clean-first is the standard LM curriculum), hash-shuffled
+    WITHIN each bucket (md5 order — reproducible shuffling without
+    an RNG, the property a resumable data loader needs). The
+    global position is bucket-prefix + within-bucket rank — the
+    #254 band-prefix decomposition again, so NO global sort ever
+    runs: at 100 TB the loader reads position ranges directly.
+    Dense-cover law pinned (positions are exactly 1..n with bucket
+    boundaries contiguous).
+
+    Scale: quality scores are the existing #22 map-only pass;
+    within-bucket rank windows shard by bucket; the prefix table
+    is 4 rows. The anti-curriculum or mixed variant is the same
+    mart read in a different order."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    QUERIES["text_quality_score"](spark, sf_dir).select(
+        "doc_id", "quality_bp"
+    ).createOrReplaceTempView("curriculum_quality")
+    return spark.sql(_curriculum_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Sample-ratio-mismatch (SRM) guardrail
+# ---------------------------------------------------------------------------
+
+
+def _srm_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    if dialect == "spark":
+        arm = (
+            "CAST(conv(substring(md5(concat('ab:',"
+            " CAST(user_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            " % 2"
+        )
+    else:
+        arm = (
+            "CAST('0x' || substr(md5('ab:' ||"
+            " CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 2"
+        )
+    return f"""
+        WITH assign AS (
+            SELECT DISTINCT user_id, {arm} AS arm
+            FROM events)
+        , counts AS (
+            SELECT
+                CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+                CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b
+            FROM assign)
+        SELECT n_a, n_b,
+               CAST(((n_a - n_b) * (n_a - n_b) * 1000000)
+                    {div} (n_a + n_b) AS BIGINT) AS srm_chi2_e6,
+               CAST(CASE WHEN ((n_a - n_b) * (n_a - n_b) * 1000000)
+                              {div} (n_a + n_b) > 3841459
+                    THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+        FROM counts
+    """
+
+
+@query("events_srm_check", oracle=_srm_sql("duck"))
+def q_events_srm_check(spark, sf_dir):
+    """SAMPLE-RATIO MISMATCH — the guardrail every experimentation
+    platform fires BEFORE reading any metric (Fabijan et al. 2019:
+    most corrupted A/B results announce themselves as an assignment
+    imbalance): under a healthy 50/50 hash split, the 1-df
+    chi-square (n_a−n_b)²/(n_a+n_b) exceeds 3.84 (p<0.05, the
+    constant e6-inlined from Python) only by chance — a triggered
+    flag means bot filtering, logging loss, or a biased hash ATE
+    one arm. USER-grain assignment (distinct-project first) so
+    per-user activity volume can't mask the imbalance. On the md5
+    split the flag is 0 — the no-false-alarm law pinned beside
+    #325's 4σ balance band.
+
+    Scale: one distinct-project + a 2-cell conditional aggregate —
+    map-side combinable end to end."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_srm_sql("spark"))

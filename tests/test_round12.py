@@ -1529,3 +1529,51 @@ def test_soft_dedup_weight_conservation(spark, sf_dir):
         mass = sum(r["weight_ppm"] for r in members)
         assert 1000000 - size < mass <= 1000000
         assert sum(r["is_canonical"] for r in members) == 1
+
+
+def test_curriculum_positions_dense_and_bucket_contiguous(
+    spark, sf_dir
+):
+    """Global positions cover exactly 1..n; buckets descend in
+    quality and occupy contiguous position ranges; within-bucket
+    order follows the md5 shuffle."""
+    from aurora_cdc_demo_spark.registry import QUERIES
+
+    rows = QUERIES["corpus_curriculum_order"](
+        spark, sf_dir
+    ).collect()
+    n = len(rows)
+    assert sorted(r["global_order"] for r in rows) == list(
+        range(1, n + 1)
+    )
+    by_bucket: dict = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(
+            r["global_order"]
+        )
+    hi = 0
+    for b in sorted(by_bucket, reverse=True):
+        pos = sorted(by_bucket[b])
+        assert pos[0] == hi + 1
+        assert pos[-1] == hi + len(pos)
+        hi = pos[-1]
+    for r in rows:
+        assert r["bucket"] == min(3, r["quality_bp"] // 2500)
+
+
+def test_srm_no_false_alarm_on_hash_split(spark, sf_dir):
+    import duckdb
+
+    from aurora_cdc_demo_spark.registry import QUERIES
+
+    r = QUERIES["events_srm_check"](spark, sf_dir).collect()[0]
+    con = duckdb.connect()
+    n_users = con.execute(
+        f"SELECT COUNT(DISTINCT user_id)"
+        f" FROM '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+    assert r["n_a"] + r["n_b"] == n_users
+    chi = ((r["n_a"] - r["n_b"]) ** 2 * 1000000) // n_users
+    assert r["srm_chi2_e6"] == chi
+    assert r["srm_flag"] == (1 if chi > 3841459 else 0)
+    assert r["srm_flag"] == 0
