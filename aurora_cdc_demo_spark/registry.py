@@ -20914,3 +20914,143 @@ def q_events_srm_check(spark, sf_dir):
     ensure_utc(spark)
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_srm_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Conversion decomposition: rate x volume with exact cross term
+# ---------------------------------------------------------------------------
+
+
+def _conv_decomp_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    us = "unix_micros" if dialect == "spark" else "epoch_us"
+    return f"""
+        WITH b AS (
+            SELECT MIN({us}(ts)) AS lo, MAX({us}(ts)) AS hi
+            FROM events)
+        , tagged AS (
+            SELECT CASE WHEN {us}(ts) < b.lo + (b.hi - b.lo) {div} 2
+                        THEN 0 ELSE 1 END AS period,
+                   user_id,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                       END AS is_conv
+            FROM events CROSS JOIN b)
+        , per AS (
+            SELECT period,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+                   CAST(COUNT(DISTINCT CASE WHEN is_conv = 1
+                        THEN user_id END) AS BIGINT) AS converters
+            FROM tagged GROUP BY period)
+        , wide AS (
+            SELECT
+                MAX(CASE WHEN period = 0 THEN users END) AS u0,
+                MAX(CASE WHEN period = 1 THEN users END) AS u1,
+                MAX(CASE WHEN period = 0 THEN converters END) AS c0,
+                MAX(CASE WHEN period = 1 THEN converters END) AS c1
+            FROM per)
+        SELECT u0, u1, c0, c1,
+               CAST(c1 - c0 AS BIGINT) AS delta_converters,
+               CAST((u1 - u0) * c0 AS BIGINT) AS volume_term_xu0,
+               CAST((c1 * u0 - c0 * u1) AS BIGINT) AS rate_term_xu0,
+               CAST((c1 - c0) * u0 - ((u1 - u0) * c0
+                    + (c1 * u0 - c0 * u1)) AS BIGINT)
+                   AS residual_check
+        FROM wide
+    """
+
+
+@query("events_conversion_decomposition", oracle=_conv_decomp_sql("duck"))
+def q_events_conversion_decomposition(spark, sf_dir):
+    """CONVERSION METRIC-TREE DECOMPOSITION — 'did conversions move
+    because of TRAFFIC or because of RATE?': converters = users ×
+    rate, so Δc·u0 = (Δu)·c0 + (c1·u0 − c0·u1) EXACTLY — the
+    volume term (user growth at the old rate) and the rate term
+    (rate change at constant mix), both kept as integer numerators
+    over the COMMON denominator u0·u1-free form, so the identity
+    is exact with NO division anywhere: residual_check = 0 by
+    algebra, carried in the output (the #298 revenue-bridge
+    discipline applied to a ratio metric — there the decomposed
+    quantity was a sum, here a rate, which is why the common-
+    denominator trick is needed at all). Per-period user/converter
+    counts ride along; a driver divides for display.
+
+    Scale: one scan, two distinct-aggregates at period grain, a
+    1-row pivot."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_conv_decomp_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Laspeyres / Paasche price indices across shipment halves
+# ---------------------------------------------------------------------------
+
+
+def _price_index_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    us = "unix_micros" if dialect == "spark" else "epoch_us"
+    big = "DECIMAL(38,0)" if dialect == "spark" else "HUGEINT"
+    return f"""
+        WITH b AS (
+            SELECT MIN({us}(l_shipdate)) AS lo,
+                   MAX({us}(l_shipdate)) AS hi
+            FROM lineitem)
+        , tagged AS (
+            SELECT CASE WHEN {us}(l_shipdate)
+                             < b.lo + (b.hi - b.lo) {div} 2
+                        THEN 0 ELSE 1 END AS period,
+                   l_partkey,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS q,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100)
+                        AS BIGINT)) AS BIGINT) AS spend_e2
+            FROM lineitem CROSS JOIN b
+            GROUP BY 1, l_partkey)
+        , px AS (
+            SELECT period, l_partkey, q,
+                   CAST(spend_e2 {div} q AS BIGINT) AS unit_e2
+            FROM tagged WHERE q > 0)
+        , basket AS (
+            SELECT p0.l_partkey, p0.q AS q0, p1.q AS q1,
+                   p0.unit_e2 AS p0c, p1.unit_e2 AS p1c
+            FROM px p0 JOIN px p1
+              ON p1.l_partkey = p0.l_partkey
+             AND p0.period = 0 AND p1.period = 1)
+        , sums AS (
+            SELECT CAST(SUM(p1c * q0) AS BIGINT) AS s_p1q0,
+                   CAST(SUM(p0c * q0) AS BIGINT) AS s_p0q0,
+                   CAST(SUM(p1c * q1) AS BIGINT) AS s_p1q1,
+                   CAST(SUM(p0c * q1) AS BIGINT) AS s_p0q1,
+                   CAST(COUNT(*) AS BIGINT) AS n_basket_parts
+            FROM basket)
+        SELECT n_basket_parts, s_p1q0, s_p0q0, s_p1q1, s_p0q1,
+               CAST((CAST(s_p1q0 AS {big}) * 1000000) {div} s_p0q0
+                   AS BIGINT) AS laspeyres_ppm,
+               CAST((CAST(s_p1q1 AS {big}) * 1000000) {div} s_p0q1
+                   AS BIGINT) AS paasche_ppm
+        FROM sums
+    """
+
+
+@query("lineitem_price_index", oracle=_price_index_sql("duck"))
+def q_lineitem_price_index(spark, sf_dir):
+    """PRICE INDICES (Laspeyres 1871 / Paasche 1874 — the CPI
+    algebra): how much did the PRICE LEVEL move between shipment
+    halves, holding the BASKET fixed — Laspeyres weights new prices
+    by OLD quantities (Σp₁q₀/Σp₀q₀), Paasche by new (Σp₁q₁/Σp₀q₁);
+    the two bracket the true cost-of-living change and their gap
+    measures substitution. Distinct from the revenue bridge
+    (#298): the bridge decomposes realized revenue, an index holds
+    quantities constant to isolate pure price motion. Basket =
+    parts traded in BOTH halves (the standard matched-model rule,
+    count reported); unit prices are floor-integer cents from
+    spend/quantity; ratios in DECIMAL(38,0)/HUGEINT ppm per the
+    overflow rule.
+
+    Scale: one fact aggregate to (period, part) grain, a part-keyed
+    self-join at dimension scale, scalar sums — no windows."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem"
+    )
+    return spark.sql(_price_index_sql("spark"))

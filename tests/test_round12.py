@@ -1577,3 +1577,41 @@ def test_srm_no_false_alarm_on_hash_split(spark, sf_dir):
     assert r["srm_chi2_e6"] == chi
     assert r["srm_flag"] == (1 if chi > 3841459 else 0)
     assert r["srm_flag"] == 0
+
+
+def test_conversion_decomposition_identity(spark, sf_dir):
+    """The exact decomposition identity: Δc·u0 = volume_term +
+    rate_term, residual_check = 0; counts recompute."""
+    from aurora_cdc_demo_spark.registry import QUERIES
+
+    r = QUERIES["events_conversion_decomposition"](
+        spark, sf_dir
+    ).collect()[0]
+    assert r["residual_check"] == 0
+    assert (
+        r["delta_converters"] * r["u0"]
+        == r["volume_term_xu0"] + r["rate_term_xu0"]
+    )
+    assert r["volume_term_xu0"] == (r["u1"] - r["u0"]) * r["c0"]
+    assert (
+        r["rate_term_xu0"] == r["c1"] * r["u0"] - r["c0"] * r["u1"]
+    )
+
+
+def test_price_index_recomputes_and_brackets(spark, sf_dir):
+    """Indices recompute exactly from matched-basket sums; both
+    stay within a sane band (0.2x..5x) on stationary synthetic
+    prices."""
+    from aurora_cdc_demo_spark.registry import QUERIES
+
+    r = QUERIES["lineitem_price_index"](spark, sf_dir).collect()[0]
+    assert (
+        r["laspeyres_ppm"]
+        == (r["s_p1q0"] * 1000000) // r["s_p0q0"]
+    )
+    assert (
+        r["paasche_ppm"] == (r["s_p1q1"] * 1000000) // r["s_p0q1"]
+    )
+    for k in ("laspeyres_ppm", "paasche_ppm"):
+        assert 200000 < r[k] < 5000000
+    assert r["n_basket_parts"] > 0
