@@ -21054,3 +21054,129 @@ def q_lineitem_price_index(spark, sf_dir):
         "lineitem"
     )
     return spark.sql(_price_index_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# CDC op-transition legality audit
+# ---------------------------------------------------------------------------
+
+
+def _op_transition_sql(dialect: str) -> str:
+    body = """
+        , seqd AS (
+            SELECT key_id, operation,
+                   lag(operation) OVER (
+                       PARTITION BY key_id ORDER BY ts ASC, seq ASC)
+                       AS prev_op
+            FROM log)
+        , trans AS (
+            SELECT COALESCE(prev_op, 'START') AS from_op,
+                   operation AS to_op,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM seqd GROUP BY COALESCE(prev_op, 'START'), operation)
+        SELECT from_op, to_op, n,
+               CAST(CASE
+                    WHEN from_op = 'START' AND to_op = 'INSERT'
+                        THEN 1
+                    WHEN from_op = 'START' THEN 0
+                    WHEN from_op = 'INSERT'
+                         AND to_op IN ('UPDATE', 'DELETE') THEN 1
+                    WHEN from_op = 'UPDATE'
+                         AND to_op IN ('UPDATE', 'DELETE') THEN 1
+                    WHEN from_op = 'DELETE' AND to_op = 'INSERT'
+                        THEN 1
+                    ELSE 0 END AS BIGINT) AS is_legal
+        FROM trans
+    """
+    return _with_log(body)
+
+
+@query("cdc_op_transition_audit", oracle=_op_transition_sql("duck"))
+def q_cdc_op_transition_audit(spark, sf_dir):
+    """OP-TRANSITION LEGALITY MATRIX — the state-machine audit of a
+    change stream (every CDC applier implicitly assumes it; this
+    makes it checkable): per key, adjacent operation pairs in
+    commit order, counted into a (from, to) matrix with the
+    legality verdict of the INSERT→UPDATE*→DELETE→INSERT lifecycle
+    automaton — INSERT after INSERT without a DELETE means lost
+    deletes or duplicated capture; UPDATE/DELETE as a key's FIRST
+    op means the capture started mid-life (exactly the #198
+    pre_existing class, here localized to the transition that
+    reveals it; the incremental snapshot #163 is the remedy).
+    Illegal-mass = Σ n where is_legal = 0 is the stream's
+    integrity debt, consumable by a CI gate like #352.
+
+    Scale: one key-partitioned lag window (the #198 shuffle,
+    shareable), a ≤ 5×5-bounded matrix aggregate."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_op_transition_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Rolling exact least-squares trend slope
+# ---------------------------------------------------------------------------
+
+_SLOPE_WIN = 7
+# n*Σx² − (Σx)² for x = 0..6 — the constant LS denominator
+_SLOPE_DEN = _SLOPE_WIN * 91 - 21 * 21
+
+
+def _rolling_slope_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    us = "unix_micros" if dialect == "spark" else "epoch_us"
+    big = "DECIMAL(38,0)" if dialect == "spark" else "HUGEINT"
+    return f"""
+        WITH b AS (
+            SELECT MIN({us}(ts)) AS t0 FROM events)
+        , daily AS (
+            SELECT ({us}(ts) - b.t0) {div} 86400000000 AS day_idx,
+                   CAST(COUNT(*) AS BIGINT) AS y
+            FROM events CROSS JOIN b
+            GROUP BY ({us}(ts) - b.t0) {div} 86400000000)
+        , rolled AS (
+            SELECT day_idx, y,
+                   CAST(SUM(y) OVER w AS BIGINT) AS sy,
+                   CAST(SUM(day_idx * y) OVER w AS BIGINT) AS sxy,
+                   CAST(SUM(day_idx) OVER w AS BIGINT) AS sx,
+                   CAST(SUM(day_idx * day_idx) OVER w AS BIGINT)
+                       AS sxx,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n_in_win
+            FROM daily
+            WINDOW w AS (ORDER BY day_idx ASC
+                         ROWS BETWEEN {_SLOPE_WIN - 1} PRECEDING
+                         AND CURRENT ROW))
+        , nums AS (
+            SELECT day_idx, y, sy, n_in_win,
+                   CAST(({_SLOPE_WIN} * sxy - sx * sy) AS {big})
+                       * 1000000 AS num,
+                   CAST({_SLOPE_WIN} * sxx - sx * sx AS {big})
+                       AS den
+            FROM rolled WHERE n_in_win = {_SLOPE_WIN})
+        SELECT day_idx, y, sy, n_in_win,
+               CAST((num - (((num % den) + den) % den)) {div} den
+                   AS BIGINT) AS slope_e6
+        FROM nums
+    """
+
+
+@query("events_rolling_slope", oracle=_rolling_slope_sql("duck"))
+def q_events_rolling_slope(spark, sf_dir):
+    """ROLLING EXACT LEAST-SQUARES TREND — the 7-day OLS slope of
+    daily volume, recomputed each day from window sums ALONE: with
+    the window re-indexed to x = 0..6, slope = (nΣxy − ΣxΣy)/196
+    where Σxy = Σ(day·y) − window_start·Σy — two cumulative window
+    sums, no per-window re-scan, no matrix anywhere. The TREND
+    member of the anomaly family: CUSUM (#206) finds level shifts,
+    MAD (#244) outlier days, EWMA (#280) smooths — this puts a
+    signed slope (events/day per day, e6-scaled; the numerator goes
+    NEGATIVE on down-trends, so the division uses the posrem floor
+    form — Spark div truncates toward zero, DuckDB // floors, the
+    r8 rule) on every day.
+
+    Scale: one day-grain aggregate + one ordered window (single
+    partition over DAYS — calendar-bounded, the documented
+    dimension-window exemption); everything else is codegen."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_rolling_slope_sql("spark"))

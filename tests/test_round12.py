@@ -1615,3 +1615,87 @@ def test_price_index_recomputes_and_brackets(spark, sf_dir):
     for k in ("laspeyres_ppm", "paasche_ppm"):
         assert 200000 < r[k] < 5000000
     assert r["n_basket_parts"] > 0
+
+
+def test_op_transition_audit_matrix(spark, sf_dir):
+    """Matrix recomputes from ordered per-key op sequences; the
+    legality ruleset matches the lifecycle automaton; transition
+    mass telescopes to the log row count."""
+    import duckdb
+
+    from aurora_cdc_demo_spark.registry import QUERIES
+
+    log = QUERIES["cdc_operation_log"](spark, sf_dir).collect()
+    seqs: dict = {}
+    for r in sorted(log, key=lambda r: (r["key_id"], r["ts"], r["seq"])):
+        seqs.setdefault(r["key_id"], []).append(r["operation"])
+    trans: dict = {}
+    for ops in seqs.values():
+        prev = "START"
+        for op in ops:
+            trans[(prev, op)] = trans.get((prev, op), 0) + 1
+            prev = op
+    legal = {
+        ("START", "INSERT"),
+        ("INSERT", "UPDATE"),
+        ("INSERT", "DELETE"),
+        ("UPDATE", "UPDATE"),
+        ("UPDATE", "DELETE"),
+        ("DELETE", "INSERT"),
+    }
+    rows = QUERIES["cdc_op_transition_audit"](
+        spark, sf_dir
+    ).collect()
+    got = {(r["from_op"], r["to_op"]): r for r in rows}
+    assert set(got) == set(trans)
+    for k, r in got.items():
+        assert r["n"] == trans[k]
+        assert r["is_legal"] == (1 if k in legal else 0)
+    assert sum(r["n"] for r in rows) == len(log)
+
+
+def test_rolling_slope_matches_python_ols(spark, sf_dir):
+    """Every emitted slope equals the exact OLS slope of its 7-day
+    window (x = 0..6), floor-divided posrem — including negative
+    slopes; only full windows over DENSE day runs emit... (days
+    here are contiguous; the query's window is row-based over
+    observed days, recomputed identically)."""
+    import duckdb
+
+    from aurora_cdc_demo_spark.registry import (
+        _SLOPE_WIN,
+        QUERIES,
+    )
+
+    con = duckdb.connect()
+    t0 = con.execute(
+        f"SELECT MIN(epoch_us(ts)) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+    daily = dict(
+        con.execute(
+            f"SELECT (epoch_us(ts) - {t0}) // 86400000000, COUNT(*)"
+            f" FROM '{sf_dir}/events.parquet' GROUP BY 1 ORDER BY 1"
+        ).fetchall()
+    )
+    days = sorted(daily)
+    rows = {
+        r["day_idx"]: r
+        for r in QUERIES["events_rolling_slope"](
+            spark, sf_dir
+        ).collect()
+    }
+    saw_negative = False
+    for i in range(_SLOPE_WIN - 1, len(days)):
+        win = days[i - _SLOPE_WIN + 1 : i + 1]
+        sy = sum(daily[d] for d in win)
+        sxy = sum(d * daily[d] for d in win)
+        sx = sum(win)
+        sxx = sum(d * d for d in win)
+        num = (_SLOPE_WIN * sxy - sx * sy) * 1000000
+        den = _SLOPE_WIN * sxx - sx * sx
+        want = num // den  # python floor == posrem form
+        r = rows[days[i]]
+        assert r["slope_e6"] == want
+        if want < 0:
+            saw_negative = True
+    assert saw_negative  # the posrem case is actually exercised
