@@ -21118,8 +21118,6 @@ def q_cdc_op_transition_audit(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _SLOPE_WIN = 7
-# n*Σx² − (Σx)² for x = 0..6 — the constant LS denominator
-_SLOPE_DEN = _SLOPE_WIN * 91 - 21 * 21
 
 
 def _rolling_slope_sql(dialect: str) -> str:
