@@ -112,6 +112,10 @@ HEADLINE = [
     "events_markov_attribution",
     "events_theta_sketch_ops",
     "graph_ppr_seeds",
+    "events_value_quantile_hist",
+    "corpus_curriculum_order",
+    "cdc_merkle_anti_entropy",
+    "lineitem_weighted_percentiles",
 ]
 
 
