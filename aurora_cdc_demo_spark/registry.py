@@ -21178,3 +21178,75 @@ def q_events_rolling_slope(spark, sf_dir):
     ensure_utc(spark)
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_rolling_slope_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Supplier assortment similarity (postings-shaped set Jaccard)
+# ---------------------------------------------------------------------------
+
+_ASSORT_TOP = 20
+
+
+def _assortment_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    return f"""
+        WITH sp AS (
+            SELECT DISTINCT l_suppkey AS suppkey,
+                            l_partkey AS partkey
+            FROM lineitem)
+        , sizes AS (
+            SELECT suppkey, CAST(COUNT(*) AS BIGINT) AS n_parts
+            FROM sp GROUP BY suppkey)
+        , inter AS (
+            SELECT a.suppkey AS supp_a, b.suppkey AS supp_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM sp a JOIN sp b
+              ON b.partkey = a.partkey AND a.suppkey < b.suppkey
+            GROUP BY a.suppkey, b.suppkey)
+        , scored AS (
+            SELECT i.supp_a, i.supp_b, i.n_common,
+                   sa.n_parts AS n_a, sb.n_parts AS n_b,
+                   CAST((i.n_common * 10000) {div}
+                        (sa.n_parts + sb.n_parts - i.n_common)
+                       AS BIGINT) AS jaccard_bp
+            FROM inter i
+            JOIN sizes sa ON sa.suppkey = i.supp_a
+            JOIN sizes sb ON sb.suppkey = i.supp_b)
+        , top AS (
+            SELECT * FROM scored
+            ORDER BY jaccard_bp DESC, supp_a ASC, supp_b ASC
+            LIMIT {_ASSORT_TOP})
+        SELECT supp_a, supp_b, n_a, n_b, n_common, jaccard_bp,
+               CAST(row_number() OVER (
+                   ORDER BY jaccard_bp DESC, supp_a ASC, supp_b ASC)
+                   AS BIGINT) AS rnk
+        FROM top
+    """
+
+
+@query(
+    "supplier_assortment_similarity",
+    oracle=_assortment_sql("duck"),
+)
+def q_supplier_assortment_similarity(spark, sf_dir):
+    """SUPPLIER ASSORTMENT SIMILARITY — which suppliers stock the
+    same catalog (exact set Jaccard over each supplier's DISTINCT
+    shipped parts): the substitutability/consolidation input
+    procurement asks for, and the warehouse-side twin of the
+    user-behavior affinity matrix (#284) — same postings algebra,
+    entity×item instead of user×event. Top-{T} pairs by Jaccard
+    with both set sizes visible.
+
+    Scale: the distinct supplier×part projection collapses the
+    fact table first (map-side combine); candidate pairs come from
+    the PART-keyed equi-join — postings-shaped, Σ per-part
+    supplier-count² bounded by part fan-out (df-cappable like
+    #127 if a commodity part ever explodes); never suppliers²
+    blind. TakeOrderedAndProject for the top slice.""".replace(
+        "{T}", str(_ASSORT_TOP)
+    )
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem"
+    )
+    return spark.sql(_assortment_sql("spark"))

@@ -1699,3 +1699,32 @@ def test_rolling_slope_matches_python_ols(spark, sf_dir):
         if want < 0:
             saw_negative = True
     assert saw_negative  # the posrem case is actually exercised
+
+
+def test_assortment_similarity_exact_jaccard(spark, sf_dir):
+    """Top pairs carry the exact Jaccard of the suppliers' distinct
+    part sets, recomputed in Python; ranking deterministic."""
+    import duckdb
+
+    from aurora_cdc_demo_spark.registry import QUERIES
+
+    con = duckdb.connect()
+    sp = con.execute(
+        f"SELECT DISTINCT l_suppkey, l_partkey"
+        f" FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchall()
+    sets: dict = {}
+    for s_, p in sp:
+        sets.setdefault(s_, set()).add(p)
+    rows = QUERIES["supplier_assortment_similarity"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    for r in rows:
+        a, b = sets[r["supp_a"]], sets[r["supp_b"]]
+        assert r["n_a"] == len(a)
+        assert r["n_b"] == len(b)
+        assert r["n_common"] == len(a & b)
+        assert r["jaccard_bp"] == (len(a & b) * 10000) // len(a | b)
+    ranks = [r["rnk"] for r in sorted(rows, key=lambda r: r["rnk"])]
+    assert ranks == list(range(1, len(rows) + 1))
