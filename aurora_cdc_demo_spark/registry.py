@@ -21250,3 +21250,176 @@ def q_supplier_assortment_similarity(spark, sf_dir):
         "lineitem"
     )
     return spark.sql(_assortment_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Per-group exact percentiles via grouped band-prefix
+# ---------------------------------------------------------------------------
+
+_GPCT_BANDS = 32
+_GPCT_GRID = (50, 90)
+
+
+def _group_pct_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    grid = ", ".join(f"({q})" for q in _GPCT_GRID)
+    return f"""
+        WITH v AS (
+            SELECT event_type,
+                   CAST(ROUND(value * 100) AS BIGINT) AS c
+            FROM events)
+        , mm AS (
+            SELECT event_type, MIN(c) AS lo, MAX(c) AS hi,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM v GROUP BY event_type)
+        , banded AS (
+            SELECT v.event_type, v.c,
+                   ((v.c - m.lo) * {_GPCT_BANDS})
+                       {div} (m.hi - m.lo + 1) AS band
+            FROM v JOIN mm m ON m.event_type = v.event_type)
+        , bsum AS (
+            SELECT event_type, band,
+                   CAST(COUNT(*) AS BIGINT) AS bn
+            FROM banded GROUP BY event_type, band)
+        , bpre AS (
+            SELECT event_type, band,
+                   CAST(COALESCE(SUM(bn) OVER (
+                       PARTITION BY event_type ORDER BY band ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS BIGINT) AS prefix,
+                   CAST(SUM(bn) OVER (
+                       PARTITION BY event_type ORDER BY band ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS cbn
+            FROM bsum)
+        , grid AS (SELECT * FROM (VALUES {grid}) AS g(q_pct))
+        , targets AS (
+            SELECT m.event_type, g.q_pct,
+                   CAST((g.q_pct * m.n + 99) {div} 100 AS BIGINT)
+                       AS target_rank
+            FROM mm m CROSS JOIN grid g)
+        , crossing AS (
+            SELECT t.event_type, t.q_pct, t.target_rank,
+                   CAST(MIN(p.band) AS BIGINT) AS band
+            FROM targets t
+            JOIN bpre p ON p.event_type = t.event_type
+                       AND p.cbn >= t.target_rank
+            GROUP BY t.event_type, t.q_pct, t.target_rank)
+        , ranked AS (
+            SELECT event_type, band, c,
+                   row_number() OVER (
+                       PARTITION BY event_type, band
+                       ORDER BY c ASC) AS wr
+            FROM banded)
+        SELECT x.event_type, x.q_pct, x.target_rank,
+               CAST(MIN(r.c) AS BIGINT) AS value_cents
+        FROM crossing x
+        JOIN bpre p ON p.event_type = x.event_type
+                   AND p.band = x.band
+        JOIN ranked r ON r.event_type = x.event_type
+                     AND r.band = x.band
+                     AND r.wr = x.target_rank - p.prefix
+        GROUP BY x.event_type, x.q_pct, x.target_rank
+    """
+
+
+@query("events_value_percentiles_by_type", oracle=_group_pct_sql("duck"))
+def q_events_value_percentiles_by_type(spark, sf_dir):
+    """PER-GROUP exact percentiles at fact scale — the GROUPED
+    generalization of #254's band-prefix decomposition: every
+    event type gets its own (min, max) band space, band
+    populations prefix-sum per group, and the rank window that
+    finds the crossing value partitions by (group, band) — ≈1/32
+    of EACH group's rows per reducer, so one skewed group cannot
+    single-reducer the job the way
+    percentile_disc(...) OVER (PARTITION BY type) would. p50/p90
+    per type, exact (not approx), matching a full per-group sort
+    bit-for-bit.
+
+    Scale: two group-keyed aggregates + a group×band-bounded
+    prefix window + rank windows over crossing bands only; the
+    pattern extends to any (group, value) percentile ask."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_group_pct_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Multi-table replication frontier
+# ---------------------------------------------------------------------------
+
+
+def _frontier_sql(dialect: str) -> str:
+    return f"""
+        WITH {_BINLOG_LOG_CTE}
+        , heads AS (
+            SELECT tbl,
+                   CAST(MAX(seq) AS BIGINT) AS head_seq,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM binlog GROUP BY tbl)
+        , frontier AS (
+            SELECT CAST(MIN(head_seq) AS BIGINT) AS frontier_seq
+            FROM heads)
+        , behind AS (
+            SELECT b.tbl, CAST(COUNT(*) AS BIGINT) AS n_past_frontier
+            FROM binlog b CROSS JOIN frontier f
+            WHERE b.seq > f.frontier_seq
+            GROUP BY b.tbl)
+        SELECT h.tbl, h.head_seq, h.n_events,
+               f.frontier_seq,
+               CAST(h.head_seq - f.frontier_seq AS BIGINT)
+                   AS lag_seq,
+               CAST(COALESCE(bh.n_past_frontier, 0) AS BIGINT)
+                   AS n_past_frontier
+        FROM heads h
+        CROSS JOIN frontier f
+        LEFT JOIN behind bh ON bh.tbl = h.tbl
+    """
+
+
+@query("cdc_multi_table_frontier", oracle=_frontier_sql("duck"))
+def q_cdc_multi_table_frontier(spark, sf_dir):
+    """MULTI-TABLE REPLICATION FRONTIER — the coordination scalar a
+    multi-stream consumer (the reference's 500-table scheduler;
+    this repo's TableManager groups) actually acts on: the GLOBAL
+    frontier is the minimum per-table head seq — everything at or
+    below it is fully consistent ACROSS tables (a cross-table
+    transaction can be safely joined; #164's multi-table txn check
+    assumes exactly this cut) — and each table's lag to the
+    frontier plus its event count PAST the frontier quantify who
+    is holding the line back (the input to rebalancing via #353).
+
+    Scale: one table-keyed aggregate (map-side combined), a scalar
+    broadcast, one filtered recount — two passes over the binlog,
+    both full-scan-shaped with no shuffle beyond the table key."""
+    ensure_utc(spark)
+    raw = read_binlog_jvm(spark, sf_dir)
+    heads = raw.groupBy(F.col("table").alias("tbl")).agg(
+        F.max("seq").cast("long").alias("head_seq"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    frontier = heads.agg(
+        F.min("head_seq").cast("long").alias("frontier_seq")
+    )
+    behind = (
+        raw.crossJoin(F.broadcast(frontier))
+        .where(F.col("seq") > F.col("frontier_seq"))
+        .groupBy(F.col("table").alias("tbl"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_past_frontier"))
+    )
+    return (
+        heads.crossJoin(F.broadcast(frontier))
+        .join(behind, "tbl", "left")
+        .select(
+            "tbl",
+            "head_seq",
+            "n_events",
+            "frontier_seq",
+            (F.col("head_seq") - F.col("frontier_seq"))
+            .cast("long")
+            .alias("lag_seq"),
+            F.coalesce(F.col("n_past_frontier"), F.lit(0))
+            .cast("long")
+            .alias("n_past_frontier"),
+        )
+    )

@@ -1728,3 +1728,48 @@ def test_assortment_similarity_exact_jaccard(spark, sf_dir):
         assert r["jaccard_bp"] == (len(a & b) * 10000) // len(a | b)
     ranks = [r["rnk"] for r in sorted(rows, key=lambda r: r["rnk"])]
     assert ranks == list(range(1, len(rows) + 1))
+
+
+def test_group_percentiles_match_per_group_sort(spark, sf_dir):
+    """Each (type, q) value equals the full per-group sorted pick."""
+    import duckdb
+
+    from aurora_cdc_demo_spark.registry import (
+        _GPCT_GRID,
+        QUERIES,
+    )
+
+    con = duckdb.connect()
+    vals = con.execute(
+        f"SELECT event_type, CAST(ROUND(value * 100) AS BIGINT)"
+        f" FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    by_type: dict = {}
+    for t, c in vals:
+        by_type.setdefault(t, []).append(c)
+    rows = QUERIES["events_value_percentiles_by_type"](
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == len(by_type) * len(_GPCT_GRID)
+    for r in rows:
+        xs = sorted(by_type[r["event_type"]])
+        t = (r["q_pct"] * len(xs) + 99) // 100
+        assert r["target_rank"] == t
+        assert r["value_cents"] == xs[t - 1]
+
+
+def test_frontier_is_min_head_and_lags_nonneg(spark, sf_dir):
+    from aurora_cdc_demo_spark.registry import QUERIES
+
+    rows = QUERIES["cdc_multi_table_frontier"](
+        spark, sf_dir
+    ).collect()
+    frontier = min(r["head_seq"] for r in rows)
+    assert all(r["frontier_seq"] == frontier for r in rows)
+    assert any(r["lag_seq"] == 0 for r in rows)
+    for r in rows:
+        assert r["lag_seq"] == r["head_seq"] - frontier >= 0
+        if r["lag_seq"] == 0:
+            # the binding table can still have events past the
+            # frontier only if ties... by construction none
+            assert r["n_past_frontier"] == 0
