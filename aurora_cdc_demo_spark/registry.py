@@ -21423,3 +21423,125 @@ def q_cdc_multi_table_frontier(spark, sf_dir):
             .alias("n_past_frontier"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Torn-transaction atomicity audit at a replication cut
+# ---------------------------------------------------------------------------
+
+_TORN_CUT_PCT = 75
+
+
+def _txn_atomicity_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    return f"""
+        WITH {_BINLOG_LOG_CTE}
+        , cut AS (
+            SELECT (MAX(seq) * {_TORN_CUT_PCT}) {div} 100 AS s
+            FROM binlog)
+        , txns AS (
+            SELECT transaction_id,
+                   CAST(MIN(seq) AS BIGINT) AS first_seq,
+                   CAST(MAX(seq) AS BIGINT) AS last_seq,
+                   CAST(COUNT(*) AS BIGINT) AS n_ops,
+                   CAST(COUNT(DISTINCT tbl) AS BIGINT) AS n_tables
+            FROM binlog GROUP BY transaction_id)
+        , marked AS (
+            SELECT t.*, c.s AS cut_seq,
+                   CASE WHEN t.first_seq <= c.s
+                             AND t.last_seq > c.s
+                        THEN 1 ELSE 0 END AS is_torn
+            FROM txns t CROSS JOIN cut c)
+        , safe AS (
+            SELECT CAST(COALESCE(MIN(CASE WHEN is_torn = 1
+                        THEN first_seq END) - 1,
+                        MAX(cut_seq)) AS BIGINT) AS safe_cut
+            FROM marked)
+        SELECT CAST(m.cut_seq AS BIGINT) AS cut_seq,
+               s.safe_cut,
+               CAST(SUM(m.is_torn) AS BIGINT) AS n_torn_txns,
+               CAST(SUM(CASE WHEN m.is_torn = 1 THEN m.n_ops
+                        ELSE 0 END) AS BIGINT) AS torn_ops,
+               CAST(SUM(CASE WHEN m.is_torn = 1
+                             AND m.n_tables > 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS torn_multi_table,
+               CAST(COUNT(*) AS BIGINT) AS n_txns
+        FROM marked m CROSS JOIN safe s
+        GROUP BY m.cut_seq, s.safe_cut
+    """
+
+
+@query("cdc_txn_atomicity_at_cut", oracle=_txn_atomicity_sql("duck"))
+def q_cdc_txn_atomicity_at_cut(spark, sf_dir):
+    """TORN-TRANSACTION AUDIT — the atomicity half of cut
+    consistency (#378's frontier gives the cross-TABLE cut; this
+    checks the cross-ROW one): a naive snapshot at seq S applies
+    transactions PARTIALLY when their events straddle S — the torn
+    set an exactly-once applier must either complete or roll back
+    (Debezium's transaction-metadata topic exists for exactly
+    this). Reports the torn census at the 75% cut (count, op mass,
+    how many straddle MULTIPLE tables — the dangerous kind #164
+    joins would corrupt) and the SAFE CUT: the largest boundary at
+    or below S that no transaction straddles (min torn first_seq −
+    1 — rewinding to it restores atomicity with minimal replay).
+
+    Scale: one txn-keyed aggregate (map-side combined; txn spans
+    are generator-bounded at 8 ops), scalar cut/safe broadcasts —
+    no row-level shuffle beyond the txn key."""
+    ensure_utc(spark)
+    raw = read_binlog_jvm(spark, sf_dir)
+    txns = raw.groupBy("transaction_id").agg(
+        F.min("seq").cast("long").alias("first_seq"),
+        F.max("seq").cast("long").alias("last_seq"),
+        F.count(F.lit(1)).cast("long").alias("n_ops"),
+        F.countDistinct("table").cast("long").alias("n_tables"),
+    )
+    cut = raw.agg(
+        F.expr(f"(MAX(seq) * {_TORN_CUT_PCT}) div 100")
+        .cast("long")
+        .alias("cut_seq")
+    )
+    marked = txns.crossJoin(F.broadcast(cut)).withColumn(
+        "is_torn",
+        F.expr(
+            "CASE WHEN first_seq <= cut_seq AND last_seq > cut_seq"
+            " THEN 1 ELSE 0 END"
+        ),
+    )
+    safe = marked.agg(
+        F.expr(
+            "CAST(COALESCE(MIN(CASE WHEN is_torn = 1"
+            " THEN first_seq END) - 1, MAX(cut_seq)) AS BIGINT)"
+        ).alias("safe_cut")
+    )
+    return (
+        marked.crossJoin(F.broadcast(safe))
+        .groupBy("cut_seq", "safe_cut")
+        .agg(
+            F.sum("is_torn").cast("long").alias("n_torn_txns"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN is_torn = 1 THEN n_ops ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("torn_ops"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN is_torn = 1 AND n_tables > 1"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("torn_multi_table"),
+            F.count(F.lit(1)).cast("long").alias("n_txns"),
+        )
+        .select(
+            F.col("cut_seq").cast("long").alias("cut_seq"),
+            "safe_cut",
+            "n_torn_txns",
+            "torn_ops",
+            "torn_multi_table",
+            "n_txns",
+        )
+    )

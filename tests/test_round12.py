@@ -1773,3 +1773,42 @@ def test_frontier_is_min_head_and_lags_nonneg(spark, sf_dir):
             # the binding table can still have events past the
             # frontier only if ties... by construction none
             assert r["n_past_frontier"] == 0
+
+
+def test_txn_atomicity_safe_cut_has_no_torn(spark, sf_dir):
+    """Law: at the reported safe cut, NO transaction straddles —
+    recomputed from per-txn spans; torn counts recompute at the
+    75% cut."""
+    from aurora_cdc_demo_spark.registry import (
+        _TORN_CUT_PCT,
+        QUERIES,
+        read_binlog_jvm,
+    )
+
+    raw = read_binlog_jvm(spark, sf_dir).select(
+        "transaction_id", "seq"
+    ).collect()
+    spans: dict = {}
+    max_seq = 0
+    for r in raw:
+        a, b = spans.get(r["transaction_id"], (r["seq"], r["seq"]))
+        spans[r["transaction_id"]] = (
+            min(a, r["seq"]),
+            max(b, r["seq"]),
+        )
+        max_seq = max(max_seq, r["seq"])
+    cut = (max_seq * _TORN_CUT_PCT) // 100
+    torn = {
+        t for t, (a, b) in spans.items() if a <= cut < b
+    }
+    r = QUERIES["cdc_txn_atomicity_at_cut"](
+        spark, sf_dir
+    ).collect()[0]
+    assert r["cut_seq"] == cut
+    assert r["n_torn_txns"] == len(torn)
+    assert r["n_txns"] == len(spans)
+    safe = r["safe_cut"]
+    assert safe <= cut
+    assert not any(a <= safe < b for a, b in spans.values())
+    if torn:
+        assert safe == min(spans[t][0] for t in torn) - 1
