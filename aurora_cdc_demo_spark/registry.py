@@ -21545,3 +21545,89 @@ def q_cdc_txn_atomicity_at_cut(spark, sf_dir):
             "n_txns",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact Kolmogorov-Smirnov drift between time halves
+# ---------------------------------------------------------------------------
+
+
+def _ks_drift_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    us = "unix_micros" if dialect == "spark" else "epoch_us"
+    big = "DECIMAL(38,0)" if dialect == "spark" else "HUGEINT"
+    return f"""
+        WITH b AS (
+            SELECT MIN({us}(ts)) AS lo, MAX({us}(ts)) AS hi
+            FROM events)
+        , tagged AS (
+            SELECT CASE WHEN {us}(ts) < b.lo + (b.hi - b.lo) {div} 2
+                        THEN 0 ELSE 1 END AS half,
+                   CAST(ROUND(value * 100) AS BIGINT) AS c
+            FROM events CROSS JOIN b)
+        , counts AS (
+            SELECT c,
+                   CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n0,
+                   CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n1
+            FROM tagged GROUP BY c)
+        , tots AS (
+            SELECT CAST(SUM(n0) AS BIGINT) AS t0,
+                   CAST(SUM(n1) AS BIGINT) AS t1
+            FROM counts)
+        , cum AS (
+            SELECT c,
+                   CAST(SUM(n0) OVER (ORDER BY c ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS c0,
+                   CAST(SUM(n1) OVER (ORDER BY c ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS c1
+            FROM counts)
+        , gaps AS (
+            SELECT cu.c,
+                   ABS(CAST(cu.c0 AS {big}) * t.t1
+                       - CAST(cu.c1 AS {big}) * t.t0) AS gap_num
+            FROM cum cu CROSS JOIN tots t)
+        , best AS (
+            SELECT MAX(gap_num) AS max_gap FROM gaps)
+        SELECT t.t0 AS n_first_half, t.t1 AS n_second_half,
+               CAST(MIN(g.c) AS BIGINT) AS argmax_value_cents,
+               CAST((bst.max_gap * 1000000)
+                    {div} (CAST(t.t0 AS {big}) * t.t1) AS BIGINT)
+                   AS ks_d_ppm,
+               CAST(((bst.max_gap * 1000000)
+                    {div} (CAST(t.t0 AS {big}) * t.t1))
+                    * (t.t0 * t.t1) {div} (t.t0 + t.t1)
+                   AS BIGINT) AS ks_scaled_e6
+        FROM best bst
+        CROSS JOIN tots t
+        JOIN gaps g ON g.gap_num = bst.max_gap
+        GROUP BY t.t0, t.t1, bst.max_gap
+    """
+
+
+@query("events_value_ks_drift", oracle=_ks_drift_sql("duck"))
+def q_events_value_ks_drift(spark, sf_dir):
+    """EXACT two-sample KOLMOGOROV-SMIRNOV drift — the
+    nonparametric companion to the binned chi-square (#281): D =
+    max_x |F̂₁(x) − F̂₂(x)| compares the WHOLE distribution shape
+    with no binning choices, computed exactly as an integer: the
+    ECDF gap at value x is |c0·t1 − c1·t0| over the common
+    denominator t0·t1 (DECIMAL(38,0)/HUGEINT — the product passes
+    2⁶³ at fact scale), so the argmax and D are bit-exact in both
+    engines. Reports D in ppm, the value where the gap peaks (the
+    drift's LOCATION — actionable where a test statistic alone is
+    not), and D·n₀n₁/(n₀+n₁) e6-scaled (the quantity whose square
+    root drives the significance threshold; a driver applies the
+    Kolmogorov distribution).
+
+    Scale: one scan → distinct-value counts (map-side combined),
+    one ordered cumulative window over DISTINCT cents (value-
+    bounded here; the #254 band-prefix decomposition drops in
+    verbatim if the value domain reaches fact scale — stated),
+    scalar totals broadcast."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_ks_drift_sql("spark"))

@@ -1812,3 +1812,56 @@ def test_txn_atomicity_safe_cut_has_no_torn(spark, sf_dir):
     assert not any(a <= safe < b for a, b in spans.values())
     if torn:
         assert safe == min(spans[t][0] for t in torn) - 1
+
+
+def test_ks_drift_matches_python_ecdf(spark, sf_dir):
+    """D and its argmax recompute from exact ECDFs; same-corpus
+    halves of a stationary generator keep D small (< 0.1)."""
+    import duckdb
+
+    from aurora_cdc_demo_spark.registry import QUERIES
+
+    con = duckdb.connect()
+    lo = con.execute(
+        f"SELECT MIN(epoch_us(ts)) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+    hi = con.execute(
+        f"SELECT MAX(epoch_us(ts)) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+    cut = lo + (hi - lo) // 2
+    vals = con.execute(
+        f"""
+        SELECT CASE WHEN epoch_us(ts) < {cut} THEN 0 ELSE 1 END,
+               CAST(ROUND(value * 100) AS BIGINT)
+        FROM '{sf_dir}/events.parquet'
+        """
+    ).fetchall()
+    xs = sorted({c for _, c in vals})
+    a = sorted(c for h, c in vals if h == 0)
+    b = sorted(c for h, c in vals if h == 1)
+    import bisect
+
+    t0, t1 = len(a), len(b)
+    best = (-1, None)
+    for x in xs:
+        c0 = bisect.bisect_right(a, x)
+        c1 = bisect.bisect_right(b, x)
+        gap = abs(c0 * t1 - c1 * t0)
+        if gap > best[0]:
+            best = (gap, x)
+    r = QUERIES["events_value_ks_drift"](spark, sf_dir).collect()[0]
+    assert r["n_first_half"] == t0
+    assert r["n_second_half"] == t1
+    assert r["ks_d_ppm"] == (best[0] * 1000000) // (t0 * t1)
+    # argmax: min value attaining the max gap
+    attaining = [
+        x
+        for x in xs
+        if abs(
+            bisect.bisect_right(a, x) * t1
+            - bisect.bisect_right(b, x) * t0
+        )
+        == best[0]
+    ]
+    assert r["argmax_value_cents"] == min(attaining)
+    assert r["ks_d_ppm"] < 100000  # stationary generator
