@@ -21631,3 +21631,161 @@ def q_events_value_ks_drift(spark, sf_dir):
     ensure_utc(spark)
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_ks_drift_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto-dominance) over supplier service metrics
+# ---------------------------------------------------------------------------
+
+
+def _skyline_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    us = "unix_micros" if dialect == "spark" else "epoch_us"
+    return f"""
+        WITH m AS (
+            SELECT l.l_suppkey AS suppkey,
+                   CAST(SUM({us}(l.l_shipdate)
+                            - {us}(o.o_orderdate))
+                        {div} (COUNT(*) * 86400000000) AS BIGINT)
+                       AS mean_delay_days,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice * 100)
+                            AS BIGINT)) {div} SUM(CAST(l.l_quantity
+                            AS BIGINT)) AS BIGINT)
+                       AS unit_price_e2,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            GROUP BY l.l_suppkey)
+        , dominated AS (
+            SELECT DISTINCT a.suppkey
+            FROM m a JOIN m b
+              ON b.suppkey <> a.suppkey
+             AND b.mean_delay_days <= a.mean_delay_days
+             AND b.unit_price_e2 <= a.unit_price_e2
+             AND (b.mean_delay_days < a.mean_delay_days
+                  OR b.unit_price_e2 < a.unit_price_e2))
+        SELECT m.suppkey, m.mean_delay_days, m.unit_price_e2,
+               m.n_lines,
+               CAST(CASE WHEN d.suppkey IS NULL THEN 1 ELSE 0 END
+                   AS BIGINT) AS on_skyline
+        FROM m LEFT JOIN dominated d ON d.suppkey = m.suppkey
+    """
+
+
+@query("supplier_skyline", oracle=_skyline_sql("duck"))
+def q_supplier_skyline(spark, sf_dir):
+    """SKYLINE / PARETO-DOMINANCE query (Borzsony, Kossmann &
+    Stocker 2001 — 'the skyline operator') — the multi-criteria
+    shortlist no single score can give: a supplier is ON the
+    skyline iff no other supplier is at least as good on BOTH
+    mean ship delay and unit price and strictly better on one;
+    every procurement 'cheap AND fast' shortlist is this operator.
+    Both metrics are floor-integer (days, cents) so dominance is
+    exact; the full table is returned with the on_skyline flag so
+    the dominated mass is visible too.
+
+    Scale: metrics collapse the fact join to SUPPLIER grain first
+    (dimension-sized), so the dominance self-join is dimension²
+    with an early DISTINCT — the standard block-nested skyline;
+    at extreme cardinalities the sort-filter skyline (order by one
+    axis, running min on the other) drops in, and THIS phrasing
+    stays the oracle. Dominance-law pinned in pytest (no skyline
+    point dominated, every non-skyline point dominated)."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders"
+    )
+    return spark.sql(_skyline_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Adjusted Rand Index between the two IVF clusterings
+# ---------------------------------------------------------------------------
+
+
+def _ari_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    big = "DECIMAL(38,0)" if dialect == "spark" else "HUGEINT"
+    if dialect == "spark":
+        head = """
+        WITH pa AS (SELECT vec_id, cell FROM ari_cells_a)
+        , pb AS (SELECT vec_id, cell FROM ari_cells_b)"""
+    else:
+        head = f"""
+        WITH pa AS (SELECT vec_id, cell
+                    FROM ({ORACLES['semdedup_cells']}) x)
+        , pb AS (SELECT vec_id, cell
+                 FROM ({ORACLES['ann_ivf_kmeans']}) y)"""
+    return f"""{head}
+        , joint AS (
+            SELECT pa.cell AS ca, pb.cell AS cb,
+                   CAST(COUNT(*) AS BIGINT) AS nij
+            FROM pa JOIN pb ON pb.vec_id = pa.vec_id
+            GROUP BY pa.cell, pb.cell)
+        , s AS (
+            SELECT CAST(SUM((nij * (nij - 1)) {div} 2) AS BIGINT)
+                       AS sij,
+                   CAST(SUM(nij) AS BIGINT) AS n
+            FROM joint)
+        , arow AS (
+            SELECT CAST(SUM((ai * (ai - 1)) {div} 2) AS BIGINT)
+                       AS a_sum
+            FROM (SELECT CAST(SUM(nij) AS BIGINT) AS ai
+                  FROM joint GROUP BY ca) t)
+        , brow AS (
+            SELECT CAST(SUM((bj * (bj - 1)) {div} 2) AS BIGINT)
+                       AS b_sum
+            FROM (SELECT CAST(SUM(nij) AS BIGINT) AS bj
+                  FROM joint GROUP BY cb) t)
+        , terms AS (
+            SELECT s.sij, s.n, a.a_sum, b.b_sum,
+                   CAST((s.n * (s.n - 1)) {div} 2 AS {big}) AS n2
+            FROM s CROSS JOIN arow a CROSS JOIN brow b)
+        , frac AS (
+            SELECT sij, n, a_sum, b_sum,
+                   2 * CAST(sij AS {big}) * n2
+                       - 2 * CAST(a_sum AS {big}) * b_sum AS num2,
+                   (CAST(a_sum AS {big}) + b_sum) * n2
+                       - 2 * CAST(a_sum AS {big}) * b_sum AS den2
+            FROM terms)
+        SELECT n, sij AS sum_pairs_joint, a_sum AS sum_pairs_a,
+               b_sum AS sum_pairs_b,
+               CAST((num2 * 1000000
+                     - (((num2 * 1000000) % den2 + den2) % den2))
+                    {div} den2 AS BIGINT) AS ari_ppm
+        FROM frac
+    """
+
+
+@query("embed_clustering_ari", oracle=_ari_sql("duck"))
+def q_embed_clustering_ari(spark, sf_dir):
+    """ADJUSTED RAND INDEX (Hubert & Arabie 1985) between the two
+    coarse quantizers the repo ships — seed-based cells (#95's
+    assignment) vs trained k-means cells (#128): the
+    chance-corrected pair-counting agreement that answers 'did
+    Lloyd training actually MOVE the partition, and how far?' —
+    the clustering-evaluation primitive beside the internal
+    quality indices (#246 Davies-Bouldin): ARI compares two
+    partitions, DB scores one. Exact rational arithmetic: all
+    three pair sums are integer, the chance correction is the
+    common-denominator form 2·Sij·N₂ − 2AB over (A+B)·N₂ − 2AB in
+    DECIMAL(38,0)/HUGEINT (N₂·pair-sums pass 2⁶³ at corpus scale),
+    posrem floor ppm (ARI goes negative below chance).
+
+    Scale: one vec-keyed join of two cell maps (both linear
+    chains), a |cells_a × cells_b|-bounded contingency aggregate,
+    scalar algebra."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    QUERIES["semdedup_cells"](spark, sf_dir).select(
+        "vec_id", "cell"
+    ).createOrReplaceTempView("ari_cells_a")
+    QUERIES["ann_ivf_kmeans"](spark, sf_dir).select(
+        "vec_id", "cell"
+    ).createOrReplaceTempView("ari_cells_b")
+    return spark.sql(_ari_sql("spark"))

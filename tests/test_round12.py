@@ -1865,3 +1865,69 @@ def test_ks_drift_matches_python_ecdf(spark, sf_dir):
     ]
     assert r["argmax_value_cents"] == min(attaining)
     assert r["ks_d_ppm"] < 100000  # stationary generator
+
+
+def test_skyline_dominance_laws(spark, sf_dir):
+    """No skyline point is dominated; every non-skyline point has
+    a dominator — the defining partition of the operator."""
+    from aurora_cdc_demo_spark.registry import QUERIES
+
+    rows = QUERIES["supplier_skyline"](spark, sf_dir).collect()
+    pts = [
+        (r["mean_delay_days"], r["unit_price_e2"], r["on_skyline"])
+        for r in rows
+    ]
+
+    def dominated(p, q):
+        return (
+            q[0] <= p[0]
+            and q[1] <= p[1]
+            and (q[0] < p[0] or q[1] < p[1])
+        )
+
+    for p in pts:
+        has_dom = any(dominated(p, q) for q in pts if q is not p)
+        assert p[2] == (0 if has_dom else 1)
+    assert any(p[2] == 1 for p in pts)
+
+
+def test_clustering_ari_matches_sklearn_free_python(spark, sf_dir):
+    """ARI recomputes from the two cell maps with the
+    pair-counting formula in exact integers."""
+    from aurora_cdc_demo_spark.registry import QUERIES
+
+    a = {
+        r["vec_id"]: r["cell"]
+        for r in QUERIES["semdedup_cells"](spark, sf_dir).collect()
+    }
+    b = {
+        r["vec_id"]: r["cell"]
+        for r in QUERIES["ann_ivf_kmeans"](spark, sf_dir).collect()
+    }
+    joint: dict = {}
+    for v, ca in a.items():
+        joint[(ca, b[v])] = joint.get((ca, b[v]), 0) + 1
+    n = sum(joint.values())
+
+    def c2(x):
+        return x * (x - 1) // 2
+
+    sij = sum(c2(x) for x in joint.values())
+    arow: dict = {}
+    brow: dict = {}
+    for (ca, cb), x in joint.items():
+        arow[ca] = arow.get(ca, 0) + x
+        brow[cb] = brow.get(cb, 0) + x
+    A = sum(c2(x) for x in arow.values())
+    B = sum(c2(x) for x in brow.values())
+    n2 = c2(n)
+    num2 = 2 * sij * n2 - 2 * A * B
+    den2 = (A + B) * n2 - 2 * A * B
+    want = (num2 * 1000000) // den2
+    r = QUERIES["embed_clustering_ari"](spark, sf_dir).collect()[0]
+    assert r["n"] == n
+    assert r["sum_pairs_joint"] == sij
+    assert r["sum_pairs_a"] == A
+    assert r["sum_pairs_b"] == B
+    assert r["ari_ppm"] == want
+    assert -1000000 <= want <= 1000000
