@@ -21789,3 +21789,77 @@ def q_embed_clustering_ari(spark, sf_dir):
         "vec_id", "cell"
     ).createOrReplaceTempView("ari_cells_b")
     return spark.sql(_ari_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Lead-lag cross-correlation between event-type series
+# ---------------------------------------------------------------------------
+
+_XCORR_MAX_LAG = 3
+
+
+def _xcorr_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    us = "unix_micros" if dialect == "spark" else "epoch_us"
+    big = "DECIMAL(38,0)" if dialect == "spark" else "HUGEINT"
+    lags = ", ".join(
+        f"({L})" for L in range(-_XCORR_MAX_LAG, _XCORR_MAX_LAG + 1)
+    )
+    return f"""
+        WITH b AS (
+            SELECT MIN({us}(ts)) AS t0 FROM events)
+        , hourly AS (
+            SELECT ({us}(ts) - b.t0) {div} 3600000000 AS h,
+                   CAST(SUM(CASE WHEN event_type = 'click'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS y
+            FROM events CROSS JOIN b
+            GROUP BY ({us}(ts) - b.t0) {div} 3600000000)
+        , lags AS (SELECT * FROM (VALUES {lags}) AS l(lag))
+        , paired AS (
+            SELECT l.lag, a.x, c.y
+            FROM lags l
+            JOIN hourly a ON 1 = 1
+            JOIN hourly c ON c.h = a.h + l.lag)
+        , sums AS (
+            SELECT lag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy
+            FROM paired GROUP BY lag)
+        SELECT lag, n, sx, sy,
+               CAST(CAST(n AS {big}) * sxy
+                    - CAST(sx AS {big}) * sy AS BIGINT)
+                   AS cov_num,
+               CAST(row_number() OVER (
+                   ORDER BY CAST(n AS {big}) * sxy
+                            - CAST(sx AS {big}) * sy DESC,
+                            lag ASC) AS BIGINT) AS cov_rank
+        FROM sums
+    """
+
+
+@query("events_type_lead_lag", oracle=_xcorr_sql("duck"))
+def q_events_type_lead_lag(spark, sf_dir):
+    """LEAD-LAG CROSS-CORRELATION between the click and purchase
+    hourly series — 'does one metric MOVE FIRST?': for each lag L
+    in ±{K} hours, the exact covariance NUMERATOR n·Σxy − Σx·Σy of
+    clicks(t) against purchases(t+L) over the overlapping hours
+    (each lag has its own n — edge hours drop, the standard
+    unpadded cross-correlogram). The argmax lag (cov_rank = 1) is
+    the lead estimate feeding conversion-lag attribution (#173
+    measures per-pair delay; this detects the population-level
+    lead without pairing users). Numerators stay exact in
+    DECIMAL(38,0)/HUGEINT; normalization (÷σxσy) needs square
+    roots and belongs to the driver — ranking by covariance at
+    fixed series is ordering-equivalent.
+
+    Scale: ONE hourly aggregate (map-side combined), a 7-row lag
+    grid joined to the hour-bounded series twice, per-lag scalar
+    sums — the series table is calendar-bounded, never
+    fact-sized.""".replace("{K}", str(_XCORR_MAX_LAG))
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_xcorr_sql("spark"))

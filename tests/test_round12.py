@@ -1931,3 +1931,58 @@ def test_clustering_ari_matches_sklearn_free_python(spark, sf_dir):
     assert r["sum_pairs_b"] == B
     assert r["ari_ppm"] == want
     assert -1000000 <= want <= 1000000
+
+
+def test_lead_lag_covariances_recompute(spark, sf_dir):
+    """Per-lag covariance numerators recompute from the hourly
+    series; ranks order them; lag-0 uses the full series."""
+    import duckdb
+
+    from aurora_cdc_demo_spark.registry import (
+        _XCORR_MAX_LAG,
+        QUERIES,
+    )
+
+    con = duckdb.connect()
+    t0 = con.execute(
+        f"SELECT MIN(epoch_us(ts)) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+    hourly = {
+        int(h): (int(x), int(y))
+        for h, x, y in con.execute(
+            f"""
+            SELECT (epoch_us(ts) - {t0}) // 3600000000 AS h,
+                   SUM(CASE WHEN event_type = 'click' THEN 1
+                       ELSE 0 END),
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1
+                       ELSE 0 END)
+            FROM '{sf_dir}/events.parquet' GROUP BY 1
+            """
+        ).fetchall()
+    }
+    rows = {
+        r["lag"]: r
+        for r in QUERIES["events_type_lead_lag"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == set(
+        range(-_XCORR_MAX_LAG, _XCORR_MAX_LAG + 1)
+    )
+    for lag, r in rows.items():
+        pairs = [
+            (hourly[h][0], hourly[h + lag][1])
+            for h in hourly
+            if h + lag in hourly
+        ]
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        assert r["n"] == n
+        assert r["cov_num"] == n * sxy - sx * sy
+    ranked = sorted(
+        rows.values(), key=lambda r: (-r["cov_num"], r["lag"])
+    )
+    for i, r in enumerate(ranked, 1):
+        assert r["cov_rank"] == i
