@@ -21863,3 +21863,97 @@ def q_events_type_lead_lag(spark, sf_dir):
     ensure_utc(spark)
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_xcorr_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# ABC / XYZ inventory segmentation matrix
+# ---------------------------------------------------------------------------
+
+
+def _abc_xyz_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    us = "unix_micros" if dialect == "spark" else "epoch_us"
+    big = "DECIMAL(38,0)" if dialect == "spark" else "HUGEINT"
+    return f"""
+        WITH b AS (
+            SELECT MIN({us}(l_shipdate)) AS t0 FROM lineitem)
+        , monthly AS (
+            SELECT l_partkey,
+                   ({us}(l_shipdate) - b.t0) {div} 2592000000000
+                       AS mo,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS q,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100)
+                        AS BIGINT)) AS BIGINT) AS rev_e2
+            FROM lineitem CROSS JOIN b
+            GROUP BY l_partkey,
+                     ({us}(l_shipdate) - b.t0) {div} 2592000000000)
+        , parts AS (
+            SELECT l_partkey,
+                   CAST(SUM(rev_e2) AS BIGINT) AS rev_e2,
+                   CAST(COUNT(*) AS BIGINT) AS n_months,
+                   CAST(SUM(q) AS BIGINT) AS sq,
+                   CAST(SUM(q * q) AS BIGINT) AS sqq
+            FROM monthly GROUP BY l_partkey)
+        , tot AS (
+            SELECT CAST(SUM(rev_e2) AS BIGINT) AS total_rev
+            FROM parts)
+        , ranked AS (
+            SELECT p.*,
+                   CAST(SUM(p.rev_e2) OVER (
+                       ORDER BY p.rev_e2 DESC, p.l_partkey ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS cum_rev
+            FROM parts p)
+        , classed AS (
+            SELECT r.l_partkey, r.rev_e2, r.n_months,
+                   CASE WHEN (r.cum_rev * 100) <= 80 * t.total_rev
+                        THEN 'A'
+                        WHEN (r.cum_rev * 100) <= 95 * t.total_rev
+                        THEN 'B'
+                        ELSE 'C' END AS abc_class,
+                   CASE WHEN r.n_months < 2 THEN 'Z'
+                        WHEN (CAST(r.n_months AS {big}) * r.sqq
+                              - CAST(r.sq AS {big}) * r.sq)
+                             * 1000000
+                             <= CAST(r.sq AS {big}) * r.sq
+                               * 100000
+                        THEN 'X'
+                        WHEN (CAST(r.n_months AS {big}) * r.sqq
+                              - CAST(r.sq AS {big}) * r.sq)
+                             * 1000000
+                             <= CAST(r.sq AS {big}) * r.sq
+                               * 600000
+                        THEN 'Y'
+                        ELSE 'Z' END AS xyz_class
+            FROM ranked r CROSS JOIN tot t)
+        SELECT abc_class, xyz_class,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(rev_e2) AS BIGINT) AS class_rev_e2
+        FROM classed
+        GROUP BY abc_class, xyz_class
+    """
+
+
+@query("part_abc_xyz_matrix", oracle=_abc_xyz_sql("duck"))
+def q_part_abc_xyz_matrix(spark, sf_dir):
+    """ABC/XYZ INVENTORY SEGMENTATION — the planner's 3×3: ABC
+    classes by cumulative revenue share (A = the parts covering
+    80%, B to 95%, C the tail — the Pareto cut #132 computes for
+    suppliers, here at part grain feeding the class boundary), XYZ
+    by demand VARIABILITY (squared coefficient of variation of
+    monthly quantities — CoV² avoids the square root: n·Σq² − (Σq)²
+    vs thresholds 0.1/0.6 of (Σq)², exact in DECIMAL(38,0)/HUGEINT;
+    single-month parts are Z by convention). AX parts get tight
+    auto-replenishment, CZ manual review — the matrix IS the
+    policy table.
+
+    Scale: fact → (part, month) → part aggregates (two map-side
+    combines); the cumulative-share window runs at PART grain
+    (dimension-sized; #132's bucket-prefix decomposition stated
+    for fact-scale catalogs); output is the 3×3."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem"
+    )
+    return spark.sql(_abc_xyz_sql("spark"))

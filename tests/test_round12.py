@@ -1986,3 +1986,68 @@ def test_lead_lag_covariances_recompute(spark, sf_dir):
     )
     for i, r in enumerate(ranked, 1):
         assert r["cov_rank"] == i
+
+
+def test_abc_xyz_matrix_recomputes(spark, sf_dir):
+    """Classes recompute in Python (cumulative 80/95 revenue cuts,
+    CoV² thresholds with the single-month Z rule); matrix counts
+    and revenue telescope to the part universe."""
+    import duckdb
+
+    from aurora_cdc_demo_spark.registry import QUERIES
+
+    con = duckdb.connect()
+    t0 = con.execute(
+        f"SELECT MIN(epoch_us(l_shipdate))"
+        f" FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchone()[0]
+    monthly = con.execute(
+        f"""
+        SELECT l_partkey,
+               (epoch_us(l_shipdate) - {t0}) // 2592000000000,
+               SUM(CAST(l_quantity AS BIGINT)),
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+        FROM '{sf_dir}/lineitem.parquet' GROUP BY 1, 2
+        """
+    ).fetchall()
+    parts: dict = {}
+    for pk, _, q, rev in monthly:
+        n, sq, sqq, r = parts.get(pk, (0, 0, 0, 0))
+        parts[pk] = (n + 1, sq + q, sqq + q * q, r + rev)
+    total = sum(v[3] for v in parts.values())
+    order = sorted(parts, key=lambda pk: (-parts[pk][3], pk))
+    cum = 0
+    classes: dict = {}
+    for pk in order:
+        n, sq, sqq, rev = parts[pk]
+        cum += rev
+        abc = (
+            "A"
+            if cum * 100 <= 80 * total
+            else "B"
+            if cum * 100 <= 95 * total
+            else "C"
+        )
+        if n < 2:
+            xyz = "Z"
+        else:
+            var_num = n * sqq - sq * sq
+            if var_num * 1000000 <= sq * sq * 100000:
+                xyz = "X"
+            elif var_num * 1000000 <= sq * sq * 600000:
+                xyz = "Y"
+            else:
+                xyz = "Z"
+        classes.setdefault((abc, xyz), [0, 0])
+        classes[(abc, xyz)][0] += 1
+        classes[(abc, xyz)][1] += rev
+    rows = QUERIES["part_abc_xyz_matrix"](spark, sf_dir).collect()
+    got = {
+        (r["abc_class"], r["xyz_class"]): (
+            r["n_parts"],
+            r["class_rev_e2"],
+        )
+        for r in rows
+    }
+    assert got == {k: tuple(v) for k, v in classes.items()}
+    assert sum(v[0] for v in got.values()) == len(parts)
