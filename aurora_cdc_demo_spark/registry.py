@@ -21957,3 +21957,65 @@ def q_part_abc_xyz_matrix(spark, sf_dir):
         "lineitem"
     )
     return spark.sql(_abc_xyz_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Targeted backfill plan for pre-existing keys
+# ---------------------------------------------------------------------------
+
+_BACKFILL_CHUNKS = 8
+
+
+def _backfill_plan_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    body = f"""
+        , firsts AS (
+            SELECT key_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_ops,
+                   MIN(CASE WHEN operation = 'INSERT' THEN seq END)
+                       AS first_insert,
+                   MIN(seq) AS first_seq
+            FROM log GROUP BY key_id)
+        , pre AS (
+            SELECT key_id, n_ops FROM firsts
+            WHERE first_insert IS NULL
+               OR first_insert > first_seq)
+        , np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pre)
+        , ranked AS (
+            SELECT p.key_id, p.n_ops,
+                   CAST(((CAST(row_number() OVER (
+                       ORDER BY p.key_id ASC) AS BIGINT) - 1)
+                       * {_BACKFILL_CHUNKS}) {div} np.n AS BIGINT)
+                       AS chunk_id
+            FROM pre p CROSS JOIN np)
+        SELECT chunk_id,
+               CAST(MIN(key_id) AS BIGINT) AS lo_key,
+               CAST(MAX(key_id) AS BIGINT) AS hi_key,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(n_ops) AS BIGINT) AS n_ops
+        FROM ranked GROUP BY chunk_id
+    """
+    return _with_log(body)
+
+
+@query("cdc_backfill_plan", oracle=_backfill_plan_sql("duck"))
+def q_cdc_backfill_plan(spark, sf_dir):
+    """TARGETED BACKFILL PLAN — the remedy #374's START→UPDATE
+    finding prescribes: keys whose first captured op is NOT their
+    INSERT predate the capture window and need a snapshot read —
+    but ONLY those keys, which is the difference between this plan
+    and the full incremental snapshot (#163 chunks the whole
+    keyspace): the backfill touches |pre-existing| keys, typically
+    a sliver once capture has run a while. Keys are rank-chunked
+    into {C} count-balanced select ranges ((rank−1)·C div n — the
+    #211 equal-mass rule at key grain), each with its lo/hi key for
+    a range-predicate snapshot query and its change-op mass (the
+    merge cost after the read).
+
+    Scale: one key aggregate, a rank window over the PRE-EXISTING
+    subset only (≪ keyspace), chunk-grain output.""".replace(
+        "{C}", str(_BACKFILL_CHUNKS)
+    )
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_backfill_plan_sql("spark"))

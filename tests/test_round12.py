@@ -2051,3 +2051,36 @@ def test_abc_xyz_matrix_recomputes(spark, sf_dir):
     }
     assert got == {k: tuple(v) for k, v in classes.items()}
     assert sum(v[0] for v in got.values()) == len(parts)
+
+
+def test_backfill_plan_targets_pre_existing_balanced(spark, sf_dir):
+    """The plan covers exactly the #198 pre_existing key set,
+    chunks are count-balanced within 1, and ranges are disjoint
+    and ordered."""
+    from aurora_cdc_demo_spark.registry import (
+        _BACKFILL_CHUNKS,
+        QUERIES,
+    )
+
+    log = QUERIES["cdc_operation_log"](spark, sf_dir).collect()
+    firsts: dict = {}
+    for r in sorted(log, key=lambda r: r["seq"]):
+        k = r["key_id"]
+        if k not in firsts:
+            firsts[k] = r["operation"]
+    pre = {k for k, op in firsts.items() if op != "INSERT"}
+    rows = sorted(
+        QUERIES["cdc_backfill_plan"](spark, sf_dir).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert sum(r["n_keys"] for r in rows) == len(pre)
+    sizes = [r["n_keys"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi_key"] < b["lo_key"]
+    covered = set()
+    for r in rows:
+        covered |= {
+            k for k in pre if r["lo_key"] <= k <= r["hi_key"]
+        }
+    assert covered == pre
