@@ -22019,3 +22019,66 @@ def q_cdc_backfill_plan(spark, sf_dir):
     ensure_utc(spark)
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_backfill_plan_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# User activity streaks (gaps-and-islands at user-day grain)
+# ---------------------------------------------------------------------------
+
+
+def _streaks_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    us = "unix_micros" if dialect == "spark" else "epoch_us"
+    return f"""
+        WITH b AS (
+            SELECT MIN({us}(ts)) AS t0, MAX({us}(ts)) AS t1
+            FROM events)
+        , ud AS (
+            SELECT DISTINCT user_id,
+                   ({us}(ts) - b.t0) {div} 86400000000 AS d
+            FROM events CROSS JOIN b)
+        , isl AS (
+            SELECT user_id, d,
+                   d - CAST(row_number() OVER (
+                       PARTITION BY user_id ORDER BY d ASC)
+                       AS BIGINT) AS grp
+            FROM ud)
+        , streaks AS (
+            SELECT user_id, grp,
+                   CAST(COUNT(*) AS BIGINT) AS len,
+                   CAST(MAX(d) AS BIGINT) AS last_day
+            FROM isl GROUP BY user_id, grp)
+        , span AS (
+            SELECT CAST((t1 - t0) {div} 86400000000 AS BIGINT)
+                       AS last_idx
+            FROM b)
+        SELECT s.user_id,
+               CAST(MAX(s.len) AS BIGINT) AS longest_streak,
+               CAST(COUNT(*) AS BIGINT) AS n_streaks,
+               CAST(MAX(CASE WHEN s.last_day = sp.last_idx
+                        THEN s.len ELSE 0 END) AS BIGINT)
+                   AS current_streak,
+               CAST(SUM(s.len) AS BIGINT) AS n_active_days
+        FROM streaks s CROSS JOIN span sp
+        GROUP BY s.user_id
+    """
+
+
+@query("events_user_streaks", oracle=_streaks_sql("duck"))
+def q_events_user_streaks(spark, sf_dir):
+    """ACTIVITY STREAKS — longest and CURRENT consecutive-day runs
+    per user (the engagement mechanic every habit-loop product
+    tracks; also the retention-feature beside DAU/WAU stickiness
+    #146): classic gaps-and-islands with the day − row_number
+    constant-group trick (consecutive days share d − rank), one
+    aggregate per island, and current = the streak whose last day
+    is the corpus's final day. Reports longest, current, streak
+    count, and total active days per user — streak/total is the
+    regularity ratio.
+
+    Scale: distinct user-day projection (map-side), ONE
+    user-partitioned rank window, island-grain aggregates — the
+    #9 sessionization shuffle shape at day grain."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_streaks_sql("spark"))

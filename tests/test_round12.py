@@ -2084,3 +2084,52 @@ def test_backfill_plan_targets_pre_existing_balanced(spark, sf_dir):
             k for k in pre if r["lo_key"] <= k <= r["hi_key"]
         }
     assert covered == pre
+
+
+def test_user_streaks_match_python(spark, sf_dir):
+    """Longest/current/count recompute from per-user day sets."""
+    import duckdb
+
+    from aurora_cdc_demo_spark.registry import QUERIES
+
+    con = duckdb.connect()
+    t0, t1 = con.execute(
+        f"SELECT MIN(epoch_us(ts)), MAX(epoch_us(ts))"
+        f" FROM '{sf_dir}/events.parquet'"
+    ).fetchone()
+    ud = con.execute(
+        f"SELECT DISTINCT user_id,"
+        f" (epoch_us(ts) - {t0}) // 86400000000"
+        f" FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    days: dict = {}
+    for u, d in ud:
+        days.setdefault(u, set()).add(int(d))
+    last_idx = (t1 - t0) // 86400000000
+    rows = {
+        r["user_id"]: r
+        for r in QUERIES["events_user_streaks"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == set(days)
+    for u, ds in days.items():
+        sd = sorted(ds)
+        streaks = []
+        start = prev = sd[0]
+        for d in sd[1:]:
+            if d == prev + 1:
+                prev = d
+            else:
+                streaks.append((start, prev))
+                start = prev = d
+        streaks.append((start, prev))
+        lens = [b - a + 1 for a, b in streaks]
+        cur = next(
+            (b - a + 1 for a, b in streaks if b == last_idx), 0
+        )
+        r = rows[u]
+        assert r["longest_streak"] == max(lens)
+        assert r["n_streaks"] == len(streaks)
+        assert r["current_streak"] == cur
+        assert r["n_active_days"] == len(ds)
