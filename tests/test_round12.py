@@ -2133,3 +2133,68 @@ def test_user_streaks_match_python(spark, sf_dir):
         assert r["n_streaks"] == len(streaks)
         assert r["current_streak"] == cur
         assert r["n_active_days"] == len(ds)
+
+
+def test_streaming_frontier_maintenance_equals_batch(
+    spark, sf_dir, tmp_path
+):
+    """The multi-table frontier is maintainable by foreachBatch
+    with per-table MAX state: per-micro-batch head maxes merged by
+    MAX equal the batch heads, hence the same frontier — the
+    stream-equals-batch law for #378."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from aurora_cdc_demo_spark.registry import (
+        QUERIES,
+        binlog_path,
+    )
+    from aurora_cdc_demo_spark.sources.cdc_datasource import (
+        CDCReplayDataSource,
+    )
+
+    spark.dataSource.register(CDCReplayDataSource)
+    path = binlog_path(sf_dir)
+    out = str(tmp_path / "frontier_batches")
+
+    def apply_batch(batch_df, batch_id):
+        batch_df.groupBy("table").agg(
+            F.max("seq").alias("head_seq")
+        ).write.mode("append").parquet(out)
+
+    q = (
+        spark.readStream.format("cdc_replay")
+        .option("path", path)
+        .option("batch_size", "3000")
+        .load()
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt_frontier"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    batch = {
+        r["tbl"]: r["head_seq"]
+        for r in QUERIES["cdc_multi_table_frontier"](
+            spark, sf_dir
+        ).collect()
+    }
+    deadline = time.time() + 120
+    merged = {}
+    while time.time() < deadline:
+        try:
+            merged = {
+                r["table"]: r["head"]
+                for r in spark.read.parquet(out)
+                .groupBy("table")
+                .agg(F.max("head_seq").alias("head"))
+                .collect()
+            }
+        except Exception:
+            merged = {}
+        if merged == batch:
+            break
+        time.sleep(1)
+    q.stop()
+    assert merged == batch
+    assert min(merged.values()) == min(batch.values())  # frontier
