@@ -22082,3 +22082,68 @@ def q_events_user_streaks(spark, sf_dir):
     ensure_utc(spark)
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_streaks_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# 4-4-5 fiscal calendar rollup
+# ---------------------------------------------------------------------------
+
+
+def _fiscal_445_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    us = "unix_micros" if dialect == "spark" else "epoch_us"
+    return f"""
+        WITH b AS (
+            SELECT MIN({us}(o_orderdate)) AS t0 FROM orders)
+        , weekly AS (
+            SELECT ({us}(o_orderdate) - b.t0) {div} 604800000000
+                       AS wk,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100)
+                        AS BIGINT)) AS BIGINT) AS rev_e2
+            FROM orders CROSS JOIN b
+            GROUP BY ({us}(o_orderdate) - b.t0) {div} 604800000000)
+        , mapped AS (
+            SELECT wk, n_orders, rev_e2,
+                   wk {div} 52 AS fiscal_year,
+                   (wk % 52) {div} 13 AS fiscal_quarter,
+                   CASE WHEN (wk % 13) < 4 THEN 0
+                        WHEN (wk % 13) < 8 THEN 1
+                        ELSE 2 END AS period_in_quarter,
+                   CASE WHEN (wk % 13) < 4 THEN 4
+                        WHEN (wk % 13) < 8 THEN 4
+                        ELSE 5 END AS period_weeks
+            FROM weekly)
+        SELECT CAST(fiscal_year AS BIGINT) AS fiscal_year,
+               CAST(fiscal_quarter AS BIGINT) AS fiscal_quarter,
+               CAST(period_in_quarter AS BIGINT) AS fiscal_period,
+               CAST(MAX(period_weeks) AS BIGINT) AS period_weeks,
+               CAST(COUNT(*) AS BIGINT) AS n_weeks_observed,
+               CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+               CAST(SUM(rev_e2) AS BIGINT) AS revenue_e2,
+               CAST(SUM(rev_e2) {div} MAX(period_weeks) AS BIGINT)
+                   AS rev_per_week_e2
+        FROM mapped
+        GROUP BY fiscal_year, fiscal_quarter, period_in_quarter
+    """
+
+
+@query("orders_fiscal_445_rollup", oracle=_fiscal_445_sql("duck"))
+def q_orders_fiscal_445_rollup(spark, sf_dir):
+    """4-4-5 FISCAL CALENDAR rollup — the retail-standard calendar
+    the Gregorian rollups (#18 monthly, #183 YoY) cannot express:
+    quarters are exactly 13 weeks split 4-4-5, so every fiscal
+    period contains a FIXED number of each weekday and periods
+    compare cleanly (the whole point of 4-4-5 — a Gregorian
+    'month over month' mixes 4- and 5-weekend months). Weeks index
+    from the corpus's first order date (production anchors to the
+    fiscal year start — one constant); the per-week normalization
+    column makes the 5-week period comparable to its 4-week
+    siblings in the same mart.
+
+    Scale: one fact aggregate to week grain (map-side combined),
+    pure modular arithmetic to fiscal coordinates, a period-grain
+    rollup — calendar-bounded everywhere after the first pass."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_fiscal_445_sql("spark"))

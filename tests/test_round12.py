@@ -2198,3 +2198,31 @@ def test_streaming_frontier_maintenance_equals_batch(
     q.stop()
     assert merged == batch
     assert min(merged.values()) == min(batch.values())  # frontier
+
+
+def test_fiscal_445_structure_and_conservation(spark, sf_dir):
+    """Periods carry the 4/4/5 week widths, observed weeks never
+    exceed the width, and total revenue/orders telescope to the
+    raw table."""
+    import duckdb
+
+    from aurora_cdc_demo_spark.registry import QUERIES
+
+    rows = QUERIES["orders_fiscal_445_rollup"](
+        spark, sf_dir
+    ).collect()
+    con = duckdb.connect()
+    n, rev = con.execute(
+        f"SELECT COUNT(*), SUM(CAST(ROUND(o_totalprice * 100)"
+        f" AS BIGINT)) FROM '{sf_dir}/orders.parquet'"
+    ).fetchone()
+    assert sum(r["n_orders"] for r in rows) == n
+    assert sum(r["revenue_e2"] for r in rows) == rev
+    for r in rows:
+        want_weeks = 5 if r["fiscal_period"] == 2 else 4
+        assert r["period_weeks"] == want_weeks
+        assert 1 <= r["n_weeks_observed"] <= want_weeks
+        assert (
+            r["rev_per_week_e2"]
+            == r["revenue_e2"] // r["period_weeks"]
+        )
