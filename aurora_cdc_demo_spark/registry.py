@@ -22147,3 +22147,148 @@ def q_orders_fiscal_445_rollup(spark, sf_dir):
     ensure_utc(spark)
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_fiscal_445_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Normalization-aware exact dedup (the CCNet first pass)
+# ---------------------------------------------------------------------------
+
+
+def _norm_dedup_sql(dialect: str) -> str:
+    g = "" if dialect == "spark" else ", 'g'"
+    norm = (
+        f"regexp_replace(regexp_replace(lower(text),"
+        f" '[^a-z0-9 ]', ''{g}), ' +', ' '{g})"
+    )
+    return f"""
+        WITH hashes AS (
+            SELECT doc_id,
+                   md5(text) AS raw_h,
+                   md5({norm}) AS norm_h
+            FROM documents)
+        , raw_g AS (
+            SELECT raw_h, CAST(COUNT(*) AS BIGINT) AS n
+            FROM hashes GROUP BY raw_h)
+        , norm_g AS (
+            SELECT norm_h, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT raw_h) AS BIGINT)
+                       AS n_raw_variants
+            FROM hashes GROUP BY norm_h)
+        SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM hashes)
+                AS n_docs,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM raw_g)
+                AS n_raw_groups,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM norm_g)
+                AS n_norm_groups,
+            (SELECT CAST(SUM(n - 1) AS BIGINT) FROM raw_g)
+                AS raw_dups,
+            (SELECT CAST(SUM(n - 1) AS BIGINT) FROM norm_g)
+                AS norm_dups,
+            (SELECT CAST(SUM(CASE WHEN n_raw_variants > 1
+                     THEN n_raw_variants - 1 ELSE 0 END) AS BIGINT)
+             FROM norm_g) AS groups_merged_by_normalization
+    """
+
+
+@query("dedup_exact_normalized", oracle=_norm_dedup_sql("duck"))
+def q_dedup_exact_normalized(spark, sf_dir):
+    """NORMALIZATION-AWARE exact dedup census — CCNet's actual
+    first pass hashes NORMALIZED text (lowercase, strip
+    punctuation, collapse whitespace), not raw bytes: two docs
+    differing only in case or punctuation are the same document to
+    a language model, and raw-hash dedup (#25) misses them. This
+    census quantifies the gap: raw vs normalized group counts,
+    duplicate masses under each, and how many raw-distinct
+    variants the normalization MERGED (the pairs only this pass
+    catches; 0 on a corpus already normalized — itself a useful
+    reading). The regexp 'g' flag split is the #347 dialect rule.
+
+    Scale: one scan, two hash aggregates, scalar census — the
+    normalization is three chained JVM regexes in codegen; the
+    norm_h column is exactly what the exact-dedup keep-list would
+    key on at 100 TB."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_norm_dedup_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-norm vs text-quality correlation
+# ---------------------------------------------------------------------------
+
+
+def _norm_quality_corr_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    big = "DECIMAL(38,0)" if dialect == "spark" else "HUGEINT"
+    quality = ORACLES["text_quality_score"]
+    q_src = (
+        f"({quality})" if dialect != "spark" else "nqc_quality"
+    )
+    # e6-floored norm via the shared helper
+    return f"""
+        WITH nr AS (
+            SELECT vec_id,
+                   CAST(FLOOR({_sim._norm('embedding', dialect)}
+                        * 1000000) AS BIGINT) AS nrm_e6
+            FROM embeddings)
+        , q AS (SELECT doc_id, quality_bp FROM {q_src})
+        , j AS (
+            SELECT nr.nrm_e6 AS x, q.quality_bp AS y
+            FROM nr JOIN q ON q.doc_id = nr.vec_id)
+        , sums AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy
+            FROM j)
+        SELECT n, sx, sy,
+               CAST(CASE WHEN CAST(n AS {big}) * sxy
+                              - CAST(sx AS {big}) * sy > 0 THEN 1
+                         WHEN CAST(n AS {big}) * sxy
+                              - CAST(sx AS {big}) * sy < 0 THEN -1
+                         ELSE 0 END AS BIGINT) AS corr_sign,
+               CAST(((CAST(n AS {big}) * sxy
+                      - CAST(sx AS {big}) * sy)
+                     * (CAST(n AS {big}) * sxy
+                        - CAST(sx AS {big}) * sy) * 1000000)
+                    {div} ((CAST(n AS {big}) * sxx
+                            - CAST(sx AS {big}) * sx)
+                           * (CAST(n AS {big}) * syy
+                              - CAST(sy AS {big}) * sy))
+                   AS BIGINT) AS r_squared_ppm
+        FROM sums
+    """
+
+
+@query("embed_norm_quality_corr", oracle=_norm_quality_corr_sql("duck"))
+def q_embed_norm_quality_corr(spark, sf_dir):
+    """EMBEDDING-NORM ↔ TEXT-QUALITY correlation — the cheap-signal
+    audit behind 'can the vector norm stand in for a quality
+    model?' (trained text encoders systematically embed confident/
+    clean text at larger norms — if r² is high here, the #177
+    embedding keep-list gets a free quality gate; if ≈0, norm is
+    NOT a quality proxy on this corpus and the #303 classifier
+    stays): exact Pearson via the #262 sqrt-free discipline —
+    integer covariance numerator, SIGN, and r² in ppm as the exact
+    rational (n·Σxy−ΣxΣy)² / ((n·Σxx−Σx²)(n·Σyy−Σy²)) in
+    DECIMAL(38,0)/HUGEINT. On random embeddings r² ≈ 0 — the
+    honest expected reading, pinned.
+
+    Scale: one id-keyed join of two linear passes, a single
+    6-sum aggregate."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    QUERIES["text_quality_score"](spark, sf_dir).select(
+        "doc_id", "quality_bp"
+    ).createOrReplaceTempView("nqc_quality")
+    return spark.sql(_norm_quality_corr_sql("spark"))

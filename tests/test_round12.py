@@ -2226,3 +2226,82 @@ def test_fiscal_445_structure_and_conservation(spark, sf_dir):
             r["rev_per_week_e2"]
             == r["revenue_e2"] // r["period_weeks"]
         )
+
+
+def test_normalized_dedup_census_recomputes(spark, sf_dir):
+    """Raw/normalized group counts recompute in Python; merged
+    variants accounted; normalized groups never exceed raw."""
+    import re as _re
+
+    import duckdb
+
+    from aurora_cdc_demo_spark.registry import QUERIES
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+
+    def norm(t):
+        t = _re.sub(r"[^a-z0-9 ]", "", t.lower())
+        return _re.sub(r" +", " ", t)
+
+    raw: dict = {}
+    ng: dict = {}
+    for (t,) in docs:
+        raw[t] = raw.get(t, 0) + 1
+        ng.setdefault(norm(t), set()).add(t)
+    r = QUERIES["dedup_exact_normalized"](spark, sf_dir).collect()[0]
+    assert r["n_docs"] == len(docs)
+    assert r["n_raw_groups"] == len(raw)
+    assert r["n_norm_groups"] == len(ng)
+    assert r["n_norm_groups"] <= r["n_raw_groups"]
+    assert r["raw_dups"] == len(docs) - len(raw)
+    assert r["norm_dups"] == len(docs) - len(ng)
+    assert r["groups_merged_by_normalization"] == sum(
+        len(v) - 1 for v in ng.values() if len(v) > 1
+    )
+
+
+def test_norm_quality_corr_near_zero_on_random(spark, sf_dir):
+    """Random embeddings carry no quality signal: r-squared stays
+    under 2% and sign/r2 recompute from exact sums."""
+    import duckdb
+    import math
+
+    from aurora_cdc_demo_spark.registry import QUERIES
+
+    con = duckdb.connect()
+    vecs = dict(
+        con.execute(
+            f"SELECT vec_id, embedding"
+            f" FROM '{sf_dir}/embeddings.parquet'"
+        ).fetchall()
+    )
+    quality = {
+        r["doc_id"]: r["quality_bp"]
+        for r in QUERIES["text_quality_score"](
+            spark, sf_dir
+        ).collect()
+    }
+    xs = {}
+    for v, e in vecs.items():
+        xs[v] = math.floor(
+            math.sqrt(sum(x * x for x in e)) * 1000000
+        )
+    pairs = [(xs[v], quality[v]) for v in xs if v in quality]
+    n = len(pairs)
+    sx = sum(x for x, _ in pairs)
+    sy = sum(y for _, y in pairs)
+    sxy = sum(x * y for x, y in pairs)
+    sxx = sum(x * x for x, _ in pairs)
+    syy = sum(y * y for _, y in pairs)
+    num = n * sxy - sx * sy
+    r2 = (num * num * 1000000) // (
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    r = QUERIES["embed_norm_quality_corr"](spark, sf_dir).collect()[0]
+    assert r["n"] == n
+    assert r["corr_sign"] == (1 if num > 0 else -1 if num < 0 else 0)
+    assert r["r_squared_ppm"] == r2
+    assert r2 < 20000
