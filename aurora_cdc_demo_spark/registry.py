@@ -22292,3 +22292,54 @@ def q_embed_norm_quality_corr(spark, sf_dir):
         "doc_id", "quality_bp"
     ).createOrReplaceTempView("nqc_quality")
     return spark.sql(_norm_quality_corr_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental connected-components maintenance (star + delta edges)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_clusters_incremental",
+    oracle=ORACLES["dedup_clusters"],
+)
+def q_dedup_clusters_incremental(spark, sf_dir):
+    """INCREMENTAL connected-components maintenance — the daily
+    reality of corpus dedup at 100 TB: yesterday's component map
+    plus today's NEW candidate pairs, without recomputing the
+    world. The old partition is re-encoded as STAR edges (every
+    node → its old cluster label — depth-1 connectivity carrying
+    exactly the old components), unioned with the delta pairs, and
+    min-label propagation reruns over star+delta: stars collapse
+    in one round, so rounds are bounded by the DELTA's merge
+    depth, not the graph diameter — the incremental-maintenance
+    property (the CC sibling of #117/#327's aggregate/join IVM).
+    Here the near-dup pair set splits deterministically
+    ((doc_a+doc_b) % 5 = 0 as the 'new' arrivals) and the ORACLE
+    IS the batch #63 transitive closure — equality with the
+    full recompute is the whole correctness claim, enforced by the
+    driver gate itself.
+
+    Scale: star edges are node-sized (linear), delta edges are the
+    day's candidates; each round is the #63 join-aggregate over
+    star+delta only."""
+    from .operators.dedup import ngram_jaccard_pairs
+    from .operators.graph import connected_components
+
+    ensure_utc(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs).select("doc_a", "doc_b")
+    pairs = pairs.localCheckpoint()
+    old = pairs.where("(doc_a + doc_b) % 5 <> 0")
+    delta = pairs.where("(doc_a + doc_b) % 5 = 0")
+    nodes = docs.select("doc_id")
+    old_labels = connected_components(
+        nodes, old, id_col="doc_id"
+    ).localCheckpoint()
+    star = old_labels.where("doc_id <> cluster_id").select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("cluster_id").alias("doc_b"),
+    )
+    return connected_components(
+        nodes, star.unionByName(delta), id_col="doc_id"
+    )

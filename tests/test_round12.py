@@ -2305,3 +2305,22 @@ def test_norm_quality_corr_near_zero_on_random(spark, sf_dir):
     assert r["corr_sign"] == (1 if num > 0 else -1 if num < 0 else 0)
     assert r["r_squared_ppm"] == r2
     assert r2 < 20000
+
+
+def test_incremental_cc_equals_batch(spark, sf_dir):
+    """The star+delta incremental recompute lands on EXACTLY the
+    batch component map (the oracle already enforces this at the
+    gate; pinned here cross-implementation too)."""
+    from aurora_cdc_demo_spark.registry import QUERIES
+
+    batch = {
+        r["doc_id"]: r["cluster_id"]
+        for r in QUERIES["dedup_clusters"](spark, sf_dir).collect()
+    }
+    inc = {
+        r["doc_id"]: r["cluster_id"]
+        for r in QUERIES["dedup_clusters_incremental"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert inc == batch
