@@ -22343,3 +22343,55 @@ def q_dedup_clusters_incremental(spark, sf_dir):
     return connected_components(
         nodes, star.unionByName(delta), id_col="doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# BG/NBD customer-lifetime model inputs
+# ---------------------------------------------------------------------------
+
+
+def _bgnbd_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    us = "unix_micros" if dialect == "spark" else "epoch_us"
+    return f"""
+        WITH b AS (
+            SELECT MAX({us}(o_orderdate)) AS t_end FROM orders)
+        , per AS (
+            SELECT o_custkey AS custkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   MIN({us}(o_orderdate)) AS first_us,
+                   MAX({us}(o_orderdate)) AS last_us,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100)
+                        AS BIGINT)) AS BIGINT) AS spend_e2
+            FROM orders GROUP BY o_custkey)
+        SELECT p.custkey,
+               CAST(p.n_orders - 1 AS BIGINT) AS x_repeat,
+               CAST((p.last_us - p.first_us) {div} 86400000000
+                   AS BIGINT) AS t_x_days,
+               CAST((b.t_end - p.first_us) {div} 86400000000
+                   AS BIGINT) AS t_age_days,
+               CAST(p.spend_e2 {div} p.n_orders AS BIGINT)
+                   AS mean_order_cents
+        FROM per p CROSS JOIN b
+    """
+
+
+@query("customer_bgnbd_inputs", oracle=_bgnbd_sql("duck"))
+def q_customer_bgnbd_inputs(spark, sf_dir):
+    """BG/NBD + GAMMA-GAMMA INPUT MART (Fader, Hardie & Lee 2005 —
+    'counting your customers' the easy way): the per-customer
+    sufficient statistics every probabilistic-CLV fit consumes —
+    x (REPEAT purchases), t_x (recency: first→last purchase,
+    days), T (age: first purchase→observation end), and the mean
+    order value for the monetary submodel. The model itself is a
+    4-parameter MLE a driver runs over THIS 4-column table — the
+    distributed work is exactly this mart (the same division of
+    labor as #325's arm moments), and unlike the heuristic RFM
+    quintiles (#170) these are the model-grade inputs. Laws:
+    0 ≤ t_x ≤ T, x = 0 ⇔ t_x = 0.
+
+    Scale: one map-side-combined aggregate to customer grain + a
+    scalar observation-end broadcast."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_bgnbd_sql("spark"))

@@ -2324,3 +2324,46 @@ def test_incremental_cc_equals_batch(spark, sf_dir):
         ).collect()
     }
     assert inc == batch
+
+
+def test_bgnbd_inputs_laws(spark, sf_dir):
+    """0 <= t_x <= T per customer; x = 0 iff t_x = 0; stats
+    recompute from raw orders."""
+    import duckdb
+
+    from aurora_cdc_demo_spark.registry import QUERIES
+
+    con = duckdb.connect()
+    per = con.execute(
+        f"""
+        SELECT o_custkey, COUNT(*),
+               MIN(epoch_us(o_orderdate)), MAX(epoch_us(o_orderdate)),
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+        FROM '{sf_dir}/orders.parquet' GROUP BY 1
+        """
+    ).fetchall()
+    t_end = max(r[3] for r in per)
+    want = {
+        r[0]: (
+            r[1] - 1,
+            (r[3] - r[2]) // 86400000000,
+            (t_end - r[2]) // 86400000000,
+            r[4] // r[1],
+        )
+        for r in per
+    }
+    rows = QUERIES["customer_bgnbd_inputs"](spark, sf_dir).collect()
+    got = {
+        r["custkey"]: (
+            r["x_repeat"],
+            r["t_x_days"],
+            r["t_age_days"],
+            r["mean_order_cents"],
+        )
+        for r in rows
+    }
+    assert got == want
+    for x, tx, T, _ in got.values():
+        assert 0 <= tx <= T
+        if x == 0:
+            assert tx == 0
