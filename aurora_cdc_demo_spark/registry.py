@@ -22395,3 +22395,74 @@ def q_customer_bgnbd_inputs(spark, sf_dir):
     ensure_utc(spark)
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_bgnbd_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend (median of pairwise slopes)
+# ---------------------------------------------------------------------------
+
+
+def _theil_sen_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    us = "unix_micros" if dialect == "spark" else "epoch_us"
+
+    def fdiv(a: str, b: str) -> str:
+        return f"(({a} - ((({a} % {b}) + {b}) % {b})) {div} {b})"
+
+    return f"""
+        WITH b AS (
+            SELECT MIN({us}(ts)) AS t0 FROM events)
+        , daily AS (
+            SELECT ({us}(ts) - b.t0) {div} 86400000000 AS d,
+                   CAST(COUNT(*) AS BIGINT) AS y
+            FROM events CROSS JOIN b
+            GROUP BY ({us}(ts) - b.t0) {div} 86400000000)
+        , pairs AS (
+            SELECT {fdiv('(p2.y - p1.y) * 1000000', '(p2.d - p1.d)')}
+                       AS slope_e6
+            FROM daily p1 JOIN daily p2 ON p2.d > p1.d)
+        , ranked AS (
+            SELECT slope_e6,
+                   row_number() OVER (
+                       ORDER BY slope_e6 ASC, slope_e6 ASC) AS rn,
+                   COUNT(*) OVER () AS np
+            FROM pairs)
+        , med AS (
+            SELECT CAST(MIN(slope_e6) AS BIGINT) AS ts_slope_e6,
+                   CAST(MIN(np) AS BIGINT) AS n_pairs
+            FROM ranked WHERE rn = (np + 1) {div} 2)
+        , ols AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(d) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(d * y) AS BIGINT) AS sxy,
+                   CAST(SUM(d * d) AS BIGINT) AS sxx
+            FROM daily)
+        SELECT o.n AS n_days, m.n_pairs, m.ts_slope_e6,
+               CAST({fdiv('((o.n * o.sxy - o.sx * o.sy) * 1000000)',
+                          '(o.n * o.sxx - o.sx * o.sx)')}
+                   AS BIGINT) AS ols_slope_e6
+        FROM med m CROSS JOIN ols o
+    """
+
+
+@query("events_theil_sen_trend", oracle=_theil_sen_sql("duck"))
+def q_events_theil_sen_trend(spark, sf_dir):
+    """THEIL-SEN ROBUST TREND (Theil 1950, Sen 1968) — the median
+    of all pairwise slopes, the estimator that shrugs off up to
+    29% outlier contamination where the OLS slope (#375) chases
+    every anomalous day (exactly the days the MAD screen #244
+    flags): each pairwise slope is an e6 posrem floor integer, the
+    median is the lower-median rank pick, and the full-series OLS
+    slope is computed beside so the mart SHOWS the robustness gap
+    (ts ≈ ols on clean data — the agreement law; they split when a
+    day goes bad). Pairs are DAYS² — the series is
+    calendar-bounded, so the quadratic pair join is a few thousand
+    rows at any corpus size (the same bounded-quadratic license as
+    the lag grid #383).
+
+    Scale: one fact aggregate to day grain; everything after runs
+    on the bounded day table."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_theil_sen_sql("spark"))

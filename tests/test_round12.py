@@ -2367,3 +2367,33 @@ def test_bgnbd_inputs_laws(spark, sf_dir):
         assert 0 <= tx <= T
         if x == 0:
             assert tx == 0
+
+
+def test_theil_sen_matches_python_median_of_slopes(spark, sf_dir):
+    import duckdb
+
+    from aurora_cdc_demo_spark.registry import QUERIES
+
+    con = duckdb.connect()
+    t0 = con.execute(
+        f"SELECT MIN(epoch_us(ts)) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+    daily = sorted(
+        con.execute(
+            f"SELECT (epoch_us(ts) - {t0}) // 86400000000, COUNT(*)"
+            f" FROM '{sf_dir}/events.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    slopes = sorted(
+        ((y2 - y1) * 1000000) // (d2 - d1)
+        for i, (d1, y1) in enumerate(daily)
+        for d2, y2 in daily[i + 1 :]
+    )
+    med = slopes[(len(slopes) + 1) // 2 - 1]
+    r = QUERIES["events_theil_sen_trend"](spark, sf_dir).collect()[0]
+    assert r["n_days"] == len(daily)
+    assert r["n_pairs"] == len(slopes)
+    assert r["ts_slope_e6"] == med
+    # clean stationary data: robust and OLS agree in sign and
+    # rough magnitude
+    assert abs(r["ts_slope_e6"] - r["ols_slope_e6"]) < 5000000
