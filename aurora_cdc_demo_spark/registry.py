@@ -22466,3 +22466,72 @@ def q_events_theil_sen_trend(spark, sf_dir):
     ensure_utc(spark)
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_theil_sen_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# ANN hubness: k-occurrence distribution + exact skewness moments
+# ---------------------------------------------------------------------------
+
+
+def _hubness_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    big = "DECIMAL(38,0)" if dialect == "spark" else "HUGEINT"
+    return f"""{_sim._knn_ctes(dialect)}
+        , edges AS (
+            SELECT vec_id AS src, neighbor_id AS dst
+            FROM ranked WHERE rnk <= {_sim.KNN_K})
+        , nodes AS (SELECT vec_id FROM v)
+        , indeg AS (
+            SELECT n.vec_id,
+                   CAST(COALESCE(COUNT(e.src), 0) AS BIGINT) AS d
+            FROM nodes n LEFT JOIN edges e ON e.dst = n.vec_id
+            GROUP BY n.vec_id)
+        , hist AS (
+            SELECT d, CAST(COUNT(*) AS BIGINT) AS n_nodes
+            FROM indeg GROUP BY d)
+        , moments AS (
+            SELECT CAST(SUM(n_nodes) AS BIGINT) AS n,
+                   CAST(SUM(d * n_nodes) AS BIGINT) AS s1,
+                   CAST(SUM(d * d * n_nodes) AS BIGINT) AS s2,
+                   CAST(SUM(d * d * d * n_nodes) AS BIGINT) AS s3
+            FROM hist)
+        SELECT h.d AS in_degree, h.n_nodes,
+               m.n,
+               CAST((m.s1 * 1000) {div} m.n AS BIGINT)
+                   AS mean_deg_e3,
+               CAST(CASE
+                    WHEN CAST(m.n AS {big}) * m.n * m.s3
+                         - 3 * CAST(m.n AS {big}) * m.s1 * m.s2
+                         + 2 * CAST(m.s1 AS {big}) * m.s1 * m.s1
+                         > 0 THEN 1
+                    WHEN CAST(m.n AS {big}) * m.n * m.s3
+                         - 3 * CAST(m.n AS {big}) * m.s1 * m.s2
+                         + 2 * CAST(m.s1 AS {big}) * m.s1 * m.s1
+                         < 0 THEN -1
+                    ELSE 0 END AS BIGINT) AS skew_sign
+        FROM hist h CROSS JOIN moments m
+    """
+
+
+@query("ann_hubness_profile", oracle=_hubness_sql("duck"))
+def q_ann_hubness_profile(spark, sf_dir):
+    """HUBNESS PROFILE of the KNN graph (Radovanović, Nanopoulos &
+    Ivanović 2010) — the high-dimensional pathology every ANN
+    deployment should check: as dimension grows, a few points
+    become everyone's neighbor (k-occurrence distribution skews
+    right) and recall intuition breaks — hubs dominate result
+    lists while antihubs (in-degree 0) become unreachable, which
+    is also exactly the graph-walk failure mode #350 measured. The
+    k-occurrence HISTOGRAM (in-degree → node count, antihubs = the
+    d=0 row) with the exact integer THIRD-moment numerator sign
+    (n²Σd³ − 3nΣdΣd² + 2(Σd)³ in DECIMAL(38,0)/HUGEINT — positive
+    = right-skewed = hubness present) and the e3 mean degree
+    (= KNN_K when every node has full out-degree).
+
+    Scale: in-degree is one aggregate over the KNN_K-bounded edge
+    list; the histogram and moments are degree-bounded algebra."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    return spark.sql(_hubness_sql("spark"))

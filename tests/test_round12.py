@@ -2397,3 +2397,41 @@ def test_theil_sen_matches_python_median_of_slopes(spark, sf_dir):
     # clean stationary data: robust and OLS agree in sign and
     # rough magnitude
     assert abs(r["ts_slope_e6"] - r["ols_slope_e6"]) < 5000000
+
+
+def test_hubness_profile_recomputes(spark, sf_dir):
+    """Histogram and skew sign recompute from the oracle-checked
+    KNN edge list; node mass telescopes."""
+    import duckdb
+
+    from aurora_cdc_demo_spark.registry import QUERIES
+
+    edges = QUERIES["ann_knn_graph"](spark, sf_dir).collect()
+    con = duckdb.connect()
+    nodes = [
+        v
+        for (v,) in con.execute(
+            f"SELECT vec_id FROM '{sf_dir}/embeddings.parquet'"
+        ).fetchall()
+    ]
+    indeg = {v: 0 for v in nodes}
+    for r in edges:
+        indeg[r["neighbor_id"]] += 1
+    hist: dict = {}
+    for d in indeg.values():
+        hist[d] = hist.get(d, 0) + 1
+    n = len(nodes)
+    s1 = sum(d * c for d, c in hist.items())
+    s2 = sum(d * d * c for d, c in hist.items())
+    s3 = sum(d * d * d * c for d, c in hist.items())
+    skew_num = n * n * s3 - 3 * n * s1 * s2 + 2 * s1**3
+    rows = QUERIES["ann_hubness_profile"](spark, sf_dir).collect()
+    got = {r["in_degree"]: r for r in rows}
+    assert {d: r["n_nodes"] for d, r in got.items()} == hist
+    any_row = rows[0]
+    assert any_row["n"] == n
+    assert any_row["mean_deg_e3"] == (s1 * 1000) // n
+    assert any_row["skew_sign"] == (
+        1 if skew_num > 0 else -1 if skew_num < 0 else 0
+    )
+    assert sum(r["n_nodes"] for r in rows) == n
