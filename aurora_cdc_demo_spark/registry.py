@@ -22535,3 +22535,107 @@ def q_ann_hubness_profile(spark, sf_dir):
         "embeddings"
     )
     return spark.sql(_hubness_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Quantile treatment effects across hash arms
+# ---------------------------------------------------------------------------
+
+_QTE_GRID = (25, 50, 75)
+
+
+def _qte_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    grid = ", ".join(f"({q})" for q in _QTE_GRID)
+    if dialect == "spark":
+        arm = (
+            "CAST(conv(substring(md5(concat('ab:',"
+            " CAST(user_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            " % 2"
+        )
+    else:
+        arm = (
+            "CAST('0x' || substr(md5('ab:' ||"
+            " CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 2"
+        )
+    return f"""
+        WITH v AS (
+            SELECT {arm} AS arm,
+                   CAST(ROUND(value * 100) AS BIGINT) AS c
+            FROM events)
+        , mm AS (
+            SELECT arm, MIN(c) AS lo, MAX(c) AS hi,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM v GROUP BY arm)
+        , banded AS (
+            SELECT v.arm, v.c,
+                   ((v.c - m.lo) * {_GPCT_BANDS})
+                       {div} (m.hi - m.lo + 1) AS band
+            FROM v JOIN mm m ON m.arm = v.arm)
+        , bsum AS (
+            SELECT arm, band, CAST(COUNT(*) AS BIGINT) AS bn
+            FROM banded GROUP BY arm, band)
+        , bpre AS (
+            SELECT arm, band,
+                   CAST(COALESCE(SUM(bn) OVER (
+                       PARTITION BY arm ORDER BY band ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS BIGINT) AS prefix,
+                   CAST(SUM(bn) OVER (
+                       PARTITION BY arm ORDER BY band ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS cbn
+            FROM bsum)
+        , grid AS (SELECT * FROM (VALUES {grid}) AS g(q_pct))
+        , targets AS (
+            SELECT m.arm, g.q_pct,
+                   CAST((g.q_pct * m.n + 99) {div} 100 AS BIGINT)
+                       AS target_rank
+            FROM mm m CROSS JOIN grid g)
+        , crossing AS (
+            SELECT t.arm, t.q_pct, t.target_rank,
+                   CAST(MIN(p.band) AS BIGINT) AS band
+            FROM targets t
+            JOIN bpre p ON p.arm = t.arm AND p.cbn >= t.target_rank
+            GROUP BY t.arm, t.q_pct, t.target_rank)
+        , ranked AS (
+            SELECT arm, band, c,
+                   row_number() OVER (
+                       PARTITION BY arm, band ORDER BY c ASC) AS wr
+            FROM banded)
+        , qs AS (
+            SELECT x.arm, x.q_pct,
+                   CAST(MIN(r.c) AS BIGINT) AS value_cents
+            FROM crossing x
+            JOIN bpre p ON p.arm = x.arm AND p.band = x.band
+            JOIN ranked r ON r.arm = x.arm AND r.band = x.band
+                         AND r.wr = x.target_rank - p.prefix
+            GROUP BY x.arm, x.q_pct)
+        SELECT a.q_pct,
+               a.value_cents AS q_arm0_cents,
+               b.value_cents AS q_arm1_cents,
+               CAST(b.value_cents - a.value_cents AS BIGINT)
+                   AS qte_cents
+        FROM qs a JOIN qs b ON b.q_pct = a.q_pct
+        WHERE a.arm = 0 AND b.arm = 1
+    """
+
+
+@query("events_arm_quantile_effects", oracle=_qte_sql("duck"))
+def q_events_arm_quantile_effects(spark, sf_dir):
+    """QUANTILE TREATMENT EFFECTS — the distributional readout the
+    mean-only A/B table (#325) and DiD (#367) hide: a treatment
+    that lifts the p75 while crushing the p25 reads as 'no effect'
+    on the mean; per-quantile arm differences (exact, not approx —
+    the #377 grouped band-prefix machinery keyed by the md5 arm)
+    localize WHERE in the distribution the effect lives. On the
+    untreated corpus every QTE ≈ 0 — the distributional placebo
+    beside #371's SRM and #367's mean placebo, all three of which
+    a healthy experiment pipeline runs together.
+
+    Scale: #377's plan shape with arm as the group key — nothing
+    new to operate, which is the point of building percentiles as
+    a reusable decomposition."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_qte_sql("spark"))

@@ -2435,3 +2435,45 @@ def test_hubness_profile_recomputes(spark, sf_dir):
         1 if skew_num > 0 else -1 if skew_num < 0 else 0
     )
     assert sum(r["n_nodes"] for r in rows) == n
+
+
+def test_qte_placebo_and_exactness(spark, sf_dir):
+    """Per-arm quantiles equal full per-arm sorted picks; QTE ≈ 0
+    on the untreated corpus (placebo band)."""
+    import hashlib
+
+    import duckdb
+
+    from aurora_cdc_demo_spark.registry import _QTE_GRID, QUERIES
+
+    con = duckdb.connect()
+    vals = con.execute(
+        f"SELECT user_id, CAST(ROUND(value * 100) AS BIGINT)"
+        f" FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    arms: dict = {0: [], 1: []}
+    for u, c in vals:
+        arm = (
+            int(
+                hashlib.md5(f"ab:{u}".encode()).hexdigest()[:8], 16
+            )
+            % 2
+        )
+        arms[arm].append(c)
+    for a in arms:
+        arms[a].sort()
+    rows = {
+        r["q_pct"]: r
+        for r in QUERIES["events_arm_quantile_effects"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == set(_QTE_GRID)
+    for q, r in rows.items():
+        for arm, col in ((0, "q_arm0_cents"), (1, "q_arm1_cents")):
+            xs = arms[arm]
+            t = (q * len(xs) + 99) // 100
+            assert r[col] == xs[t - 1]
+        assert r["qte_cents"] == r["q_arm1_cents"] - r["q_arm0_cents"]
+        # placebo: same generator both arms
+        assert abs(r["qte_cents"]) < 2000
