@@ -2477,3 +2477,102 @@ def test_qte_placebo_and_exactness(spark, sf_dir):
         assert r["qte_cents"] == r["q_arm1_cents"] - r["q_arm0_cents"]
         # placebo: same generator both arms
         assert abs(r["qte_cents"]) < 2000
+
+
+def test_streaming_merkle_leaves_merge_additively(
+    spark, sf_dir, tmp_path
+):
+    """#366's leaf layer is maintainable by foreachBatch: chunk
+    checksums are SUMs of per-row hashes, so per-micro-batch chunk
+    sums ADD to the batch chunk sums — and identical leaves force
+    an identical Merkle root. Stream side uses the events-log
+    stream (#326's side A)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from aurora_cdc_demo_spark.registry import QUERIES
+    from aurora_cdc_demo_spark.sources.cdc_log import (
+        cdc_operation_log,
+    )
+    from aurora_cdc_demo_spark.streaming.pipelines import (
+        read_cdc_stream,
+    )
+
+    # write the log as a 2-chunk file stream (same fixture shape
+    # as test_streaming.log_dir, local to keep fixtures decoupled)
+    out_in = tmp_path / "merkle_stream_in"
+    log = cdc_operation_log(spark, sf_dir)
+    split = F.to_timestamp(F.lit("2024-01-16 00:00:00"))
+    log.where(F.col("ts") < split).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(out_in / "b0"))
+    log.where(F.col("ts") >= split).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(out_in / "b1"))
+    import shutil
+    from pathlib import Path
+
+    flat = tmp_path / "merkle_flat"
+    flat.mkdir()
+    i = 0
+    for sub in ("b0", "b1"):
+        for f in sorted(Path(out_in, sub).glob("*.parquet")):
+            shutil.copy(f, flat / f"{i:03d}.parquet")
+            i += 1
+
+    out = str(tmp_path / "merkle_batches")
+    chunk_expr = (
+        "key_id div 10 AS chunk",
+        "CAST(conv(substring(md5(CAST(key_id AS STRING) || '|' ||"
+        " CAST(seq AS STRING) || '|' || operation), 1, 8), 16, 10)"
+        " AS BIGINT) AS h",
+    )
+
+    def apply_batch(batch_df, batch_id):
+        (
+            batch_df.where("key_id IS NOT NULL AND seq % 251 <> 250")
+            .selectExpr(*chunk_expr)
+            .groupBy("chunk")
+            .agg(
+                F.sum("h").alias("checksum"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        spark.readStream.schema(log.schema)
+        .parquet(str(flat))
+        .writeStream.foreachBatch(apply_batch)
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt_merkle")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    merged = {
+        r["chunk"]: (r["cs"], r["nr"])
+        for r in spark.read.parquet(out)
+        .groupBy("chunk")
+        .agg(
+            F.sum("checksum").alias("cs"), F.sum("n_rows").alias("nr")
+        )
+        .collect()
+    }
+    want = {
+        r["chunk"]: (r["cs"], r["nr"])
+        for r in log.where(
+            "key_id IS NOT NULL AND seq % 251 <> 250"
+        )
+        .selectExpr(*chunk_expr)
+        .groupBy("chunk")
+        .agg(
+            F.sum("h").alias("cs"), F.count(F.lit(1)).alias("nr")
+        )
+        .collect()
+    }
+    assert merged == want
