@@ -22639,3 +22639,58 @@ def q_events_arm_quantile_effects(spark, sf_dir):
     ensure_utc(spark)
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_qte_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Change-data-feed export (Delta CDF conventions)
+# ---------------------------------------------------------------------------
+
+
+def _change_feed_sql(dialect: str) -> str:
+    body = """
+        , with_prev AS (
+            SELECT key_id, seq, operation, value,
+                   lag(value) OVER (
+                       PARTITION BY key_id ORDER BY ts ASC, seq ASC)
+                       AS prev_value
+            FROM log)
+        , feed AS (
+            SELECT key_id, seq, 'insert' AS change_type, value
+            FROM with_prev WHERE operation = 'INSERT'
+            UNION ALL
+            SELECT key_id, seq, 'update_preimage', prev_value
+            FROM with_prev
+            WHERE operation = 'UPDATE' AND prev_value IS NOT NULL
+            UNION ALL
+            SELECT key_id, seq, 'update_postimage', value
+            FROM with_prev WHERE operation = 'UPDATE'
+            UNION ALL
+            SELECT key_id, seq, 'delete', prev_value
+            FROM with_prev WHERE operation = 'DELETE')
+        SELECT key_id, seq, change_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+        FROM feed
+    """
+    return _with_log(body)
+
+
+@query("cdc_change_feed", oracle=_change_feed_sql("duck"))
+def q_cdc_change_feed(spark, sf_dir):
+    """CHANGE DATA FEED export — the operation log re-expressed in
+    the lakehouse-standard CDF row convention (Delta's
+    _change_type vocabulary: insert / update_preimage /
+    update_postimage / delete): UPDATEs emit TWO rows (the
+    before-image reconstructed by a per-key lag — the log is
+    post-image-only, exactly the reconstruction a CDF writer does
+    from a post-image CDC source), DELETEs carry the last known
+    value as their image. This is the interop surface: any
+    consumer written against Delta CDF (merge materializers,
+    audit diffing, downstream IVM) reads THIS view unchanged —
+    seq plays _commit_version.
+
+    Scale: one key-partitioned lag window (the #3 SCD2 shuffle),
+    four filter arms over the SAME windowed scan (no re-scans —
+    the arms are projections of with_prev), fact-linear output."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_change_feed_sql("spark"))

