@@ -22694,3 +22694,69 @@ def q_cdc_change_feed(spark, sf_dir):
     ensure_utc(spark)
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_change_feed_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Seasonal / trend strength over the STL decomposition
+# ---------------------------------------------------------------------------
+
+
+def _stl_strength_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    big = "DECIMAL(38,0)" if dialect == "spark" else "HUGEINT"
+    stl = ORACLES["events_stl_decomposition"]
+    src = f"({stl})" if dialect != "spark" else "stl_strength_src"
+    return f"""
+        WITH stl AS (
+            SELECT seasonal_dow AS s, residual AS r,
+                   n_events - trend_ma7 AS detrended
+            FROM {src}
+            WHERE trend_ma7 IS NOT NULL AND residual IS NOT NULL)
+        , sums AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(r) AS BIGINT) AS sr,
+                   CAST(SUM(r * r) AS BIGINT) AS srr,
+                   CAST(SUM(detrended) AS BIGINT) AS sd,
+                   CAST(SUM(detrended * detrended) AS BIGINT) AS sdd
+            FROM stl)
+        SELECT n,
+               CAST(CAST(n AS {big}) * srr
+                    - CAST(sr AS {big}) * sr AS BIGINT)
+                   AS var_resid_num,
+               CAST(CAST(n AS {big}) * sdd
+                    - CAST(sd AS {big}) * sd AS BIGINT)
+                   AS var_detrended_num,
+               CAST(GREATEST(CAST(0 AS BIGINT),
+                    1000000
+                    - CAST(((CAST(n AS {big}) * srr
+                             - CAST(sr AS {big}) * sr) * 1000000)
+                           {div} GREATEST(CAST(1 AS {big}),
+                                 CAST(n AS {big}) * sdd
+                                 - CAST(sd AS {big}) * sd)
+                          AS BIGINT)) AS BIGINT)
+                   AS seasonal_strength_ppm
+        FROM sums
+    """
+
+
+@query("events_seasonal_strength", oracle=_stl_strength_sql("duck"))
+def q_events_seasonal_strength(spark, sf_dir):
+    """SEASONAL STRENGTH (Hyndman's F_s = max(0, 1 −
+    Var(remainder)/Var(detrended)) — the scalar that says whether
+    the weekly pattern #268 decomposes actually MATTERS): computed
+    over the already-oracle-checked STL rows with exact integer
+    variance numerators (n·Σx² − (Σx)², DECIMAL(38,0)/HUGEINT),
+    the ratio floored to ppm and clamped at 0 — a strength near 0
+    means the 'seasonal' component is noise and the #255
+    seasonal-naive baseline should lose to plain EWMA; near 1e6
+    means schedule-aware capacity planning pays. The forecasting
+    family's model-selection scalar.
+
+    Scale: the STL pass is #268's plan; this adds one 5-sum
+    aggregate and scalar algebra."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    QUERIES["events_stl_decomposition"](
+        spark, sf_dir
+    ).createOrReplaceTempView("stl_strength_src")
+    return spark.sql(_stl_strength_sql("spark"))

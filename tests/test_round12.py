@@ -2608,3 +2608,27 @@ def test_change_feed_cdf_conventions(spark, sf_dir):
             assert kinds == sorted(want)
         elif r["operation"] == "DELETE":
             assert kinds in (["delete"], [])  # no-preimage delete
+
+
+def test_seasonal_strength_recomputes_and_bounds(spark, sf_dir):
+    from aurora_cdc_demo_spark.registry import QUERIES
+
+    stl = [
+        r
+        for r in QUERIES["events_stl_decomposition"](
+            spark, sf_dir
+        ).collect()
+        if r["trend_ma7"] is not None and r["residual"] is not None
+    ]
+    n = len(stl)
+    rs = [r["residual"] for r in stl]
+    ds = [r["n_events"] - r["trend_ma7"] for r in stl]
+    var_r = n * sum(x * x for x in rs) - sum(rs) ** 2
+    var_d = n * sum(x * x for x in ds) - sum(ds) ** 2
+    want = max(0, 1000000 - (var_r * 1000000) // max(1, var_d))
+    r = QUERIES["events_seasonal_strength"](spark, sf_dir).collect()[0]
+    assert r["n"] == n
+    assert r["var_resid_num"] == var_r
+    assert r["var_detrended_num"] == var_d
+    assert r["seasonal_strength_ppm"] == want
+    assert 0 <= want <= 1000000
