@@ -22760,3 +22760,56 @@ def q_events_seasonal_strength(spark, sf_dir):
         spark, sf_dir
     ).createOrReplaceTempView("stl_strength_src")
     return spark.sql(_stl_strength_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Customer revenue Gini (warehouse-grain concentration)
+# ---------------------------------------------------------------------------
+
+
+def _revenue_gini_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    big = "DECIMAL(38,0)" if dialect == "spark" else "HUGEINT"
+    return f"""
+        WITH per AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100)
+                        AS BIGINT)) AS BIGINT) AS rev_e2
+            FROM orders GROUP BY o_custkey)
+        , ranked AS (
+            SELECT rev_e2,
+                   CAST(row_number() OVER (
+                       ORDER BY rev_e2 ASC, o_custkey ASC)
+                       AS BIGINT) AS i
+            FROM per)
+        , sums AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(rev_e2) AS BIGINT) AS tot,
+                   CAST(SUM(i * rev_e2) AS BIGINT) AS weighted
+            FROM ranked)
+        SELECT n, tot AS total_rev_e2,
+               CAST((2 * CAST(weighted AS {big})
+                     - (CAST(n AS {big}) + 1) * tot) * 1000000
+                    {div} (CAST(n AS {big}) * tot) AS BIGINT)
+                   AS gini_ppm
+        FROM sums
+    """
+
+
+@query("customer_revenue_gini", oracle=_revenue_gini_sql("duck"))
+def q_customer_revenue_gini(spark, sf_dir):
+    """CUSTOMER REVENUE GINI — the warehouse-grain concentration
+    scalar beside the behavioral event-count Gini (#233) and the
+    Lorenz deciles (#272): with customers ranked ascending by
+    revenue, G = (2Σi·xᵢ − (n+1)Σx) / (nΣx) exactly (the
+    rank-weighted closed form — no pair enumeration), e6-floored
+    in DECIMAL(38,0)/HUGEINT. One number answering 'how top-heavy
+    is the book of business' — feeds the same dashboards as HHI
+    (#178), which measures supplier-side concentration.
+
+    Scale: one fact→customer aggregate, one rank window at
+    CUSTOMER grain (dimension-sized; #132's bucket-prefix at fact
+    scale), a 3-sum scalar."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_revenue_gini_sql("spark"))

@@ -2632,3 +2632,31 @@ def test_seasonal_strength_recomputes_and_bounds(spark, sf_dir):
     assert r["var_detrended_num"] == var_d
     assert r["seasonal_strength_ppm"] == want
     assert 0 <= want <= 1000000
+
+
+def test_revenue_gini_matches_python_closed_form(spark, sf_dir):
+    import duckdb
+
+    from aurora_cdc_demo_spark.registry import QUERIES
+
+    con = duckdb.connect()
+    per = con.execute(
+        f"""
+        SELECT o_custkey, SUM(CAST(ROUND(o_totalprice * 100)
+               AS BIGINT))
+        FROM '{sf_dir}/orders.parquet' GROUP BY 1
+        """
+    ).fetchall()
+    xs = [
+        x
+        for _, x in sorted(per, key=lambda r: (r[1], r[0]))
+    ]
+    n = len(xs)
+    tot = sum(xs)
+    weighted = sum((i + 1) * x for i, x in enumerate(xs))
+    want = ((2 * weighted - (n + 1) * tot) * 1000000) // (n * tot)
+    r = QUERIES["customer_revenue_gini"](spark, sf_dir).collect()[0]
+    assert r["n"] == n
+    assert r["total_rev_e2"] == tot
+    assert r["gini_ppm"] == want
+    assert 0 <= want < 1000000
