@@ -22813,3 +22813,66 @@ def q_customer_revenue_gini(spark, sf_dir):
     ensure_utc(spark)
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_revenue_gini_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Error-budget burn (SRE SLO accounting)
+# ---------------------------------------------------------------------------
+
+_SLO_BUDGET_BP = 2100  # allowed error share (synthetic corpus ~21%)
+
+
+def _error_budget_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    us = "unix_micros" if dialect == "spark" else "epoch_us"
+    return f"""
+        WITH b AS (
+            SELECT MIN({us}(ts)) AS t0 FROM events)
+        , daily AS (
+            SELECT ({us}(ts) - b.t0) {div} 86400000000 AS day_idx,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CASE WHEN event_type = 'error'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+            FROM events CROSS JOIN b
+            GROUP BY ({us}(ts) - b.t0) {div} 86400000000)
+        , cum AS (
+            SELECT day_idx, n_events, n_errors,
+                   CAST(SUM(n_events) OVER w AS BIGINT) AS cum_events,
+                   CAST(SUM(n_errors) OVER w AS BIGINT) AS cum_errors
+            FROM daily
+            WINDOW w AS (ORDER BY day_idx ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW))
+        SELECT day_idx, n_events, n_errors,
+               cum_events, cum_errors,
+               CAST((cum_events * {_SLO_BUDGET_BP}) {div} 10000
+                   AS BIGINT) AS budget_errors,
+               CAST((n_errors * 10000)
+                    {div} GREATEST(CAST(1 AS BIGINT), n_events)
+                   AS BIGINT) AS day_error_bp,
+               CAST(CASE WHEN cum_errors
+                              > (cum_events * {_SLO_BUDGET_BP})
+                                {div} 10000
+                    THEN 1 ELSE 0 END AS BIGINT) AS budget_exhausted
+        FROM cum
+    """
+
+
+@query("events_error_budget_burn", oracle=_error_budget_sql("duck"))
+def q_events_error_budget_burn(spark, sf_dir):
+    """ERROR-BUDGET BURN (the SRE workbook's SLO accounting): with
+    an allowed error share of {B} bp, each day's ledger row carries
+    the daily error rate, the cumulative errors vs the cumulative
+    BUDGET (allowed = cum_events·budget/10000 — the budget grows
+    with traffic, which is what distinguishes burn accounting from
+    a fixed threshold), and the exhausted flag — the day the flag
+    first sets is when feature freezes kick in under the SRE
+    contract. Beside the alerting screens (#8 error monitor finds
+    spikes, #206 CUSUM level shifts) this is the POLICY view:
+    budgeted, cumulative, and deterministic.
+
+    Scale: one day-grain aggregate + one calendar-bounded
+    cumulative window.""".replace("{B}", str(_SLO_BUDGET_BP))
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_error_budget_sql("spark"))

@@ -2660,3 +2660,36 @@ def test_revenue_gini_matches_python_closed_form(spark, sf_dir):
     assert r["total_rev_e2"] == tot
     assert r["gini_ppm"] == want
     assert 0 <= want < 1000000
+
+
+def test_error_budget_ledger_telescopes(spark, sf_dir):
+    """Cumulative columns telescope; the exhausted flag matches
+    the cumulative comparison each day; totals match raw."""
+    import duckdb
+
+    from aurora_cdc_demo_spark.registry import (
+        _SLO_BUDGET_BP,
+        QUERIES,
+    )
+
+    rows = sorted(
+        QUERIES["events_error_budget_burn"](
+            spark, sf_dir
+        ).collect(),
+        key=lambda r: r["day_idx"],
+    )
+    ce = cr = 0
+    for r in rows:
+        ce += r["n_events"]
+        cr += r["n_errors"]
+        assert r["cum_events"] == ce
+        assert r["cum_errors"] == cr
+        budget = (ce * _SLO_BUDGET_BP) // 10000
+        assert r["budget_errors"] == budget
+        assert r["budget_exhausted"] == (1 if cr > budget else 0)
+    con = duckdb.connect()
+    n, ne = con.execute(
+        f"SELECT COUNT(*), SUM(CASE WHEN event_type = 'error'"
+        f" THEN 1 ELSE 0 END) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()
+    assert ce == n and cr == ne
