@@ -22876,3 +22876,55 @@ def q_events_error_budget_burn(spark, sf_dir):
     ensure_utc(spark)
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_error_budget_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Global transitivity over the KNN graph
+# ---------------------------------------------------------------------------
+
+
+def _transitivity_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    tri = ORACLES["graph_triangle_knn"]
+    src = f"({tri})" if dialect != "spark" else "transitivity_src"
+    return f"""
+        WITH t AS (
+            SELECT vec_id, degree, triangles, clustering_bp
+            FROM {src})
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(triangles) AS BIGINT) AS sum_closed_triads,
+               CAST(SUM((degree * (degree - 1)) {div} 2) AS BIGINT)
+                   AS sum_wedges,
+               CAST((SUM(triangles) * 1000000)
+                    {div} GREATEST(CAST(1 AS BIGINT),
+                          SUM((degree * (degree - 1)) {div} 2))
+                   AS BIGINT) AS transitivity_ppm,
+               CAST(SUM(clustering_bp) {div} COUNT(*) AS BIGINT)
+                   AS mean_local_clustering_bp
+        FROM t
+    """
+
+
+@query("graph_transitivity_knn", oracle=_transitivity_sql("duck"))
+def q_graph_transitivity_knn(spark, sf_dir):
+    """GLOBAL TRANSITIVITY of the KNN graph — the one-number
+    small-world diagnosis the per-node table (#149) rolls up to:
+    transitivity = closed triads / wedges (each triangle is
+    counted once PER VERTEX by #149, and a wedge is d(d−1)/2 per
+    center, so the ratio is exactly 3T/W), beside Watts-Strogatz
+    MEAN LOCAL clustering — the two disagree precisely when hubs
+    (#393) close few of their many wedges, which is why both
+    belong in one row. High transitivity + short BFS reach (#300)
+    = the small-world regime where graph-walk ANN (#293/#350)
+    earns its keep.
+
+    Scale: a 5-sum aggregate over #149's already-bounded per-node
+    output."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    QUERIES["graph_triangle_knn"](spark, sf_dir).createOrReplaceTempView(
+        "transitivity_src"
+    )
+    return spark.sql(_transitivity_sql("spark"))

@@ -2693,3 +2693,25 @@ def test_error_budget_ledger_telescopes(spark, sf_dir):
         f" THEN 1 ELSE 0 END) FROM '{sf_dir}/events.parquet'"
     ).fetchone()
     assert ce == n and cr == ne
+
+
+def test_transitivity_rollup_consistent(spark, sf_dir):
+    """Global row recomputes from the per-node table; transitivity
+    and mean local clustering both land in [0, 1]."""
+    from aurora_cdc_demo_spark.registry import QUERIES
+
+    per = QUERIES["graph_triangle_knn"](spark, sf_dir).collect()
+    tri = sum(r["triangles"] for r in per)
+    wed = sum(
+        r["degree"] * (r["degree"] - 1) // 2 for r in per
+    )
+    r = QUERIES["graph_transitivity_knn"](spark, sf_dir).collect()[0]
+    assert r["n_nodes"] == len(per)
+    assert r["sum_closed_triads"] == tri
+    assert r["sum_wedges"] == wed
+    assert r["transitivity_ppm"] == (tri * 1000000) // max(1, wed)
+    assert 0 <= r["transitivity_ppm"] <= 1000000
+    assert (
+        r["mean_local_clustering_bp"]
+        == sum(x["clustering_bp"] for x in per) // len(per)
+    )
