@@ -22928,3 +22928,78 @@ def q_graph_transitivity_knn(spark, sf_dir):
         "transitivity_src"
     )
     return spark.sql(_transitivity_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Exact stratified train/val/test split (80/10/10 per stratum)
+# ---------------------------------------------------------------------------
+
+_SPLIT_BP = (8000, 1000, 1000)  # train/val/test in bp
+
+
+def _three_way_split_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    if dialect == "spark":
+        h = (
+            "CAST(conv(substring(md5(concat('split:',"
+            " CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        )
+    else:
+        h = (
+            "CAST('0x' || substr(md5('split:' ||"
+            " CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+        )
+    t_bp, v_bp, _ = _SPLIT_BP
+    return f"""
+        WITH sizes AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY source)
+        , cuts AS (
+            SELECT source, n,
+                   (n * {t_bp}) {div} 10000 AS n_train,
+                   (n * {t_bp + v_bp}) {div} 10000 AS n_train_val
+            FROM sizes)
+        , ranked AS (
+            SELECT d.doc_id, d.source,
+                   CAST(row_number() OVER (
+                       PARTITION BY d.source
+                       ORDER BY {h} ASC, d.doc_id ASC) AS BIGINT)
+                       AS rn
+            FROM documents d)
+        , assigned AS (
+            SELECT r.doc_id, r.source,
+                   CASE WHEN r.rn <= c.n_train THEN 'train'
+                        WHEN r.rn <= c.n_train_val THEN 'val'
+                        ELSE 'test' END AS split
+            FROM ranked r JOIN cuts c ON c.source = r.source)
+        SELECT source, split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+               CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+        FROM assigned GROUP BY source, split
+    """
+
+
+@query("sample_three_way_split", oracle=_three_way_split_sql("duck"))
+def q_sample_three_way_split(spark, sf_dir):
+    """EXACT STRATIFIED TRAIN/VAL/TEST SPLIT — the canonical ML
+    partition with the guarantee global hash-thresholding (#236)
+    cannot give: WITHIN EVERY STRATUM the 80/10/10 counts are
+    exact (floor cuts on the per-source hash-rank, so |train| =
+    ⌊0.8n⌋ per source — no stratum drifts even when it is small,
+    which is where binomial noise bites hardest), assignment is a
+    pure function of doc_id (reproducible, join-free to apply
+    downstream), and membership is content-stable under corpus
+    growth ONLY within the rank prefix (documented: exact-count
+    splits trade the #236 stability property for exactness — both
+    splitters ship because both contracts are real). Census output
+    (per source × split counts + id spans); the doc-grain
+    assignment is the ranked CTE a consumer materializes.
+
+    Scale: one per-stratum rank window (TakeOrdered shape), census
+    aggregate."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_three_way_split_sql("spark"))

@@ -2715,3 +2715,34 @@ def test_transitivity_rollup_consistent(spark, sf_dir):
         r["mean_local_clustering_bp"]
         == sum(x["clustering_bp"] for x in per) // len(per)
     )
+
+
+def test_three_way_split_exact_per_stratum(spark, sf_dir):
+    """Within every source: |train| = floor(0.8n), |val| =
+    floor(0.9n) - floor(0.8n), |test| = rest; splits partition."""
+    import duckdb
+
+    from aurora_cdc_demo_spark.registry import QUERIES
+
+    con = duckdb.connect()
+    sizes = dict(
+        con.execute(
+            f"SELECT source, COUNT(*)"
+            f" FROM '{sf_dir}/documents.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    rows = QUERIES["sample_three_way_split"](
+        spark, sf_dir
+    ).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], {})[r["split"]] = r["n_docs"]
+    assert set(by_src) == set(sizes)
+    for src, n in sizes.items():
+        got = by_src[src]
+        t = (n * 8000) // 10000
+        tv = (n * 9000) // 10000
+        assert got.get("train", 0) == t
+        assert got.get("val", 0) == tv - t
+        assert got.get("test", 0) == n - tv
+        assert sum(got.values()) == n
