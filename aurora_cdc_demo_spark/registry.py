@@ -23003,3 +23003,80 @@ def q_sample_three_way_split(spark, sf_dir):
         "documents"
     )
     return spark.sql(_three_way_split_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Interval-union coverage (global busy time) over sessions
+# ---------------------------------------------------------------------------
+
+
+def _coverage_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    us = "unix_micros" if dialect == "spark" else "epoch_us"
+    sess = ORACLES["cdc_sessionize"]
+    src = f"({sess})" if dialect != "spark" else "coverage_sessions"
+    return f"""
+        WITH s AS (
+            SELECT {us}(session_start) AS a, {us}(session_end) AS b
+            FROM {src})
+        , bounds AS (
+            SELECT a AS t, 1 AS delta FROM s
+            UNION ALL
+            SELECT b AS t, -1 FROM s)
+        , swept AS (
+            SELECT t, delta,
+                   CAST(SUM(delta) OVER (
+                       ORDER BY t ASC, delta DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS conc,
+                   lead(t) OVER (ORDER BY t ASC, delta DESC)
+                       AS next_t
+            FROM bounds)
+        , segs AS (
+            SELECT CAST(SUM(CASE WHEN conc > 0
+                        THEN next_t - t ELSE 0 END) AS BIGINT)
+                       AS covered_us
+            FROM swept WHERE next_t IS NOT NULL)
+        , tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   CAST(SUM(b - a) AS BIGINT) AS sum_dur_us,
+                   CAST(MAX(b) - MIN(a) AS BIGINT) AS span_us
+            FROM s)
+        SELECT t.n_sessions,
+               CAST(t.sum_dur_us {div} 1000000 AS BIGINT)
+                   AS sum_duration_s,
+               CAST(g.covered_us {div} 1000000 AS BIGINT)
+                   AS covered_s,
+               CAST(t.span_us {div} 1000000 AS BIGINT) AS span_s,
+               CAST((t.sum_dur_us * 1000)
+                    {div} GREATEST(CAST(1 AS BIGINT), g.covered_us)
+                   AS BIGINT) AS overlap_factor_e3,
+               CAST((g.covered_us * 10000)
+                    {div} GREATEST(CAST(1 AS BIGINT), t.span_us)
+                   AS BIGINT) AS busy_share_bp
+        FROM segs g CROSS JOIN tot t
+    """
+
+
+@query("events_session_coverage", oracle=_coverage_sql("duck"))
+def q_events_session_coverage(spark, sf_dir):
+    """INTERVAL-UNION COVERAGE — the classic sweep problem 'how
+    much wall-clock was AT LEAST ONE session active' that neither
+    Σ durations (double-counts overlap) nor the span (counts idle
+    gaps) answers: ±1 boundary events, a running concurrency sum
+    (the #295 peak-concurrency sweep), and the summed lengths of
+    segments where concurrency > 0. The derived pair is the
+    operational story: overlap_factor = Σdur/covered (×1000 — how
+    many sessions deep the busy time runs, Little's L̄ restricted
+    to busy periods) and busy_share = covered/span (utilization).
+
+    Scale: sessions come from #9's chain; the sweep is one ordered
+    window over 2·sessions boundary rows (band-prefix
+    decomposable by time bucket per #287's layout sweep if
+    boundaries reach fact scale — stated)."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    QUERIES["cdc_sessionize"](spark, sf_dir).createOrReplaceTempView(
+        "coverage_sessions"
+    )
+    return spark.sql(_coverage_sql("spark"))

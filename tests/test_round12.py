@@ -2746,3 +2746,40 @@ def test_three_way_split_exact_per_stratum(spark, sf_dir):
         assert got.get("val", 0) == tv - t
         assert got.get("test", 0) == n - tv
         assert sum(got.values()) == n
+
+
+def test_session_coverage_sweep_matches_python(spark, sf_dir):
+    """Covered time recomputes by merging intervals in Python;
+    bounds: covered <= span, covered <= sum durations, and
+    busy/overlap identities hold."""
+    from aurora_cdc_demo_spark.registry import QUERIES
+
+    sess = QUERIES["cdc_sessionize"](spark, sf_dir).collect()
+    ivs = sorted(
+        (
+            int(r["session_start"].timestamp() * 1_000_000),
+            int(r["session_end"].timestamp() * 1_000_000),
+        )
+        for r in sess
+    )
+    covered = 0
+    cur_a, cur_b = ivs[0]
+    for a, b in ivs[1:]:
+        if a > cur_b:
+            covered += cur_b - cur_a
+            cur_a, cur_b = a, b
+        else:
+            cur_b = max(cur_b, b)
+    covered += cur_b - cur_a
+    sum_dur = sum(b - a for a, b in ivs)
+    span = max(b for _, b in ivs) - min(a for a, _ in ivs)
+    r = QUERIES["events_session_coverage"](spark, sf_dir).collect()[0]
+    assert r["n_sessions"] == len(ivs)
+    assert r["covered_s"] == covered // 1_000_000
+    assert r["sum_duration_s"] == sum_dur // 1_000_000
+    assert r["span_s"] == span // 1_000_000
+    assert r["overlap_factor_e3"] == (sum_dur * 1000) // max(
+        1, covered
+    )
+    assert r["busy_share_bp"] == (covered * 10000) // max(1, span)
+    assert covered <= span and covered <= sum_dur
