@@ -23080,3 +23080,79 @@ def q_events_session_coverage(spark, sf_dir):
         "coverage_sessions"
     )
     return spark.sql(_coverage_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Allen interval-algebra census over session pairs
+# ---------------------------------------------------------------------------
+
+
+def _allen_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    us = "unix_micros" if dialect == "spark" else "epoch_us"
+    sess = ORACLES["cdc_sessionize"]
+    src = f"({sess})" if dialect != "spark" else "allen_sessions"
+    return f"""
+        WITH s AS (
+            SELECT key_id, session_id,
+                   {us}(session_start) AS a, {us}(session_end) AS b,
+                   {us}(session_start) {div} 3600000000 AS hr
+            FROM {src})
+        , pairs AS (
+            SELECT x.a AS a1, x.b AS b1, y.a AS a2, y.b AS b2
+            FROM s x JOIN s y
+              ON y.hr = x.hr
+             AND (x.key_id < y.key_id
+                  OR (x.key_id = y.key_id
+                      AND x.session_id < y.session_id)))
+        , classed AS (
+            SELECT CASE
+                WHEN b1 < a2 THEN 'before'
+                WHEN b1 = a2 THEN 'meets'
+                WHEN a1 = a2 AND b1 = b2 THEN 'equals'
+                WHEN a1 = a2 AND b1 < b2 THEN 'starts'
+                WHEN a1 = a2 THEN 'started_by'
+                WHEN b1 = b2 AND a1 > a2 THEN 'finishes'
+                WHEN b1 = b2 THEN 'finished_by'
+                WHEN a1 > a2 AND b1 < b2 THEN 'during'
+                WHEN a1 < a2 AND b1 > b2 THEN 'contains'
+                WHEN a1 < a2 AND b1 > a2 AND b1 < b2 THEN 'overlaps'
+                WHEN a2 < a1 AND b2 > a1 AND b2 < b1
+                    THEN 'overlapped_by'
+                WHEN b2 < a1 THEN 'after'
+                WHEN b2 = a1 THEN 'met_by'
+                ELSE 'other' END AS relation
+            FROM pairs)
+        , tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n FROM classed)
+        SELECT c.relation, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST((COUNT(*) * 10000) {div} t.n AS BIGINT)
+                   AS share_bp
+        FROM classed c CROSS JOIN tot t
+        GROUP BY c.relation, t.n
+    """
+
+
+@query("events_allen_relations", oracle=_allen_sql("duck"))
+def q_events_allen_relations(spark, sf_dir):
+    """ALLEN INTERVAL ALGEBRA census (Allen 1983 — the 13 temporal
+    relations every two intervals stand in EXACTLY ONE of): session
+    pairs starting in the same hour (the stated candidate
+    population — the #59 banded-join rule keeping pairs linear)
+    classified into before/meets/overlaps/starts/during/finishes +
+    inverses + equals, with the ordered CASE implementing the
+    mutually-exclusive definitions. The temporal-LOGIC view the
+    metric sweeps (#295 concurrency, #401 coverage) aggregate
+    away: 'during' mass = nested usage (tab-in-tab bots), 'meets'
+    = suspicious back-to-back continuation, 'equals' = duplicated
+    session pipelines. Exclusivity (no 'other' row) pinned in
+    pytest — the algebra's own completeness theorem as a test.
+
+    Scale: hour-banded equi-join (never all-pairs), codegen CASE,
+    13-row census."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    QUERIES["cdc_sessionize"](spark, sf_dir).createOrReplaceTempView(
+        "allen_sessions"
+    )
+    return spark.sql(_allen_sql("spark"))

@@ -2783,3 +2783,66 @@ def test_session_coverage_sweep_matches_python(spark, sf_dir):
     )
     assert r["busy_share_bp"] == (covered * 10000) // max(1, span)
     assert covered <= span and covered <= sum_dur
+
+
+def test_allen_relations_exclusive_and_complete(spark, sf_dir):
+    """Every candidate pair lands in exactly one of the 13
+    relations (no 'other'); census recomputes in Python."""
+    from aurora_cdc_demo_spark.registry import QUERIES
+
+    sess = QUERIES["cdc_sessionize"](spark, sf_dir).collect()
+    ivs = [
+        (
+            r["key_id"],
+            r["session_id"],
+            int(r["session_start"].timestamp() * 1_000_000),
+            int(r["session_end"].timestamp() * 1_000_000),
+        )
+        for r in sess
+    ]
+
+    def rel(a1, b1, a2, b2):
+        if b1 < a2:
+            return "before"
+        if b1 == a2:
+            return "meets"
+        if a1 == a2 and b1 == b2:
+            return "equals"
+        if a1 == a2 and b1 < b2:
+            return "starts"
+        if a1 == a2:
+            return "started_by"
+        if b1 == b2 and a1 > a2:
+            return "finishes"
+        if b1 == b2:
+            return "finished_by"
+        if a1 > a2 and b1 < b2:
+            return "during"
+        if a1 < a2 and b1 > b2:
+            return "contains"
+        if a1 < a2 and b1 > a2 and b1 < b2:
+            return "overlaps"
+        if a2 < a1 and b2 > a1 and b2 < b1:
+            return "overlapped_by"
+        if b2 < a1:
+            return "after"
+        if b2 == a1:
+            return "met_by"
+        return "other"
+
+    census: dict = {}
+    by_hr: dict = {}
+    for k, sid, a, b in ivs:
+        by_hr.setdefault(a // 3600000000, []).append((k, sid, a, b))
+    for group in by_hr.values():
+        for i, (k1, s1, a1, b1) in enumerate(group):
+            for k2, s2, a2, b2 in group:
+                if (k1, s1) < (k2, s2):
+                    r_ = rel(a1, b1, a2, b2)
+                    census[r_] = census.get(r_, 0) + 1
+    assert "other" not in census
+    rows = QUERIES["events_allen_relations"](
+        spark, sf_dir
+    ).collect()
+    got = {r["relation"]: r["n_pairs"] for r in rows}
+    assert got == census
