@@ -420,8 +420,13 @@ def _gopher_gram_arms(dialect: str) -> str:
     return " || ".join(arms)
 
 
-def gopher_repetition_sql(dialect: str) -> str:
+def gopher_repetition_sql(dialect: str, table: str = "documents") -> str:
     """Per-doc repetition report + keep flag.
+
+    ``table`` parameterizes the source relation so the fused
+    keep-list chain can score this (expensive: ~11x token-stream
+    Generate) gate over earlier-gate SURVIVORS only — decision
+    priority makes that answer-preserving (registry._fused_keep_list).
 
     Definitions (identical in both dialects, floor-bp integers):
     - dup_line_bp / dup_para_bp: repeat WINDOW occurrences beyond the
@@ -444,14 +449,14 @@ def gopher_repetition_sql(dialect: str) -> str:
     if dialect == "spark":
         base = f"""
         WITH t AS (
-            SELECT doc_id, split(text, ' ') AS w FROM documents)
+            SELECT doc_id, split(text, ' ') AS w FROM {table})
         , gr AS (
             SELECT doc_id, u.n AS n, u.g AS g
             FROM t LATERAL VIEW explode({arms}) AS u)"""
     else:
         base = f"""
         WITH t AS (
-            SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+            SELECT doc_id, string_split(text, ' ') AS w FROM {table})
         , gr AS (
             SELECT doc_id, u.n AS n, u.g AS g
             FROM (SELECT doc_id, unnest({arms}) AS u FROM t) s)"""

@@ -1,0 +1,135 @@
+"""Round-13 additions (r4 verdict items 1/2/6/7): fused text
+keep-list chain (gate-map materialization + late-gate
+short-circuiting), gate-map cache hygiene, one-job referential
+integrity, SURVEY §2 <-> registry zero-drift law."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aurora_cdc_demo_spark.registry import QUERIES
+
+
+def test_keep_list_v7_lsh_plan_materialized(spark, sf_dir):
+    """r4 verdict item 1: the deployment artifact's ONE optimized
+    plan contained 21 parquet relations and 13 Generates (every gate
+    re-read and re-tokenized the corpus). Fused form: every gate's
+    per-doc verdict map is checkpointed before the joins, so the
+    composed plan joins LogicalRDD maps only — no Generate, ZERO
+    parquet scans (well under the <=4 target)."""
+    df = QUERIES["corpus_keep_list_v7_lsh"](spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Generate" not in plan
+    assert "parquet" not in plan
+    assert "LogicalRDD" in plan
+
+
+def test_keep_list_v4_and_v5_plans_materialized(spark, sf_dir):
+    """Same pin for the two-SF bench contrast pair (v4/v4_lsh) and
+    the first short-circuited level: the returned artifact is a
+    materialized map (or a join of materialized maps), never a
+    corpus-scan chain."""
+    for name in (
+        "corpus_keep_list_v4",
+        "corpus_keep_list_v4_lsh",
+        "corpus_keep_list_v5_lsh",
+    ):
+        plan = (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "Generate" not in plan, name
+        assert "parquet" not in plan, name
+
+
+def test_gate_map_no_cache_outside_testdata(spark, tmp_path):
+    """The gate-map cache must never serve stale verdicts for
+    ad-hoc sf_dirs (unit tests rewrite tmpdir corpora): only the
+    immutable /root/testdata trees are cached."""
+    from aurora_cdc_demo_spark.registry import _gate_map
+
+    calls = []
+
+    def builder():
+        calls.append(1)
+        return spark.range(1).select(F.col("id").alias("doc_id"))
+
+    for _ in range(2):
+        _gate_map(spark, str(tmp_path), "kl_test_gate", builder)
+    assert len(calls) == 2  # rebuilt every call: not cached
+
+    # and the immutable tree IS cached (second call hits)
+    calls.clear()
+    for _ in range(2):
+        _gate_map(
+            spark, "/root/testdata/__cache_probe__", "kl_test_gate", builder
+        )
+    assert len(calls) == 1
+
+
+def test_keep_list_short_circuit_scope(spark, sf_dir):
+    """Decision priority makes late-gate short-circuiting
+    answer-preserving: gopher_repetitive may only ever appear on
+    docs whose v4 decision was in the scored tail, model_reject only
+    on docs whose v6 decision was sampled_out/keep. Cross-check the
+    fused artifacts level to level."""
+    v4 = {
+        r["doc_id"]: r["decision"]
+        for r in QUERIES["corpus_keep_list_v4_lsh"](spark, sf_dir).collect()
+    }
+    v5 = {
+        r["doc_id"]: r["decision"]
+        for r in QUERIES["corpus_keep_list_v5_lsh"](spark, sf_dir).collect()
+    }
+    v6 = {
+        r["doc_id"]: r["decision"]
+        for r in QUERIES["corpus_keep_list_v6_lsh"](spark, sf_dir).collect()
+    }
+    v7 = {
+        r["doc_id"]: r["decision"]
+        for r in QUERIES["corpus_keep_list_v7_lsh"](spark, sf_dir).collect()
+    }
+    assert set(v4) == set(v5) == set(v6) == set(v7)
+    for d, dec in v5.items():
+        if dec == "gopher_repetitive":
+            assert v4[d] in (
+                "low_quality",
+                "off_target",
+                "sampled_out",
+                "keep",
+            )
+    for d, dec in v7.items():
+        if dec == "model_reject":
+            assert v6[d] in ("sampled_out", "keep")
+        elif v6[d] not in ("sampled_out", "keep"):
+            # non-adjudicated docs keep their higher-priority reason
+            assert dec == v6[d]
+
+
+def test_gopher_repetition_sql_table_param(spark, sf_dir):
+    """gopher_repetition_sql(table=...) must score exactly the view
+    it is pointed at — restricting the view restricts the rows, and
+    the per-doc report is identical to the full-corpus run on the
+    docs both cover (the gate is purely per-doc)."""
+    from aurora_cdc_demo_spark.operators import text as _text
+    from aurora_cdc_demo_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    full = {
+        r["doc_id"]: r["keep"]
+        for r in spark.sql(_text.gopher_repetition_sql("spark")).collect()
+    }
+    docs.filter(F.col("doc_id") % 3 == 0).createOrReplaceTempView(
+        "__grep_probe"
+    )
+    sub = {
+        r["doc_id"]: r["keep"]
+        for r in spark.sql(
+            _text.gopher_repetition_sql("spark", table="__grep_probe")
+        ).collect()
+    }
+    assert set(sub) == {d for d in full if d % 3 == 0}
+    assert all(full[d] == v for d, v in sub.items())
