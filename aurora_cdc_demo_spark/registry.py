@@ -454,8 +454,20 @@ def q_embed_near_dup_lsh(spark, sf_dir):
     to bucket collisions (key-partitioned equi self-join, never a
     cross product), exact cosine verifies — the 100 TB deployment
     path; embed_near_dup is its all-pairs oracle twin. Recall vs the
-    exact twin is pinned in tests/test_similarity.py."""
-    return _sim.near_dup_lsh(spark, sf_dir)
+    exact twin is pinned in tests/test_similarity.py.
+
+    The verified-pairs table is materialized through _gate_map (r5):
+    the banding+verify chain is the costliest embed-side subtree and
+    at least three downstream artifacts consume it (LSH clusters,
+    embed keep-list, dedup-bias report) — one computation per
+    (session, sf_dir), the same materialized-verdict-map discipline
+    as the text keep-list gates."""
+    return _gate_map(
+        spark,
+        sf_dir,
+        "embed_ndl_pairs",
+        lambda: _sim.near_dup_lsh(spark, sf_dir),
+    )
 
 
 @query("embed_centroids", oracle=_sim.centroids_sql("duck"))
@@ -479,8 +491,12 @@ def q_semdedup_cells(spark, sf_dir):
     cell cosine dedup, keep-min-id per duplicate group — the
     embedding-space complement of the text LSH dedup. Cell-bounded
     pairwise compare (equi-join on the cell key), never all-pairs;
-    see operators/similarity.py:semdedup_sql."""
-    return _sim.semdedup(spark, sf_dir)
+    see operators/similarity.py:semdedup_sql. Materialized through
+    _gate_map (r5) — the embed keep-list and the tau-sweep both
+    consume this verdict."""
+    return _gate_map(
+        spark, sf_dir, "embed_semdedup", lambda: _sim.semdedup(spark, sf_dir)
+    )
 
 
 @query("embed_quantize_int8", oracle=_sim.quantize_sql("duck"))
@@ -2149,14 +2165,26 @@ def q_embed_dedup_clusters_lsh(spark, sf_dir):
     the 100 TB twin of embed_dedup_clusters (which consumes the
     O(n^2) all-pairs graph): LSH bucket-join candidates, exact-cosine
     verify, then the same min-label connected components. Mirrors
-    corpus_keep_list_lsh on the text side."""
-    from .operators.graph import connected_components
+    corpus_keep_list_lsh on the text side.
 
-    pairs = _sim.near_dup_lsh(spark, sf_dir).select("vec_a", "vec_b")
-    nodes = load_table(spark, sf_dir, "embeddings").select("vec_id")
-    return connected_components(
-        nodes, pairs, id_col="vec_id", src="vec_a", dst="vec_b"
-    )
+    r5: consumes the MATERIALIZED verified-pairs table
+    (embed_near_dup_lsh's gate map) instead of re-deriving the
+    banding+verify chain, and the cluster map itself is materialized
+    for the artifacts stacked on top (keep-list, size histogram,
+    bias report)."""
+
+    def build():
+        from .operators.graph import connected_components
+
+        pairs = QUERIES["embed_near_dup_lsh"](spark, sf_dir).select(
+            "vec_a", "vec_b"
+        )
+        nodes = load_table(spark, sf_dir, "embeddings").select("vec_id")
+        return connected_components(
+            nodes, pairs, id_col="vec_id", src="vec_a", dst="vec_b"
+        )
+
+    return _gate_map(spark, sf_dir, "embed_clusters_lsh", build)
 
 
 @query(
@@ -5008,7 +5036,21 @@ def embed_diversity(spark, sf_dir, n_seeds: int = _sim.N_SEEDS):
     top-quota of a cell is contained in the union of per-salt
     top-quotas (rank only improves when rows are removed), so the
     result is identical to the single-window form — which is exactly
-    what the oracle runs."""
+    what the oracle runs.
+
+    Materialized through _gate_map (r5, keyed by n_seeds): the
+    trained-k-means chain underneath is the second-costliest
+    embed-side subtree and the quota verdict feeds both the
+    standalone query and the embed keep-list."""
+    return _gate_map(
+        spark,
+        sf_dir,
+        f"embed_diversity_{n_seeds}",
+        lambda: _embed_diversity_impl(spark, sf_dir, n_seeds),
+    )
+
+
+def _embed_diversity_impl(spark, sf_dir, n_seeds):
     from pyspark.sql import Window
 
     km = _sim.kmeans_cells(spark, sf_dir, n_seeds).select("vec_id", "cell")
@@ -6916,16 +6958,16 @@ def q_embed_keep_list(spark, sf_dir):
     the chains that produce them. Plan-pinned in
     tests/test_round8.py (no Generate/kmeans subtree survives in
     the final join plan)."""
-    cl = QUERIES["embed_dedup_clusters_lsh"](spark, sf_dir).localCheckpoint()
-    sd = (
-        QUERIES["semdedup_cells"](spark, sf_dir)
-        .select("vec_id", F.col("keep").alias("sem_keep_i"))
-        .localCheckpoint()
+    # r5: the three gates are cached gate maps (see _gate_map) — the
+    # selects below project the materialized LogicalRDDs, so the
+    # composed plan stays 3 RDD scans + the parquet spine and repeat
+    # compositions (bias report, manifest) stop re-paying the chains
+    cl = QUERIES["embed_dedup_clusters_lsh"](spark, sf_dir)
+    sd = QUERIES["semdedup_cells"](spark, sf_dir).select(
+        "vec_id", F.col("keep").alias("sem_keep_i")
     )
-    dv = (
-        embed_diversity(spark, sf_dir)
-        .select("vec_id", F.lit(1).alias("dv_hit"))
-        .localCheckpoint()
+    dv = embed_diversity(spark, sf_dir).select(
+        "vec_id", F.lit(1).alias("dv_hit")
     )
     e = load_table(spark, sf_dir, "embeddings").select("vec_id")
     j = (

@@ -51,15 +51,12 @@ HEADLINE = [
     "events_user_retention",
     "cdc_latest_state_agg",
     "q9_product_profit",
-    "corpus_keep_list",
     "embed_near_dup_lsh",
     "cdc_latest_state_with_truncate",
     "corpus_decontaminate",
-    "corpus_keep_list_v2",
     "dedup_ngram_coverage",
     "semdedup_cells",
     "pack_sequences",
-    "corpus_keep_list_v3",
     "events_count_min_users",
     "corpus_bloom_decontaminate",
     "cdc_agg_incremental",
@@ -84,9 +81,7 @@ HEADLINE = [
     "embed_keep_list",
     "dedup_lsh_tuning",
     "text_gopher_repetition",
-    "corpus_keep_list_v5_lsh",
     "corpus_line_dedup",
-    "corpus_keep_list_v6_lsh",
     "lineitem_price_deciles",
     "embed_pca_top_direction",
     "events_stl_decomposition",
@@ -141,8 +136,7 @@ FINAL_SUBSET = [
     "graph_pagerank_knn",
     "corpus_keep_list_v4",
     "corpus_keep_list_v4_lsh",
-    "corpus_keep_list_v5_lsh",
-    "corpus_keep_list_v6_lsh",
+    "corpus_keep_list_v7_lsh",
     "embed_keep_list",
     "pack_sequences",
     "text_gopher_rules",
@@ -389,6 +383,21 @@ def main() -> None:
             100 * replay_events_per_sec / native_events_per_sec
         ),
         "replay_floor_ok": replay_events_per_sec * 8
+        >= native_events_per_sec,
+        # r4 verdict item 3: the same same-run-ratio pin for the two
+        # remaining unpinned throughputs. r3->r4 the ABSOLUTE numbers
+        # swung -20%/-13% on host load alone while the vs-native
+        # ratios stayed 27->17% / 11->7%; a real code regression shows
+        # as the ratio collapsing below the floor, host load does not.
+        "ingest_native_ratio_pct": round(
+            100 * cdc_events_per_sec / native_events_per_sec
+        ),
+        "ingest_floor_ok": cdc_events_per_sec * 10
+        >= native_events_per_sec,
+        "sessionize_native_ratio_pct": round(
+            100 * streaming_events_per_sec / native_events_per_sec
+        ),
+        "sessionize_floor_ok": streaming_events_per_sec * 25
         >= native_events_per_sec,
         "curation_docs_per_sec": curation_docs_per_sec,
         "sf": sf,

@@ -32,6 +32,10 @@ def _worst_case_inputs():
         "native_replay_events_per_sec": 99_999_999,
         "replay_native_ratio_pct": 10000,
         "replay_floor_ok": False,
+        "ingest_native_ratio_pct": 10000,
+        "ingest_floor_ok": False,
+        "sessionize_native_ratio_pct": 10000,
+        "sessionize_floor_ok": False,
         "curation_docs_per_sec": 99_999_999,
         "sf": 0.1,
         "sf_secondary": 0.01,
