@@ -1,0 +1,207 @@
+"""Deep BPE merge training (Sennrich et al. 2016) as a DRIVER LOOP
+over a checkpointed symbol table — r4 verdict item 3.
+
+The K=3 trainer (operators/text.py:_bpe_chain) unrolls rounds into
+one SQL statement; that is the right ORACLE form but the wrong
+training form — plan depth grows linearly (and each round's lineage
+is re-derived inside later rounds' arms), so "just unroll more" stops
+at toy K. A usable tokenizer needs thousands of merges; the scalable
+shape is the one operators/graph.py's Pregel loops already use:
+iteration count is DRIVER control flow, per-round work is one bounded
+set of vocabulary-sized window/aggregate jobs over a localCheckpointed
+symbol table (df.checkpoint(eager=True) on a cluster), so the plan
+depth per round is CONSTANT.
+
+Semantics are identical to the unrolled chain round for round
+(pinned in tests: the first BPE_ROUNDS merges equal bpe_merge_rounds'
+oracle output exactly, and the full run matches the K=32 unrolled
+DuckDB oracle):
+ - pair counting on the DISTINCT-WORD table weighted by corpus word
+   frequency (words of length >= 2);
+ - winner = (count DESC, pair ASC);
+ - greedy left-to-right non-overlapping application via
+   gaps-and-islands (a merged position consumes its right neighbor,
+   so within a run merges fire at offsets 0, 2, 4, ...).
+
+Driver actions per round are BOUNDED control flow (the documented
+Pregel exception): one 1-row top-pair collect, one eager checkpoint,
+one 1-row token-count aggregate — all on the vocabulary table,
+never the corpus. The corpus is read ONCE for word frequencies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+BPE_DEEP_ROUNDS = 32
+
+
+def train(
+    spark, docs: DataFrame, k: int = BPE_DEEP_ROUNDS
+) -> tuple[DataFrame, DataFrame]:
+    """Train k merge rounds; returns (report, final_symbols).
+
+    report: one row per productive round —
+      (round, pair, n_occurrences, n_word_types, corpus_tokens_after)
+    final_symbols: (w, freq, pos, sym) after the last round, the
+      word -> symbol-sequence table a tokenizer applies.
+    Rounds after the pair supply is exhausted vanish (same as the
+    unrolled chain, whose empty top{r} empties the round's arm)."""
+    wf = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    s = (
+        wf.select(
+            "w",
+            "freq",
+            F.explode(
+                F.sequence(F.lit(1), F.length("w"))
+            ).alias("pos"),
+        )
+        .select(
+            "w",
+            "freq",
+            F.col("pos").cast("long").alias("pos"),
+            F.expr("substr(w, pos, 1)").alias("sym"),
+        )
+        .localCheckpoint()
+    )
+
+    report_rows = []
+    for r in range(1, k + 1):
+        wwin = Window.partitionBy("w").orderBy(F.col("pos").asc())
+        d = s.select(
+            "w",
+            "freq",
+            F.row_number().over(wwin).cast("long").alias("pos"),
+            "sym",
+        )
+        p = d.withColumn(
+            "nxt",
+            F.lead("sym").over(
+                Window.partitionBy("w").orderBy(F.col("pos").asc())
+            ),
+        )
+        pc = (
+            p.where(F.col("nxt").isNotNull())
+            .groupBy(F.concat("sym", "nxt").alias("pair"))
+            .agg(
+                F.sum("freq").cast("long").alias("n_occurrences"),
+                F.count(F.lit(1)).cast("long").alias("n_word_types"),
+            )
+        )
+        top = (
+            pc.orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair = top[0]["pair"]
+        m = p.withColumn(
+            "is_match",
+            F.coalesce(
+                F.concat("sym", "nxt") == F.lit(pair), F.lit(False)
+            ),
+        )
+        g = m.withColumn(
+            "isl",
+            F.when(
+                F.col("is_match"),
+                F.col("pos")
+                - F.row_number().over(
+                    Window.partitionBy("w", "is_match").orderBy(
+                        F.col("pos").asc()
+                    )
+                ),
+            ),
+        )
+        a = g.withColumn(
+            "do_merge",
+            F.when(
+                F.col("is_match")
+                & (
+                    (
+                        F.col("pos")
+                        - F.min("pos").over(
+                            Window.partitionBy("w", "isl")
+                        )
+                    )
+                    % 2
+                    == 0
+                ),
+                1,
+            ).otherwise(0),
+        )
+        c = a.withColumn(
+            "consumed",
+            F.lag("do_merge", 1, 0).over(
+                Window.partitionBy("w").orderBy(F.col("pos").asc())
+            ),
+        )
+        s = (
+            c.where(F.col("consumed") == 0)
+            .select(
+                "w",
+                "freq",
+                "pos",
+                F.when(
+                    F.col("do_merge") == 1, F.concat("sym", "nxt")
+                )
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+            .localCheckpoint()
+        )
+        tokens_after = s.agg(F.sum("freq")).collect()[0][0]
+        report_rows.append(
+            (
+                r,
+                pair,
+                int(top[0]["n_occurrences"]),
+                int(top[0]["n_word_types"]),
+                int(tokens_after),
+            )
+        )
+
+    report = spark.createDataFrame(
+        report_rows,
+        "round long, pair string, n_occurrences long, "
+        "n_word_types long, corpus_tokens_after long",
+    )
+    return report, s
+
+
+def fertility_by_lang(docs: DataFrame, symbols: DataFrame) -> DataFrame:
+    """Per-language fertility under the trained vocab — identical
+    algebra to operators/text.py:bpe_fertility_sql but consuming the
+    driver-loop trainer's symbol table: one corpus word explode
+    joined to the vocabulary-bounded word -> n_sym map."""
+    wmap = symbols.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sym")
+    )
+    dw = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    tok = F.when(F.length("w") < 2, F.lit(1)).otherwise(F.col("n_sym"))
+    return (
+        dw.join(wmap, "w", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(tok).cast("long").alias("n_tokens_bpe"),
+            F.expr(
+                "CAST((10000 * SUM(CASE WHEN LENGTH(w) < 2 THEN 1 "
+                "ELSE n_sym END)) div COUNT(*) AS BIGINT)"
+            ).alias("fertility_bp"),
+            F.expr(
+                "CAST((100 * SUM(LENGTH(w))) div "
+                "SUM(CASE WHEN LENGTH(w) < 2 THEN 1 ELSE n_sym END) "
+                "AS BIGINT)"
+            ).alias("chars_per_token_centi"),
+        )
+    )

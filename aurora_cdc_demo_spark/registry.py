@@ -23404,3 +23404,73 @@ def q_events_allen_relations(spark, sf_dir):
         "allen_sessions"
     )
     return spark.sql(_allen_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# R13: deep BPE training — driver loop over a checkpointed symbol
+# table (r4 verdict item 3; operators/bpe.py)
+# ---------------------------------------------------------------------------
+
+from .operators import bpe as _bpe  # noqa: E402
+
+
+def _bpe_trained(spark, sf_dir, k=_bpe.BPE_DEEP_ROUNDS):
+    """Session cache of the trained (report, symbols) pair — the
+    same immutable-testdata guard as _gate_map (training is a pure
+    function of the corpus; the fertility twin reuses the symbol
+    table instead of re-training)."""
+    cacheable = str(sf_dir).startswith("/root/testdata")
+    key = (
+        spark.sparkContext.applicationId,
+        str(sf_dir),
+        f"bpe_train_{k}",
+    )
+    if cacheable and key in _GATE_CACHE:
+        return _GATE_CACHE[key]
+    docs = load_table(spark, sf_dir, "documents")
+    pair = _bpe.train(spark, docs, k)
+    if cacheable:
+        _GATE_CACHE[key] = pair
+    return pair
+
+
+@query(
+    "bpe_train_k32",
+    oracle=_text.bpe_merge_rounds_sql("duck", _bpe.BPE_DEEP_ROUNDS),
+)
+def q_bpe_train_k32(spark, sf_dir):
+    """DEEP BPE merge training, K=32 (Sennrich et al. 2016): the
+    driver-loop trainer (operators/bpe.py) — iteration count is
+    control flow, per-round work is one bounded set of
+    vocabulary-sized window/aggregate jobs over a localCheckpointed
+    symbol table, so plan depth per round is CONSTANT where the K=3
+    unrolled chain (#228) grows linearly and re-derives earlier
+    rounds inside later arms. Same semantics round for round
+    (winner = count DESC / pair ASC; greedy non-overlapping
+    application): the first 3 rows equal #228's output exactly and
+    the whole run matches the K=32 unrolled DuckDB oracle. Pinned
+    laws in tests/test_round13.py: prefix equality, strict token
+    decrease, per-round reduction <= winning count.
+
+    Scale: the corpus is read ONCE (word frequencies, map-side
+    combined); every round runs on the vocabulary table (distinct
+    words x word length), and driver actions are the bounded Pregel
+    control-flow kind (1-row top-pair collect + 1-row token count
+    per round)."""
+    return _bpe_trained(spark, sf_dir)[0]
+
+
+@query(
+    "bpe_fertility_k32",
+    oracle=_text.bpe_fertility_sql("duck", _bpe.BPE_DEEP_ROUNDS),
+)
+def q_bpe_fertility_k32(spark, sf_dir):
+    """Tokenizer fertility per language under the REAL (K=32) vocab
+    — re-measures #323 (which reports the K=3 toy vocab) with the
+    deep trainer's symbol table: subword tokens per whitespace word
+    and chars per token, the multilingual-equity numbers behind
+    vocab-allocation debates. One corpus word explode joined to the
+    vocabulary-bounded word -> n_sym map (broadcast-able), one
+    lang-keyed aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _bpe.fertility_by_lang(docs, _bpe_trained(spark, sf_dir)[1])

@@ -133,3 +133,81 @@ def test_gopher_repetition_sql_table_param(spark, sf_dir):
     }
     assert set(sub) == {d for d in full if d % 3 == 0}
     assert all(full[d] == v for d, v in sub.items())
+
+
+def test_bpe_train_k32_prefix_equals_k3_oracle(spark, sf_dir):
+    """The driver-loop trainer's first BPE_ROUNDS rows equal the
+    unrolled K=3 chain's output exactly (same winners, counts, and
+    post-round token totals)."""
+    k3 = sorted(
+        tuple(r)
+        for r in QUERIES["bpe_merge_rounds"](spark, sf_dir).collect()
+    )
+    k32 = sorted(
+        tuple(r)
+        for r in QUERIES["bpe_train_k32"](spark, sf_dir).collect()
+        if r["round"] <= len(k3)
+    )
+    assert k32 == k3
+
+
+def test_bpe_train_k32_conservation_laws(spark, sf_dir):
+    """Across all 32 rounds: rounds are dense from 1, corpus tokens
+    strictly decrease while merges fire, and each round's token
+    reduction never exceeds its winning count (greedy non-overlap
+    merges fewer than it counts)."""
+    rows = sorted(
+        (r["round"], r["n_occurrences"], r["corpus_tokens_after"])
+        for r in QUERIES["bpe_train_k32"](spark, sf_dir).collect()
+    )
+    assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) >= 16  # the corpus sustains a deep vocab
+    for (_, _, t1), (_, n2, t2) in zip(rows, rows[1:]):
+        assert t2 < t1
+        assert t1 - t2 <= n2
+
+
+def test_bpe_fertility_k32_vocab_application_law(spark, sf_dir):
+    """Applying the trained vocab must conserve word counts and
+    reproduce the symbol table's totals: sum over langs of
+    n_tokens_bpe for multi-char words == corpus_tokens_after of the
+    final round (every >=2-char word tokenizes to its trained symbol
+    count), and fertility is never below 10000 bp / 1 token-per-word."""
+    from pyspark.sql import functions as F
+    from aurora_cdc_demo_spark.tables import load_table
+
+    fert = QUERIES["bpe_fertility_k32"](spark, sf_dir).collect()
+    rep = sorted(
+        (r["round"], r["corpus_tokens_after"])
+        for r in QUERIES["bpe_train_k32"](spark, sf_dir).collect()
+    )
+    final_tokens = rep[-1][1]
+    docs = load_table(spark, sf_dir, "documents")
+    n_single = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .where(F.length("w") < 2)
+        .count()
+    )
+    assert sum(r["n_tokens_bpe"] for r in fert) == final_tokens + n_single
+    for r in fert:
+        assert r["fertility_bp"] >= 10000 // 1  # >= 1 token per word
+
+
+def test_bpe_train_hand_case(spark):
+    """'aaaa' x3 through the driver-loop trainer: round 1 counts 9
+    'aa' but merges 2 per word, round 2 merges to 'aaaa', then the
+    pair supply is exhausted and rounds vanish — identical to the
+    unrolled chain's hand case."""
+    from aurora_cdc_demo_spark.operators import bpe as _bpe
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa aaaa")], "doc_id long, text string"
+    )
+    report, syms = _bpe.train(spark, docs, 32)
+    out = sorted(
+        (r["round"], r["pair"], r["n_occurrences"],
+         r["corpus_tokens_after"])
+        for r in report.collect()
+    )
+    assert out == [(1, "aa", 9, 6), (2, "aaaa", 3, 3)]
+    assert syms.count() == 1  # one word type, one symbol
