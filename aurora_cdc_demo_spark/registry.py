@@ -23806,3 +23806,193 @@ def q_sample_neyman_allocation(spark, sf_dir):
     ensure_utc(spark)
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_neyman_sql("spark"))
+
+
+_DAY_US = 86_400_000_000
+
+
+def _km_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    us = "unix_micros" if dialect == "spark" else "epoch_us"
+    return f"""
+        WITH obs AS (SELECT MAX({us}(ts)) AS end_us FROM events)
+        , lifet AS (
+            SELECT user_id,
+                   CASE WHEN MIN(CASE WHEN event_type = 'error'
+                                 THEN {us}(ts) END) IS NOT NULL
+                        THEN (MIN(CASE WHEN event_type = 'error'
+                                  THEN {us}(ts) END)
+                              - MIN({us}(ts))) {div} {_DAY_US}
+                        ELSE (o.end_us - MIN({us}(ts))) {div} {_DAY_US}
+                   END AS t_days,
+                   CASE WHEN MIN(CASE WHEN event_type = 'error'
+                                 THEN {us}(ts) END) IS NOT NULL
+                        THEN 1 ELSE 0 END AS failed
+            FROM events CROSS JOIN obs o
+            GROUP BY user_id, o.end_us)
+        , lt AS (
+            SELECT t_days,
+                   CAST(SUM(failed) AS BIGINT) AS n_events,
+                   CAST(SUM(1 - failed) AS BIGINT) AS n_censored
+            FROM lifet GROUP BY t_days)
+        SELECT t_days, n_events, n_censored,
+               CAST(SUM(n_events + n_censored) OVER (
+                   ORDER BY t_days DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n_at_risk
+        FROM lt
+    """
+
+
+@query("events_km_survival_inputs", oracle=_km_sql("duck"))
+def q_events_km_survival_inputs(spark, sf_dir):
+    """KAPLAN-MEIER life table for TIME TO FIRST FAILURE — the
+    survival-analysis view beside the cohort retention matrix
+    (#291), retention curves (#195) and reorder hazard (#297): per
+    user, t = whole days from first event to first 'error' event
+    (the FAILURE — observed, n_events) or to observation end
+    (administratively CENSORED — true failure time only known to be
+    >= t, n_censored), with AT RISK at t = users whose t >= t (the
+    reverse-cumulative). Censoring is what distinguishes KM from a
+    naive failure histogram: dropping censored users would bias the
+    curve down. S(t) = Π (1 - d_i/n_i) is one driver-side product
+    over these |distinct t| rows — the heavy corpus scan happens
+    once, exactly (the #325/#408 sufficient-statistics discipline).
+
+    Scale: one user-keyed aggregate against a 1-row broadcast
+    horizon, one t-keyed aggregate, and a window over |distinct
+    lifetime days| rows (day-span bounded however large the
+    corpus)."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_km_sql("spark"))
+
+
+_FENCE_EPOCH_US = 3_600_000_000  # 1-hour leader epochs
+
+
+def _fencing_sql(dialect: str, src: str = "cdc_log") -> str:
+    div = "div" if dialect == "spark" else "//"
+    us = "unix_micros" if dialect == "spark" else "epoch_us"
+    kw = "WITH" if dialect == "spark" else ","
+    return f"""
+        {kw} w AS (
+            SELECT key_id, seq,
+                   {us}(ts) {div} {_FENCE_EPOCH_US} AS epoch
+            FROM {src})
+        , seen AS (
+            SELECT key_id, seq, epoch,
+                   MAX(epoch) OVER (
+                       PARTITION BY key_id ORDER BY seq ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS max_epoch_seen
+            FROM w)
+        , flagged AS (
+            SELECT key_id, seq, epoch,
+                   CASE WHEN epoch < max_epoch_seen
+                        THEN 1 ELSE 0 END AS is_zombie
+            FROM seen)
+        SELECT key_id,
+               CAST(COUNT(*) AS BIGINT) AS n_writes,
+               CAST(COUNT(DISTINCT epoch) AS BIGINT) AS n_epochs,
+               CAST(SUM(is_zombie) AS BIGINT) AS n_zombie_writes,
+               CAST(MAX(CASE WHEN is_zombie = 0 THEN seq END)
+                    AS BIGINT) AS last_accepted_seq
+        FROM flagged GROUP BY key_id
+    """
+
+
+@query(
+    "cdc_zombie_write_fencing",
+    oracle=_with_log(_fencing_sql("duck", src="log")),
+)
+def q_cdc_zombie_write_fencing(spark, sf_dir):
+    """WRITER-EPOCH FENCING audit (the transactional-producer /
+    leader-election guarantee: a write carrying a stale fencing
+    token must be rejected even if it arrives late): each write's
+    epoch is its 1-hour leader term; in per-key DELIVERY order
+    (seq), a write whose epoch is below the running max already
+    seen is a ZOMBIE — a pre-failover writer's in-flight request
+    landing after the new leader took over (delivery order and
+    event-time order genuinely interleave in this log, so the audit
+    is non-trivial). Per key: writes, distinct epochs, zombie
+    count, and the last ACCEPTED (non-fenced) seq — the state a
+    fencing store would expose.
+
+    Scale: one key-partition running-max window + one key aggregate
+    — a single shuffle, the #2 plan shape."""
+    ensure_utc(spark)
+    cdc_operation_log(spark, sf_dir).createOrReplaceTempView("cdc_log")
+    return spark.sql(_fencing_sql("spark"))
+
+
+_VC_LAG_US = 60_000_000  # 60 s replication lag window
+
+
+def _vc_conflicts_sql(dialect: str, src: str = "cdc_log") -> str:
+    div = "div" if dialect == "spark" else "//"
+    us = "unix_micros" if dialect == "spark" else "epoch_us"
+    kw = "WITH" if dialect == "spark" else ","
+    return f"""
+        {kw} w AS (
+            SELECT key_id, seq, {us}(ts) AS t_us, seq % 2 AS site
+            FROM {src})
+        , banded AS (
+            SELECT key_id, seq, t_us, site,
+                   t_us {div} {_VC_LAG_US} AS band
+            FROM w)
+        , expanded AS (
+            SELECT b.key_id, b.seq, b.t_us, b.site,
+                   b.band + d.o AS probe_band
+            FROM banded b
+            CROSS JOIN (VALUES (-1), (0), (1)) AS d(o))
+        , pairs AS (
+            SELECT a.key_id,
+                   a.seq AS seq_a, bb.seq AS seq_b
+            FROM expanded a
+            JOIN banded bb
+              ON bb.key_id = a.key_id AND bb.band = a.probe_band
+             AND a.site = 0 AND bb.site = 1
+             AND ABS(a.t_us - bb.t_us) < {_VC_LAG_US})
+        , conf AS (
+            SELECT key_id, CAST(COUNT(*) AS BIGINT) AS n_conflict_pairs
+            FROM pairs GROUP BY key_id)
+        , lww AS (
+            SELECT key_id, seq AS lww_seq
+            FROM (SELECT key_id, seq,
+                         row_number() OVER (
+                             PARTITION BY key_id
+                             ORDER BY t_us DESC, site DESC, seq DESC)
+                             AS rn
+                  FROM w) r WHERE rn = 1)
+        SELECT l.key_id,
+               CAST(COALESCE(c.n_conflict_pairs, 0) AS BIGINT)
+                   AS n_conflict_pairs,
+               CAST(l.lww_seq AS BIGINT) AS lww_seq
+        FROM lww l LEFT JOIN conf c ON c.key_id = l.key_id
+    """
+
+
+@query(
+    "cdc_vector_clock_conflicts",
+    oracle=_with_log(_vc_conflicts_sql("duck", src="log")),
+)
+def q_cdc_vector_clock_conflicts(spark, sf_dir):
+    """MULTI-MASTER CONFLICT DETECTION under bounded replication
+    lag: two replicas (site = seq parity) write the same keys; a
+    cross-site pair of writes closer than the {l}s lag window is
+    CONCURRENT in the vector-clock sense — neither replica had seen
+    the other's write, so no happens-before edge exists and a
+    resolver must decide. Per key: the concurrent-pair count (the
+    conflict pressure an active-active deployment must absorb) and
+    the last-writer-wins resolution (ts, then site, then seq — the
+    deterministic LWW register, complementing the CRDT state
+    machine #313 and the compensation stream #316).
+
+    Scale: candidate pairs come from a LAG-BANDED equi-join (key +
+    time band, one band of slack — the #59 range-join rule), never
+    an all-pairs product; LWW is one key-partition window.
+    """.replace("{l}", str(_VC_LAG_US // 1_000_000))
+    ensure_utc(spark)
+    cdc_operation_log(spark, sf_dir).createOrReplaceTempView("cdc_log")
+    return spark.sql(_vc_conflicts_sql("spark"))

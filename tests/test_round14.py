@@ -126,3 +126,90 @@ def test_neyman_allocation_sums_to_budget(spark, sf_dir):
         assert r["alloc_n"] >= 0
         quota = _NEYMAN_BUDGET * r["w_h"] / w
         assert abs(r["alloc_n"] - quota) <= 1
+
+
+def test_km_life_table_conservation(spark, sf_dir):
+    """At-risk counts telescope: n_at_risk(t) = n_at_risk(next t) +
+    events(t) + censored(t), and the smallest t covers every user."""
+    from aurora_cdc_demo_spark.tables import load_table
+
+    rows = sorted(
+        (r["t_days"], r["n_events"], r["n_censored"], r["n_at_risk"])
+        for r in QUERIES["events_km_survival_inputs"](
+            spark, sf_dir
+        ).collect()
+    )
+    n_users = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert rows[0][3] == n_users  # everyone at risk at min t
+    for (t1, e1, c1, r1), (_, _, _, r2) in zip(rows, rows[1:]):
+        assert r1 == r2 + e1 + c1
+
+
+def test_zombie_fencing_detects_injected_stale_epoch(spark):
+    """A hand log with a pre-failover write delivered AFTER the new
+    epoch's write must be flagged as the zombie; clean keys stay at
+    zero."""
+    from aurora_cdc_demo_spark.registry import _fencing_sql
+
+    # key 1: epoch 0 write, epoch 1 write, then a STALE epoch-0
+    # write delivered late (zombie). key 2: in-order epochs.
+    import datetime as dt
+
+    def ts(hour):
+        return dt.datetime(2026, 1, 1, hour, 0, 0)
+
+    spark.createDataFrame(
+        [
+            (1, 10, ts(0)),
+            (1, 11, ts(1)),
+            (1, 12, ts(0)),  # stale epoch, late delivery -> zombie
+            (2, 20, ts(0)),
+            (2, 21, ts(1)),
+        ],
+        "key_id long, seq long, ts timestamp",
+    ).createOrReplaceTempView("cdc_log")
+    out = {
+        r["key_id"]: (r["n_zombie_writes"], r["last_accepted_seq"])
+        for r in spark.sql(_fencing_sql("spark")).collect()
+    }
+    assert out[1] == (1, 11)  # zombie flagged, seq 12 rejected
+    assert out[2] == (0, 21)
+
+
+def test_vector_clock_conflict_hand_case(spark):
+    """Cross-site writes inside the lag window are concurrent;
+    writes outside it are causally ordered. LWW picks the latest
+    timestamp with deterministic tie-breaks."""
+    import datetime as dt
+
+    from aurora_cdc_demo_spark.registry import _vc_conflicts_sql
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def at(sec):
+        return base + dt.timedelta(seconds=sec)
+
+    # key 1: site0@0s (seq 2) vs site1@30s (seq 3) -> conflict
+    #        (30 s < 60 s lag); site1@200s (seq 5) is causally later
+    # key 2: site0@0s vs site1@120s -> no conflict
+    spark.createDataFrame(
+        [
+            (1, 2, at(0)),
+            (1, 3, at(30)),
+            (1, 5, at(200)),
+            (2, 2, at(0)),
+            (2, 3, at(120)),
+        ],
+        "key_id long, seq long, ts timestamp",
+    ).createOrReplaceTempView("cdc_log")
+    out = {
+        r["key_id"]: (r["n_conflict_pairs"], r["lww_seq"])
+        for r in spark.sql(_vc_conflicts_sql("spark")).collect()
+    }
+    assert out[1] == (1, 5)
+    assert out[2] == (0, 3)
