@@ -23996,3 +23996,143 @@ def q_cdc_vector_clock_conflicts(spark, sf_dir):
     ensure_utc(spark)
     cdc_operation_log(spark, sf_dir).createOrReplaceTempView("cdc_log")
     return spark.sql(_vc_conflicts_sql("spark"))
+
+
+def _little_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    us = "unix_micros" if dialect == "spark" else "epoch_us"
+    return f"""
+        WITH per_order AS (
+            SELECT o.o_orderkey,
+                   {us}(o.o_orderdate) AS start_us,
+                   MAX({us}(l.l_shipdate)) AS end_us
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderkey, o.o_orderdate)
+        , agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   (MAX(end_us) - MIN(start_us)) {div} {_DAY_US}
+                       AS t_days,
+                   CAST(SUM((end_us - start_us) {div} {_DAY_US})
+                        AS BIGINT) AS sum_resid_days
+            FROM per_order)
+        SELECT n_orders, t_days, sum_resid_days,
+               CAST((10000 * n_orders) {div} t_days AS BIGINT)
+                   AS lambda_e4,
+               CAST((10000 * sum_resid_days) {div} n_orders AS BIGINT)
+                   AS w_e4,
+               CAST((10000 * sum_resid_days) {div} t_days AS BIGINT)
+                   AS l_e4,
+               CAST((10000 * sum_resid_days) {div} t_days
+                    - ((10000 * n_orders) {div} t_days)
+                      * ((10000 * sum_resid_days) {div} n_orders)
+                      {div} 10000 AS BIGINT) AS little_gap_e4
+        FROM agg
+    """
+
+
+@query("orders_flow_metrics_little", oracle=_little_sql("duck"))
+def q_orders_flow_metrics_little(spark, sf_dir):
+    """FLOW METRICS + LITTLE'S LAW diagnostic over the order
+    pipeline: from one scan, the queueing triple — arrival rate λ
+    (orders/day), mean residence W (orderdate → last shipment,
+    days) and mean work-in-progress L (time-integral of open
+    orders / span, computed exactly as Σ residence / span) — all in
+    e4 fixed point, plus the Little's-law gap L − λ·W (zero up to
+    floor rounding when the window is stationary; a LARGE gap
+    flags boundary truncation — orders open across the observation
+    edges — exactly what the law is used to detect in flow
+    dashboards).
+
+    Scale: one order-keyed aggregate (co-partitioned join on the
+    orderkey), one global 1-row aggregate."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem"
+    )
+    return spark.sql(_little_sql("spark"))
+
+
+_OUTAGE_GAP_US = 1_800_000_000  # 30-min gap closes an outage
+_HOUR_US = 3_600_000_000
+
+
+def _mttr_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    us = "unix_micros" if dialect == "spark" else "epoch_us"
+    return f"""
+        WITH err AS (
+            SELECT {us}(ts) AS t_us, {us}(ts) {div} {_HOUR_US} AS hr
+            FROM events WHERE event_type = 'error')
+        , marked AS (
+            SELECT t_us, hr,
+                   CASE WHEN lag(t_us) OVER w IS NULL
+                             OR t_us - lag(t_us) OVER w
+                                >= {_OUTAGE_GAP_US}
+                        THEN 1 ELSE 0 END AS brk
+            FROM err
+            WINDOW w AS (PARTITION BY hr ORDER BY t_us ASC))
+        , runs AS (
+            SELECT hr, sub, MIN(t_us) AS start_us, MAX(t_us) AS end_us,
+                   CAST(COUNT(*) AS BIGINT) AS n_errors
+            FROM (SELECT t_us, hr,
+                         SUM(brk) OVER (
+                             PARTITION BY hr ORDER BY t_us ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS sub
+                  FROM marked) s
+            GROUP BY hr, sub)
+        , merged AS (
+            SELECT start_us, end_us, n_errors,
+                   CASE WHEN lag(end_us) OVER g IS NULL
+                             OR start_us - lag(end_us) OVER g
+                                >= {_OUTAGE_GAP_US}
+                        THEN 1 ELSE 0 END AS new_outage
+            FROM runs
+            WINDOW g AS (ORDER BY start_us ASC))
+        , outages AS (
+            SELECT oid, MIN(start_us) AS o_start, MAX(end_us) AS o_end,
+                   CAST(SUM(n_errors) AS BIGINT) AS n_errors
+            FROM (SELECT *,
+                         SUM(new_outage) OVER (
+                             ORDER BY start_us ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS oid
+                  FROM merged) m
+            GROUP BY oid)
+        , tbf AS (
+            SELECT o_start - lag(o_end) OVER (ORDER BY o_start ASC)
+                       AS gap_us
+            FROM outages)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_outages,
+               CAST(SUM(n_errors) AS BIGINT) AS total_errors,
+               CAST(SUM(o_end - o_start) {div} 1000000
+                    {div} COUNT(*) AS BIGINT) AS mttr_sec,
+               CAST((SELECT SUM(gap_us) {div} 1000000
+                            {div} NULLIF(COUNT(gap_us), 0)
+                     FROM tbf) AS BIGINT) AS mtbf_sec,
+               CAST(MAX(o_end - o_start) {div} 1000000 AS BIGINT)
+                   AS max_outage_sec
+        FROM outages
+    """
+
+
+@query("events_error_outages_mttr", oracle=_mttr_sql("duck"))
+def q_events_error_outages_mttr(spark, sf_dir):
+    """SRE reliability rollup from the error stream: OUTAGES are
+    maximal error runs closed by a 30-minute quiet gap, summarized
+    to MTTR (mean outage duration), MTBF (mean quiet gap between
+    consecutive outages), the worst outage and total error mass —
+    the incident numbers an error-budget policy (#398) consumes.
+
+    Scale — GLOBAL gap-sessionization without a corpus-wide window:
+    the two-level islands pattern (embed_diversity's discipline).
+    Level 1 partitions by HOUR — each hour's errors compress to at
+    most a handful of sub-runs (a 30-min gap fits twice in an
+    hour). Level 2's global window then runs over the SUB-RUN table
+    (hour-span bounded: O(hours), never O(errors)) and merges runs
+    across hour boundaries exactly. Both levels are plain windows +
+    aggregates; the final report is one row."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_mttr_sql("spark"))

@@ -213,3 +213,51 @@ def test_vector_clock_conflict_hand_case(spark):
     }
     assert out[1] == (1, 5)
     assert out[2] == (0, 3)
+
+
+def test_little_law_identity(spark, sf_dir):
+    """L = Σresidence/T and λW/10000 agree up to floor rounding: the
+    gap is bounded by the two floors' worst case, and all metrics
+    recompute from the emitted integers."""
+    r = QUERIES["orders_flow_metrics_little"](spark, sf_dir).collect()[0]
+    assert r["lambda_e4"] == (10000 * r["n_orders"]) // r["t_days"]
+    assert r["w_e4"] == (10000 * r["sum_resid_days"]) // r["n_orders"]
+    assert r["l_e4"] == (10000 * r["sum_resid_days"]) // r["t_days"]
+    lhs = r["l_e4"]
+    rhs = (r["lambda_e4"] * r["w_e4"]) // 10000
+    assert r["little_gap_e4"] == lhs - rhs
+    # floors compound: gap bounded by lambda/10000 + w/10000 + 1 (e4)
+    assert abs(lhs - rhs) <= r["lambda_e4"] // 10000 + r["w_e4"] // 10000 + 2
+
+
+def test_mttr_two_level_islands_equal_naive(spark):
+    """The hour-banded two-level outage merge must equal the naive
+    single-window sessionization on a hand stream that crosses hour
+    boundaries and contains an exact-gap edge."""
+    import datetime as dt
+
+    from aurora_cdc_demo_spark.registry import _mttr_sql
+
+    base = dt.datetime(2026, 1, 1, 10, 50, 0)
+
+    def at(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    # outage A: 10:50, 10:59, 11:05 (crosses the 11:00 hour edge)
+    # gap of exactly 30 min (closes) -> outage B: 11:35, 11:36
+    # long quiet -> outage C: 14:00
+    rows = [(i, at(m), 1, "error", 0.0, "{}") for i, m in
+            enumerate([0, 9, 15, 45, 46, 190])]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    ).createOrReplaceTempView("events")
+    out = spark.sql(_mttr_sql("spark")).collect()[0]
+    assert out["n_outages"] == 3
+    assert out["total_errors"] == 6
+    assert out["max_outage_sec"] == 15 * 60
+    # durations: 15m, 1m, 0 -> mttr = 16*60/3
+    assert out["mttr_sec"] == (16 * 60) // 3
+    # gaps: 11:05->11:35 = 30m, 11:36->14:00 = 144m
+    assert out["mtbf_sec"] == ((30 + 144) * 60) // 2
