@@ -507,8 +507,17 @@ def test_c4_and_pii_are_shuffle_free(spark, sf_dir):
 
 def test_semdedup_no_cartesian_on_data(spark, sf_dir):
     """The only nested-loop join allowed is the fixed-size seed
-    assignment; the cell-mate compare must be an equi join."""
-    plan = _plan(spark, sf_dir, "semdedup_cells")
+    assignment; the cell-mate compare must be an equi join.
+    (Probes the BUILDER plan — the registered query returns the
+    materialized gate map, whose plan is just the cached RDD.)"""
+    from aurora_cdc_demo_spark.operators import similarity as _sim
+
+    plan = (
+        _sim.semdedup(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "CartesianProduct" not in plan
     # the seed cross join (a broadcast of N_SEEDS=16 rows) appears
     # once per `cells` CTE reference — three bounded broadcasts; the

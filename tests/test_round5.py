@@ -256,7 +256,12 @@ def test_diversity_sampling_salted_prerank(spark, sf_dir):
     window partitions by cell alone; result stays oracle-pinned."""
     import re
 
-    df = QUERIES["sample_embed_diversity"](spark, sf_dir)
+    # probe the BUILDER plan — the registered query returns the
+    # materialized gate map (a cached RDD scan)
+    from aurora_cdc_demo_spark.registry import _embed_diversity_impl
+    from aurora_cdc_demo_spark.operators import similarity as _sim
+
+    df = _embed_diversity_impl(spark, sf_dir, _sim.N_SEEDS)
     plan = df._jdf.queryExecution().executedPlan().toString()
     windows = re.findall(r"Window \[[^\]]*row_number[^\]]*\]", plan)
     assert len(windows) >= 2
