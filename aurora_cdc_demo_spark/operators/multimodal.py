@@ -411,3 +411,158 @@ def wav_roundtrip_oracle_sql() -> str:
              unnest(range(0, {b} + d.doc_id % {b})) AS t(i)
         GROUP BY d.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# R13b: REAL image decode — PNG round trip through the stdlib zlib
+# codec. Same honest-closure shape as the WAV pair: payloads are
+# SYNTHESIZED (deterministic 8-bit grayscale from doc_id) but both
+# the encoder and decoder are real: spec-conformant PNG chunk
+# structure (signature, IHDR/IDAT/IEND, per-chunk CRC32) with the
+# scanline stream DEFLATE-compressed and re-inflated by zlib — an
+# actual compression codec, not arithmetic on fake headers. The
+# decoder validates the signature and every CRC and unfilters the
+# scanlines; the DuckDB oracle recomputes the decoded pixel
+# statistics in closed form, so any byte-level corruption on either
+# side breaks the round trip.
+# ---------------------------------------------------------------------------
+
+PNG_BASE_W = 8
+PNG_H = 8
+
+PNG_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("sum_pixels", LongType()),
+        StructField("min_pixel", LongType()),
+        StructField("max_pixel", LongType()),
+        StructField("crc_checked", LongType()),
+    ]
+)
+
+
+def _png_dims(doc_id: int) -> tuple[int, int]:
+    return PNG_BASE_W + doc_id % PNG_BASE_W, PNG_H
+
+
+def _png_pixel(doc_id: int, r: int, c: int) -> int:
+    return (doc_id * 7 + r * 13 + c * 5) % 256
+
+
+def _png_bytes(doc_id: int) -> bytes:
+    import struct
+    import zlib
+
+    w, h = _png_dims(doc_id)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(tag + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + tag + data + struct.pack(
+            ">I", crc
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit gray
+    raw = b"".join(
+        b"\x00"
+        + bytes(_png_pixel(doc_id, r, c) for c in range(w))
+        for r in range(h)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": pdf["doc_id"].map(
+                    lambda d: _png_bytes(int(d))
+                ),
+            }
+        )
+
+
+def _png_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL decode: signature + chunk walk + CRC32 verification +
+    zlib inflate + scanline unfilter."""
+    import struct
+    import zlib
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            if b[:8] != b"\x89PNG\r\n\x1a\n":
+                raise ValueError("bad PNG signature")
+            pos, w, h, idat, n_crc = 8, None, None, b"", 0
+            while pos < len(b):
+                (ln,) = struct.unpack(">I", b[pos : pos + 4])
+                tag = b[pos + 4 : pos + 8]
+                data = b[pos + 8 : pos + 8 + ln]
+                (crc,) = struct.unpack(
+                    ">I", b[pos + 8 + ln : pos + 12 + ln]
+                )
+                if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+                    raise ValueError("CRC mismatch")
+                n_crc += 1
+                if tag == b"IHDR":
+                    w, h = struct.unpack(">II", data[:8])
+                elif tag == b"IDAT":
+                    idat += data
+                pos += 12 + ln
+            raw = zlib.decompress(idat)
+            pixels = []
+            for r in range(h):
+                line = raw[r * (w + 1) : (r + 1) * (w + 1)]
+                if line[0] != 0:
+                    raise ValueError("unexpected filter type")
+                pixels.extend(line[1:])
+            rows.append(
+                (
+                    int(doc_id),
+                    w,
+                    h,
+                    w * h,
+                    sum(pixels),
+                    min(pixels),
+                    max(pixels),
+                    n_crc,
+                )
+            )
+        yield pd.DataFrame(
+            rows, columns=[f.name for f in PNG_STATS_SCHEMA.fields]
+        )
+
+
+def png_roundtrip_stats(docs: DataFrame) -> DataFrame:
+    ids = docs.select("doc_id")
+    payloads = ids.mapInPandas(_png_write, schema=WAV_PAYLOAD_SCHEMA)
+    return payloads.mapInPandas(_png_decode, schema=PNG_STATS_SCHEMA)
+
+
+def png_roundtrip_oracle_sql() -> str:
+    bw, h = PNG_BASE_W, PNG_H
+    px = "(d.doc_id * 7 + r.r * 13 + c.c * 5) % 256"
+    return f"""
+        SELECT d.doc_id,
+               CAST({bw} + d.doc_id % {bw} AS BIGINT) AS width,
+               CAST({h} AS BIGINT) AS height,
+               CAST(({bw} + d.doc_id % {bw}) * {h} AS BIGINT)
+                   AS n_pixels,
+               CAST(SUM({px}) AS BIGINT) AS sum_pixels,
+               CAST(MIN({px}) AS BIGINT) AS min_pixel,
+               CAST(MAX({px}) AS BIGINT) AS max_pixel,
+               CAST(3 AS BIGINT) AS crc_checked
+        FROM documents d,
+             unnest(range(0, {h})) AS r(r),
+             unnest(range(0, {bw} + d.doc_id % {bw})) AS c(c)
+        GROUP BY d.doc_id
+    """

@@ -24136,3 +24136,114 @@ def q_events_error_outages_mttr(spark, sf_dir):
     ensure_utc(spark)
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_mttr_sql("spark"))
+
+
+@query("mm_png_roundtrip_stats", oracle=_mm.png_roundtrip_oracle_sql())
+def q_mm_png_roundtrip_stats(spark, sf_dir):
+    """REAL image decode: deterministic 8-bit grayscale images
+    encoded as spec-conformant PNG (signature, IHDR/IDAT/IEND
+    chunks, per-chunk CRC32, scanlines DEFLATE-compressed) and
+    decoded back through the stdlib zlib codec — signature check,
+    chunk walk with CRC verification, inflate, unfilter — via two
+    Arrow-batched mapInPandas stages. With mm_wav_roundtrip_stats
+    (#405) this puts a REAL codec behind the Arrow boundary for
+    both audio and image lanes; the closed-form oracle recomputes
+    the decoded pixel statistics from the generator, so corruption
+    anywhere in the container round trip breaks the equality
+    (crc_checked = 3 proves all three chunk CRCs were verified).
+
+    Scale: per-partition maps; the binary column never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _mm.png_roundtrip_stats(docs)
+
+
+_SGNS_WINDOW = 2
+_SGNS_T_INV = 1000  # word2vec t = 1e-3 (thr = total_tokens / 1000)
+
+
+def _sgns_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    if dialect == "spark":
+        tok = (
+            "SELECT doc_id, pos, w FROM (SELECT doc_id,"
+            " posexplode(split(text, ' ')) AS (pos, w) FROM documents)"
+        )
+        h = (
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING) || ':' ||"
+            " CAST(pos AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+        )
+    else:
+        tok = (
+            "SELECT doc_id, CAST(pos - 1 AS BIGINT) AS pos,"
+            " L[CAST(pos AS INTEGER)] AS w"
+            " FROM (SELECT doc_id, string_split(text, ' ') AS L"
+            "       FROM documents) s,"
+            " unnest(range(1, len(L) + 1)) AS t(pos)"
+        )
+        h = (
+            "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||"
+            " CAST(pos AS VARCHAR)), 1, 8) AS BIGINT)"
+        )
+    return f"""
+        WITH tk AS ({tok})
+        , cnt AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tk GROUP BY w)
+        , tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) {div} {_SGNS_T_INV} AS thr
+            FROM tk)
+        , pbp AS (
+            SELECT c.w,
+                   LEAST(10000,
+                         CAST(FLOOR(SQRT(CAST((100000000 * t.thr) {div} c.c
+                                          AS DOUBLE))) AS BIGINT)
+                         + (10000 * t.thr) {div} c.c) AS p_bp
+            FROM cnt c CROSS JOIN tot t)
+        , kept AS (
+            SELECT tk.doc_id, tk.pos, tk.w
+            FROM tk JOIN pbp ON pbp.w = tk.w
+            WHERE ({h}) % 10000 < pbp.p_bp)
+        , seq AS (
+            SELECT doc_id, w,
+                   CAST(row_number() OVER (
+                       PARTITION BY doc_id ORDER BY pos ASC)
+                       AS BIGINT) AS rp
+            FROM kept)
+        , fwd AS (
+            SELECT a.w AS center, b.w AS context
+            FROM seq a
+            JOIN (VALUES (1), (2)) AS o(d) ON 1 = 1
+            JOIN seq b
+              ON b.doc_id = a.doc_id AND b.rp = a.rp + o.d)
+        , both_dir AS (
+            SELECT center, context FROM fwd
+            UNION ALL
+            SELECT context AS center, center AS context FROM fwd)
+        SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM both_dir GROUP BY center, context
+    """
+
+
+@query("text_sgns_pairs", oracle=_sgns_sql("duck"))
+def q_text_sgns_pairs(spark, sf_dir):
+    """WORD2VEC SGNS TRAINING-PAIR GENERATION (Mikolov et al. 2013
+    §2.3): frequent-word SUBSAMPLING — keep probability
+    min(1, sqrt(t/f) + t/f) with t = 1e-3, realized as a
+    deterministic per-position md5 threshold in floor-bp (one
+    engine-identical IEEE sqrt per word TYPE, vocabulary-bounded) —
+    then symmetric skip-gram windows of ±{w} over the COMPACTED
+    surviving sequence (word2vec's effective-window-widening
+    behavior, reproduced exactly), aggregated to (center, context,
+    n_pairs). The embedding-training data-prep step of the pipeline:
+    what an SGNS/GloVe trainer consumes as its co-occurrence stream.
+
+    Scale: subsampling is a vocabulary-dim broadcast join; the
+    window pairing is a per-doc equi-join on compacted positions
+    (offset explode by a 2-row VALUES — linear, never all-pairs);
+    output is bounded by observed co-occurring pairs.""".replace(
+        "{w}", str(_SGNS_WINDOW)
+    )
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_sgns_sql("spark"))
