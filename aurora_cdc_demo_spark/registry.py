@@ -16254,40 +16254,63 @@ def _cdc_chunk_sql(dialect: str) -> str:
     only the chunk it lands in here — the property that makes CDC
     the storage-dedup standard."""
     pw = [pow(_CHUNK_B, j, _CHUNK_M) for j in range(_CHUNK_W)]
-    h = " + ".join(
-        f"CAST(ascii(substring(text, pos + {j}, 1)) AS BIGINT) * {pw[j]}"
-        for j in range(_CHUNK_W)
-    )
     if dialect == "spark":
-        positions = f"""
-            SELECT doc_id, text, pos
-            FROM (SELECT doc_id, text FROM documents
-                  WHERE length(text) >= {_CHUNK_W}) d
-            LATERAL VIEW explode(
-                sequence(1, length(text) - {_CHUNK_W - 1})) p AS pos"""
+        # r5 rewrite: the original form exploded one row PER BYTE
+        # carrying the FULL text column (corpus_bytes x doc_size
+        # materialized — the dominant cost of the whole bench suite
+        # at sf0.1). Now each position row is (doc_id, pos, byte)
+        # and the W-byte window fingerprint is 7 leads over the
+        # doc-partitioned position order — same exact h, ~doc_size x
+        # smaller explode. Positions within W-1 of the end produce a
+        # NULL h (lead past the end) and drop out exactly where the
+        # old sequence() upper bound stopped.
+        lead_h = " + ".join(
+            (
+                f"b * {pw[0]}"
+                if j == 0
+                else f"lead(b, {j}) OVER w * {pw[j]}"
+            )
+            for j in range(_CHUNK_W)
+        )
+        boundaries = f"""
+            SELECT doc_id, pos FROM (
+                SELECT doc_id, pos, ({lead_h}) % {_CHUNK_M} AS h
+                FROM (SELECT doc_id, pos + 1 AS pos,
+                             CAST(ascii(ch) AS BIGINT) AS b
+                      FROM (SELECT doc_id, text FROM documents
+                            WHERE length(text) >= {_CHUNK_W}) d
+                      LATERAL VIEW posexplode(split(text, ''))
+                          t AS pos, ch)
+                WINDOW w AS (PARTITION BY doc_id ORDER BY pos ASC)) f
+            WHERE h % {_CHUNK_DIV} = 0"""
         fixed_offs = f"""
             SELECT doc_id, text, off
             FROM documents
             LATERAL VIEW explode(
                 sequence(0, length(text) - 1, {_FIXED_SZ})) o AS off"""
     else:
-        positions = f"""
-            SELECT doc_id, text,
-                   unnest(generate_series(
-                       1, length(text) - {_CHUNK_W - 1})) AS pos
-            FROM documents WHERE length(text) >= {_CHUNK_W}"""
+        h = " + ".join(
+            f"CAST(ascii(substring(text, pos + {j}, 1)) AS BIGINT)"
+            f" * {pw[j]}"
+            for j in range(_CHUNK_W)
+        )
+        boundaries = f"""
+            SELECT doc_id, pos FROM (
+                SELECT doc_id, pos, ({h}) % {_CHUNK_M} AS h
+                FROM (SELECT doc_id, text,
+                             unnest(generate_series(
+                                 1, length(text) - {_CHUNK_W - 1}))
+                                 AS pos
+                      FROM documents
+                      WHERE length(text) >= {_CHUNK_W})) f
+            WHERE h % {_CHUNK_DIV} = 0"""
         fixed_offs = f"""
             SELECT doc_id, text,
                    unnest(generate_series(
                        0, length(text) - 1, {_FIXED_SZ})) AS off
             FROM documents"""
     return f"""
-        WITH positions AS ({positions})
-        , boundaries AS (
-            SELECT doc_id, pos FROM (
-                SELECT doc_id, pos, ({h}) % {_CHUNK_M} AS h
-                FROM positions) f
-            WHERE h % {_CHUNK_DIV} = 0)
+        WITH boundaries AS ({boundaries})
         , mid AS (
             SELECT doc_id, lag(pos, 1, 0) OVER (
                        PARTITION BY doc_id ORDER BY pos ASC) AS s,
