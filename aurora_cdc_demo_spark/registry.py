@@ -24270,3 +24270,119 @@ def q_text_sgns_pairs(spark, sf_dir):
         "documents"
     )
     return spark.sql(_sgns_sql("spark"))
+
+
+_DW_STEPS = 6
+
+
+def _dw_pick(node: str, step: int, dialect: str) -> str:
+    if dialect == "spark":
+        return (
+            f"CAST(conv(substring(md5(CAST({node} AS STRING) ||"
+            f" ':{step}'), 1, 8), 16, 10) AS BIGINT)"
+        )
+    return (
+        f"CAST('0x' || substr(md5(CAST({node} AS VARCHAR) ||"
+        f" ':{step}'), 1, 8) AS BIGINT)"
+    )
+
+
+def _deepwalk_oracle_sql() -> str:
+    knn = _sim.knn_graph_sql("duck")
+    sql = f"""
+        WITH knn AS MATERIALIZED ({knn})
+        , deg AS MATERIALIZED (
+            SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS d
+            FROM knn GROUP BY vec_id)
+        , w0 AS (SELECT vec_id AS start_id, vec_id AS node
+                 FROM embeddings)"""
+    for s in range(1, _DW_STEPS + 1):
+        sql += f"""
+        , w{s} AS MATERIALIZED (
+            SELECT w.start_id, k.neighbor_id AS node
+            FROM w{s - 1} w
+            JOIN deg d ON d.vec_id = w.node
+            JOIN knn k ON k.vec_id = w.node
+             AND k.nn_rank = 1 + ({_dw_pick('w.node', s, 'duck')}) % d.d)"""
+    arms = " UNION ALL ".join(
+        f"SELECT start_id, CAST({s} AS BIGINT) AS step,"
+        f" CAST(node AS BIGINT) AS node_id FROM w{s}"
+        for s in range(_DW_STEPS + 1)
+    )
+    return sql + "\n        " + arms
+
+
+@query("graph_deepwalk_corpus", oracle=_deepwalk_oracle_sql())
+def q_graph_deepwalk_corpus(spark, sf_dir):
+    """DEEPWALK corpus generation (Perozzi et al. 2014): one
+    deterministic {L}-step walk from EVERY vector over the KNN
+    graph — the graph-side half of the embedding-training data
+    pipeline whose text-side half is text_sgns_pairs (#416): walks
+    are the 'sentences' an SGNS trainer consumes. Step s from node
+    u moves to u's neighbor of rank 1 + md5(u, s) mod deg(u)
+    (hash-seeded in place of RNG — reproducible across engines and
+    restarts); walks at zero-degree nodes (singleton cells) simply
+    end, so the corpus rows are (start_id, step, node_id) ragged by
+    construction.
+
+    Scale: the Pregel discipline (operators/graph.py) — the KNN
+    edge list and degree map materialize ONCE (gate-map cache),
+    each of the {L} rounds is one bounded equi-join against them
+    with the frontier localCheckpointed (constant plan depth), and
+    the corpus is the union of the checkpointed frontiers. The
+    DuckDB oracle is the unrolled MATERIALIZED-round twin.
+    """.replace("{L}", str(_DW_STEPS))
+    ensure_utc(spark)
+    edges = _gate_map(
+        spark,
+        sf_dir,
+        "dw_knn_edges",
+        lambda: QUERIES["ann_knn_graph"](spark, sf_dir).select(
+            "vec_id", "neighbor_id", "nn_rank"
+        ),
+    )
+    deg = _gate_map(
+        spark,
+        sf_dir,
+        "dw_knn_deg",
+        lambda: edges.groupBy("vec_id").agg(
+            F.count(F.lit(1)).cast("long").alias("d")
+        ),
+    ).select(F.col("vec_id").alias("deg_vid"), "d")
+    e = edges.select(
+        F.col("vec_id").alias("edge_vid"), "neighbor_id", "nn_rank"
+    )
+    nodes = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("start_id"), F.col("vec_id").alias("node")
+    )
+    frontiers = [nodes.localCheckpoint()]
+    cur = frontiers[0]
+    for s in range(1, _DW_STEPS + 1):
+        pick = F.expr(
+            f"1 + ({_dw_pick('node', s, 'spark')}) % d"
+        )
+        cur = (
+            cur.join(deg, F.col("deg_vid") == F.col("node"))
+            .withColumn("pick", pick)
+            .join(
+                e,
+                (F.col("edge_vid") == F.col("node"))
+                & (F.col("nn_rank") == F.col("pick")),
+            )
+            .select("start_id", F.col("neighbor_id").alias("node"))
+            .localCheckpoint()
+        )
+        frontiers.append(cur)
+    from functools import reduce as _reduce
+
+    return _reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            f.select(
+                "start_id",
+                F.lit(s).cast("long").alias("step"),
+                F.col("node").cast("long").alias("node_id"),
+            )
+            for s, f in enumerate(frontiers)
+        ],
+    )

@@ -305,3 +305,31 @@ def test_sgns_pairs_symmetry_and_subsampling(spark, sf_dir):
     for (a, b), n in m.items():
         assert m.get((b, a)) == n
     assert len(m) > 0
+
+
+def test_deepwalk_walks_are_valid_paths(spark, sf_dir):
+    """Every consecutive (step, step+1) pair in a walk must be an
+    edge of the KNN graph, every walk starts at its start node, and
+    dead ends only occur at zero-degree nodes."""
+    walks = QUERIES["graph_deepwalk_corpus"](spark, sf_dir).collect()
+    edges = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in QUERIES["ann_knn_graph"](spark, sf_dir).collect()
+    }
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+    byw = {}
+    for r in walks:
+        byw.setdefault(r["start_id"], {})[r["step"]] = r["node_id"]
+    for start, steps in byw.items():
+        assert steps[0] == start
+        ks = sorted(steps)
+        assert ks == list(range(len(ks)))  # no gaps: walk dies once
+        for s in ks[1:]:
+            assert (steps[s - 1], steps[s]) in edges
+        last = steps[ks[-1]]
+        from aurora_cdc_demo_spark.registry import _DW_STEPS
+
+        if ks[-1] < _DW_STEPS:
+            assert deg.get(last, 0) == 0  # died only at a dead end
