@@ -24386,3 +24386,200 @@ def q_graph_deepwalk_corpus(spark, sf_dir):
             for s, f in enumerate(frontiers)
         ],
     )
+
+
+def _elasticity_sql(dialect: str) -> str:
+    """Per-brand correlation of discount vs quantity as exact
+    sufficient statistics + floor-bp signed rho² (the CUPED/#408
+    wide-type pattern: BIGINT moments, 38-digit internal products,
+    BIGINT out). Discount in exact bp (value*10000), quantity in
+    whole units."""
+    div = "div" if dialect == "spark" else "//"
+    wide = "DECIMAL(38,0)" if dialect == "spark" else "HUGEINT"
+    d = "CAST(ROUND(l_discount * 10000) AS BIGINT)"
+    q = "CAST(ROUND(l_quantity) AS BIGINT)"
+    sgn = (
+        "CASE WHEN n * sdq - sd * sq < 0 THEN -1 ELSE 1 END"
+    )
+    return f"""
+        WITH m AS (
+            SELECT p.p_brand,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM({d}) AS BIGINT) AS sd,
+                   CAST(SUM({q}) AS BIGINT) AS sq,
+                   CAST(SUM({d} * {q}) AS BIGINT) AS sdq,
+                   CAST(SUM({d} * {d}) AS BIGINT) AS sd2,
+                   CAST(SUM({q} * {q}) AS BIGINT) AS sq2
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            GROUP BY p.p_brand)
+        SELECT p_brand, n, sd, sq, sdq, sd2, sq2,
+               CAST({sgn} *
+                    ((10000 * CAST(n * sdq - sd * sq AS {wide})
+                            * CAST(n * sdq - sd * sq AS {wide}))
+                     {div} NULLIF(CAST(n * sd2 - sd * sd AS {wide})
+                                  * CAST(n * sq2 - sq * sq AS {wide}),
+                                  0))
+                    AS BIGINT) AS rho2_signed_bp
+        FROM m
+    """
+
+
+@query("lineitem_discount_elasticity", oracle=_elasticity_sql("duck"))
+def q_lineitem_discount_elasticity(spark, sf_dir):
+    """DISCOUNT ELASTICITY proxy per brand: exact per-brand
+    sufficient statistics for (discount bp, quantity) plus the
+    SIGNED squared correlation in floor-bp — does discounting move
+    volume, and for which brands (positive = deeper discounts ship
+    more units; the merchandising question behind promo planning,
+    beside the what-if grid #201 and promo share #19). The slope
+    (elasticity itself) and its t-statistic are one driver-side
+    formula over the emitted integers — the #325/#408 discipline.
+
+    Scale: one broadcast part-dim join + one brand-keyed aggregate
+    with map-side combine; the correlation algebra runs on |brands|
+    rows in 38-digit internal arithmetic."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem"
+    )
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_elasticity_sql("spark"))
+
+
+_CROP_MIN_TOKENS = 16
+
+
+def _crops_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    if dialect == "spark":
+        toks = "split(text, ' ')"
+        n = f"size({toks})"
+
+        def h(tag):
+            return (
+                "CAST(conv(substring(md5(CAST(doc_id AS STRING) ||"
+                f" ':{tag}'), 1, 8), 16, 10) AS BIGINT)"
+            )
+
+        def crop(off):
+            return (
+                f"md5(concat_ws(' ', slice({toks}, {off} + 1, lc)))"
+            )
+
+    else:
+        toks = "string_split(text, ' ')"
+        n = f"len({toks})"
+
+        def h(tag):
+            return (
+                "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) ||"
+                f" ':{tag}'), 1, 8) AS BIGINT)"
+            )
+
+        def crop(off):
+            return (
+                f"md5(array_to_string({toks}[CAST({off} + 1 AS INTEGER):"
+                f"CAST({off} + lc AS INTEGER)], ' '))"
+            )
+
+    return f"""
+        WITH base AS (
+            SELECT doc_id, text,
+                   CAST({n} AS BIGINT) AS n_tokens,
+                   CAST(GREATEST(8, {n} {div} 2) AS BIGINT) AS lc
+            FROM documents WHERE {n} >= {_CROP_MIN_TOKENS})
+        , offs AS (
+            SELECT doc_id, text, n_tokens, lc,
+                   ({h('a')}) % (n_tokens - lc + 1) AS off_a,
+                   ({h('b')}) % (n_tokens - lc + 1) AS off_b
+            FROM base)
+        SELECT doc_id, n_tokens, lc AS crop_len, off_a, off_b,
+               CAST(GREATEST(0, LEAST(off_a, off_b) + lc
+                                - GREATEST(off_a, off_b)) AS BIGINT)
+                   AS overlap_tokens,
+               {crop('off_a')} AS crop_a_md5,
+               {crop('off_b')} AS crop_b_md5
+        FROM offs
+    """
+
+
+@query("text_contrastive_crops", oracle=_crops_sql("duck"))
+def q_text_contrastive_crops(spark, sf_dir):
+    """CONTRASTIVE-PRETRAINING pair generation (Contriever /
+    SimCSE-style independent cropping): per doc with >= {m} tokens,
+    two hash-seeded half-length token crops (reproducible in place
+    of an RNG), with the pair's token OVERLAP (the knob controlling
+    how hard the positive pair is) and the md5 of each materialized
+    crop — the md5 forces the slice+join to actually run on both
+    engines, so the oracle pins real extraction, not just offset
+    arithmetic. The third member of the training-data trio: SGNS
+    pairs (#416, token-level), DeepWalk walks (#417, graph-level),
+    crops (view-level).
+
+    Scale: pure per-row projection — no shuffle, no UDF; the slice
+    stays inside codegen.""".replace("{m}", str(_CROP_MIN_TOKENS))
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_crops_sql("spark"))
+
+
+_MIX_EPOCH_CAP_E4 = 40000  # at most 4 epochs over any source
+
+
+def _epoch_schedule_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    n = (
+        "size(split(text, ' '))"
+        if dialect == "spark"
+        else "len(string_split(text, ' '))"
+    )
+    return f"""
+        WITH src AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM({n}) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source)
+        , tot AS (
+            SELECT CAST(SUM(n_tokens) AS BIGINT) AS t,
+                   CAST(COUNT(*) AS BIGINT) AS k
+            FROM src)
+        , sched AS (
+            SELECT s.source, s.n_docs, s.n_tokens,
+                   10000 {div} t.k AS target_share_bp,
+                   (10000 * (t.t {div} t.k)) {div} s.n_tokens
+                       AS epochs_e4
+            FROM src s CROSS JOIN tot t)
+        SELECT source, n_docs, n_tokens,
+               CAST(target_share_bp AS BIGINT) AS target_share_bp,
+               CAST(epochs_e4 AS BIGINT) AS epochs_e4,
+               CAST(LEAST(epochs_e4, {_MIX_EPOCH_CAP_E4}) AS BIGINT)
+                   AS epochs_capped_e4,
+               CAST((LEAST(epochs_e4, {_MIX_EPOCH_CAP_E4}) * n_tokens)
+                    {div} 10000 AS BIGINT) AS effective_tokens
+        FROM sched
+    """
+
+
+@query("corpus_mixture_epoch_schedule", oracle=_epoch_schedule_sql("duck"))
+def q_corpus_mixture_epoch_schedule(spark, sf_dir):
+    """DATA-RECIPE EPOCH SCHEDULE: how many epochs (repeats, e4
+    fixed point) each source needs for the training stream to hit a
+    UNIFORM source mixture at a one-corpus-pass token budget — the
+    published-recipe table (LLaMA/GPT-style 'epochs over dataset'
+    column) derived from measured token counts, with the standard
+    don't-repeat-more-than-4x cap and the post-cap effective token
+    contribution (a capped small source undershoots its target
+    share — the visible gap is the signal to go collect more of
+    it). Composes with the temperature mixer (#174) and UniMax
+    (#151), which allocate by language; this allocates by SOURCE
+    against an explicit epoch budget.
+
+    Scale: one source-keyed aggregate; the schedule algebra runs on
+    |sources| rows."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_epoch_schedule_sql("spark"))

@@ -333,3 +333,56 @@ def test_deepwalk_walks_are_valid_paths(spark, sf_dir):
 
         if ks[-1] < _DW_STEPS:
             assert deg.get(last, 0) == 0  # died only at a dead end
+
+
+def test_contrastive_crops_overlap_and_bounds(spark, sf_dir):
+    """Crops stay inside the doc, overlap arithmetic is consistent
+    with the offsets, and identical offsets give identical md5s."""
+    for r in QUERIES["text_contrastive_crops"](spark, sf_dir).collect():
+        assert 0 <= r["off_a"] <= r["n_tokens"] - r["crop_len"]
+        assert 0 <= r["off_b"] <= r["n_tokens"] - r["crop_len"]
+        lo, hi = sorted((r["off_a"], r["off_b"]))
+        assert r["overlap_tokens"] == max(0, lo + r["crop_len"] - hi)
+        if r["off_a"] == r["off_b"]:
+            assert r["crop_a_md5"] == r["crop_b_md5"]
+
+
+def test_epoch_schedule_cap_and_budget(spark, sf_dir):
+    """Uncapped epochs exactly hit the uniform per-source token
+    budget (floor algebra); capping only ever reduces effective
+    tokens; a capped source visibly undershoots its target."""
+    from aurora_cdc_demo_spark.registry import _MIX_EPOCH_CAP_E4
+
+    rows = QUERIES["corpus_mixture_epoch_schedule"](
+        spark, sf_dir
+    ).collect()
+    t = sum(r["n_tokens"] for r in rows)
+    k = len(rows)
+    for r in rows:
+        assert r["epochs_e4"] == (10000 * (t // k)) // r["n_tokens"]
+        assert r["epochs_capped_e4"] == min(r["epochs_e4"], _MIX_EPOCH_CAP_E4)
+        assert (
+            r["effective_tokens"]
+            == (r["epochs_capped_e4"] * r["n_tokens"]) // 10000
+        )
+        assert r["effective_tokens"] <= (
+            r["epochs_e4"] * r["n_tokens"]
+        ) // 10000
+
+
+def test_discount_elasticity_recomputes(spark, sf_dir):
+    """The signed rho2 recomputes exactly from the emitted moments."""
+    for r in QUERIES["lineitem_discount_elasticity"](
+        spark, sf_dir
+    ).collect():
+        n, sd, sq = r["n"], r["sd"], r["sq"]
+        cov = n * r["sdq"] - sd * sq
+        vd = n * r["sd2"] - sd * sd
+        vq = n * r["sq2"] - sq * sq
+        if vd * vq == 0:
+            assert r["rho2_signed_bp"] is None
+        else:
+            sgn = -1 if cov < 0 else 1
+            assert r["rho2_signed_bp"] == sgn * (
+                (10000 * cov * cov) // (vd * vq)
+            )
