@@ -386,3 +386,61 @@ def test_discount_elasticity_recomputes(spark, sf_dir):
             assert r["rho2_signed_bp"] == sgn * (
                 (10000 * cov * cov) // (vd * vq)
             )
+
+
+def test_sft_lint_detects_each_rule(spark):
+    """Each lint rule fires on a crafted doc and stays silent on a
+    clean one."""
+    from aurora_cdc_demo_spark.registry import _sft_lint_sql
+
+    docs = [
+        (1, "s1", "clean words only here"),
+        (2, "s1", "### Instruction do the thing"),
+        (3, "s1", "mid text <|im_start|> leak"),
+        (4, "s1", "please [INST] respond"),
+        (5, "s1", "fill {instruction} in"),
+        (6, "s1", "bad brace { only"),
+        (7, "s1", "ctrl\x07char"),
+        (8, "s1", "assistant: sure thing"),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, source string, text string"
+    ).createOrReplaceTempView("documents")
+    r = spark.sql(_sft_lint_sql("spark")).collect()[0]
+    assert r["n_docs"] == 8
+    assert r["n_role_marker"] == 4  # docs 2, 3, 4, 8
+    assert r["n_placeholder"] == 1  # doc 5
+    assert r["n_control_chars"] == 1  # doc 7
+    assert r["n_unbalanced_braces"] == 1  # doc 6 (doc 5 is balanced)
+    assert r["n_clean"] == 1  # doc 1
+
+
+def test_shard_plan_covers_all_vectors(spark, sf_dir):
+    """Shards partition the cells: vector totals sum to the corpus,
+    shards are contiguous in cell order, and every shard except the
+    last is filled past the target."""
+    from aurora_cdc_demo_spark.registry import _SHARD_TARGET_VECS
+    from aurora_cdc_demo_spark.tables import load_table
+
+    rows = sorted(
+        (r["shard_id"], r["n_vectors"], r["first_cell"], r["last_cell"])
+        for r in QUERIES["ann_index_shard_plan"](spark, sf_dir).collect()
+    )
+    total = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r[1] for r in rows) == total
+    for (s1, _, _, l1), (s2, _, f2, _) in zip(rows, rows[1:]):
+        assert s2 == s1 + 1
+        assert f2 > l1
+
+
+def test_tokenizer_benchmark_consistent_with_fertility(spark, sf_dir):
+    """Summing the per-source BPE tokens must equal the per-lang
+    fertility totals (same vocab, same corpus)."""
+    src = QUERIES["text_tokenizer_benchmark"](spark, sf_dir).collect()
+    lang = QUERIES["bpe_fertility_k32"](spark, sf_dir).collect()
+    assert sum(r["n_tokens_bpe"] for r in src) == sum(
+        r["n_tokens_bpe"] for r in lang
+    )
+    assert sum(r["n_words"] for r in src) == sum(
+        r["n_words"] for r in lang
+    )
