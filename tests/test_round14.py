@@ -444,3 +444,67 @@ def test_tokenizer_benchmark_consistent_with_fertility(spark, sf_dir):
     assert sum(r["n_words"] for r in src) == sum(
         r["n_words"] for r in lang
     )
+
+
+def test_t_closeness_emd_recompute(spark, sf_dir):
+    """Ordered EMD recomputed in Python from raw bands equals the
+    query's t_e6 for every class."""
+    from aurora_cdc_demo_spark.registry import (
+        _TCLOSE_BAND_W,
+        _TCLOSE_MAX_BAND,
+    )
+    from aurora_cdc_demo_spark.tables import load_table
+    import math
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            load_table(spark, sf_dir, "nation"),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .select("n_nationkey", "c_mktsegment", "c_acctbal")
+        .collect()
+    )
+    bands = {}
+    glob = [0] * (_TCLOSE_MAX_BAND + 1)
+    for r in cust:
+        b = min(
+            max(int(math.floor(r["c_acctbal"] / _TCLOSE_BAND_W)), 0),
+            _TCLOSE_MAX_BAND,
+        )
+        key = (r["n_nationkey"], r["c_mktsegment"])
+        bands.setdefault(key, [0] * (_TCLOSE_MAX_BAND + 1))[b] += 1
+        glob[b] += 1
+    n = sum(glob)
+    out = {
+        (r["nation"], r["segment"]): (r["n_rows"], r["t_e6"])
+        for r in QUERIES["dq_t_closeness"](spark, sf_dir).collect()
+    }
+    assert set(out) == set(bands)
+    for key, dist in bands.items():
+        nc = sum(dist)
+        cq = cp = emd = 0
+        gcum = 0
+        for b in range(_TCLOSE_MAX_BAND):
+            cq += dist[b]
+            gcum += glob[b]
+            emd += abs(cq * n - gcum * nc)
+        t_e6 = (1000000 * emd) // (nc * n * _TCLOSE_MAX_BAND)
+        assert out[key] == (nc, t_e6), key
+
+
+def test_tiering_shares_partition_keyspace(spark, sf_dir):
+    """Tier key counts partition the keyspace and shares sum to
+    ~10000 bp (floor rounding)."""
+    rows = QUERIES["cdc_storage_tiering_plan"](spark, sf_dir).collect()
+    from aurora_cdc_demo_spark.sources.cdc_log import cdc_operation_log
+
+    nk = (
+        cdc_operation_log(spark, sf_dir)
+        .select("key_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_keys"] for r in rows) == nk
+    s = sum(r["key_share_bp"] for r in rows)
+    assert 10000 - len(rows) <= s <= 10000
