@@ -508,3 +508,42 @@ def test_tiering_shares_partition_keyspace(spark, sf_dir):
     assert sum(r["n_keys"] for r in rows) == nk
     s = sum(r["key_share_bp"] for r in rows)
     assert 10000 - len(rows) <= s <= 10000
+
+
+def test_rate_limit_range_frame_hand_case(spark):
+    """A burst straddling a minute boundary is counted by the RANGE
+    frame where a tumbling window would split it."""
+    import datetime as dt
+
+    from aurora_cdc_demo_spark.registry import _rate_limit_sql
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 30)
+    evs = [
+        # 6 events within 59 s straddling the 0:01:00 boundary
+        (i, base + dt.timedelta(seconds=s), 1, "click", 0.0, "{}")
+        for i, s in enumerate([0, 10, 20, 40, 50, 59])
+    ] + [
+        # second user: slow drip, never throttled
+        (100 + i, base + dt.timedelta(minutes=5 * i), 2, "click", 0.0, "{}")
+        for i in range(4)
+    ]
+    spark.createDataFrame(
+        evs,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    ).createOrReplaceTempView("events")
+    out = {
+        r["user_id"]: (r["max_per_minute"], r["would_throttle"])
+        for r in spark.sql(_rate_limit_sql("spark")).collect()
+    }
+    assert out[1] == (6, 1)  # the straddling burst IS caught
+    assert out[2] == (1, 0)
+
+
+def test_bottleneck_share_and_coverage(spark, sf_dir):
+    """Shares recompute from counts; every reported supplier
+    bottlenecks at least 2 orders."""
+    rows = QUERIES["orders_bottleneck_suppliers"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_orders_bottlenecked"] >= 2
