@@ -604,3 +604,53 @@ def test_pack_fragmentation_consistent_with_packer(spark, sf_dir):
         assert r["n_split_docs"] <= r["n_docs"]
         if r["n_split_docs"]:
             assert r["tokens_before_first_split"] > 0
+
+
+def test_cep_negation_hand_case(spark):
+    """The negation clause voids a match: signup->purchase with an
+    error between does NOT count; a clean one does; a purchase past
+    the deadline does not."""
+    import datetime as dt
+
+    from aurora_cdc_demo_spark.registry import _cep_sql
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def at(h):
+        return base + dt.timedelta(hours=h)
+
+    evs = [
+        # user 1: clean conversion in 2 h
+        (1, at(0), 1, "signup", 0.0, "{}"),
+        (2, at(2), 1, "purchase", 5.0, "{}"),
+        # user 2: error between -> voided
+        (3, at(0), 2, "signup", 0.0, "{}"),
+        (4, at(1), 2, "error", 0.0, "{}"),
+        (5, at(2), 2, "purchase", 5.0, "{}"),
+        # user 3: purchase after the 24 h deadline -> no match
+        (6, at(0), 3, "signup", 0.0, "{}"),
+        (7, at(30), 3, "purchase", 5.0, "{}"),
+    ]
+    spark.createDataFrame(
+        evs,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    ).createOrReplaceTempView("events")
+    r = spark.sql(_cep_sql("spark")).collect()[0]
+    assert r["n_matches"] == 1
+    assert r["n_users"] == 1
+    assert r["mean_lag_sec"] == 2 * 3600
+
+
+def test_ann_maintenance_partitions_cells(spark, sf_dir):
+    """Old + new counts cover every vector, actions come from the
+    documented rule set, and growth recomputes."""
+    rows = QUERIES["ann_index_maintenance_plan"](spark, sf_dir).collect()
+    from aurora_cdc_demo_spark.tables import load_table
+
+    total = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_old"] + r["n_new"] for r in rows) == total
+    for r in rows:
+        assert r["action"] in ("resplit", "retrain_soon", "ok")
+        if r["n_old"]:
+            assert r["growth_bp"] == (10000 * r["n_new"]) // r["n_old"]
