@@ -654,3 +654,43 @@ def test_ann_maintenance_partitions_cells(spark, sf_dir):
         assert r["action"] in ("resplit", "retrain_soon", "ok")
         if r["n_old"]:
             assert r["growth_bp"] == (10000 * r["n_new"]) // r["n_old"]
+
+
+def test_ewma_recurrence_recompute(spark, sf_dir):
+    """The closed form must satisfy the EWMA recurrence
+    S_t = S_{t-1} + (x_t - S_{t-1})/8 up to e9 floor accumulation
+    (recomputed in Python from the same daily counts)."""
+    from aurora_cdc_demo_spark.registry import _EWMA_POW_E9
+
+    rows = sorted(
+        (r["day_idx"], r["n_events"], r["ewma_x"], r["forecast"],
+         r["anomaly"])
+        for r in QUERIES["events_ewma_control_chart"](
+            spark, sf_dir
+        ).collect()
+    )
+    xs = [r[1] for r in rows]
+    for t, (_, x, ewma, fc, an) in enumerate(rows):
+        num = xs[0] * _EWMA_POW_E9[t] + sum(
+            (xs[i] * _EWMA_POW_E9[t - i]) // 8 for i in range(1, t + 1)
+        )
+        assert ewma == num // 10**9
+        if t == 0:
+            assert fc == x and an == 0
+        else:
+            assert fc == rows[t - 1][2]
+            assert an == (1 if (x > 2 * fc or 2 * x < fc) else 0)
+
+
+def test_cache_curve_monotone(spark, sf_dir):
+    """Hit rate is non-decreasing in cache size and hits 100% once
+    the cache holds every key."""
+    rows = sorted(
+        (r["cache_keys"], r["hit_rate_bp"], r["n_keys_total"])
+        for r in QUERIES["cdc_cache_sizing_curve"](spark, sf_dir).collect()
+    )
+    for (_, h1, _), (_, h2, _) in zip(rows, rows[1:]):
+        assert h2 >= h1
+    for k, h, nk in rows:
+        if k >= nk:
+            assert h == 10000
