@@ -694,3 +694,29 @@ def test_cache_curve_monotone(spark, sf_dir):
     for k, h, nk in rows:
         if k >= nk:
             assert h == 10000
+
+
+def test_prefix_families_contain_exact_dups(spark, sf_dir):
+    """Exact duplicate docs necessarily share a prefix family, and
+    every family has >= 2 docs with the min doc as canonical."""
+    fams = QUERIES["dedup_prefix_families"](spark, sf_dir).collect()
+    for r in fams:
+        assert r["n_docs"] >= 2
+    # every exact-dup group member appears in some family
+    from aurora_cdc_demo_spark.operators import dedup as _dedup
+    from aurora_cdc_demo_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ex = _dedup.dedup_exact(docs).where("is_canonical = false")
+    n_dups = ex.count()
+    if n_dups:
+        total_family_docs = sum(r["n_docs"] for r in fams)
+        assert total_family_docs >= n_dups
+
+
+def test_promo_uplift_recompute(spark, sf_dir):
+    """The uplift bp recomputes from the emitted per-arm totals."""
+    r = QUERIES["lineitem_promo_uplift_matched"](spark, sf_dir).collect()[0]
+    u_p = r["units_per_promo_line_centi"]
+    u_c = r["units_per_control_line_centi"]
+    assert r["unit_uplift_bp"] == (10000 * u_p) // u_c - 10000
