@@ -720,3 +720,37 @@ def test_promo_uplift_recompute(spark, sf_dir):
     u_p = r["units_per_promo_line_centi"]
     u_c = r["units_per_control_line_centi"]
     assert r["unit_uplift_bp"] == (10000 * u_p) // u_c - 10000
+
+
+def test_probe_cost_monotone_in_nprobe(spark, sf_dir):
+    """Scanned cost strictly grows with nprobe and the share is a
+    valid fraction."""
+    rows = sorted(
+        (r["nprobe"], r["mean_scanned_centi"], r["scanned_share_bp"])
+        for r in QUERIES["ann_probe_cost_curve"](spark, sf_dir).collect()
+    )
+    for (_, c1, _), (_, c2, _) in zip(rows, rows[1:]):
+        assert c2 > c1
+    for _, _, s in rows:
+        assert 0 < s <= 10000
+
+
+def test_uplift_deciles_partition_users(spark, sf_dir):
+    """Quintiles cover every user once; uplift recomputes from the
+    emitted arm counts."""
+    rows = QUERIES["events_uplift_deciles"](spark, sf_dir).collect()
+    from aurora_cdc_demo_spark.tables import load_table
+
+    n_users = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_treat"] + r["n_control"] for r in rows) == n_users
+    for r in rows:
+        if r["n_treat"] and r["n_control"]:
+            expect = (10000 * r["conv_treat"]) // r["n_treat"] - (
+                10000 * r["conv_control"]
+            ) // r["n_control"]
+            assert r["uplift_bp"] == expect
