@@ -68,6 +68,16 @@ _SHINGLES_SQL = f"""
     , sc AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id)
 """
 
+# LSH_TUNING-only materialized twin: its 12 sh / 5 sig references
+# re-inflate the shingle chain per reference x threads in DuckDB
+# (observed OOM while a Spark JVM was resident). Global
+# materialization is NOT safe — DuckDB hoists MATERIALIZED CTEs, so
+# an oracle nesting another shingle-bearing oracle would collide on
+# the alias; this variant is used only where no nesting occurs.
+_SHINGLES_SQL_MAT = _SHINGLES_SQL.replace(
+    ", sh AS (", ", sh AS MATERIALIZED ("
+).replace(", sc AS (", ", sc AS MATERIALIZED (")
+
 
 def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs sharing >= 1 shingle; if
@@ -937,13 +947,14 @@ def _lsh_tuning_config_ctes(r: int) -> str:
 
 LSH_TUNING_SQL = (
     f"""
-    WITH {_SHINGLES_SQL}
+    WITH {_SHINGLES_SQL_MAT}
     , hashed AS (
         SELECT doc_id,
                CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS a,
                CAST('0x' || substr(md5(s), 9, 8) AS BIGINT) AS b
         FROM sh)
-    , sig AS (SELECT doc_id, {_minhash_sql_cols()} FROM hashed GROUP BY doc_id)
+    , sig AS MATERIALIZED (
+        SELECT doc_id, {_minhash_sql_cols()} FROM hashed GROUP BY doc_id)
 """
     + "".join(_lsh_tuning_config_ctes(r) for r in LSH_TUNING_ROWS)
     + f"""
