@@ -1,0 +1,151 @@
+"""Round-15 additions: partition-layout advisor, rebalance churn,
+Kneser-Ney count tables, systematic PPS sampling."""
+
+from __future__ import annotations
+
+import hashlib
+
+from aurora_cdc_demo_spark.registry import QUERIES
+from aurora_cdc_demo_spark.tables import load_table
+
+
+def _md5_int(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def test_partition_advisor_schemes_and_projection(spark, sf_dir):
+    """All five schemes present, each covering every event row; the
+    projection and verdict recompute from the emitted columns."""
+    rows = {
+        r["scheme"]: r
+        for r in QUERIES["layout_partition_advisor"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {
+        "by_type",
+        "by_day",
+        "by_type_day",
+        "by_hour",
+        "by_user_bucket64",
+    }
+    ev = load_table(spark, sf_dir, "events")
+    n_types = ev.select("event_type").distinct().count()
+    assert rows["by_type"]["n_partitions"] == n_types
+    # type x day refines both marginals
+    assert (
+        rows["by_type_day"]["n_partitions"] >= rows["by_type"]["n_partitions"]
+    )
+    assert (
+        rows["by_type_day"]["n_partitions"] >= rows["by_day"]["n_partitions"]
+    )
+    for r in rows.values():
+        assert 0 < r["max_share_bp"] <= 10000
+        # skew ratio >= 100 centi (max >= mean) up to rounding floor
+        assert r["skew_centi"] >= 99
+        assert r["verdict"] in {
+            "too_few_partitions",
+            "skewed",
+            "small_files",
+            "ok",
+        }
+        if r["n_partitions"] < 8:
+            assert r["verdict"] == "too_few_partitions"
+        elif r["max_share_bp"] > 2500:
+            assert r["verdict"] == "skewed"
+
+
+def test_rebalance_churn_rendezvous_beats_modulo(spark, sf_dir):
+    """Recompute both assignments in Python over the same hash; the
+    rendezvous churn must match and sit far below modulo churn (the
+    consistent-hashing guarantee)."""
+    rows = {
+        r["strategy"]: r
+        for r in QUERIES["cdc_rebalance_churn"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {"modulo", "rendezvous"}
+    n = rows["modulo"]["n_partitions"]
+    assert rows["rendezvous"]["n_partitions"] == n
+    # Python recompute over every present partition id
+    mod_moved = rdv_moved = 0
+    ev = load_table(spark, sf_dir, "events")
+    user_ids = [r["user_id"] for r in ev.select("user_id").distinct().collect()]
+    parts = sorted({_md5_int(str(u)) % 256 for u in user_ids})
+    assert len(parts) == n
+    for p in parts:
+        if p % 8 != p % 9:
+            mod_moved += 1
+        a1 = max(range(8), key=lambda c: (_md5_int(f"{p}#{c}"), -c))
+        a2 = max(range(9), key=lambda c: (_md5_int(f"{p}#{c}"), -c))
+        if a1 != a2:
+            rdv_moved += 1
+    assert rows["modulo"]["moved_partitions"] == mod_moved
+    assert rows["rendezvous"]["moved_partitions"] == rdv_moved
+    # HRW moves ~1/9 of partitions; modulo moves ~8/9
+    assert rows["rendezvous"]["churn_bp"] < rows["modulo"]["churn_bp"]
+    assert rows["rendezvous"]["churn_bp"] < 3000
+    for r in rows.values():
+        assert r["churn_bp"] == (10000 * r["moved_partitions"]) // n
+
+
+def test_kn_counts_recompute(spark, sf_dir):
+    """KN continuation counts recompute exactly from a Python pass
+    over the corpus; discount is the Ney-Essen-Kneser estimate."""
+    rows = QUERIES["text_kn_continuation_counts"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    from collections import Counter
+
+    uni: Counter = Counter()
+    left: dict = {}
+    right: dict = {}
+    bgc: Counter = Counter()
+    for d in docs:
+        t = d["text"].split(" ")
+        uni.update(t)
+        for a, b in zip(t, t[1:]):
+            bgc[(a, b)] += 1
+            left.setdefault(b, set()).add(a)
+            right.setdefault(a, set()).add(b)
+    n_types = len(bgc)
+    n1 = sum(1 for c in bgc.values() if c == 1)
+    n2 = sum(1 for c in bgc.values() if c == 2)
+    disc = (1000000 * n1) // (n1 + 2 * n2) if (n1 + 2 * n2) else 0
+    expect_words = {w for w, c in uni.items() if c >= 5}
+    assert {r["word"] for r in rows} == expect_words
+    for r in rows:
+        w = r["word"]
+        assert r["unigram_count"] == uni[w]
+        assert r["n1p_left"] == len(left.get(w, ()))
+        assert r["n1p_right"] == len(right.get(w, ()))
+        assert r["pkn_bp"] == (10000 * len(left.get(w, ()))) // n_types
+        assert r["discount_e6"] == disc
+
+
+def test_pps_systematic_recompute(spark, sf_dir):
+    """The selected set recomputes exactly from the per-source
+    cumulative scan; each source yields at most target+1 docs and
+    every selected doc's interval contains a tick multiple."""
+    rows = QUERIES["sample_pps_systematic"](spark, sf_dir).collect()
+    got = {(r["source"], r["doc_id"]): r for r in rows}
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    ).collect()
+    by_src: dict = {}
+    for d in docs:
+        by_src.setdefault(d["source"], []).append(d)
+    expect = {}
+    for src, ds in by_src.items():
+        ds.sort(key=lambda d: hashlib.md5(str(d["doc_id"]).encode()).hexdigest())
+        total = sum(d["n_chars"] for d in ds)
+        ival = max(total // 16, 1)
+        cum = 0
+        n_sel = 0
+        for d in ds:
+            prev = cum
+            cum += d["n_chars"]
+            if cum // ival > prev // ival:
+                expect[(src, d["doc_id"])] = (d["n_chars"], cum, cum // ival)
+                n_sel += 1
+        assert 1 <= n_sel <= 17
+    assert set(got) == set(expect)
+    for k, (nc, cum, tick) in expect.items():
+        r = got[k]
+        assert (r["n_chars"], r["cum_chars"], r["tick"]) == (nc, cum, tick)
