@@ -149,3 +149,119 @@ def test_pps_systematic_recompute(spark, sf_dir):
     for k, (nc, cum, tick) in expect.items():
         r = got[k]
         assert (r["n_chars"], r["cum_chars"], r["tick"]) == (nc, cum, tick)
+
+
+def test_pitr_rto_curve_identities(spark, sf_dir):
+    """Replay cost shrinks (weakly) as the checkpoint interval
+    shrinks at every restore point; checkpoint counts invert; the
+    final octile restores to the log head."""
+    rows = QUERIES["cdc_pitr_rto_curve"](spark, sf_dir).collect()
+    by_rc = {(r["ckpt_interval"], r["octile"]): r for r in rows}
+    assert len(rows) == 32
+    intervals = sorted({r["ckpt_interval"] for r in rows})
+    for oct_ in range(1, 9):
+        for c1, c2 in zip(intervals, intervals[1:]):
+            assert (
+                by_rc[(c1, oct_)]["replay_ops"]
+                <= by_rc[(c2, oct_)]["replay_ops"]
+            )
+    for r in rows:
+        assert r["checkpoint_seq"] <= r["restore_seq"]
+        assert r["checkpoint_seq"] % r["ckpt_interval"] == 0
+        assert (
+            r["restore_seq"] - r["checkpoint_seq"] < r["ckpt_interval"]
+        )
+    for c1, c2 in zip(intervals, intervals[1:]):
+        assert (
+            by_rc[(c1, 1)]["n_checkpoints"]
+            >= by_rc[(c2, 1)]["n_checkpoints"]
+        )
+
+
+def test_knn_confusion_matches_vote_rollup(spark, sf_dir):
+    """Row sums of the confusion matrix equal #238's per-class query
+    counts and the diagonal equals its correct counts; row shares
+    are a valid floor-bp distribution."""
+    cm = QUERIES["ann_knn_confusion"](spark, sf_dir).collect()
+    vote = {
+        r["true_label"]: r
+        for r in QUERIES["ann_knn_label_vote"](spark, sf_dir).collect()
+    }
+    from collections import defaultdict
+
+    rowsum: dict = defaultdict(int)
+    diag: dict = defaultdict(int)
+    for r in cm:
+        rowsum[r["true_label"]] += r["n"]
+        if r["true_label"] == r["voted_label"]:
+            diag[r["true_label"]] += r["n"]
+    assert set(rowsum) == set(vote)
+    for lab, v in vote.items():
+        assert rowsum[lab] == v["n_queries"]
+        assert diag.get(lab, 0) == v["n_correct"]
+    for r in cm:
+        assert r["row_share_bp"] == (10000 * r["n"]) // rowsum[r["true_label"]]
+
+
+def test_winsorized_means_recompute(spark, sf_dir):
+    """Cut, clamp counts and all three means recompute exactly from
+    a Python pass; winsorized sits between trimmed-ish and raw."""
+    rows = QUERIES["events_winsorized_means"](spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value"
+    ).collect()
+    from collections import defaultdict
+
+    vals = defaultdict(list)
+    for e in ev:
+        # Python round() is banker's; SQL ROUND is half-away — match SQL
+        import decimal
+
+        c = int(
+            decimal.Decimal(repr(e["value"] * 100)).quantize(
+                0, rounding=decimal.ROUND_HALF_UP
+            )
+        )
+        vals[e["event_type"]].append(c)
+    def fdiv(a, b):
+        return (a - ((a % b + b) % b)) // b
+
+    for r in rows:
+        cs = sorted(vals[r["event_type"]])
+        n = len(cs)
+        k = (95 * n + 99) // 100
+        cut = cs[k - 1]
+        assert r["n"] == n
+        assert r["p95_cents"] == cut
+        assert r["n_clamped"] == sum(1 for c in cs if c > cut)
+        assert r["mean_cents"] == fdiv(sum(cs), n)
+        assert r["winsorized_mean_cents"] == fdiv(
+            sum(min(c, cut) for c in cs), n
+        )
+        kept = [c for c in cs if c <= cut]
+        assert r["trimmed_mean_cents"] == fdiv(sum(kept), len(kept))
+        assert r["trimmed_mean_cents"] <= r["winsorized_mean_cents"]
+
+
+def test_returnflag_priority_assoc_recompute(spark, sf_dir):
+    """Every cell's expected value, sign and chi2 contribution
+    recompute exactly; marginal identities hold."""
+    rows = QUERIES["lineitem_returnflag_priority_assoc"](
+        spark, sf_dir
+    ).collect()
+    n = sum(r["observed"] for r in rows)
+    from collections import defaultdict
+
+    rt: dict = defaultdict(int)
+    ct: dict = defaultdict(int)
+    for r in rows:
+        rt[r["returnflag"]] += r["observed"]
+        ct[r["priority"]] += r["observed"]
+    for r in rows:
+        R, C, O = rt[r["returnflag"]], ct[r["priority"]], r["observed"]
+        assert r["expected_e4"] == (10000 * R * C) // n
+        num = O * n - R * C
+        assert r["resid_sign"] == (num > 0) - (num < 0)
+        assert r["chi2_contrib_e6"] == (1000000 * num * num) // (
+            n * n * R * C
+        )
