@@ -265,3 +265,123 @@ def test_returnflag_priority_assoc_recompute(spark, sf_dir):
         assert r["chi2_contrib_e6"] == (1000000 * num * num) // (
             n * n * R * C
         )
+
+
+def test_sla_compliance_recompute(spark, sf_dir):
+    """Met shares and mean lags recompute from a Python pass over
+    the order->last-ship joins; the SLA ladder is respected."""
+    rows = {
+        r["priority"]: r
+        for r in QUERIES["orders_sla_compliance"](spark, sf_dir).collect()
+    }
+    sla = {
+        "1-URGENT": 30,
+        "2-HIGH": 45,
+        "3-MEDIUM": 60,
+        "4-NOT SPECIFIED": 75,
+        "5-LOW": 90,
+    }
+    assert set(rows) == set(sla)
+    orders = {
+        r["o_orderkey"]: (r["o_orderpriority"], r["o_orderdate"])
+        for r in load_table(spark, sf_dir, "orders").collect()
+    }
+    import collections
+
+    last_ship: dict = {}
+    for li in (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .collect()
+    ):
+        k = li["l_orderkey"]
+        if k in orders:
+            cur = last_ship.get(k)
+            if cur is None or li["l_shipdate"] > cur:
+                last_ship[k] = li["l_shipdate"]
+    agg = collections.defaultdict(lambda: [0, 0, 0, 0])  # n, met, slag, worst
+    for k, ship in last_ship.items():
+        prio, od = orders[k]
+        lag = int(
+            (ship - od).total_seconds() * 1000000
+        ) // 86400000000
+        a = agg[prio]
+        a[0] += 1
+        a[1] += 1 if lag <= sla[prio] else 0
+        a[2] += lag
+        a[3] = max(a[3], lag)
+    for p, r in rows.items():
+        n, met, slag, worst = agg[p]
+        assert r["sla_days"] == sla[p]
+        assert r["n_orders"] == n
+        assert r["n_met"] == met
+        assert r["met_bp"] == (10000 * met) // n
+        assert r["mean_lag_days_centi"] == (100 * slag) // n
+        assert r["worst_lag_days"] == worst
+
+
+def test_capacity_plan_identities(spark, sf_dir):
+    """Shares sum to ~1, projections sum to ~target, consumer count
+    honors the 70% ceiling, drain math recomputes."""
+    rows = QUERIES["ops_stream_capacity_plan"](spark, sf_dir).collect()
+    assert 10000 - len(rows) <= sum(r["share_bp"] for r in rows) <= 10000
+    assert (
+        100000 - len(rows)
+        <= sum(r["proj_eps"] for r in rows)
+        <= 100000
+    )
+    for r in rows:
+        cap = 5000
+        need = max((10000 * r["proj_eps"] + cap * 7000 - 1) // (cap * 7000), 1)
+        assert r["n_consumers"] == need
+        assert r["util_bp"] == (10000 * r["proj_eps"]) // (need * cap)
+        # planned utilization respects the ceiling unless floored at 1
+        if need > 1 or r["proj_eps"] <= cap:
+            assert r["util_bp"] <= 7000 + 10000 // cap
+        spare = need * cap - r["proj_eps"]
+        if spare > 0:
+            assert r["drain_minutes"] == (r["proj_eps"] * 3600) // (60 * spare)
+        else:
+            assert r["drain_minutes"] == -1
+
+
+def test_mann_whitney_identities(spark, sf_dir):
+    """U1 + U2 == 2*n1*n2 (the scaled rank-sum identity), rank sums
+    cover the full triangle, and CLES recomputes; cross-check U
+    against a direct O(n^2)-free Python midrank pass."""
+    r = QUERIES["events_mann_whitney_u"](spark, sf_dir).collect()[0]
+    n1, n2 = r["n1"], r["n2"]
+    assert r["u1_x2"] + r["u2_x2"] == 2 * n1 * n2
+    assert r["r1_x2"] - n1 * (n1 + 1) == r["u1_x2"]
+    assert r["cles_bp"] == (10000 * r["u1_x2"]) // (2 * n1 * n2)
+    # Python midrank recompute
+    import decimal
+    import hashlib
+    from collections import defaultdict
+
+    totals: dict = defaultdict(int)
+    for e in (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "value")
+        .collect()
+    ):
+        c = int(
+            decimal.Decimal(repr(e["value"] * 100)).quantize(
+                0, rounding=decimal.ROUND_HALF_UP
+            )
+        )
+        totals[e["user_id"]] += c
+    vals = sorted(
+        (v, int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2)
+        for u, v in totals.items()
+    )
+    r1_x2 = 0
+    i = 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j][0] == vals[i][0]:
+            j += 1
+        avg_x2 = (i + 1) + j  # 2 * average rank of the tie block
+        r1_x2 += sum(avg_x2 for k in range(i, j) if vals[k][1] == 1)
+        i = j
+    assert r["r1_x2"] == r1_x2
