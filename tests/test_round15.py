@@ -385,3 +385,88 @@ def test_mann_whitney_identities(spark, sf_dir):
         r1_x2 += sum(avg_x2 for k in range(i, j) if vals[k][1] == 1)
         i = j
     assert r["r1_x2"] == r1_x2
+
+
+def test_compression_ratio_exact_vs_python_zlib(spark, sf_dir):
+    """Every emitted row equals an independent Python zlib pass —
+    the rows-only driver check is backed by an exact law here."""
+    import zlib
+
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["text_compression_ratio"](spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    assert set(rows) == {d["doc_id"] for d in docs}
+    for d in docs:
+        raw = d["text"].encode("utf-8")
+        comp = len(zlib.compress(raw, 6))
+        r = rows[d["doc_id"]]
+        assert r["raw_bytes"] == len(raw)
+        assert r["compressed_bytes"] == comp
+        assert r["ratio_bp"] == (10000 * comp) // len(raw)
+
+
+def test_hash_uniformity_recompute(spark, sf_dir):
+    """Chi-square and deviations recompute from a Python bucketing
+    of the same distinct keys at every grid size."""
+    rows = {
+        r["n_buckets"]: r
+        for r in QUERIES["dq_hash_uniformity"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {64, 256, 1024}
+    ids = [
+        r["user_id"]
+        for r in load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .collect()
+    ]
+    from collections import Counter
+
+    for b, r in rows.items():
+        counts = Counter(_md5_int(str(u)) % b for u in ids)
+        n = len(ids)
+        assert r["n_keys"] == n
+        assert r["buckets_hit"] == len(counts)
+        assert r["max_count"] == max(counts.values())
+        assert r["min_count"] == min(counts.values())
+        assert r["max_dev_bp"] == (10000 * (b * max(counts.values()) - n)) // n
+        ss = sum(c * c for c in counts.values())
+        assert r["chi2_e6"] == (1000000 * (b * ss - n * n)) // n
+
+
+def test_dedup_state_sizing_sweep(spark, sf_dir):
+    """Peak state recomputes from a Python boundary sweep (expiries
+    before same-instant arrivals); peak grows with TTL and peak >=
+    mean always."""
+    rows = {
+        r["ttl_seconds"]: r
+        for r in QUERIES["cdc_dedup_state_sizing"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {300, 900, 3600, 14400}
+    ts_us = [
+        int(r["ts"].timestamp() * 1000000)
+        for r in load_table(spark, sf_dir, "events").select("ts").collect()
+    ]
+    span = max(ts_us) - min(ts_us)
+    n = len(ts_us)
+    prev_peak = 0
+    for w in (300, 900, 3600, 14400):
+        bounds = [(t, 1, 1) for t in ts_us] + [
+            (t + w * 1000000, 0, -1) for t in ts_us
+        ]
+        bounds.sort(key=lambda x: (x[0], x[1]))
+        cur = peak = 0
+        for _, _, d in bounds:
+            cur += d
+            peak = max(peak, cur)
+        r = rows[w]
+        assert r["n_entries"] == n
+        assert r["peak_state_entries"] == peak
+        assert r["mean_state_entries"] == (n * w * 1000000) // span
+        assert r["peak_state_entries"] >= r["mean_state_entries"]
+        assert peak >= prev_peak
+        prev_peak = peak
