@@ -53,14 +53,25 @@ def test_survey_matches_registry_exactly():
 
 
 def test_survey_oracle_marks_match_oracles():
-    """Rows marked oracle-✓ carry an ORACLES entry; rows explicitly
-    marked rows-only do not need one (and must be the only keys
-    without one)."""
+    """Two-way mark/oracle agreement: a key lacks an ORACLES entry
+    IFF its SURVEY §2 row is explicitly marked `| rows |` (the
+    documented rows-only queries: engine-opaque sketches and the
+    zlib gate, each carrying an exact/error-bounded pytest law
+    instead)."""
+    text = SURVEY.read_text()
+    s2 = text.split("## §2", 1)[1].split("\n## §3", 1)[0]
+    marked_rows_only = {
+        m.group(1)
+        for m in re.finditer(
+            r"^\|\s*\d+\s*\|\s*`([a-z0-9_]+)`\s*\|.*\|\s*rows\s*\|\s*$",
+            s2,
+            re.M,
+        )
+    }
     rows_by_n, _ = _survey_rows()
     keyed = set(rows_by_n.values())
     no_oracle = {k for k in keyed if k not in ORACLES}
-    # the two documented rows-only sketch queries
-    assert no_oracle <= {
-        "events_distinct_users_hll",
-        "events_value_quantiles_approx",
-    }, f"unexpected keys without oracle SQL: {sorted(no_oracle)}"
+    assert no_oracle == marked_rows_only, (
+        f"oracle-less keys {sorted(no_oracle)} != SURVEY rows-only "
+        f"marks {sorted(marked_rows_only)}"
+    )
