@@ -470,3 +470,61 @@ def test_dedup_state_sizing_sweep(spark, sf_dir):
         assert r["peak_state_entries"] >= r["mean_state_entries"]
         assert peak >= prev_peak
         prev_peak = peak
+
+
+def test_pq_code_balance_identities(spark, sf_dir):
+    """Every subspace covers all vectors, occupancy bounds hold, and
+    chi2 recomputes from the usage counts derived from #138's codes."""
+    rows = {
+        r["subspace"]: r
+        for r in QUERIES["embed_pq_code_balance"](spark, sf_dir).collect()
+    }
+    assert set(rows) == set(range(8))
+    codes = QUERIES["embed_pq_codes"](spark, sf_dir).collect()
+    n = len(codes)
+    from collections import Counter
+
+    for s, r in rows.items():
+        usage = Counter(c[f"c{s}"] for c in codes)
+        assert r["n_vectors"] == n
+        assert r["codewords_used"] == len(usage)
+        assert r["max_count"] == max(usage.values())
+        assert r["max_share_bp"] == (10000 * max(usage.values())) // n
+        ss = sum(c * c for c in usage.values())
+        assert r["chi2_e6"] == (1000000 * (32 * ss - n * n)) // n
+
+
+def test_storage_plan_ladder(spark, sf_dir):
+    """Encodings are strictly ordered by bytes/vec, node counts are
+    exact ceilings, and the PQ row is dim-independent."""
+    rows = QUERIES["embed_storage_sizing_plan"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    dim = rows[0]["dim"]
+    per = {r["encoding"]: r["bytes_per_vec"] for r in rows}
+    assert per["fp32"] == 4 * dim
+    assert per["fp16"] == 2 * dim
+    assert per["int8"] == dim + 8
+    assert per["sign_bit"] == (dim + 7) // 8
+    assert per["pq"] == 8
+    assert per["fp32"] > per["fp16"] > per["int8"] > per["sign_bit"]
+    node = 64 * 1024**3
+    for r in rows:
+        total = r["bytes_per_vec"] * r["target_vectors"]
+        assert r["total_mib"] == total // 1048576
+        assert r[f"nodes_64gib"] == (total + node - 1) // node
+
+
+def test_knn_reciprocity_recompute(spark, sf_dir):
+    """Reciprocity recomputes from the materialized KNN edge list."""
+    r = QUERIES["graph_knn_reciprocity"](spark, sf_dir).collect()[0]
+    from aurora_cdc_demo_spark.operators import similarity as sim
+
+    edges = {
+        (e["vec_id"], e["neighbor_id"])
+        for e in sim.knn_graph(spark, sf_dir).collect()
+    }
+    recip = sum(1 for (a, b) in edges if (b, a) in edges)
+    assert r["n_edges"] == len(edges)
+    assert r["n_reciprocal"] == recip
+    assert r["reciprocity_bp"] == (10000 * recip) // len(edges)
+    assert 0 < r["reciprocity_bp"] <= 10000
