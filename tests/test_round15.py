@@ -528,3 +528,119 @@ def test_knn_reciprocity_recompute(spark, sf_dir):
     assert r["n_reciprocal"] == recip
     assert r["reciprocity_bp"] == (10000 * recip) // len(edges)
     assert 0 < r["reciprocity_bp"] <= 10000
+
+
+def test_props_variant_agrees_with_flatten(spark, sf_dir):
+    """The VARIANT path and the get_json_object flatten (#56) see
+    identical typed values — mechanism changes, semantics don't."""
+    rows = {
+        r["event_type"]: r
+        for r in QUERIES["events_props_variant_stats"](
+            spark, sf_dir
+        ).collect()
+    }
+    flat = QUERIES["events_props_flatten"](spark, sf_dir).collect()
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0, None, None, 0, set()])
+    for f in flat:
+        a = agg[f["event_type"]]
+        k = f["props_k"]
+        a[0] += 1
+        if k is None:
+            a[1] += 1
+        else:
+            a[2] = k if a[2] is None else min(a[2], k)
+            a[3] = k if a[3] is None else max(a[3], k)
+            a[4] += k
+            a[5].add(k)
+    assert set(rows) == set(agg)
+    for t, r in rows.items():
+        n, nnull, kmin, kmax, ksum, kd = agg[t]
+        assert r["n_events"] == n
+        assert r["n_k_null"] == nnull
+        assert r["k_min"] == kmin
+        assert r["k_max"] == kmax
+        assert r["k_sum"] == ksum
+        assert r["k_distinct"] == len(kd)
+
+
+def test_status_rule_recompute(spark, sf_dir):
+    """Expected statuses recompute from the line mix; shares are a
+    floor-bp distribution within each actual status."""
+    rows = QUERIES["dq_order_line_status_rule"](spark, sf_dir).collect()
+    from collections import defaultdict
+
+    mix = defaultdict(lambda: [0, 0])
+    okey_status = {
+        r["o_orderkey"]: r["o_orderstatus"]
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus")
+        .collect()
+    }
+    for li in (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linestatus")
+        .collect()
+    ):
+        if li["l_orderkey"] in okey_status:
+            m = mix[li["l_orderkey"]]
+            m[0] += 1
+            m[1] += 1 if li["l_linestatus"] == "F" else 0
+    census = defaultdict(int)
+    for ok, (nl, nf) in mix.items():
+        exp = "F" if nf == nl else ("O" if nf == 0 else "P")
+        census[(okey_status[ok], exp)] += 1
+    got = {(r["actual_status"], r["expected_status"]): r for r in rows}
+    assert set(got) == set(census)
+    act_tot = defaultdict(int)
+    for (a, _), n in census.items():
+        act_tot[a] += n
+    for (a, e), r in got.items():
+        assert r["n_orders"] == census[(a, e)]
+        assert r["is_consistent"] == (1 if a == e else 0)
+        assert r["share_of_actual_bp"] == (10000 * census[(a, e)]) // act_tot[a]
+
+
+def test_mutual_knn_components_conservation(spark, sf_dir):
+    """Histogram masses sum to the vector count; singletons include
+    every vector with no mutual edge; a Python union-find over the
+    mutual edges reproduces the histogram."""
+    rows = QUERIES["graph_mutual_knn_components"](spark, sf_dir).collect()
+    from aurora_cdc_demo_spark.operators import similarity as sim
+
+    edges = {
+        (e["vec_id"], e["neighbor_id"])
+        for e in sim.knn_graph(spark, sf_dir).collect()
+    }
+    mutual = {(a, b) for (a, b) in edges if (b, a) in edges}
+    n_vec = (
+        load_table(spark, sf_dir, "embeddings").select("vec_id").count()
+    )
+    assert sum(r["n_vectors"] for r in rows) == n_vec
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in mutual:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    from collections import Counter
+
+    comp = Counter()
+    ids = [
+        r["vec_id"]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .collect()
+    ]
+    for v in ids:
+        comp[find(v)] += 1
+    hist = Counter(comp.values())
+    got = {r["component_size"]: r["n_components"] for r in rows}
+    assert got == dict(hist)
