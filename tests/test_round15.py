@@ -644,3 +644,106 @@ def test_mutual_knn_components_conservation(spark, sf_dir):
     hist = Counter(comp.values())
     got = {r["component_size"]: r["n_components"] for r in rows}
     assert got == dict(hist)
+
+
+def test_power_sample_size_recompute(spark, sf_dir):
+    """n = ceil(16 p (1-p) / mde^2) in exact bp arithmetic; days use
+    the floored-arrival ceil; MDE monotonicity holds."""
+    rows = {
+        r["mde_bp"]: r
+        for r in QUERIES["events_power_sample_size"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {10, 25, 50, 100, 200}
+    p = rows[10]["baseline_bp"]
+    assert 0 < p < 10000  # 1h fast-purchase conversion, non-saturated
+    prev = None
+    for m in (10, 25, 50, 100, 200):
+        r = rows[m]
+        n = (16 * p * (10000 - p) + m * m - 1) // (m * m)
+        assert r["n_per_arm"] == n
+        assert r["n_total"] == 2 * n
+        if prev is not None:
+            assert r["n_per_arm"] < prev
+        prev = r["n_per_arm"]
+        assert r["days_required"] >= 1
+
+
+def test_bot_flags_hand_case(spark, sf_dir):
+    """Crafted users trip each flag exactly once: a rapid clicker
+    (25 events, 30 s apart), a metronome (12 events, exactly 600 s
+    apart), a single-type user (20 events, slow + jittered), and a
+    human (sparse, mixed)."""
+    import datetime
+
+    from aurora_cdc_demo_spark.registry import _bot_flags_sql
+
+    t0 = datetime.datetime(2026, 1, 1)
+    rows = []
+    eid = 0
+
+    def add(uid, n, gap_s, types, jitter=None):
+        nonlocal eid
+        t = t0
+        for i in range(n):
+            rows.append((eid, t, uid, types[i % len(types)], 1.0, "{}"))
+            eid += 1
+            step = gap_s + (jitter[i % len(jitter)] if jitter else 0)
+            t = t + datetime.timedelta(seconds=step)
+
+    add(1, 25, 30, ["click", "view"])  # rapid (mean gap 30s < 60s)
+    add(2, 12, 600, ["click", "view"])  # metronomic (0 jitter)
+    add(3, 20, 7200, ["click"], jitter=[0, 60, 120])  # single-type
+    add(4, 5, 86400, ["click", "purchase"])  # human
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    df.createOrReplaceTempView("events")
+    got = {
+        (r["is_rapid"], r["is_metronomic"], r["is_single_type"]): r[
+            "n_users"
+        ]
+        for r in spark.sql(_bot_flags_sql("spark")).collect()
+    }
+    # user 1: rapid AND metronomic (zero jitter); user 2: metronomic
+    # only (600s mean); user 3: single-type only; user 4: clean
+    assert got == {(1, 1, 0): 1, (0, 1, 0): 1, (0, 0, 1): 1, (0, 0, 0): 1}
+
+
+def test_bot_flags_census_covers_all_users(spark, sf_dir):
+    rows = QUERIES["events_bot_flags"](spark, sf_dir).collect()
+    n_users = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_users"] for r in rows) == n_users
+    assert 10000 - len(rows) <= sum(r["share_bp"] for r in rows) <= 10000
+
+
+def test_group_kfold_no_leakage(spark, sf_dir):
+    """Every source maps to exactly one fold (the leakage guard) and
+    the fold masses conserve the corpus."""
+    rows = QUERIES["sample_group_kfold"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    ).collect()
+    src_fold = {
+        d["source"]: _md5_int(d["source"]) % 5 for d in docs
+    }
+    from collections import defaultdict
+
+    exp = defaultdict(lambda: [set(), 0, 0])
+    for d in docs:
+        f = src_fold[d["source"]]
+        exp[f][0].add(d["source"])
+        exp[f][1] += 1
+        exp[f][2] += d["n_chars"]
+    got = {r["fold"]: r for r in rows}
+    assert set(got) == set(exp)
+    for f, (srcs, nd, nc) in exp.items():
+        assert got[f]["n_sources"] == len(srcs)
+        assert got[f]["n_docs"] == nd
+        assert got[f]["n_chars"] == nc
+    assert sum(r["n_docs"] for r in rows) == len(docs)
