@@ -747,3 +747,100 @@ def test_group_kfold_no_leakage(spark, sf_dir):
         assert got[f]["n_docs"] == nd
         assert got[f]["n_chars"] == nc
     assert sum(r["n_docs"] for r in rows) == len(docs)
+
+
+def test_lifecycle_conformance_recompute(spark, sf_dir):
+    """Flags recompute from per-user event scans; census covers all
+    users."""
+    rows = QUERIES["events_lifecycle_conformance"](spark, sf_dir).collect()
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts")
+        .collect()
+    )
+    from collections import defaultdict
+
+    per = defaultdict(lambda: {"ns": 0, "ts": None, "tp": None, "t0": None})
+    for e in ev:
+        u = per[e["user_id"]]
+        t = e["ts"]
+        u["t0"] = t if u["t0"] is None else min(u["t0"], t)
+        if e["event_type"] == "signup":
+            u["ns"] += 1
+            u["ts"] = t if u["ts"] is None else min(u["ts"], t)
+        if e["event_type"] == "purchase":
+            u["tp"] = t if u["tp"] is None else min(u["tp"], t)
+    census = defaultdict(int)
+    for u in per.values():
+        census[
+            (
+                1 if u["ns"] == 0 else 0,
+                1 if u["ns"] >= 2 else 0,
+                1 if u["ts"] is not None and u["t0"] < u["ts"] else 0,
+                1
+                if u["tp"] is not None
+                and u["ts"] is not None
+                and u["tp"] < u["ts"]
+                else 0,
+            )
+        ] += 1
+    got = {
+        (
+            r["no_signup"],
+            r["multiple_signups"],
+            r["activity_before_signup"],
+            r["purchase_before_signup"],
+        ): r["n_users"]
+        for r in rows
+    }
+    assert got == dict(census)
+    assert sum(got.values()) == len(per)
+
+
+def test_open_backlog_telescopes(spark, sf_dir):
+    """The backlog is the telescoping sum of opened-closed, ends at
+    zero (every order eventually ships), and total opened == total
+    closed == order count with lines."""
+    rows = sorted(
+        QUERIES["orders_open_backlog_daily"](spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    run = 0
+    for r in rows:
+        run += r["n_opened"] - r["n_closed"]
+        assert r["open_backlog"] == run
+        assert run >= 0
+    assert run == 0
+    n_orders = sum(r["n_opened"] for r in rows)
+    assert sum(r["n_closed"] for r in rows) == n_orders
+    assert n_orders > 0
+
+
+def test_error_volume_corr_recompute(spark, sf_dir):
+    """Sufficient statistics and rho2 recompute from hourly buckets."""
+    r = QUERIES["events_error_volume_corr"](spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type"
+    ).collect()
+    from collections import defaultdict
+
+    hours = defaultdict(lambda: [0, 0])
+    for e in ev:
+        h = e["ts"].replace(minute=0, second=0, microsecond=0)
+        hours[h][0] += 1
+        hours[h][1] += 1 if e["event_type"] == "error" else 0
+    n = len(hours)
+    sx = sum(v[0] for v in hours.values())
+    sy = sum(v[1] for v in hours.values())
+    sxy = sum(v[0] * v[1] for v in hours.values())
+    sx2 = sum(v[0] * v[0] for v in hours.values())
+    sy2 = sum(v[1] * v[1] for v in hours.values())
+    assert (r["n_hours"], r["total_events"], r["total_errors"]) == (
+        n,
+        sx,
+        sy,
+    )
+    num = n * sxy - sx * sy
+    den = (n * sx2 - sx * sx) * (n * sy2 - sy * sy)
+    assert r["corr_sign"] == (num > 0) - (num < 0)
+    assert r["rho2_bp"] == ((10000 * num * num) // den if den else 0)
