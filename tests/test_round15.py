@@ -844,3 +844,70 @@ def test_error_volume_corr_recompute(spark, sf_dir):
     den = (n * sx2 - sx * sx) * (n * sy2 - sy * sy)
     assert r["corr_sign"] == (num > 0) - (num < 0)
     assert r["rho2_bp"] == ((10000 * num * num) // den if den else 0)
+
+
+def test_kruskal_wallis_inputs_exact(spark, sf_dir):
+    """Rank sums recompute from a Python midrank pass, the triangle
+    law holds, and the driver-side H is finite and non-negative."""
+    rows = QUERIES["events_kruskal_wallis_inputs"](spark, sf_dir).collect()
+    import decimal
+    from collections import Counter, defaultdict
+
+    vals = []
+    for e in (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .collect()
+    ):
+        c = int(
+            decimal.Decimal(repr(e["value"] * 100)).quantize(
+                0, rounding=decimal.ROUND_HALF_UP
+            )
+        )
+        vals.append((c, e["event_type"]))
+    cnt = Counter(c for c, _ in vals)
+    order = sorted(cnt)
+    prefix = {}
+    run = 0
+    for c in order:
+        prefix[c] = run
+        run += cnt[c]
+    rank_x2 = defaultdict(int)
+    nj = defaultdict(int)
+    for c, t in vals:
+        rank_x2[t] += 2 * prefix[c] + cnt[c] + 1
+        nj[t] += 1
+    n_total = len(vals)
+    ties = sum(t**3 - t for t in cnt.values())
+    got = {r["event_type"]: r for r in rows}
+    assert set(got) == set(nj)
+    for t, r in got.items():
+        assert r["n"] == nj[t]
+        assert r["rank_sum_x2"] == rank_x2[t]
+        assert r["n_total"] == n_total
+        assert r["tie_cubed_sum"] == ties
+    assert sum(r["rank_sum_x2"] for r in rows) == n_total * (n_total + 1)
+    # driver-side H with tie correction
+    h = (
+        12.0
+        * sum((r["rank_sum_x2"] / 2) ** 2 / r["n"] for r in rows)
+        / (n_total * (n_total + 1))
+        - 3 * (n_total + 1)
+    ) / (1 - ties / (n_total**3 - n_total))
+    assert h >= 0
+
+
+def test_keyspace_growth_matches_latest_state(spark, sf_dir):
+    """Cumulative active keys telescope and the final day equals the
+    live-key count of the latest-state view (#2)."""
+    rows = sorted(
+        QUERIES["cdc_keyspace_growth_daily"](spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    run = 0
+    for r in rows:
+        run += r["n_created"] - r["n_removed"]
+        assert r["active_keys_eod"] == run
+        assert run >= 0
+    live = QUERIES["cdc_latest_state"](spark, sf_dir).count()
+    assert rows[-1]["active_keys_eod"] == live
