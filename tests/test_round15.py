@@ -911,3 +911,36 @@ def test_keyspace_growth_matches_latest_state(spark, sf_dir):
         assert run >= 0
     live = QUERIES["cdc_latest_state"](spark, sf_dir).count()
     assert rows[-1]["active_keys_eod"] == live
+
+
+def test_udtf_chunker_equals_jvm_chunker(spark, sf_dir):
+    """The Python UDTF twin emits exactly the JVM chunker's rows —
+    the extension boundary is semantically free."""
+    a = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_md5"])
+        for r in QUERIES["text_chunk_windows_udtf"](spark, sf_dir).collect()
+    }
+    b = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_md5"])
+        for r in QUERIES["text_chunk_windows"](spark, sf_dir).collect()
+    }
+    assert a == b
+
+
+def test_pandas_udf_md5_bit_identical_to_jvm(spark, sf_dir):
+    """The Arrow scalar UDF's md5 equals F.md5 on every row."""
+    from pyspark.sql import functions as F
+
+    from aurora_cdc_demo_spark.operators.vectorized import md5_vectorized
+    from aurora_cdc_demo_spark.tables import load_table as lt
+
+    docs = lt(spark, sf_dir, "documents")
+    mismatches = (
+        docs.select(
+            md5_vectorized(F.col("text")).alias("py"),
+            F.md5(F.col("text")).alias("jvm"),
+        )
+        .where(F.col("py") != F.col("jvm"))
+        .count()
+    )
+    assert mismatches == 0
