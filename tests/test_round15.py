@@ -944,3 +944,55 @@ def test_pandas_udf_md5_bit_identical_to_jvm(spark, sf_dir):
         .count()
     )
     assert mismatches == 0
+
+
+def test_rich_club_recompute(spark, sf_dir):
+    """Density recomputes from the undirected edge/degree tables;
+    membership shrinks monotonically with the threshold."""
+    rows = {
+        r["degree_threshold"]: r
+        for r in QUERIES["graph_rich_club_knn"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {3, 4, 5, 6, 8, 10}
+    from aurora_cdc_demo_spark.operators import similarity as sim
+    from collections import Counter
+
+    und = set()
+    for e in sim.knn_graph(spark, sf_dir).collect():
+        a, b = e["vec_id"], e["neighbor_id"]
+        und.add((min(a, b), max(a, b)))
+    deg = Counter()
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    prev_nodes = None
+    for k in (3, 4, 5, 6, 8, 10):
+        members = {v for v, d in deg.items() if d > k}
+        edges = sum(1 for (a, b) in und if a in members and b in members)
+        r = rows[k]
+        assert r["n_nodes"] == len(members)
+        assert r["n_edges"] == edges
+        nn = len(members)
+        expect = (10000 * 2 * edges) // (nn * (nn - 1)) if nn > 1 else 0
+        assert r["density_bp"] == expect
+        if prev_nodes is not None:
+            assert nn <= prev_nodes
+        prev_nodes = nn
+
+
+def test_bloom_fp_audit_theory_band(spark, sf_dir):
+    """Load and FP counts are internally consistent and the observed
+    FP rate sits under 3x the theoretical bound for the measured
+    load (a loose band: the bound assumes independent hashes)."""
+    r = QUERIES["corpus_bloom_fp_audit"](spark, sf_dir).collect()[0]
+    m, k = r["m_bits"], r["k_hashes"]
+    assert (m, k) == (65536, 3)
+    assert 0 < r["n_set_bits"] <= min(m, k * r["n_bench_grams"])
+    assert r["load_bp"] == (10000 * r["n_set_bits"]) // m
+    assert r["n_false_pos"] >= 0
+    negatives = r["n_probe_grams"] - r["n_true_members"]
+    if negatives:
+        assert r["fp_bp"] == (10000 * r["n_false_pos"]) // negatives
+    # theory: fp ~ (n_set_bits/m)^k for a load-l filter
+    theory_bp = 10000 * (r["n_set_bits"] / m) ** k
+    assert r["fp_bp"] <= max(3 * theory_bp, 10)
