@@ -996,3 +996,78 @@ def test_bloom_fp_audit_theory_band(spark, sf_dir):
     # theory: fp ~ (n_set_bits/m)^k for a load-l filter
     theory_bp = 10000 * (r["n_set_bits"] / m) ** k
     assert r["fp_bp"] <= max(3 * theory_bp, 10)
+
+
+def test_spearman_recompute(spark, sf_dir):
+    """Rho^2 on ranks recomputes from a scipy-free Python midrank
+    pass; the 2x rank scaling leaves rho^2 invariant."""
+    r = QUERIES["events_spearman_pre_post"](spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts"
+    ).collect()
+    ts_us = [int(e["ts"].timestamp() * 1000000) for e in ev]
+    mid = (min(ts_us) + max(ts_us)) // 2
+    from collections import Counter, defaultdict
+
+    xy = defaultdict(lambda: [0, 0])
+    for e, t in zip(ev, ts_us):
+        xy[e["user_id"]][0 if t < mid else 1] += 1
+
+    def midranks(vals):
+        cnt = Counter(vals)
+        prefix = {}
+        run = 0
+        for v in sorted(cnt):
+            prefix[v] = run
+            run += cnt[v]
+        return {v: 2 * prefix[v] + cnt[v] + 1 for v in cnt}
+
+    xs = [v[0] for v in xy.values()]
+    ys = [v[1] for v in xy.values()]
+    rx_m, ry_m = midranks(xs), midranks(ys)
+    rx = [rx_m[v] for v in xs]
+    ry = [ry_m[v] for v in ys]
+    n = len(rx)
+    sx, sy = sum(rx), sum(ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    sx2 = sum(a * a for a in rx)
+    sy2 = sum(b * b for b in ry)
+    num = n * sxy - sx * sy
+    den = (n * sx2 - sx * sx) * (n * sy2 - sy * sy)
+    assert r["n_users"] == n
+    assert r["rho_sign"] == (num > 0) - (num < 0)
+    assert r["rho2_bp"] == ((10000 * num * num) // den if den else 0)
+
+
+def test_mean_excess_recompute(spark, sf_dir):
+    """Counts and mean excesses recompute; exceedance counts fall
+    monotonically with the threshold."""
+    rows = {
+        r["range_pct"]: r
+        for r in QUERIES["events_mean_excess_curve"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {50, 75, 90, 95, 99}
+    import decimal
+
+    cs = [
+        int(
+            decimal.Decimal(repr(e["value"] * 100)).quantize(
+                0, rounding=decimal.ROUND_HALF_UP
+            )
+        )
+        for e in load_table(spark, sf_dir, "events").select("value").collect()
+    ]
+    lo, hi, n = min(cs), max(cs), len(cs)
+    prev = None
+    for q in (50, 75, 90, 95, 99):
+        u = lo + (q * (hi - lo)) // 100
+        exceed = [c - u for c in cs if c > u]
+        r = rows[q]
+        assert r["threshold_cents"] == u
+        assert r["n_exceed"] == len(exceed)
+        assert r["exceed_share_bp"] == (10000 * len(exceed)) // n
+        expect = (100 * sum(exceed)) // len(exceed) if exceed else 0
+        assert r["mean_excess_centi"] == expect
+        if prev is not None:
+            assert r["n_exceed"] <= prev
+        prev = r["n_exceed"]
