@@ -1071,3 +1071,58 @@ def test_mean_excess_recompute(spark, sf_dir):
         if prev is not None:
             assert r["n_exceed"] <= prev
         prev = r["n_exceed"]
+
+
+def test_fold_contamination_bounds(spark, sf_dir):
+    """cross_fold <= cross_source <= total pairs; pair population
+    equals the registered near-dup query's pair count; share
+    recomputes."""
+    r = QUERIES["dedup_fold_contamination"](spark, sf_dir).collect()[0]
+    n_pairs = QUERIES["dedup_ngram_jaccard"](spark, sf_dir).count()
+    assert r["n_neardup_pairs"] == n_pairs
+    assert 0 <= r["n_cross_fold"] <= r["n_cross_source"] <= n_pairs
+    if n_pairs:
+        assert r["cross_fold_bp"] == (10000 * r["n_cross_fold"]) // n_pairs
+
+
+def test_did_pretrend_recompute(spark, sf_dir):
+    """Slope numerators/denominator recompute from zero-filled daily
+    arm counts; the shared-denominator identity holds."""
+    r = QUERIES["events_did_pretrend_check"](spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts"
+    ).collect()
+    ts_us = [int(e["ts"].timestamp() * 1000000) for e in ev]
+    mid = (min(ts_us) + max(ts_us)) // 2
+    day0 = min(ts_us) // 86400000000
+    from collections import defaultdict
+
+    counts = defaultdict(int)
+    days = set()
+    for e, t in zip(ev, ts_us):
+        if t < mid:
+            d = t // 86400000000 - day0
+            days.add(d)
+            arm = _md5_int(str(e["user_id"])) % 2
+            counts[(arm, d)] += 1
+    days = sorted(days)
+    n = len(days)
+    st = sum(days)
+    st2 = sum(d * d for d in days)
+    den = n * st2 - st * st
+    nums = {}
+    sys = {}
+    for arm in (0, 1):
+        sy = sum(counts.get((arm, d), 0) for d in days)
+        sty = sum(d * counts.get((arm, d), 0) for d in days)
+        nums[arm] = n * sty - st * sy
+        sys[arm] = sy
+    assert r["n_days"] == n
+    assert r["slope_den"] == den
+    assert r["slope_num_treat"] == nums[1]
+    assert r["slope_num_control"] == nums[0]
+    assert r["pre_events_treat"] == sys[1]
+    assert r["pre_events_control"] == sys[0]
+    diff = nums[1] - nums[0]
+    assert r["pretrend_diff_sign"] == (diff > 0) - (diff < 0)
+    assert r["slope_diff_e4_abs"] == (10000 * abs(diff)) // den
