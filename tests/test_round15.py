@@ -1126,3 +1126,58 @@ def test_did_pretrend_recompute(spark, sf_dir):
     diff = nums[1] - nums[0]
     assert r["pretrend_diff_sign"] == (diff > 0) - (diff < 0)
     assert r["slope_diff_e4_abs"] == (10000 * abs(diff)) // den
+
+
+def test_mixer_comparison_consistency(spark, sf_dir):
+    """The comparison's temperature columns equal the registered
+    #174 mixer's output; spreads recompute; unimax shares sum ~1."""
+    rows = {
+        r["lang"]: r
+        for r in QUERIES["sample_mixer_comparison"](spark, sf_dir).collect()
+    }
+    temp = {
+        r["lang"]: r
+        for r in QUERIES["sample_lang_temperature"](spark, sf_dir).collect()
+    }
+    assert set(rows) == set(temp)
+    for lang, r in rows.items():
+        t = temp[lang]
+        assert r["n_docs"] == t["n_docs"]
+        assert r["natural_share_bp"] == t["natural_share_bp"]
+        assert r["temperature_share_bp"] == t["sampled_share_bp"]
+        shares = (
+            r["natural_share_bp"],
+            r["temperature_share_bp"],
+            r["unimax_share_bp"],
+        )
+        assert r["policy_spread_bp"] == max(shares) - min(shares)
+    s = sum(r["unimax_share_bp"] for r in rows.values())
+    assert 10000 - len(rows) <= s <= 10000
+
+
+def test_srm_by_type_recompute(spark, sf_dir):
+    """Per-type arm counts, chi2 and flags recompute from distinct
+    (type, user) pairs."""
+    rows = {
+        r["event_type"]: r
+        for r in QUERIES["events_srm_by_type"](spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+        .collect()
+    )
+    from collections import defaultdict
+
+    arms = defaultdict(lambda: [0, 0])
+    for e in ev:
+        arms[e["event_type"]][_md5_int(str(e["user_id"])) % 2] += 1
+    assert set(rows) == set(arms)
+    for t, (c, tr) in arms.items():
+        r = rows[t]
+        assert (r["n_treat"], r["n_control"]) == (tr, c)
+        chi2 = (1000000 * (tr - c) * (tr - c)) // (tr + c)
+        assert r["chi2_e6"] == chi2
+        assert r["srm_flag"] == (1 if chi2 > 3841459 else 0)
+        assert r["treat_share_bp"] == (10000 * tr) // (tr + c)
