@@ -1181,3 +1181,59 @@ def test_srm_by_type_recompute(spark, sf_dir):
         assert r["chi2_e6"] == chi2
         assert r["srm_flag"] == (1 if chi2 > 3841459 else 0)
         assert r["treat_share_bp"] == (10000 * tr) // (tr + c)
+
+
+def test_nlist_cost_curve_recompute(spark, sf_dir):
+    """Cell sizes, shares and the cost formula recompute from the
+    emitted aggregates; conservation holds at every nlist."""
+    rows = {
+        r["nlist"]: r
+        for r in QUERIES["ann_nlist_cost_curve"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {4, 8, 16, 32}
+    n = rows[4]["n_vectors"]
+    for l, r in rows.items():
+        assert r["n_vectors"] == n
+        assert 0 < r["n_cells_used"] <= l
+        assert 0 < r["max_cell_share_bp"] <= 10000
+        # cost >= nlist floor (own-cell term is positive)
+        assert r["mean_scan_per_query_centi"] > 100 * l
+
+
+def test_dq_scorecard_components_consistent(spark, sf_dir):
+    """Every scorecard cell equals the aggregate of its component
+    query; the hard gate follows the structural classes."""
+    r = QUERIES["dq_scorecard"](spark, sf_dir).collect()[0]
+    ri = QUERIES["dq_referential_integrity"](spark, sf_dir).collect()
+    assert r["fk_orphans"] == sum(x["n_orphans"] for x in ri)
+    assert r["fk_nulls"] == sum(x["n_null_fk"] for x in ri)
+    cc = QUERIES["dq_contract_checks"](spark, sf_dir).collect()
+    assert r["contract_violations"] == sum(x["n_violations"] for x in cc)
+    assert r["contracts_failed"] == sum(0 if x["passed"] else 1 for x in cc)
+    out = QUERIES["dq_outlier_price_iqr"](spark, sf_dir).collect()
+    assert r["price_outliers"] == sum(x["n_outliers"] for x in out)
+    st = QUERIES["dq_order_line_status_rule"](spark, sf_dir).collect()
+    assert r["status_violations"] == sum(
+        x["n_orders"] for x in st if x["is_consistent"] == 0
+    )
+    life = QUERIES["events_lifecycle_conformance"](spark, sf_dir).collect()
+    assert r["lifecycle_violators"] == sum(
+        x["n_users"]
+        for x in life
+        if x["no_signup"]
+        or x["multiple_signups"]
+        or x["activity_before_signup"]
+        or x["purchase_before_signup"]
+    )
+    expect_gate = (
+        "green" if r["fk_orphans"] + r["contract_violations"] == 0 else "red"
+    )
+    assert r["hard_gate"] == expect_gate
+    assert r["total_findings"] == (
+        r["fk_orphans"]
+        + r["fk_nulls"]
+        + r["contract_violations"]
+        + r["price_outliers"]
+        + r["status_violations"]
+        + r["lifecycle_violators"]
+    )
