@@ -1237,3 +1237,70 @@ def test_dq_scorecard_components_consistent(spark, sf_dir):
         + r["status_violations"]
         + r["lifecycle_violators"]
     )
+
+
+def test_wilson_ci_brackets_and_recomputes(spark, sf_dir):
+    """Bounds bracket the point estimate, stay in [0, 10000], and
+    recompute from the same floor(sqrt(double)) formula."""
+    import math
+
+    rows = QUERIES["events_conversion_wilson_ci"](spark, sf_dir).collect()
+    assert {r["arm"] for r in rows} == {0, 1}
+    for r in rows:
+        n, k = r["n_users"], r["n_converted"]
+        sq = int(math.floor(math.sqrt(float(n * (k * (n - k) + n)))))
+        low = (10000 * n * (k + 2) - 20000 * sq) // (n * (n + 4))
+        high = (10000 * n * (k + 2) + 20000 * sq) // (n * (n + 4))
+        assert r["wilson_low_bp"] == low
+        assert r["wilson_high_bp"] == high
+        assert 0 <= low <= r["p_bp"] <= high <= 10000 or (
+            # floor-bp point estimate may sit at the low edge
+            low <= r["p_bp"] + 1 and high >= r["p_bp"]
+        )
+
+
+def test_slo_alerts_recompute(spark, sf_dir):
+    """Alert hours recompute from a Python dense-spine sweep with
+    the same integer cross-multiplication policy."""
+    rows = {
+        r["policy"]: r
+        for r in QUERIES["events_slo_multiwindow_alerts"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == {"page", "ticket"}
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type"
+    ).collect()
+    from collections import defaultdict
+
+    hourly = defaultdict(lambda: [0, 0])
+    for e in ev:
+        hr = int(e["ts"].timestamp() * 1000000) // 3600000000
+        hourly[hr][0] += 1
+        hourly[hr][1] += 1 if e["event_type"] == "error" else 0
+    h0, h1 = min(hourly), max(hourly)
+    spine = list(range(h0, h1 + 1))
+    ns = [hourly.get(h, [0, 0])[0] for h in spine]
+    errs = [hourly.get(h, [0, 0])[1] for h in spine]
+
+    def wsum(vals, i, k):
+        return sum(vals[max(0, i - k) : i + 1])
+
+    for policy, factor, s, lo in (
+        ("page", 144, 1, 6),
+        ("ticket", 60, 6, 72),
+    ):
+        n_alert = 0
+        for i in range(len(spine)):
+            a = wsum(errs, i, s - 1) * 100000 > factor * 100 * wsum(
+                ns, i, s - 1
+            )
+            b = wsum(errs, i, lo - 1) * 100000 > factor * 100 * wsum(
+                ns, i, lo - 1
+            )
+            if a and b:
+                n_alert += 1
+        r = rows[policy]
+        assert r["n_alert_hours"] == n_alert
+        assert r["alert_share_bp"] == (10000 * n_alert) // len(spine)
