@@ -1304,3 +1304,28 @@ def test_slo_alerts_recompute(spark, sf_dir):
         r = rows[policy]
         assert r["n_alert_hours"] == n_alert
         assert r["alert_share_bp"] == (10000 * n_alert) // len(spine)
+
+
+def test_community_conductance_identities(spark, sf_dir):
+    """Sum of volumes equals 2E + total cut double-count identity;
+    members cover every vector; conductance in [0, 10000]."""
+    rows = QUERIES["graph_community_conductance"](spark, sf_dir).collect()
+    from aurora_cdc_demo_spark.operators import similarity as sim
+
+    und = set()
+    for e in sim.knn_graph(spark, sf_dir).collect():
+        a, b = e["vec_id"], e["neighbor_id"]
+        und.add((min(a, b), max(a, b)))
+    n_vec = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_members"] for r in rows) == n_vec
+    assert sum(r["volume"] for r in rows) == 2 * len(und)
+    # every cut edge is counted once per side
+    assert sum(r["n_cut"] for r in rows) % 2 == 0
+    assert (
+        sum(r["n_internal"] for r in rows)
+        + sum(r["n_cut"] for r in rows) // 2
+        == len(und)
+    )
+    for r in rows:
+        assert 0 <= r["conductance_bp"] <= 10000
+        assert r["volume"] == 2 * r["n_internal"] + r["n_cut"]
