@@ -1329,3 +1329,23 @@ def test_community_conductance_identities(spark, sf_dir):
     for r in rows:
         assert 0 <= r["conductance_bp"] <= 10000
         assert r["volume"] == 2 * r["n_internal"] + r["n_cut"]
+
+
+def test_anomaly_agreement_census_consistent(spark, sf_dir):
+    """Census covers every MAD day and its marginals equal the
+    component detectors' own flag counts."""
+    rows = QUERIES["events_anomaly_method_agreement"](
+        spark, sf_dir
+    ).collect()
+    mad = QUERIES["events_daily_anomaly_mad"](spark, sf_dir).collect()
+    ewma = QUERIES["events_ewma_control_chart"](spark, sf_dir).collect()
+    assert sum(r["n_days"] for r in rows) == len(mad)
+    assert sum(
+        r["n_days"] for r in rows if r["mad_flag"] == 1
+    ) == sum(1 for m in mad if m["is_anomaly"])
+    assert sum(
+        r["n_days"] for r in rows if r["ewma_flag"] == 1
+    ) == sum(1 for e in ewma if e["anomaly"])
+    for r in rows:
+        for c in ("mad_flag", "ewma_flag", "near_changepoint"):
+            assert r[c] in (0, 1)
