@@ -1349,3 +1349,70 @@ def test_anomaly_agreement_census_consistent(spark, sf_dir):
     for r in rows:
         for c in ("mad_flag", "ewma_flag", "near_changepoint"):
             assert r[c] in (0, 1)
+
+
+def test_key_resurrection_recompute(spark, sf_dir):
+    """Resurrection counts and gaps recompute from a Python pass
+    over the per-key ordered op sequence."""
+    r = QUERIES["cdc_key_resurrection"](spark, sf_dir).collect()[0]
+    from aurora_cdc_demo_spark.sources.cdc_log import cdc_operation_log
+    from collections import defaultdict
+
+    rows = cdc_operation_log(spark, sf_dir).select(
+        "key_id", "seq", "ts", "operation"
+    ).collect()
+    by_key = defaultdict(list)
+    for x in rows:
+        by_key[x["key_id"]].append(x)
+    gaps = []
+    keys_res = set()
+    for k, xs in by_key.items():
+        xs.sort(key=lambda x: (x["ts"], x["seq"]))
+        for a, b in zip(xs, xs[1:]):
+            if a["operation"] == "DELETE" and b["operation"] != "DELETE":
+                t0 = int(a["ts"].timestamp() * 1000000)
+                t1 = int(b["ts"].timestamp() * 1000000)
+                gaps.append((t1 - t0) // 1000000)
+                keys_res.add(k)
+    assert r["n_resurrections"] == len(gaps)
+    assert r["n_keys_resurrected"] == len(keys_res)
+    assert r["resurrected_key_share_bp"] == (10000 * len(keys_res)) // len(
+        by_key
+    )
+    assert r["min_gap_seconds"] == min(gaps)
+    assert r["mean_gap_seconds"] == sum(gaps) // len(gaps)
+    assert r["max_gap_seconds"] == max(gaps)
+
+
+def test_split_shipments_conservation(spark, sf_dir):
+    """Census covers every order with lines; line masses conserve;
+    shares are a floor-bp distribution."""
+    rows = QUERIES["orders_split_shipments"](spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    ).collect()
+    okeys = {
+        r["o_orderkey"]
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .collect()
+    }
+    from collections import defaultdict
+
+    days = defaultdict(set)
+    nlines = defaultdict(int)
+    for x in li:
+        if x["l_orderkey"] in okeys:
+            days[x["l_orderkey"]].add(x["l_shipdate"].date())
+            nlines[x["l_orderkey"]] += 1
+    from collections import Counter
+
+    hist = Counter(len(v) for v in days.values())
+    got = {r["n_ship_days"]: r for r in rows}
+    assert {k: v for k, v in hist.items()} == {
+        k: v["n_orders"] for k, v in got.items()
+    }
+    assert sum(r["n_lines"] for r in rows) == sum(nlines.values())
+    n = sum(hist.values())
+    for k, r in got.items():
+        assert r["order_share_bp"] == (10000 * hist[k]) // n
