@@ -1416,3 +1416,29 @@ def test_split_shipments_conservation(spark, sf_dir):
     n = sum(hist.values())
     for k, r in got.items():
         assert r["order_share_bp"] == (10000 * hist[k]) // n
+
+
+def test_distance_summary_recomputes_from_layers(spark, sf_dir):
+    """All three scalars recompute from the registered layer table."""
+    r = QUERIES["graph_distance_summary"](spark, sf_dir).collect()[0]
+    layers = {
+        x["layer"]: x["n_nodes"]
+        for x in QUERIES["graph_seed_reach_layers"](spark, sf_dir).collect()
+    }
+    reached = {k: v for k, v in layers.items() if k >= 0}
+    n_r = sum(reached.values())
+    n_u = sum(v for k, v in layers.items() if k < 0)
+    assert r["n_reached"] == n_r
+    assert r["n_unreached"] == n_u
+    assert r["reach_share_bp"] == (10000 * n_r) // (n_r + n_u)
+    assert r["mean_distance_centi"] == (
+        100 * sum(k * v for k, v in reached.items())
+    ) // n_r
+    cum = 0
+    eff = None
+    for k in sorted(reached):
+        cum += reached[k]
+        if 10 * cum >= 9 * n_r:
+            eff = k
+            break
+    assert r["eff_diameter_90"] == eff
