@@ -1442,3 +1442,41 @@ def test_distance_summary_recomputes_from_layers(spark, sf_dir):
             eff = k
             break
     assert r["eff_diameter_90"] == eff
+
+
+def _executed_plan(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_plan_partition_advisor_one_scan_one_expand(spark, sf_dir):
+    """The GROUPING SETS advisor reads events ONCE and expands
+    map-side — no per-scheme rescan, no Python boundary."""
+    plan = _executed_plan(spark, sf_dir, "layout_partition_advisor")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Expand") == 1
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_plan_variant_stats_jvm_side(spark, sf_dir):
+    """The VARIANT path is one scan, codegen navigation, zero
+    Python workers."""
+    plan = _executed_plan(spark, sf_dir, "events_props_variant_stats")
+    assert plan.count("Scan parquet") == 1
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_plan_pitr_curve_single_log_scan(spark, sf_dir):
+    """The PITR curve's composed plan scans the log exactly once —
+    the maxseq scalar is checkpointed and F(p) is referenced once
+    (role unpivot), per the composition rule."""
+    plan = _executed_plan(spark, sf_dir, "cdc_pitr_rto_curve")
+    assert plan.count("Scan parquet") == 1
+
+
+def test_plan_mean_excess_single_scan(spark, sf_dir):
+    """The EVT curve is one scan against the broadcast threshold
+    grid (min/max anchoring costs one more pass of the same scan)."""
+    plan = _executed_plan(spark, sf_dir, "events_mean_excess_curve")
+    assert plan.count("Scan parquet") <= 2
+    assert "Python" not in plan and "ArrowEval" not in plan
