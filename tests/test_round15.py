@@ -1480,3 +1480,16 @@ def test_plan_mean_excess_single_scan(spark, sf_dir):
     plan = _executed_plan(spark, sf_dir, "events_mean_excess_curve")
     assert plan.count("Scan parquet") <= 2
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_plan_materialized_compositions_scan_once(spark, sf_dir):
+    """The mixer comparison, rebalance churn and Kruskal inputs keep
+    their corpus scans at <=2 in the composed plan (checkpointed
+    hot CTEs; observed 64/6/7 scans before the materialization)."""
+    for name in (
+        "sample_mixer_comparison",
+        "cdc_rebalance_churn",
+        "events_kruskal_wallis_inputs",
+    ):
+        plan = _executed_plan(spark, sf_dir, name)
+        assert plan.count("Scan parquet") <= 2, name
