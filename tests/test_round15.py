@@ -1493,3 +1493,40 @@ def test_plan_materialized_compositions_scan_once(spark, sf_dir):
     ):
         plan = _executed_plan(spark, sf_dir, name)
         assert plan.count("Scan parquet") <= 2, name
+
+
+def test_cadence_break_recompute(spark, sf_dir):
+    """Buckets recompute from a Python per-user pass with the same
+    lower-median and horizon definitions."""
+    rows = {
+        r["risk_bucket"]: r["n_users"]
+        for r in QUERIES["events_cadence_break"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts"
+    ).collect()
+    from collections import defaultdict
+
+    days = defaultdict(set)
+    for e in ev:
+        days[e["user_id"]].add(
+            int(e["ts"].timestamp() * 1000000) // 86400000000
+        )
+    dmax = max(max(v) for v in days.values())
+    from collections import Counter
+
+    census = Counter()
+    for u, ds in days.items():
+        if len(ds) < 5:
+            continue
+        sd = sorted(ds)
+        gaps = sorted(b - a for a, b in zip(sd, sd[1:]))
+        med = gaps[(len(gaps) + 1) // 2 - 1]
+        silence = dmax - sd[-1]
+        if silence < 2 * med:
+            census["on_cadence"] += 1
+        elif silence < 4 * med:
+            census["lapsing"] += 1
+        else:
+            census["at_risk"] += 1
+    assert rows == dict(census)
