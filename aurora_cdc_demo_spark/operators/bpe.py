@@ -24,8 +24,9 @@ DuckDB oracle):
    so within a run merges fire at offsets 0, 2, 4, ...).
 
 Driver actions per round are BOUNDED control flow (the documented
-Pregel exception): one 1-row top-pair collect, one eager checkpoint,
-one 1-row token-count aggregate — all on the vocabulary table,
+Pregel exception): ONE 1-row collect (top pair + current token
+count, combined; round r's tokens_after arrives with round r+1's
+collect) and one eager checkpoint — all on the vocabulary table,
 never the corpus. The corpus is read ONCE for word frequencies.
 """
 
@@ -72,6 +73,12 @@ def train(
     )
 
     report_rows = []
+    # tokens_after for round r is collected WITH round r+1's top-pair
+    # job (the current token count before r+1's merge IS r's
+    # post-merge count), so each round runs exactly TWO driver
+    # actions — one combined 1-row collect, one eager checkpoint —
+    # instead of three (r5: a separate per-round token-count job).
+    pending = None  # (round, pair, n_occurrences, n_word_types)
     for r in range(1, k + 1):
         wwin = Window.partitionBy("w").orderBy(F.col("pos").asc())
         d = s.select(
@@ -97,10 +104,21 @@ def train(
         top = (
             pc.orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
             .limit(1)
+            .crossJoin(
+                d.agg(F.sum("freq").cast("long").alias("tokens_now"))
+            )
             .collect()
         )
         if not top:
             break
+        if pending is not None:
+            report_rows.append(pending + (int(top[0]["tokens_now"]),))
+        pending = (
+            r,
+            top[0]["pair"],
+            int(top[0]["n_occurrences"]),
+            int(top[0]["n_word_types"]),
+        )
         pair = top[0]["pair"]
         m = p.withColumn(
             "is_match",
@@ -157,16 +175,10 @@ def train(
             )
             .localCheckpoint()
         )
+
+    if pending is not None:
         tokens_after = s.agg(F.sum("freq")).collect()[0][0]
-        report_rows.append(
-            (
-                r,
-                pair,
-                int(top[0]["n_occurrences"]),
-                int(top[0]["n_word_types"]),
-                int(tokens_after),
-            )
-        )
+        report_rows.append(pending + (int(tokens_after),))
 
     report = spark.createDataFrame(
         report_rows,

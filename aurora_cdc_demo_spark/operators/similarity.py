@@ -897,7 +897,12 @@ def _sub_fold(a: str, b: str, s: int, dialect: str, op: str) -> str:
     return " + ".join(terms)
 
 
-def _pq_base_ctes(dialect: str) -> str:
+def _pq_code_chain(vrel: str, dialect: str) -> str:
+    """cb → dist → ranked → codes CTE chain from a normalized-vector
+    relation `vrel` (columns vec_id, e). Shared verbatim by the
+    composed oracle form (vrel = the inline `v` CTE) and the
+    materialized-serving build (vrel = the checkpointed vnorm view),
+    so the two paths cannot drift."""
     dists = ",\n                   ".join(
         f"{_sub_fold('v.e', 'cb.ce', s, dialect, 'l2')} AS d{s}"
         for s in range(PQ_M)
@@ -911,18 +916,13 @@ def _pq_base_ctes(dialect: str) -> str:
         f"CAST(MAX(CASE WHEN r{s} = 1 THEN cw END) AS BIGINT) AS c{s}"
         for s in range(PQ_M)
     )
-    return f"""
-        WITH raw AS (
-            SELECT vec_id, embedding, {_norm('embedding', dialect)} AS nrm
-            FROM embeddings)
-        , v AS (
-            SELECT vec_id, {_normalized(dialect)} AS e FROM raw)
-        , cb AS (
-            SELECT vec_id AS cw, e AS ce FROM v WHERE vec_id < {PQ_K})
+    return f"""cb AS (
+            SELECT vec_id AS cw, e AS ce FROM {vrel}
+            WHERE vec_id < {PQ_K})
         , dist AS (
             SELECT v.vec_id, cb.cw,
                    {dists}
-            FROM v CROSS JOIN cb)
+            FROM {vrel} v CROSS JOIN cb)
         , ranked AS (
             SELECT vec_id, cw,
                    {ranks}
@@ -934,6 +934,17 @@ def _pq_base_ctes(dialect: str) -> str:
     """
 
 
+def _pq_base_ctes(dialect: str) -> str:
+    return f"""
+        WITH raw AS (
+            SELECT vec_id, embedding, {_norm('embedding', dialect)} AS nrm
+            FROM embeddings)
+        , v AS (
+            SELECT vec_id, {_normalized(dialect)} AS e FROM raw)
+        , {_pq_code_chain('v', dialect)}
+    """
+
+
 def pq_codes_sql(dialect: str) -> str:
     cols = ", ".join(f"c{s}" for s in range(PQ_M))
     return f"""{_pq_base_ctes(dialect)}
@@ -941,11 +952,30 @@ def pq_codes_sql(dialect: str) -> str:
     """
 
 
-def pq_topk_sql(dialect: str) -> str:
+def _pq_lut_ctes(vrel: str, dialect: str) -> str:
+    """q + qcb + lut CTEs from a normalized-vector relation. `qcb`
+    (not `cb`) so the chain composes with BOTH the oracle form
+    (where a `cb` CTE already exists) and the serving form (where
+    the codes come from a materialized view and no cb exists) —
+    identical rows either way, PQ_K-bounded."""
     luts = ",\n                   ".join(
-        f"{_sub_fold('q.qe', 'cb.ce', s, dialect, 'dot')} AS p{s}"
+        f"{_sub_fold('q.qe', 'qcb.ce', s, dialect, 'dot')} AS p{s}"
         for s in range(PQ_M)
     )
+    return f"""q AS (
+            SELECT vec_id AS query_id, e AS qe FROM {vrel}
+            WHERE vec_id < {N_QUERIES})
+        , qcb AS (
+            SELECT vec_id AS cw, e AS ce FROM {vrel}
+            WHERE vec_id < {PQ_K})
+        , lut AS (
+            SELECT q.query_id, qcb.cw,
+                   {luts}
+            FROM q CROSS JOIN qcb)
+    """
+
+
+def _pq_adc_scored(codes_rel: str, dialect: str) -> str:
     joins = "\n            ".join(
         f"JOIN lut l{s} ON l{s}.query_id = l0.query_id "
         f"AND l{s}.cw = c.c{s}"
@@ -954,21 +984,18 @@ def pq_topk_sql(dialect: str) -> str:
     adc = "l0.p0"
     for s in range(1, PQ_M):
         adc = f"({adc} + l{s}.p{s})"
-    return f"""{_pq_base_ctes(dialect)}
-        , q AS (
-            SELECT vec_id AS query_id, e AS qe FROM v
-            WHERE vec_id < {N_QUERIES})
-        , lut AS (
-            SELECT q.query_id, cb.cw,
-                   {luts}
-            FROM q CROSS JOIN cb)
-        , scored AS (
+    return f"""scored AS (
             SELECT {_lut_broadcast_hint(dialect)}l0.query_id, c.vec_id AS neighbor_id,
                    {adc} AS adc
-            FROM codes c
+            FROM {codes_rel} c
             JOIN lut l0 ON l0.cw = c.c0
             {joins}
             WHERE c.vec_id <> l0.query_id)
+    """
+
+
+def _pq_topk_tail(codes_rel: str, dialect: str) -> str:
+    return f"""{_pq_adc_scored(codes_rel, dialect)}
         , out AS (
             SELECT query_id, neighbor_id, adc,
                    row_number() OVER (
@@ -979,6 +1006,12 @@ def pq_topk_sql(dialect: str) -> str:
                ROUND(adc, 6) AS adc_score
         FROM out WHERE rn <= {TOPK}
     """
+
+
+def pq_topk_sql(dialect: str) -> str:
+    return f"""{_pq_base_ctes(dialect)}
+        , {_pq_lut_ctes('v', dialect)}
+        , {_pq_topk_tail('codes', dialect)}"""
 
 
 def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1002,33 +1035,13 @@ def pq_rerank_topk_sql(dialect: str) -> str:
     the top-50 shortlist already contains ~0.8 of the true top-5
     (pinned in pytest) — the re-rank recovers exactly that, which is
     why real systems always pair PQ with a re-rank stage."""
-    adc = "l0.p0"
-    for s in range(1, PQ_M):
-        adc = f"({adc} + l{s}.p{s})"
-    luts = ",\n                   ".join(
-        f"{_sub_fold('q.qe', 'cb.ce', s, dialect, 'dot')} AS p{s}"
-        for s in range(PQ_M)
-    )
-    joins = "\n            ".join(
-        f"JOIN lut l{s} ON l{s}.query_id = l0.query_id "
-        f"AND l{s}.cw = c.c{s}"
-        for s in range(1, PQ_M)
-    )
     return f"""{_pq_base_ctes(dialect)}
-        , q AS (
-            SELECT vec_id AS query_id, e AS qe FROM v
-            WHERE vec_id < {N_QUERIES})
-        , lut AS (
-            SELECT q.query_id, cb.cw,
-                   {luts}
-            FROM q CROSS JOIN cb)
-        , scored AS (
-            SELECT {_lut_broadcast_hint(dialect)}l0.query_id, c.vec_id AS neighbor_id,
-                   {adc} AS adc
-            FROM codes c
-            JOIN lut l0 ON l0.cw = c.c0
-            {joins}
-            WHERE c.vec_id <> l0.query_id)
+        , {_pq_lut_ctes('v', dialect)}
+        , {_pq_rerank_tail('codes', 'v', dialect)}"""
+
+
+def _pq_rerank_tail(codes_rel: str, vrel: str, dialect: str) -> str:
+    return f"""{_pq_adc_scored(codes_rel, dialect)}
         , short AS (
             SELECT query_id, neighbor_id FROM (
                 SELECT query_id, neighbor_id,
@@ -1041,8 +1054,8 @@ def pq_rerank_topk_sql(dialect: str) -> str:
             SELECT s.query_id, s.neighbor_id,
                    {_dot('qv.e', 'nv.e', dialect)} AS cos
             FROM short s
-            JOIN v qv ON qv.vec_id = s.query_id
-            JOIN v nv ON nv.vec_id = s.neighbor_id)
+            JOIN {vrel} qv ON qv.vec_id = s.query_id
+            JOIN {vrel} nv ON nv.vec_id = s.neighbor_id)
         , out AS (
             SELECT query_id, neighbor_id, cos,
                    row_number() OVER (
@@ -1053,6 +1066,57 @@ def pq_rerank_topk_sql(dialect: str) -> str:
                ROUND(cos, 6) AS cosine
         FROM out WHERE rn <= {TOPK}
     """
+
+
+# ---------------------------------------------------------------------------
+# Materialized PQ serving (r5 verdict item 1): the codebook/codes
+# tables are pure functions of the corpus — the production shape
+# builds them ONCE (index build) and serves top-k from the
+# materialized tables, exactly the _gate_map discipline the curation
+# keep-lists use. The composed *_sql forms above remain the
+# cross-engine ORACLE; the builders below emit the Spark SERVING
+# split over pre-registered temp views. Every CTE chain is shared
+# with the oracle form, so the two paths cannot drift and serving
+# output is bit-equal.
+# ---------------------------------------------------------------------------
+
+
+def vnorm_sql(dialect: str = "spark") -> str:
+    """Normalized-vector table (vec_id, e) — the shared first stage
+    of every PQ / IVF-PQ plan, materialized once per session."""
+    return f"""
+        WITH raw AS (
+            SELECT vec_id, embedding, {_norm('embedding', dialect)} AS nrm
+            FROM embeddings)
+        SELECT vec_id, {_normalized(dialect)} AS e FROM raw
+    """
+
+
+def pq_codes_build_sql(v_table: str) -> str:
+    """Index build: PQ codes from the materialized vnorm view."""
+    cols = ", ".join(f"c{s}" for s in range(PQ_M))
+    return f"""
+        WITH {_pq_code_chain(v_table, 'spark')}
+        SELECT vec_id, {cols} FROM codes
+    """
+
+
+def pq_topk_serve_sql(v_table: str, codes_table: str) -> str:
+    """Serve ADC top-k from materialized codes: the only corpus-
+    sized input is the narrow codes view; the raw embedding column
+    is touched just for the PQ_K-bounded codebook + query slice."""
+    return f"""
+        WITH {_pq_lut_ctes(v_table, 'spark')}
+        , {_pq_topk_tail(codes_table, 'spark')}"""
+
+
+def pq_rerank_serve_sql(v_table: str, codes_table: str) -> str:
+    """Serve shortlist + exact re-rank from materialized codes; the
+    re-rank probes the materialized vnorm view for candidate rows
+    only."""
+    return f"""
+        WITH {_pq_lut_ctes(v_table, 'spark')}
+        , {_pq_rerank_tail(codes_table, v_table, 'spark')}"""
 
 
 def pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2603,24 +2667,23 @@ def _vec_sub(a: str, b: str, dialect: str) -> str:
     return f"list_transform(list_zip({a}, {b}), x -> x[1] - x[2])"
 
 
-def _ivfpq_base_ctes(dialect: str, n_seeds: int = N_SEEDS) -> str:
+def _ivfpq_cent_cols(dialect: str) -> str:
     # per-cell MEAN centroid (not the seed vector): the mean is the
     # Σ||v−c||²-minimizer, so residual energy ≤ raw energy by the
     # variance decomposition — on a near-isotropic corpus a unit-norm
     # seed centroid would INCREASE residual energy (measured: 755 vs
     # 500 before this construction), which is exactly why IVFADC
-    # quantizes against cell means
-    elem = (
-        (lambda i: f"element_at(e, {i})")
-        if dialect == "spark"
-        else (lambda i: f"e[{i}]")
-    )
-    arr = "array" if dialect == "spark" else "list_value"
+    # quantizes against cell means.
     # DETERMINISTIC cell mean: a double AVG is summation-order
     # dependent across partitions (observed flaky rank flips at
     # sf0.01) — so each element is rounded to an e9 integer first
     # (BIGINT sums are associative-exact) and the mean is a posrem
     # floor division (negative sums) cast back to double
+    elem = (
+        (lambda i: f"element_at(e, {i})")
+        if dialect == "spark"
+        else (lambda i: f"e[{i}]")
+    )
     dv = "div" if dialect == "spark" else "//"
 
     def cent(i):
@@ -2632,7 +2695,46 @@ def _ivfpq_base_ctes(dialect: str, n_seeds: int = N_SEEDS) -> str:
             f" % COUNT(*))) {dv} COUNT(*)) AS DOUBLE) / 1000000000"
         )
 
-    cent_cols = ", ".join(cent(i) for i in range(1, DIMS + 1))
+    return ", ".join(cent(i) for i in range(1, DIMS + 1))
+
+
+def _ivfpq_assign_select(vrel: str, dialect: str,
+                         n_seeds: int = N_SEEDS) -> str:
+    """Coarse assignment (vec_id, e, cell) from a normalized-vector
+    relation — the one corpus × seeds scan of the index build."""
+    return f"""SELECT vec_id, e, cell FROM (
+                SELECT v.vec_id, v.e, s.cell,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY {_dot('v.e', 's.se', dialect)} DESC,
+                                    s.cell ASC) AS arn
+                FROM {vrel} v CROSS JOIN (
+                    SELECT vec_id AS cell, e AS se FROM {vrel}
+                    WHERE vec_id < {n_seeds}) s) a
+            WHERE arn = 1"""
+
+
+def _ivfpq_cents_select(assign_rel: str, dialect: str) -> str:
+    arr = "array" if dialect == "spark" else "list_value"
+    return (
+        f"SELECT cell, {arr}({_ivfpq_cent_cols(dialect)}) AS ce\n"
+        f"            FROM {assign_rel} GROUP BY cell"
+    )
+
+
+def _ivfpq_rcb_select(assign_rel: str, cents_rel: str,
+                      dialect: str) -> str:
+    return f"""SELECT a.vec_id AS cw,
+                   {_vec_sub('a.e', 'c.ce', dialect)} AS rce
+            FROM {assign_rel} a JOIN {cents_rel} c ON c.cell = a.cell
+            WHERE a.vec_id < {PQ_K}"""
+
+
+def _ivfpq_codes_ctes(assign_rel: str, cents_rel: str, rcb_rel: str,
+                      dialect: str) -> str:
+    """resid → dist → ranked → codes chain (the corpus-linear code
+    build: one residual join + one cross join against the PQ_K-row
+    residual codebook)."""
     dists = ",\n                   ".join(
         f"{_sub_fold('r.r', 'rcb.rce', s, dialect, 'l2')} AS d{s}"
         for s in range(PQ_M)
@@ -2647,38 +2749,14 @@ def _ivfpq_base_ctes(dialect: str, n_seeds: int = N_SEEDS) -> str:
         for s in range(PQ_M)
     )
     mat = "MATERIALIZED " if dialect != "spark" else ""
-    return f"""
-        WITH raw AS (
-            SELECT vec_id, embedding, {_norm('embedding', dialect)} AS nrm
-            FROM embeddings)
-        , v AS {mat}(
-            SELECT vec_id, {_normalized(dialect)} AS e FROM raw)
-        , seeds AS {mat}(
-            SELECT vec_id AS cell, e AS se FROM v
-            WHERE vec_id < {n_seeds})
-        , assign AS {mat}(
-            SELECT vec_id, e, cell FROM (
-                SELECT v.vec_id, v.e, s.cell,
-                       row_number() OVER (
-                           PARTITION BY v.vec_id
-                           ORDER BY {_dot('v.e', 's.se', dialect)} DESC,
-                                    s.cell ASC) AS arn
-                FROM v CROSS JOIN seeds s) a
-            WHERE arn = 1)
-        , cents AS {mat}(
-            SELECT cell, {arr}({cent_cols}) AS ce
-            FROM assign GROUP BY cell)
-        , resid AS {mat}(
+    return f"""resid AS (
             SELECT a.vec_id, a.cell,
                    {_vec_sub('a.e', 'c.ce', dialect)} AS r
-            FROM assign a JOIN cents c ON c.cell = a.cell)
-        , rcb AS {mat}(
-            SELECT vec_id AS cw, r AS rce FROM resid
-            WHERE vec_id < {PQ_K})
+            FROM {assign_rel} a JOIN {cents_rel} c ON c.cell = a.cell)
         , dist AS (
             SELECT r.vec_id, r.cell, rcb.cw,
                    {dists}
-            FROM resid r CROSS JOIN rcb)
+            FROM resid r CROSS JOIN {rcb_rel} rcb)
         , ranked AS (
             SELECT vec_id, cell, cw,
                    {ranks}
@@ -2690,7 +2768,28 @@ def _ivfpq_base_ctes(dialect: str, n_seeds: int = N_SEEDS) -> str:
     """
 
 
-def ivfpq_residual_topk_sql(dialect: str) -> str:
+def _ivfpq_base_ctes(dialect: str, n_seeds: int = N_SEEDS) -> str:
+    mat = "MATERIALIZED " if dialect != "spark" else ""
+    return f"""
+        WITH raw AS (
+            SELECT vec_id, embedding, {_norm('embedding', dialect)} AS nrm
+            FROM embeddings)
+        , v AS {mat}(
+            SELECT vec_id, {_normalized(dialect)} AS e FROM raw)
+        , assign AS {mat}(
+            {_ivfpq_assign_select('v', dialect, n_seeds)})
+        , cents AS {mat}(
+            {_ivfpq_cents_select('assign', dialect)})
+        , rcb AS {mat}(
+            {_ivfpq_rcb_select('assign', 'cents', dialect)})
+        , {_ivfpq_codes_ctes('assign', 'cents', 'rcb', dialect)}
+    """
+
+
+def _ivfpq_serve_tail(vrel: str, cents_rel: str, rcb_rel: str,
+                      codes_rel: str, dialect: str) -> str:
+    """q/cell_lut/lut/scored/out serving chain — shared verbatim by
+    the composed oracle form and the materialized serving split."""
     luts = ",\n                   ".join(
         f"{_sub_fold('q.qe', 'rcb.rce', s, dialect, 'dot')} AS p{s}"
         for s in range(PQ_M)
@@ -2703,23 +2802,22 @@ def ivfpq_residual_topk_sql(dialect: str) -> str:
     adc = "cl.cell_dot"
     for s in range(PQ_M):
         adc = f"({adc} + l{s}.p{s})"
-    return f"""{_ivfpq_base_ctes(dialect)}
-        , q AS (
-            SELECT vec_id AS query_id, e AS qe FROM v
+    return f"""q AS (
+            SELECT vec_id AS query_id, e AS qe FROM {vrel}
             WHERE vec_id < {N_QUERIES})
         , cell_lut AS (
             SELECT q.query_id, c.cell,
                    {_dot('q.qe', 'c.ce', dialect)} AS cell_dot
-            FROM q CROSS JOIN cents c)
+            FROM q CROSS JOIN {cents_rel} c)
         , lut AS (
             SELECT q.query_id, rcb.cw,
                    {luts}
-            FROM q CROSS JOIN rcb)
+            FROM q CROSS JOIN {rcb_rel} rcb)
         , scored AS (
             SELECT {_lut_broadcast_hint(dialect)}l0.query_id,
                    c.vec_id AS neighbor_id,
                    {adc} AS adc
-            FROM codes c
+            FROM {codes_rel} c
             JOIN cell_lut cl
               ON cl.cell = c.cell
             JOIN lut l0 ON l0.query_id = cl.query_id AND l0.cw = c.c0
@@ -2735,6 +2833,43 @@ def ivfpq_residual_topk_sql(dialect: str) -> str:
                ROUND(adc, 6) AS adc_score
         FROM out WHERE rn <= {TOPK}
     """
+
+
+def ivfpq_residual_topk_sql(dialect: str) -> str:
+    return f"""{_ivfpq_base_ctes(dialect)}
+        , {_ivfpq_serve_tail('v', 'cents', 'rcb', 'codes', dialect)}"""
+
+
+def ivfpq_assign_build_sql(v_table: str) -> str:
+    return _ivfpq_assign_select(v_table, "spark")
+
+
+def ivfpq_cents_build_sql(assign_table: str) -> str:
+    return _ivfpq_cents_select(assign_table, "spark")
+
+
+def ivfpq_rcb_build_sql(assign_table: str, cents_table: str) -> str:
+    return _ivfpq_rcb_select(assign_table, cents_table, "spark")
+
+
+def ivfpq_codes_build_sql(assign_table: str, cents_table: str,
+                          rcb_table: str) -> str:
+    cols = ", ".join(f"c{s}" for s in range(PQ_M))
+    return f"""
+        WITH {_ivfpq_codes_ctes(assign_table, cents_table,
+                                rcb_table, 'spark')}
+        SELECT vec_id, cell, {cols} FROM codes
+    """
+
+
+def ivfpq_serve_sql(v_table: str, cents_table: str, rcb_table: str,
+                    codes_table: str) -> str:
+    """Serve residual-ADC top-k from the materialized index: LUTs
+    against the bounded cents/rcb views, one probe of the narrow
+    codes view; no raw vectors touched at serving time."""
+    return f"""
+        WITH {_ivfpq_serve_tail(v_table, cents_table, rcb_table,
+                                codes_table, 'spark')}"""
 
 
 # ---------------------------------------------------------------------------

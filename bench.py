@@ -62,6 +62,7 @@ HEADLINE = [
     "cdc_agg_incremental",
     "sample_importance_weights",
     "text_gopher_rules",
+    "embed_pq_codes",
     "ann_pq_rerank_topk",
     "corpus_keep_list_v4",
     "corpus_keep_list_v4_lsh",
@@ -132,6 +133,7 @@ FINAL_SUBSET = [
     "embed_near_dup_lsh",
     "semdedup_cells",
     "ann_ivf_kmeans",
+    "embed_pq_codes",
     "ann_pq_rerank_topk",
     "graph_pagerank_knn",
     "corpus_keep_list_v4",
@@ -202,6 +204,26 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings = _run_suite(spark, sf_dir)
+
+    # r5 verdict item 2: the keep-list entries above are AMORTIZED
+    # numbers — whichever keep-list runs first materializes the
+    # shared _gate_map verdict tables and later ones read cache hits
+    # (v7_lsh's 0.57 s final-line entry in r5 was a cache hit over a
+    # ~7.3 s cold build). Emit ONE cold-start number against a fresh
+    # gate cache so round-over-round comparisons can't mistake cache
+    # hits for speedups. (embed_pq_codes plays the same role for the
+    # ANN index: its line IS the cold index build; the ADC queries
+    # after it are the amortized serve cost.)
+    from aurora_cdc_demo_spark.registry import _GATE_CACHE
+
+    from aurora_cdc_demo_spark.registry import QUERIES as _Q
+
+    _GATE_CACHE.clear()
+    t0 = time.perf_counter()
+    _Q["corpus_keep_list_v7_lsh"](spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    keep_list_cold_seconds = round(time.perf_counter() - t0, 3)
 
     # streaming throughput: availableNow micro-batch run of the
     # stateful sessionizer over the sf CDC log staged as parquet
@@ -400,6 +422,10 @@ def main() -> None:
         "sessionize_floor_ok": streaming_events_per_sec * 25
         >= native_events_per_sec,
         "curation_docs_per_sec": curation_docs_per_sec,
+        # cold-vs-amortized disclosure (r5 verdict item 2): the
+        # final-line corpus_keep_list_v7_lsh entry is a _gate_map
+        # cache hit; this is the same query against a FRESH cache
+        "keep_list_cold_seconds": keep_list_cold_seconds,
         "sf": sf,
     }
     if "sf_secondary" in detail:

@@ -37,6 +37,7 @@ def _worst_case_inputs():
         "sessionize_native_ratio_pct": 10000,
         "sessionize_floor_ok": False,
         "curation_docs_per_sec": 99_999_999,
+        "keep_list_cold_seconds": 9999.999,
         "sf": 0.1,
         "sf_secondary": 0.01,
     }

@@ -216,3 +216,18 @@ def test_rrf_dense_arm_take_ordered(spark, sf_dir):
     the scored corpus."""
     plan = plan_of(spark, sf_dir, "retrieval_rrf_hybrid")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pq_serving_probes_materialized_index(spark, sf_dir):
+    """r5 verdict item 1: the ADC serving plans must read the
+    _gate_map-materialized index tables (checkpointed RDD scans),
+    never rebuild the codebook/codes from parquet — a serve plan
+    with a parquet embeddings scan is a rebuild regression. The
+    plain-PQ re-rank touches vnorm (checkpointed) for the exact
+    re-rank; residual IVF-PQ serves entirely from materialized
+    views."""
+    for name in ("ann_pq_topk", "ann_pq_rerank_topk",
+                 "ann_ivfpq_residual_topk"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "ExistingRDD" in plan, name
+        assert "FileScan" not in plan, name

@@ -1530,3 +1530,57 @@ def test_cadence_break_recompute(spark, sf_dir):
         else:
             census["at_risk"] += 1
     assert rows == dict(census)
+
+
+def test_edit_join_exact_recall_vs_brute_force(spark, sf_dir):
+    """r5 verdict item 3: with _EDIT_BLOCK_GRAMS = q*d+1 the
+    rarest-gram blocking is the EXACT prefix filter — the query must
+    emit EVERY pair within the distance bound, proven against a
+    blocking-free all-pairs levenshtein twin computed in Python
+    (200 parts at sf0.001 -> ~20k pairs). Combined with
+    test_round14.py's precision law (every emitted pair verified)
+    this pins set equality: recall AND precision are both 1."""
+    from aurora_cdc_demo_spark.registry import _EDIT_JOIN_MAXD
+
+    got = {
+        (r["key_a"], r["key_b"])
+        for r in QUERIES["part_edit_distance_join"](
+            spark, sf_dir
+        ).collect()
+    }
+
+    def lev_capped(a, b, cap):
+        # standard DP with row-min early exit above the cap
+        if abs(len(a) - len(b)) > cap:
+            return cap + 1
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb),
+                    )
+                )
+            if min(cur) > cap:
+                return cap + 1
+            prev = cur
+        return prev[-1]
+
+    parts = sorted(
+        (r["p_partkey"], r["p_name"])
+        for r in load_table(spark, sf_dir, "part")
+        .select("p_partkey", "p_name")
+        .collect()
+    )
+    want = set()
+    for i, (ka, na) in enumerate(parts):
+        for kb, nb in parts[i + 1:]:
+            if lev_capped(na, nb, _EDIT_JOIN_MAXD) <= _EDIT_JOIN_MAXD:
+                want.add((ka, kb))
+    assert got == want
+    assert want  # the law is non-trivial on this data
