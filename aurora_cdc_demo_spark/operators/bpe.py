@@ -32,6 +32,8 @@ never the corpus. The corpus is read ONCE for word frequencies.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -39,9 +41,15 @@ BPE_DEEP_ROUNDS = 32
 
 
 def train(
-    spark, docs: DataFrame, k: int = BPE_DEEP_ROUNDS
+    spark, docs: DataFrame, k: int = BPE_DEEP_ROUNDS,
+    round_walls: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Train k merge rounds; returns (report, final_symbols).
+
+    round_walls: optional list that receives each round's wall-clock
+    seconds — the scaling proof (tools/bpe_scaling.py) reads it to
+    show per-round cost stays CONSTANT as k grows (the property the
+    unrolled-chain form lacks).
 
     report: one row per productive round —
       (round, pair, n_occurrences, n_word_types, corpus_tokens_after)
@@ -80,6 +88,7 @@ def train(
     # instead of three (r5: a separate per-round token-count job).
     pending = None  # (round, pair, n_occurrences, n_word_types)
     for r in range(1, k + 1):
+        _t0 = time.perf_counter()
         wwin = Window.partitionBy("w").orderBy(F.col("pos").asc())
         d = s.select(
             "w",
@@ -175,6 +184,8 @@ def train(
             )
             .localCheckpoint()
         )
+        if round_walls is not None:
+            round_walls.append(time.perf_counter() - _t0)
 
     if pending is not None:
         tokens_after = s.agg(F.sum("freq")).collect()[0][0]

@@ -2315,23 +2315,24 @@ def pagerank_convergence_sql(dialect: str, edges_view: str | None = None,
 
 
 def pagerank_convergence(
-    spark: SparkSession, sf_dir: str, n_seeds: int = N_SEEDS
+    spark: SparkSession, sf_dir: str, n_seeds: int = N_SEEDS,
+    edges_view: str | None = None,
 ) -> DataFrame:
     from ..tables import load_table
 
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
         "embeddings"
     )
-    edges = spark.sql(
-        f"""{_knn_ctes('spark', n_seeds)}
-        SELECT vec_id AS src, neighbor_id AS dst
-        FROM ranked WHERE rnk <= {KNN_K}
-        """
-    ).localCheckpoint()
-    edges.createOrReplaceTempView("knn_edges_conv_mat")
-    return spark.sql(
-        pagerank_convergence_sql("spark", "knn_edges_conv_mat")
-    )
+    if edges_view is None:
+        edges = spark.sql(
+            f"""{_knn_ctes('spark', n_seeds)}
+            SELECT vec_id AS src, neighbor_id AS dst
+            FROM ranked WHERE rnk <= {KNN_K}
+            """
+        ).localCheckpoint()
+        edges.createOrReplaceTempView("knn_edges_conv_mat")
+        edges_view = "knn_edges_conv_mat"
+    return spark.sql(pagerank_convergence_sql("spark", edges_view))
 
 
 def quant_distortion_sql(dialect: str) -> str:
@@ -2978,6 +2979,30 @@ def hits_iter_sql(edges_view: str, nodes_view: str) -> str:
     return head + _hits_rounds("div", edges_view) + _HITS_SELECT
 
 
+def _hits_half_sql(edges: str, nodes: str, prev_view: str,
+                   from_col: str, to_col: str) -> str:
+    """One HITS half-step over materialized relations — identical
+    algebra to one araw{i}/a{i} (or hraw{i}/h{i}) pair of the
+    unrolled oracle: edge-keyed integer sum, global-mass GREATEST
+    guard, floor-div renormalization to HITS_SCALE."""
+    return f"""
+        WITH raw AS (
+            SELECT e.{to_col} AS vec_id,
+                   CAST(SUM(p.s) AS BIGINT) AS raw
+            FROM {edges} e JOIN {prev_view} p ON p.vec_id = e.{from_col}
+            GROUP BY e.{to_col})
+        , tot AS (
+            SELECT GREATEST(CAST(1 AS BIGINT),
+                            CAST(SUM(raw) AS BIGINT)) AS tot
+            FROM raw)
+        SELECT n.vec_id,
+               CAST((COALESCE(r.raw, 0) * {HITS_SCALE}) div t.tot
+                   AS BIGINT) AS s
+        FROM {nodes} n CROSS JOIN tot t
+        LEFT JOIN raw r ON r.vec_id = n.vec_id
+    """
+
+
 def hits_knn(
     spark: SparkSession,
     sf_dir: str,
@@ -2985,8 +3010,14 @@ def hits_knn(
     checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Materialize the KNN edge list once (local/reliable checkpoint
-    split, same as pagerank_knn), then run the unrolled HITS rounds
-    over the cached edges."""
+    split, same as pagerank_knn), then run HITS as a DRIVER LOOP
+    with each half-step checkpointed (r6): the single-statement
+    unrolled form re-derives every h{i}/a{i} subtree multiplicatively
+    (566 exchanges in the r5 plan audit — the verify-gotcha class the
+    12-round HNSW descent first exposed); the loop's composed final
+    plan joins two cached score maps to two degree aggregates.
+    Round count is HITS_ITERS — bounded control flow, the Pregel
+    exception; per-half-step checkpoints are node-sized maps."""
     from ..tables import load_table
 
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
@@ -3005,7 +3036,61 @@ def hits_knn(
     else:
         raise ValueError(f"unknown checkpoint_mode: {checkpoint_mode!r}")
     edges.createOrReplaceTempView("hits_edges_mat")
-    return spark.sql(hits_iter_sql("hits_edges_mat", "embeddings"))
+    nodes = spark.sql(
+        "SELECT vec_id FROM embeddings"
+    ).localCheckpoint()
+    nodes.createOrReplaceTempView("hits_nodes_mat")
+    return hits_loop(spark, "hits_edges_mat", "hits_nodes_mat")
+
+
+def hits_loop(
+    spark: SparkSession, edges_view: str, nodes_view: str
+) -> DataFrame:
+    """The driver-loop HITS rounds over already-materialized edge and
+    node views (see hits_knn for the semantics and the loop-vs-unroll
+    rationale)."""
+    h = spark.sql(
+        f"""SELECT vec_id,
+               CAST({HITS_SCALE} div nn.n_nodes AS BIGINT) AS s
+        FROM {nodes_view} CROSS JOIN (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes
+            FROM {nodes_view}) nn"""
+    ).localCheckpoint()
+    a = None
+    for _ in range(HITS_ITERS):
+        h.createOrReplaceTempView("hits_h_prev")
+        a = spark.sql(
+            _hits_half_sql(
+                edges_view, nodes_view, "hits_h_prev",
+                "src", "dst",
+            )
+        ).localCheckpoint()
+        a.createOrReplaceTempView("hits_a_cur")
+        h = spark.sql(
+            _hits_half_sql(
+                edges_view, nodes_view, "hits_a_cur",
+                "dst", "src",
+            )
+        ).localCheckpoint()
+    h.createOrReplaceTempView("hits_h_final")
+    a.createOrReplaceTempView("hits_a_final")
+    return spark.sql(
+        f"""
+        WITH outdeg AS (
+            SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM {edges_view} GROUP BY src)
+        , indeg AS (
+            SELECT dst, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM {edges_view} GROUP BY dst)
+        SELECT h.vec_id, h.s AS hub_e9, a.s AS auth_e9,
+               CAST(COALESCE(ind.deg, 0) AS BIGINT) AS in_degree,
+               CAST(COALESCE(outd.deg, 0) AS BIGINT) AS out_degree
+        FROM hits_h_final h
+        JOIN hits_a_final a ON a.vec_id = h.vec_id
+        LEFT JOIN outdeg outd ON outd.src = h.vec_id
+        LEFT JOIN indeg ind ON ind.dst = h.vec_id
+        """
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3439,35 +3524,42 @@ def ppr_seeds(
     sf_dir: str,
     n_seeds: int = N_SEEDS,
     checkpoint_mode: str = "local",
+    edges_view: str | None = None,
 ) -> DataFrame:
-    """Spark side: edges checkpointed once (pagerank pattern), then
-    the unrolled rounds run over the cached blocks; the per-round
-    mass table is (probes × touched nodes)-bounded."""
+    """Spark side: edges checkpointed once (pagerank pattern; or an
+    already-materialized view passed in via edges_view — the shared
+    session gate map), then the unrolled rounds run over the cached
+    blocks; the per-round mass table is (probes × touched
+    nodes)-bounded."""
     from ..tables import load_table
 
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
         "embeddings"
     )
-    edges = spark.sql(
-        f"""{_knn_ctes('spark', n_seeds)}
-        SELECT vec_id AS src, neighbor_id AS dst
-        FROM ranked WHERE rnk <= {KNN_K}
-        """
-    )
-    if checkpoint_mode == "reliable":
-        edges = edges.checkpoint(eager=True)
-    elif checkpoint_mode == "local":
-        edges = edges.localCheckpoint()
-    else:
-        raise ValueError(f"unknown checkpoint_mode: {checkpoint_mode!r}")
-    edges.createOrReplaceTempView("ppr_edges_mat")
+    if edges_view is None:
+        edges = spark.sql(
+            f"""{_knn_ctes('spark', n_seeds)}
+            SELECT vec_id AS src, neighbor_id AS dst
+            FROM ranked WHERE rnk <= {KNN_K}
+            """
+        )
+        if checkpoint_mode == "reliable":
+            edges = edges.checkpoint(eager=True)
+        elif checkpoint_mode == "local":
+            edges = edges.localCheckpoint()
+        else:
+            raise ValueError(
+                f"unknown checkpoint_mode: {checkpoint_mode!r}"
+            )
+        edges.createOrReplaceTempView("ppr_edges_mat")
+        edges_view = "ppr_edges_mat"
     div = "div"
     body = f"""
         WITH v AS (
             SELECT vec_id FROM embeddings)
         , outdeg AS (
             SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
-            FROM ppr_edges_mat GROUP BY src)
+            FROM {edges_view} GROUP BY src)
         , probes AS (
             SELECT vec_id AS seed_id FROM v
             WHERE vec_id < {N_QUERIES})
@@ -3479,7 +3571,7 @@ def ppr_seeds(
                    CAST(CASE WHEN vec_id = seed_id
                         THEN {PPR_SCALE} ELSE 0 END AS BIGINT) AS r
             FROM pbase)"""
-    body += _ppr_rounds(div, "ppr_edges_mat")
+    body += _ppr_rounds(div, edges_view)
     return spark.sql(
         f"""{body}
         , ranked_out AS (

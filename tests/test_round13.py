@@ -211,3 +211,46 @@ def test_bpe_train_hand_case(spark):
     )
     assert out == [(1, "aa", 9, 6), (2, "aaaa", 3, 3)]
     assert syms.count() == 1  # one word type, one symbol
+
+
+def test_bpe_train_deeper_k_extends_prefix_and_improves_fertility(
+    spark, sf_dir
+):
+    """r5 verdict item 5 (scaling law): a K=64 run's first 32 rows
+    equal the registered K=32 run exactly (training is a pure
+    prefix-extension — deeper K never rewrites earlier merges), the
+    token curve keeps strictly decreasing through the extra rounds,
+    per-round wall cost stays flat (second half vs first half — the
+    constant-depth property; an unrolled chain would grow), and the
+    bigger vocabulary never worsens per-language fertility."""
+    from aurora_cdc_demo_spark.operators import bpe as _bpe
+    from aurora_cdc_demo_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    walls: list = []
+    rep64, sym64 = _bpe.train(spark, docs, 64, round_walls=walls)
+    rows64 = sorted(
+        tuple(r) for r in rep64.collect()
+    )
+    rows32 = sorted(
+        tuple(r)
+        for r in QUERIES["bpe_train_k32"](spark, sf_dir).collect()
+    )
+    assert [r for r in rows64 if r[0] <= 32] == rows32
+    toks = [r[4] for r in rows64]
+    assert all(b < a for a, b in zip(toks, toks[1:]))
+    if len(walls) >= 32:
+        half = len(walls) // 2
+        med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+        assert med(walls[half:]) < 2.5 * med(walls[:half])
+    fert64 = {
+        r["lang"]: r["fertility_bp"]
+        for r in _bpe.fertility_by_lang(docs, sym64).collect()
+    }
+    fert32 = {
+        r["lang"]: r["fertility_bp"]
+        for r in QUERIES["bpe_fertility_k32"](spark, sf_dir).collect()
+    }
+    assert set(fert64) == set(fert32)
+    for lang in fert64:
+        assert fert64[lang] <= fert32[lang]
