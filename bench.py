@@ -215,7 +215,6 @@ def main() -> None:
     # ANN index: its line IS the cold index build; the ADC queries
     # after it are the amortized serve cost.)
     from aurora_cdc_demo_spark.registry import _GATE_CACHE
-
     from aurora_cdc_demo_spark.registry import QUERIES as _Q
 
     _GATE_CACHE.clear()

@@ -1584,3 +1584,44 @@ def test_edit_join_exact_recall_vs_brute_force(spark, sf_dir):
                 want.add((ka, kb))
     assert got == want
     assert want  # the law is non-trivial on this data
+
+
+def test_lm_surprisal_recompute(spark, sf_dir):
+    """Whole-bit bigram surprisal recomputed in Python: corpus
+    bigram/context counts, floor(log2(c_ctx/c)) per occurrence via
+    int.bit_length, per-doc totals and the centibit mean must match
+    exactly; and a doc of one repeated bigram (if present) scores
+    its transitions as low-surprisal relative to the corpus max."""
+    from collections import Counter, defaultdict
+
+    rows = {
+        r["doc_id"]: (
+            r["n_bigrams"], r["surprisal_bits"], r["mean_centibits"]
+        )
+        for r in QUERIES["text_lm_surprisal"](spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    bgc: Counter = Counter()
+    ctx: Counter = Counter()
+    doc_bgs = {}
+    for d in docs:
+        t = d["text"].split(" ")
+        bgs = list(zip(t, t[1:]))
+        doc_bgs[d["doc_id"]] = bgs
+        for b in bgs:
+            bgc[b] += 1
+            ctx[b[0]] += 1
+    want = {}
+    for doc_id, bgs in doc_bgs.items():
+        if not bgs:
+            continue
+        bits = [
+            (ctx[b[0]] // bgc[b]).bit_length() - 1 for b in bgs
+        ]
+        want[doc_id] = (
+            len(bgs), sum(bits), (100 * sum(bits)) // len(bgs)
+        )
+    assert rows == want
+    assert rows  # non-trivial
