@@ -731,6 +731,49 @@ def pagerank_iter_sql(edges_view: str, nodes_view: str) -> str:
     """
 
 
+def pagerank_r0_sql(nodes_view: str) -> str:
+    """Round-0 uniform rank row set — same algebra as the r0 CTE of
+    the composed forms."""
+    return f"""
+        SELECT vec_id,
+               CAST({PR_SCALE} div nn.n_nodes AS BIGINT) AS r
+        FROM {nodes_view} CROSS JOIN (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes
+            FROM {nodes_view}) nn
+    """
+
+
+def pagerank_round_sql(edges_view: str, nodes_view: str,
+                       outdeg_view: str, prev_view: str) -> str:
+    """One damped power-iteration round over materialized relations
+    — identical integer algebra to one c{i}/r{i} CTE pair of the
+    composed oracle forms."""
+    return f"""
+        WITH c AS (
+            SELECT e.dst AS vec_id,
+                   CAST(SUM(p.r div d.deg) AS BIGINT) AS contrib
+            FROM {edges_view} e
+            JOIN {prev_view} p ON p.vec_id = e.src
+            JOIN {outdeg_view} d ON d.src = e.src
+            GROUP BY e.dst)
+        , nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes
+                 FROM {nodes_view})
+        SELECT n.vec_id,
+               CAST((15 * ({PR_SCALE} div nn.n_nodes)) div 100
+                    + (85 * COALESCE(c.contrib, 0)) div 100
+                    AS BIGINT) AS r
+        FROM {nodes_view} n CROSS JOIN nn
+        LEFT JOIN c ON c.vec_id = n.vec_id
+    """
+
+
+def pagerank_outdeg_sql(edges_view: str) -> str:
+    return f"""
+        SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM {edges_view} GROUP BY src
+    """
+
+
 def pagerank_knn(
     spark: SparkSession,
     sf_dir: str,

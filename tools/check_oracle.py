@@ -21,6 +21,14 @@ from aurora_cdc_demo_spark.tables import TABLES  # noqa: E402
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     con.execute("SET temp_directory='/tmp/duck_spill'")
+    # Pin the buffer-manager limit well under what the host can give
+    # with a Spark JVM (and possibly other sessions) resident: the
+    # default 80%-of-RAM limit is probed at connect time, and a
+    # fuller host later in a 487-query sweep turns the heavy inlined
+    # oracles into 'Failed to allocate block' bad_allocs instead of
+    # spills. An explicit cap + temp_directory makes DuckDB spill
+    # deterministically whatever else is running.
+    con.execute("SET memory_limit='40GB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
