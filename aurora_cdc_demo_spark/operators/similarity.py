@@ -2653,13 +2653,17 @@ def seed_reach_layers(
     n_seeds: int = N_SEEDS,
     hops: int = GREEDY_HOPS,
     checkpoint_mode: str = "local",
+    edges_view: str | None = None,
 ) -> DataFrame:
     """Spark side: the shared greedy edge list is checkpoint-
-    materialized once, then each round's reached set is itself
-    eagerly materialized before the next round references it twice
+    materialized once (or passed in already-materialized via
+    edges_view), then each round's reached set is itself eagerly
+    materialized before the next round references it twice
     (expansion + census) — the multiplicative-CTE lesson; the
     census is scalar counts over the tiny cached sets."""
-    _materialize_greedy_edges(spark, sf_dir, n_seeds, checkpoint_mode)
+    if edges_view is None:
+        _materialize_greedy_edges(spark, sf_dir, n_seeds, checkpoint_mode)
+        edges_view = "greedy_edges_mat"
     reached = spark.sql(
         f"SELECT vec_id FROM embeddings WHERE vec_id < {n_seeds}"
     ).localCheckpoint()
@@ -2671,7 +2675,7 @@ def seed_reach_layers(
                 SELECT vec_id FROM reach_{h - 1}
                 UNION ALL
                 SELECT e.dst AS vec_id
-                FROM greedy_edges_mat e
+                FROM {edges_view} e
                 JOIN reach_{h - 1} p ON p.vec_id = e.src) u
             """
         ).localCheckpoint()
