@@ -150,9 +150,10 @@ DEDUP_EXACT_SQL = r"""
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold_bp: int = JACCARD_THRESHOLD_BP
+    docs: DataFrame, threshold_bp: int = JACCARD_THRESHOLD_BP,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
-    sim = _pair_jaccard(shingles(docs))
+    sim = _pair_jaccard(sh if sh is not None else shingles(docs))
     return sim.where(
         F.lit(10000) * F.col("inter") >= F.lit(threshold_bp) * F.col("uni")
     ).select(
@@ -255,10 +256,13 @@ def lsh_candidates(
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, threshold_bp: int = JACCARD_THRESHOLD_BP
+    docs: DataFrame, threshold_bp: int = JACCARD_THRESHOLD_BP,
+    sh: DataFrame | None = None, signatures: DataFrame | None = None,
 ) -> DataFrame:
-    sh = shingles(docs)
-    cand = lsh_candidates(minhash_signatures(sh))
+    sh = sh if sh is not None else shingles(docs)
+    cand = lsh_candidates(
+        signatures if signatures is not None else minhash_signatures(sh)
+    )
     sim = _pair_jaccard(sh, pairs=cand)
     return sim.where(
         F.lit(10000) * F.col("inter") >= F.lit(threshold_bp) * F.col("uni")
@@ -317,7 +321,11 @@ MINHASH_LSH_SQL = f"""
 """
 
 
-def minhash_estimate(docs: DataFrame) -> DataFrame:
+def minhash_estimate(
+    docs: DataFrame,
+    sh: DataFrame | None = None,
+    signatures: DataFrame | None = None,
+) -> DataFrame:
     """Sketch calibration: for every LSH candidate pair, the
     MinHash-ESTIMATED Jaccard (matching minhashes / NUM_MINHASH)
     side by side with the exact shingle Jaccard — the view that
@@ -330,8 +338,8 @@ def minhash_estimate(docs: DataFrame) -> DataFrame:
     Scale: candidates come from the banded equi-join (never
     all-pairs); the signature re-join is k integer columns per side;
     the exact verify touches only candidate pairs."""
-    sh = shingles(docs)
-    sig = minhash_signatures(sh)
+    sh = sh if sh is not None else shingles(docs)
+    sig = signatures if signatures is not None else minhash_signatures(sh)
     cand = lsh_candidates(sig)
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
@@ -585,7 +593,10 @@ SIMHASH_SQL = f"""
 # ---------------------------------------------------------------------------
 
 
-def dedup_clusters(docs: DataFrame, max_iter: int = 20) -> DataFrame:
+def dedup_clusters(
+    docs: DataFrame, max_iter: int = 20,
+    sh: DataFrame | None = None,
+) -> DataFrame:
     """Connected components over the thresholded Jaccard pair graph:
     every doc labeled with the min doc_id reachable through near-dup
     edges (the canonical representative a dedup pipeline keeps).
@@ -601,7 +612,7 @@ def dedup_clusters(docs: DataFrame, max_iter: int = 20) -> DataFrame:
     """
     from .graph import connected_components
 
-    pairs = ngram_jaccard_pairs(docs).select("doc_a", "doc_b")
+    pairs = ngram_jaccard_pairs(docs, sh=sh).select("doc_a", "doc_b")
     return connected_components(
         docs.select("doc_id"), pairs, id_col="doc_id", max_iter=max_iter
     )
@@ -643,7 +654,9 @@ CONTAINMENT_THRESHOLD_BP = 8000  # containment >= 0.8
 SHINGLE_DF_CAP = 50  # drop stop-shingles with postings longer than this
 
 
-def containment_pairs(docs: DataFrame) -> DataFrame:
+def containment_pairs(
+    docs: DataFrame, sh: DataFrame | None = None
+) -> DataFrame:
     """(doc_a, doc_b) pairs with shingle containment >= 0.8, plus
     the Jaccard view and a containment_only flag marking the pairs
     the symmetric dedup path would have missed.
@@ -658,7 +671,7 @@ def containment_pairs(docs: DataFrame) -> DataFrame:
     the SAME capped shingle sets in both engines (deterministic,
     documented approximation when the cap fires; at this corpus the
     max df is single-digit so the cap is pure insurance)."""
-    sh = shingles(docs)
+    sh = sh if sh is not None else shingles(docs)
     df = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     kept = sh.join(df.where(F.col("df") <= SHINGLE_DF_CAP), "s", "left_semi")
     counts = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
@@ -766,6 +779,8 @@ def decontaminate_lsh(
     docs: DataFrame,
     bench_max_id: int = 20,
     threshold_bp: int = JACCARD_THRESHOLD_BP,
+    sh: DataFrame | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Per-train-doc contamination report: how many benchmark docs it
     near-duplicates (exact-Jaccard verified >= threshold) and the
@@ -774,8 +789,10 @@ def decontaminate_lsh(
     corpus SF); the train corpus streams through map-side — the only
     corpus-scale shuffle is the shingle->signature aggregate it
     shares with the dedup path."""
-    sh = shingles(docs)
-    banded = _banded(minhash_signatures(sh))
+    sh = sh if sh is not None else shingles(docs)
+    banded = _banded(
+        signatures if signatures is not None else minhash_signatures(sh)
+    )
     bench = (
         banded.where(F.col("doc_id") < bench_max_id)
         .select(F.col("doc_id").alias("doc_a"), "band", "bk")
@@ -867,9 +884,13 @@ def decontaminate_lsh_sql(
 LSH_TUNING_ROWS = (1, 2, 3, 4, 6)
 
 
-def lsh_tuning(docs: DataFrame) -> DataFrame:
-    sh = shingles(docs)
-    sig = minhash_signatures(sh)
+def lsh_tuning(
+    docs: DataFrame,
+    sh: DataFrame | None = None,
+    signatures: DataFrame | None = None,
+) -> DataFrame:
+    sh = sh if sh is not None else shingles(docs)
+    sig = signatures if signatures is not None else minhash_signatures(sh)
     summaries = []
     for r in LSH_TUNING_ROWS:
         cand = lsh_candidates(sig, band_rows=r)
@@ -1213,7 +1234,11 @@ def method_agreement_sql() -> str:
 B_BIT = 4  # bits kept per minhash; collision prob C = 2^-4 = 1/16
 
 
-def bbit_minhash_estimate(docs: DataFrame) -> DataFrame:
+def bbit_minhash_estimate(
+    docs: DataFrame,
+    sh: DataFrame | None = None,
+    signatures: DataFrame | None = None,
+) -> DataFrame:
     """b-bit minwise calibration: for every LSH candidate pair, the
     FULL-width MinHash Jaccard estimate next to the b-bit one —
     keeping only the lowest B_BIT=4 bits of each of the 12 minhashes
@@ -1234,8 +1259,8 @@ def bbit_minhash_estimate(docs: DataFrame) -> DataFrame:
     is k small integer columns per side; at deployment the b-bit
     table is what ships to the verification cluster, cutting the
     signature shuffle 16×."""
-    sh = shingles(docs)
-    sig = minhash_signatures(sh)
+    sh = sh if sh is not None else shingles(docs)
+    sig = signatures if signatures is not None else minhash_signatures(sh)
     cand = lsh_candidates(sig)
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
