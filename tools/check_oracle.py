@@ -54,7 +54,6 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     spark = get_spark("oracle-check")
-    con = duck_connection(sf_dir)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -69,7 +68,16 @@ def main() -> int:
             print(f"SKIP {name}: no oracle (rows-only) rows={len(sdf)}")
             continue
         try:
+            # fresh connection per oracle: a long-lived connection's
+            # buffer pool accumulates state across hundreds of
+            # queries and the heavy inlined oracles start dying with
+            # 'Failed to allocate block' bad_allocs that standalone
+            # runs never show (observed at sf0.1) — per-query
+            # connections make the sweep order-independent for the
+            # cost of re-reading parquet footers
+            con = duck_connection(sf_dir)
             ddf = con.execute(oracles[name]).fetchdf()
+            con.close()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
