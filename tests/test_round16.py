@@ -1,0 +1,465 @@
+"""R16 operator laws: deterministic quantile sketch (Munro-Paterson
+halving cascade) — Python recompute, rank-error bound, mergeability.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from aurora_cdc_demo_spark.registry import (  # noqa: E402
+    _MRL_K,
+    _MRL_PCTS,
+    QUERIES,
+)
+from aurora_cdc_demo_spark.tables import load_table  # noqa: E402
+
+
+def _cascade(items: list[tuple[int, int]], k: int):
+    """Python twin of the SQL halving cascade: items are
+    (value_cents, id); returns (survivors_sorted, weight)."""
+    cur = sorted(items)
+    w = 1
+    while len(cur) > k:
+        cur = cur[::2]  # odd ranks, 1-indexed == evens 0-indexed
+        w *= 2
+    return cur, w
+
+
+def _events_cents(spark, sf_dir):
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value", "event_id")
+        .collect()
+    )
+    by_type: dict[str, list[tuple[int, int]]] = {}
+    for r in rows:
+        if r["value"] is None:
+            continue
+        # Python round() is banker's like Spark/DuckDB ROUND halves
+        # to even on exact .5 cents — the testdata has none (values
+        # are 2-dp already), so int(round()) matches both engines.
+        by_type.setdefault(r["event_type"], []).append(
+            (int(round(r["value"] * 100)), r["event_id"])
+        )
+    return by_type
+
+
+def test_mrl_sketch_recompute(spark, sf_dir):
+    """The full cascade recomputed in Python must agree exactly:
+    survivor count, weight (a power of two == the halving count),
+    and every quantile estimate read at survivor rank
+    ceil(q*m/100)."""
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["events_mrl_quantile_sketch"](
+            spark, sf_dir
+        ).collect()
+    }
+    by_type = _events_cents(spark, sf_dir)
+    assert set(got) == set(by_type)
+    for t, items in by_type.items():
+        surv, w = _cascade(items, _MRL_K)
+        m = len(surv)
+        r = got[t]
+        assert r["n_items"] == len(items)
+        assert r["n_survivors"] == m
+        assert r["item_weight"] == w
+        assert w & (w - 1) == 0  # power of two
+        assert m <= _MRL_K
+        for q in _MRL_PCTS:
+            j = max(1, (q * m + 99) // 100)
+            assert r[f"p{q}_cents"] == surv[j - 1][0]
+
+
+def test_mrl_sketch_rank_error_bound(spark, sf_dir):
+    """Sketch quantile estimates are rank-accurate within
+    weight*(halvings+2) of the exact target rank — the
+    Munro-Paterson deterministic bound (each halving displaces any
+    rank by at most its level weight); estimates are monotone
+    across the percentile grid."""
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["events_mrl_quantile_sketch"](
+            spark, sf_dir
+        ).collect()
+    }
+    by_type = _events_cents(spark, sf_dir)
+    for t, items in by_type.items():
+        vals = sorted(v for v, _ in items)
+        n = len(vals)
+        r = got[t]
+        w = r["item_weight"]
+        c = w.bit_length() - 1
+        bound = w * (c + 2)
+        prev = None
+        for q in _MRL_PCTS:
+            est = r[f"p{q}_cents"]
+            if prev is not None:
+                assert est >= prev
+            prev = est
+            # exact rank window of est within the sorted values
+            import bisect
+
+            lo = bisect.bisect_left(vals, est) + 1
+            hi = bisect.bisect_right(vals, est)
+            target = max(1, (q * n + 99) // 100)
+            assert lo - bound <= target <= hi + bound, (
+                t,
+                q,
+                lo,
+                hi,
+                target,
+                bound,
+            )
+
+
+def test_mrl_sketch_mergeable(spark, sf_dir):
+    """Mergeability — the property that makes the cascade a SKETCH:
+    split each type's stream by event_id parity, cascade each half,
+    concat the two summaries (re-weighting to the max weight by
+    resampling the lighter one is unnecessary when both halves halve
+    equally often; assert weights equal here), re-halve to capacity,
+    and the merged estimates stay within the combined rank-error
+    bound of the exact quantiles."""
+    by_type = _events_cents(spark, sf_dir)
+    for t, items in by_type.items():
+        a = [x for x in items if x[1] % 2 == 0]
+        b = [x for x in items if x[1] % 2 == 1]
+        sa, wa = _cascade(a, _MRL_K)
+        sb, wb = _cascade(b, _MRL_K)
+        # equal-rate halving on near-equal split sizes
+        w = max(wa, wb)
+        # re-weight lighter side by keeping every (w//wx)-th item
+        def lift(s, wx):
+            step = w // wx
+            return s[::step] if step > 1 else s
+
+        merged = sorted(lift(sa, wa) + lift(sb, wb))
+        mw = w
+        while len(merged) > _MRL_K:
+            merged = merged[::2]
+            mw *= 2
+        vals = sorted(v for v, _ in items)
+        n = len(vals)
+        m = len(merged)
+        c = mw.bit_length() - 1
+        bound = mw * (c + 3)
+        for q in _MRL_PCTS:
+            j = max(1, (q * m + 99) // 100)
+            est = merged[j - 1][0]
+            import bisect
+
+            lo = bisect.bisect_left(vals, est) + 1
+            hi = bisect.bisect_right(vals, est)
+            target = max(1, (q * n + 99) // 100)
+            assert lo - bound <= target <= hi + bound
+
+
+def test_node2vec_recompute(spark, sf_dir):
+    """The full biased walk recomputed in Python from the SAME KNN
+    edge list: second-order weights (back=1, common=4, fwd=16),
+    cumulative intervals in nn_rank order, md5 pick — every
+    (start, step, node) row must match exactly; and the bias must
+    be observable: walks differ from the weights-all-equal
+    (first-order) simulation somewhere on this data."""
+    import hashlib
+
+    from aurora_cdc_demo_spark.registry import (
+        _N2V_BACK,
+        _N2V_COMMON,
+        _N2V_FWD,
+        _N2V_STEPS,
+    )
+
+    edges = {}
+    for r in QUERIES["ann_knn_graph"](spark, sf_dir).collect():
+        edges.setdefault(r["vec_id"], []).append(
+            (r["nn_rank"], r["neighbor_id"])
+        )
+    for v in edges:
+        edges[v].sort()
+    adj = {
+        (v, nb) for v, nbs in edges.items() for _, nb in nbs
+    }
+
+    def pick_hash(start, prev, node, s):
+        h = hashlib.md5(
+            f"{start}:{prev}:{node}:{s}".encode()
+        ).hexdigest()[:8]
+        return int(h, 16)
+
+    def walk(start, weights):
+        back, common, fwd = weights
+        prev, node = start, start
+        out = [(start, 0, start)]
+        for s in range(1, _N2V_STEPS + 1):
+            nbs = edges.get(node)
+            if not nbs:
+                break
+            wts = []
+            for _, nb in nbs:
+                if nb == prev:
+                    wts.append(back)
+                elif (prev, nb) in adj:
+                    wts.append(common)
+                else:
+                    wts.append(fwd)
+            tot = sum(wts)
+            p = pick_hash(start, prev, node, s) % tot
+            cw = 0
+            for (_, nb), w in zip(nbs, wts):
+                cw += w
+                if p < cw:
+                    prev, node = node, nb
+                    break
+            out.append((start, s, node))
+        return out
+
+    starts = sorted(
+        {r["start_id"] for r in QUERIES["graph_node2vec_corpus"](
+            spark, sf_dir
+        ).select("start_id").distinct().collect()}
+    )
+    got = sorted(
+        (r["start_id"], r["step"], r["node_id"])
+        for r in QUERIES["graph_node2vec_corpus"](
+            spark, sf_dir
+        ).collect()
+    )
+    want = sorted(
+        row
+        for st in starts
+        for row in walk(st, (_N2V_BACK, _N2V_COMMON, _N2V_FWD))
+    )
+    assert got == want
+    first_order = sorted(
+        row for st in starts for row in walk(st, (1, 1, 1))
+    )
+    assert first_order != want  # the p/q bias is live on this data
+
+
+def test_topk_ivm_refill_and_copy_forward(spark):
+    """Crafted-log mechanism proof for the top-K IVM: a post-split
+    DELETE of group A's top row forces a REFILL (rank K+1 pulled in
+    from the merged state) and an insert re-ranks A, while untouched
+    group B is copied forward verbatim — the affected-group set is
+    exactly {A}."""
+    import datetime as dt
+
+    from aurora_cdc_demo_spark.registry import (
+        _TOPK_IVM_K,
+        _topk_view_ivm,
+    )
+
+    assert _TOPK_IVM_K == 3
+    old = dt.datetime(2024, 1, 10)
+    new = dt.datetime(2024, 1, 25)
+    rows = [
+        # (key, seq, op, type, ts, value) — old half
+        (1, 1, "INSERT", "A", old, 60.0),
+        (2, 2, "INSERT", "A", old, 50.0),
+        (3, 3, "INSERT", "A", old, 40.0),
+        (4, 4, "INSERT", "A", old, 30.0),
+        (11, 5, "INSERT", "B", old, 9.0),
+        (12, 6, "INSERT", "B", old, 8.0),
+        (13, 7, "INSERT", "B", old, 7.0),
+        (14, 8, "INSERT", "B", old, 6.0),
+        # new half: delete A's top-1, insert a mid A row
+        (1, 9, "DELETE", "A", new, 60.0),
+        (5, 10, "INSERT", "A", new, 45.0),
+    ]
+    log = spark.createDataFrame(
+        rows,
+        "key_id long, seq long, operation string, event_type string,"
+        " ts timestamp, value double",
+    )
+    probe: dict = {}
+    got = sorted(
+        (r["event_type"], r["rnk"], r["key_id"], r["value_cents"])
+        for r in _topk_view_ivm(
+            log, "2024-01-24 00:00:00", probe
+        ).collect()
+    )
+    assert probe["affected"] == ["A"]
+    assert got == [
+        ("A", 1, 2, 5000),
+        ("A", 2, 5, 4500),
+        ("A", 3, 3, 4000),  # key 4 refilled INTO state, 3 holds rank
+        ("B", 1, 11, 900),
+        ("B", 2, 12, 800),
+        ("B", 3, 13, 700),
+    ]
+
+
+def test_topk_ivm_refill_from_below_view(spark):
+    """Deletion refill specifically: deleting TWO of A's top-3
+    pulls former rank-4 (key 4) into the view — a row yesterday's
+    VIEW never contained, provable only because re-ranking reads
+    the merged STATE."""
+    import datetime as dt
+
+    from aurora_cdc_demo_spark.registry import _topk_view_ivm
+
+    old = dt.datetime(2024, 1, 10)
+    new = dt.datetime(2024, 1, 25)
+    rows = [
+        (1, 1, "INSERT", "A", old, 60.0),
+        (2, 2, "INSERT", "A", old, 50.0),
+        (3, 3, "INSERT", "A", old, 40.0),
+        (4, 4, "INSERT", "A", old, 30.0),
+        (1, 5, "DELETE", "A", new, 60.0),
+        (2, 6, "DELETE", "A", new, 50.0),
+    ]
+    log = spark.createDataFrame(
+        rows,
+        "key_id long, seq long, operation string, event_type string,"
+        " ts timestamp, value double",
+    )
+    got = sorted(
+        (r["event_type"], r["rnk"], r["key_id"], r["value_cents"])
+        for r in _topk_view_ivm(log, "2024-01-24 00:00:00").collect()
+    )
+    assert got == [("A", 1, 3, 4000), ("A", 2, 4, 3000)]
+
+
+def test_kn_surprisal_recompute(spark, sf_dir):
+    """Interpolated-KN surprisal recomputed in exact Python
+    rationals over the same train (doc_id%4!=0) / held-out
+    (doc_id%4==0) split: bigram/context/continuation counts,
+    three-case num/den algebra, bitlen quantization — every row
+    must match; and the smoothing must be LIVE on this data (some
+    held-out bigram is unseen in train)."""
+    from collections import Counter
+
+    got = {
+        r["doc_id"]: (
+            r["n_bigrams"],
+            r["n_unseen"],
+            r["surprisal_bits"],
+            r["mean_centibits"],
+        )
+        for r in QUERIES["text_kn_surprisal"](spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    bgc: Counter = Counter()
+    vocab = set()
+    held = {}
+    for d in docs:
+        t = d["text"].split(" ")
+        bgs = list(zip(t, t[1:]))
+        if d["doc_id"] % 4 != 0:
+            vocab.update(t)
+            for b in bgs:
+                bgc[b] += 1
+        elif bgs:
+            held[d["doc_id"]] = bgs
+    ctx_c1: Counter = Counter()
+    ctx_r: Counter = Counter()
+    cont: Counter = Counter()
+    n1 = n2 = 0
+    for (w1, w2), c in bgc.items():
+        ctx_c1[w1] += c
+        ctx_r[w1] += 1
+        cont[w2] += 1
+        n1 += c == 1
+        n2 += c == 2
+    nt = len(bgc)
+    v = len(vocab)
+    dn, dd = n1, n1 + 2 * n2
+    want = {}
+    total_unseen = 0
+    for doc_id, bgs in held.items():
+        bits = []
+        unseen = 0
+        for w1, w2 in bgs:
+            nc1 = cont.get(w2, 0) + 1
+            if w1 not in ctx_c1:
+                num, den = nc1, nt + v
+                unseen += 1
+            elif (w1, w2) not in bgc:
+                num = dn * ctx_r[w1] * nc1
+                den = ctx_c1[w1] * dd * (nt + v)
+                unseen += 1
+            else:
+                c = bgc[(w1, w2)]
+                num = (c * dd - dn) * (nt + v) + dn * ctx_r[w1] * nc1
+                den = ctx_c1[w1] * dd * (nt + v)
+            assert den >= num > 0
+            bits.append((den // num).bit_length() - 1)
+        total_unseen += unseen
+        want[doc_id] = (
+            len(bgs),
+            unseen,
+            sum(bits),
+            (100 * sum(bits)) // len(bgs),
+        )
+    assert got == want
+    assert total_unseen > 0  # the smoothing branch is exercised
+
+
+def test_sax_symbols_recompute(spark, sf_dir):
+    """SAX recomputed in Python: zero-filled daily series on the
+    global day spine, ceil-rank quartile breakpoints, 5-day PAA
+    floor-means, alphabet assignment — exact row match; symbols
+    must span more than one letter per type (the alphabet is live),
+    and low/high PAA segments map to ordered symbols."""
+    import datetime as dt
+    from collections import Counter
+
+    from aurora_cdc_demo_spark.registry import _SAX_WINDOW
+
+    got = {
+        (r["event_type"], r["seg"]): (
+            r["seg_days"],
+            r["paa_e2"],
+            r["b25_e2"],
+            r["b50_e2"],
+            r["b75_e2"],
+            r["symbol"],
+        )
+        for r in QUERIES["events_sax_symbols"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts"
+    ).collect()
+    daily: Counter = Counter()
+    days = set()
+    types = set()
+    for r in ev:
+        d = r["ts"].date()
+        days.add(d)
+        types.add(r["event_type"])
+        daily[(r["event_type"], d)] += 1
+    days = sorted(days)
+    want = {}
+    for t in types:
+        series = [daily.get((t, d), 0) for d in days]
+        n = len(series)
+        ranked = sorted(
+            (v, d) for v, d in zip(series, days)
+        )
+        brk = [
+            ranked[(q * n + 99) // 100 - 1][0] * 100
+            for q in (25, 50, 75)
+        ]
+        for seg in range((n + _SAX_WINDOW - 1) // _SAX_WINDOW):
+            chunk = series[seg * _SAX_WINDOW:(seg + 1) * _SAX_WINDOW]
+            paa = (100 * sum(chunk)) // len(chunk)
+            sym = (
+                "a" if paa < brk[0]
+                else "b" if paa < brk[1]
+                else "c" if paa < brk[2]
+                else "d"
+            )
+            want[(t, seg)] = (
+                len(chunk), paa, brk[0], brk[1], brk[2], sym
+            )
+    assert got == want
+    for t in types:
+        syms = {v[5] for (tt, _), v in got.items() if tt == t}
+        assert len(syms) > 1  # alphabet live per type
