@@ -338,3 +338,108 @@ def kmv_merge(sketches: DataFrame, k: int = KMV_K) -> DataFrame:
     """Re-trim a union of KMV sketch rows to the K smallest distinct
     values — the streaming merge step (same TakeOrdered shape)."""
     return sketches.select("h").distinct().orderBy("h").limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Leveled MRL quantile sketch (streaming-maintainable buffers)
+# ---------------------------------------------------------------------------
+
+MRL_CAP = 128  # per-(group, level) buffer capacity
+
+
+def mrl_level0(rows: DataFrame, group: str, value: str, ident: str) -> DataFrame:
+    """Lift raw rows into the sketch's level-0 buffer shape:
+    (group, lvl=0, v, w=1, id). `value` must already be an exact
+    integer expression (cents)."""
+    return rows.select(
+        F.col(group).alias("grp"),
+        F.lit(0).cast("long").alias("lvl"),
+        F.expr(value).cast("long").alias("v"),
+        F.lit(1).cast("long").alias("w"),
+        F.col(ident).cast("long").alias("id"),
+    )
+
+
+def mrl_compact(sketch: DataFrame, cap: int = MRL_CAP) -> DataFrame:
+    """Compact the leveled buffers until every (group, level) holds
+    <= cap items: any over-capacity buffer sorts by (v, id), keeps
+    its odd ranks at level+1 with doubled weight, and drops the
+    evens — the Munro-Paterson collapse, applied level-wise so
+    merged states of UNEQUAL weights stay correct (items of weight
+    2^l only ever compact against items of the same level). Driver
+    loop with one bounded scalar action per round (the Pregel/BPE
+    discipline); rounds are bounded by the final level count
+    log2(n/cap).
+
+    Mergeability: union two sketches' buffers and compact — level
+    buffers concatenate (same weight), overflow cascades upward; the
+    rank error adds at most one cap-weight displacement per level
+    per merge, the classic MRL bound."""
+    from pyspark.sql import Window
+
+    cur = sketch.localCheckpoint()
+    wo = Window.partitionBy("grp", "lvl").orderBy(
+        F.col("v").asc(), F.col("id").asc()
+    )
+    wc = Window.partitionBy("grp", "lvl")
+    while True:
+        over = cur.groupBy("grp", "lvl").count().where(
+            F.col("count") > cap
+        )
+        if not over.take(1):
+            return cur
+        ranked = cur.withColumn(
+            "rnk", F.row_number().over(wo)
+        ).withColumn("cnt", F.count(F.lit(1)).over(wc))
+        keep = ranked.where(F.col("cnt") <= cap).drop("rnk", "cnt")
+        promoted = (
+            ranked.where(
+                (F.col("cnt") > cap) & (F.col("rnk") % 2 == 1)
+            )
+            .select(
+                "grp",
+                (F.col("lvl") + 1).alias("lvl"),
+                "v",
+                (F.col("w") * 2).alias("w"),
+                "id",
+            )
+        )
+        cur = keep.unionByName(promoted).localCheckpoint()
+
+
+def mrl_quantiles(
+    sketch: DataFrame, pcts: tuple[int, ...] = (50, 90, 99)
+) -> DataFrame:
+    """Read quantile estimates off the leveled sketch: weighted
+    cumulative rank over (v, id), pick the first item whose
+    cumulative weight reaches ceil(q * W / 100)."""
+    from pyspark.sql import Window
+
+    wo = Window.partitionBy("grp").orderBy(
+        F.col("v").asc(), F.col("id").asc()
+    )
+    wa = Window.partitionBy("grp")
+    cum = sketch.withColumn(
+        "cw", F.sum("w").over(wo).cast("long")
+    ).withColumn("tw", F.sum("w").over(wa).cast("long"))
+    arms = []
+    for q in pcts:
+        target = (F.lit(q) * F.col("tw") + 99) / 100
+        target = F.floor((F.lit(q) * F.col("tw") + 99) / 100).cast(
+            "long"
+        )
+        first = (
+            cum.where(F.col("cw") >= F.greatest(F.lit(1), target))
+            .groupBy("grp")
+            .agg(F.min_by("v", F.struct("cw", "v", "id")).alias("v"))
+            .select(
+                "grp",
+                F.lit(q).cast("long").alias("pct"),
+                F.col("v").alias("est_cents"),
+            )
+        )
+        arms.append(first)
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out

@@ -112,6 +112,9 @@ HEADLINE = [
     "corpus_curriculum_order",
     "cdc_merkle_anti_entropy",
     "lineitem_weighted_percentiles",
+    "events_mrl_quantile_sketch",
+    "graph_node2vec_corpus",
+    "retrieval_mrr_multiquery",
 ]
 
 

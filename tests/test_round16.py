@@ -463,3 +463,162 @@ def test_sax_symbols_recompute(spark, sf_dir):
     for t in types:
         syms = {v[5] for (tt, _), v in got.items() if tt == t}
         assert len(syms) > 1  # alphabet live per type
+
+
+def test_mrr_multiquery_recompute(spark, sf_dir):
+    """Macro metrics recomputed in Python from the three arms'
+    own (oracle-checked) outputs and the vec->label map: per-query
+    first-relevant rank, floor-ppm reciprocal ranks and recalls,
+    floor-div macro averages — exact row match per arm."""
+    from aurora_cdc_demo_spark.operators import similarity as sim
+
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    nrel = {
+        q: sum(
+            1
+            for d, dl in labels.items()
+            if d != q and dl == labels[q]
+        )
+        for q in range(sim.N_QUERIES)
+    }
+    got = {
+        r["arm"]: (
+            r["n_queries"],
+            r["macro_mrr_ppm"],
+            r["macro_recall_ppm"],
+            r["n_hit_queries"],
+            r["n_rel_at_k_total"],
+        )
+        for r in QUERIES["retrieval_mrr_multiquery"](
+            spark, sf_dir
+        ).collect()
+    }
+    arm_keys = {
+        "exact": "embed_cosine_topk",
+        "ivf": "ann_ivf_multiprobe",
+        "sign": "embed_sign_hamming_topk",
+    }
+    for arm, key in arm_keys.items():
+        per_q: dict = {}
+        for r in QUERIES[key](spark, sf_dir).collect():
+            q = r["query_id"]
+            rel = labels[r["neighbor_id"]] == labels[q]
+            n, first = per_q.get(q, (0, None))
+            if rel:
+                n += 1
+                if first is None or r["nn_rank"] < first:
+                    first = r["nn_rank"]
+            per_q[q] = (n, first)
+        rr = [
+            0 if first is None else 1000000 // first
+            for _, first in per_q.values()
+        ]
+        rec = [
+            (1000000 * n) // min(sim.TOPK, nrel[q])
+            for q, (n, _) in per_q.items()
+        ]
+        want = (
+            len(per_q),
+            sum(rr) // len(per_q),
+            sum(rec) // len(per_q),
+            sum(1 for n, _ in per_q.values() if n > 0),
+            sum(n for n, _ in per_q.values()),
+        )
+        assert got[arm] == want, arm
+
+
+def test_mrl_streaming_maintenance(spark, sf_dir, tmp_path):
+    """The LEVELED sketch is maintainable by foreachBatch on an
+    endless stream: feed the events table through a file stream in
+    micro-batches, keep the (grp, lvl, v, w, id) buffer table as
+    the only state (level-0 insert + compact per batch), and the
+    final estimates stay within the MRL rank-error budget of the
+    exact quantiles — with state bounded by cap x levels per type
+    however long the stream runs."""
+    from pyspark.sql import functions as F
+
+    from aurora_cdc_demo_spark.operators.sketches import (
+        MRL_CAP,
+        mrl_compact,
+        mrl_level0,
+        mrl_quantiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id", "ts"
+    )
+    incoming = tmp_path / "mrl_in"
+    split = F.to_timestamp(F.lit("2024-01-16 00:00:00"))
+    ev.where(F.col("ts") < split).coalesce(1).write.parquet(
+        str(incoming / "b0")
+    )
+    ev.where(F.col("ts") >= split).coalesce(1).write.parquet(
+        str(incoming / "b1")
+    )
+    state_dir = str(tmp_path / "mrl_state")
+
+    def apply_batch(batch_df, batch_id):
+        lvl0 = mrl_level0(
+            batch_df,
+            "event_type",
+            "CAST(ROUND(value * 100) AS BIGINT)",
+            "event_id",
+        )
+        try:
+            state = spark.read.parquet(state_dir)
+        except Exception:
+            state = lvl0.limit(0)
+        merged = mrl_compact(state.unionByName(lvl0))
+        merged.write.mode("overwrite").parquet(state_dir + "_next")
+        # swap (stage-and-swap, the transactional-sink discipline)
+        spark.read.parquet(state_dir + "_next").write.mode(
+            "overwrite"
+        ).parquet(state_dir)
+
+    stream = (
+        spark.readStream.schema(ev.drop("ts").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(incoming / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: apply_batch(df, bid)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_mrl"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    final = spark.read.parquet(state_dir)
+    # bounded state: <= cap rows per (type, level)
+    for r in final.groupBy("grp", "lvl").count().collect():
+        assert r["count"] <= MRL_CAP
+    ests = {
+        (r["grp"], r["pct"]): r["est_cents"]
+        for r in mrl_quantiles(final).collect()
+    }
+    by_type = _events_cents(spark, sf_dir)
+    import bisect
+
+    for t, items in by_type.items():
+        vals = sorted(v for v, _ in items)
+        n = len(vals)
+        max_w = max(
+            r["w"] for r in final.where(F.col("grp") == t).collect()
+        )
+        levels = max_w.bit_length()  # levels touched
+        bound = max_w * (levels + 3)
+        for q_ in (50, 90, 99):
+            est = ests[(t, q_)]
+            lo = bisect.bisect_left(vals, est) + 1
+            hi = bisect.bisect_right(vals, est)
+            target = max(1, (q_ * n + 99) // 100)
+            assert lo - bound <= target <= hi + bound, (
+                t, q_, lo, hi, target, bound,
+            )
