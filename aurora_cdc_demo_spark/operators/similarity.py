@@ -3632,3 +3632,134 @@ def ppr_seeds(
         FROM ranked_out WHERE rn <= {TOPK}
     """
     )
+
+
+# ---------------------------------------------------------------------------
+# Symmetric int8-code ANN served by an Arrow/numpy GEMM
+# ---------------------------------------------------------------------------
+
+
+def int8_codes_ctes(dialect: str) -> str:
+    """Shared CTE chain producing the per-(vec, dim) int8 code table
+    (the #96 construction: e6-floored values, per-dim [lo, hi],
+    256 uniform bins — pure integer after the one safe multiply)."""
+    if dialect == "spark":
+        explode = """
+        e AS (
+            SELECT vec_id, p + 1 AS dim, CAST(xe AS DOUBLE) AS x
+            FROM embeddings
+            LATERAL VIEW posexplode(embedding) AS p, xe)
+        """
+    else:
+        explode = """
+        e AS (
+            SELECT vec_id, d.dim AS dim,
+                   CAST(embedding[d.dim] AS DOUBLE) AS x
+            FROM embeddings,
+                 (SELECT CAST(unnest(range(1, 65)) AS BIGINT) AS dim) d)
+        """
+    idiv = "div" if dialect == "spark" else "//"
+    return f"""{explode}
+        , ei AS (
+            SELECT vec_id, dim,
+                   CAST(FLOOR(x * 1000000) AS BIGINT) AS xi
+            FROM e)
+        , stats AS (
+            SELECT dim, MIN(xi) AS lo, MAX(xi) AS hi FROM ei GROUP BY dim)
+        , codes AS (
+            SELECT ei.vec_id, ei.dim,
+                   CASE WHEN s.hi = s.lo THEN 0
+                        ELSE ((ei.xi - s.lo) * 256)
+                             {idiv} (s.hi - s.lo + 1)
+                   END AS code
+            FROM ei JOIN stats s ON ei.dim = s.dim)"""
+
+
+def int8_gemm_sql(dialect: str) -> str:
+    """Oracle twin of the GEMM serve: symmetric quantized dot
+    score(q, v) = sum_d (cq_d - 128)(cv_d - 128) — int32-bounded
+    (|64 * 128^2| ~ 1e6) so every engine (and numpy) is exact."""
+    return f"""
+        WITH {int8_codes_ctes(dialect)}
+        , scored AS (
+            SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                   CAST(SUM((q.code - 128) * (v.code - 128))
+                        AS BIGINT) AS dot_int8
+            FROM codes q
+            JOIN codes v ON v.dim = q.dim AND v.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+            GROUP BY q.vec_id, v.vec_id)
+        , ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY dot_int8 DESC, neighbor_id ASC) AS rn
+            FROM scored)
+        SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS nn_rank,
+               dot_int8
+        FROM ranked WHERE rn <= {TOPK}
+    """
+
+
+def int8_gemm_topk(spark: SparkSession, sf_dir: str, codes_arr) -> DataFrame:
+    """Serve the symmetric int8 ANN through an Arrow mapInPandas
+    numpy GEMM: each Arrow batch of packed code vectors multiplies
+    the broadcast query-code matrix as ONE int64 matrix product
+    ((C-128) @ (Q-128)^T — exact, values bounded by 64*128^2), and
+    only the per-batch top-k per query survives to the JVM (safe:
+    the global top-k under the total order (dot DESC, id ASC) is
+    contained in the union of per-batch top-k under the same
+    order). The JVM then takes the global top-k — so the Python
+    boundary emits O(batches * queries * k) rows however large the
+    corpus, and the GEMM is BLAS-shaped compute, the reason this
+    boundary exists at all."""
+    import numpy as np
+
+    q_rows = sorted(
+        (r["vec_id"], list(r["codes"]))
+        for r in codes_arr.where(
+            F.col("vec_id") < N_QUERIES
+        ).collect()
+    )
+    qids = np.array([v for v, _ in q_rows], dtype=np.int64)
+    qmat = np.array([c for _, c in q_rows], dtype=np.int64) - 128
+    k = TOPK
+
+    def gemm(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cmat = (
+                np.array(list(pdf["codes"]), dtype=np.int64) - 128
+            )
+            dots = cmat @ qmat.T  # (batch, queries) exact int64
+            out_q, out_n, out_d = [], [], []
+            for j, qid in enumerate(qids):
+                col = dots[:, j]
+                mask = vids != qid
+                vv, dd = vids[mask], col[mask]
+                order = np.lexsort((vv, -dd))[:k]
+                out_q.extend([qid] * len(order))
+                out_n.extend(vv[order])
+                out_d.extend(dd[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.array(out_q, dtype=np.int64),
+                    "neighbor_id": np.array(out_n, dtype=np.int64),
+                    "dot_int8": np.array(out_d, dtype=np.int64),
+                }
+            )
+
+    cand = codes_arr.mapInPandas(
+        gemm, "query_id long, neighbor_id long, dot_int8 long"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_int8").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("nn_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("nn_rank") <= k)
+        .select("query_id", "neighbor_id", "nn_rank", "dot_int8")
+    )

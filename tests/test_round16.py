@@ -622,3 +622,62 @@ def test_mrl_streaming_maintenance(spark, sf_dir, tmp_path):
             assert lo - bound <= target <= hi + bound, (
                 t, q_, lo, hi, target, bound,
             )
+
+
+def test_int8_gemm_recompute_and_boundary(spark, sf_dir):
+    """The GEMM arm recomputed in pure Python from the embeddings:
+    e6-floor, per-dim [lo,hi], 256-bin codes, centered integer dot,
+    (dot DESC, id ASC) top-5 — exact row match across the
+    numpy/JVM/Python triple; and the plan carries exactly one
+    MapInPandas boundary (the documented compute-bound exhibit)."""
+    import math
+
+    df = QUERIES["ann_int8_gemm_topk"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    got = sorted(
+        (r["query_id"], r["nn_rank"], r["neighbor_id"], r["dot_int8"])
+        for r in df.collect()
+    )
+
+    from aurora_cdc_demo_spark.operators import similarity as sim
+
+    emb = {
+        r["vec_id"]: list(r["embedding"])
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    dims = len(next(iter(emb.values())))
+    xi = {
+        v: [math.floor(float(x) * 1000000) for x in xs]
+        for v, xs in emb.items()
+    }
+    lo = [min(x[d] for x in xi.values()) for d in range(dims)]
+    hi = [max(x[d] for x in xi.values()) for d in range(dims)]
+    codes = {
+        v: [
+            0
+            if hi[d] == lo[d]
+            else ((x[d] - lo[d]) * 256) // (hi[d] - lo[d] + 1)
+            for d in range(dims)
+        ]
+        for v, x in xi.items()
+    }
+    want = []
+    for q in range(sim.N_QUERIES):
+        cq = codes[q]
+        scored = sorted(
+            (
+                -sum(
+                    (cq[d] - 128) * (cv[d] - 128)
+                    for d in range(dims)
+                ),
+                v,
+            )
+            for v, cv in codes.items()
+            if v != q
+        )[: sim.TOPK]
+        for rnk, (negdot, v) in enumerate(scored, 1):
+            want.append((q, rnk, v, -negdot))
+    assert got == sorted(want)
