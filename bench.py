@@ -115,6 +115,8 @@ HEADLINE = [
     "events_mrl_quantile_sketch",
     "graph_node2vec_corpus",
     "retrieval_mrr_multiquery",
+    "ann_int8_gemm_topk",
+    "dedup_ppjoin_exact",
 ]
 
 

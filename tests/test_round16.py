@@ -681,3 +681,44 @@ def test_int8_gemm_recompute_and_boundary(spark, sf_dir):
         for rnk, (negdot, v) in enumerate(scored, 1):
             want.append((q, rnk, v, -negdot))
     assert got == sorted(want)
+
+
+def test_ppjoin_equals_bruteforce_and_prunes(spark, sf_dir):
+    """Exact-recall theorem check on real data: the PPJoin pair
+    list equals the brute-force shared-shingle pair list (#26)
+    exactly — same pairs, same jaccard_bp; and the prefix index is
+    a strict subset of the shingle mass (the filter actually
+    prunes)."""
+    from aurora_cdc_demo_spark.operators import dedup as dd
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_bp"]
+        for r in QUERIES["dedup_ppjoin_exact"](spark, sf_dir).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_bp"]
+        for r in QUERIES["dedup_ngram_jaccard"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want
+    assert got  # non-trivial on this data
+
+    sh = dd.shingles(load_table(spark, sf_dir, "documents"))
+    rows = sh.collect()
+    from collections import Counter
+
+    df = Counter(r["s"] for r in rows)
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["s"])
+    tbp = dd.JACCARD_THRESHOLD_BP
+    n_sh = len(rows)
+    n_prefix = 0
+    for doc, toks in by_doc.items():
+        c = len(toks)
+        plen = c - ((tbp * c + 9999) // 10000) + 1
+        n_prefix += plen
+        # pigeonhole sanity: prefix + required overlap > c
+        assert plen + ((tbp * c + 9999) // 10000) == c + 1
+    assert n_prefix < n_sh  # the prefix filter prunes the index
