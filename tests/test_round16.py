@@ -722,3 +722,42 @@ def test_ppjoin_equals_bruteforce_and_prunes(spark, sf_dir):
         # pigeonhole sanity: prefix + required overlap > c
         assert plen + ((tbp * c + 9999) // 10000) == c + 1
     assert n_prefix < n_sh  # the prefix filter prunes the index
+
+
+def test_chao1_recompute_and_laws(spark, sf_dir):
+    """Chao1 recomputed in Python from (type, user) frequencies —
+    exact match; estimator laws: chao1_est >= d_observed always
+    (the correction only adds), equality iff f1 <= 1, and coverage
+    in [0, 10000]."""
+    from collections import Counter
+
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["events_chao1_richness"](
+            spark, sf_dir
+        ).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id"
+    ).collect()
+    freq: Counter = Counter((r["event_type"], r["user_id"]) for r in ev)
+    by_type: dict = {}
+    for (t, _u), k in freq.items():
+        n, d, f1, f2 = by_type.get(t, (0, 0, 0, 0))
+        by_type[t] = (n + k, d + 1, f1 + (k == 1), f2 + (k == 2))
+    for t, (n, d, f1, f2) in by_type.items():
+        r = got[t]
+        chao1 = d + (f1 * (f1 - 1)) // (2 * (f2 + 1))
+        cov = 10000 - (10000 * f1) // n
+        assert (
+            r["n_events"],
+            r["d_observed"],
+            r["f1"],
+            r["f2"],
+            r["chao1_est"],
+            r["coverage_bp"],
+        ) == (n, d, f1, f2, chao1, cov)
+        assert r["chao1_est"] >= r["d_observed"]
+        if f1 <= 1:
+            assert r["chao1_est"] == r["d_observed"]
+        assert 0 <= r["coverage_bp"] <= 10000
