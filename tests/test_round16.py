@@ -761,3 +761,31 @@ def test_chao1_recompute_and_laws(spark, sf_dir):
         if f1 <= 1:
             assert r["chao1_est"] == r["d_observed"]
         assert 0 <= r["coverage_bp"] <= 10000
+
+
+def test_scd4_minidim_laws(spark, sf_dir):
+    """SCD4 structural laws: band runs never exceed versions
+    (collapse only shrinks), the compression is LIVE on this data
+    (some key has runs < versions), current band brackets hold
+    band_lo <= cur value cents <= band_hi, and the live-key set
+    equals SCD1's."""
+    rows = QUERIES["debezium_gold_scd4_minidim"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    compressed = 0
+    for r in rows:
+        assert 1 <= r["n_band_runs"] <= r["n_versions"]
+        assert r["band_lo_cents"] <= r["band_hi_cents"]
+        assert (
+            r["band_lo_cents"]
+            == r["band_id"] * (r["band_hi_cents"] - r["band_lo_cents"] + 1)
+        )
+        assert 0 < r["history_ratio_bp"] <= 10000
+        compressed += r["n_band_runs"] < r["n_versions"]
+    assert compressed > 0
+    scd1_keys = {
+        r["key_id"]
+        for r in QUERIES["debezium_gold_scd1"](spark, sf_dir).collect()
+    }
+    assert {r["key_id"] for r in rows} == scd1_keys
