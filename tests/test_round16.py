@@ -789,3 +789,63 @@ def test_scd4_minidim_laws(spark, sf_dir):
         for r in QUERIES["debezium_gold_scd1"](spark, sf_dir).collect()
     }
     assert {r["key_id"] for r in rows} == scd1_keys
+
+
+def test_markov_entropy_recompute(spark, sf_dir):
+    """Whole-bit transition entropy recomputed in Python from the
+    per-user event sequences: MLE transition counts, bitlen
+    surprisal, mass-weighted centibits per state and the weighted
+    corpus rate — exact match; and mean_centibits respects the
+    uniform upper bound 100*ceil(log2(n_dests))."""
+    from collections import Counter
+
+    got = {
+        r["from_type"]: r
+        for r in QUERIES["events_markov_entropy_rate"](
+            spark, sf_dir
+        ).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    ).collect()
+    seqs: dict = {}
+    for r in ev:
+        seqs.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["event_type"])
+        )
+    trans: Counter = Counter()
+    for u, rows in seqs.items():
+        rows.sort()
+        for (_, _, a), (_, _, b) in zip(rows, rows[1:]):
+            trans[(a, b)] += 1
+    rows_tot: Counter = Counter()
+    dests: Counter = Counter()
+    for (a, _b), c in trans.items():
+        rows_tot[a] += c
+        dests[a] += 1
+    tot_mass = 0
+    tot_c = 0
+    per_state = {}
+    for a in rows_tot:
+        mass = sum(
+            c * ((rows_tot[a] // c).bit_length() - 1)
+            for (x, _b), c in trans.items()
+            if x == a
+        )
+        per_state[a] = mass
+        tot_mass += mass
+        tot_c += rows_tot[a]
+    corpus_rate = (100 * tot_mass) // tot_c
+    assert set(got) == set(rows_tot)
+    for a in rows_tot:
+        r = got[a]
+        assert r["n_transitions"] == rows_tot[a]
+        assert r["n_dests"] == dests[a]
+        assert r["bit_mass"] == per_state[a]
+        assert (
+            r["mean_centibits"]
+            == (100 * per_state[a]) // rows_tot[a]
+        )
+        assert r["corpus_rate_centibits"] == corpus_rate
+        ub = 100 * ((dests[a] - 1).bit_length())
+        assert r["mean_centibits"] <= ub + 100  # floor-bit slack
