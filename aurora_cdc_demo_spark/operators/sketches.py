@@ -424,7 +424,6 @@ def mrl_quantiles(
     ).withColumn("tw", F.sum("w").over(wa).cast("long"))
     arms = []
     for q in pcts:
-        target = (F.lit(q) * F.col("tw") + 99) / 100
         target = F.floor((F.lit(q) * F.col("tw") + 99) / 100).cast(
             "long"
         )
