@@ -849,3 +849,82 @@ def test_markov_entropy_recompute(spark, sf_dir):
         assert r["corpus_rate_centibits"] == corpus_rate
         ub = 100 * ((dests[a] - 1).bit_length())
         assert r["mean_centibits"] <= ub + 100  # floor-bit slack
+
+
+def test_sprt_recompute_and_sticky(spark, sf_dir):
+    """SPRT recomputed in Python: md5 arm split, daily cumulative
+    (n, k), integer LLR with the precomputed e6 increments, first
+    ±ln(19) crossing, sticky state — exact row match; states are
+    monotone per arm (once decided, never 'continue' again) and the
+    decision matches the stop-day LLR's sign."""
+    import hashlib
+
+    from aurora_cdc_demo_spark.registry import (
+        _AB_ARMS,
+        _SPRT_A_E6,
+        _SPRT_C0_E6,
+        _SPRT_C1_E6,
+    )
+
+    got = sorted(
+        (r["arm"], r["day"], r["n_cum"], r["k_cum"], r["llr_e6"],
+         r["state"])
+        for r in QUERIES["events_ab_sprt_monitor"](
+            spark, sf_dir
+        ).collect()
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    ).collect()
+    from collections import defaultdict
+
+    daily = defaultdict(lambda: [0, 0])
+    for r in ev:
+        arm = (
+            int(
+                hashlib.md5(str(r["user_id"]).encode()).hexdigest()[:8],
+                16,
+            )
+            % _AB_ARMS
+        )
+        day = r["ts"].replace(
+            hour=0, minute=0, second=0, microsecond=0
+        )
+        d = daily[(arm, day)]
+        d[0] += 1
+        d[1] += r["event_type"] == "purchase"
+    want = []
+    by_arm = defaultdict(list)
+    for (arm, day), (n, k) in daily.items():
+        by_arm[arm].append((day, n, k))
+    for arm, rows in by_arm.items():
+        rows.sort()
+        n_cum = k_cum = 0
+        stop_day, stop_llr = None, None
+        series = []
+        for day, n, k in rows:
+            n_cum += n
+            k_cum += k
+            llr = _SPRT_C1_E6 * k_cum + _SPRT_C0_E6 * (n_cum - k_cum)
+            series.append((day, n_cum, k_cum, llr))
+            if stop_day is None and abs(llr) >= _SPRT_A_E6:
+                stop_day, stop_llr = day, llr
+        for day, n_cum, k_cum, llr in series:
+            if stop_day is None or day < stop_day:
+                state = "continue"
+            elif stop_llr >= _SPRT_A_E6:
+                state = "accept_h1"
+            else:
+                state = "accept_h0"
+            want.append((arm, day, n_cum, k_cum, llr, state))
+    assert got == sorted(want)
+    for arm, rows in by_arm.items():
+        states = [
+            s for (a, _d, _n, _k, _l, s) in got if a == arm
+        ]
+        decided = False
+        for s in states:  # got is day-sorted within arm
+            if s != "continue":
+                decided = True
+            elif decided:
+                raise AssertionError("state reverted to continue")
