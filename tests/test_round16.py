@@ -928,3 +928,79 @@ def test_sprt_recompute_and_sticky(spark, sf_dir):
                 decided = True
             elif decided:
                 raise AssertionError("state reverted to continue")
+
+
+def test_graph_robustness_recompute(spark, sf_dir):
+    """Attack curve recomputed in Python: undirected KNN pairs,
+    degree ranks with the same tie order, per-level BFS largest
+    component — exact match; largest_cc is non-increasing in h
+    (subgraph components only shrink)."""
+    got = sorted(
+        (
+            r["n_removed"],
+            r["n_nodes"],
+            r["n_edges"],
+            r["largest_cc"],
+            r["lcc_share_bp"],
+        )
+        for r in QUERIES["graph_robustness_knn"](
+            spark, sf_dir
+        ).collect()
+    )
+    from aurora_cdc_demo_spark.registry import _ROBUST_LEVELS
+
+    pairs = set()
+    for r in QUERIES["ann_knn_graph"](spark, sf_dir).collect():
+        a, b = sorted((r["vec_id"], r["neighbor_id"]))
+        pairs.add((a, b))
+    nodes = sorted(
+        r["vec_id"]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .collect()
+    )
+    from collections import Counter, defaultdict, deque
+
+    deg = Counter()
+    for a, b in pairs:
+        deg[a] += 1
+        deg[b] += 1
+    order = sorted(nodes, key=lambda v: (-deg[v], v))
+    want = []
+    prev_largest = None
+    for h in _ROBUST_LEVELS:
+        keep = set(order[h:])
+        e = [(a, b) for a, b in pairs if a in keep and b in keep]
+        adj = defaultdict(list)
+        for a, b in e:
+            adj[a].append(b)
+            adj[b].append(a)
+        seen = set()
+        largest = 0
+        for v in keep:
+            if v in seen:
+                continue
+            q = deque([v])
+            seen.add(v)
+            sz = 0
+            while q:
+                x = q.popleft()
+                sz += 1
+                for y in adj[x]:
+                    if y not in seen:
+                        seen.add(y)
+                        q.append(y)
+            largest = max(largest, sz)
+        want.append(
+            (
+                h,
+                len(keep),
+                len(e),
+                largest,
+                (10000 * largest) // len(keep),
+            )
+        )
+        if prev_largest is not None:
+            assert largest <= prev_largest
+        prev_largest = largest
+    assert got == sorted(want)
