@@ -1004,3 +1004,36 @@ def test_graph_robustness_recompute(spark, sf_dir):
             assert largest <= prev_largest
         prev_largest = largest
     assert got == sorted(want)
+
+
+def test_ngram_coverage_curve_laws(spark, sf_dir):
+    """Learning-curve laws: docs/types/coverage monotone
+    non-decreasing in prefix_pct; at 100% every train doc and type
+    is in; CROSS-OPERATOR identity: uncovered held-out occurrences
+    at the full prefix == the KN scorer's total n_unseen (the two
+    operators must agree on what 'unseen bigram' means)."""
+    rows = sorted(
+        (
+            r["prefix_pct"],
+            r["n_train_docs"],
+            r["n_train_types"],
+            r["covered_bg"],
+            r["total_bg"],
+            r["coverage_bp"],
+        )
+        for r in QUERIES["text_ngram_coverage_curve"](
+            spark, sf_dir
+        ).collect()
+    )
+    assert [p for p, *_ in rows] == [25, 50, 75, 100]
+    for a, b in zip(rows, rows[1:]):
+        assert a[1] <= b[1]  # docs
+        assert a[2] <= b[2]  # types
+        assert a[3] <= b[3]  # covered
+        assert a[4] == b[4]  # total fixed
+    full = rows[-1]
+    kn_unseen = sum(
+        r["n_unseen"]
+        for r in QUERIES["text_kn_surprisal"](spark, sf_dir).collect()
+    )
+    assert full[4] - full[3] == kn_unseen
