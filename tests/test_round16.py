@@ -1037,3 +1037,73 @@ def test_ngram_coverage_curve_laws(spark, sf_dir):
         for r in QUERIES["text_kn_surprisal"](spark, sf_dir).collect()
     )
     assert full[4] - full[3] == kn_unseen
+
+
+def test_session_entry_profile_recompute(spark, sf_dir):
+    """Entry-type census recomputed in Python with the same
+    strictly-greater 30-min gap islands — exact match; session
+    totals are conserved (Σ n_sessions over entry types == total
+    islands)."""
+    got = {
+        r["entry_type"]: (
+            r["n_sessions"],
+            r["bounce_bp"],
+            r["mean_depth_e2"],
+            r["max_depth"],
+            r["purchase_rate_bp"],
+        )
+        for r in QUERIES["events_session_entry_profile"](
+            spark, sf_dir
+        ).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append(
+            (r["ts"], r["event_id"], r["event_type"])
+        )
+    sessions = []
+    for u, rows in by_user.items():
+        rows.sort()
+        cur = None
+        prev_ts = None
+        for ts, eid, et in rows:
+            gap = (
+                None
+                if prev_ts is None
+                else int(
+                    (ts - prev_ts).total_seconds()
+                )
+            )
+            if prev_ts is None or gap > 1800:
+                if cur:
+                    sessions.append(cur)
+                cur = []
+            cur.append(et)
+            prev_ts = ts
+        if cur:
+            sessions.append(cur)
+    agg = defaultdict(lambda: [0, 0, 0, 0, 0])  # n, bounce, depth, maxd, purch
+    for s in sessions:
+        a = agg[s[0]]
+        a[0] += 1
+        a[1] += len(s) == 1
+        a[2] += len(s)
+        a[3] = max(a[3], len(s))
+        a[4] += "purchase" in s
+    want = {
+        t: (
+            n,
+            (10000 * b) // n,
+            (100 * d) // n,
+            mx,
+            (10000 * p) // n,
+        )
+        for t, (n, b, d, mx, p) in agg.items()
+    }
+    assert got == want
+    assert sum(v[0] for v in got.values()) == len(sessions)
