@@ -1107,3 +1107,100 @@ def test_session_entry_profile_recompute(spark, sf_dir):
     }
     assert got == want
     assert sum(v[0] for v in got.values()) == len(sessions)
+
+
+def test_topk_view_streaming_maintenance(spark, sf_dir, tmp_path):
+    """The top-K rank view (#490's shape) maintained on a STREAM:
+    foreachBatch keeps (state, view) parquet tables; each
+    micro-batch nets its deltas, re-ranks only the affected groups
+    from the merged key-bounded state, and copies every other
+    group's view rows forward. After the stream drains, the
+    maintained view equals the from-scratch top-K over the full
+    log — the sequential (multi-batch) extension of the two-batch
+    oracle gate."""
+    from pyspark.sql import functions as F
+
+    from aurora_cdc_demo_spark.operators import cdc_apply
+    from aurora_cdc_demo_spark.registry import (
+        _topk_rank_view,
+        cdc_operation_log,
+    )
+
+    log = cdc_operation_log(spark, sf_dir)
+    incoming = tmp_path / "topk_in"
+    cuts = ["2024-01-08", "2024-01-16", "2024-01-24"]
+    bounds = (
+        [F.lit(None)] + [F.to_timestamp(F.lit(c)) for c in cuts]
+        + [F.lit(None)]
+    )
+    for i in range(4):
+        part = log
+        if i > 0:
+            part = part.where(F.col("ts") >= bounds[i])
+        if i < 3:
+            part = part.where(F.col("ts") < bounds[i + 1])
+        part.coalesce(1).write.parquet(str(incoming / f"b{i}"))
+    state_dir = str(tmp_path / "topk_state")
+    view_dir = str(tmp_path / "topk_view")
+
+    def apply_batch(batch_df, batch_id):
+        net = cdc_apply.net_changes(batch_df).localCheckpoint()
+        try:
+            state = spark.read.parquet(state_dir)
+            view = spark.read.parquet(view_dir)
+        except Exception:
+            state = net.limit(0)
+            view = _topk_rank_view(state).limit(0)
+        merged = cdc_apply.upsert_merge(state, net).localCheckpoint()
+        changed = net.select("key_id").distinct()
+        affected = (
+            state.join(changed, "key_id")
+            .select("event_type")
+            .unionByName(
+                net.where(F.col("operation") != "DELETE").select(
+                    "event_type"
+                )
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        new_view = view.join(
+            F.broadcast(affected), "event_type", "left_anti"
+        ).unionByName(
+            _topk_rank_view(
+                merged.join(F.broadcast(affected), "event_type")
+            )
+        )
+        for path, df in ((state_dir, merged), (view_dir, new_view)):
+            df.write.mode("overwrite").parquet(path + "_next")
+            spark.read.parquet(path + "_next").write.mode(
+                "overwrite"
+            ).parquet(path)
+
+    stream = (
+        spark.readStream.schema(log.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(incoming / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: apply_batch(df, bid)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_topk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(view_dir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in _topk_rank_view(
+            cdc_apply.latest_state(log)
+        ).collect()
+    )
+    assert got == want
+    assert want
