@@ -102,3 +102,53 @@ def asof_join(
             for c in payload
         ],
     )
+
+
+def asof_join_nearest(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    probe_ts: str = "ts",
+    build_ts: str = "ts",
+    build_seq: str | None = None,
+    build_payload: list[str] | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """NEAREST as-of (pandas merge_asof direction='nearest'): the
+    build row minimizing |build_ts - probe_ts| per key, composed as
+    one backward and one forward pass of :func:`asof_join` with a
+    per-row winner pick. Tie on |delta| prefers the BACKWARD (past)
+    match — attribution semantics: never credit the future when the
+    past is equally close. Within each direction the directional
+    tie rules hold (backward: max seq at equal ts; forward: min).
+
+    Scale: exactly two union+running-window passes (two key
+    shuffles) — still no range join, no O(n*m) expansion; the pick
+    is a per-row projection."""
+    payload = build_payload or [
+        c for c in build.columns if c not in (key, build_ts)
+    ]
+    bwd = asof_join(
+        probe, build, key, probe_ts, build_ts, build_seq,
+        payload, prefix="_b_", direction="backward",
+    )
+    both = asof_join(
+        bwd, build, key, probe_ts, build_ts, build_seq,
+        payload, prefix="_f_", direction="forward",
+    )
+    pts = F.unix_micros(F.col(probe_ts))
+    bd = F.abs(pts - F.unix_micros(F.col(f"_b_{build_ts}")))
+    fd = F.abs(pts - F.unix_micros(F.col(f"_f_{build_ts}")))
+    take_b = F.col(f"_b_{build_ts}").isNotNull() & (
+        F.col(f"_f_{build_ts}").isNull() | (bd <= fd)
+    )
+    cols = [f"{build_ts}"] + payload
+    return both.select(
+        *probe.columns,
+        *[
+            F.when(take_b, F.col(f"_b_{c}"))
+            .otherwise(F.col(f"_f_{c}"))
+            .alias(f"{prefix}{c}")
+            for c in cols
+        ],
+    )

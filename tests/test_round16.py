@@ -1204,3 +1204,47 @@ def test_topk_view_streaming_maintenance(spark, sf_dir, tmp_path):
     )
     assert got == want
     assert want
+
+
+def test_asof_nearest_recompute(spark, sf_dir):
+    """Nearest as-of recomputed in Python over the purchase/click
+    streams: min |delta| with ties to the past, directional seq tie
+    rules inside each side — exact match; and the result dominates
+    both directional joins (nearest delta <= backward delta and
+    <= forward delta wherever those match)."""
+    got = {
+        (r["key_id"], r["purchase_seq"]): (
+            r["asof_ts"],
+            r["asof_seq"],
+            r["asof_value"],
+        )
+        for r in QUERIES["asof_order_event_nearest"](
+            spark, sf_dir
+        ).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value", "event_type"
+    ).collect()
+    from collections import defaultdict
+
+    clicks = defaultdict(list)
+    purchases = []
+    for r in ev:
+        if r["event_type"] == "click":
+            clicks[r["user_id"]].append(
+                (r["ts"], r["event_id"], r["value"])
+            )
+        elif r["event_type"] == "purchase":
+            purchases.append((r["user_id"], r["event_id"], r["ts"]))
+    want = {}
+    for u, pseq, pts in purchases:
+        best = None
+        for ts, seq, val in clicks.get(u, []):
+            delta = abs((ts - pts).total_seconds())
+            fwd = ts > pts
+            key = (delta, fwd, seq if fwd else -seq)
+            if best is None or key < best[0]:
+                best = (key, (ts, seq, val))
+        want[(u, pseq)] = best[1] if best else (None, None, None)
+    assert got == want
+    assert any(v[0] is not None for v in got.values())
