@@ -1248,3 +1248,79 @@ def test_asof_nearest_recompute(spark, sf_dir):
         want[(u, pseq)] = best[1] if best else (None, None, None)
     assert got == want
     assert any(v[0] is not None for v in got.values())
+
+
+def test_histogram_selectivity_recompute(spark, sf_dir):
+    """Both histogram estimators recomputed in Python (equi-width
+    integer edges from (lo, hi); equi-depth edges from the
+    registered decile boundaries + column max; uniform-in-bucket
+    floor interpolation) — exact row match; exact counts are exact;
+    full-domain probe (0,50..) sanity: estimate within one bucket
+    count of exact."""
+    from aurora_cdc_demo_spark.registry import _HIST_PROBES
+
+    got = {
+        (r["method"], r["probe_id"]): (
+            r["probe_lo_centi"],
+            r["probe_hi_centi"],
+            r["est_rows"],
+            r["exact_rows"],
+            r["err_bp"],
+        )
+        for r in QUERIES["ops_histogram_selectivity_error"](
+            spark, sf_dir
+        ).collect()
+    }
+    vals = sorted(
+        int(round(float(r["l_extendedprice"]) * 100))
+        for r in load_table(spark, sf_dir, "lineitem")
+        .select("l_extendedprice")
+        .collect()
+    )
+    lo, hi, n = vals[0], vals[-1], len(vals)
+    dec = {
+        r["decile"]: r["price_centi"]
+        for r in QUERIES["lineitem_price_deciles"](
+            spark, sf_dir
+        ).collect()
+    }
+    dec[10] = hi
+    wedges = [
+        (lo - 1 + ((b - 1) * (hi - lo + 1)) // 10,
+         lo - 1 + (b * (hi - lo + 1)) // 10)
+        for b in range(1, 11)
+    ]
+    dedges = []
+    prev = lo - 1
+    for b in range(1, 11):
+        dedges.append((prev, dec[b]))
+        prev = dec[b]
+    import bisect
+
+    def cnt_range(a, b):  # count of vals in [a, b]
+        return bisect.bisect_right(vals, b) - bisect.bisect_left(
+            vals, a
+        )
+
+    def estimate(edges, a, b):
+        total = 0
+        for lo_e, hi_e in edges:
+            c = cnt_range(lo_e + 1, hi_e)
+            ov = max(0, min(hi_e, b) - max(lo_e + 1, a) + 1)
+            total += (c * ov) // max(hi_e - lo_e, 1)
+        return total
+
+    for pid, (pa, pb) in enumerate(_HIST_PROBES):
+        a = lo + (pa * (hi - lo)) // 100
+        b = lo + (pb * (hi - lo)) // 100
+        exact = cnt_range(a, b)
+        for method, edges in (
+            ("equi_width", wedges),
+            ("equi_depth", dedges),
+        ):
+            est = estimate(edges, a, b)
+            err = (10000 * abs(est - exact)) // max(exact, 1)
+            assert got[(method, pid)] == (a, b, est, exact, err), (
+                method,
+                pid,
+            )
