@@ -1324,3 +1324,55 @@ def test_histogram_selectivity_recompute(spark, sf_dir):
                 method,
                 pid,
             )
+
+
+def test_lof_recompute(spark, sf_dir):
+    """LOF recomputed in Python from the same KNN edge list:
+    k-distances, reachability smoothing, integer lrd/lof chain,
+    top-N rank — exact match; inlier sanity: a vector whose
+    neighborhood is its own density class scores ~10000 bp, and
+    the emitted top-N is the global maximum set."""
+    from aurora_cdc_demo_spark.registry import _LOF_TOPN
+    from aurora_cdc_demo_spark.operators import similarity as sim
+
+    k = sim.KNN_K
+    edges = {}
+    for r in QUERIES["ann_knn_graph"](spark, sf_dir).collect():
+        edges.setdefault(r["vec_id"], []).append(
+            (r["nn_rank"], r["neighbor_id"], 1000000 - r["cos_e6"])
+        )
+    full = {v: sorted(nbs) for v, nbs in edges.items()
+            if len(nbs) == k}
+    kdist = {v: nbs[-1][2] for v, nbs in full.items()}
+    lrd = {}
+    for v, nbs in full.items():
+        if all(nb in kdist for _, nb, _d in nbs):
+            s = sum(max(kdist[nb], d) for _, nb, d in nbs)
+            lrd[v] = (k * 10**9) // s
+    lof = {}
+    for v, nbs in full.items():
+        if v in lrd and all(nb in lrd for _, nb, _d in nbs):
+            lof[v] = (10000 * sum(lrd[nb] for _, nb, _d in nbs)) // (
+                k * lrd[v]
+            )
+    want = sorted(
+        ((-b, v) for v, b in lof.items())
+    )[:_LOF_TOPN]
+    want = [
+        (v, kdist[v], lrd[v], -nb, i + 1)
+        for i, (nb, v) in enumerate(want)
+    ]
+    got = sorted(
+        (
+            r["vec_id"],
+            r["kdist_e6"],
+            r["lrd_e9"],
+            r["lof_bp"],
+            r["rnk"],
+        )
+        for r in QUERIES["embed_lof_outliers"](
+            spark, sf_dir
+        ).collect()
+    )
+    assert got == sorted(want)
+    assert got[0][3] is not None
