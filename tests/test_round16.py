@@ -1376,3 +1376,33 @@ def test_lof_recompute(spark, sf_dir):
     )
     assert got == sorted(want)
     assert got[0][3] is not None
+
+
+def test_pvm_bridge_conservation(spark, sf_dir):
+    """PVM waterfall laws: per brand volume + price == Δrev
+    exactly; the TOTAL row's volume + mix + price == Δrev exactly,
+    its mix equals Σ brand-volumes − total-volume, and brand q/r
+    sums reconcile to the TOTAL row."""
+    rows = QUERIES["lineitem_pvm_brand_bridge"](
+        spark, sf_dir
+    ).collect()
+    total = [r for r in rows if r["brand"] == "TOTAL"]
+    brands = [r for r in rows if r["brand"] != "TOTAL"]
+    assert len(total) == 1 and brands
+    t = total[0]
+    for r in brands:
+        assert r["mix_effect_e4"] == 0
+        assert (
+            r["volume_effect_e4"] + r["price_effect_e4"]
+            == r["rev1_e4"] - r["rev0_e4"]
+        )
+    assert (
+        t["volume_effect_e4"] + t["mix_effect_e4"]
+        + t["price_effect_e4"]
+        == t["rev1_e4"] - t["rev0_e4"]
+    )
+    assert t["mix_effect_e4"] == sum(
+        r["volume_effect_e4"] for r in brands
+    ) - t["volume_effect_e4"]
+    assert sum(r["q0"] for r in brands) == t["q0"]
+    assert sum(r["rev1_e4"] for r in brands) == t["rev1_e4"]
