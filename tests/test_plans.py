@@ -218,6 +218,19 @@ def test_rrf_dense_arm_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_lof_rank_no_unpartitioned_window(spark, sf_dir):
+    """r6 verdict item 2: the LOF final rank must NOT be a
+    corpus-grain single-reducer WindowExec. The top-20 cut runs as
+    ORDER BY + LIMIT inside the materialized chain; the returned
+    plan ranks the 20 survivors by a bounded self-join over the
+    checkpointed rows — zero Window operators, no global sort."""
+    plan = plan_of(spark, sf_dir, "embed_lof_outliers")
+    assert "Window" not in plan
+    assert "ExistingRDD" in plan  # ranks the materialized top-N
+    import re
+    assert not re.search(r"Sort \[.*\], true", plan)
+
+
 def test_pq_serving_probes_materialized_index(spark, sf_dir):
     """r5 verdict item 1: the ADC serving plans must read the
     _gate_map-materialized index tables (checkpointed RDD scans),
