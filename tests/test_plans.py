@@ -231,6 +231,30 @@ def test_lof_rank_no_unpartitioned_window(spark, sf_dir):
     assert not re.search(r"Sort \[.*\], true", plan)
 
 
+@pytest.mark.parametrize(
+    "name", ["customer_rfm_segments", "customer_segment_migration"]
+)
+def test_rfm_ranks_band_prefix_no_global_window(spark, sf_dir, name):
+    """r6 verdict item 3: the RFM rank windows must be band-prefix
+    decomposed — every Window partitioned (by value bucket), bucket
+    prefixes from a bounded self-join, no single-reducer rank and
+    no global sort anywhere in the plan."""
+    import re
+    plan = plan_of(spark, sf_dir, name)
+    for line in plan.split("\n"):
+        i = line.find("Window [")
+        if i < 0:
+            continue
+        import tools.plan_audit as pa
+        groups = pa._bracket_groups(line[i:])
+        assert len(groups) == 3 or (
+            len(groups) == 2
+            and " ASC" not in groups[1]
+            and " DESC" not in groups[1]
+        ), line
+    assert not re.search(r"Sort \[.*\], true", plan)
+
+
 def test_pq_serving_probes_materialized_index(spark, sf_dir):
     """r5 verdict item 1: the ADC serving plans must read the
     _gate_map-materialized index tables (checkpointed RDD scans),
