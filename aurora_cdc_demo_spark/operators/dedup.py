@@ -884,21 +884,46 @@ def decontaminate_lsh_sql(
 LSH_TUNING_ROWS = (1, 2, 3, 4, 6)
 
 
+def lsh_tuning_verified1(
+    sh: DataFrame, signatures: DataFrame
+) -> DataFrame:
+    """The ONE exact-verify pass the tuning sweep needs: candidate
+    pairs at r=1 (the pigeonhole superset of every wider-row
+    config's candidates) with the Jaccard threshold applied.
+    Callers _gate_map this so the per-arm verify becomes a
+    key-join against materialized verdicts (r6 verdict item 4)."""
+    cand1 = lsh_candidates(signatures, band_rows=1)
+    return (
+        _pair_jaccard(sh, pairs=cand1)
+        .where(
+            F.lit(10000) * F.col("inter")
+            >= F.lit(JACCARD_THRESHOLD_BP) * F.col("uni")
+        )
+        .select("doc_a", "doc_b")
+    )
+
+
 def lsh_tuning(
     docs: DataFrame,
     sh: DataFrame | None = None,
     signatures: DataFrame | None = None,
+    verified1: DataFrame | None = None,
 ) -> DataFrame:
     sh = sh if sh is not None else shingles(docs)
     sig = signatures if signatures is not None else minhash_signatures(sh)
+    # verify ONCE on the r=1 superset: cand(r) ⊆ cand(1) by
+    # pigeonhole, so ver(r) = cand(r) ∩ verified1 — each arm joins
+    # its candidates against the shared verdicts instead of
+    # re-running the shingle-join Jaccard per configuration.
+    ver1 = (
+        verified1
+        if verified1 is not None
+        else lsh_tuning_verified1(sh, sig)
+    )
     summaries = []
     for r in LSH_TUNING_ROWS:
         cand = lsh_candidates(sig, band_rows=r)
-        sim = _pair_jaccard(sh, pairs=cand)
-        ver = sim.where(
-            F.lit(10000) * F.col("inter")
-            >= F.lit(JACCARD_THRESHOLD_BP) * F.col("uni")
-        )
+        ver = cand.join(ver1, ["doc_a", "doc_b"])
         summaries.append(
             cand.agg(F.count(F.lit(1)).alias("n_candidates"))
             .crossJoin(ver.agg(F.count(F.lit(1)).alias("n_verified")))

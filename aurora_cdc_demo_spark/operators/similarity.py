@@ -1367,6 +1367,70 @@ def kmeans_multiprobe(
     return _run(spark, sf_dir, kmeans_multiprobe_sql("spark", n_seeds))
 
 
+def kmeans_qdist_sql(n_seeds: int = N_SEEDS) -> str:
+    """Index build (r6 verdict item 4): the query→centroid integer
+    L2² distance table from the trained chain — the probe-ranking
+    input every multiprobe arm shares — restricted to the N_QUERIES
+    query rows so the materialized view is |Q|×KM_K."""
+    return f"""{_kmeans_ctes('spark', n_seeds)}
+        SELECT vec_id, cid, dist2 FROM d{KM_ITERS}
+        WHERE vec_id < {N_QUERIES}
+    """
+
+
+def kmeans_vv_sql() -> str:
+    """Index build: (vec_id, embedding, nrm) — the exact-cosine
+    side table trained-IVF serving probes. Same expression text as
+    the inline arms, so serving floats are bit-identical to the
+    composed-chain oracle."""
+    return f"""
+        SELECT vec_id, embedding, {_norm('embedding', 'spark')} AS nrm
+        FROM embeddings
+    """
+
+
+def kmeans_multiprobe_serve_sql(
+    nprobe: int,
+    cellmap_view: str = "km_cellmap_mat",
+    qdist_view: str = "km_qdist_mat",
+    vv_view: str = "km_vv_mat",
+) -> str:
+    """Serve the nprobe-cell trained-IVF search from MATERIALIZED
+    index views (r6 verdict item 4): the search tail is copied
+    verbatim from kmeans_multiprobe_sql — only the Lloyd training
+    chain is replaced by view reads, so each arm's answer is
+    bit-equal to the inline-chain oracle while the sweep trains
+    exactly once per session. Written WITH-free (nested subqueries)
+    so arms embed directly as CTE bodies."""
+    return f"""
+        SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS nn_rank,
+               CAST(FLOOR(cos * 1000000) AS BIGINT) AS cos_e6
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id ASC) AS rnk
+            FROM (
+                SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id,
+                       ({_dot('c.embedding', 'q.qe', 'spark')})
+                           / (c.nrm * q.qn) AS cos
+                FROM (
+                    SELECT qc.query_id, qc.cell, v.embedding AS qe,
+                           v.nrm AS qn
+                    FROM (
+                        SELECT vec_id AS query_id, cid AS cell FROM (
+                            SELECT *, row_number() OVER (
+                                PARTITION BY vec_id
+                                ORDER BY dist2 ASC, cid ASC) AS pr
+                            FROM {qdist_view}) p
+                        WHERE pr <= {nprobe}) qc
+                    JOIN {vv_view} v ON v.vec_id = qc.query_id) q
+                JOIN {cellmap_view} m ON m.cell = q.cell
+                                     AND m.vec_id <> q.query_id
+                JOIN {vv_view} c ON c.vec_id = m.vec_id) cand) r
+        WHERE rnk <= {TOPK}
+    """
+
+
 # ---------------------------------------------------------------------------
 # Binary (sign-bit) quantization + Hamming-distance ANN with exact
 # rerank — the 1-bit compression point of the quantization ladder
@@ -2068,9 +2132,9 @@ def recall_report_sql(dialect: str) -> str:
     """
 
 
-def recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _materialize_greedy_edges(spark, sf_dir)
-    return _run(spark, sf_dir, recall_report_sql("spark"))
+# (the Spark-side report now composes the arm QUERIES' gate-mapped
+# results in registry.py — r6 verdict item 4; recall_report_sql
+# remains the oracle generator)
 
 
 # ---------------------------------------------------------------------------
@@ -2112,8 +2176,9 @@ def nprobe_curve_sql(dialect: str) -> str:
     """
 
 
-def nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _run(spark, sf_dir, nprobe_curve_sql("spark"))
+# (the Spark-side curve serves from the _km_index views in
+# registry.py — r6 verdict item 4; nprobe_curve_sql remains the
+# oracle generator)
 
 
 # ---------------------------------------------------------------------------
