@@ -1,0 +1,4086 @@
+from __future__ import annotations
+
+from .p01_cdc_operation_log import (  # noqa: F401
+    F,
+    QUERIES,
+    _BINLOG_LOG_CTE,
+    _KEEP_GATES_CTES,
+    _KEEP_GATES_CTES_LSH,
+    _PACK_CTX,
+    _PACK_SHARD,
+    _V3_EXTRA_CTES,
+    _dedup,
+    _sim,
+    _sk,
+    _text,
+    _text_minhash_mats,
+    _with_log,
+    cdc_apply,
+    cdc_operation_log,
+    load_table,
+    query,
+    read_binlog_jvm,
+)
+from .p02_text_gopher_rules import (  # noqa: F401
+    ORACLES,
+    _SNAP_CHUNKS,
+    _V4_EXTRA_CTES,
+    _V4_SELECT,
+    _fused_keep_list,
+    _knn_uedges_view,
+    _pr_rank_views,
+    embed_diversity_oracle_sql,
+)
+
+# ---------------------------------------------------------------------------
+# R7: reconciliation checksums, language confusion, threshold sweep
+# ---------------------------------------------------------------------------
+
+_CKSUM_BUCKETS = 64
+
+
+@query(
+    "cdc_state_checksums",
+    oracle=_with_log(
+        f"""
+        , ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY key_id ORDER BY ts DESC, seq DESC) AS rn
+            FROM log)
+        , state AS (
+            SELECT key_id, seq, event_type FROM ranked
+            WHERE rn = 1 AND operation <> 'DELETE')
+        SELECT key_id % {_CKSUM_BUCKETS} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(CAST('0x' || substr(md5(
+                   CAST(key_id AS VARCHAR) || '|' ||
+                   CAST(seq AS VARCHAR) || '|' || event_type), 1, 12)
+                   AS BIGINT)) AS BIGINT) AS checksum,
+               MIN(key_id) AS min_key, MAX(key_id) AS max_key
+        FROM state GROUP BY 1
+        """
+    ),
+)
+def q_cdc_state_checksums(spark, sf_dir):
+    """Table-reconciliation checksums — the verification step of an
+    incremental snapshot / cross-system migration (Debezium's
+    incremental-snapshot verification, reference operational need:
+    prove the replica equals the source without shipping rows): the
+    latest state is folded into {_CKSUM_BUCKETS} key-range bucket
+    checksums (order-insensitive md5-prefix SUMS over the row
+    identity (key, winning seq, payload type)), so two sides
+    compare {_CKSUM_BUCKETS} rows and recurse only into mismatched
+    buckets. Integer-exact: 48-bit hash prefixes summed in BIGINT
+    never overflow below ~10^13 rows per bucket.
+
+    Scale: the one key_id latest-state shuffle, then a
+    bucket-bounded aggregate with map-side partials; checksum
+    comparison traffic is constant however large the table."""
+    state = cdc_apply.latest_state(cdc_operation_log(spark, sf_dir))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("key_id").cast("string"),
+                    F.col("seq").cast("string"),
+                    F.col("event_type"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return state.groupBy(
+        (F.col("key_id") % _CKSUM_BUCKETS).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(h).alias("checksum"),
+        F.min("key_id").alias("min_key"),
+        F.max("key_id").alias("max_key"),
+    )
+
+
+@query(
+    "text_lang_confusion",
+    oracle=f"""
+        WITH pred AS ({_text.TEXT_ORACLES["text_lang_id"]})
+        SELECT lang, pred_lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST((10000 * COUNT(*)) // CAST(SUM(COUNT(*)) OVER (
+                   PARTITION BY lang) AS BIGINT) AS BIGINT) AS row_share_bp
+        FROM pred GROUP BY lang, pred_lang
+    """,
+)
+def q_text_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: declared metadata lang ×
+    n-gram-heuristic prediction (#23), with row-normalized shares —
+    the data-quality view that catches mislabeled strata before the
+    temperature mixer (#174) trusts the lang column. Composes the
+    lang_id operator verbatim; the matrix aggregate is
+    |langs|²-bounded with a stratum-bounded share window."""
+    from pyspark.sql import Window
+
+    pred = QUERIES["text_lang_id"](spark, sf_dir)
+    g = pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("lang")
+    return (
+        g.withColumn("tot", F.sum("n_docs").over(w))
+        .select(
+            "lang",
+            "pred_lang",
+            "n_docs",
+            F.expr("(10000 * n_docs) div tot").alias("row_share_bp"),
+        )
+    )
+
+
+_SWEEP_THRESHOLDS_BP = (3000, 4000, 5000, 6000, 7000, 8000)
+
+
+@query(
+    "dedup_threshold_sweep",
+    oracle=f"""
+        WITH {_dedup._SHINGLES_SQL}
+        , hashed AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS a,
+                   CAST('0x' || substr(md5(s), 9, 8) AS BIGINT) AS b
+            FROM sh)
+        , sig AS (SELECT doc_id, {_dedup._minhash_sql_cols()}
+                  FROM hashed GROUP BY doc_id)
+        , bands AS (SELECT doc_id, {_dedup._band_sql_cols()} FROM sig)
+        , cand AS (
+            SELECT DISTINCT doc_a, doc_b FROM (
+                {" UNION ALL ".join(
+                    f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+                    f"FROM bands a JOIN bands b "
+                    f"ON a.band{{b}} = b.band{{b}} AND a.doc_id < b.doc_id".format(b=b)
+                    for b in range(3)
+                )}))
+        , sim AS (
+            SELECT c.doc_a, c.doc_b,
+                   (10000 * CAST(i.inter AS BIGINT))
+                       // CAST(x.c + y.c - i.inter AS BIGINT) AS j_bp
+            FROM (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+                  FROM cand c
+                  JOIN sh x ON x.doc_id = c.doc_a
+                  JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+                  GROUP BY 1, 2) i
+            JOIN cand c ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+            JOIN sc x ON c.doc_a = x.doc_id
+            JOIN sc y ON c.doc_b = y.doc_id)
+        SELECT * FROM ({" UNION ALL ".join(
+            f'''SELECT CAST({t} AS BIGINT) AS threshold_bp,
+                   CAST(SUM(CASE WHEN j_bp >= {t} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_pairs,
+                   CAST(COUNT(DISTINCT CASE WHEN j_bp >= {t}
+                        THEN doc_b END) AS BIGINT) AS n_docs_dropped
+            FROM sim''' for t in _SWEEP_THRESHOLDS_BP)}) t
+    """,
+)
+def q_dedup_threshold_sweep(spark, sf_dir):
+    """Dedup aggressiveness sweep ('onion' layers): from ONE LSH
+    candidate verification pass, the near-dup pair count and the
+    docs a keep-lower-id policy would drop at every candidate
+    Jaccard threshold — the corpus-shrinkage-vs-threshold table read
+    before fixing the dedup gate (the same measured-not-assumed
+    discipline as dedup_lsh_tuning, on the other axis). Candidates
+    and exact Jaccard are computed ONCE; each threshold row is a
+    conditional aggregate over the same verified pair list —
+    localCheckpointed (r6: lazy, the 7 threshold arms re-ran the
+    whole LSH verification each; shingles/signatures from the shared
+    gate maps)."""
+    docs, sh, sig = _text_minhash_mats(spark, sf_dir)
+    pairs = _dedup.minhash_lsh_pairs(
+        docs, threshold_bp=0, sh=sh, signatures=sig
+    ).localCheckpoint()
+    outs = []
+    for t in _SWEEP_THRESHOLDS_BP:
+        outs.append(
+            pairs.agg(
+                F.sum(
+                    F.when(F.col("jaccard_bp") >= t, 1).otherwise(0)
+                ).alias("n_pairs"),
+                F.countDistinct(
+                    F.when(F.col("jaccard_bp") >= t, F.col("doc_b"))
+                ).alias("n_docs_dropped"),
+            ).select(
+                F.lit(t).cast("long").alias("threshold_bp"),
+                "n_pairs",
+                "n_docs_dropped",
+            )
+        )
+    from functools import reduce as _reduce
+
+    return _reduce(lambda a, b: a.unionByName(b), outs)
+
+
+# ---------------------------------------------------------------------------
+# R7: SemDeDup tau sweep, multimodal shard manifest, seasonality
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "semdedup_tau_sweep",
+    oracle=_sim.semdedup_tau_sweep_sql("duck"),
+)
+def q_semdedup_tau_sweep(spark, sf_dir):
+    """SemDeDup tau sensitivity table: drop rate vs cosine threshold
+    from ONE cell-bounded pair computation — Abbas et al. 2023 tune
+    tau per corpus by exactly this curve; same measured-not-assumed
+    discipline as dedup_lsh_tuning (#176) and the Jaccard sweep
+    (#190), on the embedding axis. All arms are conditional
+    aggregates over the same pair list; cell-bounded, never
+    all-pairs. See operators/similarity.py:semdedup_tau_sweep_sql."""
+    return _sim.semdedup_tau_sweep(spark, sf_dir)
+
+
+_SHARD_TARGET_BYTES = 65536
+_SHARD_PLAN_GROUP = 4096  # docs per planning group (bounded window)
+
+
+@query(
+    "mm_shard_manifest",
+    oracle=f"""
+        WITH sized AS (
+            SELECT doc_id, source,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   doc_id // {_SHARD_PLAN_GROUP} AS plan_group
+            FROM documents)
+        , packed AS (
+            SELECT *,
+                   CAST(SUM(n_bytes) OVER (
+                       PARTITION BY source, plan_group
+                       ORDER BY doc_id ASC
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_bytes
+            FROM sized)
+        , sharded AS (
+            SELECT *,
+                   (cum_bytes - 1) // {_SHARD_TARGET_BYTES} AS local_shard
+            FROM packed)
+        SELECT source, plan_group, local_shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM sharded
+        GROUP BY source, plan_group, local_shard
+    """,
+)
+def q_mm_shard_manifest(spark, sf_dir):
+    """Multimodal shard-packing manifest: binary payloads planned
+    into ~{_SHARD_TARGET_BYTES}-byte output shards by a running byte
+    total — the write-manifest step of an image/audio export (the
+    byte-level sibling of pack_sequences #97). The prefix sum runs
+    within (source, plan_group) where a planning group is
+    ≤{_SHARD_PLAN_GROUP} docs — bounded window state per reducer at
+    any corpus size (a global ordered prefix sum would funnel the
+    corpus through one reducer; contiguity is preserved WITHIN
+    groups, which is all a sharded export needs).
+
+    Integer bytes end to end; payload length via the same
+    encode(text) the mm family uses for its binary column."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.octet_length(F.encode(F.col("text"), "UTF-8"))
+        .cast("long")
+        .alias("n_bytes"),
+        F.expr(f"doc_id div {_SHARD_PLAN_GROUP}").alias("plan_group"),
+    )
+    w = (
+        Window.partitionBy("source", "plan_group")
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sharded = sized.withColumn(
+        "cum_bytes", F.sum("n_bytes").over(w)
+    ).withColumn(
+        "local_shard",
+        F.expr(f"(cum_bytes - 1) div {_SHARD_TARGET_BYTES}"),
+    )
+    return sharded.groupBy("source", "plan_group", "local_shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bytes").alias("shard_bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@query(
+    "events_dow_hod_matrix",
+    oracle="""
+        WITH e AS (
+            SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+                   (epoch_us(ts) % 86400000000) // 3600000000 AS hod,
+                   user_id
+            FROM events)
+        SELECT dow, hod,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST((1000000 * COUNT(*)) // CAST(SUM(COUNT(*)) OVER ()
+                    AS BIGINT) AS BIGINT) AS share_ppm
+        FROM e GROUP BY dow, hod
+    """,
+)
+def q_events_dow_hod_matrix(spark, sf_dir):
+    """Traffic seasonality heatmap: events per (day-of-week ×
+    hour-of-day) cell with distinct users and corpus share — the
+    capacity-planning / anomaly-baseline matrix behind
+    events_anomaly_hours (#99). Day-of-week computed from epoch
+    days ((days + 4) mod 7, Thursday-anchored) — engine-independent
+    integer algebra, immune to the Sunday=0-vs-1 convention split
+    between engines. One map-side-combined aggregate; the share
+    window runs over the 168-row matrix."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.expr("((unix_micros(ts) div 86400000000) + 4) % 7").alias(
+            "dow"
+        ),
+        F.expr("(unix_micros(ts) % 86400000000) div 3600000000").alias(
+            "hod"
+        ),
+        "user_id",
+    )
+    g = e.groupBy("dow", "hod").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    w = Window.partitionBy()
+    return g.withColumn("tot", F.sum("n_events").over(w)).select(
+        "dow",
+        "hod",
+        "n_events",
+        "n_users",
+        F.expr("(1000000 * n_events) div tot").alias("share_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R7: CCNet terciles without a global sort, retention curve,
+# supplier scorecard
+# ---------------------------------------------------------------------------
+
+_TERCILE_BUCKETS = 32
+
+
+@query(
+    "text_ccnet_terciles",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+        , tf AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM tok GROUP BY tok)
+        , tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM tf)
+        , scored AS (
+            SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(f.freq) AS BIGINT) AS sum_tf
+            FROM tok t JOIN tf f ON t.tok = f.tok
+            GROUP BY t.doc_id)
+        , fam AS (
+            SELECT s.doc_id,
+                   CAST((1000000 * s.sum_tf) // (s.n_tokens * tot.total)
+                        AS BIGINT) AS familiarity_ppm
+            FROM scored s CROSS JOIN tot)
+        , ranked AS (
+            SELECT doc_id, familiarity_ppm,
+                   CAST(row_number() OVER (
+                       ORDER BY familiarity_ppm DESC, doc_id ASC)
+                       AS BIGINT) AS corpus_rank,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n
+            FROM fam)
+        SELECT doc_id, familiarity_ppm, corpus_rank,
+               ((corpus_rank - 1) * 3) // n AS tercile,
+               CASE ((corpus_rank - 1) * 3) // n
+                    WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                    ELSE 'tail' END AS ccnet_bucket
+        FROM ranked
+    """,
+)
+def q_text_ccnet_terciles(spark, sf_dir):
+    """CCNet head/middle/tail partition (Wenzek et al. 2020 split
+    CommonCrawl by LM-perplexity terciles; here the tercile key is
+    the #112 familiarity proxy) — EXACT terciles computed WITHOUT a
+    global sort: docs land in 32 familiarity value bands, each
+    band's population prefix-sums over a 32-row table, and the
+    within-band rank window partitions by band — corpus_rank =
+    band_prefix + within_band_rank, equal to the oracle's single
+    global window (the supplier_revenue_pareto #132 decomposition
+    reused at corpus scale, where it matters most). Equal
+    familiarity values cannot straddle a band, so the two-level
+    order equals the global (fam DESC, doc_id ASC) order.
+
+    Scale: the only corpus-wide structures are the 32-row band
+    table (broadcast) and per-band rank windows (corpus/32 per
+    reducer, and band count is a knob)."""
+    from pyspark.sql import Window
+
+    fam = QUERIES["text_unigram_familiarity"](spark, sf_dir).select(
+        "doc_id", "familiarity_ppm"
+    )
+    b = fam.withColumn(
+        "band",
+        F.expr(
+            f"((1000000 - familiarity_ppm) * {_TERCILE_BUCKETS})"
+            " div 1000001"
+        ),
+    )
+    bcnt = b.groupBy("band").agg(F.count(F.lit(1)).alias("bn"))
+    w_pre = Window.orderBy(F.col("band").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bpre = bcnt.select(
+        "band",
+        F.coalesce(F.sum("bn").over(w_pre), F.lit(0)).alias("prefix"),
+    )
+    n = fam.agg(F.count(F.lit(1)).alias("n"))
+    w_in = Window.partitionBy("band").orderBy(
+        F.col("familiarity_ppm").desc(), F.col("doc_id").asc()
+    )
+    ranked = (
+        b.join(F.broadcast(bpre), "band")
+        .withColumn("within", F.row_number().over(w_in))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "familiarity_ppm",
+            (F.col("prefix") + F.col("within"))
+            .cast("long")
+            .alias("corpus_rank"),
+            "n",
+        )
+    )
+    return ranked.select(
+        "doc_id",
+        "familiarity_ppm",
+        "corpus_rank",
+        F.expr("((corpus_rank - 1) * 3) div n").alias("tercile"),
+        F.expr(
+            "CASE ((corpus_rank - 1) * 3) div n WHEN 0 THEN 'head'"
+            " WHEN 1 THEN 'middle' ELSE 'tail' END"
+        ).alias("ccnet_bucket"),
+    )
+
+
+_RETENTION_DAYS = (1, 3, 7, 14)
+
+
+@query(
+    "events_retention_curve",
+    oracle=f"""
+        WITH days AS (
+            SELECT user_id,
+                   epoch_us(ts) // 86400000000 AS day
+            FROM events GROUP BY 1, 2)
+        , first_day AS (
+            SELECT user_id, MIN(day) AS d0 FROM days GROUP BY user_id)
+        , cohort AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users
+                     FROM first_day)
+        SELECT * FROM ({" UNION ALL ".join(
+            f'''SELECT CAST({n} AS BIGINT) AS day_n,
+                   c.n_users,
+                   (SELECT CAST(COUNT(*) AS BIGINT)
+                    FROM first_day f JOIN days d
+                      ON d.user_id = f.user_id AND d.day = f.d0 + {n})
+                       AS n_retained,
+                   ((SELECT CAST(COUNT(*) AS BIGINT)
+                     FROM first_day f JOIN days d
+                       ON d.user_id = f.user_id AND d.day = f.d0 + {n})
+                    * 10000) // c.n_users AS retention_bp
+            FROM cohort c''' for n in _RETENTION_DAYS)}) t
+    """,
+)
+def q_events_retention_curve(spark, sf_dir):
+    """Classic D-N retention curve (N ∈ {_RETENTION_DAYS}): the
+    share of all users active exactly N days after their first-seen
+    day — the growth-accounting summary the weekly cohort matrix
+    (#55) details. Built from the DISTINCT (user, day) activity set
+    (one shuffle) + a first-day self-join per N (bounded arms,
+    co-partitioned on user_id); integer epoch-day algebra.
+
+    Scale: activity distinct and first-day share the user shuffle;
+    each arm's join is user-keyed; output is |N| rows."""
+    days = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .distinct()
+    )
+    first = days.groupBy("user_id").agg(F.min("day").alias("d0"))
+    cohort = first.agg(F.count(F.lit(1)).alias("n_users"))
+    outs = []
+    act = days.select(
+        F.col("user_id").alias("a_user"), F.col("day").alias("a_day")
+    )
+    for nd in _RETENTION_DAYS:
+        ret = (
+            first.join(
+                act,
+                (F.col("a_user") == F.col("user_id"))
+                & (F.col("a_day") == F.col("d0") + nd),
+            )
+            .agg(F.count(F.lit(1)).alias("n_retained"))
+        )
+        outs.append(
+            cohort.crossJoin(ret).select(
+                F.lit(nd).cast("long").alias("day_n"),
+                "n_users",
+                "n_retained",
+                F.expr("(n_retained * 10000) div n_users").alias(
+                    "retention_bp"
+                ),
+            )
+        )
+    from functools import reduce as _reduce
+
+    return _reduce(lambda a, b: a.unionByName(b), outs)
+
+
+@query(
+    "supplier_scorecard",
+    oracle="""
+        WITH perf AS (
+            SELECT l_suppkey AS suppkey,
+                   CAST(SUM(CAST(ROUND(l_extendedprice
+                        * (1 - l_discount) * 10000) AS BIGINT))
+                        AS BIGINT) AS revenue_e4,
+                   CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+                   CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+                   CAST((10000 * SUM(CASE WHEN l_returnflag = 'R'
+                        THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+                       AS return_bp
+            FROM lineitem GROUP BY l_suppkey)
+        SELECT s.s_suppkey, s.s_name, n.n_name,
+               p.revenue_e4, p.n_lineitems, p.n_orders, p.return_bp,
+               CAST(row_number() OVER (
+                   PARTITION BY n.n_name
+                   ORDER BY p.revenue_e4 DESC, s.s_suppkey ASC)
+                   AS BIGINT) AS nation_rank
+        FROM perf p
+        JOIN supplier s ON s.s_suppkey = p.suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+    """,
+)
+def q_supplier_scorecard(spark, sf_dir):
+    """Supplier performance scorecard: revenue (integer e4),
+    lineitem/order volume, return-rate bp, and revenue rank within
+    nation — the procurement mart composing q15's revenue view with
+    return behavior (q10's measure on the supply side).
+
+    Scale: one fact aggregate (map-side combined) collapses
+    lineitem to the supplier dimension; supplier/nation joins are
+    broadcastable; the rank window partitions by nation over
+    dimension-scale rows."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    perf = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+            ).cast("long")
+        ).alias("revenue_e4"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.expr(
+            "(10000 * sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END))"
+            " div count(1)"
+        ).alias("return_bp"),
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    j = perf.join(
+        F.broadcast(supp.select("s_suppkey", "s_name", "s_nationkey")),
+        F.col("suppkey") == F.col("s_suppkey"),
+    ).join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("revenue_e4").desc(), F.col("s_suppkey").asc()
+    )
+    return j.select(
+        "s_suppkey",
+        "s_name",
+        "n_name",
+        "revenue_e4",
+        "n_lineitems",
+        "n_orders",
+        "return_bp",
+        F.row_number().over(w).cast("long").alias("nation_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R7: trade matrix, key lifecycle, packing efficiency
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "nation_trade_matrix",
+    oracle="""
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                    * 10000) AS BIGINT)) AS BIGINT) AS volume_e4,
+               CAST(COUNT(*) AS BIGINT) AS n_lineitems
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        GROUP BY sn.n_name, cn.n_name
+    """,
+)
+def q_nation_trade_matrix(spark, sf_dir):
+    """Full bilateral trade matrix — Q7 generalized from two nations
+    to all |nations|² flows: supplier-nation × customer-nation
+    shipped volume (integer e4). The macro view a trade dashboard
+    cubes; Q7's filtered twin remains the oracle-pinned special
+    case.
+
+    Scale: the standard TPC-H join tree — fact joins with
+    broadcastable dims, one map-side-combined aggregate to the
+    625-row matrix."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(cust.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+    )
+    return j.groupBy("supp_nation", "cust_nation").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+            ).cast("long")
+        ).alias("volume_e4"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+@query(
+    "cdc_key_lifecycle",
+    oracle=_with_log(
+        """
+        , per_key AS (
+            SELECT key_id,
+                   MIN(CASE WHEN operation = 'INSERT' THEN seq END)
+                       AS first_insert,
+                   MIN(seq) AS first_seq, MAX(seq) AS last_seq,
+                   CAST(SUM(CASE WHEN operation = 'DELETE'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+                   CAST(COUNT(*) AS BIGINT) AS n_ops
+            FROM log GROUP BY key_id)
+        , final_op AS (
+            SELECT key_id, operation AS last_op FROM (
+                SELECT key_id, operation, row_number() OVER (
+                    PARTITION BY key_id ORDER BY seq DESC) AS rn
+                FROM log) t WHERE rn = 1)
+        , classed AS (
+            SELECT p.key_id,
+                   CASE WHEN f.last_op = 'DELETE' THEN 'deleted'
+                        WHEN p.n_deletes > 0 THEN 'reborn'
+                        WHEN p.first_insert = p.first_seq THEN 'created'
+                        ELSE 'pre_existing' END AS lifecycle,
+                   p.n_ops, p.n_deletes
+            FROM per_key p JOIN final_op f ON f.key_id = p.key_id)
+        SELECT lifecycle,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(n_ops) AS BIGINT) AS n_ops,
+               CAST(SUM(n_deletes) AS BIGINT) AS n_deletes,
+               CAST(SUM(n_ops) // COUNT(*) AS BIGINT) AS mean_ops_per_key
+        FROM classed GROUP BY lifecycle
+        """
+    ),
+)
+def q_cdc_key_lifecycle(spark, sf_dir):
+    """Key lifecycle classification over the change stream:
+    `created` (log opens with the key's INSERT), `pre_existing`
+    (first op is an update — the key predates the captured log; the
+    case an incremental snapshot must backfill), `deleted` (final op
+    DELETE — tombstone-GC candidates, #150), `reborn` (deleted then
+    re-inserted — the hardest case for naive appliers, exercised by
+    the hypothesis merge laws). Per class: key counts, op volume,
+    mean ops. One key_id shuffle shared by the aggregate and the
+    final-op window; class-bounded output."""
+    from pyspark.sql import Window
+
+    log = cdc_operation_log(spark, sf_dir)
+    per_key = log.groupBy("key_id").agg(
+        F.min(
+            F.when(F.col("operation") == "INSERT", F.col("seq"))
+        ).alias("first_insert"),
+        F.min("seq").alias("first_seq"),
+        F.max("seq").alias("last_seq"),
+        F.sum(
+            F.when(F.col("operation") == "DELETE", 1).otherwise(0)
+        ).alias("n_deletes"),
+        F.count(F.lit(1)).alias("n_ops"),
+    )
+    w = Window.partitionBy("key_id").orderBy(F.col("seq").desc())
+    final_op = (
+        log.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("key_id", F.col("operation").alias("last_op"))
+    )
+    classed = per_key.join(final_op, "key_id").select(
+        F.when(F.col("last_op") == "DELETE", "deleted")
+        .when(F.col("n_deletes") > 0, "reborn")
+        .when(F.col("first_insert") == F.col("first_seq"), "created")
+        .otherwise("pre_existing")
+        .alias("lifecycle"),
+        "n_ops",
+        "n_deletes",
+    )
+    return classed.groupBy("lifecycle").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_ops").alias("n_ops"),
+        F.sum("n_deletes").alias("n_deletes"),
+        F.expr("sum(n_ops) div count(1)").alias("mean_ops_per_key"),
+    )
+
+
+@query(
+    "pack_efficiency_report",
+    oracle=f"""
+        WITH t AS (
+            SELECT source, doc_id, doc_id // {_PACK_SHARD} AS shard,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+            FROM documents)
+        , c AS (
+            SELECT source, shard, doc_id, n,
+                   CAST(SUM(n) OVER (PARTITION BY source, shard
+                                     ORDER BY doc_id) - n AS BIGINT) AS start
+            FROM t)
+        , bins AS (
+            SELECT source, shard, CAST(start // {_PACK_CTX} AS BIGINT)
+                       AS bin_id,
+                   CAST(SUM(n) AS BIGINT) AS n_tokens
+            FROM c GROUP BY source, shard, start // {_PACK_CTX})
+        , marked AS (
+            SELECT *, bin_id = MAX(bin_id) OVER (
+                PARTITION BY source, shard) AS is_last
+            FROM bins)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_bins,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN is_last THEN 0
+                        ELSE GREATEST({_PACK_CTX} - n_tokens, 0) END)
+                    AS BIGINT) AS interior_slack_tokens,
+               CAST((10000 * SUM(CASE WHEN is_last THEN 0
+                        ELSE GREATEST({_PACK_CTX} - n_tokens, 0) END))
+                    // (CAST(COUNT(*) AS BIGINT) * {_PACK_CTX})
+                    AS BIGINT) AS slack_bp
+        FROM marked GROUP BY source
+    """,
+)
+def q_pack_efficiency_report(spark, sf_dir):
+    """Packing efficiency audit for the #97 manifest: bins, token
+    volume, and INTERIOR slack (capacity unused by bins other than
+    each shard's tail bin — the waste a better packer could
+    reclaim; tail bins are structurally partial) per source, with
+    slack bp of total capacity. The measure that justifies (or
+    indicts) first-fit packing before a training run burns compute
+    on padding. Same bounded (source, shard) windows as the
+    manifest; report is source-bounded."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        "doc_id",
+        F.expr(f"doc_id div {_PACK_SHARD}").alias("shard"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n"),
+    )
+    wc = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = t.withColumn("start", F.sum("n").over(wc) - F.col("n"))
+    bins = c.groupBy(
+        "source",
+        "shard",
+        F.expr(f"start div {_PACK_CTX}").alias("bin_id"),
+    ).agg(F.sum("n").alias("n_tokens"))
+    wl = Window.partitionBy("source", "shard")
+    marked = bins.withColumn(
+        "is_last", F.col("bin_id") == F.max("bin_id").over(wl)
+    )
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum(
+            F.when(F.col("is_last"), 0).otherwise(
+                F.greatest(
+                    F.lit(_PACK_CTX) - F.col("n_tokens"), F.lit(0)
+                )
+            )
+        ).alias("interior_slack_tokens"),
+        F.expr(
+            "(10000 * sum(CASE WHEN is_last THEN 0 ELSE"
+            f" GREATEST({_PACK_CTX} - n_tokens, 0) END))"
+            f" div (count(1) * {_PACK_CTX})"
+        ).alias("slack_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R7: curation funnel, Q6 what-if grid, Heaps vocabulary growth
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORDER = (
+    "exact_dup",
+    "near_dup",
+    "contaminated",
+    "dup_heavy",
+    "repetitive",
+    "c4_filtered",
+    "gopher_filtered",
+    "low_quality",
+    "off_target",
+    "sampled_out",
+    "keep",
+)
+
+
+@query(
+    "corpus_funnel_report",
+    oracle=_KEEP_GATES_CTES_LSH + _V3_EXTRA_CTES + _V4_EXTRA_CTES
+    + ", v4 AS (" + _V4_SELECT + ")"
+    + f"""
+        , counts AS (
+            SELECT decision, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM v4 GROUP BY decision)
+        , ordered AS (
+            SELECT *, CASE decision {" ".join(
+                f"WHEN '{d}' THEN {i}" for i, d in enumerate(_FUNNEL_ORDER)
+            )} END AS gate_order
+            FROM counts)
+        , tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM counts)
+        SELECT o.gate_order, o.decision, o.n_docs,
+               CAST(t.n - COALESCE(SUM(o2.n_docs), 0) AS BIGINT)
+                   AS survivors_after,
+               CAST((10000 * o.n_docs) // t.n AS BIGINT) AS drop_share_bp
+        FROM ordered o
+        CROSS JOIN tot t
+        LEFT JOIN ordered o2 ON o2.gate_order <= o.gate_order
+                             AND o2.decision <> 'keep'
+        GROUP BY o.gate_order, o.decision, o.n_docs, t.n
+    """,
+)
+def q_corpus_funnel_report(spark, sf_dir):
+    """The curation FUNNEL: documents surviving after each
+    priority-ordered gate of the deployment keep-list (#143) —
+    total → minus exact dups → minus near dups → … → kept — the
+    one-page narrative of where the corpus went (the per-stratum
+    datasheet #171 is its breakdown). Composes the v4_lsh decision
+    column; everything after is an 11-row algebra."""
+    from pyspark.sql import Window
+
+    v4 = QUERIES["corpus_keep_list_v4_lsh"](spark, sf_dir)
+    order_expr = "CASE decision " + " ".join(
+        f"WHEN '{d}' THEN {i}" for i, d in enumerate(_FUNNEL_ORDER)
+    ) + " END"
+    counts = (
+        v4.groupBy("decision")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("gate_order", F.expr(order_expr))
+    )
+    tot = counts.agg(F.sum("n_docs").alias("n"))
+    w = Window.orderBy("gate_order").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dropped_cum = F.sum(
+        F.when(F.col("decision") != "keep", F.col("n_docs")).otherwise(0)
+    ).over(w)
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "survivors_after", (F.col("n") - dropped_cum).cast("long")
+        )
+        .select(
+            "gate_order",
+            "decision",
+            "n_docs",
+            "survivors_after",
+            F.expr("(10000 * n_docs) div n").alias("drop_share_bp"),
+        )
+    )
+
+
+_Q6_DISCOUNTS = ("0.02", "0.04", "0.06", "0.08")
+_Q6_QTYS = (20, 24, 28)
+
+
+@query(
+    "q6_whatif_grid",
+    oracle=f"""
+        WITH src AS (
+            SELECT l_quantity,
+                   CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_pct,
+                   CAST(ROUND(l_extendedprice * l_discount * 10000)
+                        AS BIGINT) AS disc_rev_e4
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+        SELECT * FROM ({" UNION ALL ".join(
+            f'''SELECT CAST({int(float(d) * 100)} AS BIGINT)
+                       AS discount_center_pct,
+                   CAST({q} AS BIGINT) AS qty_cap,
+                   CAST(SUM(CASE WHEN disc_pct
+                                  BETWEEN {int(float(d) * 100) - 1}
+                                  AND {int(float(d) * 100) + 1}
+                                 AND l_quantity < {q}
+                            THEN disc_rev_e4 ELSE 0 END) AS BIGINT)
+                       AS revenue_e4,
+                   CAST(SUM(CASE WHEN disc_pct
+                                  BETWEEN {int(float(d) * 100) - 1}
+                                  AND {int(float(d) * 100) + 1}
+                                 AND l_quantity < {q}
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_rows
+            FROM src''' for d in _Q6_DISCOUNTS for q in _Q6_QTYS)}) t
+    """,
+)
+def q_q6_whatif_grid(spark, sf_dir):
+    """Q6 predicate-sensitivity grid: the forecast-revenue question
+    evaluated for every (discount band × quantity cap) combination
+    in ONE scan — conditional aggregation instead of 12 re-runs,
+    the what-if dashboard a revenue analyst actually wants from Q6.
+    The year filter pushes to the scan; the grid is 12 conditional
+    sums inside one map-side-combined aggregate; discount bands compare on
+    ROUND(l_discount*100) integers — the 2-decimal column is exact
+    there, immune to the decimal-vs-float literal split between
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    src = li.where(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01 00:00:00")))
+    ).select(
+        "l_quantity",
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_pct"),
+        F.round(F.col("l_extendedprice") * F.col("l_discount") * 10000)
+        .cast("long")
+        .alias("disc_rev_e4"),
+    )
+    outs = []
+    for d in _Q6_DISCOUNTS:
+        for q in _Q6_QTYS:
+            pct = int(float(d) * 100)
+            cond = (
+                (F.col("disc_pct") >= pct - 1)
+                & (F.col("disc_pct") <= pct + 1)
+                & (F.col("l_quantity") < q)
+            )
+            outs.append(
+                src.agg(
+                    F.sum(
+                        F.when(cond, F.col("disc_rev_e4")).otherwise(0)
+                    ).alias("revenue_e4"),
+                    F.sum(F.when(cond, 1).otherwise(0)).alias("n_rows"),
+                ).select(
+                    F.lit(int(float(d) * 100))
+                    .cast("long")
+                    .alias("discount_center_pct"),
+                    F.lit(q).cast("long").alias("qty_cap"),
+                    "revenue_e4",
+                    "n_rows",
+                )
+            )
+    from functools import reduce as _reduce
+
+    return _reduce(lambda a, b: a.unionByName(b), outs)
+
+
+_HEAPS_BUCKET = 50  # docs per growth-curve bucket
+
+
+@query(
+    "text_vocab_growth",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+        , first_seen AS (
+            SELECT tok, MIN(doc_id) AS first_doc FROM tok GROUP BY tok)
+        , newv AS (
+            SELECT first_doc // {_HEAPS_BUCKET} AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS new_types
+            FROM first_seen GROUP BY 1)
+        , toks AS (
+            SELECT doc_id // {_HEAPS_BUCKET} AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens
+            FROM tok GROUP BY 1)
+        SELECT t.bucket,
+               t.n_tokens,
+               CAST(SUM(t.n_tokens) OVER (ORDER BY t.bucket ASC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+               COALESCE(n.new_types, 0) AS new_types,
+               CAST(SUM(COALESCE(n.new_types, 0)) OVER (
+                   ORDER BY t.bucket ASC ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) AS cum_vocab
+        FROM toks t LEFT JOIN newv n ON n.bucket = t.bucket
+    """,
+)
+def q_text_vocab_growth(spark, sf_dir):
+    """Heaps'-law vocabulary growth curve: cumulative distinct
+    vocabulary vs cumulative tokens in ingestion (doc_id) order —
+    the sublinear curve whose flattening tells a crawl when new
+    data stops bringing new language (and whose anomalies flag
+    template floods). Cumulative DISTINCT is computed WITHOUT any
+    running-distinct state: each type charges only its FIRST
+    occurrence bucket (min doc_id per token — a vocabulary-bounded
+    aggregate), and the cumulative is a prefix sum over the BUCKET
+    table (corpus/{_HEAPS_BUCKET} rows). Monotone + conservation
+    laws in pytest."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    first_seen = tok.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    newv = first_seen.groupBy(
+        F.expr(f"first_doc div {_HEAPS_BUCKET}").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("new_types"))
+    toks = tok.groupBy(
+        F.expr(f"doc_id div {_HEAPS_BUCKET}").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_tokens"))
+    w = Window.orderBy(F.col("bucket").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        toks.join(newv, "bucket", "left")
+        .select(
+            "bucket",
+            "n_tokens",
+            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+            F.coalesce(F.col("new_types"), F.lit(0)).alias("new_types"),
+            F.sum(F.coalesce(F.col("new_types"), F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("cum_vocab"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# R7: referential integrity DQ, compaction planner, OOD outliers
+# ---------------------------------------------------------------------------
+
+_FK_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+@query(
+    "dq_referential_integrity",
+    oracle=f"""
+        SELECT * FROM ({" UNION ALL ".join(
+            f'''SELECT '{c}.{ck}' AS fk_edge,
+                   '{p}.{pk}' AS references_col,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM {c}) AS n_child,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM {c}
+                    WHERE {ck} IS NULL) AS n_null_fk,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM {c} x
+                    WHERE {ck} IS NOT NULL AND NOT EXISTS (
+                        SELECT 1 FROM {p} y WHERE y.{pk} = x.{ck}))
+                       AS n_orphans'''
+            for c, ck, p, pk in _FK_EDGES)}) t
+    """,
+)
+def q_dq_referential_integrity(spark, sf_dir):
+    """Warehouse-wide referential-integrity audit: every FK edge of
+    the schema checked for NULL keys and ORPHANS (child keys with no
+    parent) in one report — the DQ gate a medallion promotion runs
+    before exposing gold tables (the schema-level sibling of the
+    row-level dq_audit #67). ONE JOB (r4 verdict item 6 — the
+    earlier form ran a driver-side `.count()` per edge): each edge
+    is a left join against the DISTINCT parent keys (NOT-EXISTS
+    semantics; AQE broadcasts the small parents) folded into one
+    conditional aggregate, all |edges| aggregates unioned into a
+    single action. The report is |edges| rows."""
+    outs = []
+    for child, ck, parent, pk in _FK_EDGES:
+        c = load_table(spark, sf_dir, child).select(
+            F.col(ck).alias("_fk")
+        )
+        p = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pk).alias("_pk"))
+            .distinct()
+        )
+        outs.append(
+            c.join(p, F.col("_fk") == F.col("_pk"), "left")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_child"),
+                F.count(F.when(F.col("_fk").isNull(), 1))
+                .cast("long")
+                .alias("n_null_fk"),
+                F.count(
+                    F.when(
+                        F.col("_fk").isNotNull() & F.col("_pk").isNull(), 1
+                    )
+                )
+                .cast("long")
+                .alias("n_orphans"),
+            )
+            .select(
+                F.lit(f"{child}.{ck}").alias("fk_edge"),
+                F.lit(f"{parent}.{pk}").alias("references_col"),
+                "n_child",
+                "n_null_fk",
+                "n_orphans",
+            )
+        )
+    from functools import reduce as _reduce
+
+    return _reduce(lambda a, b: a.unionByName(b), outs)
+
+
+_COMPACT_TARGET_ROWS = 2000
+
+
+@query(
+    "landing_compaction_plan",
+    oracle=f"""
+        WITH parts AS (
+            SELECT date_trunc('day', ts) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM events GROUP BY 1)
+        , packed AS (
+            SELECT *, CAST(SUM(n_rows) OVER (
+                ORDER BY day ASC ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_rows
+            FROM parts)
+        SELECT (cum_rows - 1) // {_COMPACT_TARGET_ROWS} AS merge_group,
+               CAST(COUNT(*) AS BIGINT) AS n_partitions,
+               CAST(SUM(n_rows) AS BIGINT) AS group_rows,
+               MIN(day) AS first_day, MAX(day) AS last_day
+        FROM packed GROUP BY 1
+    """,
+)
+def q_landing_compaction_plan(spark, sf_dir):
+    """Small-file compaction PLANNER for the partitioned landing
+    zone: daily partitions greedily packed (first-fit by running row
+    total) into ~{_COMPACT_TARGET_ROWS}-row merge groups — the plan
+    the OPTIMIZE analog in sinks/partitioned.py would execute, as an
+    inspectable query (Delta/Iceberg "OPTIMIZE ... WHERE" dry-run).
+    The prefix sum runs over the DAY-BOUNDED partition-stats table —
+    planning cost is proportional to partitions, never rows; the
+    compaction itself stays in the sink."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    parts = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    w = Window.orderBy(F.col("day").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    packed = parts.withColumn(
+        "cum_rows", F.sum("n_rows").over(w).cast("long")
+    )
+    return packed.groupBy(
+        F.expr(f"(cum_rows - 1) div {_COMPACT_TARGET_ROWS}").alias(
+            "merge_group"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_partitions"),
+        F.sum("n_rows").alias("group_rows"),
+        F.min("day").alias("first_day"),
+        F.max("day").alias("last_day"),
+    )
+
+
+_OOD_TOPK = 3
+
+
+@query(
+    "embed_ood_topk",
+    oracle=f"""
+        WITH km AS ({_sim.kmeans_sql("duck")})
+        , ranked AS (
+            SELECT vec_id, cell, dist2,
+                   row_number() OVER (
+                       PARTITION BY cell
+                       ORDER BY dist2 DESC, vec_id ASC) AS far_rank
+            FROM km)
+        SELECT vec_id, cell, dist2 AS dist2_int8, far_rank
+        FROM ranked WHERE far_rank <= {_OOD_TOPK}
+    """,
+)
+def q_embed_ood_topk(spark, sf_dir):
+    """Out-of-distribution shortlist: each trained k-means cell's
+    {_OOD_TOPK} FARTHEST members by the training chain's own integer
+    int8 L2² — the human-review queue for novelty/poisoning triage
+    (the far tail the diversity sampler #131 deliberately keeps).
+    Reuses the kmeans assignment verbatim; one cell-partitioned
+    rank window over cell-bounded rows."""
+    from pyspark.sql import Window
+
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    km = spark.sql(_sim.kmeans_sql("spark"))
+    w = Window.partitionBy("cell").orderBy(
+        F.col("dist2").desc(), F.col("vec_id").asc()
+    )
+    return (
+        km.withColumn("far_rank", F.row_number().over(w))
+        .where(F.col("far_rank") <= _OOD_TOPK)
+        .select(
+            "vec_id",
+            "cell",
+            F.col("dist2").alias("dist2_int8"),
+            "far_rank",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# R7: CUSUM changepoints, near-dup graph degree histogram
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_cusum_changepoints",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   epoch_us(ts) // 86400000000 AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2)
+        , stats AS (
+            SELECT event_type,
+                   CAST(SUM(n) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n_days
+            FROM daily GROUP BY event_type)
+        , dev AS (
+            SELECT d.event_type, d.day,
+                   d.n * s.n_days - s.total AS dev_scaled
+            FROM daily d JOIN stats s ON s.event_type = d.event_type)
+        , cusum AS (
+            SELECT event_type, day, dev_scaled,
+                   CAST(SUM(dev_scaled) OVER (
+                       PARTITION BY event_type ORDER BY day ASC
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_cum
+            FROM dev)
+        , extremes AS (
+            SELECT event_type,
+                   MAX(ABS(s_cum)) AS max_abs_cusum
+            FROM cusum GROUP BY event_type)
+        SELECT c.event_type, c.day AS changepoint_day,
+               c.s_cum AS cusum_at_peak,
+               e.max_abs_cusum,
+               CAST((SELECT SUM(ABS(dev_scaled)) FROM dev d2
+                     WHERE d2.event_type = c.event_type) AS BIGINT)
+                   AS total_abs_dev
+        FROM cusum c JOIN extremes e
+          ON e.event_type = c.event_type
+         AND ABS(c.s_cum) = e.max_abs_cusum
+        QUALIFY row_number() OVER (
+            PARTITION BY c.event_type ORDER BY c.day ASC) = 1
+    """,
+)
+def q_events_cusum_changepoints(spark, sf_dir):
+    """CUSUM changepoint detection per event type: the day where
+    the cumulative deviation from the series mean peaks — the
+    classic level-shift locator (Page 1954) behind
+    traffic-mix-shift alerts; the integer twin of what
+    events_anomaly_hours (#99) does pointwise. Deviations are
+    scaled by n_days (n·days − total) so everything stays in exact
+    BIGINT algebra — no float means anywhere.
+
+    Scale: one map-side-combined daily aggregate; the CUSUM window
+    runs over the DAY-BOUNDED per-type series (366 rows/type/year),
+    never events."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_days")
+    )
+    dev = daily.join(stats, "event_type").select(
+        "event_type",
+        "day",
+        (F.col("n") * F.col("n_days") - F.col("total")).alias(
+            "dev_scaled"
+        ),
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("day").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cusum = dev.withColumn(
+        "s_cum", F.sum("dev_scaled").over(wc).cast("long")
+    )
+    extremes = cusum.groupBy("event_type").agg(
+        F.max(F.abs(F.col("s_cum"))).alias("max_abs_cusum")
+    )
+    tad = dev.groupBy("event_type").agg(
+        F.sum(F.abs(F.col("dev_scaled"))).alias("total_abs_dev")
+    )
+    peaks = (
+        cusum.join(extremes, "event_type")
+        .where(F.abs(F.col("s_cum")) == F.col("max_abs_cusum"))
+        .join(tad, "event_type")
+    )
+    wf = Window.partitionBy("event_type").orderBy(F.col("day").asc())
+    return (
+        peaks.withColumn("rn", F.row_number().over(wf))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("changepoint_day"),
+            F.col("s_cum").alias("cusum_at_peak"),
+            "max_abs_cusum",
+            "total_abs_dev",
+        )
+    )
+
+
+@query(
+    "dedup_graph_degree_histogram",
+    oracle=f"""
+        WITH pairs AS ({_dedup.MINHASH_LSH_SQL})
+        , deg AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM (SELECT doc_a AS doc_id FROM pairs
+                  UNION ALL SELECT doc_b FROM pairs) t
+            GROUP BY doc_id)
+        SELECT degree,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM deg GROUP BY degree
+    """,
+)
+def q_dedup_graph_degree_histogram(spark, sf_dir):
+    """Near-dup graph degree histogram on the TEXT side — how many
+    documents have how many verified LSH near-duplicates (the
+    text-side twin of embed_cluster_size_histogram #181 at edge
+    granularity): hub documents (templates, boilerplate) surface as
+    the heavy tail that dedup_containment's df-cap and the
+    keep-list's component canonicals must absorb. Composes the
+    shipped pair list; two bounded aggregates."""
+    pairs = _dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_a", "doc_b")
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R7: glass-box HLL estimation, keyspace fragmentation
+# ---------------------------------------------------------------------------
+
+_HLL_M = 256
+_HLL_ALPHA_E5 = 70927  # 0.7213/(1+1.079/256), e5 fixed point
+_HLL_SHIFT = 50
+
+
+def _hll_lc_table() -> str:
+    """Linear-counting correction m*ln(m/V) for every possible
+    empty-bucket count V in 1..m — 256 data-independent integer
+    constants, precomputed offline and inlined as a VALUES table
+    (the same constants-not-runtime-floats rule as the JL sign
+    matrix): ln never runs inside either engine."""
+    import math
+
+    rows = ", ".join(
+        f"({v}, {round(_HLL_M * math.log(_HLL_M / v))})"
+        for v in range(1, _HLL_M + 1)
+    )
+    return f"(VALUES {rows}) lc(v, lc_est)"
+
+
+def _hll_estimate_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    if dialect == "spark":
+        shl = f"shiftleft(CAST(1 AS BIGINT), {_HLL_SHIFT} - CAST(rho AS INT))"
+        big = "DECIMAL(38,0)"
+        est = (
+            f"CAST((CAST({_HLL_ALPHA_E5} AS {big}) * {_HLL_M} * {_HLL_M}"
+            f" * CAST(shiftleft(CAST(1 AS BIGINT), {_HLL_SHIFT}) AS {big}))"
+            f" div (CAST(denom AS {big}) * 100000) AS BIGINT)"
+        )
+    else:
+        shl = f"(CAST(1 AS BIGINT) << ({_HLL_SHIFT} - CAST(rho AS INT)))"
+        est = (
+            f"CAST((CAST({_HLL_ALPHA_E5} AS HUGEINT) * {_HLL_M} * {_HLL_M}"
+            f" * (CAST(1 AS HUGEINT) << {_HLL_SHIFT}))"
+            f" // (CAST(denom AS HUGEINT) * 100000) AS BIGINT)"
+        )
+    regs = _sk.hll_sql("events", "user_id", dialect, group="event_type")
+    return f"""
+        WITH regs AS ({regs})
+        , filled AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_filled,
+                   CAST(SUM({shl}) AS BIGINT) AS filled_denom
+            FROM regs GROUP BY event_type)
+        , denoms AS (
+            SELECT event_type, n_filled,
+                   filled_denom + ({_HLL_M} - n_filled)
+                       * CAST({2 ** _HLL_SHIFT} AS BIGINT) AS denom
+            FROM filled)
+        , exact AS (
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+            FROM events GROUP BY event_type)
+        , raw AS (
+            SELECT event_type, n_filled, {est} AS raw_est,
+                   {_HLL_M} - n_filled AS n_empty
+            FROM denoms)
+        , corrected AS (
+            SELECT r.event_type, r.n_filled, r.raw_est,
+                   CAST(CASE WHEN r.raw_est <= {_HLL_M * 5 // 2}
+                                  AND r.n_empty > 0
+                        THEN lc.lc_est ELSE r.raw_est END AS BIGINT)
+                       AS hll_estimate
+            FROM raw r LEFT JOIN {_hll_lc_table()}
+              ON lc.v = r.n_empty)
+        SELECT c.event_type, c.n_filled, c.raw_est, c.hll_estimate,
+               e.exact_distinct,
+               (10000 * ABS(c.hll_estimate - e.exact_distinct))
+                   {div} e.exact_distinct AS err_bp
+        FROM corrected c JOIN exact e ON e.event_type = c.event_type
+    """
+
+
+@query("events_hll_estimate", oracle=_hll_estimate_sql("duck"))
+def q_events_hll_estimate(spark, sf_dir):
+    """Glass-box HyperLogLog ESTIMATION, oracle-checked end to end:
+    the raw Flajolet estimate alpha·m²/Σ2^(−M_j) computed from the
+    explicit register table (#156) in EXACT integer algebra —
+    2^(−M) terms become 2^(50−M) BIGINT shifts, the alpha·m²·2^50
+    numerator runs in DECIMAL(38,0)/HUGEINT (the r2 ADVICE 128-bit
+    rule), and the quotient floors identically in both engines. This
+    upgrades the engine-opaque approx_count_distinct check (#62,
+    rows-only by design) with a cross-engine-EXACT estimator whose
+    accuracy is itself measured (err_bp vs the true distinct). The
+    small-range linear-counting correction m·ln(m/V) is applied
+    through a 256-entry precomputed INTEGER constant table (V is an
+    integer in 1..m, so ln never runs inside either engine — the
+    same constants-not-runtime-floats rule as the JL sign matrix);
+    raw and corrected estimates are both emitted.
+
+    Scale: registers are constant 256 rows/group however large the
+    stream (MAX-mergeable, maintained by foreachBatch in the
+    streaming law); the estimate is group-bounded algebra."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_hll_estimate_sql("spark"))
+
+
+_FRAG_BLOCK = 1000
+
+
+@query(
+    "orders_keyspace_fragmentation",
+    oracle=f"""
+        WITH blocks AS (
+            SELECT o_orderkey // {_FRAG_BLOCK} AS block,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   MIN(o_orderkey) AS min_key,
+                   MAX(o_orderkey) AS max_key
+            FROM orders GROUP BY 1)
+        SELECT block, n_keys, min_key, max_key,
+               CAST((10000 * n_keys) // {_FRAG_BLOCK} AS BIGINT)
+                   AS density_bp,
+               (max_key - min_key + 1) - n_keys AS interior_gaps
+        FROM blocks
+    """,
+)
+def q_orders_keyspace_fragmentation(spark, sf_dir):
+    """Primary-keyspace density map: keys per {_FRAG_BLOCK}-key
+    block with density bp and interior gap counts — the histogram a
+    chunked snapshotter (#163) consults so equal-WIDTH chunks don't
+    become wildly unequal WORK when the keyspace is fragmented
+    (classic TPC-H orderkeys are deliberately sparse — on the
+    driver's dense generator this map certifies density instead). One map-side-combined aggregate; block-bounded
+    output."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.expr(f"o_orderkey div {_FRAG_BLOCK}").alias("block")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .select(
+            "block",
+            "n_keys",
+            "min_key",
+            "max_key",
+            F.expr(f"(10000 * n_keys) div {_FRAG_BLOCK}").alias(
+                "density_bp"
+            ),
+            (
+                (F.col("max_key") - F.col("min_key") + 1)
+                - F.col("n_keys")
+            ).alias("interior_gaps"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# R7: per-source vocabulary drift
+# ---------------------------------------------------------------------------
+
+_DRIFT_HEAD_K = 200  # head vocabulary compared (bounded)
+
+
+@query(
+    "text_source_drift",
+    oracle=f"""
+        WITH tok AS (
+            SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+        , corpus AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS cf
+            FROM tok GROUP BY tok)
+        , head AS (
+            SELECT tok, cf, CAST(row_number() OVER (
+                ORDER BY cf DESC, tok ASC) AS BIGINT) AS rnk
+            FROM corpus QUALIFY rnk <= {_DRIFT_HEAD_K})
+        , totals AS (
+            SELECT CAST(SUM(cf) AS BIGINT) AS corpus_total FROM corpus)
+        , stot AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS source_total
+            FROM tok GROUP BY source)
+        , sf AS (
+            SELECT t.source, t.tok, CAST(COUNT(*) AS BIGINT) AS f
+            FROM tok t JOIN head h ON h.tok = t.tok
+            GROUP BY t.source, t.tok)
+        , ppm AS (
+            SELECT st.source, h.tok,
+                   (1000000 * COALESCE(s.f, 0)) // st.source_total AS p_src,
+                   (1000000 * h.cf) // tt.corpus_total AS p_corpus
+            FROM stot st
+            CROSS JOIN head h
+            CROSS JOIN totals tt
+            LEFT JOIN sf s ON s.source = st.source AND s.tok = h.tok)
+        SELECT source,
+               CAST(SUM(((p_src - p_corpus) * (p_src - p_corpus))
+                    // (p_src + p_corpus + 1)) AS BIGINT) AS chisq_ppm,
+               CAST(SUM(CASE WHEN p_src = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_missing_head_tokens
+        FROM ppm GROUP BY source
+    """,
+)
+def q_text_source_drift(spark, sf_dir):
+    """Per-source vocabulary drift vs the corpus: a chi-square-style
+    distance Σ (p_s − p_c)²/(p_s + p_c + 1) over the TOP-{_DRIFT_HEAD_K}
+    head vocabulary, all in ppm floor integers (the log-free
+    domain-shift measure; KL/JS need ln, which has no integer form —
+    chi² ranks the same drifts). High-drift sources are the strata
+    the domain mixer (#86) and confusion matrix (#189) investigate
+    first.
+
+    Scale: the head vocabulary is a K-bounded broadcast; per-source
+    frequencies come from one token join against it (K-bounded per
+    source); the rank window runs on the vocabulary-bounded corpus
+    table."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    corpus = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cf"))
+    w = Window.orderBy(F.col("cf").desc(), F.col("tok").asc())
+    head = (
+        corpus.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= _DRIFT_HEAD_K)
+        .select("tok", "cf")
+    )
+    totals = corpus.agg(F.sum("cf").alias("corpus_total"))
+    stot = tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("source_total")
+    )
+    sf_ = (
+        tok.join(F.broadcast(head.select("tok")), "tok")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    ppm = (
+        stot.crossJoin(F.broadcast(head))
+        .crossJoin(F.broadcast(totals))
+        .join(sf_, ["source", "tok"], "left")
+        .select(
+            "source",
+            F.expr(
+                "(1000000 * coalesce(f, 0)) div source_total"
+            ).alias("p_src"),
+            F.expr("(1000000 * cf) div corpus_total").alias("p_corpus"),
+        )
+    )
+    return ppm.groupBy("source").agg(
+        F.sum(
+            F.expr(
+                "((p_src - p_corpus) * (p_src - p_corpus))"
+                " div (p_src + p_corpus + 1)"
+            )
+        )
+        .cast("long")
+        .alias("chisq_ppm"),
+        F.sum(F.when(F.col("p_src") == 0, 1).otherwise(0)).alias(
+            "n_missing_head_tokens"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R7: work-balanced snapshot chunk planner
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cdc_snapshot_chunk_plan",
+    oracle=_with_log(
+        f"""
+        , keys AS (
+            SELECT key_id, CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM log GROUP BY key_id)
+        , ranked AS (
+            SELECT key_id, n_events,
+                   CAST(row_number() OVER (ORDER BY key_id ASC)
+                        AS BIGINT) AS rnk,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n
+            FROM keys)
+        SELECT ((rnk - 1) * {_SNAP_CHUNKS}) // n AS chunk,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(n_events) AS BIGINT) AS n_events,
+               MIN(key_id) AS lo_key, MAX(key_id) AS hi_key
+        FROM ranked GROUP BY 1
+        """
+    ),
+)
+def q_cdc_snapshot_chunk_plan(spark, sf_dir):
+    """Work-balanced snapshot chunk PLANNER — the fix for what
+    orders_keyspace_fragmentation (#209) measures: equal-WIDTH
+    chunks go wrong on fragmented keyspaces, so chunk boundaries
+    come from the key RANK instead (chunk = (rank−1)·N div n —
+    each chunk gets n/N ± 1 keys whatever the key distribution),
+    with per-chunk event volume as the work estimate the
+    incremental snapshotter (#163) schedules by.
+
+    Scale: the rank window runs over the KEY dimension (one row per
+    key after the map-side-combined count — orders of magnitude
+    below the log); if keys ever reach fact scale the rank
+    decomposes into the band-prefix form proven exact by #132/#194.
+    Output is N rows."""
+    from pyspark.sql import Window
+
+    log = cdc_operation_log(spark, sf_dir)
+    keys = log.groupBy("key_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.orderBy(F.col("key_id").asc())
+    n = keys.agg(F.count(F.lit(1)).alias("n"))
+    ranked = keys.withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    ).crossJoin(F.broadcast(n))
+    return ranked.groupBy(
+        F.expr(f"((rnk - 1) * {_SNAP_CHUNKS}) div n").alias("chunk")
+    ).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_events").alias("n_events"),
+        F.min("key_id").alias("lo_key"),
+        F.max("key_id").alias("hi_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R7: document novelty, ordering-tie observability
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        , grams AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, len(t) - 1),
+                          i -> array_to_string(t[i:i+2], ' '))) AS g
+            FROM toks WHERE len(t) >= 3)
+        , first_seen AS (
+            SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g)
+        SELECT gr.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN f.first_doc = gr.doc_id
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+               CAST((10000 * SUM(CASE WHEN f.first_doc = gr.doc_id
+                        THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+                   AS novelty_bp
+        FROM grams gr JOIN first_seen f ON f.g = gr.g
+        GROUP BY gr.doc_id
+    """,
+)
+def q_text_ngram_novelty(spark, sf_dir):
+    """Document novelty in ingestion order: the share of a doc's
+    distinct 3-gram shingles appearing for the FIRST time in the
+    corpus at that doc — the keep-the-new signal an incremental
+    crawl reads (novelty ≈ 0 → the doc is assembled from text
+    already ingested, even if no single source contains it — the
+    case pairwise dedup structurally misses). Same
+    charge-to-first-occurrence algebra as text_vocab_growth (#202)
+    at shingle granularity: one gram-keyed aggregate (min doc),
+    one gram-keyed join back — linear shuffles, nothing broadcast,
+    no quadratic structure.
+
+    The first document scores 10000 by construction; corpus novelty
+    mass conservation (Σ n_novel = |distinct grams|) pinned in
+    pytest."""
+    from ..operators.dedup import shingles
+
+    grams = shingles(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.col("s").alias("g")
+    )
+    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+            F.expr(
+                "(10000 * sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0"
+                " END)) div count(1)"
+            ).alias("novelty_bp"),
+        )
+    )
+
+
+@query(
+    "cdc_ordering_tie_report",
+    oracle=_with_log(
+        """
+        , ties AS (
+            SELECT key_id, ts, CAST(COUNT(*) AS BIGINT) AS n_ops,
+                   MAX(seq) - MIN(seq) AS seq_span
+            FROM log GROUP BY key_id, ts HAVING COUNT(*) > 1)
+        SELECT CAST((SELECT COUNT(*) FROM log) AS BIGINT) AS n_events,
+               CAST(COUNT(*) AS BIGINT) AS n_tie_groups,
+               CAST(COALESCE(SUM(n_ops), 0) AS BIGINT) AS n_tied_events,
+               CAST(COALESCE(MAX(n_ops), 0) AS BIGINT) AS worst_tie,
+               CAST(COALESCE(MAX(seq_span), 0) AS BIGINT)
+                   AS worst_tie_seq_span
+        FROM ties
+        """
+    ),
+)
+def q_cdc_ordering_tie_report(spark, sf_dir):
+    """Ordering-tie observability: how often the (ts, seq) total
+    order actually NEEDS its seq tie-break — same-key events sharing
+    a timestamp are exactly where latest-state, SCD2 and sessionize
+    results depend on binlog position rather than time (the
+    hypothesis suite's seq-split counterexample lives here). A
+    pipeline consuming a source WITHOUT a reliable position column
+    reads this report to know how much state is timestamp-ambiguous.
+    ONE job (r5 verdict item 4): the (key, ts) map-side-combined
+    aggregate feeds a single global rollup — n_events = SUM(n_ops)
+    over ALL groups, the tie metrics CASE-gated to n_ops > 1 — so
+    the log is scanned once with no separate count() action;
+    1-row output."""
+    log = cdc_operation_log(spark, sf_dir)
+    tied = F.col("n_ops") > 1
+    return (
+        log.groupBy("key_id", "ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_ops"),
+            (F.max("seq") - F.min("seq")).alias("seq_span"),
+        )
+        .agg(
+            F.sum("n_ops").cast("long").alias("n_events"),
+            F.sum(F.when(tied, 1).otherwise(0)).cast("long").alias(
+                "n_tie_groups"
+            ),
+            F.coalesce(F.sum(F.when(tied, F.col("n_ops"))), F.lit(0))
+            .cast("long")
+            .alias("n_tied_events"),
+            F.coalesce(F.max(F.when(tied, F.col("n_ops"))), F.lit(0))
+            .cast("long")
+            .alias("worst_tie"),
+            F.coalesce(F.max(F.when(tied, F.col("seq_span"))), F.lit(0))
+            .cast("long")
+            .alias("worst_tie_seq_span"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# R7: cosine calibration histogram, schema completeness profile
+# ---------------------------------------------------------------------------
+
+
+@query("embed_cos_histogram", oracle=_sim.cos_histogram_sql("duck"))
+def q_embed_cos_histogram(spark, sf_dir):
+    """Cosine calibration histogram over the hyperplane-LSH
+    candidate pairs: decile-bucketed similarity counts — the
+    continuous distribution one reads before fixing
+    NEAR_DUP_THRESHOLD (the embedding twin of dedup_threshold_sweep
+    #190); a bimodal histogram separates true duplicates from the
+    banding noise floor. Candidates only (banded equi-join) — the
+    histogram never looks at all pairs. See
+    operators/similarity.py:cos_histogram_sql."""
+    return _sim.cos_histogram(spark, sf_dir)
+
+
+_PROFILE_COLS = (
+    ("events", ("event_id", "ts", "user_id", "event_type", "value", "props")),
+    ("documents", ("doc_id", "text", "lang", "source", "n_chars")),
+    ("embeddings", ("vec_id", "embedding", "label")),
+    ("orders", ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                "o_orderdate", "o_orderpriority")),
+    ("customer", ("c_custkey", "c_name", "c_nationkey", "c_mktsegment",
+                  "c_acctbal")),
+    ("supplier", ("s_suppkey", "s_name", "s_nationkey", "s_acctbal")),
+    ("part", ("p_partkey", "p_name", "p_type", "p_brand", "p_retailprice")),
+)
+
+
+@query(
+    "dq_completeness_profile",
+    oracle=f"""
+        SELECT * FROM ({" UNION ALL ".join(
+            f"SELECT '{t}' AS table_name, '{c}' AS column_name, "
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM {t}) AS n_rows, "
+            f"(SELECT CAST(COUNT(*) - COUNT({c}) AS BIGINT) FROM {t}) "
+            f"AS n_null"
+            for t, cols in _PROFILE_COLS for c in cols)}) p
+    """,
+)
+def q_dq_completeness_profile(spark, sf_dir):
+    """Schema-wide completeness profile: NULL counts for every
+    column of every table in one report — the profiling DQ layer
+    beside the row-level audit (#67) and the FK audit (#203);
+    medallion promotion gates read exactly this table. Each column
+    is a COUNT(col) conditional inside its table's single
+    map-side-combined scan (Spark runs ONE aggregate per table, not
+    one per column); output is |columns| rows."""
+    outs = []
+    for t, cols in _PROFILE_COLS:
+        df = load_table(spark, sf_dir, t)
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                (F.count(F.lit(1)) - F.count(c)).alias(f"null_{c}")
+                for c in cols
+            ],
+        )
+        for c in cols:
+            outs.append(
+                agg.select(
+                    F.lit(t).alias("table_name"),
+                    F.lit(c).alias("column_name"),
+                    F.col("n_rows").cast("long").alias("n_rows"),
+                    F.col(f"null_{c}").cast("long").alias("n_null"),
+                )
+            )
+    from functools import reduce as _reduce
+
+    return _reduce(lambda a, b: a.unionByName(b), outs)
+
+
+@query(
+    "graph_pagerank_convergence",
+    oracle=_sim.pagerank_convergence_sql("duck"),
+)
+def q_graph_pagerank_convergence(spark, sf_dir):
+    """PageRank convergence certificate: per-round L1 residual and
+    total mass of the #121 iteration — the is-the-unroll-deep-enough
+    evidence (the iteration twin of UniMax's fixpoint certificate
+    #151): a geometrically shrinking residual certifies the fixed
+    3-round plan; mass tracks the damping + dangling-loss algebra.
+    Spark iterates over the ONCE-checkpointed edge view; the duck
+    oracle MATERIALIZES every round's rank table (inlining would
+    re-instantiate the KNN chain per residual arm). See
+    operators/similarity.py:pagerank_convergence_sql. Edges and the
+    per-round rank tables come from the shared gate maps (r6 — the
+    same checkpointed rounds #121 reads; each residual arm joins two
+    cached node-sized maps instead of re-deriving the rounds: 90
+    exchanges in the r5 audit, ~10 now)."""
+    _pr_rank_views(spark, sf_dir)
+    arms = " UNION ALL ".join(
+        f"""SELECT CAST({i} AS BIGINT) AS round,
+               (SELECT CAST(SUM(ABS(a.r - b.r)) AS BIGINT)
+                FROM pr_r{i}_mat a
+                JOIN pr_r{i - 1}_mat b ON b.vec_id = a.vec_id)
+                   AS residual_e9,
+               (SELECT CAST(SUM(r) AS BIGINT) FROM pr_r{i}_mat)
+                   AS mass_e9"""
+        for i in range(1, _sim.PR_ITERS + 1)
+    )
+    return spark.sql(f"SELECT * FROM ({arms}) t")
+
+
+# ---------------------------------------------------------------------------
+# R7: order-total consistency audit, props schema inference
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_order_total_consistency",
+    oracle="""
+        WITH charges AS (
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(ROUND(((l_extendedprice
+                        * (1 - l_discount)) * (1 + l_tax)) * 1000000)
+                        AS BIGINT)) AS BIGINT) AS line_total_e6
+            FROM lineitem GROUP BY l_orderkey)
+        , diffs AS (
+            SELECT o.o_orderkey,
+                   ABS(CAST(ROUND(o.o_totalprice * 100) AS BIGINT) * 10000
+                       - COALESCE(c.line_total_e6, 0)) // 10000 AS diff_e2,
+                   c.l_orderkey IS NULL AS no_lineitems
+            FROM orders o LEFT JOIN charges c
+              ON c.l_orderkey = o.o_orderkey)
+        SELECT CAST(LENGTH(bin(diff_e2 + 1)) - 1 AS BIGINT)
+                   AS diff_octave_e2,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CASE WHEN no_lineitems THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_without_lineitems,
+               MIN(diff_e2) AS min_diff_e2, MAX(diff_e2) AS max_diff_e2
+        FROM diffs GROUP BY 1
+    """,
+)
+def q_dq_order_total_consistency(spark, sf_dir):
+    """Cross-table invariant audit: |o_totalprice − Σ line charges|
+    per order, octave-bucketed in cents — the TPC-H consistency rule
+    (totalprice = Σ extprice·(1−disc)·(1+tax)) checked as a DQ
+    query. On this driver's generator the invariant does NOT hold
+    (totalprice is drawn independently) — the audit REPORTS that,
+    which is exactly its job; pinned in pytest so a future generator
+    change that fixes the invariant surfaces as a (welcome) test
+    update. Charges are per-line e6 integers (6-decimal product is
+    rationally integral, so the round is boundary-safe), summed
+    exactly; diffs integer cents; octave via length(bin())-1.
+
+    Scale: one map-side-combined lineitem aggregate + an
+    order-keyed left join; octave-bounded output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    charges = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.round(
+                (
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    * (1 + F.col("l_tax"))
+                )
+                * 1000000
+            ).cast("long")
+        ).alias("line_total_e6")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    diffs = orders.join(
+        charges, F.col("o_orderkey") == F.col("l_orderkey"), "left"
+    ).select(
+        F.expr(
+            "ABS(CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000"
+            " - COALESCE(line_total_e6, 0)) div 10000"
+        ).alias("diff_e2"),
+        F.col("l_orderkey").isNull().alias("no_lineitems"),
+    )
+    return diffs.groupBy(
+        (F.length(F.bin(F.col("diff_e2") + 1)) - 1)
+        .cast("long")
+        .alias("diff_octave_e2")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("no_lineitems"), 1).otherwise(0)).alias(
+            "n_without_lineitems"
+        ),
+        F.min("diff_e2").alias("min_diff_e2"),
+        F.max("diff_e2").alias("max_diff_e2"),
+    )
+
+
+@query(
+    "events_props_schema_report",
+    oracle="""
+        WITH keys AS (
+            SELECT event_id, unnest(json_keys(props)) AS k FROM events)
+        , tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events)
+        SELECT k AS prop_key,
+               CAST(COUNT(*) AS BIGINT) AS n_present,
+               CAST((10000 * COUNT(*)) // t.n AS BIGINT) AS presence_bp
+        FROM keys CROSS JOIN tot t
+        GROUP BY k, t.n
+    """,
+)
+def q_events_props_schema_report(spark, sf_dir):
+    """Semi-structured schema inference over the props JSON column:
+    every key observed, with presence share — the schema-drift
+    monitor for payloads no DDL governs (a new producer key or a
+    vanishing one shows up here first; today's generator emits the
+    single key 'k' at 100%, and THAT is the pinned baseline drift is
+    measured against). json_object_keys/json_keys both engines; one
+    map-side-combined aggregate over the exploded keys."""
+    ev = load_table(spark, sf_dir, "events")
+    keys = ev.select(
+        "event_id",
+        F.explode(F.json_object_keys(F.col("props"))).alias("k"),
+    )
+    tot = ev.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        keys.groupBy(F.col("k").alias("prop_key"))
+        .agg(F.count(F.lit(1)).alias("n_present"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "prop_key",
+            "n_present",
+            F.expr("(10000 * n_present) div n").alias("presence_bp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# R7: rolling distinct via HLL merge, norm variance decomposition
+# ---------------------------------------------------------------------------
+
+
+def _rolling_hll_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    if dialect == "spark":
+        a = (
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8),"
+            " 16, 10) AS BIGINT)"
+        )
+        b = (
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 9, 8),"
+            " 16, 10) AS BIGINT)"
+        )
+        shl = f"shiftleft(CAST(1 AS BIGINT), {_HLL_SHIFT} - CAST(rho AS INT))"
+        big = "DECIMAL(38,0)"
+        est = (
+            f"CAST((CAST({_HLL_ALPHA_E5} AS {big}) * {_HLL_M} * {_HLL_M}"
+            f" * CAST(shiftleft(CAST(1 AS BIGINT), {_HLL_SHIFT}) AS {big}))"
+            f" div (CAST(denom AS {big}) * 100000) AS BIGINT)"
+        )
+    else:
+        a = "CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)"
+        b = "CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8) AS BIGINT)"
+        shl = f"(CAST(1 AS BIGINT) << ({_HLL_SHIFT} - CAST(rho AS INT)))"
+        est = (
+            f"CAST((CAST({_HLL_ALPHA_E5} AS HUGEINT) * {_HLL_M} * {_HLL_M}"
+            f" * (CAST(1 AS HUGEINT) << {_HLL_SHIFT}))"
+            f" // (CAST(denom AS HUGEINT) * 100000) AS BIGINT)"
+        )
+    mat = "MATERIALIZED " if dialect == "duck" else ""
+    epoch_day = (
+        "unix_micros(ts) div 86400000000"
+        if dialect == "spark"
+        else "epoch_us(ts) // 86400000000"
+    )
+    return f"""
+        WITH daily_regs AS {mat}(
+            SELECT day, bucket, MAX(rho) AS rho FROM (
+                SELECT {epoch_day} AS day,
+                       {_sk._hll_cols(a, b, div)[0]} AS bucket,
+                       CAST({_sk._hll_cols(a, b, div)[1]} AS BIGINT) AS rho
+                FROM events) t
+            GROUP BY day, bucket)
+        , days AS (SELECT DISTINCT day FROM daily_regs)
+        , win AS (
+            SELECT d.day, r.bucket, MAX(r.rho) AS rho
+            FROM days d
+            JOIN daily_regs r
+              ON r.day BETWEEN d.day - 6 AND d.day
+            GROUP BY d.day, r.bucket)
+        , filled AS (
+            SELECT day, CAST(COUNT(*) AS BIGINT) AS n_filled,
+                   CAST(SUM({shl}) AS BIGINT) AS filled_denom
+            FROM win GROUP BY day)
+        , denoms AS (
+            SELECT day, n_filled,
+                   filled_denom + ({_HLL_M} - n_filled)
+                       * CAST({2 ** _HLL_SHIFT} AS BIGINT) AS denom
+            FROM filled)
+        , raw AS (
+            SELECT day, n_filled, {est} AS raw_est,
+                   {_HLL_M} - n_filled AS n_empty
+            FROM denoms)
+        , corrected AS (
+            SELECT r.day,
+                   CAST(CASE WHEN r.raw_est <= {_HLL_M * 5 // 2}
+                                  AND r.n_empty > 0
+                        THEN lc.lc_est ELSE r.raw_est END AS BIGINT)
+                       AS hll_estimate
+            FROM raw r LEFT JOIN {_hll_lc_table()}
+              ON lc.v = r.n_empty)
+        , pairs AS (
+            SELECT DISTINCT {epoch_day} AS day, user_id FROM events)
+        , exact AS (
+            SELECT d.day, CAST(COUNT(DISTINCT p.user_id) AS BIGINT)
+                       AS exact_distinct
+            FROM days d JOIN pairs p
+              ON p.day BETWEEN d.day - 6 AND d.day
+            GROUP BY d.day)
+        SELECT c.day, c.hll_estimate, e.exact_distinct,
+               (10000 * ABS(c.hll_estimate - e.exact_distinct))
+                   {div} e.exact_distinct AS err_bp
+        FROM corrected c JOIN exact e ON e.day = c.day
+    """
+
+
+@query("events_rolling_distinct_hll", oracle=_rolling_hll_sql("duck"))
+def q_events_rolling_distinct_hll(spark, sf_dir):
+    """Trailing-7-day distinct users via HLL REGISTER MERGE — the
+    sketch-mergeability story as a batch query: per-day registers
+    (256 rows/day forever) OR-merge by MAX across the window, so the
+    rolling distinct costs 7×256 register rows per day instead of
+    re-scanning a week of raw events — THE way a 100 TB pipeline
+    serves rolling uniques (the exact twin here is the bounded
+    7-day fan-out of #146; the exact arm exists to measure err_bp).
+    Same integer estimator + linear-counting constant table as
+    #208. Registers use
+    the SAME K-M hash + trailing-zero rank as #156 (shared
+    _hll_cols), so these are the real mergeable registers, not a
+    presence bitmap.
+
+    Scale: one events scan → day-bounded register table; everything
+    after is |days|×256 algebra."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_rolling_hll_sql("spark"))
+
+
+@query(
+    "embed_norm_anova",
+    oracle=f"""
+        WITH norms AS (
+            SELECT label,
+                   CAST(FLOOR({_sim._norm('embedding', 'duck')} * 1000000)
+                        AS BIGINT) AS nrm_e6
+            FROM embeddings)
+        , grand AS (
+            SELECT CAST(SUM(nrm_e6) AS BIGINT) AS gs,
+                   CAST(COUNT(*) AS BIGINT) AS gn
+            FROM norms)
+        , per_label AS (
+            SELECT label, CAST(SUM(nrm_e6) AS BIGINT) AS ls,
+                   CAST(COUNT(*) AS BIGINT) AS ln
+            FROM norms GROUP BY label)
+        , ssw AS (
+            SELECT n.label,
+                   CAST(SUM((n.nrm_e6 - p.ls // p.ln)
+                        * (n.nrm_e6 - p.ls // p.ln)) AS BIGINT) AS ss
+            FROM norms n JOIN per_label p ON p.label = n.label
+            GROUP BY n.label)
+        SELECT p.label, p.ln AS n_vecs,
+               p.ls // p.ln AS mean_norm_e6,
+               CAST(p.ln * ((p.ls // p.ln) - (g.gs // g.gn))
+                    * ((p.ls // p.ln) - (g.gs // g.gn)) AS BIGINT)
+                   AS ss_between,
+               w.ss AS ss_within
+        FROM per_label p
+        JOIN ssw w ON w.label = p.label
+        CROSS JOIN grand g
+    """,
+)
+def q_embed_norm_anova(spark, sf_dir):
+    """Variance decomposition of embedding norms by label —
+    between-label vs within-label sums of squares (the ANOVA
+    numerators) in exact integer algebra (norms floored e6, integer
+    means by floor division): a between/within ratio near zero says
+    the label structure carries no norm signal (healthy for
+    normalized embeddings); a large one flags label-correlated
+    scaling the indexers (#96/#138) must handle. Extends
+    embed_norm_stats (#107) from ranges to second moments.
+
+    Scale: one (label)-keyed aggregate + one label-bounded join —
+    the norm projection is the same shuffle-free codegen as #107."""
+    from pyspark.sql import functions as _F
+
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    norms = spark.sql(
+        f"""SELECT label,
+               CAST(FLOOR({_sim._norm('embedding', 'spark')} * 1000000)
+                    AS BIGINT) AS nrm_e6
+            FROM embeddings"""
+    )
+    grand = norms.agg(
+        F.sum("nrm_e6").alias("gs"), F.count(F.lit(1)).alias("gn")
+    )
+    per_label = norms.groupBy("label").agg(
+        F.sum("nrm_e6").alias("ls"), F.count(F.lit(1)).alias("ln")
+    )
+    ssw = (
+        norms.join(per_label, "label")
+        .select(
+            "label",
+            (
+                (F.col("nrm_e6") - F.expr("ls div ln"))
+                * (F.col("nrm_e6") - F.expr("ls div ln"))
+            ).alias("sq"),
+        )
+        .groupBy("label")
+        .agg(F.sum("sq").alias("ss"))
+    )
+    return (
+        per_label.join(ssw.withColumnRenamed("ss", "ss_within"), "label")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "label",
+            F.col("ln").alias("n_vecs"),
+            F.expr("ls div ln").alias("mean_norm_e6"),
+            F.expr(
+                "CAST(ln * ((ls div ln) - (gs div gn))"
+                " * ((ls div ln) - (gs div gn)) AS BIGINT)"
+            ).alias("ss_between"),
+            "ss_within",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# R7: dedup distribution-bias report, length × quality matrix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embed_dedup_bias_report",
+    oracle=f"""
+        WITH cl AS ({ORACLES["embed_dedup_clusters_lsh"]})
+        , sd AS ({_sim.semdedup_sql("duck")})
+        , dv AS ({embed_diversity_oracle_sql()})
+        , kept AS (
+            SELECT e.vec_id
+            FROM embeddings e
+            JOIN cl ON cl.vec_id = e.vec_id
+            JOIN sd ON sd.vec_id = e.vec_id
+            LEFT JOIN dv ON dv.vec_id = e.vec_id
+            WHERE cl.cluster_id = e.vec_id AND sd.keep = 1
+              AND dv.vec_id IS NOT NULL)
+        , comps AS (
+            SELECT label, vec_id,
+                   generate_subscripts(embedding, 1) - 1 AS pos,
+                   CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                        AS BIGINT) AS c_e6
+            FROM embeddings)
+        , cent_all AS (
+            SELECT label, pos,
+                   CAST(SUM(c_e6) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+                       AS c,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM comps GROUP BY label, pos)
+        , cent_kept AS (
+            SELECT c.label, c.pos,
+                   CAST(SUM(c.c_e6) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+                       AS c,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM comps c JOIN kept k ON k.vec_id = c.vec_id
+            GROUP BY c.label, c.pos)
+        SELECT a.label,
+               MIN(a.n) AS n_before, MIN(k.n) AS n_kept,
+               CAST(SUM((a.c - k.c) * (a.c - k.c)) AS BIGINT)
+                   AS centroid_shift_l2sq_e12
+        FROM cent_all a JOIN cent_kept k
+          ON k.label = a.label AND k.pos = a.pos
+        GROUP BY a.label
+    """,
+)
+def q_embed_dedup_bias_report(spark, sf_dir):
+    """Did dedup BIAS the distribution? Per-label centroid shift
+    (integer L2², #166's algebra) between the full corpus and the
+    embed_keep_list (#177) survivors — the check that the near-dup /
+    SemDeDup / quota gates thinned density without MOVING the
+    distribution (a large shift on one label means the gates fired
+    asymmetrically there — Abbas et al.'s SemDeDup paper audits
+    exactly this before trusting downstream training). Pure
+    composition: the keep-list's kept set joined into the (label,
+    dim) centroid aggregate — one corpus-scale explode shared by
+    both centroids, label×DIMS-bounded algebra after."""
+    kl = QUERIES["embed_keep_list"](spark, sf_dir)
+    kept = kl.where(F.col("keep")).select("vec_id")
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        "label",
+        "vec_id",
+        F.posexplode("embedding").alias("pos", "comp"),
+    ).select(
+        "label",
+        "vec_id",
+        "pos",
+        F.floor(F.col("comp").cast("double") * 1000000)
+        .cast("long")
+        .alias("c_e6"),
+    )
+    cent_all = comps.groupBy("label", "pos").agg(
+        F.expr("sum(c_e6) div count(1)").alias("c_a"),
+        F.count(F.lit(1)).alias("n_a"),
+    )
+    cent_kept = (
+        comps.join(kept, "vec_id")
+        .groupBy("label", "pos")
+        .agg(
+            F.expr("sum(c_e6) div count(1)").alias("c_k"),
+            F.count(F.lit(1)).alias("n_k"),
+        )
+    )
+    return (
+        cent_all.join(cent_kept, ["label", "pos"])
+        .groupBy("label")
+        .agg(
+            F.min("n_a").alias("n_before"),
+            F.min("n_k").alias("n_kept"),
+            F.sum(
+                (F.col("c_a") - F.col("c_k"))
+                * (F.col("c_a") - F.col("c_k"))
+            )
+            .cast("long")
+            .alias("centroid_shift_l2sq_e12"),
+        )
+    )
+
+
+@query(
+    "text_length_quality_matrix",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id,
+                   CAST(LENGTH(bin(len(string_split(text, ' ')))) - 1
+                        AS BIGINT) AS length_octave,
+                   CASE WHEN (10000 * len(list_filter(
+                            string_split(text, ' '),
+                            x -> x IN ('the','a','of','and','to','in'))))
+                            // len(string_split(text, ' ')) >= 1500
+                        THEN 'stopword_rich' ELSE 'stopword_poor' END
+                       AS quality_class
+            FROM documents)
+        SELECT length_octave, quality_class,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM scored GROUP BY length_octave, quality_class
+    """,
+)
+def q_text_length_quality_matrix(spark, sf_dir):
+    """Corpus profile contingency: token-length octave × stopword
+    class — the 2-D histogram a curation review reads first (C4's
+    length and stopword gates, #93, act on these axes; this is
+    their joint distribution). Octaves via length(bin())−1 (shared
+    integer-log2 idiom, #168); stopword share in integer bp. One
+    shuffle-free projection + one bounded aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop = F.size(
+        F.filter(
+            toks,
+            lambda x: x.isin("the", "a", "of", "and", "to", "in"),
+        )
+    )
+    scored = docs.select(
+        (F.length(F.bin(F.size(toks))) - 1)
+        .cast("long")
+        .alias("length_octave"),
+        F.when(
+            F.floor(
+                (F.lit(10000) * stop).cast("long") / F.size(toks)
+            ).cast("long")
+            >= 1500,
+            "stopword_rich",
+        )
+        .otherwise("stopword_poor")
+        .alias("quality_class"),
+    )
+    return scored.groupBy("length_octave", "quality_class").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R8: Gopher duplicate-line/paragraph battery + eleven-gate keep-list
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_gopher_repetition",
+    oracle=_text.gopher_repetition_sql("duck"),
+)
+def q_text_gopher_repetition(spark, sf_dir):
+    """The duplicate-LINE half of Gopher's repetition battery (Rae
+    et al. 2021 Table A1) that #84/#118 don't cover: per doc, the
+    duplicate line/paragraph fractions by count AND by character
+    mass, top-{{2,3,4}}-gram char occupancy, and duplicated-
+    {{5..10}}-gram char fractions, each floor-bp against the
+    published thresholds, plus the combined keep flag. Line /
+    paragraph segmentation is parameterized (prod: split on
+    newlines; this corpus: fixed token windows — see
+    operators/text.py). ONE Generate emits all eleven gram families
+    → one (doc, n, gram) aggregate → one (doc) aggregate: two
+    linear shuffles, no UDF, no quadratic structure."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_text.gopher_repetition_sql("spark"))
+
+
+_V5_EXTRA_CTES = f"""
+        , grep AS (
+            SELECT doc_id, keep = 0 AS gopher_repetitive
+            FROM ({_text.gopher_repetition_sql('duck')}) )
+"""
+
+# v5 = v4 with the repetition gate spliced in directly after the
+# quality-battery gate it completes (gopher_filtered), built by
+# textual refinement of _V4_SELECT so the two stay in sync by
+# construction (asserts below fail the import if v4's text drifts).
+_V5_SELECT = (
+    _V4_SELECT.replace(
+        "AND NOT g.gopher_filtered",
+        "AND NOT g.gopher_filtered\n"
+        "                   AND NOT gr2.gopher_repetitive",
+    )
+    .replace(
+        "WHEN g.gopher_filtered THEN 'gopher_filtered'",
+        "WHEN g.gopher_filtered THEN 'gopher_filtered'\n"
+        "                    WHEN gr2.gopher_repetitive"
+        " THEN 'gopher_repetitive'",
+    )
+    .replace(
+        "JOIN goph g USING (doc_id)",
+        "JOIN goph g USING (doc_id)\n"
+        "        JOIN grep gr2 USING (doc_id)",
+    )
+)
+assert _V5_SELECT.count("gopher_repetitive") == 3, "v4 SELECT drifted"
+
+
+def _keep_list_v5(spark, sf_dir, graph):
+    return _fused_keep_list(spark, sf_dir, graph, 5)
+
+
+@query(
+    "corpus_keep_list_v5",
+    oracle=_KEEP_GATES_CTES
+    + _V3_EXTRA_CTES
+    + _V4_EXTRA_CTES
+    + _V5_EXTRA_CTES
+    + _V5_SELECT,
+)
+def q_corpus_keep_list_v5(spark, sf_dir):
+    """ELEVEN-gate keep-list: v4's ten gates plus the Gopher
+    duplicate-line/paragraph repetition battery
+    (text_gopher_repetition), priority-ordered into one reason code
+    (… > gopher_filtered > gopher_repetitive > low_quality > …).
+    Exact near-dup graph twin; v5-refines-v4 law in pytest."""
+    return _keep_list_v5(spark, sf_dir, "exact")
+
+
+@query(
+    "corpus_keep_list_v5_lsh",
+    oracle=_KEEP_GATES_CTES_LSH
+    + _V3_EXTRA_CTES
+    + _V4_EXTRA_CTES
+    + _V5_EXTRA_CTES
+    + _V5_SELECT,
+)
+def q_corpus_keep_list_v5_lsh(spark, sf_dir):
+    """THE deployment artifact, extended: the eleven-gate keep-list
+    on the MinHash-LSH near-dup graph — every gate linear or
+    banded, O(docs + candidates) end to end."""
+    return _keep_list_v5(spark, sf_dir, "lsh")
+
+
+# ---------------------------------------------------------------------------
+# R8: line-level corpus dedup (CCNet pre-step)
+# ---------------------------------------------------------------------------
+
+
+@query("corpus_line_dedup", oracle=_text.line_dedup_sql("duck"))
+def q_corpus_line_dedup(spark, sf_dir):
+    """CCNet's pre-step (Wenzek et al. 2020): exact dedup of
+    NORMALIZED lines across the whole corpus, keep-list grain —
+    (doc_id, line_no, keep), keep iff corpus-first occurrence
+    (doc_id then line_no order). The standard curation operator
+    between doc-level dedup (#25/#27) and span rewriting (#113);
+    conservation + first-occurrence laws in pytest. One Generate,
+    one line-hash-keyed rank window — linear; see
+    operators/text.py:line_dedup_sql for the skew note."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_text.line_dedup_sql("spark"))
+
+
+@query(
+    "corpus_line_dedup_report", oracle=_text.line_dedup_report_sql("duck")
+)
+def q_corpus_line_dedup_report(spark, sf_dir):
+    """Per-doc line-dedup removal report: lines kept/removed and the
+    integer-bp char mass removed — the boilerplate-density view a
+    curation review reads before enabling corpus-wide line dedup
+    (run it FIRST, the #113 span rewriter second)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_text.line_dedup_report_sql("spark"))
+
+
+@query("bpe_merge_rounds", oracle=_text.bpe_merge_rounds_sql("duck"))
+def q_bpe_merge_rounds(spark, sf_dir):
+    """Multi-round BPE merge training: the first K={_k} merges
+    learned and APPLIED (greedy non-overlapping, gaps-and-islands
+    windows) on the distinct-word table, with the corpus token count
+    after each round — turns the single-pair count (#169) into a
+    tokenizer-training primitive. Monotone law pinned in pytest:
+    round k+1's winning count never exceeds round k's (new pairs are
+    bounded by the previous round's merge events). Vocabulary-
+    bounded algebra only; see operators/text.py:bpe_merge_rounds_sql
+    for the scale shape.""".replace("{_k}", str(_text.BPE_ROUNDS))
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_text.bpe_merge_rounds_sql("spark"))
+
+
+@query(
+    "cdc_incremental_snapshot_balanced",
+    oracle=_with_log(
+        f"""
+        , b AS (SELECT MAX(seq) AS smax FROM log)
+        , dk AS (SELECT DISTINCT key_id FROM log)
+        , keys AS (
+            SELECT key_id,
+                   CAST(row_number() OVER (ORDER BY key_id ASC)
+                        AS BIGINT) AS rnk,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n
+            FROM dk)
+        , kc AS (
+            SELECT key_id, ((rnk - 1) * {_SNAP_CHUNKS}) // n AS chunk
+            FROM keys)
+        , p AS (
+            SELECT smax, smax // 2 AS s0,
+                   (smax - smax // 2) // {_SNAP_CHUNKS} AS step
+            FROM b)
+        , keyed AS (
+            SELECT l.*, k.chunk,
+                   p.s0 + (k.chunk + 1) * p.step AS hw, p.s0
+            FROM log l JOIN kc k USING (key_id) CROSS JOIN p)
+        , ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY key_id ORDER BY seq DESC) AS rn
+            FROM keyed)
+        , agg AS (
+            SELECT key_id, MAX(seq) AS last_seq,
+                   CAST(SUM(CASE WHEN seq > s0 AND seq <= hw
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_in_window
+            FROM keyed GROUP BY key_id)
+        SELECT r.key_id, r.chunk, r.hw AS chunk_hw, r.seq, r.operation,
+               r.event_type, r.ts, r.value,
+               CASE WHEN a.last_seq > r.hw THEN 'binlog'
+                    ELSE 'snapshot' END AS src,
+               (a.n_in_window > 0) AS changed_during_snapshot
+        FROM ranked r JOIN agg a ON r.key_id = a.key_id
+        WHERE r.rn = 1 AND r.operation <> 'DELETE'
+        """
+    ),
+)
+def q_cdc_incremental_snapshot_balanced(spark, sf_dir):
+    """The DBLog incremental snapshot (#163) DRIVEN BY the
+    work-balanced chunk planner (#211): chunk boundaries come from
+    the key RANK over distinct keys — every chunk gets n/N ± 1 keys
+    whatever the keyspace fragmentation (#209) did — instead of
+    equal key-width ranges, closing the DBLog story end to end
+    (plan, then snapshot by the plan). The per-chunk high-watermark
+    schedule and the log-vs-snapshot dedup rule are identical to
+    #163, so the chunking-invariance law (reconstructed state ==
+    position-order latest state) carries over; the balance law
+    (per-chunk key spread <= 1) is the planner's bound, both pinned
+    in pytest.
+
+    Scale: the key->chunk map is one row per KEY (orders below the
+    log); its global rank runs on that bounded table (band-prefix
+    decomposition per #132/#194 if keys ever reach fact scale). The
+    log joins the map on key_id — the SAME shuffle key the per-key
+    window and aggregate need, so AQE plans one key_id exchange
+    feeding all three."""
+    from pyspark.sql import Window
+
+    log = cdc_operation_log(spark, sf_dir)
+    b = log.agg(F.max("seq").alias("smax"))
+    p = b.select(
+        "smax",
+        F.expr("smax div 2").alias("s0"),
+        F.expr(f"(smax - smax div 2) div {_SNAP_CHUNKS}").alias("step"),
+    )
+    dk = log.select("key_id").distinct()
+    n = dk.agg(F.count(F.lit(1)).alias("n"))
+    wk_rank = Window.orderBy(F.col("key_id").asc())
+    kc = (
+        dk.withColumn("rnk", F.row_number().over(wk_rank).cast("long"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "key_id",
+            F.expr(f"((rnk - 1) * {_SNAP_CHUNKS}) div n").alias("chunk"),
+        )
+    )
+    keyed = (
+        log.join(kc, "key_id")
+        .crossJoin(F.broadcast(p))
+        .select(
+            log["*"],
+            "chunk",
+            F.expr("s0 + (chunk + 1) * step").alias("hw"),
+            "s0",
+        )
+    )
+    wk = Window.partitionBy("key_id").orderBy(F.col("seq").desc())
+    ranked = keyed.withColumn("rn", F.row_number().over(wk))
+    agg = keyed.groupBy("key_id").agg(
+        F.max("seq").alias("last_seq"),
+        F.sum(
+            F.when(
+                (F.col("seq") > F.col("s0"))
+                & (F.col("seq") <= F.col("hw")),
+                1,
+            ).otherwise(0)
+        ).alias("n_in_window"),
+    )
+    return (
+        ranked.where((F.col("rn") == 1) & (F.col("operation") != "DELETE"))
+        .join(agg, "key_id")
+        .select(
+            "key_id",
+            "chunk",
+            F.col("hw").alias("chunk_hw"),
+            "seq",
+            "operation",
+            "event_type",
+            "ts",
+            "value",
+            F.when(F.col("last_seq") > F.col("hw"), F.lit("binlog"))
+            .otherwise(F.lit("snapshot"))
+            .alias("src"),
+            (F.col("n_in_window") > 0).alias("changed_during_snapshot"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# R8: tokenizer application, association rules, Benford DQ, Gini,
+# lag percentiles
+# ---------------------------------------------------------------------------
+
+
+@query("bpe_tokenize_by_vocab", oracle=_text.bpe_tokenize_sql("duck"))
+def q_bpe_tokenize_by_vocab(spark, sf_dir):
+    """Apply the learned K-merge BPE vocab per document: token and
+    char counts plus tokens-per-char (bp) — the data-loader budget
+    view that makes the trainer (#228) end-to-end useful. The
+    word->symbol-count map is vocabulary-bounded (broadcast dim);
+    one corpus word explode, one doc-keyed aggregate. Law in
+    pytest: corpus-total tokens here == round-K corpus_tokens_after
+    from the trainer (restricted to trainable words)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_text.bpe_tokenize_sql("spark"))
+
+
+_RULES_TOPK = 20
+
+
+@query(
+    "basket_rules",
+    oracle=f"""
+        WITH lines AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        , t AS (
+            SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+                AS n_total FROM lines)
+        , item AS (
+            SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n
+            FROM lines GROUP BY 1)
+        , pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+            FROM lines a JOIN lines b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey)
+        , counted AS (
+            SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM pairs GROUP BY part_a, part_b)
+        , top AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (
+                    ORDER BY n_orders DESC, part_a ASC, part_b ASC)
+                    AS rnk
+                FROM counted) r
+            WHERE rnk <= {_RULES_TOPK})
+        SELECT p.part_a, p.part_b, p.n_orders, CAST(p.rnk AS BIGINT) AS rnk,
+               CAST((1000000 * p.n_orders) // ia.n AS BIGINT)
+                   AS conf_a_b_ppm,
+               CAST((1000000 * p.n_orders) // ib.n AS BIGINT)
+                   AS conf_b_a_ppm,
+               CAST((1000000 * p.n_orders * t.n_total)
+                    // (ia.n * ib.n) AS BIGINT) AS lift_ppm
+        FROM top p
+        JOIN item ia ON ia.l_partkey = p.part_a
+        JOIN item ib ON ib.l_partkey = p.part_b
+        CROSS JOIN t
+    """,
+)
+def q_basket_rules(spark, sf_dir):
+    """Association rules over the top co-occurring part pairs
+    (#124's itemsets scored): directional confidence and lift in
+    integer ppm — support/confidence/lift is the classic rule
+    mining readout; lift > 1e6 ppm marks genuinely associated
+    pairs vs popularity coincidence. Item supports are a
+    part-keyed aggregate (dim-scale, broadcast into the top-k
+    pairs); the single-row order total is a broadcast; everything
+    after the bounded per-order pair fan-out is integer algebra."""
+    from pyspark.sql import Window
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    t = li.agg(F.countDistinct("l_orderkey").alias("n_total"))
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    counted = (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = Window.orderBy(
+        F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+    )
+    top = counted.withColumn("rnk", F.row_number().over(w).cast("long")).where(
+        F.col("rnk") <= _RULES_TOPK
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("na"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("nb"))
+    return (
+        top.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "part_a",
+            "part_b",
+            "n_orders",
+            "rnk",
+            F.expr("(1000000 * n_orders) div na").alias("conf_a_b_ppm"),
+            F.expr("(1000000 * n_orders) div nb").alias("conf_b_a_ppm"),
+            F.expr("(1000000 * n_orders * n_total) div (na * nb)").alias(
+                "lift_ppm"
+            ),
+        )
+    )
+
+
+# Benford expected first-digit shares, floor-bp of log10(1 + 1/d) —
+# data-independent constants inlined (never computed in-engine).
+_BENFORD_BP = {1: 3010, 2: 1760, 3: 1249, 4: 969, 5: 791,
+               6: 669, 7: 579, 8: 511, 9: 457}
+
+
+@query(
+    "dq_benford_first_digit",
+    oracle=f"""
+        WITH d AS (
+            SELECT substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS digit
+            FROM orders)
+        , c AS (
+            SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM d GROUP BY digit)
+        , t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS tot FROM c)
+        , e(digit, exp_bp) AS (VALUES {", ".join(
+            f"('{d}', CAST({bp} AS BIGINT))"
+            for d, bp in _BENFORD_BP.items())})
+        SELECT e.digit, COALESCE(c.n_orders, 0) AS n_orders,
+               CAST(COALESCE((10000 * c.n_orders) // t.tot, 0) AS BIGINT)
+                   AS obs_bp,
+               e.exp_bp,
+               CAST(ABS(COALESCE((10000 * c.n_orders) // t.tot, 0)
+                    - e.exp_bp) AS BIGINT) AS abs_dev_bp
+        FROM e LEFT JOIN c ON c.digit = e.digit CROSS JOIN t
+    """,
+)
+def q_dq_benford_first_digit(spark, sf_dir):
+    """Benford first-digit audit of order totals — the classic
+    fabricated-data screen: observed first-digit shares (floor bp)
+    vs Benford's log10(1+1/d) expectation, with per-digit absolute
+    deviation. First digit via FLOOR-then-string (CAST of DECIMAL
+    to BIGINT rounds in DuckDB but truncates in Spark — the floor
+    makes both exact). One shuffle-free projection, one 9-row
+    aggregate; the expected table is a VALUES literal."""
+    o = load_table(spark, sf_dir, "orders")
+    c = (
+        o.select(
+            F.substring(
+                F.floor(F.col("o_totalprice")).cast("long").cast("string"),
+                1,
+                1,
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    t = c.agg(F.sum("n_orders").alias("tot"))
+    e = spark.createDataFrame(
+        [(str(d), bp) for d, bp in _BENFORD_BP.items()],
+        "digit string, exp_bp long",
+    )
+    obs = F.coalesce(
+        F.expr("(10000 * n_orders) div tot"), F.lit(0)
+    ).cast("long")
+    return (
+        e.join(c, "digit", "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias(
+                "n_orders"
+            ),
+            obs.alias("obs_bp"),
+            "exp_bp",
+            F.abs(obs - F.col("exp_bp")).cast("long").alias("abs_dev_bp"),
+        )
+    )
+
+
+@query(
+    "events_user_gini",
+    oracle="""
+        WITH counts AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY user_id)
+        , ranked AS (
+            SELECT c, CAST(row_number() OVER (
+                ORDER BY c ASC, user_id ASC) AS BIGINT) AS i
+            FROM counts)
+        , agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(c) AS BIGINT) AS s,
+                   CAST(SUM(i * c) AS BIGINT) AS s1
+            FROM ranked)
+        SELECT n AS n_users, s AS total_events,
+               CAST((10000 * (2 * s1 - (n + 1) * s)) // (n * s)
+                    AS BIGINT) AS gini_bp
+        FROM agg
+    """,
+)
+def q_events_user_gini(spark, sf_dir):
+    """Gini coefficient of per-user event volume (integer bp, exact
+    rank formula G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) over
+    ascending-sorted users) — the inequality measure next to the
+    Pareto curve (#132) and HHI (#178): one number for 'how skewed
+    is the activity distribution', the signal that decides whether
+    the salted patterns (#38/#136) are needed. The rank window runs
+    on the USER dimension (one row per user after the map-side
+    combine); band-prefix decomposition applies if users ever reach
+    fact scale. Tie order doesn't affect the sum (equal values
+    commute)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("c").asc(), F.col("user_id").asc())
+    ranked = counts.select(
+        "c", F.row_number().over(w).cast("long").alias("i")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("i") * F.col("c")).alias("s1"),
+    ).select(
+        F.col("n").alias("n_users"),
+        F.col("s").alias("total_events"),
+        F.expr("(10000 * (2 * s1 - (n + 1) * s)) div (n * s)")
+        .cast("long")
+        .alias("gini_bp"),
+    )
+
+
+@query(
+    "cdc_staleness_percentiles",
+    oracle=_with_log(
+        """
+        , last AS (
+            SELECT key_id, MAX(ts) AS last_ts FROM log GROUP BY key_id)
+        , anchor AS (SELECT MAX(last_ts) AS a FROM last)
+        , stale AS (
+            SELECT (epoch_us(an.a) - epoch_us(l.last_ts)) // 1000000
+                       AS stale_s
+            FROM last l CROSS JOIN anchor an)
+        , ranked AS (
+            SELECT stale_s,
+                   row_number() OVER (ORDER BY stale_s ASC) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM stale)
+        SELECT CAST(MAX(n) AS BIGINT) AS n_keys,
+               CAST(SUM(CASE WHEN rn = (50 * n + 99) // 100
+                        THEN stale_s ELSE 0 END) AS BIGINT) AS p50_s,
+               CAST(SUM(CASE WHEN rn = (90 * n + 99) // 100
+                        THEN stale_s ELSE 0 END) AS BIGINT) AS p90_s,
+               CAST(SUM(CASE WHEN rn = (99 * n + 99) // 100
+                        THEN stale_s ELSE 0 END) AS BIGINT) AS p99_s,
+               CAST(MAX(stale_s) AS BIGINT) AS max_s
+        FROM ranked
+        """
+    ),
+)
+def q_cdc_staleness_percentiles(spark, sf_dir):
+    """Exact key-staleness percentiles at the log's high-water
+    anchor: per key, seconds since its last change; then p50/p90/p99
+    /max over KEYS — the distribution completing cdc_freshness
+    (#64, which reports per-table max): 'half the keys are ≤ p50_s
+    old' is the SLA sentence a replication dashboard states.
+    (The op log is ingest-ordered on this testdata, so event-level
+    LATENESS percentiles would be vacuously empty — #130 measures
+    that; staleness is the always-meaningful percentile.)
+    Rank-position quantiles (ceil(p·n/100), the #65 cross-engine
+    formulation) on the KEY dimension — one map-side-combined
+    key aggregate, a 1-row anchor broadcast, then a key-bounded
+    rank (band-prefix decomposition if keys reach fact scale)."""
+    from pyspark.sql import Window
+
+    log = cdc_operation_log(spark, sf_dir)
+    last = log.groupBy("key_id").agg(F.max("ts").alias("last_ts"))
+    anchor = last.agg(F.max("last_ts").alias("a"))
+    stale = last.crossJoin(F.broadcast(anchor)).select(
+        (
+            (F.unix_micros("a") - F.unix_micros("last_ts"))
+            / F.lit(1000000)
+        )
+        .cast("long")
+        .alias("stale_s")
+    )
+    wr = Window.orderBy(F.col("stale_s").asc())
+    ranked = stale.select(
+        "stale_s",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+
+    def pick(p):
+        return F.sum(
+            F.when(
+                F.col("rn") == F.expr(f"({p} * n + 99) div 100"),
+                F.col("stale_s"),
+            ).otherwise(0)
+        ).cast("long")
+
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_keys"),
+        pick(50).alias("p50_s"),
+        pick(90).alias("p90_s"),
+        pick(99).alias("p99_s"),
+        F.max("stale_s").cast("long").alias("max_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R8: multimodal byte histogram, deterministic split assignment,
+# op-mix drift, KNN label vote
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mm_byte_histogram",
+    oracle="""
+        WITH h AS (
+            SELECT doc_id, hex(encode(text)) AS hx FROM documents)
+        , bytes AS (
+            SELECT doc_id, substr(hx, CAST(2 * i - 1 AS INTEGER), 2)
+                       AS byte
+            FROM h, unnest(range(1, LENGTH(hx) // 2 + 1)) AS t(i))
+        , bc AS (
+            SELECT doc_id, byte, CAST(COUNT(*) AS BIGINT) AS c
+            FROM bytes GROUP BY doc_id, byte)
+        , ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY c DESC, byte ASC) AS rn,
+                CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n,
+                CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT)
+                    AS n_distinct
+            FROM bc)
+        SELECT doc_id, n AS n_bytes, n_distinct AS n_distinct_bytes,
+               byte AS top_byte,
+               CAST((10000 * c) // n AS BIGINT) AS top_byte_bp
+        FROM ranked WHERE rn = 1
+    """,
+)
+def q_mm_byte_histogram(spark, sf_dir):
+    """Byte-level payload profile for opaque binary columns: total
+    and distinct byte counts, the modal byte and its bp occupancy —
+    the corruption/format screen a multimodal ingest runs before
+    decode (a 'JPEG' whose modal byte occupies 90% is not a JPEG;
+    truncated payloads show as collapsed distinct counts). Payload =
+    the same UTF-8 bytes the other mm_* ops use; bytes come from
+    ONE hex projection + a 2-char-window Generate — stays in
+    codegen, no UDF, byte domain is 256 so every aggregate is
+    bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    h = docs.select(
+        "doc_id",
+        F.hex(F.encode(F.col("text"), "UTF-8")).alias("hx"),
+    )
+    bytes_ = h.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(hx) div 2),"
+                " i -> substr(hx, 2 * i - 1, 2))"
+            )
+        ).alias("byte"),
+    )
+    bc = bytes_.groupBy("doc_id", "byte").agg(F.count(F.lit(1)).alias("c"))
+    wr = Window.partitionBy("doc_id").orderBy(
+        F.col("c").desc(), F.col("byte").asc()
+    )
+    wd = Window.partitionBy("doc_id")
+    ranked = bc.select(
+        "doc_id",
+        "byte",
+        "c",
+        F.row_number().over(wr).alias("rn"),
+        F.sum("c").over(wd).alias("n"),
+        F.count(F.lit(1)).over(wd).alias("n_distinct"),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_bytes"),
+        F.col("n_distinct").cast("long").alias("n_distinct_bytes"),
+        F.col("byte").alias("top_byte"),
+        F.expr("(10000 * c) div n").cast("long").alias("top_byte_bp"),
+    )
+
+
+_SPLIT_TRAIN_PCT = 80
+_SPLIT_VAL_PCT = 10  # test gets the remainder
+
+
+@query(
+    "sample_split_assign",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT doc_id, lang,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 100 AS bkt
+            FROM documents)
+        , labeled AS (
+            SELECT doc_id, lang,
+                   CASE WHEN bkt < {_SPLIT_TRAIN_PCT} THEN 'train'
+                        WHEN bkt < {_SPLIT_TRAIN_PCT + _SPLIT_VAL_PCT}
+                            THEN 'val'
+                        ELSE 'test' END AS split
+            FROM assigned)
+        SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+        FROM labeled GROUP BY split, lang
+    """,
+)
+def q_sample_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment by content-stable
+    hash bucket (md5(doc_id) mod 100 → 80/10/10) with the per-split
+    × per-lang balance audit — the split that survives reshuffles,
+    re-partitioning, and incremental appends because membership is a
+    pure function of the id, never of position (the classic
+    randomSplit trap: position-dependent splits leak across reruns).
+    Shuffle-free projection + bounded aggregate; the same bucket
+    idiom as the stratified sampler (#53)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bkt = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bkt < _SPLIT_TRAIN_PCT, "train")
+        .when(bkt < _SPLIT_TRAIN_PCT + _SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("doc_id", "lang", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+@query(
+    "cdc_op_mix_drift",
+    oracle=_with_log(
+        """
+        , daily AS (
+            SELECT date_trunc('day', ts) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST((10000 * SUM(CASE WHEN operation = 'INSERT'
+                        THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+                       AS ins_bp,
+                   CAST((10000 * SUM(CASE WHEN operation = 'UPDATE'
+                        THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+                       AS upd_bp,
+                   CAST((10000 * SUM(CASE WHEN operation = 'DELETE'
+                        THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+                       AS del_bp
+            FROM log GROUP BY 1)
+        SELECT day, n, ins_bp, upd_bp, del_bp,
+               CAST(ABS(ins_bp - lag(ins_bp) OVER (ORDER BY day))
+                    + ABS(upd_bp - lag(upd_bp) OVER (ORDER BY day))
+                    + ABS(del_bp - lag(del_bp) OVER (ORDER BY day))
+                    AS BIGINT) AS l1_drift_bp
+        FROM daily
+        """
+    ),
+)
+def q_cdc_op_mix_drift(spark, sf_dir):
+    """Daily operation-mix drift monitor: INSERT/UPDATE/DELETE
+    shares (bp) per day and the L1 distance to the previous day —
+    the cheap canary for upstream behavior changes (an ETL bug that
+    turns updates into delete+insert pairs shows as a drift spike
+    long before row counts move). One day-keyed aggregate
+    (map-side combined), then lag windows over the DAY-bounded
+    table — nothing fact-scale after the first shuffle."""
+    from pyspark.sql import Window
+
+    log = cdc_operation_log(spark, sf_dir)
+
+    def share(op):
+        return F.expr(
+            f"(10000 * sum(CASE WHEN operation = '{op}' THEN 1 ELSE 0"
+            " END)) div count(1)"
+        )
+
+    daily = log.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        share("INSERT").alias("ins_bp"),
+        share("UPDATE").alias("upd_bp"),
+        share("DELETE").alias("del_bp"),
+    )
+    w = Window.orderBy("day")
+    drift = (
+        F.abs(F.col("ins_bp") - F.lag("ins_bp").over(w))
+        + F.abs(F.col("upd_bp") - F.lag("upd_bp").over(w))
+        + F.abs(F.col("del_bp") - F.lag("del_bp").over(w))
+    )
+    return daily.select(
+        "day",
+        "n",
+        "ins_bp",
+        "upd_bp",
+        "del_bp",
+        drift.cast("long").alias("l1_drift_bp"),
+    )
+
+
+@query(
+    "ann_knn_label_vote",
+    oracle=f"""
+        {_sim._knn_ctes('duck')}
+        , g AS (
+            SELECT vec_id AS query_id, neighbor_id
+            FROM ranked WHERE rnk <= {_sim.KNN_K})
+        , votes AS (
+            SELECT g.query_id, e.label AS vote
+            FROM g JOIN embeddings e ON e.vec_id = g.neighbor_id)
+        , tally AS (
+            SELECT query_id, vote, CAST(COUNT(*) AS BIGINT) AS c
+            FROM votes GROUP BY query_id, vote)
+        , win AS (
+            SELECT query_id, vote, c FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY c DESC, vote ASC) AS rn
+                FROM tally) r WHERE rn = 1)
+        SELECT e.label AS true_label,
+               CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CAST(SUM(CASE WHEN w.vote = e.label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_correct,
+               CAST((10000 * SUM(CASE WHEN w.vote = e.label
+                    THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+                   AS acc_bp
+        FROM win w JOIN embeddings e ON e.vec_id = w.query_id
+        GROUP BY e.label
+    """,
+)
+def q_ann_knn_label_vote(spark, sf_dir):
+    """KNN majority-vote label prediction scored against the true
+    labels, per class — the standard embedding-quality eval
+    (neighbors agree on labels ⇔ the space is usable for
+    classification), read next to label-prop communities (#148) and
+    label drift (#166). Votes come from the cell-bounded KNN graph
+    (#109, never corpus²); the tally and argmax are
+    query×label-bounded; ties break deterministically (count DESC,
+    label ASC)."""
+    from pyspark.sql import Window
+
+    g = _sim.knn_graph(spark, sf_dir).select(
+        F.col("vec_id").alias("query_id"), "neighbor_id"
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    votes = g.join(
+        emb.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+    ).select("query_id", F.col("label").alias("vote"))
+    tally = votes.groupBy("query_id", "vote").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("c").desc(), F.col("vote").asc()
+    )
+    win = tally.withColumn("rn", F.row_number().over(wr)).where(
+        F.col("rn") == 1
+    )
+    truth = emb.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+        "label", "true_label"
+    )
+    j = win.join(truth, "query_id")
+    return j.groupBy("true_label").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(
+            F.when(F.col("vote") == F.col("true_label"), 1).otherwise(0)
+        ).alias("n_correct"),
+        F.expr(
+            "(10000 * sum(CASE WHEN vote = true_label THEN 1 ELSE 0 END))"
+            " div count(1)"
+        ).alias("acc_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R8: source-pair distribution distance, shingle DF profile,
+# burstiness
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_source_similarity_matrix",
+    oracle="""
+        WITH tok AS (
+            SELECT source, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+        , c AS (
+            SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tok GROUP BY source, w)
+        , t AS (
+            SELECT source, CAST(SUM(c) AS BIGINT) AS tot
+            FROM c GROUP BY source)
+        , vocab AS (SELECT DISTINCT w FROM c)
+        , grid AS (
+            SELECT t.source, t.tot, v.w, COALESCE(c.c, 0) AS c
+            FROM t CROSS JOIN vocab v
+            LEFT JOIN c ON c.source = t.source AND c.w = v.w)
+        SELECT a.source AS source_a, b.source AS source_b,
+               a.tot AS tokens_a, b.tot AS tokens_b,
+               CAST((10000 * SUM(ABS(a.c * b.tot - b.c * a.tot)))
+                    // (a.tot * b.tot) AS BIGINT) AS l1_bp
+        FROM grid a JOIN grid b
+          ON a.w = b.w AND a.source < b.source
+        GROUP BY a.source, b.source, a.tot, b.tot
+    """,
+)
+def q_text_source_similarity_matrix(spark, sf_dir):
+    """Pairwise L1 distance between per-source unigram
+    distributions (exact rational: Σ|c₁T₂ − c₂T₁|·10⁴ div T₁T₂,
+    range [0, 20000] bp) — the cross-SOURCE complement of the
+    over-TIME drift monitor (#210): which corpora are
+    interchangeable and which bring genuinely different text, the
+    matrix a mixing-weight decision (#86/#174) reads. The dense
+    source×vocab grid makes zero counts explicit (missing words
+    carry the mass); everything after the corpus token count is
+    vocab×sources-bounded algebra, and the pair join is on the word
+    key — never corpus-scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    c = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    t = c.groupBy("source").agg(F.sum("c").alias("tot"))
+    vocab = c.select("w").distinct()
+    grid = (
+        t.crossJoin(vocab)
+        .join(c, ["source", "w"], "left")
+        .select(
+            "source", "tot", "w", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+        )
+    )
+    a = grid.select(
+        F.col("source").alias("source_a"),
+        F.col("tot").alias("tokens_a"),
+        "w",
+        F.col("c").alias("ca"),
+    )
+    b = grid.select(
+        F.col("source").alias("source_b"),
+        F.col("tot").alias("tokens_b"),
+        "w",
+        F.col("c").alias("cb"),
+    )
+    return (
+        a.join(b, "w")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b", "tokens_a", "tokens_b")
+        .agg(
+            F.expr(
+                "CAST((10000 * sum(ABS(ca * tokens_b - cb * tokens_a)))"
+                " div (tokens_a * tokens_b) AS BIGINT)"
+            ).alias("l1_bp")
+        )
+    )
+
+
+@query(
+    "dedup_shingle_df_profile",
+    oracle=f"""
+        WITH {_dedup._SHINGLES_SQL}
+        , df AS (
+            SELECT s, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM sh GROUP BY s)
+        SELECT CAST(LENGTH(bin(df)) - 1 AS BIGINT) AS df_octave,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(df) AS BIGINT) AS n_postings,
+               MIN(df) AS min_df, MAX(df) AS max_df
+        FROM df GROUP BY 1
+    """,
+)
+def q_dedup_shingle_df_profile(spark, sf_dir):
+    """Document-frequency histogram of dedup shingles in octave
+    buckets (integer log2 via LENGTH(bin())−1, the #168 idiom) —
+    the profile that JUSTIFIES the df-cap the containment join
+    (#127) applies: the top octaves are the stop-shingles whose
+    postings would quadratically dominate the candidate join, and
+    n_postings per octave is exactly the join cost each cap value
+    trades away. One shingle-keyed aggregate, then an
+    octave-bounded rollup."""
+    from ..operators.dedup import shingles
+
+    sh = shingles(load_table(spark, sf_dir, "documents"))
+    df = sh.groupBy("s").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        df.groupBy(
+            (F.length(F.bin(F.col("df"))) - 1)
+            .cast("long")
+            .alias("df_octave")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("df").alias("n_postings"),
+            F.min("df").alias("min_df"),
+            F.max("df").alias("max_df"),
+        )
+    )
+
+
+@query(
+    "events_burstiness",
+    oracle="""
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2)
+        , span AS (
+            SELECT user_id,
+                   CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS active_hours,
+                   CAST((epoch_us(MAX(h)) - epoch_us(MIN(h)))
+                        // 3600000000 + 1 AS BIGINT) AS span_hours,
+                   CAST(SUM(c * c) AS BIGINT) AS s2
+            FROM hourly GROUP BY user_id)
+        SELECT user_id, n AS n_events, active_hours, span_hours,
+               CAST((1000 * (span_hours * s2 - n * n))
+                    // (span_hours * n) AS BIGINT) AS fano_e3
+        FROM span
+    """,
+)
+def q_events_burstiness(spark, sf_dir):
+    """Per-user burstiness: the Fano factor (variance/mean, e3
+    integer) of hourly event counts over the user's active span —
+    ≈1000 is Poisson-like traffic, ≫1000 is bursty sessions, ≪1000
+    is metronomic automation (a bot signature). Zero hours inside
+    the span carry mass through the identity
+    var/mean = (H·Σc² − N²)/(H·N) with H = span hours — no zero
+    rows are materialized. One (user, hour) aggregate sharing the
+    user shuffle with the per-user rollup; pure integer algebra."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    span = hourly.groupBy("user_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("active_hours"),
+        (
+            (F.unix_micros(F.max("h")) - F.unix_micros(F.min("h")))
+            / F.lit(3600000000)
+        )
+        .cast("long")
+        .alias("sp"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    return span.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        "active_hours",
+        (F.col("sp") + 1).alias("span_hours"),
+        F.expr(
+            "CAST((1000 * ((sp + 1) * s2 - n * n)) div ((sp + 1) * n)"
+            " AS BIGINT)"
+        ).alias("fano_e3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R8: twelve-gate keep-list — line-dedup boilerplate gate
+# ---------------------------------------------------------------------------
+
+_BOILERPLATE_BP = 5000  # drop docs losing > half their mass to line dedup
+
+_V6_EXTRA_CTES = f"""
+        , ld AS (
+            SELECT doc_id, removed_char_bp > {_BOILERPLATE_BP}
+                       AS boilerplate
+            FROM ({_text.line_dedup_report_sql('duck')}) )
+"""
+
+# v6 = v5 with the boilerplate gate spliced in after dup_heavy (it is
+# a cross-doc duplication signal, so it outranks the quality gates) —
+# same textual-refinement discipline as _V5_SELECT.
+_V6_SELECT = (
+    _V5_SELECT.replace(
+        "AND NOT COALESCE(n.is_dup_heavy, FALSE)",
+        "AND NOT COALESCE(n.is_dup_heavy, FALSE)\n"
+        "                   AND NOT ld.boilerplate",
+    )
+    .replace(
+        "WHEN COALESCE(n.is_dup_heavy, FALSE) THEN 'dup_heavy'",
+        "WHEN COALESCE(n.is_dup_heavy, FALSE) THEN 'dup_heavy'\n"
+        "                    WHEN ld.boilerplate THEN 'boilerplate'",
+    )
+    .replace(
+        "JOIN grep gr2 USING (doc_id)",
+        "JOIN grep gr2 USING (doc_id)\n"
+        "        JOIN ld USING (doc_id)",
+    )
+)
+assert _V6_SELECT.count("boilerplate") == 3, "v5 SELECT drifted"
+
+
+def _keep_list_v6(spark, sf_dir, graph):
+    return _fused_keep_list(spark, sf_dir, graph, 6)
+
+
+@query(
+    "corpus_keep_list_v6",
+    oracle=_KEEP_GATES_CTES
+    + _V3_EXTRA_CTES
+    + _V4_EXTRA_CTES
+    + _V5_EXTRA_CTES
+    + _V6_EXTRA_CTES
+    + _V6_SELECT,
+)
+def q_corpus_keep_list_v6(spark, sf_dir):
+    """TWELVE-gate keep-list: v5 plus the line-dedup boilerplate
+    gate — docs losing > {bp} bp of their char mass to corpus-wide
+    line dedup (#227) are assembled boilerplate even when no single
+    doc-level dup/containment pair catches them. Gate ranks with
+    the duplication family (after dup_heavy, above the quality
+    battery). Exact-graph oracle twin; v6-refines-v5 law in
+    pytest.""".replace("{bp}", str(_BOILERPLATE_BP))
+    return _keep_list_v6(spark, sf_dir, "exact")
+
+
+@query(
+    "corpus_keep_list_v6_lsh",
+    oracle=_KEEP_GATES_CTES_LSH
+    + _V3_EXTRA_CTES
+    + _V4_EXTRA_CTES
+    + _V5_EXTRA_CTES
+    + _V6_EXTRA_CTES
+    + _V6_SELECT,
+)
+def q_corpus_keep_list_v6_lsh(spark, sf_dir):
+    """The deployment artifact at its widest: twelve gates on the
+    LSH near-dup graph — every gate linear or banded,
+    O(docs + candidates) end to end."""
+    return _keep_list_v6(spark, sf_dir, "lsh")
+
+
+# ---------------------------------------------------------------------------
+# R8: robust daily anomaly screen, part-name entity resolution,
+# trained-quantizer quality index
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_daily_anomaly_mad",
+    oracle="""
+        WITH daily AS (
+            SELECT date_trunc('day', ts) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1)
+        , r1 AS (
+            SELECT day, n,
+                   row_number() OVER (ORDER BY n ASC, day ASC) AS rn,
+                   COUNT(*) OVER () AS cnt
+            FROM daily)
+        , med AS (
+            SELECT CAST(SUM(CASE WHEN rn = (cnt + 1) // 2
+                        THEN n ELSE 0 END) AS BIGINT) AS m
+            FROM r1)
+        , dev AS (
+            SELECT day, n, ABS(n - med.m) AS d, med.m
+            FROM daily CROSS JOIN med)
+        , r2 AS (
+            SELECT d, row_number() OVER (ORDER BY d ASC) AS rn,
+                   COUNT(*) OVER () AS cnt
+            FROM dev)
+        , mad AS (
+            SELECT CAST(SUM(CASE WHEN rn = (cnt + 1) // 2
+                        THEN d ELSE 0 END) AS BIGINT) AS mad
+            FROM r2)
+        SELECT v.day, v.n AS n_events, v.m AS median_n,
+               CAST(v.d AS BIGINT) AS abs_dev, mad.mad AS mad_n,
+               CAST(CASE WHEN mad.mad = 0 THEN 0
+                    ELSE (1000 * v.d) // mad.mad END AS BIGINT) AS z_e3,
+               CAST(CASE WHEN mad.mad > 0 AND (1000 * v.d) // mad.mad
+                         > 3500 THEN 1 ELSE 0 END AS BIGINT)
+                   AS is_anomaly
+        FROM dev v CROSS JOIN mad
+    """,
+)
+def q_events_daily_anomaly_mad(spark, sf_dir):
+    """Robust daily-volume anomaly screen: deviation from the
+    median in MAD units (the outlier-resistant z-score, e3 integer;
+    lower-median order statistic so no parity halving) with the
+    standard 3.5-MAD flag — the day-grain complement of the
+    hour-of-day profile (#99) and CUSUM changepoints (#206):
+    medians don't move when the anomaly itself is in the window,
+    which is exactly where mean/stddev screens fail. Day table is
+    bounded, so both rank windows and the two 1-row broadcasts are
+    trivial; the only fact-scale work is the first aggregate."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w1 = Window.orderBy(F.col("n").asc(), F.col("day").asc())
+    wc = Window.partitionBy()
+    r1 = daily.select(
+        "n",
+        F.row_number().over(w1).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    med = r1.agg(
+        F.sum(
+            F.when(F.col("rn") == F.expr("(cnt + 1) div 2"), F.col("n"))
+            .otherwise(0)
+        ).alias("m")
+    )
+    dev = daily.crossJoin(F.broadcast(med)).select(
+        "day", "n", "m", F.abs(F.col("n") - F.col("m")).alias("d")
+    )
+    w2 = Window.orderBy(F.col("d").asc())
+    r2 = dev.select(
+        "d",
+        F.row_number().over(w2).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    mad = r2.agg(
+        F.sum(
+            F.when(F.col("rn") == F.expr("(cnt + 1) div 2"), F.col("d"))
+            .otherwise(0)
+        ).alias("mad")
+    )
+    z = F.expr("CASE WHEN mad = 0 THEN 0 ELSE (1000 * d) div mad END")
+    return dev.crossJoin(F.broadcast(mad)).select(
+        "day",
+        F.col("n").alias("n_events"),
+        F.col("m").alias("median_n"),
+        F.col("d").cast("long").alias("abs_dev"),
+        F.col("mad").alias("mad_n"),
+        z.cast("long").alias("z_e3"),
+        F.expr(
+            "CAST(CASE WHEN mad > 0 AND (1000 * d) div mad > 3500"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("is_anomaly"),
+    )
+
+
+_FUZZY_TOPK = 50
+_FUZZY_JACCARD_BP = 5000
+
+
+@query(
+    "part_fuzzy_match",
+    oracle=f"""
+        WITH words AS (
+            SELECT DISTINCT p_partkey, unnest(string_split(p_name, ' '))
+                       AS w
+            FROM part)
+        , df AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS df
+            FROM words GROUP BY w)
+        , sizes AS (
+            SELECT p_partkey, CAST(COUNT(*) AS BIGINT) AS sz
+            FROM words GROUP BY p_partkey)
+        , rarest AS (
+            SELECT p_partkey, w FROM (
+                SELECT wo.p_partkey, wo.w,
+                       row_number() OVER (
+                           PARTITION BY wo.p_partkey
+                           ORDER BY d.df ASC, wo.w ASC) AS rn
+                FROM words wo JOIN df d ON d.w = wo.w) r
+            WHERE rn = 1)
+        , cand AS (
+            SELECT a.p_partkey AS key_a, b.p_partkey AS key_b
+            FROM rarest a JOIN rarest b
+              ON a.w = b.w AND a.p_partkey < b.p_partkey)
+        , inter AS (
+            SELECT c.key_a, c.key_b, CAST(COUNT(*) AS BIGINT) AS i
+            FROM cand c
+            JOIN words x ON x.p_partkey = c.key_a
+            JOIN words y ON y.p_partkey = c.key_b AND y.w = x.w
+            GROUP BY c.key_a, c.key_b)
+        , scored AS (
+            SELECT i.key_a, i.key_b,
+                   CAST((10000 * i.i) // (sa.sz + sb.sz - i.i)
+                        AS BIGINT) AS jaccard_bp
+            FROM inter i
+            JOIN sizes sa ON sa.p_partkey = i.key_a
+            JOIN sizes sb ON sb.p_partkey = i.key_b
+            WHERE (10000 * i.i) // (sa.sz + sb.sz - i.i)
+                  >= {_FUZZY_JACCARD_BP})
+        SELECT key_a, key_b, jaccard_bp,
+               CAST(row_number() OVER (
+                   ORDER BY jaccard_bp DESC, key_a ASC, key_b ASC)
+                   AS BIGINT) AS rnk
+        FROM scored
+        QUALIFY rnk <= {_FUZZY_TOPK}
+    """,
+)
+def q_part_fuzzy_match(spark, sf_dir):
+    """Entity resolution on the part DIMENSION: near-identical
+    p_name pairs by word-set Jaccard, blocked on each name's
+    RAREST word (canopy blocking: every name lands in exactly one
+    block keyed by its lowest-df token, so candidate volume is
+    Σ block² over small blocks — never parts², the same df-
+    discipline as the containment join #127; recall is bounded by
+    the blocking like LSH and documented as such). Fuzzy dim
+    matching is the warehouse-side dedup the text family doesn't
+    cover — catalog merge, supplier-feed reconciliation. Verify is
+    an exact posting intersection on candidates only; top-{_k}
+    deterministic rank.""".replace("{_k}", str(_FUZZY_TOPK))
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part")
+    words = part.select(
+        "p_partkey", F.explode(F.split("p_name", " ")).alias("w")
+    ).distinct()
+    df = words.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    sizes = words.groupBy("p_partkey").agg(F.count(F.lit(1)).alias("sz"))
+    wr = Window.partitionBy("p_partkey").orderBy(
+        F.col("df").asc(), F.col("w").asc()
+    )
+    rarest = (
+        words.join(df, "w")
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select("p_partkey", "w")
+    )
+    a = rarest.select(F.col("p_partkey").alias("key_a"), "w")
+    b = rarest.select(F.col("p_partkey").alias("key_b"), "w")
+    cand = a.join(b, "w").where(F.col("key_a") < F.col("key_b")).select(
+        "key_a", "key_b"
+    )
+    x = words.select(F.col("p_partkey").alias("key_a"), "w")
+    y = words.select(F.col("p_partkey").alias("key_b"), "w")
+    inter = (
+        cand.join(x, "key_a")
+        .join(y, ["key_b", "w"])
+        .groupBy("key_a", "key_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("p_partkey").alias("key_a"), F.col("sz").alias("sa"))
+    sb = sizes.select(F.col("p_partkey").alias("key_b"), F.col("sz").alias("sb"))
+    scored = (
+        inter.join(sa, "key_a")
+        .join(sb, "key_b")
+        .select(
+            "key_a",
+            "key_b",
+            F.expr("(10000 * i) div (sa + sb - i)")
+            .cast("long")
+            .alias("jaccard_bp"),
+        )
+        .where(F.col("jaccard_bp") >= _FUZZY_JACCARD_BP)
+    )
+    wk = Window.orderBy(
+        F.col("jaccard_bp").desc(), F.col("key_a").asc(), F.col("key_b").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wk).cast("long"))
+        .where(F.col("rnk") <= _FUZZY_TOPK)
+    )
+
+
+@query(
+    "ann_ivf_kmeans_quality",
+    oracle=f"""
+        {_sim._kmeans_ctes('duck')}
+        , cellstats AS (
+            SELECT cid AS cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                   CAST(SUM(dist2) // COUNT(*) AS BIGINT) AS scatter
+            FROM asg{_sim.KM_ITERS} GROUP BY cid)
+        , cd AS (
+            SELECT a.cid AS ci, b.cid AS cj,
+                   CAST(SUM((a.cc - b.cc) * (a.cc - b.cc)) AS BIGINT)
+                       AS d2
+            FROM c{_sim.KM_ITERS} a
+            JOIN c{_sim.KM_ITERS} b
+              ON a.dim = b.dim AND a.cid <> b.cid
+            GROUP BY a.cid, b.cid)
+        , db AS (
+            SELECT s.cell, s.n_vecs, s.scatter,
+                   CAST(MAX(CASE WHEN cd.d2 > 0 THEN
+                        (1000 * (s.scatter + o.scatter)) // cd.d2
+                        END) AS BIGINT) AS db_e3,
+                   CAST(MIN(cd.d2) AS BIGINT) AS nearest_c2
+            FROM cellstats s
+            JOIN cd ON cd.ci = s.cell
+            JOIN cellstats o ON o.cell = cd.cj
+            GROUP BY s.cell, s.n_vecs, s.scatter)
+        SELECT cell, n_vecs, scatter, db_e3, nearest_c2 FROM db
+    """,
+)
+def q_ann_ivf_kmeans_quality(spark, sf_dir):
+    """Davies–Bouldin-style quality index for the TRAINED coarse
+    quantizer, per cell: within-cell scatter (mean integer L2² to
+    the trained centroid — already produced by the Lloyd chain),
+    the nearest other centroid, and max over neighbors of
+    (sᵢ+sⱼ)/dᵢⱼ in e3 — high db_e3 cells are where IVF recall
+    leaks (scatter comparable to centroid separation ⇒ probes miss
+    neighbors), the cell-level WHY behind the recall dashboard
+    (#172) and nprobe curve (#180). Centroid-pair table is
+    cells²×dims-bounded; everything reuses the training chain's
+    integer algebra, bit-identical cross-engine."""
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    return spark.sql(
+        f"""
+        {_sim._kmeans_ctes('spark')}
+        , cellstats AS (
+            SELECT cid AS cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                   CAST(SUM(dist2) div COUNT(*) AS BIGINT) AS scatter
+            FROM asg{_sim.KM_ITERS} GROUP BY cid)
+        , cd AS (
+            SELECT a.cid AS ci, b.cid AS cj,
+                   CAST(SUM((a.cc - b.cc) * (a.cc - b.cc)) AS BIGINT)
+                       AS d2
+            FROM c{_sim.KM_ITERS} a
+            JOIN c{_sim.KM_ITERS} b
+              ON a.dim = b.dim AND a.cid <> b.cid
+            GROUP BY a.cid, b.cid)
+        , db AS (
+            SELECT s.cell, s.n_vecs, s.scatter,
+                   CAST(MAX(CASE WHEN cd.d2 > 0 THEN
+                        (1000 * (s.scatter + o.scatter)) div cd.d2
+                        END) AS BIGINT) AS db_e3,
+                   CAST(MIN(cd.d2) AS BIGINT) AS nearest_c2
+            FROM cellstats s
+            JOIN cd ON cd.ci = s.cell
+            JOIN cellstats o ON o.cell = cd.cj
+            GROUP BY s.cell, s.n_vecs, s.scatter)
+        SELECT cell, n_vecs, scatter, db_e3, nearest_c2 FROM db
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# R8: TF-IDF keywords, ANN margin, k-core peel, write amplification
+# ---------------------------------------------------------------------------
+
+_TFIDF_TOPK = 3
+
+
+def _tfidf_sql(dialect: str) -> str:
+    """Per-doc top-K terms by tf × rational-idf (the log-free idf_e2
+    of the BM25 operator — rank-equivalent to textbook tf-idf).
+    One (doc, term) aggregate, a term-keyed df aggregate joined back
+    (dim-sized), one per-doc rank window."""
+    div = "div" if dialect == "spark" else "//"
+    if dialect == "spark":
+        tok = "SELECT doc_id, explode(split(text, ' ')) AS t FROM documents"
+    else:
+        tok = (
+            "SELECT doc_id, unnest(string_split(text, ' ')) AS t"
+            " FROM documents"
+        )
+    return f"""
+        WITH tok AS ({tok})
+        , tf AS (
+            SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM tok GROUP BY doc_id, t)
+        , dfr AS (
+            SELECT t, CAST(COUNT(*) AS BIGINT) AS df
+            FROM tf GROUP BY t)
+        , n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+        , scored AS (
+            SELECT f.doc_id, f.t AS term, f.tf,
+                   CAST((100 * (2 * n.n - 2 * d.df + 1))
+                        {div} (2 * d.df + 1) AS BIGINT) AS idf_e2
+            FROM tf f JOIN dfr d ON d.t = f.t CROSS JOIN n)
+        , ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY tf * idf_e2 DESC, term ASC) AS rn
+            FROM scored)
+        SELECT doc_id, term, tf, idf_e2,
+               CAST(tf * idf_e2 AS BIGINT) AS score_e2,
+               CAST(rn AS BIGINT) AS term_rank
+        FROM ranked WHERE rn <= {_TFIDF_TOPK}
+    """
+
+
+@query("text_tfidf_topk_terms", oracle=_tfidf_sql("duck"))
+def q_text_tfidf_topk_terms(spark, sf_dir):
+    """Keyword extraction: each doc's top-{k} terms by tf × the
+    log-free rational idf (#152's idf_e2 — rank-equivalent to
+    textbook tf-idf without float ln) — the distinctive-token view
+    at DOC grain complementing #61's source grain. df is a
+    term-keyed dim join; the rank window is per-doc.""".replace(
+        "{k}", str(_TFIDF_TOPK)
+    )
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_tfidf_sql("spark"))
+
+
+@query(
+    "ann_neighbor_margin",
+    oracle=f"""
+        {_sim._knn_ctes('duck')}
+        , top2 AS (
+            SELECT vec_id,
+                   CAST(SUM(CASE WHEN rnk = 1 THEN
+                        CAST(FLOOR(cos * 1000000) AS BIGINT) END)
+                        AS BIGINT) AS cos1_e6,
+                   CAST(SUM(CASE WHEN rnk = 2 THEN
+                        CAST(FLOOR(cos * 1000000) AS BIGINT) END)
+                        AS BIGINT) AS cos2_e6
+            FROM ranked WHERE rnk <= 2
+            GROUP BY vec_id HAVING COUNT(*) = 2)
+        SELECT vec_id, cos1_e6, cos2_e6,
+               CAST(cos1_e6 - cos2_e6 AS BIGINT) AS margin_e6
+        FROM top2
+    """,
+)
+def q_ann_neighbor_margin(spark, sf_dir):
+    """Nearest-neighbor margin per vector: cos(1st) − cos(2nd)
+    neighbor (e6 integers from the cell-bounded KNN chain) — tiny
+    margins mark hubness/ambiguity regions where ANN rank errors
+    are invisible to recall@k (swapping #1/#2 costs nothing) and
+    where SemDeDup's greedy keep choice is effectively arbitrary.
+    Vectors with fewer than two cell-mates drop (HAVING = 2).
+    Reuses the #109 chain: nothing new shuffles the corpus."""
+    from pyspark.sql import Window  # noqa: F401
+
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    return spark.sql(
+        f"""
+        {_sim._knn_ctes('spark')}
+        , top2 AS (
+            SELECT vec_id,
+                   CAST(SUM(CASE WHEN rnk = 1 THEN
+                        CAST(FLOOR(cos * 1000000) AS BIGINT) END)
+                        AS BIGINT) AS cos1_e6,
+                   CAST(SUM(CASE WHEN rnk = 2 THEN
+                        CAST(FLOOR(cos * 1000000) AS BIGINT) END)
+                        AS BIGINT) AS cos2_e6
+            FROM ranked WHERE rnk <= 2
+            GROUP BY vec_id HAVING COUNT(*) = 2)
+        SELECT vec_id, cos1_e6, cos2_e6,
+               CAST(cos1_e6 - cos2_e6 AS BIGINT) AS margin_e6
+        FROM top2
+        """
+    )
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+def _kcore_rounds_sql(edges: str, div: str, c1: str = "a", c2: str = "b") -> str:
+    """Unrolled peeling rounds over an undirected edge relation
+    ``edges({c1}, {c2})``: drop nodes with degree < K, delete their
+    edges, repeat. Fixed-round discipline (like PageRank/label
+    prop): round r's survivors are a superset of the true k-core,
+    converging from above."""
+    sql = f"""
+        , e0 AS (SELECT {c1} AS a, {c2} AS b FROM {edges})
+        , n0 AS (SELECT DISTINCT a AS node FROM e0)"""
+    for i in range(1, _KCORE_ROUNDS + 1):
+        sql += f"""
+        , deg{i} AS (
+            SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM e{i - 1} GROUP BY a)
+        , keep{i} AS (SELECT node FROM deg{i} WHERE d >= {_KCORE_K})
+        , e{i} AS (
+            SELECT e.a, e.b FROM e{i - 1} e
+            JOIN keep{i} x ON x.node = e.a
+            JOIN keep{i} y ON y.node = e.b)"""
+    checks = " ".join(
+        f"WHEN k{i}.node IS NULL THEN {i}" for i in range(1, _KCORE_ROUNDS + 1)
+    )
+    joins = "\n        ".join(
+        f"LEFT JOIN keep{i} k{i} ON k{i}.node = n.node"
+        for i in range(1, _KCORE_ROUNDS + 1)
+    )
+    return (
+        sql
+        + f"""
+        SELECT n.node, d1.d AS initial_degree,
+               CAST(CASE {checks} ELSE 0 END AS BIGINT) AS peel_round
+        FROM n0 n
+        JOIN deg1 d1 ON d1.node = n.node
+        {joins}
+    """
+    )
+
+
+@query(
+    "graph_kcore_knn",
+    oracle=f"""
+        {_sim._knn_ctes('duck')}
+        , uedges AS MATERIALIZED (
+            SELECT vec_id AS a, neighbor_id AS b FROM ranked
+            WHERE rnk <= {_sim.KNN_K}
+            UNION
+            SELECT neighbor_id, vec_id FROM ranked
+            WHERE rnk <= {_sim.KNN_K})
+        {_kcore_rounds_sql('uedges', '//')}
+    """,
+)
+def q_graph_kcore_knn(spark, sf_dir):
+    """K-core peeling over the undirected KNN graph: {r} unrolled
+    rounds removing nodes of degree < {k} — peel_round records WHEN
+    a node fell out (0 = still in the round-{r} core), the standard
+    coreness proxy for hub/periphery structure next to triangles
+    (#149) and PageRank (#121). The edge list is built ONCE and
+    checkpointed (the label-prop materialization pattern,
+    operators/similarity.py) so each round scans a cached relation
+    instead of re-deriving the KNN chain; per-round work is one
+    degree aggregate + two semijoins — linear in surviving
+    edges.""".replace("{r}", str(_KCORE_ROUNDS)).replace(
+        "{k}", str(_KCORE_K)
+    )
+    _knn_uedges_view(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH placeholder AS (SELECT 1)
+        {_kcore_rounds_sql('knn_uedges_mat', 'div', 'src', 'dst')}
+        """
+    )
+
+
+@query(
+    "cdc_write_amplification",
+    oracle=f"""
+        WITH {_BINLOG_LOG_CTE}
+        SELECT tbl, date_trunc('day', ts) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT key_id) AS BIGINT) AS n_keys,
+               CAST((100 * COUNT(*)) // COUNT(DISTINCT key_id)
+                    AS BIGINT) AS amp_x100,
+               CAST((10000 * (COUNT(*) - COUNT(DISTINCT key_id)))
+                    // COUNT(*) AS BIGINT) AS overwrite_bp
+        FROM binlog WHERE key_id IS NOT NULL
+        GROUP BY tbl, date_trunc('day', ts)
+    """,
+)
+def q_cdc_write_amplification(spark, sf_dir):
+    """Write amplification per table per day: events over distinct
+    keys touched (×100 integer) and the share of writes that
+    overwrite a key already written that day (bp) — the metric that
+    decides between applying every change and applying net-changes
+    (#cdc_dedup/net_changes): amp ≈ 100 means pass-through is fine,
+    amp ≫ 100 means per-batch netting pays for itself. One (table,
+    day) aggregate over the JVM-native binlog scan; the distinct
+    is per-group hash-distinct with partial aggregation."""
+    raw = read_binlog_jvm(spark, sf_dir)
+    flat = raw.where(F.col("primary_keys")["key_id"].isNotNull()).select(
+        F.col("table").alias("tbl"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.col("primary_keys")["key_id"].cast("long").alias("key_id"),
+    )
+    return flat.groupBy("tbl", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("key_id").alias("n_keys"),
+        F.expr("(100 * count(1)) div count(DISTINCT key_id)").alias(
+            "amp_x100"
+        ),
+        F.expr(
+            "(10000 * (count(1) - count(DISTINCT key_id))) div count(1)"
+        ).alias("overwrite_bp"),
+    )
+
+
