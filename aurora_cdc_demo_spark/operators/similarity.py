@@ -375,9 +375,16 @@ def _lsh_band_ctes(dialect: str, r_bits: int = R_BITS, n_bands: int = N_BANDS) -
     """
 
 
-def near_dup_lsh_sql(dialect: str) -> str:
+def near_dup_lsh_sql(
+    dialect: str, r_bits: int = R_BITS, n_bands: int = N_BANDS
+) -> str:
+    # r_bits is the corpus-tracking dial: random band collisions
+    # scale ~ n^2 / 2^r_bits, so production adds ~log2(growth) bits
+    # per corpus decade to hold bucket occupancy (and per-band
+    # candidate volume) constant — the scaled arm SCALING_r7.json
+    # measures against the frozen-constant default
     return f"""
-        WITH {_lsh_band_ctes(dialect)}
+        WITH {_lsh_band_ctes(dialect, r_bits, n_bands)}
         , scored AS (
             SELECT cand.vec_a, cand.vec_b,
                    ({_dot('va.embedding', 'vb.embedding', dialect)})

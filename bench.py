@@ -117,6 +117,14 @@ HEADLINE = [
     "retrieval_mrr_multiquery",
     "ann_int8_gemm_topk",
     "dedup_ppjoin_exact",
+    # r7: gate-map-served observability sweeps + the two plan
+    # rewrites (band-prefix RFM ranks, TakeOrdered LOF rank)
+    "ann_nprobe_curve",
+    "ann_recall_report",
+    "ann_index_maintenance_plan",
+    "customer_rfm_segments",
+    "customer_segment_migration",
+    "embed_lof_outliers",
 ]
 
 

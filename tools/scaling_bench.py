@@ -75,7 +75,6 @@ SCALING_QUERIES = [
     "dedup_lsh_tuning",
     "corpus_keep_list_v4_lsh",
     "corpus_keep_list_v7_lsh",
-    "corpus_keep_list_v4",  # intentionally-quadratic exact twin
     # embeddings / ANN
     "embed_near_dup_lsh",
     "embed_keep_list",
@@ -89,10 +88,16 @@ SCALING_QUERIES = [
     # multimodal
     "mm_phash_near_dup",
     "mm_cdc_chunk_dedup",
+    # intentionally-quadratic exact oracle twin, LAST so its cost
+    # sits at the end of each point's pass (the LSH-vs-exact
+    # crossover measurement)
+    "corpus_keep_list_v4",
 ]
 
 
 def _extra_arms():
+    import math as _m
+
     from aurora_cdc_demo_spark.operators import similarity as _sim
 
     def fixed_nlist(spark, sf_dir):
@@ -102,7 +107,14 @@ def _extra_arms():
         n = max(_sim.N_SEEDS, int(round(_sim.N_SEEDS * sf / 0.1)))
         return _sim.knn_graph(spark, sf_dir, n_seeds=n)
 
-    return fixed_nlist, scaled_nlist
+    def scaled_bits(spark, sf_dir, sf):
+        # hold band-bucket occupancy constant: += log2(growth) bits
+        bits = _sim.R_BITS + max(0, round(_m.log2(max(sf / 0.1, 1))))
+        return _sim._run(
+            spark, sf_dir, _sim.near_dup_lsh_sql("spark", r_bits=bits)
+        )
+
+    return fixed_nlist, scaled_nlist, scaled_bits
 
 
 def main() -> int:
@@ -111,7 +123,7 @@ def main() -> int:
 
     spark = get_spark("scaling-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    fixed_nlist, scaled_nlist = _extra_arms()
+    fixed_nlist, scaled_nlist, scaled_bits = _extra_arms()
 
     results: dict[str, dict[str, float]] = {}
 
@@ -132,6 +144,10 @@ def main() -> int:
         timed(
             "ann_knn_graph_scaled_nlist", point,
             lambda: scaled_nlist(spark, sf_dir, sf),
+        )
+        timed(
+            "embed_near_dup_lsh_scaled_bits", point,
+            lambda: scaled_bits(spark, sf_dir, sf),
         )
 
     queries = {}
