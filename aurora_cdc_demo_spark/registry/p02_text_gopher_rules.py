@@ -1425,8 +1425,10 @@ _PARETO_REV = (
                        ORDER BY rev_e4 DESC, suppkey ASC) AS BIGINT) AS cum
             FROM rev)
         SELECT suppkey, rev_e4,
-               CAST((10000 * cum) // t AS BIGINT) AS cum_share_bp,
-               ((cum - rev_e4) * 10000) // t < 8000 AS in_top80
+               CAST((CAST(cum AS HUGEINT) * 10000) // t AS BIGINT)
+                   AS cum_share_bp,
+               (CAST(cum - rev_e4 AS HUGEINT) * 10000) // t < 8000
+                   AS in_top80
         FROM c CROSS JOIN tot
     """,
 )
@@ -1494,11 +1496,19 @@ def q_supplier_revenue_pareto(spark, sf_dir):
         .withColumn("in_bucket_cum", F.sum("rev_e4").over(w_in))
         .withColumn("cum", F.col("bucket_prefix") + F.col("in_bucket_cum"))
     )
+    # DECIMAL(38,0)-widened shares: 10000 * cum overflows BIGINT
+    # once total rev_e4 passes ~9.2e14 (~sf0.5 of this data) — found
+    # by the r7 sf1 scaling run; div semantics unchanged (exact
+    # integral floor), both engines widened identically
     return cum.select(
         "suppkey",
         "rev_e4",
-        F.expr("(10000 * cum) div t").alias("cum_share_bp"),
-        F.expr("((cum - rev_e4) * 10000) div t < 8000").alias("in_top80"),
+        F.expr(
+            "CAST((CAST(cum AS DECIMAL(38,0)) * 10000) div t AS BIGINT)"
+        ).alias("cum_share_bp"),
+        F.expr(
+            "(CAST(cum - rev_e4 AS DECIMAL(38,0)) * 10000) div t < 8000"
+        ).alias("in_top80"),
     )
 
 

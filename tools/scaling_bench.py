@@ -127,9 +127,17 @@ def main() -> int:
 
     results: dict[str, dict[str, float]] = {}
 
+    errors: dict[str, dict[str, str]] = {}
+
     def timed(label, point, fn):
         t0 = time.time()
-        fn().write.format("noop").mode("overwrite").save()
+        try:
+            fn().write.format("noop").mode("overwrite").save()
+        except Exception as e:  # record, keep sweeping
+            msg = str(e).split("\n")[0][:160]
+            errors.setdefault(label, {})[point] = msg
+            print(f"{point:7s} {label:32s} ERROR {msg}", flush=True)
+            return
         dt = round(time.time() - t0, 3)
         results.setdefault(label, {})[point] = dt
         print(f"{point:7s} {label:32s} {dt:8.2f}s", flush=True)
@@ -172,6 +180,7 @@ def main() -> int:
         " name tags, 30% token substitution, per-replica embedding "
         "isometries - no synthetic R^2 duplicate families",
         "queries": queries,
+        "errors": errors,
     }
     with open(out_path, "w") as f:
         json.dump(doc, f, indent=1)
