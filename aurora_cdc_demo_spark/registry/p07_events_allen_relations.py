@@ -2030,7 +2030,13 @@ def q_part_edit_distance_join(spark, sf_dir):
     (q-gram canopy over rows) → 8 s, identical output; segment keys
     are near-unique where q-gram canopies grow Σ block²
     quadratically on a fixed word vocabulary; levenshtein runs once
-    per candidate NAME pair, JVM-side on both engines.""".replace(
+    per candidate NAME pair, JVM-side on both engines. Measured at
+    sf1 (SCALING_r7.json): exp 1.38 with the segment count FROZEN —
+    a growing name set packs ~linearly more names per segment
+    bucket, so candidates grow ~n²/segs; the production dial is
+    segs ∝ name-set size (the same frozen-constant family as the
+    LSH band-bits and IVF-nlist arms, both measured with their
+    scaled twins restoring ~linear cost).""".replace(
         "{n}", str(_EDIT_SEGS)
     ).replace("{d}", str(_EDIT_JOIN_MAXD))
     ensure_utc(spark)
