@@ -3793,7 +3793,8 @@ def q_cdc_watermark_policy_sim(spark, sf_dir):
         SELECT c.yr, c.mo, c.rev_e2, c.n_orders,
                p.rev_e2 AS prev_rev_e2,
                CASE WHEN p.rev_e2 IS NULL THEN NULL
-                    ELSE ((c.rev_e2 - p.rev_e2) * 10000) // p.rev_e2 END
+                    ELSE CAST((CAST(c.rev_e2 - p.rev_e2 AS HUGEINT)
+                          * 10000) // p.rev_e2 AS BIGINT) END
                    AS yoy_growth_bp
         FROM monthly c
         LEFT JOIN monthly p ON p.yr = c.yr - 1 AND p.mo = c.mo
@@ -3830,9 +3831,13 @@ def q_revenue_yoy_growth(spark, sf_dir):
         "rev_e2",
         "n_orders",
         "prev_rev_e2",
+        # DECIMAL-widened: month-grain rev_e2 deltas x1e4 pass BIGINT
+        # range around sf~3500 — same widening class as the pareto
+        # share fix the sf1 scaling run caught
         F.expr(
             "CASE WHEN prev_rev_e2 IS NULL THEN NULL"
-            " ELSE ((rev_e2 - prev_rev_e2) * 10000) div prev_rev_e2 END"
+            " ELSE CAST((CAST(rev_e2 - prev_rev_e2 AS DECIMAL(38,0))"
+            " * 10000) div prev_rev_e2 AS BIGINT) END"
         ).alias("yoy_growth_bp"),
     )
 
