@@ -2031,12 +2031,15 @@ def q_part_edit_distance_join(spark, sf_dir):
     are near-unique where q-gram canopies grow Σ block²
     quadratically on a fixed word vocabulary; levenshtein runs once
     per candidate NAME pair, JVM-side on both engines. Measured at
-    sf1 (SCALING_r7.json): exp 1.38 with the segment count FROZEN —
-    a growing name set packs ~linearly more names per segment
-    bucket, so candidates grow ~n²/segs; the production dial is
-    segs ∝ name-set size (the same frozen-constant family as the
-    LSH band-bits and IVF-nlist arms, both measured with their
-    scaled twins restoring ~linear cost).""".replace(
+    sf1 (SCALING_r7.json): exp 1.38 — dominated by the synthetic
+    corpus construction (each replica name differs from its base
+    only in a trailing tag, so PREFIX segments collide across all
+    10 replicas and those buckets grow ~R); a natural name
+    distribution doesn't stack near-identical names this way. The
+    segment count itself is NOT a dial — d+1 segments IS the
+    pigeonhole guarantee; the production mitigation for dense
+    segment buckets is a cheap candidate-side filter (q-gram count
+    / length delta) before the levenshtein verify.""".replace(
         "{n}", str(_EDIT_SEGS)
     ).replace("{d}", str(_EDIT_JOIN_MAXD))
     ensure_utc(spark)

@@ -3568,3 +3568,84 @@ def q_lineitem_pvm_brand_bridge(spark, sf_dir):
     )
     load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(_pvm_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# R17: blocking-structure scaling dials (the measured SCALING_r7 rule
+# as a sizing query)
+# ---------------------------------------------------------------------------
+
+# data-independent per-multiplier constants, precomputed in Python
+# (the JL-sign-matrix rule): added band bits = ceil(2*log2(mult)) so
+# expected random band collisions n^2*bands/2^bits stay constant,
+# and the resulting 2^bits divisor.
+_DIAL_MULTS = [1, 10, 100, 1000]
+_DIAL_ROWS = []
+for _m in _DIAL_MULTS:
+    _add = 0
+    while (1 << _add) < _m * _m:
+        _add += 1
+    _DIAL_ROWS.append((_m, _add))
+del _m, _add
+
+
+def _blocking_dial_sql(dialect: str) -> str:
+    div = "div" if dialect == "spark" else "//"
+    big = "DECIMAL(38,0)" if dialect == "spark" else "HUGEINT"
+    rows = ", ".join(
+        f"({m}, {_sim.R_BITS + add}, {1 << (_sim.R_BITS + add)})"
+        for m, add in _DIAL_ROWS
+    )
+    return f"""
+        WITH base AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_vec FROM embeddings)
+        , dials AS (
+            SELECT * FROM (VALUES {rows})
+                AS d(mult, lsh_band_bits, pow2bits))
+        SELECT d.mult,
+               b.n_vec * d.mult AS n_vec_scaled,
+               CAST(d.lsh_band_bits AS BIGINT) AS lsh_band_bits,
+               CAST((CAST(b.n_vec * d.mult AS {big})
+                     * (b.n_vec * d.mult) * {_sim.N_BANDS})
+                    {div} (2 * d.pow2bits) AS BIGINT)
+                   AS lsh_rand_pairs_scaled,
+               CAST((CAST(b.n_vec * d.mult AS {big})
+                     * (b.n_vec * d.mult) * {_sim.N_BANDS})
+                    {div} (2 * {1 << _sim.R_BITS}) AS BIGINT)
+                   AS lsh_rand_pairs_frozen,
+               CAST({_sim.N_SEEDS} * d.mult AS BIGINT) AS ivf_nlist,
+               CAST((b.n_vec * d.mult)
+                    {div} ({_sim.N_SEEDS} * d.mult) AS BIGINT)
+                   AS ivf_cell_rows,
+               CAST((b.n_vec * d.mult) {div} {_sim.N_SEEDS} AS BIGINT)
+                   AS ivf_cell_rows_frozen
+        FROM base b CROSS JOIN dials d
+    """
+
+
+@query("ops_blocking_dial_plan", oracle=_blocking_dial_sql("duck"))
+def q_ops_blocking_dial_plan(spark, sf_dir):
+    """BLOCKING-STRUCTURE SCALING DIALS — the rule the sf1 scaling
+    run (SCALING_r7.json) measured, as a sizing query beside
+    ops_scale_sizing_plan (#321): per corpus multiplier
+    {1,10,100,1000}, (a) the hyperplane-LSH band width that holds
+    expected RANDOM band collisions n²·bands/2^bits constant
+    (bits += ceil(2·log2(mult)) — measured at sf1: frozen 4-bit
+    bands exp 1.58, scaled bits exp 0.73, 7.1× faster) and the
+    resulting collision estimate vs the frozen-constant contrast
+    column, and (b) the IVF nlist that holds cell occupancy
+    constant (nlist ∝ corpus — measured: frozen nlist exp 1.38,
+    scaled exp 0.68, 5.4×). The flat `*_scaled` columns next to the
+    exploding `*_frozen` columns ARE the operational rule: re-size
+    the blocking structure with the corpus or in-bucket work grows
+    ~quadratically. Expected-collision algebra runs
+    DECIMAL(38,0)/HUGEINT-widened (n² at mult 1000 passes BIGINT) —
+    the same widening class the scaling run's pareto catch fixed.
+
+    Scale: one 1-row corpus count broadcast × a 4-row literal dial
+    grid; the plan is free at any corpus size."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    return spark.sql(_blocking_dial_sql("spark"))
