@@ -218,6 +218,26 @@ def test_rrf_dense_arm_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "ann_recall_report",
+        "ann_nprobe_curve",
+        "ann_index_maintenance_plan",
+        "dedup_lsh_tuning",
+    ],
+)
+def test_observability_sweeps_serve_from_materialized(spark, sf_dir, name):
+    """r6 verdict item 4: the observability sweeps must serve from
+    _gate_map-materialized index views (checkpointed RDD scans) —
+    a parquet scan in a sweep plan is a per-arm chain re-derivation
+    regression (the same law test_pq_serving_probes_materialized
+    pins for the PQ serve path)."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "ExistingRDD" in plan, name
+    assert "FileScan" not in plan, name
+
+
 def test_lof_rank_no_unpartitioned_window(spark, sf_dir):
     """r6 verdict item 2: the LOF final rank must NOT be a
     corpus-grain single-reducer WindowExec. The top-20 cut runs as
