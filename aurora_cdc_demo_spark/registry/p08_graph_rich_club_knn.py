@@ -3486,6 +3486,10 @@ _PVM_Y0, _PVM_Y1 = 1996, 1997
 def _pvm_sql(dialect: str) -> str:
     div = "div" if dialect == "spark" else "//"
     fd = _pca_fd  # posrem floor div (negative numerators)
+    # widen the Δq·rev products: brand-grain (and total-grain)
+    # quantity deltas × e4 revenue pass BIGINT range at ~sf1 —
+    # caught by the r7 sf1 sweep (same class as the pareto fix)
+    big = "DECIMAL(38,0)" if dialect == "spark" else "HUGEINT"
     return f"""
         WITH base AS (
             SELECT p.p_brand AS brand,
@@ -3514,7 +3518,7 @@ def _pvm_sql(dialect: str) -> str:
         , eff AS (
             SELECT brand, q0, q1, r0, r1,
                    CAST(CASE WHEN q0 > 0
-                        THEN {fd('(q1 - q0) * r0', 'q0', div)}
+                        THEN {fd(f'(CAST(q1 - q0 AS {big}) * r0)', 'q0', div)}
                         ELSE 0 END AS BIGINT) AS vol_e4
             FROM per)
         , tot AS (
@@ -3531,11 +3535,11 @@ def _pvm_sql(dialect: str) -> str:
         FROM eff
         UNION ALL
         SELECT 'TOTAL', tq0, tq1, tr0, tr1,
-               CAST({_pca_fd('(tq1 - tq0) * tr0', 'tq0', '{d}')}
+               CAST({_pca_fd(f'(CAST(tq1 - tq0 AS {big}) * tr0)', 'tq0', '{d}')}
                     AS BIGINT) AS volume_effect_e4,
                tr1 - tr0 - sum_vol AS price_effect_e4,
                sum_vol
-               - CAST({_pca_fd('(tq1 - tq0) * tr0', 'tq0', '{d}')}
+               - CAST({_pca_fd(f'(CAST(tq1 - tq0 AS {big}) * tr0)', 'tq0', '{d}')}
                       AS BIGINT) AS mix_effect_e4
         FROM tot
     """.replace("{d}", div)
