@@ -1,7 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``queries()``/``oracle_sql()`` are backed by the package registry
-(aurora_cdc_demo_spark/registry.py + modules it imports); every
+(the aurora_cdc_demo_spark/registry package + modules it
+imports); every
 SURVEY.md §2 operator registers itself there with a matching DuckDB
 oracle where SQL-expressible.
 """
