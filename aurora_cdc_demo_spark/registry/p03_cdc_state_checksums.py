@@ -2896,6 +2896,67 @@ def q_dq_benford_first_digit(spark, sf_dir):
     )
 
 
+_GINI_BUCKETS = 32
+
+
+def _gini_weighted_rank(df, value_col, key_col):
+    """Band-prefix Σ rank·value for the Gini closed form WITHOUT a
+    global rank window — the ascending twin of _rfm_ranked (r7):
+    bucket ids are a monotone function of the value (equal values
+    cannot straddle a bucket), in-bucket row_numbers are
+    bucket-PARTITIONED, and bucket prefix counts come from a
+    bounded {B}×{B} self-join, so global rank = prefix + in-bucket
+    rank exactly. Returns the 1-row (n, tot, weighted_dec)
+    sufficient statistics; the Σi·x accumulator runs
+    DECIMAL(38,0)-widened (BIGINT passes ~sf2 at revenue grain —
+    the r7 widening class). Oracles keep the single global window
+    and BIGINT sums (small-scale truth); the hash match proves the
+    decomposition exact."""
+    from pyspark.sql import Window
+
+    B = _GINI_BUCKETS
+    v = F.col(value_col).cast("long")
+    bounds = df.agg(F.min(v).alias("_lo"), F.max(v).alias("_hi"))
+    b = (
+        df.crossJoin(F.broadcast(bounds))
+        .select(
+            v.alias("_v"),
+            F.col(key_col).alias("_k"),
+            F.expr(
+                f"((CAST({value_col} AS BIGINT) - _lo) * {B})"
+                " div (_hi - _lo + 1)"
+            ).alias("_bkt"),
+        )
+        .localCheckpoint()
+    )
+    cnt = b.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_n"))
+    lo2 = cnt.select(
+        F.col("_bkt").alias("_b2"), F.col("_n").alias("_n2")
+    )
+    pre = (
+        cnt.join(lo2, F.col("_b2") < F.col("_bkt"), "left")
+        .groupBy("_bkt")
+        .agg(
+            F.coalesce(F.sum("_n2"), F.lit(0))
+            .cast("long")
+            .alias("_pre")
+        )
+    )
+    w_in = Window.partitionBy("_bkt").orderBy(
+        F.col("_v").asc(), F.col("_k").asc()
+    )
+    ranked = b.join(F.broadcast(pre), "_bkt").withColumn(
+        "_i", (F.col("_pre") + F.row_number().over(w_in)).cast("long")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_v").cast("long").alias("tot"),
+        F.sum(F.col("_i").cast("decimal(38,0)") * F.col("_v")).alias(
+            "weighted_dec"
+        ),
+    )
+
+
 @query(
     "events_user_gini",
     oracle="""
@@ -2923,29 +2984,22 @@ def q_events_user_gini(spark, sf_dir):
     ascending-sorted users) — the inequality measure next to the
     Pareto curve (#132) and HHI (#178): one number for 'how skewed
     is the activity distribution', the signal that decides whether
-    the salted patterns (#38/#136) are needed. The rank window runs
-    on the USER dimension (one row per user after the map-side
-    combine); band-prefix decomposition applies if users ever reach
-    fact scale. Tie order doesn't affect the sum (equal values
-    commute)."""
-    from pyspark.sql import Window
-
+    the salted patterns (#38/#136) are needed. Σi·x comes from the
+    _gini_weighted_rank band-prefix decomposition (r7) — ZERO
+    unpartitioned windows, exact at any user cardinality; the
+    oracle keeps the global window and the hash match proves it.
+    Tie order doesn't affect the sum (equal values commute)."""
     ev = load_table(spark, sf_dir, "events")
     counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.orderBy(F.col("c").asc(), F.col("user_id").asc())
-    ranked = counts.select(
-        "c", F.row_number().over(w).cast("long").alias("i")
-    )
-    return ranked.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("c").alias("s"),
-        F.sum(F.col("i") * F.col("c")).alias("s1"),
-    ).select(
+    stats = _gini_weighted_rank(counts, "c", "user_id")
+    return stats.select(
         F.col("n").alias("n_users"),
-        F.col("s").alias("total_events"),
-        F.expr("(10000 * (2 * s1 - (n + 1) * s)) div (n * s)")
-        .cast("long")
-        .alias("gini_bp"),
+        F.col("tot").alias("total_events"),
+        F.expr(
+            "CAST((10000 * (2 * weighted_dec"
+            " - (CAST(n AS DECIMAL(38,0)) + 1) * tot))"
+            " div (CAST(n AS DECIMAL(38,0)) * tot) AS BIGINT)"
+        ).alias("gini_bp"),
     )
 
 

@@ -16,6 +16,9 @@ from .p02_text_gopher_rules import (  # noqa: F401
     ORACLES,
     _gate_map,
 )
+from .p03_cdc_state_checksums import (  # noqa: F401
+    _gini_weighted_rank,
+)
 from .p05_corpus_keep_list_v7 import (  # noqa: F401
     _HAAR_HOURS,
     _HAAR_LEVELS,
@@ -3641,12 +3644,27 @@ def q_customer_revenue_gini(spark, sf_dir):
     is the book of business' — feeds the same dashboards as HHI
     (#178), which measures supplier-side concentration.
 
-    Scale: one fact→customer aggregate, one rank window at
-    CUSTOMER grain (dimension-sized; #132's bucket-prefix at fact
-    scale), a 3-sum scalar."""
-    ensure_utc(spark)
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(_revenue_gini_sql("spark"))
+    Scale: one fact→customer aggregate, then Σi·x through the
+    _gini_weighted_rank band-prefix decomposition (r7) — ZERO
+    unpartitioned windows, DECIMAL-widened accumulator (the BIGINT
+    Σi·rev passes range near sf~2); the oracle keeps the global
+    window and the hash match proves the decomposition."""
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_e2")
+    )
+    stats = _gini_weighted_rank(per, "rev_e2", "o_custkey")
+    return stats.select(
+        "n",
+        F.col("tot").alias("total_rev_e2"),
+        F.expr(
+            "CAST(((2 * weighted_dec"
+            " - (CAST(n AS DECIMAL(38,0)) + 1) * tot) * 1000000)"
+            " div (CAST(n AS DECIMAL(38,0)) * tot) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
 
 
 # ---------------------------------------------------------------------------
