@@ -53,7 +53,11 @@ def main() -> int:
             out[name] = f"ERROR: {msg}"
             print(f"FAIL {name}: {msg}", flush=True)
     errs = {k: v for k, v in out.items() if isinstance(v, str)}
-    with open("SF1_SWEEP_r7.json", "w") as f:
+    # subset runs must never clobber the full-sweep record
+    path = (
+        "SF1_SWEEP_r7.json" if not args else "/tmp/sf1_subset.json"
+    )
+    with open(path, "w") as f:
         json.dump(
             {
                 "sf_dir": SF1,
