@@ -47,6 +47,69 @@ N_QUERIES = 10  # vec_id < 10
 N_SEEDS = 16
 NEAR_DUP_THRESHOLD = 0.4
 
+# ---------------------------------------------------------------------------
+# Self-sizing blocking dials (r7 verdict item 1). The two blocking
+# structures whose REGISTERED defaults were frozen constants —
+# hyperplane-LSH band width (r_bits) and the KNN/IVF coarse-cell
+# count (nlist) — now derive themselves from a corpus count INSIDE
+# the generated SQL, in both dialects, with the same integer-exact
+# formula, so the registered arm IS the scaled arm at every sf and
+# the DuckDB oracle stays bit-exact without a frozen/scaled twin
+# split. Both formulas evaluate to the historical constants at the
+# driver's sf0.01/sf0.1 corpora (extra bits = 0, nlist = 16), so
+# every existing oracle hash at driver scale is unchanged.
+#
+#   nlist(n)  = max(N_SEEDS, (n * N_SEEDS) div N_REF_VECS)
+#               — holds cell occupancy ~N_REF_VECS/N_SEEDS constant,
+#               so in-cell candidate work Θ(n²/nlist) stays linear
+#               (measured: frozen exp 1.37 → scaled 0.68,
+#               SCALING_r7.json).
+#   r_bits(n) = R_BITS + round(log2(n / N_REF_VECS)) clamped to
+#               [R_BITS, R_BITS + R_MAX_ADD]
+#               — holds band-bucket occupancy n/2^r_bits constant,
+#               so random band collisions Θ(n²·bands/2^r_bits) stay
+#               linear (measured: frozen exp 1.58 → scaled 0.73).
+#
+# round(log2 g) is made integer-exact via precomputed thresholds:
+# round(log2(n/N_REF)) >= a  ⟺  n² > N_REF²·2^(2a-1)  ⟺  n > t_a
+# with t_a = isqrt(N_REF²·2^(2a-1)) — pure BIGINT comparisons, no
+# float log in either engine. R_MAX_ADD = 8 supports corpora up to
+# 2^8× the sf0.1 reference (~sf25 on this data contract); beyond
+# that, regenerate with a larger R_MAX_ADD (one constant).
+N_REF_VECS = 2000  # embeddings row count at the sf0.1 reference point
+R_MAX_ADD = 8
+
+
+def _bit_thresholds() -> list[int]:
+    import math
+
+    return [
+        math.isqrt(N_REF_VECS * N_REF_VECS * (1 << (2 * a - 1)))
+        for a in range(1, R_MAX_ADD + 1)
+    ]
+
+
+def _nlist_expr(dialect: str, n_expr: str = "COUNT(*)") -> str:
+    """Integer-exact self-sizing nlist from a corpus count."""
+    div = "div" if dialect == "spark" else "//"
+    return (
+        f"GREATEST({N_SEEDS}, (CAST({n_expr} AS BIGINT) * {N_SEEDS}) "
+        f"{div} {N_REF_VECS})"
+    )
+
+
+def _seed_pred(dialect: str, n_seeds: int | None) -> str:
+    """Seed-membership predicate on vec_id: a literal bound when
+    n_seeds is pinned, else the self-sizing scalar subquery (the
+    same nlist formula _knn_ctes uses, so every derived structure —
+    greedy walk entry points, BFS layer 0, HNSW probes — sizes
+    consistently with the KNN chain it rides on)."""
+    if n_seeds is not None:
+        return f"vec_id < {n_seeds}"
+    return (
+        f"vec_id < (SELECT {_nlist_expr(dialect)} FROM embeddings)"
+    )
+
 
 def _elem(col: str, i: int, dialect: str) -> str:
     if dialect == "spark":
@@ -252,20 +315,40 @@ R_BITS = 4
 N_BANDS = 16
 
 
+def _plane(tag: str) -> list[int]:
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{tag}_{i}".encode()).hexdigest()[:8], 16) - 2**31
+        for i in range(DIMS)
+    ]
+
+
 def _hyperplanes(r_bits: int = R_BITS, n_bands: int = N_BANDS) -> list[list[int]]:
     """Deterministic hyperplane matrix: entry (j, i) is a pseudo-random
     integer in [-2^31, 2^31) from md5("hp_{j}_{i}") — computed once in
     Python, embedded as identical literals in both dialects, so the
     sign bits are bit-identical cross-engine (integer * double products
     and left-associated sums are the same IEEE ops in both)."""
-    import hashlib
+    return [_plane(f"hp_{j}") for j in range(r_bits * n_bands)]
 
+
+def _hyperplanes_ext(n_bands: int = N_BANDS) -> list[list[list[int]]]:
+    """Prefix-stable plane matrix for the SELF-SIZING band chain:
+    planes[b][k] is band b's k-th hyperplane, k < R_BITS reuses the
+    frozen-default ids (hp_{b*R_BITS+k}) so at extra_bits = 0 the
+    sign bits — and therefore the candidate set — are bit-identical
+    to the historical r_bits=R_BITS chain; extension bits
+    (k >= R_BITS) get fresh ids. Growing r_bits only APPENDS planes
+    per band (prefix property), which is what makes the
+    top-bits-of-a-max-width-key trick below a valid LSH at every
+    corpus size."""
     return [
         [
-            int(hashlib.md5(f"hp_{j}_{i}".encode()).hexdigest()[:8], 16) - 2**31
-            for i in range(DIMS)
+            _plane(f"hp_{b * R_BITS + k}" if k < R_BITS else f"hpx_{b}_{k}")
+            for k in range(R_BITS + R_MAX_ADD)
         ]
-        for j in range(r_bits * n_bands)
+        for b in range(n_bands)
     ]
 
 
@@ -287,9 +370,116 @@ def _sign_bit(plane: list[int], dialect: str) -> str:
     return f"CASE WHEN ({dot}) >= 0 THEN 1 ELSE 0 END"
 
 
-def _lsh_band_ctes(dialect: str, r_bits: int = R_BITS, n_bands: int = N_BANDS) -> str:
+def _pw_case() -> str:
+    """pw = 2^(R_MAX_ADD - extra_bits) derived from the corpus count:
+    the power-of-two divisor that keeps only the top R_BITS + extra
+    bits of each band's max-width key. Descending BIGINT threshold
+    ladder, identical literals in both dialects — no float log2
+    anywhere, so both engines land on the same pw at every corpus
+    size."""
+    ts = _bit_thresholds()
+    whens = " ".join(
+        f"WHEN COUNT(*) > {ts[a - 1]} THEN {1 << (R_MAX_ADD - a)}"
+        for a in range(R_MAX_ADD, 0, -1)
+    )
+    return f"CASE {whens} ELSE {1 << R_MAX_ADD} END"
+
+
+def _lsh_band_ctes_auto(dialect: str, n_bands: int = N_BANDS) -> str:
+    """SELF-SIZING variant of the band chain (r7 verdict item 1):
+    r_bits is derived from the corpus count inside the SQL, so the
+    registered query IS the scaled arm at every sf.
+
+    Mechanism — top-bits-of-a-max-width-key: every band computes a
+    (R_BITS + R_MAX_ADD)-bit key from prefix-stable hyperplanes
+    (_hyperplanes_ext), then keeps only its top R_BITS + extra bits
+    via one integer division by pw = 2^(R_MAX_ADD - extra), where
+    extra = round(log2(n / N_REF_VECS)) comes from the integer
+    threshold ladder in _pw_case(). Extension bits (k >= R_BITS) are
+    CASE-gated on pw, so their 64-dim dot products are SKIPPED per
+    row whenever the corpus doesn't need them (both engines evaluate
+    CASE branches lazily) — at the driver's sf0.01/sf0.1 the chain
+    does exactly the historical R_BITS work and produces the
+    bit-identical candidate set (gated bits evaluate to 0 and are
+    divided away; the frozen planes keep their r7 ids). At sf1 the
+    same SQL runs 7-bit bands, at sf10 11-bit bands — band-bucket
+    occupancy n/2^r_bits stays ~constant, which is what turns the
+    measured frozen-dial exp 1.58 into ~0.73 (SCALING_r7.json)
+    WITHOUT a human re-sizing anything."""
+    planes = _hyperplanes_ext(n_bands)
+    r_max = R_BITS + R_MAX_ADD
+
+    def bit_expr(b: int, k: int) -> str:
+        expr = _sign_bit(planes[b][k], dialect)
+        if k < R_BITS:
+            return expr
+        gate = 1 << (R_MAX_ADD + R_BITS - 1 - k)
+        return f"CASE WHEN pw <= {gate} THEN {expr} ELSE 0 END"
+
+    bit_cols = ",\n                   ".join(
+        f"{bit_expr(b, k)} AS s{b * r_max + k}"
+        for b in range(n_bands)
+        for k in range(r_max)
+    )
+    key_cols = ", ".join(
+        "("
+        + " + ".join(
+            f"s{b * r_max + k} * {1 << (r_max - 1 - k)}" for k in range(r_max)
+        )
+        + f") AS k{b}"
+        for b in range(n_bands)
+    )
+    head = f"""
+        v AS (
+            SELECT vec_id, embedding, {_norm('embedding', dialect)} AS nrm
+            FROM embeddings)
+        , prm AS (
+            SELECT CAST({_pw_case()} AS BIGINT) AS pw FROM v)
+        , bits AS (
+            SELECT vec_id, pw,
+                   {bit_cols}
+            FROM v CROSS JOIN prm)
+        , keys AS (
+            SELECT vec_id, pw, {key_cols} FROM bits)"""
+    if dialect == "spark":
+        key_arr = ", ".join(f"k{b}" for b in range(n_bands))
+        bands = f"""
+        , bands AS (
+            SELECT vec_id, band_idx, bk div pw AS band_key
+            FROM keys
+            LATERAL VIEW posexplode(array({key_arr})) AS band_idx, bk)"""
+    else:
+        union = "\n            UNION ALL ".join(
+            f"SELECT vec_id, {b} AS band_idx, k{b} // pw AS band_key"
+            " FROM keys"
+            for b in range(n_bands)
+        )
+        bands = f"""
+        , bands AS ({union})"""
+    return (
+        head
+        + bands
+        + """
+        , cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM bands a
+            JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.vec_id < b.vec_id)
+    """
+    )
+
+
+def _lsh_band_ctes(
+    dialect: str, r_bits: int | None = None, n_bands: int = N_BANDS
+) -> str:
     """Shared CTE chain v -> bands -> cand producing DISTINCT
     candidate pairs (vec_a < vec_b) from band-bucket collisions.
+
+    r_bits=None (the registered default) emits the SELF-SIZING chain
+    (_lsh_band_ctes_auto) — band width derived from the corpus count
+    inside the SQL, both dialects. An explicit r_bits pins the
+    frozen-width chain (scaling-contrast arms, tests).
 
     Plan-shape note (measured at sf0.1, both checksum-identical): the
     per-bit CASE projection form below codegens to ~1.1 s warm; the
@@ -303,6 +493,8 @@ def _lsh_band_ctes(dialect: str, r_bits: int = R_BITS, n_bands: int = N_BANDS) -
     unions one SELECT per band — same rows, and the per-dimension
     double products/sums are identical left-associated IEEE ops in
     both, so the sign bits are bit-identical cross-engine."""
+    if r_bits is None:
+        return _lsh_band_ctes_auto(dialect, n_bands)
     planes = _hyperplanes(r_bits, n_bands)
     if dialect == "spark":
         bit_cols = ",\n                   ".join(
@@ -376,13 +568,15 @@ def _lsh_band_ctes(dialect: str, r_bits: int = R_BITS, n_bands: int = N_BANDS) -
 
 
 def near_dup_lsh_sql(
-    dialect: str, r_bits: int = R_BITS, n_bands: int = N_BANDS
+    dialect: str, r_bits: int | None = None, n_bands: int = N_BANDS
 ) -> str:
     # r_bits is the corpus-tracking dial: random band collisions
     # scale ~ n^2 / 2^r_bits, so production adds ~log2(growth) bits
     # per corpus decade to hold bucket occupancy (and per-band
-    # candidate volume) constant — the scaled arm SCALING_r7.json
-    # measures against the frozen-constant default
+    # candidate volume) constant. Since r8 the REGISTERED default
+    # (r_bits=None) self-sizes inside the SQL from the corpus count
+    # (_lsh_band_ctes_auto) — the registered arm IS the scaled arm;
+    # an explicit r_bits pins the frozen-width contrast chain.
     return f"""
         WITH {_lsh_band_ctes(dialect, r_bits, n_bands)}
         , scored AS (
@@ -404,7 +598,7 @@ def near_dup_lsh_sql(
 SEMDEDUP_TAU = NEAR_DUP_THRESHOLD
 
 
-def semdedup_sql(dialect: str, n_seeds: int = N_SEEDS) -> str:
+def semdedup_sql(dialect: str, n_seeds: int | None = None) -> str:
     """SemDeDup (Abbas et al. 2023): cluster embeddings into coarse
     cells (k-means stand-in: nearest of the N_SEEDS seed vectors, the
     same assignment the IVF index uses), then WITHIN EACH CELL drop
@@ -423,7 +617,7 @@ def semdedup_sql(dialect: str, n_seeds: int = N_SEEDS) -> str:
             FROM embeddings)
         , seeds AS (
             SELECT vec_id AS seed_id, embedding AS se, nrm AS snrm
-            FROM v WHERE vec_id < {n_seeds})
+            FROM v WHERE {_seed_pred(dialect, n_seeds)})
         , assign AS (
             SELECT v.vec_id, v.embedding, v.nrm, s.seed_id,
                    row_number() OVER (
@@ -560,10 +754,27 @@ def ivf_cell_stats_sql(dialect: str, n_seeds: int = N_SEEDS) -> str:
 KNN_K = 3
 
 
-def _knn_ctes(dialect: str, n_seeds: int = N_SEEDS) -> str:
+def _knn_ctes(dialect: str, n_seeds: int | None = None) -> str:
     """Shared CTE chain ``v → seeds → assign → cells → cand →
     ranked`` used by the KNN-graph query and the PageRank query
     built on its edges.
+
+    n_seeds=None (the registered default since r8) SELF-SIZES the
+    coarse-cell count from the corpus count inside the SQL:
+    nlist = max(N_SEEDS, n·N_SEEDS div N_REF_VECS) — cell occupancy
+    stays ~N_REF_VECS/N_SEEDS, so the in-cell candidate self-join
+    Θ(n²/nlist) stays linear at every sf (measured: frozen exp 1.37
+    → scaled 0.68, SCALING_r7.json). At the driver's sf0.01/sf0.1
+    the formula yields the historical 16, so every existing oracle
+    hash at driver scale is unchanged. Both dialects derive nlist
+    from the same integer formula, so the oracle twin stays exact at
+    every sf. An explicit n_seeds pins the frozen contrast chain
+    (scaling arms, two-cell-count parity tests). Seed selection is
+    still vec_id < nlist (the documented k-means stand-in): replica
+    0 of tools/make_scale_data.py keeps the dense 0..N_REF_VECS-1 id
+    range, so nlist can grow ~2^7× before id-seeds run out — a
+    trained codebook (ann_ivf_kmeans) replaces id-seeds long before
+    that on a real corpus.
 
     The heavy members are MATERIALIZED in the DuckDB dialect:
     PageRank's unrolled rounds reference the chain repeatedly and
@@ -573,13 +784,21 @@ def _knn_ctes(dialect: str, n_seeds: int = N_SEEDS) -> str:
     sweep. Spark reuses the exchange on its own (ReuseExchange), so
     the keyword is dialect-gated."""
     mat = "MATERIALIZED " if dialect != "spark" else ""
+    if n_seeds is None:
+        prm = f"""
+        , prm AS (
+            SELECT {_nlist_expr(dialect)} AS nlist FROM v)"""
+        seed_pred = "vec_id < (SELECT nlist FROM prm)"
+    else:
+        prm = ""
+        seed_pred = f"vec_id < {n_seeds}"
     return f"""
         WITH v AS {mat}(
             SELECT vec_id, embedding, {_norm('embedding', dialect)} AS nrm
-            FROM embeddings)
+            FROM embeddings){prm}
         , seeds AS (
             SELECT vec_id AS seed_id, embedding AS se, nrm AS snrm
-            FROM v WHERE vec_id < {n_seeds})
+            FROM v WHERE {seed_pred})
         , assign AS {mat}(
             SELECT v.vec_id, v.embedding, v.nrm, s.seed_id,
                    row_number() OVER (
@@ -604,7 +823,7 @@ def _knn_ctes(dialect: str, n_seeds: int = N_SEEDS) -> str:
             FROM cand)"""
 
 
-def knn_graph_sql(dialect: str, n_seeds: int = N_SEEDS) -> str:
+def knn_graph_sql(dialect: str, n_seeds: int | None = None) -> str:
     """Batch KNN-graph construction: EVERY vector gets its KNN_K
     nearest cell-mates (cosine, deterministic tie-break) — the
     primitive behind graph-based dedup, diversity sampling, and
@@ -632,7 +851,7 @@ PR_ITERS = 3
 PR_SCALE = 1_000_000_000
 
 
-def pagerank_sql(dialect: str, n_seeds: int = N_SEEDS) -> str:
+def pagerank_sql(dialect: str, n_seeds: int | None = None) -> str:
     """Centrality over the corpus KNN graph — the 'hubby' vectors a
     curation pipeline inspects for over-represented regions (a
     high-PageRank embedding sits in a dense, mutually-near
@@ -784,7 +1003,7 @@ def pagerank_outdeg_sql(edges_view: str) -> str:
 def pagerank_knn(
     spark: SparkSession,
     sf_dir: str,
-    n_seeds: int = N_SEEDS,
+    n_seeds: int | None = None,
     checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Build the KNN edge list ONCE (eager checkpoint cuts the
@@ -850,7 +1069,7 @@ def ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def semdedup(
-    spark: SparkSession, sf_dir: str, n_seeds: int = N_SEEDS
+    spark: SparkSession, sf_dir: str, n_seeds: int | None = None
 ) -> DataFrame:
     return _run(spark, sf_dir, semdedup_sql("spark", n_seeds))
 
@@ -866,7 +1085,7 @@ def ivf_cell_stats(
 
 
 def knn_graph(
-    spark: SparkSession, sf_dir: str, n_seeds: int = N_SEEDS
+    spark: SparkSession, sf_dir: str, n_seeds: int | None = None
 ) -> DataFrame:
     return _run(spark, sf_dir, knn_graph_sql("spark", n_seeds))
 
@@ -1587,7 +1806,7 @@ def _lp_rounds(edges_rel: str, nodes_rel: str, div: str) -> str:
     return ctes, prev
 
 
-def label_prop_sql(dialect: str, n_seeds: int = N_SEEDS) -> str:
+def label_prop_sql(dialect: str, n_seeds: int | None = None) -> str:
     """Single-statement oracle form: KNN chain -> undirected edges ->
     unrolled LPA -> community sizes. MATERIALIZED on DuckDB for the
     same reason as pagerank_sql (CTE inlining re-evaluates the cell
@@ -1663,14 +1882,14 @@ def _materialized_uedges(
 def label_prop(
     spark: SparkSession,
     sf_dir: str,
-    n_seeds: int = N_SEEDS,
+    n_seeds: int | None = None,
     checkpoint_mode: str = "local",
 ) -> DataFrame:
     _materialized_uedges(spark, sf_dir, n_seeds, checkpoint_mode)
     return spark.sql(label_prop_iter_sql("knn_uedges_mat", "embeddings"))
 
 
-def triangle_sql(dialect: str, n_seeds: int = N_SEEDS) -> str:
+def triangle_sql(dialect: str, n_seeds: int | None = None) -> str:
     """Triangle count + clustering coefficient per node over the
     undirected KNN graph. DEGREE-ORDERED orientation (the
     Schank/Wagner "forward" algorithm): each undirected edge points
@@ -1749,7 +1968,7 @@ def triangle_iter_sql(edges_view: str) -> str:
 def triangle_knn(
     spark: SparkSession,
     sf_dir: str,
-    n_seeds: int = N_SEEDS,
+    n_seeds: int | None = None,
     checkpoint_mode: str = "local",
 ) -> DataFrame:
     _materialized_uedges(spark, sf_dir, n_seeds, checkpoint_mode)
@@ -1807,7 +2026,7 @@ def _link_pred_body(uedges: str, div: str, mat: str = "") -> str:
         JOIN deg db ON db.vec_id = n.v"""
 
 
-def link_pred_sql(dialect: str, n_seeds: int = N_SEEDS) -> str:
+def link_pred_sql(dialect: str, n_seeds: int | None = None) -> str:
     """Single-statement oracle form (KNN chain -> undirected edges ->
     link scores); MATERIALIZED on DuckDB as usual."""
     div = "div" if dialect == "spark" else "//"
@@ -1831,7 +2050,7 @@ def link_pred_iter_sql(edges_view: str) -> str:
 def link_pred_knn(
     spark: SparkSession,
     sf_dir: str,
-    n_seeds: int = N_SEEDS,
+    n_seeds: int | None = None,
     checkpoint_mode: str = "local",
 ) -> DataFrame:
     _materialized_uedges(spark, sf_dir, n_seeds, checkpoint_mode)
@@ -2275,7 +2494,9 @@ def rp_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_TAUS = ("0.3", "0.4", "0.5", "0.6", "0.7")
 
 
-def semdedup_tau_sweep_sql(dialect: str, n_seeds: int = N_SEEDS) -> str:
+def semdedup_tau_sweep_sql(
+    dialect: str, n_seeds: int | None = None
+) -> str:
     idiv = "div" if dialect == "spark" else "//"
     # DuckDB inlines CTEs: the 5 UNION arms referencing agg/nn would
     # re-instantiate the whole cells->pairc chain per arm (x32
@@ -2302,7 +2523,7 @@ def semdedup_tau_sweep_sql(dialect: str, n_seeds: int = N_SEEDS) -> str:
             FROM embeddings)
         , seeds AS (
             SELECT vec_id AS seed_id, embedding AS se, nrm AS snrm
-            FROM v WHERE vec_id < {n_seeds})
+            FROM v WHERE {_seed_pred(dialect, n_seeds)})
         , assign AS (
             SELECT v.vec_id, v.embedding, v.nrm, s.seed_id,
                    row_number() OVER (
@@ -2375,7 +2596,7 @@ def cos_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pagerank_convergence_sql(dialect: str, edges_view: str | None = None,
-                             n_seeds: int = N_SEEDS) -> str:
+                             n_seeds: int | None = None) -> str:
     div = "div" if dialect == "spark" else "//"
     mat = "MATERIALIZED " if dialect != "spark" else ""
     if dialect == "spark":
@@ -2430,7 +2651,7 @@ def pagerank_convergence_sql(dialect: str, edges_view: str | None = None,
 
 
 def pagerank_convergence(
-    spark: SparkSession, sf_dir: str, n_seeds: int = N_SEEDS,
+    spark: SparkSession, sf_dir: str, n_seeds: int | None = None,
     edges_view: str | None = None,
 ) -> DataFrame:
     from ..tables import load_table
@@ -2589,7 +2810,7 @@ _GREEDY_FINAL_SQL = f"""
 
 
 def graph_greedy_topk_sql(
-    dialect: str, n_seeds: int = N_SEEDS, hops: int = GREEDY_HOPS
+    dialect: str, n_seeds: int | None = None, hops: int = GREEDY_HOPS
 ) -> str:
     """Single-statement form (the DuckDB oracle twin): KNN chain →
     edge list → greedy hop chain → exact rerank of the visited
@@ -2604,7 +2825,7 @@ def graph_greedy_topk_sql(
 
 
 def _greedy_view_sql(
-    n_seeds: int = N_SEEDS,
+    n_seeds: int | None = None,
     hops: int = GREEDY_HOPS,
     edges_view: str = "greedy_edges_mat",
 ) -> str:
@@ -2618,7 +2839,7 @@ def _greedy_view_sql(
             FROM embeddings)
         , seeds AS (
             SELECT vec_id AS seed_id, embedding AS se, nrm AS snrm
-            FROM v WHERE vec_id < {n_seeds})
+            FROM v WHERE {_seed_pred('spark', n_seeds)})
         {_greedy_chain_sql('spark', edges_view, hops)}
         {_GREEDY_FINAL_SQL}"""
 
@@ -2626,7 +2847,7 @@ def _greedy_view_sql(
 def _materialize_greedy_edges(
     spark: SparkSession,
     sf_dir: str,
-    n_seeds: int = N_SEEDS,
+    n_seeds: int | None = None,
     checkpoint_mode: str = "local",
 ) -> None:
     """Build the KNN edge list ONCE and checkpoint it into the
@@ -2656,7 +2877,7 @@ def _materialize_greedy_edges(
 def graph_greedy_topk(
     spark: SparkSession,
     sf_dir: str,
-    n_seeds: int = N_SEEDS,
+    n_seeds: int | None = None,
     hops: int = GREEDY_HOPS,
     checkpoint_mode: str = "local",
 ) -> DataFrame:
@@ -2673,7 +2894,7 @@ def graph_greedy_topk(
 
 
 def seed_reach_sql(
-    dialect: str, n_seeds: int = N_SEEDS, hops: int = GREEDY_HOPS
+    dialect: str, n_seeds: int | None = None, hops: int = GREEDY_HOPS
 ) -> str:
     """Single-statement (oracle) form: multi-source BFS from the
     quantizer seeds over the DIRECTED KNN edge list, unrolled
@@ -2722,7 +2943,7 @@ def seed_reach_sql(
 def seed_reach_layers(
     spark: SparkSession,
     sf_dir: str,
-    n_seeds: int = N_SEEDS,
+    n_seeds: int | None = None,
     hops: int = GREEDY_HOPS,
     checkpoint_mode: str = "local",
     edges_view: str | None = None,
@@ -2737,7 +2958,8 @@ def seed_reach_layers(
         _materialize_greedy_edges(spark, sf_dir, n_seeds, checkpoint_mode)
         edges_view = "greedy_edges_mat"
     reached = spark.sql(
-        f"SELECT vec_id FROM embeddings WHERE vec_id < {n_seeds}"
+        "SELECT vec_id FROM embeddings WHERE "
+        + _seed_pred("spark", n_seeds)
     ).localCheckpoint()
     reached.createOrReplaceTempView("reach_0")
     for h in range(1, hops + 1):
@@ -3054,7 +3276,7 @@ _HITS_SELECT = f"""
     """
 
 
-def hits_sql(dialect: str, n_seeds: int = N_SEEDS) -> str:
+def hits_sql(dialect: str, n_seeds: int | None = None) -> str:
     """Single-statement HITS twin (DuckDB oracle keeps the
     MATERIALIZED-CTE spelling of materialize-once)."""
     div = "div" if dialect == "spark" else "//"
@@ -3125,7 +3347,7 @@ def _hits_half_sql(edges: str, nodes: str, prev_view: str,
 def hits_knn(
     spark: SparkSession,
     sf_dir: str,
-    n_seeds: int = N_SEEDS,
+    n_seeds: int | None = None,
     checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Materialize the KNN edge list once (local/reliable checkpoint
@@ -3362,7 +3584,7 @@ def _hnsw_descent_ctes(dialect: str, edges_fmt: str) -> str:
     return sql, prev, cands
 
 
-def hnsw_topk_sql(dialect: str, n_seeds: int = N_SEEDS) -> str:
+def hnsw_topk_sql(dialect: str, n_seeds: int | None = None) -> str:
     """Single-statement HNSW descent + layer-0 walk (oracle twin)."""
     mat = "MATERIALIZED " if dialect != "spark" else ""
     descent, last, cands = _hnsw_descent_ctes(dialect, "edges{}")
@@ -3419,7 +3641,7 @@ def hnsw_topk_sql(dialect: str, n_seeds: int = N_SEEDS) -> str:
 def hnsw_topk(
     spark: SparkSession,
     sf_dir: str,
-    n_seeds: int = N_SEEDS,
+    n_seeds: int | None = None,
     checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Spark side: per-layer edge lists, the level map, the probe
@@ -3453,7 +3675,7 @@ def hnsw_topk(
             FROM embeddings)
         , seeds AS (
             SELECT vec_id AS seed_id, embedding AS se, nrm AS snrm
-            FROM v WHERE vec_id < {n_seeds})
+            FROM v WHERE {_seed_pred('spark', n_seeds)})
         {{body}}"""
 
     # layer-0 KNN edges + upper-layer graphs, materialized once
@@ -3600,7 +3822,7 @@ def _ppr_rounds(div: str, edges: str, iters: int = PPR_ITERS) -> str:
     return ctes
 
 
-def ppr_seeds_sql(dialect: str, n_seeds: int = N_SEEDS) -> str:
+def ppr_seeds_sql(dialect: str, n_seeds: int | None = None) -> str:
     """Single-statement oracle twin (MATERIALIZED edges + rounds —
     each round references its predecessor once here, but the edge
     relation thrice across rounds)."""
@@ -3641,7 +3863,7 @@ def ppr_seeds_sql(dialect: str, n_seeds: int = N_SEEDS) -> str:
 def ppr_seeds(
     spark: SparkSession,
     sf_dir: str,
-    n_seeds: int = N_SEEDS,
+    n_seeds: int | None = None,
     checkpoint_mode: str = "local",
     edges_view: str | None = None,
 ) -> DataFrame:

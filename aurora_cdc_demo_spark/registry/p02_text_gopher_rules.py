@@ -1450,7 +1450,7 @@ def q_supplier_revenue_pareto(spark, sf_dir):
     the oracle runs the single global window (small-scale truth) and
     the hash match proves the decomposition exact. All money math is
     decimal scaled to integer e4; shares are floor bp."""
-    from pyspark.sql import Window
+    from ..operators.rank import RankSpec, band_prefix
 
     li = load_table(spark, sf_dir, "lineitem")
     rev_expr = (
@@ -1463,38 +1463,26 @@ def q_supplier_revenue_pareto(spark, sf_dir):
     rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
         (F.sum(rev_expr) * 10000).cast("long").alias("rev_e4")
     )
-    bounds = rev.agg(
-        F.min("rev_e4").alias("lo"),
-        F.max("rev_e4").alias("hi"),
-        F.sum("rev_e4").alias("t"),
+    # shared band-prefix machinery in cumulative-sum mode (r7
+    # verdict item 5): bucket prefixes come from the bounded BxB
+    # self-join instead of a B-row window, so the plan now carries
+    # ZERO unpartitioned windows (previously one bounded B-row
+    # prefix window).
+    witht = rev.crossJoin(
+        F.broadcast(rev.agg(F.sum("rev_e4").alias("t")))
     )
-    bucketed = rev.crossJoin(F.broadcast(bounds)).select(
-        "suppkey",
-        "rev_e4",
-        "t",
-        F.expr(
-            f"((hi - rev_e4) * {_PARETO_BUCKETS}) div (hi - lo + 1)"
-        ).alias("bucket"),
-    )
-    w_in = Window.partitionBy("bucket").orderBy(
-        F.col("rev_e4").desc(), F.col("suppkey").asc()
-    )
-    btot = bucketed.groupBy("bucket").agg(
-        F.sum("rev_e4").alias("bucket_total")
-    )
-    w_b = Window.orderBy(F.col("bucket").asc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    bpre = btot.select(
-        "bucket",
-        F.coalesce(F.sum("bucket_total").over(w_b), F.lit(0)).alias(
-            "bucket_prefix"
-        ),
-    )
-    cum = (
-        bucketed.join(F.broadcast(bpre), "bucket")
-        .withColumn("in_bucket_cum", F.sum("rev_e4").over(w_in))
-        .withColumn("cum", F.col("bucket_prefix") + F.col("in_bucket_cum"))
+    cum = band_prefix(
+        witht,
+        [
+            RankSpec(
+                "rev_e4",
+                "cum",
+                ascending=False,
+                tiebreak=(("suppkey", True),),
+                cumsum_col="rev_e4",
+            )
+        ],
+        n_buckets=_PARETO_BUCKETS,
     )
     # DECIMAL(38,0)-widened shares: 10000 * cum overflows BIGINT
     # once total rev_e4 passes ~9.2e14 (~sf0.5 of this data) — found
@@ -2844,98 +2832,33 @@ _RFM_BUCKETS = 32
 def _rfm_ranked(m):
     """Band-prefix RFM ranking (r6 verdict item 3): the three
     customer-grain rank windows (recency / frequency / monetary)
-    run with ZERO unpartitioned windows. Each metric's value range
-    splits into {B} buckets (one 1-row bounds aggregate broadcast
-    for all three), in-bucket row_numbers are bucket-PARTITIONED
-    (parallel), and each bucket's prefix count comes from a bounded
-    {B}x{B} self-join over the bucket-count table — no window even
-    at bucket grain. Equal metric values cannot straddle a bucket
-    (the bucket id is a function of the value), so bucket-asc +
-    in-bucket (metric desc, custkey asc) equals the global total
-    order; the oracles keep the single global window (small-scale
-    truth) and the hash match proves the decomposition exact — the
-    #132 supplier_revenue_pareto proof style. The bucketed
-    customer-grain table is localCheckpoint'd once so the three
-    count passes and the final join read it, not the fact scan.
+    run with ZERO unpartitioned windows, via the SHARED
+    operators/rank.band_prefix machinery (r7 verdict item 5 — the
+    same decomposition previously written twice here and in
+    _gini_weighted_rank). One bounds broadcast sizes all three
+    metrics' buckets; recency ranks on unix_micros(last_order)
+    (a monotone bijection of the date, so desc order and ties are
+    identical). Oracles keep the single global window (small-scale
+    truth); the hash match proves the decomposition exact — the
+    #132 supplier_revenue_pareto proof style.
 
     Input m: (custkey, last_order, n_orders, spend_e2) at customer
     grain. Output: m's columns + r_rnk, f_rnk, m_rnk."""
-    from pyspark.sql import Window
+    from ..operators.rank import RankSpec, band_prefix
 
-    B = _RFM_BUCKETS
+    tie = (("custkey", True),)
     base = m.withColumn(
         "_rd", F.expr("unix_micros(last_order)").cast("long")
     )
-    bounds = base.agg(
-        F.min("_rd").alias("_rlo"),
-        F.max("_rd").alias("_rhi"),
-        F.min("n_orders").alias("_flo"),
-        F.max("n_orders").alias("_fhi"),
-        F.min("spend_e2").alias("_mlo"),
-        F.max("spend_e2").alias("_mhi"),
-    )
-    b = (
-        base.crossJoin(F.broadcast(bounds))
-        .select(
-            *[F.col(c) for c in m.columns],
-            F.expr(
-                f"((_rhi - _rd) * {B}) div (_rhi - _rlo + 1)"
-            ).alias("_rbkt"),
-            F.expr(
-                f"((_fhi - n_orders) * {B}) div (_fhi - _flo + 1)"
-            ).alias("_fbkt"),
-            F.expr(
-                f"((_mhi - spend_e2) * {B}) div (_mhi - _mlo + 1)"
-            ).alias("_mbkt"),
-        )
-        .localCheckpoint()
-    )
-
-    def _prefix(bcol):
-        cnt = b.groupBy(bcol).agg(F.count(F.lit(1)).alias("_n"))
-        lo = cnt.select(
-            F.col(bcol).alias("_b2"), F.col("_n").alias("_n2")
-        )
-        return (
-            cnt.join(lo, F.col("_b2") < F.col(bcol), "left")
-            .groupBy(bcol)
-            .agg(
-                F.coalesce(F.sum("_n2"), F.lit(0))
-                .cast("long")
-                .alias("_pre" + bcol)
-            )
-        )
-
-    w_r = Window.partitionBy("_rbkt").orderBy(
-        F.col("last_order").desc(), F.col("custkey").asc()
-    )
-    w_f = Window.partitionBy("_fbkt").orderBy(
-        F.col("n_orders").desc(), F.col("custkey").asc()
-    )
-    w_m = Window.partitionBy("_mbkt").orderBy(
-        F.col("spend_e2").desc(), F.col("custkey").asc()
-    )
-    return (
-        b.join(F.broadcast(_prefix("_rbkt")), "_rbkt")
-        .join(F.broadcast(_prefix("_fbkt")), "_fbkt")
-        .join(F.broadcast(_prefix("_mbkt")), "_mbkt")
-        .withColumn(
-            "r_rnk",
-            (F.col("_pre_rbkt") + F.row_number().over(w_r)).cast("long"),
-        )
-        .withColumn(
-            "f_rnk",
-            (F.col("_pre_fbkt") + F.row_number().over(w_f)).cast("long"),
-        )
-        .withColumn(
-            "m_rnk",
-            (F.col("_pre_mbkt") + F.row_number().over(w_m)).cast("long"),
-        )
-        .drop(
-            "_rbkt", "_fbkt", "_mbkt",
-            "_pre_rbkt", "_pre_fbkt", "_pre_mbkt",
-        )
-    )
+    return band_prefix(
+        base,
+        [
+            RankSpec("_rd", "r_rnk", ascending=False, tiebreak=tie),
+            RankSpec("n_orders", "f_rnk", ascending=False, tiebreak=tie),
+            RankSpec("spend_e2", "m_rnk", ascending=False, tiebreak=tie),
+        ],
+        n_buckets=_RFM_BUCKETS,
+    ).drop("_rd")
 
 
 def _rfm_customer_agg(orders):

@@ -2901,52 +2901,24 @@ _GINI_BUCKETS = 32
 
 def _gini_weighted_rank(df, value_col, key_col):
     """Band-prefix Σ rank·value for the Gini closed form WITHOUT a
-    global rank window — the ascending twin of _rfm_ranked (r7):
-    bucket ids are a monotone function of the value (equal values
-    cannot straddle a bucket), in-bucket row_numbers are
-    bucket-PARTITIONED, and bucket prefix counts come from a
-    bounded {B}×{B} self-join, so global rank = prefix + in-bucket
-    rank exactly. Returns the 1-row (n, tot, weighted_dec)
-    sufficient statistics; the Σi·x accumulator runs
-    DECIMAL(38,0)-widened (BIGINT passes ~sf2 at revenue grain —
-    the r7 widening class). Oracles keep the single global window
-    and BIGINT sums (small-scale truth); the hash match proves the
-    decomposition exact."""
-    from pyspark.sql import Window
+    global rank window — the ascending use of the SHARED
+    operators/rank.band_prefix_rank (r7 verdict item 5; this and
+    _rfm_ranked were the same machinery written twice). The bucket
+    algebra runs DECIMAL(38,0)-widened inside the shared operator
+    ((v-lo)*B overflows BIGINT once the value RANGE exceeds ~2^58
+    and ANSI mode would fail rather than degrade — ADVICE r7).
+    Returns the 1-row (n, tot, weighted_dec) sufficient statistics;
+    the Σi·x accumulator runs DECIMAL(38,0)-widened (BIGINT passes
+    ~sf2 at revenue grain — the r7 widening class). Oracles keep
+    the single global window and BIGINT sums (small-scale truth);
+    the hash match proves the decomposition exact."""
+    from ..operators.rank import band_prefix_rank
 
-    B = _GINI_BUCKETS
     v = F.col(value_col).cast("long")
-    bounds = df.agg(F.min(v).alias("_lo"), F.max(v).alias("_hi"))
-    b = (
-        df.crossJoin(F.broadcast(bounds))
-        .select(
-            v.alias("_v"),
-            F.col(key_col).alias("_k"),
-            F.expr(
-                f"((CAST({value_col} AS BIGINT) - _lo) * {B})"
-                " div (_hi - _lo + 1)"
-            ).alias("_bkt"),
-        )
-        .localCheckpoint()
-    )
-    cnt = b.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_n"))
-    lo2 = cnt.select(
-        F.col("_bkt").alias("_b2"), F.col("_n").alias("_n2")
-    )
-    pre = (
-        cnt.join(lo2, F.col("_b2") < F.col("_bkt"), "left")
-        .groupBy("_bkt")
-        .agg(
-            F.coalesce(F.sum("_n2"), F.lit(0))
-            .cast("long")
-            .alias("_pre")
-        )
-    )
-    w_in = Window.partitionBy("_bkt").orderBy(
-        F.col("_v").asc(), F.col("_k").asc()
-    )
-    ranked = b.join(F.broadcast(pre), "_bkt").withColumn(
-        "_i", (F.col("_pre") + F.row_number().over(w_in)).cast("long")
+    base = df.select(v.alias("_v"), F.col(key_col).alias("_k"))
+    ranked = band_prefix_rank(
+        base, "_v", "_k", out_col="_i", ascending=True,
+        n_buckets=_GINI_BUCKETS,
     )
     return ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n"),

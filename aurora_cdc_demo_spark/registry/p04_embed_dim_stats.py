@@ -271,7 +271,7 @@ def q_lineitem_price_deciles(spark, sf_dir):
     approx_percentile can't satisfy.""".replace(
         "{B}", str(_DECILE_BANDS)
     )
-    from pyspark.sql import Window
+    from ..operators.rank import RankSpec, band_prefix
 
     li = load_table(spark, sf_dir, "lineitem")
     v = li.select(
@@ -279,28 +279,20 @@ def q_lineitem_price_deciles(spark, sf_dir):
         .cast("long")
         .alias("p")
     )
-    mm = v.agg(
-        F.min("p").alias("lo"),
-        F.max("p").alias("hi"),
-        F.count(F.lit(1)).alias("n"),
+    # shared band-prefix machinery (r7 verdict item 5); the bucket
+    # prefix now comes from the bounded BxB self-join instead of a
+    # B-row window, so this plan carries ZERO unpartitioned windows
+    # (it previously carried one bounded B-row prefix window). No
+    # tiebreak: the value at a rank position is unique whatever the
+    # tie order (docstring above), so row_number over (p ASC) alone
+    # is exact for this output.
+    withn = v.crossJoin(
+        F.broadcast(v.agg(F.count(F.lit(1)).alias("n")))
     )
-    b = v.crossJoin(F.broadcast(mm)).withColumn(
-        "band",
-        F.expr(f"((p - lo) * {_DECILE_BANDS}) div (hi - lo + 1)"),
-    )
-    bcnt = b.groupBy("band").agg(F.count(F.lit(1)).alias("bn"))
-    w_pre = Window.orderBy(F.col("band").asc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    bpre = bcnt.select(
-        "band",
-        F.coalesce(F.sum("bn").over(w_pre), F.lit(0)).alias("prefix"),
-    )
-    w_in = Window.partitionBy("band").orderBy(F.col("p").asc())
-    ranked = (
-        b.join(F.broadcast(bpre), "band")
-        .withColumn("within", F.row_number().over(w_in))
-        .withColumn("rn", (F.col("prefix") + F.col("within")).cast("long"))
+    ranked = band_prefix(
+        withn,
+        [RankSpec("p", "rn", ascending=True)],
+        n_buckets=_DECILE_BANDS,
     )
     ds = spark.range(1, 10).select(F.col("id").alias("decile"))
     return (
@@ -3602,7 +3594,7 @@ def q_ann_graph_greedy_topk(spark, sf_dir):
         f"SELECT src, dst FROM {edges}"
     ).createOrReplaceTempView("greedy_edges_mat")
     return spark.sql(
-        _sim._greedy_view_sql(_sim.N_SEEDS, _sim.GREEDY_HOPS)
+        _sim._greedy_view_sql(None, _sim.GREEDY_HOPS)
     )
 
 

@@ -3579,40 +3579,56 @@ def q_lineitem_pvm_brand_bridge(spark, sf_dir):
 # as a sizing query)
 # ---------------------------------------------------------------------------
 
-# data-independent per-multiplier constants, precomputed in Python
-# (the JL-sign-matrix rule): added band bits = ceil(2*log2(mult)) so
-# expected random band collisions n^2*bands/2^bits stay constant,
-# and the resulting 2^bits divisor.
+# data-independent per-multiplier constants, precomputed in Python.
+# Two published band-width rules:
+#  - collision-constant: added bits = ceil(2*log2(mult)) holds
+#    expected random band collisions n^2*bands/2^bits constant;
+#  - occupancy-constant (THE RULE THE REGISTERED OPERATORS NOW
+#    SELF-APPLY, r8): added bits = round(log2(mult)) holds bucket
+#    occupancy n/2^bits constant, so collisions grow ~linearly with
+#    n (bounded per-row work — the measured exp-0.73 arm), clamped
+#    at R_MAX_ADD extension planes (see operators/similarity.py).
 _DIAL_MULTS = [1, 10, 100, 1000]
 _DIAL_ROWS = []
 for _m in _DIAL_MULTS:
     _add = 0
     while (1 << _add) < _m * _m:
         _add += 1
-    _DIAL_ROWS.append((_m, _add))
-del _m, _add
+    _reg = 0
+    while _m * _m > (1 << (2 * (_reg + 1) - 1)):
+        _reg += 1
+    _DIAL_ROWS.append((_m, _add, min(_reg, _sim.R_MAX_ADD)))
+del _m, _add, _reg
 
 
 def _blocking_dial_sql(dialect: str) -> str:
     div = "div" if dialect == "spark" else "//"
     big = "DECIMAL(38,0)" if dialect == "spark" else "HUGEINT"
     rows = ", ".join(
-        f"({m}, {_sim.R_BITS + add}, {1 << (_sim.R_BITS + add)})"
-        for m, add in _DIAL_ROWS
+        f"({m}, {_sim.R_BITS + add}, {1 << (_sim.R_BITS + add)},"
+        f" {_sim.R_BITS + reg}, {1 << (_sim.R_BITS + reg)})"
+        for m, add, reg in _DIAL_ROWS
     )
     return f"""
         WITH base AS (
             SELECT CAST(COUNT(*) AS BIGINT) AS n_vec FROM embeddings)
         , dials AS (
             SELECT * FROM (VALUES {rows})
-                AS d(mult, lsh_band_bits, pow2bits))
+                AS d(mult, lsh_band_bits, pow2bits,
+                     lsh_band_bits_registered, pow2bits_reg))
         SELECT d.mult,
                b.n_vec * d.mult AS n_vec_scaled,
                CAST(d.lsh_band_bits AS BIGINT) AS lsh_band_bits,
+               CAST(d.lsh_band_bits_registered AS BIGINT)
+                   AS lsh_band_bits_registered,
                CAST((CAST(b.n_vec * d.mult AS {big})
                      * (b.n_vec * d.mult) * {_sim.N_BANDS})
                     {div} (2 * d.pow2bits) AS BIGINT)
                    AS lsh_rand_pairs_scaled,
+               CAST((CAST(b.n_vec * d.mult AS {big})
+                     * (b.n_vec * d.mult) * {_sim.N_BANDS})
+                    {div} (2 * d.pow2bits_reg) AS BIGINT)
+                   AS lsh_rand_pairs_registered,
                CAST((CAST(b.n_vec * d.mult AS {big})
                      * (b.n_vec * d.mult) * {_sim.N_BANDS})
                     {div} (2 * {1 << _sim.R_BITS}) AS BIGINT)
@@ -3632,19 +3648,25 @@ def q_ops_blocking_dial_plan(spark, sf_dir):
     """BLOCKING-STRUCTURE SCALING DIALS — the rule the sf1 scaling
     run (SCALING_r7.json) measured, as a sizing query beside
     ops_scale_sizing_plan (#321): per corpus multiplier
-    {1,10,100,1000}, (a) the hyperplane-LSH band width that holds
-    expected RANDOM band collisions n²·bands/2^bits constant
-    (bits += ceil(2·log2(mult)) — measured at sf1: frozen 4-bit
-    bands exp 1.58, scaled bits exp 0.73, 7.1× faster) and the
-    resulting collision estimate vs the frozen-constant contrast
-    column, and (b) the IVF nlist that holds cell occupancy
-    constant (nlist ∝ corpus — measured: frozen nlist exp 1.38,
-    scaled exp 0.68, 5.4×). The flat `*_scaled` columns next to the
-    exploding `*_frozen` columns ARE the operational rule: re-size
-    the blocking structure with the corpus or in-bucket work grows
-    ~quadratically. Expected-collision algebra runs
-    DECIMAL(38,0)/HUGEINT-widened (n² at mult 1000 passes BIGINT) —
-    the same widening class the scaling run's pareto catch fixed.
+    {1,10,100,1000}, (a) two hyperplane-LSH band-width rules — the
+    collision-constant width (bits += ceil(2·log2(mult)), holds
+    n²·bands/2^bits flat) and the OCCUPANCY-CONSTANT width
+    (bits += round(log2(mult)), holds bucket occupancy flat so
+    collisions grow ~linearly) — with their collision estimates vs
+    the frozen-constant contrast column, and (b) the IVF nlist that
+    holds cell occupancy constant (nlist ∝ corpus — measured:
+    frozen nlist exp 1.38, scaled exp 0.68, 5.4×). Since r8 the
+    occupancy rule is NOT advisory: the registered
+    embed_near_dup_lsh and the shared KNN chain SELF-APPLY it
+    inside their SQL from a corpus count
+    (operators/similarity.py:_lsh_band_ctes_auto / _knn_ctes) —
+    this query remains the sizing forecast a capacity planner reads
+    (bits_registered is clamped at R_BITS+R_MAX_ADD, the shipped
+    extension-plane budget). Measured at sf1: frozen 4-bit bands
+    exp 1.58, occupancy-scaled bits exp 0.73, 7.1× faster.
+    Expected-collision algebra runs DECIMAL(38,0)/HUGEINT-widened
+    (n² at mult 1000 passes BIGINT) — the same widening class the
+    scaling run's pareto catch fixed.
 
     Scale: one 1-row corpus count broadcast × a 4-row literal dial
     grid; the plan is free at any corpus size."""

@@ -1,0 +1,137 @@
+"""Laws for the self-sizing blocking dials (r7 verdict item 1).
+
+The registered embed_near_dup_lsh band width and the KNN-chain /
+SemDeDup nlist derive from the corpus count INSIDE the generated
+SQL (operators/similarity.py: _lsh_band_ctes_auto, _knn_ctes). Two
+properties matter and are pinned here:
+
+1. FROZEN-POINT IDENTITY — at corpora at or below the reference
+   count the self-sizing chain produces the bit-identical result of
+   the historical frozen chain (r_bits=R_BITS, nlist=N_SEEDS), so
+   seven rounds of oracle hashes at driver scale stay valid.
+
+2. SCALED-POINT CROSS-ENGINE EXACTNESS — when the count crosses the
+   thresholds (exercised by shrinking N_REF_VECS, which both
+   dialects read at SQL-generation time), Spark and DuckDB still
+   agree row-for-row: the dial is a deterministic function of the
+   data, mirrored by construction. (The sf1 corpus exercises the
+   real thresholds — extra=3 bits, nlist=160 — in the scaling
+   sweep; this test pins the mechanism hermetically.)
+
+Plus the integer threshold ladder itself: extra bits computed by
+BIGINT comparisons must equal round-half-down(log2(n / N_REF)),
+clamped to [0, R_MAX_ADD] — no float log in either engine.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from aurora_cdc_demo_spark.operators import similarity as sim  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def _extra_from_ladder(n: int) -> int:
+    return sum(1 for t in sim._bit_thresholds() if n > t)
+
+
+def test_threshold_ladder_matches_rounded_log2():
+    for n in (1, 100, 1000, 2000, 2827, 2828, 2829, 5656, 5657,
+              20000, 200000, 2_000_000, 10**9):
+        got = _extra_from_ladder(n)
+        ratio = n / sim.N_REF_VECS
+        if ratio <= 1:
+            want = 0
+        else:
+            # ladder semantics: extra >= a  <=>  n^2 > N_REF^2*2^(2a-1)
+            # i.e. round-half-DOWN of log2(ratio), clamped
+            want = 0
+            while (
+                want < sim.R_MAX_ADD
+                and n * n > sim.N_REF_VECS**2 * 2 ** (2 * (want + 1) - 1)
+            ):
+                want += 1
+            # sanity vs float log2 away from exact boundaries
+            f = math.log2(ratio)
+            if abs(f - round(f) + 0.5) > 1e-9:
+                assert want == min(sim.R_MAX_ADD, max(0, round(f))), n
+        assert got == want, (n, got, want)
+
+
+def test_reference_points_keep_frozen_dials():
+    # driver corpora: 500 (sf0.001/sf0.01) and 2000 (sf0.1) vectors
+    assert _extra_from_ladder(500) == 0
+    assert _extra_from_ladder(2000) == 0
+    # the scale corpora: sf1 (10x) -> 3 extra bits, sf10 -> 7
+    assert _extra_from_ladder(20000) == 3
+    assert _extra_from_ladder(200000) == 7
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        f"SELECT * FROM '{SF}/embeddings.parquet'"
+    )
+    return con.execute(sql).df()
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1).astype(str)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def _spark_df(spark, sql):
+    from aurora_cdc_demo_spark.tables import load_table
+
+    load_table(spark, SF, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    return spark.sql(sql).toPandas()
+
+
+def test_frozen_point_identity(spark):
+    """Self-sizing chain == historical frozen chain, bit-for-bit, at
+    a corpus at/below the reference count (500 vectors, extra=0)."""
+    auto = _spark_df(spark, sim.near_dup_lsh_sql("spark"))
+    frozen = _spark_df(
+        spark, sim.near_dup_lsh_sql("spark", r_bits=sim.R_BITS)
+    )
+    pd.testing.assert_frame_equal(_norm(auto), _norm(frozen))
+
+    auto_k = _spark_df(spark, sim.knn_graph_sql("spark"))
+    frozen_k = _spark_df(
+        spark, sim.knn_graph_sql("spark", n_seeds=sim.N_SEEDS)
+    )
+    pd.testing.assert_frame_equal(_norm(auto_k), _norm(frozen_k))
+
+
+def test_scaled_point_cross_engine_exact(spark, monkeypatch):
+    """Shrink the reference count so the 500-vector corpus sits 2+
+    decades above it: the dial ENGAGES (extra bits > 0, nlist > 16)
+    and Spark/DuckDB must still match row-for-row — both dialects
+    re-generate from the patched constant, proving the mirrored
+    formula rather than a shared frozen literal."""
+    monkeypatch.setattr(sim, "N_REF_VECS", 100)
+    assert _extra_from_ladder(500) >= 2  # the dial is really on
+
+    s = _norm(_spark_df(spark, sim.near_dup_lsh_sql("spark")))
+    d = _norm(_duck(sim.near_dup_lsh_sql("duck")))
+    pd.testing.assert_frame_equal(s, d)
+
+    sk = _norm(_spark_df(spark, sim.knn_graph_sql("spark")))
+    dk = _norm(_duck(sim.knn_graph_sql("duck")))
+    # nlist engaged: max(16, 500*16/100) = 80 seeds
+    pd.testing.assert_frame_equal(sk, dk)
+
+    ss = _norm(_spark_df(spark, sim.semdedup_sql("spark")))
+    ds = _norm(_duck(sim.semdedup_sql("duck")))
+    pd.testing.assert_frame_equal(ss, ds)

@@ -29,10 +29,15 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # spills. An explicit cap + temp_directory makes DuckDB spill
     # deterministically whatever else is running.
     con.execute("SET memory_limit='40GB'")
+    import os
+
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        path = f"{sf_dir}/{t}.parquet"
+        # Spark-written tables are DIRECTORIES of part files (the
+        # scale corpora); the driver's testdata are single files
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     return con
 
 

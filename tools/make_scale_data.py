@@ -34,6 +34,12 @@ so the corpus is reproducible bit-for-bit.
 
 Usage: python tools/make_scale_data.py [R] [out_dir]
   (default R=10, out=/root/repo/scale_data/sf1)
+       python tools/make_scale_data.py --skew [R] [out_dir]
+  (r8, verdict item 6: writes the EVENTS table only, with a
+  deliberately Zipf-skewed user_id — ~20% of all rows land on ONE
+  hot user (hash(event_id) % 5 == 0 → user 0) — the skew-stress
+  corpus for timing the salted agg/join patterns (#38/#136)
+  against their naive twins; default out=scale_data/sf1skew)
 """
 
 from __future__ import annotations
@@ -58,9 +64,23 @@ def replicate(df, r_transform, R):
 
 
 def tag(col, r):
-    """Short per-replica name tag (edit distance > any fuzzy-join
-    radius from the base name)."""
-    return F.concat(F.col(col), F.lit(f"~r{r}")) if r else F.col(col)
+    """Short per-replica name tag, inserted at a deterministic
+    pseudo-random POSITION inside the name (r8, discharging the r7
+    part_edit_distance_join artifact claim): a TRAILING tag leaves
+    every replica's PREFIX segments verbatim-identical to the
+    base's, so PassJoin segment buckets stack ~R near-identical
+    names — a construction artifact no natural name distribution
+    exhibits. An infix tag at hash(name, replica) % (len+1) keeps
+    the edit distance from the base (and between replicas) at
+    ≥ len(tag) > any fuzzy-join radius, while breaking verbatim
+    segment alignment the way distinct real-world names do."""
+    if not r:
+        return F.col(col)
+    pos = f"pmod(xxhash64({col}, {r}), length({col}) + 1)"
+    return F.expr(
+        f"concat(substring({col}, 1, CAST({pos} AS INT)), '~r{r}', "
+        f"substring({col}, CAST({pos} AS INT) + 1))"
+    )
 
 
 def perturb_text(r):
@@ -93,11 +113,45 @@ def isometry(r):
 
 
 def main() -> int:
-    R = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/scale_data/sf1"
+    argv = sys.argv[1:]
+    skew = argv and argv[0] == "--skew"
+    if skew:
+        argv = argv[1:]
+    R = int(argv[0]) if len(argv) > 0 else 10
+    out = (
+        argv[1]
+        if len(argv) > 1
+        else (
+            "/root/repo/scale_data/sf1skew"
+            if skew
+            else "/root/repo/scale_data/sf1"
+        )
+    )
     spark = get_spark("make-scale-data")
     spark.sparkContext.setLogLevel("ERROR")
     rd = lambda t: spark.read.parquet(f"{SRC}/{t}.parquet")  # noqa: E731
+
+    if skew:
+        # hot-key remap AFTER striding: 1 in 5 events (deterministic
+        # on event_id) collapses onto user 0 — a ~20%-mass hot key
+        # at any R, the regime the salted patterns exist for.
+        def ev(df, r):
+            return df.select(
+                (F.col("event_id") + r * 10_000_000).alias("event_id"),
+                "ts",
+                F.expr(
+                    f"CASE WHEN pmod(xxhash64(event_id, {r}), 5) = 0 "
+                    f"THEN CAST(0 AS BIGINT) "
+                    f"ELSE user_id + {r} * 1000000 END"
+                ).alias("user_id"),
+                "event_type", "value", "props",
+            )
+
+        replicate(rd("events"), ev, R).coalesce(8).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/events.parquet")
+        print("wrote events (skewed)")
+        return 0
 
     for t in ("region", "nation"):
         rd(t).write.mode("overwrite").parquet(f"{out}/{t}.parquet")

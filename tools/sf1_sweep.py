@@ -6,9 +6,11 @@ proved necessary: ANSI mode turns silent wraparound into a caught
 ArithmeticException, and any operator whose constants or frames
 break at 10x fails here instead of on a cluster.
 
-Writes SF1_SWEEP_r7.json {query: seconds | "ERROR: ..."}. Queries
+Writes SF1_SWEEP_r8.json {query: seconds | "ERROR: ..."}. Queries
 are run in sorted order; pass names to restrict, or
---skip name1,name2 to exclude.
+--skip name1,name2 to exclude — either restriction routes output to
+/tmp/sf1_subset.json so the canonical full-sweep record is never
+clobbered by a partial run.
 
 Usage: python tools/sf1_sweep.py [--skip a,b] [name ...]
 """
@@ -24,6 +26,7 @@ sys.path.insert(0, ".")
 from aurora_cdc_demo_spark.session import get_spark  # noqa: E402
 
 SF1 = "/root/repo/scale_data/sf1"
+CANONICAL = "SF1_SWEEP_r8.json"
 
 
 def main() -> int:
@@ -53,9 +56,11 @@ def main() -> int:
             out[name] = f"ERROR: {msg}"
             print(f"FAIL {name}: {msg}", flush=True)
     errs = {k: v for k, v in out.items() if isinstance(v, str)}
-    # subset runs must never clobber the full-sweep record
+    # subset runs must never clobber the full-sweep record: ANY
+    # restriction — positional names OR --skip (ADVICE r7) — routes
+    # to the scratch path; only a truly-full sweep writes canonical.
     path = (
-        "SF1_SWEEP_r7.json" if not args else "/tmp/sf1_subset.json"
+        CANONICAL if not args and not skip else "/tmp/sf1_subset.json"
     )
     with open(path, "w") as f:
         json.dump(
