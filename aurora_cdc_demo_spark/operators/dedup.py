@@ -991,6 +991,27 @@ def _lsh_tuning_config_ctes(r: int) -> str:
 """
 
 
+# Tuning-sample cap (r8, the sf10 catch): the sweep's r=1 candidate
+# superset is ~quadratic in corpus size (every pair sharing ANY
+# minhash), but an S-curve is a PAIR-PROBABILITY profile — a
+# fixed-size sample estimates it; a parameter-tuning run never needs
+# the full corpus. The tuning chain therefore runs on a
+# deterministic md5 hash sample of docs, keep-rate 1/K with
+# K = max(1, n div TUNE_SAMPLE_CAP) — NON-BINDING at the driver
+# scales (sf0.01: 500 docs, sf0.1: 5000 = the cap), so every oracle
+# hash at driver scale is unchanged; at sf1+ the sweep is flat in
+# corpus size by construction. Both dialects compute K from the
+# same COUNT and the same md5 predicate — twin-exact at every sf.
+TUNE_SAMPLE_CAP = 5000
+
+
+def _tune_sample_pred_duck() -> str:
+    return (
+        "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
+        " AS BIGINT) % (SELECT k FROM tune_k) = 0"
+    )
+
+
 LSH_TUNING_SQL = (
     f"""
     WITH {_SHINGLES_SQL_MAT}
@@ -999,8 +1020,13 @@ LSH_TUNING_SQL = (
                CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS a,
                CAST('0x' || substr(md5(s), 9, 8) AS BIGINT) AS b
         FROM sh)
+    , tune_k AS (
+        SELECT GREATEST(1, COUNT(*) // {TUNE_SAMPLE_CAP}) AS k
+        FROM documents)
     , sig AS MATERIALIZED (
-        SELECT doc_id, {_minhash_sql_cols()} FROM hashed GROUP BY doc_id)
+        SELECT doc_id, {_minhash_sql_cols()} FROM hashed
+        WHERE {_tune_sample_pred_duck()}
+        GROUP BY doc_id)
 """
     + "".join(_lsh_tuning_config_ctes(r) for r in LSH_TUNING_ROWS)
     + f"""

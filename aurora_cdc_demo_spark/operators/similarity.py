@@ -59,11 +59,15 @@ NEAR_DUP_THRESHOLD = 0.4
 # driver's sf0.01/sf0.1 corpora (extra bits = 0, nlist = 16), so
 # every existing oracle hash at driver scale is unchanged.
 #
-#   nlist(n)  = max(N_SEEDS, (n * N_SEEDS) div N_REF_VECS)
-#               — holds cell occupancy ~N_REF_VECS/N_SEEDS constant,
-#               so in-cell candidate work Θ(n²/nlist) stays linear
-#               (measured: frozen exp 1.37 → scaled 0.68,
-#               SCALING_r7.json).
+#   nlist(n)  = max(N_SEEDS, floor(sqrt(n * N_SEEDS² / N_REF_VECS)))
+#               — the √n rule, the flat-quantizer cost optimum:
+#               assign n·nlist + in-cell n²/nlist is Θ(n^1.5),
+#               minimized at nlist ∝ √n. (The r7 scaled twin used
+#               nlist ∝ n and measured 0.68 over ONE decade — its
+#               assign stage is quadratic and the r8 sf10 point
+#               caught it; frozen nlist is worse at every size,
+#               exp 1.37. Truly linear graph builds use the banded
+#               LSH cells instead: knn_graph_lsh_sql.)
 #   r_bits(n) = R_BITS + round(log2(n / N_REF_VECS)) clamped to
 #               [R_BITS, R_BITS + R_MAX_ADD]
 #               — holds band-bucket occupancy n/2^r_bits constant,
@@ -90,11 +94,26 @@ def _bit_thresholds() -> list[int]:
 
 
 def _nlist_expr(dialect: str, n_expr: str = "COUNT(*)") -> str:
-    """Integer-exact self-sizing nlist from a corpus count."""
-    div = "div" if dialect == "spark" else "//"
+    """Self-sizing nlist from a corpus count — the √n rule
+    (FAISS practice, nlist = N_SEEDS·√(n/N_REF)): flat-quantizer
+    build cost is assign n·nlist + in-cell n²/nlist, minimized at
+    nlist ∝ √n where both terms are Θ(n^1.5). The r7 scaled twin
+    used nlist ∝ n, which looks better over ONE decade (in-cell
+    dominates at these sizes) but makes the ASSIGN stage itself
+    quadratic — measured at the sf10 point: 718 s vs the √n rule's
+    balance (SCALING_r8.json, the second-decade catch). Truly
+    linear graph construction needs a hierarchical/LSH quantizer —
+    that path is ann_knn_graph_lsh (banded cells, candidates ∝ n).
+
+    Cross-engine determinism: FLOOR(SQRT(double)) — both engines
+    parse the same decimal literal to the same IEEE double and SQRT
+    is correctly rounded, so the floor agrees bit-for-bit; equality
+    under an engaged dial is pinned in
+    tests/test_self_sizing_dials.py."""
+    c = (N_SEEDS * N_SEEDS) / N_REF_VECS
     return (
-        f"GREATEST({N_SEEDS}, (CAST({n_expr} AS BIGINT) * {N_SEEDS}) "
-        f"{div} {N_REF_VECS})"
+        f"GREATEST({N_SEEDS}, CAST(FLOOR(SQRT("
+        f"CAST({n_expr} AS DOUBLE) * {c!r})) AS BIGINT))"
     )
 
 
@@ -470,16 +489,38 @@ def _lsh_band_ctes_auto(dialect: str, n_bands: int = N_BANDS) -> str:
     )
 
 
+def auto_r_bits(spark, sf_dir: str) -> int:
+    """The occupancy rule evaluated DRIVER-SIDE from one cheap
+    corpus count (column-pruned parquet count-star): the Spark
+    wrappers emit a chain with exactly the needed bits instead of
+    compiling the full R_MAX_ADD-gated expression tree — same
+    candidate partition as the structural form (prefix planes +
+    identical ladder thresholds; the DuckDB oracle keeps the
+    in-SQL structural form, and cross-engine equality at an engaged
+    dial is pinned in tests/test_self_sizing_dials.py)."""
+    from ..tables import load_table
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    return R_BITS + sum(1 for t in _bit_thresholds() if n > t)
+
+
 def _lsh_band_ctes(
-    dialect: str, r_bits: int | None = None, n_bands: int = N_BANDS
+    dialect: str,
+    r_bits: int | None = None,
+    n_bands: int = N_BANDS,
+    prefix_planes: bool = False,
 ) -> str:
     """Shared CTE chain v -> bands -> cand producing DISTINCT
     candidate pairs (vec_a < vec_b) from band-bucket collisions.
 
     r_bits=None (the registered default) emits the SELF-SIZING chain
     (_lsh_band_ctes_auto) — band width derived from the corpus count
-    inside the SQL, both dialects. An explicit r_bits pins the
-    frozen-width chain (scaling-contrast arms, tests).
+    inside the SQL, both dialects. An explicit r_bits pins a
+    literal-width chain: with prefix_planes=True it uses the
+    prefix-stable extension planes (the auto_r_bits driver-side
+    fast path — partitions candidates identically to the structural
+    chain at the same width); with the default False it keeps the
+    historical global-j plane indexing (r7 scaling-contrast arms).
 
     Plan-shape note (measured at sf0.1, both checksum-identical): the
     per-bit CASE projection form below codegens to ~1.1 s warm; the
@@ -495,7 +536,13 @@ def _lsh_band_ctes(
     both, so the sign bits are bit-identical cross-engine."""
     if r_bits is None:
         return _lsh_band_ctes_auto(dialect, n_bands)
-    planes = _hyperplanes(r_bits, n_bands)
+    if prefix_planes:
+        ext = _hyperplanes_ext(n_bands)
+        planes = [
+            ext[b][k] for b in range(n_bands) for k in range(r_bits)
+        ]
+    else:
+        planes = _hyperplanes(r_bits, n_bands)
     if dialect == "spark":
         bit_cols = ",\n                   ".join(
             f"{_sign_bit(planes[j], 'spark')} AS s{j}"
@@ -568,7 +615,10 @@ def _lsh_band_ctes(
 
 
 def near_dup_lsh_sql(
-    dialect: str, r_bits: int | None = None, n_bands: int = N_BANDS
+    dialect: str,
+    r_bits: int | None = None,
+    n_bands: int = N_BANDS,
+    prefix_planes: bool = False,
 ) -> str:
     # r_bits is the corpus-tracking dial: random band collisions
     # scale ~ n^2 / 2^r_bits, so production adds ~log2(growth) bits
@@ -578,7 +628,7 @@ def near_dup_lsh_sql(
     # (_lsh_band_ctes_auto) — the registered arm IS the scaled arm;
     # an explicit r_bits pins the frozen-width contrast chain.
     return f"""
-        WITH {_lsh_band_ctes(dialect, r_bits, n_bands)}
+        WITH {_lsh_band_ctes(dialect, r_bits, n_bands, prefix_planes)}
         , scored AS (
             SELECT cand.vec_a, cand.vec_b,
                    ({_dot('va.embedding', 'vb.embedding', dialect)})
@@ -760,13 +810,17 @@ def _knn_ctes(dialect: str, n_seeds: int | None = None) -> str:
     built on its edges.
 
     n_seeds=None (the registered default since r8) SELF-SIZES the
-    coarse-cell count from the corpus count inside the SQL:
-    nlist = max(N_SEEDS, n·N_SEEDS div N_REF_VECS) — cell occupancy
-    stays ~N_REF_VECS/N_SEEDS, so the in-cell candidate self-join
-    Θ(n²/nlist) stays linear at every sf (measured: frozen exp 1.37
-    → scaled 0.68, SCALING_r7.json). At the driver's sf0.01/sf0.1
-    the formula yields the historical 16, so every existing oracle
-    hash at driver scale is unchanged. Both dialects derive nlist
+    coarse-cell count from the corpus count inside the SQL with the
+    √n rule: nlist = max(N_SEEDS, ⌊√(n·N_SEEDS²/N_REF_VECS)⌋) —
+    the flat-quantizer cost optimum (assign n·nlist + in-cell
+    n²/nlist, both Θ(n^1.5) at nlist ∝ √n; the r7 nlist∝n twin
+    measured 0.68 over one decade only because in-cell work
+    dominated there — its assign stage is quadratic, caught at the
+    r8 sf10 point; the linear build is the banded-cell graph,
+    knn_graph_lsh_sql). Frozen nlist is worse at every size
+    (in-cell Θ(n²), measured exp 1.37). At the driver's
+    sf0.01/sf0.1 the formula yields the historical 16, so every
+    existing oracle hash at driver scale is unchanged. Both dialects derive nlist
     from the same integer formula, so the oracle twin stays exact at
     every sf. An explicit n_seeds pins the frozen contrast chain
     (scaling arms, two-cell-count parity tests). Seed selection is
@@ -840,6 +894,61 @@ def knn_graph_sql(dialect: str, n_seeds: int | None = None) -> str:
                CAST(FLOOR(cos * 1000000) AS BIGINT) AS cos_e6
         FROM ranked WHERE rnk <= {KNN_K}
     """
+
+
+def knn_graph_lsh_sql(
+    dialect: str,
+    r_bits: int | None = None,
+    prefix_planes: bool = False,
+) -> str:
+    """KNN graph over LSH-BAND cells — the LINEAR build path the
+    flat IVF graph cannot be (r8, the sf10 catch): the seed-nearest
+    quantizer costs assign n·nlist + in-cell n²/nlist ≥ 2n^1.5 at
+    the optimal nlist ∝ √n (measured: SCALING_r8.json second
+    decade), while banded hyperplane cells generate candidates in
+    Θ(n·bands·occupancy) with the SELF-SIZED band width holding
+    occupancy constant — candidates ∝ n, no assign stage at all.
+    Each vector ranks its banded candidates by exact cosine and
+    keeps KNN_K — same output contract as knn_graph_sql
+    (vec_id, neighbor_id, nn_rank, cos_e6); vectors with no band
+    collision have no edges (the singleton-cell caveat of the IVF
+    form, same downstream handling). Recall vs the exact
+    brute-force top-K is pinned in tests/test_self_sizing_dials.py;
+    this is the build a 100 TB corpus graph (dedup communities,
+    diversity sampling) would actually run, with the IVF form kept
+    as the Voronoi-cell twin."""
+    return f"""
+        WITH {_lsh_band_ctes(dialect, r_bits, N_BANDS, prefix_planes)}
+        , scored AS (
+            SELECT cand.vec_a, cand.vec_b,
+                   ({_dot('va.embedding', 'vb.embedding', dialect)})
+                       / (va.nrm * vb.nrm) AS cos
+            FROM cand
+            JOIN v va ON va.vec_id = cand.vec_a
+            JOIN v vb ON vb.vec_id = cand.vec_b)
+        , sym AS (
+            SELECT vec_a AS vec_id, vec_b AS neighbor_id, cos
+            FROM scored
+            UNION ALL
+            SELECT vec_b AS vec_id, vec_a AS neighbor_id, cos
+            FROM scored)
+        , ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id
+                ORDER BY cos DESC, neighbor_id ASC) AS rnk
+            FROM sym)
+        SELECT vec_id, neighbor_id, CAST(rnk AS BIGINT) AS nn_rank,
+               CAST(FLOOR(cos * 1000000) AS BIGINT) AS cos_e6
+        FROM ranked WHERE rnk <= {KNN_K}
+    """
+
+
+def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bits = auto_r_bits(spark, sf_dir)
+    return _run(
+        spark, sf_dir,
+        knn_graph_lsh_sql("spark", r_bits=bits, prefix_planes=True),
+    )
 
 
 # PageRank over the KNN graph: PR_ITERS fixed power iterations with
@@ -1053,7 +1162,15 @@ def near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _run(spark, sf_dir, near_dup_lsh_sql("spark"))
+    # driver-side count picks the exact band width (auto_r_bits) so
+    # the Spark plan compiles only the bits it needs; the oracle
+    # twin keeps the in-SQL structural form — same partition, same
+    # rows (tests/test_self_sizing_dials.py)
+    bits = auto_r_bits(spark, sf_dir)
+    return _run(
+        spark, sf_dir,
+        near_dup_lsh_sql("spark", r_bits=bits, prefix_planes=True),
+    )
 
 
 def centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2561,10 +2678,14 @@ def semdedup_tau_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def cos_histogram_sql(dialect: str) -> str:
+def cos_histogram_sql(
+    dialect: str,
+    r_bits: int | None = None,
+    prefix_planes: bool = False,
+) -> str:
     div = "div" if dialect == "spark" else "//"
     return f"""
-        WITH {_lsh_band_ctes(dialect)}
+        WITH {_lsh_band_ctes(dialect, r_bits, N_BANDS, prefix_planes)}
         , scored AS (
             SELECT cand.vec_a, cand.vec_b,
                    ({_dot('va.embedding', 'vb.embedding', dialect)})
@@ -2581,7 +2702,11 @@ def cos_histogram_sql(dialect: str) -> str:
 
 
 def cos_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _run(spark, sf_dir, cos_histogram_sql("spark"))
+    bits = auto_r_bits(spark, sf_dir)
+    return _run(
+        spark, sf_dir,
+        cos_histogram_sql("spark", r_bits=bits, prefix_planes=True),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -3289,10 +3289,27 @@ def q_dedup_lsh_tuning(spark, sf_dir):
     shared verdict map — the sweep's plan re-derives banding only
     (|docs|×bands rows per arm over the materialized signatures),
     never the shingle-join Jaccard. See
-    operators/dedup.py:lsh_tuning."""
+    operators/dedup.py:lsh_tuning.
+
+    Scale (r8, the sf10 catch): the r=1 superset is ~quadratic in
+    corpus size, but an S-curve is a pair-probability profile — the
+    sweep runs on a deterministic md5 doc sample capped at
+    TUNE_SAMPLE_CAP (non-binding at driver scales, so oracles are
+    byte-identical there; flat in corpus size above it — measured:
+    exp 1.43 uncapped at sf1→sf10, ~0 capped). Both dialects derive
+    the keep-rate from the same corpus count."""
     docs, sh, sig = _text_minhash_mats(spark, sf_dir)
+    n = docs.count()
+    k = max(1, n // _dedup.TUNE_SAMPLE_CAP)
+    if k > 1:
+        sig = sig.where(
+            F.expr(
+                "pmod(CAST(conv(substring(md5(CAST(doc_id AS STRING)),"
+                f" 1, 8), 16, 10) AS BIGINT), {k}) = 0"
+            )
+        )
     v1 = _gate_map(
-        spark, sf_dir, "lsh_tuning_verified1",
+        spark, sf_dir, f"lsh_tuning_verified1_k{k}",
         lambda: _dedup.lsh_tuning_verified1(sh, sig),
     )
     return _dedup.lsh_tuning(docs, sh=sh, signatures=sig, verified1=v1)

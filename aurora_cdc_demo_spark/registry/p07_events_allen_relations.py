@@ -2030,16 +2030,28 @@ def q_part_edit_distance_join(spark, sf_dir):
     (q-gram canopy over rows) → 8 s, identical output; segment keys
     are near-unique where q-gram canopies grow Σ block²
     quadratically on a fixed word vocabulary; levenshtein runs once
-    per candidate NAME pair, JVM-side on both engines. Measured at
-    sf1 (SCALING_r7.json): exp 1.38 — dominated by the synthetic
-    corpus construction (each replica name differs from its base
-    only in a trailing tag, so PREFIX segments collide across all
-    10 replicas and those buckets grow ~R); a natural name
-    distribution doesn't stack near-identical names this way. The
-    segment count itself is NOT a dial — d+1 segments IS the
-    pigeonhole guarantee; the production mitigation for dense
-    segment buckets is a cheap candidate-side filter (q-gram count
-    / length delta) before the levenshtein verify.""".replace(
+    per candidate NAME pair, JVM-side on both engines.
+
+    Measured scaling (r7→r8). The r7 exp 1.38 was the trailing-tag
+    construction artifact: suffix-tagged replicas share every
+    prefix segment verbatim. r8's INFIX tags (position =
+    hash(name, replica)) discharge it — exp 0.51 at sf0.1→sf1 on
+    the cleaned corpus. The remaining sf1→sf10 exp 1.80 decomposes,
+    measured, into (a) candidate pairs quadratic in
+    VARIANTS-PER-STEM (640→6400 tagged variants of 64 stems gives
+    19.7k→1.68M candidates — catalog-style stacking where variants
+    still share their pre-tag prefix; the verify cost is still <2%
+    of wall, 1.68M levenshteins), and (b) the dominant term: the
+    ANSWER is clone-expansion OUTPUT-BOUND — 31M rows at sf1 →
+    312M at sf10 (exactly linear), and materializing 312M string
+    pairs through one 64 GB JVM enters the GC-bound regime (probe:
+    raising shuffle partitions 32→256 does NOT help — 337 s vs
+    276 s — so it is not a partition-sizing artifact; per-OUTPUT-row
+    cost is what degrades, 7.0M→1.1M rows/s). On a cluster the
+    output production parallelizes across executor memories; on any
+    engine, a contract that returns Σ clones² expanded pairs is the
+    scale ceiling — the name-grain verdict (the `verified` CTE) is
+    the linear artifact a 100 TB run would materialize.""".replace(
         "{n}", str(_EDIT_SEGS)
     ).replace("{d}", str(_EDIT_JOIN_MAXD))
     ensure_utc(spark)

@@ -3633,9 +3633,12 @@ def _blocking_dial_sql(dialect: str) -> str:
                      * (b.n_vec * d.mult) * {_sim.N_BANDS})
                     {div} (2 * {1 << _sim.R_BITS}) AS BIGINT)
                    AS lsh_rand_pairs_frozen,
-               CAST({_sim.N_SEEDS} * d.mult AS BIGINT) AS ivf_nlist,
+               CAST({_sim._nlist_expr(dialect, "b.n_vec * d.mult")}
+                    AS BIGINT) AS ivf_nlist,
                CAST((b.n_vec * d.mult)
-                    {div} ({_sim.N_SEEDS} * d.mult) AS BIGINT)
+                    {div} {_sim._nlist_expr(dialect,
+                                            "b.n_vec * d.mult")}
+                    AS BIGINT)
                    AS ivf_cell_rows,
                CAST((b.n_vec * d.mult) {div} {_sim.N_SEEDS} AS BIGINT)
                    AS ivf_cell_rows_frozen
@@ -3653,14 +3656,18 @@ def q_ops_blocking_dial_plan(spark, sf_dir):
     n²·bands/2^bits flat) and the OCCUPANCY-CONSTANT width
     (bits += round(log2(mult)), holds bucket occupancy flat so
     collisions grow ~linearly) — with their collision estimates vs
-    the frozen-constant contrast column, and (b) the IVF nlist that
-    holds cell occupancy constant (nlist ∝ corpus — measured:
-    frozen nlist exp 1.38, scaled exp 0.68, 5.4×). Since r8 the
-    occupancy rule is NOT advisory: the registered
-    embed_near_dup_lsh and the shared KNN chain SELF-APPLY it
-    inside their SQL from a corpus count
-    (operators/similarity.py:_lsh_band_ctes_auto / _knn_ctes) —
-    this query remains the sizing forecast a capacity planner reads
+    the frozen-constant contrast column, and (b) the IVF nlist
+    under the √n rule — the flat-quantizer cost optimum (assign
+    n·nlist + in-cell n²/nlist is Θ(n^1.5), minimized at
+    nlist ∝ √n; the r7 nlist∝n twin looked linear over one decade
+    because in-cell work dominated, but its assign stage is itself
+    quadratic — caught at the r8 sf10 point; the truly-linear build
+    is the banded-cell graph, #508). Since r8 the rules are NOT
+    advisory: the registered embed_near_dup_lsh and the shared KNN
+    chain SELF-APPLY them inside their SQL from a corpus count
+    (operators/similarity.py:_lsh_band_ctes_auto / _knn_ctes /
+    _nlist_expr) — this query remains the sizing forecast a
+    capacity planner reads
     (bits_registered is clamped at R_BITS+R_MAX_ADD, the shipped
     extension-plane budget). Measured at sf1: frozen 4-bit bands
     exp 1.58, occupancy-scaled bits exp 0.73, 7.1× faster.
@@ -3675,3 +3682,32 @@ def q_ops_blocking_dial_plan(spark, sf_dir):
         "embeddings"
     )
     return spark.sql(_blocking_dial_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# R18: LSH-celled KNN graph — the linear build path (the sf10 catch)
+# ---------------------------------------------------------------------------
+
+
+@query("ann_knn_graph_lsh", oracle=_sim.knn_graph_lsh_sql("duck"))
+def q_ann_knn_graph_lsh(spark, sf_dir):
+    """KNN graph built from LSH-band cells instead of the flat
+    seed-nearest quantizer — the LINEAR-cost construction for a
+    100 TB corpus graph. The r8 sf10 measurement showed the flat
+    IVF build is Θ(n^1.5) at ANY nlist rule (assign n·nlist +
+    in-cell n²/nlist, minimized at nlist ∝ √n); banded hyperplane
+    cells with the self-sized width generate candidates ∝ n with no
+    assign stage. Same output contract as ann_knn_graph
+    (vec_id, neighbor_id, nn_rank, cos_e6); exact-cosine ranking of
+    banded candidates; recall vs brute-force top-K pinned in
+    tests/test_self_sizing_dials.py. The Spark side sizes the band
+    width from a driver-side corpus count (auto_r_bits, exactly the
+    embed_near_dup_lsh hybrid); the oracle keeps the in-SQL
+    structural self-sizing form — same partition, same rows.
+
+    Scale: one bits projection (linear, JVM codegen), one
+    band-key equi self-join (shuffle on the band key, candidates ∝
+    n·bands at constant occupancy), one vec_id-partitioned rank
+    window. Zero corpus×seed cross joins anywhere."""
+    ensure_utc(spark)
+    return _sim.knn_graph_lsh(spark, sf_dir)

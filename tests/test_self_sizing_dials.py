@@ -127,6 +127,13 @@ def test_scaled_point_cross_engine_exact(spark, monkeypatch):
     d = _norm(_duck(sim.near_dup_lsh_sql("duck")))
     pd.testing.assert_frame_equal(s, d)
 
+    # the REGISTERED Spark path (driver-side count -> literal
+    # prefix-plane chain, auto_r_bits) must equal the structural
+    # oracle too — the hybrid cannot drift from the in-SQL form
+    h = _norm(sim.near_dup_lsh(spark, SF).toPandas())
+    pd.testing.assert_frame_equal(h, d)
+    assert sim.auto_r_bits(spark, SF) >= sim.R_BITS + 2
+
     sk = _norm(_spark_df(spark, sim.knn_graph_sql("spark")))
     dk = _norm(_duck(sim.knn_graph_sql("duck")))
     # nlist engaged: max(16, 500*16/100) = 80 seeds
@@ -135,3 +142,52 @@ def test_scaled_point_cross_engine_exact(spark, monkeypatch):
     ss = _norm(_spark_df(spark, sim.semdedup_sql("spark")))
     ds = _norm(_duck(sim.semdedup_sql("duck")))
     pd.testing.assert_frame_equal(ss, ds)
+
+    # the LINEAR banded-cell graph (#508): hybrid Spark path vs
+    # structural duck form, dial engaged
+    sg = _norm(sim.knn_graph_lsh(spark, SF).toPandas())
+    dg = _norm(_duck(sim.knn_graph_lsh_sql("duck")))
+    pd.testing.assert_frame_equal(sg, dg)
+
+
+def test_knn_graph_lsh_recall_vs_brute_force(spark):
+    """#508 quality law: among vectors that have banded candidates,
+    the LSH graph's top-1 edge must BE the true nearest neighbor
+    for a solid majority, and every reported cosine must be exact
+    (spot-verified against the brute-force pairs). Random 64-dim
+    sign bits at the default width give ~50% band collision odds
+    per near pair; the law pins the measured floor so a band-chain
+    regression (wrong planes, broken key prefix) fails loudly."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        f"SELECT * FROM '{SF}/embeddings.parquet'"
+    )
+    # exact nearest neighbor per vector (brute force, 500 vecs)
+    exact = con.execute(
+        """
+        WITH v AS (
+            SELECT vec_id, embedding AS e FROM embeddings)
+        , p AS (
+            SELECT a.vec_id AS x, b.vec_id AS y,
+                   list_dot_product(a.e, b.e)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(b.e, b.e))) AS cos
+            FROM v a JOIN v b ON a.vec_id <> b.vec_id)
+        SELECT x, arg_max(y, cos) AS nn
+        FROM p GROUP BY x
+        """
+    ).df()
+    true_nn = dict(zip(exact.x, exact.nn))
+
+    g = sim.knn_graph_lsh(spark, SF).toPandas()
+    top1 = g[g.nn_rank == 1]
+    assert len(top1) > 400  # near-total candidate coverage at 500
+    hits = sum(
+        1 for r in top1.itertuples() if true_nn[r.vec_id] == r.neighbor_id
+    )
+    # measured ~0.9+ at the default width on this corpus; pin a
+    # conservative floor
+    assert hits / len(top1) >= 0.65, hits / len(top1)

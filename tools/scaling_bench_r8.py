@@ -19,26 +19,37 @@ Points:
                     ONLY (labeled-quadratic oracle twins excluded by
                     design — their cost is the documented contrast)
 
-Skew pair (sf1skew, events-only corpus with one ~20%-mass hot user):
-  skew_salted_agg (the registered salted pattern) vs an UNSALTED
-  naive twin of the same aggregate — the pair that shows the salted
-  plan flat where the naive plan degrades.
+Skew arms (sf1skew, events-only corpus with one ~20%-mass hot
+user): the hot-key JOIN triple — raw sort-merge join with AQE off
+(the cliff), the same join with AQE skew handling on (Spark's
+runtime split), and the registered per-row-salt pattern (#136,
+operators/skew.salted_join) — all forced into the shuffle-join
+regime (broadcast disabled), all producing the same checksum.
 
 Writes SCALING_r8.json. Usage:
   python tools/make_scale_data.py                  # sf1 (10x)
   python tools/make_scale_data.py 100 /root/repo/scale_data/sf10
-  python tools/make_scale_data.py --skew           # sf1skew events
-  python tools/scaling_bench_r8.py [out.json]
+  python tools/make_scale_data.py --skew 100       # sf1skew events
+  python tools/scaling_bench_r8.py [--skew-only] [out.json]
+(--skew-only re-measures just the skew arms and merges them into
+the existing record.)
 """
 
 from __future__ import annotations
 
 import json
 import math
+import os
 import sys
 import time
 
 sys.path.insert(0, ".")
+
+# sf10 is a 100x corpus: size the local-mode JVM heap to the SF (the
+# same spill-aware sizing a cluster submit would do via
+# --executor-memory; the 8g default OOMs on the ~150M-candidate
+# verify shuffle). Overridable, like everywhere else.
+os.environ.setdefault("SPARK_DRIVER_MEM", "64g")
 
 from aurora_cdc_demo_spark.session import get_spark  # noqa: E402
 
@@ -56,6 +67,7 @@ SCALING_QUERIES = [
     # self-sized blocking dials (r7 verdict item 1 — the point)
     "embed_near_dup_lsh",
     "ann_knn_graph",
+    "ann_knn_graph_lsh",
     "graph_pagerank_knn",
     "semdedup_cells",
     "embed_keep_list",
@@ -97,46 +109,126 @@ def _frozen_dial_arms():
 
 
 def _skew_arms(spark):
-    """Salted vs naive per-user aggregate over the hot-key events
-    corpus: the naive twin groups the raw user_id (one straggler
-    reducer owns the ~20%-mass hot user); the salted plan is the
-    registered #38 two-level shape (user_id, salt) partial -> user
-    merge."""
+    """Hot-key JOIN stress over the skewed events corpus — the
+    pattern the registered #136 skew_salted_join exists for. (A
+    first attempt measured a salted AGGREGATE: pointless — COUNT/
+    SUM are algebraic, map-side partial aggregation absorbs any hot
+    key before the shuffle, and the naive agg wins. Joins have no
+    map-side combine: every hot-key row must meet the dim row on
+    ONE reducer unless something splits it.)
+
+    Three arms, same answer (a count+checksum aggregate forces full
+    join execution): sort-merge join with AQE skew handling OFF
+    (the raw cliff), the same join with AQE ON (Spark's runtime
+    mitigation — the reason the session default enables it), and
+    the registered per-row-salt pattern (operators/skew.salted_join
+    — the engine-independent fix, needed where AQE can't reach:
+    non-shuffle boundaries, AQE-less engines). Broadcast is
+    disabled for the dim (the whole point is the shuffle-join
+    regime; at 100 TB the user dim doesn't broadcast)."""
     from pyspark.sql import functions as F
 
-    ev = spark.read.parquet(f"{SKEW_DIR}/events.parquet")
+    from aurora_cdc_demo_spark.operators import skew as _skew
 
-    def naive():
-        return ev.groupBy("user_id").agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
-                "value_e2"
-            ),
+    def ev():
+        # read inside each arm so a failure lands in timed()'s
+        # error record instead of killing the whole bench
+        return spark.read.parquet(f"{SKEW_DIR}/events.parquet").select(
+            "event_id", "user_id", "value"
+        )
+
+    def dim():
+        # distinct key name: salted_join's condition references both
+        # key columns unqualified
+        return (
+            ev()
+            .groupBy("user_id")
+            .agg(F.max("value").alias("u_payload"))
+            .select(F.col("user_id").alias("u_key"), "u_payload")
+        )
+
+    def _checksum(joined):
+        # decimal-widened: a BIGINT sum of 10M xxhash64 values
+        # overflows under ANSI
+        return joined.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.xxhash64("event_id", "u_payload").cast("decimal(38,0)")
+            ).alias("chk"),
+        )
+
+    def _with_confs(fn, **confs):
+        saved = {}
+        for k, v in confs.items():
+            saved[k] = spark.conf.get(k, None)
+            spark.conf.set(k, v)
+        try:
+            return fn()
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+    def naive_no_aqe():
+        return _with_confs(
+            lambda: _checksum(
+                ev().join(
+                    dim(), F.col("user_id") == F.col("u_key")
+                )
+            ).localCheckpoint(),
+            **{
+                "spark.sql.adaptive.enabled": "false",
+                "spark.sql.autoBroadcastJoinThreshold": "-1",
+            },
+        )
+
+    def naive_aqe():
+        return _with_confs(
+            lambda: _checksum(
+                ev().join(
+                    dim(), F.col("user_id") == F.col("u_key")
+                )
+            ).localCheckpoint(),
+            **{
+                "spark.sql.adaptive.enabled": "true",
+                "spark.sql.autoBroadcastJoinThreshold": "-1",
+            },
         )
 
     def salted():
-        part = (
-            ev.withColumn(
-                "_salt", F.pmod(F.xxhash64("event_id"), F.lit(32))
-            )
-            .groupBy("user_id", "_salt")
-            .agg(
-                F.count(F.lit(1)).alias("_n"),
-                F.sum(
-                    F.round(F.col("value") * 100).cast("long")
-                ).alias("_v"),
-            )
-        )
-        return part.groupBy("user_id").agg(
-            F.sum("_n").cast("long").alias("n_events"),
-            F.sum("_v").cast("long").alias("value_e2"),
+        # row_id_col=None -> the operator's xxhash64 row-salt path
+        # (the md5 variant exists for oracle-exactness in the
+        # registered #136; the xxhash path is the throughput choice
+        # and salts identically in distribution)
+        return _with_confs(
+            lambda: _checksum(
+                _skew.salted_join(
+                    ev(), dim(), "user_id", "u_key",
+                    row_id_col=None,
+                )
+            ).localCheckpoint(),
+            **{
+                "spark.sql.adaptive.enabled": "false",
+                "spark.sql.autoBroadcastJoinThreshold": "-1",
+            },
         )
 
-    return naive, salted
+    return naive_no_aqe, naive_aqe, salted
 
 
 def main() -> int:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING_r8.json"
+    argv = [a for a in sys.argv[1:]]
+    skew_only = "--skew-only" in argv
+    if skew_only:
+        argv.remove("--skew-only")
+    only: set[str] = set()
+    for a in list(argv):
+        if a.startswith("--only="):
+            only = set(a[len("--only="):].split(","))
+            argv.remove(a)
+    out_path = argv[0] if argv else "SCALING_r8.json"
     from aurora_cdc_demo_spark.registry import QUERIES
 
     spark = get_spark("scaling-bench-r8")
@@ -159,16 +251,20 @@ def main() -> int:
         results.setdefault(label, {})[point] = dt
         print(f"{point:7s} {label:34s} {dt:8.2f}s", flush=True)
 
-    for point, sf_dir, _sf in SF_POINTS:
+    for point, sf_dir, _sf in [] if skew_only else SF_POINTS:
         for name in SCALING_QUERIES:
+            if only and name not in only:
+                continue
             timed(name, point, lambda: QUERIES[name](spark, sf_dir))
         if point != "sf10":
             for name in SCALING_QUERIES_SF1_ONLY:
+                if only and name not in only:
+                    continue
                 timed(name, point, lambda: QUERIES[name](spark, sf_dir))
         # frozen-dial contrast arms: sf1 only (the r7 comparison
         # point; at sf10 the frozen dials are the documented
         # blow-up, not worth the wall time)
-        if point in ("sf0.1", "sf1"):
+        if point in ("sf0.1", "sf1") and not only:
             timed(
                 "embed_near_dup_lsh_frozen_dial", point,
                 lambda: frozen_bits(spark, sf_dir),
@@ -178,10 +274,13 @@ def main() -> int:
                 lambda: frozen_nlist(spark, sf_dir),
             )
 
-    # skew-stress pair (r7 verdict item 6)
-    naive, salted = _skew_arms(spark)
-    timed("skew_hot_user_agg_naive", "sf1skew", naive)
-    timed("skew_hot_user_agg_salted", "sf1skew", salted)
+    # skew-stress arms (r7 verdict item 6): raw SMJ cliff vs AQE
+    # skew-split vs the registered per-row-salt pattern
+    if skew_only or not only:
+        naive_no_aqe, naive_aqe, salted = _skew_arms(spark)
+        timed("skew_hot_join_naive_no_aqe", "sf1skew", naive_no_aqe)
+        timed("skew_hot_join_naive_aqe", "sf1skew", naive_aqe)
+        timed("skew_hot_join_salted", "sf1skew", salted)
 
     queries = {}
     for name, pts in results.items():
@@ -194,6 +293,20 @@ def main() -> int:
             if a in pts and b in pts and pts[a] > 0:
                 row[key] = round(math.log10(pts[b] / pts[a]), 3)
         queries[name] = row
+
+    if (skew_only or only) and os.path.exists(out_path):
+        # merge re-measured arms into the existing record (never
+        # clobber full-run rows of arms not re-run here)
+        with open(out_path) as f:
+            prior = json.load(f)
+        merged = {
+            k: v
+            for k, v in prior.get("queries", {}).items()
+            if k not in queries
+        }
+        merged.update(queries)
+        queries = merged
+        errors = {**prior.get("errors", {}), **errors}
 
     doc = {
         "metric": "scaling_exponents_r8",
