@@ -808,7 +808,9 @@ def test_price_deciles_band_prefix_plan_and_monotone(spark, sf_dir):
     import re
 
     for m in re.finditer(r"Window \[row_number\(\)[^\n]*", plan):
-        assert "band" in m.group(0)
+        # shared rank.py names the bucket column _bkt_rn; legacy plans
+        # said "band" — either way the window must be bucket-partitioned
+        assert re.search(r"_bkt|band", m.group(0))
 
 
 def test_seasonal_backtest_identities(spark, sf_dir):

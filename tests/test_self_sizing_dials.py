@@ -136,7 +136,8 @@ def test_scaled_point_cross_engine_exact(spark, monkeypatch):
 
     sk = _norm(_spark_df(spark, sim.knn_graph_sql("spark")))
     dk = _norm(_duck(sim.knn_graph_sql("duck")))
-    # nlist engaged: max(16, 500*16/100) = 80 seeds
+    # nlist engaged (sqrt-n rule): max(16, floor(sqrt(500*256/100)))
+    # = 35 seeds
     pd.testing.assert_frame_equal(sk, dk)
 
     ss = _norm(_spark_df(spark, sim.semdedup_sql("spark")))

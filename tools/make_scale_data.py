@@ -36,8 +36,9 @@ Usage: python tools/make_scale_data.py [R] [out_dir]
   (default R=10, out=/root/repo/scale_data/sf1)
        python tools/make_scale_data.py --skew [R] [out_dir]
   (r8, verdict item 6: writes the EVENTS table only, with a
-  deliberately Zipf-skewed user_id — ~20% of all rows land on ONE
-  hot user (hash(event_id) % 5 == 0 → user 0) — the skew-stress
+  deliberately skewed user_id — by default 50% of all rows land on
+  ONE hot user (pmod(xxhash64(event_id, r), 100) < hot_pct → user
+  0; the third positional arg sets hot_pct) — the skew-stress
   corpus for timing the salted agg/join patterns (#38/#136)
   against their naive twins; default out=scale_data/sf1skew)
 """

@@ -19,8 +19,8 @@ Points:
                     ONLY (labeled-quadratic oracle twins excluded by
                     design — their cost is the documented contrast)
 
-Skew arms (sf1skew, events-only corpus with one ~20%-mass hot
-user): the hot-key JOIN triple — raw sort-merge join with AQE off
+Skew arms (sf1skew, events-only corpus with one ~50%-mass hot
+user by default — pmod(xxhash64(event_id, r), 100) < hot_pct): the hot-key JOIN triple — raw sort-merge join with AQE off
 (the cliff), the same join with AQE skew handling on (Spark's
 runtime split), and the registered per-row-salt pattern (#136,
 operators/skew.salted_join) — all forced into the shuffle-join
@@ -317,7 +317,7 @@ def main() -> int:
         " per-replica name tags (r8 - kills the prefix-segment"
         " stacking artifact), 30% token substitution, per-replica"
         " embedding isometries; sf1skew = events-only corpus with a"
-        " ~20%-mass hot user",
+        " ~50%-mass hot user (default hot_pct=50)",
         "self_sizing": "embed_near_dup_lsh r_bits and the KNN-chain"
         " nlist derive from the corpus count INSIDE the registered"
         " SQL (operators/similarity.py) - the registered arm IS the"
