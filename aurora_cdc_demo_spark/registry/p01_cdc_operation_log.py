@@ -2173,8 +2173,8 @@ def q_embed_dedup_clusters(spark, sf_dir):
         , scored AS (
             SELECT cand.vec_a, cand.vec_b
             FROM cand
-            JOIN v va ON va.vec_id = cand.vec_a
-            JOIN v vb ON vb.vec_id = cand.vec_b
+            JOIN lshv va ON va.vec_id = cand.vec_a
+            JOIN lshv vb ON vb.vec_id = cand.vec_b
             WHERE ({_sim._dot('va.embedding', 'vb.embedding', 'duck')})
                   / (va.nrm * vb.nrm) >= {_sim.NEAR_DUP_THRESHOLD})
         , edges AS (

@@ -624,21 +624,33 @@ def q_sample_per_group_topk(spark, sf_dir):
     )
 
 
+def _graph_edges_map(spark, sf_dir):
+    """The graph family's shared KNN edge list (vec_id, neighbor_id,
+    nn_rank, cos_e6), gate-mapped once per (session, sf_dir, builder)
+    — built by _sim.GRAPH_EDGE_BUILDER (r9: the banded-LSH linear
+    build by default; the flat Voronoi chain stays registered as the
+    `ann_knn_graph` contrast twin). Parameterizing the gate map over
+    its builder is the r5 keep-list precedent: the scale path is
+    what every registered graph query RUNS, not an opt-in."""
+    ensure_utc(spark)
+    return _gate_map(
+        spark, sf_dir, f"graph_knn_edges_{_sim.GRAPH_EDGE_BUILDER}",
+        lambda: _sim.graph_edges(spark, sf_dir),
+    )
+
+
 def _knn_edges_view(spark, sf_dir) -> str:
     """Register the SHARED directed KNN edge list (src, dst) as a
-    temp view, built once per session via the `graph_knn_edges` gate
-    map (the registered #149 KNN-graph query's output) — every graph
-    operator (PageRank, HITS, LPA, triangles, conductance) consumes
-    the same materialized edges instead of re-running the KNN cell
-    self-join per query (r6)."""
+    temp view, built once per session via the `graph_knn_edges_*`
+    gate map — every graph operator (PageRank, HITS, LPA, triangles,
+    conductance) consumes the same materialized edges instead of
+    re-running the candidate build per query (r6; builder-
+    parameterized in r9)."""
     ensure_utc(spark)
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
         "embeddings"
     )
-    kg = _gate_map(
-        spark, sf_dir, "graph_knn_edges",
-        lambda: QUERIES["ann_knn_graph"](spark, sf_dir),
-    )
+    kg = _graph_edges_map(spark, sf_dir)
     kg.select(
         F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
     ).createOrReplaceTempView("knn_edges_shared")
@@ -3943,15 +3955,22 @@ def q_orders_cohort_ltv(spark, sf_dir):
 @query(
     "graph_community_profiles",
     oracle=f"""
-        WITH lp AS ({ORACLES["graph_label_prop_knn"]})
-        , tri AS ({ORACLES["graph_triangle_knn"]})
+        {_sim._graph_edge_head('duck', None)}
+        {_sim._uedges_cte('MATERIALIZED ')}
+        {_sim._lp_rounds('uedges', 'v', '//')[0]}
+        , lp AS MATERIALIZED (
+            SELECT vec_id, lbl AS community_id
+            FROM {_sim._lp_rounds('uedges', 'v', '//')[1]})
+        , trix AS MATERIALIZED (
+            WITH _d AS (SELECT 1)
+            {_sim._tri_body('uedges', '//')})
         SELECT lp.community_id,
                CAST(COUNT(*) AS BIGINT) AS n_members,
                CAST(SUM(tri.degree) AS BIGINT) AS total_degree,
                CAST(SUM(tri.triangles) AS BIGINT) AS triangle_credits,
                CAST(SUM(tri.clustering_bp) // COUNT(*) AS BIGINT)
                    AS mean_clustering_bp
-        FROM lp JOIN tri ON tri.vec_id = lp.vec_id
+        FROM lp JOIN trix tri ON tri.vec_id = lp.vec_id
         GROUP BY lp.community_id
     """,
 )

@@ -23,6 +23,7 @@ from .p01_cdc_operation_log import (  # noqa: F401
 )
 from .p02_text_gopher_rules import (  # noqa: F401
     ORACLES,
+    _graph_edges_map,
     _SNAP_CHUNKS,
     _V4_EXTRA_CTES,
     _V4_SELECT,
@@ -3259,10 +3260,9 @@ def q_cdc_op_mix_drift(spark, sf_dir):
 @query(
     "ann_knn_label_vote",
     oracle=f"""
-        {_sim._knn_ctes('duck')}
+        WITH knn AS MATERIALIZED ({_sim.graph_edges_sql('duck')})
         , g AS (
-            SELECT vec_id AS query_id, neighbor_id
-            FROM ranked WHERE rnk <= {_sim.KNN_K})
+            SELECT vec_id AS query_id, neighbor_id FROM knn)
         , votes AS (
             SELECT g.query_id, e.label AS vote
             FROM g JOIN embeddings e ON e.vec_id = g.neighbor_id)
@@ -3297,7 +3297,7 @@ def q_ann_knn_label_vote(spark, sf_dir):
     label ASC)."""
     from pyspark.sql import Window
 
-    g = _sim.knn_graph(spark, sf_dir).select(
+    g = _graph_edges_map(spark, sf_dir).select(
         F.col("vec_id").alias("query_id"), "neighbor_id"
     )
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
@@ -3942,16 +3942,14 @@ def q_text_tfidf_topk_terms(spark, sf_dir):
 @query(
     "ann_neighbor_margin",
     oracle=f"""
-        {_sim._knn_ctes('duck')}
+        WITH knn AS MATERIALIZED ({_sim.graph_edges_sql('duck')})
         , top2 AS (
             SELECT vec_id,
-                   CAST(SUM(CASE WHEN rnk = 1 THEN
-                        CAST(FLOOR(cos * 1000000) AS BIGINT) END)
+                   CAST(SUM(CASE WHEN nn_rank = 1 THEN cos_e6 END)
                         AS BIGINT) AS cos1_e6,
-                   CAST(SUM(CASE WHEN rnk = 2 THEN
-                        CAST(FLOOR(cos * 1000000) AS BIGINT) END)
+                   CAST(SUM(CASE WHEN nn_rank = 2 THEN cos_e6 END)
                         AS BIGINT) AS cos2_e6
-            FROM ranked WHERE rnk <= 2
+            FROM knn WHERE nn_rank <= 2
             GROUP BY vec_id HAVING COUNT(*) = 2)
         SELECT vec_id, cos1_e6, cos2_e6,
                CAST(cos1_e6 - cos2_e6 AS BIGINT) AS margin_e6
@@ -3971,18 +3969,19 @@ def q_ann_neighbor_margin(spark, sf_dir):
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
         "embeddings"
     )
+    _graph_edges_map(spark, sf_dir).createOrReplaceTempView(
+        "margin_knn_mat"
+    )
     return spark.sql(
         f"""
-        {_sim._knn_ctes('spark')}
+        WITH knn AS (SELECT * FROM margin_knn_mat)
         , top2 AS (
             SELECT vec_id,
-                   CAST(SUM(CASE WHEN rnk = 1 THEN
-                        CAST(FLOOR(cos * 1000000) AS BIGINT) END)
+                   CAST(SUM(CASE WHEN nn_rank = 1 THEN cos_e6 END)
                         AS BIGINT) AS cos1_e6,
-                   CAST(SUM(CASE WHEN rnk = 2 THEN
-                        CAST(FLOOR(cos * 1000000) AS BIGINT) END)
+                   CAST(SUM(CASE WHEN nn_rank = 2 THEN cos_e6 END)
                         AS BIGINT) AS cos2_e6
-            FROM ranked WHERE rnk <= 2
+            FROM knn WHERE nn_rank <= 2
             GROUP BY vec_id HAVING COUNT(*) = 2)
         SELECT vec_id, cos1_e6, cos2_e6,
                CAST(cos1_e6 - cos2_e6 AS BIGINT) AS margin_e6
@@ -4036,13 +4035,11 @@ def _kcore_rounds_sql(edges: str, div: str, c1: str = "a", c2: str = "b") -> str
 @query(
     "graph_kcore_knn",
     oracle=f"""
-        {_sim._knn_ctes('duck')}
+        WITH knn AS MATERIALIZED ({_sim.graph_edges_sql('duck')})
         , uedges AS MATERIALIZED (
-            SELECT vec_id AS a, neighbor_id AS b FROM ranked
-            WHERE rnk <= {_sim.KNN_K}
+            SELECT vec_id AS a, neighbor_id AS b FROM knn
             UNION
-            SELECT neighbor_id, vec_id FROM ranked
-            WHERE rnk <= {_sim.KNN_K})
+            SELECT neighbor_id, vec_id FROM knn)
         {_kcore_rounds_sql('uedges', '//')}
     """,
 )

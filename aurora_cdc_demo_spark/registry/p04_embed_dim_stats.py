@@ -21,6 +21,7 @@ from .p01_cdc_operation_log import (  # noqa: F401
     read_binlog_jvm,
 )
 from .p02_text_gopher_rules import (  # noqa: F401
+    _graph_edges_map,
     ORACLES,
     _DSIR_MIN_MEAN_PPM,
     _V4_EXTRA_CTES,
@@ -760,14 +761,12 @@ def q_dedup_minhash_k_sweep(spark, sf_dir):
 # R9: graph structure metrics over the KNN graph
 # ---------------------------------------------------------------------------
 
-_ASSORT_UEDGES_DUCK = f"""
-        {{ctes}}
+_ASSORT_UEDGES_DUCK = """
+        {ctes}
         , uedges AS MATERIALIZED (
-            SELECT vec_id AS src, neighbor_id AS dst FROM ranked
-            WHERE rnk <= {_sim.KNN_K}
+            SELECT vec_id AS src, neighbor_id AS dst FROM knn
             UNION
-            SELECT neighbor_id, vec_id FROM ranked
-            WHERE rnk <= {_sim.KNN_K})
+            SELECT neighbor_id, vec_id FROM knn)
 """
 
 
@@ -824,7 +823,10 @@ def _assort_body_sql(div: str) -> str:
 
 @query(
     "graph_assortativity_knn",
-    oracle=_ASSORT_UEDGES_DUCK.format(ctes=_sim._knn_ctes("duck"))
+    oracle=_ASSORT_UEDGES_DUCK.format(
+        ctes="WITH knn AS MATERIALIZED ("
+        + _sim.graph_edges_sql("duck") + ")"
+    )
     + _assort_body_sql("//"),
 )
 def q_graph_assortativity_knn(spark, sf_dir):
@@ -891,7 +893,10 @@ def _embeddedness_body_sql() -> str:
 
 @query(
     "graph_edge_embeddedness_knn",
-    oracle=_ASSORT_UEDGES_DUCK.format(ctes=_sim._knn_ctes("duck"))
+    oracle=_ASSORT_UEDGES_DUCK.format(
+        ctes="WITH knn AS MATERIALIZED ("
+        + _sim.graph_edges_sql("duck") + ")"
+    )
     + _embeddedness_body_sql().replace("/ (da.d", "// (da.d"),
 )
 def q_graph_edge_embeddedness_knn(spark, sf_dir):
@@ -2184,15 +2189,13 @@ def _modularity_body_sql(lp: str, edges: str, div: str, big: str) -> str:
 @query(
     "graph_modularity_knn",
     oracle=f"""
-        WITH lp AS ({ORACLES["graph_label_prop_knn"]})
-        , ue AS MATERIALIZED (
-            {_sim._knn_ctes('duck')}
-            SELECT vec_id AS src, neighbor_id AS dst FROM ranked
-            WHERE rnk <= {_sim.KNN_K}
-            UNION
-            SELECT neighbor_id, vec_id FROM ranked
-            WHERE rnk <= {_sim.KNN_K})
-        {_modularity_body_sql('lp', 'ue', '//', 'HUGEINT')}
+        {_sim._graph_edge_head('duck', None)}
+        {_sim._uedges_cte('MATERIALIZED ')}
+        {_sim._lp_rounds('uedges', 'v', '//')[0]}
+        , lp AS MATERIALIZED (
+            SELECT vec_id, lbl AS community_id
+            FROM {_sim._lp_rounds('uedges', 'v', '//')[1]})
+        {_modularity_body_sql('lp', 'uedges', '//', 'HUGEINT')}
     """,
 )
 def q_graph_modularity_knn(spark, sf_dir):
@@ -2869,16 +2872,14 @@ def q_embed_mahalanobis_outliers(spark, sf_dir):
 @query(
     "embed_two_nn_ratio",
     oracle=f"""
-        {_sim._knn_ctes('duck')}
+        WITH knn AS MATERIALIZED ({_sim.graph_edges_sql('duck')})
         , top2 AS (
             SELECT vec_id,
-                   CAST(SUM(CASE WHEN rnk = 1 THEN
-                        CAST(FLOOR(cos * 1000000) AS BIGINT) END)
+                   CAST(SUM(CASE WHEN nn_rank = 1 THEN cos_e6 END)
                         AS BIGINT) AS cos1_e6,
-                   CAST(SUM(CASE WHEN rnk = 2 THEN
-                        CAST(FLOOR(cos * 1000000) AS BIGINT) END)
+                   CAST(SUM(CASE WHEN nn_rank = 2 THEN cos_e6 END)
                         AS BIGINT) AS cos2_e6
-            FROM ranked WHERE rnk <= 2
+            FROM knn WHERE nn_rank <= 2
             GROUP BY vec_id HAVING COUNT(*) = 2)
         , mu AS (
             SELECT vec_id,
@@ -2919,18 +2920,19 @@ def q_embed_two_nn_ratio(spark, sf_dir):
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
         "embeddings"
     )
+    _graph_edges_map(spark, sf_dir).createOrReplaceTempView(
+        "twonn_knn_mat"
+    )
     return spark.sql(
         f"""
-        {_sim._knn_ctes('spark')}
+        WITH knn AS (SELECT * FROM twonn_knn_mat)
         , top2 AS (
             SELECT vec_id,
-                   CAST(SUM(CASE WHEN rnk = 1 THEN
-                        CAST(FLOOR(cos * 1000000) AS BIGINT) END)
+                   CAST(SUM(CASE WHEN nn_rank = 1 THEN cos_e6 END)
                         AS BIGINT) AS cos1_e6,
-                   CAST(SUM(CASE WHEN rnk = 2 THEN
-                        CAST(FLOOR(cos * 1000000) AS BIGINT) END)
+                   CAST(SUM(CASE WHEN nn_rank = 2 THEN cos_e6 END)
                         AS BIGINT) AS cos2_e6
-            FROM ranked WHERE rnk <= 2
+            FROM knn WHERE nn_rank <= 2
             GROUP BY vec_id HAVING COUNT(*) = 2)
         , mu AS (
             SELECT vec_id,

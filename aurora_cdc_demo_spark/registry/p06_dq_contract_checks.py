@@ -13,6 +13,7 @@ from .p01_cdc_operation_log import (  # noqa: F401
     read_binlog_jvm,
 )
 from .p02_text_gopher_rules import (  # noqa: F401
+    _graph_edges_map,
     ORACLES,
     _gate_map,
 )
@@ -3313,11 +3314,15 @@ def q_events_theil_sen_trend(spark, sf_dir):
 def _hubness_sql(dialect: str) -> str:
     div = "div" if dialect == "spark" else "//"
     big = "DECIMAL(38,0)" if dialect == "spark" else "HUGEINT"
-    return f"""{_sim._knn_ctes(dialect)}
+    knn = (
+        "(SELECT * FROM hub_knn_mat)"
+        if dialect == "spark"
+        else f"MATERIALIZED ({_sim.graph_edges_sql('duck')})"
+    )
+    return f"""WITH knn AS {knn}
         , edges AS (
-            SELECT vec_id AS src, neighbor_id AS dst
-            FROM ranked WHERE rnk <= {_sim.KNN_K})
-        , nodes AS (SELECT vec_id FROM v)
+            SELECT vec_id AS src, neighbor_id AS dst FROM knn)
+        , nodes AS (SELECT vec_id FROM embeddings)
         , indeg AS (
             SELECT n.vec_id,
                    CAST(COALESCE(COUNT(e.src), 0) AS BIGINT) AS d
@@ -3370,6 +3375,9 @@ def q_ann_hubness_profile(spark, sf_dir):
     ensure_utc(spark)
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
         "embeddings"
+    )
+    _graph_edges_map(spark, sf_dir).createOrReplaceTempView(
+        "hub_knn_mat"
     )
     return spark.sql(_hubness_sql("spark"))
 

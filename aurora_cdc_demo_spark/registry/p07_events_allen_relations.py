@@ -17,6 +17,7 @@ from .p01_cdc_operation_log import (  # noqa: F401
     query,
 )
 from .p02_text_gopher_rules import (  # noqa: F401
+    _graph_edges_map,
     ORACLES,
     _DEBEZIUM_SILVER_CTE,
     _GATE_CACHE,
@@ -968,7 +969,7 @@ def _dw_pick(node: str, step: int, dialect: str) -> str:
 
 
 def _deepwalk_oracle_sql() -> str:
-    knn = _sim.knn_graph_sql("duck")
+    knn = _sim.graph_edges_sql("duck")
     sql = f"""
         WITH knn AS MATERIALIZED ({knn})
         , deg AS MATERIALIZED (
@@ -1013,13 +1014,8 @@ def q_graph_deepwalk_corpus(spark, sf_dir):
     DuckDB oracle is the unrolled MATERIALIZED-round twin.
     """.replace("{L}", str(_DW_STEPS))
     ensure_utc(spark)
-    edges = _gate_map(
-        spark,
-        sf_dir,
-        "dw_knn_edges",
-        lambda: QUERIES["ann_knn_graph"](spark, sf_dir).select(
-            "vec_id", "neighbor_id", "nn_rank"
-        ),
+    edges = _graph_edges_map(spark, sf_dir).select(
+        "vec_id", "neighbor_id", "nn_rank"
     )
     deg = _gate_map(
         spark,
@@ -1917,7 +1913,7 @@ _EDIT_JOIN_MAXD = 2
 _EDIT_SEGS = _EDIT_JOIN_MAXD + 1  # 3 segments
 
 
-def _edit_join_sql(dialect: str) -> str:
+def _edit_join_sql(dialect: str, grain: str = "keys") -> str:
     d = _EDIT_JOIN_MAXD
     n = _EDIT_SEGS
     div = "div" if dialect == "spark" else "//"
@@ -1989,7 +1985,10 @@ def _edit_join_sql(dialect: str) -> str:
             FROM (SELECT * FROM cand
                   UNION ALL SELECT * FROM shortn) u
             WHERE levenshtein(name_a, name_b) <= {d})
-        , np2 AS (
+        {{tail}}
+    """.replace(
+        "{tail}",
+        """, np2 AS (
             SELECT name_a, name_b, ed FROM verified
             UNION ALL
             SELECT name_b AS name_a, name_a AS name_b, ed
@@ -2003,8 +2002,20 @@ def _edit_join_sql(dialect: str) -> str:
         FROM np2 nn
         JOIN pk a ON a.p_name = nn.name_a
         JOIN pk b ON b.p_name = nn.name_b
-        WHERE a.p_partkey < b.p_partkey
-    """
+        WHERE a.p_partkey < b.p_partkey"""
+        if grain == "keys"
+        else """
+        SELECT name_a, name_b, ed AS edit_dist,
+               CAST(na.clones AS BIGINT) AS clones_a,
+               CAST(nb.clones AS BIGINT) AS clones_b,
+               CAST(na.clones * nb.clones AS BIGINT)
+                   AS expanded_pairs
+        FROM verified
+        JOIN (SELECT p_name, COUNT(*) AS clones FROM pk
+              GROUP BY p_name) na ON na.p_name = name_a
+        JOIN (SELECT p_name, COUNT(*) AS clones FROM pk
+              GROUP BY p_name) nb ON nb.p_name = name_b""",
+    )
 
 
 @query("part_edit_distance_join", oracle=_edit_join_sql("duck"))
@@ -2057,6 +2068,29 @@ def q_part_edit_distance_join(spark, sf_dir):
     ensure_utc(spark)
     load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(_edit_join_sql("spark"))
+
+
+@query(
+    "part_edit_distance_names",
+    oracle=_edit_join_sql("duck", grain="names"),
+)
+def q_part_edit_distance_names(spark, sf_dir):
+    """NAME-GRAIN deployment twin of part_edit_distance_join (r9,
+    the r8 verdict's #4): the `verified` CTE as its own contract —
+    one row per DISTINCT-NAME pair within edit distance {d}, with
+    each side's clone count and the expanded-pair product the
+    key-grain twin would materialize. The key-grain answer is
+    clone-expansion OUTPUT-BOUND (312M rows at sf10, measured
+    GC-bound through one JVM — see #397's docstring); this verdict
+    table is the linear artifact a 100 TB run stores, with clone
+    expansion left to the consumer as a broadcast key-map join at
+    read time. Same PassJoin segment blocking, same exact-recall
+    guarantee (pigeonhole + levenshtein verify); output is
+    Θ(distinct-name near-pairs), independent of clone
+    multiplicity.""".replace("{d}", str(_EDIT_JOIN_MAXD))
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_edit_join_sql("spark", grain="names"))
 
 
 _CEP_WINDOW_US = 24 * 3600 * 1_000_000  # A->B deadline
@@ -3016,11 +3050,11 @@ def q_cdc_pitr_rto_curve(spark, sf_dir):
 
 def _knn_confusion_sql(dialect: str) -> str:
     div = "div" if dialect == "spark" else "//"
+    mat = "MATERIALIZED " if dialect != "spark" else ""
     return f"""
-        {_sim._knn_ctes(dialect)}
+        WITH knn AS {mat}({_sim.graph_edges_sql(dialect)})
         , g AS (
-            SELECT vec_id AS query_id, neighbor_id
-            FROM ranked WHERE rnk <= {_sim.KNN_K})
+            SELECT vec_id AS query_id, neighbor_id FROM knn)
         , votes AS (
             SELECT g.query_id, e.label AS vote
             FROM g JOIN embeddings e ON e.vec_id = g.neighbor_id)
@@ -3063,7 +3097,7 @@ def q_ann_knn_confusion(spark, sf_dir):
     table."""
     from pyspark.sql import Window
 
-    g = _sim.knn_graph(spark, sf_dir).select(
+    g = _graph_edges_map(spark, sf_dir).select(
         F.col("vec_id").alias("query_id"), "neighbor_id"
     )
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
@@ -3798,11 +3832,15 @@ def q_embed_storage_sizing_plan(spark, sf_dir):
 
 def _knn_reciprocity_sql(dialect: str) -> str:
     div = "div" if dialect == "spark" else "//"
+    knn = (
+        "(SELECT * FROM recip_knn_mat)"
+        if dialect == "spark"
+        else f"MATERIALIZED ({_sim.graph_edges_sql('duck')})"
+    )
     return f"""
-        {_sim._knn_ctes(dialect)}
+        WITH knn AS {knn}
         , g AS (
-            SELECT vec_id AS src, neighbor_id AS dst
-            FROM ranked WHERE rnk <= {_sim.KNN_K})
+            SELECT vec_id AS src, neighbor_id AS dst FROM knn)
         , marked AS (
             SELECT a.src, a.dst,
                    CASE WHEN b.src IS NOT NULL THEN 1 ELSE 0 END
@@ -3834,6 +3872,9 @@ def q_graph_knn_reciprocity(spark, sf_dir):
     ensure_utc(spark)
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
         "embeddings"
+    )
+    _graph_edges_map(spark, sf_dir).createOrReplaceTempView(
+        "recip_knn_mat"
     )
     return spark.sql(_knn_reciprocity_sql("spark"))
 
@@ -3937,10 +3978,10 @@ def q_dq_order_line_status_rule(spark, sf_dir):
 
 def _mutual_knn_components_sql(dialect: str) -> str:
     return f"""
-        {_sim._knn_ctes(dialect).replace("WITH ", "WITH RECURSIVE ", 1)}
+        WITH RECURSIVE knn AS MATERIALIZED (
+            {_sim.graph_edges_sql(dialect)})
         , g AS (
-            SELECT vec_id AS src, neighbor_id AS dst
-            FROM ranked WHERE rnk <= {_sim.KNN_K})
+            SELECT vec_id AS src, neighbor_id AS dst FROM knn)
         , mutual AS (
             SELECT a.src AS a, a.dst AS b
             FROM g a JOIN g b ON b.src = a.dst AND b.dst = a.src)
@@ -3982,10 +4023,7 @@ def q_graph_mutual_knn_components(spark, sf_dir):
     rounds), never an all-pairs step."""
     from ..operators.graph import connected_components
 
-    g = _gate_map(
-        spark, sf_dir, "graph_knn_edges",
-        lambda: QUERIES["ann_knn_graph"](spark, sf_dir),
-    ).select(
+    g = _graph_edges_map(spark, sf_dir).select(
         F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
     rev = g.select(

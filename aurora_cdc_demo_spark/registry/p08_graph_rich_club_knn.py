@@ -18,6 +18,7 @@ from .p01_cdc_operation_log import (  # noqa: F401
     query,
 )
 from .p02_text_gopher_rules import (  # noqa: F401
+    _graph_edges_map,
     ORACLES,
     _DEBEZIUM_SILVER_CTE,
     _gate_map,
@@ -46,11 +47,11 @@ def _rich_club_sql(dialect: str, edges_rel: str | None = None) -> str:
     div = "div" if dialect == "spark" else "//"
     grid = ", ".join(f"({k})" for k in _RICH_CLUB_GRID)
     if edges_rel is None:
+        mat = "MATERIALIZED " if dialect != "spark" else ""
         head = f"""
-        {_sim._knn_ctes(dialect)}
+        WITH knn AS {mat}({_sim.graph_edges_sql(dialect)})
         , g AS (
-            SELECT vec_id AS src, neighbor_id AS dst
-            FROM ranked WHERE rnk <= {_sim.KNN_K})"""
+            SELECT vec_id AS src, neighbor_id AS dst FROM knn)"""
     else:
         head = f"""
         WITH g AS (SELECT src, dst FROM {edges_rel})"""
@@ -990,7 +991,7 @@ def _community_conductance_sql(dialect: str) -> str:
         kg = "SELECT vec_id, neighbor_id FROM cond_kg_mat"
     else:
         lp = ORACLES["graph_label_prop_knn"]
-        kg = ORACLES["ann_knn_graph"]
+        kg = _sim.graph_edges_sql("duck")
     # duck MATERIALIZED on every multiply-referenced CTE: labels is
     # joined twice (la/lb) and und feeds three aggregates — inlined,
     # DuckDB re-instantiates the whole LPA+KNN chain per reference
@@ -1074,10 +1075,7 @@ def q_graph_community_conductance(spark, sf_dir):
         spark, sf_dir, "graph_lp_labels",
         lambda: QUERIES["graph_label_prop_knn"](spark, sf_dir),
     ).createOrReplaceTempView("cond_lp_mat")
-    _gate_map(
-        spark, sf_dir, "graph_knn_edges",
-        lambda: QUERIES["ann_knn_graph"](spark, sf_dir),
-    ).createOrReplaceTempView("cond_kg_mat")
+    _graph_edges_map(spark, sf_dir).createOrReplaceTempView("cond_kg_mat")
     return spark.sql(_community_conductance_sql("spark"))
 
 
@@ -1642,7 +1640,7 @@ def _n2v_pick(step: int, dialect: str) -> str:
 
 
 def _node2vec_oracle_sql() -> str:
-    knn = _sim.knn_graph_sql("duck")
+    knn = _sim.graph_edges_sql("duck")
     sql = f"""
         WITH knn AS MATERIALIZED ({knn})
         , w0 AS (SELECT vec_id AS start_id, vec_id AS prev,
@@ -1716,12 +1714,7 @@ def q_graph_node2vec_corpus(spark, sf_dir):
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
         "embeddings"
     )
-    kg = _gate_map(
-        spark,
-        sf_dir,
-        "graph_knn_edges",
-        lambda: QUERIES["ann_knn_graph"](spark, sf_dir),
-    )
+    kg = _graph_edges_map(spark, sf_dir)
     e = kg.select(
         F.col("vec_id").alias("edge_vid"), "neighbor_id", "nn_rank"
     )
@@ -2758,10 +2751,10 @@ _ROBUST_LEVELS = (0, 8, 16, 32)
 
 def _robustness_oracle_sql() -> str:
     sql = f"""
-        {_sim._knn_ctes("duck").replace("WITH ", "WITH RECURSIVE ", 1)}
+        WITH RECURSIVE knn AS MATERIALIZED (
+            {_sim.graph_edges_sql("duck")})
         , g AS (
-            SELECT vec_id AS src, neighbor_id AS dst
-            FROM ranked WHERE rnk <= {_sim.KNN_K})
+            SELECT vec_id AS src, neighbor_id AS dst FROM knn)
         , ug AS (
             SELECT DISTINCT LEAST(src, dst) AS a,
                    GREATEST(src, dst) AS b
@@ -2846,10 +2839,7 @@ def q_graph_robustness_knn(spark, sf_dir):
     from ..operators.graph import connected_components
 
     ensure_utc(spark)
-    g = _gate_map(
-        spark, sf_dir, "graph_knn_edges",
-        lambda: QUERIES["ann_knn_graph"](spark, sf_dir),
-    ).select(
+    g = _graph_edges_map(spark, sf_dir).select(
         F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
     ug = _gate_map(
@@ -3432,7 +3422,7 @@ def _lof_rank_sql(rel: str) -> str:
 
 def _lof_oracle_sql() -> str:
     return (
-        f"WITH knn AS MATERIALIZED ({_sim.knn_graph_sql('duck')})"
+        f"WITH knn AS MATERIALIZED ({_sim.graph_edges_sql('duck')})"
         + _lof_body("duck", "knn")
         + _lof_rank_sql("top")
     )
@@ -3462,10 +3452,7 @@ def q_embed_lof_outliers(spark, sf_dir):
     windows in the plan (r6 verdict item 2, pinned in
     tests/test_plans.py).""".replace("{n}", str(_LOF_TOPN))
     ensure_utc(spark)
-    kg = _gate_map(
-        spark, sf_dir, "graph_knn_edges",
-        lambda: QUERIES["ann_knn_graph"](spark, sf_dir),
-    )
+    kg = _graph_edges_map(spark, sf_dir)
     kg.createOrReplaceTempView("lof_knn")
     top = spark.sql(
         "WITH _noop AS (SELECT 1)"
@@ -3633,11 +3620,10 @@ def _blocking_dial_sql(dialect: str) -> str:
                      * (b.n_vec * d.mult) * {_sim.N_BANDS})
                     {div} (2 * {1 << _sim.R_BITS}) AS BIGINT)
                    AS lsh_rand_pairs_frozen,
-               CAST({_sim._nlist_expr(dialect, "b.n_vec * d.mult")}
+               CAST({_sim._nlist_expr("b.n_vec * d.mult")}
                     AS BIGINT) AS ivf_nlist,
                CAST((b.n_vec * d.mult)
-                    {div} {_sim._nlist_expr(dialect,
-                                            "b.n_vec * d.mult")}
+                    {div} {_sim._nlist_expr("b.n_vec * d.mult")}
                     AS BIGINT)
                    AS ivf_cell_rows,
                CAST((b.n_vec * d.mult) {div} {_sim.N_SEEDS} AS BIGINT)

@@ -14,8 +14,13 @@ from pyspark.sql import SparkSession
 
 def get_spark(app_name: str = "aurora-cdc-spark") -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    # SPARK_GRAFT_MASTER overrides the master URL — the r9 scaling
+    # bench uses local-cluster[2,16,4096] to get a REAL executor/
+    # exchange split (serialized shuffle files, per-executor memory)
+    # that local[N]'s single-JVM fast paths structurally hide.
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")

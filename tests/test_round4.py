@@ -337,7 +337,9 @@ def test_pagerank_laws(spark, sf_dir):
     assert total <= PR_SCALE
     assert len({r["pagerank_e9"] for r in rows}) > 1
 
-    edges = QUERIES["ann_knn_graph"](spark, sf_dir).collect()
+    # r9: the graph family rides the banded-LSH edge builder — sinks
+    # must be derived from the SAME edge list pagerank consumed
+    edges = QUERIES["ann_knn_graph_lsh"](spark, sf_dir).collect()
     with_inlinks = {e["neighbor_id"] for e in edges}
     sinks = [r for r in rows if r["vec_id"] not in with_inlinks]
     for r in sinks:
