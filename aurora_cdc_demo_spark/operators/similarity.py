@@ -84,11 +84,12 @@ N_REF_VECS = 2000  # embeddings row count at the sf0.1 reference point
 R_MAX_ADD = 8
 
 
-def _bit_thresholds() -> list[int]:
+def _bit_thresholds(ref: int | None = None) -> list[int]:
     import math
 
+    r = N_REF_VECS if ref is None else ref
     return [
-        math.isqrt(N_REF_VECS * N_REF_VECS * (1 << (2 * a - 1)))
+        math.isqrt(r * r * (1 << (2 * a - 1)))
         for a in range(1, R_MAX_ADD + 1)
     ]
 
@@ -389,14 +390,14 @@ def _sign_bit(plane: list[int], dialect: str) -> str:
     return f"CASE WHEN ({dot}) >= 0 THEN 1 ELSE 0 END"
 
 
-def _pw_case() -> str:
+def _pw_case(ref: int | None = None) -> str:
     """pw = 2^(R_MAX_ADD - extra_bits) derived from the corpus count:
     the power-of-two divisor that keeps only the top R_BITS + extra
     bits of each band's max-width key. Descending BIGINT threshold
     ladder, identical literals in both dialects — no float log2
     anywhere, so both engines land on the same pw at every corpus
     size."""
-    ts = _bit_thresholds()
+    ts = _bit_thresholds(ref)
     whens = " ".join(
         f"WHEN COUNT(*) > {ts[a - 1]} THEN {1 << (R_MAX_ADD - a)}"
         for a in range(R_MAX_ADD, 0, -1)
@@ -434,7 +435,10 @@ def _sig_word_cols(s_name, n_bands: int = N_BANDS) -> str:
 
 
 def _lsh_band_ctes_auto(
-    dialect: str, n_bands: int = N_BANDS, sig: bool = False
+    dialect: str,
+    n_bands: int = N_BANDS,
+    sig: bool = False,
+    with_cand: bool = True,
 ) -> str:
     """SELF-SIZING variant of the band chain (r7 verdict item 1):
     r_bits is derived from the corpus count inside the SQL, so the
@@ -458,6 +462,13 @@ def _lsh_band_ctes_auto(
     WITHOUT a human re-sizing anything."""
     planes = _hyperplanes_ext(n_bands)
     r_max = R_BITS + R_MAX_ADD
+    # sig (graph) chains run the occupancy ladder against a 1/
+    # GRAPH_OCC_DIV reference: extension bits engage two doublings
+    # EARLIER, holding band buckets ~4x smaller — the candidate-
+    # volume dial the hamming re-rank sits behind. The near-dup
+    # chain keeps the original ladder (its recall law is pinned at
+    # the historical operating point).
+    ref = N_REF_VECS // GRAPH_OCC_DIV if sig else N_REF_VECS
 
     def bit_expr(b: int, k: int) -> str:
         expr = _sign_bit(planes[b][k], dialect)
@@ -493,45 +504,36 @@ def _lsh_band_ctes_auto(
     # UNION ALL below re-expands the (R_BITS+R_MAX_ADD)x64-term
     # sign-bit tree per arm (~20x oracle wall at sf0.1)
     mat = "MATERIALIZED " if dialect != "spark" else ""
-    sig_cte = (
-        f"""
-        , sigm AS {mat}(
-            SELECT vec_id, {', '.join(
-                f'w{w}' for w in range(SIG_WORDS))} FROM keys)"""
-        if sig
-        else ""
-    )
+    wcols = ", " + ", ".join(f"w{w}" for w in range(SIG_WORDS)) if sig else ""
     head = f"""
         lshv AS (
             SELECT vec_id, embedding, {_norm('embedding', dialect)} AS nrm
             FROM embeddings)
         , prm AS (
-            SELECT CAST({_pw_case()} AS BIGINT) AS pw FROM lshv)
+            SELECT CAST({_pw_case(ref)} AS BIGINT) AS pw FROM lshv)
         , bits AS (
             SELECT vec_id, pw,
                    {bit_cols}
             FROM lshv CROSS JOIN prm)
         , keys AS {mat}(
-            SELECT vec_id, pw, {key_cols} FROM bits){sig_cte}"""
+            SELECT vec_id, pw, {key_cols} FROM bits)"""
     if dialect == "spark":
         key_arr = ", ".join(f"k{b}" for b in range(n_bands))
         bands = f"""
         , bands AS (
-            SELECT vec_id, band_idx, bk div pw AS band_key
+            SELECT vec_id, band_idx, bk div pw AS band_key{wcols}
             FROM keys
             LATERAL VIEW posexplode(array({key_arr})) AS band_idx, bk)"""
     else:
         union = "\n            UNION ALL ".join(
-            f"SELECT vec_id, {b} AS band_idx, k{b} // pw AS band_key"
+            f"SELECT vec_id, {b} AS band_idx, k{b} // pw AS band_key{wcols}"
             " FROM keys"
             for b in range(n_bands)
         )
         bands = f"""
         , bands AS ({union})"""
-    return (
-        head
-        + bands
-        + """
+    cand = (
+        """
         , cand AS (
             SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
             FROM bands a
@@ -539,7 +541,10 @@ def _lsh_band_ctes_auto(
               ON a.band_idx = b.band_idx AND a.band_key = b.band_key
              AND a.vec_id < b.vec_id)
     """
+        if with_cand
+        else "\n    "
     )
+    return head + bands + cand
 
 
 def auto_r_bits(spark, sf_dir: str) -> int:
@@ -557,12 +562,23 @@ def auto_r_bits(spark, sf_dir: str) -> int:
     return R_BITS + sum(1 for t in _bit_thresholds() if n > t)
 
 
+def auto_r_bits_graph(spark, sf_dir: str) -> int:
+    """auto_r_bits against the graph chain's 1/GRAPH_OCC_DIV ladder
+    reference (see GRAPH_OCC_DIV)."""
+    from ..tables import load_table
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    ts = _bit_thresholds(N_REF_VECS // GRAPH_OCC_DIV)
+    return R_BITS + sum(1 for t in ts if n > t)
+
+
 def _lsh_band_ctes(
     dialect: str,
     r_bits: int | None = None,
     n_bands: int = N_BANDS,
     prefix_planes: bool = False,
     sig: bool = False,
+    with_cand: bool = True,
 ) -> str:
     """Shared CTE chain v -> bands -> cand producing DISTINCT
     candidate pairs (vec_a < vec_b) from band-bucket collisions.
@@ -589,7 +605,9 @@ def _lsh_band_ctes(
     double products/sums are identical left-associated IEEE ops in
     both, so the sign bits are bit-identical cross-engine."""
     if r_bits is None:
-        return _lsh_band_ctes_auto(dialect, n_bands, sig=sig)
+        return _lsh_band_ctes_auto(
+            dialect, n_bands, sig=sig, with_cand=with_cand
+        )
     if sig:
         # sig chains emit the FULL prefix-stable plane set per band:
         # keys use the first r_bits (identical partition), the packed
@@ -629,13 +647,18 @@ def _lsh_band_ctes(
             n_bands,
         )
     mat = "MATERIALIZED " if dialect != "spark" else ""
-    sig_cte = (
-        f"""
-        , sigm AS {mat}(
-            SELECT vec_id, {', '.join(
-                f'w{w}' for w in range(SIG_WORDS))} FROM keys)"""
-        if sig
-        else ""
+    wcols = ", " + ", ".join(f"w{w}" for w in range(SIG_WORDS)) if sig else ""
+    cand = (
+        """
+        , cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM bands a
+            JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.vec_id < b.vec_id)
+    """
+        if with_cand
+        else "\n    "
     )
     if dialect == "spark":
         key_arr = ", ".join(f"k{b}" for b in range(n_bands))
@@ -648,20 +671,14 @@ def _lsh_band_ctes(
                    {bit_cols}
             FROM lshv)
         , keys AS (
-            SELECT vec_id, {key_cols} FROM bits){sig_cte}
+            SELECT vec_id, {key_cols} FROM bits)
         , bands AS (
-            SELECT vec_id, band_idx, band_key
+            SELECT vec_id, band_idx, band_key{wcols}
             FROM keys
-            LATERAL VIEW posexplode(array({key_arr})) AS band_idx, band_key)
-        , cand AS (
-            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-            FROM bands a
-            JOIN bands b
-              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-             AND a.vec_id < b.vec_id)
-    """
+            LATERAL VIEW posexplode(array({key_arr})) AS band_idx, band_key)"""\
+            + cand
     bands = "\n            UNION ALL ".join(
-        f"SELECT vec_id, {b} AS band_idx, k{b} AS band_key FROM keys"
+        f"SELECT vec_id, {b} AS band_idx, k{b} AS band_key{wcols} FROM keys"
         for b in range(n_bands)
     )
     return f"""
@@ -673,15 +690,8 @@ def _lsh_band_ctes(
                    {bit_cols}
             FROM lshv)
         , keys AS {mat}(
-            SELECT vec_id, {key_cols} FROM bits){sig_cte}
-        , bands AS ({bands})
-        , cand AS (
-            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-            FROM bands a
-            JOIN bands b
-              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-             AND a.vec_id < b.vec_id)
-    """
+            SELECT vec_id, {key_cols} FROM bits)
+        , bands AS ({bands})""" + cand
 
 
 def near_dup_lsh_sql(
@@ -981,24 +991,29 @@ def knn_graph_sql(dialect: str, n_seeds: int | None = None) -> str:
 # sf0.001..sf10 — a cap of 64 keeps the NN with prob ≈1 while
 # cutting exact-scoring work ~(candidates/cap)× (≈25× at sf10).
 GRAPH_CAND_CAP = 64
+# the graph chain's occupancy divisor: its self-sizing ladder uses
+# reference count N_REF_VECS/GRAPH_OCC_DIV, i.e. ~4x smaller band
+# buckets than the near-dup chain at every corpus size (log2(4)=2
+# extra bits engaged two doublings earlier; capped like everything
+# else at R_MAX_ADD extension bits)
+GRAPH_OCC_DIV = 4
+# per-bucket pre-cap (stage A of the hamming re-rank): each vector
+# keeps its hamming-top-GRAPH_BUCKET_CAP per (band, bucket) BEFORE
+# the global top-GRAPH_CAND_CAP window. The pre-cap window partitions
+# by (band_idx, band_key, vec_id) — a SUPERSET of the bucket
+# self-join's keys, so Spark's EnsureRequirements adds NO exchange
+# (HashPartitioning(a,b) satisfies ClusteredDistribution(a,b,c)):
+# the 439M-row candidate stream is capped to ≤ bands·cap rows per
+# vector inside the join's own partitioning, and only ~n·256 rows
+# reach the exchange-bearing global window (measured sf10: the
+# uncapped global window alone was 375 s). A neighbor the pre-cap
+# drops would need GRAPH_BUCKET_CAP closer-by-hamming candidates in
+# EVERY bucket it shares — vanishing for the hamming-strong
+# candidates the exact-cosine stage actually ranks.
+GRAPH_BUCKET_CAP = 16
 SIG_BAND_BITS = R_BITS + R_MAX_ADD  # bit positions per band (12)
 SIG_BANDS_PER_WORD = 4  # 48 bits per BIGINT word, sign-safe
 SIG_WORDS = (N_BANDS + SIG_BANDS_PER_WORD - 1) // SIG_BANDS_PER_WORD
-
-
-def _hamming(dialect: str) -> str:
-    """Signature hamming distance between sigm aliases sa and sb —
-    xor + popcount per word; Spark spells xor `^`, DuckDB `xor()`
-    (its `^` is POWER)."""
-    if dialect == "spark":
-        return " + ".join(
-            f"bit_count(sa.w{w} ^ sb.w{w})" for w in range(SIG_WORDS)
-        )
-    # duck bit_count returns TINYINT — the word sum overflows at 128
-    return " + ".join(
-        f"CAST(bit_count(xor(sa.w{w}, sb.w{w})) AS INTEGER)"
-        for w in range(SIG_WORDS)
-    )
 
 
 def knn_graph_lsh_sql(
@@ -1015,39 +1030,57 @@ def knn_graph_lsh_sql(
     Θ(n·bands·occupancy) with the SELF-SIZED band width holding
     occupancy constant — candidates ∝ n, no assign stage at all.
 
-    r9 constant cut (the r8 verdict's #2-3): banded candidates are
-    first ranked per vector by packed-signature HAMMING distance
-    (integer xor+popcount over SIG_WORDS BIGINTs — the big
-    candidate shuffle carries 3 longs instead of two 64-double
-    embeddings) and only the hamming-top-{cand_cap} are scored with
-    the exact cosine; the output stays top-KNN_K by EXACT cosine
-    (vec_id, neighbor_id, nn_rank, cos_e6 — same contract as
-    knn_graph_sql). Vectors with no band collision have no edges
+    r9 constant cut (the r8 verdict's #2-3): the bands explode
+    carries each vector's packed SIG_WORDS-BIGINT sign signature, so
+    the bucket self-join computes HAMMING distance INLINE (integer
+    xor+popcount in the join projection — no embedding payload and
+    no join-back through the candidate set), a single dense_rank
+    window keeps the hamming-top-{cand_cap} per vector (dense_rank
+    because a pair colliding in k bands appears k times with the
+    identical (ham, neighbor) order key — the rank dedups for free,
+    replacing a 200M-row DISTINCT shuffle with nothing), and only
+    those survivors are scored with the exact cosine; the output
+    stays top-KNN_K by EXACT cosine (vec_id, neighbor_id, nn_rank,
+    cos_e6 — same contract as knn_graph_sql). Vectors with no band collision have no edges
     (the singleton-cell caveat of the IVF form, same downstream
     handling). Recall vs the exact brute-force top-K is pinned in
     tests/test_self_sizing_dials.py; this is the build a 100 TB
     corpus graph (dedup communities, diversity sampling) would
     actually run, with the IVF form kept as the Voronoi-cell
     twin."""
-    mat = "MATERIALIZED " if dialect != "spark" else ""
+    if dialect == "spark":
+        ham = " + ".join(
+            f"bit_count(a.w{w} ^ b.w{w})" for w in range(SIG_WORDS)
+        )
+    else:
+        # duck bit_count returns TINYINT — the word sum overflows
+        ham = " + ".join(
+            f"CAST(bit_count(xor(a.w{w}, b.w{w})) AS INTEGER)"
+            for w in range(SIG_WORDS)
+        )
     return f"""
         WITH {_lsh_band_ctes(dialect, r_bits, N_BANDS, prefix_planes,
-                             sig=True)}
-        , hcand AS {mat}(
-            SELECT c.vec_a, c.vec_b, ({_hamming(dialect)}) AS ham
-            FROM cand c
-            JOIN sigm sa ON sa.vec_id = c.vec_a
-            JOIN sigm sb ON sb.vec_id = c.vec_b)
-        , hsym AS (
-            SELECT vec_a AS vec_id, vec_b AS neighbor_id, ham FROM hcand
-            UNION ALL
-            SELECT vec_b AS vec_id, vec_a AS neighbor_id, ham FROM hcand)
+                             sig=True, with_cand=False)}
+        , hpairs AS (
+            SELECT a.band_idx, a.band_key,
+                   a.vec_id, b.vec_id AS neighbor_id, ({ham}) AS ham
+            FROM bands a
+            JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.vec_id <> b.vec_id)
+        , bkeep AS (
+            SELECT vec_id, neighbor_id, ham FROM (
+                SELECT vec_id, neighbor_id, ham, row_number() OVER (
+                    PARTITION BY band_idx, band_key, vec_id
+                    ORDER BY ham ASC, neighbor_id ASC) AS brn
+                FROM hpairs) b
+            WHERE brn <= {GRAPH_BUCKET_CAP})
         , hkeep AS (
-            SELECT vec_id, neighbor_id FROM (
-                SELECT vec_id, neighbor_id, row_number() OVER (
+            SELECT DISTINCT vec_id, neighbor_id FROM (
+                SELECT vec_id, neighbor_id, dense_rank() OVER (
                     PARTITION BY vec_id
                     ORDER BY ham ASC, neighbor_id ASC) AS hrn
-                FROM hsym) h
+                FROM bkeep) h
             WHERE hrn <= {cand_cap})
         , scored AS (
             SELECT k.vec_id, k.neighbor_id,
@@ -1068,7 +1101,7 @@ def knn_graph_lsh_sql(
 
 
 def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bits = auto_r_bits(spark, sf_dir)
+    bits = auto_r_bits_graph(spark, sf_dir)
     return _run(
         spark, sf_dir,
         knn_graph_lsh_sql("spark", r_bits=bits, prefix_planes=True),
