@@ -76,53 +76,61 @@ def connected_components(
     )
     labels = _ckpt(nodes.select(F.col(id_col), F.col(id_col).alias("cluster_id")))
     for _ in range(max_iter):
-        neigh = (
-            bidir.join(labels, bidir["_dst"] == labels[id_col])
-            .groupBy("_src")
-            .agg(F.min("cluster_id").alias("_n_min"))
+        # LABEL-SPACE CONTRACTION (r9): map the fixed edge list
+        # through the current labeling and keep only cross-label
+        # edges. The node-space neighbor-min + halving loop this
+        # replaces converged O(diameter/2) on chain-shaped graphs —
+        # observed crawling at ~1 merge/round past max_iter on the
+        # sf0.1 mutual-KNN graph, SILENTLY returning a split
+        # component. Contracting first makes every round merge
+        # whole label groups (a path of labels halves per round),
+        # and the exit test is exact: no cross-label edge left IS
+        # connectivity-fixpoint, so a non-converged exit can only
+        # be max_iter, which now raises instead of lying.
+        le = _ckpt(
+            bidir.join(labels, bidir["_src"] == labels[id_col])
+            .select(F.col("cluster_id").alias("_la"), "_dst")
+            .join(labels, F.col("_dst") == labels[id_col])
+            .select("_la", F.col("cluster_id").alias("_lb"))
+            .where("_la <> _lb")
+            .distinct()
         )
-        # neighbor-min step (checkpointed: the halving step below
-        # references it twice — map side + probe side)
-        upd = _ckpt(
-            labels.join(neigh, labels[id_col] == neigh["_src"], "left")
-            .select(
+        # per-label min over contracted neighbors (strict improvers)
+        lmin = le.groupBy("_la").agg(F.min("_lb").alias("_m")).where(
+            "_m < _la"
+        )
+        n_merge = lmin.count()
+        if n_merge == 0:
+            break
+        relabeled = _ckpt(
+            labels.join(
+                lmin, labels["cluster_id"] == lmin["_la"], "left"
+            ).select(
                 id_col,
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("_n_min"), F.col("cluster_id")),
-                ).alias("cluster_id"),
-                F.col("cluster_id").alias("_old"),
+                F.coalesce(F.col("_m"), F.col("cluster_id")).alias(
+                    "cluster_id"
+                ),
             )
         )
-        # path-halving (pointer doubling): label <- label(label).
-        # label(n) always names a node REACHABLE from n, and labels
-        # only ever decrease toward the component min, so composing
-        # the label map with itself preserves the invariant while
-        # halving chain depth — O(diameter) rounds become
-        # O(log diameter) (measured 17 -> 6 on the sf0.1 LSH
-        # near-dup graph, whose worst component has diameter ~16).
-        lmap = upd.select(
+        # path-halving on the label map (label <- label(label)):
+        # composes the per-round merges so label chains collapse
+        # geometrically
+        lmap = relabeled.select(
             F.col(id_col).alias("_k"), F.col("cluster_id").alias("_kl")
         )
-        # convergence is detected from the pre-round label riding
-        # along as _old (carried through upd, no extra join), so the
-        # change count is a SCAN over the already-checkpointed step
-        # result — not the labels-vs-new join+shuffle per round the
-        # first version paid
-        stepped = _ckpt(
-            upd.join(lmap, upd["cluster_id"] == lmap["_k"], "left")
-            .select(
+        labels = _ckpt(
+            relabeled.join(
+                lmap, relabeled["cluster_id"] == lmap["_k"], "left"
+            ).select(
                 id_col,
                 F.least(
                     F.col("cluster_id"),
                     F.coalesce(F.col("_kl"), F.col("cluster_id")),
                 ).alias("cluster_id"),
-                F.col("_old"),
             )
         )
-        changed = stepped.where("cluster_id <> _old").count()
-        new_labels = stepped.drop("_old")
-        labels = new_labels
-        if changed == 0:
-            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
     return labels

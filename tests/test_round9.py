@@ -893,3 +893,27 @@ def test_purchase_attribution_laws(spark, sf_dir):
     total_bp = sum(r["share_bp"] for r in rows)
     # floor shares: within len(rows) bp of the whole
     assert 10000 - len(rows) < total_bp <= 10000
+
+
+def test_cc_adversarial_path_graph_converges(spark):
+    """r9 regression: the pre-contraction Pregel CC crawled ~1
+    merge/round on chain-shaped graphs and silently returned a
+    SPLIT component once max_iter ran out (caught by the sf0.1
+    mutual-KNN oracle after the banded-edge switch). Label-space
+    contraction must collapse an adversarially-ordered 400-node
+    path to one min-labeled component well inside max_iter — and a
+    non-converged exit now raises instead of lying."""
+    import random
+
+    from aurora_cdc_demo_spark.operators.graph import (
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    perm = list(range(400))
+    rng.shuffle(perm)
+    edges = [(perm[i], perm[i + 1]) for i in range(399)]
+    e = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    n = spark.createDataFrame([(i,) for i in range(400)], "doc_id long")
+    lab = connected_components(n, e, max_iter=20)
+    assert {r.cluster_id for r in lab.collect()} == {0}
