@@ -252,9 +252,11 @@ def test_hits_matches_python_fixpoint_algebra(spark, sf_dir):
     )
     from aurora_cdc_demo_spark.registry import QUERIES
 
+    # r9: the graph family rides the banded-LSH edge builder — the
+    # fixpoint must run over the SAME edge list HITS consumed
     edges = [
         (r["vec_id"], r["neighbor_id"])
-        for r in QUERIES["ann_knn_graph"](spark, sf_dir).collect()
+        for r in QUERIES["ann_knn_graph_lsh"](spark, sf_dir).collect()
     ]
     import duckdb
 
@@ -827,8 +829,9 @@ def test_ppr_matches_python_and_mass_law(spark, sf_dir):
     )
     from aurora_cdc_demo_spark.registry import QUERIES
 
+    # r9: PPR consumes the banded-LSH family edge list
     edges: dict = {}
-    for r in QUERIES["ann_knn_graph"](spark, sf_dir).collect():
+    for r in QUERIES["ann_knn_graph_lsh"](spark, sf_dir).collect():
         edges.setdefault(r["vec_id"], []).append(r["neighbor_id"])
     import duckdb
 
@@ -2406,7 +2409,8 @@ def test_hubness_profile_recomputes(spark, sf_dir):
 
     from aurora_cdc_demo_spark.registry import QUERIES
 
-    edges = QUERIES["ann_knn_graph"](spark, sf_dir).collect()
+    # r9: hubness profiles the banded-LSH family edge list
+    edges = QUERIES["ann_knn_graph_lsh"](spark, sf_dir).collect()
     con = duckdb.connect()
     nodes = [
         v

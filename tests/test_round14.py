@@ -312,9 +312,10 @@ def test_deepwalk_walks_are_valid_paths(spark, sf_dir):
     edge of the KNN graph, every walk starts at its start node, and
     dead ends only occur at zero-degree nodes."""
     walks = QUERIES["graph_deepwalk_corpus"](spark, sf_dir).collect()
+    # r9: walks traverse the banded-LSH family edge list
     edges = {
         (r["vec_id"], r["neighbor_id"])
-        for r in QUERIES["ann_knn_graph"](spark, sf_dir).collect()
+        for r in QUERIES["ann_knn_graph_lsh"](spark, sf_dir).collect()
     }
     deg = {}
     for a, b in edges:

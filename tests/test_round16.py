@@ -174,8 +174,9 @@ def test_node2vec_recompute(spark, sf_dir):
         _N2V_STEPS,
     )
 
+    # r9: node2vec walks the banded-LSH family edge list
     edges = {}
-    for r in QUERIES["ann_knn_graph"](spark, sf_dir).collect():
+    for r in QUERIES["ann_knn_graph_lsh"](spark, sf_dir).collect():
         edges.setdefault(r["vec_id"], []).append(
             (r["nn_rank"], r["neighbor_id"])
         )
@@ -949,8 +950,9 @@ def test_graph_robustness_recompute(spark, sf_dir):
     )
     from aurora_cdc_demo_spark.registry import _ROBUST_LEVELS
 
+    # r9: robustness percolates the banded-LSH family edge list
     pairs = set()
-    for r in QUERIES["ann_knn_graph"](spark, sf_dir).collect():
+    for r in QUERIES["ann_knn_graph_lsh"](spark, sf_dir).collect():
         a, b = sorted((r["vec_id"], r["neighbor_id"]))
         pairs.add((a, b))
     nodes = sorted(
@@ -1336,8 +1338,9 @@ def test_lof_recompute(spark, sf_dir):
     from aurora_cdc_demo_spark.operators import similarity as sim
 
     k = sim.KNN_K
+    # r9: LOF distances come from the banded-LSH family edge list
     edges = {}
-    for r in QUERIES["ann_knn_graph"](spark, sf_dir).collect():
+    for r in QUERIES["ann_knn_graph_lsh"](spark, sf_dir).collect():
         edges.setdefault(r["vec_id"], []).append(
             (r["nn_rank"], r["neighbor_id"], 1000000 - r["cos_e6"])
         )

@@ -254,7 +254,8 @@ def test_link_pred_laws(spark, sf_dir):
         assert r["common_neighbors"] <= min(deg[r["vec_a"]], deg[r["vec_b"]])
     assert max(deg.values()) <= LP_WITNESS_CAP
     # non-adjacency: no predicted pair may appear in the KNN edges
-    knn = QUERIES["ann_knn_graph"](spark, sf_dir).toPandas()
+    # (r9: the family rides the banded-LSH edge builder)
+    knn = QUERIES["ann_knn_graph_lsh"](spark, sf_dir).toPandas()
     edges = set(zip(knn["vec_id"], knn["neighbor_id"])) | set(
         zip(knn["neighbor_id"], knn["vec_id"])
     )
