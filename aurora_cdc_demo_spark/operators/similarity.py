@@ -1048,6 +1048,20 @@ def knn_graph_lsh_sql(
     corpus graph (dedup communities, diversity sampling) would
     actually run, with the IVF form kept as the Voronoi-cell
     twin."""
+    return f"""
+        WITH {_lsh_band_ctes(dialect, r_bits, N_BANDS, prefix_planes,
+                             sig=True, with_cand=False)}{
+        _knn_lsh_tail_sql(dialect, cand_cap)}"""
+
+
+def _knn_lsh_tail_sql(dialect: str, cand_cap: int = GRAPH_CAND_CAP) -> str:
+    """hpairs → bkeep → hkeep → scored → ranked tail of the banded
+    KNN build, referencing `bands` (vec_id, band_idx, band_key,
+    w0..w{SIG_WORDS-1}) and `lshv` (vec_id, embedding, nrm) CTEs.
+    Shared between the single-statement form (knn_graph_lsh_sql —
+    the oracle twin and the structural-equality exhibit) and the
+    staged Spark path (knn_graph_lsh), which materializes `keys`
+    first and re-enters here over a bands-from-view CTE."""
     if dialect == "spark":
         ham = " + ".join(
             f"bit_count(a.w{w} ^ b.w{w})" for w in range(SIG_WORDS)
@@ -1059,8 +1073,6 @@ def knn_graph_lsh_sql(
             for w in range(SIG_WORDS)
         )
     return f"""
-        WITH {_lsh_band_ctes(dialect, r_bits, N_BANDS, prefix_planes,
-                             sig=True, with_cand=False)}
         , hpairs AS (
             SELECT a.band_idx, a.band_key,
                    a.vec_id, b.vec_id AS neighbor_id, ({ham}) AS ham
@@ -1101,10 +1113,47 @@ def knn_graph_lsh_sql(
 
 
 def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED Spark-side banded build (r9, guide §1.2/§2.4/§5): the
+    single-statement form pays the n_bands·(R_BITS+R_MAX_ADD)
+    sign-bit subtree TWICE (once per side of the bucket self-join —
+    two serial single-task ~4 s stages at sf0.1, measured via the
+    stage API) and carries a ~445 KB physical plan through every
+    downstream analysis. This path computes `keys` ONCE over a
+    fanned-out scan (tables.fanout_scan: the driver testdata plans
+    1-3 row-group splits, so the sign-bit projection would otherwise
+    run on one core; a no-op whenever the scan already yields ≥
+    defaultParallelism splits), materializes it (localCheckpoint on
+    a single node; df.checkpoint(eager=True) against a replicated
+    dir on a cluster — the operators/graph.py split), and runs the
+    join/window/rerank tail over the materialized keys. Same
+    expressions, same deterministic tie-breakers ⇒ row-identical to
+    the oracle's single-statement MATERIALIZED-CTE form (which is
+    DuckDB's spelling of the same materialize-once plan);
+    cross-engine equality stays pinned in
+    tests/test_self_sizing_dials.py."""
+    from ..tables import fanout_scan, load_table
+
     bits = auto_r_bits_graph(spark, sf_dir)
-    return _run(
-        spark, sf_dir,
-        knn_graph_lsh_sql("spark", r_bits=bits, prefix_planes=True),
+    emb = load_table(spark, sf_dir, "embeddings")
+    fanout_scan(spark, emb).createOrReplaceTempView("embeddings")
+    ctes = _lsh_band_ctes(
+        "spark", r_bits=bits, prefix_planes=True, sig=True, with_cand=False
+    )
+    keys = spark.sql(f"WITH {ctes} SELECT * FROM keys").localCheckpoint()
+    emb.createOrReplaceTempView("embeddings")  # restore the plain view
+    keys.createOrReplaceTempView("gk_keys_mat")
+    key_arr = ", ".join(f"k{b}" for b in range(N_BANDS))
+    wcols = ", ".join(f"w{w}" for w in range(SIG_WORDS))
+    return spark.sql(
+        f"""
+        WITH lshv AS (
+            SELECT vec_id, embedding, {_norm('embedding', 'spark')} AS nrm
+            FROM embeddings)
+        , bands AS (
+            SELECT vec_id, band_idx, band_key, {wcols}
+            FROM gk_keys_mat
+            LATERAL VIEW posexplode(array({key_arr})) AS band_idx, band_key){
+        _knn_lsh_tail_sql('spark')}"""
     )
 
 

@@ -37,6 +37,42 @@ _NANO_TS_COLUMNS: dict[str, list[str]] = {
     "lineitem": ["l_shipdate"],
 }
 
+# (applicationId, plan-fingerprint) -> scan split count, so repeated
+# fanout_scan calls don't re-plan the scan-to-RDD conversion just to
+# re-learn a constant of the (immutable) input files.
+_SCAN_PARTS_CACHE: dict = {}
+
+
+def fanout_scan(spark: SparkSession, df: DataFrame,
+                key: tuple | None = None) -> DataFrame:
+    """Fan a narrow scan out to the cluster's default parallelism
+    before a CPU-heavy map stage (guide §2/§6: the driver testdata
+    ships ONE parquet row group per table, so Spark plans 1-3 scan
+    splits regardless of `spark.sql.files.minPartitionNum` — splits
+    are row-group-granular — and a tokenize/shingle/sign-bit chain
+    would burn its CPU in one task while the other cores idle).
+
+    Opt-in per operator, NOT applied globally: for light map stages
+    the extra exchange + scheduling round costs more than it saves
+    (measured: q1/q9/cdc_sessionize lose 0.3-3 s to a blanket
+    fan-out at sf0.1, while the Gopher-repetition token battery wins
+    ~3x). A provable no-op at scale — any real corpus yields >=
+    defaultParallelism splits and the guard skips the exchange — so
+    the dial is scale-adaptive rather than tuned to local[32]."""
+    ck = (spark.sparkContext.applicationId,) + (
+        key if key is not None else (df._jdf.queryExecution().logical().semanticHash(),)
+    )
+    n = _SCAN_PARTS_CACHE.get(ck)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _SCAN_PARTS_CACHE[ck] = n
+    p = spark.sparkContext.defaultParallelism
+    if n >= p:
+        return df
+    # explicit numPartitions: AQE does not re-coalesce user-specified
+    # repartitions, so the fan-out survives into the map stage
+    return df.repartition(p)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
