@@ -886,6 +886,23 @@ def q_corpus_keep_list_v4(spark, sf_dir):
 
 _GATE_CACHE: dict = {}
 
+# Per-key build locks (r9): gate maps are built from driver THREADS
+# (the fused keep-list fans its ten v4 gates out; embed_keep_list
+# overlaps its three chains) and several gates share upstream maps
+# (shingles, minhash signatures, kmeans cells). Without a lock two
+# threads that miss the cache on the same key both run the chain —
+# duplicated jobs, not wrong answers. One lock per key serializes
+# only same-key builds; distinct gates still overlap.
+import threading as _threading
+
+_GATE_LOCKS: dict = {}
+_GATE_LOCKS_GUARD = _threading.Lock()
+
+
+def _gate_lock(key):
+    with _GATE_LOCKS_GUARD:
+        return _GATE_LOCKS.setdefault(key, _threading.Lock())
+
 
 def _gate_map(spark, sf_dir, name, builder):
     """Materialize (localCheckpoint) a per-doc verdict map ONCE per
@@ -907,8 +924,12 @@ def _gate_map(spark, sf_dir, name, builder):
     key = (spark.sparkContext.applicationId, str(sf_dir), name)
     if cacheable and key in _GATE_CACHE:
         return _GATE_CACHE[key]
-    df = builder().localCheckpoint()
-    if cacheable:
+    if not cacheable:
+        return builder().localCheckpoint()
+    with _gate_lock(key):
+        if key in _GATE_CACHE:
+            return _GATE_CACHE[key]
+        df = builder().localCheckpoint()
         _GATE_CACHE[key] = df
     return df
 
@@ -3377,14 +3398,26 @@ def q_embed_keep_list(spark, sf_dir):
     # r5: the three gates are cached gate maps (see _gate_map) — the
     # selects below project the materialized LogicalRDDs, so the
     # composed plan stays 3 RDD scans + the parquet spine and repeat
-    # compositions (bias report, manifest) stop re-paying the chains
-    cl = QUERIES["embed_dedup_clusters_lsh"](spark, sf_dir)
-    sd = QUERIES["semdedup_cells"](spark, sf_dir).select(
-        "vec_id", F.col("keep").alias("sem_keep_i")
-    )
-    dv = embed_diversity(spark, sf_dir).select(
-        "vec_id", F.lit(1).alias("dv_hit")
-    )
+    # compositions (bias report, manifest) stop re-paying the chains.
+    # r9: the three chains (LSH components, seed-cell SemDeDup,
+    # trained-k-means quota) are independent — materialize them
+    # CONCURRENTLY like the text side's ten v4 gates (guide §2.6:
+    # overlap independent jobs so the next chain's tasks back-fill
+    # the tail of the current one); _gate_map's per-key locks keep
+    # shared upstream maps single-build.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        f_cl = ex.submit(QUERIES["embed_dedup_clusters_lsh"], spark, sf_dir)
+        f_sd = ex.submit(QUERIES["semdedup_cells"], spark, sf_dir)
+        f_dv = ex.submit(embed_diversity, spark, sf_dir)
+        cl = f_cl.result()
+        sd = f_sd.result().select(
+            "vec_id", F.col("keep").alias("sem_keep_i")
+        )
+        dv = f_dv.result().select(
+            "vec_id", F.lit(1).alias("dv_hit")
+        )
     e = load_table(spark, sf_dir, "embeddings").select("vec_id")
     j = (
         e.join(cl, "vec_id")
