@@ -708,7 +708,16 @@ def near_dup_lsh_sql(
     # (_lsh_band_ctes_auto) — the registered arm IS the scaled arm;
     # an explicit r_bits pins the frozen-width contrast chain.
     return f"""
-        WITH {_lsh_band_ctes(dialect, r_bits, n_bands, prefix_planes)}
+        WITH {_lsh_band_ctes(dialect, r_bits, n_bands, prefix_planes)}{
+        _near_dup_tail_sql(dialect)}"""
+
+
+def _near_dup_tail_sql(dialect: str) -> str:
+    """The verify tail shared by the single-statement form above and
+    the staged Spark builder (near_dup_lsh): exact-cosine scoring of
+    the banded candidates + the threshold filter. Factored so the
+    two spellings cannot drift."""
+    return f"""
         , scored AS (
             SELECT cand.vec_a, cand.vec_b,
                    ({_dot('va.embedding', 'vb.embedding', dialect)})
@@ -1445,11 +1454,46 @@ def near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver-side count picks the exact band width (auto_r_bits) so
     # the Spark plan compiles only the bits it needs; the oracle
     # twin keeps the in-SQL structural form — same partition, same
-    # rows (tests/test_self_sizing_dials.py)
+    # rows (tests/test_self_sizing_dials.py).
+    #
+    # STAGED build (r9, the knn_graph_lsh pattern, guide §1.2/§2.4):
+    # the single-statement form re-computed the N_BANDS·r_bits
+    # sign-bit subtree on BOTH sides of the band self-join over a
+    # 1-3-split scan (~144 KB plan, two serial single-task stages).
+    # Compute `keys` once over a fanned-out scan (fanout_scan is a
+    # no-op when the scan already plans ≥ defaultParallelism
+    # splits), materialize (localCheckpoint; df.checkpoint against a
+    # replicated dir on a cluster — the operators/graph.py split),
+    # and run the band-join + exact-verify tail over the
+    # materialized keys. Same expressions and candidates ⇒
+    # row-identical to the oracle's single-statement form.
+    from ..tables import fanout_scan, load_table
+
     bits = auto_r_bits(spark, sf_dir)
-    return _run(
-        spark, sf_dir,
-        near_dup_lsh_sql("spark", r_bits=bits, prefix_planes=True),
+    emb = load_table(spark, sf_dir, "embeddings")
+    fanout_scan(spark, emb).createOrReplaceTempView("embeddings")
+    ctes = _lsh_band_ctes(
+        "spark", r_bits=bits, prefix_planes=True, with_cand=False
+    )
+    keys = spark.sql(f"WITH {ctes} SELECT * FROM keys").localCheckpoint()
+    emb.createOrReplaceTempView("embeddings")  # restore the plain view
+    keys.createOrReplaceTempView("nd_keys_mat")
+    key_arr = ", ".join(f"k{b}" for b in range(N_BANDS))
+    return spark.sql(
+        f"""
+        WITH lshv AS (
+            SELECT vec_id, embedding, {_norm('embedding', 'spark')} AS nrm
+            FROM embeddings)
+        , bands AS (
+            SELECT vec_id, band_idx, band_key
+            FROM nd_keys_mat
+            LATERAL VIEW posexplode(array({key_arr})) AS band_idx, band_key)
+        , cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM bands a
+            JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.vec_id < b.vec_id){_near_dup_tail_sql('spark')}"""
     )
 
 
