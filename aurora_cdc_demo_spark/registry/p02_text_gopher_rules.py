@@ -3058,9 +3058,9 @@ def q_ann_recall_report(spark, sf_dir):
     composes each method's SQL inline (small-scale truth); the hash
     match proves the materialized arms identical, so the report
     still cannot drift from the operators it audits."""
+    from concurrent.futures import ThreadPoolExecutor
     from functools import reduce as _reduce
 
-    exact = _ann_exact_mat(spark, sf_dir)
     arm_queries = (
         ("ivf_seed", "ann_ivf_topk"),
         ("ivf_kmeans", "ann_ivf_kmeans_topk"),
@@ -3069,17 +3069,31 @@ def q_ann_recall_report(spark, sf_dir):
         ("sign_hamming", "embed_sign_hamming_topk"),
         ("graph_greedy", "ann_graph_greedy_topk"),
     )
-    parts = []
-    for mname, qname in arm_queries:
-        arm = _gate_map(
-            spark, sf_dir, f"ann_arm_{qname}",
-            lambda qname=qname: QUERIES[qname](spark, sf_dir),
-        )
-        parts.append(
-            arm.select(
+    # The six arm indexes and the exact denominator are independent
+    # _gate_map materializations, so build them CONCURRENTLY (the
+    # keep-list gate pattern): driver threads each submit one Spark
+    # job instead of seven half-idle stages back to back; arms that
+    # share an upstream index (_pq_index, _km_index, the graph edge
+    # map) build it once under its per-key lock.
+    with ThreadPoolExecutor(max_workers=1 + len(arm_queries)) as ex:
+        exact_f = ex.submit(_ann_exact_mat, spark, sf_dir)
+        futs = [
+            (
+                mname,
+                ex.submit(
+                    _gate_map, spark, sf_dir, f"ann_arm_{qname}",
+                    lambda qname=qname: QUERIES[qname](spark, sf_dir),
+                ),
+            )
+            for mname, qname in arm_queries
+        ]
+        exact = exact_f.result()
+        parts = [
+            f.result().select(
                 F.lit(mname).alias("method"), "query_id", "neighbor_id"
             )
-        )
+            for mname, f in futs
+        ]
     methods = _reduce(lambda a, b: a.unionByName(b), parts)
     e = exact.select(
         F.col("query_id").alias("_eq"), F.col("neighbor_id").alias("_en")

@@ -137,24 +137,243 @@ def _parse_line(line: str) -> tuple:
 
 _TABLE_IDX = 1  # position of `table` in the parsed tuple
 
+TRUNCATE_MOD = 251
+TXN_GROUP = 8  # consecutive events per transaction_id
+PROCESSING_LAG_US = 250_000  # deterministic ingest->process latency
+DDL_TABLE = "users_1"
+DDL_COLUMN = "loyalty_tier"
+DDL_STATEMENT = f"ALTER TABLE {DDL_TABLE} ADD COLUMN {DDL_COLUMN} VARCHAR"
+
+# ---------------------------------------------------------------------------
+# C++-side parse of the canonical binlog format (batch read path).
+# The JSON-lines format has exactly one producer (write_binlog_from_events),
+# whose map payloads draw from a closed key vocabulary; declaring it as an
+# explicit pyarrow.json schema lets the whole file parse in native code.
+# Key order below mirrors the writer's insertion order so map entries come
+# out identical to the per-line path.
+
+_BINLOG_MAP_KEYS = {
+    "before": ("value", "event_type", DDL_COLUMN),
+    "after": ("value", "event_type", DDL_COLUMN),
+    "primary_keys": ("key_id",),
+}
+
+
+def _binlog_arrow_schema():
+    import pyarrow as pa
+
+    fields = [
+        pa.field("database", pa.string()),
+        pa.field("ts_us", pa.int64()),
+        pa.field("event_time_us", pa.int64()),
+        pa.field("binlog_file", pa.string()),
+        pa.field("binlog_position", pa.int64()),
+        pa.field("server_id", pa.int64()),
+        pa.field("schema_version", pa.string()),
+        pa.field("processing_time_us", pa.int64()),
+        pa.field("batch_id", pa.string()),
+        pa.field("partition_id", pa.int64()),
+        pa.field("table", pa.string()),
+        pa.field("operation", pa.string()),
+        pa.field("seq", pa.int64()),
+        pa.field("gtid", pa.string()),
+        pa.field("transaction_id", pa.string()),
+        pa.field("ddl_statement", pa.string()),
+        pa.field("is_snapshot", pa.bool_()),
+        pa.field("error_flag", pa.bool_()),
+        pa.field("error_message", pa.string()),
+    ]
+    for name, keys in _BINLOG_MAP_KEYS.items():
+        fields.append(
+            pa.field(name, pa.struct([pa.field(k, pa.string()) for k in keys]))
+        )
+    return pa.schema(fields)
+
+
+def _struct_to_map(arr):
+    """struct<k1..kn: string> → map<string,string>: one entry per
+    non-null field, in declared (= writer insertion) order; a null
+    struct row becomes a null map (the null-offset contract of
+    MapArray.from_arrays)."""
+    import numpy as np
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    names = [f.name for f in arr.type]
+    val_cols = [arr.field(i) for i in range(len(names))]
+    valid = np.stack(
+        [pc.is_valid(c).to_numpy(zero_copy_only=False) for c in val_cols],
+        axis=1,
+    )
+    struct_valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+    valid &= struct_valid[:, None]
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(valid.sum(axis=1), out=offsets[1:])
+    flat_sel = valid.ravel()
+    sel_rows = np.repeat(np.arange(n), len(names))[flat_sel]
+    sel_cols = np.tile(np.arange(len(names)), n)[flat_sel]
+    keys = pa.array(names, pa.string()).take(pa.array(sel_cols, pa.int64()))
+    big = pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in val_cols])
+    vals = big.take(pa.array(sel_cols * n + sel_rows, pa.int64()))
+    if (~struct_valid).any():
+        off_list = offsets.tolist()
+        for i in np.nonzero(~struct_valid)[0]:
+            off_list[i] = None
+        offs = pa.array(off_list, pa.int32())
+    else:
+        offs = pa.array(offsets, pa.int32())
+    return pa.MapArray.from_arrays(
+        offs, keys, vals, type=pa.map_(pa.string(), pa.string())
+    )
+
+
+def _parse_file_arrow(path: str):
+    """Parse one canonical binlog file into a RecordBatch in
+    CDC_EVENT_SCHEMA's Arrow form, or None when the file does not
+    match the canonical writer format (caller falls back to the
+    per-line tuple path)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.json as pj
+
+    try:
+        tab = pj.read_json(
+            path,
+            parse_options=pj.ParseOptions(
+                explicit_schema=_binlog_arrow_schema(),
+                unexpected_field_behavior="error",
+            ),
+            read_options=pj.ReadOptions(use_threads=False),
+        )
+    except pa.ArrowInvalid:
+        return None
+
+    def ts(name, fallback=None):
+        col = tab.column(name)
+        if fallback is not None:
+            col = pc.coalesce(col, tab.column(fallback))
+        return col.cast(pa.timestamp("us", tz="UTC"))
+
+    cols = {
+        "database": pc.fill_null(tab.column("database"), "replay"),
+        "table": tab.column("table"),
+        "operation": tab.column("operation"),
+        "ts": ts("ts_us"),
+        "event_time": ts("event_time_us", fallback="ts_us"),
+        "seq": tab.column("seq"),
+        "binlog_file": tab.column("binlog_file"),
+        "binlog_position": tab.column("binlog_position"),
+        "gtid": tab.column("gtid"),
+        "server_id": tab.column("server_id"),
+        "transaction_id": tab.column("transaction_id"),
+        "before": _struct_to_map(tab.column("before")),
+        "after": _struct_to_map(tab.column("after")),
+        "primary_keys": _struct_to_map(tab.column("primary_keys")),
+        "schema_version": tab.column("schema_version"),
+        "ddl_statement": tab.column("ddl_statement"),
+        "processing_time": ts("processing_time_us"),
+        "batch_id": tab.column("batch_id"),
+        "partition_id": tab.column("partition_id"),
+        "is_snapshot": pc.fill_null(tab.column("is_snapshot"), False),
+        "error_flag": pc.fill_null(tab.column("error_flag"), False),
+        "error_message": tab.column("error_message"),
+    }
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    schema = to_arrow_schema(CDC_EVENT_SCHEMA)
+    arrays = []
+    for f in schema:
+        c = cols[f.name]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        if c.type != f.type:
+            c = c.cast(f.type)
+        arrays.append(c)
+    return pa.RecordBatch.from_arrays(arrays, schema=schema)
+
 
 class _FilePartition(InputPartition):
-    def __init__(self, file_path: str):
+    """One scan partition holding one or more whole log files (the
+    legacy single-file form is kept constructible for the stream
+    reader's bookkeeping and tests)."""
+
+    def __init__(self, file_path: str | list[str]):
         self.file_path = file_path
+
+    @property
+    def files(self) -> list[str]:
+        fp = self.file_path
+        return fp if isinstance(fp, list) else [fp]
+
+
+def _group_files(files: list[str], cpus: int) -> list[list[str]]:
+    """Pack the per-file scan units into fewer partitions: one task
+    per 2500-row file means a huge log pays a Python-worker round
+    trip per ~1 MB (guide: small files hurt twice). Keep every core
+    busy for at least two waves, but never fewer files per partition
+    than 1 — at driver SFs (≤ 2×cpus files) this is the identity and
+    the plan is unchanged; the grouping only engages when the log is
+    big enough that task overhead, not parallelism, is the binding
+    cost. Round-robin assignment keeps partitions size-balanced even
+    when trailing files are short."""
+    n_parts = min(len(files), max(2 * cpus, 1))
+    if n_parts == len(files):
+        return [[f] for f in files]
+    groups: list[list[str]] = [[] for _ in range(n_parts)]
+    for i, f in enumerate(files):
+        groups[i % n_parts].append(f)
+    return groups
 
 
 class CDCReplayBatchReader(DataSourceReader):
     def __init__(self, options: dict):
         self.path = options["path"]
+        # captured at PLAN time on the driver (the reader object is
+        # pickled to the workers), so a paired measurement can flip
+        # the boundary format between reads in one session
+        self.use_arrow = os.environ.get("SPARK_GRAFT_ARROW_DS", "1") != "0"
+        # the driver contract's core count; cpu_count is the fallback
+        # for sessions launched without it
+        self.cpus = int(
+            os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)
+        )
 
     def partitions(self):
-        return [_FilePartition(f) for f in _log_files(self.path)]
+        return [
+            _FilePartition(g)
+            for g in _group_files(_log_files(self.path), self.cpus)
+        ]
 
-    def read(self, partition: _FilePartition) -> Iterator[tuple]:
-        with open(partition.file_path) as fh:
-            for line in fh:
-                if line.strip():
-                    yield _parse_line(line)
+    def read(self, partition: _FilePartition) -> Iterator:
+        """Emit the file as ONE pyarrow.RecordBatch instead of
+        row-at-a-time tuples: the Python DataSource contract accepts
+        RecordBatches directly (plan_data_source_read passes them
+        through), so the Python→JVM boundary carries Arrow columns
+        rather than a pickled tuple per event — and the parse itself
+        runs in pyarrow's C++ JSON reader (no per-line json.loads).
+        Values identical to the row path (tests/test_datasource.py
+        pins them; the stream reader still yields _parse_line tuples,
+        and both derive every field from the same raw record the same
+        way). A file outside the canonical writer format (unexpected
+        fields / types) falls back to the per-line tuple path, so the
+        reader stays general. SPARK_GRAFT_ARROW_DS=0 keeps the
+        row-tuple path selectable for paired measurements (same
+        escape-hatch pattern as SPARK_GRAFT_FANOUT)."""
+        for file_path in partition.files:
+            if getattr(self, "use_arrow", True):
+                batch = _parse_file_arrow(file_path)
+                if batch is not None:
+                    if batch.num_rows:
+                        yield batch
+                    continue
+            with open(file_path) as fh:
+                for line in fh:
+                    if line.strip():
+                        yield _parse_line(line)
 
 
 class CDCReplayStreamReader(SimpleDataSourceStreamReader):
@@ -404,12 +623,6 @@ def read_binlog_native(spark, path: str):
 # its routed table (reference op vocabulary: INSERT/UPDATE/DELETE/
 # TRUNCATE, aurora_cdc_datasource_v2.py:61). The rule is expressed on
 # event_id so the DuckDB oracle derives the identical log.
-TRUNCATE_MOD = 251
-TXN_GROUP = 8  # consecutive events per transaction_id
-PROCESSING_LAG_US = 250_000  # deterministic ingest->process latency
-DDL_TABLE = "users_1"
-DDL_COLUMN = "loyalty_tier"
-DDL_STATEMENT = f"ALTER TABLE {DDL_TABLE} ADD COLUMN {DDL_COLUMN} VARCHAR"
 
 
 def write_binlog_from_events(
