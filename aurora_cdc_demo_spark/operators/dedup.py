@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 NGRAM_N = 3
@@ -903,43 +903,139 @@ def lsh_tuning_verified1(
     )
 
 
+def lsh_tuning_pairs(
+    sh: DataFrame, signatures: DataFrame
+) -> DataFrame:
+    """The sweep's ONE pair table (r9, guide §2.1/§3.1): cand(r) ⊆
+    cand(1) by pigeonhole, and band-collision at any row-width r is
+    a pure function of the two signatures — so the whole S-curve
+    needs only the r=1 candidate pairs carrying BOTH signature
+    arrays and the shared exact verdict. Callers _gate_map this;
+    every arm then reduces to conditional sums over one scan
+    (lsh_tuning below) instead of its own posexplode + band-key
+    self-join + DISTINCT shuffle (5 arm joins removed at sf0.1).
+    cand1 is localCheckpointed first — it feeds both the verify
+    join and the pair table (the multiplicative-CTE rule)."""
+    cand1 = lsh_candidates(signatures, band_rows=1).localCheckpoint()
+    ver1 = (
+        _pair_jaccard(sh, pairs=cand1)
+        .where(
+            F.lit(10000) * F.col("inter")
+            >= F.lit(JACCARD_THRESHOLD_BP) * F.col("uni")
+        )
+        .select("doc_a", "doc_b", F.lit(True).alias("v"))
+    )
+    mharr = F.array(*[F.col(f"mh{k}") for k in range(NUM_MINHASH)])
+    siga = signatures.select(
+        F.col("doc_id").alias("doc_a"), mharr.alias("amh")
+    )
+    sigb = signatures.select(
+        F.col("doc_id").alias("doc_b"), mharr.alias("bmh")
+    )
+    return (
+        cand1.join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .join(ver1, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            "amh",
+            "bmh",
+            F.coalesce(F.col("v"), F.lit(False)).alias("verified"),
+        )
+    )
+
+
+def _band_collides(r: int) -> Column:
+    """True iff the pair collides in ≥1 aligned r-row band — the
+    tuple-equality spelling of the md5 band-key equi-join (the
+    '|'-joined decimal encoding is injective, so key equality ⟺
+    tuple equality; parity with the md5-keyed oracle is re-proven
+    by the rows+schema+hash gate at every SF)."""
+    return reduce(
+        lambda a, b: a | b,
+        [
+            reduce(
+                lambda a, b: a & b,
+                [
+                    F.col("amh")[b * r + k] == F.col("bmh")[b * r + k]
+                    for k in range(r)
+                ],
+            )
+            for b in range(NUM_MINHASH // r)
+        ],
+    )
+
+
 def lsh_tuning(
     docs: DataFrame,
     sh: DataFrame | None = None,
     signatures: DataFrame | None = None,
     verified1: DataFrame | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
+    """r9 shape: ONE aggregate over the materialized pair table —
+    per arm, n_candidates = Σ[collides_r], n_verified =
+    Σ[collides_r ∧ verified] (verified ⇒ collides at r=1, and
+    cand(r) ⊆ cand(1) makes the restriction exact). The 5-arm
+    banded self-joins of the previous shape are gone; the report
+    rows unfold from the single aggregate row driver-free."""
     sh = sh if sh is not None else shingles(docs)
     sig = signatures if signatures is not None else minhash_signatures(sh)
-    # verify ONCE on the r=1 superset: cand(r) ⊆ cand(1) by
-    # pigeonhole, so ver(r) = cand(r) ∩ verified1 — each arm joins
-    # its candidates against the shared verdicts instead of
-    # re-running the shingle-join Jaccard per configuration.
-    ver1 = (
-        verified1
-        if verified1 is not None
-        else lsh_tuning_verified1(sh, sig)
-    )
-    summaries = []
-    for r in LSH_TUNING_ROWS:
-        cand = lsh_candidates(sig, band_rows=r)
-        ver = cand.join(ver1, ["doc_a", "doc_b"])
-        summaries.append(
-            cand.agg(F.count(F.lit(1)).alias("n_candidates"))
-            .crossJoin(ver.agg(F.count(F.lit(1)).alias("n_verified")))
+    p = pairs if pairs is not None else lsh_tuning_pairs(sh, sig)
+    if verified1 is not None:
+        # legacy arm kept for callers holding a verdict-only map:
+        # rebuild the pair table against it
+        mharr = F.array(*[F.col(f"mh{k}") for k in range(NUM_MINHASH)])
+        cand1 = lsh_candidates(sig, band_rows=1)
+        p = (
+            cand1.join(
+                sig.select(F.col("doc_id").alias("doc_a"), mharr.alias("amh")),
+                "doc_a",
+            )
+            .join(
+                sig.select(F.col("doc_id").alias("doc_b"), mharr.alias("bmh")),
+                "doc_b",
+            )
+            .join(
+                verified1.select("doc_a", "doc_b", F.lit(True).alias("v")),
+                ["doc_a", "doc_b"],
+                "left",
+            )
             .select(
-                F.lit(r).cast("long").alias("band_rows"),
-                F.lit(NUM_MINHASH // r).cast("long").alias("n_bands"),
-                "n_candidates",
-                "n_verified",
+                "doc_a", "doc_b", "amh", "bmh",
+                F.coalesce(F.col("v"), F.lit(False)).alias("verified"),
             )
         )
-    out = reduce(lambda a, b: a.unionByName(b), summaries)
-    ref = (
-        out.where(F.col("band_rows") == 1)
-        .select(F.col("n_verified").alias("ref_verified"))
+    aggs = []
+    for r in LSH_TUNING_ROWS:
+        coll = _band_collides(r)
+        aggs.append(
+            F.coalesce(
+                F.sum(coll.cast("long")), F.lit(0)
+            ).cast("long").alias(f"c{r}")
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum((coll & F.col("verified")).cast("long")), F.lit(0)
+            ).cast("long").alias(f"v{r}")
+        )
+    one = p.agg(*aggs)
+    arms = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("long").alias("band_rows"),
+                F.lit(NUM_MINHASH // r).cast("long").alias("n_bands"),
+                F.col(f"c{r}").alias("n_candidates"),
+                F.col(f"v{r}").alias("n_verified"),
+            )
+            for r in LSH_TUNING_ROWS
+        ]
     )
-    return out.crossJoin(F.broadcast(ref)).select(
+    out = one.select(
+        F.inline(arms), F.col("v1").alias("ref_verified")
+    )
+    return out.select(
         "band_rows",
         "n_bands",
         "n_candidates",

@@ -3330,13 +3330,14 @@ def q_dedup_lsh_tuning(spark, sf_dir):
     cand(r) ⊆ cand(1), so r=1 is a sound recall denominator and the
     report NEVER computes an all-pairs truth.
 
-    Scale (r6 verdict item 4): the exact verify runs ONCE on the
-    r=1 superset and is _gate_map-materialized; each arm's verified
-    count is a key-join of its (bounded) candidate set against the
-    shared verdict map — the sweep's plan re-derives banding only
-    (|docs|×bands rows per arm over the materialized signatures),
-    never the shingle-join Jaccard. See
-    operators/dedup.py:lsh_tuning.
+    Scale (r6 verdict item 4; re-shaped r9, guide §2.1/§3.1): the
+    r=1 candidate superset is built and exact-verified ONCE into a
+    _gate_map-materialized pair table carrying both signature
+    arrays; every arm is then a pair of conditional sums in ONE
+    aggregate over that table (band-collision at width r is a pure
+    function of the two signatures), so the sweep's plan contains
+    zero per-arm self-joins and never the shingle-join Jaccard. See
+    operators/dedup.py:lsh_tuning_pairs / lsh_tuning.
 
     Scale (r8, the sf10 catch): the r=1 superset is ~quadratic in
     corpus size, but an S-curve is a pair-probability profile — the
@@ -3355,11 +3356,11 @@ def q_dedup_lsh_tuning(spark, sf_dir):
                 f" 1, 8), 16, 10) AS BIGINT), {k}) = 0"
             )
         )
-    v1 = _gate_map(
-        spark, sf_dir, f"lsh_tuning_verified1_k{k}",
-        lambda: _dedup.lsh_tuning_verified1(sh, sig),
+    p = _gate_map(
+        spark, sf_dir, f"lsh_tuning_pairs_k{k}",
+        lambda: _dedup.lsh_tuning_pairs(sh, sig),
     )
-    return _dedup.lsh_tuning(docs, sh=sh, signatures=sig, verified1=v1)
+    return _dedup.lsh_tuning(docs, sh=sh, signatures=sig, pairs=p)
 
 
 @query(

@@ -723,7 +723,7 @@ def test_neighbor_margin_consistent_with_knn(spark, sf_dir):
         for r in QUERIES["ann_neighbor_margin"](spark, sf_dir).collect()
     }
     knn = {}
-    for r in sim.knn_graph(spark, sf_dir).collect():
+    for r in sim.graph_edges(spark, sf_dir).collect():
         knn.setdefault(r["vec_id"], {})[r["nn_rank"]] = r["cos_e6"]
     for v, (c1, c2, m) in margins.items():
         assert m == c1 - c2 >= 0
