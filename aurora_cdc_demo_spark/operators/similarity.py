@@ -2800,6 +2800,59 @@ def recall_report_sql(dialect: str) -> str:
 NPROBE_MAX = 4
 
 
+def kmeans_scored_probe_build_sql(
+    nprobe_max: int = None,
+    cellmap_view: str = "km_cellmap_mat",
+    qdist_view: str = "km_qdist_mat",
+    vv_view: str = "km_vv_mat",
+) -> str:
+    """ONE scored candidate table for the whole nprobe sweep (r9,
+    guide §2.1): the serve chain at nprobe = NPROBE_MAX with each
+    candidate's probe rank kept. A corpus vector lives in exactly
+    one cell (the cellmap is the trained assignment), so candidate
+    (q, v) has a unique probe rank pr = rank of cell(v) among q's
+    probed cells — arm p's candidate set is exactly `pr <= p`, and
+    the sweep's four corpus joins collapse to this one build.
+    Callers _gate_map the result; each arm is then a query-
+    partitioned row_number over the (tiny) materialized table."""
+    nprobe_max = NPROBE_MAX if nprobe_max is None else nprobe_max
+    return f"""
+        SELECT DISTINCT q.query_id, m.vec_id AS neighbor_id, q.pr,
+               ({_dot('c.embedding', 'q.qe', 'spark')})
+                   / (c.nrm * q.qn) AS cos
+        FROM (
+            SELECT qc.query_id, qc.cell, qc.pr, v.embedding AS qe,
+                   v.nrm AS qn
+            FROM (
+                SELECT vec_id AS query_id, cid AS cell, pr FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY vec_id
+                        ORDER BY dist2 ASC, cid ASC) AS pr
+                    FROM {qdist_view}) p
+                WHERE pr <= {nprobe_max}) qc
+            JOIN {vv_view} v ON v.vec_id = qc.query_id) q
+        JOIN {cellmap_view} m ON m.cell = q.cell
+                             AND m.vec_id <> q.query_id
+        JOIN {vv_view} c ON c.vec_id = m.vec_id
+    """
+
+
+def kmeans_multiprobe_from_scored_sql(
+    nprobe: int, scored_view: str = "km_scored_mat"
+) -> str:
+    """Arm p of the sweep served from the materialized scored table:
+    identical rows to kmeans_multiprobe_serve_sql(p) — same candidate
+    set (pr <= p), same rank order (cos DESC, neighbor_id ASC)."""
+    return f"""
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id ASC) AS rnk
+            FROM {scored_view} WHERE pr <= {nprobe}) r
+        WHERE rnk <= {TOPK}
+    """
+
+
 def nprobe_curve_sql(dialect: str) -> str:
     arms = ",\n".join(
         f"mp{p} AS ({kmeans_multiprobe_sql(dialect, nprobe=p)})"

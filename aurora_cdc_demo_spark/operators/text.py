@@ -55,6 +55,23 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def quality_bp_col() -> F.Column:
+    """The composite quality as a ROW-LOCAL column over `text` —
+    the single scoring definition quality_score emits and the
+    streaming admission gate applies inline (no score-table
+    join-back inside a micro-batch; guide §2.1)."""
+    n = "CAST(size(split(text, ' ')) AS BIGINT)"
+    stop = (
+        "CAST(size(filter(split(text, ' '), "
+        "x -> array_contains(array('the','a','of','and'), x))) AS BIGINT)"
+    )
+    uniq = "CAST(size(array_distinct(split(text, ' '))) AS BIGINT)"
+    return F.expr(
+        f"(300000 * {uniq} + 300000 * ({n} - {stop})"
+        f" + 4000 * {n} * least({n}, 100)) div (100 * {n})"
+    )
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Ratios and the composite quality are emitted as floor-scaled
     basis points (integer-exact cross-engine; see token_stats note).
@@ -79,10 +96,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
         F.expr(f"(10000 * {stop}) div {n}").alias("stopword_bp"),
         F.expr(f"(10000 * {uniq}) div {n}").alias("unique_bp"),
         F.expr(f"100 * least({n}, 100)").alias("length_bp"),
-        F.expr(
-            f"(300000 * {uniq} + 300000 * ({n} - {stop})"
-            f" + 4000 * {n} * least({n}, 100)) div (100 * {n})"
-        ).alias("quality_bp"),
+        quality_bp_col().alias("quality_bp"),
     )
 
 

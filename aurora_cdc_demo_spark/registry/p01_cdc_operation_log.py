@@ -450,6 +450,10 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 @query("dedup_simhash", oracle=_dedup.SIMHASH_SQL)
 def q_dedup_simhash(spark, sf_dir):
+    # r9 measured (guide §1): fanout_scan LOSES here (1.94 s →
+    # 2.21 s interleaved A/B at sf0.1) — the vote chain's cost sits
+    # after the (doc_id, t) aggregate exchange, not in the scan-side
+    # explode. Plain scan kept.
     return _dedup.simhash_pairs(load_table(spark, sf_dir, "documents"))
 
 
@@ -2609,15 +2613,26 @@ def q_dedup_ngram_coverage(spark, sf_dir):
     on both sides (co-partitioned after the agg), then one doc_id
     agg. Everything is linear in corpus gram count; nothing is
     all-pairs and no side is collected or broadcast (gram vocabulary
-    grows with the corpus)."""
+    grows with the corpus).
+
+    r9 (guide §1.2/§2.4): the gram table is MATERIALIZED once over a
+    fanned-out scan — the plan referenced the explode subtree three
+    times (df, totals, hits), re-tokenizing the corpus per reference
+    from a one-row-group scan that planned a single task. One
+    explode, localCheckpointed, feeds all three consumers."""
+    from ..tables import fanout_scan
+
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     grams = F.expr(
         f"transform(sequence(1, size(split(text, ' ')) - {_NGC_N - 1}), "
         f"i -> concat_ws(' ', slice(split(text, ' '), i, {_NGC_N})))"
     )
-    g = docs.where(F.size(toks) >= _NGC_N).select(
-        "doc_id", F.explode(grams).alias("g")
+    g = (
+        fanout_scan(spark, docs)
+        .where(F.size(toks) >= _NGC_N)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .localCheckpoint()
     )
     dup_grams = (
         g.distinct()

@@ -3610,19 +3610,25 @@ def q_ann_nprobe_curve(spark, sf_dir):
     (FAISS practice), quantifying the monotone-recall law pytest
     pins qualitatively.
 
-    Scale (r6 verdict item 4): every arm SERVES from the
-    _gate_map-materialized trained index (_km_index: cell map,
-    query-distance table, cosine side table — built once per
-    session) via kmeans_multiprobe_serve_sql, and the exact arm
-    reads the shared ann_exact_mat view; the sweep plan contains
-    view reads + |probes| cell-joins, zero Lloyd re-derivations.
-    The oracle composes the full chain per arm (small-scale truth)
-    and the hash match proves the served views identical."""
+    Scale (r6 verdict item 4; re-staged r9, guide §2.1): the arms
+    serve from ONE _gate_map-materialized scored candidate table —
+    the serve chain at nprobe=NPROBE_MAX with each candidate's
+    probe rank kept (a vector lives in exactly one trained cell, so
+    arm p's candidate set is exactly pr <= p). The sweep plan is
+    |probes| query-partitioned windows over that tiny table: one
+    corpus join total where r8 ran one per arm, zero Lloyd
+    re-derivations. The oracle composes the full chain per arm
+    (small-scale truth) and the hash match proves the served
+    views identical."""
     _km_index(spark, sf_dir)
     _ann_exact_mat(spark, sf_dir)
+    _gate_map(
+        spark, sf_dir, "km_scored_probe_max",
+        lambda: spark.sql(_sim.kmeans_scored_probe_build_sql()),
+    ).createOrReplaceTempView("km_scored_mat")
     probes = range(1, _sim.NPROBE_MAX + 1)
     arms = ",\n".join(
-        f"mp{p} AS ({_sim.kmeans_multiprobe_serve_sql(p)})"
+        f"mp{p} AS ({_sim.kmeans_multiprobe_from_scored_sql(p)})"
         for p in probes
     )
     union = "\nUNION ALL ".join(

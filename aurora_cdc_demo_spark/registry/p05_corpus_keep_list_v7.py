@@ -484,7 +484,11 @@ def q_mm_cdc_chunk_dedup(spark, sf_dir):
     embarrassingly parallel because cuts are content-local (no
     min/max-size chaining in this variant). The chunk table shuffles
     once on chunk_md5 — the same shape as every hash-dedup in the
-    family."""
+    family. (r9 measured, guide §1: fanning the scan out LOSES here
+    — 1.13 s → 1.38 s interleaved A/B at sf0.1 — the per-char
+    explode pipelines into the doc_id window exchange anyway, and
+    the extra repartition of the full text column costs more than
+    the map parallelism buys. Left on the plain scan.)"""
     ensure_utc(spark)
     load_table(spark, sf_dir, "documents").createOrReplaceTempView(
         "documents"

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.text import quality_score
+from ..operators.text import quality_bp_col
 
 KEEP_QUALITY_BP = 5000
 
@@ -118,13 +118,11 @@ class CurationStore:
             )
         else:
             fresh = batch_canonical
-        # quality floor (row-local, codegen)
-        q = quality_score(fresh).select("doc_id", "quality_bp")
-        kept = (
-            fresh.join(q, "doc_id")
-            .where(F.col("quality_bp") >= self.quality_bp)
-            .drop("quality_bp")
-        )
+        # quality floor applied INLINE (row-local, codegen): the
+        # score is a pure function of `text`, so gating is a filter
+        # on the batch itself — no score-table join-back shuffle
+        # (guide §2.1; same scoring definition as quality_score)
+        kept = fresh.where(quality_bp_col() >= F.lit(self.quality_bp))
         if self.model_gate:
             from ..operators.classifier import clf_score_df
 
@@ -133,9 +131,12 @@ class CurationStore:
             ok = clf_score_df(kept).where("keep_flag = 1").select("doc_id")
             kept = kept.join(ok, "doc_id")
         merged = kept if state is None else state.unionByName(kept)
-        # localCheckpoint cuts lineage before the overwrite (the new
-        # state must not lazily re-read the dir it replaces)
-        self._commit(merged.localCheckpoint(), batch_id)
+        # no localCheckpoint: _commit writes to a STAGING dir, so the
+        # lazy read of the current state dir completes during that
+        # write and nothing re-reads `merged` after the swap — the
+        # same discipline ParquetStateStore uses (one full state
+        # materialization per batch removed)
+        self._commit(merged, batch_id)
 
     def start(self, stream: DataFrame, checkpoint_dir: str):
         return (
@@ -224,7 +225,9 @@ class LineDedupStore:
             ((F.col("_rn") == 1) & F.col("_seen").isNull()).alias("keep"),
         )
         merged = scored if state is None else state.unionByName(scored)
-        self._commit(merged.localCheckpoint(), batch_id)
+        # staging-dir write → no lineage hazard, no checkpoint needed
+        # (see CurationStore.apply_batch)
+        self._commit(merged, batch_id)
 
     def start(self, stream: DataFrame, checkpoint_dir: str):
         return (
