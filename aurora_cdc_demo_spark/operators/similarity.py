@@ -1803,11 +1803,35 @@ def vnorm_sql(dialect: str = "spark") -> str:
 
 
 def pq_codes_build_sql(v_table: str) -> str:
-    """Index build: PQ codes from the materialized vnorm view."""
-    cols = ", ".join(f"c{s}" for s in range(PQ_M))
+    """Index build: PQ codes from the materialized vnorm view.
+
+    r9 (guide §2.2): the per-subspace argmin runs as
+    min(struct(d_s, cw)) in ONE hash aggregate with map-side
+    partial aggregation — the dual-dialect chain's eight
+    row_number windows were eight corpus×PQ_K sorts behind one
+    exchange. struct comparison is lexicographic (d ASC, cw ASC),
+    exactly each window's order key, so the winners are identical;
+    the composed DuckDB oracle keeps the window chain and the
+    driver's rows+schema+hash gate pins the equality."""
+    dists = ",\n                   ".join(
+        f"{_sub_fold('v.e', 'cb.ce', s, 'spark', 'l2')} AS d{s}"
+        for s in range(PQ_M)
+    )
+    code_cols = ",\n                   ".join(
+        f"CAST(min(struct(d{s}, cw)).cw AS BIGINT) AS c{s}"
+        for s in range(PQ_M)
+    )
     return f"""
-        WITH {_pq_code_chain(v_table, 'spark')}
-        SELECT vec_id, {cols} FROM codes
+        WITH cb AS (
+            SELECT vec_id AS cw, e AS ce FROM {v_table}
+            WHERE vec_id < {PQ_K})
+        , dist AS (
+            SELECT v.vec_id, cb.cw,
+                   {dists}
+            FROM {v_table} v CROSS JOIN cb)
+        SELECT vec_id,
+               {code_cols}
+        FROM dist GROUP BY vec_id
     """
 
 
@@ -3649,7 +3673,23 @@ def ivfpq_residual_topk_sql(dialect: str) -> str:
 
 
 def ivfpq_assign_build_sql(v_table: str) -> str:
-    return _ivfpq_assign_select(v_table, "spark")
+    """r9 (guide §2.2): coarse argmax-dot assignment as
+    min(struct(-dot, cell, e)) — one hash aggregate with map-side
+    partials (shuffle: one pre-reduced row per vector instead of
+    the corpus×N_SEEDS window sort). Negation is order-reversing,
+    so (-dot ASC, cell ASC) is exactly the window's
+    (dot DESC, cell ASC); e rides in the struct (functionally
+    dependent on vec_id — the comparator never reaches it because
+    cell differs first). Oracle keeps the window form."""
+    return f"""SELECT vec_id, m.e AS e, m.cell AS cell FROM (
+                SELECT v.vec_id,
+                       min(struct(
+                           -({_dot('v.e', 's.se', 'spark')}) AS nd,
+                           s.cell AS cell, v.e AS e)) AS m
+                FROM {v_table} v CROSS JOIN (
+                    SELECT vec_id AS cell, e AS se FROM {v_table}
+                    WHERE vec_id < {N_SEEDS}) s
+                GROUP BY v.vec_id) a"""
 
 
 def ivfpq_cents_build_sql(assign_table: str) -> str:
@@ -3662,11 +3702,32 @@ def ivfpq_rcb_build_sql(assign_table: str, cents_table: str) -> str:
 
 def ivfpq_codes_build_sql(assign_table: str, cents_table: str,
                           rcb_table: str) -> str:
-    cols = ", ".join(f"c{s}" for s in range(PQ_M))
+    """r9 (guide §2.2): same min-struct argmin as
+    pq_codes_build_sql — the eight residual-subspace row_number
+    windows (eight corpus×PQ_K sorts) become conditional
+    min(struct(d_s, cw)) aggregates in one map-side-combined pass.
+    Oracle keeps the window chain; hash gate pins equality."""
+    dists = ",\n                   ".join(
+        f"{_sub_fold('r.r', 'rcb.rce', s, 'spark', 'l2')} AS d{s}"
+        for s in range(PQ_M)
+    )
+    code_cols = ",\n                   ".join(
+        f"CAST(min(struct(d{s}, cw)).cw AS BIGINT) AS c{s}"
+        for s in range(PQ_M)
+    )
     return f"""
-        WITH {_ivfpq_codes_ctes(assign_table, cents_table,
-                                rcb_table, 'spark')}
-        SELECT vec_id, cell, {cols} FROM codes
+        WITH resid AS (
+            SELECT a.vec_id, a.cell,
+                   {_vec_sub('a.e', 'c.ce', 'spark')} AS r
+            FROM {assign_table} a
+            JOIN {cents_table} c ON c.cell = a.cell)
+        , dist AS (
+            SELECT r.vec_id, r.cell, rcb.cw,
+                   {dists}
+            FROM resid r CROSS JOIN {rcb_table} rcb)
+        SELECT vec_id, MAX(cell) AS cell,
+               {code_cols}
+        FROM dist GROUP BY vec_id
     """
 
 

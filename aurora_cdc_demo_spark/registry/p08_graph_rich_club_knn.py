@@ -2333,14 +2333,14 @@ def q_ann_int8_gemm_topk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _ppjoin_body(dialect: str, tbp: int) -> str:
-    """Prefix-filter join body over an `sh` (doc_id, s) relation
-    with `sc` counts: global token order = (df ASC, s ASC); a doc
-    of size c indexes its first c - ceil(tau*c) + 1 tokens; J >= tau
-    forces overlap >= ceil(tau*c) on BOTH sides, so by pigeonhole
-    every qualifying pair collides inside both prefixes — EXACT
-    recall, no bands, no hashes. Length filter: tau*|x| <= |y| and
-    tau*|y| <= |x| pruned inside the join."""
+def _ppjoin_head(dialect: str, tbp: int) -> str:
+    """Prefix-filter candidate head over an `sh` (doc_id, s)
+    relation with `sc` counts: global token order = (df ASC, s ASC);
+    a doc of size c indexes its first c - ceil(tau*c) + 1 tokens;
+    J >= tau forces overlap >= ceil(tau*c) on BOTH sides, so by
+    pigeonhole every qualifying pair collides inside both prefixes —
+    EXACT recall, no bands, no hashes. Length filter: tau*|x| <= |y|
+    and tau*|y| <= |x| pruned inside the join."""
     div = "div" if dialect == "spark" else "//"
     mat = "" if dialect == "spark" else "MATERIALIZED "
     return f"""
@@ -2364,7 +2364,14 @@ def _ppjoin_body(dialect: str, tbp: int) -> str:
             JOIN prefix b
               ON a.s = b.s AND a.doc_id < b.doc_id
              AND 10000 * b.c >= {tbp} * a.c
-             AND 10000 * a.c >= {tbp} * b.c)
+             AND 10000 * a.c >= {tbp} * b.c)"""
+
+
+def _ppjoin_body(dialect: str, tbp: int) -> str:
+    """Candidate head + posting-intersection verify tail (the
+    dual-dialect form the DuckDB oracle composes)."""
+    div = "div" if dialect == "spark" else "//"
+    return f"""{_ppjoin_head(dialect, tbp)}
         , ints AS (
             SELECT x.doc_a, x.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
             FROM cand x
@@ -2379,6 +2386,34 @@ def _ppjoin_body(dialect: str, tbp: int) -> str:
         JOIN sc x ON x.doc_id = i.doc_a
         JOIN sc y ON y.doc_id = i.doc_b
         WHERE 10000 * i.inter >= {tbp} * (x.c + y.c - i.inter)
+    """
+
+
+def _ppjoin_body_spark_arrays(tbp: int) -> str:
+    """Spark-side verify tail over per-doc shingle ARRAYS (r9,
+    guide §3.4): the posting-intersection `ints` join expanded every
+    candidate pair to Σ|x| shingle rows and shuffled the shingle
+    table twice; shingles are DISTINCT per doc (set semantics), so
+    |x∩y| = size(array_intersect(xa, xb)) computed row-locally on a
+    doc-keyed pair join against the `sharr` (doc_id, arr, c) view —
+    two bounded joins, zero exploded intermediate. Same candidates,
+    same integers; the oracle keeps the posting-join tail and the
+    hash gate pins the equality."""
+    return f"""{_ppjoin_head('spark', tbp)}
+        , ints AS (
+            SELECT x.doc_a, x.doc_b,
+                   CAST(size(array_intersect(pa.arr, pb.arr))
+                        AS BIGINT) AS inter,
+                   pa.c AS ca, pb.c AS cb
+            FROM cand x
+            JOIN sharr pa ON pa.doc_id = x.doc_a
+            JOIN sharr pb ON pb.doc_id = x.doc_b)
+        SELECT doc_a, doc_b,
+               CAST((10000 * inter) div
+                    CAST(ca + cb - inter AS BIGINT) AS BIGINT)
+                   AS jaccard_bp
+        FROM ints
+        WHERE 10000 * inter >= {tbp} * (ca + cb - inter)
     """
 
 
@@ -2409,10 +2444,12 @@ def q_dedup_ppjoin_exact(spark, sf_dir):
     Scale: shingles/counts come from the shared `text_shingles`
     gate map; the rank is one doc-partitioned window; prefix index
     ~ half the shingle mass at tau=0.5 and shrinks as tau rises;
-    verification is posting intersection on candidates only — the
-    all-pairs join exists nowhere in the plan. The standard choice
-    when a pipeline needs exact-recall dedup (legal/contractual
-    dedup guarantees) at sub-LSH candidate volumes."""
+    verification (r9, guide §3.4) is a row-local
+    array_intersect over the per-doc shingle-array view — the
+    posting-expansion intermediate and the all-pairs join exist
+    nowhere in the plan. The standard choice when a pipeline needs
+    exact-recall dedup (legal/contractual dedup guarantees) at
+    sub-LSH candidate volumes."""
     ensure_utc(spark)
     docs = load_table(spark, sf_dir, "documents")
     sh = _gate_map(
@@ -2423,9 +2460,16 @@ def q_dedup_ppjoin_exact(spark, sf_dir):
     sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     ).createOrReplaceTempView("sc")
+    _gate_map(
+        spark, sf_dir, "text_shingle_arrays",
+        lambda: sh.groupBy("doc_id").agg(
+            F.collect_list("s").alias("arr"),
+            F.count(F.lit(1)).cast("long").alias("c"),
+        ),
+    ).createOrReplaceTempView("sharr")
     return spark.sql(
         "WITH _noop AS (SELECT 1)"
-        + _ppjoin_body("spark", _dedup.JACCARD_THRESHOLD_BP)
+        + _ppjoin_body_spark_arrays(_dedup.JACCARD_THRESHOLD_BP)
     )
 
 
