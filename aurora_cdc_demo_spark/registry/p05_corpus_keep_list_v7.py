@@ -2959,16 +2959,18 @@ def q_customer_segment_migration(spark, sf_dir):
     behind retention planning: champion→hibernating flow is the
     churn alarm, absent→champion the acquisition win.
 
-    Scale: two map-side-combined fact→customer aggregates (each
-    reads its half-partition once — the date predicate prunes
-    partitions in a date-partitioned landing layout), then each
-    half's three ranks run band-prefix decomposed (_rfm_ranked:
-    bucket-partitioned windows + bounded bucket-prefix self-joins —
-    ZERO unpartitioned windows where the old shape had six; r6
-    verdict item 3, plan-pinned in tests/test_plans.py), and a
-    customer-keyed full outer join; the matrix is ≤ 7×7. The oracle
-    keeps the six global windows — hash match proves the
-    decomposition exact."""
+    Scale: ONE map-side-combined fact→customer aggregate computes
+    BOTH halves' (recency, frequency, monetary) as conditional
+    aggregates over a single orders scan (r9, guide §2.1 — the
+    previous shape scanned and shuffled the fact table once per
+    half), materialized once since both tier chains read it; each
+    half's three ranks then run band-prefix decomposed
+    (_rfm_ranked: bucket-partitioned windows + bounded
+    bucket-prefix self-joins — ZERO unpartitioned windows where the
+    old shape had six; r6 verdict item 3, plan-pinned in
+    tests/test_plans.py), and a customer-keyed full outer join; the
+    matrix is ≤ 7×7. The oracle keeps the two-scan six-global-window
+    form — hash match proves the decomposition exact."""
     ensure_utc(spark)
     orders = load_table(spark, sf_dir, "orders")
     us = F.expr("unix_micros(o_orderdate)")
@@ -2976,9 +2978,38 @@ def q_customer_segment_migration(spark, sf_dir):
         F.expr("mn + (mx - mn) div 2").alias("c")
     )
     half = orders.crossJoin(F.broadcast(cut))
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
 
-    def _tiers(pred):
-        m = _rfm_customer_agg(half.where(pred))
+    def _half_cols(pred, tag):
+        return [
+            F.max(F.when(pred, F.col("o_orderdate"))).alias(f"lo{tag}"),
+            F.sum(F.when(pred, 1).otherwise(0))
+            .cast("long")
+            .alias(f"no{tag}"),
+            F.sum(F.when(pred, cents)).cast("long").alias(f"sp{tag}"),
+        ]
+
+    both = (
+        half.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            *_half_cols(us < F.col("c"), "1"),
+            *_half_cols(us >= F.col("c"), "2"),
+        )
+        .localCheckpoint()  # both tier chains read it
+    )
+
+    def _half_m(tag):
+        # customers absent from a half (no orders there) are absent
+        # from that half's RFM table — identical to the per-half
+        # aggregate over a filtered scan
+        return both.where(F.col(f"no{tag}") > 0).select(
+            "custkey",
+            F.col(f"lo{tag}").alias("last_order"),
+            F.col(f"no{tag}").alias("n_orders"),
+            F.col(f"sp{tag}").alias("spend_e2"),
+        )
+
+    def _tiers(m):
         ranked = _rfm_ranked(m)
         n = ranked.agg(F.count(F.lit(1)).cast("long").alias("nc"))
         scored = ranked.crossJoin(F.broadcast(n)).select(
@@ -3002,10 +3033,10 @@ def q_customer_segment_migration(spark, sf_dir):
             .alias("tier"),
         )
 
-    s1 = _tiers(us < F.col("c")).select(
+    s1 = _tiers(_half_m("1")).select(
         F.col("custkey").alias("ck1"), F.col("tier").alias("t1")
     )
-    s2 = _tiers(us >= F.col("c")).select(
+    s2 = _tiers(_half_m("2")).select(
         F.col("custkey").alias("ck2"), F.col("tier").alias("t2")
     )
     joined = s1.join(s2, F.col("ck1") == F.col("ck2"), "full_outer").select(
