@@ -410,9 +410,14 @@ def _text_minhash_mats(spark, sf_dir):
     tuning sweep, containment, and the cluster labeler — each
     previously re-derived both from parquet inside its own plan."""
     docs = load_table(spark, sf_dir, "documents")
+    from ..tables import fanout_scan
+
+    # r9 (guide §2.4): the shingle explode (n zip_with array copies
+    # per doc + per-occurrence md5 downstream) is a compute-dense map
+    # over a one-row-group scan — fan it out (no-op at real scale)
     sh = _gate_map(
         spark, sf_dir, "text_shingles",
-        lambda: _dedup.shingles(docs),
+        lambda: _dedup.shingles(fanout_scan(spark, docs)),
     )
     sig = _gate_map(
         spark, sf_dir, "text_mh_sigs",
