@@ -12,6 +12,13 @@ from aurora_cdc_demo_spark.tables import TABLES
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     con.execute("SET temp_directory='/tmp/duck_spill'")
+    # Explicit cap + spill dir (the tools/check_oracle.py fix): the
+    # default 80%-of-RAM limit is probed at CONNECT time, and a
+    # fuller host mid-suite (Spark JVM + test session resident)
+    # turns the heavy inlined oracles into 'Failed to allocate
+    # block' bad_allocs instead of deterministic spills — observed
+    # as a flaky ann_recall_report parity OOM in a full run.
+    con.execute("SET memory_limit='24GB'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con
