@@ -273,6 +273,52 @@ def minhash_lsh_pairs(
     )
 
 
+def lsh_verified_pairs_arrays(
+    cand: DataFrame, sharr: DataFrame,
+    threshold_bp: int = JACCARD_THRESHOLD_BP,
+) -> DataFrame:
+    """Exact-Jaccard verify of candidate pairs via the per-doc
+    DISTINCT shingle-array view (r10, guide §3.4 — the same tail
+    dedup_ppjoin_exact adopted in r9): shingles are a SET per doc,
+    so |x∩y| = size(array_intersect) computed row-locally on a
+    doc-keyed pair join; |x∪y| = ca + cb − inter. Replaces the
+    postings-expansion verify (_pair_jaccard over candidates): two
+    bounded doc-keyed joins instead of the Σ|x| exploded
+    shingle-equality join + group-count + two count joins + the
+    candidate re-join. Pairs with inter = 0 fall below any positive
+    threshold in both tails, so the emitted rows are identical."""
+    pa = sharr.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("arr").alias("arr_a"),
+        F.col("c").alias("ca"),
+    )
+    pb = sharr.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("arr").alias("arr_b"),
+        F.col("c").alias("cb"),
+    )
+    j = (
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "CAST(size(array_intersect(arr_a, arr_b)) AS BIGINT)"
+            ).alias("inter"),
+            (F.col("ca") + F.col("cb")).cast("long").alias("sumc"),
+        )
+    )
+    return j.where(
+        F.lit(10000) * F.col("inter")
+        >= F.lit(threshold_bp) * (F.col("sumc") - F.col("inter"))
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.expr("(10000 * inter) div (sumc - inter)").alias("jaccard_bp"),
+    )
+
+
 def _minhash_sql_cols() -> str:
     return ", ".join(
         f"min((a + {k} * b) % 4294967296) AS mh{k}" for k in range(NUM_MINHASH)
@@ -325,6 +371,7 @@ def minhash_estimate(
     docs: DataFrame,
     sh: DataFrame | None = None,
     signatures: DataFrame | None = None,
+    sharr: DataFrame | None = None,
 ) -> DataFrame:
     """Sketch calibration: for every LSH candidate pair, the
     MinHash-ESTIMATED Jaccard (matching minhashes / NUM_MINHASH)
@@ -358,6 +405,47 @@ def minhash_estimate(
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", matches.cast("long").alias("matches"))
     )
+    if sharr is not None:
+        # r10 (guide §3.4): exact side via row-local array_intersect
+        # on the shared per-doc shingle-array view — the postings-
+        # expansion subtree, its count joins and the left join all
+        # drop out; inter = 0 pairs yield uni = ca + cb, exactly the
+        # coalesce below.
+        pa = sharr.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("arr").alias("arr_a"),
+            F.col("c").alias("ca2"),
+        )
+        pb = sharr.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("arr").alias("arr_b"),
+            F.col("c").alias("cb2"),
+        )
+        j = (
+            m.join(pa, "doc_a")
+            .join(pb, "doc_b")
+            .withColumn(
+                "inter0",
+                F.expr(
+                    "CAST(size(array_intersect(arr_a, arr_b)) AS BIGINT)"
+                ),
+            )
+            .withColumn(
+                "uni0",
+                (F.col("ca2") + F.col("cb2") - F.col("inter0")).cast(
+                    "long"
+                ),
+            )
+        )
+        return j.select(
+            "doc_a",
+            "doc_b",
+            "matches",
+            F.expr(f"(10000 * matches) div {NUM_MINHASH}").alias(
+                "est_jaccard_bp"
+            ),
+            F.expr("(10000 * inter0) div uni0").alias("exact_jaccard_bp"),
+        )
     ex = _pair_jaccard(sh, pairs=cand).select("doc_a", "doc_b", "inter", "uni")
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("c").alias("ca"))
@@ -904,7 +992,7 @@ def lsh_tuning_verified1(
 
 
 def lsh_tuning_pairs(
-    sh: DataFrame, signatures: DataFrame
+    sh: DataFrame, signatures: DataFrame, sharr: DataFrame | None = None,
 ) -> DataFrame:
     """The sweep's ONE pair table (r9, guide §2.1/§3.1): cand(r) ⊆
     cand(1) by pigeonhole, and band-collision at any row-width r is
@@ -914,8 +1002,57 @@ def lsh_tuning_pairs(
     every arm then reduces to conditional sums over one scan
     (lsh_tuning below) instead of its own posexplode + band-key
     self-join + DISTINCT shuffle (5 arm joins removed at sf0.1).
-    cand1 is localCheckpointed first — it feeds both the verify
-    join and the pair table (the multiplicative-CTE rule)."""
+
+    With ``sharr`` (the per-doc DISTINCT shingle-array view, r10,
+    guide §3.4) the exact verdict is size(array_intersect) computed
+    row-locally on the same doc-keyed joins that attach the
+    signatures — the postings-expansion verify subtree, its two
+    count joins, the verdict left-join AND cand1's localCheckpoint
+    (cand1 is then referenced once) all drop out of the build.
+    Without it, the r9 postings tail is kept (cand1 feeds both the
+    verify join and the pair table — the multiplicative-CTE rule)."""
+    mharr = F.array(*[F.col(f"mh{k}") for k in range(NUM_MINHASH)])
+    siga = signatures.select(
+        F.col("doc_id").alias("doc_a"), mharr.alias("amh")
+    )
+    sigb = signatures.select(
+        F.col("doc_id").alias("doc_b"), mharr.alias("bmh")
+    )
+    if sharr is not None:
+        cand1 = lsh_candidates(signatures, band_rows=1)
+        pa = sharr.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("arr").alias("arr_a"),
+            F.col("c").alias("ca"),
+        )
+        pb = sharr.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("arr").alias("arr_b"),
+            F.col("c").alias("cb"),
+        )
+        return (
+            cand1.join(siga, "doc_a")
+            .join(sigb, "doc_b")
+            .join(pa, "doc_a")
+            .join(pb, "doc_b")
+            .withColumn(
+                "inter",
+                F.expr(
+                    "CAST(size(array_intersect(arr_a, arr_b)) AS BIGINT)"
+                ),
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                "amh",
+                "bmh",
+                (
+                    F.lit(10000) * F.col("inter")
+                    >= F.lit(JACCARD_THRESHOLD_BP)
+                    * (F.col("ca") + F.col("cb") - F.col("inter"))
+                ).alias("verified"),
+            )
+        )
     cand1 = lsh_candidates(signatures, band_rows=1).localCheckpoint()
     ver1 = (
         _pair_jaccard(sh, pairs=cand1)
@@ -924,13 +1061,6 @@ def lsh_tuning_pairs(
             >= F.lit(JACCARD_THRESHOLD_BP) * F.col("uni")
         )
         .select("doc_a", "doc_b", F.lit(True).alias("v"))
-    )
-    mharr = F.array(*[F.col(f"mh{k}") for k in range(NUM_MINHASH)])
-    siga = signatures.select(
-        F.col("doc_id").alias("doc_a"), mharr.alias("amh")
-    )
-    sigb = signatures.select(
-        F.col("doc_id").alias("doc_b"), mharr.alias("bmh")
     )
     return (
         cand1.join(siga, "doc_a")

@@ -781,6 +781,71 @@ def semdedup_sql(dialect: str, n_seeds: int | None = None) -> str:
     """
 
 
+def sem_cells_build_sql(n_seeds: int | None = None) -> str:
+    """Spark-only staged seed-nearest cell assignment (r10, guide
+    §2.2 — the ivfpq_assign_build_sql idiom): the corpus×N_SEEDS
+    row_number window (an O(n·s log s) sort behind one exchange)
+    becomes min(struct(-cos, seed_id, embedding, nrm)) — a
+    SortAggregate with MAP-SIDE partials (struct buffers are not
+    hash-agg-mutable); the exchange carries one pre-reduced row per
+    vector instead of corpus×N_SEEDS rows. Negation is
+    order-reversing, so
+    (-cos ASC, seed_id ASC) is exactly the window's
+    (cos DESC, seed_id ASC); embedding/nrm ride in the struct
+    (functionally dependent on vec_id — the comparator never
+    reaches them because seed_id differs first). The oracle keeps
+    the single-statement window form (semdedup_sql); the
+    rows+schema+hash gate pins equality."""
+    return f"""
+        WITH v AS (
+            SELECT vec_id, embedding, {_norm('embedding', 'spark')} AS nrm
+            FROM embeddings)
+        , seeds AS (
+            SELECT vec_id AS seed_id, embedding AS se, nrm AS snrm
+            FROM v WHERE {_seed_pred(n_seeds)})
+        SELECT vec_id, m.cell AS cell, m.embedding AS embedding,
+               m.nrm AS nrm
+        FROM (
+            SELECT v.vec_id,
+                   min(struct(
+                       -(({_dot('v.embedding', 's.se', 'spark')})
+                         / (v.nrm * s.snrm)) AS nc,
+                       s.seed_id AS cell,
+                       v.embedding AS embedding, v.nrm AS nrm)) AS m
+            FROM v CROSS JOIN seeds s
+            GROUP BY v.vec_id) a
+    """
+
+
+def sem_bmax_build_sql(cells_view: str) -> str:
+    """Per-vector max within-cell lower-id-mate cosine — the ONE
+    pairwise pass both semdedup verdicts and the whole tau sweep
+    reduce over (r10, guide §2.1): dropped-at-tau ⟺ maxcos >= tau
+    for every tau, so the sweep's five arms and the keep verdict
+    are conditional aggregates over this table instead of five
+    re-derived cell self-joins. MAX over doubles is exact (no
+    summation), so the verdict is bit-identical to the oracle's
+    EXISTS(cos >= tau) form."""
+    return f"""
+        SELECT b.vec_id AS b_id,
+               MAX(({_dot('a.embedding', 'b.embedding', 'spark')})
+                   / (a.nrm * b.nrm)) AS maxcos
+        FROM {cells_view} a JOIN {cells_view} b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        GROUP BY b.vec_id
+    """
+
+
+def semdedup_from_mats_sql(cells_view: str, bmax_view: str) -> str:
+    """SemDeDup verdict served from the two materialized tables."""
+    return f"""
+        SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
+               CAST(CASE WHEN m.maxcos >= {SEMDEDUP_TAU}
+                         THEN 0 ELSE 1 END AS BIGINT) AS keep
+        FROM {cells_view} c LEFT JOIN {bmax_view} m ON c.vec_id = m.b_id
+    """
+
+
 def quantize_sql(dialect: str) -> str:
     """Int8 scalar quantization of the embedding column (the storage
     / ANN-memory compression step): per-dimension [min, max] over the
@@ -3052,6 +3117,36 @@ def semdedup_tau_sweep_sql(
 
 def semdedup_tau_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, semdedup_tau_sweep_sql("spark"))
+
+
+def semdedup_tau_sweep_from_mats_sql(
+    cells_view: str, bmax_view: str
+) -> str:
+    """The tau sweep served from the SAME materialized cell/bmax
+    tables the semdedup verdict reads (r10, guide §2.1): dropped at
+    tau ⟺ maxcos >= tau, so all five arms are conditional counts
+    over one bounded scan — the sweep's own copy of the
+    cells→pairc→bmax chain exists nowhere in the plan. The oracle
+    keeps the single-statement form."""
+    idiv = "div"
+    cols = ", ".join(
+        f"CAST(COUNT(CASE WHEN maxcos >= {t} THEN 1 END) "
+        f"AS BIGINT) AS d{int(float(t) * 100)}"
+        for t in SEMDEDUP_TAUS
+    )
+    arms = " UNION ALL ".join(
+        f"""SELECT CAST({int(float(t) * 100)} AS BIGINT) AS tau_e2,
+               a.d{int(float(t) * 100)} AS n_dropped,
+               n.n - a.d{int(float(t) * 100)} AS n_kept,
+               (10000 * a.d{int(float(t) * 100)}) {idiv} n.n AS drop_bp
+            FROM agg a CROSS JOIN nn n"""
+        for t in SEMDEDUP_TAUS
+    )
+    return f"""
+        WITH agg AS (SELECT {cols} FROM {bmax_view})
+        , nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {cells_view})
+        SELECT * FROM ({arms}) t
+    """
 
 
 # ---------------------------------------------------------------------------

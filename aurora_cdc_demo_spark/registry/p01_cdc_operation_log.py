@@ -6,6 +6,7 @@ gate). Column names/types are aligned on both sides.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -444,13 +445,41 @@ def q_dedup_minhash_estimate(spark, sf_dir):
     a dedup deployment whether k=12 sketches suffice at its
     threshold; see operators/dedup.py:minhash_estimate."""
     docs, sh, sig = _text_minhash_mats(spark, sf_dir)
-    return _dedup.minhash_estimate(docs, sh=sh, signatures=sig)
+    if os.environ.get("SPARK_GRAFT_MINHASH_VERIFY", "arrays") == "postings":
+        return _dedup.minhash_estimate(docs, sh=sh, signatures=sig)
+    return _dedup.minhash_estimate(
+        docs, sh=sh, signatures=sig,
+        sharr=_shingle_arrays_map(spark, sf_dir, sh),
+    )
+
+
+def _shingle_arrays_map(spark, sf_dir, sh):
+    """Shared per-doc DISTINCT shingle-array view (doc_id, arr, c) —
+    the row-local verify base dedup_ppjoin_exact introduced in r9
+    and dedup_minhash_lsh joined in r10. One gate-mapped build
+    serves both."""
+    return _gate_map(
+        spark, sf_dir, "text_shingle_arrays",
+        lambda: sh.groupBy("doc_id").agg(
+            F.collect_list("s").alias("arr"),
+            F.count(F.lit(1)).cast("long").alias("c"),
+        ),
+    )
 
 
 @query("dedup_minhash_lsh", oracle=_dedup.MINHASH_LSH_SQL)
 def q_dedup_minhash_lsh(spark, sf_dir):
     docs, sh, sig = _text_minhash_mats(spark, sf_dir)
-    return _dedup.minhash_lsh_pairs(docs, sh=sh, signatures=sig)
+    # r10 (guide §3.4): exact verify via row-local array_intersect
+    # over the shared shingle-array gate instead of the postings-
+    # expansion join (A/B'd interleaved; toggle kept so paired runs
+    # can alternate tails in one session).
+    if os.environ.get("SPARK_GRAFT_MINHASH_VERIFY", "arrays") == "postings":
+        return _dedup.minhash_lsh_pairs(docs, sh=sh, signatures=sig)
+    cand = _dedup.lsh_candidates(sig)
+    return _dedup.lsh_verified_pairs_arrays(
+        cand, _shingle_arrays_map(spark, sf_dir, sh)
+    )
 
 
 @query("dedup_simhash", oracle=_dedup.SIMHASH_SQL)
@@ -517,6 +546,32 @@ def q_ann_ivf_multiprobe(spark, sf_dir):
     return _sim.ivf_multiprobe(spark, sf_dir)
 
 
+def _sem_mats(spark, sf_dir):
+    """The semdedup family's two shared materializations (r10, guide
+    §2.1/§2.2): the seed-nearest cell table (min-struct argmin build
+    with map-side partials — no corpus×N_SEEDS exchange + window
+    sort) and the per-vector max
+    within-cell lower-id-mate cosine. semdedup_cells' verdict and
+    the WHOLE tau sweep are bounded reductions over these two."""
+    from ..tables import load_table as _lt
+
+    def build_cells():
+        _lt(spark, sf_dir, "embeddings").createOrReplaceTempView(
+            "embeddings"
+        )
+        return spark.sql(_sim.sem_cells_build_sql())
+
+    cells = _gate_map(spark, sf_dir, "embed_sem_cells", build_cells)
+    cells.createOrReplaceTempView("sem_cells_mat")
+
+    def build_bmax():
+        return spark.sql(_sim.sem_bmax_build_sql("sem_cells_mat"))
+
+    bmax = _gate_map(spark, sf_dir, "embed_sem_bmax", build_bmax)
+    bmax.createOrReplaceTempView("sem_bmax_mat")
+    return cells, bmax
+
+
 @query("semdedup_cells", oracle=_sim.semdedup_sql("duck"))
 def q_semdedup_cells(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): coarse-cell clustering + within-
@@ -525,10 +580,23 @@ def q_semdedup_cells(spark, sf_dir):
     pairwise compare (equi-join on the cell key), never all-pairs;
     see operators/similarity.py:semdedup_sql. Materialized through
     _gate_map (r5) — the embed keep-list and the tau-sweep both
-    consume this verdict."""
-    return _gate_map(
-        spark, sf_dir, "embed_semdedup", lambda: _sim.semdedup(spark, sf_dir)
-    )
+    consume this verdict. r10: built from the shared cell/bmax
+    materializations (argmin assign as a map-side-partial min-struct
+    aggregate, verdict = maxcos >= tau — see _sem_mats); toggle kept
+    for interleaved A/B against the single-statement form."""
+    if os.environ.get("SPARK_GRAFT_SEMDEDUP", "staged") == "single":
+        return _gate_map(
+            spark, sf_dir, "embed_semdedup",
+            lambda: _sim.semdedup(spark, sf_dir),
+        )
+
+    def build():
+        _sem_mats(spark, sf_dir)
+        return spark.sql(
+            _sim.semdedup_from_mats_sql("sem_cells_mat", "sem_bmax_mat")
+        )
+
+    return _gate_map(spark, sf_dir, "embed_semdedup", build)
 
 
 @query("embed_quantize_int8", oracle=_sim.quantize_sql("duck"))

@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import os
+
 from .p01_cdc_operation_log import (  # noqa: F401
     F,
     ORACLES,
@@ -949,9 +951,38 @@ def _fused_keep_list(spark, sf_dir, graph, level):
     (driver threads each submitting one Spark job — local[32] has
     cores to spare for ~10 small jobs, and on a cluster the same
     pattern fills the executors instead of running 10 half-idle
-    stages back to back); the v5+/v7 gates are sequential by data
-    dependency (they score only earlier-gate survivors)."""
+    stages back to back); the v5/v7 gates are sequential by data
+    dependency (they score only earlier-gate survivors). The v6
+    line-dedup gate is NOT data-dependent — a line is duplicate
+    relative to the whole corpus, not to gate survivors — so for
+    level >= 6 its build is PREFETCHED on a driver thread while the
+    v4 pool and the v5 repetition pass run (r10, guide §2.6: the
+    only remaining sequential gate whose input is the raw corpus);
+    dec_base6's _gate_map call then joins the already-running build
+    under the per-key lock."""
     docs = load_table(spark, sf_dir, "documents")
+
+    _ld_builder = lambda: QUERIES["corpus_line_dedup_report"](  # noqa: E731
+        spark, sf_dir
+    ).select(
+        "doc_id",
+        (F.col("removed_char_bp") > _BOILERPLATE_BP).alias("boilerplate"),
+    )
+    # prefetch only for cacheable (immutable) corpora — elsewhere
+    # _gate_map rebuilds per call, so a prefetch would be double work
+    # (SPARK_GRAFT_KL_PREFETCH=0 disables, for interleaved A/B)
+    if (
+        level >= 6
+        and os.environ.get("SPARK_GRAFT_KL_PREFETCH", "1") == "1"
+        and str(sf_dir).startswith(
+            ("/root/testdata", "/root/repo/scale_data")
+        )
+    ):
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        _ld_pool = _TPE(max_workers=1)
+        _ld_pool.submit(_gate_map, spark, sf_dir, "kl_ld", _ld_builder)
+        _ld_pool.shutdown(wait=False)
 
     def dec_base4():
         specs = {
@@ -1120,19 +1151,7 @@ def _fused_keep_list(spark, sf_dir, graph, level):
     # a line is duplicate only relative to the WHOLE corpus, so this
     # gate cannot be survivor-restricted) ---------------------------
     def dec_base6():
-        ld = _gate_map(
-            spark,
-            sf_dir,
-            "kl_ld",
-            lambda: QUERIES["corpus_line_dedup_report"](
-                spark, sf_dir
-            ).select(
-                "doc_id",
-                (F.col("removed_char_bp") > _BOILERPLATE_BP).alias(
-                    "boilerplate"
-                ),
-            ),
-        )
+        ld = _gate_map(spark, sf_dir, "kl_ld", _ld_builder)
         j6 = base.join(ld, "doc_id")
         return j6.select(
             "doc_id",
@@ -3356,10 +3375,29 @@ def q_dedup_lsh_tuning(spark, sf_dir):
                 f" 1, 8), 16, 10) AS BIGINT), {k}) = 0"
             )
         )
-    p = _gate_map(
-        spark, sf_dir, f"lsh_tuning_pairs_k{k}",
-        lambda: _dedup.lsh_tuning_pairs(sh, sig),
-    )
+    # r10 NEGATIVE result (guide §1, measured): the array_intersect
+    # verify that wins for dedup_minhash_lsh's high-precision 3-band
+    # candidates LOSES here — the r=1 pigeonhole superset is
+    # permissive (any-one-of-12 collision), so most candidate pairs
+    # have low overlap and the row-local intersect pays O(|x|+|y|)
+    # per pair where the postings join touches only shared shingles.
+    # 14 interleaved cold rounds at sf0.1: postings min 3.75/4.15,
+    # arrays min 4.39/5.08; postings wins 9/14. Default stays
+    # postings; the arrays branch is kept for paired re-measurement.
+    mode = os.environ.get("SPARK_GRAFT_TUNING_VERIFY", "postings")
+    if mode == "arrays":
+        from .p01_cdc_operation_log import _shingle_arrays_map
+
+        sharr = _shingle_arrays_map(spark, sf_dir, sh)
+        p = _gate_map(
+            spark, sf_dir, f"lsh_tuning_pairs_arr_k{k}",
+            lambda: _dedup.lsh_tuning_pairs(sh, sig, sharr=sharr),
+        )
+    else:
+        p = _gate_map(
+            spark, sf_dir, f"lsh_tuning_pairs_k{k}",
+            lambda: _dedup.lsh_tuning_pairs(sh, sig),
+        )
     return _dedup.lsh_tuning(docs, sh=sh, signatures=sig, pairs=p)
 
 

@@ -237,8 +237,23 @@ def q_semdedup_tau_sweep(spark, sf_dir):
     discipline as dedup_lsh_tuning (#176) and the Jaccard sweep
     (#190), on the embedding axis. All arms are conditional
     aggregates over the same pair list; cell-bounded, never
-    all-pairs. See operators/similarity.py:semdedup_tau_sweep_sql."""
-    return _sim.semdedup_tau_sweep(spark, sf_dir)
+    all-pairs. See operators/similarity.py:semdedup_tau_sweep_sql.
+    r10 (guide §2.1): served from the SAME two materializations as
+    semdedup_cells (dropped-at-tau ⟺ maxcos >= tau) — the sweep's
+    own copy of the cells→pairc→bmax chain is gone; the oracle
+    keeps the single-statement form."""
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_SEMDEDUP", "staged") == "single":
+        return _sim.semdedup_tau_sweep(spark, sf_dir)
+    from .p01_cdc_operation_log import _sem_mats
+
+    _sem_mats(spark, sf_dir)
+    return spark.sql(
+        _sim.semdedup_tau_sweep_from_mats_sql(
+            "sem_cells_mat", "sem_bmax_mat"
+        )
+    )
 
 
 _SHARD_TARGET_BYTES = 65536

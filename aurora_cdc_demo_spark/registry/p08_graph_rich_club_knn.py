@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import os
+
 from .p01_cdc_operation_log import (  # noqa: F401
     DataFrame,
     F,
@@ -2460,6 +2462,23 @@ def q_dedup_ppjoin_exact(spark, sf_dir):
     sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     ).createOrReplaceTempView("sc")
+    # r10 verify-path pick (the r9 verdict's watch item, measured):
+    # the array_intersect tail wins at sf0.1 (interleaved A/B median
+    # 3.63 vs 4.40 s) but LOSES at sf0.01 (1.86 vs 1.26 s median —
+    # the r9 driver's +55% was real, not noise): below a few hundred
+    # candidates the per-pair array materialization constant
+    # outweighs the removed posting expansion. Pick by corpus size
+    # (driver-side pruned count-star, the auto_r_bits idiom;
+    # crossover measured between 500 and 5000 docs, threshold 2000);
+    # env override kept for interleaved A/B.
+    mode = os.environ.get("SPARK_GRAFT_PPJOIN_VERIFY", "auto")
+    if mode == "auto":
+        mode = "arrays" if docs.count() >= 2000 else "postings"
+    if mode == "postings":
+        return spark.sql(
+            "WITH _noop AS (SELECT 1)"
+            + _ppjoin_body("spark", _dedup.JACCARD_THRESHOLD_BP)
+        )
     _gate_map(
         spark, sf_dir, "text_shingle_arrays",
         lambda: sh.groupBy("doc_id").agg(

@@ -127,13 +127,23 @@ def _sessionize_group(
 
 def sessionize_stream(stream: DataFrame) -> DataFrame:
     """stream: typed CDC log (key_id, seq, operation, event_type,
-    ts, value) → closed sessions, append mode."""
-    return stream.groupBy("key_id").applyInPandasWithState(
-        _sessionize_group,
-        outputStructType=SESSION_OUTPUT_SCHEMA,
-        stateStructType=SESSION_STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    ts, value) → closed sessions, append mode.
+
+    r10 (guide §4.1): project to the four columns the state function
+    reads BEFORE the stateful exchange — groupBy+applyInPandasWithState
+    is opaque to Catalyst, so without the explicit select the
+    operation/event_type strings cross the per-batch shuffle AND the
+    JVM→Python Arrow boundary only to be ignored."""
+    return (
+        stream.select("key_id", "seq", "ts", "value")
+        .groupBy("key_id")
+        .applyInPandasWithState(
+            _sessionize_group,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
 
 
@@ -217,7 +227,9 @@ def sessionize_stream_tws(stream: DataFrame) -> DataFrame:
     Requires the RocksDB state store provider (set by the caller):
     spark.sql.streaming.stateStore.providerClass =
     ...RocksDBStateStoreProvider"""
-    return stream.groupBy("key_id").transformWithStateInPandas(
+    return stream.select(
+        "key_id", "seq", "ts", "value"
+    ).groupBy("key_id").transformWithStateInPandas(
         SessionizeProcessor(),
         outputStructType=SESSION_OUTPUT_SCHEMA,
         outputMode="append",

@@ -21,14 +21,16 @@ from aurora_cdc_demo_spark.tables import TABLES  # noqa: E402
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     con.execute("SET temp_directory='/tmp/duck_spill'")
-    # Pin the buffer-manager limit well under what the host can give
-    # with a Spark JVM (and possibly other sessions) resident: the
-    # default 80%-of-RAM limit is probed at connect time, and a
-    # fuller host later in a 487-query sweep turns the heavy inlined
-    # oracles into 'Failed to allocate block' bad_allocs instead of
-    # spills. An explicit cap + temp_directory makes DuckDB spill
-    # deterministically whatever else is running.
-    con.execute("SET memory_limit='40GB'")
+    # Host-aware buffer-manager limit (r10, mirrors tests/helpers.py):
+    # a static cap above what the OS can actually give with a Spark
+    # JVM resident turns the heavy inlined oracles into OS-level
+    # bad_allocs before DuckDB's own spill machinery ever engages.
+    # Half of MemAvailable at connect time (floor 4GB, ceiling 40GB)
+    # makes DuckDB spill deterministically whatever else is running.
+    from tests.helpers import _host_aware_duck_limit_gb
+
+    gb = max(4, min(40, 2 * _host_aware_duck_limit_gb()))
+    con.execute(f"SET memory_limit='{gb}GB'")
     import os
 
     for t in TABLES:
