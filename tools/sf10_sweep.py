@@ -23,7 +23,7 @@ os.environ.setdefault("SPARK_DRIVER_MEM", "64g")
 from aurora_cdc_demo_spark.session import get_spark  # noqa: E402
 
 SF10 = "/root/repo/scale_data/sf10"
-CANONICAL = "SF10_SWEEP_r9.json"
+CANONICAL = "SF10_SWEEP_r10.json"
 
 # arms whose sf10 cost is the DOCUMENTED quadratic contrast (labeled
 # exact oracle twins), excluded by design like the r8 scaling bench
